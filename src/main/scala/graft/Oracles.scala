@@ -1,0 +1,338 @@
+package graft
+
+/** DuckDB oracle SQL for each SparkEntry query (driver runs these on the
+  * same parquet tables at sf0.01 and hash-compares).
+  *
+  * Each statement mirrors its Spark twin expression-by-expression: identical
+  * literals, identical association order for FP arithmetic, DECIMAL(38,10)
+  * sums, epoch-second time buckets, and the same ORDER BY keys. Rows-only
+  * queries (KMeans, MinHash/SimHash/LSH internals) have no entry.
+  */
+object Oracles {
+
+  private val normText =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val stopList =
+    "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
+
+  def sql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cross_pairs" ->
+      """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+        |  a.n_name AS name_a, b.n_name AS name_b,
+        |  abs(a.n_regionkey - b.n_regionkey) AS region_dist
+        |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_resample_day_sum" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_resample_hour_mean" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_calendar_profile" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percent_flagged" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  CAST(sum(CAST(CASE WHEN value > 15.0 THEN 1.0 ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS flagged_frac
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_num_hours" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  count(DISTINCT date_trunc('hour', ts)) AS num_hours
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gap_detect" ->
+      """WITH m AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute FROM events),
+        |span AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+        |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM span),
+        |obs AS (SELECT DISTINCT minute FROM m)
+        |SELECT epoch_us(g.minute) // 1000000 AS minute_epoch
+        |FROM grid g ANTI JOIN obs o USING (minute) ORDER BY 1""".stripMargin,
+
+    "q_dup_keys" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q_freq_infer" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 1000000)
+        |    - lag(epoch_us(ts) // 1000000) OVER (ORDER BY ts) AS diff FROM events)
+        |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
+        |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
+
+    "q_lag_diff" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rolling_sum" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_unresponsive" ->
+      """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value, 0) AS BIGINT) AS vi FROM events),
+        |c AS (SELECT *, CASE WHEN lag(vi) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR lag(vi) OVER (PARTITION BY user_id ORDER BY ts) <> vi THEN 1 ELSE 0 END AS chg FROM v),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
+        |SELECT event_id, count(*) OVER (PARTITION BY user_id, run) >= 3 AS flag
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "q_ffill" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_range_flag" ->
+      """SELECT event_id, NOT (value BETWEEN 2.0 AND 18.0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_range_flag" ->
+      """SELECT event_id,
+        |  (CAST(hour(ts) AS DOUBLE) BETWEEN 8.0 AND 17.0)
+        |    AND NOT (value BETWEEN 0.5 AND 18.0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_std_range_flag" ->
+      """SELECT event_id, abs(value - m) > 2.0 * s AS flag
+        |FROM events, (SELECT avg(value) AS m, stddev_samp(value) AS s FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_bin_filter" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    floor(l_quantity / 5.0) AS bin FROM lineitem),
+        |st AS (SELECT bin, avg(l_extendedprice) AS c, stddev_samp(l_extendedprice) AS sd
+        |    FROM b GROUP BY bin)
+        |SELECT l_orderkey, l_linenumber, (l_extendedprice - c) > 2.0 * sd AS flag
+        |FROM b JOIN st USING (bin) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_met_columns" ->
+      """WITH u AS (SELECT event_id, value - 10.0 AS u,
+        |    CAST(user_id % 7 AS DOUBLE) - 3.0 AS v, value FROM events)
+        |SELECT event_id,
+        |  round(sqrt(u * u + v * v), 6) AS ws,
+        |  round(fmod(fmod(180.0 + degrees(atan2(u, v)), 360.0) + 360.0, 360.0), 6) AS wd,
+        |  round(fmod(fmod(value * 37.0, 360.0) + 540.0, 360.0) - 180.0, 6) AS wrapped
+        |FROM u ORDER BY event_id""".stripMargin,
+
+    "q_air_density" ->
+      """SELECT event_id,
+        |  round((101325.0 - user_id * 10.0) / (287.058 * (288.15 + value / 10.0)), 6) AS rho
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_circular_mean" ->
+      """SELECT event_type,
+        |  round(fmod(fmod(degrees(atan2(
+        |    avg(sin(radians(fmod(value * 36.0, 360.0)))),
+        |    avg(cos(radians(fmod(value * 36.0, 360.0)))))), 360.0) + 360.0, 360.0), 6) AS circ_mean,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shear_alpha" -> {
+      val lz1 = math.log(10.0); val lz2 = math.log(50.0); val lz3 = math.log(80.0)
+      s"""WITH s AS (SELECT l_orderkey, l_linenumber,
+         |    ln(l_quantity + 1.0) AS lw1, ln(l_quantity * 1.1 + 2.0) AS lw2,
+         |    ln(l_quantity * 1.2 + 3.0) AS lw3 FROM lineitem),
+         |c AS (SELECT *, (($lz1 + $lz2) + $lz3) / 3.0 AS mlz,
+         |    ((lw1 + lw2) + lw3) / 3.0 AS mlw FROM s)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(((($lz1 - mlz) * (lw1 - mlw) + ($lz2 - mlz) * (lw2 - mlw)) + ($lz3 - mlz) * (lw3 - mlw))
+         |    / ((($lz1 - mlz) * ($lz1 - mlz) + ($lz2 - mlz) * ($lz2 - mlz)) + ($lz3 - mlz) * ($lz3 - mlz)), 6) AS alpha
+         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q_linreg" ->
+      """SELECT
+        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT round(corr(click, view), 6) AS corr_click_view,
+        |  round(corr(click, purchase), 6) AS corr_click_purchase,
+        |  round(corr(view, purchase), 6) AS corr_view_purchase
+        |FROM m""".stripMargin,
+
+    "q_global_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  round(stddev_samp(value), 6) AS value_std,
+        |  round(quantile_cont(value, 0.5), 6) AS value_med,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_impute" ->
+      """WITH mins AS (SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events),
+        |tv AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS target_val
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |rv AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS ref_val
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |t AS (SELECT m.minute, tv.target_val FROM mins m LEFT JOIN tv USING (minute)),
+        |j AS (SELECT t.minute, t.target_val, rv.ref_val FROM t LEFT JOIN rv USING (minute)),
+        |fit AS (SELECT covar_samp(ref_val, target_val) / var_samp(ref_val) AS b,
+        |    avg(target_val) AS my, avg(ref_val) AS mx
+        |  FROM j WHERE target_val IS NOT NULL AND ref_val IS NOT NULL),
+        |f2 AS (SELECT b, my - b * mx AS a FROM fit)
+        |SELECT epoch_us(j.minute) // 1000000 AS minute_epoch,
+        |  round(coalesce(j.target_val, a + b * j.ref_val), 6) AS imputed
+        |FROM j, f2 ORDER BY 1""".stripMargin,
+
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |         / (CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END AS mean_word_len,
+         |  CASE WHEN len(regexp_split_to_array($normText, ' ')) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(regexp_split_to_array($normText, ' '),
+         |           x -> x IN $stopList)) AS DOUBLE)
+         |         / len(regexp_split_to_array($normText, ' ')) END AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normText) AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_scores" -> {
+      def score(markers: Seq[String]) = {
+        val list = markers.map(m => s"'$m'").mkString("(", ",", ")")
+        s"""CAST(len(list_filter(regexp_split_to_array($normText, ' '), x -> x IN $list)) AS DOUBLE)
+           | / greatest(len(regexp_split_to_array($normText, ' ')), 1)""".stripMargin.replace("\n", "")
+      }
+      import graft.operators.TextAnalysis.LanguageMarkers
+      s"""SELECT doc_id,
+         |  ${score(LanguageMarkers("en"))} AS en_score,
+         |  ${score(LanguageMarkers("fr"))} AS fr_score,
+         |  ${score(LanguageMarkers("de"))} AS de_score,
+         |  ${score(LanguageMarkers("es"))} AS es_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" -> {
+      val toks = s"regexp_split_to_array($normText, ' ')"
+      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
+      val stop = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, x -> x IN $stopList)) AS DOUBLE) / len($toks) END"
+      s"""SELECT doc_id,
+         |  (((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + (1.0 - least(($punct) * 5.0, 1.0)))
+         |   + least(($stop) * 4.0, 1.0))
+         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT block, id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) AS jaccard
+         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05
+         |ORDER BY block, id_a, id_b""".stripMargin,
+
+    "q_vector_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])), 6) AS nrm
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, round(cos, 5) AS cosine, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR (epoch_us(ts) // 1000000)
+        |        - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM events),
+        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+        |  (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS span_seconds
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.value AS prior_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+  )
+}

@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Met
+import graft.operators._
+
+/** Driver contract (SURVEY.md §7 + TESTDATA.md): one `queries` entry per
+  * implemented operator family, each with a DuckDB oracle in `oracleSql`.
+  *
+  * Determinism rules used throughout (the driver hash-compares values):
+  *  - SUMs go through DECIMAL(38,10) so both engines compute the exact sum
+  *    and convert once to double (`dsum`); means are dsum/count.
+  *  - Quantities whose FP result depends on accumulation order or libm
+  *    (stddev, corr, trig) are rounded to 5-6 decimals on BOTH sides.
+  *  - Time buckets are emitted as epoch seconds (BIGINT) to dodge
+  *    timestamp-precision representation differences (parquet us vs ns).
+  *  - Every query ORDER BYs a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- determinism helpers -------------------------------------------------
+  private val Dec = DecimalType(38, 10)
+  private val Dec4 = DecimalType(18, 4)
+  /** Exact sum: decimal-accumulated, emitted as double. */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Exact revenue-style sum: inputs are short-decimal (2dp) doubles, so
+    * casting the INPUTS to DECIMAL(18,4) is engine-agnostic (no long binary
+    * tails) and the decimal product/sum is exact in both engines.
+    */
+  private def dsumRevenue(price: Column, discount: Column): Column =
+    (sum(price.cast(Dec4) * (lit(1.0).cast(Dec4) - discount.cast(Dec4))) * 10000)
+      .cast("long").cast("double") / 10000.0
+  /** Exact money sum, safe at any magnitude: the decimal sum is scaled to
+    * integer cents (exact, < 2^53) BEFORE the double conversion — a
+    * DECIMAL(38,10) whose unscaled value exceeds 2^53 casts to double with
+    * different roundings in Spark (one correct rounding via BigDecimal) vs
+    * DuckDB (int->double then divide: double rounding).
+    */
+  private def dsumMoney(c: Column): Column =
+    (sum(c.cast(Dec)) * 100).cast("long").cast("double") / 100.0
+  /** Exact mean: exact sum / non-null count. */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  /** Epoch seconds of a timestamp as BIGINT. */
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // =========================================================================
+  // Queries — each returns a deterministic DataFrame over the sf tables.
+  // =========================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- 2.1/2.4 scans + aggregation ---------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsumMoney(col("l_quantity")).as("sum_qty"),
+          dsumMoney(col("l_extendedprice")).as("sum_base_price"),
+          dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (dsumMoney(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+          && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // distance/direction pair table analog (plant.py:1229-1258): tiny dim
+    // self-cross-join, broadcast
+    "q_cross_pairs" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val a = n.select(col("n_nationkey").as("key_a"), col("n_name").as("name_a"),
+        col("n_regionkey").as("region_a"))
+      val b = n.select(col("n_nationkey").as("key_b"), col("n_name").as("name_b"),
+        col("n_regionkey").as("region_b"))
+      a.crossJoin(broadcast(b)).filter(col("key_a") < col("key_b"))
+        .withColumn("region_dist", abs(col("region_a") - col("region_b")))
+        .select("key_a", "key_b", "name_a", "name_b", "region_dist")
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q_top_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+
+    // ---- 2.4 resampling (aep.py:450 etc.) ----------------------------------
+    "q_resample_day_sum" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(dsum(col("value")).as("value_sum"), count(lit(1)).as("n_events"))
+        .orderBy("day_epoch")
+    }),
+
+    "q_resample_hour_mean" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(epochS(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(davg(col("value")).as("value_avg"), count(lit(1)).as("n_events"))
+        .orderBy("hour_epoch")
+    }),
+
+    // typical-period calendar profile (aep.py:394-412)
+    "q_calendar_profile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+        .agg(davg(col("value")).as("value_avg"), count(lit(1)).as("n_events"))
+        .orderBy("hour_of_day")
+    }),
+
+    // percent_nan analog (timeseries.py:228-241): flagged fraction per day
+    "q_percent_flagged" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg((dsum(when(col("value") > 15.0, 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("flagged_frac"))
+        .orderBy("day_epoch")
+    }),
+
+    // num_hours per day (timeseries.py:245-275)
+    "q_num_hours" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(countDistinct(date_trunc("hour", col("ts"))).as("num_hours"))
+        .orderBy("day_epoch")
+    }),
+
+    // ---- 2.6 gap detection (timeseries.py:145-170) -------------------------
+    "q_gap_detect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("minute", date_trunc("minute", col("ts")))
+      val span = ev.agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+      val grid = span.select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 MINUTE"))).as("minute"))
+      grid.join(ev.select("minute").distinct(), Seq("minute"), "left_anti")
+        .select(epochS(col("minute")).as("minute_epoch"))
+        .orderBy("minute_epoch")
+    }),
+
+    // duplicate detection (timeseries.py:174-190 analog on lineitem)
+    "q_dup_keys" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") > 1)
+        .orderBy("l_orderkey")
+    }),
+
+    // frequency inference: mode of consecutive deltas (timeseries.py:35-79)
+    "q_freq_infer" -> ((s, dir) => {
+      val w = Window.orderBy("ts")
+      Tables.events(s, dir)
+        .withColumn("diff", epochS(col("ts")) - epochS(lag(col("ts"), 1).over(w)))
+        .filter(col("diff").isNotNull)
+        .groupBy("diff").count()
+        .orderBy(desc("count"), asc("diff"))
+        .limit(1)
+        .select(col("diff").as("freq_seconds"), col("count").as("n"))
+    }),
+
+    // ---- 2.5 window functions ----------------------------------------------
+    "q_lag_diff" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, dir)
+        .withColumn("diff", col("value") - lag(col("value"), 1).over(w))
+        .select("event_id", "user_id", "diff")
+        .orderBy("event_id")
+    }),
+
+    "q_rolling_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+      Tables.events(s, dir)
+        .withColumn("rsum", sum(col("value").cast(Dec)).over(w).cast("double"))
+        .select("event_id", "rsum")
+        .orderBy("event_id")
+    }),
+
+    // unresponsive-sensor flag (filters.py:67-109)
+    "q_unresponsive" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("vi", round(col("value"), 0).cast("long"))
+      Flags.unresponsiveFlag(ev, "vi", "ts", threshold = 3,
+          partitionCols = Seq("user_id"))
+        .select("event_id", "flag")
+        .orderBy("event_id")
+    }),
+
+    // forward-fill (wake_losses.py:1050 pattern)
+    "q_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      Timeseries.forwardFill(ev, "v", "ts", Seq("user_id"))
+        .select(col("event_id"), col("v").as("filled"))
+        .orderBy("event_id")
+    }),
+
+    // ---- 2.2 flag operators ------------------------------------------------
+    "q_range_flag" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("flag", Flags.rangeFlag(col("value"), 2.0, 18.0))
+        .select("event_id", "flag")
+        .orderBy("event_id")
+    }),
+
+    "q_window_range_flag" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("flag", Flags.windowRangeFlag(
+          hour(col("ts")).cast("double"), 8.0, 17.0, col("value"), 0.5, 18.0))
+        .select("event_id", "flag")
+        .orderBy("event_id")
+    }),
+
+    "q_std_range_flag" -> ((s, dir) => {
+      Flags.stdRangeFlag(Tables.events(s, dir), "value", threshold = 2.0)
+        .select("event_id", "flag")
+        .orderBy("event_id")
+    }),
+
+    "q_bin_filter" -> ((s, dir) => {
+      Flags.binFilter(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
+          binWidth = 5.0, threshold = 2.0, centerType = "mean",
+          deviationType = "std", direction = "above")
+        .select("l_orderkey", "l_linenumber", "flag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // KMeans+Mahalanobis (filters.py:290-343) — no SQL oracle (rows-only)
+    "q_mahalanobis" -> ((s, dir) => {
+      Flags.clusterMahalanobis2d(Tables.lineitem(s, dir),
+          "l_quantity", "l_extendedprice", nClusters = 8)
+        .select("l_orderkey", "l_linenumber", "flag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- 2.7 met-science scalar expressions --------------------------------
+    "q_met_columns" -> ((s, dir) => {
+      val u = col("value") - 10.0
+      val v = (col("user_id") % 7).cast("double") - 3.0
+      Tables.events(s, dir)
+        .withColumn("ws", round(Met.windSpeed(u, v), 6))
+        .withColumn("wd", round(Met.windDirection(u, v), 6))
+        .withColumn("wrapped", round(Met.wrap180(col("value") * 37.0), 6))
+        .select("event_id", "ws", "wd", "wrapped")
+        .orderBy("event_id")
+    }),
+
+    "q_air_density" -> ((s, dir) => {
+      val tempK = lit(288.15) + col("value") / 10.0
+      val presPa = lit(101325.0) - col("user_id") * 10.0
+      Tables.events(s, dir)
+        .withColumn("rho", round(Met.airDensity(tempK, presPa), 6))
+        .select("event_id", "rho")
+        .orderBy("event_id")
+    }),
+
+    "q_circular_mean" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("angle", (col("value") * 36.0) % 360.0)
+        .groupBy("event_type")
+        .agg(round(Met.circularMeanAgg(col("angle")), 6).as("circ_mean"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "q_shear_alpha" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val alpha = Met.shearAlpha(Seq(
+        (col("l_quantity") + 1.0, 10.0),
+        (col("l_quantity") * 1.1 + 2.0, 50.0),
+        (col("l_quantity") * 1.2 + 3.0, 80.0)))
+      li.withColumn("alpha", round(alpha, 6))
+        .select("l_orderkey", "l_linenumber", "alpha")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- 2.8 regression (closed-form OLS via aggregates, aep.py:920) -------
+    "q_linreg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          round(Fitting2.slope(col("l_quantity"), col("l_extendedprice")), 6).as("slope"),
+          round(Fitting2.intercept(col("l_quantity"), col("l_extendedprice")), 6).as("intercept"),
+          count(lit(1)).as("n"))
+    }),
+
+    // asset-correlation analog (imputing.py:13-31): pivot series + pairwise corr
+    "q_corr_matrix" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def seriesAvg(t: String) =
+        (sum(when(col("event_type") === t, col("value")).cast(Dec)).cast("double")
+          / count(when(col("event_type") === t, lit(1)))).as(t)
+      val m = ev.groupBy(epochS(date_trunc("minute", col("ts"))).as("minute"))
+        .agg(seriesAvg("click"), seriesAvg("view"), seriesAvg("purchase"))
+      m.agg(
+        round(corr(col("click"), col("view")), 6).as("corr_click_view"),
+        round(corr(col("click"), col("purchase")), 6).as("corr_click_purchase"),
+        round(corr(col("view"), col("purchase")), 6).as("corr_view_purchase"))
+    }),
+
+    "q_global_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          davg(col("value")).as("value_avg"),
+          round(stddev_samp(col("value")), 6).as("value_std"),
+          round(percentile(col("value"), lit(0.5)), 6).as("value_med"),
+          min(col("value")).as("value_min"),
+          max(col("value")).as("value_max"))
+        .orderBy("event_type")
+    }),
+
+    // imputation (imputing.py:34-131): fill gaps in one series from another
+    "q_impute" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val minutes = ev.select(date_trunc("minute", col("ts")).as("minute")).distinct()
+      def seriesOf(t: String, name: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(date_trunc("minute", col("ts")).as("minute"))
+          .agg(davg(col("value")).as(name))
+      val target = minutes.join(seriesOf("view", "target_val"), Seq("minute"), "left")
+      val ref = seriesOf("click", "ref_val")
+      Imputing.imputeData(target, ref, "minute", "target_val", "ref_val")
+        .select(epochS(col("minute")).as("minute_epoch"),
+          round(col("imputed"), 6).as("imputed"))
+        .orderBy("minute_epoch")
+    }),
+
+    // ---- text analysis -----------------------------------------------------
+    "q_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint_dedup" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "fingerprint", "is_duplicate")
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_scores" -> ((s, dir) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      def score(markers: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(markers))).cast("double") /
+          greatest(size(toks), lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          score(TextAnalysis.LanguageMarkers("en")).as("en_score"),
+          score(TextAnalysis.LanguageMarkers("fr")).as("fr_score"),
+          score(TextAnalysis.LanguageMarkers("de")).as("de_score"),
+          score(TextAnalysis.LanguageMarkers("es")).as("es_score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs within source blocks
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+          "source", n = 3, minJaccard = 0.05, maxShingleFreq = 1000000)
+        .orderBy("block", "id_a", "id_b")
+    }),
+
+    // MinHash-LSH near-dup candidates — rows-only (hash internals not SQL)
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashCandidates(Tables.documents(s, dir), "text", "doc_id",
+          shingleSize = 5, numHashes = 64, bands = 16)
+        .filter(col("est_jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash signatures — rows-only
+    "q_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search -------------------------------------------------
+    "q_vector_norm" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), round(Similarity.norm(col("v")), 6).as("nrm"))
+        .orderBy("vec_id")
+    }),
+
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN — rows-only (approximate by construction)
+    "q_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 10, tables = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- event-stream operators --------------------------------------------
+    "q_sessionize" -> ((s, dir) => {
+      val sess = Sessionize.withSessionId(Tables.events(s, dir),
+        Seq("user_id"), "ts", gapSeconds = 1800)
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("value_sum"),
+          (epochS(max(col("ts"))) - epochS(min(col("ts")))).as("span_seconds"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+          payloadCols = Seq("value"), prefix = "prior_click_")
+        .select(col("event_id"), col("user_id"), col("prior_click_value"))
+        .orderBy("event_id")
+    }),
+  )
+
+  /** DuckDB oracles. Key set == queries key set minus the rows-only ops
+    * (q_mahalanobis, q_minhash_pairs, q_simhash, q_lsh_topk).
+    */
+  def oracleSql: Map[String, String] = Oracles.sql
+}
+
+/** Aggregate-expression forms of the closed-form linear fit, shared by
+  * queries and the Fitting module (cov/var, aep.py:920-927).
+  */
+object Fitting2 {
+  def slope(x: Column, y: Column): Column = covar_samp(x, y) / var_samp(x)
+  def intercept(x: Column, y: Column): Column =
+    avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x)
 }

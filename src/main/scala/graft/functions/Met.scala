@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Meteorological column expressions.
+  *
+  * Spark-first re-expression of the reference's element-wise met science
+  * (reference: openoa/utils/met_data_processing.py). Everything here is a pure
+  * `Column => Column` composition of built-in (codegen'd) functions — no UDFs —
+  * so Catalyst can push, prune, fold, and whole-stage-codegen them.
+  */
+object Met {
+
+  /** Specific gas constant for dry air, J/(kg·K) (met_data_processing.py:158). */
+  val GasConstantDryAir = 287.058
+  /** Specific gas constant for water vapor, J/(kg·K). */
+  val GasConstantWaterVapor = 461.5
+
+  /** Wrap an angle in degrees to [-180, 180).
+    * Reference: met_data_processing.py:21-41 (`wrap_180`).
+    */
+  def wrap180(x: Column): Column =
+    ((x % 360.0) + 540.0) % 360.0 - 180.0
+
+  /** Wrap an angle in degrees to [0, 360). */
+  def wrap360(x: Column): Column = ((x % 360.0) + 360.0) % 360.0
+
+  /** Meteorological wind direction (degrees, [0,360)) from u/v components.
+    * dir = 180 + atan2(u, v) * 180/pi.
+    * Reference: met_data_processing.py:74-90 (`compute_wind_direction`).
+    */
+  def windDirection(u: Column, v: Column): Column =
+    wrap360(lit(180.0) + degrees(atan2(u, v)))
+
+  /** Horizontal wind speed magnitude from u/v components.
+    * Reference: openoa/plant.py:1040-1046 (`_calculate_reanalysis_columns`).
+    */
+  def windSpeed(u: Column, v: Column): Column = sqrt(u * u + v * v)
+
+  /** Zonal (u, east-west) wind component from speed + met direction.
+    * Reference: met_data_processing.py:94-123 (`compute_u_v_components`).
+    */
+  def uComponent(ws: Column, wd: Column): Column = -ws * sin(radians(wd))
+
+  /** Meridional (v, north-south) wind component from speed + met direction. */
+  def vComponent(ws: Column, wd: Column): Column = -ws * cos(radians(wd))
+
+  /** Air density from temperature (K) and pressure (Pa) via the ideal gas law,
+    * IEC 61400-12 style (dry air unless humidity terms supplied).
+    * Reference: met_data_processing.py:127-175 (`compute_air_density`).
+    */
+  def airDensity(tempK: Column, presPa: Column): Column =
+    presPa / (lit(GasConstantDryAir) * tempK)
+
+  /** Hydrostatic vertical pressure extrapolation from height z1 to z2 (meters)
+    * given surface temperature (K): p2 = p1 * exp(-g*(z2-z1)/(R*T)).
+    * Reference: met_data_processing.py:179-213 (`pressure_vertical_extrapolation`).
+    */
+  def pressureVerticalExtrapolation(p1: Column, tempK: Column, z1: Column, z2: Column): Column =
+    p1 * exp(lit(-9.80665) * (z2 - z1) / (lit(GasConstantDryAir) * tempK))
+
+  /** Density-corrected wind speed: ws * (rho / rho_ref)^(1/3).
+    * `rhoRef` is typically the long-run mean density (a broadcast scalar or a
+    * windowed mean column).
+    * Reference: met_data_processing.py:217-234 (`air_density_adjusted_wind_speed`).
+    */
+  def densityAdjustedWindSpeed(ws: Column, rho: Column, rhoRef: Column): Column =
+    ws * pow(rho / rhoRef, 1.0 / 3.0)
+
+  /** Turbulence intensity: sigma_ws / mean_ws.
+    * Reference: met_data_processing.py:238-257 (`compute_turbulence_intensity`).
+    */
+  def turbulenceIntensity(wsStd: Column, wsMean: Column): Column = wsStd / wsMean
+
+  /** Wind shear exponent alpha via per-row closed-form OLS of log(ws) on
+    * log(z) across a fixed set of (windspeed, height) sensor pairs.
+    * alpha = cov(log z, log ws) / var(log z) computed row-wise over k sensors.
+    * Reference: met_data_processing.py:260-327 (`compute_shear`).
+    */
+  def shearAlpha(sensors: Seq[(Column, Double)]): Column = {
+    require(sensors.size >= 2, "shear needs at least two sensor heights")
+    val k = sensors.size.toDouble
+    val lzs = sensors.map { case (_, z) => lit(math.log(z)) }
+    val lws = sensors.map { case (ws, _) => log(ws) }
+    val meanLz = lzs.reduce(_ + _) / k
+    val meanLw = lws.reduce(_ + _) / k
+    val cov = lzs.zip(lws).map { case (lz, lw) => (lz - meanLz) * (lw - meanLw) }.reduce(_ + _)
+    val varLz = lzs.map(lz => (lz - meanLz) * (lz - meanLz)).reduce(_ + _)
+    cov / varLz
+  }
+
+  /** Power-law wind speed extrapolation: ws * (z2/z1)^alpha.
+    * Reference: met_data_processing.py:331-349 (`extrapolate_windspeed`).
+    */
+  def extrapolateWindSpeed(ws: Column, alpha: Column, z1: Column, z2: Column): Column =
+    ws * pow(z2 / z1, alpha)
+
+  /** Wind veer between two heights, deg/m, with directional wraparound.
+    * Reference: met_data_processing.py:353-384 (`compute_veer`).
+    */
+  def veer(wdLower: Column, zLower: Column, wdUpper: Column, zUpper: Column): Column =
+    wrap180(wdUpper - wdLower) / (zUpper - zLower)
+
+  // --- circular statistics -------------------------------------------------
+
+  /** Circular mean AGGREGATE of angles in degrees, result wrapped to [0,360).
+    * deg(atan2(avg(sin x), avg(cos x))).
+    * Reference: met_data_processing.py:44-70 (`compute_wind_direction` /
+    * circular mean used at wake_losses.py:1025-1032).
+    */
+  def circularMeanAgg(x: Column): Column =
+    wrap360(degrees(atan2(avg(sin(radians(x))), avg(cos(radians(x))))))
+
+  /** Row-wise circular mean across a fixed list of angle columns (degrees). */
+  def circularMeanRowwise(xs: Seq[Column]): Column = {
+    val n = xs.size.toDouble
+    val s = xs.map(x => sin(radians(x))).reduce(_ + _) / n
+    val c = xs.map(x => cos(radians(x))).reduce(_ + _) / n
+    wrap360(degrees(atan2(s, c)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * Implemented the scalable way: UNION the two sides tagged by origin, sort
+  * each key partition by (ts, side), and carry the right side's payload
+  * forward with `last(..., ignoreNulls)` — one shuffle on the key, no range
+  * cross-join, no per-key explosion. This is the standard log-merge
+  * formulation and survives arbitrarily large sides (cf. a broadcast range
+  * join, which needs one side small).
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the most recent right row's `payloadCols`
+    * with right.ts <= left.ts, matched on `keyCols`. Right payload columns
+    * appear with `prefix`.
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               prefix: String = "right_"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+    var r = right.select((keyCols :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    // align schemas for unionByName
+    val lAligned = payloadCols.foldLeft(l)((d, c) => d.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
+    r = payloadCols.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__p_$c"))
+    val unioned = lAligned.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at identical ts => ties are inclusive (<=)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"$prefix$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"$prefix$c")): _*)
+  }
+}

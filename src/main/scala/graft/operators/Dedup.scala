@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard near-dup.
+  *
+  * Scale design (100 TB): exact dedup is a hash-groupBy (single shuffle on a
+  * 128-bit key — the only fact-grain shuffle); MinHash/LSH shuffles on
+  * (band, bandHash) bucket keys so candidate pairs are generated per-bucket
+  * instead of via an O(n^2) cross join; SimHash groups on the 64-bit
+  * signature (optionally banded for Hamming-distance tolerance). Nothing
+  * here collects fact-grain data to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: keeps the lowest `idCol` per
+    * fingerprint group. Returns the input plus (fingerprint, is_duplicate).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    df.withColumn("fingerprint", fp)
+      .withColumn("is_duplicate", row_number().over(w) > 1)
+  }
+
+  /** Character shingles (n-grams) of the normalized text as an array column. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = TextAnalysis.normalize(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
+          i => substring(norm, lit(1) + i, lit(n))),
+        s => length(s) === n))
+  }
+
+  /** Word shingles (n-gram of tokens) as an array column. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalize(text), " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over shingles of xxhash64(shingle, seed). Row-local `transform`
+    * + `array_min` — no shuffle, no UDF.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int = 128): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** LSH banding: split a signature of length numHashes into `bands` bands of
+    * rows and hash each band -> (band_id, band_hash) struct array. Docs
+    * sharing any band bucket are near-dup candidates.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(array_join(
+          transform(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            x => x.cast("string")), ",")).as("band_hash")))
+
+  /** Full MinHash-LSH near-dup candidate pairs: returns (id_a, id_b,
+    * est_jaccard) for pairs sharing >= 1 band bucket, with the MinHash
+    * Jaccard estimate from signature agreement. Bucket-local self-join: the
+    * shuffle key is (band, band_hash), never an all-pairs cross join.
+    */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, numHashes: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Materialize shingles, then signatures, BEFORE fanning out: nesting the
+    // shingle expression inside the per-seed minhash lambda makes Spark
+    // re-evaluate the whole shingling (substrings + distinct) once per seed,
+    // and CollapseProject would additionally inline the signature into both
+    // self-join sides. Two checkpoint barriers keep each stage computed
+    // exactly once; both tables are tiny relative to the corpus.
+    val shingled = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint(true)
+    val sigs = shingled.select(col("id"),
+        minHashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
+      .withColumn("bandkey", explode(lshBands(col("sig"), bands, rowsPerBand)))
+    val a = sigs.select(col("bandkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("bandkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by each
+    * token's hash bit, take the sign. Row-local aggregate over tokens.
+    */
+  def simHash(text: Column): Column = {
+    val toks = split(TextAnalysis.normalize(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit position, count tokens with that bit set vs total.
+    val bitSums = transform(sequence(lit(0), lit(63)), bit =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, bit) => when(s > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** n-gram Jaccard similarity between two shingle-array columns (row-local,
+    * for already-paired candidates). */
+  def jaccard(aShingles: Column, bShingles: Column): Column = {
+    val inter = size(array_intersect(aShingles, bShingles)).cast("double")
+    val union = size(array_union(aShingles, bShingles)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within blocking groups (e.g. same
+    * source): explode shingles, self-join on shingle within the block to
+    * count intersections, recover |union| from per-doc sizes. The shuffle key
+    * is (block, shingle) — scales as long as shingle frequencies are bounded
+    * (drop ultra-common shingles via `maxShingleFreq`).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, n: Int = 3, minJaccard: Double = 0.1,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val docs = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    val exploded = docs.select(col("block"), col("id"), col("sh_size"),
+      explode(col("sh")).as("shingle"))
+    val filtered = exploded.withColumn("__freq",
+        count(lit(1)).over(Window.partitionBy("block", "shingle")))
+      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    val a = filtered.select(col("block"), col("shingle"),
+      col("id").as("id_a"), col("sh_size").as("size_a"))
+    val b = filtered.select(col("block"), col("shingle"),
+      col("id").as("id_b"), col("sh_size").as("size_b"))
+    a.join(b, Seq("block", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("block", "id_a", "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first("size_a").as("size_a"), first("size_b").as("size_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality flagging operators.
+  *
+  * Spark-first re-expression of the reference's flag toolkit
+  * (reference: openoa/utils/filters.py). Each operator RETURNS A BOOLEAN
+  * COLUMN (or a DataFrame with an added boolean column) rather than
+  * materializing a mask — flags stay inside the Catalyst plan so scans
+  * remain prunable and nothing is collected.
+  *
+  * Scale notes (100 TB): every operator here is either a pure row-local
+  * expression (rangeFlag, windowRangeFlag), a two-level aggregate joined
+  * back on a low-cardinality key (stdRangeFlag: 1 row; binFilter: #bins
+  * rows — both broadcast), or a bounded window per asset (unresponsiveFlag).
+  * No collects, no cross-joins at fact grain.
+  */
+object Flags {
+
+  /** Flag values outside [lower, upper] (inclusive bounds kept, matching the
+    * reference's `(x < lower) | (x > upper)`).
+    * Reference: filters.py:21-64 (`range_flag`).
+    */
+  def rangeFlag(x: Column, lower: Double, upper: Double): Column =
+    !x.between(lower, upper)
+
+  /** Flag rows where `window` is inside [wStart, wEnd] AND `value` is outside
+    * [vLower, vUpper].
+    * Reference: filters.py:158-186 (`window_range_flag`).
+    */
+  def windowRangeFlag(window: Column, wStart: Double, wEnd: Double,
+                      value: Column, vLower: Double, vUpper: Double): Column =
+    window.between(wStart, wEnd) && !value.between(vLower, vUpper)
+
+  /** Flag rows more than `threshold` sample standard deviations from the
+    * global mean of `col`. Two-pass: one tiny aggregate (1 row, broadcast
+    * back via crossJoin) + row-local comparison.
+    * Reference: filters.py:112-154 (`std_range_flag`).
+    */
+  def stdRangeFlag(df: DataFrame, col: String, threshold: Double = 2.0,
+                   flagCol: String = "flag"): DataFrame = {
+    val stats = df.agg(
+      avg(df(col)).as("__mean"),
+      stddev_samp(df(col)).as("__std"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(flagCol, abs(df(col) - org.apache.spark.sql.functions.col("__mean"))
+        > lit(threshold) * org.apache.spark.sql.functions.col("__std"))
+      .drop("__mean", "__std")
+  }
+
+  /** Flag runs of >= `threshold` CONSECUTIVE IDENTICAL values (the whole run
+    * is flagged, including the first `threshold-1` values, matching the
+    * reference's backward propagation).
+    *
+    * Implementation: islands-and-gaps. A new run starts when the value
+    * changes; `count(*) over (partition by runId)` gives the run length; flag
+    * = runLength >= threshold. This is equivalent to — and simpler/cheaper
+    * than — the reference's rolling-sum + shifted-OR formulation.
+    * Reference: filters.py:67-109 (`unresponsive_flag`).
+    *
+    * @param partitionCols per-asset partitioning (e.g. "asset_id") so windows
+    *                      parallelize across assets; empty = single series.
+    */
+  def unresponsiveFlag(df: DataFrame, valueCol: String, orderCol: String,
+                       threshold: Int = 3, flagCol: String = "flag",
+                       partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+            else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    val changed = when(
+      lag(col(valueCol), 1).over(w).isNull ||
+        (lag(col(valueCol), 1).over(w) =!= col(valueCol)), 1).otherwise(0)
+    val withRun = df.withColumn("__run",
+      sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runW = if (partitionCols.isEmpty) Window.partitionBy(col("__run"))
+               else Window.partitionBy((partitionCols.map(col) :+ col("__run")): _*)
+    withRun
+      .withColumn(flagCol, count(lit(1)).over(runW) >= threshold)
+      .drop("__run")
+  }
+
+  /** Bin `binCol` into fixed-width bins and flag rows whose `valueCol`
+    * deviates from the bin center by more than `threshold` spreads.
+    *
+    * centerType: "mean" | "median"; deviationType: "std" | "mad" | "scalar";
+    * direction: "all" | "above" | "below".
+    *
+    * Two aggregation passes over the fact table produce a #bins-row table
+    * (broadcast) joined back on the bin key — no fact-grain shuffle beyond
+    * the aggs themselves.
+    * Reference: filters.py:190-286 (`bin_filter`).
+    */
+  def binFilter(df: DataFrame, binCol: String, valueCol: String,
+                binWidth: Double, threshold: Double,
+                centerType: String = "mean", deviationType: String = "std",
+                direction: String = "all", flagCol: String = "flag"): DataFrame = {
+    require(Seq("mean", "median").contains(centerType), s"bad centerType $centerType")
+    require(Seq("std", "mad", "scalar").contains(deviationType), s"bad deviationType $deviationType")
+    require(Seq("all", "above", "below").contains(direction), s"bad direction $direction")
+
+    val binned = df.withColumn("__bin", floor(col(binCol) / binWidth))
+    val centerExpr = centerType match {
+      case "mean"   => avg(col(valueCol))
+      case "median" => percentile_approx(col(valueCol), lit(0.5), lit(10000))
+    }
+    val centers = binned.groupBy("__bin").agg(centerExpr.as("__center"),
+      stddev_samp(col(valueCol)).as("__std"))
+    val spreadTable = deviationType match {
+      case "mad" =>
+        // MAD needs the median-of-absolute-deviations: second pass vs center.
+        binned.join(broadcast(centers), "__bin")
+          .groupBy("__bin")
+          .agg(first(col("__center")).as("__center"),
+            percentile_approx(abs(col(valueCol) - col("__center")), lit(0.5), lit(10000))
+              .as("__spread"))
+      case "std"    => centers.withColumnRenamed("__std", "__spread")
+      case "scalar" => centers.withColumn("__spread", lit(1.0)).drop("__std")
+    }
+    val dev = col(valueCol) - col("__center")
+    val flag = direction match {
+      case "all"   => abs(dev) > lit(threshold) * col("__spread")
+      case "above" => dev > lit(threshold) * col("__spread")
+      case "below" => -dev > lit(threshold) * col("__spread")
+    }
+    binned.join(broadcast(spreadTable.select("__bin", "__center", "__spread")), "__bin")
+      .withColumn(flagCol, flag)
+      .drop("__bin", "__center", "__spread")
+  }
+
+  /** KMeans-cluster two columns and flag points with Mahalanobis distance
+    * greater than `distThreshold` within their cluster. Covariances are
+    * per-cluster 2x2 aggregates (var/covar) with an analytic inverse — all
+    * distributed; only the k cluster stats rows hit the driver via broadcast.
+    * Reference: filters.py:290-343 (`cluster_mahalanobis_2d`).
+    */
+  def clusterMahalanobis2d(df: DataFrame, col1: String, col2: String,
+                           nClusters: Int = 13, distThreshold: Double = 3.0,
+                           flagCol: String = "flag"): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    val assembled = new VectorAssembler()
+      .setInputCols(Array(col1, col2)).setOutputCol("__features")
+      .setHandleInvalid("skip").transform(df)
+    val model = new KMeans().setK(nClusters).setSeed(42)
+      .setFeaturesCol("__features").setPredictionCol("__cluster")
+      .fit(assembled)
+    val clustered = model.transform(assembled)
+    val stats = clustered.groupBy("__cluster").agg(
+      avg(col(col1)).as("__m1"), avg(col(col2)).as("__m2"),
+      var_samp(col(col1)).as("__v1"), var_samp(col(col2)).as("__v2"),
+      covar_samp(col(col1), col(col2)).as("__c12"))
+    // 2x2 inverse: [[v2, -c], [-c, v1]] / det
+    val det = col("__v1") * col("__v2") - col("__c12") * col("__c12")
+    val d1 = col(col1) - col("__m1")
+    val d2 = col(col2) - col("__m2")
+    val mahaSq = (d1 * d1 * col("__v2") - lit(2.0) * d1 * d2 * col("__c12") + d2 * d2 * col("__v1")) / det
+    clustered.join(broadcast(stats), "__cluster")
+      .withColumn(flagCol, sqrt(mahaSq) > distThreshold)
+      .drop("__features", "__m1", "__m2", "__v1", "__v2", "__c12")
+  }
+}

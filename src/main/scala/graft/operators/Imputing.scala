@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Imputation operators: cross-asset correlation ranking and linear-fit
+  * gap filling.
+  *
+  * Spark-first re-expression of openoa/utils/imputing.py. The correlation
+  * "matrix" is kept LONG-FORM (asset_a, asset_b, corr) instead of the
+  * reference's pivoted wide matrix — k^2 rows for k assets, always tiny
+  * relative to the fact table, and joinable/broadcastable.
+  */
+object Imputing {
+
+  /** Pairwise Pearson correlation between assets' aligned series.
+    * Self-join on the time axis, then one `corr` aggregate per pair — a
+    * single shuffle on (asset_a, asset_b) after the time-equi join.
+    * Reference: imputing.py:13-31 (`asset_correlation_matrix`).
+    */
+  def assetCorrelation(df: DataFrame, tsCol: String, assetCol: String,
+                       valueCol: String): DataFrame = {
+    val a = df.select(col(tsCol).as("__t"), col(assetCol).as("asset_a"),
+      col(valueCol).as("__va"))
+    val b = df.select(col(tsCol).as("__t"), col(assetCol).as("asset_b"),
+      col(valueCol).as("__vb"))
+    a.join(b, Seq("__t"))
+      .filter(col("asset_a") < col("asset_b"))
+      .groupBy("asset_a", "asset_b")
+      .agg(corr(col("__va"), col("__vb")).as("corr"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rank each asset's neighbors by descending correlation (long-form
+    * argsort; reference: imputing.py:179-180).
+    */
+  def neighborRanks(corrDf: DataFrame): DataFrame = {
+    val sym = corrDf.select(col("asset_a").as("target"), col("asset_b").as("neighbor"), col("corr"))
+      .unionByName(corrDf.select(col("asset_b").as("target"), col("asset_a").as("neighbor"), col("corr")))
+    sym.withColumn("rank",
+      row_number().over(Window.partitionBy("target").orderBy(desc("corr"), asc("neighbor"))))
+  }
+
+  /** Impute nulls in `target`'s `valueCol` from a reference series aligned on
+    * `alignCol`: fit y = a + b*x on the non-null pairs (closed-form via
+    * covar/var aggregates — no collect), then fill target nulls with the
+    * prediction. Returns target with an added `imputedCol`.
+    * Reference: imputing.py:34-131 (`impute_data`).
+    */
+  def imputeData(target: DataFrame, ref: DataFrame, alignCol: String,
+                 targetValue: String, refValue: String,
+                 imputedCol: String = "imputed"): DataFrame = {
+    val joined = target.join(
+      ref.select(col(alignCol), col(refValue).as("__ref")), Seq(alignCol), "left")
+    val fit = joined.filter(col(targetValue).isNotNull && col("__ref").isNotNull)
+      .agg((covar_samp(col("__ref"), col(targetValue)) / var_samp(col("__ref"))).as("__b"),
+        avg(col(targetValue)).as("__my"), avg(col("__ref")).as("__mx"))
+      .select(col("__b"), (col("__my") - col("__b") * col("__mx")).as("__a"))
+    joined.crossJoin(broadcast(fit))
+      .withColumn(imputedCol,
+        coalesce(col(targetValue), col("__a") + col("__b") * col("__ref")))
+      .drop("__ref", "__a", "__b")
+  }
+
+  /** One-pass neighbor imputation across ALL assets: for each asset, fill
+    * null values from its best-correlated neighbors (corr^2 > minR2), in
+    * correlation order, using per-(target, neighbor) linear fits.
+    *
+    * Unlike the reference's per-asset iterative driver loop
+    * (imputing.py:134-229), this issues ONE distributed plan: the fact table
+    * self-joined to its top-m neighbors on time, fits broadcast, fill =
+    * coalesce over neighbors in rank order.
+    */
+  def imputeAllByCorrelation(df: DataFrame, tsCol: String, assetCol: String,
+                             valueCol: String, minR2: Double = 0.7,
+                             topM: Int = 3): DataFrame = {
+    val ranks = neighborRanks(assetCorrelation(df, tsCol, assetCol, valueCol))
+      .filter(col("corr") * col("corr") > minR2 && col("rank") <= topM)
+    // per-(target, neighbor) linear fit on concurrent non-null pairs
+    val t = df.select(col(tsCol).as("__t"), col(assetCol).as("target"), col(valueCol).as("__y"))
+    val nb = df.select(col(tsCol).as("__t"), col(assetCol).as("neighbor"), col(valueCol).as("__x"))
+    val pairs = t.join(nb, Seq("__t")).join(broadcast(ranks), Seq("target", "neighbor"))
+    val fits = pairs.filter(col("__y").isNotNull && col("__x").isNotNull)
+      .groupBy("target", "neighbor", "rank")
+      .agg((covar_samp(col("__x"), col("__y")) / var_samp(col("__x"))).as("__b"),
+        avg(col("__y")).as("__my"), avg(col("__x")).as("__mx"))
+      .select(col("target"), col("neighbor"), col("rank"), col("__b"),
+        (col("__my") - col("__b") * col("__mx")).as("__a"))
+    // predictions from each ranked neighbor, best rank wins
+    val preds = pairs.filter(col("__y").isNull && col("__x").isNotNull)
+      .join(broadcast(fits), Seq("target", "neighbor", "rank"))
+      .withColumn("__pred", col("__a") + col("__b") * col("__x"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("target", "__t").orderBy(asc("rank"))))
+      .filter(col("__rn") === 1)
+      .select(col("__t"), col("target").as(assetCol), col("__pred"))
+      .withColumnRenamed("__t", tsCol)
+    df.join(preds, Seq(tsCol, assetCol), "left")
+      .withColumn(valueCol + "_imputed", coalesce(col(valueCol), col("__pred")))
+      .drop("__pred")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream: a new session starts when
+  * the gap to the previous event (per key) exceeds `gapSeconds`. Session id
+  * is the running count of session starts — one window pass per key, no
+  * self-joins. (The Structured Streaming twin of this is
+  * `session_window(ts, gap)`; see graft.streaming.)
+  */
+object Sessionize {
+
+  /** Adds a `session_id` column (1-based per key, ordered by ts). */
+  def withSessionId(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    val isStart = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    df.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-session aggregate: event count, span seconds, value sum. */
+  def sessionStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   gapSeconds: Long, valueCol: String): DataFrame =
+    withSessionId(df, keyCols, tsCol, gapSeconds)
+      .groupBy((keyCols.map(col) :+ col("session_id")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("span_seconds"),
+        sum(col(valueCol)).as("value_sum"))
+}

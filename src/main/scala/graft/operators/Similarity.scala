@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exact baseline (one broadcast of the
+  * query set; the corpus side streams — no corpus shuffle). The scale paths
+  * are (a) random-hyperplane LSH bucketing, which turns the O(n*q) scan into
+  * bucket-local joins, and (b) IVF-style coarse quantization via KMeans
+  * centroids with nprobe search.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (codegen'd zip_with+aggregate). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, 0.0).otherwise(d / nn)
+  }
+
+  /** Exact brute-force cosine top-k: for every query row, the k most similar
+    * corpus rows (excluding self-matches on id). Queries are broadcast;
+    * ranking shuffles on query id only.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane (sign) LSH bucket id: `bits` hyperplanes derived
+    * deterministically from a seed via per-(dim,bit) hashed pseudo-random
+    * weights; bucket = packed sign bits. Row-local, no shuffle.
+    */
+  def hyperplaneBucket(vec: Column, bits: Int = 16, seed: Int = 42): Column = {
+    val projections = transform(sequence(lit(0), lit(bits - 1)), bit => {
+      // pseudo-random +-1 weights from xxhash64(dim, bit, seed)
+      val weighted = zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => when(xxhash64(i, bit, lit(seed)).bitwiseAND(1L) === 1L, x).otherwise(-x))
+      aggregate(weighted, lit(0.0d), (acc, v) => acc + v)
+    })
+    aggregate(
+      zip_with(projections, sequence(lit(0), lit(bits - 1)),
+        (p, bit) => when(p > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates limited to rows sharing the
+    * query's bucket in any of `tables` independent hash tables; exact cosine
+    * + rank within candidates. Shuffle key = (table, bucket).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"))
+        .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+        .withColumn("bucket",
+          hyperplaneBucket(col(s"__${side}v"), bits, seed = 42).bitwiseXOR(
+            xxhash64(col("table"))))
+    val c = bucketed(corpus, "neighbor")
+    val q = bucketed(queries, "query")
+    val candidates = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__queryv"), col("__neighborv")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style index: KMeans coarse centroids; each corpus row assigned to
+    * its nearest centroid; queries probe the `nprobe` nearest centroids and
+    * scan only those partitions' rows.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(42).fit(train)
+    val centroids = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("centroid_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>")))
+    def assign(df: DataFrame, side: String, probes: Int) = {
+      val scored = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"))
+        .crossJoin(centDf)
+        .withColumn("__dist", -cosine(col(s"__${side}v"), col("centroid")))
+      val w = Window.partitionBy(s"${side}_id").orderBy(asc("__dist"), asc("centroid_id"))
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
+        .drop("centroid", "__dist", "__r")
+    }
+    val c = assign(corpus, "neighbor", 1)
+    val q = assign(queries, "query", nprobe)
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(q, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__queryv"), col("__neighborv")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

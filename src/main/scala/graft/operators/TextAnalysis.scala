@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure built-in expression compositions (codegen'd, no UDFs) so they
+  * survive 100 TB scans: each is row-local, pushes no shuffle, and keeps
+  * whole-stage codegen intact.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-count estimate: word-piece regex splits on transitions
+    * (letters / digits / other), approximating a byte-pair tokenizer's token
+    * count without a vocab. Deterministic and cheap.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0))
+
+  /** Normalize for dedup/fingerprint: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+
+  /** 128-bit content fingerprint of the normalized text (hex md5). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("double") / length(text))
+
+  /** Ratio of uppercase letters to all letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    when(letters === 0, 0.0)
+      .otherwise((length(regexp_replace(text, "[^A-Z]", "")))
+        .cast("double") / letters)
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks)
+  }
+
+  /** Fraction of tokens that are English stopwords (small fixed list). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(normalize(text), " ")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(EnglishStopwords))).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, low
+    * punctuation, presence of stopwords (prose-ness), moderate word length.
+    * Heuristic in the spirit of C4/Gopher quality rules.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    (lenScore + punctScore + stopScore + wordScore) / 4.0
+  }
+
+  /** Language-ID heuristic: score text against per-language marker-token
+    * lists; returns the best-scoring language code or "und".
+    * (A real system would use a fastText-style model via mapInPandas; this
+    * n-gram/stopword heuristic is the deterministic, dependency-free core.)
+    */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+  )
+
+  def languageScores(text: Column): Column = {
+    val toks = split(normalize(text), " ")
+    val entries = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        (size(filter(toks, t => t.isInCollection(markers))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(entries: _*))
+  }
+
+  def languageId(text: Column, minScore: Double = 0.05): Column = {
+    val best = languageScores(text)
+    when(best.getField("score") >= minScore, best.getField("lang")).otherwise("und")
+  }
+
+  /** Rolling (Rabin-Karp-style) hash of the token stream, base/mod chosen to
+    * fit long arithmetic: h = sum(hash(tok_i) * B^(n-1-i)) mod M. Expressed
+    * with `aggregate` over the token array — row-local, no shuffle.
+    */
+  def rollingHash(text: Column, base: Long = 1000003L, mod: Long = (1L << 61) - 1): Column = {
+    val toks = split(normalize(text), " ")
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * base + pmod(xxhash64(t), lit(mod)), lit(mod)))
+  }
+}

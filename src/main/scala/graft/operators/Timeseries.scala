@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series toolkit: frequency inference, gap detection/filling,
+  * duplicate detection, calendar resampling.
+  *
+  * Spark-first re-expression of openoa/utils/timeseries.py. Resampling is
+  * expressed as `date_trunc`/`window()` groupBys (tumbling calendar windows)
+  * so the shuffle key is the bucket — Catalyst handles partial aggregation
+  * map-side; gap detection is a generated time grid anti-joined to observed
+  * timestamps (no collect).
+  */
+object Timeseries {
+
+  /** Truncate a timestamp to the start of its resample bucket.
+    * freq: "month" | "week" | "day" | "hour" | "minute" | arbitrary
+    * "N minutes"/"N seconds" handled by `resampleWindow`.
+    */
+  def trunc(ts: Column, freq: String): Column = date_trunc(freq, ts)
+
+  /** Tumbling-window bucket start for arbitrary durations (e.g. "10 minutes").
+    * Equivalent to pandas `resample("10min")` bucket labels.
+    */
+  def resampleWindow(ts: Column, duration: String): Column =
+    window(ts, duration).getField("start")
+
+  /** Infer the dominant sampling interval in seconds: mode of consecutive
+    * timestamp deltas (per series when `partitionCols` given).
+    * Returns a 1-row-per-partition DataFrame (partitionCols..., freq_seconds).
+    * Reference: timeseries.py:35-79 (`determine_frequency`).
+    */
+  def inferFrequencySeconds(df: DataFrame, tsCol: String,
+                            partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = if (partitionCols.isEmpty) Window.orderBy(tsCol)
+            else Window.partitionBy(partitionCols.map(col): _*).orderBy(tsCol)
+    val diffs = df
+      .withColumn("__diff",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w)))
+      .filter(col("__diff").isNotNull)
+    val grouped =
+      if (partitionCols.isEmpty) diffs.groupBy(lit(1).as("__g"), col("__diff")).count()
+      else diffs.groupBy((partitionCols.map(col) :+ col("__diff")): _*).count()
+    val rankW =
+      if (partitionCols.isEmpty) Window.partitionBy("__g").orderBy(desc("count"), asc("__diff"))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(desc("count"), asc("__diff"))
+    grouped.withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") === 1)
+      .select((partitionCols.map(col) :+ col("__diff").as("freq_seconds")): _*)
+  }
+
+  /** Timestamps appearing more than once (per asset if partitionCols given).
+    * Reference: timeseries.py:174-190 (`find_duplicate_times`).
+    */
+  def duplicateTimes(df: DataFrame, tsCol: String,
+                     partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = (partitionCols :+ tsCol).map(col)
+    df.groupBy(keys: _*).count().filter(col("count") > 1)
+      .withColumnRenamed("count", "n_dups")
+  }
+
+  /** The expected-but-missing timestamps: a generated `sequence` grid from
+    * min to max at `intervalSeconds`, LEFT ANTI joined to observed times.
+    * Scales: the grid is generated distributed (explode of per-span
+    * sequences), never collected.
+    * Reference: timeseries.py:145-170 (`gap_time_identification`).
+    */
+  def timeGaps(df: DataFrame, tsCol: String, intervalSeconds: Long): DataFrame = {
+    val grid = timeGrid(df, tsCol, intervalSeconds)
+    grid.join(df.select(col(tsCol)).distinct(), Seq(tsCol), "left_anti")
+  }
+
+  /** Full regular time grid spanning [min(ts), max(ts)] at `intervalSeconds`. */
+  def timeGrid(df: DataFrame, tsCol: String, intervalSeconds: Long): DataFrame = {
+    val span = df.agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+    span.select(explode(sequence(col("__min"), col("__max"),
+        expr(s"INTERVAL $intervalSeconds SECONDS"))).as(tsCol))
+  }
+
+  /** Insert null rows at missing timestamps: grid LEFT JOIN data.
+    * Reference: timeseries.py:193-224 (`gap_fill_data_frame`).
+    */
+  def gapFill(df: DataFrame, tsCol: String, intervalSeconds: Long): DataFrame =
+    timeGrid(df, tsCol, intervalSeconds).join(df, Seq(tsCol), "left")
+
+  /** Fraction of nulls of `valueCol` per resample bucket.
+    * Reference: timeseries.py:228-241 (`percent_nan`).
+    */
+  def percentNull(df: DataFrame, tsCol: String, valueCol: String, freq: String): DataFrame =
+    df.groupBy(trunc(col(tsCol), freq).as(tsCol))
+      .agg(avg(when(col(valueCol).isNull, 1.0).otherwise(0.0)).as("percent_nan"))
+
+  /** Distinct days / hours represented per resample bucket.
+    * Reference: timeseries.py:245-275 (`num_days` / `num_hours`).
+    */
+  def numDistinct(df: DataFrame, tsCol: String, freq: String, subFreq: String): DataFrame =
+    df.groupBy(trunc(col(tsCol), freq).as(tsCol))
+      .agg(countDistinct(trunc(col(tsCol), subFreq)).as(s"num_$subFreq"))
+
+  /** Forward-fill nulls in `valueCol` ordered by `orderCol` (per partition):
+    * last non-null over an unbounded-preceding window.
+    * Reference pattern: wake_losses.py:1050 (reanalysis hourly -> 10-min ffill).
+    */
+  def forwardFill(df: DataFrame, valueCol: String, orderCol: String,
+                  partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+             else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    val w = w0.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation of nulls in `valueCol` against a numeric axis
+    * `xCol` (e.g. unix time or bin center), ordered by `orderCol`:
+    * y = yPrev + (yNext - yPrev) * (x - xPrev)/(xNext - xPrev);
+    * edges fall back to nearest non-null (matching pandas
+    * interpolate().bfill() used by the IEC power curve).
+    * Reference: power_curve/functions.py:61.
+    */
+  def interpolateLinear(df: DataFrame, valueCol: String, xCol: String,
+                        orderCol: String,
+                        partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val base = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+               else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = base.rowsBetween(0, Window.unboundedFollowing)
+    val yPrev = last(col(valueCol), ignoreNulls = true).over(wPrev)
+    val yNext = first(col(valueCol), ignoreNulls = true).over(wNext)
+    val xPrev = last(when(col(valueCol).isNotNull, col(xCol)), ignoreNulls = true).over(wPrev)
+    val xNext = first(when(col(valueCol).isNotNull, col(xCol)), ignoreNulls = true).over(wNext)
+    val interp = when(col(valueCol).isNotNull, col(valueCol))
+      .when(yPrev.isNull, yNext)
+      .when(yNext.isNull, yPrev)
+      .when(xNext === xPrev, yPrev)
+      .otherwise(yPrev + (yNext - yPrev) * (col(xCol) - xPrev) / (xNext - xPrev))
+    df.withColumn(valueCol, interp)
+  }
+}

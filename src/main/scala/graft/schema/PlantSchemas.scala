@@ -1,0 +1,122 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Canonical bucket schemas + column maps for the plant data model.
+  *
+  * Spark re-expression of the reference's declarative metadata system
+  * (reference: openoa/schema/metadata.py:428-968): each "bucket" (scada,
+  * meter, tower, status, curtail, asset, reanalysis) has a fixed canonical
+  * schema with IEC 61400-25-style names; user columns are renamed to
+  * canonical on load via a [[ColumnMap]]. Frequency is carried as metadata,
+  * not data.
+  */
+object PlantSchemas {
+
+  private def d(name: String, unit: String = ""): StructField =
+    StructField(name, DoubleType, nullable = true,
+      if (unit.isEmpty) Metadata.empty
+      else new MetadataBuilder().putString("unit", unit).build())
+
+  val time: StructField = StructField("time", TimestampType, nullable = false)
+  val assetId: StructField = StructField("asset_id", StringType, nullable = false)
+
+  /** SCADA: 10-min per-turbine telemetry (schema/metadata.py:464-480). */
+  val scada: StructType = StructType(Seq(
+    time, assetId,
+    d("WTUR_W", "kW"),            // power
+    d("WMET_HorWdSpd", "m/s"),    // wind speed
+    d("WMET_HorWdDir", "deg"),    // wind direction
+    d("WMET_HorWdDirRel", "deg"), // wind vane
+    StructField("WTUR_TurSt", StringType, nullable = true), // status
+    d("WROT_BlPthAngVal", "deg"), // pitch
+    d("WMET_EnvTmp", "C"),        // ambient temperature
+    d("WTUR_SupWh", "kWh"),       // energy (derived)
+  ))
+
+  /** Revenue meter (schema/metadata.py:534-587). */
+  val meter: StructType = StructType(Seq(time, d("MMTR_SupWh", "kWh")))
+
+  /** Met tower (schema/metadata.py:591-661). */
+  val tower: StructType = StructType(Seq(time, assetId))
+
+  /** Status events (schema/metadata.py:665-735). */
+  val status: StructType = StructType(Seq(
+    time, assetId,
+    StructField("status_id", LongType, nullable = true),
+    StructField("status_code", LongType, nullable = true),
+    StructField("status_text", StringType, nullable = true),
+  ))
+
+  /** Availability/curtailment losses (schema/metadata.py:739-797). */
+  val curtail: StructType = StructType(Seq(
+    time, d("IAVL_ExtPwrDnWh", "kWh"), d("IAVL_DnWh", "kWh")))
+
+  /** Asset dimension table (schema/metadata.py:801-877). */
+  val asset: StructType = StructType(Seq(
+    assetId,
+    d("latitude", "deg"), d("longitude", "deg"),
+    d("rated_power", "kW"), d("hub_height", "m"),
+    d("rotor_diameter", "m"), d("elevation", "m"),
+    StructField("type", StringType, nullable = true),
+  ))
+
+  /** Reanalysis product (schema/metadata.py:885-968). */
+  val reanalysis: StructType = StructType(Seq(
+    time,
+    d("WMETR_HorWdSpd", "m/s"), d("WMETR_HorWdSpdU", "m/s"),
+    d("WMETR_HorWdSpdV", "m/s"), d("WMETR_HorWdDir", "deg"),
+    d("WMETR_EnvTmp", "K"), d("WMETR_AirDen", "kg/m^3"),
+    d("WMETR_EnvPres", "Pa"),
+  ))
+
+  val bucketSchemas: Map[String, StructType] = Map(
+    "scada" -> scada, "meter" -> meter, "tower" -> tower, "status" -> status,
+    "curtail" -> curtail, "asset" -> asset, "reanalysis" -> reanalysis)
+}
+
+/** User->canonical column renames for one bucket (plant.py:315-331). */
+final case class ColumnMap(mapping: Map[String, String]) {
+  /** user -> canonical */
+  def rename(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumnsRenamed(mapping.map(_.swap))
+  def reverse(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumnsRenamed(mapping)
+}
+
+/** Frequency requirement per analysis type, mirroring ANALYSIS_REQUIREMENTS
+  * (schema/metadata.py:44-179). Frequencies ordered coarse->fine.
+  */
+object AnalysisRequirements {
+  /** pandas-style offset alias -> seconds (coarser = larger). */
+  val freqSeconds: Map[String, Long] = Map(
+    "MS" -> 2592000L, "ME" -> 2592000L, "M" -> 2592000L,
+    "W" -> 604800L, "D" -> 86400L, "h" -> 3600L, "H" -> 3600L,
+    "10min" -> 600L, "5min" -> 300L, "min" -> 60L, "T" -> 60L)
+
+  final case class Requirement(columns: Map[String, Seq[String]], frequency: Seq[String])
+
+  /** analysis_type -> required (bucket -> columns, acceptable frequencies). */
+  val requirements: Map[String, Requirement] = Map(
+    "MonteCarloAEP" -> Requirement(
+      Map("meter" -> Seq("MMTR_SupWh"),
+        "curtail" -> Seq("IAVL_ExtPwrDnWh", "IAVL_DnWh"),
+        "reanalysis" -> Seq("WMETR_HorWdSpd", "WMETR_AirDen")),
+      Seq("MS", "ME", "D", "h", "10min")),
+    "TurbineLongTermGrossEnergy" -> Requirement(
+      Map("scada" -> Seq("WTUR_W", "WMET_HorWdSpd"),
+        "reanalysis" -> Seq("WMETR_HorWdSpd", "WMETR_HorWdSpdU", "WMETR_HorWdSpdV", "WMETR_AirDen")),
+      Seq("D", "h", "10min")),
+    "ElectricalLosses" -> Requirement(
+      Map("scada" -> Seq("WTUR_SupWh"), "meter" -> Seq("MMTR_SupWh")),
+      Seq("MS", "ME", "D", "h", "10min")),
+    "WakeLosses" -> Requirement(
+      Map("scada" -> Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDir"),
+        "asset" -> Seq("latitude", "longitude", "rated_power", "rotor_diameter"),
+        "reanalysis" -> Seq("WMETR_HorWdSpd", "WMETR_HorWdDir")),
+      Seq("h", "10min")),
+    "StaticYawMisalignment" -> Requirement(
+      Map("scada" -> Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel", "WROT_BlPthAngVal")),
+      Seq("h", "10min")),
+  )
+}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each verify-output
+parquet, run the matching oracle SQL in DuckDB over the same sf tables and
+compare (rows, schema-ish, values). Usage:
+
+    python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        errs.append(f"columns: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
+        return errs
+    if len(spark_df) != len(oracle_df):
+        errs.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
+    s, o = canon(spark_df), canon(oracle_df)
+    n = min(len(s), len(o))
+    for col in s.columns:
+        sc, oc = s[col].iloc[:n], o[col].iloc[:n]
+        if str(sc.dtype) != str(oc.dtype):
+            errs.append(f"dtype[{col}]: spark={sc.dtype} oracle={oc.dtype}")
+        bad = 0
+        first = None
+        for i in range(n):
+            a, b = sc.iloc[i], oc.iloc[i]
+            if a is None and b is None:
+                continue
+            try:
+                an, bn = pd.isna(a), pd.isna(b)
+            except (TypeError, ValueError):
+                an = bn = False
+            if an and bn:
+                continue
+            if an != bn:
+                bad += 1
+                if first is None:
+                    first = (i, a, b)
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b and not (math.isnan(a) and math.isnan(b)):
+                    bad += 1
+                    if first is None:
+                        first = (i, a, b)
+            elif a != b:
+                bad += 1
+                if first is None:
+                    first = (i, a, b)
+        if bad:
+            errs.append(f"value[{col}]: {bad}/{n} mismatched, first={first}")
+    return errs
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    import glob
+    have = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
+    for name in sorted(have):
+        if only and name not in only:
+            continue
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle_sql:
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            oracle_df = con.execute(oracle_sql[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            fail += 1
+            continue
+        errs = compare(name, spark_df, oracle_df)
+        if errs:
+            fail += 1
+            print(f"✗ {name}:")
+            for e in errs:
+                print(f"    {e}")
+        else:
+            ok += 1
+            print(f"✓ {name} ({len(spark_df)} rows)")
+    missing = set(oracle_sql) - have
+    if missing:
+        print(f"! oracle entries without spark output: {sorted(missing)}")
+    print(f"\n{ok} ok, {fail} failed")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
