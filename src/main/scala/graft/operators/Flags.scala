@@ -157,7 +157,9 @@ object Flags {
     val d2 = col(col2) - col("__m2")
     val mahaSq = (d1 * d1 * col("__v2") - lit(2.0) * d1 * d2 * col("__c12") + d2 * d2 * col("__v1")) / det
     clustered.join(broadcast(stats), "__cluster")
-      .withColumn(flagCol, sqrt(mahaSq) > distThreshold)
+      // degenerate clusters (singleton/collinear: null variance or zero det)
+      // produce a null distance -> not flagged
+      .withColumn(flagCol, coalesce(sqrt(mahaSq) > distThreshold, lit(false)))
       .drop("__features", "__m1", "__m2", "__v1", "__v2", "__c12")
   }
 }

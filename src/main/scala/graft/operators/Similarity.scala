@@ -64,17 +64,20 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates limited to rows sharing the
-    * query's bucket in any of `tables` independent hash tables; exact cosine
-    * + rank within candidates. Shuffle key = (table, bucket).
+    * query's bucket in any of `tables` INDEPENDENT hash tables (distinct
+    * hyperplane seeds per table — reusing one set of hyperplanes and
+    * relabeling buckets would leave every table with the identical partition
+    * and no recall gain); exact cosine + rank within candidates. Shuffle key
+    * = (table, bucket).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"))
-        .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-        .withColumn("bucket",
-          hyperplaneBucket(col(s"__${side}v"), bits, seed = 42).bitwiseXOR(
-            xxhash64(col("table"))))
+        .withColumn("__buckets", array((0 until tables).map(t =>
+          hyperplaneBucket(col(s"__${side}v"), bits, seed = 42 + 7919 * t)): _*))
+        .select(col(s"${side}_id"), col(s"__${side}v"),
+          posexplode(col("__buckets")).as(Seq("table", "bucket")))
     val c = bucketed(corpus, "neighbor")
     val q = bucketed(queries, "query")
     val candidates = c.join(q, Seq("table", "bucket"))

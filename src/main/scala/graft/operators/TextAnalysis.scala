@@ -109,11 +109,12 @@ object TextAnalysis {
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise("und")
   }
 
-  /** Rolling (Rabin-Karp-style) hash of the token stream, base/mod chosen to
-    * fit long arithmetic: h = sum(hash(tok_i) * B^(n-1-i)) mod M. Expressed
-    * with `aggregate` over the token array — row-local, no shuffle.
+  /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->
+    * acc*B + hash(tok) mod M). base*mod must stay below 2^63 (ANSI mode
+    * overflow-checks long multiply): with M = 2^31-1 and B ~ 2^20 the
+    * intermediate tops out near 2^52. Row-local `aggregate`, no shuffle.
     */
-  def rollingHash(text: Column, base: Long = 1000003L, mod: Long = (1L << 61) - 1): Column = {
+  def rollingHash(text: Column, base: Long = 1000003L, mod: Long = (1L << 31) - 1): Column = {
     val toks = split(normalize(text), " ")
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * base + pmod(xxhash64(t), lit(mod)), lit(mod)))

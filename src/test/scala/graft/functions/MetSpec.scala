@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mirrors test/unit/test_met_data_processing_toolkit.py expectations. */
+class MetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.as("r")).head().getDouble(0)
+
+  test("wrap180 maps angles into [-180, 180)") {
+    assert(one(Met.wrap180(lit(190.0))) == -170.0)
+    assert(one(Met.wrap180(lit(-190.0))) == 170.0)
+    assert(one(Met.wrap180(lit(360.0))) == 0.0)
+    assert(one(Met.wrap180(lit(179.0))) == 179.0)
+  }
+
+  test("windDirection from u/v matches met convention") {
+    // wind blowing FROM north: u=0, v=-1 -> dir 0; from west: u=1,v=0 -> 270
+    assert(math.abs(one(Met.windDirection(lit(0.0), lit(-1.0))) - 0.0) < 1e-9)
+    assert(math.abs(one(Met.windDirection(lit(1.0), lit(0.0))) - 270.0) < 1e-9)
+    assert(math.abs(one(Met.windDirection(lit(0.0), lit(1.0))) - 180.0) < 1e-9)
+    assert(math.abs(one(Met.windDirection(lit(-1.0), lit(0.0))) - 90.0) < 1e-9)
+  }
+
+  test("u/v components round-trip speed and direction") {
+    val ws = 7.3; val wd = 123.0
+    val u = one(Met.uComponent(lit(ws), lit(wd)))
+    val v = one(Met.vComponent(lit(ws), lit(wd)))
+    assert(math.abs(one(Met.windSpeed(lit(u), lit(v))) - ws) < 1e-9)
+    assert(math.abs(one(Met.windDirection(lit(u), lit(v))) - wd) < 1e-9)
+  }
+
+  test("airDensity ideal gas at standard conditions") {
+    val rho = one(Met.airDensity(lit(288.15), lit(101325.0)))
+    assert(math.abs(rho - 1.2249) < 1e-3)
+  }
+
+  test("pressureVerticalExtrapolation decreases with height") {
+    val p2 = one(Met.pressureVerticalExtrapolation(lit(101325.0), lit(288.15),
+      lit(0.0), lit(100.0)))
+    assert(p2 < 101325.0 && p2 > 100000.0)
+  }
+
+  test("densityAdjustedWindSpeed is identity at reference density") {
+    assert(one(Met.densityAdjustedWindSpeed(lit(8.0), lit(1.2), lit(1.2))) == 8.0)
+  }
+
+  test("shearAlpha recovers exact power-law exponent") {
+    // ws(z) = 5 * (z/10)^0.2 at z = 10, 50, 80
+    val alphaTrue = 0.2
+    def wsAt(z: Double) = 5.0 * math.pow(z / 10.0, alphaTrue)
+    val got = one(Met.shearAlpha(Seq(
+      (lit(wsAt(10)), 10.0), (lit(wsAt(50)), 50.0), (lit(wsAt(80)), 80.0))))
+    assert(math.abs(got - alphaTrue) < 1e-12)
+  }
+
+  test("extrapolateWindSpeed applies power law") {
+    val got = one(Met.extrapolateWindSpeed(lit(5.0), lit(0.2), lit(10.0), lit(80.0)))
+    assert(math.abs(got - 5.0 * math.pow(8.0, 0.2)) < 1e-12)
+  }
+
+  test("circularMeanAgg averages across the 0/360 wrap") {
+    val df = Seq(350.0, 10.0).toDF("a")
+    val got = df.agg(Met.circularMeanAgg($"a").as("m")).head().getDouble(0)
+    assert(math.abs(got - 0.0) < 1e-9 || math.abs(got - 360.0) < 1e-9)
+  }
+
+  test("veer handles wraparound") {
+    val got = one(Met.veer(lit(350.0), lit(40.0), lit(10.0), lit(80.0)))
+    assert(math.abs(got - 0.5) < 1e-12) // +20 deg over 40 m
+  }
+}

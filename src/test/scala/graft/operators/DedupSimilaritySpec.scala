@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup flags normalized duplicates, keeps lowest id") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id").orderBy("doc_id")
+      .select("is_duplicate").as[Boolean].collect().toSeq
+    assert(got == Seq(false, true, false))
+  }
+
+  test("jaccard of identical shingle sets is 1, disjoint is 0") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+    val got = df.select(Dedup.jaccard(
+      Dedup.wordShingles($"t1", 2), Dedup.wordShingles($"t2", 2)).as("j"))
+      .as[Double].collect().toSeq
+    assert(got(0) == 1.0 && got(1) == 0.0)
+  }
+
+  test("minHash est_jaccard tracks true jaccard for near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 54).map(i => s"tok$i").mkString(" ") + " z1 z2 z3 z4 z5 z6"
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidates(df, "text", "doc_id",
+      shingleSize = 5, numHashes = 64, bands = 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.3)
+  }
+
+  test("simHash of identical texts equal; near texts within small hamming") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated content about database engines"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHash($"text")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("ngramJaccardPairs finds the constructed near-dup pair only") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 27).map(i => s"w$i").mkString(" ") + " q1 q2 q3"
+    val c = (200 to 230).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a, "s"), (2L, b, "s"), (3L, c, "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.ngramJaccardPairs(df, "text", "doc_id", "source",
+      n = 3, minJaccard = 0.3).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 2L)
+  }
+
+  test("bruteForceTopK returns the construction-nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.0)),  // closest to 0
+      (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0)))
+    val df = vecs.toDF("vec_id", "v")
+    val q = df.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.head == 1L)
+  }
+
+  test("lshTopK recall: top-1 matches brute force for most queries") {
+    val rng = new scala.util.Random(3)
+    val dim = 16
+    val vecs = (0L until 100L).map(i => (i, Array.fill(dim)(rng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "v")
+    val q = df.filter($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(df, q, "vec_id", "v", k = 1, bits = 4, tables = 8)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (qid, nid) => lsh.get(qid).contains(nid) }
+    assert(hits >= 6, s"LSH top-1 recall too low: $hits/10")
+  }
+
+  test("cosine handles zero vectors") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine($"a", $"b")).head().getDouble(0) == 0.0)
+  }
+}

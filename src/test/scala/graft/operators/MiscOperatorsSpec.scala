@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MiscOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin.backward attaches latest prior right row per key") {
+    val left = Seq((1L, "u1", ts("2020-01-01 10:00:00")),
+      (2L, "u1", ts("2020-01-01 12:00:00")),
+      (3L, "u2", ts("2020-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val right = Seq(("u1", ts("2020-01-01 09:00:00"), 1.0),
+      ("u1", ts("2020-01-01 11:00:00"), 2.0),
+      ("u2", ts("2020-01-01 11:00:00"), 9.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("id").select("right_v").collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("AsOfJoin.backward tie at equal ts is inclusive") {
+    val left = Seq((1L, "u", ts("2020-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("u", ts("2020-01-01 10:00:00"), 7.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
+      .select("right_v").head().getDouble(0)
+    assert(got == 7.0)
+  }
+
+  test("Sessionize splits on gaps greater than the threshold") {
+    val df = Seq(
+      ("u", ts("2020-01-01 10:00:00")), ("u", ts("2020-01-01 10:10:00")),
+      ("u", ts("2020-01-01 12:00:00")), ("v", ts("2020-01-01 10:00:00")))
+      .toDF("k", "ts")
+    val got = Sessionize.withSessionId(df, Seq("k"), "ts", gapSeconds = 1800)
+      .orderBy("k", "ts").select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("imputeData fills nulls with the linear prediction from the reference") {
+    // target = 2*ref + 1 exactly on observed pairs
+    val target = Seq((1.0, Some(3.0)), (2.0, Some(5.0)), (3.0, None), (4.0, Some(9.0)))
+      .toDF("k", "y")
+    val ref = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0)).toDF("k", "x")
+    val got = Imputing.imputeData(target, ref, "k", "y", "x")
+      .orderBy("k").select("imputed").as[Double].collect().toSeq
+    assert(got.zip(Seq(3.0, 5.0, 7.0, 9.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("assetCorrelation computes pairwise Pearson on aligned series") {
+    val rows = (1 to 50).flatMap { t =>
+      Seq((t, "a", t.toDouble), (t, "b", 2.0 * t + 1), (t, "c", -1.0 * t))
+    }
+    val df = rows.toDF("t", "id", "v")
+    val corrs = Imputing.assetCorrelation(df, "t", "id", "v")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(math.abs(corrs(("a", "b")) - 1.0) < 1e-9)
+    assert(math.abs(corrs(("a", "c")) + 1.0) < 1e-9)
+  }
+
+  test("imputeAllByCorrelation fills a gap from the best neighbor") {
+    val rows = (1 to 40).flatMap { t =>
+      val aVal: Option[Double] = if (t == 20) None else Some(t.toDouble)
+      Seq(("a", t, aVal), ("b", t, Some(3.0 * t + 2)))
+    }
+    val df = rows.toDF("id", "t", "v")
+    val got = Imputing.imputeAllByCorrelation(df, "t", "id", "v", minR2 = 0.5, topM = 2)
+    val filled = got.filter($"id" === "a" && $"t" === 20)
+      .select("v_imputed").head().getDouble(0)
+    assert(math.abs(filled - 20.0) < 1e-6)
+  }
+
+  test("TextAnalysis token/quality metrics") {
+    val df = Seq("The quick brown fox!").toDF("text")
+    val row = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.punctRatio($"text").as("p"),
+      TextAnalysis.languageId($"text").as("lang")).head()
+    assert(row.getInt(0) == 4)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 0.1)
+    assert(row.getString(2) == "en")
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
+    val rows = df.select(TextAnalysis.rollingHash($"t1").as("h1"),
+      TextAnalysis.rollingHash($"t2").as("h2")).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).getLong(0) != rows(1).getLong(1))
+  }
+}

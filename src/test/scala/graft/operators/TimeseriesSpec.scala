@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mirrors test/unit/test_timeseries_toolkit.py expectations. */
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("inferFrequencySeconds finds the mode of deltas") {
+    val times = Seq(
+      "2020-01-01 00:00:00", "2020-01-01 00:10:00", "2020-01-01 00:20:00",
+      "2020-01-01 00:30:00", "2020-01-01 01:30:00").map(ts)
+    val df = times.toDF("time")
+    val freq = Timeseries.inferFrequencySeconds(df, "time").head().getLong(0)
+    assert(freq == 600L)
+  }
+
+  test("duplicateTimes finds repeated stamps") {
+    val df = Seq(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:00"),
+      ts("2020-01-01 00:10:00")).toDF("time")
+    val dups = Timeseries.duplicateTimes(df, "time").collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 2L)
+  }
+
+  test("timeGaps returns exactly the missing grid points") {
+    val df = Seq("2020-01-01 00:00:00", "2020-01-01 00:10:00",
+      "2020-01-01 00:40:00").map(ts).toDF("time")
+    val gaps = Timeseries.timeGaps(df, "time", 600L)
+      .orderBy("time").as[Timestamp].collect().toSeq
+    assert(gaps == Seq(ts("2020-01-01 00:20:00"), ts("2020-01-01 00:30:00")))
+  }
+
+  test("gapFill inserts null rows at missing stamps") {
+    val df = Seq((ts("2020-01-01 00:00:00"), 1.0), (ts("2020-01-01 00:20:00"), 3.0))
+      .toDF("time", "v")
+    val filled = Timeseries.gapFill(df, "time", 600L).orderBy("time")
+    assert(filled.count() == 3)
+    assert(filled.filter($"v".isNull).count() == 1)
+  }
+
+  test("percentNull computes null fraction per bucket") {
+    val df = Seq(
+      (ts("2020-01-01 00:00:00"), Some(1.0)), (ts("2020-01-01 00:10:00"), None),
+      (ts("2020-01-02 00:00:00"), Some(2.0))).toDF("time", "v")
+    val got = Timeseries.percentNull(df, "time", "v", "day")
+      .orderBy("time").select("percent_nan").as[Double].collect().toSeq
+    assert(got == Seq(0.5, 0.0))
+  }
+
+  test("forwardFill carries last non-null forward per partition") {
+    val df = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
+      ("b", 1, None), ("b", 2, Some(5.0)))
+      .toDF("id", "t", "v")
+    val got = Timeseries.forwardFill(df, "v", "t", Seq("id"))
+      .orderBy("id", "t").select("v").collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(5.0)))
+  }
+
+  test("interpolateLinear fills interior nulls linearly and edges with nearest") {
+    val df = Seq((0.0, Some(0.0)), (1.0, None), (2.0, None), (3.0, Some(9.0)),
+      (4.0, None)).toDF("x", "v")
+    val got = Timeseries.interpolateLinear(df, "v", "x", "x")
+      .orderBy("x").select("v").as[Double].collect().toSeq
+    assert(got == Seq(0.0, 3.0, 6.0, 9.0, 9.0))
+  }
+}
