@@ -1,0 +1,41 @@
+package graft.analysis
+
+/** EYA-vs-operational AEP gap waterfall: decomposes the difference between a
+  * pre-construction energy yield assessment and operational results into
+  * gross energy, turbine ideal energy, availability, and electrical loss
+  * components, plus an unexplained remainder.
+  *
+  * Direct re-expression of openoa/analysis/eya_gap_analysis.py:83-229 —
+  * pure scalar arithmetic over two small input records (no Spark needed; the
+  * inputs come from the other analyses).
+  *
+  * @param eyaAep        EYA estimated AEP (GWh/yr)
+  * @param eyaGross      EYA gross energy (GWh/yr)
+  * @param eyaAvailLoss  EYA availability loss fraction
+  * @param eyaElecLoss   EYA electrical loss fraction
+  * @param eyaTurbineLoss EYA turbine performance loss fraction
+  * @param oaAep         operational AEP (GWh/yr)
+  * @param oaAvailLoss   operational availability loss fraction
+  * @param oaElecLoss    operational electrical loss fraction
+  * @param oaTurbineIdeal operational turbine ideal energy (GWh/yr)
+  */
+final class EYAGapAnalysis(
+    eyaAep: Double, eyaGross: Double, eyaAvailLoss: Double,
+    eyaElecLoss: Double, eyaTurbineLoss: Double,
+    oaAep: Double, oaAvailLoss: Double, oaElecLoss: Double,
+    oaTurbineIdeal: Double) {
+
+  /** Waterfall terms: [eya_aep, turbine gross diff, availability diff,
+    * electrical diff, unexplained/unaccounted] such that
+    * eya_aep + sum(diffs) + unexplained = oa_aep
+    * (eya_gap_analysis.py:152-210 `compile_data`).
+    */
+  def compile(): Seq[Double] = {
+    val turbineGrossEya = eyaGross * (1.0 - eyaTurbineLoss)
+    val turbineGrossDiff = oaTurbineIdeal - turbineGrossEya
+    val availDiff = (eyaAvailLoss - oaAvailLoss) * oaTurbineIdeal
+    val elecDiff = (eyaElecLoss - oaElecLoss) * oaTurbineIdeal
+    val unexplained = oaAep - (eyaAep + turbineGrossDiff + availDiff + elecDiff)
+    Seq(eyaAep, turbineGrossDiff, availDiff, elecDiff, unexplained)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.analysis
+
+import org.apache.spark.sql.functions._
+
+import graft.fitting.Fitting
+import graft.operators.Flags
+import graft.plant.PlantData
+
+/** Static yaw misalignment per turbine and wind-speed bin: cosine fit of
+  * binned power vs wind-vane angle; the fitted curve's peak offset is the
+  * yaw misalignment estimate.
+  *
+  * Spark re-expression of openoa/analysis/yaw_misalignment.py:74-583. The
+  * pitch filter + (turbine, ws_bin, vane_bin) mean-power reduction is one
+  * distributed plan; the cosine fits (<= ~50 points each) run on the driver,
+  * matching the reference's scipy curve_fit usage (yaw_misalignment.py:59-71,
+  * :571-574).
+  */
+final class StaticYawMisalignment(
+    plant: PlantData,
+    wsBins: Seq[Double] = Seq(5.0, 6.0, 7.0, 8.0),
+    wsBinWidth: Double = 1.0,
+    vaneBinWidth: Double = 1.0,
+    pitchThresholdDeg: Double = 0.5,
+    minVaneBinCount: Int = 50,
+    maxAbsVaneAngle: Double = 25.0) {
+
+  final case class Result(
+      avgVaneAngleByTurbine: Map[String, Double],
+      yawByTurbineAndBin: Map[(String, Double), Double])
+
+  def run(): Result = {
+    // normal operation: small blade pitch, vane angle in range
+    // (yaw_misalignment.py:225-320)
+    val filtered = plant.scadaDf
+      .filter(abs(col("WROT_BlPthAngVal")) <= pitchThresholdDeg)
+      .filter(!Flags.rangeFlag(col("WMET_HorWdDirRel"), -maxAbsVaneAngle, maxAbsVaneAngle))
+      .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
+
+    // (turbine, ws_bin, vane_bin) mean power + mean vane (yaw_misalignment.py:562-563)
+    val binned = filtered
+      .withColumn("ws_bin_center",
+        (floor(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth + wsBinWidth / 2.0))
+      .withColumn("vane_bin",
+        round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
+      .groupBy("asset_id", "ws_bin_center", "vane_bin")
+      .agg(avg(col("WTUR_W")).as("power_mean"), count(lit(1)).as("n"),
+        avg(col("WMET_HorWdDirRel")).as("vane_mean"))
+      .filter(col("n") >= minVaneBinCount)
+      .collect()
+
+    val wsBinCenters = wsBins.map(b => b + wsBinWidth / 2.0 - wsBinWidth / 2.0)
+    val grouped = binned.groupBy(r => (r.getString(0), r.getDouble(1)))
+    val yawByBin = grouped.flatMap { case ((turbine, wsBin), rows) =>
+      if (!wsBins.exists(b => math.abs(b + wsBinWidth / 2.0 - wsBin) < 1e-9) &&
+          !wsBins.contains(wsBin - wsBinWidth / 2.0) && wsBins.nonEmpty &&
+          !wsBins.exists(b => math.abs(b - (wsBin - wsBinWidth / 2.0)) < 1e-9))
+        None
+      else if (rows.length < 5) None
+      else {
+        val xs = rows.map(_.getDouble(2)) // vane bin angle, degrees
+        val ys = rows.map(_.getDouble(3)) // mean power
+        // P(v) = A * cos(d2r*(v - offset)); offset = yaw misalignment
+        val a0 = ys.max
+        val p = Fitting.curveFit(
+          (x, p) => p(0) * math.cos(math.toRadians(x - p(1))),
+          xs, ys, Array(a0, 0.0))
+        Some((turbine, wsBin) -> p(1))
+      }
+    }.toMap
+
+    // overall per-turbine: mean yaw offset across ws bins, and mean vane angle
+    val avgVane = filtered.groupBy("asset_id")
+      .agg(avg(col("WMET_HorWdDirRel")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Result(avgVane, yawByBin)
+  }
+
+  /** Overall yaw per turbine = mean of per-ws-bin offsets. */
+  def overall(result: Result): Map[String, Double] =
+    result.yawByTurbineAndBin.groupBy(_._1._1)
+      .map { case (t, m) => t -> m.values.sum / m.size }
+}

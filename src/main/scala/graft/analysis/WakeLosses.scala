@@ -1,0 +1,128 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.plant.PlantData
+
+/** Internal wake losses from freestream-vs-plant power comparison, with
+  * long-term correction against the reanalysis wind rose.
+  *
+  * Spark re-expression of openoa/analysis/wake_losses.py:53-1317. Key
+  * structural change per SURVEY.md §3.3: the reference unstacks SCADA to a
+  * wide (time x turbine) frame in memory; here the data stays LONG and every
+  * per-timestamp quantity (reference direction, freestream means, plant
+  * sums) is a groupBy("time") aggregate — the only fact-grain shuffles. The
+  * freestream assignment is a broadcast (wd_bin -> turbine set) table built
+  * from the tiny asset-pair geometry.
+  */
+final class WakeLosses(
+    plant: PlantData,
+    wdBinWidth: Double = 5.0,
+    freestreamSectorWidth: Double = 90.0,
+    wsBinWidthLt: Double = 1.0,
+    seed: Long = 42L) {
+
+  final case class Result(porLossPlant: Double, porLossByTurbine: Map[String, Double],
+                          ltLossPlant: Double)
+
+  private def nBins: Int = math.round(360.0 / wdBinWidth).toInt
+
+  /** Freestream turbine sets per wind-direction bin: a turbine is freestream
+    * for a direction if no other turbine lies upwind within the sector
+    * (plant.py:1387-1450 `get_freestream_turbines`, sector method).
+    * Driver-side over the tiny pair table; wraparound handled via wrap180.
+    */
+  def freestreamByBin(): Map[Int, Seq[String]] = {
+    val pairs = plant.assetDistances
+      .select("asset_a", "asset_b", "bearing_deg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val turbines = plant.turbineIds
+    (0 until nBins).map { b =>
+      val wd = b * wdBinWidth + wdBinWidth / 2.0
+      val free = turbines.filter { t =>
+        // upwind neighbors: bearing from t to neighbor within sector of wd
+        !pairs.exists { case (a, nb, bearing) =>
+          a == t && nb != t &&
+            math.abs(((bearing - wd) % 360 + 540) % 360 - 180) <= freestreamSectorWidth / 2
+        }
+      }
+      // a direction bin with no qualifying turbine falls back to all turbines
+      b -> (if (free.nonEmpty) free else turbines)
+    }.toMap
+  }
+
+  /** Per-timestamp plant frame: reference direction (circular mean over
+    * turbines), plant power, freestream mean power/ws
+    * (wake_losses.py:982-1054, :600-646).
+    */
+  def timestampAggregate(): DataFrame = {
+    val scada = plant.scadaDf
+      .select(col("time"), col("asset_id"), col("WTUR_W"), col("WMET_HorWdSpd"),
+        col("WMET_HorWdDir"))
+      .na.drop()
+    val withRef = scada
+      .groupBy("time")
+      .agg(Met.circularMeanAgg(col("WMET_HorWdDir")).as("wd_ref"),
+        count(lit(1)).as("n_reporting"))
+      .withColumn("wd_bin", floor(col("wd_ref") / wdBinWidth).cast("int"))
+    // broadcast freestream membership as (wd_bin, asset_id) table
+    val fs = freestreamByBin().toSeq.flatMap { case (b, ts) => ts.map(t => (b, t)) }
+    val spark = plant.scadaDf.sparkSession
+    import spark.implicits._
+    val fsDf = broadcast(fs.toDF("wd_bin", "asset_id").withColumn("is_freestream", lit(true)))
+    val joined = scada.join(withRef.select("time", "wd_ref", "wd_bin", "n_reporting"), Seq("time"))
+      .join(fsDf, Seq("wd_bin", "asset_id"), "left")
+      .withColumn("is_freestream", coalesce(col("is_freestream"), lit(false)))
+    joined.groupBy("time")
+      .agg(first(col("wd_ref")).as("wd_ref"),
+        first(col("wd_bin")).as("wd_bin"),
+        first(col("n_reporting")).as("n_reporting"),
+        sum(col("WTUR_W")).as("plant_power"),
+        avg(when(col("is_freestream"), col("WTUR_W"))).as("freestream_power"),
+        avg(when(col("is_freestream"), col("WMET_HorWdSpd"))).as("freestream_ws"))
+      .filter(col("freestream_power").isNotNull)
+  }
+
+  def run(): Result = {
+    val nTurbines = plant.turbineIds.size
+    val ts = timestampAggregate().cache()
+    // POR losses (wake_losses.py:653-731): potential = freestream mean x N
+    val por = ts.agg(
+      sum(col("plant_power")).as("actual"),
+      sum(col("freestream_power") * nTurbines).as("potential")).head()
+    val porLoss = 1.0 - por.getDouble(0) / por.getDouble(1)
+
+    // per-turbine POR loss: actual turbine power vs freestream mean
+    val scada = plant.scadaDf.select(col("time"), col("asset_id"), col("WTUR_W")).na.drop()
+    val perTurbine = scada.join(ts.select("time", "freestream_power"), Seq("time"))
+      .groupBy("asset_id")
+      .agg((lit(1.0) - sum(col("WTUR_W")) / sum(col("freestream_power"))).as("loss"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // LT correction (wake_losses.py:1098-1303): bin POR by (wd, ws),
+    // weight by the reanalysis long-term (wd, ws) frequency table
+    val binned = ts
+      .withColumn("ws_bin", floor(col("freestream_ws") / wsBinWidthLt).cast("int"))
+      .groupBy("wd_bin", "ws_bin")
+      .agg(avg(col("plant_power")).as("actual_mean"),
+        avg(col("freestream_power") * nTurbines).as("potential_mean"))
+    val product = plant.reanalysis.keys.toSeq.sorted.head
+    val freq = plant.reanalysis(product)
+      .withColumn("wd_bin", floor(col("WMETR_HorWdDir") / wdBinWidth).cast("int"))
+      .withColumn("ws_bin", floor(col("WMETR_HorWdSpd") / wsBinWidthLt).cast("int"))
+      .groupBy("wd_bin", "ws_bin").agg(count(lit(1)).as("freq"))
+    val lt = binned.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
+      .agg(sum(col("actual_mean") * col("freq")).as("a"),
+        sum(col("potential_mean") * col("freq")).as("p")).head()
+    // an empty (wd, ws)-bin intersection between the POR and the reanalysis
+    // wind rose means no long-term weighting is possible -> NaN, not a crash
+    val ltLoss =
+      if (lt.isNullAt(0) || lt.isNullAt(1)) Double.NaN
+      else 1.0 - lt.getDouble(0) / lt.getDouble(1)
+    ts.unpersist()
+    Result(porLoss, perTurbine, ltLoss)
+  }
+}

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Unit conversions (reference: openoa/utils/unit_conversion.py). */
+object UnitConversion {
+
+  /** Power (kW) sampled at `freqSeconds` -> energy (kWh) per sample
+    * (unit_conversion.py:14-37 `convert_power_to_energy`).
+    */
+  def powerToEnergy(powerKw: Column, freqSeconds: Long): Column =
+    powerKw * lit(freqSeconds / 3600.0)
+
+  /** Gross energy = net + availability + curtailment losses, where the loss
+    * inputs are energies (unit_conversion.py:41-106 `compute_gross_energy`,
+    * energy mode). Fraction mode: losses given as fractions of gross:
+    * gross = net / (1 - avail_frac - curt_frac).
+    */
+  def grossEnergy(net: Column, availLoss: Column, curtLoss: Column,
+                  mode: String = "energy"): Column = mode match {
+    case "energy" => net + availLoss + curtLoss
+    case "frac"   => net / (lit(1.0) - availLoss - curtLoss)
+    case other    => throw new IllegalArgumentException(s"bad mode $other")
+  }
+
+  def feetToMeters(ft: Column): Column = ft * 0.3048
+}

@@ -27,6 +27,10 @@ object Flags {
   def rangeFlag(x: Column, lower: Double, upper: Double): Column =
     !x.between(lower, upper)
 
+  /** Column-bound variant (e.g. per-asset rated-power bounds). */
+  def rangeFlag(x: Column, lower: Column, upper: Column): Column =
+    !x.between(lower, upper)
+
   /** Flag rows where `window` is inside [wStart, wEnd] AND `value` is outside
     * [vLower, vUpper].
     * Reference: filters.py:158-186 (`window_range_flag`).

@@ -1,0 +1,180 @@
+package graft.powercurve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.fitting.Fitting
+
+/** Power-curve fitting: train on (windspeed, power) pairs, return a
+  * predictor applicable as a Column expression.
+  *
+  * The Spark altitude matches the reference (power_curve/functions.py):
+  * heavy data reduces to binned means distributed; the tiny fitted model
+  * (bin table or parameters) broadcasts back as an expression or join.
+  */
+object PowerCurve {
+
+  /** A fitted curve: predict power from wind speed, both driver-side and as
+    * a Column expression.
+    */
+  trait Fitted extends Serializable {
+    def predict(ws: Double): Double
+    def predictCol(ws: Column): Column
+  }
+
+  /** IEC 61400-12 binned power curve: 0.5 m/s bin means with linear
+    * interpolation of empty interior bins and nearest-fill at the edges
+    * (power_curve/functions.py:20-73 `IEC`). The bin table (<= ~100 rows)
+    * is collected and embedded as a chained expression.
+    */
+  def iec(df: DataFrame, wsCol: String, powerCol: String,
+          binWidth: Double = 0.5, maxWs: Double = 30.0): IecCurve = {
+    val bins = df
+      .filter(col(wsCol).isNotNull && col(powerCol).isNotNull &&
+        col(wsCol) >= 0 && col(wsCol) <= maxWs)
+      .groupBy(round(col(wsCol) / binWidth).cast("long").as("bin"))
+      .agg(avg(col(powerCol)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nBins = (maxWs / binWidth).toInt
+    val centers = (0 to nBins).map(_ * binWidth).toArray
+    // linear interp of missing bins, nearest at edges (pandas
+    // interpolate().bfill() equivalent)
+    val known = (0 to nBins).filter(b => bins.contains(b.toLong))
+    val values = new Array[Double](nBins + 1)
+    if (known.nonEmpty) {
+      for (b <- 0 to nBins) {
+        values(b) = bins.get(b.toLong) match {
+          case Some(v) => v
+          case None =>
+            val prev = known.filter(_ < b).lastOption
+            val next = known.find(_ > b)
+            (prev, next) match {
+              case (Some(p), Some(n)) =>
+                val vp = bins(p.toLong); val vn = bins(n.toLong)
+                vp + (vn - vp) * (b - p).toDouble / (n - p)
+              case (Some(p), None) => bins(p.toLong)
+              case (None, Some(n)) => bins(n.toLong)
+              case _ => 0.0
+            }
+        }
+      }
+    }
+    IecCurve(centers, values, binWidth)
+  }
+
+  final case class IecCurve(centers: Array[Double], values: Array[Double],
+                            binWidth: Double) extends Fitted {
+    def predict(ws: Double): Double = {
+      val b = math.round(ws / binWidth).toInt
+      if (b < 0) values.head
+      else if (b >= values.length) values.last
+      else values(b)
+    }
+    /** Lookup via element_at on a literal array (codegen'd; no UDF). */
+    def predictCol(ws: Column): Column = {
+      val arr = array(values.map(lit): _*)
+      val idx = least(greatest(round(ws / binWidth).cast("int"), lit(0)),
+        lit(values.length - 1))
+      element_at(arr, idx + 1)
+    }
+  }
+
+  /** 5-parameter logistic curve fit via differential evolution + local
+    * refinement (power_curve/functions.py:77-123 `logistic_5_parametric`,
+    * forms at parametric_forms.py:22-112). Input pairs are collected —
+    * call on binned/sampled aggregates, not fact-grain data.
+    */
+  def logistic5(df: DataFrame, wsCol: String, powerCol: String,
+                seed: Long = 42L): Logistic5Curve = {
+    val pts = df.filter(col(wsCol).isNotNull && col(powerCol).isNotNull)
+      .select(col(wsCol).cast("double"), col(powerCol).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    val pMax = ys.max
+    def model(x: Double, p: Array[Double]): Double = {
+      // logistic5param(x; a, b, c, d, g) = d + (a - d) / (1 + (x/c)^b)^g
+      val Array(a, b, c, d, g) = p
+      d + (a - d) / math.pow(1.0 + math.pow(x / c, b), g)
+    }
+    def sse(p: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < xs.length) {
+        val r = ys(i) - model(xs(i), p); s += r * r; i += 1
+      }
+      s
+    }
+    val bounds = Array(
+      (pMax * 0.8, pMax * 1.2), (0.1, 10.0), (1.0, 20.0),
+      (-pMax * 0.2, pMax * 0.2), (0.1, 10.0))
+    val best = Fitting.differentialEvolution(sse, bounds, seed = seed)
+    val refined = Fitting.curveFit(model, xs, ys, best)
+    Logistic5Curve(if (sse(refined) < sse(best)) refined else best)
+  }
+
+  final case class Logistic5Curve(p: Array[Double]) extends Fitted {
+    def predict(ws: Double): Double =
+      p(3) + (p(0) - p(3)) / math.pow(1.0 + math.pow(ws / p(2), p(1)), p(4))
+    def predictCol(ws: Column): Column =
+      lit(p(3)) + (lit(p(0)) - lit(p(3))) /
+        pow(lit(1.0) + pow(ws / p(2), p(1)), p(4))
+  }
+
+  /** GAM-lite: penalized cubic B-spline-free alternative — piecewise-linear
+    * hinge basis (regression splines) fit by ridge-regularized normal
+    * equations on the driver. Stands in for pygam LinearGAM(s(0), 20
+    * splines) (power_curve/functions.py:127-150) at matching smoothness.
+    */
+  def spline(df: DataFrame, wsCol: String, powerCol: String, nKnots: Int = 20,
+             ridge: Double = 1e-6): SplineCurve = {
+    val pts = df.filter(col(wsCol).isNotNull && col(powerCol).isNotNull)
+      .select(col(wsCol).cast("double"), col(powerCol).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    fitSpline(pts.map(_._1), pts.map(_._2), nKnots, ridge)
+  }
+
+  def fitSpline(xs: Array[Double], ys: Array[Double], nKnots: Int,
+                ridge: Double): SplineCurve = {
+    val lo = xs.min; val hi = xs.max
+    val knots = (1 until nKnots).map(i => lo + (hi - lo) * i / nKnots).toArray
+    def basis(x: Double): Array[Double] =
+      Array(1.0, x) ++ knots.map(k => math.max(0.0, x - k))
+    val k = knots.length + 2
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    var i = 0
+    while (i < xs.length) {
+      val b = basis(xs(i))
+      var a = 0
+      while (a < k) {
+        xty(a) += b(a) * ys(i)
+        var c = 0
+        while (c < k) { xtx(a)(c) += b(a) * b(c); c += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    var d = 0
+    while (d < k) { xtx(d)(d) += ridge; d += 1 }
+    SplineCurve(knots, Fitting.solve(xtx, xty), lo, hi)
+  }
+
+  final case class SplineCurve(knots: Array[Double], coef: Array[Double],
+                               lo: Double, hi: Double) extends Fitted {
+    def predict(ws: Double): Double = {
+      val x = math.min(math.max(ws, lo), hi)
+      var s = coef(0) + coef(1) * x
+      var i = 0
+      while (i < knots.length) {
+        s += coef(i + 2) * math.max(0.0, x - knots(i)); i += 1
+      }
+      s
+    }
+    def predictCol(ws: Column): Column = {
+      val x = least(greatest(ws, lit(lo)), lit(hi))
+      val hinges = knots.zipWithIndex.map { case (kn, i) =>
+        lit(coef(i + 2)) * greatest(x - kn, lit(0.0))
+      }
+      hinges.foldLeft(lit(coef(0)) + lit(coef(1)) * x)(_ + _)
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.analysis
+
+import graft.SparkSpec
+
+/** End-to-end analysis regression on the synthetic plant (SURVEY.md §5:
+  * construct data with closed-form expected results, freeze as goldens).
+  */
+class AnalysesSpec extends SparkSpec {
+
+  private lazy val plant = SyntheticPlant.build(spark, days = 60, reanalysisYears = 3)
+
+  test("ElectricalLosses recovers the constructed 2% loss exactly (no UQ)") {
+    val result = new ElectricalLosses(plant).run()
+    assert(math.abs(result.mean - SyntheticPlant.TrueElectricalLoss) < 1e-9)
+  }
+
+  test("ElectricalLosses UQ distribution centers on 2% with sigma ~ inputs") {
+    val result = new ElectricalLosses(plant, uq = true, numSim = 500,
+      uncertaintyMeter = 0.005, uncertaintyScada = 0.005).run()
+    assert(math.abs(result.mean - SyntheticPlant.TrueElectricalLoss) < 0.002)
+    assert(result.std > 0.001 && result.std < 0.02)
+  }
+
+  test("MonteCarloAEP produces a plausible AEP near the POR-implied energy") {
+    val aep = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    // POR: 60 days of ~4 x ~1.1MW avg -> annual scale ~ capacity * CF * 8760
+    val got = aep.aepMean
+    assert(got > 10.0 && got < 80.0, s"AEP out of plausible band: $got GWh")
+    assert(aep.availPct(0) < 0.001) // constructed zero availability loss
+  }
+
+  test("MonteCarloAEP UQ returns a spread and stable mean") {
+    val aep = new MonteCarloAEP(plant, timeResolution = "D", uq = true,
+      numSim = 100, windinessYears = (1, 2)).run()
+    val noUq = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    assert(math.abs(aep.aepMean - noUq.aepMean) / noUq.aepMean < 0.2)
+    assert(aep.aepStd > 0.0)
+  }
+
+  test("TurbineLongTermGrossEnergy per-turbine energies are equal-ish and plausible") {
+    val tie = new TurbineLongTermGrossEnergy(plant).run()
+    val per = tie.perTurbine
+    assert(per.size == SyntheticPlant.NTurbines)
+    // identical turbines -> near-identical long-term gross
+    val vals = per.values.toSeq
+    assert((vals.max - vals.min) / vals.max < 0.05,
+      s"per-turbine spread too wide: $per")
+    // each turbine: capacity 2MW, CF ~0.45-0.6 on this wind regime
+    assert(vals.forall(v => v > 4.0 && v < 13.0), s"implausible TIE: $per")
+  }
+
+  test("WakeLosses POR loss is ~0 for identical ideal turbines") {
+    // every turbine produces the same power at each timestamp, so
+    // actual == potential and wake losses vanish
+    val wl = new WakeLosses(plant).run()
+    assert(math.abs(wl.porLossPlant) < 0.02, s"expected ~0, got ${wl.porLossPlant}")
+    assert(math.abs(wl.ltLossPlant) < 0.05)
+  }
+
+  test("StaticYawMisalignment recovers constructed per-turbine offsets") {
+    val offsets = Map("T1" -> 3.0, "T2" -> -2.0, "T3" -> 0.0, "T4" -> 5.0)
+    val yawPlant = SyntheticPlant.build(spark, days = 30, reanalysisYears = 1,
+      yawOffsets = offsets)
+    // construct power response peaked at the turbine's yaw offset:
+    // synthetic vane = offset + noise, so mean vane per turbine ~ offset
+    val yaw = new StaticYawMisalignment(yawPlant).run()
+    offsets.foreach { case (t, off) =>
+      val got = yaw.avgVaneAngleByTurbine(t)
+      assert(math.abs(got - off) < 1.0, s"turbine $t: expected ~$off got $got")
+    }
+  }
+
+  test("EYAGapAnalysis waterfall reconciles to the operational AEP") {
+    val gap = new EYAGapAnalysis(
+      eyaAep = 467.0, eyaGross = 597.0, eyaAvailLoss = 0.062,
+      eyaElecLoss = 0.024, eyaTurbineLoss = 0.037,
+      oaAep = 448.0, oaAvailLoss = 0.0837, oaElecLoss = 0.0201,
+      oaTurbineIdeal = 581.0).compile()
+    assert(gap.length == 5)
+    assert(math.abs(gap.head - 467.0) < 1e-12)
+    // waterfall must reconcile: eya + diffs + unexplained = oa
+    assert(math.abs(gap.sum - 448.0) < 1e-9)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.analysis
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.plant.{PlantData, PlantMetadata}
+
+/** Deterministic synthetic wind plant with analytically-known answers,
+  * standing in for the reference's La Haute Borne regression dataset (the
+  * reference repo ships only metadata; the CSVs are downloaded at runtime).
+  * Regression strategy per SURVEY.md §5: construct data where each analysis
+  * has a closed-form expected result, freeze those as goldens.
+  */
+object SyntheticPlant {
+
+  val TrueElectricalLoss = 0.02
+  val RatedPowerKw = 2000.0
+  val NTurbines = 4
+  val FreqSeconds = 600L
+
+  private val t0 = Instant.parse("2019-01-01T00:00:00Z")
+
+  /** Deterministic pseudo-noise in [-1, 1). */
+  private def noise(i: Long, salt: Long): Double = {
+    var h = i * 2654435761L + salt * 0x9E3779B97F4A7C15L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (math.abs(h % 2000000L) / 1000000.0) - 1.0
+  }
+
+  /** Smooth wind speed series, m/s (diurnal + synoptic + noise). */
+  def windSpeed(i: Long): Double = {
+    val hours = i * FreqSeconds / 3600.0
+    8.0 + 3.0 * math.sin(hours / 24.0 * 2 * math.Pi) +
+      2.0 * math.sin(hours / (24.0 * 5) * 2 * math.Pi) + 1.0 * noise(i, 1)
+  }
+
+  /** Idealized power curve, kW. */
+  def powerCurve(ws: Double): Double = {
+    if (ws < 3.0) 0.0
+    else if (ws < 12.0) RatedPowerKw * math.pow((ws - 3.0) / 9.0, 3) * 0.9 + 50.0
+    else if (ws < 25.0) RatedPowerKw
+    else 0.0
+  }
+
+  def windDirection(i: Long): Double = {
+    val hours = i * FreqSeconds / 3600.0
+    ((270.0 + 60.0 * math.sin(hours / 48.0 * 2 * math.Pi) + 10.0 * noise(i, 2)) % 360 + 360) % 360
+  }
+
+  /** Build a plant spanning `days` days of 10-min SCADA with exact
+    * electrical losses, plus `reanalysisYears` of hourly reanalysis.
+    */
+  def build(spark: SparkSession, days: Int = 90, reanalysisYears: Int = 4,
+            yawOffsets: Map[String, Double] = Map.empty): PlantData = {
+    import spark.implicits._
+    val nSteps = days * 24 * 3600 / FreqSeconds
+    val turbines = (1 to NTurbines).map(i => s"T$i")
+
+    val scadaRows = for {
+      i <- 0L until nSteps
+      (t, ti) <- turbines.zipWithIndex
+    } yield {
+      val ws = math.max(0.1, windSpeed(i) + 0.2 * noise(i * 10 + ti, 3))
+      val power = powerCurve(ws)
+      val yaw = yawOffsets.getOrElse(t, 0.0)
+      val vane = yaw + 8.0 * noise(i * 10 + ti, 4)
+      (Timestamp.from(t0.plusSeconds(i * FreqSeconds)), t, power, ws,
+        windDirection(i), vane, 0.0, 10.0)
+    }
+    val scada = scadaRows.toDF("time", "asset_id", "WTUR_W", "WMET_HorWdSpd",
+      "WMET_HorWdDir", "WMET_HorWdDirRel", "WROT_BlPthAngVal", "WMET_EnvTmp")
+
+    // meter = (1 - loss) * sum of turbine energy, exact
+    val meterRows = (0L until nSteps).map { i =>
+      val totalKwh = turbines.indices.map { ti =>
+        val ws = math.max(0.1, windSpeed(i) + 0.2 * noise(i * 10 + ti, 3))
+        powerCurve(ws) * (FreqSeconds / 3600.0)
+      }.sum
+      (Timestamp.from(t0.plusSeconds(i * FreqSeconds)), totalKwh * (1 - TrueElectricalLoss))
+    }
+    val meter = meterRows.toDF("time", "MMTR_SupWh")
+
+    // curtailment: zero availability loss, tiny fixed curtailment
+    val curtail = (0L until nSteps).map { i =>
+      (Timestamp.from(t0.plusSeconds(i * FreqSeconds)), 0.0, 0.0)
+    }.toDF("time", "IAVL_DnWh", "IAVL_ExtPwrDnWh")
+
+    // asset: 2x2 grid, ~500m spacing
+    val asset = turbines.zipWithIndex.map { case (t, i) =>
+      (t, 47.0 + (i / 2) * 0.005, -1.0 + (i % 2) * 0.007, RatedPowerKw, 80.0, 92.0, 411.0, "turbine")
+    }.toDF("asset_id", "latitude", "longitude", "rated_power", "hub_height",
+      "rotor_diameter", "elevation", "type")
+
+    // hourly reanalysis covering reanalysisYears BEFORE + during the POR
+    val reanSteps = reanalysisYears.toLong * 365 * 24
+    val reanStart = t0.minusSeconds((reanSteps - days.toLong * 24) * 3600)
+    val rean = (0L until reanSteps).map { i =>
+      val hours = i.toDouble
+      val ws = 8.0 + 3.0 * math.sin(hours / 24.0 * 2 * math.Pi) +
+        2.0 * math.sin(hours / (24.0 * 5) * 2 * math.Pi) + 0.8 * noise(i, 7)
+      val wd = ((270.0 + 60.0 * math.sin(hours / 48.0 * 2 * math.Pi)) % 360 + 360) % 360
+      val u = -ws * math.sin(math.toRadians(wd))
+      val v = -ws * math.cos(math.toRadians(wd))
+      (Timestamp.from(reanStart.plusSeconds(i * 3600)), ws, u, v,
+        288.15 + 5 * math.sin(hours / 24 * 2 * math.Pi), 1.225 + 0.01 * noise(i, 8), 101325.0)
+    }.toDF("time", "WMETR_HorWdSpd", "WMETR_HorWdSpdU", "WMETR_HorWdSpdV",
+      "WMETR_EnvTmp", "WMETR_AirDen", "WMETR_EnvPres")
+
+    PlantData.load(
+      scada = Some(scada), meter = Some(meter), curtail = Some(curtail),
+      asset = Some(asset), reanalysis = Map("era5" -> rean),
+      metadata = PlantMetadata(scadaFreqSeconds = FreqSeconds,
+        meterFreqSeconds = FreqSeconds, curtailFreqSeconds = FreqSeconds,
+        reanalysisFreqSeconds = 3600L, capacityKw = RatedPowerKw * NTurbines))
+  }
+}
