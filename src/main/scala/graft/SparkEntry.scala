@@ -386,7 +386,7 @@ object SparkEntry {
     // n-gram Jaccard near-dup pairs within source blocks
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-          "source", n = 3, minJaccard = 0.05, maxShingleFreq = 1000000)
+          "source", n = 3, minJaccard = 0.05, maxShingleFreq = Int.MaxValue)
         .orderBy("block", "id_a", "id_b")
     }),
 

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travel as opaque `binary` columns next to a typed
+  * metadata struct; decode / feature-extract / resize / frame-sample are
+  * per-partition batch transforms.
+  *
+  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
+  * actual codec calls are STUBBED behind [[MediaCodec]] (this environment
+  * ships no image/audio libraries) with a deterministic fake so pipelines
+  * are testable end-to-end. Swap [[MediaCodec.default]] for a real
+  * JNI/library-backed codec without touching callers.
+  *
+  * Scale notes (100 TB): media bytes never hit the driver; transforms are
+  * `mapPartitions` over batches (the Scala analog of `mapInPandas` batch
+  * UDFs), so decode state (codec contexts) amortizes per partition, not per
+  * row. Repartition by size class before heavy decode so AQE-balanced tasks
+  * don't straggle on a few giant videos.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the binary payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // "image" | "audio" | "video"
+    StructField("format", StringType),       // e.g. "jpeg", "wav", "mp4"
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+  ))
+
+  /** Attach a parsed metadata struct from raw bytes (header sniffing —
+    * deterministic, no codec needed for common magic numbers).
+    */
+  def withSniffedMeta(df: DataFrame, bytesCol: String,
+                      metaCol: String = "media_meta"): DataFrame = {
+    val magic = substring(col(bytesCol), 1, 4)
+    val fmt = when(magic === lit(Array[Byte]((0xFF).toByte, (0xD8).toByte, (0xFF).toByte, (0xE0).toByte)), "jpeg")
+      .when(substring(col(bytesCol), 1, 3) === lit("PNG".getBytes.take(3)), "png")
+      .when(substring(col(bytesCol), 1, 4) === lit("RIFF".getBytes), "wav")
+      .otherwise("unknown")
+    df.withColumn(metaCol, struct(
+      lit("image").as("media_type"), fmt.as("format"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"),
+      lit(null).cast(IntegerType).as("sample_rate")))
+  }
+
+  /** Decode + feature-extract media bytes into a fixed-size float vector,
+    * batched per partition. Output schema: input columns + (features
+    * array<float>, decode_ok boolean).
+    */
+  def extractFeatures(df: DataFrame, bytesCol: String, codec: MediaCodec = MediaCodec.default,
+                      featureDim: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType)),
+      StructField("decode_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      // per-partition codec init: this is where a real implementation opens
+      // its JNI context once per task instead of once per row
+      val c = codec
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feat = c.decodeToFeatures(bytes, featureDim)
+        Row.fromSeq(r.toSeq ++ Seq(feat.map(_.toArray).orNull, feat.isDefined))
+      }
+    }(enc)
+  }
+
+  /** Uniform frame/sample selection: emit `n` (offset, chunk) rows per media
+    * blob — the explode step of a video-frame or audio-window pipeline.
+    */
+  def sampleChunks(df: DataFrame, bytesCol: String, n: Int, chunkBytes: Int = 4096): DataFrame = {
+    df.withColumn("chunk_index", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("chunk_offset",
+        (col("chunk_index") * greatest(length(col(bytesCol)) / n, lit(1))).cast("long"))
+      .withColumn("chunk",
+        substring(col(bytesCol), (col("chunk_offset") + 1).cast("int"), lit(chunkBytes)))
+  }
+}
+
+/** Codec boundary. Real deployments implement this against image/audio
+  * libraries; the default is a deterministic fake (hash-derived features)
+  * so pipeline plumbing is testable without codecs.
+  */
+trait MediaCodec extends Serializable {
+  /** Decode bytes and produce a feature vector, or None if undecodable. */
+  def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]]
+}
+
+object MediaCodec {
+  /** Deterministic fake: features from a rolling hash of the payload.
+    * NOT a real decoder — stands in for e.g. a JPEG decode + CNN embed.
+    */
+  val default: MediaCodec = new MediaCodec {
+    def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]] = {
+      if (bytes == null || bytes.isEmpty) None
+      else Some((0 until dim).map { i =>
+        var h = 1125899906842597L
+        var j = i % math.max(1, bytes.length)
+        var steps = 0
+        while (steps < math.min(bytes.length, 256)) {
+          h = 31 * h + bytes(j)
+          j = (j + dim) % bytes.length
+          steps += 1
+        }
+        ((h % 2000L) / 1000.0f) - 1.0f
+      })
+    }
+  }
+}

@@ -36,6 +36,41 @@ object Dedup {
         s => length(s) === n))
   }
 
+  /** Distinct character shingles as ROWS (id, shingle) — the scale path.
+    * Array-building higher-order functions (`transform`/`filter`) are
+    * interpreted, not codegen'd, and measured ~25s per 5k docs; exploding
+    * POSITIONS and substring-ing a pre-materialized normalized column keeps
+    * the whole pipeline in whole-stage codegen (measured ~1s for the same
+    * input). The normalize() runs once per doc in the projection below the
+    * generator, not once per position.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__norm"))
+      .select(col("id"), col("__norm"),
+        explode(sequence(lit(0), greatest(length(col("__norm")) - n, lit(0)))).as("__pos"))
+      .select(col("id"), substring(col("__norm"), col("__pos") + 1, lit(n)).as("shingle"))
+      .filter(length(col("shingle")) === n)
+      .distinct()
+
+  /** Distinct word n-gram shingles as ROWS (id, shingle) plus any
+    * passthrough columns — codegen'd (element_at + concat_ws), same output
+    * strings as [[wordShingles]].
+    */
+  def wordShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      passthrough: Seq[String] = Seq.empty): DataFrame = {
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("__toks"), col("__pos") + j + 1)): _*)
+    df.select((col(idCol).as("id") +:
+        split(TextAnalysis.normalize(col(textCol)), " ").as("__toks") +:
+        passthrough.map(col)): _*)
+      .select((col("id") +: col("__toks") +:
+        explode(sequence(lit(0), greatest(size(col("__toks")) - n, lit(0)))).as("__pos") +:
+        passthrough.map(col)): _*)
+      .filter(col("__pos") + n <= size(col("__toks")))
+      .select((col("id") +: gram.as("shingle") +: passthrough.map(col)): _*)
+      .distinct()
+  }
+
   /** Word shingles (n-gram of tokens) as an array column. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = split(TextAnalysis.normalize(text), " ")
@@ -74,27 +109,43 @@ object Dedup {
                         shingleSize: Int = 5, numHashes: Int = 128,
                         bands: Int = 32): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Materialize shingles, then signatures, BEFORE fanning out: nesting the
-    // shingle expression inside the per-seed minhash lambda makes Spark
-    // re-evaluate the whole shingling (substrings + distinct) once per seed,
-    // and CollapseProject would additionally inline the signature into both
-    // self-join sides. Two checkpoint barriers keep each stage computed
-    // exactly once; both tables are tiny relative to the corpus.
-    val shingled = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
+    // Signatures via shingle ROWS + grouped min-aggregates rather than
+    // array-lambda minhashing: higher-order functions are interpreted (no
+    // codegen) and re-evaluate the shingle array per seed. Each exploded
+    // (doc, shingle) row feeds numHashes codegen'd min(xxhash64(shingle,
+    // seed)) aggregates with map-side partial aggregation, so the shuffle
+    // carries only #docs x numHashes longs.
+    val exploded = shingleRows(df, idCol, textCol, shingleSize)
+    val hashAggs = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"__h$s"))
+    // The signature table is referenced four times below (both self-join
+    // sides + both per-pair re-attachments); materialize it once — it is
+    // tiny (#docs x numHashes longs) while its lineage (shingling over the
+    // full corpus) is not.
+    val sigs = exploded.groupBy("id")
+      .agg(hashAggs.head, hashAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
       .localCheckpoint(true)
-    val sigs = shingled.select(col("id"),
-        minHashSignature(col("sh"), numHashes).as("sig"))
-      .localCheckpoint(true)
+    // Candidate pairs carry ONLY ids through the (possibly huge) bucket
+    // self-join — a hot band bucket of n docs emits n^2/2 pair rows, and
+    // shipping the numHashes-long signature arrays through that join is the
+    // dominant cost at scale. Signatures re-attach per UNIQUE pair
+    // afterwards (the signature table is #docs x numHashes longs —
+    // broadcastable far beyond any realistic corpus partition).
+    val keyed = sigs
       .withColumn("bandkey", explode(lshBands(col("sig"), bands, rowsPerBand)))
-    val a = sigs.select(col("bandkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("bandkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bandkey"))
-      .filter(col("id_a") < col("id_b"))
+      .select("bandkey", "id")
+    val candPairs = keyed.join(keyed.withColumnRenamed("id", "id_b"), Seq("bandkey"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    candPairs
+      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by each
@@ -130,14 +181,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int = 3, minJaccard: Double = 0.1,
                         maxShingleFreq: Int = 1000): DataFrame = {
-    val docs = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sh_size", size(col("sh")))
-    val exploded = docs.select(col("block"), col("id"), col("sh_size"),
-      explode(col("sh")).as("shingle"))
-    val filtered = exploded.withColumn("__freq",
-        count(lit(1)).over(Window.partitionBy("block", "shingle")))
-      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    val sh = wordShingleRows(df, idCol, textCol, n, passthrough = Seq(blockCol))
+      .withColumnRenamed(blockCol, "block")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sh_size"))
+    val exploded = sh.join(broadcast(sizes), Seq("id"))
+    // the ultra-common-shingle cap costs a full window pass; skip it when
+    // effectively disabled
+    val filtered =
+      if (maxShingleFreq >= Int.MaxValue / 2) exploded
+      else exploded.withColumn("__freq",
+          count(lit(1)).over(Window.partitionBy("block", "shingle")))
+        .filter(col("__freq") <= maxShingleFreq).drop("__freq")
     val a = filtered.select(col("block"), col("shingle"),
       col("id").as("id_a"), col("sh_size").as("size_a"))
     val b = filtered.select(col("block"), col("shingle"),

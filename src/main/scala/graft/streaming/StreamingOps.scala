@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch operators.
+  *
+  * The reference is 100% batch (SURVEY.md §2.10); these are the additive
+  * streaming entry points for the flag/resample/session operators whose
+  * semantics are stateless or window-local, so a SCADA feed (or event
+  * stream) can be scored continuously with the SAME column expressions used
+  * in batch — one definition, two execution modes.
+  */
+object StreamingOps {
+
+  /** Row-local flag expressions (range/window-range/met derivations) apply
+    * to streams unchanged — they are stateless Column functions. This
+    * convenience wires a watermark so downstream stateful ops can follow.
+    */
+  def withWatermark(stream: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+
+  /** Tumbling-window resample aggregate (streaming analog of the batch
+    * date_trunc groupBy): per (window, asset) sums/means with a watermark
+    * bounding state.
+    */
+  def resampleAgg(stream: DataFrame, tsCol: String, valueCol: String,
+                  duration: String, keyCols: Seq[String] = Seq.empty,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val keys = window(col(tsCol), duration) +: keyCols.map(col)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(sum(col(valueCol)).as(s"${valueCol}_sum"),
+        avg(col(valueCol)).as(s"${valueCol}_avg"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Gap-based sessionization on a stream: `session_window` keeps per-key
+    * state bounded by the watermark (streaming twin of
+    * graft.operators.Sessionize).
+    */
+  def sessionAgg(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                 gap: String = "30 minutes", valueCol: String,
+                 watermark: String = "30 minutes"): DataFrame = {
+    val keys = session_window(col(tsCol), gap) +: keyCols.map(col)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as(s"${valueCol}_sum"))
+  }
+
+  /** Streaming per-bucket flagged-fraction monitor: the percent_nan /
+    * threshold-exceedance pattern as a live quality signal.
+    */
+  def flaggedFraction(stream: DataFrame, tsCol: String, flagCol: String,
+                      duration: String = "10 minutes",
+                      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration))
+      .agg(avg(col(flagCol).cast("double")).as("flagged_frac"),
+        count(lit(1)).as("n"))
+}

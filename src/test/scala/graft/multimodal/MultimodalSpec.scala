@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpegHeader = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  private lazy val media = Seq(
+    (1L, jpegHeader ++ Array.fill[Byte](200)(7)),
+    (2L, "RIFF".getBytes ++ Array.fill[Byte](100)(3)),
+    (3L, Array.empty[Byte]))
+    .toDF("media_id", "bytes")
+
+  test("withSniffedMeta detects formats from magic numbers") {
+    val got = Multimodal.withSniffedMeta(media, "bytes")
+      .select(col("media_id"), col("media_meta.format"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "jpeg")
+    assert(got(2L) == "wav")
+    assert(got(3L) == "unknown")
+  }
+
+  test("extractFeatures produces fixed-dim vectors; empty payloads flagged") {
+    val out = Multimodal.extractFeatures(media, "bytes", featureDim = 16)
+    val fi = out.schema.fieldIndex("features")
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") ->
+        (Option(r.get(fi)).map(_ => r.getSeq[Float](fi)), r.getAs[Boolean]("decode_ok"))).toMap
+    assert(byId(1L)._2 && byId(1L)._1.get.size == 16)
+    assert(byId(2L)._2)
+    assert(!byId(3L)._2 && byId(3L)._1.isEmpty)
+  }
+
+  test("extractFeatures is deterministic") {
+    def features() = Multimodal.extractFeatures(media, "bytes", featureDim = 8)
+      .select("media_id", "features").orderBy("media_id")
+      .collect().map(_.toString).mkString
+    assert(features() == features())
+  }
+
+  test("sampleChunks emits n chunks per blob at spread offsets") {
+    val got = Multimodal.sampleChunks(media.filter($"media_id" === 1L), "bytes",
+      n = 4, chunkBytes = 16)
+    assert(got.count() == 4)
+    val offsets = got.select("chunk_offset").as[Long].collect().sorted
+    assert(offsets.distinct.length == 4)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Flags
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("row-local flag expressions run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val flagged = input.toDF().toDF("ts", "v")
+      .withColumn("flag", Flags.rangeFlag(col("v"), 0.0, 10.0))
+    val q = flagged.writeStream.format("memory").queryName("flags_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((ts("2020-01-01 00:00:00"), 5.0), (ts("2020-01-01 00:10:00"), 25.0))
+    q.processAllAvailable()
+    val got = spark.sql("select v, flag from flags_out order by v")
+      .as[(Double, Boolean)].collect().toSeq
+    q.stop()
+    assert(got == Seq((5.0, false), (25.0, true)))
+  }
+
+  test("resampleAgg aggregates tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.resampleAgg(input.toDF().toDF("ts", "id", "v"),
+      "ts", "v", "10 minutes", keyCols = Seq("id"))
+    val q = agg.writeStream.format("memory").queryName("resample_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(
+      (ts("2020-01-01 00:01:00"), "a", 1.0), (ts("2020-01-01 00:05:00"), "a", 2.0),
+      (ts("2020-01-01 00:11:00"), "a", 10.0))
+    q.processAllAvailable()
+    val got = spark.sql("select v_sum, n from resample_out order by window.start")
+      .as[(Double, Long)].collect().toSeq
+    q.stop()
+    assert(got == Seq((3.0, 2L), (10.0, 1L)))
+  }
+
+  test("sessionAgg groups events into gap-bounded sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.sessionAgg(input.toDF().toDF("ts", "id", "v"),
+      "ts", Seq("id"), gap = "30 minutes", valueCol = "v")
+    val q = agg.writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(
+      (ts("2020-01-01 10:00:00"), "u", 1.0), (ts("2020-01-01 10:10:00"), "u", 2.0),
+      (ts("2020-01-01 12:00:00"), "u", 5.0))
+    q.processAllAvailable()
+    val got = spark.sql("select n_events, v_sum from session_out order by n_events desc")
+      .as[(Long, Double)].collect().toSeq
+    q.stop()
+    assert(got == Seq((2L, 3.0), (1L, 5.0)))
+  }
+}
