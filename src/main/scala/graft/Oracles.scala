@@ -314,6 +314,16 @@ object Oracles {
         |SELECT query_id, neighbor_id, round(cos, 5) AS cosine, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) /
+        |      (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
+        |       * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)]))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT CAST(block AS BIGINT) AS block, id_a, id_b, round(cos, 5) AS cosine
+        |FROM p WHERE cos >= 0.25 ORDER BY block, id_a, id_b""".stripMargin,
+
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -405,6 +405,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash banded near-dup pairs — rows-only
+    "q_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashCandidates(Tables.documents(s, dir), "text", "doc_id",
+          maxHamming = 7)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search -------------------------------------------------
     "q_vector_norm" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -431,6 +438,28 @@ object SparkEntry {
         .select("vec_id", "v")
       val q = e.filter(col("vec_id") < 20)
       Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 10, tables = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-dup pairs, blocked by label
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      Similarity.cosineNearDupPairs(e, "vec_id", "v", "label", threshold = 0.25)
+        .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"),
+          round(col("cosine"), 5).as("cosine"))
+        .orderBy("block", "id_a", "id_b")
+    }),
+
+    // IVF (KMeans-partitioned) ANN — rows-only (clustering not SQL)
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(e, q, "vec_id", "v", k = 5, nlist = 8, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")

@@ -164,6 +164,40 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Hamming distance between two 64-bit signatures: popcount of the XOR —
+    * pure codegen'd built-ins. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
+    * Banding: a pair within Hamming distance k must agree exactly on at
+    * least one of k+1 disjoint bit-bands (pigeonhole), so candidates come
+    * from equality joins on band values — shuffle key (band, value), never
+    * an all-pairs scan.
+    */
+  def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = 64 / bands
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))
+      }: _*)).as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram Jaccard similarity between two shingle-array columns (row-local,
     * for already-paired candidates). */
   def jaccard(aShingles: Column, bShingles: Column): Column = {

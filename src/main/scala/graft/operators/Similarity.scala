@@ -89,6 +89,24 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs within blocking groups: all
+    * same-block pairs with cosine >= threshold. The block key bounds the
+    * quadratic term (cf. MinHash banding for text); for unblocked corpora
+    * use [[lshTopK]]/[[ivfTopK]] buckets as the block.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("block", "id_a", "id_b", "cosine")
+  }
+
   /** IVF-style index: KMeans coarse centroids; each corpus row assigned to
     * its nearest centroid; queries probe the `nprobe` nearest centroids and
     * scan only those partitions' rows.

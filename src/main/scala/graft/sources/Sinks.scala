@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Export sinks (reference: PlantData.to_csv, plant.py:746-843) plus the
+  * scale-path parquet layouts the 100 TB design assumes.
+  */
+object Sinks {
+
+  /** CSV export with header, one directory per bucket (reference to_csv). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** The preferred internal layout: parquet partitioned by a low-cardinality
+    * date column (partition pruning on time-range queries) and bucketed by
+    * asset so per-asset windows and asset-equi joins avoid a shuffle.
+    * Bucketing requires saveAsTable (the metastore records the layout).
+    */
+  def writeBucketedTable(df: DataFrame, table: String, partitionCol: String,
+                         bucketCol: String, numBuckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy("time")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Plain partitioned parquet (no metastore needed). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+}

@@ -47,6 +47,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("simHashCandidates pairs near-identical texts within hamming budget") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " ok"
+    val far = "completely different subject matter entirely about spark plans"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashCandidates(df, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("hammingDistance counts differing bits") {
+    val df = Seq((0L, 7L), (5L, 5L)).toDF("a", "b")
+    val got = df.select(Dedup.hammingDistance($"a", $"b")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0))
+  }
+
   test("ngramJaccardPairs finds the constructed near-dup pair only") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val b = (1 to 27).map(i => s"w$i").mkString(" ") + " q1 q2 q3"
