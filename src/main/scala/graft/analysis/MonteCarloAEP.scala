@@ -30,6 +30,7 @@ final class MonteCarloAEP(
     timeResolution: String = "MS", // "MS" (monthly) | "D" (daily)
     uq: Boolean = false,
     numSim: Int = 2000,
+    regModel: String = "lin", // "lin" | "gbt" | "rf" (aep.py reg_model lin/gbm/etr)
     uncertaintyMeter: Double = 0.005,
     uncertaintyLosses: Double = 0.05,
     windinessYears: (Int, Int) = (10, 20),
@@ -37,6 +38,7 @@ final class MonteCarloAEP(
     seed: Long = 42L) {
 
   require(Seq("MS", "D").contains(timeResolution), s"bad timeResolution $timeResolution")
+  require(Seq("lin", "gbt", "rf").contains(regModel), s"bad regModel $regModel")
   private val truncUnit = if (timeResolution == "MS") "month" else "day"
 
   final case class PeriodRow(
@@ -189,13 +191,23 @@ final class MonteCarloAEP(
       }
       val sample = if (uq) Array.fill(data.size)(data(rng.nextInt(data.size))) else data.toArray
       val xs = sample.map(_._1); val ys = sample.map(_._2)
-      val fit = Fitting.wlsFit(xs, ys, Array.fill(xs.length)(1.0))
+      val predict: Double => Double = regModel match {
+        case "lin" =>
+          val fit = Fitting.wlsFit(xs, ys, Array.fill(xs.length)(1.0))
+          fit.predict _
+        case _ =>
+          // tree models via spark.ml on the (tiny) sampled aggregate
+          // (aep.py:930-959 gbm/etr path); memoization is unnecessary here
+          // because hyperparameters are fixed per run
+          MonteCarloAEP.fitTreeModel(plant.meterDf.sparkSession, regModel, xs, ys,
+            seed + n)
+      }
 
       // long-term window: last `years` years of the LT series
       val periodsPerYear = if (timeResolution == "MS") 12 else 365
       val window = lt.takeRight(years * periodsPerYear)
       val grossLt = window.map { r =>
-        val g = fit.predict(r.ws(product))
+        val g = predict(r.ws(product))
         if (timeResolution == "MS") g * r.numDays / 30.0 else g
       }
 
@@ -219,5 +231,30 @@ final class MonteCarloAEP(
       iavA(n) = iav
     }
     Result(aepA, availA, curtA, iavA)
+  }
+}
+
+object MonteCarloAEP {
+  /** Fit a spark.ml tree regressor on a small (x, y) sample; returns a
+    * driver-side predictor. Mirrors the reference's gbm (GradientBoosting)
+    * and etr (ExtraTrees ~ RandomForest) AEP models
+    * (utils/machine_learning_setup.py:62-213, aep.py:930-959).
+    */
+  def fitTreeModel(spark: org.apache.spark.sql.SparkSession, model: String,
+                   xs: Array[Double], ys: Array[Double], seed: Long): Double => Double = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+    import spark.implicits._
+    val df = xs.zip(ys).toSeq.toDF("x", "y")
+    val assembled = new VectorAssembler().setInputCols(Array("x"))
+      .setOutputCol("features").transform(df)
+    val fitted = model match {
+      case "gbt" => new GBTRegressor().setLabelCol("y").setMaxDepth(3)
+        .setMaxIter(50).setSeed(seed).fit(assembled)
+      case "rf" => new RandomForestRegressor().setLabelCol("y").setMaxDepth(6)
+        .setNumTrees(100).setSeed(seed).fit(assembled)
+      case other => throw new IllegalArgumentException(s"bad tree model $other")
+    }
+    x => fitted.predict(org.apache.spark.ml.linalg.Vectors.dense(x))
   }
 }

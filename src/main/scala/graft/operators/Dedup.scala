@@ -164,6 +164,26 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** SimHash signatures as a TABLE (id, sig) via exploded tokens + 64
+    * codegen'd conditional-sum aggregates — value-identical to [[simHash]]
+    * but avoids the interpreted per-bit array lambdas (same pathology and
+    * same fix as the MinHash signature path).
+    */
+  def simHashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("__h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { bit =>
+      sum(when(shiftrightunsigned(col("__h"), bit).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$bit")
+    }
+    val sig = (0 until 64).map { bit =>
+      when(col(s"__b$bit") > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
   /** Hamming distance between two 64-bit signatures: popcount of the XOR —
     * pure codegen'd built-ins. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -179,8 +199,7 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = 64 / bands
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+    val sigs = simHashTable(df, textCol, idCol).localCheckpoint(true)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * bandBits)

@@ -39,6 +39,17 @@ class AnalysesSpec extends SparkSpec {
     assert(aep.aepStd > 0.0)
   }
 
+  test("MonteCarloAEP tree models (gbt/rf) land near the linear model") {
+    val lin = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    for (m <- Seq("gbt", "rf")) {
+      val tree = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+        regModel = m, windinessYears = (1, 2)).run()
+      assert(math.abs(tree.aepMean - lin.aepMean) / lin.aepMean < 0.35,
+        s"$m AEP ${tree.aepMean} too far from lin ${lin.aepMean}")
+    }
+  }
+
   test("TurbineLongTermGrossEnergy per-turbine energies are equal-ish and plausible") {
     val tie = new TurbineLongTermGrossEnergy(plant).run()
     val per = tie.perTurbine

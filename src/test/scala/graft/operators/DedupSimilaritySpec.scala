@@ -58,6 +58,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simHashTable produces signatures identical to the simHash column") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"),
+      (3L, "")).toDF("doc_id", "text")
+    val colSigs = df.select($"doc_id", Dedup.simHash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val tblSigs = Dedup.simHashTable(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(colSigs == tblSigs)
+  }
+
   test("hammingDistance counts differing bits") {
     val df = Seq((0L, 7L), (5L, 5L)).toDF("a", "b")
     val got = df.select(Dedup.hammingDistance($"a", $"b")).as[Int].collect().toSeq

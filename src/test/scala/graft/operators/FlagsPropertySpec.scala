@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Met
+
+/** Property-style invariant tests for flag/met operators (SURVEY.md §5
+  * item 3): bounds, idempotence, symmetry — over seeded random inputs
+  * (hand-rolled loops; the scalatest-scalacheck bridge isn't available in
+  * the offline dependency cache).
+  */
+class FlagsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+  private def randomDoubles(n: Int): List[Double] =
+    List.fill(n)((rng.nextDouble() - 0.5) * 2e6)
+
+  test("property: rangeFlag never flags values inside the bounds") {
+    for (_ <- 1 to 20) {
+      val xs = randomDoubles(30)
+      val lo = -rng.nextDouble() * 100
+      val hi = rng.nextDouble() * 100
+      val contradictions = xs.toDF("x")
+        .select(($"x".between(lo, hi)) && Flags.rangeFlag($"x", lo, hi))
+        .as[Boolean].collect()
+      assert(!contradictions.exists(identity))
+    }
+  }
+
+  test("property: wrap180 output always lies in [-180, 180)") {
+    for (_ <- 1 to 20) {
+      val out = randomDoubles(50).toDF("x")
+        .select(Met.wrap180($"x")).as[Double].collect()
+      assert(out.forall(v => v >= -180.0 && v < 180.0))
+    }
+  }
+
+  test("property: wrap360 is idempotent") {
+    for (_ <- 1 to 20) {
+      val once = randomDoubles(50).toDF("x")
+        .select(Met.wrap360($"x").as("w")).as[Double].collect()
+      val twice = once.toSeq.toDF("x")
+        .select(Met.wrap360($"x")).as[Double].collect()
+      assert(once.zip(twice).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
+  test("property: stdRangeFlag flags a strict subset at threshold 1") {
+    for (_ <- 1 to 10) {
+      val xs = List.fill(50)(rng.nextDouble() * 200 - 100)
+      val n = Flags.stdRangeFlag(xs.toDF("x"), "x", threshold = 1.0)
+        .filter($"flag").count()
+      assert(n < xs.size)
+    }
+  }
+
+  test("property: unresponsiveFlag flags nothing when all values distinct") {
+    for (_ <- 1 to 10) {
+      val xs = rng.shuffle((1 to 40).toList).map(_.toDouble)
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+      val n = Flags.unresponsiveFlag(df, "v", "t", threshold = 2)
+        .filter($"flag").count()
+      assert(n == 0)
+    }
+  }
+
+  test("property: jaccard is 1 on self and symmetric") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    for (_ <- 1 to 10) {
+      val a = List.fill(12)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      val b = List.fill(12)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      val row = Seq((a, b)).toDF("ta", "tb").select(
+        Dedup.jaccard(Dedup.wordShingles($"ta", 2), Dedup.wordShingles($"ta", 2)),
+        Dedup.jaccard(Dedup.wordShingles($"ta", 2), Dedup.wordShingles($"tb", 2)),
+        Dedup.jaccard(Dedup.wordShingles($"tb", 2), Dedup.wordShingles($"ta", 2))).head()
+      assert(row.getDouble(0) == 1.0)
+      assert(math.abs(row.getDouble(1) - row.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("property: cosine bounded in [-1, 1] and 1 on self") {
+    for (_ <- 1 to 10) {
+      val v = Array.fill(16)(rng.nextGaussian())
+      val w = Array.fill(16)(rng.nextGaussian())
+      val row = Seq((v, w)).toDF("a", "b").select(
+        Similarity.cosine($"a", $"a"), Similarity.cosine($"a", $"b")).head()
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(row.getDouble(1) >= -1.0 - 1e-12 && row.getDouble(1) <= 1.0 + 1e-12)
+    }
+  }
+}
