@@ -147,7 +147,7 @@ object Flags {
     val assembled = new VectorAssembler()
       .setInputCols(Array(col1, col2)).setOutputCol("__features")
       .setHandleInvalid("skip").transform(df)
-    val model = new KMeans().setK(nClusters).setSeed(42)
+    val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
       .fit(assembled)
     val clustered = model.transform(assembled)

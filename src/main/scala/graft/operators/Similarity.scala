@@ -34,11 +34,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val nn = col("__qn") * col("__cn")
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        when(nn === 0, 0.0).otherwise(dot(col("__qv"), col("__cv")) / nn))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -96,13 +100,20 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
+    // norms computed once per ROW (not per pair): cuts the per-pair work to
+    // one dot product; identical arithmetic to cosine() since the norm fold
+    // is the same either way
+    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
+      col(vecCol), norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val nn = col("__na") * col("__nb")
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        when(nn === 0, 0.0).otherwise(dot(col("__va"), col("__vb")) / nn))
       .filter(col("cosine") >= threshold)
       .select("block", "id_a", "id_b", "cosine")
   }
