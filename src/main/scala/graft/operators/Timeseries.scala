@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Convert naive local timestamps to UTC for time zone `zone`, resolving
+    * DST ambiguity the same way as the reference's pandas
+    * `tz_localize(ambiguous=True)` (timeseries.py:82-141, qa.py:115-175):
+    * ambiguous fall-back local times resolve to the EARLIER (DST) offset —
+    * which is java.time's overlap rule inside `to_utc_timestamp` — and
+    * nonexistent spring-forward times shift by the gap. Row-local, no UDF.
+    */
+  def localToUtc(ts: Column, zone: String): Column = to_utc_timestamp(ts, zone)
+
+  /** Flag local timestamps that are DST-ambiguous (fall-back overlap): the
+    * round-trip utc->local of (utc + 1h) equals the original local time only
+    * inside an overlap.
+    */
+  def isDstAmbiguous(ts: Column, zone: String): Column = {
+    val utc = to_utc_timestamp(ts, zone)
+    from_utc_timestamp(utc + expr("INTERVAL 1 HOUR"), zone) === ts
+  }
+
   /** Truncate a timestamp to the start of its resample bucket.
     * freq: "month" | "week" | "day" | "hour" | "minute" | arbitrary
     * "N minutes"/"N seconds" handled by `resampleWindow`.

@@ -51,6 +51,28 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == Seq(0.5, 0.0))
   }
 
+  test("localToUtc resolves DST overlap to the earlier (DST) offset") {
+    // Europe/Paris 2019-10-27: 03:00 CEST falls back to 02:00 CET; local
+    // 02:30 is ambiguous -> earlier offset (+02:00) -> 00:30 UTC, matching
+    // pandas tz_localize(ambiguous=True)
+    val df = Seq(ts("2019-10-27 02:30:00")).toDF("t")
+    val utc = df.select(Timeseries.localToUtc($"t", "Europe/Paris"))
+      .as[Timestamp].head()
+    assert(utc == ts("2019-10-27 00:30:00"))
+    // and an unambiguous summer time: +02:00
+    val summer = Seq(ts("2019-07-01 12:00:00")).toDF("t")
+      .select(Timeseries.localToUtc($"t", "Europe/Paris")).as[Timestamp].head()
+    assert(summer == ts("2019-07-01 10:00:00"))
+  }
+
+  test("isDstAmbiguous flags only overlap times") {
+    val df = Seq(ts("2019-10-27 02:30:00"), ts("2019-10-27 04:00:00"),
+      ts("2019-07-01 12:00:00")).toDF("t")
+    val got = df.select(Timeseries.isDstAmbiguous($"t", "Europe/Paris"))
+      .as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false))
+  }
+
   test("forwardFill carries last non-null forward per partition") {
     val df = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
       ("b", 1, None), ("b", 2, Some(5.0)))
