@@ -168,16 +168,11 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
-    // frequency inference: mode of consecutive deltas (timeseries.py:35-79)
+    // frequency inference: mode of consecutive deltas (timeseries.py:35-79).
+    // Bucket-partitioned diff computation — no global fact-grain window.
     "q_freq_infer" -> ((s, dir) => {
-      val w = Window.orderBy("ts")
-      Tables.events(s, dir)
-        .withColumn("diff", epochS(col("ts")) - epochS(lag(col("ts"), 1).over(w)))
-        .filter(col("diff").isNotNull)
-        .groupBy("diff").count()
-        .orderBy(desc("count"), asc("diff"))
-        .limit(1)
-        .select(col("diff").as("freq_seconds"), col("count").as("n"))
+      Timeseries.inferFrequencySeconds(Tables.events(s, dir), "ts",
+        bucketSeconds = 86400L)
     }),
 
     // ---- 2.5 window functions ----------------------------------------------
@@ -383,10 +378,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup pairs within source blocks
+    // n-gram Jaccard near-dup pairs within source blocks. The default
+    // hot-shingle cap (1000) is active — no shingle reaches it at oracle
+    // scale, so the result is unchanged, while a skewed corpus stays
+    // sub-quadratic.
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-          "source", n = 3, minJaccard = 0.05, maxShingleFreq = Int.MaxValue)
+          "source", n = 3, minJaccard = 0.05)
         .orderBy("block", "id_a", "id_b")
     }),
 

@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ArrayDot, ColumnBridge}
+
+/** Public wrappers for graft's codegen'd dense-vector kernels (see
+  * [[org.apache.spark.sql.graft.ArrayDot]] for the design rationale).
+  */
+object VectorExprs {
+  /** Codegen'd dot product of two array<double> columns; summation order is
+    * sequential (index 0..n-1), identical to the HOF fold it replaces, so
+    * results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

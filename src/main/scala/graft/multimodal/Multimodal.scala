@@ -43,8 +43,12 @@ object Multimodal {
       .when(substring(col(bytesCol), 1, 3) === lit("PNG".getBytes.take(3)), "png")
       .when(substring(col(bytesCol), 1, 4) === lit("RIFF".getBytes), "wav")
       .otherwise("unknown")
+    val mediaType = when(fmt.isin("jpeg", "png"), "image")
+      .when(fmt === "wav", "audio")
+      .when(fmt.isin("mp4", "mkv", "webm"), "video")
+      .otherwise(lit(null).cast(StringType))
     df.withColumn(metaCol, struct(
-      lit("image").as("media_type"), fmt.as("format"),
+      mediaType.as("media_type"), fmt.as("format"),
       lit(null).cast(IntegerType).as("width"),
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms"),

@@ -107,7 +107,7 @@ object Dedup {
     */
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 5, numHashes: Int = 128,
-                        bands: Int = 32): DataFrame = {
+                        bands: Int = 32, maxBucketSize: Int = 2000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Signatures via shingle ROWS + grouped min-aggregates rather than
     // array-lambda minhashing: higher-order functions are interpreted (no
@@ -133,9 +133,18 @@ object Dedup {
     // dominant cost at scale. Signatures re-attach per UNIQUE pair
     // afterwards (the signature table is #docs x numHashes longs —
     // broadcastable far beyond any realistic corpus partition).
-    val keyed = sigs
+    val keyed0 = sigs
       .withColumn("bandkey", explode(lshBands(col("sig"), bands, rowsPerBand)))
       .select("bandkey", "id")
+    // Skew guard: a band bucket of b docs emits b^2/2 pair rows; buckets
+    // beyond maxBucketSize are near-identical cliques (or degenerate hash
+    // collisions) whose pairs add quadratic cost without new information —
+    // drop them via a tiny aggregate + broadcast anti-join.
+    val keyed = {
+      val hot = keyed0.groupBy("bandkey").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize).select("bandkey")
+      keyed0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+    }
     val candPairs = keyed.join(keyed.withColumnRenamed("id", "id_b"), Seq("bandkey"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
@@ -196,15 +205,22 @@ object Dedup {
     * an all-pairs scan.
     */
   def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = 64 / bands
     val sigs = simHashTable(df, textCol, idCol).localCheckpoint(true)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))
       }: _*)).as(Seq("band", "band_val")))
+    // Same skew guard as minHashCandidates: cap per-(band, value) bucket
+    // size so one degenerate band value can't go quadratic.
+    val banded = {
+      val hot = banded0.groupBy("band", "band_val").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize).select("band", "band_val")
+      banded0.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
+    }
     val a = banded.select(col("band"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_val"),
@@ -228,32 +244,41 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs within blocking groups (e.g. same
     * source): explode shingles, self-join on shingle within the block to
     * count intersections, recover |union| from per-doc sizes. The shuffle key
-    * is (block, shingle) — scales as long as shingle frequencies are bounded
-    * (drop ultra-common shingles via `maxShingleFreq`).
+    * is (block, shingle).
+    *
+    * Scale guards: one hot shingle of frequency f inside a block emits
+    * O(f^2) join rows, so shingles above `maxShingleFreq` are dropped
+    * BEFORE the self-join (a shingle shared by thousands of docs is
+    * boilerplate carrying no dedup signal; jaccard is then computed on the
+    * capped shingle sets, sizes included). The hot-shingle set is found with
+    * a cheap aggregate + broadcast anti-join — NOT a count-over-window pass,
+    * which would sort the whole shingle table. Only ids transit the
+    * self-join; per-doc sizes attach to the (much smaller) aggregated pair
+    * table afterwards.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int = 3, minJaccard: Double = 0.1,
                         maxShingleFreq: Int = 1000): DataFrame = {
     val sh = wordShingleRows(df, idCol, textCol, n, passthrough = Seq(blockCol))
       .withColumnRenamed(blockCol, "block")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sh_size"))
-    val exploded = sh.join(broadcast(sizes), Seq("id"))
-    // the ultra-common-shingle cap costs a full window pass; skip it when
-    // effectively disabled
     val filtered =
-      if (maxShingleFreq >= Int.MaxValue / 2) exploded
-      else exploded.withColumn("__freq",
-          count(lit(1)).over(Window.partitionBy("block", "shingle")))
-        .filter(col("__freq") <= maxShingleFreq).drop("__freq")
-    val a = filtered.select(col("block"), col("shingle"),
-      col("id").as("id_a"), col("sh_size").as("size_a"))
-    val b = filtered.select(col("block"), col("shingle"),
-      col("id").as("id_b"), col("sh_size").as("size_b"))
-    a.join(b, Seq("block", "shingle"))
+      if (maxShingleFreq >= Int.MaxValue / 2) sh
+      else {
+        val hot = sh.groupBy("block", "shingle").agg(count(lit(1)).as("__freq"))
+          .filter(col("__freq") > maxShingleFreq)
+          .select("block", "shingle")
+        sh.join(broadcast(hot), Seq("block", "shingle"), "left_anti")
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sh_size"))
+    val a = filtered.select(col("block"), col("shingle"), col("id").as("id_a"))
+    val b = filtered.select(col("block"), col("shingle"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("block", "shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("block", "id_a", "id_b")
-      .agg(count(lit(1)).as("inter"),
-        first("size_a").as("size_a"), first("size_b").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sh_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sh_size").as("size_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")))

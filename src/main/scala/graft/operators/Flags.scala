@@ -66,12 +66,16 @@ object Flags {
     * Reference: filters.py:67-109 (`unresponsive_flag`).
     *
     * @param partitionCols per-asset partitioning (e.g. "asset_id") so windows
-    *                      parallelize across assets; empty = single series.
+    *                      parallelize across assets. REQUIRED at call sites
+    *                      (no default): pass Seq.empty ONLY for a deliberate
+    *                      single-series table — that path runs one ordered
+    *                      pass over the whole input.
     */
   def unresponsiveFlag(df: DataFrame, valueCol: String, orderCol: String,
                        threshold: Int = 3, flagCol: String = "flag",
-                       partitionCols: Seq[String] = Seq.empty): DataFrame = {
-    val w = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+                       partitionCols: Seq[String]): DataFrame = {
+    val w = if (partitionCols.isEmpty)
+              Window.partitionBy(Timeseries.singlePartitionKey(col(orderCol))).orderBy(orderCol)
             else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
     val changed = when(
       lag(col(valueCol), 1).over(w).isNull ||

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** A deliberately-constant partition key for SMALL (bucket-grain) tables:
+    * always 0, but derived from a column so the optimizer can't fold it away
+    * and plan an "unpartitioned" window (a literal key is stripped by
+    * constant folding, which re-triggers WindowExec's global-partition path
+    * and its warning). Use ONLY where a single ordered pass over a bounded
+    * table is the intent.
+    */
+  private[operators] def singlePartitionKey(c: Column): Column =
+    pmod(xxhash64(c), lit(1L))
+
   /** Convert naive local timestamps to UTC for time zone `zone`, resolving
     * DST ambiguity the same way as the reference's pandas
     * `tz_localize(ambiguous=True)` (timeseries.py:82-141, qa.py:115-175):
@@ -47,26 +57,55 @@ object Timeseries {
 
   /** Infer the dominant sampling interval in seconds: mode of consecutive
     * timestamp deltas (per series when `partitionCols` given).
-    * Returns a 1-row-per-partition DataFrame (partitionCols..., freq_seconds).
+    * Returns a 1-row-per-partition DataFrame
+    * (partitionCols..., freq_seconds, n) where n is the mode's count.
     * Reference: timeseries.py:35-79 (`determine_frequency`).
+    *
+    * Scale design: NO global single-partition window. The time axis is cut
+    * into `bucketSeconds` buckets; consecutive deltas are computed with a
+    * window partitioned by (partitionCols, bucket), and the deltas that
+    * straddle bucket boundaries are recovered from a bucket-grain
+    * (min, max) span table — exactly N-1 deltas total, value-identical to a
+    * single global lag, but the largest window partition is one bucket of
+    * one series.
     */
   def inferFrequencySeconds(df: DataFrame, tsCol: String,
-                            partitionCols: Seq[String] = Seq.empty): DataFrame = {
-    val w = if (partitionCols.isEmpty) Window.orderBy(tsCol)
-            else Window.partitionBy(partitionCols.map(col): _*).orderBy(tsCol)
-    val diffs = df
+                            partitionCols: Seq[String] = Seq.empty,
+                            bucketSeconds: Long = 7L * 86400): DataFrame = {
+    val pc = partitionCols.map(col)
+    val keyed = df.select((pc :+ col(tsCol)): _*)
+      .withColumn("__bucket", floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    val wIn = Window.partitionBy((pc :+ col("__bucket")): _*).orderBy(tsCol)
+    val inner = keyed
       .withColumn("__diff",
-        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w)))
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(wIn)))
       .filter(col("__diff").isNotNull)
-    val grouped =
-      if (partitionCols.isEmpty) diffs.groupBy(lit(1).as("__g"), col("__diff")).count()
-      else diffs.groupBy((partitionCols.map(col) :+ col("__diff")): _*).count()
-    val rankW =
-      if (partitionCols.isEmpty) Window.partitionBy("__g").orderBy(desc("count"), asc("__diff"))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(desc("count"), asc("__diff"))
-    grouped.withColumn("__rn", row_number().over(rankW))
-      .filter(col("__rn") === 1)
-      .select((partitionCols.map(col) :+ col("__diff").as("freq_seconds")): _*)
+      .select((pc :+ col("__diff")): _*)
+    // Bucket-grain span table: one row per non-empty (series, bucket) —
+    // bounded by time-span / bucketSeconds, so the single ordered pass over
+    // it is deliberate and cheap (partitionBy(lit(0)) states that intent
+    // for the global case).
+    val spans = keyed.groupBy((pc :+ col("__bucket")): _*)
+      .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+    val wB = if (pc.isEmpty) Window.partitionBy(singlePartitionKey(col("__bucket"))).orderBy("__bucket")
+             else Window.partitionBy(pc: _*).orderBy("__bucket")
+    val boundary = spans
+      .withColumn("__prevMax", lag(col("__max"), 1).over(wB))
+      .filter(col("__prevMax").isNotNull)
+      .select((pc :+
+        (unix_timestamp(col("__min")) - unix_timestamp(col("__prevMax"))).as("__diff")): _*)
+    val diffs = inner.unionByName(boundary)
+    if (pc.isEmpty) {
+      diffs.groupBy(col("__diff")).count()
+        .orderBy(desc("count"), asc("__diff")).limit(1)
+        .select(col("__diff").as("freq_seconds"), col("count").as("n"))
+    } else {
+      val grouped = diffs.groupBy((pc :+ col("__diff")): _*).count()
+      val rankW = Window.partitionBy(pc: _*).orderBy(desc("count"), asc("__diff"))
+      grouped.withColumn("__rn", row_number().over(rankW))
+        .filter(col("__rn") === 1)
+        .select((pc :+ col("__diff").as("freq_seconds") :+ col("count").as("n")): _*)
+    }
   }
 
   /** Timestamps appearing more than once (per asset if partitionCols given).
@@ -117,16 +156,52 @@ object Timeseries {
     df.groupBy(trunc(col(tsCol), freq).as(tsCol))
       .agg(countDistinct(trunc(col(tsCol), subFreq)).as(s"num_$subFreq"))
 
-  /** Forward-fill nulls in `valueCol` ordered by `orderCol` (per partition):
-    * last non-null over an unbounded-preceding window.
+  /** Forward-fill nulls in `valueCol` ordered by `orderCol` per partition:
+    * last non-null over an unbounded-preceding window. `partitionCols` is
+    * REQUIRED non-empty — an unkeyed ffill would serialize the table through
+    * one task; use [[forwardFillGlobal]] for a keyless series.
     * Reference pattern: wake_losses.py:1050 (reanalysis hourly -> 10-min ffill).
     */
   def forwardFill(df: DataFrame, valueCol: String, orderCol: String,
-                  partitionCols: Seq[String] = Seq.empty): DataFrame = {
-    val w0 = if (partitionCols.isEmpty) Window.orderBy(orderCol)
-             else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
-    val w = w0.rowsBetween(Window.unboundedPreceding, 0)
+                  partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "forwardFill needs partition keys; use forwardFillGlobal for a single global series")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Forward-fill a SINGLE (unkeyed) series without a global window: bucket
+    * the time axis, ffill within each bucket in parallel, then carry each
+    * bucket's last non-null value forward via a bucket-grain prefix table
+    * broadcast back. The only ordered single-partition pass is over the
+    * bucket table (<= span/bucketSeconds rows). Result is value-identical to
+    * a global ordered ffill (ties between duplicate timestamps resolve by
+    * max_by, matching a stable sort's last occurrence).
+    */
+  def forwardFillGlobal(df: DataFrame, valueCol: String, tsCol: String,
+                        bucketSeconds: Long = 86400L): DataFrame = {
+    val bucketed = df.withColumn("__bucket",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    val wIn = Window.partitionBy("__bucket").orderBy(tsCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = bucketed.withColumn("__v",
+      last(col(valueCol), ignoreNulls = true).over(wIn))
+    // bucket-grain: last non-null value within each bucket
+    val lastPer = bucketed.filter(col(valueCol).isNotNull)
+      .groupBy("__bucket")
+      .agg(max_by(col(valueCol), col(tsCol)).as("__lastv"))
+    val allBuckets = bucketed.select("__bucket").distinct()
+    // carry into bucket b = last non-null from any strictly-earlier bucket
+    val wCarry = Window.partitionBy(singlePartitionKey(col("__bucket")))
+      .orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets.join(lastPer, Seq("__bucket"), "left")
+      .withColumn("__carry", last(col("__lastv"), ignoreNulls = true).over(wCarry))
+      .select("__bucket", "__carry")
+    filled.join(broadcast(carry), Seq("__bucket"), "left")
+      .withColumn(valueCol, coalesce(col("__v"), col("__carry")))
+      .drop("__bucket", "__v", "__carry")
   }
 
   /** Linear interpolation of nulls in `valueCol` against a numeric axis
@@ -135,11 +210,15 @@ object Timeseries {
     * edges fall back to nearest non-null (matching pandas
     * interpolate().bfill() used by the IEC power curve).
     * Reference: power_curve/functions.py:61.
+    *
+    * NOTE: an empty `partitionCols` runs one ordered pass over the whole
+    * input — only use it on bin-grain tables (power-curve bins, monthly
+    * aggregates), never at fact grain; pass keys there.
     */
   def interpolateLinear(df: DataFrame, valueCol: String, xCol: String,
                         orderCol: String,
                         partitionCols: Seq[String] = Seq.empty): DataFrame = {
-    val base = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+    val base = if (partitionCols.isEmpty) Window.partitionBy(singlePartitionKey(col(orderCol))).orderBy(orderCol)
                else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
     val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
     val wNext = base.rowsBetween(0, Window.unboundedFollowing)

@@ -1,0 +1,205 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plant.{PlantData, PlantMetadata}
+import graft.schema.{AnalysisRequirements, PlantSchemas}
+
+/** Per-bucket declarative metadata: canonical -> user column names plus the
+  * bucket's timestamp frequency (reference: schema/metadata.py col_map
+  * attributes, e.g. :464-480 for SCADA).
+  */
+final case class BucketMeta(colMap: Map[String, String],
+                            frequency: Option[String] = None) {
+  def freqSeconds: Option[Long] =
+    frequency.flatMap(AnalysisRequirements.freqSeconds.get)
+}
+
+/** Parsed plant metadata file (reference: PlantMetaData,
+  * schema/metadata.py:971-1139 with from_json/from_yaml/load): plant-level
+  * coordinates/capacity plus per-bucket column maps, with reanalysis as a
+  * product-name -> meta map.
+  */
+final case class PlantMetaConfig(
+    latitude: Double,
+    longitude: Double,
+    capacityMw: Double,
+    buckets: Map[String, BucketMeta],
+    reanalysis: Map[String, BucketMeta])
+
+object PlantMetaConfig {
+
+  /** Dispatch on file extension, mirroring PlantMetaData.load
+    * (schema/metadata.py:1108-1139). Jackson ships on the Spark classpath
+    * for both encodings (YAMLFactory for .yml/.yaml).
+    */
+  def fromFile(path: String): PlantMetaConfig = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".json")) fromMap(parseFile(new ObjectMapper(), path))
+    else if (lower.endsWith(".yml") || lower.endsWith(".yaml"))
+      fromMap(parseFile(new ObjectMapper(new YAMLFactory()), path))
+    else throw new IllegalArgumentException(
+      s"Bad metadata file extension for '$path': must be .json, .yml, or .yaml")
+  }
+
+  private def parseFile(mapper: ObjectMapper, path: String): Map[String, Any] = {
+    val f = new java.io.File(path)
+    require(f.isFile, s"metadata file not found: $path")
+    deepScala(mapper.readValue(f, classOf[java.util.Map[String, Object]]))
+      .asInstanceOf[Map[String, Any]]
+  }
+
+  private def deepScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> deepScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(deepScala).toList
+    case other => other
+  }
+
+  /** Build from a parsed dict (PlantMetaData.from_dict semantics): bucket
+    * sections are canonical->user string maps with an optional `frequency`;
+    * `reanalysis` nests one section per product.
+    */
+  def fromMap(m: Map[String, Any]): PlantMetaConfig = {
+    def num(k: String): Double = m.get(k) match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(s: String) => s.toDouble
+      case _ => 0.0
+    }
+    def bucketOf(v: Any): BucketMeta = {
+      val bm = v.asInstanceOf[Map[String, Any]]
+      BucketMeta(
+        bm.collect { case (k, s: String) if k != "frequency" => k -> s },
+        bm.get("frequency").map(_.toString))
+    }
+    val buckets = Seq("scada", "meter", "tower", "status", "curtail", "asset")
+      .flatMap(n => m.get(n).map(v => n -> bucketOf(v))).toMap
+    val rea = m.get("reanalysis") match {
+      case Some(r: Map[_, _]) =>
+        r.asInstanceOf[Map[String, Any]].map { case (prod, v) => prod -> bucketOf(v) }
+      case _ => Map.empty[String, BucketMeta]
+    }
+    PlantMetaConfig(num("latitude"), num("longitude"), num("capacity"), buckets, rea)
+  }
+}
+
+/** The ingestion front door: user CSVs + a declarative metadata file ->
+  * validated [[PlantData]] with canonical columns and coerced dtypes
+  * (reference: plant.py:271-331 load_to_pandas + rename_columns +
+  * dtype_converter, accumulated-error semantics of plant.py:241-267).
+  *
+  * Scale notes: CSVs are read distributed with an all-string schema (no
+  * sampling-based inference pass over 100 TB); the dtype null-delta check is
+  * ONE aggregate pass per bucket restricted to the canonical columns
+  * (column-pruned), and only a single counts row reaches the driver.
+  */
+object Ingest {
+
+  /** Read a user CSV for `bucketName` and normalize it: rename user ->
+    * canonical per the column map, coerce to the canonical bucket schema,
+    * and accumulate (not throw) validation errors. Returns (df, errors).
+    */
+  def loadBucketCsv(spark: SparkSession, path: String, bucketName: String,
+                    meta: BucketMeta): (DataFrame, Seq[String]) = {
+    val raw = spark.read.option("header", "true").csv(path)
+    normalizeBucket(raw, bucketName, meta)
+  }
+
+  /** Rename + coerce an already-loaded DataFrame (the load_to_pandas
+    * "already a DataFrame" branch). Errors cover: mapped user columns
+    * missing from the data (plant.py:223-238 column_validator) and casts
+    * that produce new nulls (plant.py:241-267 dtype_converter — pandas
+    * astype raises; Spark casts to null, so the null-delta IS the error
+    * signal).
+    */
+  def normalizeBucket(raw: DataFrame, bucketName: String,
+                      meta: BucketMeta): (DataFrame, Seq[String]) = {
+    val errors = mutable.ArrayBuffer.empty[String]
+    val canonical = PlantSchemas.bucketSchemas.getOrElse(bucketName,
+      throw new IllegalArgumentException(s"unknown bucket '$bucketName'"))
+    val have = raw.columns.toSet
+    meta.colMap.foreach { case (canon, user) =>
+      if (!have(user)) errors += s"[$bucketName] missing column '$user' (mapped to $canon)"
+    }
+    val renames = meta.colMap.collect { case (canon, user) if have(user) => user -> canon }
+    val renamed = raw.withColumnsRenamed(renames)
+    val targets = canonical.fields.filter(f => renamed.columns.contains(f.name))
+
+    // try_* variants: under ANSI mode a plain cast THROWS on the first
+    // malformed value; try_cast nulls it, which is exactly the pandas-astype
+    // failure signal the null-delta check accumulates.
+    def coerced(f: StructField) = f.dataType match {
+      case TimestampType => try_to_timestamp(col(f.name))
+      case dt => col(f.name).try_cast(dt)
+    }
+    if (targets.nonEmpty) {
+      // one pruned aggregate pass: nulls introduced BY the cast, per column
+      val deltas = targets.map(f =>
+        coalesce(sum(when(col(f.name).isNotNull && coerced(f).isNull, 1L)
+          .otherwise(0L)), lit(0L)).as(f.name))
+      val row = renamed.agg(deltas.head, deltas.tail: _*).head()
+      targets.zipWithIndex.foreach { case (f, i) =>
+        val bad = row.getLong(i)
+        if (bad > 0)
+          errors += s"[$bucketName] column '${f.name}': $bad values failed cast to ${f.dataType.simpleString}"
+      }
+    }
+    val out = targets.foldLeft(renamed)((acc, f) => acc.withColumn(f.name, coerced(f)))
+    (out, errors.toSeq)
+  }
+
+  /** Full front door: metadata file + per-bucket CSV paths -> validated
+    * PlantData. `reanalysisPaths` maps product name -> CSV path. All
+    * ingestion errors accumulate and raise once, matching the reference's
+    * attrs post-init validation (plant.py:449-477).
+    */
+  def loadPlant(spark: SparkSession, metaPath: String,
+                csvPaths: Map[String, String],
+                reanalysisPaths: Map[String, String] = Map.empty,
+                analysisTypes: Seq[String] = Seq.empty): PlantData = {
+    val cfg = PlantMetaConfig.fromFile(metaPath)
+    val errors = mutable.ArrayBuffer.empty[String]
+
+    def bucket(name: String): Option[DataFrame] = csvPaths.get(name).map { p =>
+      val (df, errs) = loadBucketCsv(spark, p, name,
+        cfg.buckets.getOrElse(name, BucketMeta(Map.empty)))
+      errors ++= errs
+      df
+    }
+    val scada = bucket("scada")
+    val meter = bucket("meter")
+    val tower = bucket("tower")
+    val status = bucket("status")
+    val curtail = bucket("curtail")
+    val asset = bucket("asset")
+    val rea = reanalysisPaths.map { case (prod, p) =>
+      val (df, errs) = loadBucketCsv(spark, p, "reanalysis",
+        cfg.reanalysis.getOrElse(prod, BucketMeta(Map.empty)))
+      errors ++= errs
+      prod -> df
+    }
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Plant ingestion failed:\n${errors.mkString("\n")}")
+
+    def freq(name: String, dflt: Long): Long =
+      cfg.buckets.get(name).flatMap(_.freqSeconds).getOrElse(dflt)
+    val meta = PlantMetadata(
+      scadaFreqSeconds = freq("scada", 600L),
+      meterFreqSeconds = freq("meter", 600L),
+      curtailFreqSeconds = freq("curtail", 600L),
+      reanalysisFreqSeconds = cfg.reanalysis.values.headOption
+        .flatMap(_.freqSeconds).getOrElse(3600L),
+      capacityKw = cfg.capacityMw * 1000.0)
+    PlantData.load(scada = scada, meter = meter, tower = tower, status = status,
+      curtail = curtail, asset = asset, reanalysis = rea, metadata = meta,
+      analysisTypes = analysisTypes)
+  }
+}

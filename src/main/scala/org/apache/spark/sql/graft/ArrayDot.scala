@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Codegen'd dense dot product over two array<double> columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b, _*_))`)
+  * is interpreted — Spark's lambda functions don't participate in
+  * whole-stage codegen, and this shape measured 5-28x slower on the
+  * MinHash/SimHash paths. A native Catalyst `Expression` with `doGenCode`
+  * keeps the dot product a tight JIT'd loop inside the enclosing
+  * WholeStageCodegen span.
+  *
+  * Lives in the org.apache.spark.sql namespace because the input-type
+  * machinery (AbstractDataType) is `private[sql]`.
+  *
+  * Assumes no null elements inside the arrays (embedding columns; enforced
+  * upstream). Arrays of unequal length dot over the common prefix.
+  * Summation order is sequential (index 0..n-1), identical to the HOF fold
+  * it replaces, so results are bit-identical.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

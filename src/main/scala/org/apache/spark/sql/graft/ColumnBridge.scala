@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public Column
+  * API. Spark 4's Column wraps a ColumnNode rather than an Expression, and
+  * the converters live behind `private[sql]` — this shim (in the
+  * org.apache.spark.sql namespace, the standard third-party-extension
+  * pattern) is the single place that crosses that boundary.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

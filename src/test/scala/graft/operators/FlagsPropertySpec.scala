@@ -60,7 +60,8 @@ class FlagsPropertySpec extends SparkSpec {
     for (_ <- 1 to 10) {
       val xs = rng.shuffle((1 to 40).toList).map(_.toDouble)
       val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
-      val n = Flags.unresponsiveFlag(df, "v", "t", threshold = 2)
+      val n = Flags.unresponsiveFlag(df, "v", "t", threshold = 2,
+          partitionCols = Seq.empty)
         .filter($"flag").count()
       assert(n == 0)
     }

@@ -35,7 +35,8 @@ class FlagsSpec extends SparkSpec {
     val rows = Seq(
       (1, 1.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, 2.0), (6, 7.0), (7, 7.0))
     val df = rows.toDF("t", "v")
-    val got = Flags.unresponsiveFlag(df, "v", "t", threshold = 3)
+    val got = Flags.unresponsiveFlag(df, "v", "t", threshold = 3,
+        partitionCols = Seq.empty)
       .orderBy("t").select("flag").as[Boolean].collect().toSeq
     // run of three 5s flagged entirely; pair of 7s below threshold
     assert(got == Seq(false, true, true, true, false, false, false))

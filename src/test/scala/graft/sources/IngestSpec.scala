@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+
+  private def write(path: java.nio.file.Path, content: String): String = {
+    Files.write(path, content.getBytes("UTF-8"))
+    path.toString
+  }
+
+  private lazy val dir = Files.createTempDirectory("ingest")
+
+  private lazy val metaYaml = write(dir.resolve("plant_meta.yml"),
+    """latitude: 48.45
+      |longitude: 5.59
+      |capacity: 8.2
+      |scada:
+      |  frequency: 10min
+      |  time: Date_time
+      |  asset_id: Wind_turbine_name
+      |  WTUR_W: P_avg
+      |  WMET_HorWdSpd: Ws_avg
+      |asset:
+      |  asset_id: Wind_turbine_name
+      |  latitude: Latitude
+      |  longitude: Longitude
+      |  rated_power: Rated_power
+      |""".stripMargin)
+
+  private lazy val scadaCsv = write(dir.resolve("scada.csv"),
+    """Date_time,Wind_turbine_name,P_avg,Ws_avg
+      |2020-01-01 00:00:00,T1,1500.5,7.2
+      |2020-01-01 00:10:00,T1,1600.0,7.9
+      |2020-01-01 00:00:00,T2,1400.25,6.8
+      |""".stripMargin)
+
+  private lazy val assetCsv = write(dir.resolve("asset.csv"),
+    """Wind_turbine_name,Latitude,Longitude,Rated_power
+      |T1,48.44,5.58,2000
+      |T2,48.46,5.60,2000
+      |""".stripMargin)
+
+  test("YAML metadata parses plant fields, bucket col_maps, and frequency") {
+    val cfg = PlantMetaConfig.fromFile(metaYaml)
+    assert(cfg.latitude == 48.45 && cfg.capacityMw == 8.2)
+    assert(cfg.buckets("scada").colMap("WTUR_W") == "P_avg")
+    assert(cfg.buckets("scada").freqSeconds.contains(600L))
+    assert(cfg.buckets("asset").colMap("latitude") == "Latitude")
+  }
+
+  test("JSON metadata parses identically") {
+    val metaJson = write(dir.resolve("plant_meta.json"),
+      """{"latitude": 48.45, "capacity": 8.2,
+        |"scada": {"frequency": "10min", "time": "Date_time", "WTUR_W": "P_avg"}}""".stripMargin)
+    val cfg = PlantMetaConfig.fromFile(metaJson)
+    assert(cfg.capacityMw == 8.2)
+    assert(cfg.buckets("scada").colMap("time") == "Date_time")
+  }
+
+  test("loadPlant renames to canonical, coerces dtypes, derives energy") {
+    val pd = Ingest.loadPlant(spark, metaYaml,
+      Map("scada" -> scadaCsv, "asset" -> assetCsv))
+    val scada = pd.scadaDf
+    assert(scada.columns.toSet.intersect(
+      Set("time", "asset_id", "WTUR_W", "WMET_HorWdSpd", "WTUR_SupWh")).size == 5)
+    assert(scada.schema("time").dataType.typeName == "timestamp")
+    assert(scada.schema("WTUR_W").dataType.typeName == "double")
+    val row = scada.filter(org.apache.spark.sql.functions.col("asset_id") === "T1")
+      .orderBy("time").head()
+    assert(row.getAs[Double]("WTUR_W") == 1500.5)
+    // energy = kW * (600s / 3600s)
+    assert(math.abs(row.getAs[Double]("WTUR_SupWh") - 1500.5 / 6.0) < 1e-9)
+    assert(pd.metadata.capacityKw == 8200.0)
+    assert(pd.metadata.scadaFreqSeconds == 600L)
+  }
+
+  test("cast failures surface as accumulated null-delta errors") {
+    val badCsv = write(dir.resolve("scada_bad.csv"),
+      """Date_time,Wind_turbine_name,P_avg,Ws_avg
+        |2020-01-01 00:00:00,T1,not_a_number,7.2
+        |2020-01-01 00:10:00,T1,1600.0,oops
+        |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      Ingest.loadPlant(spark, metaYaml, Map("scada" -> badCsv))
+    }
+    assert(err.getMessage.contains("WTUR_W"))
+    assert(err.getMessage.contains("failed cast"))
+    assert(err.getMessage.contains("WMET_HorWdSpd"))
+  }
+
+  test("missing mapped columns accumulate errors instead of failing one-by-one") {
+    val thinCsv = write(dir.resolve("scada_thin.csv"),
+      """Date_time,P_avg
+        |2020-01-01 00:00:00,1500.5
+        |""".stripMargin)
+    val (_, errors) = Ingest.loadBucketCsv(spark, thinCsv, "scada",
+      PlantMetaConfig.fromFile(metaYaml).buckets("scada"))
+    assert(errors.exists(_.contains("Wind_turbine_name")))
+    assert(errors.exists(_.contains("Ws_avg")))
+    assert(errors.size == 2)
+  }
+}
