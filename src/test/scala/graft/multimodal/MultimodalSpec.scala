@@ -22,6 +22,15 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == "unknown")
   }
 
+  test("withSniffedMeta derives media_type from the sniffed format") {
+    val got = Multimodal.withSniffedMeta(media, "bytes")
+      .select(col("media_id"), col("media_meta.media_type"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("image"))
+    assert(got(2L).contains("audio")) // WAV must not be labeled image
+    assert(got(3L).isEmpty)
+  }
+
   test("extractFeatures produces fixed-dim vectors; empty payloads flagged") {
     val out = Multimodal.extractFeatures(media, "bytes", featureDim = 16)
     val fi = out.schema.fieldIndex("features")

@@ -86,6 +86,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 2L)
   }
 
+  test("ngramJaccardPairs hot-shingle cap keeps a skewed corpus sub-quadratic") {
+    // 60 docs all sharing one boilerplate trigram; distinct tails otherwise.
+    // With the cap the hot shingle is dropped before the self-join, so no
+    // pair survives; uncapped, the boilerplate alone emits 60*59/2 join rows.
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"common boiler plate x${i}a x${i}b x${i}c x${i}d", "s")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val capped = Dedup.ngramJaccardPairs(df, "text", "doc_id", "source",
+      n = 3, minJaccard = 0.01, maxShingleFreq = 10).collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.ngramJaccardPairs(df, "text", "doc_id", "source",
+      n = 3, minJaccard = 0.01, maxShingleFreq = Int.MaxValue).count()
+    assert(uncapped == 60L * 59 / 2)
+  }
+
   test("bruteForceTopK returns the construction-nearest neighbor first") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),
