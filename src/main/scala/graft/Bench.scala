@@ -11,7 +11,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: stray WARN chatter on stderr must not drown the JSON line the
+    // driver parses from this run's output
+    spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup so the first measured query doesn't absorb JVM
     // compilation cost (~5s observed)
     try spark.read.parquet(s"$sfDir/lineitem.parquet")

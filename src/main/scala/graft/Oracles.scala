@@ -338,6 +338,15 @@ object Oracles {
         |  (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS span_seconds
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_status_filter" ->
+      """WITH f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |s AS (SELECT user_id, ts, event_type AS status_code FROM events
+        |  WHERE event_type IN ('signup', 'error'))
+        |SELECT f.event_id, f.user_id, f.value
+        |FROM f ASOF LEFT JOIN s ON f.user_id = s.user_id AND f.ts >= s.ts
+        |WHERE s.status_code IS NULL OR s.status_code <> 'error'
+        |ORDER BY f.event_id""".stripMargin,
+
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')

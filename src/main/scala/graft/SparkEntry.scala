@@ -474,6 +474,20 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "q_status_filter" -> ((s, dir) => {
+      // status-bucket consumer (StatusOps): signup/error events are the
+      // changepoint stream; view rows during an active "error" status drop
+      val ev = Tables.events(s, dir)
+      val facts = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      val status = ev.filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("ts"), col("event_type").as("status_code"))
+      StatusOps.filterByStatus(facts, status, Seq("error"),
+          keyCol = "user_id", tsCol = "ts")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

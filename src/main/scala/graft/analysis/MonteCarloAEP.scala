@@ -2,6 +2,8 @@ package graft.analysis
 
 import java.time.{LocalDate, ZoneOffset}
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,34 +21,72 @@ import graft.plant.PlantData
   * driver-side MC loop, the same altitude as the reference's in-memory
   * simulation over a pre-reduced frame.
   *
-  * Scope notes vs the reference: linear regression ("lin", the default
-  * model) on density-corrected wind speed; monthly or daily resolution;
-  * availability/curtailment loss sampling and IAV noise. The reference's
-  * optional extras (temperature / wind-direction regressors, gbm/etr/gam
-  * models, Huber outlier pass) hang off the same aggregate.
+  * Feature parity with the reference:
+  *  - per-simulation OUTLIER FILTER pass (aep.py:718-840): loss/nan filter,
+  *    range flag on ws (and temperature when regressed), window-range flag
+  *    on energy vs plant capacity, then Huber-RLM residual flagging
+  *    (monthly) or a median/std bin filter (daily), memoized per
+  *    (product, loss threshold, outlier threshold) as in aep.py:736-741
+  *  - optional temperature / wind-direction regressors (aep.py:531-641):
+  *    period means of WMETR_EnvTmp and of the U/V components (direction
+  *    recovered from mean U/V), entering the regression as
+  *    [ws, temp?, sin(wd)?, cos(wd)?]
+  *  - models: "lin" (multivariate OLS), "gam" (additive hinge-spline
+  *    ridge), "gbt"/"rf" (spark.ml trees with random-search KFold
+  *    hyperparameter optimization memoized per product,
+  *    machine_learning_setup.py:62-213)
   */
 final class MonteCarloAEP(
     plant: PlantData,
     timeResolution: String = "MS", // "MS" (monthly) | "D" (daily)
     uq: Boolean = false,
     numSim: Int = 2000,
-    regModel: String = "lin", // "lin" | "gbt" | "rf" (aep.py reg_model lin/gbm/etr)
+    regModel: String = "lin", // "lin" | "gam" | "gbt" | "rf"
+    regTemperature: Boolean = false,
+    regWindDirection: Boolean = false,
+    outlierDetection: Boolean = false,
+    uncertaintyOutlier: (Double, Double) = (1.0, 3.0),
     uncertaintyMeter: Double = 0.005,
     uncertaintyLosses: Double = 0.05,
     windinessYears: (Int, Int) = (10, 20),
     lossMaxPct: (Int, Int) = (10, 20),
+    hyperOptIter: Int = 8, // random-search draws for gbt/rf; 0 = fixed params
     seed: Long = 42L) {
 
   require(Seq("MS", "D").contains(timeResolution), s"bad timeResolution $timeResolution")
-  require(Seq("lin", "gbt", "rf").contains(regModel), s"bad regModel $regModel")
+  require(Seq("lin", "gam", "gbt", "rf").contains(regModel), s"bad regModel $regModel")
   private val truncUnit = if (timeResolution == "MS") "month" else "day"
+  private val resampleHours = if (timeResolution == "MS") 30 * 24 else 24
+  /** Max plausible period energy, GWh (aep.py:754). */
+  private val plantCapacGwh = plant.metadata.capacityKw / 1e6 * resampleHours
 
   final case class PeriodRow(
       epochDay: Long, energyGwh: Double, availGwh: Double, curtGwh: Double,
       grossGwh: Double, availPct: Double, curtPct: Double, numDays: Double,
-      ws: Map[String, Double])
+      ws: Map[String, Double], temp: Map[String, Double],
+      u: Map[String, Double], v: Map[String, Double]) {
+    /** Regression features for `product`: [ws, temp?, sin(wd)?, cos(wd)?]
+      * with wd from the period-mean components (aep.py:633-641).
+      */
+    def features(product: String, withTemp: Boolean, withWd: Boolean): Array[Double] = {
+      val base = mutable.ArrayBuffer(ws(product))
+      if (withTemp) base += temp(product)
+      if (withWd) {
+        val wd = math.Pi - math.atan2(-u(product), v(product))
+        base += math.sin(wd)
+        base += math.cos(wd)
+      }
+      base.toArray
+    }
+  }
 
-  final case class LtRow(epochDay: Long, numDays: Double, ws: Map[String, Double])
+  final case class LtRow(epochDay: Long, numDays: Double,
+                         ws: Map[String, Double], temp: Map[String, Double],
+                         u: Map[String, Double], v: Map[String, Double]) {
+    def features(product: String, withTemp: Boolean, withWd: Boolean): Array[Double] =
+      PeriodRow(epochDay, 0, 0, 0, 0, 0, 0, numDays, ws, temp, u, v)
+        .features(product, withTemp, withWd)
+  }
 
   final case class Result(aepGwh: Array[Double], availPct: Array[Double],
                           curtPct: Array[Double], iav: Array[Double]) {
@@ -60,11 +100,14 @@ final class MonteCarloAEP(
   }
 
   private def products: Seq[String] = plant.reanalysis.keys.toSeq.sorted
+  private def needsExtras: Boolean = regTemperature || regWindDirection
 
   /** Density-corrected per-product wind speed resampled to the analysis
     * period (aep.py:611-626; met_data_processing.py:217-234): the density
     * normalizer is the product's full-period mean density, computed as a
     * distributed aggregate and folded back in as a broadcast scalar.
+    * Temperature and U/V means ride on the same aggregate when the extra
+    * regressors are on.
     */
   private def reanalysisResampled(name: String): DataFrame = {
     val df = plant.reanalysis(name)
@@ -72,10 +115,23 @@ final class MonteCarloAEP(
       .crossJoin(broadcast(df.agg(avg(col("WMETR_AirDen")).as("__rho_ref"))))
       .withColumn("ws_dens_corr", Met.densityAdjustedWindSpeed(
         col("WMETR_HorWdSpd"), col("WMETR_AirDen"), col("__rho_ref")))
+    val baseAggs = Seq(
+      avg(col("ws_dens_corr")).as(s"ws_$name"),
+      count(lit(1)).as(s"n_$name"))
+    val extraAggs =
+      if (!needsExtras) Seq.empty
+      else Seq(
+        avg(col("WMETR_EnvTmp")).as(s"temp_$name"),
+        avg(col("WMETR_HorWdSpdU")).as(s"u_$name"),
+        avg(col("WMETR_HorWdSpdV")).as(s"v_$name"))
+    val aggs = baseAggs ++ extraAggs
     corrected.groupBy(date_trunc(truncUnit, col("time")).as("period"))
-      .agg(avg(col("ws_dens_corr")).as(s"ws_$name"),
-        count(lit(1)).as(s"n_$name"))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  private def mapsOf(r: org.apache.spark.sql.Row, prefix: String): Map[String, Double] =
+    if (!needsExtras) Map.empty
+    else products.map(p => p -> r.getAs[Double](s"${prefix}_$p")).toMap
 
   /** The period-of-record aggregate: energy + losses + per-product wind
     * speeds per month/day (aep.py:414-437 `calculate_aggregate_dataframe`).
@@ -114,7 +170,8 @@ final class MonteCarloAEP(
         availPct = r.getAs[Double]("availability_pct"),
         curtPct = r.getAs[Double]("curtailment_pct"),
         numDays = r.getAs[Double]("num_days_expected"),
-        ws = products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap)
+        ws = products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap,
+        temp = mapsOf(r, "temp"), u = mapsOf(r, "u"), v = mapsOf(r, "v"))
     }.toSeq
     // trim partial first/last periods (aep.py:643-653)
     if (timeResolution == "MS") {
@@ -141,10 +198,83 @@ final class MonteCarloAEP(
         val n = r.getAs[Long](s"n_$p")
         n >= (numDays * 24 * 3600 / expectedN).toLong
       }
-      (LtRow(date.toEpochDay, numDays, products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap), full)
+      (LtRow(date.toEpochDay, numDays,
+        products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap,
+        mapsOf(r, "temp"), mapsOf(r, "u"), mapsOf(r, "v")), full)
     }
     lt.filter(_._2).map(_._1).toSeq
   }
+
+  // -------------------------------------------------------------------------
+  // Per-simulation outlier filtering (aep.py:718-840), memoized per
+  // (product, loss threshold, outlier threshold) — the reference memoizes on
+  // (product, loss threshold) only, which silently reuses the FIRST sampled
+  // outlier threshold; keying on all three is the correct generalization.
+  // -------------------------------------------------------------------------
+  private val outlierCache =
+    mutable.Map.empty[(String, Double, Double), Seq[PeriodRow]]
+
+  private[analysis] def filterOutliers(agg: Seq[PeriodRow], product: String,
+                                       lossThreshold: Double,
+                                       outlierThreshold: Double): Seq[PeriodRow] =
+    outlierCache.getOrElseUpdate((product, lossThreshold, outlierThreshold), {
+      // loss filter (nan months never reach `agg` — na.drop upstream)
+      val sub = agg.filter(r => (r.availPct + r.curtPct) < lossThreshold)
+      if (sub.isEmpty) sub
+      else {
+        // range flag on ws (filters.range_flag(lower=0, upper=40))
+        def flagRange(r: PeriodRow) = r.ws(product) < 0 || r.ws(product) > 40
+        // range flag on temperature, Kelvin (aep.py:760-766)
+        def flagRangeT(r: PeriodRow) =
+          regTemperature && (r.temp(product) < 200 || r.temp(product) > 320)
+        // window-range flag: plausible ws but implausible energy (aep.py:767-774)
+        def flagWindow(r: PeriodRow) =
+          r.ws(product) >= 5.0 && r.ws(product) <= 40.0 &&
+            !(r.energyGwh >= 0.02 * plantCapacGwh && r.energyGwh <= 1.2 * plantCapacGwh)
+        val flaggedOutlier: Set[Long] =
+          if (!outlierDetection) Set.empty
+          else if (timeResolution == "MS") {
+            // monthly: Huber-RLM on (ws, 30-day-normalized gross energy);
+            // months the robust fit down-weights are outliers (aep.py:776-790)
+            val xs = sub.map(_.ws(product)).toArray
+            val ys = sub.map(r => r.grossGwh * 30.0 / r.numDays).toArray
+            val w = Fitting.huberWeights(xs, ys, outlierThreshold)
+            sub.zip(w).filter(_._2 != 1.0).map(_._1.epochDay).toSet
+          } else {
+            // daily: median/std bin filter on (gross energy bin -> ws)
+            // (aep.py:792-806)
+            binFilterFlags(sub, product,
+              binWidth = 0.06 * plantCapacGwh, threshold = outlierThreshold,
+              binMin = 0.01 * plantCapacGwh, binMax = 0.85 * plantCapacGwh)
+          }
+        sub.filterNot(r => flagRange(r) || flagRangeT(r) || flagWindow(r) ||
+          flaggedOutlier(r.epochDay))
+      }
+    })
+
+  /** Driver-side bin filter over the (tiny) period aggregate: bin rows by
+    * gross energy, flag rows whose ws deviates from the bin median by more
+    * than `threshold` bin standard deviations. Rows outside [binMin, binMax]
+    * are never flagged (filters.py bin_filter bin_min/bin_max semantics).
+    */
+  private def binFilterFlags(rows: Seq[PeriodRow], product: String,
+                             binWidth: Double, threshold: Double,
+                             binMin: Double, binMax: Double): Set[Long] = {
+    val inRange = rows.filter(r => r.grossGwh >= binMin && r.grossGwh <= binMax)
+    inRange.groupBy(r => math.floor(r.grossGwh / binWidth)).values.flatMap { rs =>
+      val ws = rs.map(_.ws(product))
+      if (ws.size < 2) Seq.empty
+      else {
+        val med = Fitting.percentileSorted(ws.sorted.toArray, 0.5)
+        val m = ws.sum / ws.size
+        val sd = math.sqrt(ws.map(x => (x - m) * (x - m)).sum / (ws.size - 1))
+        rs.filter(r => math.abs(r.ws(product) - med) > threshold * sd).map(_.epochDay)
+      }
+    }.toSet
+  }
+
+  // memoized tree hyperparameters per product (machine_learning_setup.py:62-213)
+  private val hyperCache = mutable.Map.empty[String, (Int, Int)]
 
   def run(): Result = {
     val agg = aggregate()
@@ -178,36 +308,37 @@ final class MonteCarloAEP(
       val lossThreshold = (if (uq)
         lossMaxPct._1 + rng.nextInt(lossMaxPct._2 - lossMaxPct._1 + 1)
       else lossMaxPct._2) / 100.0
+      // sampled Huber/bin threshold (aep.py:706-715): uniform on a 0.1 grid
+      val outlierThreshold =
+        if (!outlierDetection) 0.0
+        else if (uq) {
+          val steps = ((uncertaintyOutlier._2 - uncertaintyOutlier._1) * 10).round.toInt
+          uncertaintyOutlier._1 + rng.nextInt(steps + 1) / 10.0
+        } else (uncertaintyOutlier._1 + uncertaintyOutlier._2) / 2.0
 
-      // filter: combined losses below threshold; plausible wind speeds
-      val valid = agg.filter { r =>
-        (r.availPct + r.curtPct) < lossThreshold && r.ws(product) > 0 && r.ws(product) < 40
-      }
-      // MC-scale + 30-day normalize, then bootstrap + OLS (aep.py:842-927)
+      val valid = filterOutliers(agg, product, lossThreshold, outlierThreshold)
+      // MC-scale + 30-day normalize, then bootstrap + regression (aep.py:842-927)
       val data = valid.map { r =>
         val gross = r.energyGwh * meterFrac + (r.availGwh + r.curtGwh) * lossFrac
         val norm = if (timeResolution == "MS") gross * 30.0 / r.numDays else gross
-        (r.ws(product), norm)
+        (r.features(product, regTemperature, regWindDirection), norm)
       }
       val sample = if (uq) Array.fill(data.size)(data(rng.nextInt(data.size))) else data.toArray
       val xs = sample.map(_._1); val ys = sample.map(_._2)
-      val predict: Double => Double = regModel match {
-        case "lin" =>
-          val fit = Fitting.wlsFit(xs, ys, Array.fill(xs.length)(1.0))
-          fit.predict _
+      val predict: Array[Double] => Double = regModel match {
+        case "lin" => Fitting.olsPredict(Fitting.olsFit(xs, ys))
+        case "gam" => Fitting.gamFit(xs, ys)
         case _ =>
-          // tree models via spark.ml on the (tiny) sampled aggregate
-          // (aep.py:930-959 gbm/etr path); memoization is unnecessary here
-          // because hyperparameters are fixed per run
           MonteCarloAEP.fitTreeModel(plant.meterDf.sparkSession, regModel, xs, ys,
-            seed + n)
+            seed + n, hyperOptIter, hyperCache, product,
+            new scala.util.Random(seed ^ product.hashCode))
       }
 
       // long-term window: last `years` years of the LT series
       val periodsPerYear = if (timeResolution == "MS") 12 else 365
       val window = lt.takeRight(years * periodsPerYear)
       val grossLt = window.map { r =>
-        val g = predict(r.ws(product))
+        val g = predict(r.features(product, regTemperature, regWindDirection))
         if (timeResolution == "MS") g * r.numDays / 30.0 else g
       }
 
@@ -235,26 +366,71 @@ final class MonteCarloAEP(
 }
 
 object MonteCarloAEP {
-  /** Fit a spark.ml tree regressor on a small (x, y) sample; returns a
-    * driver-side predictor. Mirrors the reference's gbm (GradientBoosting)
-    * and etr (ExtraTrees ~ RandomForest) AEP models
-    * (utils/machine_learning_setup.py:62-213, aep.py:930-959).
+  /** Fit a spark.ml tree regressor on a small multivariate sample; returns a
+    * driver-side predictor. With `hyperOptIter > 0` hyperparameters come
+    * from a random search with 5-fold cross-validation, memoized per
+    * reanalysis product — mirroring the reference's RandomizedSearchCV +
+    * KFold setup (utils/machine_learning_setup.py:62-213, aep.py:930-959).
     */
   def fitTreeModel(spark: org.apache.spark.sql.SparkSession, model: String,
-                   xs: Array[Double], ys: Array[Double], seed: Long): Double => Double = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+                   xs: Array[Array[Double]], ys: Array[Double], seed: Long,
+                   hyperOptIter: Int,
+                   cache: mutable.Map[String, (Int, Int)], product: String,
+                   searchRng: scala.util.Random): Array[Double] => Double = {
+    val (depth, rounds) =
+      if (hyperOptIter <= 0) (if (model == "gbt") (3, 50) else (6, 100))
+      else cache.getOrElseUpdate(product,
+        hyperOptimize(spark, model, xs, ys, seed, hyperOptIter, searchRng))
+    val fitted = fitOnce(spark, model, xs, ys, seed, depth, rounds)
+    x => fitted.predict(org.apache.spark.ml.linalg.Vectors.dense(x))
+  }
+
+  private def toDf(spark: org.apache.spark.sql.SparkSession,
+                   xs: Array[Array[Double]], ys: Array[Double]) = {
+    import org.apache.spark.ml.linalg.Vectors
     import spark.implicits._
-    val df = xs.zip(ys).toSeq.toDF("x", "y")
-    val assembled = new VectorAssembler().setInputCols(Array("x"))
-      .setOutputCol("features").transform(df)
-    val fitted = model match {
-      case "gbt" => new GBTRegressor().setLabelCol("y").setMaxDepth(3)
-        .setMaxIter(50).setSeed(seed).fit(assembled)
-      case "rf" => new RandomForestRegressor().setLabelCol("y").setMaxDepth(6)
-        .setNumTrees(100).setSeed(seed).fit(assembled)
+    xs.zip(ys).toSeq.map { case (x, y) => (Vectors.dense(x), y) }
+      .toDF("features", "y")
+  }
+
+  private def fitOnce(spark: org.apache.spark.sql.SparkSession, model: String,
+                      xs: Array[Array[Double]], ys: Array[Double], seed: Long,
+                      depth: Int, rounds: Int) = {
+    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+    val df = toDf(spark, xs, ys)
+    model match {
+      case "gbt" => new GBTRegressor().setLabelCol("y").setMaxDepth(depth)
+        .setMaxIter(rounds).setSeed(seed).fit(df)
+      case "rf" => new RandomForestRegressor().setLabelCol("y").setMaxDepth(depth)
+        .setNumTrees(rounds).setSeed(seed).fit(df)
       case other => throw new IllegalArgumentException(s"bad tree model $other")
     }
-    x => fitted.predict(org.apache.spark.ml.linalg.Vectors.dense(x))
+  }
+
+  /** Random search over (maxDepth, rounds) scored by 5-fold CV MSE on the
+    * (tiny, driver-side) aggregate sample.
+    */
+  private def hyperOptimize(spark: org.apache.spark.sql.SparkSession, model: String,
+                            xs: Array[Array[Double]], ys: Array[Double], seed: Long,
+                            nIter: Int, rng: scala.util.Random): (Int, Int) = {
+    val folds = 5
+    val idx = rng.shuffle(xs.indices.toList).toArray
+    val candidates = Seq.fill(nIter)((2 + rng.nextInt(7), 20 + rng.nextInt(7) * 20))
+    val scored = candidates.distinct.map { case (depth, rounds) =>
+      val mse = (0 until folds).map { f =>
+        val test = idx.zipWithIndex.filter(_._2 % folds == f).map(_._1)
+        val train = idx.zipWithIndex.filter(_._2 % folds != f).map(_._1)
+        if (train.isEmpty || test.isEmpty) 0.0
+        else {
+          val m = fitOnce(spark, model, train.map(xs), train.map(ys), seed, depth, rounds)
+          test.map { i =>
+            val p = m.predict(org.apache.spark.ml.linalg.Vectors.dense(xs(i)))
+            (p - ys(i)) * (p - ys(i))
+          }.sum / test.length
+        }
+      }.sum / folds
+      ((depth, rounds), mse)
+    }
+    scored.minBy(_._2)._1
   }
 }

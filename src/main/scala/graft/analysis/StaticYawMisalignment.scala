@@ -1,5 +1,6 @@
 package graft.analysis
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.fitting.Fitting
@@ -15,6 +16,15 @@ import graft.plant.PlantData
   * distributed plan; the cosine fits (<= ~50 points each) run on the driver,
   * matching the reference's scipy curve_fit usage (yaw_misalignment.py:59-71,
   * :571-574).
+  *
+  * UQ (yaw_misalignment.py:381, :432-444): the reference bootstraps the
+  * filtered SCADA frame per simulation. Re-running the aggregate numSim
+  * times would be numSim shuffles; instead each row draws one Poisson(1)
+  * multiplicity per simulation (the standard distributed bootstrap
+  * approximation of sampling with replacement) and ALL simulations reduce
+  * in a single weighted groupBy keyed by (sim, turbine, ws_bin, vane_bin) —
+  * one shuffle regardless of numSim, with only #sims x #bins aggregate rows
+  * reaching the driver.
   */
 final class StaticYawMisalignment(
     plant: PlantData,
@@ -23,11 +33,32 @@ final class StaticYawMisalignment(
     vaneBinWidth: Double = 1.0,
     pitchThresholdDeg: Double = 0.5,
     minVaneBinCount: Int = 50,
-    maxAbsVaneAngle: Double = 25.0) {
+    maxAbsVaneAngle: Double = 25.0,
+    uq: Boolean = false,
+    numSim: Int = 20,
+    seed: Long = 42L) {
 
   final case class Result(
       avgVaneAngleByTurbine: Map[String, Double],
-      yawByTurbineAndBin: Map[(String, Double), Double])
+      yawByTurbineAndBin: Map[(String, Double), Double],
+      yawStdByTurbineAndBin: Map[(String, Double), Double] = Map.empty)
+
+  /** The target ws-bin centers: input bin start + half a width. */
+  private val binCenters: Set[Double] = wsBins.map(_ + wsBinWidth / 2.0).toSet
+  private def isTargetBin(center: Double): Boolean =
+    binCenters.exists(c => math.abs(c - center) < 1e-9)
+
+  /** Poisson(1) multiplicity from a deterministic per-(row, sim) uniform:
+    * inverse-CDF over the cumulative probabilities. Codegen-friendly
+    * when-chain; counts above 7 are negligible (P < 1e-7).
+    */
+  private def poisson1(u: Column): Column = {
+    val cdf = Seq(0.3678794, 0.7357589, 0.9196986, 0.9810118, 0.9963402,
+      0.9994058, 0.9999168, 0.9999898)
+    cdf.zipWithIndex.foldRight(lit(8): Column) { case ((p, k), acc) =>
+      when(u < p, k).otherwise(acc)
+    }
+  }
 
   def run(): Result = {
     // normal operation: small blade pitch, vane angle in range
@@ -37,43 +68,63 @@ final class StaticYawMisalignment(
       .filter(!Flags.rangeFlag(col("WMET_HorWdDirRel"), -maxAbsVaneAngle, maxAbsVaneAngle))
       .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
 
-    // (turbine, ws_bin, vane_bin) mean power + mean vane (yaw_misalignment.py:562-563)
-    val binned = filtered
+    val sims = if (uq) numSim else 1
+    // sim 0 of a non-UQ run carries weight 1 for every row (the plain path);
+    // UQ sims draw Poisson(1) multiplicities
+    val simDf = filtered
+      .withColumn("sim", explode(array((0 until sims).map(lit): _*)))
+      .withColumn("__w",
+        if (!uq) lit(1.0)
+        else poisson1(
+          (pmod(xxhash64(col("time"), col("asset_id"), col("sim"), lit(seed)),
+            lit(1000000L)) / 1000000.0)).cast("double"))
+      .filter(col("__w") > 0)
+
+    // (sim, turbine, ws_bin, vane_bin) weighted mean power + vane
+    // (yaw_misalignment.py:562-563); one shuffle for all simulations
+    val binned = simDf
       .withColumn("ws_bin_center",
         (floor(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth + wsBinWidth / 2.0))
       .withColumn("vane_bin",
         round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
-      .groupBy("asset_id", "ws_bin_center", "vane_bin")
-      .agg(avg(col("WTUR_W")).as("power_mean"), count(lit(1)).as("n"),
-        avg(col("WMET_HorWdDirRel")).as("vane_mean"))
+      .groupBy("sim", "asset_id", "ws_bin_center", "vane_bin")
+      .agg((sum(col("WTUR_W") * col("__w")) / sum(col("__w"))).as("power_mean"),
+        sum(col("__w")).as("n"),
+        (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"))
       .filter(col("n") >= minVaneBinCount)
       .collect()
 
-    val wsBinCenters = wsBins.map(b => b + wsBinWidth / 2.0 - wsBinWidth / 2.0)
-    val grouped = binned.groupBy(r => (r.getString(0), r.getDouble(1)))
-    val yawByBin = grouped.flatMap { case ((turbine, wsBin), rows) =>
-      if (!wsBins.exists(b => math.abs(b + wsBinWidth / 2.0 - wsBin) < 1e-9) &&
-          !wsBins.contains(wsBin - wsBinWidth / 2.0) && wsBins.nonEmpty &&
-          !wsBins.exists(b => math.abs(b - (wsBin - wsBinWidth / 2.0)) < 1e-9))
-        None
-      else if (rows.length < 5) None
-      else {
-        val xs = rows.map(_.getDouble(2)) // vane bin angle, degrees
-        val ys = rows.map(_.getDouble(3)) // mean power
-        // P(v) = A * cos(d2r*(v - offset)); offset = yaw misalignment
-        val a0 = ys.max
+    // driver-side cosine fits: P(v) = A * cos(d2r*(v - offset))
+    val perSim: Map[(Int, String, Double), Double] = binned
+      .groupBy(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .collect { case ((sim, turbine, wsBin), rows)
+          if isTargetBin(wsBin) && rows.length >= 5 =>
+        val xs = rows.map(_.getDouble(3)) // vane bin angle, degrees
+        val ys = rows.map(_.getDouble(4)) // mean power
+        // start the offset at the power-maximizing vane bin: Gauss-Newton
+        // from offset=0 can wander to a wild optimum on noisy resamples
         val p = Fitting.curveFit(
           (x, p) => p(0) * math.cos(math.toRadians(x - p(1))),
-          xs, ys, Array(a0, 0.0))
-        Some((turbine, wsBin) -> p(1))
-      }
-    }.toMap
+          xs, ys, Array(ys.max, xs(ys.indexOf(ys.max))))
+        (sim, turbine, wsBin) -> p(1)
+      }.toMap
 
-    // overall per-turbine: mean yaw offset across ws bins, and mean vane angle
+    def stats(vs: Iterable[Double]): (Double, Double) = {
+      val n = vs.size
+      val m = vs.sum / n
+      val sd = if (n < 2) 0.0
+        else math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (n - 1))
+      (m, sd)
+    }
+    val byBin = perSim.groupBy { case ((_, t, b), _) => (t, b) }
+      .map { case (k, m) => k -> stats(m.values) }
+
+    // overall per-turbine mean vane angle (over the unweighted frame)
     val avgVane = filtered.groupBy("asset_id")
       .agg(avg(col("WMET_HorWdDirRel")).as("v"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    Result(avgVane, yawByBin)
+    Result(avgVane, byBin.map { case (k, (m, _)) => k -> m },
+      byBin.map { case (k, (_, sd)) => k -> sd })
   }
 
   /** Overall yaw per turbine = mean of per-ws-bin offsets. */

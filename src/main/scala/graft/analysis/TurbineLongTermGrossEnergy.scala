@@ -27,6 +27,8 @@ final class TurbineLongTermGrossEnergy(
     plant: PlantData,
     maxPowerFilter: Double = 0.85,
     windBinWidth: Double = 1.0,
+    correctionThreshold: Double = 0.95,
+    imputeMissingDays: Boolean = true,
     uq: Boolean = false,
     numSim: Int = 20,
     seed: Long = 42L) {
@@ -72,15 +74,39 @@ final class TurbineLongTermGrossEnergy(
 
   /** Daily valid energy per turbine with availability scaling
     * (turbine_long_term_gross_energy.py:427-474 `setup_daily_sums`):
-    * days keep >= 95% valid samples; energy scaled by expected/actual count.
+    * days keep >= correctionThreshold valid samples; energy scaled by
+    * expected/actual count.
     */
   def dailyValid(filtered: DataFrame): DataFrame = {
     val expected = 24.0 * 3600.0 / freqS
     filtered.filter(!col("flag_final"))
       .groupBy(col("asset_id"), date_trunc("day", col("time")).as("day"))
       .agg(sum(col("WTUR_SupWh")).as("energy_kwh"), count(lit(1)).as("n"))
-      .filter(col("n") >= expected * 0.95)
+      .filter(col("n") >= expected * correctionThreshold)
       .withColumn("energy_corrected", col("energy_kwh") * lit(expected) / col("n"))
+  }
+
+  /** Gap-fill the daily per-turbine grid over the POR and impute missing
+    * days from the best-correlated turbines
+    * (turbine_long_term_gross_energy.py:476-501: gap-filled frame +
+    * imputing.impute_all_assets_by_correlation, then drop what could not be
+    * imputed). One distributed plan: a #turbines x #days grid left-joined to
+    * the valid days, imputed via [[graft.operators.Imputing]].
+    */
+  def dailyImputed(daily: DataFrame, turbines: Seq[String]): DataFrame = {
+    val span = daily.agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+    val days = span.select(explode(sequence(col("__mn"), col("__mx"),
+      expr("INTERVAL 1 DAY"))).as("day"))
+    val turbDf = daily.sparkSession.createDataFrame(
+      turbines.map(Tuple1(_))).toDF("asset_id")
+    val grid = days.crossJoin(broadcast(turbDf))
+      .join(daily.select("day", "asset_id", "energy_corrected"),
+        Seq("day", "asset_id"), "left")
+    graft.operators.Imputing
+      .imputeAllByCorrelation(grid, "day", "asset_id", "energy_corrected")
+      .filter(col("energy_corrected_imputed").isNotNull)
+      .withColumn("energy_corrected", col("energy_corrected_imputed"))
+      .drop("energy_corrected_imputed")
   }
 
   /** Daily reanalysis covariates per product: mean density-corrected ws,
@@ -104,7 +130,9 @@ final class TurbineLongTermGrossEnergy(
     val rated = plant.assetDf.select("asset_id", "rated_power").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val products = plant.reanalysis.keys.toSeq.sorted
-    val daily = dailyValid(filteredScada(rated)).cache()
+    val validDays = dailyValid(filteredScada(rated))
+    val daily = (if (imputeMissingDays) dailyImputed(validDays, turbines)
+                 else validDays).cache()
 
     val sims = if (uq) numSim else 1
     val results = new Array[Double](sims)

@@ -3,6 +3,7 @@ package graft.analysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.fitting.Fitting
 import graft.functions.Met
 import graft.plant.PlantData
 
@@ -16,37 +17,72 @@ import graft.plant.PlantData
   * sums) is a groupBy("time") aggregate — the only fact-grain shuffles. The
   * freestream assignment is a broadcast (wd_bin -> turbine set) table built
   * from the tiny asset-pair geometry.
+  *
+  * Parity features:
+  *  - derating identification (wake_losses.py:1057-1095): per-turbine
+  *    window-range + median/MAD power-curve bin flags; derated samples are
+  *    excluded, and only all-turbines-reporting timestamps enter the loss
+  *    calculation (the reference's dropna over the wide frame)
+  *  - SCADA->reanalysis wind speed bias regression (wake_losses.py:
+  *    1127-1147): hourly freestream ws binned to integers, bin means
+  *    regressed onto the product's ws, correction applied before LT binning
+  *  - per-turbine long-term correction (wake_losses.py:1236-1303)
+  *  - all reanalysis products: averaged without UQ, sampled per sim with UQ
+  *  - UQ bootstrap over (product, sector width, MAD threshold, derating ws
+  *    start, max power filter), wake_losses.py:899-926
   */
 final class WakeLosses(
     plant: PlantData,
     wdBinWidth: Double = 5.0,
     freestreamSectorWidth: Double = 90.0,
     wsBinWidthLt: Double = 1.0,
+    deratingFilter: Boolean = true,
+    deratingWsStart: Double = 4.5,
+    maxPowerFilter: Double = 0.95,
+    windBinMadThresh: Double = 7.0,
+    uq: Boolean = false,
+    numSim: Int = 20,
+    uncertaintySectorWidth: (Int, Int) = (50, 110),
+    uncertaintyMadThresh: (Int, Int) = (4, 13),
+    uncertaintyWsStart: (Double, Double) = (4.0, 8.0),
+    uncertaintyMaxPower: (Double, Double) = (0.92, 0.98),
+    minWsBinLinReg: Double = 1.0,
+    binCountThreshLinReg: Long = 50L,
+    wdRef: String = "scada", // "scada" | "tower" (wake_losses.py wd_ref)
     seed: Long = 42L) {
 
-  final case class Result(porLossPlant: Double, porLossByTurbine: Map[String, Double],
-                          ltLossPlant: Double)
+  require(Seq("scada", "tower").contains(wdRef), s"bad wdRef $wdRef")
 
-  private def nBins: Int = math.round(360.0 / wdBinWidth).toInt
+  final case class Result(
+      porLossPlant: Double, porLossByTurbine: Map[String, Double],
+      ltLossPlant: Double, ltLossByTurbine: Map[String, Double],
+      porLossStd: Double = 0.0, ltLossStd: Double = 0.0)
+
+  private final case class Once(por: Double, porByT: Map[String, Double],
+                                lt: Double, ltByT: Map[String, Double])
+
+  private def nBins(binWidth: Double): Int = math.round(360.0 / binWidth).toInt
 
   /** Freestream turbine sets per wind-direction bin: a turbine is freestream
     * for a direction if no other turbine lies upwind within the sector
     * (plant.py:1387-1450 `get_freestream_turbines`, sector method).
     * Driver-side over the tiny pair table; wraparound handled via wrap180.
     */
-  def freestreamByBin(): Map[Int, Seq[String]] = {
+  def freestreamByBin(sectorWidth: Double = freestreamSectorWidth): Map[Int, Seq[String]] = {
     val pairs = plant.assetDistances
       .select("asset_a", "asset_b", "bearing_deg")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val turbines = plant.turbineIds
-    (0 until nBins).map { b =>
+    val turbineSet = turbines.toSet
+    (0 until nBins(wdBinWidth)).map { b =>
       val wd = b * wdBinWidth + wdBinWidth / 2.0
       val free = turbines.filter { t =>
         // upwind neighbors: bearing from t to neighbor within sector of wd
+        // (only turbines block; met towers in the asset table don't wake)
         !pairs.exists { case (a, nb, bearing) =>
-          a == t && nb != t &&
-            math.abs(((bearing - wd) % 360 + 540) % 360 - 180) <= freestreamSectorWidth / 2
+          a == t && nb != t && turbineSet(nb) &&
+            math.abs(((bearing - wd) % 360 + 540) % 360 - 180) <= sectorWidth / 2
         }
       }
       // a direction bin with no qualifying turbine falls back to all turbines
@@ -54,22 +90,68 @@ final class WakeLosses(
     }.toMap
   }
 
+  /** Per-turbine derating/curtailment flags (wake_losses.py:1057-1095):
+    * window-range flag (plausible ws, implausible power) OR a median/MAD
+    * power-curve bin flag (ws above the bin median by > thresh MADs, power
+    * bins limited to [0.01, maxPf] x rated). All aggregates are per
+    * (asset, power-bin) — a #turbines x #bins broadcast table.
+    */
+  def withDerateFlag(scada: DataFrame, rated: Map[String, Double],
+                     wsStart: Double, maxPf: Double, madThresh: Double): DataFrame = {
+    val ratedCol = typedLit(rated).apply(col("asset_id"))
+    val flagWindow = col("WMET_HorWdSpd") >= wsStart && col("WMET_HorWdSpd") <= 40.0 &&
+      !(col("WTUR_W") >= ratedCol * 0.01 && col("WTUR_W") <= ratedCol * 1.2)
+    val binFrac = 0.04 * (maxPf - 0.01) // 25 bins over the filter range
+    val binned = scada.withColumn("__rated", ratedCol)
+      .withColumn("__bin", floor(col("WTUR_W") / (lit(binFrac) * col("__rated"))))
+    val inBinRange = col("WTUR_W") >= lit(0.01) * col("__rated") &&
+      col("WTUR_W") <= lit(maxPf) * col("__rated")
+    val med = binned.filter(inBinRange)
+      .groupBy("asset_id", "__bin")
+      .agg(percentile_approx(col("WMET_HorWdSpd"), lit(0.5), lit(10000)).as("__med"))
+    val mad = binned.filter(inBinRange)
+      .join(broadcast(med), Seq("asset_id", "__bin"))
+      .groupBy("asset_id", "__bin")
+      .agg(percentile_approx(abs(col("WMET_HorWdSpd") - col("__med")), lit(0.5), lit(10000))
+        .as("__mad"))
+    binned
+      .join(broadcast(med), Seq("asset_id", "__bin"), "left")
+      .join(broadcast(mad), Seq("asset_id", "__bin"), "left")
+      .withColumn("flag_bin", coalesce(
+        inBinRange &&
+          (col("WMET_HorWdSpd") - col("__med")) > lit(madThresh) * col("__mad"),
+        lit(false)))
+      .withColumn("derate_flag", flagWindow || col("flag_bin"))
+      .drop("__rated", "__bin", "__med", "__mad", "flag_bin")
+  }
+
   /** Per-timestamp plant frame: reference direction (circular mean over
     * turbines), plant power, freestream mean power/ws
-    * (wake_losses.py:982-1054, :600-646).
+    * (wake_losses.py:982-1054, :600-646). Only timestamps with ALL turbines
+    * reporting (after derating exclusion) qualify — the reference's
+    * dropna(how="any") over the wide frame.
     */
-  def timestampAggregate(): DataFrame = {
-    val scada = plant.scadaDf
-      .select(col("time"), col("asset_id"), col("WTUR_W"), col("WMET_HorWdSpd"),
-        col("WMET_HorWdDir"))
-      .na.drop()
-    val withRef = scada
+  def timestampAggregate(scada: DataFrame, sectorWidth: Double,
+                         nTurbines: Int): DataFrame = {
+    // reference wind direction: circular mean over turbines (default), or
+    // over met-tower direction sensors when wdRef="tower"
+    // (wake_losses.py:1016-1033 wd_ref asset option)
+    val perTime = scada
       .groupBy("time")
-      .agg(Met.circularMeanAgg(col("WMET_HorWdDir")).as("wd_ref"),
+      .agg(Met.circularMeanAgg(col("WMET_HorWdDir")).as("__scada_wd"),
         count(lit(1)).as("n_reporting"))
-      .withColumn("wd_bin", floor(col("wd_ref") / wdBinWidth).cast("int"))
+      .filter(col("n_reporting") === nTurbines)
+    val withRef = (wdRef match {
+      case "tower" =>
+        val tower = plant.tower.getOrElse(
+          sys.error("wdRef=\"tower\" requires the tower bucket"))
+        val towerWd = tower.groupBy("time")
+          .agg(Met.circularMeanAgg(col("WMET_HorWdDir")).as("wd_ref"))
+        perTime.join(towerWd, Seq("time")).drop("__scada_wd")
+      case _ => perTime.withColumnRenamed("__scada_wd", "wd_ref")
+    }).withColumn("wd_bin", floor(col("wd_ref") / wdBinWidth).cast("int"))
     // broadcast freestream membership as (wd_bin, asset_id) table
-    val fs = freestreamByBin().toSeq.flatMap { case (b, ts) => ts.map(t => (b, t)) }
+    val fs = freestreamByBin(sectorWidth).toSeq.flatMap { case (b, ts) => ts.map(t => (b, t)) }
     val spark = plant.scadaDf.sparkSession
     import spark.implicits._
     val fsDf = broadcast(fs.toDF("wd_bin", "asset_id").withColumn("is_freestream", lit(true)))
@@ -86,9 +168,47 @@ final class WakeLosses(
       .filter(col("freestream_power").isNotNull)
   }
 
-  def run(): Result = {
+  /** Linear map from SCADA freestream ws to the product's reanalysis ws
+    * (wake_losses.py:1127-1147): hourly means, integer ws bins, OLS over
+    * bins with enough support. Falls back to identity when the POR is too
+    * short to populate two valid bins.
+    */
+  private def wsBiasFit(ts: DataFrame, product: String): Fitting.LinearFit = {
+    val rean = plant.reanalysis(product)
+      .select(date_trunc("hour", col("time")).as("hour"),
+        col("WMETR_HorWdSpd").as("__rws"))
+      .groupBy("hour").agg(avg(col("__rws")).as("__rws"))
+    val hourly = ts.groupBy(date_trunc("hour", col("time")).as("hour"))
+      .agg(avg(col("freestream_ws")).as("__fws"))
+      .join(rean, Seq("hour"))
+    val bins = hourly.withColumn("__wsb", round(col("__fws")))
+      .groupBy("__wsb")
+      .agg(avg(col("__rws")).as("__mrws"), count(lit(1)).as("__n"))
+      .filter(col("__wsb") >= minWsBinLinReg && col("__n") >= binCountThreshLinReg)
+      .collect()
+    if (bins.length < 2) Fitting.LinearFit(1.0, 0.0)
+    else {
+      val x = bins.map(_.getDouble(0))
+      val y = bins.map(_.getDouble(1))
+      Fitting.wlsFit(x, y, Array.fill(x.length)(1.0))
+    }
+  }
+
+  /** One wake-loss evaluation for a fixed parameter draw. `base` is the
+    * na-dropped SCADA projection, cached by [[run]] so UQ draws don't
+    * re-scan the fact table from parquet.
+    */
+  private def runOnce(base: DataFrame, product: String, sectorWidth: Double,
+                      madThresh: Double, wsStart: Double, maxPf: Double,
+                      rated: Map[String, Double]): Once = {
     val nTurbines = plant.turbineIds.size
-    val ts = timestampAggregate().cache()
+    val scada =
+      if (deratingFilter)
+        withDerateFlag(base, rated, wsStart, maxPf, madThresh)
+          .filter(!col("derate_flag")).drop("derate_flag")
+      else base
+    val ts = timestampAggregate(scada, sectorWidth, nTurbines).cache()
+
     // POR losses (wake_losses.py:653-731): potential = freestream mean x N
     val por = ts.agg(
       sum(col("plant_power")).as("actual"),
@@ -96,25 +216,27 @@ final class WakeLosses(
     val porLoss = 1.0 - por.getDouble(0) / por.getDouble(1)
 
     // per-turbine POR loss: actual turbine power vs freestream mean
-    val scada = plant.scadaDf.select(col("time"), col("asset_id"), col("WTUR_W")).na.drop()
-    val perTurbine = scada.join(ts.select("time", "freestream_power"), Seq("time"))
+    val perTurbinePor = scada.join(ts.select("time", "freestream_power"), Seq("time"))
       .groupBy("asset_id")
       .agg((lit(1.0) - sum(col("WTUR_W")) / sum(col("freestream_power"))).as("loss"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-    // LT correction (wake_losses.py:1098-1303): bin POR by (wd, ws),
-    // weight by the reanalysis long-term (wd, ws) frequency table
-    val binned = ts
-      .withColumn("ws_bin", floor(col("freestream_ws") / wsBinWidthLt).cast("int"))
+    // LT correction (wake_losses.py:1098-1303): bin POR by (wd, ws) with the
+    // bias-corrected freestream ws, weight by the reanalysis long-term
+    // (wd, ws) frequency table
+    val fit = wsBiasFit(ts, product)
+    val tsCorr = ts.withColumn("ws_corr",
+      lit(fit.intercept) + lit(fit.slope) * col("freestream_ws"))
+      .withColumn("ws_bin", floor(col("ws_corr") / wsBinWidthLt).cast("int"))
+    val binnedPlant = tsCorr
       .groupBy("wd_bin", "ws_bin")
       .agg(avg(col("plant_power")).as("actual_mean"),
         avg(col("freestream_power") * nTurbines).as("potential_mean"))
-    val product = plant.reanalysis.keys.toSeq.sorted.head
     val freq = plant.reanalysis(product)
       .withColumn("wd_bin", floor(col("WMETR_HorWdDir") / wdBinWidth).cast("int"))
       .withColumn("ws_bin", floor(col("WMETR_HorWdSpd") / wsBinWidthLt).cast("int"))
       .groupBy("wd_bin", "ws_bin").agg(count(lit(1)).as("freq"))
-    val lt = binned.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
+    val lt = binnedPlant.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
       .agg(sum(col("actual_mean") * col("freq")).as("a"),
         sum(col("potential_mean") * col("freq")).as("p")).head()
     // an empty (wd, ws)-bin intersection between the POR and the reanalysis
@@ -122,7 +244,65 @@ final class WakeLosses(
     val ltLoss =
       if (lt.isNullAt(0) || lt.isNullAt(1)) Double.NaN
       else 1.0 - lt.getDouble(0) / lt.getDouble(1)
+
+    // per-turbine LT loss (wake_losses.py:1236-1303): same bin weighting
+    // with each turbine's actual power vs the freestream mean
+    val perTurbineBins = scada
+      .join(tsCorr.select("time", "wd_bin", "ws_bin", "freestream_power"), Seq("time"))
+      .groupBy("asset_id", "wd_bin", "ws_bin")
+      .agg(avg(col("WTUR_W")).as("t_actual"),
+        avg(col("freestream_power")).as("t_potential"))
+    val perTurbineLt = perTurbineBins.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
+      .groupBy("asset_id")
+      .agg((lit(1.0) -
+        sum(col("t_actual") * col("freq")) / sum(col("t_potential") * col("freq"))).as("loss"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
     ts.unpersist()
-    Result(porLoss, perTurbine, ltLoss)
+    Once(porLoss, perTurbinePor, ltLoss, perTurbineLt)
+  }
+
+  def run(): Result = {
+    val rated = plant.assetDf.select("asset_id", "rated_power").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val products = plant.reanalysis.keys.toSeq.sorted
+    val base = plant.scadaDf
+      .select(col("time"), col("asset_id"), col("WTUR_W"), col("WMET_HorWdSpd"),
+        col("WMET_HorWdDir"))
+      .na.drop()
+      .cache()
+    val runs: Seq[Once] =
+      if (!uq) products.map(p => runOnce(base, p, freestreamSectorWidth,
+        windBinMadThresh, deratingWsStart, maxPowerFilter, rated))
+      else {
+        val rng = new scala.util.Random(seed)
+        (0 until numSim).map { _ =>
+          val p = products(rng.nextInt(products.size))
+          val sector = uncertaintySectorWidth._1 +
+            rng.nextInt(uncertaintySectorWidth._2 - uncertaintySectorWidth._1 + 1)
+          val mad = uncertaintyMadThresh._1 +
+            rng.nextInt(uncertaintyMadThresh._2 - uncertaintyMadThresh._1 + 1)
+          val ws0 = uncertaintyWsStart._1 +
+            rng.nextInt(((uncertaintyWsStart._2 - uncertaintyWsStart._1) * 10).round.toInt + 1) / 10.0
+          val mpf = uncertaintyMaxPower._1 +
+            rng.nextInt(((uncertaintyMaxPower._2 - uncertaintyMaxPower._1) * 100).round.toInt + 1) / 100.0
+          runOnce(base, p, sector.toDouble, mad.toDouble, ws0, mpf, rated)
+        }
+      }
+    base.unpersist()
+    def meanOf(xs: Seq[Double]) = xs.sum / xs.size
+    def stdOf(xs: Seq[Double]) = {
+      val m = meanOf(xs)
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / math.max(1, xs.size - 1))
+    }
+    def avgMap(ms: Seq[Map[String, Double]]): Map[String, Double] =
+      ms.flatten.groupBy(_._1).map { case (k, vs) => k -> meanOf(vs.map(_._2).toSeq) }
+    Result(
+      porLossPlant = meanOf(runs.map(_.por)),
+      porLossByTurbine = avgMap(runs.map(_.porByT)),
+      ltLossPlant = meanOf(runs.map(_.lt)),
+      ltLossByTurbine = avgMap(runs.map(_.ltByT)),
+      porLossStd = if (runs.size > 1) stdOf(runs.map(_.por)) else 0.0,
+      ltLossStd = if (runs.size > 1) stdOf(runs.map(_.lt)) else 0.0)
   }
 }

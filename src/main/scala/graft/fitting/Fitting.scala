@@ -82,6 +82,112 @@ object Fitting {
     fit
   }
 
+  /** Final Huber IRLS weights for each point (1.0 = inlier; < 1 = outlier
+    * the robust fit down-weighted). The reference flags AEP outlier months
+    * as `rlm_results.weights != 1` (aep.py:780-789); this reproduces that
+    * signal from [[huberFit]]'s converged fit.
+    */
+  def huberWeights(x: Array[Double], y: Array[Double],
+                   t: Double = 1.345): Array[Double] = {
+    val fit = huberFit(x, y, t)
+    val resid = x.zip(y).map { case (xi, yi) => yi - fit.predict(xi) }
+    val mad = percentileSorted(resid.map(math.abs).sorted, 0.5) / 0.6745
+    val scale = if (mad > 0) mad else 1e-12
+    resid.map { r =>
+      val u = math.abs(r / scale)
+      if (u <= t) 1.0 else t / u
+    }
+  }
+
+  /** Multivariate OLS on driver-side arrays via normal equations; returns
+    * coefficients [intercept, b1..bk]. Reference: aep.py:920-927 (sklearn
+    * LinearRegression over [ws, temp?, sin(wd)?, cos(wd)?]).
+    */
+  def olsFit(xs: Array[Array[Double]], y: Array[Double]): Array[Double] = {
+    require(xs.nonEmpty && xs.length == y.length, "olsFit: bad shapes")
+    val k = xs(0).length + 1
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    var i = 0
+    while (i < xs.length) {
+      var a = 0
+      while (a < k) {
+        val ra = if (a == 0) 1.0 else xs(i)(a - 1)
+        var b = 0
+        while (b < k) {
+          xtx(a)(b) += ra * (if (b == 0) 1.0 else xs(i)(b - 1))
+          b += 1
+        }
+        xty(a) += ra * y(i)
+        a += 1
+      }
+      i += 1
+    }
+    solve(xtx, xty)
+  }
+
+  def olsPredict(coefs: Array[Double])(x: Array[Double]): Double = {
+    var s = coefs(0)
+    var j = 0
+    while (j < x.length) { s += coefs(j + 1) * x(j); j += 1 }
+    s
+  }
+
+  /** Additive hinge-spline GAM with ridge regularization, driver-side: each
+    * feature gets a linear term plus `nKnots` hinge-basis terms at interior
+    * quantile knots; the combined design matrix is solved by regularized
+    * normal equations. Stand-in for the reference's pyGAM option
+    * (machine_learning_setup.py algorithm="gam", aep.py reg_model) at the
+    * same altitude — the inputs are always period-aggregate arrays.
+    * Returns a predictor over feature vectors.
+    */
+  def gamFit(xs: Array[Array[Double]], y: Array[Double], nKnots: Int = 4,
+             ridge: Double = 1e-6): Array[Double] => Double = {
+    require(xs.nonEmpty && xs.length == y.length, "gamFit: bad shapes")
+    val nf = xs(0).length
+    val knots: Array[Array[Double]] = Array.tabulate(nf) { j =>
+      val sorted = xs.map(_(j)).sorted
+      Array.tabulate(nKnots)(q => percentileSorted(sorted, (q + 1.0) / (nKnots + 1)))
+    }
+    def basis(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](nf * (nKnots + 1))
+      var j = 0
+      while (j < nf) {
+        out(j * (nKnots + 1)) = x(j)
+        var q = 0
+        while (q < nKnots) {
+          out(j * (nKnots + 1) + q + 1) = math.max(0.0, x(j) - knots(j)(q))
+          q += 1
+        }
+        j += 1
+      }
+      out
+    }
+    val design = xs.map(basis)
+    val k = nf * (nKnots + 1) + 1
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    var i = 0
+    while (i < design.length) {
+      var a = 0
+      while (a < k) {
+        val ra = if (a == 0) 1.0 else design(i)(a - 1)
+        var b = 0
+        while (b < k) {
+          xtx(a)(b) += ra * (if (b == 0) 1.0 else design(i)(b - 1))
+          b += 1
+        }
+        xty(a) += ra * y(i)
+        a += 1
+      }
+      i += 1
+    }
+    var d = 1 // no penalty on the intercept
+    while (d < k) { xtx(d)(d) += ridge; d += 1 }
+    val coefs = solve(xtx, xty)
+    x => olsPredict(coefs)(basis(x))
+  }
+
   /** Exact percentile of a pre-sorted array (linear interpolation, matching
     * numpy's default). */
   def percentileSorted(sorted: Array[Double], q: Double): Double = {

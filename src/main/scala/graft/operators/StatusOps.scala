@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Consumers for the status bucket (event-style availability/fault codes per
+  * asset, reference schema/metadata.py StatusMetaData: time, asset_id,
+  * status_id, status_code, status_text).
+  *
+  * Status events are sparse changepoints, not a regular series, so attaching
+  * the active status to fact-grain SCADA is a point-in-time problem: the
+  * as-of join ([[AsOfJoin.backward]], log-merge, one shuffle on the key) —
+  * never a range cross-join.
+  */
+object StatusOps {
+
+  /** Attach the most recent status code at or before each fact row's
+    * timestamp as `status_code` (null before the first event).
+    */
+  def withActiveStatus(facts: DataFrame, status: DataFrame,
+                       codeCol: String = "status_code",
+                       keyCol: String = "asset_id",
+                       tsCol: String = "time"): DataFrame =
+    AsOfJoin.backward(facts, status, keyCols = Seq(keyCol), tsCol = tsCol,
+      payloadCols = Seq(codeCol), prefix = "active_")
+      .withColumnRenamed(s"active_$codeCol", "status_code")
+
+  /** Drop fact rows whose active status is one of `badCodes` (fault /
+    * curtailed / offline periods). Rows with no status history yet are kept.
+    */
+  def filterByStatus(facts: DataFrame, status: DataFrame,
+                     badCodes: Seq[String],
+                     codeCol: String = "status_code",
+                     keyCol: String = "asset_id",
+                     tsCol: String = "time"): DataFrame =
+    withActiveStatus(facts, status, codeCol, keyCol, tsCol)
+      .filter(col("status_code").isNull || !col("status_code").isin(badCodes: _*))
+      .drop("status_code")
+
+  /** Availability fraction per asset: share of fact rows whose active
+    * status is NOT in `badCodes`.
+    */
+  def availabilityByAsset(facts: DataFrame, status: DataFrame,
+                          badCodes: Seq[String],
+                          codeCol: String = "status_code",
+                          keyCol: String = "asset_id",
+                          tsCol: String = "time"): DataFrame =
+    withActiveStatus(facts, status, codeCol, keyCol, tsCol)
+      .groupBy(keyCol)
+      .agg(avg(when(col("status_code").isNull ||
+        !col("status_code").isin(badCodes: _*), 1.0).otherwise(0.0))
+        .as("availability"))
+}

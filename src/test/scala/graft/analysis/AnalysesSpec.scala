@@ -44,10 +44,93 @@ class AnalysesSpec extends SparkSpec {
       windinessYears = (1, 2)).run()
     for (m <- Seq("gbt", "rf")) {
       val tree = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
-        regModel = m, windinessYears = (1, 2)).run()
+        regModel = m, windinessYears = (1, 2), hyperOptIter = 0).run()
       assert(math.abs(tree.aepMean - lin.aepMean) / lin.aepMean < 0.35,
         s"$m AEP ${tree.aepMean} too far from lin ${lin.aepMean}")
     }
+  }
+
+  test("MonteCarloAEP outlier-filter pass excludes an injected bad meter month") {
+    import org.apache.spark.sql.functions._
+    // 12 full months; corrupt June's meter readings to 50% — off the
+    // ws-energy curve but inside the window-range band, so only the Huber
+    // pass can catch it (aep.py:776-790)
+    val year = SyntheticPlant.build(spark, days = 365, reanalysisYears = 3)
+    val corrupted = year.meterDf.withColumn("MMTR_SupWh",
+      when(month(col("time")) === 6, col("MMTR_SupWh") * 0.5)
+        .otherwise(col("MMTR_SupWh")))
+    val bad = year.copy(meter = Some(corrupted))
+
+    val clean = new MonteCarloAEP(year, timeResolution = "MS", uq = false,
+      windinessYears = (1, 2)).run().aepMean
+    val withoutDet = new MonteCarloAEP(bad, timeResolution = "MS", uq = false,
+      windinessYears = (1, 2)).run().aepMean
+    val det = new MonteCarloAEP(bad, timeResolution = "MS", uq = false,
+      outlierDetection = true, windinessYears = (1, 2))
+    val withDet = det.run().aepMean
+
+    // the bad month is excluded from the regression set
+    val agg = det.aggregate()
+    val kept = det.filterOutliers(agg, "era5", lossThreshold = 0.2,
+      outlierThreshold = 2.0)
+    assert(agg.size == 12 && kept.size < 12,
+      s"expected the outlier month dropped; agg=${agg.size} kept=${kept.size}")
+    // and the AEP moves back toward the clean plant's
+    assert(math.abs(withDet - clean) < math.abs(withoutDet - clean),
+      s"clean=$clean withDet=$withDet withoutDet=$withoutDet")
+  }
+
+  test("MonteCarloAEP temperature/wind-direction regressors stay near ws-only") {
+    val base = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run().aepMean
+    val reg = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      regTemperature = true, regWindDirection = true,
+      windinessYears = (1, 2)).run().aepMean
+    assert(math.abs(reg - base) / base < 0.2, s"base=$base with-regressors=$reg")
+  }
+
+  test("MonteCarloAEP GAM model lands near the linear model") {
+    val lin = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run().aepMean
+    val gam = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      regModel = "gam", windinessYears = (1, 2)).run().aepMean
+    assert(math.abs(gam - lin) / lin < 0.25, s"lin=$lin gam=$gam")
+  }
+
+  test("MonteCarloAEP tree hyperopt searches and memoizes per product") {
+    val lin = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    val opt = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      regModel = "gbt", windinessYears = (1, 2), hyperOptIter = 2).run()
+    assert(math.abs(opt.aepMean - lin.aepMean) / lin.aepMean < 0.5,
+      s"hyperopt gbt AEP ${opt.aepMean} too far from lin ${lin.aepMean}")
+  }
+
+  test("TIE imputation recovers a turbine whose high-wind days are missing") {
+    import org.apache.spark.sql.functions._
+    // knock out ALL of T1's above-median-wind days: without imputation T1's
+    // power model never sees the top of the curve -> biased-low long-term
+    // energy; with imputation those days come back from the correlated
+    // neighbors (turbine_long_term_gross_energy.py:476-501)
+    val dayAvg = plant.scadaDf
+      .groupBy(date_trunc("day", col("time")).as("d"))
+      .agg(avg(col("WMET_HorWdSpd")).as("dws"))
+    val med = dayAvg.agg(percentile(col("dws"), lit(0.5))).head().getDouble(0)
+    val highDays = dayAvg.filter(col("dws") > med)
+      .select(col("d")).collect().map(_.getTimestamp(0)).toSeq
+    val holey = plant.copy(scada = Some(plant.scadaDf.filter(
+      !(col("asset_id") === "T1" &&
+        date_trunc("day", col("time")).isInCollection(highDays)))))
+    val withImpute = new TurbineLongTermGrossEnergy(holey).run().perTurbine
+    val withoutImpute = new TurbineLongTermGrossEnergy(holey,
+      imputeMissingDays = false).run().perTurbine
+    def spread(m: Map[String, Double]) = {
+      val vs = m.values.toSeq
+      (vs.max - vs.min) / vs.max
+    }
+    assert(spread(withImpute) < spread(withoutImpute),
+      s"imputed=$withImpute raw=$withoutImpute")
+    assert(spread(withImpute) < 0.10, s"imputed spread too wide: $withImpute")
   }
 
   test("TurbineLongTermGrossEnergy per-turbine energies are equal-ish and plausible") {
@@ -68,6 +151,49 @@ class AnalysesSpec extends SparkSpec {
     val wl = new WakeLosses(plant).run()
     assert(math.abs(wl.porLossPlant) < 0.02, s"expected ~0, got ${wl.porLossPlant}")
     assert(math.abs(wl.ltLossPlant) < 0.05)
+    // per-turbine LT table exists with one entry per turbine, all ~0
+    assert(wl.ltLossByTurbine.size == SyntheticPlant.NTurbines)
+    wl.ltLossByTurbine.values.foreach(v => assert(math.abs(v) < 0.05, s"$wl"))
+  }
+
+  test("WakeLosses derating filter excludes a constructed derated turbine") {
+    import org.apache.spark.sql.functions._
+    // transient curtailment: T2 produces nothing during hours 0-5 despite
+    // plausible wind — the implausible-power-at-plausible-ws shape the
+    // window-range branch of the derating filter targets
+    // (wake_losses.py:1057-1095). A PERSISTENT cap would flood its own
+    // power bin and evade the MAD branch (a limitation shared with the
+    // reference, whose bin filter assumes deratings are a bin minority).
+    val derated = plant.copy(scada = Some(plant.scadaDf.withColumn("WTUR_W",
+      when(col("asset_id") === "T2" && hour(col("time")) < 6 &&
+        col("WMET_HorWdSpd") > 6.0, lit(0.0))
+        .otherwise(col("WTUR_W")))))
+    val noFilter = new WakeLosses(derated, deratingFilter = false).run()
+    val withFilter = new WakeLosses(derated).run()
+    // without the filter the curtailed turbine masquerades as wake loss;
+    // with it, the derated samples (and their timestamps, via the
+    // all-turbines-reporting rule) drop out and the loss returns to ~0
+    assert(noFilter.porLossPlant > 0.03,
+      s"expected visible fake loss, got ${noFilter.porLossPlant}")
+    assert(math.abs(withFilter.porLossPlant) < 0.02,
+      s"expected ~0 after filtering, got ${withFilter.porLossPlant}")
+  }
+
+  test("WakeLosses tower wd_ref matches the scada-derived reference") {
+    val towered = SyntheticPlant.build(spark, days = 30, reanalysisYears = 1,
+      withTower = true)
+    val scadaRef = new WakeLosses(towered).run()
+    val towerRef = new WakeLosses(towered, wdRef = "tower").run()
+    // the tower measures the same direction field with independent noise,
+    // so the loss estimates agree closely
+    assert(math.abs(towerRef.porLossPlant - scadaRef.porLossPlant) < 0.02,
+      s"tower=${towerRef.porLossPlant} scada=${scadaRef.porLossPlant}")
+  }
+
+  test("WakeLosses UQ bootstrap yields a stable mean and a spread") {
+    val wl = new WakeLosses(plant, uq = true, numSim = 5).run()
+    assert(math.abs(wl.porLossPlant) < 0.03, s"UQ mean drifted: ${wl.porLossPlant}")
+    assert(wl.porLossStd >= 0.0 && !wl.porLossStd.isNaN)
   }
 
   test("StaticYawMisalignment recovers constructed per-turbine offsets") {
@@ -81,6 +207,40 @@ class AnalysesSpec extends SparkSpec {
       val got = yaw.avgVaneAngleByTurbine(t)
       assert(math.abs(got - off) < 1.0, s"turbine $t: expected ~$off got $got")
     }
+  }
+
+  test("StaticYawMisalignment UQ bootstrap keeps the mean and adds a spread") {
+    val offsets = Map("T1" -> 3.0, "T2" -> -2.0, "T3" -> 0.0, "T4" -> 5.0)
+    // 60 days keeps vane-bin counts well above the bin-count floor, so the
+    // set of bins entering each bootstrap fit is stable across resamples
+    val yawPlant = SyntheticPlant.build(spark, days = 60, reanalysisYears = 1,
+      yawOffsets = offsets)
+    // 30 days x 1-degree vane bins leaves ~25 samples per (ws, vane) bin,
+    // so relax the bin-count floor to exercise the bin-level fits
+    val plainA = new StaticYawMisalignment(yawPlant, minVaneBinCount = 10)
+    val plainRes = plainA.run()
+    val res = new StaticYawMisalignment(yawPlant, minVaneBinCount = 10,
+      uq = true, numSim = 15).run()
+    // seeded: identical run reproduces exactly
+    val res2 = new StaticYawMisalignment(yawPlant, minVaneBinCount = 10,
+      uq = true, numSim = 15).run()
+    assert(res.yawByTurbineAndBin == res2.yawByTurbineAndBin)
+    // the synthetic power curve peaks at vane = offset, so the bin-averaged
+    // per-turbine estimate recovers the constructed offsets (individual ws
+    // bins carry ±3 degrees of noise from the power spread inside a bin);
+    // bootstrap means track the plain per-bin fits
+    val plainOverall = plainA.overall(plainRes)
+    plainOverall.foreach { case (t, got) =>
+      assert(math.abs(got - offsets(t)) < 2.5, s"$t: overall=$got true=${offsets(t)}")
+    }
+    val common = res.yawByTurbineAndBin.keySet intersect plainRes.yawByTurbineAndBin.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(res.yawByTurbineAndBin(k) - plainRes.yawByTurbineAndBin(k)) < 2.5,
+        s"$k: uq=${res.yawByTurbineAndBin(k)} plain=${plainRes.yawByTurbineAndBin(k)}")
+    }
+    assert(res.yawStdByTurbineAndBin.values.forall(sd => !sd.isNaN && sd >= 0.0))
+    assert(res.yawStdByTurbineAndBin.values.exists(_ > 0.0))
   }
 
   test("EYAGapAnalysis waterfall reconciles to the operational AEP") {

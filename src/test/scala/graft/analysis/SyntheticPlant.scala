@@ -53,7 +53,8 @@ object SyntheticPlant {
     * electrical losses, plus `reanalysisYears` of hourly reanalysis.
     */
   def build(spark: SparkSession, days: Int = 90, reanalysisYears: Int = 4,
-            yawOffsets: Map[String, Double] = Map.empty): PlantData = {
+            yawOffsets: Map[String, Double] = Map.empty,
+            withTower: Boolean = false, withStatus: Boolean = false): PlantData = {
     import spark.implicits._
     val nSteps = days * 24 * 3600 / FreqSeconds
     val turbines = (1 to NTurbines).map(i => s"T$i")
@@ -63,9 +64,15 @@ object SyntheticPlant {
       (t, ti) <- turbines.zipWithIndex
     } yield {
       val ws = math.max(0.1, windSpeed(i) + 0.2 * noise(i * 10 + ti, 3))
-      val power = powerCurve(ws)
       val yaw = yawOffsets.getOrElse(t, 0.0)
-      val vane = yaw + 8.0 * noise(i * 10 + ti, 4)
+      val vane = yaw + 15.0 * noise(i * 10 + ti, 4)
+      // a miscalibrated vane: the controller holds the (biased) vane near the
+      // static offset, so true flow angle = vane - yaw and power responds as
+      // cos^4 of it — the power-vs-vane curve peaks at vane = yaw, which is
+      // exactly what the yaw cosine fit estimates
+      val mod = if (yawOffsets.isEmpty) 1.0
+        else math.pow(math.cos(math.toRadians(vane - yaw)), 4)
+      val power = powerCurve(ws) * mod
       (Timestamp.from(t0.plusSeconds(i * FreqSeconds)), t, power, ws,
         windDirection(i), vane, 0.0, 10.0)
     }
@@ -108,8 +115,25 @@ object SyntheticPlant {
     }.toDF("time", "WMETR_HorWdSpd", "WMETR_HorWdSpdU", "WMETR_HorWdSpdV",
       "WMETR_EnvTmp", "WMETR_AirDen", "WMETR_EnvPres")
 
+    // met tower: the plant direction signal with independent sensor noise
+    val tower = if (!withTower) None else Some(
+      (0L until nSteps).map { i =>
+        (Timestamp.from(t0.plusSeconds(i * FreqSeconds)), "MET1",
+          math.max(0.1, windSpeed(i) + 0.3 * noise(i, 11)),
+          ((windDirection(i) + 2.0 * noise(i, 12)) % 360 + 360) % 360)
+      }.toDF("time", "asset_id", "WMET_HorWdSpd", "WMET_HorWdDir"))
+
+    // status: sparse changepoint events — T1 faults for hours 48-72 of the
+    // POR ("stopped"), otherwise "normal" for everyone at t0
+    val status = if (!withStatus) None else Some(
+      (turbines.map(t => (Timestamp.from(t0), t, "normal")) ++ Seq(
+        (Timestamp.from(t0.plusSeconds(48 * 3600)), "T1", "stopped"),
+        (Timestamp.from(t0.plusSeconds(72 * 3600)), "T1", "normal")))
+        .toDF("time", "asset_id", "status_code"))
+
     PlantData.load(
       scada = Some(scada), meter = Some(meter), curtail = Some(curtail),
+      tower = tower, status = status,
       asset = Some(asset), reanalysis = Map("era5" -> rean),
       metadata = PlantMetadata(scadaFreqSeconds = FreqSeconds,
         meterFreqSeconds = FreqSeconds, curtailFreqSeconds = FreqSeconds,

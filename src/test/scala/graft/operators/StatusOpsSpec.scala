@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Instant.parse("2020-01-01T00:00:00Z")
+  private def ts(h: Long) = Timestamp.from(t0.plusSeconds(h * 3600))
+
+  // hourly scada for two assets over 10 hours
+  private lazy val scada = (for {
+    h <- 0L until 10L
+    a <- Seq("T1", "T2")
+  } yield (ts(h), a, 100.0 + h)).toDF("time", "asset_id", "WTUR_W")
+
+  // T1 goes into fault at hour 3, recovers at hour 6; T2 always normal
+  private lazy val status = Seq(
+    (ts(0), "T1", "normal"), (ts(0), "T2", "normal"),
+    (ts(3), "T1", "fault"), (ts(6), "T1", "normal"))
+    .toDF("time", "asset_id", "status_code")
+
+  test("withActiveStatus attaches the as-of status per asset") {
+    val got = StatusOps.withActiveStatus(scada, status)
+      .filter(col("asset_id") === "T1")
+      .orderBy("time").select("status_code").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("normal", "normal", "normal", "fault", "fault",
+      "fault", "normal", "normal", "normal", "normal"))
+  }
+
+  test("filterByStatus drops the fault window only") {
+    val kept = StatusOps.filterByStatus(scada, status, Seq("fault"))
+    assert(kept.count() == 17) // 20 rows - T1's hours 3,4,5
+    assert(kept.filter(col("asset_id") === "T2").count() == 10)
+    assert(kept.columns.toSeq == scada.columns.toSeq) // schema restored
+  }
+
+  test("availabilityByAsset computes the unavailable share") {
+    val avail = StatusOps.availabilityByAsset(scada, status, Seq("fault"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(avail("T1") - 0.7) < 1e-9)
+    assert(avail("T2") == 1.0)
+  }
+}
