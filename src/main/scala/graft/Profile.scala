@@ -1,0 +1,31 @@
+package graft
+
+// temporary profiling harness — not part of the library surface
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.tuned(s"local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warmup
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+
+    val li = Tables.lineitem(spark, sfDir)
+    time("fit2d")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
+    time("fit2d again")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
+    time("full q_mahalanobis")(SparkEntry.queries("q_mahalanobis")(spark, sfDir)
+      .queryExecution.toRdd.count())
+    time("q_ivf_topk")(SparkEntry.queries("q_ivf_topk")(spark, sfDir)
+      .queryExecution.toRdd.count())
+    time("q_ngram_jaccard")(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .queryExecution.toRdd.count())
+    time("q_simhash_neardup")(SparkEntry.queries("q_simhash_neardup")(spark, sfDir)
+      .queryExecution.toRdd.count())
+    spark.stop()
+  }
+}

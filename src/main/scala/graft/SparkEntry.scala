@@ -396,10 +396,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash signatures — rows-only
+    // SimHash signatures — rows-only. Uses the exploded-token codegen table
+    // form; the row-local simHash expression computes the same value but
+    // runs 64 interpreted array lambdas per row (17.5s vs ~2s at sf0.1).
     "q_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      Dedup.simHashTable(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("sig").as("simhash"))
         .orderBy("doc_id")
     }),
 

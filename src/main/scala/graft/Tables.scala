@@ -21,8 +21,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  // documents/embeddings arrive as ONE small parquet file locally, but feed
+  // CPU-bound pipelines (shingling, hashing, regex scoring, dot products) —
+  // fan the scan out so that work uses every core (no-op on wide scans)
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FanOut(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FanOut(table(spark, dir, "embeddings"))
 
   /** Events with `ts` as a proper TimestampType (truncated ns -> us). */
   def events(spark: SparkSession, dir: String): DataFrame = {

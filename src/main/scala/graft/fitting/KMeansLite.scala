@@ -1,0 +1,112 @@
+package graft.fitting
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMeans without spark.ml: the FIT runs Lloyd's algorithm driver-side on a
+  * bounded seeded sample (two Spark jobs total — a count and a collect);
+  * the ASSIGNMENT is exact and distributed, a codegen'd `least()` over
+  * per-centroid struct(dist, idx) literals.
+  *
+  * Why not iterate on the cluster: every Lloyd pass with updated centroid
+  * literals generates new codegen source (literals inline), so a
+  * 10-iteration distributed fit pays ~10 codegen compiles + 10 job
+  * round-trips to move k centroids — measured 5-12s against <0.1s for the
+  * same arithmetic on a driver-side sample. Subsampling a coarse-quantizer
+  * fit is statistically standard; the cap (200k points) bounds driver
+  * memory at any corpus scale, and the assignment pass still sees every
+  * row.
+  */
+object KMeansLite {
+
+  /** Squared-distance argmin assignment over literal 2-D centroids. */
+  def assign2d(x: Column, y: Column, cents: Array[(Double, Double)]): Column =
+    least(cents.zipWithIndex.map { case ((cx, cy), i) =>
+      val dx = x - cx
+      val dy = y - cy
+      struct((dx * dx + dy * dy).as("d"), lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** Driver-side Lloyd iterations over sampled points of any dimension.
+    * Empty clusters keep their previous centroid.
+    */
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int, maxIter: Int,
+                           seed: Long, tol: Double): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeans: no input points")
+    val rng = new scala.util.Random(seed)
+    var cents = rng.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    val dim = sample(0).length
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < sample.length) {
+        val p = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      moved = false
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) {
+            val nv = sums(c)(j) / counts(c)
+            if (math.abs(nv - cents(c)(j)) > tol) moved = true
+            cents(c)(j) = nv
+            j += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Seeded bounded sample of the projected points, collected to the
+    * driver. One count + one collect; never more than `cap` rows held.
+    */
+  private def sampleRows(pts: DataFrame, cap: Int, seed: Long): Array[org.apache.spark.sql.Row] = {
+    val n = pts.count()
+    require(n > 0, "kmeans: no input points")
+    val sampled = if (n <= cap) pts
+      else pts.sample(withReplacement = false, cap.toDouble / n, seed)
+    sampled.collect()
+  }
+
+  /** Fit k 2-D centroids. */
+  def fit2d(df: DataFrame, c1: String, c2: String, k: Int, maxIter: Int = 10,
+            seed: Long = 42L, tol: Double = 1e-6,
+            sampleCap: Int = 200000): Array[(Double, Double)] = {
+    val pts = df.select(col(c1).cast("double").as("__x"),
+      col(c2).cast("double").as("__y")).na.drop()
+    val sample = sampleRows(pts, sampleCap, seed)
+      .map(r => Array(r.getDouble(0), r.getDouble(1)))
+    lloyd(sample, k, maxIter, seed, tol).map(a => (a(0), a(1)))
+  }
+
+  /** Fit k centroids over an array<numeric> vector column. */
+  def fitVectors(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 20,
+                 seed: Long = 42L, tol: Double = 1e-6,
+                 sampleCap: Int = 200000): Array[Array[Double]] = {
+    val pts = df.select(col(vecCol).cast("array<double>").as("__v")).na.drop()
+    val sample = sampleRows(pts, sampleCap, seed)
+      .map(_.getSeq[Double](0).toArray)
+    lloyd(sample, k, maxIter, seed, tol)
+  }
+}

@@ -44,23 +44,29 @@ object Dedup {
     * input). The normalize() runs once per doc in the projection below the
     * generator, not once per position.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__norm"))
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  dedup: Boolean = true): DataFrame = {
+    val rows = df
+      .select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__norm"))
       .select(col("id"), col("__norm"),
         explode(sequence(lit(0), greatest(length(col("__norm")) - n, lit(0)))).as("__pos"))
       .select(col("id"), substring(col("__norm"), col("__pos") + 1, lit(n)).as("shingle"))
       .filter(length(col("shingle")) === n)
-      .distinct()
+    // set semantics (Jaccard) need the dedup shuffle; min-aggregates
+    // (MinHash) are duplicate-insensitive and should skip it
+    if (dedup) rows.distinct() else rows
+  }
 
   /** Distinct word n-gram shingles as ROWS (id, shingle) plus any
     * passthrough columns — codegen'd (element_at + concat_ws), same output
     * strings as [[wordShingles]].
     */
   def wordShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
-                      passthrough: Seq[String] = Seq.empty): DataFrame = {
+                      passthrough: Seq[String] = Seq.empty,
+                      dedup: Boolean = true): DataFrame = {
     val gram = concat_ws(" ",
       (0 until n).map(j => element_at(col("__toks"), col("__pos") + j + 1)): _*)
-    df.select((col(idCol).as("id") +:
+    val rows = df.select((col(idCol).as("id") +:
         split(TextAnalysis.normalize(col(textCol)), " ").as("__toks") +:
         passthrough.map(col)): _*)
       .select((col("id") +: col("__toks") +:
@@ -68,7 +74,7 @@ object Dedup {
         passthrough.map(col)): _*)
       .filter(col("__pos") + n <= size(col("__toks")))
       .select((col("id") +: gram.as("shingle") +: passthrough.map(col)): _*)
-      .distinct()
+    if (dedup) rows.distinct() else rows
   }
 
   /** Word shingles (n-gram of tokens) as an array column. */
@@ -115,9 +121,14 @@ object Dedup {
     // (doc, shingle) row feeds numHashes codegen'd min(xxhash64(shingle,
     // seed)) aggregates with map-side partial aggregation, so the shuffle
     // carries only #docs x numHashes longs.
-    val exploded = shingleRows(df, idCol, textCol, shingleSize)
+    // No dedup: min() is duplicate-insensitive, so the distinct shuffle of
+    // fact-grain shingle strings would be pure cost. Each shingle string is
+    // hashed ONCE to a long; the numHashes seeded hashes then run over the
+    // fixed-width long, not the string — ~4x less hashing work per row.
+    val exploded = shingleRows(FanOut(df), idCol, textCol, shingleSize, dedup = false)
+      .select(col("id"), xxhash64(col("shingle")).as("__sh"))
     val hashAggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"__h$s"))
+      min(xxhash64(col("__sh"), lit(s))).as(s"__h$s"))
     // The signature table is referenced four times below (both self-join
     // sides + both per-pair re-attachments); materialize it once — it is
     // tiny (#docs x numHashes longs) while its lineage (shingling over the
@@ -178,7 +189,8 @@ object Dedup {
     * but avoids the interpreted per-bit array lambdas (same pathology and
     * same fix as the MinHash signature path).
     */
-  def simHashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simHashTable(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = FanOut(df0)
     val toks = df.select(col(idCol).as("id"),
         explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
       .withColumn("__h", xxhash64(col("tok")))
@@ -259,8 +271,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int = 3, minJaccard: Double = 0.1,
                         maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = wordShingleRows(df, idCol, textCol, n, passthrough = Seq(blockCol))
+    // Shingles become 8-byte xxhash64 longs BEFORE the dedup shuffle and the
+    // self-join: intersection/union COUNTS are what Jaccard needs, and longs
+    // cut the shuffled bytes ~3x vs ~20-char gram strings (collision odds at
+    // 2^-64 per in-block pair are irrelevant next to FP tolerance).
+    val sh = wordShingleRows(FanOut(df), idCol, textCol, n,
+        passthrough = Seq(blockCol), dedup = false)
       .withColumnRenamed(blockCol, "block")
+      .select(col("block"), col("id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
     val filtered =
       if (maxShingleFreq >= Int.MaxValue / 2) sh
       else {

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Explicit parallelism guard for CPU-heavy operators.
+  *
+  * A compact source (one small parquet file, a coalesced scan) arrives in
+  * 1-2 partitions; an explode/hash/aggregate pipeline downstream then runs
+  * on as many cores. Shingling, signature hashing, and dot-product scoring
+  * are CPU-bound per input row, so the right plan spends one tiny shuffle
+  * of the compact input to light up every core. The repartition uses an
+  * EXPLICIT partition count — AQE would coalesce a bare repartition() of a
+  * few MB right back to one partition.
+  *
+  * The decision reads the optimizer's size ESTIMATE (file statistics), not
+  * the physical partitioning: probing `df.rdd` under AQE materializes
+  * upstream exchanges as throwaway jobs. Inputs estimated beyond ~8 MB per
+  * target slot are left untouched — they already scan wide, and
+  * repartitioning a fact table would add a catastrophic shuffle at scale.
+  */
+object FanOut {
+  def apply(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint < BigInt(target) * 8L * 1024 * 1024) df.repartition(target)
+    else df
+  }
+}

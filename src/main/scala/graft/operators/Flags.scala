@@ -146,15 +146,11 @@ object Flags {
   def clusterMahalanobis2d(df: DataFrame, col1: String, col2: String,
                            nClusters: Int = 13, distThreshold: Double = 3.0,
                            flagCol: String = "flag"): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.clustering.KMeans
-    val assembled = new VectorAssembler()
-      .setInputCols(Array(col1, col2)).setOutputCol("__features")
-      .setHandleInvalid("skip").transform(df)
-    val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("__features").setPredictionCol("__cluster")
-      .fit(assembled)
-    val clustered = model.transform(assembled)
+    import graft.fitting.KMeansLite
+    val cents = KMeansLite.fit2d(df, col1, col2, nClusters)
+    val clustered = df.na.drop(Seq(col1, col2))
+      .withColumn("__cluster", KMeansLite.assign2d(
+        col(col1).cast("double"), col(col2).cast("double"), cents))
     val stats = clustered.groupBy("__cluster").agg(
       avg(col(col1)).as("__m1"), avg(col(col2)).as("__m2"),
       var_samp(col(col1)).as("__v1"), var_samp(col(col2)).as("__v2"),
@@ -168,6 +164,6 @@ object Flags {
       // degenerate clusters (singleton/collinear: null variance or zero det)
       // produce a null distance -> not flagged
       .withColumn(flagCol, coalesce(sqrt(mahaSq) > distThreshold, lit(false)))
-      .drop("__features", "__m1", "__m2", "__v1", "__v2", "__c12")
+      .drop("__m1", "__m2", "__v1", "__v2", "__c12")
   }
 }

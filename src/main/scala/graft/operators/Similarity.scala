@@ -45,7 +45,9 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn")))
     val nn = col("__qn") * col("__cn")
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    // FanOut: the per-(corpus row x query) dot products below are the whole
+    // cost; a single-file corpus must not pin them to one core
+    val scored = FanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -96,7 +98,7 @@ object Similarity {
           array((0 until tables).map(t =>
             hyperplaneBucket(col(vecCol), dims, bits, seed = 42 + 7919 * t)): _*).as("__buckets"))
         .select(col(s"${side}_id"), posexplode(col("__buckets")).as(Seq("table", "bucket")))
-    val candIds = bucketed(corpus, "neighbor")
+    val candIds = bucketed(FanOut(corpus), "neighbor")
       .join(bucketed(queries, "query"), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
@@ -151,11 +153,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(20).fit(train)
-    val cents = km.clusterCenters.map(_.toArray)
+    // coarse quantizer: sampled driver-side Lloyd fit (two jobs), exact
+    // distributed assignment below — see KMeansLite for why not spark.ml
+    val cents = graft.fitting.KMeansLite.fitVectors(corpus, vecCol, nlist,
+      maxIter = 20)
 
     // cosine distance to centroid i as a codegen'd expression over a literal
     def negCos(vec: Column, nrm: Column, i: Int): Column = {
@@ -166,7 +167,7 @@ object Similarity {
     }
 
     // corpus: nearest centroid via least() over struct(dist, id) — row-local
-    val cv = corpus
+    val cv = FanOut(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .withColumn("centroid_id",
