@@ -244,6 +244,20 @@ object Oracles {
          |         / len(regexp_split_to_array($normText, ' ')) END AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """SELECT doc_id, u.s AS chunk_start, length(u.c) AS chunk_len, u.c AS chunk
+        |FROM (SELECT doc_id,
+        |    unnest([{'s': s, 'c': substring(text, s, 200)}
+        |            FOR s IN range(1, greatest(length(text), 1) + 1, 150)]) AS u
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
+
     "q_fingerprint_dedup" ->
       s"""WITH f AS (SELECT doc_id, md5($normText) AS fingerprint FROM documents)
          |SELECT doc_id, fingerprint,

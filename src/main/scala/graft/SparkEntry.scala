@@ -352,6 +352,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic per-stratum sampling (training-mix rebalance):
+    // md5-bucket survival, row-local, portable across engines
+    "q_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // fixed-window chunking with overlap (pre-tokenization splitting)
+    "q_chunk" -> ((s, dir) => {
+      Chunking.chunkRows(Tables.documents(s, dir), "text", "doc_id",
+          size = 200, overlap = 50)
+        .select(col("id").as("doc_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"), col("chunk"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
     "q_fingerprint_dedup" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
         .select("doc_id", "fingerprint", "is_duplicate")

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-window document chunking with overlap — the standard pre-tokenize
+  * step of an LLM training/RAG pipeline (split long documents into
+  * `size`-char windows every `size - overlap` chars).
+  *
+  * Pure generate + substring: the explode fans each document into its
+  * chunk rows inside whole-stage codegen; no UDF, no driver involvement,
+  * no shuffle. Empty documents yield one empty chunk so no id disappears
+  * silently.
+  */
+object Chunking {
+
+  def chunkRows(df: DataFrame, textCol: String, idCol: String,
+                size: Int = 512, overlap: Int = 64): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"bad chunking params size=$size overlap=$overlap")
+    val step = size - overlap
+    FanOut(df)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .select(col("id"),
+        explode(sequence(lit(1), greatest(length(col("__text")), lit(1)),
+          lit(step))).as("chunk_start"),
+        col("__text"))
+      .select(col("id"), col("chunk_start"),
+        col("__text").substr(col("chunk_start"), lit(size)).as("chunk"))
+  }
+}

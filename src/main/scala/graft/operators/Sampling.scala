@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Sampling at corpus scale must be (a) reproducible run-over-run and
+  * engine-over-engine (no rand()), (b) row-local (no shuffle, no state),
+  * and (c) stable under repartitioning. Keying the decision on a
+  * cryptographic hash of the row's own id gives all three: the keep/drop
+  * bit is a pure function of the row, uniformly distributed, and portable
+  * (md5 is identical in every engine, unlike engine-specific hash
+  * functions).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id column's md5 — the first 8
+    * hex chars as an integer. Row-local and codegen'd.
+    */
+  def hashBucket(id: Column, buckets: Int = 10000): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < (fraction * 10000).round)
+
+  /** Per-stratum sampling rates (e.g. rebalance sources or languages in a
+    * training mix): rows in stratum s survive with probability
+    * rates(s) (default `defaultRate`). One row-local filter — no
+    * per-stratum jobs, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val rateCol = coalesce(
+      typedLit(rates.map { case (k, v) => k -> (v * 10000).round })
+        .apply(col(stratumCol)),
+      lit((defaultRate * 10000).round))
+    df.filter(hashBucket(col(idCol)) < rateCol)
+  }
+}

@@ -48,6 +48,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as(s"${valueCol}_sum"))
   }
 
+  /** Streaming exact dedup twin of graft.operators.Dedup.exact: fingerprint
+    * each document and keep the first arrival per fingerprint. State is
+    * bounded by the watermark (dropDuplicatesWithinWatermark), so an
+    * unbounded stream never accumulates unbounded fingerprint state —
+    * duplicates separated by more than the watermark delay are passed
+    * through, the standard streaming-dedup contract.
+    */
+  def dedupExact(stream: DataFrame, tsCol: String, textCol: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .withColumn("fingerprint",
+        graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Streaming per-bucket flagged-fraction monitor: the percent_nan /
     * threshold-exceedance pattern as a live quality signal.
     */

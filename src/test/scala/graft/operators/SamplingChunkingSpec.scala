@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1 to 1000)
+    .map(i => (i.toLong, if (i % 3 == 0) "en" else "fr", "word " * (i % 50)))
+    .toDF("doc_id", "lang", "text")
+
+  test("deterministicSample is reproducible and near the target fraction") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(math.abs(a.size - 300) < 60, s"got ${a.size} for target 300")
+  }
+
+  test("larger fraction strictly grows the kept set (nested samples)") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val kept = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      rates = Map("en" -> 1.0), defaultRate = 0.0)
+    val langs = kept.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(kept.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("chunkRows covers every character with the right overlap") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkRows(df, "text", "doc_id", size = 100, overlap = 20)
+      .orderBy("chunk_start").collect()
+    assert(chunks.map(_.getInt(1)).toSeq == Seq(1, 81, 161, 241))
+    // reassembling the non-overlap prefixes + final chunk restores the text
+    val restored = chunks.dropRight(1).map(_.getString(2).take(80)).mkString +
+      chunks.last.getString(2)
+    assert(restored == text)
+  }
+
+  test("chunkRows keeps empty documents as one empty chunk") {
+    val df = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
+    val rows = Chunking.chunkRows(df, "text", "doc_id", size = 10, overlap = 0)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+    assert(rows == Seq((1L, ""), (2L, "abc")))
+  }
+}

@@ -46,6 +46,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((3.0, 2L), (10.0, 1L)))
   }
 
+  test("dedupExact keeps the first arrival per fingerprint on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupExact(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2020-01-01 00:00:00"), 1L, "alpha"),
+      (ts("2020-01-01 00:01:00"), 2L, "beta"),
+      (ts("2020-01-01 00:02:00"), 3L, "ALPHA")) // normalizes to the same text
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id from dedup_out order by doc_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(got == Seq(1L, 2L))
+  }
+
   test("sessionAgg groups events into gap-bounded sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
