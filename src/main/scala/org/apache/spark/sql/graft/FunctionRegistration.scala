@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT array_dot(a, b)")` works alongside the Column API
+  * ([[graft.functions.VectorExprs.dot]]).
+  *
+  * Lives in the org.apache.spark.sql namespace to reach the session's
+  * `private[sql]` FunctionRegistry for in-place registration on an already
+  * running session; new sessions should prefer the
+  * [[graft.GraftExtensions]] entry point
+  * (spark.sql.extensions=graft.GraftExtensions).
+  */
+object FunctionRegistration {
+
+  val arrayDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"array_dot expects 2 arguments, got ${exprs.length}")
+        ArrayDot(exprs.head, exprs(1))
+      })
+
+  /** Register `array_dot` on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+}

@@ -1,0 +1,46 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule: rewrite the interpreted higher-order-function dot
+  * product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+  *
+  * into the codegen'd [[ArrayDot]] kernel. Spark's lambda functions are
+  * interpreted (they never enter whole-stage codegen), and this exact shape
+  * is how users naturally spell a dot product over array columns — measured
+  * 5-28x slower than the native expression. The rewrite fires only on the
+  * strict pattern: multiply of exactly the two zip_with lambda variables
+  * (either order), fold of plain double addition starting at 0.0, identity
+  * finish lambda, and both inputs array<double> with no null elements
+  * (ArrayDot's contract).
+  */
+object RewriteHofDot extends Rule[LogicalPlan] {
+
+  private def isPair(a: Expression, b: Expression,
+                     v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (a.semanticEquals(v1) && b.semanticEquals(v2)) ||
+      (a.semanticEquals(v2) && b.semanticEquals(v1))
+
+  private def isNonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(l, r,
+            LambdaFunction(Multiply(mx, my, _), Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(Add(ax, ay, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(facc: NamedLambdaVariable), _))
+        if zero == 0.0 && isPair(mx, my, zx, zy) && isPair(ax, ay, acc, el) &&
+          fin.semanticEquals(facc) &&
+          isNonNullDoubleArray(l) && isNonNullDoubleArray(r) =>
+      ArrayDot(l, r)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array_dot registers as a SQL function on a live session") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    val got = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(got == 32.0)
+  }
+
+  test("RewriteHofDot swaps the interpreted HOF pattern for the native kernel") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ org.apache.spark.sql.graft.RewriteHofDot
+    try {
+      // non-foldable input (literal rows would be constant-folded away
+      // before the plan can be inspected)
+      val df = spark.range(2)
+        .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+          array(lit(3.0), lit(4.0)).as("b"))
+        .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("d"))
+      // the optimized plan must contain the native expression...
+      assert(df.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        df.queryExecution.optimizedPlan.toString)
+      // ...and produce the same values the HOF would
+      assert(df.as[Double].collect().toSeq.sorted == Seq(8.0, 11.0))
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("GraftExtensions wires both into a fresh session") {
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val got = ext.sql(
+        "SELECT array_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(got == 23.0)
+      val hof = ext.range(1).selectExpr(
+        """aggregate(zip_with(array(cast(id AS double), 2.0D), array(3.0D, 4.0D),
+          |  (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d""".stripMargin)
+      assert(hof.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        hof.queryExecution.optimizedPlan.toString)
+      assert(hof.collect().head.getDouble(0) == 8.0)
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
