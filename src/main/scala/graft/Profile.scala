@@ -18,11 +18,21 @@ object Profile {
     val li = Tables.lineitem(spark, sfDir)
     time("fit2d")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
     time("fit2d again")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
-    time("full q_mahalanobis")(SparkEntry.queries("q_mahalanobis")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    time("q_ivf_topk")(SparkEntry.queries("q_ivf_topk")(spark, sfDir)
-      .queryExecution.toRdd.count())
+    val docs = Tables.documents(spark, sfDir)
+    time("wordShingleRows count")(
+      graft.operators.Dedup.wordShingleRows(docs, "doc_id", "text", 3,
+        passthrough = Seq("source"), dedup = false).queryExecution.toRdd.count())
+    time("wordShingleRows dedup+hash")(
+      graft.operators.Dedup.wordShingleRows(docs, "doc_id", "text", 3,
+        passthrough = Seq("source"), dedup = false)
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("shingle")).as("h"))
+        .distinct().queryExecution.toRdd.count())
     time("q_ngram_jaccard")(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .queryExecution.toRdd.count())
+    time("q_ngram_jaccard again")(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
       .queryExecution.toRdd.count())
     time("q_simhash_neardup")(SparkEntry.queries("q_simhash_neardup")(spark, sfDir)
       .queryExecution.toRdd.count())

@@ -275,11 +275,16 @@ object Dedup {
     // self-join: intersection/union COUNTS are what Jaccard needs, and longs
     // cut the shuffled bytes ~3x vs ~20-char gram strings (collision odds at
     // 2^-64 per in-block pair are irrelevant next to FP tolerance).
+    // localCheckpoint: four consumers read this table (hot-shingle
+    // aggregate, per-doc sizes, both self-join sides) — materializing the
+    // ~3-longs-per-shingle rows once beats re-running tokenize+shingle 4x
+    // (same reuse pattern as minHashCandidates' signature table).
     val sh = wordShingleRows(FanOut(df), idCol, textCol, n,
         passthrough = Seq(blockCol), dedup = false)
       .withColumnRenamed(blockCol, "block")
       .select(col("block"), col("id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
+      .localCheckpoint(true)
     val filtered =
       if (maxShingleFreq >= Int.MaxValue / 2) sh
       else {
