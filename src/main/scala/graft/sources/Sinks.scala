@@ -2,6 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 
+import graft.plant.PlantData
+import graft.schema.PlantSchemas
+
 /** Export sinks (reference: PlantData.to_csv, plant.py:746-843) plus the
   * scale-path parquet layouts the 100 TB design assumes.
   */
@@ -10,6 +13,56 @@ object Sinks {
   /** CSV export with header, one directory per bucket (reference to_csv). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Full-plant export: every loaded bucket as a CSV directory plus a
+    * `metadata.json` that [[Ingest.loadPlant]] accepts back — the reference
+    * writes the same bucket CSVs + metadata YAML pair (plant.py:746-843).
+    * Exported columns are already canonical, so the column maps are
+    * identity over each bucket's canonical fields; frequencies round-trip
+    * through the pandas-style alias vocabulary.
+    */
+  def writePlant(plant: PlantData, dir: String): Unit = {
+    def bucketCsv(name: String, df: DataFrame): Unit = writeCsv(df, s"$dir/$name")
+    plant.scada.foreach(bucketCsv("scada", _))
+    plant.meter.foreach(bucketCsv("meter", _))
+    plant.tower.foreach(bucketCsv("tower", _))
+    plant.status.foreach(bucketCsv("status", _))
+    plant.curtail.foreach(bucketCsv("curtail", _))
+    plant.asset.foreach(bucketCsv("asset", _))
+    plant.reanalysis.foreach { case (p, df) => bucketCsv(s"reanalysis_$p", df) }
+
+    val freqName: Map[Long, String] =
+      Map(600L -> "10min", 300L -> "5min", 60L -> "min", 3600L -> "h",
+        86400L -> "D", 604800L -> "W", 2592000L -> "MS")
+    def identityMap(bucket: String, df: DataFrame, freqS: Option[Long]): String = {
+      val canonical = PlantSchemas.bucketSchemas.get(bucket)
+        .map(_.fieldNames.toSet).getOrElse(df.columns.toSet)
+      val pairs = df.columns.filter(canonical)
+        .map(c => s"""    "$c": "$c"""")
+      val freq = freqS.flatMap(freqName.get)
+        .map(f => s"""    "frequency": "$f"""").toSeq
+      (pairs ++ freq).mkString("{\n", ",\n", "\n  }")
+    }
+    val m = plant.metadata
+    val sections = Seq(
+      plant.scada.map(df => "scada" -> identityMap("scada", df, Some(m.scadaFreqSeconds))),
+      plant.meter.map(df => "meter" -> identityMap("meter", df, Some(m.meterFreqSeconds))),
+      plant.tower.map(df => "tower" -> identityMap("tower", df, None)),
+      plant.status.map(df => "status" -> identityMap("status", df, None)),
+      plant.curtail.map(df => "curtail" -> identityMap("curtail", df, Some(m.curtailFreqSeconds))),
+      plant.asset.map(df => "asset" -> identityMap("asset", df, None))).flatten
+    val rea = plant.reanalysis.map { case (p, df) =>
+      s""""$p": ${identityMap("reanalysis", df, Some(m.reanalysisFreqSeconds))}"""
+    }.mkString("{\n  ", ",\n  ", "\n  }")
+    val json = (Seq(
+      s""""latitude": 0.0""",
+      s""""longitude": 0.0""",
+      s""""capacity": ${m.capacityKw / 1000.0}""") ++
+      sections.map { case (k, v) => s""""$k": $v""" } :+
+      s""""reanalysis": $rea""").mkString("{\n  ", ",\n  ", "\n}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata.json"), json)
+  }
 
   /** The preferred internal layout: parquet partitioned by a low-cardinality
     * date column (partition pruning on time-range queries) and bucketed by

@@ -91,6 +91,27 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage.contains("WMET_HorWdSpd"))
   }
 
+  test("writePlant exports CSVs + metadata that loadPlant round-trips") {
+    val plant = graft.analysis.SyntheticPlant.build(spark, days = 2,
+      reanalysisYears = 1)
+    val out = Files.createTempDirectory("plant_export").toString
+    Sinks.writePlant(plant, out)
+    val loaded = Ingest.loadPlant(spark, s"$out/metadata.json",
+      csvPaths = Map("scada" -> s"$out/scada", "meter" -> s"$out/meter",
+        "curtail" -> s"$out/curtail", "asset" -> s"$out/asset"),
+      reanalysisPaths = Map("era5" -> s"$out/reanalysis_era5"))
+    assert(loaded.scadaDf.count() == plant.scadaDf.count())
+    assert(loaded.meterDf.count() == plant.meterDf.count())
+    assert(loaded.assetDf.count() == plant.assetDf.count())
+    assert(loaded.reanalysis("era5").count() == plant.reanalysis("era5").count())
+    assert(loaded.metadata.capacityKw == plant.metadata.capacityKw)
+    // values survive the round trip: same total SCADA energy
+    import org.apache.spark.sql.functions._
+    val a = plant.scadaDf.agg(sum("WTUR_W")).head().getDouble(0)
+    val b = loaded.scadaDf.agg(sum("WTUR_W")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-6 * math.abs(a), s"$a vs $b")
+  }
+
   test("missing mapped columns accumulate errors instead of failing one-by-one") {
     val thinCsv = write(dir.resolve("scada_thin.csv"),
       """Date_time,P_avg
