@@ -18,6 +18,12 @@ object Profile {
     val li = Tables.lineitem(spark, sfDir)
     time("fit2d")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
     time("fit2d again")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
+    // plan audit: pushdown + pruning must reach the scans
+    for (q <- Seq("q_filter_project", "q1_agg", "q_status_filter")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(4).foreach(l => println(s"[prof] $q plan: ${l.trim.take(160)}"))
+    }
     val docs = Tables.documents(spark, sfDir)
     time("wordShingleRows count")(
       graft.operators.Dedup.wordShingleRows(docs, "doc_id", "text", 3,

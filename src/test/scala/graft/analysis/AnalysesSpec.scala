@@ -156,6 +156,30 @@ class AnalysesSpec extends SparkSpec {
     wl.ltLossByTurbine.values.foreach(v => assert(math.abs(v) < 0.05, s"$wl"))
   }
 
+  test("WakeLosses recovers a constructed directional wake deficit") {
+    import org.apache.spark.sql.functions._
+    // in the 2x2 grid, T1/T3 sit west of T2/T4, so for westerly winds
+    // (240-300 deg) the freestream sets are {T1, T3}; derate T2/T4 by 15%
+    // exactly there — a directional wake whose plant-level loss is
+    // computable in closed form from the unmodified data
+    val sectored = col("WMET_HorWdDir").between(240.0, 300.0)
+    val waked = plant.copy(scada = Some(plant.scadaDf.withColumn("WTUR_W",
+      when(col("asset_id").isin("T2", "T4") && sectored, col("WTUR_W") * 0.85)
+        .otherwise(col("WTUR_W")))))
+    val wl = new WakeLosses(waked, deratingFilter = false).run()
+    val tot = plant.scadaDf.agg(sum("WTUR_W")).head().getDouble(0)
+    val sect = plant.scadaDf
+      .filter(col("asset_id").isin("T2", "T4") && sectored)
+      .agg(sum("WTUR_W")).head().getDouble(0)
+    val expected = 0.15 * sect / tot
+    assert(math.abs(wl.porLossPlant - expected) < 0.015,
+      s"got ${wl.porLossPlant}, closed-form $expected")
+    // the waked turbines carry the loss; the freestream ones don't
+    assert(wl.porLossByTurbine("T2") > wl.porLossByTurbine("T1") + 0.02, s"$wl")
+    // LT correction reweights by reanalysis frequency but stays in range
+    assert(math.abs(wl.ltLossPlant - expected) < 0.05)
+  }
+
   test("WakeLosses derating filter excludes a constructed derated turbine") {
     import org.apache.spark.sql.functions._
     // transient curtailment: T2 produces nothing during hours 0-5 despite
