@@ -62,6 +62,34 @@ object StreamingOps {
         graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming twin of graft.operators.StatusOps.withActiveStatus: attach
+    * the active status code to a live fact stream.
+    *
+    * The batch formulation (union + last-over-window as-of join) is
+    * stateful-unbounded on a stream, so the streaming shape converts the
+    * (small, slowly-changing) status history to VALIDITY INTERVALS in batch
+    * — each event holds until the next event for the same asset — and the
+    * stream takes a stateless broadcastable join with a range predicate.
+    * One interval row per status event; no watermark state, no
+    * stream-stream join.
+    */
+  def withActiveStatus(facts: DataFrame, statusBatch: DataFrame,
+                       codeCol: String = "status_code",
+                       keyCol: String = "asset_id",
+                       tsCol: String = "time"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val intervals = statusBatch
+      .select(col(keyCol).as("__k"), col(tsCol).as("__from"), col(codeCol))
+      .withColumn("__to", lead(col("__from"), 1)
+        .over(Window.partitionBy("__k").orderBy("__from")))
+    facts.join(intervals,
+        facts(keyCol) === intervals("__k") &&
+          facts(tsCol) >= intervals("__from") &&
+          (intervals("__to").isNull || facts(tsCol) < intervals("__to")),
+        "left")
+      .drop("__k", "__from", "__to")
+  }
+
   /** Streaming per-bucket flagged-fraction monitor: the percent_nan /
     * threshold-exceedance pattern as a live quality signal.
     */

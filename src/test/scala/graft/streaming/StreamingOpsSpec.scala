@@ -64,6 +64,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("withActiveStatus attaches interval-valid status to a fact stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val status = Seq(
+      (ts("2020-01-01 00:00:00"), "T1", "normal"),
+      (ts("2020-01-01 01:00:00"), "T1", "fault"),
+      (ts("2020-01-01 02:00:00"), "T1", "normal"))
+      .toDF("time", "asset_id", "status_code")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val joined = StreamingOps.withActiveStatus(
+      input.toDF().toDF("time", "asset_id", "WTUR_W"), status)
+    val q = joined.writeStream.format("memory").queryName("status_stream_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2020-01-01 00:30:00"), "T1", 1.0),
+      (ts("2020-01-01 01:30:00"), "T1", 2.0),
+      (ts("2020-01-01 03:00:00"), "T1", 3.0),
+      (ts("2019-12-31 23:00:00"), "T1", 4.0)) // before any status event
+    q.processAllAvailable()
+    val got = spark.sql("select WTUR_W, status_code from status_stream_out order by WTUR_W")
+      .as[(Double, String)].collect().toSeq
+    q.stop()
+    assert(got == Seq((1.0, "normal"), (2.0, "fault"), (3.0, "normal"), (4.0, null)))
+  }
+
   test("sessionAgg groups events into gap-bounded sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
