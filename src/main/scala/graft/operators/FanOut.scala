@@ -19,10 +19,20 @@ import org.apache.spark.sql.DataFrame
   * repartitioning a fact table would add a catastrophic shuffle at scale.
   */
 object FanOut {
+  import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint < BigInt(target) * 8L * 1024 * 1024) df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    // idempotent: a scan-level FanOut (Tables) followed by an operator-level
+    // one must not stack a second shuffle
+    val alreadyRepartitioned = plan.find {
+      case _: Repartition | _: RepartitionByExpression => true
+      case _ => false
+    }.isDefined
+    if (!alreadyRepartitioned &&
+      plan.stats.sizeInBytes < BigInt(target) * 8L * 1024 * 1024)
+      df.repartition(target)
     else df
   }
 }
