@@ -79,6 +79,14 @@ object Oracles {
         |  count(DISTINCT date_trunc('hour', ts)) AS num_hours
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // reference num_days/num_hours SPAN semantics (timeseries.py:245-275:
+    // resample().asfreq().index.size == calendar buckets first..last inclusive)
+    "q_num_days_span" ->
+      """SELECT
+        |  date_diff('day', date_trunc('day', min(ts)), date_trunc('day', max(ts))) + 1 AS num_days,
+        |  date_diff('hour', date_trunc('hour', min(ts)), date_trunc('hour', max(ts))) + 1 AS num_hours
+        |FROM events""".stripMargin,
+
     "q_gap_detect" ->
       """WITH m AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute FROM events),
         |span AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
@@ -135,17 +143,21 @@ object Oracles {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_std_range_flag" ->
-      """SELECT event_id, abs(value - m) > 2.0 * s AS flag
+      """SELECT event_id, value <= m - 2.0 * s OR value >= m + 2.0 * s AS flag
         |FROM events, (SELECT avg(value) AS m, stddev_samp(value) AS s FROM events)
         |ORDER BY event_id""".stripMargin,
 
     "q_bin_filter" ->
-      """WITH b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |    floor(l_quantity / 5.0) AS bin FROM lineitem),
+      """WITH bounds AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),
+        |b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CASE WHEN l_quantity > lo AND l_quantity <= hi
+        |         THEN ceiling((l_quantity - lo) / 5.0) END AS bin
+        |  FROM lineitem, bounds),
         |st AS (SELECT bin, avg(l_extendedprice) AS c, stddev_samp(l_extendedprice) AS sd
-        |    FROM b GROUP BY bin)
-        |SELECT l_orderkey, l_linenumber, (l_extendedprice - c) > 2.0 * sd AS flag
-        |FROM b JOIN st USING (bin) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |    FROM b WHERE bin IS NOT NULL GROUP BY bin)
+        |SELECT l_orderkey, l_linenumber,
+        |  coalesce((l_extendedprice - c) > 2.0 * sd, false) AS flag
+        |FROM b LEFT JOIN st USING (bin) ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_met_columns" ->
       """WITH u AS (SELECT event_id, value - 10.0 AS u,
@@ -158,7 +170,9 @@ object Oracles {
 
     "q_air_density" ->
       """SELECT event_id,
-        |  round((101325.0 - user_id * 10.0) / (287.058 * (288.15 + value / 10.0)), 6) AS rho
+        |  round(((101325.0 - user_id * 10.0) / 287.058
+        |    - 0.5 * (0.0000205 * exp(0.0631846 * (288.15 + value / 10.0)))
+        |      * (1.0/287.058 - 1.0/461.5)) / (288.15 + value / 10.0), 6) AS rho
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_circular_mean" ->

@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
 // temporary profiling harness — not part of the library surface
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -12,36 +15,37 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      (1 to 3).foreach(i => time(s"$label #$i")(df.queryExecution.toRdd.count()))
+
     // warmup
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
 
-    val li = Tables.lineitem(spark, sfDir)
-    time("fit2d")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
-    time("fit2d again")(graft.fitting.KMeansLite.fit2d(li, "l_quantity", "l_extendedprice", 8))
-    // plan audit: pushdown + pruning must reach the scans
-    for (q <- Seq("q_filter_project", "q1_agg", "q_status_filter")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
-      plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
-        .take(4).foreach(l => println(s"[prof] $q plan: ${l.trim.take(160)}"))
-    }
-    val docs = Tables.documents(spark, sfDir)
-    time("wordShingleRows count")(
-      graft.operators.Dedup.wordShingleRows(docs, "doc_id", "text", 3,
-        passthrough = Seq("source"), dedup = false).queryExecution.toRdd.count())
-    time("wordShingleRows dedup+hash")(
-      graft.operators.Dedup.wordShingleRows(docs, "doc_id", "text", 3,
-        passthrough = Seq("source"), dedup = false)
-        .select(org.apache.spark.sql.functions.col("source"),
-          org.apache.spark.sql.functions.col("id"),
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("shingle")).as("h"))
-        .distinct().queryExecution.toRdd.count())
-    time("q_ngram_jaccard")(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    time("q_ngram_jaccard again")(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    time("q_simhash_neardup")(SparkEntry.queries("q_simhash_neardup")(spark, sfDir)
-      .queryExecution.toRdd.count())
+    val Dec = DecimalType(38, 10)
+    val Dec4 = DecimalType(18, 4)
+
+    // A/B/C the exact-sum strategies on the q1_agg shape
+    run("q1 decimal38")(Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(((sum(col("l_quantity").cast(Dec)) * 100).cast("long").cast("double") / 100.0).as("sum_qty"),
+        ((sum(col("l_extendedprice").cast(Dec)) * 100).cast("long").cast("double") / 100.0).as("sum_base"),
+        ((sum(col("l_extendedprice").cast(Dec4) * (lit(1.0).cast(Dec4) - col("l_discount").cast(Dec4))) * 10000)
+          .cast("long").cast("double") / 10000.0).as("sum_disc")))
+    run("q1 double")(Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc")))
+    run("q1 long-cents")(Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0).as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0).as("sum_base"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")
+          * round(lit(10000) - col("l_discount") * 10000).cast("long"))
+          .cast("double") / 1e6).as("sum_disc")))
+
+    run("q_join_revenue current")(SparkEntry.queries("q_join_revenue")(spark, sfDir))
+    run("q1_agg current")(SparkEntry.queries("q1_agg")(spark, sfDir))
     spark.stop()
   }
 }

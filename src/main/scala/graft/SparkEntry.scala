@@ -149,6 +149,14 @@ object SparkEntry {
         .orderBy("day_epoch")
     }),
 
+    // reference num_days/num_hours span semantics (timeseries.py:245-275)
+    "q_num_days_span" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Timeseries.numSpan(ev, "ts", "day").select(col("num_day").as("num_days"))
+        .crossJoin(Timeseries.numSpan(ev, "ts", "hour")
+          .select(col("num_hour").as("num_hours")))
+    }),
+
     // ---- 2.6 gap detection (timeseries.py:145-170) -------------------------
     "q_gap_detect" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("minute", date_trunc("minute", col("ts")))

@@ -138,15 +138,24 @@ final class TurbineLongTermGrossEnergy(
     val results = new Array[Double](sims)
     var perTurbineAcc = Map.empty[String, Double]
 
-    for (n <- 0 until sims) {
-      val product = products(if (uq) rng.nextInt(products.size) else n % products.size)
-      val rean = dailyReanalysis(product).cache()
-      // join turbine-days with covariates; collect per turbine (days x 4)
+    // Memoize the collected daily arrays PER PRODUCT: one join + collect per
+    // reanalysis product no matter how many UQ simulations draw it
+    // (reference memo at turbine_long_term_gross_energy.py:392-415). The
+    // arrays are #days x #turbines rows — driver-bounded.
+    val memo = scala.collection.mutable.Map.empty[String,
+      (Map[String, Array[org.apache.spark.sql.Row]], Array[org.apache.spark.sql.Row])]
+    def productData(product: String) = memo.getOrElseUpdate(product, {
+      val rean = dailyReanalysis(product)
       val joined = daily.join(rean, Seq("day"))
         .select(col("asset_id"), col("energy_corrected"), col("ws"), col("wd"), col("rho"))
         .collect()
         .groupBy(_.getString(0))
-      val ltRows = rean.select("ws", "wd", "rho", "day").collect()
+      (joined, rean.select("ws", "wd", "rho", "day").collect())
+    })
+
+    for (n <- 0 until sims) {
+      val product = products(if (uq) rng.nextInt(products.size) else n % products.size)
+      val (joined, ltRows) = productData(product)
       val perTurbine = turbines.map { t =>
         val rows = joined.getOrElse(t, Array.empty)
         val xs = rows.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
@@ -167,7 +176,6 @@ final class TurbineLongTermGrossEnergy(
       }.toMap
       if (n == 0) perTurbineAcc = perTurbine
       results(n) = perTurbine.values.sum
-      rean.unpersist()
     }
     daily.unpersist()
     Result(results, perTurbineAcc)

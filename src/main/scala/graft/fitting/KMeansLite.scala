@@ -27,11 +27,50 @@ object KMeansLite {
       struct((dx * dx + dy * dy).as("d"), lit(i).as("cid"))
     }: _*).getField("cid")
 
-  /** Driver-side Lloyd iterations over sampled points of any dimension.
-    * Empty clusters keep their previous centroid.
+  /** Multi-restart Lloyd keeping the lowest within-cluster SSE — the
+    * sklearn `n_init` behavior the reference relies on (filters.py:290
+    * uses `KMeans(...)`, default n_init), which protects against a bad
+    * random init collapsing a cluster. Driver-side: restarts are ~free.
     */
   private[graft] def lloyd(sample: Array[Array[Double]], k: Int, maxIter: Int,
-                           seed: Long, tol: Double): Array[Array[Double]] = {
+                           seed: Long, tol: Double,
+                           restarts: Int = 5): Array[Array[Double]] = {
+    var best: Array[Array[Double]] = null
+    var bestSse = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val cents = lloydOnce(sample, k, maxIter, seed + r, tol)
+      val sse = sampleSse(sample, cents)
+      if (sse < bestSse) { bestSse = sse; best = cents }
+      r += 1
+    }
+    best
+  }
+
+  private def sampleSse(sample: Array[Array[Double]],
+                        cents: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < sample.length) {
+      val p = sample(i)
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0
+        var j = 0
+        while (j < p.length) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      s += bestD
+      i += 1
+    }
+    s
+  }
+
+  /** One seeded Lloyd run. Empty clusters keep their previous centroid. */
+  private def lloydOnce(sample: Array[Array[Double]], k: Int, maxIter: Int,
+                        seed: Long, tol: Double): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans: no input points")
     val rng = new scala.util.Random(seed)
     var cents = rng.shuffle(sample.toVector).take(k).map(_.clone()).toArray

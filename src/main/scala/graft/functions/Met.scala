@@ -46,11 +46,23 @@ object Met {
   /** Meridional (v, north-south) wind component from speed + met direction. */
   def vComponent(ws: Column, wd: Column): Column = -ws * cos(radians(wd))
 
-  /** Air density from temperature (K) and pressure (Pa) via the ideal gas law,
-    * IEC 61400-12 style (dry air unless humidity terms supplied).
+  /** Air density from temperature (K) and pressure (Pa) via the ideal gas law
+    * per IEC 61400-12, INCLUDING the water-vapor correction at relative
+    * humidity `relHumidity` (the reference defaults missing humidity to 0.5
+    * per the IEC standard):
+    * rho = (1/T) * (P/R - RH * (2.05e-5 * exp(6.31846e-2 * T)) * (1/R - 1/Rw)).
     * Reference: met_data_processing.py:127-175 (`compute_air_density`).
     */
   def airDensity(tempK: Column, presPa: Column): Column =
+    airDensity(tempK, presPa, lit(0.5))
+
+  def airDensity(tempK: Column, presPa: Column, relHumidity: Column): Column =
+    (presPa / GasConstantDryAir
+      - relHumidity * (lit(0.0000205) * exp(lit(0.0631846) * tempK))
+        * lit(1.0 / GasConstantDryAir - 1.0 / GasConstantWaterVapor)) / tempK
+
+  /** Dry-air ideal-gas density P/(R*T) (no humidity term). */
+  def airDensityDry(tempK: Column, presPa: Column): Column =
     presPa / (lit(GasConstantDryAir) * tempK)
 
   /** Hydrostatic vertical pressure extrapolation from height z1 to z2 (meters)
@@ -119,4 +131,16 @@ object Met {
     val c = xs.map(x => cos(radians(x))).reduce(_ + _) / n
     wrap360(degrees(atan2(s, c)))
   }
+
+  /** Row-wise geometric mean: exp(mean(ln x)). Used by `compute_shear`'s
+    * reference-value outputs (met_data_processing.py:260-327 with
+    * return_reference_values=True): u_ref is the geometric mean of the
+    * sensor wind speeds, z_ref the geometric mean of the sensor heights.
+    */
+  def geometricMeanRowwise(xs: Seq[Column]): Column =
+    exp(xs.map(x => log(x)).reduce(_ + _) / xs.size.toDouble)
+
+  /** The shear reference height: geometric mean of the sensor heights. */
+  def shearReferenceHeight(heights: Seq[Double]): Double =
+    math.exp(heights.map(math.log).sum / heights.size)
 }

@@ -12,17 +12,25 @@ object UnitConversion {
   def powerToEnergy(powerKw: Column, freqSeconds: Long): Column =
     powerKw * lit(freqSeconds / 3600.0)
 
-  /** Gross energy = net + availability + curtailment losses, where the loss
-    * inputs are energies (unit_conversion.py:41-106 `compute_gross_energy`,
-    * energy mode). Fraction mode: losses given as fractions of gross:
-    * gross = net / (1 - avail_frac - curt_frac).
+  /** Gross energy = net energy plus availability and curtailment losses,
+    * where each loss input is independently either an energy amount
+    * ("energy") or a fraction of gross ("frac"), matching the reference's
+    * four combinations (unit_conversion.py:41-106 `compute_gross_energy`):
+    *   frac/frac:     net / (1 - avail - curt)
+    *   frac/energy:   net / (1 - avail) + curt
+    *   energy/frac:   net / (1 - curt) + avail
+    *   energy/energy: net + avail + curt
     */
   def grossEnergy(net: Column, availLoss: Column, curtLoss: Column,
-                  mode: String = "energy"): Column = mode match {
-    case "energy" => net + availLoss + curtLoss
-    case "frac"   => net / (lit(1.0) - availLoss - curtLoss)
-    case other    => throw new IllegalArgumentException(s"bad mode $other")
-  }
+                  availType: String = "energy",
+                  curtType: String = "energy"): Column =
+    (availType, curtType) match {
+      case ("frac", "frac")     => net / (lit(1.0) - availLoss - curtLoss)
+      case ("frac", "energy")   => net / (lit(1.0) - availLoss) + curtLoss
+      case ("energy", "frac")   => net / (lit(1.0) - curtLoss) + availLoss
+      case ("energy", "energy") => net + availLoss + curtLoss
+      case other => throw new IllegalArgumentException(s"bad modes $other")
+    }
 
   def feetToMeters(ft: Column): Column = ft * 0.3048
 }

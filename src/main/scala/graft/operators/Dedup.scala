@@ -142,8 +142,10 @@ object Dedup {
     // self-join — a hot band bucket of n docs emits n^2/2 pair rows, and
     // shipping the numHashes-long signature arrays through that join is the
     // dominant cost at scale. Signatures re-attach per UNIQUE pair
-    // afterwards (the signature table is #docs x numHashes longs —
-    // broadcastable far beyond any realistic corpus partition).
+    // afterwards. The signature table is per-DOCUMENT (numHashes longs ≈
+    // 1 KB/doc), so it must NOT be force-broadcast: at 10^9 docs that is a
+    // ~500 GB broadcast. No hint — AQE broadcasts it when small and falls
+    // back to a shuffle join at scale.
     val keyed0 = sigs
       .withColumn("bandkey", explode(lshBands(col("sig"), bands, rowsPerBand)))
       .select("bandkey", "id")
@@ -161,8 +163,8 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
     candPairs
-      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / numHashes).as("est_jaccard"))

@@ -39,9 +39,10 @@ object Flags {
                       value: Column, vLower: Double, vUpper: Double): Column =
     window.between(wStart, wEnd) && !value.between(vLower, vUpper)
 
-  /** Flag rows more than `threshold` sample standard deviations from the
-    * global mean of `col`. Two-pass: one tiny aggregate (1 row, broadcast
-    * back via crossJoin) + row-local comparison.
+  /** Flag rows at or beyond `threshold` sample standard deviations from the
+    * global mean of `col` (INCLUSIVE bounds, matching the reference's
+    * `le(mean - t*std) | ge(mean + t*std)`). Two-pass: one tiny aggregate
+    * (1 row, broadcast back via crossJoin) + row-local comparison.
     * Reference: filters.py:112-154 (`std_range_flag`).
     */
   def stdRangeFlag(df: DataFrame, col: String, threshold: Double = 2.0,
@@ -49,9 +50,11 @@ object Flags {
     val stats = df.agg(
       avg(df(col)).as("__mean"),
       stddev_samp(df(col)).as("__std"))
+    val m = org.apache.spark.sql.functions.col("__mean")
+    val s = org.apache.spark.sql.functions.col("__std")
     df.crossJoin(broadcast(stats))
-      .withColumn(flagCol, abs(df(col) - org.apache.spark.sql.functions.col("__mean"))
-        > lit(threshold) * org.apache.spark.sql.functions.col("__std"))
+      .withColumn(flagCol,
+        df(col) <= m - lit(threshold) * s || df(col) >= m + lit(threshold) * s)
       .drop("__mean", "__std")
   }
 
@@ -92,49 +95,74 @@ object Flags {
   /** Bin `binCol` into fixed-width bins and flag rows whose `valueCol`
     * deviates from the bin center by more than `threshold` spreads.
     *
+    * Binning matches the reference's digitize-over-edges semantics
+    * (filters.py:190-286 `bin_filter`): edges run from binMin (default
+    * min(binCol)) in steps of binWidth, the last edge clipped to binMax
+    * (default max(binCol)); bins are RIGHT-closed intervals
+    * (edge[i-1], edge[i]]; rows with binCol <= binMin or binCol > binMax are
+    * never flagged. The right-closed uniform-step bin index is
+    * ceil((x - binMin) / binWidth) — the clipped last bin falls out of the
+    * same formula because its interval is a subset of a full-width step.
+    *
     * centerType: "mean" | "median"; deviationType: "std" | "mad" | "scalar";
-    * direction: "all" | "above" | "below".
+    * direction: "all" | "above" | "below". Medians are exact (interpolating
+    * `percentile`), matching numpy nanmedian.
     *
     * Two aggregation passes over the fact table produce a #bins-row table
     * (broadcast) joined back on the bin key — no fact-grain shuffle beyond
     * the aggs themselves.
-    * Reference: filters.py:190-286 (`bin_filter`).
     */
   def binFilter(df: DataFrame, binCol: String, valueCol: String,
                 binWidth: Double, threshold: Double,
                 centerType: String = "mean", deviationType: String = "std",
-                direction: String = "all", flagCol: String = "flag"): DataFrame = {
+                direction: String = "all", flagCol: String = "flag",
+                binMin: Option[Double] = None,
+                binMax: Option[Double] = None): DataFrame = {
     require(Seq("mean", "median").contains(centerType), s"bad centerType $centerType")
     require(Seq("std", "mad", "scalar").contains(deviationType), s"bad deviationType $deviationType")
     require(Seq("all", "above", "below").contains(direction), s"bad direction $direction")
 
-    val binned = df.withColumn("__bin", floor(col(binCol) / binWidth))
+    // bounds default to the observed min/max: a 1-row broadcast, not a collect
+    val withBounds = (binMin, binMax) match {
+      case (Some(lo), Some(hi)) =>
+        df.withColumn("__lo", lit(lo)).withColumn("__hi", lit(hi))
+      case _ =>
+        val b = df.agg(
+          binMin.map(lit(_).as("__lo")).getOrElse(min(col(binCol)).cast("double").as("__lo")),
+          binMax.map(lit(_).as("__hi")).getOrElse(max(col(binCol)).cast("double").as("__hi")))
+        df.crossJoin(broadcast(b))
+    }
+    val inRange = col(binCol) > col("__lo") && col(binCol) <= col("__hi")
+    val binned = withBounds.withColumn("__bin",
+      when(inRange, ceil((col(binCol) - col("__lo")) / binWidth)).otherwise(lit(null)))
     val centerExpr = centerType match {
       case "mean"   => avg(col(valueCol))
-      case "median" => percentile_approx(col(valueCol), lit(0.5), lit(10000))
+      case "median" => percentile(col(valueCol), lit(0.5))
     }
-    val centers = binned.groupBy("__bin").agg(centerExpr.as("__center"),
-      stddev_samp(col(valueCol)).as("__std"))
+    val centers = binned.filter(col("__bin").isNotNull)
+      .groupBy("__bin").agg(centerExpr.as("__center"),
+        stddev_samp(col(valueCol)).as("__std"))
     val spreadTable = deviationType match {
       case "mad" =>
         // MAD needs the median-of-absolute-deviations: second pass vs center.
-        binned.join(broadcast(centers), "__bin")
+        binned.filter(col("__bin").isNotNull).join(broadcast(centers), "__bin")
           .groupBy("__bin")
           .agg(first(col("__center")).as("__center"),
-            percentile_approx(abs(col(valueCol) - col("__center")), lit(0.5), lit(10000))
-              .as("__spread"))
+            percentile(abs(col(valueCol) - col("__center")), lit(0.5)).as("__spread"))
       case "std"    => centers.withColumnRenamed("__std", "__spread")
       case "scalar" => centers.withColumn("__spread", lit(1.0)).drop("__std")
     }
     val dev = col(valueCol) - col("__center")
-    val flag = direction match {
-      case "all"   => abs(dev) > lit(threshold) * col("__spread")
-      case "above" => dev > lit(threshold) * col("__spread")
-      case "below" => -dev > lit(threshold) * col("__spread")
+    val spread = (if (deviationType == "scalar") lit(1.0) else col("__spread")) * threshold
+    val rawFlag = direction match {
+      case "all"   => dev > spread || -dev > spread
+      case "above" => dev > spread
+      case "below" => -dev > spread
     }
-    binned.join(broadcast(spreadTable.select("__bin", "__center", "__spread")), "__bin")
-      .withColumn(flagCol, flag)
-      .drop("__bin", "__center", "__spread")
+    // NaN/null spread (singleton bin) and out-of-range rows are never flagged
+    binned.join(broadcast(spreadTable.select("__bin", "__center", "__spread")), Seq("__bin"), "left")
+      .withColumn(flagCol, coalesce(rawFlag, lit(false)))
+      .drop("__bin", "__center", "__spread", "__lo", "__hi")
   }
 
   /** KMeans-cluster two columns and flag points with Mahalanobis distance

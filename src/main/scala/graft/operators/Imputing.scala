@@ -75,8 +75,10 @@ object Imputing {
   def imputeAllByCorrelation(df: DataFrame, tsCol: String, assetCol: String,
                              valueCol: String, minR2: Double = 0.7,
                              topM: Int = 3): DataFrame = {
+    // the reference thresholds on the RAW Pearson r (imputing.py:195-199:
+    // `r2_neighbor > r2_threshold` where r2_neighbor is corr_df's r), not r^2
     val ranks = neighborRanks(assetCorrelation(df, tsCol, assetCol, valueCol))
-      .filter(col("corr") * col("corr") > minR2 && col("rank") <= topM)
+      .filter(col("corr") > minR2 && col("rank") <= topM)
     // per-(target, neighbor) linear fit on concurrent non-null pairs
     val t = df.select(col(tsCol).as("__t"), col(assetCol).as("target"), col(valueCol).as("__y"))
     val nb = df.select(col(tsCol).as("__t"), col(assetCol).as("neighbor"), col(valueCol).as("__x"))

@@ -149,12 +149,30 @@ object Timeseries {
     df.groupBy(trunc(col(tsCol), freq).as(tsCol))
       .agg(avg(when(col(valueCol).isNull, 1.0).otherwise(0.0)).as("percent_nan"))
 
-  /** Distinct days / hours represented per resample bucket.
-    * Reference: timeseries.py:245-275 (`num_days` / `num_hours`).
+  /** Distinct days / hours represented per resample bucket. NOTE: this is a
+    * coverage metric; the reference's `num_days`/`num_hours` are the SPAN
+    * variants below.
     */
   def numDistinct(df: DataFrame, tsCol: String, freq: String, subFreq: String): DataFrame =
     df.groupBy(trunc(col(tsCol), freq).as(tsCol))
       .agg(countDistinct(trunc(col(tsCol), subFreq)).as(s"num_$subFreq"))
+
+  /** Number of calendar buckets of `freq` ("day" | "hour") spanned by the
+    * series, first through last INCLUSIVE — pandas
+    * `resample(freq).asfreq().index.size`; 0 for an empty input.
+    * Reference: timeseries.py:245-275 (`num_days` / `num_hours`).
+    */
+  def numSpan(df: DataFrame, tsCol: String, freq: String): DataFrame = {
+    val secs = freq match {
+      case "day" => 86400L
+      case "hour" => 3600L
+      case other => throw new IllegalArgumentException(s"bad freq $other")
+    }
+    df.agg(
+      coalesce(((unix_timestamp(trunc(max(col(tsCol)), freq))
+        - unix_timestamp(trunc(min(col(tsCol)), freq))) / secs + 1).cast("long"),
+        lit(0L)).as(s"num_$freq"))
+  }
 
   /** Forward-fill nulls in `valueCol` ordered by `orderCol` per partition:
     * last non-null over an unbounded-preceding window. `partitionCols` is

@@ -22,60 +22,65 @@ object PowerCurve {
     def predictCol(ws: Column): Column
   }
 
-  /** IEC 61400-12 binned power curve: 0.5 m/s bin means with linear
-    * interpolation of empty interior bins and nearest-fill at the edges
-    * (power_curve/functions.py:20-73 `IEC`). The bin table (<= ~100 rows)
-    * is collected and embedded as a chained expression.
+  /** IEC 61400-12-1-2 binned power curve, matching the reference's bin
+    * geometry exactly (power_curve/functions.py:20-73 `IEC`): edges are
+    * `linspace(windspeedStart, windspeedEnd, ceil((end-start)/binWidth)+1)`
+    * (so the effective step is <= binWidth when binWidth does not divide the
+    * range), bins are left-closed [e_i, e_{i+1}), the last bin is
+    * [windspeedEnd, inf), empty interior bins linearly interpolate and edge
+    * bins nearest-fill (pandas `interpolate().bfill()`), and PREDICTED power
+    * is zero outside [windspeedStart, windspeedEnd]. The bin table
+    * (<= ~100 rows) is collected and embedded as a literal-array expression.
     */
   def iec(df: DataFrame, wsCol: String, powerCol: String,
-          binWidth: Double = 0.5, maxWs: Double = 30.0): IecCurve = {
+          binWidth: Double = 0.5, windspeedStart: Double = 0.0,
+          windspeedEnd: Double = 30.0): IecCurve = {
+    val nBins = math.ceil((windspeedEnd - windspeedStart) / binWidth).toInt + 1
+    val step = (windspeedEnd - windspeedStart) / (nBins - 1)
+    val idx = least(floor((col(wsCol) - windspeedStart) / step).cast("int"),
+      lit(nBins - 1))
     val bins = df
       .filter(col(wsCol).isNotNull && col(powerCol).isNotNull &&
-        col(wsCol) >= 0 && col(wsCol) <= maxWs)
-      .groupBy(round(col(wsCol) / binWidth).cast("long").as("bin"))
+        col(wsCol) >= windspeedStart)
+      .groupBy(idx.as("bin"))
       .agg(avg(col(powerCol)).as("p"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val nBins = (maxWs / binWidth).toInt
-    val centers = (0 to nBins).map(_ * binWidth).toArray
-    // linear interp of missing bins, nearest at edges (pandas
-    // interpolate().bfill() equivalent)
-    val known = (0 to nBins).filter(b => bins.contains(b.toLong))
-    val values = new Array[Double](nBins + 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // linear interp of missing interior bins by bin position, nearest at the
+    // edges (pandas interpolate(method="linear").bfill() equivalent)
+    val known = (0 until nBins).filter(bins.contains)
+    val values = new Array[Double](nBins)
     if (known.nonEmpty) {
-      for (b <- 0 to nBins) {
-        values(b) = bins.get(b.toLong) match {
+      for (b <- 0 until nBins) {
+        values(b) = bins.get(b) match {
           case Some(v) => v
           case None =>
             val prev = known.filter(_ < b).lastOption
             val next = known.find(_ > b)
             (prev, next) match {
               case (Some(p), Some(n)) =>
-                val vp = bins(p.toLong); val vn = bins(n.toLong)
+                val vp = bins(p); val vn = bins(n)
                 vp + (vn - vp) * (b - p).toDouble / (n - p)
-              case (Some(p), None) => bins(p.toLong)
-              case (None, Some(n)) => bins(n.toLong)
+              case (Some(p), None) => bins(p)
+              case (None, Some(n)) => bins(n)
               case _ => 0.0
             }
         }
       }
     }
-    IecCurve(centers, values, binWidth)
+    IecCurve(values, windspeedStart, windspeedEnd, step)
   }
 
-  final case class IecCurve(centers: Array[Double], values: Array[Double],
-                            binWidth: Double) extends Fitted {
+  final case class IecCurve(values: Array[Double], start: Double, end: Double,
+                            step: Double) extends Fitted {
     def predict(ws: Double): Double = {
-      val b = math.round(ws / binWidth).toInt
-      if (b < 0) values.head
-      else if (b >= values.length) values.last
-      else values(b)
+      if (ws < start || ws > end) 0.0
+      else values(math.min(math.floor((ws - start) / step).toInt, values.length - 1))
     }
     /** Lookup via element_at on a literal array (codegen'd; no UDF). */
     def predictCol(ws: Column): Column = {
       val arr = array(values.map(lit): _*)
-      val idx = least(greatest(round(ws / binWidth).cast("int"), lit(0)),
-        lit(values.length - 1))
-      element_at(arr, idx + 1)
+      val idx = least(floor((ws - start) / step).cast("int"), lit(values.length - 1))
+      when(ws < start || ws > end, lit(0.0)).otherwise(element_at(arr, idx + 1))
     }
   }
 
@@ -103,20 +108,33 @@ object PowerCurve {
       }
       s
     }
+    // reference-shaped bounds (power_curve/functions.py:123: a in
+    // (1200,1800) for a ~1500 kW fleet, b negative, d the small asymptote),
+    // rescaled by the observed max power so any fleet size fits
     val bounds = Array(
-      (pMax * 0.8, pMax * 1.2), (0.1, 10.0), (1.0, 20.0),
-      (-pMax * 0.2, pMax * 0.2), (0.1, 10.0))
+      (pMax * 0.8, pMax * 1.2), (-10.0, -1e-3), (1e-3, 30.0),
+      (1e-3, 1.0), (1e-3, 10.0))
     val best = Fitting.differentialEvolution(sse, bounds, seed = seed)
     val refined = Fitting.curveFit(model, xs, ys, best)
     Logistic5Curve(if (sse(refined) < sse(best)) refined else best)
   }
 
   final case class Logistic5Curve(p: Array[Double]) extends Fitted {
+    // logistic5param(x; a,b,c,d,g) = d + (a-d)/(1+(x/c)^b)^g. The
+    // reference's special case (x=0, b<0 -> d, parametric_forms.py:58-68)
+    // falls out of IEEE arithmetic: pow(0, b<0)=Inf -> (a-d)/Inf = 0.
     def predict(ws: Double): Double =
       p(3) + (p(0) - p(3)) / math.pow(1.0 + math.pow(ws / p(2), p(1)), p(4))
+    /** Output clamped to [lower, upper] (parametric_forms.py:71-101
+      * `logistic5param_capped`).
+      */
+    def predictCapped(ws: Double, lower: Double, upper: Double): Double =
+      math.min(math.max(predict(ws), lower), upper)
     def predictCol(ws: Column): Column =
       lit(p(3)) + (lit(p(0)) - lit(p(3))) /
         pow(lit(1.0) + pow(ws / p(2), p(1)), p(4))
+    def predictColCapped(ws: Column, lower: Double, upper: Double): Column =
+      least(greatest(predictCol(ws), lit(lower)), lit(upper))
   }
 
   /** GAM-lite: penalized cubic B-spline-free alternative — piecewise-linear

@@ -34,8 +34,12 @@ class MetSpec extends SparkSpec {
   }
 
   test("airDensity ideal gas at standard conditions") {
+    // IEC definition with the default 50% relative-humidity vapor term
     val rho = one(Met.airDensity(lit(288.15), lit(101325.0)))
-    assert(math.abs(rho - 1.2249) < 1e-3)
+    assert(math.abs(rho - 1.2212) < 1e-3)
+    // dry-air variant is the plain ideal gas law
+    val rhoDry = one(Met.airDensityDry(lit(288.15), lit(101325.0)))
+    assert(math.abs(rhoDry - 1.2249) < 1e-3)
   }
 
   test("pressureVerticalExtrapolation decreases with height") {

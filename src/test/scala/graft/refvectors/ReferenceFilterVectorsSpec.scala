@@ -1,0 +1,113 @@
+package graft.refvectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Flags
+
+/** The reference's OWN hand-computed filter-toolkit expectations
+  * (test/unit/test_filter_toolkit.py:14-199), asserted against the Spark
+  * operators — an independent semantic check (same inputs -> same outputs),
+  * not a translation of our oracle SQL.
+  */
+class ReferenceFilterVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flags(df: org.apache.spark.sql.DataFrame): Seq[Boolean] =
+    df.orderBy("i").select("flag").as[Boolean].collect().toSeq
+
+  test("range_flag series vector (test_filter_toolkit.py:14)") {
+    val df = Seq(-1.0, 0.0, 1.0).zipWithIndex.map(_.swap).toDF("i", "x")
+    val got = flags(df.withColumn("flag", Flags.rangeFlag($"x", -0.5, 0.5)))
+    assert(got == Seq(true, false, true))
+  }
+
+  test("range_flag dataframe vector, per-column bounds (:21)") {
+    // arange(10).reshape(-1,2): a=[0,2,4,6,8], b=[1,3,5,7,9]
+    val df = Seq((0, 0.0, 1.0), (1, 2.0, 3.0), (2, 4.0, 5.0), (3, 6.0, 7.0),
+      (4, 8.0, 9.0)).toDF("i", "a", "b")
+    val gotA = flags(df.withColumn("flag", Flags.rangeFlag($"a", 2.0, 8.0)))
+    val gotB = flags(df.withColumn("flag", Flags.rangeFlag($"b", 1.0, 7.0)))
+    assert(gotA == Seq(true, false, false, false, false))
+    assert(gotB == Seq(false, false, false, false, true))
+  }
+
+  test("unresponsive_flag threshold=3 vector (:55)") {
+    val xs = Seq(-1, -1, -1, 2, 2, 2, 3, 4, 5, 1, 1, 1, 1, 3, 3).map(_.toDouble)
+    val df = xs.zipWithIndex.map(_.swap).toDF("i", "x")
+    val got = flags(Flags.unresponsiveFlag(df, "x", "i", threshold = 3,
+      partitionCols = Seq.empty))
+    val expected = Seq(true, true, true, true, true, true, false, false, false,
+      true, true, true, true, false, false)
+    assert(got == expected)
+  }
+
+  test("unresponsive_flag threshold=2 two-column vector (:85)") {
+    val a = Seq(-1, -1, -1, 2, 2, 2, 3, 4, 5, 1, 1, 1, 1, 3, 3).map(_.toDouble)
+    val b = Seq(-1, -2, -3, 2, 2, 2, 2, 3, 4, 6, 8, 1, 1, 1, 1).map(_.toDouble)
+    val df = a.zip(b).zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("i", "a", "b")
+    val gotA = flags(Flags.unresponsiveFlag(df, "a", "i", threshold = 2,
+      partitionCols = Seq.empty))
+    val gotB = flags(Flags.unresponsiveFlag(df, "b", "i", threshold = 2,
+      partitionCols = Seq.empty))
+    assert(gotA == Seq(true, true, true, true, true, true, false, false, false,
+      true, true, true, true, true, true))
+    assert(gotB == Seq(false, false, false, true, true, true, true, false,
+      false, false, false, true, true, true, true))
+  }
+
+  test("window_range_flag vector (:129)") {
+    val x = Seq(-1, -1, -1, 1, 1, 1, -1).map(_.toDouble)
+    val w = Seq(1, 2, 3, 4, 5, 6, 7).map(_.toDouble)
+    val df = w.zip(x).zipWithIndex.map { case ((ww, xx), i) => (i, ww, xx) }
+      .toDF("i", "w", "x")
+    val got = flags(df.withColumn("flag",
+      Flags.windowRangeFlag($"w", 3.0, 8.0, $"x", -0.5, 1.5)))
+    assert(got == Seq(false, false, true, false, false, false, true))
+  }
+
+  test("std_range_flag threshold=2 vector (:136)") {
+    val xs = Seq(-1, -1, -1, 1, -1, -1, -1).map(_.toDouble)
+    val df = xs.zipWithIndex.map(_.swap).toDF("i", "x")
+    val got = flags(Flags.stdRangeFlag(df, "x", threshold = 2.0))
+    assert(got == Seq(false, false, false, true, false, false, false))
+  }
+
+  test("std_range_flag column-subset vector (:142)") {
+    val b = Seq(-1, -1, 1, -1, -1, -1, -1).map(_.toDouble)
+    val c = Seq(-1, -1, -1, -1, 1, 1, -1).map(_.toDouble)
+    val df = b.zip(c).zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("i", "b", "c")
+    val gotB = flags(Flags.stdRangeFlag(df, "b", threshold = 2.0))
+    val gotC = flags(Flags.stdRangeFlag(df, "c", threshold = 2.0))
+    assert(gotB == Seq(false, false, true, false, false, false, false))
+    assert(gotC == Seq(false, false, false, false, false, false, false))
+  }
+
+  test("bin_filter vector, digitize-edge binning (:187)") {
+    val vals = Seq(-1, -1, -1, -1, -1, 10, -1).map(_.toDouble)
+    val bins = Seq(1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0)
+    val df = bins.zip(vals).zipWithIndex.map { case ((bn, v), i) => (i, bn, v) }
+      .toDF("i", "b", "v")
+    // reference call: bin_filter(x_bin, x_val, 3) -> bin_width=3, threshold=2
+    val got = flags(Flags.binFilter(df, "b", "v", binWidth = 3.0,
+      threshold = 2.0))
+    assert(got == Seq(false, false, false, false, false, true, false))
+  }
+
+  test("cluster_mahalanobis_2d vector (:194)") {
+    val c1 = Seq(1.0, 1.01, 1.001, 2.0, 2.01, 2.001, 2.0001)
+    val c2 = Seq(3.0, 3.02, 3.001, 4.0, 4.01, 4.001, 5.0001)
+    val df = c1.zip(c2).zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("i", "x", "y")
+    // The reference's outlier sits EXACTLY at the max attainable Mahalanobis
+    // distance for a 4-point cluster, (n-1)/sqrt(n) = 1.5 — scipy's
+    // numerical matrix inverse lands at 1.5000000000000002 (flagged by the
+    // strict > 1.5), our analytically exact 2x2 inverse at
+    // 1.4999999999999998. Assert the same partition of points with the
+    // boundary nudged below the degenerate tie; the inliers sit at <= 1.494.
+    val got = flags(Flags.clusterMahalanobis2d(df, "x", "y", nClusters = 2,
+      distThreshold = 1.5 - 1e-9))
+    assert(got == Seq(false, false, false, false, false, false, true))
+  }
+}

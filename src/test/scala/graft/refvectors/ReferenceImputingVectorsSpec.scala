@@ -1,0 +1,145 @@
+package graft.refvectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Imputing
+
+/** The reference's imputing-toolkit expectations
+  * (test/unit/test_imputing_toolkit.py:252-381) asserted against the Spark
+  * operators at the reference's decimal=4 tolerance.
+  */
+class ReferenceImputingVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tol = 1.5e-4
+
+  /** (time, value, asset) long-form frame, None = NaN. */
+  private def longForm(rows: Seq[(String, Option[Double], String)]) =
+    rows.toDF("t", "v", "id")
+
+  private val testDf = longForm(Seq(
+    ("01", Some(0.0), "a"), ("02", None, "a"), ("03", Some(4.0), "a"),
+    ("04", Some(5.0), "a"), ("05", Some(8.0), "a"),
+    ("01", Some(13.0), "b"), ("02", Some(18.0), "b"), ("03", Some(20.0), "b"),
+    ("04", Some(20.0), "b"), ("05", Some(30.0), "b")))
+
+  test("asset_correlation_matrix vector (test_imputing_toolkit.py:252)") {
+    val corr = Imputing.assetCorrelation(testDf, "t", "id", "v")
+      .head().getAs[Double]("corr")
+    assert(math.abs(corr - 0.970166) < tol)
+
+    // no overlapping valid data -> NaN correlation
+    val test9 = longForm(Seq(
+      ("01", Some(0.0), "a"), ("02", None, "a"), ("03", None, "a"),
+      ("04", Some(5.0), "a"), ("05", Some(8.0), "a"),
+      ("01", None, "b"), ("02", Some(20.0), "b"), ("03", Some(20.0), "b"),
+      ("04", None, "b"), ("05", None, "b")))
+    val row9 = Imputing.assetCorrelation(test9, "t", "id", "v").head()
+    assert(row9.isNullAt(row9.fieldIndex("corr")))
+  }
+
+  test("impute_data single-NaN vector = 2.989779 (:263)") {
+    val target = testDf.filter($"id" === "a").select($"t", $"v".as("y"))
+    val ref = testDf.filter($"id" === "b").select($"t", $"v".as("x"))
+    val got = Imputing.imputeData(target, ref, "t", "y", "x")
+      .filter($"t" === "02").head().getAs[Double]("imputed")
+    assert(math.abs(got - 2.989779) < tol)
+  }
+
+  test("impute_data fills only alignable NaNs (:283)") {
+    // asset a has NaNs at 02 and 03; reference b is itself NaN at 02
+    val target = longForm(Seq(("01", Some(0.0), "a"), ("02", None, "a"),
+      ("03", None, "a"), ("04", Some(5.0), "a"), ("05", Some(8.0), "a")))
+      .select($"t", $"v".as("y"))
+    val ref = longForm(Seq(("01", Some(13.0), "b"), ("02", None, "b"),
+      ("03", Some(20.0), "b"), ("04", Some(20.0), "b"), ("05", Some(30.0), "b")))
+      .select($"t", $"v".as("x"))
+    val out = Imputing.imputeData(target, ref, "t", "y", "x")
+      .select("t", "imputed").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out("03").get - 3.874429) < tol)
+    assert(out("02").isEmpty)
+  }
+
+  test("impute_data no-op without NaNs; partial reference cover (:294)") {
+    // no NaNs -> unchanged
+    val t3 = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0), ("e", 5.0))
+      .toDF("align", "data1")
+    val t4 = Seq(("a", 1.0), ("c", 2.0), ("d", 4.0), ("e", 5.0))
+      .toDF("align", "data2")
+    val noop = Imputing.imputeData(t3, t4, "align", "data1", "data2")
+      .orderBy("align").select("imputed").as[Double].collect().toSeq
+    assert(noop == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+
+    // 3 NaNs but the reference only aligns at c and d -> [2.0, 4.0]
+    val t5 = Seq(("a", Some(1.0)), ("b", None), ("c", None), ("d", None),
+      ("e", Some(5.0))).toDF("align", "data1")
+    val out = Imputing.imputeData(t5, t4, "align", "data1", "data2")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("imputed"))) None
+         else Some(r.getAs[Double]("imputed")))).toMap
+    assert(math.abs(out("c").get - 2.0) < tol)
+    assert(math.abs(out("d").get - 4.0) < tol)
+    assert(out("b").isEmpty)
+  }
+
+  private val test11 = longForm(Seq(
+    ("01", Some(0.0), "a"), ("02", None, "a"), ("03", None, "a"),
+    ("04", Some(5.0), "a"), ("05", Some(8.0), "a"), ("06", Some(11.0), "a"),
+    ("07", Some(14.0), "a"),
+    ("01", None, "b"), ("02", Some(23.0), "b"), ("03", Some(33.0), "b"),
+    ("04", None, "b"), ("05", Some(48.0), "b"), ("06", Some(60.0), "b"),
+    ("07", Some(68.0), "b"),
+    ("01", Some(20.5), "c"), ("02", Some(41.0), "c"), ("03", None, "c"),
+    ("04", Some(85.0), "c"), ("05", None, "c"), ("06", Some(120.0), "c"),
+    ("07", Some(145.0), "c")))
+
+  test("impute_all_assets_by_correlation full-impute vector (:356)") {
+    val got = Imputing.imputeAllByCorrelation(test11, "t", "id", "v",
+        minR2 = 0.7, topM = 2)
+      .filter($"v".isNull)
+      .orderBy("id", "t")
+      .select("v_imputed").as[Double].collect().toSeq
+    // nan slots in (asset, time) order: a02, a03, b01, b04, c03, c05
+    val want = Seq(0.440789, 3.401316, 14.3677, 42.8312, 62.887218, 96.734818)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < tol, s"got $g want $w")
+    }
+  }
+
+  test("impute_all_assets_by_correlation partial-impute vector (:369)") {
+    val test10 = longForm(Seq(
+      ("01", Some(0.0), "a"), ("02", None, "a"), ("03", None, "a"),
+      ("04", Some(5.0), "a"), ("05", Some(8.0), "a"),
+      ("01", None, "b"), ("02", Some(23.0), "b"), ("03", Some(33.0), "b"),
+      ("04", None, "b"), ("05", None, "b"),
+      ("01", Some(20.5), "c"), ("02", Some(41.0), "c"), ("03", None, "c"),
+      ("04", Some(85.0), "c"), ("05", None, "c")))
+    val got = Imputing.imputeAllByCorrelation(test10, "t", "id", "v",
+        minR2 = 0.7, topM = 2)
+      .filter($"v".isNull)
+      .orderBy("id", "t")
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("t"),
+        if (r.isNullAt(r.fieldIndex("v_imputed"))) None
+        else Some(r.getAs[Double]("v_imputed"))))
+    // only a02 (from c) and c05 (from a) are imputable
+    val byKey = got.map(x => (x._1, x._2) -> x._3).toMap
+    assert(math.abs(byKey(("a", "02")).get - 1.589147) < tol)
+    assert(math.abs(byKey(("c", "05")).get - 123.7) < tol)
+    Seq(("a", "03"), ("b", "01"), ("b", "04"), ("b", "05"), ("c", "03"))
+      .foreach(k => assert(byKey(k).isEmpty, s"$k should remain NaN"))
+  }
+
+  test("impute_all_assets_by_correlation leaves uncorrelated data alone (:377)") {
+    val test12 = longForm(Seq(
+      ("01", Some(0.0), "a"), ("02", None, "a"), ("03", None, "a"),
+      ("04", Some(5.0), "a"), ("05", Some(8.0), "a"), ("06", Some(11.0), "a"),
+      ("07", Some(14.0), "a"),
+      ("01", Some(40.0), "c"), ("02", Some(40.0), "c"), ("03", None, "c"),
+      ("04", Some(20.0), "c"), ("05", None, "c"), ("06", Some(80.0), "c"),
+      ("07", Some(10.0), "c")))
+    val out = Imputing.imputeAllByCorrelation(test12, "t", "id", "v",
+        minR2 = 0.7, topM = 2)
+    assert(out.filter($"v".isNull && $"v_imputed".isNotNull).count() == 0)
+  }
+}

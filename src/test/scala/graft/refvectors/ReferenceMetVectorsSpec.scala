@@ -1,0 +1,149 @@
+package graft.refvectors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Met
+
+/** The reference's met-science expectations
+  * (test/unit/test_met_data_processing_toolkit.py:14-202) asserted against
+  * the Spark column expressions, at the reference's own tolerances.
+  */
+class ReferenceMetVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(df: DataFrame, c: Column): Seq[Double] =
+    df.orderBy("i").select(c.cast("double").as("r")).as[Double].collect().toSeq
+
+  private def assertClose(got: Seq[Double], want: Seq[Double], tol: Double): Unit =
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) <= tol, s"at $i: got $g, want $w (tol $tol)")
+    }
+
+  test("wrap_180 vector (test_met_data_processing_toolkit.py:14)") {
+    val xs = Seq(-450.0, -270.0, -90.0, 0.0, 90.0, 270.0, 450.0)
+    val df = xs.zipWithIndex.map(_.swap).toDF("i", "x")
+    assertClose(eval1(df, Met.wrap180($"x")),
+      Seq(-90.0, 90.0, -90.0, 0.0, 90.0, -90.0, 90.0), 1e-9)
+  }
+
+  test("circular_mean vectors (:36)") {
+    val wd1 = Seq(-60.0, -90.0, 5.0)
+    val wd2 = Seq(45.0, -5.0, 30.0)
+    val df = wd1.zip(wd2).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "wd1", "wd2")
+    // row-wise across columns
+    assertClose(eval1(df, Met.circularMeanRowwise(Seq($"wd1", $"wd2"))),
+      Seq(352.5, 312.5, 17.5), 1e-5)
+    // aggregate down each column
+    val aggGot = df.agg(Met.circularMeanAgg($"wd1").as("m1"),
+      Met.circularMeanAgg($"wd2").as("m2")).head()
+    assert(math.abs(aggGot.getDouble(0) - 310.066954) < 1e-6)
+    assert(math.abs(aggGot.getDouble(1) - 23.552040) < 1e-6)
+  }
+
+  test("compute_wind_direction vector (:64)") {
+    val u = Seq(0.0, -1.0, -1.0, -1.0, 0.0, 1.0, 1.0, 1.0)
+    val v = Seq(-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0)
+    val df = u.zip(v).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "u", "v")
+    assertClose(eval1(df, Met.windDirection($"u", $"v")),
+      Seq(0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0), 1e-9)
+  }
+
+  test("compute_u_v_components vector (:72)") {
+    val wd = Seq(0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0)
+    val df = wd.zipWithIndex.map(_.swap).toDF("i", "wd")
+    val s2 = 1.0 / math.sqrt(2.0)
+    assertClose(eval1(df, Met.uComponent(lit(1.0), $"wd")),
+      Seq(0.0, -s2, -1.0, -s2, 0.0, s2, 1.0, s2), 1e-5)
+    assertClose(eval1(df, Met.vComponent(lit(1.0), $"wd")),
+      Seq(-1.0, -s2, 0.0, s2, 1.0, s2, 0.0, -s2), 1e-5)
+  }
+
+  test("compute_air_density vector, IEC humidity term (:85)") {
+    val temp = Seq(280.0, 285.0, 290.0, 295.0)
+    val pres = Seq(90000.0, 95000.0, 100000.0, 105000.0)
+    val df = temp.zip(pres).zipWithIndex.map { case ((t, p), i) => (i, t, p) }
+      .toDF("i", "t", "p")
+    assertClose(eval1(df, Met.airDensity($"t", $"p")),
+      Seq(1.11741, 1.15807, 1.19702, 1.23424), 1e-5)
+  }
+
+  test("pressure_vertical_extrapolation vector (:96)") {
+    val df = Seq((0, 1e6, 0.0, 290.0), (1, 9.5e5, 30.0, 300.0))
+      .toDF("i", "p", "z0", "t")
+    assertClose(
+      eval1(df, Met.pressureVerticalExtrapolation($"p", $"t", $"z0", lit(100.0))),
+      Seq(988288.905, 942457.391), 1e-2)
+  }
+
+  test("air_density_adjusted_wind_speed vector (:108)") {
+    val ws = Seq(0.0, 2.0, 4.0, 6.0, 8.0)
+    val rho = Seq(1.10, 1.12, 1.14, 1.16, 1.18)
+    val df = ws.zip(rho).zipWithIndex.map { case ((w, r), i) => (i, w, r) }
+      .toDF("i", "ws", "rho")
+    // reference normalizes by the column mean density
+    val rhoMean = rho.sum / rho.size
+    assertClose(eval1(df, Met.densityAdjustedWindSpeed($"ws", $"rho", lit(rhoMean))),
+      Seq(0.0, 1.988235, 4.0, 6.034885, 8.092494), 1e-5)
+  }
+
+  test("compute_turbulence_intensity vector (:118)") {
+    def linspace(a: Double, b: Double, n: Int): Seq[Double] =
+      (0 until n).map(i => a + (b - a) * i / (n - 1))
+    val mean = linspace(2.0, 25.0, 10)
+    val std = linspace(0.1, 2.0, 10)
+    val df = mean.zip(std).zipWithIndex.map { case ((m, s), i) => (i, m, s) }
+      .toDF("i", "m", "s")
+    assertClose(eval1(df, Met.turbulenceIntensity($"s", $"m")),
+      Seq(0.05, 0.06829268, 0.0734375, 0.07586207, 0.07727273, 0.07819549,
+        0.07884615, 0.07932961, 0.07970297, 0.08), 1e-7)
+  }
+
+  test("compute_shear vectors incl. reference values (:140)") {
+    val wLow = Seq(4.2870938501451725, 7.464263932294459, 5.223303379776745,
+      3.031433133020796)
+    val wMid = Seq(4.0, 8.0, 6.0, 4.0)
+    val wHigh = Seq(3.886566631452294, 8.233488071718085, 6.355343046292873,
+      4.487820581784798)
+    val expectedAlpha = Seq(-0.1, 0.1, 0.2, 0.4)
+    val df = wLow.indices.map(i => (i, wLow(i), wMid(i), wHigh(i)))
+      .toDF("i", "lo", "mid", "hi")
+
+    // two-sensor: exact power-law recovery
+    assertClose(eval1(df, Met.shearAlpha(Seq(($"lo", 30.0), ($"mid", 60.0)))),
+      expectedAlpha, 1e-7)
+    // three-sensor OLS on exactly power-law data recovers the same alpha
+    assertClose(eval1(df,
+      Met.shearAlpha(Seq(($"lo", 30.0), ($"mid", 60.0), ($"hi", 80.0)))),
+      expectedAlpha, 1e-7)
+    // reference values: z_ref is the geometric mean height, u_ref the
+    // geometric mean sensor speed
+    assert(math.abs(Met.shearReferenceHeight(Seq(30.0, 60.0, 80.0))
+      - 52.41482788) < 1e-6)
+    assertClose(eval1(df, Met.geometricMeanRowwise(Seq($"lo", $"mid", $"hi"))),
+      Seq(4.054429004, 7.892603366, 5.839986365, 3.789493416), 1e-7)
+  }
+
+  test("extrapolate_windspeed vector (:183)") {
+    val alpha = Seq(0.26, 0.31, 0.21)
+    val v1 = Seq(5.632, 6.893, 6.023)
+    val df = alpha.zip(v1).zipWithIndex.map { case ((a, v), i) => (i, a, v) }
+      .toDF("i", "alpha", "v1")
+    assertClose(
+      eval1(df, Met.extrapolateWindSpeed($"v1", $"alpha", lit(80.0), lit(100.0))),
+      Seq(5.968418, 7.386698, 6.311956), 1e-6)
+  }
+
+  test("compute_veer vector (:194)") {
+    def linspace(a: Double, b: Double, n: Int): Seq[Double] =
+      (0 until n).map(i => a + (b - a) * i / (n - 1))
+    val lowDir = linspace(2.0, 10.0, 10)
+    val highDir = linspace(8.0, 25.0, 10)
+    val df = lowDir.zip(highDir).zipWithIndex.map { case ((l, h), i) => (i, l, h) }
+      .toDF("i", "lo", "hi")
+    assertClose(eval1(df, Met.veer($"lo", lit(30.0), $"hi", lit(80.0))),
+      Seq(0.12, 0.14, 0.16, 0.18, 0.2, 0.22, 0.24, 0.26, 0.28, 0.3), 1e-9)
+  }
+}

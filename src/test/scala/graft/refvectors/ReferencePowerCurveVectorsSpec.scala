@@ -1,0 +1,97 @@
+package graft.refvectors
+
+import graft.SparkSpec
+import graft.powercurve.PowerCurve
+
+/** The reference's power-curve expectations
+  * (test/unit/test_power_curve_toolkit.py) asserted against the Spark
+  * fitters: exact parametric-form vectors, exact IEC bin recovery with
+  * cut-in/cut-out bounds, and the reference's fit-quality tolerances on
+  * logistic-shaped synthetic data.
+  */
+class ReferencePowerCurveVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def l5(p: Double*) = PowerCurve.Logistic5Curve(p.toArray)
+
+  test("logistic5param vectors (test_power_curve_toolkit.py:128)") {
+    val c = l5(1300.0, -7.0, 11.0, 2.0, 0.5)
+    val want = Seq(2.29403585, 5.32662505, 15.74992462)
+    Seq(1.0, 2.0, 3.0).zip(want).foreach { case (x, w) =>
+      assert(math.abs(c.predict(x) - w) < 1e-7)
+    }
+    // zero handling: b > 0 -> a; b < 0 -> d
+    val cPos = l5(1300.0, 7.0, 11.0, 2.0, 0.5)
+    assert(cPos.predict(0.0) == 1300.0)
+    assert(math.abs(cPos.predict(0.01) - 1300.0) < 1e-6)
+    val cNeg = l5(1300.0, -7.0, 11.0, 2.0, 0.5)
+    assert(cNeg.predict(0.0) == 2.0)
+    assert(math.abs(cNeg.predict(0.01) - 2.0) < 1e-6)
+  }
+
+  test("logistic5param_capped vectors (:147)") {
+    val c = l5(1300.0, -7.0, 11.0, 2.0, 0.5)
+    val got1 = Seq(1.0, 2.0, 3.0).map(c.predictCapped(_, 5.0, 20.0))
+    Seq(5.0, 5.32662505, 15.74992462).zip(got1).foreach { case (w, g) =>
+      assert(math.abs(g - w) < 1e-7)
+    }
+    val got2 = Seq(1.0, 2.0, 3.0).map(c.predictCapped(_, 5.0, 10.0))
+    Seq(5.0, 5.32662505, 10.0).zip(got2).foreach { case (w, g) =>
+      assert(math.abs(g - w) < 1e-7)
+    }
+  }
+
+  test("IEC with cut-in/cut-out bounds recovers bin powers exactly (:61)") {
+    // NREL 15MW reference turbine curve at integer wind speeds 4..25
+    val power = Seq(720, 1239, 2271, 3817, 5876, 8450, 11536) ++
+      Seq.fill(14)(15000) :+ 1500
+    val ws = (4 to 25).map(_.toDouble)
+    val df = ws.zip(power.map(_.toDouble)).toDF("ws", "p")
+    val curve = PowerCurve.iec(df, "ws", "p", binWidth = 1.0,
+      windspeedStart = 4.0, windspeedEnd = 25.0)
+    (0 to 31).foreach { x =>
+      val pred = curve.predict(x.toDouble)
+      if (x < 4 || x > 25) assert(pred == 0.0, s"ws=$x should produce 0")
+      else assert(pred == power(x - 4).toDouble, s"ws=$x: $pred")
+    }
+  }
+
+  private def logisticData(n: Int, noise: Double, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    val params = Array(1300.0, -7.0, 11.0, 2.0, 0.5)
+    val xs = Array.fill(n)(rng.nextDouble() * 30.0)
+    val ys = xs.map(x => PowerCurve.Logistic5Curve(params).predict(x)
+      + rng.nextDouble() * noise)
+    (xs, ys)
+  }
+
+  test("IEC fit matches logistic data at reference tolerance (:52)") {
+    val (xs, ys) = logisticData(100, 0.1, 42L)
+    val df = xs.zip(ys).toSeq.toDF("ws", "p")
+    val curve = PowerCurve.iec(df, "ws", "p")
+    // numpy assert_allclose(rtol=1, atol=0.2)
+    xs.zip(ys).foreach { case (x, y) =>
+      assert(math.abs(curve.predict(x) - y) <= 0.2 + math.abs(y))
+    }
+  }
+
+  test("logistic_5_parametric fit matches logistic data (:85)") {
+    val (xs, ys) = logisticData(100, 0.1, 42L)
+    val df = xs.zip(ys).toSeq.toDF("ws", "p")
+    val curve = PowerCurve.logistic5(df, "ws", "p")
+    xs.zip(ys).foreach { case (x, y) =>
+      assert(math.abs(curve.predict(x) - y) <= 0.2 + math.abs(y))
+    }
+  }
+
+  test("spline (gam stand-in) fit matches logistic data (:94)") {
+    val (xs, ys) = logisticData(100, 0.1, 42L)
+    val df = xs.zip(ys).toSeq.toDF("ws", "p")
+    val curve = PowerCurve.spline(df, "ws", "p", nKnots = 20)
+    // numpy assert_allclose(rtol=0.05, atol=20)
+    xs.zip(ys).foreach { case (x, y) =>
+      assert(math.abs(curve.predict(x) - y) <= 20.0 + 0.05 * math.abs(y),
+        s"x=$x y=$y pred=${curve.predict(x)}")
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.refvectors
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Timeseries
+
+/** The reference's timeseries-toolkit expectations
+  * (test/unit/test_timeseries_toolkit.py:31-159) asserted against the Spark
+  * operators.
+  */
+class ReferenceTimeseriesVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** One day of 10-min data: 2018-01-01 00:00 .. 23:50 (144 rows). */
+  private def dayOfData: Seq[Timestamp] =
+    (0 until 144).map(i => new Timestamp(
+      ts("2018-01-01 00:00:00").getTime + i * 600000L))
+
+  private def febDay: Seq[Timestamp] =
+    (0 until 144).map(i => new Timestamp(
+      ts("2018-02-01 00:00:00").getTime + i * 600000L))
+
+  test("convert_local_to_utc vectors (test_timeseries_toolkit.py:31)") {
+    // PDT (summer) is UTC-7; MST (winter) is UTC-7
+    val df = Seq(ts("2018-07-16 00:00:00")).toDF("t")
+    val gotSummer = df.select(Timeseries.localToUtc($"t", "US/Pacific").as("u"))
+      .head().getTimestamp(0)
+    assert(gotSummer == ts("2018-07-16 07:00:00"))
+    val df2 = Seq(ts("2018-01-11 00:00:00")).toDF("t")
+    val gotWinter = df2.select(Timeseries.localToUtc($"t", "US/Mountain").as("u"))
+      .head().getTimestamp(0)
+    assert(gotWinter == ts("2018-01-11 07:00:00"))
+  }
+
+  test("find_time_gaps vectors (:51)") {
+    val full = dayOfData.toDF("t")
+    assert(Timeseries.timeGaps(full, "t", 600).count() == 0)
+
+    // dropping positions 2 and 3 leaves two gaps
+    val missingTwo = dayOfData.zipWithIndex.filterNot(p => p._2 == 2 || p._2 == 3)
+      .map(_._1)
+    assert(Timeseries.timeGaps(missingTwo.toDF("t"), "t", 600).count() == 2)
+
+    // order-independence: shuffled input detects the same gaps
+    val shuffled = new scala.util.Random(1).shuffle(missingTwo)
+    assert(Timeseries.timeGaps(shuffled.toDF("t"), "t", 600).count() == 2)
+
+    // empty series has zero gaps
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      full.schema)
+    assert(Timeseries.timeGaps(empty, "t", 600).count() == 0)
+  }
+
+  test("find_duplicate_times vectors (:74)") {
+    // one value overwritten with its neighbor -> exactly one duplicated stamp
+    val dup = dayOfData.updated(1, dayOfData(2))
+    val d = Timeseries.duplicateTimes(dup.toDF("t"), "t")
+    assert(d.count() == 1)
+    // n_dups - 1 extra occurrences, matching the reference's "subsequent
+    // duplicates only" count
+    assert(d.agg(sum($"n_dups" - 1)).head().getLong(0) == 1L)
+
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      dup.toDF("t").schema)
+    assert(Timeseries.duplicateTimes(empty, "t").count() == 0)
+  }
+
+  test("gap_fill_data_frame vectors (:86)") {
+    val missingTwo = dayOfData.zipWithIndex.filterNot(p => p._2 == 2 || p._2 == 3)
+      .map(_._1).map(t => (t, 1.0))
+    val filled = Timeseries.gapFill(missingTwo.toDF("t", "v"), "t", 600)
+    assert(filled.count() == 144)
+    // inserted rows carry null data
+    assert(filled.filter($"v".isNull).count() == 2)
+
+    val full = dayOfData.map(t => (t, 1.0)).toDF("t", "v")
+    assert(Timeseries.gapFill(full, "t", 600).count() == 144)
+  }
+
+  test("num_days span vectors (:112)") {
+    val one = Timeseries.numSpan(dayOfData.toDF("t"), "t", "day")
+      .head().getLong(0)
+    assert(one == 1L)
+
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      dayOfData.toDF("t").schema)
+    assert(Timeseries.numSpan(empty, "t", "day").head().getLong(0) == 0L)
+
+    // two days of data separated by a month gap -> 32 calendar days spanned
+    val twoDays = (dayOfData ++ febDay).toDF("t")
+    assert(Timeseries.numSpan(twoDays, "t", "day").head().getLong(0) == 32L)
+  }
+
+  test("num_hours span vectors (:128)") {
+    assert(Timeseries.numSpan(dayOfData.toDF("t"), "t", "hour")
+      .head().getLong(0) == 24L)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      dayOfData.toDF("t").schema)
+    assert(Timeseries.numSpan(empty, "t", "hour").head().getLong(0) == 0L)
+    val twoDays = (dayOfData ++ febDay).toDF("t")
+    assert(Timeseries.numSpan(twoDays, "t", "hour").head().getLong(0) == 32L * 24)
+  }
+
+  test("percent_nan vectors (:144)") {
+    def pct(vals: Seq[Option[Double]]): Double = {
+      val df = vals.zip(dayOfData).map { case (v, t) => (t, v) }.toDF("t", "v")
+      Timeseries.percentNull(df, "t", "v", "year").head().getDouble(1)
+    }
+    // [1,1,2,1e5,Inf] -> 0; one null of five -> 0.2; two -> 0.4
+    assert(pct(Seq(Some(1.0), Some(1.0), Some(2.0), Some(1e5),
+      Some(Double.PositiveInfinity))) == 0.0)
+    assert(pct(Seq(Some(0.0), None, Some(2.0), Some(1e5),
+      Some(Double.PositiveInfinity))) == 0.2)
+    assert(pct(Seq(None, Some(1.0), Some(2.0), Some(1e5), None)) == 0.4)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.refvectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.UnitConversion
+
+/** The reference's unit-conversion expectations
+  * (test/unit/test_unit_conversion_toolkit.py:14-100) asserted against the
+  * Spark expressions at the reference's decimal=4 tolerance.
+  */
+class ReferenceUnitConversionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convert_power_to_energy over 10min/30min/h (test:14)") {
+    val rng = new scala.util.Random(42)
+    val power = Seq.fill(100)(rng.nextDouble() * 100.0)
+    val df = power.zipWithIndex.map(_.swap).toDF("i", "p")
+    val intervals = Seq(600L -> 10.0, 1800L -> 30.0, 3600L -> 60.0)
+    for ((secs, minutes) <- intervals) {
+      val got = df.orderBy("i")
+        .select(UnitConversion.powerToEnergy($"p", secs).as("e"))
+        .as[Double].collect()
+      power.zip(got).foreach { case (p, e) =>
+        assert(math.abs(e - p * minutes / 60.0) < 1e-9)
+      }
+    }
+  }
+
+  test("compute_gross_energy four metric combinations (test:27)") {
+    val net = Seq(1.0, 1.0, 1.0)
+    val avail = Seq(0.05, 0.08, 0.2)
+    val curt = Seq(0.05, 0.05, 0.05)
+    val df = net.indices.map(i => (i, net(i), avail(i), curt(i)))
+      .toDF("i", "n", "a", "c")
+    def run(at: String, ct: String): Seq[Double] =
+      df.orderBy("i")
+        .select(UnitConversion.grossEnergy($"n", $"a", $"c", at, ct).as("g"))
+        .as[Double].collect().toSeq
+    def check(got: Seq[Double], want: Seq[Double]): Unit =
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-4) }
+    check(run("frac", "frac"), Seq(1.1111, 1.1494, 1.3333))
+    check(run("energy", "frac"), Seq(1.1026, 1.1326, 1.2526))
+    check(run("frac", "energy"), Seq(1.1026, 1.1370, 1.3000))
+    check(run("energy", "energy"), Seq(1.1000, 1.1300, 1.2500))
+  }
+
+  test("convert_feet_to_meter (test:90)") {
+    val rng = new scala.util.Random(7)
+    val ft = Seq.fill(100)(rng.nextDouble() * 10.0)
+    val got = ft.zipWithIndex.map(_.swap).toDF("i", "ft").orderBy("i")
+      .select(UnitConversion.feetToMeters($"ft").as("m"))
+      .as[Double].collect()
+    ft.zip(got).foreach { case (f, m) => assert(math.abs(m - f * 0.3048) < 1e-12) }
+  }
+}
