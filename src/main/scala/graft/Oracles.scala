@@ -19,10 +19,11 @@ object Oracles {
   def sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(l_quantity) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -34,7 +35,8 @@ object Oracles {
 
     "q_join_revenue" ->
       """SELECT c_mktsegment,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
