@@ -1,6 +1,6 @@
 package graft.analysis
 
-import java.time.{LocalDate, ZoneOffset}
+import java.time.ZoneOffset
 
 import scala.collection.mutable
 
@@ -32,13 +32,15 @@ import graft.plant.PlantData
   *    recovered from mean U/V), entering the regression as
   *    [ws, temp?, sin(wd)?, cos(wd)?]
   *  - models: "lin" (multivariate OLS), "gam" (additive hinge-spline
-  *    ridge), "gbt"/"rf" (spark.ml trees with random-search KFold
-  *    hyperparameter optimization memoized per product,
-  *    machine_learning_setup.py:62-213)
+  *    ridge), "gbt"/"rf" (driver-side CART boosting/bagging,
+  *    graft.fitting.Trees, with random-search KFold hyperparameter
+  *    optimization memoized per product, machine_learning_setup.py:62-213)
   */
 final class MonteCarloAEP(
     plant: PlantData,
-    timeResolution: String = "MS", // "MS" (monthly) | "D" (daily)
+    // "MS" | "ME" (monthly, start/end labels) | "D" (daily) | "h" (hourly)
+    // — the reference's full calendar_samples set (aep.py:245-256)
+    timeResolution: String = "MS",
     uq: Boolean = false,
     numSim: Int = 2000,
     regModel: String = "lin", // "lin" | "gam" | "gbt" | "rf"
@@ -53,15 +55,21 @@ final class MonteCarloAEP(
     hyperOptIter: Int = 8, // random-search draws for gbt/rf; 0 = fixed params
     seed: Long = 42L) {
 
-  require(Seq("MS", "D").contains(timeResolution), s"bad timeResolution $timeResolution")
+  require(Seq("MS", "ME", "D", "h").contains(timeResolution), s"bad timeResolution $timeResolution")
   require(Seq("lin", "gam", "gbt", "rf").contains(regModel), s"bad regModel $regModel")
-  private val truncUnit = if (timeResolution == "MS") "month" else "day"
-  private val resampleHours = if (timeResolution == "MS") 30 * 24 else 24
+  private val isMonthly = timeResolution == "MS" || timeResolution == "ME"
+  // monthly data has too few points for the nonlinear models (aep.py:257-259)
+  require(!isMonthly || regModel == "lin",
+    "For monthly time resolution, only linear regression is allowed")
+  private val truncUnit =
+    if (isMonthly) "month" else if (timeResolution == "D") "day" else "hour"
+  private val resampleHours =
+    if (isMonthly) 30 * 24 else if (timeResolution == "D") 24 else 1
   /** Max plausible period energy, GWh (aep.py:754). */
   private val plantCapacGwh = plant.metadata.capacityKw / 1e6 * resampleHours
 
   final case class PeriodRow(
-      epochDay: Long, energyGwh: Double, availGwh: Double, curtGwh: Double,
+      epochSec: Long, energyGwh: Double, availGwh: Double, curtGwh: Double,
       grossGwh: Double, availPct: Double, curtPct: Double, numDays: Double,
       ws: Map[String, Double], temp: Map[String, Double],
       u: Map[String, Double], v: Map[String, Double]) {
@@ -80,11 +88,11 @@ final class MonteCarloAEP(
     }
   }
 
-  final case class LtRow(epochDay: Long, numDays: Double,
+  final case class LtRow(epochSec: Long, numDays: Double,
                          ws: Map[String, Double], temp: Map[String, Double],
                          u: Map[String, Double], v: Map[String, Double]) {
     def features(product: String, withTemp: Boolean, withWd: Boolean): Array[Double] =
-      PeriodRow(epochDay, 0, 0, 0, 0, 0, 0, numDays, ws, temp, u, v)
+      PeriodRow(epochSec, 0, 0, 0, 0, 0, 0, numDays, ws, temp, u, v)
         .features(product, withTemp, withWd)
   }
 
@@ -154,15 +162,15 @@ final class MonteCarloAEP(
       .withColumn("availability_pct", col("availability_gwh") / col("gross_energy_gwh"))
       .withColumn("curtailment_pct", col("curtailment_gwh") / col("gross_energy_gwh"))
       .withColumn("num_days_expected",
-        if (timeResolution == "MS") dayofmonth(last_day(col("period"))).cast("double")
+        if (isMonthly) dayofmonth(last_day(col("period"))).cast("double")
         else lit(1.0))
       .na.drop(Seq("energy_gwh", "gross_energy_gwh") ++ products.map(p => s"ws_$p"))
       .orderBy("period")
       .collect()
     val out = rows.map { r =>
       PeriodRow(
-        epochDay = r.getAs[java.sql.Timestamp]("period").toInstant
-          .atZone(ZoneOffset.UTC).toLocalDate.toEpochDay,
+        epochSec = MonteCarloAEP.labelEpochSec(
+          r.getAs[java.sql.Timestamp]("period"), timeResolution),
         energyGwh = r.getAs[Double]("energy_gwh"),
         availGwh = r.getAs[Double]("availability_gwh"),
         curtGwh = r.getAs[Double]("curtailment_gwh"),
@@ -174,7 +182,7 @@ final class MonteCarloAEP(
         temp = mapsOf(r, "temp"), u = mapsOf(r, "u"), v = mapsOf(r, "v"))
     }.toSeq
     // trim partial first/last periods (aep.py:643-653)
-    if (timeResolution == "MS") {
+    if (isMonthly) {
       val actual = rows.map(_.getAs[Long]("num_days_actual").toDouble)
       out.zipWithIndex.filter { case (row, i) =>
         !((i == 0 || i == out.length - 1) && actual(i) != row.numDays)
@@ -191,14 +199,15 @@ final class MonteCarloAEP(
     val rows = joined.orderBy("period").collect()
     val expectedN = plant.metadata.reanalysisFreqSeconds
     val lt = rows.map { r =>
-      val date = r.getAs[java.sql.Timestamp]("period").toInstant
-        .atZone(ZoneOffset.UTC).toLocalDate
-      val numDays = if (timeResolution == "MS") date.lengthOfMonth.toDouble else 1.0
+      val ts = r.getAs[java.sql.Timestamp]("period")
+      val date = ts.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+      val numDays = if (isMonthly) date.lengthOfMonth.toDouble
+                    else if (timeResolution == "D") 1.0 else 1.0 / 24
       val full = products.forall { p =>
         val n = r.getAs[Long](s"n_$p")
         n >= (numDays * 24 * 3600 / expectedN).toLong
       }
-      (LtRow(date.toEpochDay, numDays,
+      (LtRow(MonteCarloAEP.labelEpochSec(ts, timeResolution), numDays,
         products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap,
         mapsOf(r, "temp"), mapsOf(r, "u"), mapsOf(r, "v")), full)
     }
@@ -233,22 +242,22 @@ final class MonteCarloAEP(
             !(r.energyGwh >= 0.02 * plantCapacGwh && r.energyGwh <= 1.2 * plantCapacGwh)
         val flaggedOutlier: Set[Long] =
           if (!outlierDetection) Set.empty
-          else if (timeResolution == "MS") {
+          else if (isMonthly) {
             // monthly: Huber-RLM on (ws, 30-day-normalized gross energy);
             // months the robust fit down-weights are outliers (aep.py:776-790)
             val xs = sub.map(_.ws(product)).toArray
             val ys = sub.map(r => r.grossGwh * 30.0 / r.numDays).toArray
             val w = Fitting.huberWeights(xs, ys, outlierThreshold)
-            sub.zip(w).filter(_._2 != 1.0).map(_._1.epochDay).toSet
+            sub.zip(w).filter(_._2 != 1.0).map(_._1.epochSec).toSet
           } else {
-            // daily: median/std bin filter on (gross energy bin -> ws)
+            // daily/hourly: median/std bin filter on (gross energy bin -> ws)
             // (aep.py:792-806)
             binFilterFlags(sub, product,
               binWidth = 0.06 * plantCapacGwh, threshold = outlierThreshold,
               binMin = 0.01 * plantCapacGwh, binMax = 0.85 * plantCapacGwh)
           }
         sub.filterNot(r => flagRange(r) || flagRangeT(r) || flagWindow(r) ||
-          flaggedOutlier(r.epochDay))
+          flaggedOutlier(r.epochSec))
       }
     })
 
@@ -268,7 +277,7 @@ final class MonteCarloAEP(
         val med = Fitting.percentileSorted(ws.sorted.toArray, 0.5)
         val m = ws.sum / ws.size
         val sd = math.sqrt(ws.map(x => (x - m) * (x - m)).sum / (ws.size - 1))
-        rs.filter(r => math.abs(r.ws(product) - med) > threshold * sd).map(_.epochDay)
+        rs.filter(r => math.abs(r.ws(product) - med) > threshold * sd).map(_.epochSec)
       }
     }.toSet
   }
@@ -283,14 +292,18 @@ final class MonteCarloAEP(
     val rng = new scala.util.Random(seed)
     val sims = if (uq) numSim else 1
 
-    // typical-calendar losses (aep.py:655-682): mean pct per calendar month/day
-    def calendarKey(epochDay: Long): Int = {
-      val d = LocalDate.ofEpochDay(epochDay)
-      if (timeResolution == "MS") d.getMonthValue else d.getDayOfYear.min(365)
+    // typical-calendar losses (aep.py:655-682, groupby_time_res
+    // aep.py:394-411): mean pct per calendar month / (month, day) /
+    // (month, day, hour) depending on resolution
+    def calendarKey(epochSec: Long): Int = {
+      val d = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, ZoneOffset.UTC)
+      if (isMonthly) d.getMonthValue
+      else if (timeResolution == "D") d.getMonthValue * 100 + d.getDayOfMonth
+      else (d.getMonthValue * 100 + d.getDayOfMonth) * 100 + d.getHour
     }
-    val typicalAvail = agg.groupBy(r => calendarKey(r.epochDay))
+    val typicalAvail = agg.groupBy(r => calendarKey(r.epochSec))
       .map { case (k, rs) => k -> rs.map(_.availPct).sum / rs.size }
-    val typicalCurt = agg.groupBy(r => calendarKey(r.epochDay))
+    val typicalCurt = agg.groupBy(r => calendarKey(r.epochSec))
       .map { case (k, rs) => k -> rs.map(_.curtPct).sum / rs.size }
 
     val aepA = new Array[Double](sims)
@@ -320,7 +333,7 @@ final class MonteCarloAEP(
       // MC-scale + 30-day normalize, then bootstrap + regression (aep.py:842-927)
       val data = valid.map { r =>
         val gross = r.energyGwh * meterFrac + (r.availGwh + r.curtGwh) * lossFrac
-        val norm = if (timeResolution == "MS") gross * 30.0 / r.numDays else gross
+        val norm = if (isMonthly) gross * 30.0 / r.numDays else gross
         (r.features(product, regTemperature, regWindDirection), norm)
       }
       val sample = if (uq) Array.fill(data.size)(data(rng.nextInt(data.size))) else data.toArray
@@ -329,27 +342,31 @@ final class MonteCarloAEP(
         case "lin" => Fitting.olsPredict(Fitting.olsFit(xs, ys))
         case "gam" => Fitting.gamFit(xs, ys)
         case _ =>
-          MonteCarloAEP.fitTreeModel(plant.meterDf.sparkSession, regModel, xs, ys,
+          MonteCarloAEP.fitTreeModel(regModel, xs, ys,
             seed + n, hyperOptIter, hyperCache, product,
             new scala.util.Random(seed ^ product.hashCode))
       }
 
       // long-term window: last `years` years of the LT series
-      val periodsPerYear = if (timeResolution == "MS") 12 else 365
+      val periodsPerYear =
+        if (isMonthly) 12 else if (timeResolution == "D") 365 else 365 * 24
       val window = lt.takeRight(years * periodsPerYear)
       val grossLt = window.map { r =>
         val g = predict(r.features(product, regTemperature, regWindDirection))
-        if (timeResolution == "MS") g * r.numDays / 30.0 else g
+        if (isMonthly) g * r.numDays / 30.0 else g
       }
 
       // gross-weighted long-term losses (aep.py:1167-1193)
-      val weights = window.map(r => calendarKey(r.epochDay)).zip(grossLt)
+      val weights = window.map(r => calendarKey(r.epochSec)).zip(grossLt)
       val wSum = grossLt.sum
       val availLt = weights.map { case (k, g) => typicalAvail.getOrElse(k, 0.0) * g }.sum / wSum
       val curtLt = weights.map { case (k, g) => typicalCurt.getOrElse(k, 0.0) * g }.sum / wSum
 
-      // inter-annual variability from annual sums of gross_lt
-      val annual = grossLt.grouped(periodsPerYear).map(_.sum).toArray
+      // inter-annual variability from ANCHORED annual sums of gross_lt
+      // (aep.py:40-59 get_annual_values: 12-calendar-month windows anchored
+      // at the month start of the first bucket)
+      val annual = MonteCarloAEP.annualSums(
+        window.map(_.epochSec).toArray, grossLt.toArray)
       val iav = if (annual.length > 1) {
         val m = annual.sum / annual.length
         math.sqrt(annual.map(a => (a - m) * (a - m)).sum / (annual.length - 1)) / m
@@ -366,13 +383,60 @@ final class MonteCarloAEP(
 }
 
 object MonteCarloAEP {
-  /** Fit a spark.ml tree regressor on a small multivariate sample; returns a
+  import graft.fitting.Trees
+
+  /** The pandas resample label for a bucket-START timestamp: identical for
+    * MS/D/h; month-END (pandas "ME") labels the last day of the month.
+    */
+  private[analysis] def labelEpochSec(periodStart: java.sql.Timestamp,
+                                      timeResolution: String): Long = {
+    val start = periodStart.toInstant
+    if (timeResolution != "ME") start.getEpochSecond
+    else {
+      val d = start.atZone(ZoneOffset.UTC).toLocalDate
+      d.withDayOfMonth(d.lengthOfMonth).atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    }
+  }
+
+  /** Annual sums over buckets anchored at the month START of the first
+    * timestamp — pandas `get_annual_values` (aep.py:40-59): the index is
+    * shifted by (first - its month begin), then grouped into consecutive
+    * 12-calendar-month windows.
+    */
+  private[analysis] def annualSums(epochSecs: Array[Long],
+                                   values: Array[Double]): Array[Double] = {
+    if (epochSecs.isEmpty) return Array.empty
+    import java.time.{Duration, LocalDateTime}
+    import java.time.temporal.ChronoUnit
+    val first = LocalDateTime.ofEpochSecond(epochSecs.head, 0, ZoneOffset.UTC)
+    val anchor = first.toLocalDate.withDayOfMonth(1).atStartOfDay
+    val delta = Duration.between(anchor, first)
+    val out = mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < epochSecs.length) {
+      val shifted = LocalDateTime.ofEpochSecond(epochSecs(i), 0, ZoneOffset.UTC)
+        .minus(delta).toLocalDate.withDayOfMonth(1)
+      val k = (ChronoUnit.MONTHS.between(anchor.toLocalDate, shifted) / 12).toInt
+      while (out.length <= k) out += 0.0
+      out(k) += values(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Fit a tree regressor on a small multivariate sample; returns a
     * driver-side predictor. With `hyperOptIter > 0` hyperparameters come
     * from a random search with 5-fold cross-validation, memoized per
     * reanalysis product — mirroring the reference's RandomizedSearchCV +
     * KFold setup (utils/machine_learning_setup.py:62-213, aep.py:930-959).
+    *
+    * The fit is DRIVER-SIDE (graft.fitting.Trees): the per-simulation
+    * samples are <= a few hundred rows, and a distributed fit per simulation
+    * would launch thousands of tiny Spark jobs across an MC run (plus 5x per
+    * hyperopt candidate fold) to move microseconds of arithmetic — the
+    * KMeansLite pathology. numSim=2000 UQ-gbt now costs seconds, not hours.
     */
-  def fitTreeModel(spark: org.apache.spark.sql.SparkSession, model: String,
+  def fitTreeModel(model: String,
                    xs: Array[Array[Double]], ys: Array[Double], seed: Long,
                    hyperOptIter: Int,
                    cache: mutable.Map[String, (Int, Int)], product: String,
@@ -380,37 +444,23 @@ object MonteCarloAEP {
     val (depth, rounds) =
       if (hyperOptIter <= 0) (if (model == "gbt") (3, 50) else (6, 100))
       else cache.getOrElseUpdate(product,
-        hyperOptimize(spark, model, xs, ys, seed, hyperOptIter, searchRng))
-    val fitted = fitOnce(spark, model, xs, ys, seed, depth, rounds)
-    x => fitted.predict(org.apache.spark.ml.linalg.Vectors.dense(x))
+        hyperOptimize(model, xs, ys, seed, hyperOptIter, searchRng))
+    fitOnce(model, xs, ys, seed, depth, rounds)
   }
 
-  private def toDf(spark: org.apache.spark.sql.SparkSession,
-                   xs: Array[Array[Double]], ys: Array[Double]) = {
-    import org.apache.spark.ml.linalg.Vectors
-    import spark.implicits._
-    xs.zip(ys).toSeq.map { case (x, y) => (Vectors.dense(x), y) }
-      .toDF("features", "y")
-  }
-
-  private def fitOnce(spark: org.apache.spark.sql.SparkSession, model: String,
-                      xs: Array[Array[Double]], ys: Array[Double], seed: Long,
-                      depth: Int, rounds: Int) = {
-    import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
-    val df = toDf(spark, xs, ys)
+  private def fitOnce(model: String, xs: Array[Array[Double]],
+                      ys: Array[Double], seed: Long,
+                      depth: Int, rounds: Int): Array[Double] => Double =
     model match {
-      case "gbt" => new GBTRegressor().setLabelCol("y").setMaxDepth(depth)
-        .setMaxIter(rounds).setSeed(seed).fit(df)
-      case "rf" => new RandomForestRegressor().setLabelCol("y").setMaxDepth(depth)
-        .setNumTrees(rounds).setSeed(seed).fit(df)
+      case "gbt" => Trees.gbtFit(xs, ys, depth, rounds)
+      case "rf"  => Trees.rfFit(xs, ys, depth, rounds, seed)
       case other => throw new IllegalArgumentException(s"bad tree model $other")
     }
-  }
 
   /** Random search over (maxDepth, rounds) scored by 5-fold CV MSE on the
     * (tiny, driver-side) aggregate sample.
     */
-  private def hyperOptimize(spark: org.apache.spark.sql.SparkSession, model: String,
+  private def hyperOptimize(model: String,
                             xs: Array[Array[Double]], ys: Array[Double], seed: Long,
                             nIter: Int, rng: scala.util.Random): (Int, Int) = {
     val folds = 5
@@ -422,9 +472,9 @@ object MonteCarloAEP {
         val train = idx.zipWithIndex.filter(_._2 % folds != f).map(_._1)
         if (train.isEmpty || test.isEmpty) 0.0
         else {
-          val m = fitOnce(spark, model, train.map(xs), train.map(ys), seed, depth, rounds)
+          val m = fitOnce(model, train.map(xs), train.map(ys), seed, depth, rounds)
           test.map { i =>
-            val p = m.predict(org.apache.spark.ml.linalg.Vectors.dense(xs(i)))
+            val p = m(xs(i))
             (p - ys(i)) * (p - ys(i))
           }.sum / test.length
         }

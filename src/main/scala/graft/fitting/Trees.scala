@@ -1,0 +1,140 @@
+package graft.fitting
+
+/** Driver-side CART regression trees + gradient boosting + random forest.
+  *
+  * Purpose-built for the AEP Monte Carlo's per-simulation fits
+  * (aep.py:930-959, utils/machine_learning_setup.py:62-213): the samples are
+  * a few hundred rows by <= 4 features, so a distributed spark.ml fit per
+  * simulation pays thousands of tiny-job round-trips (plus per-fold fits
+  * under hyperparameter search) to move microseconds of arithmetic — the
+  * same pathology KMeansLite documents. These fits run in-process in <1 ms;
+  * seeded, dependency-free.
+  *
+  * Semantics follow the standard algorithms: variance-reduction greedy
+  * splits (CART), boosting on residuals with a 0.1 learning rate (the
+  * spark.ml/sklearn default), bagged trees with averaged predictions.
+  */
+object Trees {
+
+  /** Binary tree as parallel arrays (index 0 = root). feature(i) < 0 marks a
+    * leaf with prediction value(i).
+    */
+  final class Tree(val feature: Array[Int], val threshold: Array[Double],
+                   val left: Array[Int], val right: Array[Int],
+                   val value: Array[Double]) extends Serializable {
+    def predict(x: Array[Double]): Double = {
+      var i = 0
+      while (feature(i) >= 0)
+        i = if (x(feature(i)) <= threshold(i)) left(i) else right(i)
+      value(i)
+    }
+  }
+
+  /** Fit one CART regression tree on rows `idx` of (xs, ys). */
+  def fitTree(xs: Array[Array[Double]], ys: Array[Double], idx: Array[Int],
+              maxDepth: Int, minLeaf: Int = 2): Tree = {
+    val feature = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val threshold = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val value = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val k = if (xs.isEmpty) 0 else xs(0).length
+
+    def leafValue(rows: Array[Int]): Double =
+      if (rows.isEmpty) 0.0 else rows.map(ys).sum / rows.length
+
+    def build(rows: Array[Int], depth: Int): Int = {
+      val node = feature.length
+      feature += -1; threshold += 0.0; left += -1; right += -1
+      value += leafValue(rows)
+      if (depth >= maxDepth || rows.length < 2 * minLeaf) return node
+
+      // best variance-reduction split: for each feature, sort rows by the
+      // feature value and scan prefix sums
+      val total = rows.map(ys).sum
+      val totalSq = rows.map(i => ys(i) * ys(i)).sum
+      val n = rows.length
+      var bestGain = 1e-12
+      var bestF = -1
+      var bestT = 0.0
+      var f = 0
+      while (f < k) {
+        val sorted = rows.sortBy(i => xs(i)(f))
+        var sumL = 0.0
+        var i = 0
+        while (i < n - 1) {
+          sumL += ys(sorted(i))
+          val nL = i + 1
+          // only split between distinct feature values, honoring minLeaf
+          if (nL >= minLeaf && n - nL >= minLeaf &&
+              xs(sorted(i))(f) < xs(sorted(i + 1))(f)) {
+            val sumR = total - sumL
+            // SSE reduction = sumL^2/nL + sumR^2/nR - total^2/n (constant
+            // totalSq cancels)
+            val gain = sumL * sumL / nL + sumR * sumR / (n - nL) - total * total / n
+            if (gain > bestGain) {
+              bestGain = gain; bestF = f
+              bestT = (xs(sorted(i))(f) + xs(sorted(i + 1))(f)) / 2.0
+            }
+          }
+          i += 1
+        }
+        f += 1
+      }
+      if (bestF < 0) return node
+      val (l, r) = rows.partition(i => xs(i)(bestF) <= bestT)
+      feature(node) = bestF
+      threshold(node) = bestT
+      left(node) = build(l, depth + 1)
+      right(node) = build(r, depth + 1)
+      val _ = totalSq // silence unused (kept for clarity of the SSE identity)
+      node
+    }
+
+    build(idx, 0)
+    new Tree(feature.toArray, threshold.toArray, left.toArray, right.toArray,
+      value.toArray)
+  }
+
+  /** Gradient-boosted trees on squared loss: F_0 = mean, then `rounds` trees
+    * fit to residuals, each scaled by `learningRate` (spark.ml GBTRegressor
+    * defaults: stepSize 0.1, squared loss).
+    */
+  def gbtFit(xs: Array[Array[Double]], ys: Array[Double], maxDepth: Int,
+             rounds: Int, learningRate: Double = 0.1): Array[Double] => Double = {
+    if (xs.isEmpty) return _ => 0.0
+    val idx = xs.indices.toArray
+    val base = ys.sum / ys.length
+    val residual = ys.map(_ - base)
+    val trees = new Array[Tree](rounds)
+    var m = 0
+    while (m < rounds) {
+      val t = fitTree(xs, residual, idx, maxDepth)
+      trees(m) = t
+      var i = 0
+      while (i < residual.length) {
+        residual(i) -= learningRate * t.predict(xs(i)); i += 1
+      }
+      m += 1
+    }
+    x => {
+      var s = base
+      var i = 0
+      while (i < rounds) { s += learningRate * trees(i).predict(x); i += 1 }
+      s
+    }
+  }
+
+  /** Random forest: `nTrees` trees on seeded bootstrap resamples, averaged. */
+  def rfFit(xs: Array[Array[Double]], ys: Array[Double], maxDepth: Int,
+            nTrees: Int, seed: Long): Array[Double] => Double = {
+    if (xs.isEmpty) return _ => 0.0
+    val rng = new scala.util.Random(seed)
+    val n = xs.length
+    val trees = Array.fill(nTrees) {
+      val boot = Array.fill(n)(rng.nextInt(n))
+      fitTree(xs, ys, boot, maxDepth)
+    }
+    x => trees.map(_.predict(x)).sum / nTrees
+  }
+}

@@ -1,0 +1,84 @@
+package graft.analysis
+
+import java.sql.Timestamp
+import java.time.{Instant, ZoneOffset}
+
+import graft.SparkSpec
+
+/** The reference's "ME" and "h" AEP time resolutions (aep.py:245-256) and
+  * the anchored annual resampling of `get_annual_values` (aep.py:40-59).
+  * The annual-sum and month-end-label vectors below were derived by running
+  * the reference's pandas expressions directly.
+  */
+class AepResolutionSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("ME bucket labels match pandas month-end dates, incl. leap February") {
+    val monthStarts = (0 until 14).map { i =>
+      val d = java.time.LocalDate.of(2019, 1, 1).plusMonths(i)
+      Timestamp.from(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+    }
+    val want = Seq("2019-01-31", "2019-02-28", "2019-03-31", "2019-04-30",
+      "2019-05-31", "2019-06-30", "2019-07-31", "2019-08-31", "2019-09-30",
+      "2019-10-31", "2019-11-30", "2019-12-31", "2020-01-31", "2020-02-29")
+    val got = monthStarts.map(t =>
+      java.time.Instant.ofEpochSecond(MonteCarloAEP.labelEpochSec(t, "ME"))
+        .atZone(ZoneOffset.UTC).toLocalDate.toString)
+    assert(got == want)
+    // MS labels pass through unchanged
+    assert(MonteCarloAEP.labelEpochSec(monthStarts.head, "MS")
+      == monthStarts.head.toInstant.getEpochSecond)
+  }
+
+  test("anchored annual sums: daily series starting mid-month (pandas vector)") {
+    val start = Instant.parse("2019-01-15T00:00:00Z").getEpochSecond
+    val secs = (0 until 800).map(i => start + i * 86400L).toArray
+    val got = MonteCarloAEP.annualSums(secs, Array.fill(800)(1.0))
+    assert(got.toSeq == Seq(365.0, 366.0, 69.0))
+  }
+
+  test("anchored annual sums: month-end labeled series (pandas vector)") {
+    val secs = (0 until 30).map { i =>
+      val d = java.time.LocalDate.of(2019, 1, 1).plusMonths(i)
+      MonteCarloAEP.labelEpochSec(
+        Timestamp.from(d.atStartOfDay(ZoneOffset.UTC).toInstant), "ME")
+    }.toArray
+    val got = MonteCarloAEP.annualSums(secs, (1 to 30).map(_.toDouble).toArray)
+    assert(got.toSeq == Seq(78.0, 222.0, 165.0))
+  }
+
+  test("anchored annual sums: hourly series with sub-day anchor offset (pandas vector)") {
+    val start = Instant.parse("2019-06-10T03:00:00Z").getEpochSecond
+    val secs = (0 until 20000).map(i => start + i * 3600L).toArray
+    val got = MonteCarloAEP.annualSums(secs, Array.fill(20000)(1.0))
+    assert(got.toSeq == Seq(8784.0, 8760.0, 2456.0))
+  }
+
+  private lazy val plant = SyntheticPlant.build(spark, days = 60, reanalysisYears = 3)
+
+  test("ME resolution reproduces the MS result exactly (same buckets, end labels)") {
+    val ms = new MonteCarloAEP(plant, timeResolution = "MS", uq = false,
+      windinessYears = (1, 2)).run()
+    val me = new MonteCarloAEP(plant, timeResolution = "ME", uq = false,
+      windinessYears = (1, 2)).run()
+    assert(ms.aepGwh(0) == me.aepGwh(0))
+    assert(ms.availPct(0) == me.availPct(0))
+  }
+
+  test("hourly resolution lands near the daily result on the synthetic plant") {
+    val d = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    val h = new MonteCarloAEP(plant, timeResolution = "h", uq = false,
+      windinessYears = (1, 2)).run()
+    assert(h.aepMean > 10.0 && h.aepMean < 80.0, s"hourly AEP ${h.aepMean}")
+    assert(math.abs(h.aepMean - d.aepMean) / d.aepMean < 0.2,
+      s"hourly ${h.aepMean} vs daily ${d.aepMean}")
+  }
+
+  test("monthly resolutions refuse nonlinear models like the reference") {
+    intercept[IllegalArgumentException] {
+      new MonteCarloAEP(plant, timeResolution = "ME", regModel = "gam")
+    }
+  }
+}

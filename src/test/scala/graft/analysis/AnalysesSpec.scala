@@ -50,6 +50,21 @@ class AnalysesSpec extends SparkSpec {
     }
   }
 
+  test("MonteCarloAEP UQ-gbt is driver-side fast and stays near the lin result") {
+    val lin = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2)).run()
+    val t0 = System.nanoTime()
+    val uqGbt = new MonteCarloAEP(plant, timeResolution = "D", uq = true,
+      numSim = 100, regModel = "gbt", windinessYears = (1, 2),
+      hyperOptIter = 0).run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 100 simulations = 100 boosted fits; driver-side these are seconds
+    // total (a per-simulation distributed fit was minutes-to-hours)
+    assert(secs < 60, s"UQ gbt took ${secs}s for 100 sims")
+    assert(math.abs(uqGbt.aepMean - lin.aepMean) / lin.aepMean < 0.35)
+    assert(uqGbt.aepStd > 0.0)
+  }
+
   test("MonteCarloAEP outlier-filter pass excludes an injected bad meter month") {
     import org.apache.spark.sql.functions._
     // 12 full months; corrupt June's meter readings to 50% — off the

@@ -1,0 +1,52 @@
+package graft.fitting
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side CART/GBT/RF (graft.fitting.Trees) — the per-simulation tree
+  * fits behind MonteCarloAEP's gbt/rf models.
+  */
+class TreesSpec extends AnyFunSuite {
+
+  private def grid(n: Int): Array[Array[Double]] =
+    (0 until n).map(i => Array(i.toDouble / n * 10.0)).toArray
+
+  test("single tree recovers a step function exactly") {
+    val xs = grid(100)
+    val ys = xs.map(x => if (x(0) < 5.0) 1.0 else 3.0)
+    val t = Trees.fitTree(xs, ys, xs.indices.toArray, maxDepth = 2)
+    xs.zip(ys).foreach { case (x, y) => assert(t.predict(x) == y) }
+  }
+
+  test("gbt fits a smooth curve with low error") {
+    val xs = grid(200)
+    val ys = xs.map(x => math.sin(x(0)) * 5.0 + x(0))
+    val f = Trees.gbtFit(xs, ys, maxDepth = 3, rounds = 100)
+    val mse = xs.zip(ys).map { case (x, y) =>
+      val e = f(x) - y; e * e
+    }.sum / xs.length
+    assert(mse < 0.05, s"gbt mse $mse")
+  }
+
+  test("rf is seeded-deterministic and tracks the signal") {
+    val rng = new scala.util.Random(3)
+    val xs = Array.fill(300)(Array(rng.nextDouble() * 10, rng.nextDouble() * 2))
+    val ys = xs.map(x => 2.0 * x(0) + 3.0 * x(1) + rng.nextGaussian() * 0.1)
+    val f1 = Trees.rfFit(xs, ys, maxDepth = 6, nTrees = 50, seed = 7)
+    val f2 = Trees.rfFit(xs, ys, maxDepth = 6, nTrees = 50, seed = 7)
+    val mse = xs.zip(ys).map { case (x, y) =>
+      val e = f1(x) - y; e * e
+    }.sum / xs.length
+    assert(mse < 1.0, s"rf mse $mse")
+    xs.take(20).foreach(x => assert(f1(x) == f2(x)))
+  }
+
+  test("a few hundred boosted fits complete in well under a second each") {
+    val rng = new scala.util.Random(5)
+    val xs = Array.fill(300)(Array(rng.nextDouble() * 10))
+    val ys = xs.map(x => x(0) * 2.0 + rng.nextGaussian())
+    val t0 = System.nanoTime()
+    (0 until 100).foreach(_ => Trees.gbtFit(xs, ys, maxDepth = 3, rounds = 50))
+    val perFitMs = (System.nanoTime() - t0) / 1e6 / 100
+    assert(perFitMs < 100, s"driver-side gbt fit took ${perFitMs}ms")
+  }
+}
