@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** QA datetime-repair workflow for raw plant exports
+  * (openoa/utils/qa.py:84-249): resolve a raw timestamp column — naive local
+  * wall time or timezone-aware strings — into UTC + localized twins with
+  * UTC-offset and DST indicator columns, the repair the reference applies to
+  * DST-shifted historical SCADA before analysis.
+  *
+  * All row-local column expressions (to_utc_timestamp /
+  * from_utc_timestamp); the only driver-side work is the zone's reference
+  * standard offset, a constant.
+  */
+object QaDatetime {
+
+  /** The zone's non-DST reference offset in seconds — the reference compares
+    * every offset against local 2021-01-01 (qa.py:101-102), which is the
+    * standard offset in the northern hemisphere (and inherits the
+    * reference's southern-hemisphere quirk by construction).
+    */
+  def nonDstOffsetSeconds(localTz: String): Int =
+    java.time.ZoneId.of(localTz).getRules
+      .getOffset(java.time.LocalDateTime.of(2021, 1, 1, 0, 0)).getTotalSeconds
+
+  /** `convert_datetime_column` (qa.py:117-175): adds
+    *  - `<timeCol>_utc`: the UTC instant (tz-aware input parses directly;
+    *    naive input localizes with fall-back ambiguity resolving to the
+    *    EARLIER/DST offset and spring-forward gaps shifting forward, the
+    *    pandas `tz_localize(ambiguous=True)` behavior);
+    *  - `<timeCol>_localized`: the local wall time in `localTz`;
+    *  - `utc_offset_hours`: localized minus UTC, hours;
+    *  - `is_dst`: offset differs from the zone's non-DST reference offset.
+    */
+  def convertDatetimeColumn(df: DataFrame, timeCol: String, localTz: String,
+                            tzAware: Boolean): DataFrame = {
+    val parsed: Column = df.schema(timeCol).dataType match {
+      case TimestampType => col(timeCol)
+      case _ => try_to_timestamp(col(timeCol))
+    }
+    val utcCol = if (tzAware) parsed else to_utc_timestamp(parsed, localTz)
+    val localCol = from_utc_timestamp(utcCol, localTz)
+    val offsetSec = unix_timestamp(localCol) - unix_timestamp(utcCol)
+    df.withColumn(s"${timeCol}_utc", utcCol)
+      .withColumn(s"${timeCol}_localized", localCol)
+      .withColumn("utc_offset_hours", offsetSec / 3600.0)
+      .withColumn("is_dst", offsetSec =!= nonDstOffsetSeconds(localTz))
+  }
+
+  /** `determine_offset_dst` (qa.py:84-114): offset + DST columns from an
+    * already-UTC timestamp column.
+    */
+  def determineOffsetDst(df: DataFrame, utcTimeCol: String,
+                         localTz: String): DataFrame = {
+    val localCol = from_utc_timestamp(col(utcTimeCol), localTz)
+    val offsetSec = unix_timestamp(localCol) - unix_timestamp(col(utcTimeCol))
+    df.withColumn("utc_offset_hours", offsetSec / 3600.0)
+      .withColumn("is_dst", offsetSec =!= nonDstOffsetSeconds(localTz))
+  }
+
+  /** `duplicate_time_identification` (qa.py:178-214): duplicate stamps per
+    * asset on the raw, localized, and UTC columns at once (long-form: one
+    * row per (column, asset, time) duplicate group).
+    */
+  def duplicateTimeIdentification(df: DataFrame, timeCol: String,
+                                  idCol: String): DataFrame = {
+    val cols = Seq(timeCol, s"${timeCol}_localized", s"${timeCol}_utc")
+      .filter(df.columns.contains)
+    cols.map { c =>
+      Timeseries.duplicateTimes(df, c, Seq(idCol))
+        .select(lit(c).as("time_column"), col(idCol).as("asset_id"),
+          col(c).cast("timestamp").as("time"), col("n_dups"))
+    }.reduce(_ unionByName _)
+  }
+}

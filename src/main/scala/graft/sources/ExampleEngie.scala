@@ -1,0 +1,119 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators.{Flags, Timeseries}
+import graft.plant.{PlantData, PlantMetadata}
+
+/** The reference's canonical example workflow — the ENGIE La Haute Borne
+  * import (examples/project_ENGIE.py:55-305) — composed over the Ingest
+  * front door: CSV + YAML metadata load, local->UTC timestamps,
+  * first-occurrence dedup, plausibility cuts, frozen-sensor nulling, pitch
+  * wrapping, hourly reanalysis gap-fill, and PlantData validation.
+  *
+  * Everything here is a Catalyst plan over the distributed CSV scans; the
+  * reference's per-turbine Python loops (project_ENGIE.py:95-108) become
+  * single window passes partitioned by asset.
+  */
+object ExampleEngie {
+
+  /** The sensor columns the reference nulls when the wind vane is frozen
+    * (project_ENGIE.py:96 `sensor_cols`, canonical names; the reference list
+    * also includes the yaw sensor, which La Haute Borne maps to no canonical
+    * SCADA column).
+    */
+  val SensorCols: Seq[String] = Seq("WROT_BlPthAngVal", "WTUR_W",
+    "WMET_HorWdSpd", "WMET_HorWdDirRel", "WMET_EnvTmp", "WMET_HorWdDir")
+
+  /** SCADA pre-clean (project_ENGIE.py:66-117 `clean_scada`), operating on
+    * canonical columns after the Ingest rename/coerce:
+    *  1. first-occurrence dedup per (time, asset) — `drop_duplicates(keep=
+    *     "first")` over the file order;
+    *  2. temperature plausibility cut to [-15, 45] C (drops rows, incl.
+    *     null temperature, matching the pandas NaN-comparison semantics);
+    *  3. frozen wind vane (>= 3 repeats) nulls ALL sensor columns; frozen
+    *     temperature (>= 20 repeats) nulls temperature;
+    *  4. pitch wrapped to [-180, 180].
+    * Per-row energy is derived downstream by PlantData.load.
+    */
+  def cleanScada(scada: DataFrame): DataFrame = {
+    val w = Window.partitionBy("time", "asset_id").orderBy("__ord")
+    val deduped = scada.withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__ord", "__rn")
+    val tempOk = deduped
+      .filter(col("WMET_EnvTmp") >= -15.0 && col("WMET_EnvTmp") <= 45.0)
+    val vaneFlagged = Flags.unresponsiveFlag(tempOk, "WMET_HorWdDirRel", "time",
+      threshold = 3, flagCol = "__vane_frozen", partitionCols = Seq("asset_id"))
+    val vaneNulled = SensorCols.foldLeft(vaneFlagged)((acc, c) =>
+      acc.withColumn(c, when(col("__vane_frozen"), lit(null)).otherwise(col(c))))
+    val tempFlagged = Flags.unresponsiveFlag(vaneNulled, "WMET_EnvTmp", "time",
+      threshold = 20, flagCol = "__temp_frozen", partitionCols = Seq("asset_id"))
+    tempFlagged
+      .withColumn("WMET_EnvTmp",
+        when(col("__temp_frozen"), lit(null)).otherwise(col("WMET_EnvTmp")))
+      .withColumn("WROT_BlPthAngVal", Met.wrap180(col("WROT_BlPthAngVal")))
+      .drop("__vane_frozen", "__temp_frozen")
+  }
+
+  /** Full example import: metadata file + the La Haute Borne CSV layout ->
+    * validated PlantData (project_ENGIE.py:159-305 `prepare`).
+    *
+    * @param plantCsvPath the combined meter+curtailment export
+    *                     (`plant_data.csv`): both buckets read it with their
+    *                     own column maps, as the reference does with its two
+    *                     copies of the frame.
+    * @param reanalysisCsvPaths product name -> CSV path; each product is
+    *                     gap-filled to its full hourly grid (the reference's
+    *                     `asfreq("1h")` repair of missing ERA5 stamps).
+    */
+  def prepare(spark: SparkSession, metaPath: String, scadaCsvPath: String,
+              plantCsvPath: String, assetCsvPath: String,
+              reanalysisCsvPaths: Map[String, String],
+              analysisTypes: Seq[String] = Seq("MonteCarloAEP")): PlantData = {
+    val cfg = PlantMetaConfig.fromFile(metaPath)
+    val errors = mutable.ArrayBuffer.empty[String]
+
+    def load(name: String, path: String, metaName: String = ""): DataFrame = {
+      val key = if (metaName.isEmpty) name else metaName
+      val (df, errs) = Ingest.loadBucketCsv(spark, path, name,
+        cfg.buckets.getOrElse(key, BucketMeta(Map.empty)))
+      errors ++= errs
+      df
+    }
+    val scada = cleanScada(load("scada", scadaCsvPath))
+    val meter = load("meter", plantCsvPath)
+    val curtail = load("curtail", plantCsvPath)
+    val asset = load("asset", assetCsvPath)
+      .withColumn("type", lit("turbine")) // project_ENGIE.py:276
+    val rea = reanalysisCsvPaths.map { case (prod, p) =>
+      val (df, errs) = Ingest.loadBucketCsv(spark, p, "reanalysis",
+        cfg.reanalysis.getOrElse(prod, BucketMeta(Map.empty)))
+      errors ++= errs
+      val interval = cfg.reanalysis.get(prod).flatMap(_.freqSeconds).getOrElse(3600L)
+      prod -> Timeseries.gapFill(df, "time", interval)
+    }
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ENGIE example ingestion failed:\n${errors.mkString("\n")}")
+
+    def freq(name: String, dflt: Long): Long =
+      cfg.buckets.get(name).flatMap(_.freqSeconds).getOrElse(dflt)
+    PlantData.load(
+      scada = Some(scada), meter = Some(meter), curtail = Some(curtail),
+      asset = Some(asset), reanalysis = rea,
+      metadata = PlantMetadata(
+        scadaFreqSeconds = freq("scada", 600L),
+        meterFreqSeconds = freq("meter", 600L),
+        curtailFreqSeconds = freq("curtail", 600L),
+        reanalysisFreqSeconds = rea.keys.headOption
+          .flatMap(cfg.reanalysis.get).flatMap(_.freqSeconds).getOrElse(3600L),
+        capacityKw = cfg.capacityMw * 1000.0),
+      analysisTypes = analysisTypes)
+  }
+}

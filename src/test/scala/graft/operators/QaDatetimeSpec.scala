@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** QA datetime-repair workflow (qa.py:84-249) over synthetic DST-shifted
+  * series in Europe/Paris (the La Haute Borne zone): naive local wall times
+  * across both DST transitions, and timezone-aware raw strings.
+  */
+class QaDatetimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("naive local series across spring-forward resolves offsets and DST") {
+    // Paris 2014-03-30: 02:00 local jumps to 03:00 (CET +1 -> CEST +2)
+    val df = Seq(
+      (0, ts("2014-03-30 01:00:00")), // CET, +1, not DST
+      (1, ts("2014-03-30 01:50:00")),
+      (2, ts("2014-03-30 03:00:00")), // CEST, +2, DST
+      (3, ts("2014-03-30 04:00:00"))).toDF("i", "t")
+    val got = QaDatetime.convertDatetimeColumn(df, "t", "Europe/Paris",
+      tzAware = false).orderBy("i")
+      .select("t_utc", "utc_offset_hours", "is_dst")
+      .collect()
+    assert(got(0).getTimestamp(0) == ts("2014-03-30 00:00:00"))
+    assert(got(0).getDouble(1) == 1.0 && !got(0).getBoolean(2))
+    assert(got(2).getTimestamp(0) == ts("2014-03-30 01:00:00"))
+    assert(got(2).getDouble(1) == 2.0 && got(2).getBoolean(2))
+    // a 10-min series that is continuous in repaired UTC: 01:50 local (+1)
+    // is 00:50 UTC; 03:00 local (+2) is 01:00 UTC — gap closed
+    assert((got(2).getTimestamp(0).getTime - got(1).getTimestamp(0).getTime)
+      == 10 * 60 * 1000)
+  }
+
+  test("ambiguous fall-back hour resolves to the earlier (DST) offset") {
+    // Paris 2014-10-26: 03:00 falls back to 02:00; 02:30 local is ambiguous
+    val df = Seq((0, ts("2014-10-26 02:30:00"))).toDF("i", "t")
+    val got = QaDatetime.convertDatetimeColumn(df, "t", "Europe/Paris",
+      tzAware = false).select("t_utc", "utc_offset_hours", "is_dst").head()
+    // pandas tz_localize(ambiguous=True): DST (+2) wins -> 00:30 UTC
+    assert(got.getTimestamp(0) == ts("2014-10-26 00:30:00"))
+    assert(got.getDouble(1) == 2.0 && got.getBoolean(2))
+  }
+
+  test("timezone-aware raw strings parse straight to UTC") {
+    val df = Seq(
+      (0, "2014-06-15 12:00:00+02:00"),
+      (1, "2014-12-15 12:00:00+01:00")).toDF("i", "t")
+    val got = QaDatetime.convertDatetimeColumn(df, "t", "Europe/Paris",
+      tzAware = true).orderBy("i")
+      .select("t_utc", "t_localized", "utc_offset_hours", "is_dst").collect()
+    assert(got(0).getTimestamp(0) == ts("2014-06-15 10:00:00"))
+    assert(got(0).getTimestamp(1) == ts("2014-06-15 12:00:00"))
+    assert(got(0).getDouble(2) == 2.0 && got(0).getBoolean(3))
+    assert(got(1).getTimestamp(0) == ts("2014-12-15 11:00:00"))
+    assert(got(1).getDouble(2) == 1.0 && !got(1).getBoolean(3))
+  }
+
+  test("determineOffsetDst annotates an already-UTC column") {
+    val df = Seq(
+      (0, ts("2021-01-01 12:00:00")),
+      (1, ts("2021-07-01 12:00:00"))).toDF("i", "t")
+    val got = QaDatetime.determineOffsetDst(df, "t", "Europe/Paris")
+      .orderBy("i").select("utc_offset_hours", "is_dst").collect()
+    assert(got(0).getDouble(0) == 1.0 && !got(0).getBoolean(1))
+    assert(got(1).getDouble(0) == 2.0 && got(1).getBoolean(1))
+  }
+
+  test("duplicate identification reports raw-vs-UTC duplicate structure") {
+    // two distinct local stamps in the ambiguous hour map to DIFFERENT UTC
+    // under ambiguous=True... but a true duplicate pair stays duplicated
+    val df = Seq(
+      ("T1", ts("2014-10-26 02:30:00")),
+      ("T1", ts("2014-10-26 02:30:00")),
+      ("T1", ts("2014-10-26 02:40:00"))).toDF("id", "t")
+    val rep = QaDatetime.convertDatetimeColumn(df, "t", "Europe/Paris",
+      tzAware = false)
+    val dups = QaDatetime.duplicateTimeIdentification(rep, "t", "id")
+    // the duplicated stamp shows up on raw, localized, and utc views
+    assert(dups.select("time_column").distinct().count() == 3)
+    assert(dups.filter($"n_dups" === 2).count() == 3)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end ENGIE La Haute Borne example import
+  * (examples/project_ENGIE.py:55-305) over generated ENGIE-shaped fixtures:
+  * raw-named CSV columns, local-offset timestamps, duplicate stamps, an
+  * out-of-range temperature, a frozen wind vane run, an unwrapped pitch
+  * angle, and a missing reanalysis hour. Metadata mirrors the reference's
+  * examples/data/plant_meta.yml column maps.
+  */
+class ExampleEngieSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: Path = Files.createTempDirectory("engie_fixture")
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  // examples/data/plant_meta.yml column maps (canonical: user)
+  private lazy val metaPath = write("plant_meta.yml",
+    """latitude: 48.4497
+      |longitude: 5.5896
+      |capacity: 8.2
+      |scada:
+      |  frequency: 10min
+      |  asset_id: Wind_turbine_name
+      |  WROT_BlPthAngVal: Ba_avg
+      |  WTUR_W: P_avg
+      |  WMET_EnvTmp: Ot_avg
+      |  time: Date_time
+      |  WMET_HorWdDir: Wa_avg
+      |  WMET_HorWdDirRel: Va_avg
+      |  WMET_HorWdSpd: Ws_avg
+      |meter:
+      |  MMTR_SupWh: net_energy_kwh
+      |  time: time
+      |curtail:
+      |  frequency: 10min
+      |  IAVL_DnWh: availability_kwh
+      |  IAVL_ExtPwrDnWh: curtailment_kwh
+      |  time: time
+      |asset:
+      |  elevation: elevation_m
+      |  hub_height: Hub_height_m
+      |  asset_id: Wind_turbine_name
+      |  latitude: Latitude
+      |  longitude: Longitude
+      |  rated_power: Rated_power
+      |  rotor_diameter: Rotor_diameter_m
+      |reanalysis:
+      |  era5:
+      |    frequency: h
+      |    WMETR_EnvPres: surf_pres
+      |    WMETR_EnvTmp: t_2m
+      |    time: datetime
+      |    WMETR_HorWdSpdU: u_100
+      |    WMETR_HorWdSpdV: v_100
+      |""".stripMargin)
+
+  /** 2 turbines x 18 10-min stamps starting 2014-01-01 00:00 +01:00 (local
+    * time with offset, as the raw export carries), plus one duplicated
+    * stamp for R80711 with a different power (second occurrence must drop),
+    * one out-of-range temperature row, a 4-long frozen vane run on R80721,
+    * and an unwrapped 350-degree pitch.
+    */
+  private lazy val scadaPath: String = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stamp(i: Int) = f"2014-01-01T${i / 6}%02d:${(i % 6) * 10}%02d:00+01:00"
+    for (i <- 0 until 18) {
+      val vane1 = 10.0 + i // responsive
+      // R80721's vane freezes at exactly 42.0 for stamps 5-8 (run of 4)
+      val vane2 = if (i >= 5 && i <= 8) 42.0 else 20.0 + 3 * i
+      val ot1 = if (i == 3) 50.0 else 10.0 + 0.1 * i // i=3 out of range
+      val pitch1 = if (i == 4) 350.0 else 1.0
+      rows += s"${stamp(i)},R80711,${100.0 + i},7.5,180.0,$vane1,$pitch1,$ot1"
+      rows += s"${stamp(i)},R80721,${200.0 + i},8.0,185.0,$vane2,2.0,11.0"
+    }
+    // duplicate stamp 0 for R80711 with a different power: must be dropped
+    rows += s"${stamp(0)},R80711,999.0,9.9,99.0,99.0,9.0,9.9"
+    write("scada.csv",
+      "Date_time,Wind_turbine_name,P_avg,Ws_avg,Wa_avg,Va_avg,Ba_avg,Ot_avg\n"
+        + rows.mkString("\n"))
+  }
+
+  private lazy val plantPath: String = {
+    val rows = (0 until 18).map { i =>
+      val t = f"2014-01-01T${i / 6}%02d:${(i % 6) * 10}%02d:00Z"
+      s"$t,${50.0 + i},1.5,0.5"
+    }
+    write("plant_data.csv",
+      "time,net_energy_kwh,availability_kwh,curtailment_kwh\n" + rows.mkString("\n"))
+  }
+
+  private lazy val assetPath: String = write("asset.csv",
+    """Wind_turbine_name,Latitude,Longitude,Rated_power,Hub_height_m,Rotor_diameter_m,elevation_m
+      |R80711,48.4461,5.5925,2.05,80,82,411
+      |R80721,48.4497,5.5869,2.05,80,82,411""".stripMargin)
+
+  /** Hourly era5 with hour 2 MISSING (the reference's asfreq("1h") repair). */
+  private lazy val era5Path: String = {
+    val rows = (0 until 6).filterNot(_ == 2).map { h =>
+      s"2014-01-01T0$h:00:00Z,${-5.0 - h * 0.1},${-3.0},278.15,101325.0"
+    }
+    write("era5.csv", "datetime,u_100,v_100,t_2m,surf_pres\n" + rows.mkString("\n"))
+  }
+
+  private lazy val plant = ExampleEngie.prepare(spark, metaPath, scadaPath,
+    plantPath, assetPath, Map("era5" -> era5Path),
+    analysisTypes = Seq("MonteCarloAEP"))
+
+  test("loads, validates, and converts local-offset timestamps to UTC") {
+    val scada = plant.scadaDf.cache()
+    // +01:00 local midnight -> 2013-12-31 23:00 UTC
+    val minT = scada.agg(min($"time")).head().getTimestamp(0)
+    assert(minT == java.sql.Timestamp.valueOf("2013-12-31 23:00:00"))
+  }
+
+  test("drops the duplicate stamp keeping the first occurrence") {
+    val scada = plant.scadaDf
+    val dupRow = scada.filter($"asset_id" === "R80711")
+      .orderBy("time").select("WTUR_W").as[Double].head(1).head
+    assert(dupRow == 100.0, s"kept $dupRow, expected the first occurrence")
+    assert(scada.groupBy("time", "asset_id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("cuts implausible temperatures by dropping rows") {
+    // R80711 stamp 3 had 50 C
+    assert(plant.scadaDf.filter($"asset_id" === "R80711").count() == 17)
+  }
+
+  test("nulls all sensor columns across the frozen vane run") {
+    val frozen = plant.scadaDf.filter($"asset_id" === "R80721"
+      && $"WMET_HorWdDirRel".isNull)
+    assert(frozen.count() == 4)
+    assert(frozen.filter($"WTUR_W".isNotNull || $"WMET_HorWdSpd".isNotNull
+      || $"WMET_EnvTmp".isNotNull).count() == 0)
+  }
+
+  test("wraps pitch into [-180, 180]") {
+    val p = plant.scadaDf.filter($"asset_id" === "R80711"
+      && $"WROT_BlPthAngVal" < 0).select("WROT_BlPthAngVal").as[Double].collect()
+    assert(p.toSeq == Seq(-10.0))
+  }
+
+  test("derives per-row energy from power") {
+    val e = plant.scadaDf.filter($"asset_id" === "R80721" && $"WTUR_W" === 200.0)
+      .select("WTUR_SupWh").as[Double].head()
+    assert(math.abs(e - 200.0 / 6.0) < 1e-9)
+  }
+
+  test("gap-fills the missing reanalysis hour and derives physics columns") {
+    val era5 = plant.reanalysis("era5")
+    assert(era5.count() == 6) // 5 rows + 1 gap-filled
+    assert(era5.filter($"WMETR_HorWdSpdU".isNull).count() == 1)
+    // ws/wd/rho derived from u/v/T/p on the non-null rows
+    val derived = era5.filter($"WMETR_HorWdSpdU".isNotNull)
+    assert(derived.filter($"WMETR_HorWdSpd".isNull || $"WMETR_HorWdDir".isNull
+      || $"WMETR_AirDen".isNull).count() == 0)
+  }
+
+  test("meter and curtail buckets read the combined plant CSV via their column maps") {
+    assert(plant.meterDf.agg(sum($"MMTR_SupWh")).head().getDouble(0)
+      == (0 until 18).map(50.0 + _).sum)
+    assert(plant.curtailDf.agg(sum($"IAVL_DnWh"), sum($"IAVL_ExtPwrDnWh"))
+      .head() == org.apache.spark.sql.Row(18 * 1.5, 18 * 0.5))
+  }
+}
