@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayDot, ColumnBridge}
+import org.apache.spark.sql.graft.{ArrayDot, ColumnBridge, HashCombine}
 
 /** Public wrappers for graft's codegen'd dense-vector kernels (see
   * [[org.apache.spark.sql.graft.ArrayDot]] for the design rationale).
@@ -13,4 +13,27 @@ object VectorExprs {
     */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd wraparound h1 + seed*h2 double-hashing combiner (long
+    * arithmetic that must wrap; ANSI checked ops would throw).
+    */
+  def hashCombine(h1: Column, h2: Column, seed: Long): Column =
+    ColumnBridge.column(HashCombine(
+      ColumnBridge.expression(h1), ColumnBridge.expression(h2), seed))
+
+  /** MinHash signature aggregate over two base-hash columns: ONE aggregate
+    * producing the array<long> signature (see
+    * [[org.apache.spark.sql.graft.MinHashAgg]]).
+    */
+  def minHashSignature(h1: Column, h2: Column, numHashes: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graft.MinHashAgg(
+      ColumnBridge.expression(h1), ColumnBridge.expression(h2), numHashes)
+      .toAggregateExpression())
+
+  /** 64-bit SimHash signature aggregate over a token-hash column (see
+    * [[org.apache.spark.sql.graft.SimHashAgg]]).
+    */
+  def simHashSignature(tokenHash: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graft.SimHashAgg(
+      ColumnBridge.expression(tokenHash)).toAggregateExpression())
 }

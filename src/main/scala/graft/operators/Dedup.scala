@@ -118,25 +118,26 @@ object Dedup {
     // Signatures via shingle ROWS + grouped min-aggregates rather than
     // array-lambda minhashing: higher-order functions are interpreted (no
     // codegen) and re-evaluate the shingle array per seed. Each exploded
-    // (doc, shingle) row feeds numHashes codegen'd min(xxhash64(shingle,
-    // seed)) aggregates with map-side partial aggregation, so the shuffle
-    // carries only #docs x numHashes longs.
+    // (doc, shingle) row feeds numHashes codegen'd min aggregates with
+    // map-side partial aggregation, so the shuffle carries only
+    // #docs x numHashes longs.
     // No dedup: min() is duplicate-insensitive, so the distinct shuffle of
-    // fact-grain shingle strings would be pure cost. Each shingle string is
-    // hashed ONCE to a long; the numHashes seeded hashes then run over the
-    // fixed-width long, not the string — ~4x less hashing work per row.
+    // fact-grain shingle strings would be pure cost. The numHashes hash
+    // family is DOUBLE HASHING, g_i = h1 + i*h2 over two base xxhash64
+    // values projected once per row — per aggregate the row expression is a
+    // long multiply-add instead of a fresh seeded xxhash64 (numHashes x
+    // #shingleRows hash evaluations saved; the standard MinHash
+    // construction, cf. Kirsch & Mitzenmacher's two-hash scheme).
     val exploded = shingleRows(FanOut(df), idCol, textCol, shingleSize, dedup = false)
-      .select(col("id"), xxhash64(col("shingle")).as("__sh"))
-    val hashAggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("__sh"), lit(s))).as(s"__h$s"))
+      .select(col("id"), xxhash64(col("shingle")).as("__h1"),
+        xxhash64(col("shingle"), lit(1)).as("__h2"))
     // The signature table is referenced four times below (both self-join
     // sides + both per-pair re-attachments); materialize it once — it is
     // tiny (#docs x numHashes longs) while its lineage (shingling over the
     // full corpus) is not.
     val sigs = exploded.groupBy("id")
-      .agg(hashAggs.head, hashAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+      .agg(graft.functions.VectorExprs
+        .minHashSignature(col("__h1"), col("__h2"), numHashes).as("sig"))
       .localCheckpoint(true)
     // Candidate pairs carry ONLY ids through the (possibly huge) bucket
     // self-join — a hot band bucket of n docs emits n^2/2 pair rows, and
@@ -186,25 +187,19 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash signatures as a TABLE (id, sig) via exploded tokens + 64
-    * codegen'd conditional-sum aggregates — value-identical to [[simHash]]
-    * but avoids the interpreted per-bit array lambdas (same pathology and
-    * same fix as the MinHash signature path).
+  /** SimHash signatures as a TABLE (id, sig) via exploded tokens + ONE
+    * imperative signature aggregate — value-identical to [[simHash]] but
+    * avoids both the interpreted per-bit array lambdas AND a 64-wide
+    * generated aggregate class (same pathology and same fix as the MinHash
+    * signature path; see [[org.apache.spark.sql.graft.SimHashAgg]]).
     */
   def simHashTable(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
     val df = FanOut(df0)
     val toks = df.select(col(idCol).as("id"),
         explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
       .withColumn("__h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map { bit =>
-      sum(when(shiftrightunsigned(col("__h"), bit).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"__b$bit")
-    }
-    val sig = (0 until 64).map { bit =>
-      when(col(s"__b$bit") > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), sig.as("sig"))
+    toks.groupBy("id")
+      .agg(graft.functions.VectorExprs.simHashSignature(col("__h")).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures: popcount of the XOR —

@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
+
+/** Codegen'd double-hashing combiner: h1 + seed * h2 with two's-complement
+  * WRAPAROUND semantics — the Kirsch–Mitzenmacher construction for deriving
+  * a seeded hash family from two base hashes (used by the MinHash signature
+  * aggregation: per aggregate the row expression is one multiply-add instead
+  * of a fresh seeded xxhash64).
+  *
+  * A plain Column `h1 + lit(seed) * h2` cannot express this: under ANSI mode
+  * (the Spark 4 default) long arithmetic is overflow-CHECKED and hash mixing
+  * overflows by design. Raw Java long arithmetic wraps, which is exactly the
+  * modular arithmetic the construction wants.
+  */
+case class HashCombine(left: Expression, right: Expression, seed: Long)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash_combine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Long] + seed * b.asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $a + ${seed}L * $b;")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

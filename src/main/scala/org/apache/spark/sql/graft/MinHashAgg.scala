@@ -1,0 +1,83 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** MinHash signature aggregate: one aggregate producing the whole
+  * numHashes-long signature array, with the double-hashing family
+  * g_i = h1 + i*h2 evaluated in a tight JIT'd loop per row.
+  *
+  * Why not numHashes separate `min(...)` aggregate columns: each generated
+  * min-agg is its own expression tree through codegen — 128 of them blow the
+  * generated class past JIT-friendly sizes and cost ~2s of codegen COMPILE
+  * per query (the dominant first-run cost at bench scale), while the
+  * per-row work is identical. A TypedImperativeAggregate skips
+  * whole-stage codegen but its update is one Java loop over a long[] —
+  * measured faster end-to-end, and the buffer serializes as numHashes longs
+  * for map-side partial aggregation exactly like the 128-column form.
+  */
+case class MinHashAgg(
+    h1: Expression, h2: Expression, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(h1, h2)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = h1.eval(input)
+    val b = h2.eval(input)
+    if (a != null && b != null) {
+      val x = a.asInstanceOf[Long]
+      val y = b.asInstanceOf[Long]
+      var g = x // g_i = x + i*y, computed incrementally (wraparound is intended)
+      var i = 0
+      while (i < numHashes) {
+        if (g < buf(i)) buf(i) = g
+        g += y
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(numHashes * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](numHashes)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(h1 = newChildren(0), h2 = newChildren(1))
+}
