@@ -94,6 +94,56 @@ object AnalysisRequirements {
     "W" -> 604800L, "D" -> 86400L, "h" -> 3600L, "H" -> 3600L,
     "10min" -> 600L, "5min" -> 300L, "min" -> 60L, "T" -> 60L)
 
+  /** Deprecated pandas offset codes -> the current standard
+    * (schema/metadata.py:170-179 `deprecated_offset_map`).
+    */
+  val deprecatedOffsetMap: Map[String, String] = Map(
+    "M" -> "ME", "H" -> "h", "T" -> "min", "S" -> "s",
+    "L" -> "ms", "U" -> "us", "N" -> "ns")
+
+  private val validOffsets =
+    Set("MS", "ME", "W", "D", "h", "min", "s", "ms", "us", "ns")
+
+  /** Normalize a pandas offset alias to the non-deprecated standard,
+    * preserving any leading multiplier digits
+    * (schema/metadata.py:184-220 `convert_frequency`): "M" -> "ME",
+    * "1H" -> "1h", "10T" -> "10min", "20S" -> "20s", "L" -> "ms", etc.
+    * Throws on trailing digits or unknown codes, like the reference.
+    */
+  def convertFrequency(offset: String): String = {
+    val digits = offset.takeWhile(_.isDigit)
+    val code = offset.filterNot(_.isDigit)
+    if (offset != digits + code)
+      throw new IllegalArgumentException(
+        s"Offset strings must have leading digits only, input form: '$offset' is invalid")
+    val norm = deprecatedOffsetMap.getOrElse(code, code)
+    if (!validOffsets(norm))
+      throw new IllegalArgumentException(
+        s"The offset string identifier: '$code' is invalid. Use one of: $validOffsets")
+    digits + norm
+  }
+
+  /** Offset alias -> seconds through normalization (timeseries.py:17-32
+    * `offset_to_seconds` semantics for second-or-coarser grains; months
+    * use the 30-day nominal, sub-second codes return None).
+    */
+  def offsetToSeconds(offset: String): Option[Long] =
+    try {
+      val norm = convertFrequency(offset)
+      val digits = norm.takeWhile(_.isDigit)
+      val code = norm.dropWhile(_.isDigit)
+      val n = if (digits.isEmpty) 1L else digits.toLong
+      code match {
+        case "MS" | "ME" => Some(n * 2592000L)
+        case "W" => Some(n * 604800L)
+        case "D" => Some(n * 86400L)
+        case "h" => Some(n * 3600L)
+        case "min" => Some(n * 60L)
+        case "s" => Some(n)
+        case _ => None // ms/us/ns: finer than the engine's second grain
+      }
+    } catch { case _: IllegalArgumentException => None }
+
   final case class Requirement(columns: Map[String, Seq[String]], frequency: Seq[String])
 
   /** analysis_type -> required (bucket -> columns, acceptable frequencies). */

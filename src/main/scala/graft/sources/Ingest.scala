@@ -19,7 +19,8 @@ import graft.schema.{AnalysisRequirements, PlantSchemas}
 final case class BucketMeta(colMap: Map[String, String],
                             frequency: Option[String] = None) {
   def freqSeconds: Option[Long] =
-    frequency.flatMap(AnalysisRequirements.freqSeconds.get)
+    frequency.flatMap(f => AnalysisRequirements.freqSeconds.get(f)
+      .orElse(AnalysisRequirements.offsetToSeconds(f)))
 }
 
 /** Parsed plant metadata file (reference: PlantMetaData,

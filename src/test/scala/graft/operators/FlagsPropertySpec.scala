@@ -67,6 +67,51 @@ class FlagsPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: binFilter never flags rows outside (binMin, binMax]") {
+    for (_ <- 1 to 5) {
+      val rows = List.fill(80)((rng.nextDouble() * 100, rng.nextDouble() * 50))
+      val df = rows.toDF("b", "v")
+      val lo = 20.0; val hi = 70.0
+      val flaggedOutside = Flags.binFilter(df, "b", "v", binWidth = 10.0,
+          threshold = 0.1, binMin = Some(lo), binMax = Some(hi))
+        .filter($"flag" && ($"b" <= lo || $"b" > hi)).count()
+      assert(flaggedOutside == 0)
+    }
+  }
+
+  test("property: binFilter scalar threshold flags exactly |dev| > threshold") {
+    for (_ <- 1 to 5) {
+      // one wide bin: all values in (0, 10]
+      val vals = List.fill(40)(rng.nextDouble() * 100)
+      val df = vals.zipWithIndex.map { case (v, i) => (i, 5.0, v) }
+        .toDF("i", "b", "v")
+      val thr = 20.0
+      val mean = vals.sum / vals.size
+      val expected = vals.count(v => math.abs(v - mean) > thr)
+      val got = Flags.binFilter(df, "b", "v", binWidth = 10.0, threshold = thr,
+          deviationType = "scalar", binMin = Some(0.0), binMax = Some(10.0))
+        .filter($"flag").count()
+      assert(got == expected, s"got $got expected $expected")
+    }
+  }
+
+  test("property: QaDatetime UTC twin round-trips through the localized twin") {
+    import graft.operators.QaDatetime
+    for (_ <- 1 to 5) {
+      // arbitrary instants across years (UTC-encoded input, tz-aware path)
+      val ts = List.fill(30)(new java.sql.Timestamp(
+        1388534400000L + (rng.nextLong() % (200L * 86400 * 1000)).abs))
+      val df = ts.zipWithIndex.map(_.swap).toDF("i", "t")
+      val out = QaDatetime.convertDatetimeColumn(df, "t", "Europe/Paris",
+        tzAware = true)
+      // localized - offset == utc, always
+      val bad = out.filter(
+        unix_timestamp($"t_localized") - ($"utc_offset_hours" * 3600).cast("long")
+          =!= unix_timestamp($"t_utc")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("property: jaccard is 1 on self and symmetric") {
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     for (_ <- 1 to 10) {

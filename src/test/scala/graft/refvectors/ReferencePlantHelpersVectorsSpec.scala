@@ -1,0 +1,40 @@
+package graft.refvectors
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.AnalysisRequirements
+
+/** The reference's frequency-alias normalization vectors
+  * (test/unit/test_plant_helpers.py:49-62 `test_convert_frequency`).
+  */
+class ReferencePlantHelpersVectorsSpec extends AnyFunSuite {
+
+  test("convert_frequency vectors (test_plant_helpers.py:49)") {
+    assert(AnalysisRequirements.convertFrequency("M") == "ME")
+    assert(AnalysisRequirements.convertFrequency("1H") == "1h")
+    assert(AnalysisRequirements.convertFrequency("10T") == "10min")
+    assert(AnalysisRequirements.convertFrequency("20S") == "20s")
+    assert(AnalysisRequirements.convertFrequency("L") == "ms")
+    assert(AnalysisRequirements.convertFrequency("U") == "us")
+    assert(AnalysisRequirements.convertFrequency("N") == "ns")
+    // non-leading digits are invalid
+    intercept[IllegalArgumentException] {
+      AnalysisRequirements.convertFrequency("10min1")
+    }
+    // unknown codes are invalid
+    intercept[IllegalArgumentException] {
+      AnalysisRequirements.convertFrequency("fortnight")
+    }
+  }
+
+  test("offsetToSeconds spans normalization") {
+    assert(AnalysisRequirements.offsetToSeconds("10T").contains(600L))
+    assert(AnalysisRequirements.offsetToSeconds("10min").contains(600L))
+    assert(AnalysisRequirements.offsetToSeconds("1H").contains(3600L))
+    assert(AnalysisRequirements.offsetToSeconds("h").contains(3600L))
+    assert(AnalysisRequirements.offsetToSeconds("30min").contains(1800L))
+    assert(AnalysisRequirements.offsetToSeconds("D").contains(86400L))
+    assert(AnalysisRequirements.offsetToSeconds("ms").isEmpty)
+    assert(AnalysisRequirements.offsetToSeconds("bogus").isEmpty)
+  }
+}
