@@ -10,7 +10,9 @@ import org.apache.spark.sql.graft.{FunctionRegistration, RewriteHofDot}
   *
   * or programmatically with `SparkSession.builder.withExtensions(new
   * GraftExtensions)`. Injects:
-  *  - the `array_dot` SQL function (codegen'd dense dot product)
+  *  - the graft SQL functions: `array_dot` (codegen'd dense dot product),
+  *    `hash_combine` (wraparound double-hashing combiner), and the
+  *    `minhash_sig` / `simhash_sig` signature aggregates
   *  - [[org.apache.spark.sql.graft.RewriteHofDot]], which transparently
   *    rewrites the interpreted aggregate(zip_with(...)) dot-product HOF
   *    pattern into the native kernel, so existing SQL gets the 5-28x
@@ -18,7 +20,7 @@ import org.apache.spark.sql.graft.{FunctionRegistration, RewriteHofDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(FunctionRegistration.arrayDotDescription)
+    FunctionRegistration.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteHofDot)
   }
 }

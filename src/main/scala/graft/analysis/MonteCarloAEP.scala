@@ -53,6 +53,9 @@ final class MonteCarloAEP(
     windinessYears: (Int, Int) = (10, 20),
     lossMaxPct: (Int, Int) = (10, 20),
     hyperOptIter: Int = 8, // random-search draws for gbt/rf; 0 = fixed params
+    // last bucket (inclusive) of the long-term correction window; None = the
+    // end of the long-term series (aep.py:219-224 end_date_lt)
+    endDateLt: Option[java.sql.Timestamp] = None,
     seed: Long = 42L) {
 
   require(Seq("MS", "ME", "D", "h").contains(timeResolution), s"bad timeResolution $timeResolution")
@@ -289,6 +292,15 @@ final class MonteCarloAEP(
     val agg = aggregate()
     require(agg.nonEmpty, "empty period-of-record aggregate")
     val lt = longTermSeries()
+    // trim the LT series at end_date_lt (inclusive at the stated bucket;
+    // only the resolution-grain component of the date matters, aep.py:251-253)
+    val ltUsable = endDateLt match {
+      case Some(ts) =>
+        val cut = MonteCarloAEP.resolutionCut(ts, timeResolution)
+        lt.filter(_.epochSec <= cut)
+      case None => lt
+    }
+    require(ltUsable.nonEmpty, "empty long-term series (end_date_lt too early?)")
     val rng = new scala.util.Random(seed)
     val sims = if (uq) numSim else 1
 
@@ -347,10 +359,13 @@ final class MonteCarloAEP(
             new scala.util.Random(seed ^ product.hashCode))
       }
 
-      // long-term window: last `years` years of the LT series
-      val periodsPerYear =
-        if (isMonthly) 12 else if (timeResolution == "D") 365 else 365 * 24
-      val window = lt.takeRight(years * periodsPerYear)
+      // long-term window: the last `years` CALENDAR years ending at the
+      // series end (or endDateLt) — the reference's end-anchored DateOffset
+      // slice (aep.py:1125-1133), not a fixed bucket count, so leap days
+      // stay inside the window at D/h resolutions
+      val startSec = MonteCarloAEP.windowStartSec(
+        ltUsable.last.epochSec, years, timeResolution)
+      val window = ltUsable.filter(_.epochSec >= startSec)
       val grossLt = window.map { r =>
         val g = predict(r.features(product, regTemperature, regWindDirection))
         if (isMonthly) g * r.numDays / 30.0 else g
@@ -396,6 +411,39 @@ object MonteCarloAEP {
       val d = start.atZone(ZoneOffset.UTC).toLocalDate
       d.withDayOfMonth(d.lengthOfMonth).atStartOfDay(ZoneOffset.UTC).toEpochSecond
     }
+  }
+
+  /** The inclusive end-of-window cut for end_date_lt at the analysis
+    * resolution: any date inside a month includes that whole month
+    * (monthly), else the day/hour containing the date.
+    */
+  private[analysis] def resolutionCut(ts: java.sql.Timestamp,
+                                      timeResolution: String): Long = {
+    val dt = ts.toInstant.atZone(ZoneOffset.UTC)
+    timeResolution match {
+      case "MS" | "ME" =>
+        val d = dt.toLocalDate
+        d.withDayOfMonth(d.lengthOfMonth).atStartOfDay(ZoneOffset.UTC).toEpochSecond
+      case "D" => dt.toLocalDate.atStartOfDay(ZoneOffset.UTC).toEpochSecond
+      case _ => dt.truncatedTo(java.time.temporal.ChronoUnit.HOURS).toEpochSecond
+    }
+  }
+
+  /** Start (inclusive, epoch seconds) of the last `years` CALENDAR years of
+    * a long-term series whose final bucket starts at `lastEpochSec` — the
+    * reference's `ws_df.loc[index[-1] + freq - DateOffset(years=N):]`
+    * (aep.py:1125-1133): one bucket past the last row, minus `years`.
+    */
+  private[analysis] def windowStartSec(lastEpochSec: Long, years: Int,
+                                       timeResolution: String): Long = {
+    val lastStart = java.time.LocalDateTime.ofEpochSecond(
+      lastEpochSec, 0, ZoneOffset.UTC)
+    val end = timeResolution match {
+      case "MS" | "ME" => lastStart.plusMonths(1)
+      case "D" => lastStart.plusDays(1)
+      case _ => lastStart.plusHours(1)
+    }
+    end.minusYears(years).toEpochSecond(ZoneOffset.UTC)
   }
 
   /** Annual sums over buckets anchored at the month START of the first

@@ -16,6 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object FunctionRegistration {
 
+  private def litLong(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn expects a literal argument, got $e")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
   val arrayDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
@@ -24,8 +29,43 @@ object FunctionRegistration {
         ArrayDot(exprs.head, exprs(1))
       })
 
-  /** Register `array_dot` on an existing session. */
+  /** `hash_combine(h1, h2, seed)`: wraparound h1 + seed*h2. */
+  val hashCombineDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hash_combine"),
+      new ExpressionInfo(classOf[HashCombine].getName, "hash_combine"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"hash_combine expects 3 arguments, got ${exprs.length}")
+        HashCombine(exprs.head, exprs(1), litLong(exprs(2), "hash_combine"))
+      })
+
+  /** `minhash_sig(h1, h2, numHashes)` aggregate -> array<long> signature
+    * (the analyzer wraps the raw AggregateFunction, as for built-ins).
+    */
+  val minHashSigDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"minhash_sig expects 3 arguments, got ${exprs.length}")
+        MinHashAgg(exprs.head, exprs(1), litLong(exprs(2), "minhash_sig").toInt)
+      })
+
+  /** `simhash_sig(token_hash)` aggregate -> 64-bit signature. */
+  val simHashSigDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash_sig expects 1 argument, got ${exprs.length}")
+        SimHashAgg(exprs.head)
+      })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
+      simHashSigDescription)
+
+  /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -76,6 +76,43 @@ class AepResolutionSpec extends SparkSpec {
       s"hourly ${h.aepMean} vs daily ${d.aepMean}")
   }
 
+  test("windiness window is end-anchored calendar years, leap-day inclusive") {
+    // monthly: last bucket Dec 2019 -> 2-year window starts Jan 2018
+    assert(MonteCarloAEP.windowStartSec(
+      Instant.parse("2019-12-01T00:00:00Z").getEpochSecond, 2, "MS")
+      == Instant.parse("2018-01-01T00:00:00Z").getEpochSecond)
+    // daily across a leap year: last bucket 2020-12-31 -> 1-year window
+    // starts 2020-01-01 and spans 366 daily buckets
+    val start = MonteCarloAEP.windowStartSec(
+      Instant.parse("2020-12-31T00:00:00Z").getEpochSecond, 1, "D")
+    assert(start == Instant.parse("2020-01-01T00:00:00Z").getEpochSecond)
+    assert((Instant.parse("2021-01-01T00:00:00Z").getEpochSecond - start) / 86400 == 366)
+    // hourly: one bucket past the last hour, minus N years
+    assert(MonteCarloAEP.windowStartSec(
+      Instant.parse("2019-06-30T23:00:00Z").getEpochSecond, 1, "h")
+      == Instant.parse("2018-07-01T00:00:00Z").getEpochSecond)
+  }
+
+  test("end_date_lt trims the long-term series at the resolution grain") {
+    // any date inside a month keeps that whole month at monthly resolution
+    assert(MonteCarloAEP.resolutionCut(
+      Timestamp.from(Instant.parse("2019-03-10T15:00:00Z")), "MS")
+      == Instant.parse("2019-03-31T00:00:00Z").getEpochSecond)
+    assert(MonteCarloAEP.resolutionCut(
+      Timestamp.from(Instant.parse("2019-03-10T15:42:00Z")), "D")
+      == Instant.parse("2019-03-10T00:00:00Z").getEpochSecond)
+    assert(MonteCarloAEP.resolutionCut(
+      Timestamp.from(Instant.parse("2019-03-10T15:42:17Z")), "h")
+      == Instant.parse("2019-03-10T15:00:00Z").getEpochSecond)
+
+    // end-to-end: trimming the LT series changes the windiness window and
+    // still produces a plausible AEP
+    val cut = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 1),
+      endDateLt = Some(Timestamp.valueOf("2018-12-31 00:00:00"))).run()
+    assert(cut.aepMean > 10.0 && cut.aepMean < 80.0, s"AEP ${cut.aepMean}")
+  }
+
   test("monthly resolutions refuse nonlinear models like the reference") {
     intercept[IllegalArgumentException] {
       new MonteCarloAEP(plant, timeResolution = "ME", regModel = "gam")

@@ -16,6 +16,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("hash_combine and the signature aggregates register as SQL functions") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    // wraparound arithmetic that checked SQL longs would reject
+    val hc = spark.sql(
+      s"SELECT hash_combine(${Long.MaxValue}L, 2L, 3) AS h").collect().head.getLong(0)
+    assert(hc == Long.MaxValue + 6L) // wraps, no ANSI overflow error
+    // minhash_sig: min over g_i = h1 + i*h2 per slot
+    val sig = spark.sql(
+      """SELECT minhash_sig(h1, h2, 4) AS sig FROM VALUES (10L, 1L), (5L, 2L) t(h1, h2)""")
+      .collect().head.getSeq[Long](0)
+    // slot i: min(10 + i*1, 5 + i*2) = [5, 7, 9, 11] vs [10,11,12,13]
+    assert(sig == Seq(5L, 7L, 9L, 11L))
+    // simhash_sig of a single token-hash equals that hash's bit pattern sign
+    val sh = spark.sql("SELECT simhash_sig(h) AS s FROM VALUES (5L) t(h)")
+      .collect().head.getLong(0)
+    assert(sh == 5L) // bits 0 and 2 positive, all other sums are -1
+  }
+
   test("RewriteHofDot swaps the interpreted HOF pattern for the native kernel") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
