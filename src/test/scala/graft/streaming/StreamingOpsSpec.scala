@@ -88,6 +88,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((1.0, "normal"), (2.0, "fault"), (3.0, "normal"), (4.0, null)))
   }
 
+  test("prepTextStream samples, scores, and chunks a live document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val prepped = StreamingOps.prepTextStream(
+      input.toDF().toDF("doc_id", "lang", "text"),
+      "text", "doc_id", "lang",
+      rates = Map("en" -> 1.0), defaultRate = 0.0,
+      chunkSize = 10, overlap = 2)
+    val q = prepped.writeStream.format("memory").queryName("prep_out")
+      .outputMode(OutputMode.Append).start()
+    val text = "the quick brown fox jumps over it" // 33 chars -> 5 chunks @ step 8
+    input.addData((1L, "en", text), (2L, "fr", text))
+    q.processAllAvailable()
+    val got = spark.sql("select id, chunk_start, chunk from prep_out order by chunk_start")
+      .collect()
+    q.stop()
+    // stratum "fr" sampled out entirely; "en" chunked at step 8
+    assert(got.forall(_.getLong(0) == 1L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 9, 17, 25, 33))
+    assert(got.head.getString(2) == "the quick ")
+    // chunks re-assemble the document (drop the 2-char overlaps)
+    val reassembled = got.map(_.getString(2)).reduce((a, b) => a + b.drop(2))
+    assert(reassembled == text)
+  }
+
   test("sessionAgg groups events into gap-bounded sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
