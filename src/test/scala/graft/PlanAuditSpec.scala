@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-property regression net over the physical plans of every gate
+  * query (SURVEY.md §4/§6): predicates and projections must reach the
+  * parquet scans, small sides must broadcast, window operators must be
+  * partitioned (an unpartitioned WindowExec serializes the table through
+  * one task at any scale), and nothing may plan a true cartesian product.
+  * Runs against sf0.001 — plan SHAPE is scale-invariant, so this pins the
+  * properties that matter at 100 TB without the 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def execPlanString(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes both predicates into the parquet scan") {
+    val p = execPlanString("q_filter_project")
+    assert(p.contains("PushedFilters:"), p.takeRight(500))
+    assert(p.contains("LessThan(l_shipdate") || p.contains("LessThan(l_quantity"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q1_agg scan reads only the referenced columns") {
+    val read = execPlanString("q1_agg").linesIterator
+      .find(_.contains("ReadSchema")).get
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount"))
+      assert(read.contains(c), read)
+    for (c <- Seq("l_comment", "l_shipdate", "l_orderkey"))
+      assert(!read.contains(c), read)
+  }
+
+  test("q_join_revenue broadcasts the customer dimension") {
+    val p = execPlanString("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("no gate query plans an unpartitioned window or a cartesian product") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries) {
+      // sparkPlan (pre-AQE) exposes the full operator tree to collect()
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          offenders += s"$name: unpartitioned WindowExec"
+        case _: CartesianProductExec =>
+          offenders += s"$name: CartesianProductExec"
+        case _ =>
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
