@@ -50,6 +50,9 @@ final class MonteCarloAEP(
     uncertaintyOutlier: (Double, Double) = (1.0, 3.0),
     uncertaintyMeter: Double = 0.005,
     uncertaintyLosses: Double = 0.05,
+    // periods built from more than this fraction of missing meter/loss
+    // samples are excluded from the regression (aep.py:104-161, :509-520)
+    uncertaintyNanEnergy: Double = 0.01,
     windinessYears: (Int, Int) = (10, 20),
     lossMaxPct: (Int, Int) = (10, 20),
     hyperOptIter: Int = 8, // random-search draws for gbt/rf; 0 = fixed params
@@ -75,7 +78,8 @@ final class MonteCarloAEP(
       epochSec: Long, energyGwh: Double, availGwh: Double, curtGwh: Double,
       grossGwh: Double, availPct: Double, curtPct: Double, numDays: Double,
       ws: Map[String, Double], temp: Map[String, Double],
-      u: Map[String, Double], v: Map[String, Double]) {
+      u: Map[String, Double], v: Map[String, Double],
+      nanFlag: Boolean = false) {
     /** Regression features for `product`: [ws, temp?, sin(wd)?, cos(wd)?]
       * with wd from the period-mean components (aep.py:633-641).
       */
@@ -148,14 +152,19 @@ final class MonteCarloAEP(
     * speeds per month/day (aep.py:414-437 `calculate_aggregate_dataframe`).
     */
   def aggregate(): Seq[PeriodRow] = {
+    def nanPerc(c: org.apache.spark.sql.Column) =
+      avg(when(c.isNull || isnan(c), 1.0).otherwise(0.0))
     val meterAgg = plant.meterDf
       .groupBy(date_trunc(truncUnit, col("time")).as("period"))
       .agg((sum(col("MMTR_SupWh")) / 1e6).as("energy_gwh"),
-        countDistinct(date_trunc("day", col("time"))).as("num_days_actual"))
+        countDistinct(date_trunc("day", col("time"))).as("num_days_actual"),
+        nanPerc(col("MMTR_SupWh")).as("energy_nan_perc"))
     val curtAgg = plant.curtailDf
       .groupBy(date_trunc(truncUnit, col("time")).as("period"))
       .agg((sum(col("IAVL_DnWh")) / 1e6).as("availability_gwh"),
-        (sum(col("IAVL_ExtPwrDnWh")) / 1e6).as("curtailment_gwh"))
+        (sum(col("IAVL_ExtPwrDnWh")) / 1e6).as("curtailment_gwh"),
+        nanPerc(col("IAVL_DnWh")).as("avail_nan_perc"),
+        nanPerc(col("IAVL_ExtPwrDnWh")).as("curt_nan_perc"))
     val joined = products.foldLeft(meterAgg.join(curtAgg, Seq("period"), "left")) {
       (acc, p) => acc.join(reanalysisResampled(p), Seq("period"), "left")
     }
@@ -182,7 +191,14 @@ final class MonteCarloAEP(
         curtPct = r.getAs[Double]("curtailment_pct"),
         numDays = r.getAs[Double]("num_days_expected"),
         ws = products.map(p => p -> r.getAs[Double](s"ws_$p")).toMap,
-        temp = mapsOf(r, "temp"), u = mapsOf(r, "u"), v = mapsOf(r, "v"))
+        temp = mapsOf(r, "temp"), u = mapsOf(r, "u"), v = mapsOf(r, "v"),
+        // nan_flag: period excluded when ANY input series is too gappy
+        // (aep.py:517-520); missing loss rows (left-join nulls) flag too
+        nanFlag = Seq("energy_nan_perc", "avail_nan_perc", "curt_nan_perc")
+          .exists { c =>
+            val i = r.fieldIndex(c)
+            r.isNullAt(i) || r.getDouble(i) > uncertaintyNanEnergy
+          })
     }.toSeq
     // trim partial first/last periods (aep.py:643-653)
     if (isMonthly) {
@@ -230,8 +246,9 @@ final class MonteCarloAEP(
                                        lossThreshold: Double,
                                        outlierThreshold: Double): Seq[PeriodRow] =
     outlierCache.getOrElseUpdate((product, lossThreshold, outlierThreshold), {
-      // loss filter (nan months never reach `agg` — na.drop upstream)
-      val sub = agg.filter(r => (r.availPct + r.curtPct) < lossThreshold)
+      // loss filter + the nan-gappiness flag (aep.py:746-749)
+      val sub = agg.filter(r =>
+        (r.availPct + r.curtPct) < lossThreshold && !r.nanFlag)
       if (sub.isEmpty) sub
       else {
         // range flag on ws (filters.range_flag(lower=0, upper=40))

@@ -113,6 +113,28 @@ class AepResolutionSpec extends SparkSpec {
     assert(cut.aepMean > 10.0 && cut.aepMean < 80.0, s"AEP ${cut.aepMean}")
   }
 
+  test("nan-gappy periods are flagged and excluded from the regression data") {
+    import org.apache.spark.sql.functions._
+    // null ~17% of 2019-01-10's meter readings (one slot per hour)
+    val day10 = Timestamp.valueOf("2019-01-10 00:00:00")
+    val gappyMeter = plant.meterDf.withColumn("MMTR_SupWh",
+      when(date_trunc("day", col("time")) === lit(day10)
+        && minute(col("time")) === 0, lit(null))
+        .otherwise(col("MMTR_SupWh")))
+    val gappy = plant.copy(meter = Some(gappyMeter))
+    val aep = new MonteCarloAEP(gappy, timeResolution = "D", uq = false,
+      windinessYears = (1, 2))
+    val agg = aep.aggregate()
+    val day10Sec = day10.toInstant.getEpochSecond
+    assert(agg.exists(r => r.epochSec == day10Sec && r.nanFlag))
+    assert(agg.count(_.nanFlag) == 1) // only the corrupted day
+    // the flagged day never reaches the regression sample
+    val valid = aep.filterOutliers(agg, "era5",
+      lossThreshold = 0.2, outlierThreshold = 0.0)
+    assert(!valid.exists(_.epochSec == day10Sec))
+    assert(valid.size == agg.size - 1)
+  }
+
   test("monthly resolutions refuse nonlinear models like the reference") {
     intercept[IllegalArgumentException] {
       new MonteCarloAEP(plant, timeResolution = "ME", regModel = "gam")
