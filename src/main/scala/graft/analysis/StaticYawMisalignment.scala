@@ -1,39 +1,52 @@
 package graft.analysis
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.fitting.Fitting
-import graft.operators.Flags
 import graft.plant.PlantData
 
 /** Static yaw misalignment per turbine and wind-speed bin: cosine fit of
-  * binned power vs wind-vane angle; the fitted curve's peak offset is the
-  * yaw misalignment estimate.
+  * binned power performance vs wind-vane angle; yaw misalignment is the
+  * difference between the fitted power-maximizing vane angle and the mean
+  * operating vane angle (a vane-tracking controller holds the vane reading
+  * near zero, so a biased vane shows up as a nonzero power-optimal angle).
   *
-  * Spark re-expression of openoa/analysis/yaw_misalignment.py:74-583. The
-  * pitch filter + (turbine, ws_bin, vane_bin) mean-power reduction is one
-  * distributed plan; the cosine fits (<= ~50 points each) run on the driver,
-  * matching the reference's scipy curve_fit usage (yaw_misalignment.py:59-71,
-  * :571-574).
+  * Spark re-expression of openoa/analysis/yaw_misalignment.py:74-583 at full
+  * parameter parity: one-sided pitch threshold, per-turbine power-curve
+  * outlier removal (median/MAD bin filter over power bins between
+  * min/max power-filter fractions of rated power, thresholds Monte-Carlo
+  * sampled under UQ, yaw_misalignment.py:500-528), optional power
+  * coefficient normalization (power / ws^3), and the reference's 3-parameter
+  * cosine-exponent fit (cos_curve, yaw_misalignment.py:59-71).
   *
-  * UQ (yaw_misalignment.py:381, :432-444): the reference bootstraps the
-  * filtered SCADA frame per simulation. Re-running the aggregate numSim
-  * times would be numSim shuffles; instead each row draws one Poisson(1)
-  * multiplicity per simulation (the standard distributed bootstrap
-  * approximation of sampling with replacement) and ALL simulations reduce
-  * in a single weighted groupBy keyed by (sim, turbine, ws_bin, vane_bin) —
-  * one shuffle regardless of numSim, with only #sims x #bins aggregate rows
-  * reaching the driver.
+  * Scale design:
+  *  - The power-bin statistics are computed per DISTINCT sampled
+  *    max-power-filter value (<= 7 values for the reference's 0.92-0.98
+  *    percent grid) rather than per simulation — the stats depend only on
+  *    the bin geometry, so the stats pass explodes the fact table by <= 7,
+  *    never by numSim, and the per-(row, sim) flag is a broadcast lookup.
+  *  - UQ (yaw_misalignment.py:381-386): the reference bootstraps the ws-bin
+  *    slice per simulation. Re-running the aggregate numSim times would be
+  *    numSim shuffles; instead each row draws one Poisson(1) multiplicity
+  *    per simulation (the standard distributed bootstrap approximation) and
+  *    ALL simulations reduce in a single weighted groupBy keyed by
+  *    (sim, turbine, ws_bin, vane_bin) — one shuffle regardless of numSim.
   */
 final class StaticYawMisalignment(
     plant: PlantData,
-    wsBins: Seq[Double] = Seq(5.0, 6.0, 7.0, 8.0),
+    wsBins: Seq[Double] = Seq(5.0, 6.0, 7.0, 8.0), // bin CENTERS (reference)
     wsBinWidth: Double = 1.0,
     vaneBinWidth: Double = 1.0,
     pitchThresholdDeg: Double = 0.5,
     minVaneBinCount: Int = 50,
     maxAbsVaneAngle: Double = 25.0,
+    numPowerBins: Int = 25,
+    minPowerFilter: Double = 0.01,
+    // UQ ranges; without UQ the reference's fixed defaults 0.95 / 7.0 apply
+    maxPowerFilter: (Double, Double) = (0.92, 0.98),
+    powerBinMadThresh: (Double, Double) = (4.0, 13.0),
+    usePowerCoeff: Boolean = false,
     uq: Boolean = false,
     numSim: Int = 20,
     seed: Long = 42L) {
@@ -43,10 +56,8 @@ final class StaticYawMisalignment(
       yawByTurbineAndBin: Map[(String, Double), Double],
       yawStdByTurbineAndBin: Map[(String, Double), Double] = Map.empty)
 
-  /** The target ws-bin centers: input bin start + half a width. */
-  private val binCenters: Set[Double] = wsBins.map(_ + wsBinWidth / 2.0).toSet
   private def isTargetBin(center: Double): Boolean =
-    binCenters.exists(c => math.abs(c - center) < 1e-9)
+    wsBins.exists(c => math.abs(c - center) < 1e-9)
 
   /** Poisson(1) multiplicity from a deterministic per-(row, sim) uniform:
     * inverse-CDF over the cumulative probabilities. Codegen-friendly
@@ -61,52 +72,103 @@ final class StaticYawMisalignment(
   }
 
   def run(): Result = {
-    // normal operation: small blade pitch, vane angle in range
-    // (yaw_misalignment.py:225-320)
-    val filtered = plant.scadaDf
-      .filter(abs(col("WROT_BlPthAngVal")) <= pitchThresholdDeg)
-      .filter(!Flags.rangeFlag(col("WMET_HorWdDirRel"), -maxAbsVaneAngle, maxAbsVaneAngle))
-      .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
-
     val sims = if (uq) numSim else 1
-    // sim 0 of a non-UQ run carries weight 1 for every row (the plain path);
-    // UQ sims draw Poisson(1) multiplicities
-    val simDf = filtered
+    val rng = new scala.util.Random(seed)
+    // per-sim thresholds (yaw_misalignment.py:434-444: randint grids)
+    val simPf: Map[Int, Double] =
+      (0 until sims).map(n => n -> (if (uq) (92 + rng.nextInt(7)) / 100.0 else 0.95)).toMap
+    val simMad: Map[Int, Double] =
+      (0 until sims).map(n => n -> (if (uq) (4 + rng.nextInt(10)).toDouble else 7.0)).toMap
+
+    val rated = plant.assetDf.select("asset_id", "rated_power").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // normal operation: pitch at or below threshold (one-sided,
+    // yaw_misalignment.py:510), complete rows, power as a fraction of rated
+    val base = plant.scadaDf
+      .filter(col("WROT_BlPthAngVal") <= pitchThresholdDeg)
+      .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
+      .withColumn("p_frac", col("WTUR_W") / typedLit(rated).apply(col("asset_id")))
+
+    def powerBin(pf: Column): Column =
+      when(col("p_frac") > minPowerFilter && col("p_frac") <= pf,
+        ceil((col("p_frac") - minPowerFilter) / ((pf - minPowerFilter) / numPowerBins)))
+
+    // median/MAD of wind speed per (max-power-filter value, turbine, power
+    // bin) — the outlier-filter statistics, one explode by <= 7 distinct
+    // filter values, two aggregate passes (exact medians; #pf x #turbines x
+    // numPowerBins rows -> broadcast)
+    val pfValues = simPf.values.toSeq.distinct.sorted
+    val statsBase = base
+      .withColumn("__pf", explode(array(pfValues.map(lit): _*)))
+      .withColumn("__pbin", powerBin(col("__pf")))
+      .filter(col("__pbin").isNotNull)
+    val med = statsBase.groupBy("__pf", "asset_id", "__pbin")
+      .agg(percentile(col("WMET_HorWdSpd"), lit(0.5)).as("__med"))
+    val binStats = statsBase.join(broadcast(med), Seq("__pf", "asset_id", "__pbin"))
+      .groupBy("__pf", "asset_id", "__pbin")
+      .agg(first(col("__med")).as("__med"),
+        percentile(abs(col("WMET_HorWdSpd") - col("__med")), lit(0.5)).as("__mad"))
+
+    // explode rows x sims; apply the sim's outlier filter via broadcast
+    // lookup; bootstrap weights under UQ
+    val pfOfSim = typedLit(simPf)
+    val madOfSim = typedLit(simMad)
+    val simDf = base
       .withColumn("sim", explode(array((0 until sims).map(lit): _*)))
+      .withColumn("__pf", pfOfSim.apply(col("sim")))
+      .withColumn("__pbin", powerBin(col("__pf")))
+      .join(broadcast(binStats), Seq("__pf", "asset_id", "__pbin"), "left")
+      .filter(col("__mad").isNull ||
+        abs(col("WMET_HorWdSpd") - col("__med")) <= madOfSim.apply(col("sim")) * col("__mad"))
+      // ws bins are CENTERED on wsBins values: slice [c - w/2, c + w/2)
+      // (yaw_misalignment.py:374-378)
+      .withColumn("ws_bin_center",
+        round(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth)
+      .filter(col("ws_bin_center").isin(wsBins.map(w => w: Any): _*))
       .withColumn("__w",
         if (!uq) lit(1.0)
         else poisson1(
           (pmod(xxhash64(col("time"), col("asset_id"), col("sim"), lit(seed)),
             lit(1000000L)) / 1000000.0)).cast("double"))
       .filter(col("__w") > 0)
+      .withColumn("pow_ratio",
+        if (usePowerCoeff) col("WTUR_W") / pow(col("WMET_HorWdSpd"), 3.0)
+        else col("WTUR_W"))
 
-    // (sim, turbine, ws_bin, vane_bin) weighted mean power + vane
-    // (yaw_misalignment.py:562-563); one shuffle for all simulations
+    // (sim, turbine, ws_bin, vane_bin) weighted mean power performance +
+    // vane (yaw_misalignment.py:545-563); ONE shuffle for all simulations
     val binned = simDf
-      .withColumn("ws_bin_center",
-        (floor(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth + wsBinWidth / 2.0))
       .withColumn("vane_bin",
         round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
       .groupBy("sim", "asset_id", "ws_bin_center", "vane_bin")
-      .agg((sum(col("WTUR_W") * col("__w")) / sum(col("__w"))).as("power_mean"),
+      .agg((sum(col("pow_ratio") * col("__w")) / sum(col("__w"))).as("perf_mean"),
         sum(col("__w")).as("n"),
         (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"))
-      .filter(col("n") >= minVaneBinCount)
       .collect()
 
-    // driver-side cosine fits: P(v) = A * cos(d2r*(v - offset))
+    // driver-side per (sim, turbine, ws_bin): slice mean vane over ALL vane
+    // bins (yaw_misalignment.py:554), cosine fit over qualifying bins, yaw
+    // = fitted offset - mean vane angle (yaw_misalignment.py:576-580)
     val perSim: Map[(Int, String, Double), Double] = binned
       .groupBy(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
-      .collect { case ((sim, turbine, wsBin), rows)
-          if isTargetBin(wsBin) && rows.length >= 5 =>
-        val xs = rows.map(_.getDouble(3)) // vane bin angle, degrees
-        val ys = rows.map(_.getDouble(4)) // mean power
-        // start the offset at the power-maximizing vane bin: Gauss-Newton
-        // from offset=0 can wander to a wild optimum on noisy resamples
-        val p = Fitting.curveFit(
-          (x, p) => p(0) * math.cos(math.toRadians(x - p(1))),
-          xs, ys, Array(ys.max, xs(ys.indexOf(ys.max))))
-        (sim, turbine, wsBin) -> p(1)
+      .flatMap { case ((sim, turbine, wsBin), rows) =>
+        val totalW = rows.map(_.getDouble(5)).sum
+        val meanVane = rows.map(r => r.getDouble(6) * r.getDouble(5)).sum / totalW
+        val fitRows = rows.filter(r => r.getDouble(5) > minVaneBinCount &&
+          math.abs(r.getDouble(3)) <= maxAbsVaneAngle)
+        if (fitRows.length < 5) None
+        else {
+          val xs = fitRows.map(_.getDouble(3)) // vane bin angle, degrees
+          val ys = fitRows.map(_.getDouble(4)) // mean power performance
+          // cos_curve: A * cos(d2r(x - offset))^exp, init [max, argmax, 2]
+          // (argmax instead of the reference's 0 offset start: Gauss-Newton
+          // from 0 can wander on noisy bootstrap resamples)
+          val p = Fitting.curveFit(
+            (x, p) => p(0) * math.pow(math.cos(math.toRadians(x - p(1))), p(2)),
+            xs, ys, Array(ys.max, xs(ys.indexOf(ys.max)), 2.0))
+          Some((sim, turbine, wsBin) -> (p(1) - meanVane))
+        }
       }.toMap
 
     def stats(vs: Iterable[Double]): (Double, Double) = {
@@ -120,7 +182,7 @@ final class StaticYawMisalignment(
       .map { case (k, m) => k -> stats(m.values) }
 
     // overall per-turbine mean vane angle (over the unweighted frame)
-    val avgVane = filtered.groupBy("asset_id")
+    val avgVane = base.groupBy("asset_id")
       .agg(avg(col("WMET_HorWdDirRel")).as("v"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     Result(avgVane, byBin.map { case (k, (m, _)) => k -> m },

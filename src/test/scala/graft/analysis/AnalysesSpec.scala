@@ -239,13 +239,17 @@ class AnalysesSpec extends SparkSpec {
     val offsets = Map("T1" -> 3.0, "T2" -> -2.0, "T3" -> 0.0, "T4" -> 5.0)
     val yawPlant = SyntheticPlant.build(spark, days = 30, reanalysisYears = 1,
       yawOffsets = offsets)
-    // construct power response peaked at the turbine's yaw offset:
-    // synthetic vane = offset + noise, so mean vane per turbine ~ offset
-    val yaw = new StaticYawMisalignment(yawPlant).run()
+    // synthetic vane tracks ~0 while power peaks at vane = offset, so the
+    // reference estimator (fitted offset - mean vane) recovers the offsets
+    val yawA = new StaticYawMisalignment(yawPlant, minVaneBinCount = 10)
+    val res = yawA.run()
+    val overall = yawA.overall(res)
     offsets.foreach { case (t, off) =>
-      val got = yaw.avgVaneAngleByTurbine(t)
-      assert(math.abs(got - off) < 1.0, s"turbine $t: expected ~$off got $got")
+      val got = overall(t)
+      assert(math.abs(got - off) < 2.0, s"turbine $t: expected ~$off got $got")
     }
+    // vane-tracking controller: mean vane angle sits near zero
+    res.avgVaneAngleByTurbine.values.foreach(v => assert(math.abs(v) < 1.0))
   }
 
   test("StaticYawMisalignment UQ bootstrap keeps the mean and adds a spread") {

@@ -65,11 +65,12 @@ object SyntheticPlant {
     } yield {
       val ws = math.max(0.1, windSpeed(i) + 0.2 * noise(i * 10 + ti, 3))
       val yaw = yawOffsets.getOrElse(t, 0.0)
-      val vane = yaw + 15.0 * noise(i * 10 + ti, 4)
-      // a miscalibrated vane: the controller holds the (biased) vane near the
-      // static offset, so true flow angle = vane - yaw and power responds as
-      // cos^4 of it — the power-vs-vane curve peaks at vane = yaw, which is
-      // exactly what the yaw cosine fit estimates
+      // a vane-tracking controller holds the vane READING near zero while a
+      // biased vane means the true flow angle is (vane - yaw): power
+      // responds as cos^4 of the true flow angle, so the power-vs-vane
+      // curve peaks at vane = yaw while the mean vane angle stays ~0 — the
+      // reference's "fitted offset minus mean vane" estimator recovers yaw
+      val vane = 15.0 * noise(i * 10 + ti, 4)
       val mod = if (yawOffsets.isEmpty) 1.0
         else math.pow(math.cos(math.toRadians(vane - yaw)), 4)
       val power = powerCurve(ws) * mod
