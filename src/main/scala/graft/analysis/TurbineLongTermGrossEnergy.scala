@@ -25,9 +25,12 @@ import graft.plant.PlantData
   */
 final class TurbineLongTermGrossEnergy(
     plant: PlantData,
-    maxPowerFilter: Double = 0.85,
-    windBinWidth: Double = 1.0,
-    correctionThreshold: Double = 0.95,
+    // UQ ranges sampled per simulation (collapsing to their means without
+    // UQ), matching turbine_long_term_gross_energy.py:99-119
+    maxPowerFilter: (Double, Double) = (0.8, 0.9),
+    windBinThreshold: (Double, Double) = (1.0, 3.0),
+    correctionThreshold: (Double, Double) = (0.85, 0.95),
+    uncertaintyScada: Double = 0.005,
     imputeMissingDays: Boolean = true,
     uq: Boolean = false,
     numSim: Int = 20,
@@ -40,36 +43,37 @@ final class TurbineLongTermGrossEnergy(
 
   private val freqS = plant.metadata.scadaFreqSeconds
 
-  /** Flag abnormal operation per turbine: out-of-range ws/power, frozen ws
-    * sensor, and power-curve outliers via bin filter on the top of the curve
-    * (turbine_long_term_gross_energy.py:319-380 `filter_turbine_data`).
+  /** Flag abnormal operation per turbine, mirroring the reference's flag set
+    * (turbine_long_term_gross_energy.py:327-385 `filter_turbine_data`):
+    * rows without ws/energy dropped; ws range flag [0, 40]; frozen ws
+    * sensor (>= 3 repeats); window flag (plausible ws but power outside
+    * [0.02, 1.2] x rated); and the median/std digitize bin filter of ws
+    * over power bins (width 0.06 x rated, bounds [0.01, maxPF] x rated) —
+    * expressed on the power FRACTION of rated so one distributed
+    * `Flags.binFilter(groupCols = asset_id)` pass covers every turbine.
     */
-  def filteredScada(ratedPowerByTurbine: Map[String, Double]): DataFrame = {
-    val scada = plant.scadaDf
+  def filteredScada(ratedPowerByTurbine: Map[String, Double],
+                    maxPowerFilterValue: Double,
+                    windBinThresholdValue: Double): DataFrame = {
     val rated = typedLit(ratedPowerByTurbine)
-    val maxBin = rated.apply(col("asset_id")) * maxPowerFilter
-    val base = scada
-      .withColumn("flag_range",
-        Flags.rangeFlag(col("WMET_HorWdSpd"), 0.0, 40.0) ||
-          Flags.rangeFlag(col("WTUR_W"), lit(-1.0), rated.apply(col("asset_id")) * 1.2))
+    val cap = rated.apply(col("asset_id"))
+    val base = plant.scadaDf
+      .na.drop(Seq("WMET_HorWdSpd", "WTUR_SupWh"))
+      .withColumn("p_frac", col("WTUR_W") / cap)
+      .withColumn("flag_range", Flags.rangeFlag(col("WMET_HorWdSpd"), 0.0, 40.0))
+      .withColumn("flag_window",
+        col("WMET_HorWdSpd").between(5.0, 40.0) &&
+          !col("WTUR_W").between(lit(0.02) * cap, lit(1.2) * cap))
     val frozen = Flags.unresponsiveFlag(base, "WMET_HorWdSpd", "time",
       threshold = 3, flagCol = "flag_frozen", partitionCols = Seq("asset_id"))
-    // bin filter on the power curve per turbine: ws deviation from bin median
-    // power, applied below max_power_filter * rated (the curve's steep part)
-    val binned = frozen.withColumn("__bin",
-      floor(col("WTUR_W") / (windBinWidth * 100.0)))
-    val stats = binned
-      .filter(col("WTUR_W") < maxBin)
-      .groupBy(col("asset_id"), col("__bin"))
-      .agg(percentile_approx(col("WMET_HorWdSpd"), lit(0.5), lit(10000)).as("__med"),
-        stddev_samp(col("WMET_HorWdSpd")).as("__std"))
-    binned.join(broadcast(stats), Seq("asset_id", "__bin"), "left")
-      .withColumn("flag_bin",
-        coalesce(abs(col("WMET_HorWdSpd") - col("__med")) > lit(2.0) * col("__std"),
-          lit(false)))
+    Flags.binFilter(frozen, "p_frac", "WMET_HorWdSpd",
+        binWidth = 0.06, threshold = windBinThresholdValue,
+        centerType = "median", deviationType = "std", direction = "all",
+        flagCol = "flag_bin", binMin = Some(0.01),
+        binMax = Some(maxPowerFilterValue), groupCols = Seq("asset_id"))
       .withColumn("flag_final",
-        col("flag_range") || col("flag_frozen") || col("flag_bin"))
-      .drop("__bin", "__med", "__std")
+        col("flag_range") || col("flag_window") || col("flag_bin") ||
+          col("flag_frozen"))
   }
 
   /** Daily valid energy per turbine with availability scaling
@@ -77,12 +81,13 @@ final class TurbineLongTermGrossEnergy(
     * days keep >= correctionThreshold valid samples; energy scaled by
     * expected/actual count.
     */
-  def dailyValid(filtered: DataFrame): DataFrame = {
+  def dailyValid(filtered: DataFrame,
+                 correctionThresholdValue: Double): DataFrame = {
     val expected = 24.0 * 3600.0 / freqS
     filtered.filter(!col("flag_final"))
       .groupBy(col("asset_id"), date_trunc("day", col("time")).as("day"))
       .agg(sum(col("WTUR_SupWh")).as("energy_kwh"), count(lit(1)).as("n"))
-      .filter(col("n") >= expected * correctionThreshold)
+      .filter(col("n") >= expected * correctionThresholdValue)
       .withColumn("energy_corrected", col("energy_kwh") * lit(expected) / col("n"))
   }
 
@@ -130,36 +135,52 @@ final class TurbineLongTermGrossEnergy(
     val rated = plant.assetDf.select("asset_id", "rated_power").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val products = plant.reanalysis.keys.toSeq.sorted
-    val validDays = dailyValid(filteredScada(rated))
-    val daily = (if (imputeMissingDays) dailyImputed(validDays, turbines)
-                 else validDays).cache()
+
+    // per-simulation filter thresholds: uniform within the tuple under UQ
+    // (rounded to 0.01 so the daily-table memo below stays bounded),
+    // collapsing to the tuple mean without UQ
+    def sample(t: (Double, Double)): Double =
+      if (uq) math.rint((t._1 + rng.nextDouble() * (t._2 - t._1)) * 100) / 100
+      else (t._1 + t._2) / 2
 
     val sims = if (uq) numSim else 1
     val results = new Array[Double](sims)
     var perTurbineAcc = Map.empty[String, Double]
 
-    // Memoize the collected daily arrays PER PRODUCT: one join + collect per
-    // reanalysis product no matter how many UQ simulations draw it
-    // (reference memo at turbine_long_term_gross_energy.py:392-415). The
-    // arrays are #days x #turbines rows — driver-bounded.
-    val memo = scala.collection.mutable.Map.empty[String,
+    // Memoize the filtered daily table per threshold CONFIG (<= numSim
+    // distinct aggregation plans — the reference refilters per simulation,
+    // turbine_long_term_gross_energy.py TODO notes the resulting slowness)
+    // and the collected arrays per (config, product): one join + collect per
+    // pair no matter how many simulations draw it (reference memo at
+    // turbine_long_term_gross_energy.py:392-415).
+    val dailyCache = scala.collection.mutable.Map.empty[(Double, Double, Double), DataFrame]
+    def dailyFor(cfg: (Double, Double, Double)): DataFrame =
+      dailyCache.getOrElseUpdate(cfg, {
+        val valid = dailyValid(filteredScada(rated, cfg._1, cfg._2), cfg._3)
+        (if (imputeMissingDays) dailyImputed(valid, turbines) else valid).cache()
+      })
+    val memo = scala.collection.mutable.Map.empty[((Double, Double, Double), String),
       (Map[String, Array[org.apache.spark.sql.Row]], Array[org.apache.spark.sql.Row])]
-    def productData(product: String) = memo.getOrElseUpdate(product, {
-      val rean = dailyReanalysis(product)
-      val joined = daily.join(rean, Seq("day"))
-        .select(col("asset_id"), col("energy_corrected"), col("ws"), col("wd"), col("rho"))
-        .collect()
-        .groupBy(_.getString(0))
-      (joined, rean.select("ws", "wd", "rho", "day").collect())
-    })
+    def productData(cfg: (Double, Double, Double), product: String) =
+      memo.getOrElseUpdate((cfg, product), {
+        val rean = dailyReanalysis(product)
+        val joined = dailyFor(cfg).join(rean, Seq("day"))
+          .select(col("asset_id"), col("energy_corrected"), col("ws"), col("wd"), col("rho"))
+          .collect()
+          .groupBy(_.getString(0))
+        (joined, rean.select("ws", "wd", "rho", "day").collect())
+      })
 
     for (n <- 0 until sims) {
+      val cfg = (sample(maxPowerFilter), sample(windBinThreshold),
+        sample(correctionThreshold))
+      val scadaFrac = if (uq) 1.0 + rng.nextGaussian() * uncertaintyScada else 1.0
       val product = products(if (uq) rng.nextInt(products.size) else n % products.size)
-      val (joined, ltRows) = productData(product)
+      val (joined, ltRows) = productData(cfg, product)
       val perTurbine = turbines.map { t =>
         val rows = joined.getOrElse(t, Array.empty)
         val xs = rows.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-        val ys = rows.map(_.getDouble(1))
+        val ys = rows.map(_.getDouble(1) * scadaFrac)
         val sampleIdx =
           if (uq) Array.fill(ys.length)(rng.nextInt(ys.length))
           else ys.indices.toArray
@@ -177,7 +198,7 @@ final class TurbineLongTermGrossEnergy(
       if (n == 0) perTurbineAcc = perTurbine
       results(n) = perTurbine.values.sum
     }
-    daily.unpersist()
+    dailyCache.values.foreach(_.unpersist())
     Result(results, perTurbineAcc)
   }
 }

@@ -117,7 +117,8 @@ object Flags {
                 centerType: String = "mean", deviationType: String = "std",
                 direction: String = "all", flagCol: String = "flag",
                 binMin: Option[Double] = None,
-                binMax: Option[Double] = None): DataFrame = {
+                binMax: Option[Double] = None,
+                groupCols: Seq[String] = Seq.empty): DataFrame = {
     require(Seq("mean", "median").contains(centerType), s"bad centerType $centerType")
     require(Seq("std", "mad", "scalar").contains(deviationType), s"bad deviationType $deviationType")
     require(Seq("all", "above", "below").contains(direction), s"bad direction $direction")
@@ -135,18 +136,23 @@ object Flags {
     val inRange = col(binCol) > col("__lo") && col(binCol) <= col("__hi")
     val binned = withBounds.withColumn("__bin",
       when(inRange, ceil((col(binCol) - col("__lo")) / binWidth)).otherwise(lit(null)))
+    // stats per (groupCols..., bin): groupCols generalize the reference's
+    // per-asset Python loops into one distributed pass (e.g. the yaw/TIE
+    // per-turbine power-curve filters); the stats stay a
+    // #groups x #bins-row broadcast
+    val keys = groupCols :+ "__bin"
     val centerExpr = centerType match {
       case "mean"   => avg(col(valueCol))
       case "median" => percentile(col(valueCol), lit(0.5))
     }
     val centers = binned.filter(col("__bin").isNotNull)
-      .groupBy("__bin").agg(centerExpr.as("__center"),
+      .groupBy(keys.map(col): _*).agg(centerExpr.as("__center"),
         stddev_samp(col(valueCol)).as("__std"))
     val spreadTable = deviationType match {
       case "mad" =>
         // MAD needs the median-of-absolute-deviations: second pass vs center.
-        binned.filter(col("__bin").isNotNull).join(broadcast(centers), "__bin")
-          .groupBy("__bin")
+        binned.filter(col("__bin").isNotNull).join(broadcast(centers), keys)
+          .groupBy(keys.map(col): _*)
           .agg(first(col("__center")).as("__center"),
             percentile(abs(col(valueCol) - col("__center")), lit(0.5)).as("__spread"))
       case "std"    => centers.withColumnRenamed("__std", "__spread")
@@ -160,7 +166,9 @@ object Flags {
       case "below" => -dev > spread
     }
     // NaN/null spread (singleton bin) and out-of-range rows are never flagged
-    binned.join(broadcast(spreadTable.select("__bin", "__center", "__spread")), Seq("__bin"), "left")
+    binned.join(
+        broadcast(spreadTable.select((keys :+ "__center" :+ "__spread").map(col): _*)),
+        keys.toSeq, "left")
       .withColumn(flagCol, coalesce(rawFlag, lit(false)))
       .drop("__bin", "__center", "__spread", "__lo", "__hi")
   }

@@ -160,6 +160,17 @@ class AnalysesSpec extends SparkSpec {
     assert(vals.forall(v => v > 4.0 && v < 13.0), s"implausible TIE: $per")
   }
 
+  test("TurbineLongTermGrossEnergy UQ samples thresholds and keeps a stable mean") {
+    val plain = new TurbineLongTermGrossEnergy(plant).run()
+    val uqRes = new TurbineLongTermGrossEnergy(plant, uq = true, numSim = 6).run()
+    // sampled thresholds legitimately shift the mean (a 1-sigma wind-bin
+    // threshold draw filters ~1/3 of in-bin points); bound the drift
+    assert(math.abs(uqRes.mean - plain.mean) / plain.mean < 0.30,
+      s"uq=${uqRes.mean} plain=${plain.mean}")
+    // sampled thresholds + bootstrap + scada uncertainty produce a spread
+    assert(uqRes.plantGrossGwhPerYear.distinct.length > 1)
+  }
+
   test("WakeLosses POR loss is ~0 for identical ideal turbines") {
     // every turbine produces the same power at each timestamp, so
     // actual == potential and wake losses vanish
