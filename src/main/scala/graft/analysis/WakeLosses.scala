@@ -49,9 +49,24 @@ final class WakeLosses(
     minWsBinLinReg: Double = 1.0,
     binCountThreshLinReg: Long = 50L,
     wdRef: String = "scada", // "scada" | "tower" (wake_losses.py wd_ref)
+    // freestream aggregation methods (wake_losses.py:187-188)
+    freestreamPowerMethod: String = "mean", // "mean" | "median" | "max"
+    freestreamWsMethod: String = "mean",
+    // LT correction window: last N calendar years of reanalysis, sampled
+    // under UQ (wake_losses.py:201 num_years_LT)
+    numYearsLt: (Int, Int) = (10, 20),
+    // bins above this freestream ws assume zero wake loss
+    // (wake_losses.py:202-203)
+    assumeNoWakesHighWs: Boolean = true,
+    noWakesWsThresh: Double = 13.0,
+    // optional POR bounds (wake_losses.py:169-170 start_date/end_date)
+    startDate: Option[java.sql.Timestamp] = None,
+    endDate: Option[java.sql.Timestamp] = None,
     seed: Long = 42L) {
 
   require(Seq("scada", "tower").contains(wdRef), s"bad wdRef $wdRef")
+  require(Seq("mean", "median", "max").contains(freestreamPowerMethod))
+  require(Seq("mean", "median", "max").contains(freestreamWsMethod))
 
   final case class Result(
       porLossPlant: Double, porLossByTurbine: Map[String, Double],
@@ -158,13 +173,22 @@ final class WakeLosses(
     val joined = scada.join(withRef.select("time", "wd_ref", "wd_bin", "n_reporting"), Seq("time"))
       .join(fsDf, Seq("wd_bin", "asset_id"), "left")
       .withColumn("is_freestream", coalesce(col("is_freestream"), lit(false)))
+    // freestream aggregation per the configured method
+    // (wake_losses.py:187-188, :1041-1054)
+    def fsAgg(c: org.apache.spark.sql.Column, method: String) = method match {
+      case "mean"   => avg(c)
+      case "median" => percentile(c, lit(0.5))
+      case "max"    => max(c)
+    }
     joined.groupBy("time")
       .agg(first(col("wd_ref")).as("wd_ref"),
         first(col("wd_bin")).as("wd_bin"),
         first(col("n_reporting")).as("n_reporting"),
         sum(col("WTUR_W")).as("plant_power"),
-        avg(when(col("is_freestream"), col("WTUR_W"))).as("freestream_power"),
-        avg(when(col("is_freestream"), col("WMET_HorWdSpd"))).as("freestream_ws"))
+        fsAgg(when(col("is_freestream"), col("WTUR_W")), freestreamPowerMethod)
+          .as("freestream_power"),
+        fsAgg(when(col("is_freestream"), col("WMET_HorWdSpd")), freestreamWsMethod)
+          .as("freestream_ws"))
       .filter(col("freestream_power").isNotNull)
   }
 
@@ -198,9 +222,16 @@ final class WakeLosses(
     * na-dropped SCADA projection, cached by [[run]] so UQ draws don't
     * re-scan the fact table from parquet.
     */
+  // last reanalysis bucket per product, for the LT windiness window
+  private lazy val reanEnd: Map[String, Long] =
+    plant.reanalysis.keys.map { p =>
+      p -> plant.reanalysis(p).agg(max(col("time"))).head()
+        .getTimestamp(0).toInstant.getEpochSecond
+    }.toMap
+
   private def runOnce(base: DataFrame, product: String, sectorWidth: Double,
                       madThresh: Double, wsStart: Double, maxPf: Double,
-                      rated: Map[String, Double]): Once = {
+                      years: Int, rated: Map[String, Double]): Once = {
     val nTurbines = plant.turbineIds.size
     val scada =
       if (deratingFilter)
@@ -232,12 +263,23 @@ final class WakeLosses(
       .groupBy("wd_bin", "ws_bin")
       .agg(avg(col("plant_power")).as("actual_mean"),
         avg(col("freestream_power") * nTurbines).as("potential_mean"))
+    // long-term wind rose over the last `years` calendar years of reanalysis
+    // (wake_losses.py:201 num_years_LT; end-anchored like the AEP windiness)
+    val ltStart = MonteCarloAEP.windowStartSec(reanEnd(product), years, "h")
     val freq = plant.reanalysis(product)
+      .filter(unix_timestamp(col("time")) >= ltStart)
       .withColumn("wd_bin", floor(col("WMETR_HorWdDir") / wdBinWidth).cast("int"))
       .withColumn("ws_bin", floor(col("WMETR_HorWdSpd") / wsBinWidthLt).cast("int"))
       .groupBy("wd_bin", "ws_bin").agg(count(lit(1)).as("freq"))
+    // above the no-wakes threshold the plant is assumed wake-free: the bin's
+    // actual is replaced by its potential (wake_losses.py:202-203)
+    val noWakesBin = math.floor(noWakesWsThresh / wsBinWidthLt).toInt
+    def wakeFree(actual: org.apache.spark.sql.Column,
+                 potential: org.apache.spark.sql.Column) =
+      if (!assumeNoWakesHighWs) actual
+      else when(col("ws_bin") >= noWakesBin, potential).otherwise(actual)
     val lt = binnedPlant.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
-      .agg(sum(col("actual_mean") * col("freq")).as("a"),
+      .agg(sum(wakeFree(col("actual_mean"), col("potential_mean")) * col("freq")).as("a"),
         sum(col("potential_mean") * col("freq")).as("p")).head()
     // an empty (wd, ws)-bin intersection between the POR and the reanalysis
     // wind rose means no long-term weighting is possible -> NaN, not a crash
@@ -255,7 +297,8 @@ final class WakeLosses(
     val perTurbineLt = perTurbineBins.join(broadcast(freq), Seq("wd_bin", "ws_bin"), "inner")
       .groupBy("asset_id")
       .agg((lit(1.0) -
-        sum(col("t_actual") * col("freq")) / sum(col("t_potential") * col("freq"))).as("loss"))
+        sum(wakeFree(col("t_actual"), col("t_potential")) * col("freq"))
+          / sum(col("t_potential") * col("freq"))).as("loss"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
     ts.unpersist()
@@ -266,14 +309,19 @@ final class WakeLosses(
     val rated = plant.assetDf.select("asset_id", "rated_power").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val products = plant.reanalysis.keys.toSeq.sorted
-    val base = plant.scadaDf
+    val base0 = plant.scadaDf
       .select(col("time"), col("asset_id"), col("WTUR_W"), col("WMET_HorWdSpd"),
         col("WMET_HorWdDir"))
       .na.drop()
+    // optional POR bounds (wake_losses.py:169-170)
+    val base = Seq(
+      startDate.map(d => col("time") >= lit(d)),
+      endDate.map(d => col("time") <= lit(d)))
+      .flatten.foldLeft(base0)(_ filter _)
       .cache()
     val runs: Seq[Once] =
       if (!uq) products.map(p => runOnce(base, p, freestreamSectorWidth,
-        windBinMadThresh, deratingWsStart, maxPowerFilter, rated))
+        windBinMadThresh, deratingWsStart, maxPowerFilter, numYearsLt._2, rated))
       else {
         val rng = new scala.util.Random(seed)
         (0 until numSim).map { _ =>
@@ -286,7 +334,9 @@ final class WakeLosses(
             rng.nextInt(((uncertaintyWsStart._2 - uncertaintyWsStart._1) * 10).round.toInt + 1) / 10.0
           val mpf = uncertaintyMaxPower._1 +
             rng.nextInt(((uncertaintyMaxPower._2 - uncertaintyMaxPower._1) * 100).round.toInt + 1) / 100.0
-          runOnce(base, p, sector.toDouble, mad.toDouble, ws0, mpf, rated)
+          val yrs = numYearsLt._1 +
+            rng.nextInt(numYearsLt._2 - numYearsLt._1 + 1)
+          runOnce(base, p, sector.toDouble, mad.toDouble, ws0, mpf, yrs, rated)
         }
       }
     base.unpersist()

@@ -204,6 +204,20 @@ class AnalysesSpec extends SparkSpec {
     assert(wl.porLossByTurbine("T2") > wl.porLossByTurbine("T1") + 0.02, s"$wl")
     // LT correction reweights by reanalysis frequency but stays in range
     assert(math.abs(wl.ltLossPlant - expected) < 0.05)
+
+    // the no-wakes-above-threshold rule: dropping the threshold to 0 assumes
+    // every ws bin is wake-free, collapsing the LT loss toward zero while
+    // the POR loss (unaffected by the rule) stays put
+    val noWakes = new WakeLosses(waked, deratingFilter = false,
+      noWakesWsThresh = 0.0).run()
+    assert(math.abs(noWakes.ltLossPlant) < 0.005, s"lt=${noWakes.ltLossPlant}")
+    assert(math.abs(noWakes.porLossPlant - wl.porLossPlant) < 1e-9)
+
+    // a 1-year LT window uses a subset of the wind rose but stays in range
+    val shortWin = new WakeLosses(waked, deratingFilter = false,
+      numYearsLt = (1, 1)).run()
+    assert(math.abs(shortWin.ltLossPlant - expected) < 0.05,
+      s"lt=${shortWin.ltLossPlant}")
   }
 
   test("WakeLosses derating filter excludes a constructed derated turbine") {
