@@ -53,6 +53,9 @@ final class MonteCarloAEP(
     // periods built from more than this fraction of missing meter/loss
     // samples are excluded from the regression (aep.py:104-161, :509-520)
     uncertaintyNanEnergy: Double = 0.01,
+    // restrict Monte-Carlo product sampling to a subset (aep.py:92-94
+    // reanalysis_products); None = all loaded products
+    reanalysisProducts: Option[Seq[String]] = None,
     windinessYears: (Int, Int) = (10, 20),
     lossMaxPct: (Int, Int) = (10, 20),
     hyperOptIter: Int = 8, // random-search draws for gbt/rf; 0 = fixed params
@@ -114,7 +117,12 @@ final class MonteCarloAEP(
     def aepStd: Double = stats(aepGwh)._2
   }
 
-  private def products: Seq[String] = plant.reanalysis.keys.toSeq.sorted
+  private def products: Seq[String] = reanalysisProducts match {
+    case Some(ps) =>
+      ps.foreach(p => require(plant.reanalysis.contains(p), s"unknown reanalysis product '$p'"))
+      ps.sorted
+    case None => plant.reanalysis.keys.toSeq.sorted
+  }
   private def needsExtras: Boolean = regTemperature || regWindDirection
 
   /** Density-corrected per-product wind speed resampled to the analysis

@@ -31,6 +31,8 @@ final class TurbineLongTermGrossEnergy(
     windBinThreshold: (Double, Double) = (1.0, 3.0),
     correctionThreshold: (Double, Double) = (0.85, 0.95),
     uncertaintyScada: Double = 0.005,
+    // restrict product sampling (turbine_long_term_gross_energy.py:101-111)
+    reanalysisProducts: Option[Seq[String]] = None,
     imputeMissingDays: Boolean = true,
     uq: Boolean = false,
     numSim: Int = 20,
@@ -134,7 +136,12 @@ final class TurbineLongTermGrossEnergy(
     val turbines = plant.turbineIds
     val rated = plant.assetDf.select("asset_id", "rated_power").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val products = plant.reanalysis.keys.toSeq.sorted
+    val products = reanalysisProducts
+      .map { ps =>
+        ps.foreach(p => require(plant.reanalysis.contains(p), s"unknown reanalysis product '$p'"))
+        ps.sorted
+      }
+      .getOrElse(plant.reanalysis.keys.toSeq.sorted)
 
     // per-simulation filter thresholds: uniform within the tuple under UQ
     // (rounded to 0.01 so the daily-table memo below stays bounded),

@@ -62,6 +62,8 @@ final class WakeLosses(
     // optional POR bounds (wake_losses.py:169-170 start_date/end_date)
     startDate: Option[java.sql.Timestamp] = None,
     endDate: Option[java.sql.Timestamp] = None,
+    // restrict product sampling (wake_losses.py:171-181 reanalysis_products)
+    reanalysisProducts: Option[Seq[String]] = None,
     seed: Long = 42L) {
 
   require(Seq("scada", "tower").contains(wdRef), s"bad wdRef $wdRef")
@@ -308,7 +310,12 @@ final class WakeLosses(
   def run(): Result = {
     val rated = plant.assetDf.select("asset_id", "rated_power").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val products = plant.reanalysis.keys.toSeq.sorted
+    val products = reanalysisProducts
+      .map { ps =>
+        ps.foreach(p => require(plant.reanalysis.contains(p), s"unknown reanalysis product '$p'"))
+        ps.sorted
+      }
+      .getOrElse(plant.reanalysis.keys.toSeq.sorted)
     val base0 = plant.scadaDf
       .select(col("time"), col("asset_id"), col("WTUR_W"), col("WMET_HorWdSpd"),
         col("WMET_HorWdDir"))

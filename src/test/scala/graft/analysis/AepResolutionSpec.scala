@@ -140,4 +140,14 @@ class AepResolutionSpec extends SparkSpec {
       new MonteCarloAEP(plant, timeResolution = "ME", regModel = "gam")
     }
   }
+
+  test("reanalysis product selection restricts sampling and rejects unknowns") {
+    val sel = new MonteCarloAEP(plant, timeResolution = "D", uq = false,
+      windinessYears = (1, 2), reanalysisProducts = Some(Seq("era5"))).run()
+    assert(sel.aepMean > 10.0 && sel.aepMean < 80.0)
+    intercept[IllegalArgumentException] {
+      new MonteCarloAEP(plant, timeResolution = "D",
+        reanalysisProducts = Some(Seq("merra2"))).run()
+    }
+  }
 }
