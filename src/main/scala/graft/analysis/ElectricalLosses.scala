@@ -19,7 +19,8 @@ import graft.plant.PlantData
   * @param uncertaintyScada     relative sigma on turbine energy (UQ)
   * @param correctionThreshold  data-availability threshold; (lo, hi) range
   *                             sampled per-iteration under UQ
-  * @param monthlyMeter         meter data is monthly (reference
+  * @param monthlyMeter         meter data is monthly; None auto-detects from
+  *                             the meter frequency metadata (reference
   *                             electrical_losses.py:128-131)
   */
 final class ElectricalLosses(
@@ -29,8 +30,14 @@ final class ElectricalLosses(
     uncertaintyMeter: Double = 0.005,
     uncertaintyScada: Double = 0.005,
     correctionThreshold: (Double, Double) = (0.90, 0.995),
-    monthlyMeter: Boolean = false,
+    monthlyMeter: Option[Boolean] = None,
     seed: Long = 42L) {
+
+  /** Monthly-meter handling auto-detects from the meter frequency metadata
+    * unless overridden (electrical_losses.py:128-130).
+    */
+  private val isMonthlyMeter: Boolean =
+    monthlyMeter.getOrElse(plant.metadata.meterFreqSeconds >= 2592000L)
 
   final case class Result(losses: Array[Double]) {
     def mean: Double = losses.sum / losses.length
@@ -74,7 +81,7 @@ final class ElectricalLosses(
     val rng = new scala.util.Random(seed)
     val sims = if (uq) numSim else 1
 
-    if (!monthlyMeter) {
+    if (!isMonthlyMeter) {
       // daily path: inner-join fully-reporting days, sum, MC-scale
       val expectedScada = 24.0 * 3600.0 / freqS * nTurbines
       val combined = scadaDaily.filter(col("count") === expectedScada)
