@@ -177,6 +177,17 @@ object Oracles {
         |      * (1.0/287.058 - 1.0/461.5)) / (288.15 + value / 10.0), 6) AS rho
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_gross_energy" ->
+      """WITH b AS (SELECT event_id, value,
+        |    CAST(user_id % 10 AS DOUBLE) / 100.0 AS a, 0.02 AS c FROM events)
+        |SELECT event_id,
+        |  round(value / (1.0 - a - c), 6) AS gross_ff,
+        |  round(value / (1.0 - c) + a, 6) AS gross_ef,
+        |  round(value / (1.0 - a) + c, 6) AS gross_fe,
+        |  round(value + a + c, 6) AS gross_ee,
+        |  round(value * (600 / 3600.0), 6) AS energy_kwh
+        |FROM b ORDER BY event_id""".stripMargin,
+
     "q_circular_mean" ->
       """SELECT event_type,
         |  round(fmod(fmod(degrees(atan2(

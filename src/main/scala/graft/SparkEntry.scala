@@ -284,6 +284,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // unit conversions: all four gross-energy loss-mode combinations +
+    // power->energy (unit_conversion.py:14-106)
+    "q_gross_energy" -> ((s, dir) => {
+      import graft.functions.UnitConversion
+      val avail = (col("user_id") % 10).cast("double") / 100.0
+      val curt = lit(0.02)
+      Tables.events(s, dir).select(col("event_id"),
+        round(UnitConversion.grossEnergy(col("value"), avail, curt, "frac", "frac"), 6).as("gross_ff"),
+        round(UnitConversion.grossEnergy(col("value"), avail, curt, "energy", "frac"), 6).as("gross_ef"),
+        round(UnitConversion.grossEnergy(col("value"), avail, curt, "frac", "energy"), 6).as("gross_fe"),
+        round(UnitConversion.grossEnergy(col("value"), avail, curt, "energy", "energy"), 6).as("gross_ee"),
+        round(UnitConversion.powerToEnergy(col("value"), 600L), 6).as("energy_kwh"))
+        .orderBy("event_id")
+    }),
+
     "q_circular_mean" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("angle", (col("value") * 36.0) % 360.0)
