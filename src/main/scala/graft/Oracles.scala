@@ -337,6 +337,57 @@ object Oracles {
          |WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05
          |ORDER BY block, id_a, id_b""".stripMargin,
 
+    // Connected components via recursive-CTE reachability: in an undirected
+    // graph the reachable set IS the component, so min(reachable ∪ self)
+    // is the component's minimum id. Terminates because UNION dedups.
+    "q_cc_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
+        |    AND a.doc_id <> b.doc_id),
+        |r(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src)
+        |SELECT id AS doc_id, min(comp) AS component,
+        |  (min(comp) <> id) AS is_duplicate
+        |FROM r GROUP BY id ORDER BY 1""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 13
+         |    THEN [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+         |hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams,
+         |    count(DISTINCT b.doc_id) AS n_bench_docs
+         |  FROM grams c JOIN grams b ON c.g = b.g AND b.doc_id % 20 = 0
+         |  WHERE c.doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+         |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents)
+         |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+         |FROM tok WHERE len(token) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |idf AS (SELECT token, ln((SELECT count(*) FROM documents) / count(DISTINCT doc_id)) AS idf
+         |  FROM tok2 GROUP BY 1),
+         |r AS (SELECT doc_id, token, tf, tf * idf AS score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf DESC, token) AS rnk
+         |  FROM tf JOIN idf USING (token))
+         |SELECT doc_id, token, tf, round(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "q_vector_norm" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,

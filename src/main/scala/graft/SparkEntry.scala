@@ -549,6 +549,48 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("prior_click_value"))
         .orderBy("event_id")
     }),
+
+    // Dedup clustering: connected components over a candidate-pair graph,
+    // min-id canonical per cluster. The edge rule here (same source,
+    // n_chars within 2) is oracle-expressible SQL standing in for LSH
+    // pairs, whose hash internals aren't; the operator under test is the
+    // distributed clustering (DuckDB twin: recursive CTE reachability).
+    "q_cc_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.as("a")
+        .join(docs.as("b"),
+          col("a.source") === col("b.source") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.dedupClusters(docs, "doc_id", pairs)
+        .select("doc_id", "component", "is_duplicate")
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: 13-gram exact overlap of the corpus
+    // (doc_id % 20 != 0) against a held-out "benchmark" slice (% 20 == 0)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontaminate.flagContamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 13)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary with term/document frequencies
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("token")
+    }),
+
+    // Per-document top-3 terms by tf-idf, deterministic tie-break
+    "q_tfidf_topk" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("token"), col("tf"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
   )
 
   /** DuckDB oracles. Key set == queries key set minus the rows-only ops

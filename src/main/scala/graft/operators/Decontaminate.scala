@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag corpus documents
+  * that share any word n-gram with a benchmark/eval set (the standard
+  * 13-gram exact-overlap rule used when scrubbing eval sets out of web-scale
+  * training data).
+  *
+  * Scale (100 TB): the benchmark side is tiny relative to the corpus (eval
+  * suites are thousands of documents, the corpus is billions), so its
+  * distinct grams — hashed to 8-byte longs — are the build side of an
+  * equi-join AQE will broadcast; the corpus never shuffles at document
+  * grain. Corpus grams are generated inside whole-stage codegen (exploded
+  * positions + element_at, see [[Dedup.wordShingleRows]]) and only
+  * (id, gramHash) rows reach the join. The per-doc aggregation AFTER the
+  * inner join touches only contaminated grams — a vanishing fraction of the
+  * corpus — so the final shuffle is negligible.
+  */
+object Decontaminate {
+
+  /** Gram-hash table (id, g) for one side: distinct word n-grams of the
+    * normalized text, hashed to longs. */
+  private def gramTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.wordShingleRows(df, idCol, textCol, n, dedup = false)
+      .select(col("id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+
+  /** Per-corpus-document contamination counts against `benchmark`:
+    * (idCol, n_hit_grams, n_bench_docs, contaminated) for EVERY corpus row —
+    * zero counts for clean documents. `n_hit_grams` counts the document's
+    * distinct grams that appear anywhere in the benchmark; `n_bench_docs`
+    * counts distinct benchmark documents sharing at least one gram.
+    */
+  def flagContamination(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        benchIdCol: String = "doc_id", benchTextCol: String = "text",
+                        n: Int = 13): DataFrame = {
+    val corpusGrams = gramTable(corpus, idCol, textCol, n)
+    val benchGrams = gramTable(benchmark, benchIdCol, benchTextCol, n)
+      .withColumnRenamed("id", "bench_id")
+    val hits = corpusGrams.join(benchGrams, Seq("g"))
+      .groupBy("id")
+      .agg(countDistinct("g").as("n_hit_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .withColumnRenamed("id", idCol)
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hit_grams", "n_bench_docs"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
+  /** Scrub pass: corpus rows with no benchmark n-gram overlap. The
+    * contaminated-id set is tiny, so the exclusion is a broadcastable
+    * left_anti join on the id.
+    */
+  def scrub(corpus: DataFrame, benchmark: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text",
+            benchIdCol: String = "doc_id", benchTextCol: String = "text",
+            n: Int = 13): DataFrame = {
+    val contaminatedIds = flagContamination(corpus, benchmark, idCol, textCol,
+        benchIdCol, benchTextCol, n)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+}

@@ -242,6 +242,81 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the step that turns near-dup PAIRS (from [[minHashCandidates]],
+    * [[simHashCandidates]], [[ngramJaccardPairs]], or embedding-cosine
+    * pairs) into duplicate CLUSTERS. Returns (id, component) where
+    * `component` is the minimum node id in the component; nodes not present
+    * in any edge are absent (callers left-join and coalesce to own id).
+    *
+    * Algorithm: iterated min-label propagation with per-round path
+    * compression. Each round every node adopts the minimum label over its
+    * closed neighborhood (one shuffle on node id), then labels take one hop
+    * through the label table itself (comp := comp(comp), a second id-keyed
+    * join), which compresses chains geometrically — rounds ~ O(log diameter)
+    * instead of O(diameter). Dedup graphs are unions of near-cliques
+    * (diameter 2-3), so 3-5 rounds is typical even at corpus scale.
+    *
+    * Scale (100 TB): everything that shuffles is (long, long) rows keyed by
+    * node id — no text, no signatures. The edge list is materialized once
+    * (symmetrized) and each round's label table is localCheckpoint'd, so
+    * lineage stays O(1) per round rather than stacking the full join tree
+    * (iterative plans otherwise re-derive every prior round at each action).
+    * Convergence is checked with a `limit(1)` existence probe, not a full
+    * count.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over the closed neighborhood: own label unioned with every
+      // neighbor's label, one partial-aggregated shuffle on id. Aliases on
+      // BOTH union branches mint fresh attribute ids — the join output
+      // shares `comp`'s id with the left branch, which trips Catalyst's
+      // Union constraint rewrite otherwise.
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp").as("comp"))
+      val relaxed = labels.select(col("id").as("id"), col("comp").as("comp"))
+        .union(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // path compression: comp := min(comp, comp(comp)). Labels are always
+      // node ids, so the hop is a self-join of the label table.
+      val next = relaxed.as("a")
+        .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup-clustering pass: attach each row's duplicate-cluster id and
+    * an `is_duplicate` flag (true for every row except the minimum-id
+    * canonical member of its cluster). Rows in no candidate pair form
+    * singleton clusters of themselves.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                    srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol))).drop("comp")
+      .withColumn("is_duplicate", col("component") =!= col(idCol))
+  }
+
   /** n-gram Jaccard similarity between two shingle-array columns (row-local,
     * for already-paired candidates). */
   def jaccard(aShingles: Column, bShingles: Column): Column = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data pipelines:
@@ -107,6 +107,51 @@ object TextAnalysis {
   def languageId(text: Column, minScore: Double = 0.05): Column = {
     val best = languageScores(text)
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise("und")
+  }
+
+  /** Corpus vocabulary: one row per distinct normalized token with its
+    * term frequency (total occurrences) and document frequency (distinct
+    * documents containing it), filtered to `minCount` occurrences.
+    *
+    * Scale (100 TB): the exploded token table is fact-grain but the groupBy
+    * partial-aggregates map-side, so the shuffle carries one row per
+    * (partition, token) — bounded by vocabulary size, not corpus size. The
+    * countDistinct(doc) plans as a two-phase aggregate over (token, id)
+    * pairs; hot tokens ("the") are handled by the partial distinct on the
+    * map side.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_freq"), countDistinct(col("id")).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+
+  /** Per-document top-k terms by tf-idf (idf = ln(N / df), raw tf), with
+    * deterministic (score desc, token asc) tie-breaking. The idf table is
+    * vocabulary-sized — broadcast side of the join — and the per-doc ranking
+    * windows on (id), each document's term list being vocabulary-bounded.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count().toDouble
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val idf = toks.select("id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n) / col("df")))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(idf), Seq("token"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("token"), col("tf"), col("score"), col("rank"))
   }
 
   /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->

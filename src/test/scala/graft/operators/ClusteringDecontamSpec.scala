@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Dedup clustering (connected components), decontamination, and
+  * vocabulary/tf-idf operators. */
+class ClusteringDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels chains, cliques, and separate components") {
+    // component A: chain 1-2-3-4 (diameter 3, exercises propagation rounds)
+    // component B: triangle 10-11-12
+    // component C: isolated edge 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (compression rounds)") {
+    // path 0-1-2-...-40: diameter 40; with per-round path compression this
+    // must converge well inside the 30-iteration cap
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+    assert(got.select(countDistinct("comp")).head().getLong(0) == 1L)
+    assert(got.agg(min("comp"), max("comp")).head() ==
+      org.apache.spark.sql.Row(0L, 0L))
+    assert(got.count() == 41L)
+  }
+
+  test("dedupClusters marks non-canonical members; singletons keep own id") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "component", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (9L, 9L, false)))
+  }
+
+  test("flagContamination counts shared n-grams and bench docs; zero for clean") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words nothing shared here at all now"),
+      (3L, "quick brown fox jumps over the lazy dog was seen"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we saw the quick brown fox jumps over the lazy dog yesterday"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.flagContamination(corpus, bench, n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // doc 1 shares 5-grams "the quick brown fox jumps", "quick brown fox
+    // jumps over", "brown fox jumps over the", "fox jumps over the lazy",
+    // "jumps over the lazy dog"; doc 3 shares the last four of those
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, 5L, 1L, true)))
+    assert(got(1) == ((2L, 0L, 0L, false)))
+    assert(got(2) == ((3L, 4L, 1L, true)))
+  }
+
+  test("scrub drops exactly the contaminated docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val kept = Decontaminate.scrub(corpus, bench, n = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("vocabulary counts term and document frequency on normalized tokens") {
+    val docs = Seq((1L, "Apple apple banana!"), (2L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .orderBy("token").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("apple", 3L, 2L), ("banana", 1L, 1L), ("cherry", 1L, 1L)))
+  }
+
+  test("tfidfTopTerms ranks distinctive terms first, tie-breaks on token") {
+    // "rare" appears only in doc 1 (high idf); "common" in both (idf > 0
+    // only if df < N — here df = N so idf = 0)
+    val docs = Seq((1L, "rare common common"), (2L, "common other"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank")
+      .select("id", "token", "rank").as[(Long, String, Int)].collect().toSeq
+    assert(got.take(2) == Seq((1L, "rare", 1), (1L, "common", 2)))
+    assert(got(2)._1 == 2L && got(2)._2 == "other")
+  }
+}
