@@ -126,4 +126,46 @@ object StreamingOps {
       .select(col("id"), col("stratum"), col("quality"), col("chunk_start"),
         col("__text").substr(col("chunk_start"), lit(chunkSize)).as("chunk"))
   }
+
+  /** Streaming decontamination twin of graft.operators.Decontaminate: flag
+    * (or drop) streamed documents sharing any word n-gram with a STATIC
+    * benchmark set. The benchmark's distinct gram hashes are collected once
+    * on the driver and broadcast — eval suites are thousands of documents
+    * (≈10⁵-10⁶ grams, a few MB of longs), so this is the same
+    * dimension-table altitude as a broadcast join, and the streaming side
+    * stays a stateless row-local filter: no state store, no shuffle, no
+    * watermark. The per-row gram scan uses the `exists` higher-order
+    * function over the token array — interpreted, but bounded by document
+    * length and far cheaper than a stateful streaming join.
+    */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
+                          textCol: String, benchIdCol: String = "doc_id",
+                          benchTextCol: String = "text", n: Int = 13,
+                          drop: Boolean = true): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val benchGrams = Dedup
+      .wordShingleRows(benchmark, benchIdCol, benchTextCol, n, dedup = false)
+      .select(xxhash64(col("shingle")).as("g")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(benchGrams)
+    // XxHash64Function with seed 42 is EXACTLY the SQL xxhash64 used to
+    // build benchGrams above, so set membership matches the batch operator.
+    val hitUdf = udf { toks: Seq[String] =>
+      val set = bc.value
+      (0 to toks.length - n).exists { i =>
+        val gram = toks.slice(i, i + n).mkString(" ")
+        set.contains(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(gram),
+            org.apache.spark.sql.types.StringType, 42L))
+      }
+    }
+    val flagged = stream.withColumn("__toks",
+        split(TextAnalysis.normalize(col(textCol)), " "))
+      .withColumn("contaminated",
+        when(size(col("__toks")) < n, lit(false))
+          .otherwise(hitUdf(col("__toks"))))
+      .drop("__toks")
+    if (drop) flagged.filter(!col("contaminated")).drop("contaminated")
+    else flagged
+  }
 }

@@ -113,6 +113,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(reassembled == text)
   }
 
+  test("decontaminateStream drops streamed docs overlapping the static benchmark") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val clean = StreamingOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench, "text", n = 5)
+    val q = clean.writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "we saw the quick brown fox jumps over a fence"), // shares a 5-gram
+      (2L, "totally unrelated text with no overlap at all"),
+      (3L, "short text")) // fewer than n tokens -> never contaminated
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id from decontam_out order by doc_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(got == Seq(2L, 3L))
+  }
+
   test("sessionAgg groups events into gap-bounded sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
