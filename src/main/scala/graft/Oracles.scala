@@ -445,5 +445,93 @@ object Oracles {
         |SELECT p.event_id, p.user_id, c.value AS prior_click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.org or 10.' || (doc_id % 256)
+        |      || '.0.1 or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ' || substring(text, 1, 40) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_url_domain" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |      || 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+        |      || '.org/path/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    regexp_extract(regexp_replace(
+        |      lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
+        |      '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u)
+        |SELECT domain, count(*) AS n FROM d
+        |WHERE domain NOT IN ('src0.org', 'src1.org')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), t -> len(t) > 0) AS toks,
+         |    list_filter(list_transform(
+         |      string_split(regexp_replace(text, ' customer', chr(10) || 'customer', 'g'), chr(10)),
+         |      s -> trim(s)), s -> len(s) > 0) AS lines
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks, lines,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |         ELSE [] END AS grams
+         |  FROM base)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(toks) = 0 THEN 1.0
+         |    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_tok_ratio,
+         |  round(CASE WHEN len(toks) < 2 THEN 0.0
+         |    ELSE CAST(list_max(list_transform(list_distinct(grams),
+         |      x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) * 2 / len(toks) END, 6) AS top2gram_frac,
+         |  round(CASE WHEN len(lines) <= 1 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, cend - n_chars AS cstart, cend,
+        |    unnest(range(CAST(floor((cend - n_chars) / 512) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 512) AS BIGINT) + 1)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |  greatest(seq_id * 512, cstart) - cstart AS doc_tok_start,
+        |  least((seq_id + 1) * 512, cend) - cstart AS doc_tok_end,
+        |  greatest(seq_id * 512, cstart) - seq_id * 512 AS seq_tok_start
+        |FROM s ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q_para_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split_regex(text, ' customer ') AS ps FROM documents),
+        |p1 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
+        |  FROM p0),
+        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM p1 WHERE len(trim(u.para)) > 0),
+        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
+        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
+        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
+        |r AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+        |    count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n, 0) AS n_paras_kept
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -591,6 +591,72 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")
     }),
+
+    // PII redaction + per-category counts. The synthetic corpus carries no
+    // PII, so deterministic PII-shaped strings are stitched in from doc_id
+    // (identically in the oracle); the operator under test is the
+    // RE2-compatible redact/count expression chain.
+    "q_pii_redact" -> ((s, dir) => {
+      val t = concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 or 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" "), substring(col("text"), 1, 40))
+      val c = Cleanse.piiCounts(col("__t"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("__t"))
+        .select(col("doc_id"), Cleanse.redactPii(col("__t")).as("redacted"),
+          c.getField("n_email").cast("long").as("n_email"),
+          c.getField("n_ssn").cast("long").as("n_ssn"),
+          c.getField("n_ip").cast("long").as("n_ip"),
+          c.getField("n_phone").cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
+    // URL normalization -> registered domain + blocklist anti-join, grouped
+    // domain histogram. URLs are synthesized deterministically from
+    // doc_id/source (twin construction in the oracle).
+    "q_url_domain" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("cdn"), (col("doc_id") % 7).cast("string"), lit("."),
+        col("source"), lit(".org/path/"), col("doc_id").cast("string"))
+      val urls = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      Cleanse.filterByDomainBlocklist(urls, "url", Seq("src0.org", "src1.org"))
+        .groupBy(Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("domain")
+    }),
+
+    // Gopher-style repetition/quality signals: distinct-token ratio, top
+    // 2-gram coverage, duplicate-line fraction (lines synthesized by
+    // breaking before each "customer" token — the corpus is single-line).
+    "q_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.distinctTokenRatio(col("text")), 6).as("distinct_tok_ratio"),
+        round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top2gram_frac"),
+        round(TextAnalysis.dupLineFraction(
+          regexp_replace(col("text"), " customer", "\ncustomer")), 6).as("dup_line_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Concat-and-chunk sequence packing (seqLen=512, n_chars as the token
+    // count): every (doc, training-sequence) assignment with token spans.
+    "q_pack" -> ((s, dir) => {
+      Packing.packSequences(Tables.documents(s, dir), "doc_id", "n_chars", seqLen = 512)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
+    // Paragraph-grain exact dedup with document rebuild (paragraphs split on
+    // the " customer " token; global first occurrence by (doc_id, idx)).
+    "q_para_dedup" -> ((s, dir) => {
+      Dedup.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
+          sepRegex = " customer ", joinSep = "\n\n")
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_paras_kept").cast("long").as("n_paras_kept"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB oracles. Key set == queries key set minus the rows-only ops

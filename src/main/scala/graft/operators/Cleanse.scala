@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-cleansing operators for training-data pipelines: PII redaction and
+  * URL/domain normalization + blocklist filtering.
+  *
+  * All row-local regexp compositions (codegen'd, no UDFs, no shuffle), so a
+  * 100 TB scan stays a single map stage. Patterns are restricted to the
+  * RE2-compatible subset of Java regex (no lookaround, no backrefs) so the
+  * same pattern strings run identically in other engines (and in the DuckDB
+  * oracle gate).
+  */
+object Cleanse {
+
+  /** PII patterns, applied in this order (email before phone so the digits
+    * in a mailbox name aren't half-eaten; SSN before phone because a 3-2-4
+    * hyphen group would otherwise partially match the phone rule; IP before
+    * phone so dotted quads aren't read as dotted phone numbers).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+  )
+
+  /** Replace each PII category with its `<CATEGORY>` token. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-category match counts as one struct column (count BEFORE any
+    * redaction, on the raw text, category by category — categories never
+    * overlap by construction of the pattern order above).
+    */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).as(s"n_$name")
+    }: _*)
+
+  private val UrlPattern = "https?://[^\\s]+"
+
+  /** All http(s) URLs in the text, in order. */
+  def extractUrls(text: Column): Column = regexp_extract_all(text, lit(UrlPattern))
+
+  /** Lower-cased host of a URL (strips scheme, path, query, port). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s:?#]+)", 1))
+
+  /** Naive registered domain: the last two dot-labels of the host, with a
+    * leading "www." stripped first. (A production system consults the
+    * Public Suffix List; this deterministic core covers gTLDs and is what
+    * the blocklist filter keys on.)
+    */
+  def registeredDomain(host: Column): Column = {
+    val h = regexp_replace(host, "^www\\.", "")
+    regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** Drop rows whose `urlCol`'s registered domain is blocklisted. The
+    * blocklist is a dimension table (thousands of rows at most) — joined
+    * with an explicit broadcast anti-join so the corpus never shuffles.
+    */
+  def filterByDomainBlocklist(df: DataFrame, urlCol: String,
+                              blocklist: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocklist.map(_.toLowerCase).toDF("__blocked_domain")
+    df.withColumn("__domain", registeredDomain(urlHost(col(urlCol))))
+      .join(broadcast(bl), col("__domain") === col("__blocked_domain"), "left_anti")
+      .drop("__domain")
+  }
+}

@@ -381,4 +381,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("block", "id_a", "id_b", "jaccard")
   }
+
+  /** Paragraph-level exact dedup (the CCNet / RefinedWeb line-grain rule):
+    * split each document on `sepRegex`, drop every paragraph whose
+    * normalized content already appeared in an earlier position — globally,
+    * first occurrence ordered by (doc id, paragraph index) — and rebuild
+    * each document from its surviving paragraphs joined by `joinSep`.
+    *
+    * Scale: paragraphs explode to fact grain, but the duplicate decision is
+    * one groupBy(hash).min(struct(id, idx)) — an aggregate whose output is
+    * one row per DISTINCT paragraph — joined back on the 64-bit hash (no
+    * window over a skewed hash partition, so a paragraph repeated 10^8
+    * times costs a map-side partial aggregate, not a single-task sort).
+    * The rebuild is a per-document sort_values over arrays of surviving
+    * paragraphs — array_sort on (idx, para) structs, no extra shuffle
+    * beyond the groupBy(id).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\n\\s*\n",
+                     joinSep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("__h", xxhash64(TextAnalysis.normalize(col("para"))))
+    val firsts = paras.groupBy("__h")
+      .agg(min(struct(col("id"), col("idx"))).as("__first"))
+      .select(col("__h"), col("__first.id").as("__fid"), col("__first.idx").as("__fidx"))
+    val kept = paras.join(firsts, Seq("__h"))
+      .filter(col("id") === col("__fid") && col("idx") === col("__fidx"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("idx"), col("para")))).as("__ps"))
+      .select(col("id"),
+        concat_ws(joinSep, transform(col("__ps"), p => p.getField("para"))).as("text_dedup"),
+        size(col("__ps")).as("n_paras_kept"))
+    // left join so paragraph-free documents survive with empty text
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_paras_kept"), lit(0)).as("n_paras_kept"))
+  }
 }

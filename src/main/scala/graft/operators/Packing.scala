@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: concatenate documents in a
+  * deterministic order and split the token stream into fixed-length
+  * training sequences ("concat-and-chunk", the packing rule used by GPT
+  * style pre-training pipelines). A document whose tokens straddle a
+  * sequence boundary is split across the adjacent sequences.
+  *
+  * Output: one row per (doc, sequence) assignment —
+  *   id, seq_id, doc_tok_start / doc_tok_end (0-based, end-exclusive token
+  *   span of the document that lands in this sequence), seq_tok_start (where
+  *   in the sequence the span begins).
+  *
+  * Scale: the global running token offset is NOT computed with an
+  * unpartitioned window (which would serialize 100 TB through one task).
+  * Following the [[Timeseries.forwardFillGlobal]] precedent, the order key
+  * is bucketed; a within-bucket cumulative sum runs in parallel, and the
+  * bucket-grain totals (a tiny table, one row per `bucketWidth` ids) are
+  * prefix-summed and broadcast back. Empty-token documents get no row.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    seqLen: Int, bucketWidth: Long = 65536L): DataFrame = {
+    require(seqLen > 0, s"bad seqLen $seqLen")
+    require(bucketWidth > 0, s"bad bucketWidth $bucketWidth")
+    val bucketed = df
+      .select(col(idCol).cast("long").as("id"), col(nTokCol).cast("long").as("__n"))
+      .withColumn("__bucket", floor(col("id") / bucketWidth))
+    // within-bucket running offset (parallel across buckets)
+    val wIn = Window.partitionBy("__bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__local_end", sum(col("__n")).over(wIn))
+    // bucket-grain prefix: total tokens in all strictly-earlier buckets.
+    // One ordered pass over the bucket table only (ids/bucketWidth rows).
+    val wCarry = Window.partitionBy(Timeseries.singlePartitionKey(col("__bucket")))
+      .orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketed.groupBy("__bucket").agg(sum(col("__n")).as("__btot"))
+      .withColumn("__prefix", coalesce(sum(col("__btot")).over(wCarry), lit(0L)))
+      .select("__bucket", "__prefix")
+    val offs = local.join(broadcast(prefixes), Seq("__bucket"))
+      .withColumn("__end", col("__prefix") + col("__local_end"))
+      .withColumn("__start", col("__end") - col("__n"))
+      .filter(col("__n") > 0)
+    // a doc covering global tokens [start, end) spans sequences
+    // floor(start/L) .. floor((end-1)/L); emit the per-sequence token spans
+    val L = lit(seqLen.toLong)
+    offs
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__start") / L), floor((col("__end") - 1) / L))))
+      .select(
+        col("id"),
+        col("seq_id"),
+        (greatest(col("seq_id") * L, col("__start")) - col("__start"))
+          .as("doc_tok_start"),
+        (least((col("seq_id") + 1) * L, col("__end")) - col("__start"))
+          .as("doc_tok_end"),
+        (greatest(col("seq_id") * L, col("__start")) - col("seq_id") * L)
+          .as("seq_tok_start"))
+  }
+}

@@ -154,6 +154,58 @@ object TextAnalysis {
       .select(col("id"), col("token"), col("tf"), col("score"), col("rank"))
   }
 
+  // ---- repetition signals (Gopher-style quality rules) ---------------------
+  // Rai et al.'s Gopher filters drop documents dominated by repeated lines /
+  // paragraphs / n-grams. All four signals below are row-local array
+  // expressions: a 100 TB quality pass stays a single map stage.
+
+  /** Distinct-token ratio: |set(tokens)| / |tokens| (1.0 for empty text).
+    * Low values mean the document repeats a small vocabulary.
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = filter(split(normalize(text), " "), t => length(t) > 0)
+    when(size(toks) === 0, 1.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line
+    * (Gopher `duplicate_line_fraction`). 0.0 for texts of <= 1 line.
+    */
+  def dupLineFraction(text: Column): Column =
+    dupSegmentFraction(text, "\n")
+
+  /** Fraction of non-blank paragraphs (blank-line separated) that are
+    * duplicates of an earlier paragraph.
+    */
+  def dupParagraphFraction(text: Column): Column =
+    dupSegmentFraction(text, "\n\\s*\n")
+
+  private def dupSegmentFraction(text: Column, sepRegex: String): Column = {
+    val segs = filter(transform(split(text, sepRegex), s => trim(s)),
+      s => length(s) > 0)
+    when(size(segs) <= 1, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(segs)).cast("double") / size(segs))
+  }
+
+  /** Fraction of tokens covered by the single most frequent word n-gram
+    * (Gopher `top_n_gram_fraction`): maxCount * n / numTokens; 0.0 when the
+    * text has fewer than n tokens.
+    *
+    * Row-local: the distinct-gram x gram count scan is O(d*g) per row with
+    * d = distinct grams — fine at document sizes. For corpus-level n-gram
+    * statistics use [[vocabulary]]-style explode + groupBy instead.
+    */
+  def topNgramFraction(text: Column, n: Int = 2): Column = {
+    require(n >= 1, s"bad n $n")
+    val toks = filter(split(normalize(text), " "), t => length(t) > 0)
+    val grams = transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(toks) < n, 0.0)
+      .otherwise(top.cast("double") * n / size(toks))
+  }
+
   /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->
     * acc*B + hash(tok) mod M). base*mod must stay below 2^63 (ANSI mode
     * overflow-checks long multiply): with M = 2^31-1 and B ~ 2^20 the

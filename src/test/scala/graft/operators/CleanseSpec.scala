@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CleanseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, SSNs, IPs, and phones; counts agree") {
+    val df = Seq(
+      (1L, "mail a.smith+x@sub.example.co.uk or call 415-555-0199 now"),
+      (2L, "ssn 123-45-6789 from host 192.168.0.12 and 10.0.0.1"),
+      (3L, "no pii here, just 1234 numbers 56.78"),
+      (4L, "two mails: a@b.io c@d.org and 650.555.0000"),
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Cleanse.redactPii(col("text")).as("r"),
+        Cleanse.piiCounts(col("text")).as("c"))
+      .select(col("id"), col("r"),
+        col("c.n_email"), col("c.n_ssn"), col("c.n_ip"), col("c.n_phone"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .sortBy(_._1)
+    assert(out(0)._2 == "mail <EMAIL> or call <PHONE> now")
+    assert(out(0)._3 == 1 && out(0)._6 == 1)
+    assert(out(1)._2 == "ssn <SSN> from host <IP> and <IP>")
+    assert(out(1)._4 == 1 && out(1)._5 == 2)
+    assert(out(2)._2 == "no pii here, just 1234 numbers 56.78")
+    assert(out(2)._3 + out(2)._4 + out(2)._5 + out(2)._6 == 0)
+    assert(out(3)._2 == "two mails: <EMAIL> <EMAIL> and <PHONE>")
+  }
+
+  test("urlHost/registeredDomain normalize scheme, www, port, path") {
+    val df = Seq(
+      "https://www.Example.COM/path?q=1",
+      "http://cdn7.media.site.org:8080/x",
+      "https://plain.io",
+    ).toDF("url")
+    val got = df.select(
+        Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com", "site.org", "plain.io"))
+  }
+
+  test("filterByDomainBlocklist drops blocked registered domains only") {
+    val df = Seq(
+      (1L, "https://www.bad.com/a"),
+      (2L, "https://sub.bad.com/b"), // same registered domain
+      (3L, "https://good.com/c"),
+      (4L, "https://bad.com.evil.net/d"), // registered domain evil.net
+    ).toDF("id", "url")
+    val kept = Cleanse.filterByDomainBlocklist(df, "url", Seq("bad.com"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("repetition signals match hand-computed values") {
+    val df = Seq(
+      (1L, "a b a b a b"),            // 2 distinct / 6 toks; top 2-gram "a b" x3
+      (2L, "x\ny\nx\n\nz"),           // 4 non-blank lines, 1 dup
+      (3L, "one two three four"),     // all distinct
+      (4L, ""),
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.distinctTokenRatio(col("text")).as("dtr"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("tg"),
+        TextAnalysis.dupLineFraction(col("text")).as("dlf"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(math.abs(out(0)._2 - 2.0 / 6) < 1e-12)
+    assert(math.abs(out(0)._3 - 3.0 * 2 / 6) < 1e-12) // "a b" occurs 3x of 5 grams
+    assert(math.abs(out(1)._4 - 0.25) < 1e-12)
+    assert(out(2)._2 == 1.0 && out(2)._4 == 0.0)
+    assert(out(3)._2 == 1.0 && out(3)._3 == 0.0 && out(3)._4 == 0.0)
+  }
+
+  test("topNgramFraction n=1 equals max token frequency over tokens") {
+    val df = Seq("the the the cat sat").toDF("text")
+    val got = df.select(TextAnalysis.topNgramFraction(col("text"), 1)).head.getDouble(0)
+    assert(math.abs(got - 3.0 / 5) < 1e-12)
+  }
+}

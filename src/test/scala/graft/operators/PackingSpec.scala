@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences covers every token exactly once, in order") {
+    val docs = Seq((10L, 100L), (20L, 600L), (30L, 0L), (40L, 500L), (50L, 1L))
+      .toDF("id", "n_tok")
+    val out = Packing.packSequences(docs, "id", "n_tok", seqLen = 512)
+      .orderBy("id", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 10: tokens [0,100) -> seq 0
+    assert(out(0) == ((10L, 0L, 0L, 100L, 0L)))
+    // doc 20: [100,700) -> seq 0 gets doc toks [0,412), seq 1 gets [412,600)
+    assert(out(1) == ((20L, 0L, 0L, 412L, 100L)))
+    assert(out(2) == ((20L, 1L, 412L, 600L, 0L)))
+    // doc 30 empty -> no row; doc 40: [700,1200) -> seqs 1,2
+    assert(out(3) == ((40L, 1L, 0L, 324L, 188L)))
+    assert(out(4) == ((40L, 2L, 324L, 500L, 0L)))
+    // doc 50: [1200,1201) -> seq 2
+    assert(out(5) == ((50L, 2L, 0L, 1L, 176L)))
+    assert(out.length == 6)
+    // global invariant: spans tile each sequence with no gaps or overlaps
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(a => a._4 - a._3).sum)
+    assert(perSeq(0L) == 512L && perSeq(1L) == 512L && perSeq(2L) == 177L)
+  }
+
+  test("packSequences is invariant to bucketWidth (global offsets exact)") {
+    val docs = (0L until 500L).map(i => (i * 7 + 3, i % 37 + 1)).toDF("id", "n_tok")
+    val a = Packing.packSequences(docs, "id", "n_tok", 128, bucketWidth = 64L)
+      .orderBy("id", "seq_id").collect().toSeq
+    val b = Packing.packSequences(docs, "id", "n_tok", 128, bucketWidth = 1000000L)
+      .orderBy("id", "seq_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("paragraphDedup keeps global first occurrences and rebuilds docs") {
+    val docs = Seq(
+      (1L, "alpha one\n\nshared para\n\nbeta two"),
+      (2L, "shared para\n\ngamma three"),       // "shared para" already seen in doc 1
+      (3L, "Shared  PARA!\n\ndelta four"),      // dup after normalization
+      (4L, "  \n\n  "),                          // nothing survives
+      (5L, "alpha one\n\nalpha one"),            // intra-doc dup of an earlier doc's para
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out(0) == ((1L, "alpha one\n\nshared para\n\nbeta two", 3)))
+    assert(out(1) == ((2L, "gamma three", 1)))
+    assert(out(2) == ((3L, "delta four", 1)))
+    assert(out(3) == ((4L, "", 0)))
+    assert(out(4) == ((5L, "", 0)))
+  }
+
+  test("paragraphDedup respects a custom separator") {
+    val docs = Seq((1L, "a|b|a"), (2L, "b|c")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text",
+        sepRegex = "\\|", joinSep = "|")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out(0) == ((1L, "a|b")))
+    assert(out(1) == ((2L, "c")))
+  }
+}
