@@ -187,21 +187,49 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(segs)).cast("double") / size(segs))
   }
 
+  /** Word n-grams of an already-built token array, as an array column.
+    *
+    * CAUTION (the repo's HOF-nesting rule): referencing an array-BUILDER
+    * expression inside a higher-order-function lambda re-evaluates the
+    * builder per element (measured 200s for a 2s query at sf0.1). So grams
+    * are built by zip_with(toks, slice(toks, j, ...)) — each array argument
+    * of zip_with/slice is evaluated once per ROW, never per element.
+    */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else {
+      val joined = (2 to n).foldLeft(toks) { (acc, j) =>
+        zip_with(acc, slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(1))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      // zip_with pads the shorter side with nulls and concat propagates
+      // them, so the incomplete tail grams drop here
+      filter(joined, g => g.isNotNull)
+    }
+
   /** Fraction of tokens covered by the single most frequent word n-gram
     * (Gopher `top_n_gram_fraction`): maxCount * n / numTokens; 0.0 when the
     * text has fewer than n tokens.
     *
-    * Row-local: the distinct-gram x gram count scan is O(d*g) per row with
-    * d = distinct grams — fine at document sizes. For corpus-level n-gram
-    * statistics use [[vocabulary]]-style explode + groupBy instead.
+    * Row-local and single-pass: the max multiplicity comes from one fold
+    * over the SORTED gram array (longest run of equal neighbors) — O(g log g)
+    * per row, with every array expression referenced exactly once. For
+    * corpus-level n-gram statistics use [[vocabulary]]-style explode +
+    * groupBy instead.
     */
   def topNgramFraction(text: Column, n: Int = 2): Column = {
     require(n >= 1, s"bad n $n")
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)
-    val grams = transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
-    val top = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
+    val sorted = array_sort(ngramsOf(toks, n))
+    val top = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(toks) < n, 0.0)
       .otherwise(top.cast("double") * n / size(toks))
   }
