@@ -533,5 +533,34 @@ object Oracles {
         |  coalesce(r.n, 0) AS n_paras_kept
         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t(lang, tgt) AS (VALUES ('en', 0.5), ('fr', 0.3), ('de', 0.2)),
+        |j AS (SELECT c.lang, c.n, t.tgt FROM cnt c JOIN t ON c.lang = t.lang),
+        |r AS (SELECT lang,
+        |    CAST(round(least(1.0, (SELECT min(n / tgt) FROM j) * tgt / n) * 10000) AS BIGINT) AS thr
+        |  FROM j)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
+        |    [CASE WHEN maxabs = 0 THEN 0
+        |          ELSE CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) END
+        |     FOR i IN range(1, len(v) + 1)] AS q
+        |  FROM m),
+        |s AS (SELECT vec_id, scale, list_sum(q) AS q_sum,
+        |    list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]) AS svv,
+        |    list_sum([v[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS svq,
+        |    list_sum([q[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS sqq,
+        |    len(v) AS d
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
+        |  round(sqrt(greatest(svv - 2 * scale * svq + scale * scale * sqq, 0) / d), 6) AS err
+        |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

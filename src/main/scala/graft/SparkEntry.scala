@@ -657,6 +657,35 @@ object SparkEntry {
           col("n_paras_kept").cast("long").as("n_paras_kept"))
         .orderBy("doc_id")
     }),
+
+    // Data-mixture resampling to a 50/30/20 en/fr/de target (limiting
+    // stratum keeps 100%; others downsample via the deterministic md5
+    // bucket — rate math mirrored in the oracle).
+    "q_mixture" -> ((s, dir) => {
+      Sampling.mixtureToTarget(Tables.documents(s, dir), "lang", "doc_id",
+          targets = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Symmetric int8 embedding quantization: per-vector scale, quantized
+    // checksum, and RMS reconstruction error (identical algebraic form —
+    // dot(v,v) - 2s*dot(v,q) + s^2*dot(q,q) — on both engines).
+    "q_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("qs", Similarity.quantizeInt8(col("v")))
+        .select(col("vec_id"), col("v"), col("qs.scale").as("scale"),
+          col("qs.q").cast("array<double>").as("q"))
+      val svv = Similarity.dot(col("v"), col("v"))
+      val svq = Similarity.dot(col("v"), col("q"))
+      val sqq = Similarity.dot(col("q"), col("q"))
+      e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0.0), (a, x) => a + x).cast("long").as("q_sum"),
+        round(sqrt(greatest(svv - lit(2.0) * col("scale") * svq
+          + col("scale") * col("scale") * sqq, lit(0.0)) / size(col("v"))), 6).as("err"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** DuckDB oracles. Key set == queries key set minus the rows-only ops

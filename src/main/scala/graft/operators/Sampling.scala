@@ -41,4 +41,35 @@ object Sampling {
       lit((defaultRate * 10000).round))
     df.filter(hashBucket(col(idCol)) < rateCol)
   }
+
+  /** Data-mixture resampling: downsample strata so the OUTPUT hits the
+    * target proportions (e.g. 50% en / 30% fr / 20% de in a training mix)
+    * at the largest achievable size — the limiting stratum (smallest
+    * observed/target ratio) keeps 100% of its rows and every other stratum
+    * downsamples to match. Strata absent from `targets` are dropped.
+    *
+    * One tiny aggregate (a row per stratum) collects to the driver to
+    * derive the rates; the corpus itself sees a single row-local filter.
+    * Realized proportions are approximate: the keep decision is the
+    * deterministic md5 bucket, and rates quantize to 1/10000.
+    */
+  def mixtureToTarget(df: DataFrame, stratumCol: String, idCol: String,
+                      targets: Map[String, Double]): DataFrame = {
+    val tot = targets.values.sum
+    require(tot > 0 && targets.values.forall(_ >= 0), s"bad targets $targets")
+    val share = targets.map { case (k, v) => k -> v / tot }
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest total output size any stratum can support at its target share
+    val caps = share.collect { case (k, t) if t > 0 && counts.contains(k) =>
+      counts(k) / t
+    }
+    require(caps.nonEmpty, "no target stratum present in the data")
+    val cap = caps.min
+    val rates = share.map { case (k, t) =>
+      k -> counts.get(k).map(n => if (n == 0L) 0.0
+        else math.min(1.0, cap * t / n)).getOrElse(0.0)
+    }
+    stratifiedSample(df, stratumCol, idCol, rates, defaultRate = 0.0)
+  }
 }

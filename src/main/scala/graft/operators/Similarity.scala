@@ -196,4 +196,41 @@ object Similarity {
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- int8 quantization (the ANN memory/bandwidth scale path) -------------
+
+  /** Symmetric int8 quantization: struct(scale, q) with v_i ~= q_i * scale,
+    * scale = maxAbs/127, q_i = round(v_i * 127 / maxAbs) in [-127, 127].
+    * Cuts embedding bytes 4x (float32) for ANN candidate scans; cosine over
+    * the int arrays equals cosine over the dequantized vectors exactly (the
+    * per-vector scale cancels), so LSH/IVF ranking can run on int8.
+    *
+    * HOF-nesting rule: maxAbs is an O(dims) scan, so it must NOT appear
+    * inside the quantize lambda (it would re-evaluate per element). It is
+    * threaded in via zip_with(v, array_repeat(maxAbs, ...)) — zip_with
+    * evaluates each array argument once per row.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val q = zip_with(v, array_repeat(maxAbs, size(v)),
+      (x, m) => when(m === 0, lit(0)).otherwise(round(x * 127.0 / m))
+        .cast("tinyint"))
+    struct((maxAbs / 127.0).as("scale"), q.as("q"))
+  }
+
+  /** Reconstruct the (approximate) float vector from [[quantizeInt8]]'s
+    * struct: q_i * scale, as array<double>.
+    */
+  def dequantizeInt8(qs: Column): Column = {
+    val q = qs.getField("q").cast("array<double>")
+    zip_with(q, array_repeat(qs.getField("scale"), size(q)), (x, s) => x * s)
+  }
+
+  /** Cosine over two quantized structs — identical to cosine over the
+    * dequantized vectors (scales cancel), computed on the int arrays.
+    */
+  def quantizedCosine(a: Column, b: Column): Column =
+    cosine(a.getField("q").cast("array<double>"),
+      b.getField("q").cast("array<double>"))
 }

@@ -134,4 +134,45 @@ class DedupSimilaritySpec extends SparkSpec {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
     assert(df.select(Similarity.cosine($"a", $"b")).head().getDouble(0) == 0.0)
   }
+
+  test("quantizeInt8 round-trips within scale/2 per element; zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("id", "v")
+    val out = df.select($"id", $"v".cast("array<double>").as("vd"),
+        Similarity.quantizeInt8($"v").as("qs"))
+      .select($"id", $"vd", $"qs.scale".as("s"),
+        Similarity.dequantizeInt8($"qs").as("rv"))
+      .collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    val scale = r1.getDouble(2)
+    assert(math.abs(scale - 1.0 / 127) < 1e-12)
+    val v = r1.getSeq[Double](1)
+    val rv = r1.getSeq[Double](3)
+    v.zip(rv).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= scale / 2 + 1e-12, s"$a vs $b")
+    }
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getDouble(2) == 0.0)
+    assert(r2.getSeq[Double](3).forall(_ == 0.0))
+  }
+
+  test("quantizedCosine equals cosine of dequantized vectors (scales cancel)") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 20).map(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val q = df.select($"id", Similarity.quantizeInt8($"v").as("qs"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"v")).as("rv"))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        Similarity.quantizedCosine(col("a.qs"), col("b.qs")).as("qc"),
+        Similarity.cosine(col("a.rv"), col("b.rv")).as("rc"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
 }

@@ -36,6 +36,24 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(kept.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("mixtureToTarget hits target proportions; limiting stratum keeps all") {
+    // 600 en / 100 fr / 300 de; target 50/30/20 -> fr limits: cap = 100/0.3
+    val mix = (1 to 1000).map { i =>
+      val lang = if (i <= 600) "en" else if (i <= 700) "fr" else "de"
+      (i.toLong, lang, "t")
+    }.toDF("doc_id", "lang", "text")
+    val out = Sampling.mixtureToTarget(mix, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") == 100L) // limiting stratum keeps 100%
+    // en target: cap * 0.5 = 166.7, de: 66.7 — md5 buckets land within ~15%
+    assert(math.abs(byLang("en") - 167L) < 30, s"en=${byLang("en")}")
+    assert(math.abs(byLang("de") - 67L) < 20, s"de=${byLang("de")}")
+    // absent stratum is dropped
+    val out2 = Sampling.mixtureToTarget(mix, "lang", "doc_id", Map("en" -> 1.0))
+    assert(out2.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
   test("chunkRows covers every character with the right overlap") {
     val text = ('a' to 'z').mkString * 10 // 260 chars
     val df = Seq((1L, text)).toDF("doc_id", "text")
