@@ -274,6 +274,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -295,8 +298,14 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).isEmpty
+      // Convergence via the label-sum invariant: min-label propagation only
+      // ever LOWERS labels, so sum(comp) strictly decreases until the fixed
+      // point — one narrow aggregate over the cached table per round,
+      // instead of a shuffle join against the previous labels. DECIMAL(38)
+      // so 10^9 nodes x 10^18-magnitude ids cannot overflow the check.
+      val sumNow = labelSum(next)
+      converged = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
       labels = next
       iter += 1
     }

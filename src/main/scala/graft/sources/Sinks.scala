@@ -81,4 +81,30 @@ object Sinks {
   /** Plain partitioned parquet (no metastore needed). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Size-balanced shard writer — the training-data export path. A 100 TB
+    * job that writes one file per upstream task emits either thousands of
+    * KB-sized files (small partitions) or unsplittable multi-GB ones
+    * (skewed partitions); downstream loaders want shards of a target size
+    * with disjoint, sorted key ranges (resumable, seekable, shuffle-free to
+    * re-read in order).
+    *
+    * Shard count comes from the optimizer's size ESTIMATE (same rationale
+    * as [[graft.operators.FanOut]]: probing df.rdd under AQE runs throwaway
+    * jobs); repartitionByRange samples the sort key to cut equal-ROW ranges,
+    * which for roughly uniform row widths approximates equal bytes.
+    * Returns the shard count.
+    */
+  def writeSharded(df: DataFrame, path: String, orderCol: String,
+                   targetShardBytes: Long = 256L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.functions.col
+    require(targetShardBytes > 0, s"bad targetShardBytes $targetShardBytes")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val shards = ((estBytes + targetShardBytes - 1) / targetShardBytes)
+      .max(1).min(1 << 20).toInt
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(path)
+    shards
+  }
 }

@@ -101,28 +101,40 @@ object StreamingOps {
       .agg(avg(col(flagCol).cast("double")).as("flagged_frac"),
         count(lit(1)).as("n"))
 
-  /** Streaming text-prep twin: deterministic stratified sampling, quality
-    * scoring, and fixed-window chunking are STATELESS projections/filters,
-    * so the batch column expressions run on a live document stream verbatim
-    * (sample -> score -> chunk, the standard pre-training text pipeline).
-    * No watermark, no state — chunk rows stream out per micro-batch.
+  /** Streaming text-prep twin: deterministic stratified sampling, optional
+    * PII redaction, quality + repetition gating, and fixed-window chunking
+    * are ALL STATELESS projections/filters, so the batch column expressions
+    * run on a live document stream verbatim (sample -> redact -> score ->
+    * filter -> chunk, the standard pre-training text pipeline). No
+    * watermark, no state — chunk rows stream out per micro-batch.
     */
   def prepTextStream(stream: DataFrame, textCol: String, idCol: String,
                      stratumCol: String, rates: Map[String, Double],
                      defaultRate: Double = 1.0,
-                     chunkSize: Int = 512, overlap: Int = 64): DataFrame = {
+                     chunkSize: Int = 512, overlap: Int = 64,
+                     redactPii: Boolean = false,
+                     minQuality: Double = 0.0,
+                     maxTopBigramFraction: Double = 1.0): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"bad chunking params size=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
-    graft.operators.Sampling
+    val sampled = graft.operators.Sampling
       .stratifiedSample(stream, stratumCol, idCol, rates, defaultRate)
+    val text =
+      if (redactPii) graft.operators.Cleanse.redactPii(col(textCol))
+      else col(textCol)
+    sampled
+      .withColumn("__text", text)
       .withColumn("quality",
-        graft.operators.TextAnalysis.qualityScore(col(textCol)))
+        graft.operators.TextAnalysis.qualityScore(col("__text")))
+      .withColumn("__rep",
+        graft.operators.TextAnalysis.topNgramFraction(col("__text"), 2))
+      .filter(col("quality") >= minQuality && col("__rep") <= maxTopBigramFraction)
       .select(col(idCol).as("id"), col(stratumCol).as("stratum"),
         col("quality"),
-        explode(sequence(lit(1), greatest(length(col(textCol)), lit(1)),
+        explode(sequence(lit(1), greatest(length(col("__text")), lit(1)),
           lit(step))).as("chunk_start"),
-        col(textCol).as("__text"))
+        col("__text"))
       .select(col("id"), col("stratum"), col("quality"), col("chunk_start"),
         col("__text").substr(col("chunk_start"), lit(chunkSize)).as("chunk"))
   }

@@ -112,6 +112,30 @@ class IngestSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-6 * math.abs(a), s"$a vs $b")
   }
 
+  test("writeSharded cuts disjoint sorted key ranges at the target size") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "payload")
+    val out = Files.createTempDirectory("sharded").toString + "/t"
+    // tiny target -> several shards even for this small table
+    val shards = Sinks.writeSharded(df, out, "id", targetShardBytes = 256L * 1024)
+    assert(shards > 1, s"expected multiple shards, got $shards")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000L)
+    // each part file holds a contiguous, disjoint id range
+    val ranges = back.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    ranges.toSeq.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2, s"overlap: $hi1 vs $lo2")
+      case _ => ()
+    }
+    // ranges are gap-free partitions of [1, 20000]
+    assert(ranges.map(_._3).sum == 20000L)
+    assert(ranges.head._1 == 1L && ranges.last._2 == 20000L)
+  }
+
   test("missing mapped columns accumulate errors instead of failing one-by-one") {
     val thinCsv = write(dir.resolve("scada_thin.csv"),
       """Date_time,P_avg

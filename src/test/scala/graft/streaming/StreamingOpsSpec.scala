@@ -113,6 +113,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(reassembled == text)
   }
 
+  test("prepTextStream redacts PII and drops repetitive docs, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val prepped = StreamingOps.prepTextStream(
+      input.toDF().toDF("doc_id", "lang", "text"),
+      "text", "doc_id", "lang",
+      rates = Map("en" -> 1.0), defaultRate = 0.0,
+      chunkSize = 200, overlap = 0,
+      redactPii = true, maxTopBigramFraction = 0.5)
+    val q = prepped.writeStream.format("memory").queryName("prep_pii_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "en", "please write to alice@example.com about the order we discussed"),
+      (2L, "en", "spam spam spam spam spam spam")) // top bigram covers all tokens
+    q.processAllAvailable()
+    val got = spark.sql("select id, chunk from prep_pii_out").collect()
+    q.stop()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+    assert(got.head.getString(1).contains("<EMAIL>"))
+    assert(!got.head.getString(1).contains("alice@"))
+  }
+
   test("decontaminateStream drops streamed docs overlapping the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
