@@ -545,6 +545,26 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST((n_chars > q[1]) AS INT) + CAST((n_chars > q[2]) AS INT)
+        |    + CAST((n_chars > q[3]) AS INT) AS bucket
+        |FROM documents, t ORDER BY doc_id""".stripMargin,
+
     "q_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),

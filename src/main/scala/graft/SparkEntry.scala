@@ -668,6 +668,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic 80/10/10 train/val/test split: pure function of the id
+    // (md5 bucket), stable under corpus growth and repartitioning.
+    "q_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus report over CUBE(lang, source): the grouping-sets/Expand
+    // operator family — doc counts and char volume at every roll-up level.
+    "q_cube" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n"), col("chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // Equal-population length bucketing (4 buckets over n_chars) for
+    // curriculum/batch assembly: exact percentile thresholds, row-local
+    // assignment.
+    "q_length_buckets" -> ((s, dir) => {
+      Packing.lengthBuckets(Tables.documents(s, dir), "n_chars", nBuckets = 4)
+        .select(col("doc_id"), col("n_chars"),
+          col("bucket").cast("int").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 embedding quantization: per-vector scale, quantized
     // checksum, and RMS reconstruction error (identical algebraic form —
     // dot(v,v) - 2s*dot(v,q) + s^2*dot(q,q) — on both engines).

@@ -62,4 +62,27 @@ object Packing {
         (greatest(col("seq_id") * L, col("__start")) - col("seq_id") * L)
           .as("seq_tok_start"))
   }
+
+  /** Curriculum / batch-shape bucketing: assign each row to one of
+    * `nBuckets` equal-population buckets of `valueCol` (token length,
+    * quality score, ...), so downstream batch assembly can group
+    * similar-length documents and cut padding waste.
+    *
+    * The exact percentile thresholds are ONE aggregate (nBuckets-1 doubles
+    * collected to the driver); the assignment is a row-local literal
+    * comparison chain — no shuffle, no window, survives any corpus size.
+    * Bucket b holds values in (t_b, t_b+1] with t_0 = -inf: bucket =
+    * #(thresholds strictly below the value).
+    */
+  def lengthBuckets(df: DataFrame, valueCol: String,
+                    nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"bad nBuckets $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val ts = df.agg(expr(
+        s"percentile($valueCol, array(${ps.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    val bucket = ts.map(t => when(col(valueCol) > t, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
 }

@@ -42,6 +42,26 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < rateCol)
   }
 
+  /** Deterministic train/validation/test split: assign each row to the
+    * first split whose cumulative weight bound exceeds its md5 bucket.
+    * Pure function of the id — reproducible across runs, engines, and
+    * repartitioning, and adding rows never moves an existing row between
+    * splits (the property that keeps eval sets uncontaminated as the
+    * corpus grows).
+    */
+  def splitAssign(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), s"bad weights $weights")
+    val tot = weights.map(_._2).sum
+    require(tot > 0, "zero total weight")
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / tot }
+      .tail.map(b => (b * 10000).round)
+    val b = hashBucket(id)
+    weights.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, bound)) =>
+        when(b < bound, name).otherwise(acc)
+      }
+  }
+
   /** Data-mixture resampling: downsample strata so the OUTPUT hits the
     * target proportions (e.g. 50% en / 30% fr / 20% de in a training mix)
     * at the largest achievable size — the limiting stratum (smallest

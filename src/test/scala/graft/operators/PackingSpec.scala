@@ -57,6 +57,19 @@ class PackingSpec extends SparkSpec {
     assert(out(4) == ((5L, "", 0)))
   }
 
+  test("lengthBuckets yields equal-population buckets in value order") {
+    val df = (1 to 400).map(i => (i.toLong, i.toLong)).toDF("id", "n")
+    val out = Packing.lengthBuckets(df, "n", nBuckets = 4)
+      .select($"id", $"n", $"bucket").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set(0, 1, 2, 3))
+    // equal population and ordered ranges
+    assert(byBucket.values.forall(_.length == 100))
+    assert(byBucket(0).max < byBucket(1).min)
+    assert(byBucket(2).max < byBucket(3).min)
+  }
+
   test("paragraphDedup respects a custom separator") {
     val docs = Seq((1L, "a|b|a"), (2L, "b|c")).toDF("doc_id", "text")
     val out = Dedup.paragraphDedup(docs, "doc_id", "text",

@@ -36,6 +36,24 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(kept.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("splitAssign is exhaustive, near-weight, and stable under growth") {
+    val out = docs.select($"doc_id",
+        Sampling.splitAssign($"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect().toMap
+    val byS = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(math.abs(byS("train") - 800) < 80, s"train=${byS("train")}")
+    // growing the corpus never reassigns an existing row
+    val bigger = (1 to 2000)
+      .map(i => (i.toLong, "en", "t")).toDF("doc_id", "lang", "text")
+    val out2 = bigger.select($"doc_id",
+        Sampling.splitAssign($"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => out2(id) == s })
+  }
+
   test("mixtureToTarget hits target proportions; limiting stratum keeps all") {
     // 600 en / 100 fr / 300 de; target 50/30/20 -> fr limits: cap = 100/0.3
     val mix = (1 to 1000).map { i =>
