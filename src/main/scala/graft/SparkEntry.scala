@@ -720,8 +720,9 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the rows-only ops
-    * (q_mahalanobis, q_minhash_pairs, q_simhash, q_lsh_topk).
+  /** DuckDB oracles. Key set == queries key set minus the six rows-only ops
+    * whose hash/centroid internals aren't oracle-expressible (q_mahalanobis,
+    * q_minhash_pairs, q_simhash, q_simhash_neardup, q_lsh_topk, q_ivf_topk).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }
