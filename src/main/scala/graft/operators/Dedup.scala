@@ -287,11 +287,19 @@ object Dedup {
       // Union constraint rewrite otherwise.
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp").as("comp"))
+      // NOT checkpointed: both sides of the compression self-join read this,
+      // but AQE stage reuse already shares the relax shuffle-aggregate —
+      // an eager materialization here measured 12s SLOWER per q_cc_dedup
+      // run than letting the two consumers share the exchange.
       val relaxed = labels.select(col("id").as("id"), col("comp").as("comp"))
         .union(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
       // path compression: comp := min(comp, comp(comp)). Labels are always
-      // node ids, so the hop is a self-join of the label table.
+      // node ids, so the hop is a self-join of the label table. ONE hop per
+      // round is the measured optimum here: a second hop (pointer doubling
+      // twice) halves the rounds but quadruples the un-reused relax
+      // subplan copies per round — 49s vs 26s wall for q_cc_dedup at
+      // sf0.1; an eager checkpoint of `relaxed` also loses (38s).
       val next = relaxed.as("a")
         .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("cid"), "left")
