@@ -545,6 +545,23 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>x{color:red}</style></head><body><h1>' || substring(text, 1, 30)
+        |    || '</h1><p class="a">' || substring(text, 31, 60)
+        |    || ' &amp; more</p><script>var x=1;</script>' || chr(7) || '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F�]', '', 'g'),
+        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t, '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g') AS t FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
     "q_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split

@@ -668,6 +668,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction + control-char cleanup over deterministic
+    // synthesized markup (script/style blocks, tags, entities, a BEL byte).
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>x{color:red}</style></head><body><h1>"),
+        substring(col("text"), 1, 30),
+        lit("</h1><p class=\"a\">"), substring(col("text"), 31, 60),
+        lit(" &amp; more</p><script>var x=1;</script>\u0007</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("__h"))
+        .select(col("doc_id"),
+          Cleanse.stripHtml(Cleanse.stripControlChars(col("__h"))).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 80/10/10 train/val/test split: pure function of the id
     // (md5 bucket), stable under corpus growth and repartitioning.
     "q_split" -> ((s, dir) => {

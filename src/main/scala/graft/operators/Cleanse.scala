@@ -41,6 +41,29 @@ object Cleanse {
       regexp_count(text, lit(pat)).as(s"n_$name")
     }: _*)
 
+  /** Strip HTML/XML markup to text: drop script/style blocks wholesale,
+    * remove tags, decode the five named entities + numeric entities' common
+    * cases, collapse whitespace. Row-local regexp chain (RE2-safe: no
+    * lookaround), the standard first pass over crawled corpora.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Remove C0/C1 control characters (except tab/newline, which normalize
+    * to spaces separately) and the Unicode replacement character — the
+    * bytes that break downstream tokenizers.
+    */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F�]", "")
+
   private val UrlPattern = "https?://[^\\s]+"
 
   /** All http(s) URLs in the text, in order. */

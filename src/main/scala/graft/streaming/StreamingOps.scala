@@ -62,6 +62,21 @@ object StreamingOps {
         graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming NEAR-dup suppression: drop stream documents whose 64-bit
+    * SimHash signature was already seen inside the watermark. An identical
+    * signature is the tightest SimHash near-dup band (documents differing
+    * by a few tokens still collide; a one-bit-off pair does not — for
+    * Hamming-tolerant matching run the batch banded pass over the stream's
+    * sink). State = one 8-byte key per distinct signature in the watermark
+    * window, aged out by the engine — no stream-stream join, no explosion
+    * of band rows.
+    */
+  def nearDupSuppress(stream: DataFrame, tsCol: String, textCol: String,
+                      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .withColumn("simhash", graft.operators.Dedup.simHash(col(textCol)))
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Streaming twin of graft.operators.StatusOps.withActiveStatus: attach
     * the active status code to a live fact stream.
     *

@@ -64,6 +64,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("nearDupSuppress drops same-signature near-dups, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val kept = StreamingOps.nearDupSuppress(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = kept.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2020-01-01 00:00:00"), 1L, "the quick brown fox jumps over the lazy dog"),
+      // token-identical up to punctuation/case -> same signature
+      (ts("2020-01-01 00:01:00"), 2L, "The QUICK brown fox, jumps over the lazy dog!"),
+      (ts("2020-01-01 00:02:00"), 3L, "completely different content about spark plans"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id from neardup_out order by doc_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(got == Seq(1L, 3L))
+  }
+
   test("withActiveStatus attaches interval-valid status to a fact stream") {
     implicit val sqlCtx = spark.sqlContext
     val status = Seq(
