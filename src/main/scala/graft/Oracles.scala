@@ -545,6 +545,16 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_unigram_lp" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
+         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot)
+         |SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS mean_lp
+         |FROM tok2 JOIN model USING (token) GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_html_strip" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><style>x{color:red}</style></head><body><h1>' || substring(text, 1, 30)

@@ -668,6 +668,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mean unigram log-probability under the corpus's own smoothed unigram
+    // model — the KenLM-style fluency signal.
+    "q_unigram_lp" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          round(col("mean_lp"), 6).as("mean_lp"))
+        .orderBy("doc_id")
+    }),
+
     // HTML -> text extraction + control-char cleanup over deterministic
     // synthesized markup (script/style blocks, tags, entities, a BEL byte).
     "q_html_strip" -> ((s, dir) => {

@@ -234,6 +234,39 @@ object TextAnalysis {
       .otherwise(top.cast("double") * n / size(toks))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model with add-one smoothing — the KenLM-style fluency/quality
+    * signal real pipelines threshold on (a document of rare or
+    * out-of-distribution tokens scores low). Returns (id, n_toks, mean_lp).
+    *
+    * Scale: the unigram model IS [[vocabulary]] (one map-side-combined
+    * aggregate, vocabulary-sized output); scoring joins the exploded token
+    * table against it on the token — the model side is vocabulary-sized and
+    * broadcastable, the corpus never shuffles at token grain beyond the
+    * per-doc mean aggregate on id.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 1L): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minCount)
+    // totals: one tiny scalar aggregate, broadcast-cross-joined everywhere
+    val totals = broadcast(
+      vocab.agg(sum(col("tf")).as("__N"), count(lit(1)).as("__V")))
+    val model = vocab.crossJoin(totals)
+      .select(col("token"),
+        log((col("tf") + 1).cast("double") / (col("__N") + col("__V"))).as("lp"))
+    // unknown tokens (below minCount) take the smoothed zero-count mass
+    toks.join(broadcast(model), Seq("token"), "left")
+      .crossJoin(totals)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        avg(coalesce(col("lp"),
+          log(lit(1.0) / (col("__N") + col("__V"))))).as("mean_lp"))
+  }
+
   /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->
     * acc*B + hash(tok) mod M). base*mod must stay below 2^63 (ANSI mode
     * overflow-checks long multiply): with M = 2^31-1 and B ~ 2^20 the

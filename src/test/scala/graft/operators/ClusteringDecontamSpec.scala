@@ -96,4 +96,23 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(got.take(2) == Seq((1L, "rare", 1), (1L, "common", 2)))
     assert(got(2)._1 == 2L && got(2)._2 == "other")
   }
+
+  test("unigramLogProb scores common-token docs above rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the cat"),   // dominated by the most frequent token
+      (2L, "zyx qwv jjk"),           // singletons only
+      (3L, "the cat the cat")) ++ (4L to 23L).map(i => (i, "the cat sat"))
+    val out = TextAnalysis.unigramLogProb(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("id", "n_toks", "mean_lp").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 5L)
+    assert(out(1L)._2 > out(2L)._2, s"${out(1L)} vs ${out(2L)}")
+    assert(out(3L)._2 > out(2L)._2)
+    // hand-check doc 2: three singleton tokens, lp each = ln(2/(N+V))
+    val n = docs.flatMap(_._2.split(" ")).size
+    val v = docs.flatMap(_._2.split(" ")).distinct.size
+    val exp = math.log(2.0 / (n + v))
+    assert(math.abs(out(2L)._2 - exp) < 1e-9, s"${out(2L)._2} vs $exp")
+  }
 }
