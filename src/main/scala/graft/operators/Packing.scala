@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * is bucketed; a within-bucket cumulative sum runs in parallel, and the
   * bucket-grain totals (a tiny table, one row per `bucketWidth` ids) are
   * prefix-summed and broadcast back. Empty-token documents get no row.
+  *
+  * `bucketWidth` sizing: the prefix table holds idRange/bucketWidth rows
+  * and must stay broadcast-small. The default suits DENSE ids; for sparse
+  * ids (e.g. 64-bit hashes) pass bucketWidth ~ idRange/10^5 — correctness
+  * is bucketWidth-invariant (spec-pinned), only the table size changes.
   */
 object Packing {
 
