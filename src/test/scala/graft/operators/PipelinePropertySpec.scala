@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style invariants for the training-data pipeline operators
+  * (seeded random inputs, hand-rolled loops — the scalatest-scalacheck
+  * bridge isn't in the offline dependency cache).
+  */
+class PipelinePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260813L)
+
+  test("property: packSequences tiles sequences exactly — no gaps, no overlap") {
+    for (trial <- 1 to 5) {
+      val seqLen = 32 + rng.nextInt(300)
+      val docs = (0 until 200).map { i =>
+        (i.toLong * (1 + rng.nextInt(5)), rng.nextInt(4) match {
+          case 0 => 0L // empty docs allowed
+          case _ => rng.nextInt(3 * seqLen).toLong
+        })
+      }.distinctBy(_._1).toDF("id", "n")
+      val total = docs.agg(sum("n")).head().getLong(0)
+      val out = Packing.packSequences(docs, "id", "n", seqLen,
+          bucketWidth = 1 + rng.nextInt(100))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // per-doc spans tile [0, n)
+      val byDoc = out.groupBy(_._1)
+      val nById = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      byDoc.foreach { case (id, rows) =>
+        val spans = rows.sortBy(_._2).map(r => (r._3, r._4))
+        assert(spans.head._1 == 0L)
+        assert(spans.last._2 == nById(id))
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) => assert(e1 == s2)
+          case _ => ()
+        }
+      }
+      // per-sequence token load is seqLen except the last
+      val bySeq = out.groupBy(_._2).view
+        .mapValues(_.map(r => r._4 - r._3).sum).toMap
+      val lastSeq = if (bySeq.isEmpty) -1L else bySeq.keys.max
+      bySeq.foreach { case (sid, load) =>
+        if (sid < lastSeq) assert(load == seqLen, s"trial $trial seq $sid: $load")
+      }
+      assert(bySeq.values.sum == total)
+    }
+  }
+
+  test("property: paragraphDedup is idempotent") {
+    for (_ <- 1 to 3) {
+      val words = Seq("alpha", "beta", "gamma", "delta")
+      val docs = (1 to 40).map { i =>
+        val paras = Seq.fill(1 + rng.nextInt(4))(
+          Seq.fill(1 + rng.nextInt(3))(words(rng.nextInt(words.size))).mkString(" "))
+        (i.toLong, paras.mkString("\n\n"))
+      }.toDF("doc_id", "text")
+      val once = Dedup.paragraphDedup(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+      val twice = Dedup.paragraphDedup(once, "doc_id", "text")
+      val a = once.orderBy("doc_id").collect().map(r => r.getString(1)).toSeq
+      val b = twice.orderBy("id").collect().map(r => r.getString(1)).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("property: splitAssign always lands in the declared splits and is exhaustive") {
+    val weights = Seq("a" -> 0.2, "b" -> 0.5, "c" -> 0.3)
+    val ids = List.fill(500)(rng.nextLong()).toDF("id")
+    val got = ids.select(Sampling.splitAssign(col("id"), weights)).as[String].collect()
+    assert(got.toSet.subsetOf(Set("a", "b", "c")))
+    assert(got.length == 500)
+  }
+
+  test("property: quantizeInt8 reconstruction error is bounded by scale/2") {
+    for (_ <- 1 to 3) {
+      val dim = 1 + rng.nextInt(32)
+      val vecs = (1 to 50).map(i =>
+        (i.toLong, Array.fill(dim)(((rng.nextDouble() - 0.5) * 200).toFloat)))
+      val rows = vecs.toDF("id", "v")
+        .select(col("id"), col("v").cast("array<double>").as("vd"),
+          Similarity.quantizeInt8(col("v")).as("qs"))
+        .select(col("id"), col("vd"), col("qs.scale").as("s"),
+          Similarity.dequantizeInt8(col("qs")).as("rv"))
+        .collect()
+      rows.foreach { r =>
+        val s = r.getDouble(2)
+        r.getSeq[Double](1).zip(r.getSeq[Double](3)).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= s / 2 + 1e-9, s"|$a - $b| > ${s / 2}")
+        }
+      }
+    }
+  }
+
+  test("property: redactPii leaves no category pattern behind") {
+    val pii = Seq("bob@x.io", "123-45-6789", "10.1.2.3", "415-555-0199")
+    for (_ <- 1 to 10) {
+      val parts = Seq.fill(4)(
+        if (rng.nextBoolean()) pii(rng.nextInt(pii.size)) else "word")
+      val text = parts.mkString(" ")
+      val red = Seq(text).toDF("t")
+        .select(Cleanse.redactPii(col("t"))).as[String].head()
+      val counts = Seq(red).toDF("t")
+        .select(Cleanse.piiCounts(col("t"))).head().getStruct(0)
+      assert((0 until counts.length).forall(counts.getInt(_) == 0), s"$text -> $red")
+    }
+  }
+}
