@@ -545,6 +545,28 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_bigram_lp" -> {
+      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |trtok AS (SELECT unnest($toks) AS token FROM tr),
+         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
+         |trbi0 AS (SELECT $toks AS toks FROM tr),
+         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
+         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
+         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(coalesce(lp2, ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V)))), 6) AS mean_lp
+         |FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_unigram_lp" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
          |  FROM documents),

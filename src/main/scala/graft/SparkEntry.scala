@@ -668,6 +668,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM with stupid backoff, trained on the even-doc_id half and
+    // scoring every document — the CCNet-style fluency filter.
+    "q_bigram_lp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("mean_lp"), 6).as("mean_lp"))
+        .orderBy("doc_id")
+    }),
+
     // Mean unigram log-probability under the corpus's own smoothed unigram
     // model — the KenLM-style fluency signal.
     "q_unigram_lp" -> ((s, dir) => {

@@ -267,6 +267,45 @@ object TextAnalysis {
           log(lit(1.0) / (col("__N") + col("__V"))))).as("mean_lp"))
   }
 
+  /** Per-document mean bigram log-probability with stupid backoff
+    * (Brants et al.): lp(w2|w1) = ln(c2(w1 w2)/c1(w1)) when the bigram was
+    * seen in `train`, else ln(alpha * (c1(w2)+1)/(N+V)) — the CCNet-style
+    * LM fluency score, with the model trained on a separate corpus slice so
+    * scoring generalizes. Documents with < 2 tokens emit no row.
+    *
+    * Scale: both model tables are vocabulary-sized aggregates over the
+    * training slice (map-side combined) and broadcast into the scoring
+    * joins; the scored corpus shuffles only for the per-document mean.
+    */
+  def bigramLogProb(df: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.4): DataFrame = {
+    def bigrams(d: DataFrame) =
+      Dedup.wordShingleRows(d, idCol, textCol, 2, dedup = false)
+        .select(col("id"),
+          substring_index(col("shingle"), " ", 1).as("w1"),
+          substring_index(col("shingle"), " ", -1).as("w2"))
+    def unigrams(d: DataFrame) =
+      d.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c1"))
+    val tuni = unigrams(train)
+    val totals = broadcast(tuni.agg(sum(col("c1")).as("__N"), count(lit(1)).as("__V")))
+    val tbi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(tuni.select(col("token").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("c2").cast("double") / col("c1w1")).as("lp2"))
+    bigrams(df)
+      .join(broadcast(tbi), Seq("w1", "w2"), "left")
+      .join(broadcast(tuni.select(col("token").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"), "left")
+      .crossJoin(totals)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(coalesce(col("lp2"),
+          log(lit(alpha) * (coalesce(col("c1w2"), lit(0L)) + 1)
+            / (col("__N") + col("__V"))))).as("mean_lp"))
+  }
+
   /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->
     * acc*B + hash(tok) mod M). base*mod must stay below 2^63 (ANSI mode
     * overflow-checks long multiply): with M = 2^31-1 and B ~ 2^20 the

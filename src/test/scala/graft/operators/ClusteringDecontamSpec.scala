@@ -115,4 +115,23 @@ class ClusteringDecontamSpec extends SparkSpec {
     val exp = math.log(2.0 / (n + v))
     assert(math.abs(out(2L)._2 - exp) < 1e-9, s"${out(2L)._2} vs $exp")
   }
+
+  test("bigramLogProb: seen bigrams beat backoff; hand-checked values") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat"),   // seen bigram: ln(c2/c1(the)) = ln(2/2) = 0
+      (11L, "cat the"),   // unseen bigram -> backoff on c1(the)=2
+      (12L, "zz qq"),     // fully out-of-vocab backoff
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(score, train, "doc_id", "text")
+      .select("id", "n_bigrams", "mean_lp").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // training: N=6 tokens, V=4 distinct (the,cat,sat,ran)
+    assert(out(10L) == ((1L, 0.0)))
+    val backoffThe = math.log(0.4 * (2 + 1) / 10.0)
+    assert(math.abs(out(11L)._2 - backoffThe) < 1e-9)
+    val backoffOov = math.log(0.4 * 1 / 10.0)
+    assert(math.abs(out(12L)._2 - backoffOov) < 1e-9)
+    assert(out(10L)._2 > out(11L)._2 && out(11L)._2 > out(12L)._2)
+  }
 }
