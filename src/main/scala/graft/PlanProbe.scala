@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc physical-plan audit: prints join strategies and shuffle counts
+  * for the named gate queries (all of them when no args). Complements
+  * PlanAuditSpec's sweep-wide invariants when tuning a single operator:
+  *
+  *   sbt "runMain graft.PlanProbe q_bigram_lp q_pack"
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      val plan = df.queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val shuffles =
+        "Exchange hashpartitioning|Exchange rangepartitioning".r.findAllIn(plan).size
+      val unpartWindow = plan.contains("windowspecdefinition()")
+      println(s"$q: broadcastJoins=$bhj sortMergeJoins=$smj " +
+        s"shuffles=$shuffles unpartitionedWindow=$unpartWindow")
+    }
+    spark.stop()
+  }
+}
