@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional data layout.
+  *
+  * Sorting output shards by the interleaved key keeps rows that are close
+  * in EVERY dimension close on disk, so parquet min/max stats prune
+  * multi-predicate range scans (the Delta/Iceberg OPTIMIZE ZORDER effect) —
+  * a 1-D sort constrains only its own column and leaves every other
+  * dimension's per-file range at full width.
+  *
+  * Columns are first scaled to `bits`-bit ranks by min-max normalization
+  * (one tiny aggregate for the bounds); the interleave itself is a fold of
+  * shift/mask terms — pure codegen'd long arithmetic, no UDF.
+  */
+object ZOrder {
+
+  /** Interleave already-quantized non-negative ints (each < 2^bits) —
+    * bit i of column c lands at position i * nCols + c.
+    */
+  def interleave(quantized: Seq[Column], bits: Int): Column = {
+    val n = quantized.size
+    require(n >= 1, "need at least one column")
+    require(bits * n <= 62, s"bits=$bits x $n columns overflows a long")
+    val terms = for {
+      (c, ci) <- quantized.zipWithIndex
+      bit <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), bit).bitwiseAND(1L),
+      bit * n + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Append a `zorder` column interleaving `cols` (numeric), min-max
+    * scaled to `bits` bits each. The bounds aggregate is one tiny job;
+    * constant columns quantize to 0.
+    */
+  def withZOrder(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val bounds = df.agg(
+      min(col(cols.head)).cast("double").as(s"__min0"),
+      (max(col(cols.head)).cast("double")).as(s"__max0")
+        +: cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("double").as(s"__min${i + 1}"),
+            max(col(c)).cast("double").as(s"__max${i + 1}"))
+        }: _*).head()
+    val maxRank = (1L << bits) - 1
+    val quantized = cols.zipWithIndex.map { case (c, i) =>
+      val lo = bounds.getDouble(2 * i)
+      val hi = bounds.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0L)
+      else least(floor((col(c).cast("double") - lo) / (hi - lo) * maxRank)
+        .cast("long"), lit(maxRank))
+    }
+    df.withColumn("zorder", interleave(quantized, bits))
+  }
+}

@@ -107,4 +107,25 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
     shards
   }
+
+  /** [[writeSharded]] ordered by the Z-order (Morton) interleave of
+    * `zCols`: every shard's parquet min/max stats then bound EVERY listed
+    * dimension, so multi-predicate range scans prune files (a 1-D sort
+    * leaves all other dimensions unpruned). The `zorder` key column is
+    * dropped from the written data.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    targetShardBytes: Long = 256L * 1024 * 1024,
+                    bits: Int = 16): Int = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.withZOrder(df, zCols, bits)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val shards = ((estBytes + targetShardBytes - 1) / targetShardBytes)
+      .max(1).min(1 << 20).toInt
+    z.repartitionByRange(shards, col("zorder"))
+      .sortWithinPartitions("zorder")
+      .drop("zorder")
+      .write.mode("overwrite").parquet(path)
+    shards
+  }
 }

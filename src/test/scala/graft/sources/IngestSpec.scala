@@ -136,6 +136,37 @@ class IngestSpec extends SparkSpec {
     assert(ranges.head._1 == 1L && ranges.last._2 == 20000L)
   }
 
+  test("ZOrder.interleave weaves bits; writeZOrdered bounds every dimension") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-checked interleave (bit i of column c at position i*n + c):
+    // a=0b11, b=0b00 -> 0b0101 = 5; a=0b10, b=0b01 -> 0b0110 = 6
+    val bitsDf = Seq((3L, 0L), (2L, 1L)).toDF("a", "b")
+    val z = bitsDf.select(graft.functions.ZOrder.interleave(
+        Seq(col("a"), col("b")), bits = 2)).as[Long].collect().toSeq
+    assert(z == Seq(5L, 6L))
+
+    // a 64x64 grid: z-ordered shards bound BOTH x and y; an x-sort leaves
+    // y at full range in every file
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, "p" * 50)).toDF("x", "y", "pad")
+    val out = Files.createTempDirectory("zord").toString + "/t"
+    val shards = Sinks.writeZOrdered(grid, out, Seq("x", "y"),
+      targetShardBytes = 24L * 1024, bits = 6)
+    assert(shards >= 8, s"want several shards, got $shards")
+    val spans = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // Morton locality: an x-sorted layout leaves y at its full 63 extent
+    // in every file; z-ordered shards keep y tight everywhere, and every
+    // bounding box covers at most ~1/3 of the full area (a shard straddling
+    // a top-level quadrant cut can still span one full dimension)
+    assert(spans.forall { case (_, ys) => ys <= 32 }, spans.mkString(", "))
+    assert(spans.forall { case (xs, ys) => xs * ys <= 63L * 63 / 3 },
+      spans.mkString(", "))
+  }
+
   test("missing mapped columns accumulate errors instead of failing one-by-one") {
     val thinCsv = write(dir.resolve("scada_thin.csv"),
       """Date_time,P_avg
