@@ -545,6 +545,14 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_incr_dedup" ->
+      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 1),
+         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 1),
+         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
+         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
+         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
+         |ORDER BY n.doc_id""".stripMargin,
+
     "q_bigram_lp" -> {
       val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
         "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"

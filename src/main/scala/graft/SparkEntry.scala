@@ -668,6 +668,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental exact dedup: flag a new batch (doc_id % 3 = 1) against a
+    // standing corpus (the rest) plus batch-internal first occurrence.
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactAgainst(docs.filter(col("doc_id") % 3 === 1),
+          docs.filter(col("doc_id") % 3 =!= 1), "text", "doc_id")
+        .select(col("doc_id"), col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram LM with stupid backoff, trained on the even-doc_id half and
     // scoring every document — the CCNet-style fluency filter.
     "q_bigram_lp" -> ((s, dir) => {

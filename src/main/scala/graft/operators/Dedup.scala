@@ -111,33 +111,43 @@ object Dedup {
     * Jaccard estimate from signature agreement. Bucket-local self-join: the
     * shuffle key is (band, band_hash), never an all-pairs cross join.
     */
+  /** MinHash signature table (id, sig: array<long>) — the reusable
+    * near-dup INDEX. Persist this for a standing corpus and dedup incoming
+    * batches against it with [[minHashCandidatesAgainst]].
+    *
+    * Signatures via shingle ROWS + grouped min-aggregates rather than
+    * array-lambda minhashing: higher-order functions are interpreted (no
+    * codegen) and re-evaluate the shingle array per seed. Each exploded
+    * (doc, shingle) row feeds numHashes codegen'd min aggregates with
+    * map-side partial aggregation, so the shuffle carries only
+    * #docs x numHashes longs.
+    * No dedup: min() is duplicate-insensitive, so the distinct shuffle of
+    * fact-grain shingle strings would be pure cost. The numHashes hash
+    * family is DOUBLE HASHING, g_i = h1 + i*h2 over two base xxhash64
+    * values projected once per row — per aggregate the row expression is a
+    * long multiply-add instead of a fresh seeded xxhash64 (numHashes x
+    * #shingleRows hash evaluations saved; the standard MinHash
+    * construction, cf. Kirsch & Mitzenmacher's two-hash scheme).
+    */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5,
+                        numHashes: Int = 128): DataFrame =
+    shingleRows(FanOut(df), idCol, textCol, shingleSize, dedup = false)
+      .select(col("id"), xxhash64(col("shingle")).as("__h1"),
+        xxhash64(col("shingle"), lit(1)).as("__h2"))
+      .groupBy("id")
+      .agg(graft.functions.VectorExprs
+        .minHashSignature(col("__h1"), col("__h2"), numHashes).as("sig"))
+
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 5, numHashes: Int = 128,
                         bands: Int = 32, maxBucketSize: Int = 2000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Signatures via shingle ROWS + grouped min-aggregates rather than
-    // array-lambda minhashing: higher-order functions are interpreted (no
-    // codegen) and re-evaluate the shingle array per seed. Each exploded
-    // (doc, shingle) row feeds numHashes codegen'd min aggregates with
-    // map-side partial aggregation, so the shuffle carries only
-    // #docs x numHashes longs.
-    // No dedup: min() is duplicate-insensitive, so the distinct shuffle of
-    // fact-grain shingle strings would be pure cost. The numHashes hash
-    // family is DOUBLE HASHING, g_i = h1 + i*h2 over two base xxhash64
-    // values projected once per row — per aggregate the row expression is a
-    // long multiply-add instead of a fresh seeded xxhash64 (numHashes x
-    // #shingleRows hash evaluations saved; the standard MinHash
-    // construction, cf. Kirsch & Mitzenmacher's two-hash scheme).
-    val exploded = shingleRows(FanOut(df), idCol, textCol, shingleSize, dedup = false)
-      .select(col("id"), xxhash64(col("shingle")).as("__h1"),
-        xxhash64(col("shingle"), lit(1)).as("__h2"))
     // The signature table is referenced four times below (both self-join
     // sides + both per-pair re-attachments); materialize it once — it is
     // tiny (#docs x numHashes longs) while its lineage (shingling over the
     // full corpus) is not.
-    val sigs = exploded.groupBy("id")
-      .agg(graft.functions.VectorExprs
-        .minHashSignature(col("__h1"), col("__h2"), numHashes).as("sig"))
+    val sigs = minHashSignatures(df, textCol, idCol, shingleSize, numHashes)
       .localCheckpoint(true)
     // Candidate pairs carry ONLY ids through the (possibly huge) bucket
     // self-join — a hot band bucket of n docs emits n^2/2 pair rows, and
@@ -397,6 +407,66 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("block", "id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-corpus MinHash candidates: near-dup pairs between a NEW batch's
+    * signatures and a standing corpus INDEX (both from
+    * [[minHashSignatures]], same shingleSize/numHashes). Returns
+    * (new_id, corpus_id, est_jaccard) for pairs sharing >= 1 band bucket —
+    * the incremental-crawl dedup path: the 100 TB corpus is banded once
+    * and persisted; each incoming batch bands itself and joins on
+    * (band, band_hash), so per-batch cost scales with the BATCH, not the
+    * corpus.
+    */
+  def minHashCandidatesAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+                               numHashes: Int = 128, bands: Int = 32,
+                               maxBucketSize: Int = 2000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame, idName: String) = sigs
+      .select(col("id").as(idName),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bandkey"))
+    val nb = banded(newSigs, "new_id")
+    val cb0 = banded(corpusSigs, "corpus_id")
+    // skew cap on the CORPUS side (boilerplate buckets): same aggregate +
+    // broadcast anti-join shape as the self-join variant
+    val cb = {
+      val hot = cb0.groupBy("bandkey").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize).select("bandkey")
+      cb0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+    }
+    val pairs = nb.join(cb, Seq("bandkey"))
+      .select("new_id", "corpus_id").distinct()
+    pairs
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Incremental exact dedup: flag rows of a NEW batch whose normalized
+    * content already exists in a standing corpus, or earlier (by id) within
+    * the batch itself. The corpus contributes only its DISTINCT fingerprint
+    * set (an aggregate — at 100 TB this is the persisted dedup index, not a
+    * rescan); the batch-internal first-occurrence rule is the same
+    * skew-safe groupBy-min as [[paragraphDedup]], no window over hot
+    * fingerprints.
+    */
+  def exactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val batch = newDf.withColumn("fingerprint", fp)
+    val firsts = batch.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("__first_id"))
+    batch
+      .join(firsts, Seq("fingerprint"))
+      .join(corpusFp, Seq("fingerprint"), "left")
+      .withColumn("is_duplicate",
+        coalesce(col("__in_corpus"), lit(false)) || col(idCol) =!= col("__first_id"))
+      .drop("__first_id", "__in_corpus")
   }
 
   /** Paragraph-level exact dedup (the CCNet / RefinedWeb line-grain rule):

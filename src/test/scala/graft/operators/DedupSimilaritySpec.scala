@@ -130,6 +130,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 6, s"LSH top-1 recall too low: $hits/10")
   }
 
+  test("exactAgainst flags corpus hits and batch-internal dups only") {
+    val corpus = Seq((1L, "existing document one"), (2L, "existing document two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Existing DOCUMENT one!"), // corpus hit after normalization
+      (11L, "fresh content a"),
+      (12L, "fresh content a"),        // batch-internal dup of 11
+      (13L, "fresh content b"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+  }
+
+  test("minHashCandidatesAgainst finds the cross-corpus near-dup only") {
+    val base = ("spark shuffles partition data across the cluster " * 4).trim
+    val corpus = Seq((1L, base), (2L, "a totally different corpus document "
+      + "about wind turbine power curves and meteorology"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " extra"), // near-dup of corpus doc 1
+      (11L, "unrelated fresh text about parquet column pruning and codegen"),
+    ).toDF("doc_id", "text")
+    val cs = Dedup.minHashSignatures(corpus, "text", "doc_id")
+    val ns = Dedup.minHashSignatures(batch, "text", "doc_id")
+    val pairs = Dedup.minHashCandidatesAgainst(ns, cs)
+      .filter($"est_jaccard" > 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)))
+  }
+
   test("cosine handles zero vectors") {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
     assert(df.select(Similarity.cosine($"a", $"b")).head().getDouble(0) == 0.0)
