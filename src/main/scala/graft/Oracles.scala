@@ -545,6 +545,18 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, CAST(tok_start AS BIGINT) AS tok_start,
+        |  array_to_string(toks[tok_start : tok_start + 39], ' ') AS chunk,
+        |  greatest(least(len(toks) - tok_start + 1, 40), 0) AS n_toks
+        |FROM s ORDER BY doc_id, tok_start""".stripMargin,
+
     "q_incr_dedup" ->
       s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 1),
          |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 1),

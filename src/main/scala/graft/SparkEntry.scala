@@ -668,6 +668,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-count chunking (40-token windows, 8-token overlap)
+    "q_chunk_tokens" -> ((s, dir) => {
+      Chunking.chunkRowsByTokens(Tables.documents(s, dir), "text", "doc_id",
+          size = 40, overlap = 8)
+        .select(col("id").as("doc_id"), col("tok_start").cast("long").as("tok_start"),
+          col("chunk"), col("n_toks").cast("long").as("n_toks"))
+        .orderBy("doc_id", "tok_start")
+    }),
+
     // Incremental exact dedup: flag a new batch (doc_id % 3 = 1) against a
     // standing corpus (the rest) plus batch-internal first occurrence.
     "q_incr_dedup" -> ((s, dir) => {

@@ -28,4 +28,31 @@ object Chunking {
       .select(col("id"), col("chunk_start"),
         col("__text").substr(col("chunk_start"), lit(size)).as("chunk"))
   }
+
+  /** Token-count chunking (what context-window budgets are measured in):
+    * split on whitespace, slice the token array every `size - overlap`
+    * tokens, rejoin with single spaces. Same explode + row-local shape as
+    * [[chunkRows]] — slice/array_join stay whole-stage codegen'd, and the
+    * token array is a materialized projection column so the per-chunk
+    * lambda-free slice does not re-tokenize (HOF-nesting rule). Documents
+    * with no tokens yield one empty chunk so no id disappears.
+    */
+  def chunkRowsByTokens(df: DataFrame, textCol: String, idCol: String,
+                        size: Int = 256, overlap: Int = 32): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"bad chunking params size=$size overlap=$overlap")
+    val step = size - overlap
+    val nToks = org.apache.spark.sql.functions.size(col("__toks"))
+    FanOut(df)
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(1), greatest(nToks, lit(1)),
+          lit(step))).as("tok_start"))
+      .select(col("id"), col("tok_start"),
+        array_join(slice(col("__toks"), col("tok_start"), lit(size)), " ")
+          .as("chunk"),
+        greatest(least(nToks - col("tok_start") + 1, lit(size)), lit(0))
+          .as("n_toks"))
+  }
 }

@@ -36,6 +36,28 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(kept.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("chunkRowsByTokens covers every token with the right overlap") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = Chunking.chunkRowsByTokens(df, "text", "doc_id",
+        size = 10, overlap = 2)
+      .orderBy("id", "tok_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts at 1, 9, 17, 25 (step 8)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(1, 9, 17, 25))
+    assert(d1.head._3 == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(d1.head._4 == 10)
+    assert(d1.last._3 == "w25" && d1.last._4 == 1)
+    // chunks re-assemble the doc (drop the 2-token overlaps)
+    val reassembled = d1.map(_._3.split(" ").toSeq)
+      .reduce((a, b) => a ++ b.drop(2)).mkString(" ")
+    assert(reassembled == text)
+    // empty doc keeps its id with an empty chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "" && d2.head._4 == 0)
+  }
+
   test("splitAssign is exhaustive, near-weight, and stable under growth") {
     val out = docs.select($"doc_id",
         Sampling.splitAssign($"doc_id",
