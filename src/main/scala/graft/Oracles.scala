@@ -565,6 +565,23 @@ object Oracles {
          |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
          |ORDER BY n.doc_id""".stripMargin,
 
+    // bloom prefilter is an optimization, not a semantic change: the oracle
+    // is the plain incremental-dedup SQL on the complementary split
+    "q_bloom_incr" ->
+      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 2),
+         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 2),
+         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
+         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
+         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
+         |ORDER BY n.doc_id""".stripMargin,
+
+    "q_topk_stratum" ->
+      """SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id, rnk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 7 ORDER BY stratum, rnk""".stripMargin,
+
     "q_bigram_lp" -> {
       val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
         "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"

@@ -390,6 +390,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exactly-k-per-stratum deterministic sample: bounded top-k-by-md5
+    // aggregate (no per-stratum window sort)
+    "q_topk_stratum" -> ((s, dir) => {
+      Sampling.topKPerStratum(Tables.documents(s, dir), "lang", "doc_id", k = 7)
+        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("stratum", "rnk")
+    }),
+
     // fixed-window chunking with overlap (pre-tokenization splitting)
     "q_chunk" -> ((s, dir) => {
       Chunking.chunkRows(Tables.documents(s, dir), "text", "doc_id",
@@ -511,6 +519,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // SemDeDup: KMeans-clustered embedding space, exact cosine pairs within
+    // each cluster — rows-only (centroids not SQL); spec-gated
+    "q_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      Similarity.semDedupPairs(e, "vec_id", "v", threshold = 0.25, k = 8)
+        .select(col("cluster").cast("long").as("cluster"), col("id_a"),
+          col("id_b"), round(col("cosine"), 5).as("cosine"))
+        .orderBy("cluster", "id_a", "id_b")
     }),
 
     // ---- event-stream operators --------------------------------------------
@@ -687,6 +707,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered incremental dedup: same contract as q_incr_dedup
+    // (the sketch only shrinks the corpus-join input; exact confirm join
+    // resolves false positives) on the complementary batch split.
+    "q_bloom_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomExactAgainst(docs.filter(col("doc_id") % 3 === 2),
+          docs.filter(col("doc_id") % 3 =!= 2), "text", "doc_id")
+        .select(col("doc_id"), col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram LM with stupid backoff, trained on the even-doc_id half and
     // scoring every document — the CCNet-style fluency filter.
     "q_bigram_lp" -> ((s, dir) => {
@@ -774,9 +805,10 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the six rows-only ops
-    * whose hash/centroid internals aren't oracle-expressible (q_mahalanobis,
-    * q_minhash_pairs, q_simhash, q_simhash_neardup, q_lsh_topk, q_ivf_topk).
+  /** DuckDB oracles. Key set == queries key set minus the seven rows-only
+    * ops whose hash/centroid internals aren't oracle-expressible
+    * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
+    * q_lsh_topk, q_ivf_topk, q_semdedup).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

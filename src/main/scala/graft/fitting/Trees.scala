@@ -125,15 +125,22 @@ object Trees {
     }
   }
 
-  /** Random forest: `nTrees` trees on seeded bootstrap resamples, averaged. */
+  /** Random forest: `nTrees` trees on seeded bootstrap resamples, averaged.
+    * With `bootstrap = false` every tree sees the full sample (sklearn
+    * ExtraTreesRegressor's default, machine_learning_setup.py:77-82 "etr"),
+    * and `minLeaf = 1` matches its `min_samples_leaf` default — the
+    * configuration the reference's test_ml_toolkit.py metrics assume.
+    */
   def rfFit(xs: Array[Array[Double]], ys: Array[Double], maxDepth: Int,
-            nTrees: Int, seed: Long): Array[Double] => Double = {
+            nTrees: Int, seed: Long, bootstrap: Boolean = true,
+            minLeaf: Int = 2): Array[Double] => Double = {
     if (xs.isEmpty) return _ => 0.0
     val rng = new scala.util.Random(seed)
     val n = xs.length
+    val all = xs.indices.toArray
     val trees = Array.fill(nTrees) {
-      val boot = Array.fill(n)(rng.nextInt(n))
-      fitTree(xs, ys, boot, maxDepth)
+      val rows = if (bootstrap) Array.fill(n)(rng.nextInt(n)) else all
+      fitTree(xs, ys, rows, maxDepth, minLeaf)
     }
     x => trees.map(_.predict(x)).sum / nTrees
   }

@@ -469,6 +469,45 @@ object Dedup {
       .drop("__first_id", "__in_corpus")
   }
 
+  /** Incremental exact dedup with a Bloom-filter prefilter: same output
+    * contract as [[exactAgainst]] (bloom false positives are resolved by an
+    * exact confirm join, and the filter has no false negatives), but the
+    * corpus-index join only sees batch rows the sketch says MIGHT be known.
+    *
+    * Scale shape: at 100 TB the standing fingerprint index is ~10^9 rows;
+    * joining every new batch against it shuffles the whole batch. The
+    * bloom (built once per index refresh by one tree-aggregation over the
+    * DISTINCT fingerprints; ~1.2 GB at 10^9 items / 1% fpp) broadcasts to
+    * executors and discards the ~99% of genuinely-novel rows row-locally,
+    * so the exact join's left side shrinks to (true dups + fpp of the
+    * batch). The UDF is a deliberate exception to the no-UDF rule: a
+    * branch-free bit probe per row, with the exact join preserving
+    * correctness end-to-end.
+    */
+  def bloomExactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
+                        idCol: String, fpp: Double = 0.01): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
+    val expected = math.max(corpusFp.count(), 1L)
+    val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
+    val mightContain = udf((x: String) => bloom.mightContainString(x))
+
+    val batch = newDf.withColumn("fingerprint", fp)
+    // batch-internal first occurrence: skew-safe groupBy-min, as exactAgainst
+    val firsts = batch.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("__first_id"))
+    // only sketch-positive rows pay the corpus join
+    val candidates = batch.select(col("fingerprint")).distinct()
+      .filter(mightContain(col("fingerprint")))
+      .join(corpusFp.withColumn("__in_corpus", lit(true)), Seq("fingerprint"))
+    batch
+      .join(firsts, Seq("fingerprint"))
+      .join(candidates, Seq("fingerprint"), "left")
+      .withColumn("is_duplicate",
+        coalesce(col("__in_corpus"), lit(false)) || col(idCol) =!= col("__first_id"))
+      .drop("__first_id", "__in_corpus")
+  }
+
   /** Paragraph-level exact dedup (the CCNet / RefinedWeb line-grain rule):
     * split each document on `sepRegex`, drop every paragraph whose
     * normalized content already appeared in an earlier position — globally,

@@ -142,6 +142,45 @@ object Similarity {
       .select("block", "id_a", "id_b", "cosine")
   }
 
+  /** Nearest-centroid assignment over literal centroids by cosine distance:
+    * a row-local codegen'd `least()` over per-centroid struct(dist, idx) —
+    * no shuffle, no per-row window (the KMeansLite.assign2d pattern lifted
+    * to array vectors).
+    */
+  def assignNearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    val n = norm(vec)
+    least(cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val nn = n * lit(cn)
+      val negCos = -(when(nn === 0, 0.0)
+        .otherwise(VectorExprs.dot(vec, typedlit(c.toSeq)) / nn))
+      struct(negCos.as("d"), lit(i).as("cid"))
+    }: _*).getField("cid")
+  }
+
+  /** Semantic deduplication (the SemDeDup pattern: cluster the embedding
+    * space, then search for near-duplicates only WITHIN each cluster):
+    * a sampled driver-side KMeans fit (two jobs, KMeansLite), an exact
+    * row-local cluster assignment, and per-cluster exact cosine pairs at
+    * `threshold` via [[cosineNearDupPairs]].
+    *
+    * Scale shape: the cluster key bounds the quadratic pair term the same
+    * way MinHash bands bound text dedup — with k clusters the expected
+    * per-cluster block is n/k rows, so pair work drops k-fold while keeping
+    * exact cosine semantics inside each semantic neighborhood; raise k as
+    * the corpus grows (FAISS-style sqrt(n) sizing). Cross-cluster
+    * near-duplicates are out of contract (as in the published method).
+    * Returns (cluster, id_a, id_b, cosine).
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 16): DataFrame = {
+    val cents = graft.fitting.KMeansLite.fitVectors(df, vecCol, k, maxIter = 20)
+    val assigned = df
+      .withColumn("__cluster", assignNearestCentroid(col(vecCol), cents))
+    cosineNearDupPairs(assigned, idCol, vecCol, "__cluster", threshold)
+      .withColumnRenamed("block", "cluster")
+  }
+
   /** IVF-style index: KMeans coarse centroids; each corpus row assigned to
     * its nearest centroid; queries probe the `nprobe` nearest centroids and
     * scan only those partitions' rows.

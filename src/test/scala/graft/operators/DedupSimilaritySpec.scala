@@ -144,6 +144,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
   }
 
+  test("bloomExactAgainst matches exactAgainst output exactly") {
+    val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "Corpus DOC number 7!"),   // corpus hit after normalization
+      (102L, "fresh content x"),
+      (103L, "fresh content x"),        // batch-internal dup of 102
+      (104L, "fresh content y"),
+    ).toDF("doc_id", "text")
+    val want = Dedup.exactAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    val got = Dedup.bloomExactAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(got == want)
+    assert(got == Map(101L -> true, 102L -> false, 103L -> true, 104L -> false))
+  }
+
+  test("semDedupPairs finds planted near-dups; pairs agree with exact cosine") {
+    val rng = new scala.util.Random(7)
+    def vec(c: Array[Double], eps: Double) =
+      c.map(x => x + eps * rng.nextGaussian())
+    // two far-apart centers, 20 points each, plus one planted near-dup pair
+    // per center (eps tiny -> cosine ~ 1)
+    val c1 = Array.fill(8)(5.0)
+    val c2 = Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0)
+    val rows =
+      (0 until 20).map(i => (i.toLong, vec(c1, 1.0))) ++
+      (20 until 40).map(i => (i.toLong, vec(c2, 1.0))) ++
+      Seq((100L, c1.map(_ + 1e-3)), (101L, c1.map(_ - 1e-3)),
+        (200L, c2.map(_ + 1e-3)), (201L, c2.map(_ - 1e-3)))
+    val df = rows.toDF("vec_id", "v")
+    val pairs = Similarity.semDedupPairs(df, "vec_id", "v",
+        threshold = 0.9999, k = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((200L, 201L)))
+    // every reported pair is a genuine exact-cosine near-dup (no cluster
+    // artifact can fabricate a pair)
+    val all = Similarity.semDedupPairs(df, "vec_id", "v", threshold = 0.9, k = 2)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val byId = rows.toMap
+    all.foreach { case (a, b, cos) =>
+      val (va, vb) = (byId(a), byId(b))
+      val exact = va.zip(vb).map(t => t._1 * t._2).sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - exact) < 1e-9 && exact >= 0.9)
+    }
+  }
+
   test("minHashCandidatesAgainst finds the cross-corpus near-dup only") {
     val base = ("spark shuffles partition data across the cluster " * 4).trim
     val corpus = Seq((1L, base), (2L, "a totally different corpus document "

@@ -36,6 +36,29 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(kept.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("topKPerStratum returns exactly k smallest-md5 ids per stratum") {
+    val df = (1L to 200L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("lang", "doc_id")
+    val got = Sampling.topKPerStratum(df, "lang", "doc_id", k = 5)
+      .select("stratum", "id", "rnk").as[(String, String, Int)].collect()
+    assert(got.length == 10)
+    assert(got.count(_._1 == "even") == 5 && got.count(_._1 == "odd") == 5)
+    // agrees with the brute-force md5 ordering, rank included
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (stratum <- Seq("even", "odd")) {
+      val want = (1L to 200L)
+        .filter(i => (if (i % 2 == 0) "even" else "odd") == stratum)
+        .map(_.toString).sortBy(id => (md5hex(id), id)).take(5)
+      val gotIds = got.filter(_._1 == stratum).sortBy(_._3).map(_._2).toSeq
+      assert(gotIds == want)
+    }
+    // stable under repartitioning (partial-merge path exercised)
+    val re = Sampling.topKPerStratum(df.repartition(13), "lang", "doc_id", 5)
+      .select("stratum", "id", "rnk").as[(String, String, Int)].collect()
+    assert(re.sortBy(r => (r._1, r._3)).toSeq == got.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("chunkRowsByTokens covers every token with the right overlap") {
     val text = (1 to 25).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")

@@ -1,0 +1,59 @@
+package graft.refvectors
+
+/** Test-support reimplementation of NumPy's legacy `RandomState` double
+  * stream (MT19937 + 53-bit `random_sample`), so reference unit-test inputs
+  * built with `np.random.seed(k); np.random.random(n)` can be regenerated
+  * bit-exactly in Scala specs (e.g. test/unit/test_ml_toolkit.py:14-26).
+  *
+  * Algorithm: standard Mersenne Twister (Matsumoto & Nishimura 1998, public
+  * domain) with NumPy's scalar seeding (`mt19937_seed`: Knuth multiplier
+  * 1812433253 recurrence) and its double construction
+  * `((a >> 5) * 2^26 + (b >> 6)) / 2^53` from two consecutive 32-bit draws.
+  */
+final class NumpyRandom(seed: Long) {
+  private val N = 624
+  private val state = new Array[Int](N)
+  private var pos = N
+
+  {
+    var s = seed & 0xffffffffL
+    var i = 0
+    while (i < N) {
+      state(i) = s.toInt
+      s = (1812433253L * (s ^ (s >>> 30)) + i + 1) & 0xffffffffL
+      i += 1
+    }
+  }
+
+  private def twist(): Unit = {
+    val MAtrix = 0x9908b0df
+    var i = 0
+    while (i < N) {
+      val y = (state(i) & 0x80000000) | (state((i + 1) % N) & 0x7fffffff)
+      state(i) = state((i + 397) % N) ^ (y >>> 1) ^ (if ((y & 1) != 0) MAtrix else 0)
+      i += 1
+    }
+    pos = 0
+  }
+
+  /** Next tempered 32-bit output as an unsigned value in a Long. */
+  def nextUInt32(): Long = {
+    if (pos >= N) twist()
+    var y = state(pos)
+    pos += 1
+    y ^= (y >>> 11)
+    y ^= (y << 7) & 0x9d2c5680
+    y ^= (y << 15) & 0xefc60080
+    y ^= (y >>> 18)
+    y & 0xffffffffL
+  }
+
+  /** NumPy `random_sample()`: uniform double in [0, 1) with 53 random bits. */
+  def nextDouble(): Double = {
+    val a = nextUInt32() >>> 5
+    val b = nextUInt32() >>> 6
+    (a * 67108864.0 + b) / 9007199254740992.0
+  }
+
+  def doubles(n: Int): Array[Double] = Array.fill(n)(nextDouble())
+}
