@@ -565,6 +565,38 @@ object Oracles {
          |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
          |ORDER BY n.doc_id""".stripMargin,
 
+    // first-occurrence key packs (doc_id, pos) into one BIGINT — valid while
+    // positions stay below 10^6 tokens/doc, far above the gate data
+    "q_substr_dedup" -> {
+      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
+      """WITH t AS (SELECT doc_id, TOKS AS toks FROM documents),
+        |w0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        |    THEN [{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')} FOR i IN range(1, len(toks) - 6)]
+        |    ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS u FROM t),
+        |w AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM w0),
+        |firsts AS (SELECT g, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY 1),
+        |dupw AS (SELECT doc_id, pos FROM w JOIN firsts USING (g)
+        |  WHERE doc_id * 1000000 + pos <> fk),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM
+        |  (SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM dupw)),
+        |tok0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 1
+        |    THEN [{'idx': i, 'tok': toks[i]} FOR i IN range(1, len(toks) + 1)]
+        |    ELSE CAST([] AS STRUCT(idx BIGINT, tok VARCHAR)[]) END) AS u FROM t),
+        |tokens AS (SELECT doc_id, u.idx AS idx, u.tok AS tok FROM tok0),
+        |kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tokens tk
+        |  LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.idx = c.idx
+        |  WHERE c.idx IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
+        |  count(*) AS n_tokens_kept FROM kept GROUP BY 1),
+        |ndrop AS (SELECT doc_id, count(*) AS n_tokens_dropped FROM cov GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+        |  coalesce(n.n_tokens_dropped, 0) AS n_tokens_dropped
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN ndrop n USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin.replace("TOKS", toks)
+    },
+
     // bloom prefilter is an optimization, not a semantic change: the oracle
     // is the plain incremental-dedup SQL on the complementary split
     "q_bloom_incr" ->

@@ -707,6 +707,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact substring-span dedup: repeated 8-token spans keep only their
+    // first (doc, pos) occurrence; covered tokens removed, docs rebuilt.
+    "q_substr_dedup" -> ((s, dir) => {
+      Dedup.substringDedup(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_tokens_kept"), col("n_tokens_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered incremental dedup: same contract as q_incr_dedup
     // (the sketch only shrinks the corpus-join input; exact confirm join
     // resolves false positives) on the complementary batch split.

@@ -469,6 +469,66 @@ object Dedup {
       .drop("__first_id", "__in_corpus")
   }
 
+  /** Exact substring-span deduplication (the "deduplicating training data"
+    * rule at span grain): every window of `k` consecutive normalized tokens
+    * that occurs more than once in the corpus keeps only its FIRST
+    * occurrence — ordered by (doc id, position) — and every token covered
+    * by a later duplicate window is removed; documents are rebuilt from the
+    * surviving tokens. A document that is a full copy of an earlier one
+    * rebuilds to empty text; novel prose is untouched because a span must
+    * repeat VERBATIM for k tokens to be cut.
+    *
+    * Scale shape: the window table is one row per token position carrying
+    * an 8-byte gram hash (codegen'd element_at window, no string explode
+    * beyond the grams), the first-occurrence rule is a skew-safe
+    * groupBy(hash).min(struct(id, pos)) partial aggregate, and only
+    * DUPLICATE windows explode to covered token positions (x k on the
+    * duplicated fraction only). The rebuild is the [[paragraphDedup]]
+    * pattern: anti-join covered positions, one groupBy(id) with an
+    * array_sort — no windows over skewed partitions anywhere.
+    * Returns (id, text_dedup, n_tokens_kept, n_tokens_dropped).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol).as("id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("__toks"))
+      .withColumn("__toks", filter(col("__toks"), t => length(t) > 0))
+      .localCheckpoint(true) // read by windows AND the rebuild explode
+    val gram = concat_ws(" ",
+      (0 until k).map(j => element_at(col("__toks"), col("__pos") + j + 1)): _*)
+    val windows = toks
+      .select(col("id"),
+        explode(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))).as("__pos"),
+        col("__toks"))
+      .filter(col("__pos") + k <= size(col("__toks")))
+      .select(col("id"), col("__pos"), xxhash64(gram).as("__g"))
+    val firsts = windows.groupBy("__g")
+      .agg(min(struct(col("id"), col("__pos"))).as("__first"))
+    val dupWindows = windows.join(firsts, Seq("__g"))
+      .filter(col("id") =!= col("__first.id") || col("__pos") =!= col("__first.__pos"))
+      .select(col("id"), col("__pos"))
+    val covered = dupWindows
+      .select(col("id"), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__idx"))
+      .distinct()
+    val tokens = toks
+      .select(col("id"), posexplode(col("__toks")).as(Seq("__idx", "__tok")))
+    val kept = tokens.join(covered, Seq("id", "__idx"), "left_anti")
+    val dropped = covered.groupBy("id").agg(count(lit(1)).as("n_tokens_dropped"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__tok")))).as("__ts"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("__ts"), t => t.getField("__tok"))).as("text_dedup"),
+        size(col("__ts")).cast("long").as("n_tokens_kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_tokens_dropped"), lit(0L)).as("n_tokens_dropped"))
+  }
+
   /** Incremental exact dedup with a Bloom-filter prefilter: same output
     * contract as [[exactAgainst]] (bloom false positives are resolved by an
     * exact confirm join, and the filter has no false negatives), but the

@@ -144,6 +144,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
   }
 
+  test("substringDedup cuts later duplicate spans, keeps first occurrence") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // exactly k=8 tokens
+    val df = Seq(
+      (1L, s"alpha beta $span gamma delta"),      // first occurrence: kept whole
+      (2L, s"other prose here $span trailing bit"), // span cut, rest kept
+      (3L, "completely novel text with no repeats at all"),
+      (4L, s"alpha beta $span gamma delta"),      // full copy of doc 1 -> empty
+      (5L, "short doc"),                           // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", k = 8)
+      .select("id", "text_dedup", "n_tokens_kept", "n_tokens_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == s"alpha beta $span gamma delta" && got(1L)._4 == 0)
+    assert(got(2L)._2 == "other prose here trailing bit" && got(2L)._4 == 8)
+    assert(got(3L)._2 == "completely novel text with no repeats at all")
+    assert(got(4L)._2 == "" && got(4L)._3 == 0 && got(4L)._4 == 12)
+    assert(got(5L)._2 == "short doc" && got(5L)._4 == 0)
+  }
+
   test("bloomExactAgainst matches exactAgainst output exactly") {
     val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i"))
       .toDF("doc_id", "text")
