@@ -33,26 +33,59 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
   ))
 
-  /** Attach a parsed metadata struct from raw bytes (header sniffing —
-    * deterministic, no codec needed for common magic numbers).
+  /** Big-endian unsigned int from `len` bytes at 1-based `off`. */
+  private def beInt(bytes: org.apache.spark.sql.Column, off: Int, len: Int) =
+    conv(hex(substring(bytes, off, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int from `len` bytes at 1-based `off` (reverse
+    * the per-byte hex then one conv — still whole-stage codegen).
+    */
+  private def leInt(bytes: org.apache.spark.sql.Column, off: Int, len: Int) =
+    conv(concat((0 until len).reverse.map(j =>
+      hex(substring(bytes, off + j, 1))): _*), 16, 10).cast("long")
+
+  /** Attach a parsed metadata struct from raw bytes: format sniffing from
+    * magic numbers plus deterministic header-field extraction — PNG IHDR
+    * width/height (big-endian at offset 16), canonical-WAV sample rate /
+    * byte rate / data size (little-endian) — as pure column expressions
+    * (hex + conv, codegen'd; no codec, no UDF). Fields a header doesn't
+    * carry (e.g. JPEG dimensions, which need an SOF marker scan in the
+    * codec) stay null.
     */
   def withSniffedMeta(df: DataFrame, bytesCol: String,
                       metaCol: String = "media_meta"): DataFrame = {
-    val magic = substring(col(bytesCol), 1, 4)
+    val b = col(bytesCol)
+    val magic = substring(b, 1, 4)
     val fmt = when(magic === lit(Array[Byte]((0xFF).toByte, (0xD8).toByte, (0xFF).toByte, (0xE0).toByte)), "jpeg")
-      .when(substring(col(bytesCol), 1, 3) === lit("PNG".getBytes.take(3)), "png")
-      .when(substring(col(bytesCol), 1, 4) === lit("RIFF".getBytes), "wav")
+      // real signature is 0x89 'P' 'N' 'G' 0x0D 0x0A 0x1A 0x0A
+      .when(magic === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "png")
+      .when(magic === lit("RIFF".getBytes), "wav")
       .otherwise("unknown")
     val mediaType = when(fmt.isin("jpeg", "png"), "image")
       .when(fmt === "wav", "audio")
       .when(fmt.isin("mp4", "mkv", "webm"), "video")
       .otherwise(lit(null).cast(StringType))
+    // PNG: 8-byte signature, 4-byte length, "IHDR", then width/height
+    val isPngIhdr = fmt === "png" &&
+      substring(b, 13, 4) === lit("IHDR".getBytes) && length(b) >= 24
+    val width = when(isPngIhdr, beInt(b, 17, 4).cast("int"))
+      .otherwise(lit(null).cast(IntegerType))
+    val height = when(isPngIhdr, beInt(b, 21, 4).cast("int"))
+      .otherwise(lit(null).cast(IntegerType))
+    // canonical 44-byte WAV header: "fmt " at 13, sample rate at 25-28,
+    // byte rate at 29-32, "data" + chunk size at 37-44 (all little-endian)
+    val isCanonWav = fmt === "wav" &&
+      substring(b, 13, 4) === lit("fmt ".getBytes) &&
+      substring(b, 37, 4) === lit("data".getBytes) && length(b) >= 44
+    val sampleRate = when(isCanonWav, leInt(b, 25, 4).cast("int"))
+      .otherwise(lit(null).cast(IntegerType))
+    val durationMs = when(isCanonWav && leInt(b, 29, 4) > 0,
+        floor(leInt(b, 41, 4) * 1000L / leInt(b, 29, 4)).cast("long"))
+      .otherwise(lit(null).cast(LongType))
     df.withColumn(metaCol, struct(
       mediaType.as("media_type"), fmt.as("format"),
-      lit(null).cast(IntegerType).as("width"),
-      lit(null).cast(IntegerType).as("height"),
-      lit(null).cast(LongType).as("duration_ms"),
-      lit(null).cast(IntegerType).as("sample_rate")))
+      width.as("width"), height.as("height"),
+      durationMs.as("duration_ms"), sampleRate.as("sample_rate")))
   }
 
   /** Decode + feature-extract media bytes into a fixed-size float vector,
@@ -78,6 +111,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize/transcode media bytes batched per partition (the image-resize
+    * step of a vision pipeline). Output: input columns + (resized binary,
+    * resize_ok boolean); undecodable payloads pass through with null/false.
+    */
+  def resize(df: DataFrame, bytesCol: String, width: Int, height: Int,
+             codec: MediaCodec = MediaCodec.default,
+             outCol: String = "resized"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(outCol, BinaryType),
+      StructField("resize_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      val c = codec // per-partition codec context, as extractFeatures
+      rows.map { r =>
+        val out = c.resize(r.getAs[Array[Byte]](idx), width, height)
+        Row.fromSeq(r.toSeq ++ Seq(out.orNull, out.isDefined))
+      }
+    }(enc)
+  }
+
   /** Uniform frame/sample selection: emit `n` (offset, chunk) rows per media
     * blob — the explode step of a video-frame or audio-window pipeline.
     */
@@ -97,6 +151,19 @@ object Multimodal {
 trait MediaCodec extends Serializable {
   /** Decode bytes and produce a feature vector, or None if undecodable. */
   def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]]
+
+  /** Decode, resize to (width, height), re-encode; None if undecodable.
+    * The default fake is a deterministic size-proportional byte sample —
+    * NOT a real resampler — standing in for e.g. a JPEG decode + bilinear
+    * resize + encode.
+    */
+  def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty || width <= 0 || height <= 0) None
+    else {
+      val n = math.min(bytes.length, math.max(1, width * height / 64))
+      Some(Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt)))
+    }
+  }
 }
 
 object MediaCodec {

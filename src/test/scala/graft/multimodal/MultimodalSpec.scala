@@ -31,6 +31,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("withSniffedMeta parses PNG IHDR dimensions and WAV header fields") {
+    // canonical PNG: 8-byte signature, IHDR length, "IHDR", width, height
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 0x02, 0x80.toByte) ++ // width 640 (big-endian)
+      Array[Byte](0, 0, 0x01, 0xE0.toByte) ++ // height 480
+      Array.fill[Byte](10)(0)
+    // canonical 44-byte WAV: 16 kHz sample rate, 32 kB/s byte rate,
+    // 64000-byte data chunk -> 2000 ms
+    val wav = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0, 1, 0) ++
+      Array[Byte](0x80.toByte, 0x3E, 0, 0) ++ // sample rate 16000 (LE)
+      Array[Byte](0x00, 0x7D, 0, 0) ++        // byte rate 32000
+      Array[Byte](2, 0, 16, 0) ++ "data".getBytes ++
+      Array[Byte](0x00, 0xFA.toByte, 0, 0) ++ // data size 64000
+      Array.fill[Byte](8)(0)
+    val df = Seq((1L, png), (2L, wav)).toDF("media_id", "bytes")
+    val got = Multimodal.withSniffedMeta(df, "bytes")
+      .select(col("media_id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("media_meta.sample_rate"),
+        col("media_meta.duration_ms"))
+      .as[(Long, String, Option[Int], Option[Int], Option[Int], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "png" && got(1L)._3.contains(640) && got(1L)._4.contains(480))
+    assert(got(2L)._2 == "wav" && got(2L)._5.contains(16000) &&
+      got(2L)._6.contains(2000L))
+    // non-canonical payloads keep null fields, not garbage
+    assert(got(1L)._5.isEmpty && got(2L)._3.isEmpty)
+  }
+
+  test("resize emits per-row transcoded bytes; empty payloads flagged") {
+    val out = Multimodal.resize(media, "bytes", width = 32, height = 16)
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") ->
+      (Option(r.getAs[Array[Byte]]("resized")), r.getAs[Boolean]("resize_ok"))).toMap
+    assert(byId(1L)._2 && byId(1L)._1.get.length == 32 * 16 / 64)
+    assert(byId(2L)._2)
+    assert(!byId(3L)._2 && byId(3L)._1.isEmpty)
+    // deterministic
+    val again = Multimodal.resize(media, "bytes", width = 32, height = 16)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[Array[Byte]]("resized")).map(_.toSeq)).toMap
+    assert(byId.map { case (k, v) => k -> v._1.map(_.toSeq) } == again)
+  }
+
   test("extractFeatures produces fixed-dim vectors; empty payloads flagged") {
     val out = Multimodal.extractFeatures(media, "bytes", featureDim = 16)
     val fi = out.schema.fieldIndex("features")
