@@ -707,6 +707,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer: merges learned from the even-doc_id slice (distributed
+    // word-freq aggregate + driver merge loop), applied to every document —
+    // rows-only (iterative merge learning isn't SQL); BpeSpec pins the
+    // algorithm against hand-computed merges.
+    "q_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
+      graft.functions.Bpe.encode(docs, "text", model)
+        .select(col("doc_id"), col("n_subwords").cast("long").as("n_subwords"),
+          slice(col("subwords"), 1, 5).as("first_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // Exact substring-span dedup: repeated 8-token spans keep only their
     // first (doc, pos) occurrence; covered tokens removed, docs rebuilt.
     "q_substr_dedup" -> ((s, dir) => {

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application for training-data
+  * pipelines (the merge-learning algorithm of Sennrich et al. 2016, the
+  * standard subword scheme).
+  *
+  * Altitude (100 TB): the corpus-scale work is ONE distributed aggregate —
+  * the word-frequency table (explode normalized tokens, groupBy token), whose
+  * output is bounded by the corpus VOCABULARY (~10^6-10^7 rows at web scale),
+  * optionally capped to the top-`vocabCap` words. The merge loop then runs
+  * driver-side over that bounded table: each BPE iteration only recounts
+  * symbol pairs in words CONTAINING the last merge, exactly how reference
+  * tokenizer trainers work — iterating on the cluster would pay a shuffle
+  * per merge (thousands of merges) to move kilobytes, the KMeansLite
+  * pathology. Encoding applies the learned merge ranks row-locally with a
+  * broadcast rank map.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to each word's final symbol, so merges
+    * never cross word boundaries (Sennrich et al.'s `</w>`).
+    */
+  val EndOfWord = "</w>"
+
+  final case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
+    /** rank of each merge pair, lower = earlier = higher priority */
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Encode one word (no whitespace) to subword symbols: start from
+      * characters (+ end marker), repeatedly apply the lowest-rank merge
+      * present until none applies — the standard greedy BPE encoder.
+      */
+    def encodeWord(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      var syms = word.dropRight(1).map(_.toString) :+ (word.last.toString + EndOfWord)
+      var done = syms.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+            syms.drop(bestIdx + 2)
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+
+    def encodeText(text: String): Seq[String] =
+      text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(encodeWord)
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. The distributed part is
+    * the word-frequency aggregate (capped to the `vocabCap` most frequent
+    * words — rare-word tails don't move pair counts); the merge loop is
+    * driver-side over that bounded table with incremental pair-count
+    * updates. Ties break lexicographically for run-to-run determinism.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            vocabCap: Int = 100000): BpeModel = {
+    import graft.operators.TextAnalysis
+    val wordFreq: Array[(String, Long)] = df
+      .select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    BpeModel(trainOnWordFreq(wordFreq, numMerges))
+  }
+
+  /** The driver-side merge loop, exposed for tests: words come pre-counted. */
+  def trainOnWordFreq(wordFreq: Array[(String, Long)],
+                      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // each vocab word as its current symbol sequence + its frequency
+    val words: Array[mutable.ArrayBuffer[String]] = wordFreq.map { case (w, _) =>
+      if (w.isEmpty) mutable.ArrayBuffer.empty[String]
+      else mutable.ArrayBuffer.from(
+        w.dropRight(1).map(_.toString) :+ (w.last.toString + EndOfWord))
+    }
+    val freqs = wordFreq.map(_._2)
+    val pairCounts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    // pair -> word indexes containing it (so a merge only recounts its words)
+    val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCounts(p) += sign * freqs(wi)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWordPairs(_, +1L))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    while (m < numMerges && pairCounts.exists(_._2 > 0)) {
+      // best pair: max count, then lexicographic for determinism
+      val best = pairCounts.filter(_._2 > 0).toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }._1
+      merges += best
+      val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+      affected.foreach { wi =>
+        addWordPairs(wi, -1L) // retract this word's old pairs
+        val s = words(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          if (s(i) == best._1 && s(i + 1) == best._2) {
+            s(i) = s(i) + s(i + 1)
+            s.remove(i + 1)
+          } else i += 1
+        }
+        addWordPairs(wi, +1L) // add back the merged pairs
+      }
+      pairCounts.remove(best)
+      pairWords.remove(best)
+      m += 1
+    }
+    merges.toSeq
+  }
+
+  /** Encode a text column with a trained model: (subwords array<string>,
+    * n_subwords). Row-local; the rank map ships once per executor via the
+    * UDF closure broadcast. A UDF by necessity — greedy iterative merging
+    * has no built-in-expression form — and a documented exception to the
+    * no-UDF rule (cf. Dedup.bloomExactAgainst).
+    */
+  def encode(df: DataFrame, textCol: String, model: BpeModel,
+             outCol: String = "subwords"): DataFrame = {
+    val enc = udf((t: String) =>
+      if (t == null) Seq.empty[String]
+      else model.encodeText(graft.operators.TextAnalysis.normalizeString(t)))
+    df.withColumn(outCol, enc(col(textCol)))
+      .withColumn(s"n_$outCol", size(col(outCol)))
+  }
+}

@@ -31,6 +31,13 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
 
+  /** Plain-Scala twin of [[normalize]] for driver/executor-side string code
+    * (e.g. the BPE encoder); must stay semantically identical.
+    */
+  def normalizeString(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").replaceAll("\\s+", " ").trim
+
   /** 128-bit content fingerprint of the normalized text (hex md5). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training/encoding against hand-computed merges on the classic
+  * low/lower/newest/widest corpus (Sennrich et al. 2016, §3.2 example
+  * shape): pair counts and merge order are derived by hand below, so the
+  * trainer is checked against the algorithm's definition, not itself.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word frequencies as in the classic example
+  private val wordFreq = Array(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("trainOnWordFreq reproduces hand-computed merge order") {
+    // hand counts: newest 6x = n e w e s t</w>, widest 3x = w i d e s t</w>
+    // -> (e,s)=9 ties (s,t</w>)=9, lexicographic -> (e,s) first;
+    // then (es,t</w>)=9; then (l,o)=5+2=7; then the 6-count three-way tie
+    // (e,w)/(n,e)/(w,est</w>) breaks lexicographically to (e,w).
+    val merges = Bpe.trainOnWordFreq(wordFreq, 4)
+    assert(merges == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+  }
+
+  test("encodeWord applies merges greedily by rank") {
+    val model = Bpe.BpeModel(Bpe.trainOnWordFreq(wordFreq, 10))
+    assert(model.encodeWord("newest") == Seq("n", "e", "w", "est</w>") ||
+      model.encodeWord("newest").mkString("|").contains("est</w>"))
+    // "lowest" was never a training word but shares learned units
+    val lowest = model.encodeWord("lowest")
+    assert(lowest.head == "low" || lowest.take(2) == Seq("lo", "w"))
+    assert(lowest.last.endsWith("</w>"))
+    // out-of-vocab characters stay as singletons + end marker
+    assert(model.encodeWord("xyz") == Seq("x", "y", "z</w>"))
+  }
+
+  test("train + encode end-to-end on a DataFrame; counts consistent") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest"),
+    ).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    assert(model.merges.nonEmpty && model.merges.length <= 8)
+    val enc = Bpe.encode(docs, "text", model)
+      .select(col("doc_id"), col("n_subwords"), col("subwords"))
+      .as[(Long, Int, Seq[String])].collect().map(r => r._1 -> r).toMap
+    // every doc encodes; one end marker per source word
+    val wordsPerDoc = Map(1L -> 7, 2L -> 6, 3L -> 3)
+    enc.foreach { case (id, (_, n, subs)) =>
+      assert(n == subs.length && n > 0)
+      assert(subs.count(_.endsWith(Bpe.EndOfWord)) == wordsPerDoc(id))
+    }
+    // with enough merges the most frequent word collapses to one symbol
+    val full = Bpe.BpeModel(Bpe.trainOnWordFreq(wordFreq, 50))
+    assert(full.encodeWord("newest") == Seq("newest" + Bpe.EndOfWord))
+  }
+
+  test("encode matches per-word encoding after normalization") {
+    val model = Bpe.BpeModel(Bpe.trainOnWordFreq(wordFreq, 50))
+    val got = Bpe.encode(Seq((1L, "The LOWEST, newest!")).toDF("doc_id", "text"),
+        "text", model)
+      .select("subwords").as[Seq[String]].head()
+    val want = Seq("the", "lowest", "newest").flatMap(model.encodeWord)
+    assert(got == want)
+  }
+}
