@@ -565,6 +565,14 @@ object Oracles {
          |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
          |ORDER BY n.doc_id""".stripMargin,
 
+    "q_key_skew" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n_rows FROM documents GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS tot FROM documents),
+        |top AS (SELECT source, lang, n_rows,
+        |  row_number() OVER (ORDER BY n_rows DESC, source, lang) AS rank FROM c)
+        |SELECT source, lang, n_rows, round(n_rows::DOUBLE / tot, 6) AS frac_of_total, rank
+        |FROM top, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // first-occurrence key packs (doc_id, pos) into one BIGINT — valid while
     // positions stay below 10^6 tokens/doc, far above the gate data
     "q_substr_dedup" -> {

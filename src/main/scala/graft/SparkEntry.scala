@@ -707,6 +707,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // key-skew heavy-hitter report: the pre-salting diagnostic
+    "q_key_skew" -> ((s, dir) => {
+      Diagnostics.keySkew(Tables.documents(s, dir), Seq("source", "lang"), topN = 10)
+        .select(col("source"), col("lang"), col("n_rows"),
+          col("frac_of_total"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
     // BPE tokenizer: merges learned from the even-doc_id slice (distributed
     // word-freq aggregate + driver merge loop), applied to every document —
     // rows-only (iterative merge learning isn't SQL); BpeSpec pins the

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-distribution diagnostics for pipeline operations at scale: the
+  * numbers you need BEFORE choosing a salt factor, a broadcast threshold,
+  * or an AQE skew setting. Pure aggregates — safe to point at any table.
+  */
+object Diagnostics {
+
+  /** Top-`topN` heaviest key combinations with absolute and relative
+    * weight: (keys..., n_rows, frac_of_total, rank). One skew-safe
+    * partial aggregate over the keys plus a broadcast single-row total —
+    * the heavy-hitter report that decides whether a join needs salting
+    * (a key with frac > ~1/shuffle-partitions will straggle its task).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew needs at least one key column")
+    // deterministic total order: count desc, then every key asc
+    val order = desc("n_rows") +: keyCols.map(asc)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.orderBy(order: _*).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("frac_of_total",
+        round(col("n_rows").cast("double") / col("__total"), 6))
+      .drop("__total")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(order: _*)))
+    // the row_number window runs over topN rows post-limit — bounded, not a
+    // fact-grain window
+  }
+
+  /** Rows per Spark partition: (partition_id, n_rows) — the imbalance view
+    * that catches a bad repartition or a skewed shuffle before it costs a
+    * straggler at scale. Narrow (no shuffle): spark_partition_id is
+    * evaluated where the rows already live.
+    */
+  def partitionStats(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("partition_id")
+}

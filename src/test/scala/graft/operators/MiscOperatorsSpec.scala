@@ -92,4 +92,21 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(rows(0).getLong(0) == rows(0).getLong(1))
     assert(rows(1).getLong(0) != rows(1).getLong(1))
   }
+
+  test("Diagnostics.keySkew ranks heavy keys with fractions") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val got = Diagnostics.keySkew(df, Seq("k"), topN = 2)
+      .select("k", "n_rows", "frac_of_total", "rank")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(("hot", 60L, 0.6, 1), ("warm", 30L, 0.3, 2)))
+  }
+
+  test("Diagnostics.partitionStats accounts for every row") {
+    val df = spark.range(100).repartition(7)
+    val stats = Diagnostics.partitionStats(df.toDF())
+      .as[(Int, Long)].collect()
+    assert(stats.map(_._2).sum == 100L)
+    assert(stats.length <= 7)
+  }
 }
