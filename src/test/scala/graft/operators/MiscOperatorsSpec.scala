@@ -98,8 +98,8 @@ class MiscOperatorsSpec extends SparkSpec {
       .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
     val got = Diagnostics.keySkew(df, Seq("k"), topN = 2)
       .select("k", "n_rows", "frac_of_total", "rank")
-      .as[(String, Long, Double, Int)].collect().toSeq
-    assert(got == Seq(("hot", 60L, 0.6, 1), ("warm", 30L, 0.3, 2)))
+      .as[(String, Long, Double, Long)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq(("hot", 60L, 0.6, 1L), ("warm", 30L, 0.3, 2L)))
   }
 
   test("Diagnostics.partitionStats accounts for every row") {
