@@ -565,6 +565,14 @@ object Oracles {
          |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
          |ORDER BY n.doc_id""".stripMargin,
 
+    // lang cardinality per shard is far below the HLL sparse-mode bound, so
+    // the sketch estimate is exactly the distinct count; the doc_id estimate
+    // is pinned to a 5%-of-exact contract rather than a value
+    "q_shard_profile" ->
+      """SELECT source AS shard, count(*) AS n_rows,
+        |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_key_skew" ->
       """WITH c AS (SELECT source, lang, count(*) AS n_rows FROM documents GROUP BY 1, 2),
         |t AS (SELECT count(*) AS tot FROM documents),

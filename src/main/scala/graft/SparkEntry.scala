@@ -707,6 +707,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-shard profile with mergeable HLL distinct sketches; the oracle
+    // pins exact per-shard counts and that the estimate stays within 5%
+    // of DuckDB's exact distinct (sketch internals aren't SQL, the
+    // tolerance contract is)
+    "q_shard_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prof = Diagnostics.shardProfile(docs, "source", Seq("lang", "doc_id"))
+      val exact = docs.groupBy(col("source").as("shard"))
+        .agg(countDistinct("doc_id").as("exact_docs"))
+      prof.join(exact, Seq("shard"))
+        .select(col("shard"), col("n_rows"), col("lang_distinct"),
+          (abs(col("doc_id_distinct") - col("exact_docs")) <=
+            col("exact_docs") * 0.05).as("docs_est_ok"))
+        .orderBy("shard")
+    }),
+
     // key-skew heavy-hitter report: the pre-salting diagnostic
     "q_key_skew" -> ((s, dir) => {
       Diagnostics.keySkew(Tables.documents(s, dir), Seq("source", "lang"), topN = 10)

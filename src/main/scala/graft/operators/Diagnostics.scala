@@ -38,6 +38,36 @@ object Diagnostics {
     top.join(broadcast(ranks), Seq("__sk")).drop("__sk")
   }
 
+  /** Per-shard corpus profile with MERGEABLE distinct-count sketches:
+    * (shard, n_rows, <col>_sketch binary, <col>_distinct estimate per
+    * requested column). The sketches are DataSketches HLL via the built-in
+    * `hll_sketch_agg` — the point at 100 TB is that shard profiles compute
+    * once, persist as small binaries, and [[mergeProfiles]] unions them
+    * into exact-shape global profiles WITHOUT rescanning the corpus
+    * (overlapping values across shards are not double-counted, which a
+    * sum of per-shard distinct counts would get wrong).
+    */
+  def shardProfile(df: DataFrame, shardCol: String,
+                   distinctCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      distinctCols.flatMap(c => Seq(
+        hll_sketch_agg(col(c)).as(s"${c}_sketch"),
+        hll_sketch_estimate(hll_sketch_agg(col(c))).as(s"${c}_distinct")))
+    df.groupBy(col(shardCol).as("shard")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge shard profiles into one global row: total rows plus the unioned
+    * distinct estimate per column. Input is [[shardProfile]] output (or any
+    * union of such tables from separately-profiled shards).
+    */
+  def mergeProfiles(profiles: DataFrame, distinctCols: Seq[String]): DataFrame = {
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      distinctCols.map(c =>
+        hll_sketch_estimate(hll_union_agg(col(s"${c}_sketch")))
+          .as(s"${c}_distinct"))
+    profiles.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Rows per Spark partition: (partition_id, n_rows) — the imbalance view
     * that catches a bad repartition or a skewed shuffle before it costs a
     * straggler at scale. Narrow (no shuffle): spark_partition_id is

@@ -102,6 +102,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(got == Seq(("hot", 60L, 0.6, 1L), ("warm", 30L, 0.3, 2L)))
   }
 
+  test("Diagnostics shard profiles: accurate per shard, union-mergeable") {
+    // values overlap across shards so a naive sum of per-shard distincts
+    // (3000) would be wrong; the true global distinct is 2000
+    val df = ((1 to 1000).map(v => ("s1", v)) ++
+      (501 to 1500).map(v => ("s2", v)) ++
+      (1001 to 2000).map(v => ("s3", v))).toDF("shard_id", "v")
+    val prof = Diagnostics.shardProfile(df, "shard_id", Seq("v"))
+    val perShard = prof.select("shard", "n_rows", "v_distinct")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, d) => s -> (n, d) }.toMap
+    Seq("s1", "s2", "s3").foreach { s =>
+      assert(perShard(s)._1 == 1000L)
+      assert(math.abs(perShard(s)._2 - 1000L) <= 40, s"$s: ${perShard(s)._2}")
+    }
+    val global = Diagnostics.mergeProfiles(prof, Seq("v"))
+      .select("n_rows", "v_distinct").as[(Long, Long)].head()
+    assert(global._1 == 3000L)
+    assert(math.abs(global._2 - 2000L) <= 80, s"merged: ${global._2}")
+  }
+
   test("Diagnostics.partitionStats accounts for every row") {
     val df = spark.range(100).repartition(7)
     val stats = Diagnostics.partitionStats(df.toDF())
