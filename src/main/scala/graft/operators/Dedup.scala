@@ -545,10 +545,14 @@ object Dedup {
     * correctness end-to-end.
     */
   def bloomExactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
-                        idCol: String, fpp: Double = 0.01): DataFrame = {
+                        idCol: String, fpp: Double = 0.01,
+                        expectedItems: Long = 0L): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
-    val expected = math.max(corpusFp.count(), 1L)
+    // a standing dedup index knows its own size — pass expectedItems to
+    // skip the sizing count (one aggregate job saved per batch)
+    val expected =
+      if (expectedItems > 0) expectedItems else math.max(corpusFp.count(), 1L)
     val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
     val mightContain = udf((x: String) => bloom.mightContainString(x))
 

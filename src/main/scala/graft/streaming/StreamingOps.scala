@@ -154,6 +154,17 @@ object StreamingOps {
         col("__text").substr(col("chunk_start"), lit(chunkSize)).as("chunk"))
   }
 
+  /** Streaming BPE tokenization: apply a PRE-TRAINED merge model (learned
+    * offline by graft.functions.Bpe.train on the standing corpus) to a live
+    * document stream — encoding is a stateless row-local projection, so the
+    * batch encoder runs verbatim per micro-batch; the rank map ships once
+    * per executor in the UDF closure. Retraining stays an offline batch
+    * concern (the same split as MinHash index refresh vs streaming dedup).
+    */
+  def encodeBpeStream(stream: DataFrame, textCol: String,
+                      model: graft.functions.Bpe.BpeModel): DataFrame =
+    graft.functions.Bpe.encode(stream, textCol, model)
+
   /** Streaming decontamination twin of graft.operators.Decontaminate: flag
     * (or drop) streamed documents sharing any word n-gram with a STATIC
     * benchmark set. The benchmark's distinct gram hashes are collected once

@@ -174,6 +174,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("encodeBpeStream applies a pre-trained model per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.functions.Bpe.BpeModel(graft.functions.Bpe.trainOnWordFreq(
+      Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 50))
+    val input = MemoryStream[(Long, String)]
+    val encoded = StreamingOps.encodeBpeStream(
+      input.toDF().toDF("doc_id", "text"), "text", model)
+    val q = encoded.writeStream.format("memory").queryName("bpe_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, "the newest widget"), (2L, "low lower lowest"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, subwords from bpe_out order by doc_id")
+      .as[(Long, Seq[String])].collect().toMap
+    q.stop()
+    // streamed output == batch encoder output for the same model
+    assert(got(1L) == Seq("the", "newest", "widget").flatMap(model.encodeWord))
+    assert(got(2L) == Seq("low", "lower", "lowest").flatMap(model.encodeWord))
+  }
+
   test("sessionAgg groups events into gap-bounded sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
