@@ -852,10 +852,10 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the seven rows-only
-    * ops whose hash/centroid internals aren't oracle-expressible
+  /** DuckDB oracles. Key set == queries key set minus the eight rows-only
+    * ops whose hash/centroid/merge internals aren't oracle-expressible
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
-    * q_lsh_topk, q_ivf_topk, q_semdedup).
+    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }
