@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe: round count + per-round wall for connectedComponents on
+  * the q_cc_dedup candidate graph. Not part of the suite.
+  */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.as("a")
+      .join(docs.as("b"),
+        col("a.source") === col("b.source") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+
+    // replicate connectedComponents with timing per round
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    println(s"edges=${edges.count()}")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    println(s"nodes=${labels.count()}")
+    def labelSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 30) {
+      val t0 = System.nanoTime()
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp").as("comp"))
+      val relaxed = labels.select(col("id").as("id"), col("comp").as("comp"))
+        .union(msgs).groupBy("id").agg(min("comp").as("comp"))
+      val next = relaxed.as("a")
+        .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      iter += 1
+      println(f"round $iter%2d  ${(System.nanoTime() - t0) / 1e9}%.2f s  sum=$s")
+    }
+    spark.stop()
+  }
+}

@@ -32,6 +32,18 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(got.count() == 41L)
   }
 
+  test("driver union-find and distributed propagation agree exactly") {
+    val rng = new scala.util.Random(11)
+    // random graph: 300 nodes, 400 edges -> a mix of chains, cycles, isolates
+    val pairs = Seq.fill(400)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaCluster = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaDriver == viaCluster)
+  }
+
   test("dedupClusters marks non-canonical members; singletons keep own id") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone"))
       .toDF("doc_id", "text")
