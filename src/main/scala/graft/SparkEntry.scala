@@ -707,6 +707,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fuzzy decontamination: MinHash near-match vs the benchmark slice —
+    // rows-only (minhash internals); ClusteringDecontamSpec pins behavior
+    "q_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontaminate.flagFuzzy(docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0))
+        .select(col("doc_id"), round(col("max_est_jaccard"), 5).as("max_est_jaccard"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // per-shard profile with mergeable HLL distinct sketches; the oracle
     // pins exact per-shard counts and that the estimate stays within 5%
     // of DuckDB's exact distinct (sketch internals aren't SQL, the
@@ -852,10 +863,10 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the eight rows-only
+  /** DuckDB oracles. Key set == queries key set minus the nine rows-only
     * ops whose hash/centroid/merge internals aren't oracle-expressible
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
-    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe).
+    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -51,6 +51,33 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** Fuzzy contamination: corpus documents NEAR-duplicating any benchmark
+    * document by MinHash-estimated Jaccard — catches paraphrased or
+    * lightly-edited eval leakage that exact n-gram overlap misses. Reuses
+    * the incremental-dedup signature index ([[Dedup.minHashSignatures]] /
+    * [[Dedup.minHashCandidatesAgainst]]): the benchmark side is tiny, so
+    * its banded signature index is the broadcast side of the candidate
+    * join and the corpus never shuffles at document grain. Returns one row
+    * per corpus document: (idCol, max_est_jaccard, contaminated).
+    */
+  def flagFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                benchIdCol: String = "doc_id", benchTextCol: String = "text",
+                estJaccardThreshold: Double = 0.5): DataFrame = {
+    val corpusSigs = Dedup.minHashSignatures(
+      corpus.select(col(idCol), col(textCol)), textCol, idCol)
+    val benchSigs = Dedup.minHashSignatures(
+      benchmark.select(col(benchIdCol).as(idCol), col(benchTextCol).as(textCol)),
+      textCol, idCol)
+    val hits = Dedup.minHashCandidatesAgainst(corpusSigs, benchSigs)
+      .groupBy(col("new_id").as(idCol))
+      .agg(max(col("est_jaccard")).as("max_est_jaccard"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0.0, Seq("max_est_jaccard"))
+      .withColumn("contaminated", col("max_est_jaccard") >= estJaccardThreshold)
+  }
+
   /** Scrub pass: corpus rows with no benchmark n-gram overlap. The
     * contaminated-id set is tiny, so the exclusion is a broadcastable
     * left_anti join on the id.

@@ -44,6 +44,22 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(viaDriver == viaCluster)
   }
 
+  test("flagFuzzy catches a lightly-edited benchmark copy; clean docs score 0") {
+    val base = ("the quick brown fox jumps over the lazy dog near the river bank " * 6).trim
+    val benchmark = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base + " with a small trailing edit"),  // paraphrase-level leak
+      (2L, "entirely unrelated prose about spark shuffle partitions and " +
+        "catalyst optimizer rules in distributed query engines repeated " +
+        "enough times to form shingles of its own"),
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.flagFuzzy(corpus, benchmark)
+      .orderBy("doc_id")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(got(0)._1 == 1L && got(0)._2 > 0.5 && got(0)._3)
+    assert(got(1)._1 == 2L && got(1)._2 == 0.0 && !got(1)._3)
+  }
+
   test("dedupClusters marks non-canonical members; singletons keep own id") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone"))
       .toDF("doc_id", "text")
