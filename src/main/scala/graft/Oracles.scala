@@ -573,6 +573,14 @@ object Oracles {
         |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // salting is pure physical re-sharding: the oracle is the unsalted join
+    "q_salted_join" ->
+      """WITH dim AS (SELECT source, avg(n_chars) AS src_avg_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, round(dim.src_avg_chars, 6) AS src_avg_chars
+        |FROM documents d LEFT JOIN dim USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_key_skew" ->
       """WITH c AS (SELECT source, lang, count(*) AS n_rows FROM documents GROUP BY 1, 2),
         |t AS (SELECT count(*) AS tot FROM documents),

@@ -707,6 +707,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // salted equi-join: hot source keys spread over 8 salts; output equals
+    // the plain join, which IS the oracle
+    "q_salted_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dim = docs.groupBy("source")
+        .agg(avg(col("n_chars")).as("src_avg_chars"))
+      Skew.saltedEquiJoin(docs, dim, Seq("source"), saltBy = "doc_id",
+          saltFactor = 8, joinType = "left")
+        .select(col("doc_id"), col("source"),
+          round(col("src_avg_chars"), 6).as("src_avg_chars"))
+        .orderBy("doc_id")
+    }),
+
     // fuzzy decontamination: MinHash near-match vs the benchmark slice —
     // rows-only (minhash internals); ClusteringDecontamSpec pins behavior
     "q_fuzzy_decontam" -> ((s, dir) => {

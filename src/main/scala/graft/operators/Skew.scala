@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation as first-class operators. AQE's skew-join split handles
+  * many cases at runtime; explicit salting remains the tool when one join
+  * key dominates so heavily that even split partitions straggle (the
+  * [[Diagnostics.keySkew]] report is the decision input).
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side gets a deterministic salt in
+    * [0, saltFactor) hashed from `saltBy` (any high-cardinality column, e.g.
+    * the row id); the small side is replicated saltFactor times; the join
+    * runs on (keys + salt), spreading each hot key over saltFactor shuffle
+    * partitions. Output equals the plain join exactly — salting is pure
+    * physical re-sharding.
+    *
+    * Join types are restricted to those where replicating the RIGHT side
+    * cannot change semantics (inner / left_outer / left_semi / left_anti:
+    * each big row still meets each matching small row exactly once, under
+    * exactly one salt). right/full-outer would emit unmatched small rows
+    * once per salt — use the unsalted join there.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     saltBy: String, saltFactor: Int = 8,
+                     joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedEquiJoin needs join keys")
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase),
+      s"join type '$joinType' would duplicate unmatched right rows under " +
+        "replication; use the plain join for right/full outer")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -122,6 +122,24 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(global._2 - 2000L) <= 80, s"merged: ${global._2}")
   }
 
+  test("saltedEquiJoin equals the plain join for every allowed join type") {
+    val big = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 20).map(i => ("cold", 1000L + i)) ++
+      (1 to 5).map(i => ("orphan", 2000L + i))).toDF("k", "id")
+    val small = Seq(("hot", 1.0), ("cold", 2.0), ("unused", 9.0)).toDF("k", "w")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = Skew.saltedEquiJoin(big, small, Seq("k"), "id", 8, jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, jt)
+      val p = plain.collect().map(_.toSeq).sortBy(_.mkString(","))
+      val s = salted.collect().map(_.toSeq).sortBy(_.mkString(","))
+      assert(s.toSeq == p.toSeq, s"join type $jt")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(big, small, Seq("k"), "id", 8, "full_outer")
+    }
+  }
+
   test("Diagnostics.partitionStats accounts for every row") {
     val df = spark.range(100).repartition(7)
     val stats = Diagnostics.partitionStats(df.toDF())
