@@ -573,6 +573,20 @@ object Oracles {
         |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_mojibake" -> {
+      val cls = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]"
+      s"""WITH d AS (SELECT doc_id,
+         |    substring(text, 1, 40) || chr(7) || substring(text, 41, 40) || chr(65533) AS dmg,
+         |    text FROM documents)
+         |SELECT doc_id,
+         |  round((length(dmg) - length(regexp_replace(dmg, '$cls', '', 'g')))::DOUBLE
+         |    / length(dmg), 6) AS damaged_score,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE round((length(text) - length(regexp_replace(text, '$cls', '', 'g')))::DOUBLE
+         |      / length(text), 6) END AS clean_score
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     // salting is pure physical re-sharding: the oracle is the unsalted join
     "q_salted_join" ->
       """WITH dim AS (SELECT source, avg(n_chars) AS src_avg_chars

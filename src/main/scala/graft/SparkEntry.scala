@@ -707,6 +707,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // encoding-damage score over deterministically damaged text (a BEL and
+    // a replacement char spliced in), plus the clean-text score (0.0)
+    "q_mojibake" -> ((s, dir) => {
+      val damaged = concat(substring(col("text"), 1, 40), lit("\u0007"),
+        substring(col("text"), 41, 40), lit("\uFFFD"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.mojibakeScore(damaged), 6).as("damaged_score"),
+          round(TextAnalysis.mojibakeScore(col("text")), 6).as("clean_score"))
+        .orderBy("doc_id")
+    }),
+
+    // deflate compression-ratio quality signal — rows-only (no SQL codec)
+    "q_compress_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 4).as("deflate_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // salted equi-join: hot source keys spread over 8 salts; output equals
     // the plain join, which IS the oracle
     "q_salted_join" -> ((s, dir) => {
@@ -876,10 +896,11 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the nine rows-only
-    * ops whose hash/centroid/merge internals aren't oracle-expressible
+  /** DuckDB oracles. Key set == queries key set minus the ten rows-only
+    * ops whose hash/centroid/merge/codec internals aren't oracle-expressible
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
-    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam).
+    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
+    * q_compress_ratio).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

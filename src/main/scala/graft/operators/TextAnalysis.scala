@@ -48,6 +48,45 @@ object TextAnalysis {
         (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
           .cast("double") / length(text))
 
+  /** Encoding-damage ("mojibake") score: fraction of characters that are
+    * U+FFFD replacement chars or C0 controls other than tab/newline/CR —
+    * the residue of double-decoding and byte truncation in web crawls.
+    * Pure regexp length arithmetic, codegen'd; filter on a small threshold
+    * (clean prose scores 0.0).
+    */
+  def mojibakeScore(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(
+        (length(text) - length(regexp_replace(text,
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\uFFFD]", "")))
+          .cast("double") / length(text))
+
+  /** Deflate compression ratio (compressed/raw bytes of UTF-8 text):
+    * templated and repetitive machine-generated pages compress far below
+    * natural prose, making this a standard cheap quality signal. Row-local
+    * UDF by necessity (no built-in codec expression) — a documented
+    * exception to the no-UDF rule, bounded by `capBytes` per row so a
+    * pathological document can't stall a task.
+    */
+  def compressionRatio(text: Column, capBytes: Int = 1 << 20): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.isEmpty) 1.0
+      else {
+        val raw0 = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val raw = if (raw0.length > capBytes) raw0.take(capBytes) else raw0
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished() && n < buf.length) n += d.deflate(buf, n, buf.length - n)
+          n.toDouble / raw.length
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
   /** Ratio of uppercase letters to all letters. */
   def upperRatio(text: Column): Column = {
     val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))

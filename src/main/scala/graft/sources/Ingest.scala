@@ -103,6 +103,30 @@ object PlantMetaConfig {
   */
 object Ingest {
 
+  /** Read a JSONL (newline-delimited JSON) corpus — the standard
+    * training-data interchange format — with an EXPLICIT schema (never
+    * inferred: inference is a full extra pass and drifts with the data)
+    * and malformed-line capture: rows that fail to parse surface in a
+    * `corrupt_record` column instead of being silently dropped, so the
+    * caller can count/quarantine them (PERMISSIVE mode; a 100 TB crawl
+    * always contains breakage, and dropping it silently skews corpora).
+    *
+    * Spark restriction: a query whose REQUIRED schema is only the corrupt
+    * column is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — select data
+    * columns alongside it, or persist the parsed frame before auditing
+    * corruption in isolation.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_record")
+      .json(path)
+  }
+
   /** Read a user CSV for `bucketName` and normalize it: rename user ->
     * canonical per the column map, coerce to the canonical bucket schema,
     * and accumulate (not throw) validation errors. Returns (df, errors).

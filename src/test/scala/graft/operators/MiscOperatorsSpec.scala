@@ -122,6 +122,32 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(global._2 - 2000L) <= 80, s"merged: ${global._2}")
   }
 
+  test("mojibakeScore flags encoding damage; clean prose scores zero") {
+    val df = Seq(
+      ("clean ordinary prose with no damage at all", 0),
+      ("broken mid\u0007stream\uFFFD\u0000text", 3),
+      ("", 0),
+      ("tabs\tand\nnewlines\rare fine", 0),
+    ).toDF("text", "n_bad")
+    val got = df.select(TextAnalysis.mojibakeScore($"text").as("s"), $"n_bad",
+        length($"text").as("len"))
+      .as[(Double, Int, Int)].collect()
+    got.foreach { case (s, nBad, len) =>
+      val want = if (len == 0) 0.0 else nBad.toDouble / len
+      assert(math.abs(s - want) < 1e-12, s"score $s want $want")
+    }
+  }
+
+  test("compressionRatio: repetitive text compresses far below prose") {
+    val repetitive = "spam spam spam " * 200
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val df = Seq(repetitive, prose, "").toDF("text")
+    val got = df.select(TextAnalysis.compressionRatio($"text")).as[Double].collect()
+    assert(got(0) < 0.1, s"repetitive ratio ${got(0)}")
+    assert(got(1) > 0.3, s"prose ratio ${got(1)}")
+    assert(got(2) == 1.0) // empty: defined as 1.0 (no signal)
+  }
+
   test("saltedEquiJoin equals the plain join for every allowed join type") {
     val big = ((1 to 500).map(i => ("hot", i.toLong)) ++
       (1 to 20).map(i => ("cold", 1000L + i)) ++

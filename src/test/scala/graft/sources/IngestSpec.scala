@@ -167,6 +167,34 @@ class IngestSpec extends SparkSpec {
       spans.mkString(", "))
   }
 
+  test("readJsonl parses valid lines, surfaces corrupt ones, drops nothing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"doc_id": 1, "text": "hello world", "lang": "en"}""")
+    w.println("""{"doc_id": 2, "text": "bonjour", "lang": "fr"}""")
+    w.println("""{"doc_id": 3, "text": "truncated""")          // corrupt
+    w.println("""{"doc_id": 4, "lang": "de"}""")               // missing field -> null
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // read full rows (a corrupt-column-only projection is rejected by
+    // Spark, per the operator's scaladoc)
+    val rows = Ingest.readJsonl(spark, f.getAbsolutePath, schema)
+      .select("doc_id", "text", "lang", "corrupt_record")
+      .as[(Option[Long], Option[String], Option[String], Option[String])]
+      .collect()
+    assert(rows.length == 4) // corrupt line kept as a row, not dropped
+    val corrupt = rows.filter(_._4.isDefined)
+    assert(corrupt.length == 1 && corrupt.head._4.get.contains("truncated"))
+    val ok = rows.filter(_._4.isEmpty).map(r => r._1.get -> r._3).toMap
+    assert(ok == Map(1L -> Some("en"), 2L -> Some("fr"), 4L -> Some("de")))
+  }
+
   test("missing mapped columns accumulate errors instead of failing one-by-one") {
     val thinCsv = write(dir.resolve("scada_thin.csv"),
       """Date_time,P_avg
