@@ -573,6 +573,18 @@ object Oracles {
         |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // HUGEINT keeps the boundary test exact (BIGINT would overflow at
+    // dev^2 * (n-1) ~ 1e22)
+    "q_doclen_outlier" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |    sum(n_chars::HUGEINT * n_chars) AS sxx FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  (n > 1 AND
+        |   (d.n_chars::HUGEINT * n - sx) * (d.n_chars::HUGEINT * n - sx) * (n - 1)
+        |     >= 4::HUGEINT * n * (n::HUGEINT * sxx - sx::HUGEINT * sx)) AS len_outlier
+        |FROM documents d JOIN st USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_mojibake" -> {
       val cls = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]"
       s"""WITH d AS (SELECT doc_id,

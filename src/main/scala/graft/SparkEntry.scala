@@ -707,6 +707,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-language document-length outliers: the reference's std_range_flag
+    // pattern (filters.py:112-154) grouped by stratum, with the 2-sigma
+    // boundary test in EXACT integer/decimal arithmetic — (x*n - sx)^2 *
+    // (n-1) >= 4 * n * (n*sxx - sx^2) — so the flag cannot flip on
+    // engine-specific stddev accumulation order
+    "q_doclen_outlier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("sx"),
+        sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
+      val D = DecimalType(38, 0)
+      val dev = (col("n_chars").cast("long") * col("n") - col("sx")).cast(D)
+      val lhs = dev * dev * (col("n") - 1).cast(D)
+      val rhs = lit(4).cast(D) * col("n").cast(D) *
+        (col("n").cast(D) * col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D))
+      docs.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n") > 1 && lhs >= rhs).as("len_outlier"))
+        .orderBy("doc_id")
+    }),
+
     // encoding-damage score over deterministically damaged text (a BEL and
     // a replacement char spliced in), plus the clean-text score (0.0)
     "q_mojibake" -> ((s, dir) => {
