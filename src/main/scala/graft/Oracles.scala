@@ -573,6 +573,29 @@ object Oracles {
         |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        |  || source || '.org' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |  || '/Path/' || CAST(doc_id AS VARCHAR)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |  || '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+        |  || '&fbclid=xyz'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)),
+        |    '^(http://[^/]*):80$', '\1'), '^(https://[^/]*):443$', '\1')
+        |  || substring(url, length(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)) + 1) AS url
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(url,
+        |  '([?&])(utm_[A-Za-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '\1', 'g') AS url FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '\?&+', '?', 'g'),
+        |  '&{2,}', '&', 'g') AS url FROM s3)
+        |SELECT doc_id, regexp_replace(url, '[?&/]+$', '') AS canon_url
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
     // HUGEINT keeps the boundary test exact (BIGINT would overflow at
     // dev^2 * (n-1) ~ 1e22)
     "q_doclen_outlier" ->

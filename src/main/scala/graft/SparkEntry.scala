@@ -647,6 +647,22 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // URL canonicalization over deterministically tracking-decorated URLs
+    "q_url_canon" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        col("source"), lit(".org"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&id="), (col("doc_id") % 11).cast("string"),
+        lit("&fbclid=xyz"),
+        when(col("doc_id") % 4 === 0, "#frag").otherwise(""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Cleanse.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition/quality signals: distinct-token ratio, top
     // 2-gram coverage, duplicate-line fraction (lines synthesized by
     // breaking before each "customer" token — the corpus is single-line).

@@ -83,6 +83,30 @@ object Cleanse {
     regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
   }
 
+  /** Canonicalize a URL for dedup/grouping: drop the fragment, lowercase
+    * scheme+host (path/query case preserved), strip default ports, remove
+    * tracking parameters (utm_*, gclid, fbclid, ref, mc_cid, mc_eid),
+    * collapse the separators they leave behind, and trim a trailing
+    * slash/?/&. Crawl frontiers see the same page under thousands of
+    * tracking-decorated spellings; URL-keyed dedup needs this first. Pure
+    * RE2-safe regexp chain — row-local, codegen'd, engine-portable.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase only scheme://host[:port]
+    val prefix = regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1)
+    val rest = substring(noFrag, length(prefix) + 1, lit(1000000))
+    val loweredPrefix = regexp_replace(
+      regexp_replace(lower(prefix), "^(http://[^/]*):80$", "$1"),
+      "^(https://[^/]*):443$", "$1")
+    val joined = concat(loweredPrefix, rest)
+    val noTrack = regexp_replace(joined,
+      "([?&])(utm_[A-Za-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*", "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(noTrack, "\\?&+", "?"), "&{2,}", "&")
+    regexp_replace(collapsed, "[?&/]+$", "")
+  }
+
   /** Drop rows whose `urlCol`'s registered domain is blocklisted. The
     * blocklist is a dimension table (thousands of rows at most) — joined
     * with an explicit broadcast anti-join so the corpus never shuffles.

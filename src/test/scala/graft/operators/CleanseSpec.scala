@@ -97,4 +97,20 @@ class CleanseSpec extends SparkSpec {
     val got = df.select(TextAnalysis.topNgramFraction(col("text"), 1)).head.getDouble(0)
     assert(math.abs(got - 3.0 / 5) < 1e-12)
   }
+
+  test("canonicalizeUrl strips tracking, fragments, default ports, case") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.ORG:443/Path/7?utm_source=x&id=3&fbclid=z#frag",
+        "https://www.example.org/Path/7?id=3"),
+      ("http://host.com:80/a/?utm_a=1&utm_b=2", "http://host.com/a"),
+      ("https://h.org/p?id=1&ref=tw&x=2", "https://h.org/p?id=1&x=2"),
+      ("https://h.org/p?utm_only=1", "https://h.org/p"),
+      ("https://h.org/", "https://h.org"),
+      ("https://h.org:8080/p", "https://h.org:8080/p"), // non-default port kept
+    )
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("url")
+      .select(Cleanse.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
 }
