@@ -382,6 +382,30 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware canonical selection: like [[dedupClusters]], but the
+    * surviving member of each duplicate cluster is the one with the HIGHEST
+    * `scoreCol` (ties break to the minimum id) instead of the minimum id —
+    * what production dedup actually keeps (drop the boilerplate-ridden
+    * copy, keep the clean one). One skew-safe groupBy(component)
+    * .max(struct(score, -id)) aggregate picks canonicals; no windows.
+    * Requires a numeric id column (the tie-break negates it).
+    */
+  def dedupClustersBy(df: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame, srcCol: String = "id_a",
+                      dstCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    val withComp = df.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol))).drop("comp")
+    // max over (score, -id): highest score wins, then smallest id
+    val best = withComp.groupBy("component")
+      .agg(max(struct(col(scoreCol), (col(idCol) * -1).as("__negid"))).as("__best"))
+      .select(col("component"), (col("__best.__negid") * -1).as("__canonical_id"))
+    withComp.join(best, Seq("component"))
+      .withColumn("is_duplicate", col(idCol) =!= col("__canonical_id"))
+      .withColumnRenamed("__canonical_id", "canonical_id")
+  }
+
   /** Full dedup-clustering pass: attach each row's duplicate-cluster id and
     * an `is_duplicate` flag (true for every row except the minimum-id
     * canonical member of its cluster). Rows in no candidate pair form

@@ -154,6 +154,22 @@ object StreamingOps {
         col("__text").substr(col("chunk_start"), lit(chunkSize)).as("chunk"))
   }
 
+  /** Streaming dedup against a STANDING corpus index via its Bloom filter:
+    * rows whose fingerprint the sketch rules out are definitely novel and
+    * pass; sketch-positives are dropped (or routed to an exact-confirm
+    * batch job downstream — at fpp=1% that's 1% of novel traffic). The
+    * filter is built offline from the corpus (one tree aggregate) and
+    * ships in the UDF closure; the stream side stays a stateless row-local
+    * probe — no state store, no watermark, unlike dropDuplicates which
+    * can only see within-stream history.
+    */
+  def bloomNovelOnly(stream: DataFrame, textCol: String,
+                     bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val mightContain = udf((x: String) => bloom.mightContainString(x))
+    stream.filter(!mightContain(
+      graft.operators.TextAnalysis.fingerprint(col(textCol))))
+  }
+
   /** Streaming BPE tokenization: apply a PRE-TRAINED merge model (learned
     * offline by graft.functions.Bpe.train on the standing corpus) to a live
     * document stream — encoding is a stateless row-local projection, so the

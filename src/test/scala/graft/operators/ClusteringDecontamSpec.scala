@@ -44,6 +44,21 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(viaDriver == viaCluster)
   }
 
+  test("dedupClustersBy keeps the highest-score member, ties to min id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),   // cluster {1,2,3}: 2 wins (tie 2<3)
+      (10L, 0.5), (11L, 0.1),            // cluster {10,11}: 10 wins
+      (20L, 0.7),                        // singleton: canonical of itself
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClustersBy(docs, "doc_id", "quality", pairs)
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (2L, true) && got(2L) == (2L, false) && got(3L) == (2L, true))
+    assert(got(10L) == (10L, false) && got(11L) == (10L, true))
+    assert(got(20L) == (20L, false))
+  }
+
   test("flagFuzzy catches a lightly-edited benchmark copy; clean docs score 0") {
     val base = ("the quick brown fox jumps over the lazy dog near the river bank " * 6).trim
     val benchmark = Seq((100L, base)).toDF("doc_id", "text")

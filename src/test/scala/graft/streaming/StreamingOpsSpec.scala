@@ -174,6 +174,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("bloomNovelOnly passes novel docs, drops corpus-known ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("known document one", "known document two").toDF("text")
+    val bloom = corpus
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .stat.bloomFilter("fp", 100L, 0.001)
+    val input = MemoryStream[(Long, String)]
+    val novel = StreamingOps.bloomNovelOnly(
+      input.toDF().toDF("doc_id", "text"), "text", bloom)
+    val q = novel.writeStream.format("memory").queryName("novel_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, "Known DOCUMENT one!"), // normalizes to a corpus hit
+      (2L, "genuinely fresh content"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id from novel_out").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(2L))
+  }
+
   test("encodeBpeStream applies a pre-trained model per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.functions.Bpe.BpeModel(graft.functions.Bpe.trainOnWordFreq(
