@@ -320,6 +320,27 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "q_lang_quality" -> {
+      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
+      val sl = """CASE lang
+        | WHEN 'fr' THEN ['le','la','les','de','et','un','une','est','que','pour']
+        | WHEN 'de' THEN ['der','die','das','und','ist','ein','eine','mit','von','zu']
+        | WHEN 'es' THEN ['el','la','los','de','y','un','una','es','que','por']
+        | WHEN 'en' THEN ['the','and','of','to','is','in','that','it','for','with']
+        | ELSE ['the','and','of','to','is','in','that','it','for','with'] END""".stripMargin
+      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
+      val stop = s"CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(sl, x))) AS DOUBLE) / len(t) END"
+      s"""WITH base AS (SELECT doc_id, lang, text, $toks AS t, $sl AS sl FROM documents)
+         |SELECT doc_id, lang, round($stop, 6) AS stop_ratio,
+         |  round((((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + (1.0 - least(($punct) * 5.0, 1.0)))
+         |   + least(($stop) * 4.0, 1.0))
+         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+
     "q_ngram_jaccard" ->
       s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, source,

@@ -434,6 +434,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // language-conditioned quality: stopword ratio and quality score judged
+    // against each row's own language's marker list
+    "q_lang_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.stopwordRatioFor(col("text"), col("lang")), 6)
+            .as("stop_ratio"),
+          round(TextAnalysis.qualityScoreFor(col("text"), col("lang")), 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup pairs within source blocks. The default
     // hot-shingle cap (1000) is active — no shingle reaches it at oracle
     // scale, so the result is unchanged, while a skewed corpus stays

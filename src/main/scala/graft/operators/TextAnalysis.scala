@@ -139,6 +139,31 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
   )
 
+  /** Stopword ratio against the marker list of the row's OWN language
+    * (unknown codes fall back to the English list) — the language-aware
+    * core of quality filtering over a multilingual corpus, where judging
+    * French prose by English stopwords systematically under-scores it.
+    * Row-local: the per-language lists ship as one literal map.
+    */
+  def stopwordRatioFor(text: Column, lang: Column): Column = {
+    val toks = filter(split(normalize(text), " "), t => length(t) > 0)
+    val list = coalesce(typedlit(LanguageMarkers).apply(lang),
+      typedlit(LanguageMarkers("en")))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(list, t))).cast("double")
+        / size(toks))
+  }
+
+  /** [[qualityScore]] with the stopword component conditioned on `lang`. */
+  def qualityScoreFor(text: Column, lang: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatioFor(text, lang) * 4.0, lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    (lenScore + punctScore + stopScore + wordScore) / 4.0
+  }
+
   def languageScores(text: Column): Column = {
     val toks = split(normalize(text), " ")
     val entries = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

@@ -122,6 +122,19 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(global._2 - 2000L) <= 80, s"merged: ${global._2}")
   }
 
+  test("stopwordRatioFor judges text by its own language's list") {
+    val df = Seq(
+      ("fr", "le chat est sur la table et le chien"),
+      ("en", "le chat est sur la table et le chien"), // same text, en list
+      ("xx", "the cat is on the table"),              // unknown -> en fallback
+    ).toDF("lang", "text")
+    val got = df.select(TextAnalysis.stopwordRatioFor($"text", $"lang"))
+      .as[Double].collect()
+    assert(got(0) > 0.5, s"fr text under fr list: ${got(0)}") // le,est,la,et,le
+    assert(got(1) < 0.2, s"fr text under en list: ${got(1)}")
+    assert(got(2) > 0.4, s"en fallback: ${got(2)}")
+  }
+
   test("mojibakeScore flags encoding damage; clean prose scores zero") {
     val df = Seq(
       ("clean ordinary prose with no damage at all", 0),
