@@ -611,7 +611,7 @@ object Oracles {
         |  || substring(url, length(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)) + 1) AS url
         |  FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(url,
-        |  '([?&])(utm_[A-Za-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '\1', 'g') AS url FROM s2),
+        |  '([?&])(?i:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '\1', 'g') AS url FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '\?&+', '?', 'g'),
         |  '&{2,}', '&', 'g') AS url FROM s3)
         |SELECT doc_id, regexp_replace(url, '[?&/]+$', '') AS canon_url

@@ -742,11 +742,15 @@ object SparkEntry {
     // engine-specific stddev accumulation order
     "q_doclen_outlier" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val D = DecimalType(38, 0)
+      // sxx accumulates in DECIMAL — a long sum of x^2 (~1e12/row) wraps
+      // silently past ~1e7 rows per stratum, exactly the overflow the
+      // oracle's HUGEINT guards against
       val stats = docs.groupBy("lang").agg(
         count(lit(1)).as("n"),
         sum(col("n_chars").cast("long")).as("sx"),
-        sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
-      val D = DecimalType(38, 0)
+        sum((col("n_chars").cast("long") * col("n_chars").cast("long")).cast(D))
+          .as("sxx"))
       val dev = (col("n_chars").cast("long") * col("n") - col("sx")).cast(D)
       val lhs = dev * dev * (col("n") - 1).cast(D)
       val rhs = lit(4).cast(D) * col("n").cast(D) *

@@ -93,28 +93,50 @@ object Bpe {
     val pairCounts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
     // pair -> word indexes containing it (so a merge only recounts its words)
     val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
-    def addWordPairs(wi: Int, sign: Long): Unit = {
+    def addWordPairs(wi: Int, sign: Long,
+                     touched: mutable.Set[(String, String)] = null): Unit = {
       val s = words(wi)
       var i = 0
       while (i < s.length - 1) {
         val p = (s(i), s(i + 1))
         pairCounts(p) += sign * freqs(wi)
+        if (touched != null) touched += p
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
         i += 1
       }
     }
     words.indices.foreach(addWordPairs(_, +1L))
 
+    // best-pair selection via a lazy-deletion heap: every count change
+    // pushes a fresh entry; stale entries (count no longer current) pop and
+    // drop. A full filter+minBy scan of the pair map per merge is O(P) per
+    // merge — ~1e6+ pairs x thousands of merges of pure driver CPU — while
+    // the heap makes each merge ~O(affected log P), how reference trainers
+    // do it. Ordering: max count, then lexicographic for determinism.
+    val heapOrd = Ordering.by[(Long, String, String), (Long, String, String)] {
+      case (n, a, b) => (n, a, b)
+    }(Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)).reverse
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    pairCounts.foreach { case ((a, b), n) => if (n > 0) heap.enqueue((n, a, b)) }
+
+    def popBest(): Option[(String, String)] = {
+      while (heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        if (n > 0 && pairCounts.getOrElse((a, b), 0L) == n) return Some((a, b))
+      }
+      None
+    }
+
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var m = 0
-    while (m < numMerges && pairCounts.exists(_._2 > 0)) {
-      // best pair: max count, then lexicographic for determinism
-      val best = pairCounts.filter(_._2 > 0).toSeq
-        .minBy { case ((a, b), n) => (-n, a, b) }._1
+    var next = popBest()
+    while (m < numMerges && next.isDefined) {
+      val best = next.get
       merges += best
       val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+      val touched = mutable.Set.empty[(String, String)]
       affected.foreach { wi =>
-        addWordPairs(wi, -1L) // retract this word's old pairs
+        addWordPairs(wi, -1L, touched) // retract this word's old pairs
         val s = words(wi)
         var i = 0
         while (i < s.length - 1) {
@@ -123,11 +145,19 @@ object Bpe {
             s.remove(i + 1)
           } else i += 1
         }
-        addWordPairs(wi, +1L) // add back the merged pairs
+        addWordPairs(wi, +1L, touched) // add back the merged pairs
       }
       pairCounts.remove(best)
       pairWords.remove(best)
+      touched -= best
+      // re-push current counts for every pair whose count moved; stale heap
+      // entries for old counts fail the popBest currency check and drop
+      touched.foreach { p =>
+        val n = pairCounts.getOrElse(p, 0L)
+        if (n > 0) heap.enqueue((n, p._1, p._2))
+      }
       m += 1
+      next = popBest()
     }
     merges.toSeq
   }

@@ -100,8 +100,9 @@ object Cleanse {
       regexp_replace(lower(prefix), "^(http://[^/]*):80$", "$1"),
       "^(https://[^/]*):443$", "$1")
     val joined = concat(loweredPrefix, rest)
+    // (?i:...) on the NAME alternation only — query value case is preserved
     val noTrack = regexp_replace(joined,
-      "([?&])(utm_[A-Za-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*", "$1")
+      "([?&])(?i:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*", "$1")
     val collapsed = regexp_replace(
       regexp_replace(noTrack, "\\?&+", "?"), "&{2,}", "&")
     regexp_replace(collapsed, "[?&/]+$", "")

@@ -628,15 +628,22 @@ object Dedup {
     */
   def bloomExactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
                         idCol: String, fpp: Double = 0.01,
-                        expectedItems: Long = 0L): DataFrame = {
+                        expectedItems: Long = 0L,
+                        prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
-    // a standing dedup index knows its own size — pass expectedItems to
-    // skip the sizing count (one aggregate job saved per batch)
-    val expected =
-      if (expectedItems > 0) expectedItems else math.max(corpusFp.count(), 1L)
-    val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
-    val mightContain = udf((x: String) => bloom.mightContainString(x))
+    // a standing dedup index builds its filter once per refresh and knows
+    // its own size — pass `prebuilt` (and persist corpusFp) so each batch
+    // pays a broadcast probe, not a corpus rescan; without it this call
+    // builds the filter itself (fine for one-shot use, stated plainly)
+    val bloom = prebuilt.getOrElse {
+      val expected =
+        if (expectedItems > 0) expectedItems else math.max(corpusFp.count(), 1L)
+      corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
+    }
+    // null-safe: fingerprint(null text) is null; exactAgainst drops such
+    // rows in its inner join, so "false" (never in corpus) matches it
+    val mightContain = udf((x: String) => x != null && bloom.mightContainString(x))
 
     val batch = newDf.withColumn("fingerprint", fp)
     // batch-internal first occurrence: skew-safe groupBy-min, as exactAgainst

@@ -19,8 +19,17 @@ object Diagnostics {
     require(keyCols.nonEmpty, "keySkew needs at least one key column")
     // deterministic total order: count desc, then every key asc
     val order = desc("n_rows") +: keyCols.map(asc)
-    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
-    val total = df.agg(count(lit(1)).as("__total"))
+    // ONE scan for both the per-key counts and the grand total: grouping
+    // sets ((keys...), ()) emit both from the same aggregate, and
+    // grouping_id() tells the total row (all keys grouped) apart from a
+    // legitimate all-null key combination
+    val totalGid = (1L << keyCols.length) - 1
+    val grouped = df
+      .groupingSets(Seq(keyCols.map(col), Seq.empty), keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), grouping_id().as("__gid"))
+    val counts = grouped.filter(col("__gid") === 0).drop("__gid")
+    val total = grouped.filter(col("__gid") === totalGid)
+      .select(col("n_rows").as("__total"))
     // rank WITHOUT a window (even a bounded one would read as a global
     // WindowExec in a plan audit): the sort key is a struct comparing
     // (-count, keys...) lexicographically, and rank = how many of the topN

@@ -118,10 +118,16 @@ object TextAnalysis {
     * punctuation, presence of stopwords (prose-ness), moderate word length.
     * Heuristic in the spirit of C4/Gopher quality rules.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityBlend(text, stopwordRatio(text))
+
+  /** The shared quality blend over a caller-chosen stopword ratio — keeps
+    * [[qualityScore]] and [[qualityScoreFor]] from silently diverging.
+    */
+  private def qualityBlend(text: Column, stopRatio: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
     val wordLen = meanWordLength(text)
     val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     (lenScore + punctScore + stopScore + wordScore) / 4.0
@@ -155,14 +161,8 @@ object TextAnalysis {
   }
 
   /** [[qualityScore]] with the stopword component conditioned on `lang`. */
-  def qualityScoreFor(text: Column, lang: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatioFor(text, lang) * 4.0, lit(1.0))
-    val wordLen = meanWordLength(text)
-    val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    (lenScore + punctScore + stopScore + wordScore) / 4.0
-  }
+  def qualityScoreFor(text: Column, lang: Column): Column =
+    qualityBlend(text, stopwordRatioFor(text, lang))
 
   def languageScores(text: Column): Column = {
     val toks = split(normalize(text), " ")

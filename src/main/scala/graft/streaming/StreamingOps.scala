@@ -165,7 +165,9 @@ object StreamingOps {
     */
   def bloomNovelOnly(stream: DataFrame, textCol: String,
                      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val mightContain = udf((x: String) => bloom.mightContainString(x))
+    // null-safe: a null-text row fingerprints to null and passes as novel
+    // (a crashing UDF would kill the whole streaming query)
+    val mightContain = udf((x: String) => x != null && bloom.mightContainString(x))
     stream.filter(!mightContain(
       graft.operators.TextAnalysis.fingerprint(col(textCol))))
   }

@@ -107,6 +107,7 @@ class CleanseSpec extends SparkSpec {
       ("https://h.org/p?utm_only=1", "https://h.org/p"),
       ("https://h.org/", "https://h.org"),
       ("https://h.org:8080/p", "https://h.org:8080/p"), // non-default port kept
+      ("https://h.org/p?UTM_Source=x&id=1", "https://h.org/p?id=1"), // case-insensitive names
     )
     import spark.implicits._
     val got = cases.map(_._1).toDF("url")

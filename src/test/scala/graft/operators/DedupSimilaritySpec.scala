@@ -178,6 +178,15 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
     assert(got == want)
     assert(got == Map(101L -> true, 102L -> false, 103L -> true, 104L -> false))
+    // null text must not crash the bloom probe (exactAgainst drops such
+    // rows in its inner join; the bloom variant must match, not NPE)
+    val withNull = batch.union(Seq((105L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val wantN = Dedup.exactAgainst(withNull, corpus, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    val gotN = Dedup.bloomExactAgainst(withNull, corpus, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(gotN == wantN)
   }
 
   test("semDedupPairs finds planted near-dups; pairs agree with exact cosine") {

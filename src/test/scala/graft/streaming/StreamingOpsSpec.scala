@@ -186,11 +186,12 @@ class StreamingOpsSpec extends SparkSpec {
     val q = novel.writeStream.format("memory").queryName("novel_out")
       .outputMode(OutputMode.Append).start()
     input.addData((1L, "Known DOCUMENT one!"), // normalizes to a corpus hit
-      (2L, "genuinely fresh content"))
+      (2L, "genuinely fresh content"),
+      (3L, null)) // null text must pass as novel, not kill the stream
     q.processAllAvailable()
     val got = spark.sql("select doc_id from novel_out").as[Long].collect().toSet
     q.stop()
-    assert(got == Set(2L))
+    assert(got == Set(2L, 3L))
   }
 
   test("encodeBpeStream applies a pre-trained model per micro-batch") {
