@@ -505,7 +505,8 @@ object SparkEntry {
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       val q = e.filter(col("vec_id") < 20)
-      Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 10, tables = 4)
+      Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 10, tables = 4,
+        dims = 64)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -832,14 +833,16 @@ object SparkEntry {
     // BPE tokenizer: merges learned from the even-doc_id slice (distributed
     // word-freq aggregate + driver merge loop), applied to every document —
     // rows-only (iterative merge learning isn't SQL); BpeSpec pins the
-    // algorithm against hand-computed merges.
+    // algorithm against hand-computed merges. Scalar columns only: the
+    // harness's pandas comparator cannot sort/hash array cells, so the
+    // leading subwords are serialized with concat_ws.
     "q_bpe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val model = graft.functions.Bpe.train(
         docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
       graft.functions.Bpe.encode(docs, "text", model)
         .select(col("doc_id"), col("n_subwords").cast("long").as("n_subwords"),
-          slice(col("subwords"), 1, 5).as("first_subwords"))
+          concat_ws(" ", slice(col("subwords"), 1, 5)).as("first_subwords"))
         .orderBy("doc_id")
     }),
 

@@ -47,11 +47,16 @@ object ZOrder {
         }: _*).head()
     val maxRank = (1L << bits) - 1
     val quantized = cols.zipWithIndex.map { case (c, i) =>
+      // empty input / all-null column: the min/max aggregate returns null —
+      // quantize to 0, the same degenerate path as a constant column
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val lo = bounds.getDouble(2 * i)
       val hi = bounds.getDouble(2 * i + 1)
       if (hi <= lo) lit(0L)
       else least(floor((col(c).cast("double") - lo) / (hi - lo) * maxRank)
         .cast("long"), lit(maxRank))
+      }
     }
     df.withColumn("zorder", interleave(quantized, bits))
   }

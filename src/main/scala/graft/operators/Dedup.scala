@@ -18,12 +18,24 @@ object Dedup {
 
   /** Exact dedup on normalized content: keeps the lowest `idCol` per
     * fingerprint group. Returns the input plus (fingerprint, is_duplicate).
+    * Assumes ids are unique (rows tying on the group-min id all read as
+    * canonical).
+    *
+    * Scale shape: groupBy(fingerprint).min(id) + join — a partial aggregate
+    * that map-side-combines a fingerprint duplicated 10^8 times down to one
+    * row per partition, where a row_number window over the same key would
+    * sort the entire hot group in a single task. Null text (null
+    * fingerprint) forms its own group via the null-safe join key instead of
+    * silently dropping.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    df.withColumn("fingerprint", fp)
-      .withColumn("is_duplicate", row_number().over(w) > 1)
+    val batch = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val firsts = batch.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("__first_id"))
+      .withColumnRenamed("fingerprint", "__fp")
+    batch.join(firsts, col("fingerprint") <=> col("__fp"))
+      .withColumn("is_duplicate", !(col(idCol) <=> col("__first_id")))
+      .drop("__fp", "__first_id")
   }
 
   /** Character shingles (n-grams) of the normalized text as an array column. */
@@ -528,21 +540,28 @@ object Dedup {
     * rescan); the batch-internal first-occurrence rule is the same
     * skew-safe groupBy-min as [[paragraphDedup]], no window over hot
     * fingerprints.
+    *
+    * Null text (null fingerprint): such rows dedup among themselves within
+    * the batch (first by id is canonical) via the null-safe join key, and
+    * are never matched against the corpus — every batch row gets a verdict,
+    * none silently drop. [[bloomExactAgainst]] shares this contract.
     */
   def exactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
                    idCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
+    val corpusFp = corpus.select(fp.as("__fp_c"))
+      .filter(col("__fp_c").isNotNull).distinct()
       .withColumn("__in_corpus", lit(true))
     val batch = newDf.withColumn("fingerprint", fp)
     val firsts = batch.groupBy("fingerprint")
       .agg(min(col(idCol)).as("__first_id"))
+      .withColumnRenamed("fingerprint", "__fp_f")
     batch
-      .join(firsts, Seq("fingerprint"))
-      .join(corpusFp, Seq("fingerprint"), "left")
+      .join(firsts, col("fingerprint") <=> col("__fp_f"))
+      .join(corpusFp, col("fingerprint") === col("__fp_c"), "left")
       .withColumn("is_duplicate",
-        coalesce(col("__in_corpus"), lit(false)) || col(idCol) =!= col("__first_id"))
-      .drop("__first_id", "__in_corpus")
+        coalesce(col("__in_corpus"), lit(false)) || !(col(idCol) <=> col("__first_id")))
+      .drop("__fp_f", "__fp_c", "__first_id", "__in_corpus")
   }
 
   /** Exact substring-span deduplication (the "deduplicating training data"
@@ -551,11 +570,17 @@ object Dedup {
     * occurrence — ordered by (doc id, position) — and every token covered
     * by a later duplicate window is removed; documents are rebuilt from the
     * surviving tokens. A document that is a full copy of an earlier one
-    * rebuilds to empty text; novel prose is untouched because a span must
-    * repeat VERBATIM for k tokens to be cut.
+    * rebuilds to empty text.
+    *
+    * Duplicate windows are keyed on a 96-bit composite hash of the gram
+    * (xxhash64 + murmur3), NOT the verbatim string: a verbatim confirm
+    * would shuttle k-token gram strings through a fact-grain join, while at
+    * the 100 TB north star (~10^13 windows) the birthday bound on 96 bits
+    * is ~10^26/2^97 ≈ 6e-4 expected collisions — a hash-collision
+    * approximation, stated plainly, with effectively zero wrongful cuts.
     *
     * Scale shape: the window table is one row per token position carrying
-    * an 8-byte gram hash (codegen'd element_at window, no string explode
+    * a 12-byte gram hash (codegen'd element_at window, no string explode
     * beyond the grams), the first-occurrence rule is a skew-safe
     * groupBy(hash).min(struct(id, pos)) partial aggregate, and only
     * DUPLICATE windows explode to covered token positions (x k on the
@@ -584,10 +609,11 @@ object Dedup {
         explode(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))).as("__pos"),
         col("__toks"))
       .filter(col("__pos") + k <= size(col("__toks")))
-      .select(col("id"), col("__pos"), xxhash64(gram).as("__g"))
-    val firsts = windows.groupBy("__g")
+      .select(col("id"), col("__pos"),
+        xxhash64(gram).as("__g"), hash(gram).as("__g2"))
+    val firsts = windows.groupBy("__g", "__g2")
       .agg(min(struct(col("id"), col("__pos"))).as("__first"))
-    val dupWindows = windows.join(firsts, Seq("__g"))
+    val dupWindows = windows.join(firsts, Seq("__g", "__g2"))
       .filter(col("id") =!= col("__first.id") || col("__pos") =!= col("__first.__pos"))
       .select(col("id"), col("__pos"))
     val covered = dupWindows
@@ -631,7 +657,8 @@ object Dedup {
                         expectedItems: Long = 0L,
                         prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
+    val corpusFp = corpus.select(fp.as("fingerprint"))
+      .filter(col("fingerprint").isNotNull).distinct()
     // a standing dedup index builds its filter once per refresh and knows
     // its own size — pass `prebuilt` (and persist corpusFp) so each batch
     // pays a broadcast probe, not a corpus rescan; without it this call
@@ -641,24 +668,27 @@ object Dedup {
         if (expectedItems > 0) expectedItems else math.max(corpusFp.count(), 1L)
       corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
     }
-    // null-safe: fingerprint(null text) is null; exactAgainst drops such
-    // rows in its inner join, so "false" (never in corpus) matches it
+    // fingerprint(null text) is null → never in corpus, matching the
+    // exactAgainst null contract (batch-internal dedup only)
     val mightContain = udf((x: String) => x != null && bloom.mightContainString(x))
 
     val batch = newDf.withColumn("fingerprint", fp)
-    // batch-internal first occurrence: skew-safe groupBy-min, as exactAgainst
+    // batch-internal first occurrence: skew-safe groupBy-min, as exactAgainst;
+    // the null-safe join key keeps null-fingerprint rows in the output
     val firsts = batch.groupBy("fingerprint")
       .agg(min(col(idCol)).as("__first_id"))
+      .withColumnRenamed("fingerprint", "__fp_f")
     // only sketch-positive rows pay the corpus join
     val candidates = batch.select(col("fingerprint")).distinct()
       .filter(mightContain(col("fingerprint")))
       .join(corpusFp.withColumn("__in_corpus", lit(true)), Seq("fingerprint"))
+      .withColumnRenamed("fingerprint", "__fp_c")
     batch
-      .join(firsts, Seq("fingerprint"))
-      .join(candidates, Seq("fingerprint"), "left")
+      .join(firsts, col("fingerprint") <=> col("__fp_f"))
+      .join(candidates, col("fingerprint") === col("__fp_c"), "left")
       .withColumn("is_duplicate",
-        coalesce(col("__in_corpus"), lit(false)) || col(idCol) =!= col("__first_id"))
-      .drop("__first_id", "__in_corpus")
+        coalesce(col("__in_corpus"), lit(false)) || !(col(idCol) <=> col("__first_id")))
+      .drop("__fp_f", "__fp_c", "__first_id", "__in_corpus")
   }
 
   /** Paragraph-level exact dedup (the CCNet / RefinedWeb line-grain rule):

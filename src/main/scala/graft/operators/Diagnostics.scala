@@ -79,8 +79,10 @@ object Diagnostics {
 
   /** Rows per Spark partition: (partition_id, n_rows) — the imbalance view
     * that catches a bad repartition or a skewed shuffle before it costs a
-    * straggler at scale. Narrow (no shuffle): spark_partition_id is
-    * evaluated where the rows already live.
+    * straggler at scale. The count is map-side partial (one row per input
+    * partition survives the partial aggregate); the final aggregate still
+    * exchanges those single rows — one tiny shuffle of n_partitions rows,
+    * not a fact-grain one.
     */
   def partitionStats(df: DataFrame): DataFrame =
     df.groupBy(spark_partition_id().as("partition_id"))

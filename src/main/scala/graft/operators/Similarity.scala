@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExprs
@@ -36,9 +35,60 @@ object Similarity {
     when(nn === 0, 0.0).otherwise(d / nn)
   }
 
+  /** Bounded top-k buffer over (negated cosine, neighbor id) pairs: keeps
+    * the k smallest keys, i.e. the k highest cosines with neighbor-id-asc
+    * tie-breaking. Runs as an object-hash aggregate with map-side partial
+    * merge, so ranking a query against 10^9 scored candidates costs each
+    * task a k-entry buffer — never a single-task sort of the full scored
+    * corpus (the row_number-window formulation puts candidates-per-query =
+    * n rows in ONE task's sort at scale). Same pattern as
+    * [[Sampling.topKPerStratum]].
+    */
+  private final class TopKPairs(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord = implicitly[Ordering[(Double, Long)]]
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.length < k) (buf :+ in).sorted
+      else if (ord.lt(in, buf.last)) (buf.init :+ in).sorted
+      else buf
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted.take(k)
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Rank scored (query_id, neighbor_id, cosine) candidates to exact top-k
+    * per query — cosine desc, neighbor_id asc — via the bounded [[TopKPairs]]
+    * aggregate. Double negation is exact (sign flips twice), so emitted
+    * cosines are bit-identical to the input. Requires an integral neighbor
+    * id (every graft table id is int64); `idType` restores the original
+    * column type.
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val topk = udaf(new TopKPairs(k))
+    scored
+      .select(col("query_id"), (-col("cosine")).as("__negcos"),
+        col("neighbor_id").cast("long").as("__nid"))
+      .groupBy("query_id")
+      .agg(topk(col("__negcos"), col("__nid")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"),
+        col("__e._2").cast(idType).as("neighbor_id"),
+        (-col("__e._1")).as("cosine"),
+        (col("__pos") + 1).as("rank"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k most similar
-    * corpus rows (excluding self-matches on id). Queries are broadcast;
-    * ranking shuffles on query id only.
+    * corpus rows (excluding self-matches on id). Queries are broadcast; the
+    * corpus streams once and ranking is the bounded [[rankTopK]] aggregate —
+    * a map-side k-entry buffer per query, no per-query sort of the scored
+    * corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -53,10 +103,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         when(nn === 0, 0.0).otherwise(dot(col("__qv"), col("__cv")) / nn))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Deterministic +-1 hyperplane weights (bits x dims), derived driver-side
@@ -88,15 +135,18 @@ object Similarity {
     * Scale shape: ONLY ids transit the (table, bucket) candidate join; the
     * pair set is deduped before vectors re-attach (queries broadcast, corpus
     * joined once on neighbor_id), so a hot bucket explodes id pairs, not
-    * vector payloads.
+    * vector payloads. Pass `dims` explicitly (it's the embedding pipeline's
+    * own constant) — the default 0 falls back to a one-row probe job.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims
+      else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
     def bucketed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"),
           array((0 until tables).map(t =>
-            hyperplaneBucket(col(vecCol), dims, bits, seed = 42 + 7919 * t)): _*).as("__buckets"))
+            hyperplaneBucket(col(vecCol), d, bits, seed = 42 + 7919 * t)): _*).as("__buckets"))
         .select(col(s"${side}_id"), posexplode(col("__buckets")).as(Seq("table", "bucket")))
     val candIds = bucketed(FanOut(corpus), "neighbor")
       .join(bucketed(queries, "query"), Seq("table", "bucket"))
@@ -108,13 +158,13 @@ object Similarity {
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val nn = col("__qn") * col("__cn")
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    candIds.join(qv, Seq("query_id"))
+    // bounded ranking: a hot bucket inflates the candidate set, and a
+    // per-query row_number window would sort it in one task
+    val scored = candIds.join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(nn === 0, 0.0).otherwise(dot(col("__qv"), col("__cv")) / nn).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Embedding-cosine near-duplicate pairs within blocking groups: all
@@ -227,13 +277,15 @@ object Similarity {
         explode(col("__probes").getField("cid")).as("centroid_id"))
 
     val nn = col("__qn") * col("__cn")
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    cv.join(broadcast(qAssign), Seq("centroid_id"))
+    // a probed partition holds ~n/nlist corpus rows, so candidates-per-query
+    // is O(n * nprobe / nlist): ranking must be the bounded aggregate, not a
+    // per-query sort of that set
+    val scored = cv.join(broadcast(qAssign), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(nn === 0, 0.0).otherwise(dot(col("__qv"), col("__cv")) / nn).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   // ---- int8 quantization (the ANN memory/bandwidth scale path) -------------

@@ -202,8 +202,11 @@ object TextAnalysis {
 
   /** Per-document top-k terms by tf-idf (idf = ln(N / df), raw tf), with
     * deterministic (score desc, token asc) tie-breaking. The idf table is
-    * vocabulary-sized — broadcast side of the join — and the per-doc ranking
-    * windows on (id), each document's term list being vocabulary-bounded.
+    * vocabulary-sized — a function of CORPUS size, so it carries no forced
+    * broadcast hint: AQE broadcasts it when it measures small and degrades
+    * to a shuffle join when a web-scale vocabulary doesn't fit an executor.
+    * The per-doc ranking windows on (id), each document's term list being
+    * vocabulary-bounded.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
@@ -218,7 +221,7 @@ object TextAnalysis {
       .withColumn("idf", log(lit(n) / col("df")))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(broadcast(idf), Seq("token"))
+    tf.join(idf, Seq("token"))
       .withColumn("score", col("tf") * col("idf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -312,9 +315,11 @@ object TextAnalysis {
     *
     * Scale: the unigram model IS [[vocabulary]] (one map-side-combined
     * aggregate, vocabulary-sized output); scoring joins the exploded token
-    * table against it on the token — the model side is vocabulary-sized and
-    * broadcastable, the corpus never shuffles at token grain beyond the
-    * per-doc mean aggregate on id.
+    * table against it on the token. The model is corpus-derived — unbounded
+    * at web scale — so the join carries NO forced broadcast hint: AQE
+    * broadcasts when the measured size is small, shuffles otherwise. Only
+    * the 1-row totals aggregate keeps a hint. The corpus never shuffles at
+    * token grain beyond the per-doc mean aggregate on id.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      minCount: Long = 1L): DataFrame = {
@@ -330,7 +335,7 @@ object TextAnalysis {
       .select(col("token"),
         log((col("tf") + 1).cast("double") / (col("__N") + col("__V"))).as("lp"))
     // unknown tokens (below minCount) take the smoothed zero-count mass
-    toks.join(broadcast(model), Seq("token"), "left")
+    toks.join(model, Seq("token"), "left")
       .crossJoin(totals)
       .groupBy("id")
       .agg(count(lit(1)).as("n_toks"),
@@ -344,9 +349,11 @@ object TextAnalysis {
     * LM fluency score, with the model trained on a separate corpus slice so
     * scoring generalizes. Documents with < 2 tokens emit no row.
     *
-    * Scale: both model tables are vocabulary-sized aggregates over the
-    * training slice (map-side combined) and broadcast into the scoring
-    * joins; the scored corpus shuffles only for the per-document mean.
+    * Scale: both model tables are aggregates over the training slice
+    * (map-side combined) whose size grows with the corpus — a web-corpus
+    * bigram table is tens of GB — so the scoring joins carry NO forced
+    * broadcast hints (AQE picks broadcast only when the measured model is
+    * small); the scored corpus shuffles only for the per-document mean.
     */
   def bigramLogProb(df: DataFrame, train: DataFrame, idCol: String,
                     textCol: String, alpha: Double = 0.4): DataFrame = {
@@ -366,8 +373,8 @@ object TextAnalysis {
       .select(col("w1"), col("w2"),
         log(col("c2").cast("double") / col("c1w1")).as("lp2"))
     bigrams(df)
-      .join(broadcast(tbi), Seq("w1", "w2"), "left")
-      .join(broadcast(tuni.select(col("token").as("w2"), col("c1").as("c1w2"))),
+      .join(tbi, Seq("w1", "w2"), "left")
+      .join(tuni.select(col("token").as("w2"), col("c1").as("c1w2")),
         Seq("w2"), "left")
       .crossJoin(totals)
       .groupBy("id")

@@ -40,6 +40,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("LM/tf-idf plans force no broadcast of corpus-derived model tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    // the ONLY broadcast hints allowed in these plans are the 1-row totals
+    // aggregates: a vocabulary/bigram model table is a function of corpus
+    // size, and a forced hint makes an impossible broadcast at 100 TB
+    // where AQE would have degraded to a shuffle join
+    for (q <- Seq("q_unigram_lp", "q_bigram_lp", "q_tfidf_topk")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      plan.foreach {
+        case j: Join =>
+          for ((hint, side) <- Seq(j.hint.leftHint -> j.left,
+              j.hint.rightHint -> j.right)
+              if hint.exists(_.strategy.contains(BROADCAST)))
+            assert(side.maxRows.contains(1L),
+              s"$q: forced broadcast of an unbounded side:\n$side")
+        case _ =>
+      }
+    }
+  }
+
+  test("dedup and ANN rankings plan bounded aggregates, not rank windows") {
+    // Dedup.exact: groupBy-min, not a window over a hot fingerprint;
+    // top-k rankings: the bounded TopKPairs aggregate, not a per-query
+    // sort of the full scored candidate set
+    for (q <- Seq("q_fingerprint_dedup", "q_cosine_topk", "q_lsh_topk",
+        "q_ivf_topk")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"$q plans a WindowExec:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
