@@ -188,6 +188,74 @@ object Oracles {
         |  round(value * (600 / 3600.0), 6) AS energy_kwh
         |FROM b ORDER BY event_id""".stripMargin,
 
+    "q_aep_monthly" ->
+      """WITH ev AS (
+        |  SELECT ts + to_months(CAST(user_id % 12 AS INT)) AS t,
+        |         value, user_id, event_id
+        |  FROM events WHERE date_part('day', ts) <= 28),
+        |meter AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         sum(value * 1000) / 1e6 AS energy_gwh,
+        |         count(DISTINCT date_trunc('day', t)) AS days_actual
+        |  FROM ev GROUP BY 1),
+        |curt AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         sum(value * 50) / 1e6 AS avail_gwh,
+        |         sum(value * 20) / 1e6 AS curt_gwh
+        |  FROM ev GROUP BY 1),
+        |rea AS (
+        |  SELECT t, 4.0 + CAST(event_id % 100 AS DOUBLE) / 10.0 AS ws,
+        |         1.15 + CAST(user_id % 20 AS DOUBLE) / 200.0 AS rho
+        |  FROM ev),
+        |reag AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         avg(ws * pow(rho / (SELECT avg(rho) FROM rea), 1.0 / 3.0)) AS ws_era5
+        |  FROM rea GROUP BY 1),
+        |j AS (
+        |  SELECT m.period, m.energy_gwh, c.avail_gwh, c.curt_gwh,
+        |         m.energy_gwh + c.avail_gwh + c.curt_gwh AS gross_gwh,
+        |         r.ws_era5, m.days_actual,
+        |         CAST(date_part('day', last_day(m.period)) AS DOUBLE) AS num_days
+        |  FROM meter m
+        |  LEFT JOIN curt c ON m.period = c.period
+        |  LEFT JOIN reag r ON m.period = r.period),
+        |o AS (SELECT *, row_number() OVER (ORDER BY period) AS rn,
+        |             count(*) OVER () AS n FROM j)
+        |SELECT epoch_us(period) // 1000000 AS period_epoch,
+        |       round(energy_gwh, 6) AS energy_gwh,
+        |       round(avail_gwh, 6) AS avail_gwh,
+        |       round(curt_gwh, 6) AS curt_gwh,
+        |       round(gross_gwh, 6) AS gross_gwh,
+        |       round(avail_gwh / gross_gwh, 6) AS avail_pct,
+        |       round(curt_gwh / gross_gwh, 6) AS curt_pct,
+        |       num_days, round(ws_era5, 6) AS ws_era5, FALSE AS nan_flag
+        |FROM o
+        |WHERE NOT ((rn = 1 OR rn = n) AND days_actual <> num_days)
+        |ORDER BY period_epoch""".stripMargin,
+
+    "q_elec_daily" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS t, user_id % 2 AS turb,
+        |                  sum(value) AS wh
+        |           FROM events GROUP BY 1, 2),
+        |sper AS (SELECT t, sum(wh) AS wh, count(*) AS cnt FROM s GROUP BY 1),
+        |sday AS (SELECT date_trunc('day', t) AS day, sum(wh) AS turbine_wh,
+        |                sum(cnt) AS scada_count
+        |         FROM sper GROUP BY 1),
+        |m AS (SELECT date_trunc('hour', ts) AS t, sum(value) * 0.95 AS mwh
+        |      FROM events GROUP BY 1),
+        |mday AS (SELECT date_trunc('day', t) AS day, sum(mwh) AS meter_wh,
+        |                count(*) AS mcnt
+        |         FROM m GROUP BY 1)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch,
+        |       round(turbine_wh, 2) AS turbine_wh,
+        |       CAST(scada_count AS BIGINT) AS scada_count,
+        |       round(turbine_wh * 48.0 / scada_count, 2) AS corrected_wh,
+        |       round(scada_count / 48.0, 6) AS scada_pct,
+        |       round(meter_wh, 2) AS meter_wh
+        |FROM sday JOIN mday USING (day)
+        |WHERE mcnt = 24
+        |ORDER BY day_epoch""".stripMargin,
+
     "q_circular_mean" ->
       """SELECT event_type,
         |  round(fmod(fmod(degrees(atan2(

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 // temporary profiling harness — not part of the library surface
 object Profile {
@@ -21,31 +20,34 @@ object Profile {
     // warmup
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
 
-    val Dec = DecimalType(38, 10)
-    val Dec4 = DecimalType(18, 4)
-
-    // A/B/C the exact-sum strategies on the q1_agg shape
-    run("q1 decimal38")(Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(((sum(col("l_quantity").cast(Dec)) * 100).cast("long").cast("double") / 100.0).as("sum_qty"),
-        ((sum(col("l_extendedprice").cast(Dec)) * 100).cast("long").cast("double") / 100.0).as("sum_base"),
-        ((sum(col("l_extendedprice").cast(Dec4) * (lit(1.0).cast(Dec4) - col("l_discount").cast(Dec4))) * 10000)
-          .cast("long").cast("double") / 10000.0).as("sum_disc")))
-    run("q1 double")(Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc")))
-    run("q1 long-cents")(Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0).as("sum_qty"),
-        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0).as("sum_base"),
-        (sum(round(col("l_extendedprice") * 100).cast("long")
-          * round(lit(10000) - col("l_discount") * 10000).cast("long"))
-          .cast("double") / 1e6).as("sum_disc")))
-
-    run("q_join_revenue current")(SparkEntry.queries("q_join_revenue")(spark, sfDir))
-    run("q1_agg current")(SparkEntry.queries("q1_agg")(spark, sfDir))
+    // A/B the r3 q_bin_filter regression (1.07 -> 1.65s r2->r3):
+    // (a) current digitize-over-edges semantics (bounds = data min/max, one
+    //     extra 1-column aggregate pass)
+    run("bin_filter digitize (current)")(
+      SparkEntry.queries("q_bin_filter")(spark, sfDir))
+    // (b) same semantics with explicit bounds — the production call shape
+    //     (physical quantities have known ranges); skips the bounds pass
+    run("bin_filter explicit bounds")(
+      operators.Flags.binFilter(Tables.lineitem(spark, sfDir),
+          "l_quantity", "l_extendedprice", binWidth = 5.0, threshold = 2.0,
+          centerType = "mean", deviationType = "std", direction = "above",
+          binMin = Some(1.0), binMax = Some(50.0))
+        .select("l_orderkey", "l_linenumber", "flag")
+        .orderBy("l_orderkey", "l_linenumber"))
+    // (c) the r2 shape: origin-0 floor binning, no bounds pass (NOT
+    //     reference semantics — baseline for attribution only)
+    run("bin_filter r2 floor")(
+      {
+        val df = Tables.lineitem(spark, sfDir)
+        val binned = df.withColumn("__bin", floor(col("l_quantity") / 5.0))
+        val stats = binned.groupBy("__bin")
+          .agg(avg(col("l_extendedprice")).as("__c"),
+            stddev_samp(col("l_extendedprice")).as("__s"))
+        binned.join(broadcast(stats), Seq("__bin"))
+          .withColumn("flag", col("l_extendedprice") > col("__c") + lit(2.0) * col("__s"))
+          .select("l_orderkey", "l_linenumber", "flag")
+          .orderBy("l_orderkey", "l_linenumber")
+      })
     spark.stop()
   }
 }

