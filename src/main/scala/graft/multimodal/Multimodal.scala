@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract / resize / frame-sample are
   * per-partition batch transforms.
   *
-  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
-  * actual codec calls are STUBBED behind [[MediaCodec]] (this environment
-  * ships no image/audio libraries) with a deterministic fake so pipelines
-  * are testable end-to-end. Swap [[MediaCodec.default]] for a real
-  * JNI/library-backed codec without touching callers.
+  * Spark-side plumbing (schema, partitioning, batch shape) is real, and so
+  * is the default codec: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP via
+  * javax.imageio and WAV via javax.sound.sampled — both ship with the JDK.
+  * Formats beyond the JDK's reach (video containers, mp3) plug in behind
+  * the same [[MediaCodec]] seam without touching callers.
   *
   * Scale notes (100 TB): media bytes never hit the driver; transforms are
   * `mapPartitions` over batches (the Scala analog of `mapInPandas` batch
@@ -144,33 +144,136 @@ object Multimodal {
   }
 }
 
-/** Codec boundary. Real deployments implement this against image/audio
-  * libraries; the default is a deterministic fake (hash-derived features)
-  * so pipeline plumbing is testable without codecs.
+/** Codec boundary. The default is [[ImageIoCodec]] — a REAL JDK-backed
+  * decoder (javax.imageio for PNG/JPEG/GIF/BMP, javax.sound.sampled for
+  * WAV); swap in a JNI/library-backed implementation for formats the JDK
+  * doesn't ship (video, mp3) without touching callers. [[MediaCodec.fake]]
+  * remains for plumbing tests that need no codec at all.
   */
 trait MediaCodec extends Serializable {
   /** Decode bytes and produce a feature vector, or None if undecodable. */
   def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]]
 
-  /** Decode, resize to (width, height), re-encode; None if undecodable.
-    * The default fake is a deterministic size-proportional byte sample —
-    * NOT a real resampler — standing in for e.g. a JPEG decode + bilinear
-    * resize + encode.
+  /** Decode, resize to (width, height), re-encode; None if undecodable. */
+  def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]]
+}
+
+/** JDK-native codec: javax.imageio images + javax.sound.sampled WAV.
+  * Stateless and Serializable — one instance ships to every task; ImageIO
+  * itself is thread-safe per call. Corrupt or unsupported bytes surface as
+  * None (→ decode_ok/resize_ok = false), never as a task failure: one bad
+  * blob in a 10^9-row corpus must not kill the job.
+  */
+final class ImageIoCodec extends MediaCodec {
+  import java.io.ByteArrayInputStream
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length < 8) None
+    else
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None } // corrupt capture
+
+  /** Images: mean luminance (in [0,1]) over a ceil(sqrt(dim))-square grid,
+    * truncated to `dim` cells — real pixel statistics, deterministic.
+    * WAV audio: mean |amplitude| (in [0,1]) over `dim` equal time buckets
+    * of the first [[ImageIoCodec.MaxAudioBytes]] of PCM.
     */
-  def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
-    if (bytes == null || bytes.isEmpty || width <= 0 || height <= 0) None
-    else {
-      val n = math.min(bytes.length, math.max(1, width * height / 64))
-      Some(Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt)))
+  def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]] =
+    readImage(bytes).map(imageFeatures(_, dim))
+      .orElse(audioFeatures(bytes, dim))
+
+  private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Seq[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt.max(1)
+    val sum = new Array[Double](g * g)
+    val n = new Array[Long](g * g)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * g / h, g - 1)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+        val cell = cy * g + math.min(x * g / w, g - 1)
+        sum(cell) += lum
+        n(cell) += 1
+        x += 1
+      }
+      y += 1
     }
+    (0 until dim).map(i =>
+      if (i < g * g && n(i) > 0) (sum(i) / n(i)).toFloat else 0.0f)
   }
+
+  private def audioFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]] =
+    if (bytes == null || bytes.length < 44) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val pcmFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
+            2 * in.getFormat.getChannels, in.getFormat.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+          val buf = pcm.readNBytes(ImageIoCodec.MaxAudioBytes)
+          val nSamples = buf.length / 2
+          if (nSamples == 0) None
+          else {
+            val sum = new Array[Double](dim)
+            val cnt = new Array[Long](dim)
+            var i = 0
+            while (i < nSamples) {
+              val s = ((buf(2 * i + 1) << 8) | (buf(2 * i) & 0xFF)).toShort
+              val b = math.min(i * dim / nSamples, dim - 1)
+              sum(b) += math.abs(s / 32768.0)
+              cnt(b) += 1
+              i += 1
+            }
+            Some((0 until dim).map(b =>
+              if (cnt(b) > 0) (sum(b) / cnt(b)).toFloat else 0.0f))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bilinear image resize, re-encoded as PNG (lossless, always writable).
+    * Non-image or corrupt bytes → None.
+    */
+  def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    if (width <= 0 || height <= 0) None
+    else readImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, width, height, null)
+      } finally g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+}
+
+object ImageIoCodec {
+  /** Cap on decoded PCM read per blob: bounds per-row memory regardless of
+    * payload size (a multi-GB WAV costs 4 MB of heap, not its full length).
+    */
+  val MaxAudioBytes: Int = 4 << 20
 }
 
 object MediaCodec {
-  /** Deterministic fake: features from a rolling hash of the payload.
-    * NOT a real decoder — stands in for e.g. a JPEG decode + CNN embed.
+  /** The real JDK-backed codec (see [[ImageIoCodec]]). */
+  val default: MediaCodec = new ImageIoCodec
+
+  /** Deterministic no-codec fake (features from a rolling hash; resize is a
+    * size-proportional byte sample) for plumbing tests and environments
+    * without even the JDK imaging stack.
     */
-  val default: MediaCodec = new MediaCodec {
+  val fake: MediaCodec = new MediaCodec {
     def decodeToFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Float]] = {
       if (bytes == null || bytes.isEmpty) None
       else Some((0 until dim).map { i =>
@@ -184,6 +287,13 @@ object MediaCodec {
         }
         ((h % 2000L) / 1000.0f) - 1.0f
       })
+    }
+    def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+      if (bytes == null || bytes.isEmpty || width <= 0 || height <= 0) None
+      else {
+        val n = math.min(bytes.length, math.max(1, width * height / 64))
+        Some(Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt)))
+      }
     }
   }
 }

@@ -1,25 +1,67 @@
 package graft.multimodal
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- synthesized real media (JDK encoders, deterministic) ----------------
+
+  /** A real PNG: left half dark (luminance ~0.114, pure blue), right half
+    * white — known grid-luminance features.
+    */
+  private def png(w: Int = 64, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x0000FF else 0xFFFFFF)
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A real 16-bit mono WAV: silence in the first half, full-scale square
+    * wave in the second — known per-bucket |amplitude| features.
+    */
+  private def wav(nSamples: Int = 8000, rateHz: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](2 * nSamples)
+    for (i <- nSamples / 2 until nSamples) {
+      val v: Short = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rateHz, 16, 1, 2, rateHz, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   private val jpegHeader = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  // id 1: real PNG; id 2: real WAV; id 3: empty; id 4: CORRUPT (a JPEG
+  // magic number over garbage — the decoder must capture, not crash)
   private lazy val media = Seq(
-    (1L, jpegHeader ++ Array.fill[Byte](200)(7)),
-    (2L, "RIFF".getBytes ++ Array.fill[Byte](100)(3)),
-    (3L, Array.empty[Byte]))
+    (1L, png()),
+    (2L, wav()),
+    (3L, Array.empty[Byte]),
+    (4L, jpegHeader ++ Array.fill[Byte](200)(7)))
     .toDF("media_id", "bytes")
 
   test("withSniffedMeta detects formats from magic numbers") {
     val got = Multimodal.withSniffedMeta(media, "bytes")
       .select(col("media_id"), col("media_meta.format"))
       .as[(Long, String)].collect().toMap
-    assert(got(1L) == "jpeg")
+    assert(got(1L) == "png")
     assert(got(2L) == "wav")
     assert(got(3L) == "unknown")
+    assert(got(4L) == "jpeg")
   }
 
   test("withSniffedMeta derives media_type from the sniffed format") {
@@ -32,22 +74,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("withSniffedMeta parses PNG IHDR dimensions and WAV header fields") {
-    // canonical PNG: 8-byte signature, IHDR length, "IHDR", width, height
-    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
-      0, 0, 0, 13) ++ "IHDR".getBytes ++
-      Array[Byte](0, 0, 0x02, 0x80.toByte) ++ // width 640 (big-endian)
-      Array[Byte](0, 0, 0x01, 0xE0.toByte) ++ // height 480
-      Array.fill[Byte](10)(0)
-    // canonical 44-byte WAV: 16 kHz sample rate, 32 kB/s byte rate,
-    // 64000-byte data chunk -> 2000 ms
-    val wav = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
-      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0, 1, 0) ++
-      Array[Byte](0x80.toByte, 0x3E, 0, 0) ++ // sample rate 16000 (LE)
-      Array[Byte](0x00, 0x7D, 0, 0) ++        // byte rate 32000
-      Array[Byte](2, 0, 16, 0) ++ "data".getBytes ++
-      Array[Byte](0x00, 0xFA.toByte, 0, 0) ++ // data size 64000
-      Array.fill[Byte](8)(0)
-    val df = Seq((1L, png), (2L, wav)).toDF("media_id", "bytes")
+    val df = Seq((1L, png(w = 640, h = 480)), (2L, wav(nSamples = 32000, rateHz = 16000f)))
+      .toDF("media_id", "bytes")
     val got = Multimodal.withSniffedMeta(df, "bytes")
       .select(col("media_id"), col("media_meta.format"), col("media_meta.width"),
         col("media_meta.height"), col("media_meta.sample_rate"),
@@ -55,34 +83,51 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String, Option[Int], Option[Int], Option[Int], Option[Long])]
       .collect().map(r => r._1 -> r).toMap
     assert(got(1L)._2 == "png" && got(1L)._3.contains(640) && got(1L)._4.contains(480))
+    // 32000 samples at 16 kHz = 2000 ms
     assert(got(2L)._2 == "wav" && got(2L)._5.contains(16000) &&
       got(2L)._6.contains(2000L))
-    // non-canonical payloads keep null fields, not garbage
+    // header fields the format doesn't carry stay null, not garbage
     assert(got(1L)._5.isEmpty && got(2L)._3.isEmpty)
   }
 
-  test("resize emits per-row transcoded bytes; empty payloads flagged") {
+  test("resize really rescales: output decodes as a PNG of the target size") {
     val out = Multimodal.resize(media, "bytes", width = 32, height = 16)
     val byId = out.collect().map(r => r.getAs[Long]("media_id") ->
       (Option(r.getAs[Array[Byte]]("resized")), r.getAs[Boolean]("resize_ok"))).toMap
-    assert(byId(1L)._2 && byId(1L)._1.get.length == 32 * 16 / 64)
-    assert(byId(2L)._2)
-    assert(!byId(3L)._2 && byId(3L)._1.isEmpty)
-    // deterministic
-    val again = Multimodal.resize(media, "bytes", width = 32, height = 16)
-      .collect().map(r => r.getAs[Long]("media_id") ->
-        Option(r.getAs[Array[Byte]]("resized")).map(_.toSeq)).toMap
-    assert(byId.map { case (k, v) => k -> v._1.map(_.toSeq) } == again)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(byId(1L)._1.get))
+    assert(byId(1L)._2 && decoded.getWidth == 32 && decoded.getHeight == 16)
+    // half-dark/half-white input stays half-dark/half-white after resize
+    val lumLeft = (decoded.getRGB(4, 8) & 0xFF)
+    val lumRight = (decoded.getRGB(28, 8) & 0xFF)
+    assert(lumLeft > 200 && lumRight > 200) // blue channel is 255 both sides
+    assert(((decoded.getRGB(28, 8) >> 16) & 0xFF) > 200) // right is white...
+    assert(((decoded.getRGB(4, 8) >> 16) & 0xFF) < 50)   // ...left has no red
+    // audio, empty, and corrupt payloads are captured, not crashed on
+    assert(!byId(2L)._2 && !byId(3L)._2 && !byId(4L)._2)
+    assert(byId(4L)._1.isEmpty)
   }
 
-  test("extractFeatures produces fixed-dim vectors; empty payloads flagged") {
+  test("extractFeatures: real image luminance and audio amplitude statistics") {
     val out = Multimodal.extractFeatures(media, "bytes", featureDim = 16)
     val fi = out.schema.fieldIndex("features")
     val byId = out.collect().map(r => r.getAs[Long]("media_id") ->
         (Option(r.get(fi)).map(_ => r.getSeq[Float](fi)), r.getAs[Boolean]("decode_ok"))).toMap
-    assert(byId(1L)._2 && byId(1L)._1.get.size == 16)
-    assert(byId(2L)._2)
+    // image: 4x4 grid; left two columns are pure blue (lum ~0.114), right
+    // two pure white (lum ~1.0)
+    val img = byId(1L)._1.get
+    assert(byId(1L)._2 && img.size == 16)
+    for (row <- 0 until 4) {
+      assert(math.abs(img(4 * row) - 0.114f) < 0.01f, s"cell ${4 * row}: ${img(4 * row)}")
+      assert(img(4 * row + 3) > 0.99f)
+    }
+    // audio: first-half buckets silent, second-half full-scale
+    val aud = byId(2L)._1.get
+    assert(byId(2L)._2 && aud.size == 16)
+    assert(aud.take(8).forall(_ < 0.01f) && aud.drop(8).forall(_ > 0.9f), aud)
+    // empty and corrupt payloads flagged, not crashed on
     assert(!byId(3L)._2 && byId(3L)._1.isEmpty)
+    assert(!byId(4L)._2 && byId(4L)._1.isEmpty)
   }
 
   test("extractFeatures is deterministic") {
@@ -90,6 +135,16 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id", "features").orderBy("media_id")
       .collect().map(_.toString).mkString
     assert(features() == features())
+  }
+
+  test("fake codec keeps the no-codec plumbing contract") {
+    val out = Multimodal.extractFeatures(media, "bytes",
+      codec = MediaCodec.fake, featureDim = 16)
+    val fi = out.schema.fieldIndex("features")
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") ->
+      (Option(r.get(fi)), r.getAs[Boolean]("decode_ok"))).toMap
+    // the fake "decodes" anything non-empty — including the corrupt blob
+    assert(byId(1L)._2 && byId(2L)._2 && byId(4L)._2 && !byId(3L)._2)
   }
 
   test("sampleChunks emits n chunks per blob at spread offsets") {
