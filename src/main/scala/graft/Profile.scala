@@ -48,6 +48,25 @@ object Profile {
           .select("l_orderkey", "l_linenumber", "flag")
           .orderBy("l_orderkey", "l_linenumber")
       })
+
+    // A/B Dedup.exact: recompute-fingerprint (current, 2 normalize+md5
+    // passes) vs a checkpointed narrow (id, fp) table computed once
+    run("dedup.exact recompute (current)")(
+      operators.Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+        .select("doc_id", "fingerprint", "is_duplicate").orderBy("doc_id"))
+    run("dedup.exact checkpointed fp table")(
+      {
+        val df = Tables.documents(spark, sfDir)
+        val t = df.select(col("doc_id"),
+          operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .localCheckpoint(true)
+        val firsts = t.groupBy("fingerprint").agg(min(col("doc_id")).as("__first"))
+          .withColumnRenamed("fingerprint", "__fp")
+        df.join(t, Seq("doc_id"))
+          .join(firsts, col("fingerprint") <=> col("__fp"))
+          .withColumn("is_duplicate", !(col("doc_id") <=> col("__first")))
+          .select("doc_id", "fingerprint", "is_duplicate").orderBy("doc_id")
+      })
     spark.stop()
   }
 }
