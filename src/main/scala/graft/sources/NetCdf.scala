@@ -1,0 +1,362 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pure-JVM reader for the NetCDF classic binary format (CDF-1 32-bit and
+  * CDF-2 64-bit offsets) — the format ERA5 reanalysis downloads arrive in.
+  * Closes the reference's reanalysis-ingestion path
+  * (openoa/utils/downloader.py:1-484 reads the same files via xarray) with
+  * no native library: the classic format is a fully public, fixed layout
+  * (magic, dim/attr/var lists, then dense big-endian arrays).
+  *
+  * Scope: classic CDF-1/CDF-2 only. netCDF-4 (HDF5 container) and CDF-5
+  * need external libraries and are rejected with a clear error.
+  *
+  * Scale shape: the HEADER is parsed once on the driver (a few KB) along
+  * with the 1-D coordinate vars (lat/lon grids and the time axis — KBs to
+  * MBs); the DATA arrays are read by executors, each task seeking into its
+  * own record range through the Hadoop FileSystem API (so local, HDFS, and
+  * object-store paths all work), decoding big-endian slabs and emitting
+  * long-form rows. A 20-year global 0.25-degree hourly file fans out across
+  * the cluster by record (time step); nothing fact-grain touches the
+  * driver.
+  *
+  * ERA5 realism: variables packed as shorts with `scale_factor`/
+  * `add_offset` are unpacked per CF conventions; `_FillValue`/
+  * `missing_value` raws surface as null; the `units` attribute of the time
+  * coordinate ("hours since 1900-01-01 00:00:00.0" etc.) converts the axis
+  * to proper timestamps.
+  */
+object NetCdf {
+
+  // nc_type codes (classic)
+  private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
+  private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+
+  final case class NcDim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+  final case class NcAttr(name: String, ncType: Int, values: Seq[Any]) {
+    def str: String = values.collect { case b: Byte => b.toChar }.mkString
+    def num: Option[Double] = values.headOption.collect {
+      case b: Byte => b.toDouble
+      case s: Short => s.toDouble
+      case i: Int => i.toDouble
+      case f: Float => f.toDouble
+      case d: Double => d
+    }
+  }
+  final case class NcVar(name: String, dimIds: Seq[Int], attrs: Seq[NcAttr],
+                         ncType: Int, vsize: Long, begin: Long) {
+    def attr(n: String): Option[NcAttr] = attrs.find(_.name == n)
+    def typeBytes: Int = NetCdf.typeBytes(ncType)
+  }
+  final case class NcHeader(version: Int, numRecs: Long, dims: Seq[NcDim],
+                            gatts: Seq[NcAttr], vars: Seq[NcVar]) {
+    def recordVars: Seq[NcVar] = vars.filter(v => isRecordVar(this, v))
+    /** Bytes per record: sum of record vars' per-record slabs, each padded
+      * to 4 — EXCEPT when there is exactly one record var, which is packed
+      * with no padding (the classic spec's special case).
+      */
+    def recSize: Long = {
+      val rs = recordVars
+      if (rs.size == 1) recSlabUnpadded(this, rs.head)
+      else rs.map(v => pad4(recSlabUnpadded(this, v))).sum
+    }
+  }
+
+  private def typeBytes(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"unsupported nc_type $other")
+  }
+  private def pad4(n: Long): Long = (n + 3) / 4 * 4
+  private def isRecordVar(h: NcHeader, v: NcVar): Boolean =
+    v.dimIds.headOption.exists(h.dims(_).isRecord)
+  /** Elements per record (record vars) or total elements (fixed vars). */
+  private def innerCount(h: NcHeader, v: NcVar): Long = {
+    val inner = if (isRecordVar(h, v)) v.dimIds.tail else v.dimIds
+    inner.map(h.dims(_).length.toLong).product
+  }
+  private def recSlabUnpadded(h: NcHeader, v: NcVar): Long =
+    innerCount(h, v) * v.typeBytes
+
+  // ---- header parse ---------------------------------------------------------
+
+  private final class Cursor(bytes: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes) // big-endian by default
+    def int(): Int = buf.getInt()
+    def long(): Long = buf.getLong()
+    def name(): String = {
+      val n = int()
+      val b = new Array[Byte](n)
+      buf.get(b)
+      skipPad(n)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def skipPad(n: Int): Unit = { var p = n; while (p % 4 != 0) { buf.get(); p += 1 } }
+    def values(ncType: Int, nelems: Int): Seq[Any] = {
+      val out = (0 until nelems).map { _ =>
+        ncType match {
+          case NcByte | NcChar => buf.get(): Any
+          case NcShort => buf.getShort(): Any
+          case NcInt => buf.getInt(): Any
+          case NcFloat => buf.getFloat(): Any
+          case NcDouble => buf.getDouble(): Any
+        }
+      }
+      skipPad(nelems * typeBytes(ncType))
+      out
+    }
+    def attrList(): Seq[NcAttr] = {
+      val tag = int(); val n = int()
+      require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
+      (0 until n).map { _ =>
+        val nm = name(); val t = int(); val ne = int()
+        NcAttr(nm, t, values(t, ne))
+      }
+    }
+  }
+
+  /** Parse the header from the first `headerBytes` of the file (classic
+    * headers are KBs; raise for files with thousands of variables).
+    */
+  def parseHeader(bytes: Array[Byte]): NcHeader = {
+    require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+      "not a NetCDF classic file (bad magic); netCDF-4/HDF5 needs an external library")
+    val version = bytes(3).toInt
+    require(version == 1 || version == 2,
+      s"unsupported NetCDF classic version $version (CDF-5 and netCDF-4 not supported)")
+    val c = new Cursor(bytes)
+    c.buf.position(4)
+    val numRecs = c.int().toLong & 0xFFFFFFFFL // 0xFFFFFFFF = STREAMING
+    val dimTag = c.int(); val nDims = c.int()
+    require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag")
+    val dims = (0 until nDims).map(_ => NcDim(c.name(), c.int()))
+    val gatts = c.attrList()
+    val varTag = c.int(); val nVars = c.int()
+    require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var_list tag $varTag")
+    val vars = (0 until nVars).map { _ =>
+      val nm = c.name()
+      val nd = c.int()
+      val dimIds = (0 until nd).map(_ => c.int())
+      val atts = c.attrList()
+      val t = c.int()
+      val vsize = c.int().toLong & 0xFFFFFFFFL
+      val begin = if (version == 1) c.int().toLong & 0xFFFFFFFFL else c.long()
+      NcVar(nm, dimIds, atts, t, vsize, begin)
+    }
+    NcHeader(version, numRecs, dims, gatts, vars)
+  }
+
+  // ---- raw range reads (Hadoop FS: local, HDFS, object stores) --------------
+
+  private def openFs(path: String, conf: org.apache.hadoop.conf.Configuration) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def readRange(path: String, offset: Long, len: Int,
+                        conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val (fs, p) = openFs(path, conf)
+    val in = fs.open(p)
+    try {
+      val out = new Array[Byte](len)
+      in.readFully(offset, out)
+      out
+    } finally in.close()
+  }
+
+  private def decode(bytes: Array[Byte], ncType: Int, n: Int): Array[Double] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ncType match {
+        case NcByte => buf.get().toDouble
+        case NcShort => buf.getShort().toDouble
+        case NcInt => buf.getInt().toDouble
+        case NcFloat => buf.getFloat().toDouble
+        case NcDouble => buf.getDouble()
+        case NcChar => buf.get().toDouble
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** CF unpacking parameters: (scale, offset, fillRaw). */
+  private def packing(v: NcVar): (Double, Double, Option[Double]) = (
+    v.attr("scale_factor").flatMap(_.num).getOrElse(1.0),
+    v.attr("add_offset").flatMap(_.num).getOrElse(0.0),
+    v.attr("_FillValue").orElse(v.attr("missing_value")).flatMap(_.num))
+
+  /** Parse a CF "units since epoch" time attribute into (secondsPerUnit,
+    * epochMicros); None when the units aren't time-like.
+    */
+  private[sources] def timeUnits(units: String): Option[(Double, Long)] = {
+    val m = "(?i)(seconds?|minutes?|hours?|days?)\\s+since\\s+(.+)".r
+      .findFirstMatchIn(units.trim)
+    m.flatMap { g =>
+      val per = g.group(1).toLowerCase match {
+        case u if u.startsWith("second") => 1.0
+        case u if u.startsWith("minute") => 60.0
+        case u if u.startsWith("hour") => 3600.0
+        case _ => 86400.0
+      }
+      val raw = g.group(2).trim.replace(' ', 'T')
+      val norm = if (raw.matches("\\d{4}-\\d{1,2}-\\d{1,2}")) raw + "T00:00:00" else raw
+      try {
+        val ldt = java.time.LocalDateTime.parse(norm.stripSuffix("Z").takeWhile(_ != '.')
+          + (if (norm.count(_ == ':') == 1) ":00" else ""))
+        Some((per, ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+
+  /** Read `varNames` (which must share one dimension tuple) into a
+    * long-form DataFrame: one column per dimension — coordinate-variable
+    * values where a matching 1-D coord var exists (the time axis becomes a
+    * TimestampType column when its CF units parse), bare indices otherwise
+    * — plus one double column per variable (unpacked, fill as null).
+    */
+  def read(spark: SparkSession, path: String, varNames: Seq[String],
+           headerBytes: Int = 1 << 20): DataFrame = {
+    require(varNames.nonEmpty, "need at least one variable")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, p) = openFs(path, conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val head = {
+      val in = fs.open(p)
+      try {
+        val n = math.min(headerBytes.toLong, fileLen).toInt
+        val b = new Array[Byte](n)
+        in.readFully(0L, b)
+        b
+      } finally in.close()
+    }
+    val h = parseHeader(head)
+    val sel = varNames.map(n => h.vars.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$n' not in file (has ${h.vars.map(_.name).mkString(", ")})")))
+    val dimIds = sel.head.dimIds
+    require(sel.forall(_.dimIds == dimIds),
+      s"variables must share one dimension tuple: ${sel.map(v => v.name -> v.dimIds)}")
+    val selDims = dimIds.map(h.dims(_))
+    val isRecord = selDims.headOption.exists(_.isRecord)
+    val numRecs: Long =
+      if (!isRecord) 1L
+      else if (h.numRecs != 0xFFFFFFFFL) h.numRecs
+      else { // STREAMING: infer from the file length
+        val dataStart = h.recordVars.map(_.begin).min
+        (fileLen - dataStart) / h.recSize
+      }
+
+    // driver-side coordinate axes: 1-D vars named like their dimension
+    val coordVals: Map[String, Array[Double]] = selDims.flatMap { d =>
+      h.vars.find(v => v.name == d.name && v.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
+        .map { cv =>
+          val n = if (d.isRecord) numRecs.toInt else d.length
+          val raw =
+            if (!isRecordVar(h, cv)) readRange(path, cv.begin, n * cv.typeBytes, conf)
+            else {
+              // record coord (the time axis): one slab per record
+              val rs = h.recSize
+              val out = new Array[Byte](n * cv.typeBytes)
+              val in = fs.open(p)
+              try {
+                var r = 0
+                while (r < n) {
+                  in.readFully(cv.begin + r * rs, out, r * cv.typeBytes, cv.typeBytes)
+                  r += 1
+                }
+              } finally in.close()
+              out
+            }
+          val (sc, off, fill) = packing(cv)
+          d.name -> decode(raw, cv.ncType, n).map(x =>
+            if (fill.contains(x)) Double.NaN else x * sc + off)
+        }
+    }.toMap
+    val timeU = selDims.headOption.filter(_ => isRecord).flatMap(d =>
+      h.vars.find(_.name == d.name).flatMap(_.attr("units"))
+        .flatMap(a => timeUnits(a.str)))
+
+    val innerDims = (if (isRecord) selDims.tail else selDims).map(_.length.toLong)
+    val innerN = innerDims.product
+    require(innerN * sel.map(_.typeBytes).max <= Int.MaxValue,
+      "per-record slab exceeds 2 GB; split the variable")
+
+    val schema = StructType(
+      selDims.zipWithIndex.map { case (d, i) =>
+        if (i == 0 && isRecord && timeU.isDefined)
+          StructField(d.name, TimestampType)
+        else StructField(d.name, DoubleType)
+      } ++ sel.map(v => StructField(v.name, DoubleType)))
+
+    // executor-side: each task owns a record range and seeks per (var, rec)
+    val recSize = if (isRecord) h.recSize else 0L
+    val rec0 = isRecord // selected vars span the record dimension
+    val varMeta = sel.map(v =>
+      (v.begin, v.ncType, recSlabUnpadded(h, v).toInt, packing(v)))
+    val dimMeta = selDims.zipWithIndex.map { case (d, i) =>
+      (d.name, coordVals.get(d.name), if (i == 0 && isRecord) numRecs else d.length.toLong)
+    }
+    val tu = timeU
+    val nTasks = math.min(numRecs, spark.sparkContext.defaultParallelism.toLong).toInt max 1
+    val ranges = (0 until nTasks).map { t =>
+      val lo = numRecs * t / nTasks
+      val hi = numRecs * (t + 1) / nTasks
+      (lo, hi)
+    }.filter { case (lo, hi) => hi > lo }
+
+    val rows = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
+      .flatMap { case (lo, hi) =>
+        val taskConf = new org.apache.hadoop.conf.Configuration()
+        (lo until hi).iterator.flatMap { rec =>
+          val slabs = varMeta.map { case (begin, t, slab, (sc, off, fill)) =>
+            val at = if (rec0) begin + rec * recSize else begin
+            val n = slab / typeBytes(t)
+            decode(readRange(path, at, slab, taskConf), t, n).map { x =>
+              if (fill.contains(x)) null else java.lang.Double.valueOf(x * sc + off)
+            }
+          }
+          (0L until innerN).iterator.map { j =>
+            // row-major inner index -> per-dim indices
+            val idxs = new Array[Long](innerDims.length)
+            var rem = j
+            var k = innerDims.length - 1
+            while (k >= 0) { idxs(k) = rem % innerDims(k); rem /= innerDims(k); k -= 1 }
+            val coords: Seq[Any] = dimMeta.zipWithIndex.map { case ((_, vals, _), i) =>
+              val idx = if (i == 0 && rec0) rec else idxs(i - (if (rec0) 1 else 0))
+              val raw = vals.map(_(idx.toInt).toDouble).getOrElse(idx.toDouble)
+              if (i == 0 && rec0 && tu.isDefined) {
+                val (per, epochUs) = tu.get
+                new java.sql.Timestamp((epochUs + (raw * per * 1e6).toLong) / 1000L)
+              } else raw
+            }
+            Row.fromSeq(coords ++ slabs.map(_(j.toInt)))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** ERA5-style reanalysis front door: read (u, v, temperature, pressure)
+    * style variables and rename to the canonical WMETR_* schema expected by
+    * [[graft.plant.PlantData]] (u/v → derived ws/wd happen in
+    * `deriveReanalysisColumns`).
+    */
+  def readReanalysis(spark: SparkSession, path: String,
+                     colMap: Map[String, String]): DataFrame = {
+    val df = read(spark, path, colMap.keys.toSeq.sorted)
+    colMap.foldLeft(df) { case (acc, (nc, canonical)) =>
+      acc.withColumnRenamed(nc, canonical)
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** NetCDF classic reader spec over files synthesized byte-by-byte from the
+  * public CDF format layout — an ERA5-shaped file: unlimited time dim with
+  * CF units, lat/lon coordinate vars, a short-packed variable with
+  * scale/offset/_FillValue, and two float variables.
+  */
+class NetCdfSpec extends SparkSpec {
+
+  private val NLat = 2
+  private val NLon = 3
+  private val NRec = 4
+  private val Scale = 0.01
+  private val Offset = 250.0
+  private val Fill: Short = -32767
+
+  private def name(d: DataOutputStream, s: String): Unit = {
+    d.writeInt(s.length)
+    d.write(s.getBytes("UTF-8"))
+    var p = s.length
+    while (p % 4 != 0) { d.writeByte(0); p += 1 }
+  }
+
+  private def charAttr(d: DataOutputStream, n: String, v: String): Unit = {
+    name(d, n); d.writeInt(2); d.writeInt(v.length)
+    d.write(v.getBytes("UTF-8"))
+    var p = v.length
+    while (p % 4 != 0) { d.writeByte(0); p += 1 }
+  }
+
+  private def dblAttr(d: DataOutputStream, n: String, v: Double): Unit = {
+    name(d, n); d.writeInt(6); d.writeInt(1); d.writeDouble(v)
+  }
+
+  private def shortAttr(d: DataOutputStream, n: String, v: Short): Unit = {
+    name(d, n); d.writeInt(3); d.writeInt(1); d.writeShort(v); d.writeShort(0)
+  }
+
+  /** t2m raw short for (rec, cell); cell (1, 2) is the fill sentinel. */
+  private def t2mRaw(r: Int, j: Int): Short =
+    if (r == 1 && j == 2) Fill else (100 * r + j).toShort
+
+  private def header(version: Int, begins: Map[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    def begin(v: String): Unit =
+      if (version == 1) d.writeInt(begins.getOrElse(v, 0L).toInt)
+      else d.writeLong(begins.getOrElse(v, 0L))
+    d.write("CDF".getBytes); d.writeByte(version)
+    d.writeInt(NRec)
+    d.writeInt(0x0A); d.writeInt(3) // dim_list
+    name(d, "time"); d.writeInt(0)  // unlimited
+    name(d, "latitude"); d.writeInt(NLat)
+    name(d, "longitude"); d.writeInt(NLon)
+    d.writeInt(0); d.writeInt(0)    // gatt_list ABSENT
+    d.writeInt(0x0B); d.writeInt(6) // var_list
+    // latitude(float[2])
+    name(d, "latitude"); d.writeInt(1); d.writeInt(1)
+    d.writeInt(0); d.writeInt(0)
+    d.writeInt(5); d.writeInt(NLat * 4); begin("latitude")
+    // longitude(float[3])
+    name(d, "longitude"); d.writeInt(1); d.writeInt(2)
+    d.writeInt(0); d.writeInt(0)
+    d.writeInt(5); d.writeInt(NLon * 4); begin("longitude")
+    // time(double, record) with CF units
+    name(d, "time"); d.writeInt(1); d.writeInt(0)
+    d.writeInt(0x0C); d.writeInt(1)
+    charAttr(d, "units", "hours since 1900-01-01 00:00:00.0")
+    d.writeInt(6); d.writeInt(8); begin("time")
+    // t2m(short, record x lat x lon) packed with fill
+    name(d, "t2m"); d.writeInt(3); d.writeInt(0); d.writeInt(1); d.writeInt(2)
+    d.writeInt(0x0C); d.writeInt(3)
+    dblAttr(d, "scale_factor", Scale)
+    dblAttr(d, "add_offset", Offset)
+    shortAttr(d, "_FillValue", Fill)
+    d.writeInt(3); d.writeInt(NLat * NLon * 2); begin("t2m")
+    // u10, v10 (float, record x lat x lon)
+    for (v <- Seq("u10", "v10")) {
+      name(d, v); d.writeInt(3); d.writeInt(0); d.writeInt(1); d.writeInt(2)
+      d.writeInt(0); d.writeInt(0)
+      d.writeInt(5); d.writeInt(NLat * NLon * 4); begin(v)
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Full file bytes: header + fixed coords + interleaved records. */
+  private def ncBytes(version: Int): Array[Byte] = {
+    val h0 = header(version, Map.empty).length.toLong
+    // fixed vars first (latitude 8B, longitude 12B), then records of
+    // (time 8 | t2m 12 | u10 24 | v10 24) = 68B each
+    val begins = Map(
+      "latitude" -> h0, "longitude" -> (h0 + 8),
+      "time" -> (h0 + 20), "t2m" -> (h0 + 28),
+      "u10" -> (h0 + 40), "v10" -> (h0 + 64))
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.write(header(version, begins))
+    for (i <- 0 until NLat) d.writeFloat(10.0f + 0.25f * i)
+    for (j <- 0 until NLon) d.writeFloat(20.0f + 0.25f * j)
+    for (r <- 0 until NRec) {
+      d.writeDouble(r.toDouble) // hours since 1900-01-01
+      for (j <- 0 until NLat * NLon) d.writeShort(t2mRaw(r, j))
+      for (j <- 0 until NLat * NLon) d.writeFloat(r + 0.5f * j)
+      for (j <- 0 until NLat * NLon) d.writeFloat(j - r.toFloat)
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  private def writeTemp(bytes: Array[Byte]): String = {
+    val f = java.io.File.createTempFile("graft-nc", ".nc")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    f.getAbsolutePath
+  }
+
+  test("header parse: dims, unlimited record dim, packing attrs, begins") {
+    val h = NetCdf.parseHeader(ncBytes(1))
+    assert(h.version == 1 && h.numRecs == NRec)
+    assert(h.dims.map(_.name) == Seq("time", "latitude", "longitude"))
+    assert(h.dims.head.isRecord && h.dims(1).length == NLat)
+    val t2m = h.vars.find(_.name == "t2m").get
+    assert(t2m.attr("scale_factor").flatMap(_.num).contains(Scale))
+    assert(t2m.attr("_FillValue").flatMap(_.num).contains(Fill.toDouble))
+    assert(h.vars.find(_.name == "time").get.attr("units").map(_.str)
+      .contains("hours since 1900-01-01 00:00:00.0"))
+    assert(h.recSize == 68)
+  }
+
+  test("read: long-form rows with real coords, CF time, unpacking, fill→null") {
+    for (version <- Seq(1, 2)) {
+      val path = writeTemp(ncBytes(version))
+      val df = NetCdf.read(spark, path, Seq("t2m", "u10", "v10"))
+      assert(df.columns.toSeq ==
+        Seq("time", "latitude", "longitude", "t2m", "u10", "v10"))
+      assert(df.schema("time").dataType.typeName == "timestamp")
+      val rows = df.collect()
+      assert(rows.length == NRec * NLat * NLon)
+      val epoch1900 = java.time.Instant.parse("1900-01-01T00:00:00Z").toEpochMilli
+      val byKey = rows.map { r =>
+        val t = r.getTimestamp(0).getTime
+        val rec = ((t - epoch1900) / 3600000L).toInt
+        val lat = r.getDouble(1); val lon = r.getDouble(2)
+        val j = math.round((lat - 10.0) / 0.25).toInt * NLon +
+          math.round((lon - 20.0) / 0.25).toInt
+        (rec, j) -> r
+      }.toMap
+      for (rec <- 0 until NRec; j <- 0 until NLat * NLon) {
+        val r = byKey((rec, j))
+        if (rec == 1 && j == 2) assert(r.isNullAt(3), s"fill must be null: $r")
+        else assert(math.abs(r.getDouble(3) - (Offset + t2mRaw(rec, j) * Scale)) < 1e-9)
+        assert(math.abs(r.getDouble(4) - (rec + 0.5 * j)) < 1e-6)
+        assert(math.abs(r.getDouble(5) - (j - rec)) < 1e-6)
+      }
+    }
+  }
+
+  test("readReanalysis renames to the canonical WMETR_* schema") {
+    val path = writeTemp(ncBytes(1))
+    val df = NetCdf.readReanalysis(spark, path,
+      Map("u10" -> "WMETR_HorWdSpdU", "v10" -> "WMETR_HorWdSpdV",
+        "t2m" -> "WMETR_EnvTmp"))
+    assert(Seq("WMETR_HorWdSpdU", "WMETR_HorWdSpdV", "WMETR_EnvTmp")
+      .forall(df.columns.contains))
+    // feeds straight into the plant front door: u/v derive ws/wd
+    val derived = graft.plant.PlantData.deriveReanalysisColumns(df)
+    assert(derived.columns.contains("WMETR_HorWdSpd"))
+    val got = derived.filter(col("WMETR_HorWdSpdU") === 1.5)
+      .select("WMETR_HorWdSpd").head().getDouble(0)
+    // u=1.5 occurs at rec=1,j=1 (v = j - rec = 0) and rec=0,j=3 (v = 3)
+    assert(math.abs(got - math.sqrt(1.5 * 1.5 + 0.0)) < 1e-6 ||
+      math.abs(got - math.sqrt(1.5 * 1.5 + 9.0)) < 1e-6)
+  }
+
+  test("CF time-units parser handles the common reanalysis spellings") {
+    assert(NetCdf.timeUnits("hours since 1900-01-01 00:00:00.0").exists(_._1 == 3600.0))
+    assert(NetCdf.timeUnits("days since 2000-01-01").exists(_._1 == 86400.0))
+    assert(NetCdf.timeUnits("seconds since 1970-01-01T00:00:00Z").exists(_._2 == 0L))
+    assert(NetCdf.timeUnits("kelvin").isEmpty)
+  }
+
+  test("non-classic bytes are rejected with a clear error") {
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ Array.fill[Byte](64)(0)
+    val e = intercept[IllegalArgumentException](NetCdf.parseHeader(hdf5))
+    assert(e.getMessage.contains("netCDF-4"))
+    val cdf5 = "CDF".getBytes ++ Array[Byte](5) ++ Array.fill[Byte](64)(0)
+    val e2 = intercept[IllegalArgumentException](NetCdf.parseHeader(cdf5))
+    assert(e2.getMessage.contains("version"))
+  }
+}
