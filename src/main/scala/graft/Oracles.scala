@@ -359,6 +359,64 @@ object Oracles {
          |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    "q_interp_linear" ->
+      """WITH b AS (SELECT event_id, ts, event_type,
+        |             CAST(epoch_us(ts) AS DOUBLE) AS x,
+        |             CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+        |           FROM events),
+        |f AS (SELECT event_id, v, x,
+        |        last_value(v IGNORE NULLS) OVER w AS yp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w AS xp,
+        |        first_value(v IGNORE NULLS) OVER w2 AS yn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w2 AS xn
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (PARTITION BY event_type ORDER BY ts
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN yp IS NULL THEN yn WHEN yn IS NULL THEN yp
+        |    WHEN xn = xp THEN yp
+        |    ELSE yp + (yn - yp) * (x - xp) / (xn - xp) END, 4) AS v
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_canonical" ->
+      s"""WITH fp AS (SELECT doc_id, md5($normText) AS f,
+         |              CAST(length(text) AS DOUBLE) AS score FROM documents),
+         |comp AS (SELECT f, min(doc_id) AS component FROM fp GROUP BY f),
+         |j AS (SELECT fp.doc_id, fp.score, c.component
+         |      FROM fp JOIN comp c USING (f)),
+         |canon AS (SELECT component, doc_id AS canonical_id FROM (
+         |  SELECT component, doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.component, canon.canonical_id,
+         |       j.doc_id <> canon.canonical_id AS is_duplicate
+         |FROM j JOIN canon USING (component)
+         |ORDER BY j.doc_id""".stripMargin,
+
+    "q_iec_curve" ->
+      """WITH d AS (SELECT least(CAST(floor((value / 20.0) / 0.5) AS INT), 60) AS bin,
+        |                  value * 3.0 AS power
+        |           FROM events WHERE value / 20.0 >= 0
+        |             AND value IS NOT NULL),
+        |st AS (SELECT bin, avg(power) AS p FROM d GROUP BY bin),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 61)),
+        |j AS (SELECT g.bin, st.p FROM grid g LEFT JOIN st ON g.bin = st.bin),
+        |f AS (SELECT bin, p,
+        |        last_value(p IGNORE NULLS) OVER w AS pv,
+        |        last_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w AS bv,
+        |        first_value(p IGNORE NULLS) OVER w2 AS pn,
+        |        first_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w2 AS bn
+        |      FROM j
+        |      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT bin, round(CASE WHEN p IS NOT NULL THEN p
+        |    WHEN pv IS NULL THEN pn WHEN pn IS NULL THEN pv
+        |    ELSE pv + (pn - pv) * (bin - bv) / CAST(bn - bv AS DOUBLE) END, 6) AS p
+        |FROM f ORDER BY bin""".stripMargin,
+
     "q_lang_scores" -> {
       def score(markers: Seq[String]) = {
         val list = markers.map(m => s"'$m'").mkString("(", ",", ")")

@@ -346,6 +346,56 @@ object SparkEntry {
         .orderBy("period_epoch")
     }),
 
+    // Linear interpolation between surviving points (x = event time),
+    // bfill/ffill at partition edges — the imputation primitive, oracle-
+    // gated with planted nulls (every 37th event id). round(4): the
+    // engines' interp doubles differ by ~1 ulp and at 6 decimals one row
+    // sits exactly on the half boundary; at 4 the nearest boundary is 4
+    // orders of magnitude away from ulp noise (measured at both SFs).
+    "q_interp_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(col("event_id") % 37 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+        .withColumn("x", unix_micros(col("ts")).cast("double"))
+      Timeseries.interpolateLinear(ev, "v", "x", orderCol = "ts",
+          partitionCols = Seq("event_type"))
+        .select(col("event_id"), round(col("v"), 4).as("v"))
+        .orderBy("event_id")
+    }),
+
+    // Quality-aware canonical selection: duplicate clusters from exact-dup
+    // star pairs; the surviving member is the highest-score (raw length)
+    // row, ties to the minimum id — groupBy max(struct), no windows.
+    "q_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("score", length(col("text")).cast("double"))
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("__f"))
+      val firsts = fp.groupBy("__f").agg(min(col("doc_id")).as("id_a"))
+      val pairs = fp.join(firsts, Seq("__f"))
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      Dedup.dedupClustersBy(docs, "doc_id", "score", pairs)
+        .select(col("doc_id"), col("component"), col("canonical_id"),
+          col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
+    // IEC 61400-12 binned power curve (left-edge bins, linear interp of
+    // empty interior bins, nearest at the edges) over an events-derived
+    // (ws, power) table — the driver-side curve re-emitted as rows.
+    "q_iec_curve" -> ((s, dir) => {
+      import s.implicits._
+      val wsPower = Tables.events(s, dir)
+        .select((col("value") / 20.0).as("ws"), (col("value") * 3.0).as("power"))
+      val c = graft.powercurve.PowerCurve.iec(wsPower, "ws", "power",
+        binWidth = 0.5, windspeedStart = 0.0, windspeedEnd = 30.0)
+      c.values.zipWithIndex.map { case (p, b) => (b.toLong, p) }.toSeq
+        .toDF("bin", "p")
+        .select(col("bin"), round(col("p"), 6).as("p"))
+        .orderBy("bin")
+    }),
+
     // ElectricalLosses' daily concurrent stage (scadaDaily x meterDaily
     // inner join on fully-reporting meter days), oracle-gated: hourly
     // (slot, turbine)-grain scada and hourly meter derived from events.
