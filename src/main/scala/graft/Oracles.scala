@@ -417,6 +417,35 @@ object Oracles {
         |    ELSE pv + (pn - pv) * (bin - bv) / CAST(bn - bv AS DOUBLE) END, 6) AS p
         |FROM f ORDER BY bin""".stripMargin,
 
+    "q_c4_filter" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    regexp_replace(text, ' (a|the) ', '.' || chr(10), 'g') AS t FROM documents),
+        |s1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN t || chr(10) || 'please enable javascript to continue here.'
+        |    ELSE t END AS t FROM s0),
+        |s2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t || chr(10) || 'filler lorem ipsum dolor sit amet text.'
+        |    ELSE t END AS t FROM s1),
+        |s3 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t || chr(10) || 'var x = function() { return 1; }.'
+        |    ELSE t END AS t FROM s2),
+        |l AS (SELECT doc_id, t,
+        |    list_filter(list_transform(regexp_split_to_array(t, '\n'), x -> trim(x)),
+        |                x -> length(x) > 0) AS lines FROM s3),
+        |k AS (SELECT doc_id, t, lines,
+        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(regexp_split_to_array(x, '\s+')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) AS BIGINT) AS n_lines_total,
+        |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+        |       '[.!?]')) >= 5
+        |    AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_lang_scores" -> {
       def score(markers: Seq[String]) = {
         val list = markers.map(m => s"'$m'").mkString("(", ",", ")")

@@ -972,6 +972,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 3
+    // words, no javascript) + page-level keep (>= 5 sentences, no lorem
+    // ipsum, no brace). The corpus text is punctuation-free word soup, so
+    // the gate synthesizes line structure deterministically (same regex in
+    // the oracle) and plants the page-level violations by doc_id.
+    "q_c4_filter" -> ((s, dir) => {
+      val base = regexp_replace(col("text"), " (a|the) ", ".\n")
+      val withJs = when(col("doc_id") % 7 === 0,
+        concat(base, lit("\nplease enable javascript to continue here."))).otherwise(base)
+      val withLorem = when(col("doc_id") % 11 === 0,
+        concat(withJs, lit("\nfiller lorem ipsum dolor sit amet text."))).otherwise(withJs)
+      val synth = when(col("doc_id") % 13 === 0,
+        concat(withLorem, lit("\nvar x = function() { return 1; }."))).otherwise(withLorem)
+      Cleanse.c4Filter(
+          Tables.documents(s, dir).withColumn("text_s", synth), "text_s")
+        .select(col("doc_id"), col("text_c4"), col("n_lines_kept"),
+          col("n_lines_total"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Exact substring-span dedup: repeated 8-token spans keep only their
     // first (doc, pos) occurrence; covered tokens removed, docs rebuilt.
     "q_substr_dedup" -> ((s, dir) => {

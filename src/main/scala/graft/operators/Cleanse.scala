@@ -64,6 +64,45 @@ object Cleanse {
   def stripControlChars(text: Column): Column =
     regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F�]", "")
 
+  // ---- C4 cleaning rules (Raffel et al. 2020, the published pipeline) -----
+
+  /** C4 line-keep predicate: the line ends in terminal punctuation
+    * (. ! ? "), has at least `minWords` whitespace words, and does not
+    * mention javascript (the boilerplate "enable javascript" banner rule).
+    */
+  private def c4LineKeep(line: Column, minWords: Int): Column =
+    line.rlike("[.!?\"]$") &&
+      size(split(line, "\\s+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** C4 document cleaning: drop lines that fail [[c4LineKeep]], rebuild the
+    * document, and flag whether the PAGE survives the document-level rules
+    * — at least `minSentences` sentences ([.!?] occurrences) in the kept
+    * text, no "lorem ipsum", and no curly brace (code) in the raw text.
+    * Returns input + (text_c4, n_lines_kept, n_lines_total, keep).
+    *
+    * Entirely row-local array/regexp expressions — a 100 TB C4 pass is one
+    * map stage, no shuffle. The line array is built once per row and each
+    * HOF references it exactly once (the repo's HOF-nesting rule); the
+    * per-element split inside the keep lambda splits that LINE only.
+    */
+  def c4Filter(df: DataFrame, textCol: String, minWords: Int = 3,
+               minSentences: Int = 5): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l => c4LineKeep(l, minWords))
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", kept)
+      .withColumn("text_c4", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .withColumn("n_lines_total", size(col("__lines")).cast("long"))
+      .withColumn("keep",
+        regexp_count(col("text_c4"), lit("[.!?]")) >= minSentences &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{"))
+      .drop("__lines", "__kept")
+  }
+
   private val UrlPattern = "https?://[^\\s]+"
 
   /** All http(s) URLs in the text, in order. */

@@ -98,6 +98,32 @@ class CleanseSpec extends SparkSpec {
     assert(math.abs(got - 3.0 / 5) < 1e-12)
   }
 
+  test("c4Filter applies the published line and page rules") {
+    import spark.implicits._
+    val goodLine = "this sentence has enough words and ends properly."
+    val doc = Seq(
+      goodLine,                                   // kept
+      "too short.",                               // < 3 words
+      "no terminal punctuation at all",           // no [.!?"] ending
+      "please enable javascript to continue.",    // javascript rule
+      goodLine, goodLine, goodLine, goodLine,     // 5 sentences total kept
+    ).mkString("\n")
+    val df = Seq(
+      (1L, doc),                                  // keep = true
+      (2L, doc + "\nlorem ipsum dolor."),         // page rule: lorem ipsum
+      (3L, doc + "\nif (x) { y. }"),              // page rule: brace
+      (4L, goodLine),                             // only 1 sentence -> drop
+    ).toDF("doc_id", "text")
+    val got = Cleanse.c4Filter(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_total"),
+          r.getAs[Boolean]("keep"), r.getAs[String]("text_c4"))).toMap
+    assert(got(1L)._1 == 5 && got(1L)._2 == 8 && got(1L)._3)
+    assert(got(1L)._4 == Seq.fill(5)(goodLine).mkString("\n"))
+    assert(!got(2L)._3 && !got(3L)._3) // page-level drops
+    assert(got(4L)._1 == 1 && !got(4L)._3) // too few sentences
+  }
+
   test("canonicalizeUrl strips tracking, fragments, default ports, case") {
     val cases = Seq(
       ("HTTPS://WWW.Example.ORG:443/Path/7?utm_source=x&id=3&fbclid=z#frag",
