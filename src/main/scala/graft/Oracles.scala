@@ -195,13 +195,13 @@ object Oracles {
         |  FROM events WHERE date_part('day', ts) <= 28),
         |meter AS (
         |  SELECT date_trunc('month', t) AS period,
-        |         sum(value * 1000) / 1e6 AS energy_gwh,
+        |         sum(round(value * 1000)) / 1e6 AS energy_gwh,
         |         count(DISTINCT date_trunc('day', t)) AS days_actual
         |  FROM ev GROUP BY 1),
         |curt AS (
         |  SELECT date_trunc('month', t) AS period,
-        |         sum(value * 50) / 1e6 AS avail_gwh,
-        |         sum(value * 20) / 1e6 AS curt_gwh
+        |         sum(round(value * 50)) / 1e6 AS avail_gwh,
+        |         sum(round(value * 20)) / 1e6 AS curt_gwh
         |  FROM ev GROUP BY 1),
         |rea AS (
         |  SELECT t, 4.0 + CAST(event_id % 100 AS DOUBLE) / 10.0 AS ws,
@@ -235,13 +235,13 @@ object Oracles {
 
     "q_elec_daily" ->
       """WITH s AS (SELECT date_trunc('hour', ts) AS t, user_id % 2 AS turb,
-        |                  sum(value) AS wh
+        |                  sum(round(value * 100)) AS wh
         |           FROM events GROUP BY 1, 2),
         |sper AS (SELECT t, sum(wh) AS wh, count(*) AS cnt FROM s GROUP BY 1),
         |sday AS (SELECT date_trunc('day', t) AS day, sum(wh) AS turbine_wh,
         |                sum(cnt) AS scada_count
         |         FROM sper GROUP BY 1),
-        |m AS (SELECT date_trunc('hour', ts) AS t, sum(value) * 0.95 AS mwh
+        |m AS (SELECT date_trunc('hour', ts) AS t, sum(round(value * 95)) AS mwh
         |      FROM events GROUP BY 1),
         |mday AS (SELECT date_trunc('day', t) AS day, sum(mwh) AS meter_wh,
         |                count(*) AS mcnt
@@ -398,7 +398,7 @@ object Oracles {
 
     "q_iec_curve" ->
       """WITH d AS (SELECT least(CAST(floor((value / 20.0) / 0.5) AS INT), 60) AS bin,
-        |                  value * 3.0 AS power
+        |                  round(value * 3.0) AS power
         |           FROM events WHERE value / 20.0 >= 0
         |             AND value IS NOT NULL),
         |st AS (SELECT bin, avg(power) AS p FROM d GROUP BY bin),

@@ -320,11 +320,15 @@ object SparkEntry {
         .filter(dayofmonth(col("ts")) <= 28)
         .withColumn("t",
           expr("ts + make_interval(0, CAST(user_id % 12 AS INT), 0, 0, 0, 0, 0)"))
+      // integer-valued Wh (round to whole units): double sums of integers
+      // are EXACT in any accumulation order — DuckDB's parallel sum is
+      // order-nondeterministic run to run, so summing raw products would
+      // flake whenever a monthly total lands near a rounding boundary
       val meter = ev.select(col("t").as("time"),
-        (col("value") * 1000).as("MMTR_SupWh"))
+        round(col("value") * 1000).as("MMTR_SupWh"))
       val curtail = ev.select(col("t").as("time"),
-        (col("value") * 50).as("IAVL_DnWh"),
-        (col("value") * 20).as("IAVL_ExtPwrDnWh"))
+        round(col("value") * 50).as("IAVL_DnWh"),
+        round(col("value") * 20).as("IAVL_ExtPwrDnWh"))
       val rea = ev.select(col("t").as("time"),
         (lit(4.0) + (col("event_id") % 100).cast("double") / 10.0).as("WMETR_HorWdSpd"),
         (lit(1.15) + (col("user_id") % 20).cast("double") / 200.0).as("WMETR_AirDen"))
@@ -386,8 +390,10 @@ object SparkEntry {
     // (ws, power) table — the driver-side curve re-emitted as rows.
     "q_iec_curve" -> ((s, dir) => {
       import s.implicits._
+      // integer-valued power: bin means become exact-integer sums / count,
+      // immune to DuckDB's order-nondeterministic parallel double sum
       val wsPower = Tables.events(s, dir)
-        .select((col("value") / 20.0).as("ws"), (col("value") * 3.0).as("power"))
+        .select((col("value") / 20.0).as("ws"), round(col("value") * 3.0).as("power"))
       val c = graft.powercurve.PowerCurve.iec(wsPower, "ws", "power",
         binWidth = 0.5, windspeedStart = 0.0, windspeedEnd = 30.0)
       c.values.zipWithIndex.map { case (p, b) => (b.toLong, p) }.toSeq
@@ -403,11 +409,14 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir)
       val slot = date_trunc("hour", col("ts"))
+      // integer-valued Wh per row (exact sums in any accumulation order —
+      // see q_aep_monthly: DuckDB's parallel double sum is
+      // order-nondeterministic, so raw-product sums flake at boundaries)
       val scada = ev.groupBy(slot.as("time"),
           concat(lit("T"), col("user_id") % 2).as("asset_id"))
-        .agg(sum(col("value")).as("WTUR_SupWh"))
+        .agg(sum(round(col("value") * 100)).as("WTUR_SupWh"))
       val meter = ev.groupBy(slot.as("time"))
-        .agg((sum(col("value")) * 0.95).as("MMTR_SupWh"))
+        .agg(sum(round(col("value") * 95)).as("MMTR_SupWh"))
       val asset = Seq(("T0", "turbine"), ("T1", "turbine")).toDF("asset_id", "type")
       val plant = graft.plant.PlantData(scada = Some(scada), meter = Some(meter),
         asset = Some(asset),
