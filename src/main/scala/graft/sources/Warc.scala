@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC / WET reader (ISO 28500, the Common Crawl distribution format) —
+  * the canonical ingestion path for web-scale training corpora.
+  *
+  * Scale shape: Common Crawl ships ~64k gzip WET files per crawl; gzip is
+  * not splittable, so the natural unit of parallelism is the FILE — each
+  * task streams one file end to end (headers → Content-Length payload →
+  * next record) through a bounded buffer. `binaryFiles` hands tasks lazy
+  * streams, so memory per task is one record's payload, never one file.
+  * A crawl fans out across the cluster by file; nothing touches the
+  * driver but the file listing.
+  *
+  * Robustness: a malformed or truncated record ends THAT FILE's parse
+  * (records already emitted survive, the error is recorded as a synthetic
+  * row with record_type "error") — one corrupt file in a 64k-file crawl
+  * must not kill the job.
+  */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("record_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", TimestampType),
+    StructField("content_length", LongType),
+    StructField("text", StringType)))
+
+  private val MaxRecordBytes = 64 << 20 // one WET page payload cap
+
+  /** Read WARC records from every file matching `pathGlob` (gzip detected
+    * per file by magic). `keepTypes` filters on WARC-Type — for WET text
+    * extraction pass the default Seq("conversion"); pass Nil to keep all.
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           keepTypes: Seq[String] = Seq("conversion")): DataFrame = {
+    val keep = keepTypes.map(_.toLowerCase).toSet
+    val rows = spark.sparkContext.binaryFiles(pathGlob)
+      .flatMap { case (path, pds) =>
+        val raw = new BufferedInputStream(pds.open(), 1 << 16)
+        val in = if (isGzip(raw)) new BufferedInputStream(
+          new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16) else raw
+        parseRecords(path, in, keep)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def isGzip(in: BufferedInputStream): Boolean = {
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    b0 == 0x1F && b1 == 0x8B
+  }
+
+  /** One ISO-8859-1 header line (WARC headers are ASCII); None at EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    Some(sb.toString)
+  }
+
+  /** LAZY iterator of record rows: each `next()` parses exactly one record
+    * from the stream, so a task holds one payload in memory, never a file.
+    * Malformation or truncation ends the file's parse with a synthetic
+    * "error" row (records already emitted survive).
+    */
+  private def parseRecords(path: String, in: InputStream,
+                           keep: Set[String]): Iterator[Row] = new Iterator[Row] {
+    private val din = new DataInputStream(in)
+    private var pending: Row = _
+    private var done = false
+
+    private def advance(): Unit = {
+      while (pending == null && !done) {
+        try {
+          var line = readLine(din)
+          // skip inter-record blank lines to the next version line
+          while (line.exists(_.isEmpty)) line = readLine(din)
+          line match {
+            case None => // clean EOF
+              done = true; din.close()
+            case Some(v) if v.startsWith("WARC/") =>
+              val headers = scala.collection.mutable.Map.empty[String, String]
+              var h = readLine(din)
+              while (h.exists(_.nonEmpty)) {
+                val l = h.get
+                val i = l.indexOf(':')
+                if (i > 0) headers(l.take(i).trim.toLowerCase) = l.drop(i + 1).trim
+                h = readLine(din)
+              }
+              val len = headers.get("content-length").map(_.toLong)
+                .getOrElse(throw new java.io.IOException("record without Content-Length"))
+              if (len > MaxRecordBytes)
+                throw new java.io.IOException(s"record of $len bytes exceeds cap")
+              val payload = new Array[Byte](len.toInt)
+              din.readFully(payload)
+              val typ = headers.getOrElse("warc-type", "").toLowerCase
+              if (keep.isEmpty || keep(typ)) {
+                val date = headers.get("warc-date").flatMap(parseDate)
+                pending = Row(path, typ,
+                  headers.getOrElse("warc-record-id", null),
+                  headers.getOrElse("warc-target-uri", null),
+                  date.orNull, len,
+                  new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+              } // else: filtered type — loop to the next record
+            case Some(other) =>
+              throw new java.io.IOException(
+                s"expected WARC/ version line, got '${other.take(40)}'")
+          }
+        } catch {
+          case e: EOFException =>
+            pending = Row(path, "error", null, null, null, 0L,
+              s"truncated record: ${e.getMessage}")
+            done = true; din.close()
+          case e: java.io.IOException =>
+            pending = Row(path, "error", null, null, null, 0L, e.getMessage)
+            done = true; din.close()
+        }
+      }
+    }
+
+    def hasNext: Boolean = { advance(); pending != null }
+    def next(): Row = {
+      advance()
+      if (pending == null) throw new NoSuchElementException("end of WARC stream")
+      val r = pending; pending = null; r
+    }
+  }
+
+  private def parseDate(s: String): Option[java.sql.Timestamp] =
+    try Some(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+    catch { case _: java.time.format.DateTimeParseException => None }
+}

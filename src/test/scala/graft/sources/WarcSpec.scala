@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+
+/** WARC/WET reader spec over byte-synthesized files (ISO 28500 layout):
+  * plain and gzip, type filtering, and corrupt-file capture.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def record(typ: String, uri: String, date: String, text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val headers = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $typ\r\n")
+    if (uri != null) headers.append(s"WARC-Target-URI: $uri\r\n")
+    if (date != null) headers.append(s"WARC-Date: $date\r\n")
+    headers.append(s"WARC-Record-ID: <urn:uuid:$typ-${text.length}>\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+    headers.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def wetBytes: Array[Byte] =
+    record("warcinfo", null, null, "software: graft-test") ++
+      record("conversion", "http://a.example/x", "2024-01-02T03:04:05Z",
+        "first page text.\nsecond line.") ++
+      record("conversion", "http://b.example/y", "2024-01-02T03:04:06Z",
+        "another page entirely.")
+
+  private def writeTemp(bytes: Array[Byte], suffix: String): String = {
+    val f = java.io.File.createTempFile("graft-warc", suffix)
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    f.getAbsolutePath
+  }
+
+  test("reads WET conversion records with uri/date/text (plain)") {
+    val path = writeTemp(wetBytes, ".warc")
+    val df = Warc.read(spark, path)
+    val rows = df.collect().sortBy(_.getAs[String]("target_uri"))
+    assert(rows.length == 2) // warcinfo filtered by default
+    assert(rows(0).getAs[String]("target_uri") == "http://a.example/x")
+    assert(rows(0).getAs[String]("text") == "first page text.\nsecond line.")
+    assert(rows(0).getAs[java.sql.Timestamp]("warc_date").toInstant ==
+      java.time.Instant.parse("2024-01-02T03:04:05Z"))
+    assert(rows(1).getAs[String]("text") == "another page entirely.")
+  }
+
+  test("gzip WET files parse identically (per-file streams, magic-sniffed)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(wetBytes); gz.close()
+    val path = writeTemp(bos.toByteArray, ".warc.gz")
+    val got = Warc.read(spark, path).collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("text")).toMap
+    assert(got == Map(
+      "http://a.example/x" -> "first page text.\nsecond line.",
+      "http://b.example/y" -> "another page entirely."))
+  }
+
+  test("keepTypes Nil keeps every record including warcinfo") {
+    val path = writeTemp(wetBytes, ".warc")
+    val types = Warc.read(spark, path, keepTypes = Nil)
+      .collect().map(_.getAs[String]("record_type")).sorted.toSeq
+    assert(types == Seq("conversion", "conversion", "warcinfo"))
+  }
+
+  test("a truncated file yields its complete records plus one error row") {
+    val cut = wetBytes.dropRight(15) // cut into the last record's payload
+    val path = writeTemp(cut, ".warc")
+    val rows = Warc.read(spark, path, keepTypes = Nil).collect()
+    val byType = rows.groupBy(_.getAs[String]("record_type"))
+    assert(byType("conversion").length == 1) // first conversion survived
+    assert(byType("error").length == 1)
+    assert(byType("error").head.getAs[String]("text").contains("truncated"))
+  }
+
+  test("non-WARC bytes produce a single error row, not a crash") {
+    val path = writeTemp("this is not a warc file\nat all".getBytes(UTF_8), ".warc")
+    val rows = Warc.read(spark, path, keepTypes = Nil).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("record_type") == "error")
+    assert(rows.head.getAs[String]("text").contains("expected WARC/"))
+  }
+
+  test("WET → C4 → exact dedup composes (the crawl ingestion pipeline)") {
+    val path = writeTemp(wetBytes, ".warc")
+    val docs = Warc.read(spark, path)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("target_uri")))
+    val cleaned = graft.operators.Cleanse.c4Filter(docs, "text", minSentences = 1)
+    val deduped = graft.operators.Dedup.exact(cleaned, "text_c4", "doc_id")
+    assert(deduped.count() == 2)
+    assert(deduped.filter("is_duplicate").count() == 0)
+  }
+}
