@@ -77,6 +77,60 @@ object Diagnostics {
     profiles.agg(aggs.head, aggs.tail: _*)
   }
 
+  private def kllSketchAgg(c: org.apache.spark.sql.Column, k: Int) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.KllAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+  private def kllUnionAgg(c: org.apache.spark.sql.Column, k: Int) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.KllMergeAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+  /** Quantile lookup on a serialized KLL sketch column (profile rows only). */
+  def kllQuantile(sketch: org.apache.spark.sql.Column, rank: Double): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.KllQuantile(
+        org.apache.spark.sql.graft.ColumnBridge.expression(sketch),
+        org.apache.spark.sql.catalyst.expressions.Literal(rank)))
+
+  /** Per-shard quantile profile with MERGEABLE KLL sketches (the quantile
+    * sibling of [[shardProfile]]): (shard, n_rows, <col>_qsketch binary,
+    * <col>_p50 estimate per requested column). At 100 TB, per-shard
+    * sketches persist as ~KB binaries and [[mergeQuantileProfiles]] unions
+    * them into global quantiles WITHOUT a global sort or corpus rescan —
+    * `percentile_approx` results from separate runs cannot be merged.
+    * Estimates carry KLL's ~1.65% rank error at the default k=200 (they
+    * are also merge-order-sensitive in the last ulps: treat profile values
+    * as diagnostics, not oracle-matchable exact statistics).
+    */
+  def quantileProfile(df: DataFrame, shardCol: String,
+                      quantileCols: Seq[String], k: Int = 200): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      quantileCols.map(c =>
+        kllSketchAgg(col(c).cast("double"), k).as(s"${c}_qsketch"))
+    val base = df.groupBy(col(shardCol).as("shard")).agg(aggs.head, aggs.tail: _*)
+    quantileCols.foldLeft(base) { (acc, c) =>
+      acc.withColumn(s"${c}_p50", kllQuantile(col(s"${c}_qsketch"), 0.5))
+    }
+  }
+
+  /** Merge per-shard quantile profiles into one global row: total rows plus
+    * p10/p50/p90 per column from the unioned sketches.
+    */
+  def mergeQuantileProfiles(profiles: DataFrame, quantileCols: Seq[String],
+                            k: Int = 200): DataFrame = {
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      quantileCols.map(c =>
+        kllUnionAgg(col(s"${c}_qsketch"), k).as(s"${c}_qsketch"))
+    val merged = profiles.agg(aggs.head, aggs.tail: _*)
+    quantileCols.foldLeft(merged) { (acc, c) =>
+      acc.withColumn(s"${c}_p10", kllQuantile(col(s"${c}_qsketch"), 0.1))
+        .withColumn(s"${c}_p50", kllQuantile(col(s"${c}_qsketch"), 0.5))
+        .withColumn(s"${c}_p90", kllQuantile(col(s"${c}_qsketch"), 0.9))
+    }
+  }
+
   /** Rows per Spark partition: (partition_id, n_rows) — the imbalance view
     * that catches a bad repartition or a skewed shuffle before it costs a
     * straggler at scale. The count is map-side partial (one row per input

@@ -58,9 +58,41 @@ object FunctionRegistration {
         SimHashAgg(exprs.head)
       })
 
+  /** `kll_sketch(x[, k])` aggregate -> serialized KLL quantile sketch. */
+  val kllSketchDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllAgg].getName, "kll_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_sketch expects 1-2 arguments, got ${exprs.length}")
+        KllAgg(exprs.head,
+          if (exprs.length == 2) litLong(exprs(1), "kll_sketch").toInt else 200)
+      })
+
+  /** `kll_union(sketch[, k])` aggregate -> merged sketch binary. */
+  val kllUnionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_union"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_union expects 1-2 arguments, got ${exprs.length}")
+        KllMergeAgg(exprs.head,
+          if (exprs.length == 2) litLong(exprs(1), "kll_union").toInt else 200)
+      })
+
+  /** `kll_quantile(sketch, rank)` -> value at rank in [0, 1]. */
+  val kllQuantileDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"kll_quantile expects 2 arguments, got ${exprs.length}")
+        KllQuantile(exprs.head, exprs(1))
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
-      simHashSigDescription)
+      simHashSigDescription, kllSketchDescription, kllUnionDescription,
+      kllQuantileDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -122,6 +122,40 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(global._2 - 2000L) <= 80, s"merged: ${global._2}")
   }
 
+  test("Diagnostics quantile profiles: KLL sketches merge to global quantiles") {
+    // three shards with disjoint value ranges: the global median is in
+    // shard 2, unreachable from any single shard's quantiles — only a
+    // sketch UNION can produce it without rescanning
+    val df = ((1 to 1000).map(v => ("s1", v)) ++
+      (1001 to 2000).map(v => ("s2", v)) ++
+      (2001 to 3000).map(v => ("s3", v))).toDF("shard_id", "v")
+    val prof = Diagnostics.quantileProfile(df, "shard_id", Seq("v"))
+    val perShard = prof.select("shard", "n_rows", "v_p50")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(perShard("s1")._2 == 1000L)
+    // KLL rank error at k=200 is ~1.65%: per-shard medians within 35 ranks
+    assert(math.abs(perShard("s1")._3 - 500.0) <= 35, perShard("s1"))
+    assert(math.abs(perShard("s2")._3 - 1500.0) <= 35, perShard("s2"))
+    val global = Diagnostics.mergeQuantileProfiles(prof, Seq("v"))
+      .select("n_rows", "v_p10", "v_p50", "v_p90")
+      .as[(Long, Double, Double, Double)].head()
+    assert(global._1 == 3000L)
+    assert(math.abs(global._2 - 300.0) <= 100, s"p10: ${global._2}")
+    assert(math.abs(global._3 - 1500.0) <= 100, s"p50: ${global._3}")
+    assert(math.abs(global._4 - 2700.0) <= 100, s"p90: ${global._4}")
+  }
+
+  test("kll_sketch/kll_union/kll_quantile work from the SQL surface") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    (1 to 1000).map(v => ("s" + (v % 4), v.toDouble)).toDF("shard", "x")
+      .createOrReplaceTempView("kll_in")
+    val got = spark.sql(
+      """SELECT kll_quantile(kll_union(sk), 0.5) AS p50 FROM (
+        |  SELECT shard, kll_sketch(x) AS sk FROM kll_in GROUP BY shard)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(got - 500.0) <= 35, s"sql p50: $got")
+  }
+
   test("stopwordRatioFor judges text by its own language's list") {
     val df = Seq(
       ("fr", "le chat est sur la table et le chien"),
