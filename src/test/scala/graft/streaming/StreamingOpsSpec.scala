@@ -154,6 +154,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!got.head.getString(1).contains("alice@"))
   }
 
+  test("c4Filter runs unchanged on a stream (stateless array/regexp exprs)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = Seq.fill(5)("this sentence has enough words and ends properly.")
+      .mkString("\n")
+    val out = graft.operators.Cleanse.c4Filter(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("c4_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, good), (2L, good + "\nlorem ipsum dolor."))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, n_lines_kept, keep from c4_out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(got(1L) == (5L, true) && got(2L) == (6L, false))
+  }
+
   test("decontaminateStream drops streamed docs overlapping the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
