@@ -85,6 +85,14 @@ def main():
             continue
         try:
             oracle_df = con.execute(oracle_sql[name]).fetchdf()
+            # DuckDB's parallel double sum is order-nondeterministic run to
+            # run: execute twice and flag oracles whose own output drifts
+            # (a drifting oracle means the QUERY's rounding sits on a float
+            # boundary — fix the gate, don't re-roll the dice)
+            oracle_df2 = con.execute(oracle_sql[name]).fetchdf()
+            if compare(name, oracle_df, oracle_df2):
+                print(f"! {name}: UNSTABLE ORACLE (two runs differ) — "
+                      f"make summed values integer-valued (see verify skill)")
         except Exception as e:
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             fail += 1
