@@ -265,15 +265,42 @@ object NetCdf {
           val raw =
             if (!isRecordVar(h, cv)) readRange(path, cv.begin, n * cv.typeBytes, conf)
             else {
-              // record coord (the time axis): one slab per record
+              // record coord (the time axis): values are strided one per
+              // record. One ranged read per record = numRecs round trips
+              // (175k GETs on an object store for 20y hourly) — when
+              // records are small, read SPANS of whole records and pick
+              // the coord bytes out; fall back to per-record reads when a
+              // record is big enough that the span would dwarf the axis.
               val rs = h.recSize
               val out = new Array[Byte](n * cv.typeBytes)
               val in = fs.open(p)
               try {
-                var r = 0
-                while (r < n) {
-                  in.readFully(cv.begin + r * rs, out, r * cv.typeBytes, cv.typeBytes)
-                  r += 1
+                if (rs <= 4096) {
+                  val perSpan = math.max(1, (4 << 20) / rs.toInt) // ~4 MB reads
+                  val span = new Array[Byte](perSpan * rs.toInt)
+                  var r0 = 0
+                  while (r0 < n) {
+                    val k = math.min(perSpan, n - r0)
+                    // the final span may extend past EOF when this coord
+                    // isn't the last slab of the last record — cap it (the
+                    // coord bytes themselves always fit)
+                    val start = cv.begin + r0 * rs
+                    val len = math.min(k * rs, fileLen - start).toInt
+                    in.readFully(start, span, 0, len)
+                    var j = 0
+                    while (j < k) {
+                      System.arraycopy(span, (j * rs).toInt, out,
+                        (r0 + j) * cv.typeBytes, cv.typeBytes)
+                      j += 1
+                    }
+                    r0 += k
+                  }
+                } else {
+                  var r = 0
+                  while (r < n) {
+                    in.readFully(cv.begin + r * rs, out, r * cv.typeBytes, cv.typeBytes)
+                    r += 1
+                  }
                 }
               } finally in.close()
               out
@@ -317,12 +344,22 @@ object NetCdf {
 
     val rows = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
+        // ONE positioned-read handle per task, reused across every
+        // (var, record) in the range — an open per slab would cost
+        // records x vars round trips per task on an object store
         val taskConf = new org.apache.hadoop.conf.Configuration()
-        (lo until hi).iterator.flatMap { rec =>
+        val (tfs, tp) = openFs(path, taskConf)
+        val stream = tfs.open(tp)
+        def slabAt(at: Long, len: Int): Array[Byte] = {
+          val out = new Array[Byte](len)
+          stream.readFully(at, out)
+          out
+        }
+        val inner = (lo until hi).iterator.flatMap { rec =>
           val slabs = varMeta.map { case (begin, t, slab, (sc, off, fill)) =>
             val at = if (rec0) begin + rec * recSize else begin
             val n = slab / typeBytes(t)
-            decode(readRange(path, at, slab, taskConf), t, n).map { x =>
+            decode(slabAt(at, slab), t, n).map { x =>
               if (fill.contains(x)) null else java.lang.Double.valueOf(x * sc + off)
             }
           }
@@ -342,6 +379,16 @@ object NetCdf {
             }
             Row.fromSeq(coords ++ slabs.map(_(j.toInt)))
           }
+        }
+        // close the handle when the range is exhausted (tasks drain their
+        // iterators; abnormal task death reclaims the fd with the JVM)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = inner.hasNext
+            if (!h) stream.close()
+            h
+          }
+          def next(): Row = inner.next()
         }
       }
     spark.createDataFrame(rows, schema)
