@@ -232,18 +232,28 @@ object Timeseries {
     * NOTE: an empty `partitionCols` runs one ordered pass over the whole
     * input — only use it on bin-grain tables (power-curve bins, monthly
     * aggregates), never at fact grain; pass keys there.
+    *
+    * Frames: BOTH neighbor lookups are RUNNING `last(ignoreNulls)` frames
+    * — the forward-looking one over a DESCENDING sort. A
+    * `first(ignoreNulls) over (currentRow, unboundedFollowing)` frame
+    * looks equivalent but Spark re-scans the shrinking frame per row:
+    * O(n^2) per partition, measured 244s vs 1.8s on 20k-row partitions at
+    * sf0.1. Running unboundedPreceding frames evaluate incrementally.
     */
   def interpolateLinear(df: DataFrame, valueCol: String, xCol: String,
                         orderCol: String,
                         partitionCols: Seq[String] = Seq.empty): DataFrame = {
-    val base = if (partitionCols.isEmpty) Window.partitionBy(singlePartitionKey(col(orderCol))).orderBy(orderCol)
-               else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
-    val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = base.rowsBetween(0, Window.unboundedFollowing)
+    val parts =
+      if (partitionCols.isEmpty) Seq(singlePartitionKey(col(orderCol)))
+      else partitionCols.map(col)
+    val wPrev = Window.partitionBy(parts: _*).orderBy(asc(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(parts: _*).orderBy(desc(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val yPrev = last(col(valueCol), ignoreNulls = true).over(wPrev)
-    val yNext = first(col(valueCol), ignoreNulls = true).over(wNext)
+    val yNext = last(col(valueCol), ignoreNulls = true).over(wNext)
     val xPrev = last(when(col(valueCol).isNotNull, col(xCol)), ignoreNulls = true).over(wPrev)
-    val xNext = first(when(col(valueCol).isNotNull, col(xCol)), ignoreNulls = true).over(wNext)
+    val xNext = last(when(col(valueCol).isNotNull, col(xCol)), ignoreNulls = true).over(wNext)
     val interp = when(col(valueCol).isNotNull, col(valueCol))
       .when(yPrev.isNull, yNext)
       .when(yNext.isNull, yPrev)
