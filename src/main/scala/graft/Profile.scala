@@ -49,6 +49,24 @@ object Profile {
           .orderBy("l_orderkey", "l_linenumber")
       })
 
+    // decompose q_canonical's 6.3s
+    {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("score", length(col("text")).cast("double"))
+      val fp = docs.select(col("doc_id"),
+        operators.TextAnalysis.fingerprint(col("text")).as("__f"))
+      val firsts = fp.groupBy("__f").agg(min(col("doc_id")).as("id_a"))
+      def pairs() = fp.join(firsts, Seq("__f"))
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      run("canonical: pairs only")(pairs())
+      val pcp = pairs().localCheckpoint(true)
+      time("canonical: connectedComponents")(
+        operators.Dedup.connectedComponents(pcp, "id_a", "id_b").count())
+      time("canonical: full dedupClustersBy")(
+        operators.Dedup.dedupClustersBy(docs, "doc_id", "score", pcp).count())
+    }
+
     // A/B Dedup.exact: recompute-fingerprint (current, 2 normalize+md5
     // passes) vs a checkpointed narrow (id, fp) table computed once
     run("dedup.exact recompute (current)")(
