@@ -359,6 +359,18 @@ object Oracles {
          |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    "q_tz_convert" ->
+      """WITH b AS (SELECT event_id,
+        |    (CASE WHEN event_id % 2 = 0 THEN TIMESTAMP '2024-03-10 00:00:00'
+        |          ELSE TIMESTAMP '2024-11-03 00:00:00' END
+        |     + to_seconds(CAST(event_id % 14400 AS INT))) AS tloc
+        |  FROM events)
+        |SELECT event_id,
+        |  epoch_us(timezone('America/New_York', tloc)) // 1000000 AS utc_epoch
+        |FROM b
+        |WHERE NOT (event_id % 2 = 1 AND event_id % 14400 BETWEEN 3600 AND 7199)
+        |ORDER BY event_id""".stripMargin,
+
     "q_interp_linear" ->
       """WITH b AS (SELECT event_id, ts, event_type,
         |             CAST(epoch_us(ts) AS DOUBLE) AS x,

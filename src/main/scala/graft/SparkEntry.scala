@@ -350,6 +350,24 @@ object SparkEntry {
         .orderBy("period_epoch")
     }),
 
+    // Local->UTC conversion across BOTH 2024 US DST transitions: synthetic
+    // naive timestamps spanning 00:00-04:00 of the spring-forward and
+    // fall-back days. Nonexistent spring times shift by the gap in both
+    // engines; the ambiguous fall-back hour is EXCLUDED deterministically
+    // (java.time resolves it to the earlier offset, DuckDB/ICU to the
+    // later — that path is pinned by the refvector spec instead).
+    "q_tz_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val secs = (col("event_id") % 14400).cast("int")
+      val base = when(col("event_id") % 2 === 0,
+        lit("2024-03-10 00:00:00")).otherwise(lit("2024-11-03 00:00:00"))
+      val tloc = to_timestamp(base) + expr("INTERVAL '1' SECOND") * secs
+      ev.filter(!(col("event_id") % 2 === 1 && secs.between(3600, 7199)))
+        .select(col("event_id"),
+          epochS(Timeseries.localToUtc(tloc, "America/New_York")).as("utc_epoch"))
+        .orderBy("event_id")
+    }),
+
     // Linear interpolation between surviving points (x = event time),
     // bfill/ffill at partition edges — the imputation primitive, oracle-
     // gated with planted nulls (every 37th event id). round(4): the
