@@ -371,6 +371,17 @@ object Oracles {
         |WHERE NOT (event_id % 2 = 1 AND event_id % 14400 BETWEEN 3600 AND 7199)
         |ORDER BY event_id""".stripMargin,
 
+    "q_offset_dst" ->
+      """WITH b AS (SELECT event_id,
+        |    ts + to_months(CAST(event_id % 12 AS INT)) AS utc
+        |  FROM events WHERE date_part('day', ts) <= 28)
+        |SELECT event_id,
+        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |     - epoch_us(utc)) / 3600000000.0 AS utc_offset_hours,
+        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |     - epoch_us(utc)) / 1000000 <> -18000 AS is_dst
+        |FROM b ORDER BY event_id""".stripMargin,
+
     "q_interp_linear" ->
       """WITH b AS (SELECT event_id, ts, event_type,
         |             CAST(epoch_us(ts) AS DOUBLE) AS x,

@@ -368,6 +368,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // QA determine_offset_dst: UTC-offset + DST flag from already-UTC
+    // stamps spread across the whole year (UTC->local is never ambiguous,
+    // so both engines agree everywhere, transitions included).
+    "q_offset_dst" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(dayofmonth(col("ts")) <= 28)
+        .withColumn("utc",
+          expr("ts + make_interval(0, CAST(event_id % 12 AS INT), 0, 0, 0, 0, 0)"))
+      QaDatetime.determineOffsetDst(
+          ev.select(col("event_id"), col("utc")), "utc", "America/New_York")
+        .select(col("event_id"), col("utc_offset_hours"), col("is_dst"))
+        .orderBy("event_id")
+    }),
+
     // Linear interpolation between surviving points (x = event time),
     // bfill/ffill at partition edges — the imputation primitive, oracle-
     // gated with planted nulls (every 37th event id). round(4): the
