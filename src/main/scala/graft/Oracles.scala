@@ -371,6 +371,18 @@ object Oracles {
         |WHERE NOT (event_id % 2 = 1 AND event_id % 14400 BETWEEN 3600 AND 7199)
         |ORDER BY event_id""".stripMargin,
 
+    "q_impute_corr" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)) AS base FROM events GROUP BY 1),
+        |series AS (SELECT h, 'A' || CAST(k AS VARCHAR) AS asset,
+        |    CASE WHEN (epoch_us(h) // 3600000000 + k) % 19 = 0 THEN NULL
+        |         ELSE base * (1.0 + k / 10.0) + k * 1000 END AS v,
+        |    base * (1.0 + k / 10.0) + k * 1000 AS vt
+        |  FROM hourly, range(5) t(k))
+        |SELECT epoch_us(h) // 1000000 AS h_epoch, asset,
+        |       round(coalesce(v, vt), 2) AS v_imputed
+        |FROM series ORDER BY h_epoch, asset""".stripMargin,
+
     "q_offset_dst" ->
       """WITH b AS (SELECT event_id,
         |    ts + to_months(CAST(event_id % 12 AS INT)) AS utc

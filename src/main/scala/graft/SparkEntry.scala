@@ -368,6 +368,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // impute_all_assets_by_correlation over five exactly-linearly-related
+    // hourly asset series (v_k = base*(1+k/10) + 1000k) with nulls planted
+    // at (hour_index + k) % 19 == 0. Exact linearity makes the oracle
+    // independent of which ranked neighbor fills: every per-pair fit
+    // recovers the true value to ~1e-10 relative, and true values carry
+    // <= 1 decimal, so round(2) is engine-stable by a 500x margin.
+    "q_impute_corr" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(round(col("value") * 100)).as("base"))
+      val series = hourly
+        .select(col("h"), col("base"), explode(sequence(lit(0), lit(4))).as("k"))
+        .withColumn("asset", concat(lit("A"), col("k")))
+        .withColumn("v",
+          when(((unix_timestamp(col("h")) / 3600).cast("long") + col("k")) % 19 === 0,
+            lit(null).cast("double"))
+          .otherwise(col("base") * (lit(1.0) + col("k") / 10.0) + col("k") * 1000))
+        .select("h", "asset", "v")
+      Imputing.imputeAllByCorrelation(series, "h", "asset", "v",
+          minR2 = 0.7, topM = 3)
+        .select(epochS(col("h")).as("h_epoch"), col("asset"),
+          round(col("v_imputed"), 2).as("v_imputed"))
+        .orderBy("h_epoch", "asset")
+    }),
+
     // QA determine_offset_dst: UTC-offset + DST flag from already-UTC
     // stamps spread across the whole year (UTC->local is never ambiguous,
     // so both engines agree everywhere, transitions included).
