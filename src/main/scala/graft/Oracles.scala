@@ -405,9 +405,9 @@ object Oracles {
         |        first_value(v IGNORE NULLS) OVER w2 AS yn,
         |        first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w2 AS xn
         |      FROM b
-        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |             w2 AS (PARTITION BY event_type ORDER BY ts
+        |             w2 AS (PARTITION BY event_type ORDER BY ts, event_id
         |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
         |    WHEN yp IS NULL THEN yn WHEN yn IS NULL THEN yp

@@ -419,7 +419,8 @@ object SparkEntry {
           .otherwise(col("value")))
         .withColumn("x", unix_micros(col("ts")).cast("double"))
       Timeseries.interpolateLinear(ev, "v", "x", orderCol = "ts",
-          partitionCols = Seq("event_type"))
+          partitionCols = Seq("event_type"),
+          tieBreakCols = Seq("event_id")) // replicated data has tied ts
         .select(col("event_id"), round(col("v"), 4).as("v"))
         .orderBy("event_id")
     }),

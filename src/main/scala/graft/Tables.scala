@@ -29,12 +29,17 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     graft.operators.FanOut(table(spark, dir, "embeddings"))
 
-  /** Events with `ts` as a proper TimestampType (truncated ns -> us). */
+  /** Events with `ts` as a proper TimestampType (truncated ns -> us).
+    * Files written by other engines may carry TIMESTAMP_NTZ — normalized
+    * here too (sessions run UTC, so the cast is value-preserving).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

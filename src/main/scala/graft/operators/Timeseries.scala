@@ -242,13 +242,19 @@ object Timeseries {
     */
   def interpolateLinear(df: DataFrame, valueCol: String, xCol: String,
                         orderCol: String,
-                        partitionCols: Seq[String] = Seq.empty): DataFrame = {
+                        partitionCols: Seq[String] = Seq.empty,
+                        // extra sort keys: duplicate orderCol values make
+                        // neighbor attribution order-dependent — pass a
+                        // unique tie-breaker for deterministic output
+                        tieBreakCols: Seq[String] = Seq.empty): DataFrame = {
     val parts =
       if (partitionCols.isEmpty) Seq(singlePartitionKey(col(orderCol)))
       else partitionCols.map(col)
-    val wPrev = Window.partitionBy(parts: _*).orderBy(asc(orderCol))
+    val ordAsc = asc(orderCol) +: tieBreakCols.map(asc)
+    val ordDesc = desc(orderCol) +: tieBreakCols.map(desc)
+    val wPrev = Window.partitionBy(parts: _*).orderBy(ordAsc: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.partitionBy(parts: _*).orderBy(desc(orderCol))
+    val wNext = Window.partitionBy(parts: _*).orderBy(ordDesc: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val yPrev = last(col(valueCol), ignoreNulls = true).over(wPrev)
     val yNext = last(col(valueCol), ignoreNulls = true).over(wNext)
