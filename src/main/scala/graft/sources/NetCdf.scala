@@ -342,14 +342,26 @@ object NetCdf {
       (lo, hi)
     }.filter { case (lo, hi) => hi > lo }
 
+    // ship the SESSION Hadoop conf to tasks — a fresh Configuration() sees
+    // only classpath defaults and drops spark.hadoop.* (object-store
+    // credentials/endpoints), so driver-parse-ok files would fail in tasks
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
         // ONE positioned-read handle per task, reused across every
         // (var, record) in the range — an open per slab would cost
         // records x vars round trips per task on an object store
-        val taskConf = new org.apache.hadoop.conf.Configuration()
-        val (tfs, tp) = openFs(path, taskConf)
+        val (tfs, tp) = openFs(path, confB.value.value)
         val stream = tfs.open(tp)
+        // close on task completion (covers limit/take early exits), not on
+        // iterator exhaustion — and only once
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) stream.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         def slabAt(at: Long, len: Int): Array[Byte] = {
           val out = new Array[Byte](len)
           stream.readFully(at, out)
@@ -380,12 +392,12 @@ object NetCdf {
             Row.fromSeq(coords ++ slabs.map(_(j.toInt)))
           }
         }
-        // close the handle when the range is exhausted (tasks drain their
-        // iterators; abnormal task death reclaims the fd with the JVM)
+        // eager close at exhaustion is a fast path; the completion
+        // listener above is the guarantee (early exit, task failure)
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = inner.hasNext
-            if (!h) stream.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = inner.next()

@@ -99,8 +99,11 @@ object Warc {
                 if (i > 0) headers(l.take(i).trim.toLowerCase) = l.drop(i + 1).trim
                 h = readLine(din)
               }
-              val len = headers.get("content-length").map(_.toLong)
-                .getOrElse(throw new java.io.IOException("record without Content-Length"))
+              val len = headers.get("content-length")
+                .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+                .filter(_ >= 0L)
+                .getOrElse(throw new java.io.IOException(
+                  s"record without a valid Content-Length (got '${headers.getOrElse("content-length", "<absent>").take(40)}')"))
               if (len > MaxRecordBytes)
                 throw new java.io.IOException(s"record of $len bytes exceeds cap")
               val payload = new Array[Byte](len.toInt)
@@ -123,9 +126,13 @@ object Warc {
             pending = Row(path, "error", null, null, null, 0L,
               s"truncated record: ${e.getMessage}")
             done = true; din.close()
-          case e: java.io.IOException =>
-            pending = Row(path, "error", null, null, null, 0L, e.getMessage)
-            done = true; din.close()
+          case scala.util.control.NonFatal(e) =>
+            // any malformation (bad header, corrupt gzip, …) ends THIS
+            // file's parse with an error row, never the job
+            pending = Row(path, "error", null, null, null, 0L,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            done = true
+            try din.close() catch { case _: java.io.IOException => () }
         }
       }
     }

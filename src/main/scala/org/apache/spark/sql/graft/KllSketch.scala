@@ -114,6 +114,10 @@ case class KllQuantile(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_quantile"
+  // an EMPTY sketch (all-null group) is a valid binary that yields null,
+  // so the output is nullable even over non-null children — without this
+  // the optimizer may fold IsNull(kll_quantile(..)) to false
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(sketch: Any, rank: Any): Any = {
     val s = KllDoublesSketch.heapify(Memory.wrap(sketch.asInstanceOf[Array[Byte]]))

@@ -24,9 +24,9 @@ class WarcSpec extends SparkSpec {
   private def wetBytes: Array[Byte] =
     record("warcinfo", null, null, "software: graft-test") ++
       record("conversion", "http://a.example/x", "2024-01-02T03:04:05Z",
-        "first page text.\nsecond line.") ++
+        "the first page has real text.\nand a second full line too.") ++
       record("conversion", "http://b.example/y", "2024-01-02T03:04:06Z",
-        "another page entirely.")
+        "another page with different words entirely.")
 
   private def writeTemp(bytes: Array[Byte], suffix: String): String = {
     val f = java.io.File.createTempFile("graft-warc", suffix)
@@ -41,10 +41,12 @@ class WarcSpec extends SparkSpec {
     val rows = df.collect().sortBy(_.getAs[String]("target_uri"))
     assert(rows.length == 2) // warcinfo filtered by default
     assert(rows(0).getAs[String]("target_uri") == "http://a.example/x")
-    assert(rows(0).getAs[String]("text") == "first page text.\nsecond line.")
+    assert(rows(0).getAs[String]("text") ==
+      "the first page has real text.\nand a second full line too.")
     assert(rows(0).getAs[java.sql.Timestamp]("warc_date").toInstant ==
       java.time.Instant.parse("2024-01-02T03:04:05Z"))
-    assert(rows(1).getAs[String]("text") == "another page entirely.")
+    assert(rows(1).getAs[String]("text") ==
+      "another page with different words entirely.")
   }
 
   test("gzip WET files parse identically (per-file streams, magic-sniffed)") {
@@ -55,8 +57,8 @@ class WarcSpec extends SparkSpec {
     val got = Warc.read(spark, path).collect()
       .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("text")).toMap
     assert(got == Map(
-      "http://a.example/x" -> "first page text.\nsecond line.",
-      "http://b.example/y" -> "another page entirely."))
+      "http://a.example/x" -> "the first page has real text.\nand a second full line too.",
+      "http://b.example/y" -> "another page with different words entirely."))
   }
 
   test("keepTypes Nil keeps every record including warcinfo") {
@@ -81,6 +83,23 @@ class WarcSpec extends SparkSpec {
     val rows = Warc.read(spark, path, keepTypes = Nil).collect()
     assert(rows.length == 1 && rows.head.getAs[String]("record_type") == "error")
     assert(rows.head.getAs[String]("text").contains("expected WARC/"))
+  }
+
+  test("a malformed Content-Length yields an error row, not a job failure") {
+    val bad = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: not-a-number\r\n\r\n").getBytes(UTF_8)
+    val path = writeTemp(record("conversion", "http://ok.example/", null,
+      "this good record parses completely fine.") ++ bad, ".warc")
+    val rows = Warc.read(spark, path, keepTypes = Nil).collect()
+    val byType = rows.groupBy(_.getAs[String]("record_type"))
+    assert(byType("conversion").length == 1) // prior record survives
+    assert(byType("error").head.getAs[String]("text").contains("Content-Length"))
+
+    val neg = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: -7\r\n\r\n").getBytes(UTF_8)
+    val p2 = writeTemp(neg, ".warc")
+    val r2 = Warc.read(spark, p2, keepTypes = Nil).collect()
+    assert(r2.length == 1 && r2.head.getAs[String]("record_type") == "error")
   }
 
   test("WET → C4 → exact dedup composes (the crawl ingestion pipeline)") {
