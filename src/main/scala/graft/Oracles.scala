@@ -256,6 +256,121 @@ object Oracles {
         |WHERE mcnt = 24
         |ORDER BY day_epoch""".stripMargin,
 
+    // Freestream membership is closed-form for the 2-turbine equator E-W
+    // layout: T0 (west) is waked when the upwind bearing 90 is within 45
+    // deg of the bin center 5b+2.5 => b in [9,26]; T1 (bearing 270) => b
+    // in [45,62]. wd_bin == hour%71 because wd = (hour%71)*5 + 2.5.
+    "q_wake_por" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
+        |                  sum(round(value * 100)) AS w
+        |           FROM events GROUP BY 1, 2),
+        |h AS (SELECT time, a, w, epoch_us(time) // 3600000000 AS hh FROM s),
+        |e AS (SELECT time, a, w, hh % 71 AS wd_bin,
+        |             ((hh + a) % 100) / 4.0 AS ws,
+        |             CASE WHEN a = 0 THEN NOT ((hh % 71) BETWEEN 9 AND 26)
+        |                  ELSE NOT ((hh % 71) BETWEEN 45 AND 62) END AS free
+        |      FROM h),
+        |t AS (SELECT time, min(wd_bin) AS wd_bin, sum(w) AS plant_w,
+        |             avg(CASE WHEN free THEN w END) AS fs_w,
+        |             avg(CASE WHEN free THEN ws END) AS fs_ws
+        |      FROM e GROUP BY time HAVING count(*) = 2)
+        |SELECT CAST(wd_bin AS INTEGER) AS wd_bin, count(*) AS n_times,
+        |       round(sum(plant_w), 2) AS actual_w,
+        |       round(sum(fs_w * 2), 2) AS potential_w,
+        |       round(1.0 - sum(plant_w) / sum(fs_w * 2), 6) AS por_loss,
+        |       round(avg(fs_ws), 6) AS fs_ws
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_wake_freq" ->
+      """WITH r AS (SELECT
+        |    CAST(FLOOR(((event_id % 288) * 10) / 8.0 / 5.0) AS INTEGER) AS wd_bin,
+        |    CAST(FLOOR((event_id % 200) / 8.0 / 1.0) AS INTEGER) AS ws_bin
+        |  FROM events)
+        |SELECT wd_bin, ws_bin, count(*) AS freq,
+        |       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM r), 9) AS freq_frac
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tie_daily" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
+        |                  sum(round(value * 100)) AS wh
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT time, a, wh, epoch_us(time) // 3600000000 AS hh FROM s),
+        |v AS (SELECT 'T' || a AS asset_id, date_trunc('day', time) AS day,
+        |             sum(wh) AS energy, count(*) AS n
+        |      FROM f WHERE (hh + a) % 17 <> 0
+        |      GROUP BY 1, 2 HAVING count(*) >= 24 * 0.9),
+        |r0 AS (SELECT DISTINCT date_trunc('hour', ts) AS time FROM events),
+        |r1 AS (SELECT time, epoch_us(time) // 3600000000 AS he FROM r0),
+        |r2 AS (SELECT date_trunc('day', time) AS day,
+        |              avg((he % 160) / 8.0) AS ws,
+        |              avg(((he % 64) - 32) / 4.0) AS u,
+        |              avg((((he * 7 + 11) % 64) - 32) / 4.0) AS v,
+        |              avg(1.0 + (he % 64) / 256.0) AS rho,
+        |              count(*) AS n_rea
+        |       FROM r1 GROUP BY 1)
+        |SELECT asset_id, epoch_us(v.day) // 1000000 AS day_epoch,
+        |       round(energy, 2) AS energy_wh, n,
+        |       round(energy * 24.0 / n, 4) AS energy_corrected,
+        |       round(ws, 6) AS ws,
+        |       round(fmod(fmod(180.0 + degrees(atan2(u, r2.v)), 360.0) + 360.0, 360.0), 4) AS wd,
+        |       round(rho, 6) AS rho, n_rea
+        |FROM v JOIN r2 ON v.day = r2.day
+        |ORDER BY asset_id, day_epoch""".stripMargin,
+
+    "q_yaw_vane_bins" ->
+      """WITH s AS (SELECT 'T' || (user_id % 2) AS asset_id,
+        |                  round(fmod(value * 193, 1900)) + 30 AS w,
+        |                  4.0 + (event_id % 44) / 8.0 AS ws,
+        |                  ((event_id % 240) - 120) / 8.0 AS vane,
+        |                  (event_id % 5) * 0.25 AS pitch
+        |           FROM events),
+        |p AS (SELECT *, CASE WHEN w / 2048.0 > 0.01 AND w / 2048.0 <= 0.95
+        |                THEN ceil((w / 2048.0 - 0.01) / ((0.95 - 0.01) / 25)) END AS pbin
+        |      FROM s WHERE pitch <= 0.5),
+        |med AS (SELECT asset_id, pbin, quantile_cont(ws, 0.5) AS med
+        |        FROM p WHERE pbin IS NOT NULL GROUP BY 1, 2),
+        |mad AS (SELECT p.asset_id, p.pbin, min(m.med) AS med,
+        |               quantile_cont(abs(p.ws - m.med), 0.5) AS mad
+        |        FROM p JOIN med m ON p.asset_id = m.asset_id AND p.pbin = m.pbin
+        |        GROUP BY 1, 2),
+        |k AS (SELECT p.asset_id, p.w, p.ws, p.vane
+        |      FROM p LEFT JOIN mad ON p.asset_id = mad.asset_id AND p.pbin = mad.pbin
+        |      WHERE mad.mad IS NULL OR abs(p.ws - mad.med) <= 7.0 * mad.mad),
+        |z AS (SELECT asset_id, w, vane, round(ws) AS wsb, round(vane) AS vb
+        |      FROM k WHERE round(ws) IN (5.0, 6.0, 7.0, 8.0))
+        |SELECT asset_id, wsb AS ws_bin_center, vb AS vane_bin,
+        |       round(avg(w), 6) AS perf_mean, count(*) AS n,
+        |       round(avg(vane), 6) AS vane_mean
+        |FROM z GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Mirrors EYAGapAnalysis.compile()'s left-associated arithmetic exactly
+    // (same operand order => identical doubles, round(6) on both sides).
+    "q_eya_waterfall" ->
+      """WITH agg AS (SELECT sum(round(value * 100)) AS s1,
+        |                    sum(round(value * 37)) AS s2,
+        |                    CAST(sum(user_id % 97) AS DOUBLE) AS s3,
+        |                    CAST(count(*) AS DOUBLE) AS n
+        |             FROM events),
+        |p AS (SELECT s1 / 1e7 AS eya_aep,
+        |             s1 / 1e7 * 1.3 * (1 - 0.037) * (1 - (s3 / n) / 1000.0) * (1 - 0.011) AS eya_tie,
+        |             s2 / 1e7 * 2.5 AS oa_aep, s2 / 1e7 * 3.0 AS oa_tie,
+        |             (s3 / n) / 400.0 AS e_av, (s3 / n) / 500.0 AS o_av,
+        |             (s3 / n) / 800.0 AS e_el, (s3 / n) / 900.0 AS o_el
+        |      FROM agg),
+        |t AS (SELECT eya_aep, oa_tie - eya_tie AS tg,
+        |             (e_av - o_av) * eya_tie AS av,
+        |             (e_el - o_el) * eya_tie AS el, oa_aep
+        |      FROM p)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS idx, 'eya_aep' AS term,
+        |         round(eya_aep, 6) AS value FROM t
+        |  UNION ALL SELECT 1, 'turb_gross_diff', round(tg, 6) FROM t
+        |  UNION ALL SELECT 2, 'avail_diff', round(av, 6) FROM t
+        |  UNION ALL SELECT 3, 'elec_diff', round(el, 6) FROM t
+        |  UNION ALL SELECT 4, 'unexplained',
+        |         round(oa_aep - (eya_aep + tg + av + el), 6) FROM t
+        |) ORDER BY idx""".stripMargin,
+
     "q_circular_mean" ->
       """SELECT event_type,
         |  round(fmod(fmod(degrees(atan2(
@@ -469,14 +584,14 @@ object Oracles {
         |                x -> length(x) > 0) AS lines FROM s3),
         |k AS (SELECT doc_id, t, lines,
         |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-        |      AND len(regexp_split_to_array(x, '\s+')) >= 3
+        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
         |      AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
         |SELECT doc_id,
         |  coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
         |  CAST(len(lines) AS BIGINT) AS n_lines_total,
         |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
-        |       '[.!?]')) >= 5
+        |       '[.!?]')) >= 3
         |    AND NOT contains(lower(t), 'lorem ipsum')
         |    AND NOT contains(t, '{')) AS keep
         |FROM k ORDER BY doc_id""".stripMargin,

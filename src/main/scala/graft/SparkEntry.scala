@@ -497,6 +497,152 @@ object SparkEntry {
         .orderBy("day_epoch")
     }),
 
+    // WakeLosses' deterministic POR stage (wake_losses.py:653-731 via
+    // timestampAggregate): per-timestamp plant power + freestream mean
+    // power/ws (2 turbines, equator E-W layout so bearings are exactly
+    // 90/270 and the waked wd-bin ranges are closed-form), rolled up per
+    // wd bin. Integer power + dyadic ws/wd (multiples of 1/4, wd at bin
+    // midpoints) keep every engine-side sum exact in any accumulation
+    // order; the per-time circular mean runs over two IDENTICAL wd values,
+    // so wd_bin is ulp-safe (2.5 deg from any bin boundary).
+    "q_wake_por" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val scada0 = ev.groupBy(date_trunc("hour", col("ts")).as("time"),
+          concat(lit("T"), col("user_id") % 2).as("asset_id"))
+        .agg(sum(round(col("value") * 100)).as("WTUR_W"))
+      val h = (unix_timestamp(col("time")) / 3600).cast("long")
+      val scada = scada0
+        .withColumn("WMET_HorWdSpd",
+          ((h + when(col("asset_id") === "T1", 1).otherwise(0)) % 100)
+            .cast("double") / 4.0)
+        .withColumn("WMET_HorWdDir", ((h % 71) * 5).cast("double") + 2.5)
+      val asset = Seq(("T0", "turbine", 0.0, 0.0, 3000.0),
+          ("T1", "turbine", 0.0, 0.01, 3000.0))
+        .toDF("asset_id", "type", "latitude", "longitude", "rated_power")
+      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset))
+      val wl = new graft.analysis.WakeLosses(plant)
+      wl.timestampAggregate(scada, sectorWidth = 90.0, nTurbines = 2)
+        .groupBy(col("wd_bin"))
+        .agg(count(lit(1)).as("n_times"),
+          sum(col("plant_power")).as("actual"),
+          sum(col("freestream_power") * 2).as("potential"),
+          avg(col("freestream_ws")).as("fs_ws"))
+        .select(col("wd_bin"), col("n_times"),
+          round(col("actual"), 2).as("actual_w"),
+          round(col("potential"), 2).as("potential_w"),
+          round(lit(1.0) - col("actual") / col("potential"), 6).as("por_loss"),
+          round(col("fs_ws"), 6).as("fs_ws"))
+        .orderBy("wd_bin")
+    }),
+
+    // WakeLosses' long-term (wd, ws) wind-rose frequency table
+    // (wake_losses.py:1150-1174) — counts per bin + normalized fraction.
+    "q_wake_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rea2 = ev.select(col("ts").as("time"),
+        (((col("event_id") % 288) * 10).cast("double") / 8.0).as("WMETR_HorWdDir"),
+        ((col("event_id") % 200).cast("double") / 8.0).as("WMETR_HorWdSpd"))
+      val plant = graft.plant.PlantData(reanalysis = Map("era5" -> rea2))
+      val wl = new graft.analysis.WakeLosses(plant)
+      val freq = wl.longTermFrequency("era5", years = 30)
+      val total = freq.agg(sum(col("freq"))).head().getLong(0)
+      freq.select(col("wd_bin"), col("ws_bin"), col("freq"),
+          round(col("freq") / total.toDouble, 9).as("freq_frac"))
+        .orderBy("wd_bin", "ws_bin")
+    }),
+
+    // TIE's daily valid-energy stage (turbine_long_term_gross_energy.py
+    // :440-501): per-turbine daily energy sums with expected-count
+    // availability correction and the >= 90%-reporting day filter, joined
+    // to the daily reanalysis covariates (mean ws/u/v/rho + vector wd).
+    // Flags planted by (hour + turbine) % 17; all measures integer/dyadic.
+    "q_tie_daily" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val h = (unix_timestamp(col("time")) / 3600).cast("long")
+      val scada = ev.groupBy(date_trunc("hour", col("ts")).as("time"),
+          concat(lit("T"), col("user_id") % 2).as("asset_id"))
+        .agg(sum(round(col("value") * 100)).as("WTUR_SupWh"))
+        .withColumn("flag_final",
+          ((h + when(col("asset_id") === "T1", 1).otherwise(0)) % 17) === 0)
+      val rea = ev.select(date_trunc("hour", col("ts")).as("time")).distinct()
+        .withColumn("WMETR_HorWdSpd", (h % 160).cast("double") / 8.0)
+        .withColumn("WMETR_HorWdSpdU", ((h % 64) - 32).cast("double") / 4.0)
+        .withColumn("WMETR_HorWdSpdV",
+          (((h * 7 + 11) % 64) - 32).cast("double") / 4.0)
+        .withColumn("WMETR_AirDen", lit(1.0) + (h % 64).cast("double") / 256.0)
+      val asset = Seq(("T0", "turbine", 2000.0), ("T1", "turbine", 2000.0))
+        .toDF("asset_id", "type", "rated_power")
+      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset),
+        reanalysis = Map("era5" -> rea),
+        metadata = graft.plant.PlantMetadata(scadaFreqSeconds = 3600L))
+      val tie = new graft.analysis.TurbineLongTermGrossEnergy(plant)
+      tie.dailyValid(scada, correctionThresholdValue = 0.9)
+        .join(tie.dailyReanalysis("era5").withColumnRenamed("n", "n_rea"),
+          Seq("day"))
+        .select(col("asset_id"), epochS(col("day")).as("day_epoch"),
+          round(col("energy_kwh"), 2).as("energy_wh"), col("n"),
+          round(col("energy_corrected"), 4).as("energy_corrected"),
+          round(col("ws"), 6).as("ws"), round(col("wd"), 4).as("wd"),
+          round(col("rho"), 6).as("rho"), col("n_rea"))
+        .orderBy("asset_id", "day_epoch")
+    }),
+
+    // StaticYawMisalignment's cosine-fit INPUT stage (yaw_misalignment.py
+    // :545-563 via vaneBins): pitch filter, median/MAD power-bin outlier
+    // removal, target ws-bin slice, per-vane-bin power/vane means. Rated
+    // power 2048 (a power of two) keeps p_frac dyadic; integer power and
+    // 1/8-degree vane/ws keep sums and exact medians engine-identical.
+    "q_yaw_vane_bins" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val scada = ev.select(
+        col("ts").as("time"),
+        concat(lit("T"), col("user_id") % 2).as("asset_id"),
+        (round((col("value") * 193) % 1900) + 30).as("WTUR_W"),
+        (lit(4.0) + (col("event_id") % 44).cast("double") / 8.0).as("WMET_HorWdSpd"),
+        ((col("event_id") % 240) - 120).cast("double") / 8.0 as "WMET_HorWdDirRel",
+        (col("event_id") % 5).cast("double") * 0.25 as "WROT_BlPthAngVal")
+      val asset = Seq(("T0", "turbine", 2048.0), ("T1", "turbine", 2048.0))
+        .toDF("asset_id", "type", "rated_power")
+      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset))
+      new graft.analysis.StaticYawMisalignment(plant).vaneBins()
+        .select(col("asset_id"), col("ws_bin_center"), col("vane_bin"),
+          round(col("perf_mean"), 6).as("perf_mean"), col("n"),
+          round(col("vane_mean"), 6).as("vane_mean"))
+        .orderBy("asset_id", "ws_bin_center", "vane_bin")
+    }),
+
+    // EYA gap-analysis waterfall (eya_gap_analysis.py:83-229): the five
+    // reconciliation terms from events-derived EYA/OA scalars (exact
+    // integer sums -> identical doubles; the arithmetic order in the
+    // oracle mirrors compile()'s left-association).
+    "q_eya_waterfall" -> ((s, dir) => {
+      import s.implicits._
+      val r = Tables.events(s, dir).agg(
+        sum(round(col("value") * 100)).as("s1"),
+        sum(round(col("value") * 37)).as("s2"),
+        sum(col("user_id") % 97).as("s3"),
+        count(lit(1)).as("n")).head()
+      val s1 = r.getDouble(0); val s2 = r.getDouble(1)
+      val s3 = r.getLong(2).toDouble; val n = r.getLong(3).toDouble
+      val gap = new graft.analysis.EYAGapAnalysis(
+        eyaAep = s1 / 1e7, eyaGross = s1 / 1e7 * 1.3,
+        eyaAvailLoss = (s3 / n) / 400.0, eyaElecLoss = (s3 / n) / 800.0,
+        eyaTurbineLoss = 0.037, eyaWakeLoss = (s3 / n) / 1000.0,
+        eyaBladeDegLoss = 0.011,
+        oaAep = s2 / 1e7 * 2.5, oaAvailLoss = (s3 / n) / 500.0,
+        oaElecLoss = (s3 / n) / 900.0, oaTurbineIdeal = s2 / 1e7 * 3.0)
+      val terms = Seq("eya_aep", "turb_gross_diff", "avail_diff",
+        "elec_diff", "unexplained")
+      gap.compile().zipWithIndex
+        .map { case (v, i) => (i.toLong, terms(i), v) }
+        .toDF("idx", "term", "value")
+        .select(col("idx"), col("term"), round(col("value"), 6).as("value"))
+        .orderBy("idx")
+    }),
+
     "q_circular_mean" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("angle", (col("value") * 36.0) % 360.0)
@@ -1044,8 +1190,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 3
-    // words, no javascript) + page-level keep (>= 5 sentences, no lorem
+    // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 5
+    // words, no javascript) + page-level keep (>= 3 sentences, no lorem
     // ipsum, no brace). The corpus text is punctuation-free word soup, so
     // the gate synthesizes line structure deterministically (same regex in
     // the oracle) and plants the page-level violations by doc_id.

@@ -14,6 +14,8 @@ package graft.analysis
   * @param eyaAvailLoss  EYA availability loss fraction
   * @param eyaElecLoss   EYA electrical loss fraction
   * @param eyaTurbineLoss EYA turbine performance loss fraction
+  * @param eyaWakeLoss   EYA wake loss fraction
+  * @param eyaBladeDegLoss EYA blade degradation loss fraction
   * @param oaAep         operational AEP (GWh/yr)
   * @param oaAvailLoss   operational availability loss fraction
   * @param oaElecLoss    operational electrical loss fraction
@@ -22,19 +24,24 @@ package graft.analysis
 final class EYAGapAnalysis(
     eyaAep: Double, eyaGross: Double, eyaAvailLoss: Double,
     eyaElecLoss: Double, eyaTurbineLoss: Double,
+    eyaWakeLoss: Double, eyaBladeDegLoss: Double,
     oaAep: Double, oaAvailLoss: Double, oaElecLoss: Double,
     oaTurbineIdeal: Double) {
 
   /** Waterfall terms: [eya_aep, turbine gross diff, availability diff,
     * electrical diff, unexplained/unaccounted] such that
     * eya_aep + sum(diffs) + unexplained = oa_aep
-    * (eya_gap_analysis.py:152-210 `compile_data`).
+    * (eya_gap_analysis.py:152-210 `compile_data`). The EYA turbine ideal
+    * energy folds in turbine, wake, AND blade-degradation losses
+    * (eya_gap_analysis.py:158-163), and the availability/electrical deltas
+    * scale by that EYA ideal energy (:167-172) — not the OA ideal.
     */
   def compile(): Seq[Double] = {
-    val turbineGrossEya = eyaGross * (1.0 - eyaTurbineLoss)
+    val turbineGrossEya = eyaGross * (1.0 - eyaTurbineLoss) *
+      (1.0 - eyaWakeLoss) * (1.0 - eyaBladeDegLoss)
     val turbineGrossDiff = oaTurbineIdeal - turbineGrossEya
-    val availDiff = (eyaAvailLoss - oaAvailLoss) * oaTurbineIdeal
-    val elecDiff = (eyaElecLoss - oaElecLoss) * oaTurbineIdeal
+    val availDiff = (eyaAvailLoss - oaAvailLoss) * turbineGrossEya
+    val elecDiff = (eyaElecLoss - oaElecLoss) * turbineGrossEya
     val unexplained = oaAep - (eyaAep + turbineGrossDiff + availDiff + elecDiff)
     Seq(eyaAep, turbineGrossDiff, availDiff, elecDiff, unexplained)
   }

@@ -71,6 +71,58 @@ final class StaticYawMisalignment(
     }
   }
 
+  /** Rated power per turbine (collected once per entry point). */
+  private def ratedByTurbine: Map[String, Double] =
+    plant.assetDf.select("asset_id", "rated_power").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Normal-operation frame: pitch at or below threshold (one-sided,
+    * yaw_misalignment.py:510), complete rows, power as a fraction of rated.
+    */
+  private def normalBase(rated: Map[String, Double]): org.apache.spark.sql.DataFrame =
+    plant.scadaDf
+      .filter(col("WROT_BlPthAngVal") <= pitchThresholdDeg)
+      .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
+      .withColumn("p_frac", col("WTUR_W") / typedLit(rated).apply(col("asset_id")))
+
+  private def powerBin(pf: Column): Column =
+    when(col("p_frac") > minPowerFilter && col("p_frac") <= pf,
+      ceil((col("p_frac") - minPowerFilter) / ((pf - minPowerFilter) / numPowerBins)))
+
+  /** Per (turbine, ws-bin, vane-bin) power performance + mean vane angle —
+    * the cosine-fit INPUTS (yaw_misalignment.py:545-563) for one fixed
+    * parameter set: pitch filter, median/MAD power-curve outlier removal at
+    * the given max-power-filter fraction and MAD threshold, target ws-bin
+    * slice, vane binning. [[run]] consumes this directly in the no-UQ path.
+    */
+  def vaneBins(maxPf: Double = 0.95, madThresh: Double = 7.0): org.apache.spark.sql.DataFrame = {
+    val base = normalBase(ratedByTurbine)
+      .withColumn("__pbin", powerBin(lit(maxPf)))
+    val med = base.filter(col("__pbin").isNotNull)
+      .groupBy("asset_id", "__pbin")
+      .agg(percentile(col("WMET_HorWdSpd"), lit(0.5)).as("__med"))
+    val stats = base.filter(col("__pbin").isNotNull)
+      .join(broadcast(med), Seq("asset_id", "__pbin"))
+      .groupBy("asset_id", "__pbin")
+      .agg(first(col("__med")).as("__med"),
+        percentile(abs(col("WMET_HorWdSpd") - col("__med")), lit(0.5)).as("__mad"))
+    base.join(broadcast(stats), Seq("asset_id", "__pbin"), "left")
+      .filter(col("__mad").isNull ||
+        abs(col("WMET_HorWdSpd") - col("__med")) <= lit(madThresh) * col("__mad"))
+      .withColumn("ws_bin_center",
+        round(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth)
+      .filter(col("ws_bin_center").isin(wsBins.map(w => w: Any): _*))
+      .withColumn("pow_ratio",
+        if (usePowerCoeff) col("WTUR_W") / pow(col("WMET_HorWdSpd"), 3.0)
+        else col("WTUR_W"))
+      .withColumn("vane_bin",
+        round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
+      .groupBy("asset_id", "ws_bin_center", "vane_bin")
+      .agg(avg(col("pow_ratio")).as("perf_mean"),
+        count(lit(1)).as("n"),
+        avg(col("WMET_HorWdDirRel")).as("vane_mean"))
+  }
+
   def run(): Result = {
     val sims = if (uq) numSim else 1
     val rng = new scala.util.Random(seed)
@@ -80,19 +132,8 @@ final class StaticYawMisalignment(
     val simMad: Map[Int, Double] =
       (0 until sims).map(n => n -> (if (uq) (4 + rng.nextInt(10)).toDouble else 7.0)).toMap
 
-    val rated = plant.assetDf.select("asset_id", "rated_power").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-
-    // normal operation: pitch at or below threshold (one-sided,
-    // yaw_misalignment.py:510), complete rows, power as a fraction of rated
-    val base = plant.scadaDf
-      .filter(col("WROT_BlPthAngVal") <= pitchThresholdDeg)
-      .na.drop(Seq("WTUR_W", "WMET_HorWdSpd", "WMET_HorWdDirRel"))
-      .withColumn("p_frac", col("WTUR_W") / typedLit(rated).apply(col("asset_id")))
-
-    def powerBin(pf: Column): Column =
-      when(col("p_frac") > minPowerFilter && col("p_frac") <= pf,
-        ceil((col("p_frac") - minPowerFilter) / ((pf - minPowerFilter) / numPowerBins)))
+    val rated = ratedByTurbine
+    val base = normalBase(rated)
 
     // median/MAD of wind speed per (max-power-filter value, turbine, power
     // bin) — the outlier-filter statistics, one explode by <= 7 distinct
@@ -137,15 +178,24 @@ final class StaticYawMisalignment(
         else col("WTUR_W"))
 
     // (sim, turbine, ws_bin, vane_bin) weighted mean power performance +
-    // vane (yaw_misalignment.py:545-563); ONE shuffle for all simulations
-    val binned = simDf
-      .withColumn("vane_bin",
-        round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
-      .groupBy("sim", "asset_id", "ws_bin_center", "vane_bin")
-      .agg((sum(col("pow_ratio") * col("__w")) / sum(col("__w"))).as("perf_mean"),
-        sum(col("__w")).as("n"),
-        (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"))
-      .collect()
+    // vane (yaw_misalignment.py:545-563); ONE shuffle for all simulations.
+    // Without UQ the weights are all 1 and this is exactly [[vaneBins]] —
+    // consume it directly so the oracle-gated stage IS the analysis path.
+    val binned =
+      if (!uq)
+        vaneBins(simPf(0), simMad(0))
+          .select(lit(0).as("sim"), col("asset_id"), col("ws_bin_center"),
+            col("vane_bin"), col("perf_mean"),
+            col("n").cast("double").as("n"), col("vane_mean"))
+          .collect()
+      else simDf
+        .withColumn("vane_bin",
+          round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
+        .groupBy("sim", "asset_id", "ws_bin_center", "vane_bin")
+        .agg((sum(col("pow_ratio") * col("__w")) / sum(col("__w"))).as("perf_mean"),
+          sum(col("__w")).as("n"),
+          (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"))
+        .collect()
 
     // driver-side per (sim, turbine, ws_bin): slice mean vane over ALL vane
     // bins (yaw_misalignment.py:554), cosine fit over qualifying bins, yaw

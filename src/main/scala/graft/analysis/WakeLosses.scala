@@ -231,6 +231,20 @@ final class WakeLosses(
         .getTimestamp(0).toInstant.getEpochSecond
     }.toMap
 
+  /** Long-term (wd_bin, ws_bin) wind-rose frequency table over the last
+    * `years` calendar years of a reanalysis product
+    * (wake_losses.py:1150-1174). Counts per bin; callers normalize. Bins
+    * floor on the SAME widths as the POR binning so the join grain matches.
+    */
+  def longTermFrequency(product: String, years: Int): DataFrame = {
+    val ltStart = MonteCarloAEP.windowStartSec(reanEnd(product), years, "h")
+    plant.reanalysis(product)
+      .filter(unix_timestamp(col("time")) >= ltStart)
+      .withColumn("wd_bin", floor(col("WMETR_HorWdDir") / wdBinWidth).cast("int"))
+      .withColumn("ws_bin", floor(col("WMETR_HorWdSpd") / wsBinWidthLt).cast("int"))
+      .groupBy("wd_bin", "ws_bin").agg(count(lit(1)).as("freq"))
+  }
+
   private def runOnce(base: DataFrame, product: String, sectorWidth: Double,
                       madThresh: Double, wsStart: Double, maxPf: Double,
                       years: Int, rated: Map[String, Double]): Once = {
@@ -267,12 +281,7 @@ final class WakeLosses(
         avg(col("freestream_power") * nTurbines).as("potential_mean"))
     // long-term wind rose over the last `years` calendar years of reanalysis
     // (wake_losses.py:201 num_years_LT; end-anchored like the AEP windiness)
-    val ltStart = MonteCarloAEP.windowStartSec(reanEnd(product), years, "h")
-    val freq = plant.reanalysis(product)
-      .filter(unix_timestamp(col("time")) >= ltStart)
-      .withColumn("wd_bin", floor(col("WMETR_HorWdDir") / wdBinWidth).cast("int"))
-      .withColumn("ws_bin", floor(col("WMETR_HorWdSpd") / wsBinWidthLt).cast("int"))
-      .groupBy("wd_bin", "ws_bin").agg(count(lit(1)).as("freq"))
+    val freq = longTermFrequency(product, years)
     // above the no-wakes threshold the plant is assumed wake-free: the bin's
     // actual is replaced by its potential (wake_losses.py:202-203)
     val noWakesBin = math.floor(noWakesWsThresh / wsBinWidthLt).toInt

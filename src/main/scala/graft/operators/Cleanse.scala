@@ -67,8 +67,9 @@ object Cleanse {
   // ---- C4 cleaning rules (Raffel et al. 2020, the published pipeline) -----
 
   /** C4 line-keep predicate: the line ends in terminal punctuation
-    * (. ! ? "), has at least `minWords` whitespace words, and does not
-    * mention javascript (the boilerplate "enable javascript" banner rule).
+    * (. ! ? "), has at least `minWords` whitespace words (published
+    * default 5), and does not mention javascript (the boilerplate
+    * "enable javascript" banner rule).
     */
   private def c4LineKeep(line: Column, minWords: Int): Column =
     line.rlike("[.!?\"]$") &&
@@ -77,8 +78,9 @@ object Cleanse {
 
   /** C4 document cleaning: drop lines that fail [[c4LineKeep]], rebuild the
     * document, and flag whether the PAGE survives the document-level rules
-    * — at least `minSentences` sentences ([.!?] occurrences) in the kept
-    * text, no "lorem ipsum", and no curly brace (code) in the raw text.
+    * — at least `minSentences` sentences ([.!?] occurrences, published
+    * default 3) in the kept text, no "lorem ipsum", and no curly brace
+    * (code) in the raw text.
     * Returns input + (text_c4, n_lines_kept, n_lines_total, keep).
     *
     * Entirely row-local array/regexp expressions — a 100 TB C4 pass is one
@@ -86,8 +88,8 @@ object Cleanse {
     * HOF references it exactly once (the repo's HOF-nesting rule); the
     * per-element split inside the keep lambda splits that LINE only.
     */
-  def c4Filter(df: DataFrame, textCol: String, minWords: Int = 3,
-               minSentences: Int = 5): DataFrame = {
+  def c4Filter(df: DataFrame, textCol: String, minWords: Int = 5,
+               minSentences: Int = 3): DataFrame = {
     val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
     val kept = filter(lines, l => c4LineKeep(l, minWords))

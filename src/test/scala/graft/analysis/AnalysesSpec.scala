@@ -315,11 +315,17 @@ class AnalysesSpec extends SparkSpec {
     val gap = new EYAGapAnalysis(
       eyaAep = 467.0, eyaGross = 597.0, eyaAvailLoss = 0.062,
       eyaElecLoss = 0.024, eyaTurbineLoss = 0.037,
+      eyaWakeLoss = 0.05, eyaBladeDegLoss = 0.011,
       oaAep = 448.0, oaAvailLoss = 0.0837, oaElecLoss = 0.0201,
       oaTurbineIdeal = 581.0).compile()
     assert(gap.length == 5)
     assert(math.abs(gap.head - 467.0) < 1e-12)
     // waterfall must reconcile: eya + diffs + unexplained = oa
     assert(math.abs(gap.sum - 448.0) < 1e-9)
+    // the EYA ideal energy folds in all three loss factors and scales the
+    // avail/elec deltas (eya_gap_analysis.py:158-172)
+    val eyaTie = 597.0 * (1 - 0.037) * (1 - 0.05) * (1 - 0.011)
+    assert(math.abs(gap(1) - (581.0 - eyaTie)) < 1e-9)
+    assert(math.abs(gap(2) - (0.062 - 0.0837) * eyaTie) < 1e-9)
   }
 }

@@ -103,7 +103,7 @@ class CleanseSpec extends SparkSpec {
     val goodLine = "this sentence has enough words and ends properly."
     val doc = Seq(
       goodLine,                                   // kept
-      "too short.",                               // < 3 words
+      "too short.",                               // < 5 words
       "no terminal punctuation at all",           // no [.!?"] ending
       "please enable javascript to continue.",    // javascript rule
       goodLine, goodLine, goodLine, goodLine,     // 5 sentences total kept

@@ -163,7 +163,7 @@ class StreamingOpsSpec extends SparkSpec {
       input.toDF().toDF("doc_id", "text"), "text")
     val q = out.writeStream.format("memory").queryName("c4_out")
       .outputMode(OutputMode.Append).start()
-    input.addData((1L, good), (2L, good + "\nlorem ipsum dolor."))
+    input.addData((1L, good), (2L, good + "\nlorem ipsum dolor sit amet line."))
     q.processAllAvailable()
     val got = spark.sql("select doc_id, n_lines_kept, keep from c4_out")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
