@@ -33,10 +33,37 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Costliest first: the driver's capture keeps only the LAST ~2000 bytes
+    // of stdout (BENCH_r04 recorded a 2000-char tail that beheaded the old
+    // ~4KB single line -> "parsed": null). The full-precision record goes to
+    // a file; stdout gets ONE compact line sized to survive that window,
+    // with the cheap tail rolled into an explicit "omitted" summary rather
+    // than silently dropped.
+    val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val full = sorted.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full_last.json"),
+        s"""{"total_s":$total,"n":${sorted.size},"sf":"$sfDir","queries":$full}""")
+    catch { case _: Throwable => () } // the stdout line must still go out
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    val budget = 1600 // bytes for the queries object; envelope adds ~150
+    val sb = new StringBuilder
+    var omittedN = 0
+    var omittedS = 0.0
+    sorted.foreach { case (k, v) =>
+      val entry = s"\"$k\":${fmt(v)}"
+      if (sb.length + entry.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(entry)
+      } else { omittedN += 1; omittedS += v }
+    }
+    val omitted =
+      if (omittedN == 0) ""
+      else s""","omitted":{"n":$omittedN,"total_s":${fmt(omittedS)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sorted.size},"queries":{$sb}$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
