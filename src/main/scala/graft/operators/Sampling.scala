@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data pipelines.
@@ -63,28 +62,6 @@ object Sampling {
       }
   }
 
-  /** Bounded top-k buffer keyed by an order string: keeps the k smallest
-    * (key, id) pairs. Runs as an object-hash aggregate with map-side
-    * partial merge, so a stratum with 10^9 rows costs each task a k-entry
-    * buffer — no per-stratum sort, no window over a skewed partition.
-    */
-  private final class TopKByKey(k: Int)
-      extends Aggregator[(String, String), Seq[(String, String)], Seq[String]] {
-    def zero: Seq[(String, String)] = Nil
-    def reduce(buf: Seq[(String, String)], in: (String, String)): Seq[(String, String)] =
-      if (buf.length < k) ((buf :+ in).sorted)
-      else if (implicitly[Ordering[(String, String)]].lt(in, buf.last))
-        (buf.init :+ in).sorted
-      else buf
-    def merge(a: Seq[(String, String)], b: Seq[(String, String)]): Seq[(String, String)] =
-      (a ++ b).sorted.take(k)
-    def finish(buf: Seq[(String, String)]): Seq[String] = buf.map(_._2)
-    def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, String)]]()
-    def outputEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
-  }
-
   /** Exactly-k-per-stratum deterministic sample: the k rows of each stratum
     * with the smallest md5(id) — a fixed-size "reservoir" that is
     * reproducible across runs, engines, and repartitioning (same md5-key
@@ -92,14 +69,19 @@ object Sampling {
     *
     * Scale shape: fraction-based sampling can't give exact per-group counts,
     * and the row_number()-over-window route sorts every stratum in one task
-    * (a hot stratum = a straggler). The [[TopKByKey]] aggregate keeps a
-    * k-entry buffer per group per task with map-side combining instead.
+    * (a hot stratum = a straggler). The array-heap
+    * [[org.apache.spark.sql.graft.TopKStringsAgg]] keeps a k-entry buffer
+    * per group per task with map-side combining instead — no per-stratum
+    * sort, no window over a skewed partition.
     * Returns (stratum, id, rnk) with rnk in 1..k by hash order.
     */
   def topKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val topk = udaf(new TopKByKey(k))
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKStringsAgg}
+    def topk(key: Column, value: Column): Column = ColumnBridge.column(
+      TopKStringsAgg(ColumnBridge.expression(key),
+        ColumnBridge.expression(value), k).toAggregateExpression())
     df.select(col(stratumCol).as("stratum"),
         md5(col(idCol).cast("string")).as("__key"),
         col(idCol).cast("string").as("__id"))

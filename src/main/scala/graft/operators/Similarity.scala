@@ -35,43 +35,24 @@ object Similarity {
     when(nn === 0, 0.0).otherwise(d / nn)
   }
 
-  /** Bounded top-k buffer over (negated cosine, neighbor id) pairs: keeps
-    * the k smallest keys, i.e. the k highest cosines with neighbor-id-asc
-    * tie-breaking. Runs as an object-hash aggregate with map-side partial
-    * merge, so ranking a query against 10^9 scored candidates costs each
-    * task a k-entry buffer — never a single-task sort of the full scored
-    * corpus (the row_number-window formulation puts candidates-per-query =
-    * n rows in ONE task's sort at scale). Same pattern as
-    * [[Sampling.topKPerStratum]].
-    */
-  private final class TopKPairs(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private val ord = implicitly[Ordering[(Double, Long)]]
-    def zero: Seq[(Double, Long)] = Nil
-    def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-      if (buf.length < k) (buf :+ in).sorted
-      else if (ord.lt(in, buf.last)) (buf.init :+ in).sorted
-      else buf
-    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      (a ++ b).sorted.take(k)
-    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
-    def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-    def outputEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  }
-
   /** Rank scored (query_id, neighbor_id, cosine) candidates to exact top-k
-    * per query — cosine desc, neighbor_id asc — via the bounded [[TopKPairs]]
-    * aggregate. Double negation is exact (sign flips twice), so emitted
+    * per query — cosine desc, neighbor_id asc — via the bounded array-heap
+    * [[org.apache.spark.sql.graft.TopKPairsAgg]]: an object-hash aggregate
+    * with map-side partial merge, so ranking a query against 10^9 scored
+    * candidates costs each task a k-entry primitive-array buffer — never a
+    * single-task sort of the full scored corpus (the row_number-window
+    * formulation puts candidates-per-query = n rows in ONE task's sort at
+    * scale). Double negation is exact (sign flips twice), so emitted
     * cosines are bit-identical to the input. Requires an integral neighbor
     * id (every graft table id is int64); `idType` restores the original
-    * column type.
+    * column type. Same pattern as [[Sampling.topKPerStratum]].
     */
   private def rankTopK(scored: DataFrame, k: Int,
                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val topk = udaf(new TopKPairs(k))
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
+    def topk(key: Column, id: Column): Column = ColumnBridge.column(
+      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
     scored
       .select(col("query_id"), (-col("cosine")).as("__negcos"),
         col("neighbor_id").cast("long").as("__nid"))

@@ -1,0 +1,297 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded top-k aggregation buffers, array-backed.
+  *
+  * These replace the earlier Aggregator-based buffers whose `reduce`
+  * re-sorted an immutable Seq per accepted element (O(k log k) alloc+sort
+  * per insert). Here the buffer is a fixed-size primitive-array MAX-heap of
+  * the k smallest (key, id) pairs: an accepted insert is O(log k) sifts
+  * with zero allocation, a rejected one is a single root comparison — the
+  * cost that matters when ranking 10^9 scored candidates per query. The
+  * map-side partial merge (the property that makes per-query ranking safe
+  * at scale) is unchanged: each task carries k entries per group.
+  *
+  * Ordering matches the previous Ordering[(Double, Long)] /
+  * Ordering[(String, String)] lexicographic semantics (Double via
+  * java.lang.Double.compare — identical for the non-NaN keys both call
+  * sites produce; Strings via UTF8String binary order, identical to
+  * String.compareTo for the ASCII md5/decimal-id keys used).
+  */
+private[graft] final class TopKPairsBuf(val k: Int) {
+  val keys = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  @inline private def less(ka: Double, ia: Long, kb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(ka, kb)
+    c < 0 || (c == 0 && ia < ib)
+  }
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val tk = keys(a); keys(a) = keys(b); keys(b) = tk
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def insert(key: Double, id: Long): Unit = {
+    if (size < k) {
+      keys(size) = key; ids(size) = id; size += 1
+      var pos = size - 1 // sift up (max-heap: largest pair at root)
+      while (pos > 0) {
+        val parent = (pos - 1) >> 1
+        if (less(keys(parent), ids(parent), keys(pos), ids(pos))) {
+          swap(parent, pos); pos = parent
+        } else pos = 0
+      }
+    } else if (less(key, id, keys(0), ids(0))) {
+      keys(0) = key; ids(0) = id
+      var pos = 0 // sift down
+      var done = false
+      while (!done) {
+        val l = 2 * pos + 1
+        val r = l + 1
+        var m = pos
+        if (l < size && less(keys(m), ids(m), keys(l), ids(l))) m = l
+        if (r < size && less(keys(m), ids(m), keys(r), ids(r))) m = r
+        if (m == pos) done = true
+        else { swap(m, pos); pos = m }
+      }
+    }
+  }
+
+  /** Indices of the live entries in ascending (key, id) order. */
+  def sortedIdx: Array[Int] = {
+    val idx = Array.range(0, size)
+    // box-free insertion sort: k is small (<= a few hundred)
+    var i = 1
+    while (i < size) {
+      val v = idx(i)
+      var j = i - 1
+      while (j >= 0 && less(keys(v), ids(v), keys(idx(j)), ids(idx(j)))) {
+        idx(j + 1) = idx(j); j -= 1
+      }
+      idx(j + 1) = v
+      i += 1
+    }
+    idx
+  }
+}
+
+/** Exact top-k of (key double, id long) pairs by ascending (key, id):
+  * emits array<struct<_1: double, _2: long>> sorted ascending — the same
+  * shape the previous Seq[(Double, Long)] Aggregator produced.
+  */
+case class TopKPairsAgg(
+    key: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPairsBuf] {
+
+  override def children: Seq[Expression] = Seq(key, id)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", DoubleType, nullable = false),
+    StructField("_2", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): TopKPairsBuf = new TopKPairsBuf(k)
+
+  override def update(buf: TopKPairsBuf, input: InternalRow): TopKPairsBuf = {
+    val kv = key.eval(input)
+    val iv = id.eval(input)
+    if (kv != null && iv != null)
+      buf.insert(kv.asInstanceOf[Double], iv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKPairsBuf, other: TopKPairsBuf): TopKPairsBuf = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.keys(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKPairsBuf): Any = {
+    val idx = buf.sortedIdx
+    val out = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) {
+      out(i) = new GenericInternalRow(
+        Array[Any](buf.keys(idx(i)), buf.ids(idx(i))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPairsBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.keys(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKPairsBuf(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), id = newChildren(1))
+}
+
+/** String-pair variant for [[TopKStringsAgg]]: k smallest (key, value)
+  * UTF8String pairs, binary (byte-wise) order.
+  */
+private[graft] final class TopKStringsBuf(val k: Int) {
+  val keys = new Array[UTF8String](k)
+  val values = new Array[UTF8String](k)
+  var size = 0
+
+  @inline private def less(ka: UTF8String, va: UTF8String,
+                           kb: UTF8String, vb: UTF8String): Boolean = {
+    val c = ka.compareTo(kb)
+    c < 0 || (c == 0 && va.compareTo(vb) < 0)
+  }
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val tk = keys(a); keys(a) = keys(b); keys(b) = tk
+    val tv = values(a); values(a) = values(b); values(b) = tv
+  }
+
+  def insert(key: UTF8String, value: UTF8String): Unit = {
+    if (size < k) {
+      keys(size) = key; values(size) = value; size += 1
+      var pos = size - 1
+      while (pos > 0) {
+        val parent = (pos - 1) >> 1
+        if (less(keys(parent), values(parent), keys(pos), values(pos))) {
+          swap(parent, pos); pos = parent
+        } else pos = 0
+      }
+    } else if (less(key, value, keys(0), values(0))) {
+      keys(0) = key; values(0) = value
+      var pos = 0
+      var done = false
+      while (!done) {
+        val l = 2 * pos + 1
+        val r = l + 1
+        var m = pos
+        if (l < size && less(keys(m), values(m), keys(l), values(l))) m = l
+        if (r < size && less(keys(m), values(m), keys(r), values(r))) m = r
+        if (m == pos) done = true
+        else { swap(m, pos); pos = m }
+      }
+    }
+  }
+
+  def sortedIdx: Array[Int] = {
+    val idx = Array.range(0, size)
+    var i = 1
+    while (i < size) {
+      val v = idx(i)
+      var j = i - 1
+      while (j >= 0 &&
+        less(keys(v), values(v), keys(idx(j)), values(idx(j)))) {
+        idx(j + 1) = idx(j); j -= 1
+      }
+      idx(j + 1) = v
+      i += 1
+    }
+    idx
+  }
+}
+
+/** Exact top-k values by ascending (key, value) string order: emits
+  * array<string> of the VALUES whose keys are the k smallest — the
+  * deterministic md5-reservoir primitive behind topKPerStratum.
+  */
+case class TopKStringsAgg(
+    key: Expression, value: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStringsBuf] {
+
+  override def children: Seq[Expression] = Seq(key, value)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_strings"
+
+  override def createAggregationBuffer(): TopKStringsBuf = new TopKStringsBuf(k)
+
+  override def update(buf: TopKStringsBuf, input: InternalRow): TopKStringsBuf = {
+    val kv = key.eval(input)
+    val vv = value.eval(input)
+    // clone: eval may return a buffer-backed UTF8String reused per row
+    if (kv != null && vv != null)
+      buf.insert(kv.asInstanceOf[UTF8String].clone(),
+        vv.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(buf: TopKStringsBuf, other: TopKStringsBuf): TopKStringsBuf = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.keys(i), other.values(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKStringsBuf): Any = {
+    val idx = buf.sortedIdx
+    val out = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) { out(i) = buf.values(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKStringsBuf): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buf.size) {
+      bytes += 8 + buf.keys(i).numBytes() + buf.values(i).numBytes(); i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    i = 0
+    while (i < buf.size) {
+      val kb = buf.keys(i).getBytes
+      val vb = buf.values(i).getBytes
+      bb.putInt(kb.length); bb.put(kb)
+      bb.putInt(vb.length); bb.put(vb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStringsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStringsBuf(k)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt); bb.get(kb)
+      val vb = new Array[Byte](bb.getInt); bb.get(vb)
+      buf.insert(UTF8String.fromBytes(kb), UTF8String.fromBytes(vb))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStringsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStringsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), value = newChildren(1))
+}
