@@ -371,6 +371,52 @@ object Oracles {
         |         round(oa_aep - (eya_aep + tg + av + el), 6) FROM t
         |) ORDER BY idx""".stripMargin,
 
+    // Recomputes the WET pipeline's expected output straight from
+    // `documents` — page construction (64 words, 8-word sentences, planted
+    // violations), the C4 line/page rules (same formulation as
+    // q_c4_filter), the x/m uri mirroring, and exact-dedup's
+    // min-uri-per-normalized-fingerprint rule. The Spark side must arrive
+    // at the same rows THROUGH the WET files it wrote and re-read.
+    "q_wet_pipeline" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
+        |built AS (SELECT doc_id,
+        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
+        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
+        |  FROM w),
+        |page AS (SELECT doc_id,
+        |    list_concat(body, CASE WHEN doc_id % 7 = 0
+        |      THEN ['enable javascript now please friend.', 'too short.',
+        |            'lorem ipsum dolor sit amet today.']
+        |      ELSE ['enable javascript now please friend.', 'too short.']
+        |      END) AS lines0
+        |  FROM built),
+        |l AS (SELECT doc_id,
+        |    array_to_string(lines0, chr(10)) AS raw,
+        |    list_filter([trim(x) FOR x IN lines0], x -> length(x) > 0) AS lines
+        |  FROM page),
+        |k AS (SELECT doc_id, raw,
+        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l),
+        |c AS (SELECT doc_id,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+        |    CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |  FROM k
+        |  WHERE len(regexp_extract_all(
+        |          coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+        |    AND NOT contains(lower(raw), 'lorem ipsum')
+        |    AND NOT contains(raw, '{')),
+        |u AS (SELECT printf('http://%s.example/%05d', m.p, doc_id) AS target_uri,
+        |             n_lines_kept, text_c4,
+        |             md5(trim(regexp_replace(regexp_replace(lower(text_c4),
+        |               '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |      FROM c CROSS JOIN (VALUES ('m'), ('x')) AS m(p))
+        |SELECT target_uri, n_lines_kept, md5(text_c4) AS c4_md5,
+        |       target_uri <> min(target_uri) OVER (PARTITION BY fp) AS is_duplicate
+        |FROM u ORDER BY target_uri""".stripMargin,
+
     "q_circular_mean" ->
       """SELECT event_type,
         |  round(fmod(fmod(degrees(atan2(

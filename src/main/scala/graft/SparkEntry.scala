@@ -643,6 +643,53 @@ object SparkEntry {
         .orderBy("idx")
     }),
 
+    // The crawl-ingestion pipeline end to end: WET files on disk -> Warc
+    // reader -> C4 cleaning -> exact dedup. The WET corpus is synthesized
+    // DETERMINISTICALLY from `documents` (first 64 words re-lined into
+    // 8-word sentences + planted per-line and per-page C4 violations; each
+    // page written under TWO uris across 4 plain WET files in a scratch
+    // dir), so the DuckDB oracle can recompute the expected kept pages,
+    // C4 text hashes, and duplicate flags from the same table without ever
+    // touching the files — the file round-trip itself is what's under test.
+    "q_wet_pipeline" -> ((s, dir) => {
+      val words = slice(split(col("text"), " "), 1, 64)
+      val nch = ceil(size(words) / lit(8.0)).cast("int")
+      val body = transform(sequence(lit(0), nch - 1),
+        i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "), lit(".")))
+      val extra = when(col("doc_id") % 7 === 0,
+        array(lit("enable javascript now please friend."), lit("too short."),
+          lit("lorem ipsum dolor sit amet today.")))
+        .otherwise(
+          array(lit("enable javascript now please friend."), lit("too short.")))
+      val pages = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_join(concat(body, extra), "\n").as("wet_text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val outDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_wet_${Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(outDir)
+      Option(outDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      pages.groupBy { case (id, _) => id % 4 }.foreach { case (shard, docs) =>
+        val bytes = docs.flatMap { case (id, text) =>
+          graft.sources.Warc.recordBytes("conversion",
+            f"http://m.example/$id%05d", "2024-01-02T00:00:00Z", text) ++
+            graft.sources.Warc.recordBytes("conversion",
+              f"http://x.example/$id%05d", "2024-01-02T00:00:00Z", text)
+        }
+        java.nio.file.Files.write(outDir.resolve(f"part$shard%02d.warc"),
+          graft.sources.Warc.recordBytes("warcinfo", null, null,
+            "software: graft-gate") ++ bytes)
+      }
+      val wet = graft.sources.Warc.read(s, s"$outDir/*.warc")
+        .select(col("target_uri"), col("text"))
+      val c4 = Cleanse.c4Filter(wet, "text").filter(col("keep"))
+      Dedup.exact(c4, "text_c4", "target_uri")
+        .select(col("target_uri"), col("n_lines_kept"),
+          md5(col("text_c4")).as("c4_md5"), col("is_duplicate"))
+        .orderBy("target_uri")
+    }),
+
     "q_circular_mean" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("angle", (col("value") * 36.0) % 360.0)

@@ -51,6 +51,25 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Serialize one WARC record — the writer twin of [[read]], used to
+    * synthesize WET fixtures and to round-trip corpora in tests/gates.
+    * Follows the ISO 28500 layout the parser consumes: CRLF header block,
+    * Content-Length payload, blank-line record separator.
+    */
+  def recordBytes(recordType: String, targetUri: String, dateIso: String,
+                  text: String): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $recordType\r\n")
+    if (targetUri != null) h.append(s"WARC-Target-URI: $targetUri\r\n")
+    if (dateIso != null) h.append(s"WARC-Date: $dateIso\r\n")
+    h.append(s"WARC-Record-ID: <urn:graft:$recordType-${payload.length}>\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+    h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private def isGzip(in: BufferedInputStream): Boolean = {
     in.mark(2)
     val b0 = in.read(); val b1 = in.read()
