@@ -127,6 +127,18 @@ object NetCdf {
     * headers are KBs; raise for files with thousands of variables).
     */
   def parseHeader(bytes: Array[Byte]): NcHeader = {
+    // PINNED CONTRACT (SURVEY §2.1): classic CDF-1/CDF-2 only. The HDF5
+    // container (netCDF-4 — e.g. MERRA2 GES DISC .nc4 deliveries) is a
+    // deliberate boundary: parsing it needs an HDF5 library (public:
+    // cdm-core/netcdf-java or libhdf5), none of which this build may add.
+    // Detect its magic specifically and tell the user the public way out.
+    val isHdf5 = bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
+    require(!isHdf5,
+      "netCDF-4/HDF5 container detected (e.g. a MERRA2 .nc4 delivery): " +
+        "this reader supports NetCDF classic (CDF-1/CDF-2) only — convert " +
+        "once with the public netcdf tools (`nccopy -k classic in.nc4 " +
+        "out.nc`) or read via an HDF5 library")
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "not a NetCDF classic file (bad magic); netCDF-4/HDF5 needs an external library")
     val version = bytes(3).toInt

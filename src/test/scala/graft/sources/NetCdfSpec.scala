@@ -186,11 +186,19 @@ class NetCdfSpec extends SparkSpec {
   }
 
   test("non-classic bytes are rejected with a clear error") {
+    // the netCDF-4/HDF5 rejection is a PINNED CONTRACT (SURVEY §2.1): the
+    // magic is detected specifically and the message names the format and
+    // the public conversion path
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ Array.fill[Byte](64)(0)
     val e = intercept[IllegalArgumentException](NetCdf.parseHeader(hdf5))
-    assert(e.getMessage.contains("netCDF-4"))
+    assert(e.getMessage.contains("netCDF-4/HDF5 container detected"))
+    assert(e.getMessage.contains("nccopy -k classic"))
     val cdf5 = "CDF".getBytes ++ Array[Byte](5) ++ Array.fill[Byte](64)(0)
     val e2 = intercept[IllegalArgumentException](NetCdf.parseHeader(cdf5))
     assert(e2.getMessage.contains("version"))
+    // arbitrary junk still gets the generic bad-magic error
+    val junk = "PARQUET!".getBytes ++ Array.fill[Byte](64)(0)
+    val e3 = intercept[IllegalArgumentException](NetCdf.parseHeader(junk))
+    assert(e3.getMessage.contains("bad magic"))
   }
 }
