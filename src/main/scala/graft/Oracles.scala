@@ -555,6 +555,63 @@ object Oracles {
         |     - epoch_us(utc)) / 1000000 <> -18000 AS is_dst
         |FROM b ORDER BY event_id""".stripMargin,
 
+    "q_qa_describe" ->
+      """WITH e AS (SELECT value, value * 3.0 - user_id AS mix,
+        |                  CAST(user_id AS DOUBLE) AS uid FROM events),
+        |s AS (
+        |  SELECT 'value' AS "column", count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS mean,
+        |    stddev_samp(value) AS std, min(value) AS min,
+        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+        |    quantile_cont(value, 0.75) AS p75, max(value) AS max FROM e
+        |  UNION ALL
+        |  SELECT 'mix', count(mix),
+        |    CAST(sum(CAST(mix AS DECIMAL(38,10))) AS DOUBLE) / count(mix),
+        |    stddev_samp(mix), min(mix), quantile_cont(mix, 0.25),
+        |    quantile_cont(mix, 0.5), quantile_cont(mix, 0.75), max(mix) FROM e
+        |  UNION ALL
+        |  SELECT 'uid', count(uid),
+        |    CAST(sum(CAST(uid AS DECIMAL(38,10))) AS DOUBLE) / count(uid),
+        |    stddev_samp(uid), min(uid), quantile_cont(uid, 0.25),
+        |    quantile_cont(uid, 0.5), quantile_cont(uid, 0.75), max(uid) FROM e)
+        |SELECT "column", n, round(mean, 6) AS mean, round(std, 6) AS std,
+        |       round(min, 6) AS min, round(p25, 6) AS p25, round(p50, 6) AS p50,
+        |       round(p75, 6) AS p75, round(max, 6) AS max
+        |FROM s ORDER BY "column"""".stripMargin,
+
+    "q_dst_windows" ->
+      """WITH h0 AS (SELECT DISTINCT
+        |    date_trunc('hour', ts + to_months(CAST(event_id % 12 AS INT))) AS utc
+        |  FROM events WHERE date_part('day', ts) <= 28),
+        |h1 AS (SELECT utc FROM h0
+        |       UNION ALL SELECT utc FROM h0 WHERE date_part('hour', utc) = 6),
+        |b AS (SELECT utc,
+        |    CAST(date_part('hour', utc) * 100 + date_part('day', utc) AS BIGINT) AS power,
+        |    timezone('America/New_York', utc AT TIME ZONE 'UTC') AS loc,
+        |    (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |       - epoch_us(utc)) / 1000000 AS off
+        |  FROM h1),
+        |c AS (SELECT *, CAST(date_part('year', loc) AS INT) AS yr,
+        |             off <> -18000 AS dst FROM b),
+        |a AS (SELECT yr, min(CASE WHEN dst THEN utc END) AS spring,
+        |             max(CASE WHEN dst THEN utc END) AS last_dst
+        |      FROM c GROUP BY yr),
+        |f AS (SELECT c.yr, min(c.utc) AS fall
+        |      FROM c JOIN a ON c.yr = a.yr AND c.utc > a.last_dst
+        |      GROUP BY c.yr),
+        |lab AS (SELECT c.*, count(*) OVER (PARTITION BY c.utc) AS n_dups,
+        |          CASE WHEN abs(epoch_us(c.utc) - epoch_us(a.spring)) <= 3 * 3600000000
+        |               THEN 'spring'
+        |               WHEN abs(epoch_us(c.utc) - epoch_us(f.fall)) <= 3 * 3600000000
+        |               THEN 'fall' END AS season
+        |        FROM c JOIN a ON c.yr = a.yr LEFT JOIN f ON c.yr = f.yr
+        |        WHERE a.spring IS NOT NULL)
+        |SELECT yr AS year, season, epoch_us(utc) // 1000000 AS utc_epoch,
+        |       epoch_us(loc) // 1000000 AS local_epoch, power,
+        |       dst AS is_dst, off / 3600.0 AS utc_offset_hours, n_dups
+        |FROM lab WHERE season IS NOT NULL
+        |ORDER BY utc_epoch, year""".stripMargin,
+
     "q_interp_linear" ->
       """WITH b AS (SELECT event_id, ts, event_type,
         |             CAST(epoch_us(ts) AS DOUBLE) AS x,

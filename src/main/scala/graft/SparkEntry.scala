@@ -407,6 +407,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // QA describe (qa.py:252-264): transposed per-column summary stats.
+    "q_qa_describe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("value"),
+        (col("value") * 3.0 - col("user_id")).as("mix"),
+        col("user_id").cast("double").as("uid"))
+      QaDatetime.describe(ev, Seq("value", "mix", "uid"))
+        .select(col("column"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("min"), 6).as("min"), round(col("p25"), 6).as("p25"),
+          round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"),
+          round(col("max"), 6).as("max"))
+        .orderBy("column")
+    }),
+
+    // daylight_savings_plot's deterministic data-prep (qa.py:267-463):
+    // per-year DST transition windows over an hourly UTC series spread
+    // across 12 months (planted duplicate stamps at hour 6) — window rows
+    // with season labels, localized twins, and duplicate counts.
+    "q_dst_windows" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .filter(dayofmonth(col("ts")) <= 28)
+        .select(date_trunc("hour",
+          expr("ts + make_interval(0, CAST(event_id % 12 AS INT), 0, 0, 0, 0, 0)"))
+          .as("utc"))
+        .distinct()
+      val withDups = hours.union(hours.filter(hour(col("utc")) === 6))
+        .withColumn("power",
+          (hour(col("utc")) * 100 + dayofmonth(col("utc"))).cast("long"))
+      QaDatetime.dstWindows(withDups, "utc", "America/New_York")
+        .select(col("year"), col("season"), epochS(col("utc")).as("utc_epoch"),
+          epochS(col("utc_localized")).as("local_epoch"), col("power"),
+          col("is_dst"), col("utc_offset_hours"), col("n_dups"))
+        .orderBy("utc_epoch", "year")
+    }),
+
     // Linear interpolation between surviving points (x = event time),
     // bfill/ffill at partition edges — the imputation primitive, oracle-
     // gated with planted nulls (every 37th event id). round(4): the

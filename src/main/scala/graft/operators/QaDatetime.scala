@@ -60,6 +60,82 @@ object QaDatetime {
       .withColumn("is_dst", offsetSec =!= nonDstOffsetSeconds(localTz))
   }
 
+  /** `describe` (qa.py:252-264): transposed per-column summary stats — one
+    * output row per requested column with (n, mean, std, min, p25, p50,
+    * p75, max), pandas `df.describe().T` semantics (sample std, linear
+    * quantile interpolation).
+    *
+    * One distributed aggregate over all columns at once (8 x #cols agg
+    * expressions), transposed driver-free via `stack`. The mean goes
+    * through a DECIMAL(38,10) sum so it is exact in any accumulation
+    * order.
+    */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}__n"),
+        (sum(col(c).cast(Dec)).cast("double") / count(col(c))).as(s"__${c}__mean"),
+        stddev_samp(col(c)).as(s"__${c}__std"),
+        min(col(c)).cast("double").as(s"__${c}__min"),
+        percentile(col(c), lit(0.25)).as(s"__${c}__p25"),
+        percentile(col(c), lit(0.5)).as(s"__${c}__p50"),
+        percentile(col(c), lit(0.75)).as(s"__${c}__p75"),
+        max(col(c)).cast("double").as(s"__${c}__max"))
+    }
+    val rows = cols.map { c =>
+      s"'$c', `__${c}__n`, `__${c}__mean`, `__${c}__std`, `__${c}__min`, " +
+        s"`__${c}__p25`, `__${c}__p50`, `__${c}__p75`, `__${c}__max`"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $rows) AS " +
+        "(column, n, mean, std, min, p25, p50, p75, max)"))
+  }
+
+  /** The deterministic data-prep behind `daylight_savings_plot`
+    * (qa.py:267-463): per local-calendar year, the rows within
+    * `hourWindow` hours of the spring and fall DST transitions, labeled
+    * (year, season), with localized twins, offset/DST flags, and the
+    * per-stamp duplicate count the plot scatters. Input stamps must be
+    * UTC ([[determineOffsetDst]] semantics — UTC->local is never
+    * ambiguous, so every column here is engine-deterministic; the naive
+    * local path's ambiguous fall-back hour is the documented divergence
+    * and stays out of this op).
+    *
+    * Anchors mirror the reference: spring = first DST stamp of the year,
+    * fall = first stamp after the last DST stamp (qa.py:320-327). Three
+    * tiny year-grain aggregates broadcast back against the fact table;
+    * rows outside every window are dropped.
+    */
+  def dstWindows(df: DataFrame, utcTimeCol: String, localTz: String,
+                 hourWindow: Int = 3): DataFrame = {
+    val base = determineOffsetDst(df, utcTimeCol, localTz)
+      .withColumn("__local", from_utc_timestamp(col(utcTimeCol), localTz))
+      .withColumn("__year", year(col("__local")))
+    val dstSpan = base.filter(col("is_dst"))
+      .groupBy("__year")
+      .agg(min(col(utcTimeCol)).as("__spring"),
+        max(col(utcTimeCol)).as("__last_dst"))
+    val fall = base.join(broadcast(dstSpan), Seq("__year"))
+      .filter(col(utcTimeCol) > col("__last_dst"))
+      .groupBy("__year").agg(min(col(utcTimeCol)).as("__fall"))
+    val anchors = dstSpan.join(fall, Seq("__year"), "left")
+    val dups = df.groupBy(col(utcTimeCol))
+      .agg(count(lit(1)).as("n_dups"))
+    val w = hourWindow * 3600L
+    def near(anchor: Column): Column =
+      abs(unix_timestamp(col(utcTimeCol)) - unix_timestamp(anchor)) <= w
+    base.join(broadcast(anchors), Seq("__year"))
+      .withColumn("season",
+        when(near(col("__spring")), "spring")
+          .when(near(col("__fall")), "fall"))
+      .filter(col("season").isNotNull)
+      .join(dups, Seq(utcTimeCol))
+      .withColumn("year", col("__year"))
+      .withColumn(s"${utcTimeCol}_localized", col("__local"))
+      .drop("__year", "__local", "__spring", "__last_dst", "__fall")
+  }
+
   /** `duplicate_time_identification` (qa.py:178-214): duplicate stamps per
     * asset on the raw, localized, and UTC columns at once (long-form: one
     * row per (column, asset, time) duplicate group).

@@ -69,6 +69,51 @@ class QaDatetimeSpec extends SparkSpec {
     assert(got(1).getDouble(0) == 2.0 && got(1).getBoolean(1))
   }
 
+  test("describe transposes per-column stats, pandas describe().T semantics") {
+    val df = Seq((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
+      .toDF("x", "y")
+    val got = QaDatetime.describe(df, Seq("x", "y")).orderBy("column").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("x", "y"))
+    val x = got(0)
+    assert(x.getLong(1) == 4L)                       // n
+    assert(math.abs(x.getDouble(2) - 2.5) < 1e-12)   // mean
+    // sample std of 1..4 = sqrt(5/3)
+    assert(math.abs(x.getDouble(3) - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(8) == 4.0) // min/max
+    // pandas linear interpolation: p25 of [1,2,3,4] = 1.75, p75 = 3.25
+    assert(math.abs(x.getDouble(5) - 1.75) < 1e-12)
+    assert(math.abs(x.getDouble(6) - 2.5) < 1e-12)
+    assert(math.abs(x.getDouble(7) - 3.25) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) - 25.0) < 1e-12) // y mean
+  }
+
+  test("dstWindows slices the spring/fall transition windows with dup marks") {
+    // hourly UTC stamps covering both 2021 Paris transitions (Mar 28
+    // 01:00 UTC spring, Oct 31 01:00 UTC fall) plus far-away filler; one
+    // stamp duplicated
+    val spring = (0 to 200).map(h => ts("2021-03-24 00:00:00").toInstant
+      .plusSeconds(h * 3600L)).map(java.sql.Timestamp.from)
+    val fall = (0 to 200).map(h => ts("2021-10-27 00:00:00").toInstant
+      .plusSeconds(h * 3600L)).map(java.sql.Timestamp.from)
+    val dup = Seq(ts("2021-03-28 01:00:00"))
+    val df = (spring ++ fall ++ dup).toDF("t")
+    val got = QaDatetime.dstWindows(df, "t", "Europe/Paris", hourWindow = 3)
+    val bySeason = got.collect().groupBy(_.getAs[String]("season"))
+    // spring anchor = first DST stamp = 2021-03-28 01:00 UTC; +-3h
+    val sTimes = bySeason("spring").map(_.getAs[java.sql.Timestamp]("t")).distinct
+    assert(sTimes.length == 7)
+    assert(sTimes.map(_.toInstant).min == ts("2021-03-27 22:00:00").toInstant)
+    // fall anchor = first post-DST stamp = 2021-10-31 01:00 UTC
+    val fTimes = bySeason("fall").map(_.getAs[java.sql.Timestamp]("t")).distinct
+    assert(fTimes.length == 7)
+    assert(fTimes.map(_.toInstant).max == ts("2021-10-31 04:00:00").toInstant)
+    // the duplicated stamp is marked on BOTH of its rows
+    val dupRows = got.filter($"t" === dup.head).collect()
+    assert(dupRows.length == 2 && dupRows.forall(_.getAs[Long]("n_dups") == 2L))
+    // all spring-window rows carry the year + localized twin
+    assert(bySeason("spring").forall(_.getAs[Int]("year") == 2021))
+  }
+
   test("duplicate identification reports raw-vs-UTC duplicate structure") {
     // two distinct local stamps in the ambiguous hour map to DIFFERENT UTC
     // under ambiguous=True... but a true duplicate pair stays duplicated
