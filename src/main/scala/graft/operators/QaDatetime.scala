@@ -69,19 +69,44 @@ object QaDatetime {
     * expressions), transposed driver-free via `stack`. The mean goes
     * through a DECIMAL(38,10) sum so it is exact in any accumulation
     * order.
+    *
+    * `exactQuantiles = true` (the default, the reference's semantics) uses
+    * Spark's exact `percentile`, whose aggregation state grows with the
+    * number of DISTINCT values in the column — fine for bounded-cardinality
+    * SCADA channels, a single-reducer memory hazard for a global describe
+    * over a high-cardinality column at 10^11 rows. `exactQuantiles = false`
+    * swaps the three quantiles for mergeable KLL sketches (~KB of state per
+    * partial regardless of cardinality, default k=200 ≈ 1.65% rank error);
+    * n/mean/std/min/max stay exact either way.
     */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describe(df: DataFrame, cols: Seq[String],
+               exactQuantiles: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    def quants(c: String): Seq[Column] =
+      if (exactQuantiles)
+        Seq(percentile(col(c), lit(0.25)).as(s"__${c}__p25"),
+          percentile(col(c), lit(0.5)).as(s"__${c}__p50"),
+          percentile(col(c), lit(0.75)).as(s"__${c}__p75"))
+      else {
+        // One sketch per column feeding all three ranks would need a
+        // post-agg projection; three sketch aggs stay a single pass and
+        // Spark dedups identical aggregate expressions into one buffer.
+        def sk = org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.KllAgg(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col(c).cast("double")), 200).toAggregateExpression())
+        Seq(Diagnostics.kllQuantile(sk, 0.25).as(s"__${c}__p25"),
+          Diagnostics.kllQuantile(sk, 0.5).as(s"__${c}__p50"),
+          Diagnostics.kllQuantile(sk, 0.75).as(s"__${c}__p75"))
+      }
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}__n"),
         (sum(col(c).cast(Dec)).cast("double") / count(col(c))).as(s"__${c}__mean"),
         stddev_samp(col(c)).as(s"__${c}__std"),
-        min(col(c)).cast("double").as(s"__${c}__min"),
-        percentile(col(c), lit(0.25)).as(s"__${c}__p25"),
-        percentile(col(c), lit(0.5)).as(s"__${c}__p50"),
-        percentile(col(c), lit(0.75)).as(s"__${c}__p75"),
-        max(col(c)).cast("double").as(s"__${c}__max"))
+        min(col(c)).cast("double").as(s"__${c}__min")) ++
+        quants(c) :+
+        max(col(c)).cast("double").as(s"__${c}__max")
     }
     val rows = cols.map { c =>
       s"'$c', `__${c}__n`, `__${c}__mean`, `__${c}__std`, `__${c}__min`, " +

@@ -87,6 +87,21 @@ class QaDatetimeSpec extends SparkSpec {
     assert(math.abs(got(1).getDouble(2) - 25.0) < 1e-12) // y mean
   }
 
+  test("describe approx path: KLL quantiles within rank error, exact moments") {
+    // 10k distinct values so exact vs sketch is a real comparison; k=200
+    // gives ~1.65% rank error => p50 of 1..10000 within ~165 either side
+    val df = (1 to 10000).map(_.toDouble).toDF("x")
+    val got = QaDatetime.describe(df, Seq("x"), exactQuantiles = false)
+      .collect().head
+    assert(got.getLong(1) == 10000L)
+    assert(math.abs(got.getDouble(2) - 5000.5) < 1e-9)     // mean exact
+    assert(got.getDouble(4) == 1.0 && got.getDouble(8) == 10000.0)
+    assert(math.abs(got.getDouble(5) - 2500.0) < 400)      // p25
+    assert(math.abs(got.getDouble(6) - 5000.0) < 400)      // p50
+    assert(math.abs(got.getDouble(7) - 7500.0) < 400)      // p75
+    assert(got.getDouble(5) < got.getDouble(6) && got.getDouble(6) < got.getDouble(7))
+  }
+
   test("dstWindows slices the spring/fall transition windows with dup marks") {
     // hourly UTC stamps covering both 2021 Paris transitions (Mar 28
     // 01:00 UTC spring, Oct 31 01:00 UTC fall) plus far-away filler; one
