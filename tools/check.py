@@ -35,6 +35,15 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         sc, oc = s[col].iloc[:n], o[col].iloc[:n]
         if str(sc.dtype) != str(oc.dtype):
             errs.append(f"dtype[{col}]: spark={sc.dtype} oracle={oc.dtype}")
+        # Vectorized fast path: when the whole column already matches
+        # (equal, or NaN/None on both sides), skip the per-row loop —
+        # it is minutes per million-row gate and almost always all-green.
+        # Any discrepancy falls through to the loop for exact reporting.
+        try:
+            if sc.reset_index(drop=True).equals(oc.reset_index(drop=True)):
+                continue
+        except (TypeError, ValueError):
+            pass
         bad = 0
         first = None
         for i in range(n):
