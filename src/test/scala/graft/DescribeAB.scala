@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off A/B: exact `percentile` vs KLL-sketch quantiles in
+  * QaDatetime.describe at sf1 (same projection as the q_qa_describe gate).
+  */
+object DescribeAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/repo/target/sf1")
+    def ev = Tables.events(spark, dir).select(col("value"),
+      (col("value") * 3.0 - col("user_id")).as("mix"),
+      col("user_id").cast("double").as("uid"))
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f
+      println(f"AB $tag ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    ev.count() // warm the scan
+    for (i <- 1 to 3) {
+      time(s"exact_$i") {
+        operators.QaDatetime.describe(ev, Seq("value", "mix", "uid")).collect()
+      }
+      time(s"approx_$i") {
+        operators.QaDatetime.describe(ev, Seq("value", "mix", "uid"),
+          exactQuantiles = false).collect()
+      }
+    }
+    spark.stop()
+  }
+}
