@@ -500,6 +500,22 @@ object Oracles {
          |         / len(regexp_split_to_array($normText, ' ')) END AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // strip_accents == NFD + combining-mark strip for the planted Latin
+    // accents; \p classes are RE2 here and java.util.regex in Spark, which
+    // agree on the corpus's ASCII + planted chars (P/S/C/Nd)
+    "q_ccnet_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    strip_accents(lower(
+        |      (CASE WHEN doc_id % 3 = 0 THEN translate(text, 'ae', 'áé')
+        |            ELSE text END) || ' Café #'
+        |        || CAST(doc_id % 97 AS VARCHAR) || '! 42;')),
+        |    '\p{Nd}', '0', 'g'),
+        |    '[\p{P}\p{S}\p{C}]+', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000

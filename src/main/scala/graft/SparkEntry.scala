@@ -807,6 +807,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style multilingual dedup-hash normalization (Wenzek et al.
+    // 2020): the corpus is ASCII, so accents/digits/punct are PLANTED
+    // deterministically (translate to á/é on every 3rd doc + a suffix with
+    // an accent, digits, and punctuation) and must fold back out — the
+    // oracle mirrors via strip_accents. Output is md5 + length, not the
+    // full normalized text, to keep the compare payload bounded.
+    "q_ccnet_norm" -> ((s, dir) => {
+      val decorated = concat(
+        when(col("doc_id") % 3 === 0,
+          translate(col("text"), "ae", "áé")).otherwise(col("text")),
+        lit(" Café #"), (col("doc_id") % 97).cast("string"), lit("! 42;"))
+      val norm = TextAnalysis.ccnetNormalize(decorated)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic per-stratum sampling (training-mix rebalance):
     // md5-bucket survival, row-local, portable across engines
     "q_stratified_sample" -> ((s, dir) => {

@@ -41,6 +41,36 @@ object TextAnalysis {
   /** 128-bit content fingerprint of the normalized text (hex md5). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Unicode normalization ([[org.apache.spark.sql.graft.UnicodeNormalize]],
+    * also `unicode_normalize(text, form)` in SQL): form is NFC/NFD/NFKC/NFKD.
+    */
+  def unicodeNormalize(text: Column, form: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), form))
+
+  /** CCNet-style dedup-hash normalization (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * cc_net/text_normalizer.py's hash normalization): lowercase, fold
+    * accents (NFD + strip combining marks), map every decimal digit to 0,
+    * strip punctuation/symbols/control chars, collapse whitespace. Unlike
+    * [[normalize]] (ASCII-only: deletes accented letters wholesale), this
+    * keeps the base letters of non-ASCII scripts, so near-identical
+    * multilingual pages hash together. Deviation from the paper's code:
+    * punctuation becomes a space (not empty) so deleted separators cannot
+    * glue neighboring words into a new token.
+    *
+    * All row-local codegen'd expressions — composes with
+    * [[graft.operators.Dedup.exact]] by fingerprinting this column.
+    */
+  def ccnetNormalize(text: Column): Column = {
+    val folded = regexp_replace(
+      unicodeNormalize(lower(text), "NFD"), "\\p{M}+", "")
+    val digits = regexp_replace(folded, "\\p{Nd}", "0")
+    val noPunct = regexp_replace(digits, "[\\p{P}\\p{S}\\p{C}]+", " ")
+    trim(regexp_replace(noPunct, "\\s+", " "))
+  }
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)

@@ -89,10 +89,20 @@ object FunctionRegistration {
         KllQuantile(exprs.head, exprs(1))
       })
 
+  /** `unicode_normalize(text, 'NFKC')` — form is a literal NFC/NFD/NFKC/NFKD. */
+  val unicodeNormalizeDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"unicode_normalize expects 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable, "unicode_normalize form must be a literal")
+        UnicodeNormalize(exprs.head, exprs(1).eval().toString)
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
-      kllQuantileDescription)
+      kllQuantileDescription, unicodeNormalizeDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (java.text.Normalizer) as a codegen'd expression —
+  * the primitive Spark lacks for multilingual dedup-hash normalization
+  * (NFD + combining-mark strip = accent folding; NFKC folds ligatures and
+  * width variants). A scalar JDK call with no per-row driver involvement,
+  * so it stays inside the enclosing WholeStageCodegen span; the String
+  * round-trip is inherent to the JDK API.
+  *
+  * `form` must be one of NFC/NFD/NFKC/NFKD (validated at plan time).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(UnicodeNormalize.Forms(form),
+    s"unicode_normalize form must be one of ${UnicodeNormalize.Forms.mkString("/")}, got $form")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($in.toString(),
+         |    java.text.Normalizer.Form.$form));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}

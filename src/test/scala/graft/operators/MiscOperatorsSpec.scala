@@ -156,6 +156,47 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(got - 500.0) <= 35, s"sql p50: $got")
   }
 
+  test("unicodeNormalize: forms fold as the JDK defines, null passes through") {
+    val df = Seq("café", "ﬁne", null.asInstanceOf[String]).toDF("t")
+    // NFD decomposes é into e + combining acute; NFKC folds the ﬁ ligature
+    val got = df.select(
+      TextAnalysis.unicodeNormalize(col("t"), "NFD").as("nfd"),
+      TextAnalysis.unicodeNormalize(col("t"), "NFKC").as("nfkc")).collect()
+    assert(got(0).getString(0) == "café")
+    assert(got(0).getString(1) == "café")
+    assert(got(1).getString(1) == "fine")
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+    intercept[IllegalArgumentException] {
+      df.select(TextAnalysis.unicodeNormalize(col("t"), "NFX")).collect()
+    }
+  }
+
+  test("unicode_normalize works from the SQL surface") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    Seq("ﬁord").toDF("t").createOrReplaceTempView("un_in")
+    assert(spark.sql("SELECT unicode_normalize(t, 'NFKC') FROM un_in")
+      .head().getString(0) == "fiord")
+  }
+
+  test("ccnetNormalize: accents fold, digits zero, punct/control to space") {
+    val df = Seq(
+      "Café au LAIT, n°4!",        // accents + ° (So) + punct
+      "room 101\u0007\tnext",      // digits + BEL control + tab
+      "日本語 text",               // CJK passes through
+      "").toDF("t")
+    val got = df.select(TextAnalysis.ccnetNormalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "cafe au lait n 0")
+    assert(got(1) == "room 000 next")
+    assert(got(2) == "日本語 text")
+    assert(got(3) == "")
+    // unlike normalize(), base letters of accented words survive
+    assert(spark.range(1).select(
+      TextAnalysis.normalize(lit("café")).as("ascii"),
+      TextAnalysis.ccnetNormalize(lit("café")).as("ccnet"))
+      .head() match { case r => r.getString(0) == "caf" && r.getString(1) == "cafe" })
+  }
+
   test("stopwordRatioFor judges text by its own language's list") {
     val df = Seq(
       ("fr", "le chat est sur la table et le chien"),
