@@ -171,6 +171,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(1L) == (5L, true) && got(2L) == (6L, false))
   }
 
+  test("ccnetNormalize runs unchanged on a stream (stateless codegen exprs)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.ccnetNormalize(col("text")).as("norm"))
+    val q = out.writeStream.format("memory").queryName("ccnet_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, "Café #42, s'il vous plaît!"))
+    q.processAllAvailable()
+    val got = spark.sql("select norm from ccnet_out").head().getString(0)
+    q.stop()
+    assert(got == "cafe 00 s il vous plait")
+  }
+
   test("decontaminateStream drops streamed docs overlapping the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
