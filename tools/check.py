@@ -85,8 +85,15 @@ def main():
     ok = fail = 0
     import glob
     have = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
+    import os
     for name in sorted(have):
         if only and name not in only:
+            continue
+        # A killed Verify leaves a directory without Spark's _SUCCESS marker;
+        # reading it yields a zero-column frame that fails confusingly.
+        if not os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
+            print(f"✗ {name}: PARTIAL OUTPUT (no _SUCCESS) — re-run Verify for it")
+            fail += 1
             continue
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle_sql:
