@@ -83,38 +83,42 @@ object QaDatetime {
                exactQuantiles: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    def quants(c: String): Seq[Column] =
+    // Approx path: ONE sketch aggregate per column; the three rank lookups
+    // are a post-agg projection over the single-row aggregate output, so
+    // the sketch is guaranteed built once per column per partial.
+    def quantAggs(c: String): Seq[Column] =
       if (exactQuantiles)
         Seq(percentile(col(c), lit(0.25)).as(s"__${c}__p25"),
           percentile(col(c), lit(0.5)).as(s"__${c}__p50"),
           percentile(col(c), lit(0.75)).as(s"__${c}__p75"))
-      else {
-        // One sketch per column feeding all three ranks would need a
-        // post-agg projection; three sketch aggs stay a single pass and
-        // Spark dedups identical aggregate expressions into one buffer.
-        def sk = org.apache.spark.sql.graft.ColumnBridge.column(
+      else
+        Seq(org.apache.spark.sql.graft.ColumnBridge.column(
           org.apache.spark.sql.graft.KllAgg(
             org.apache.spark.sql.graft.ColumnBridge.expression(
               col(c).cast("double")), 200).toAggregateExpression())
-        Seq(Diagnostics.kllQuantile(sk, 0.25).as(s"__${c}__p25"),
-          Diagnostics.kllQuantile(sk, 0.5).as(s"__${c}__p50"),
-          Diagnostics.kllQuantile(sk, 0.75).as(s"__${c}__p75"))
-      }
+          .as(s"__${c}__sk"))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}__n"),
         (sum(col(c).cast(Dec)).cast("double") / count(col(c))).as(s"__${c}__mean"),
         stddev_samp(col(c)).as(s"__${c}__std"),
         min(col(c)).cast("double").as(s"__${c}__min")) ++
-        quants(c) :+
+        quantAggs(c) :+
         max(col(c)).cast("double").as(s"__${c}__max")
     }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val projected =
+      if (exactQuantiles) agged
+      else agged.select(col("*") +: cols.flatMap { c =>
+        Seq(Diagnostics.kllQuantile(col(s"__${c}__sk"), 0.25).as(s"__${c}__p25"),
+          Diagnostics.kllQuantile(col(s"__${c}__sk"), 0.5).as(s"__${c}__p50"),
+          Diagnostics.kllQuantile(col(s"__${c}__sk"), 0.75).as(s"__${c}__p75"))
+      }: _*)
     val rows = cols.map { c =>
       s"'$c', `__${c}__n`, `__${c}__mean`, `__${c}__std`, `__${c}__min`, " +
         s"`__${c}__p25`, `__${c}__p50`, `__${c}__p75`, `__${c}__max`"
     }.mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $rows) AS " +
-        "(column, n, mean, std, min, p25, p50, p75, max)"))
+    projected.select(expr(s"stack(${cols.size}, $rows) AS " +
+      "(column, n, mean, std, min, p25, p50, p75, max)"))
   }
 
   /** The deterministic data-prep behind `daylight_savings_plot`
