@@ -13,6 +13,34 @@ class PipelinePropertySpec extends SparkSpec {
 
   private val rng = new scala.util.Random(20260813L)
 
+  test("property: normalize and ccnetNormalize are idempotent on random text") {
+    // random strings over a messy alphabet: letters, accents, digits,
+    // punctuation, symbols, controls, CJK, whitespace runs
+    val alphabet =
+      "abcXYZ éàüñçÉÀŒß 0159 .,;:!?#$%&*()[]'\"-_/\\ \t\n 日本語中文 №°€…ﬁ"
+    def randText(): String =
+      (0 until 1 + rng.nextInt(80)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val docs = (0 until 300).map(i => (i.toLong, randText())).toDF("id", "t")
+    val once = docs.select(col("id"),
+      TextAnalysis.normalize(col("t")).as("a"),
+      TextAnalysis.ccnetNormalize(col("t")).as("c"))
+    val twice = once.select(col("id"),
+      TextAnalysis.normalize(col("a")).as("a2"),
+      TextAnalysis.ccnetNormalize(col("c")).as("c2"))
+    val joined = once.join(twice, "id").collect()
+    joined.foreach { r =>
+      assert(r.getAs[String]("a") == r.getAs[String]("a2"),
+        s"normalize not idempotent on ${r.getAs[String]("a")}")
+      assert(r.getAs[String]("c") == r.getAs[String]("c2"),
+        s"ccnetNormalize not idempotent on ${r.getAs[String]("c")}")
+    }
+    // and the scala twin stays identical to the column form
+    val colNorm = once.collect().map(r => r.getLong(0) -> r.getAs[String]("a")).toMap
+    docs.collect().foreach { r =>
+      assert(TextAnalysis.normalizeString(r.getString(1)) == colNorm(r.getLong(0)))
+    }
+  }
+
   test("property: packSequences tiles sequences exactly — no gaps, no overlap") {
     for (trial <- 1 to 5) {
       val seqLen = 32 + rng.nextInt(300)
