@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Scale-up generator for local stress sweeps: replicates the four fact
+tables (lineitem, events, documents, embeddings) of a source sf directory
+FACTOR times with deterministic perturbation, keeping the dimension tables
+as-is — the same shape the round-4 sf1 dataset used. Usage:
+
+    python3 tools/make_sf.py <srcDir> <outDir> <factor>
+
+Perturbation rules (all deterministic, no RNG):
+  - documents: doc_id += k*stride; replicas 1..9 append " replicak" (the
+    planted HIGH-jaccard twins that stress MinHash/LSH bucket bounds, as
+    at sf1); replicas >= 10 additionally replace every 3rd word with a
+    replica token, dropping pairwise jaccard to ~0.5 so the planted dup
+    GROUP SIZE stays bounded at 10 while the corpus keeps growing —
+    otherwise pair output would grow quadratically in the replica count
+    and measure the planting, not the engine.
+  - embeddings: vec_id += k*stride; replicas >= 10 get a deterministic
+    per-replica additive shift on one coordinate (cosine neighbors stay
+    plentiful but not duplicated corpus-wide).
+  - events: event_id += k*stride (gates tie-break on it); everything else
+    replicated, so per-key densities (user sessions, minute buckets) grow
+    with the factor — the realistic 100 TB shape.
+  - lineitem: replicated as-is (self-consistent for the oracle, which
+    reads the same parquet).
+"""
+import sys
+
+import duckdb
+
+DIMS = ["region", "nation", "customer", "supplier", "part", "orders"]
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                    f"'{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"  {t}: copied")
+
+    li = f"'{src}/lineitem.parquet'"
+    con.execute(
+        "COPY (SELECT t.* FROM " + li + " t, range(" + str(factor) + ")) "
+        f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+    print("  lineitem: x" + str(factor))
+
+    ev_stride = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT event_id + r.range * {ev_stride} AS event_id,
+                    ts, user_id, event_type, value, props
+             FROM '{src}/events.parquet', range({factor}) r)
+           TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    print("  events: x" + str(factor))
+
+    doc_stride = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT doc_id + r.range * {doc_stride} AS doc_id,
+                    CASE WHEN r.range = 0 THEN text
+                         WHEN r.range < 10 THEN text || ' replica' || r.range
+                         ELSE list_aggregate(
+                           [CASE WHEN (i - 1) % 3 = 0
+                                 THEN 'r' || r.range ELSE w[i] END
+                            FOR i IN range(1, len(w) + 1)], 'string_agg', ' ')
+                           || ' replica' || r.range
+                    END AS text,
+                    lang, source, n_chars
+             FROM (SELECT *, string_split(text, ' ') AS w
+                   FROM '{src}/documents.parquet'), range({factor}) r)
+           TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    print("  documents: x" + str(factor))
+
+    vec_stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT vec_id + r.range * {vec_stride} AS vec_id,
+                    CASE WHEN r.range < 10 THEN embedding
+                         ELSE list_transform(embedding, (x, i) ->
+                           CASE WHEN i = 1 + r.range % len(embedding)
+                                THEN CAST(x + 0.01 * r.range AS FLOAT)
+                                ELSE x END)
+                    END AS embedding,
+                    label
+             FROM '{src}/embeddings.parquet', range({factor}) r)
+           TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    print("  embeddings: x" + str(factor))
+
+
+if __name__ == "__main__":
+    main()
