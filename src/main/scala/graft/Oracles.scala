@@ -1218,5 +1218,119 @@ object Oracles {
         |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
         |  round(sqrt(greatest(svv - 2 * scale * svq + scale * scale * sqq, 0) / d), 6) AS err
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_audit" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 10 < 3
+         |      THEN 'duplicate boilerplate page ' || CAST(doc_id % 25 AS VARCHAR)
+         |      ELSE text END AS text FROM documents),
+         |c AS (SELECT $normText AS norm, count(*) AS cluster_size,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars,
+         |    CAST(min(n_chars) AS BIGINT) AS chars_kept
+         |  FROM d GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(chars - chars_kept) AS BIGINT) AS chars_removed
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pmi" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+         |    (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |     FROM documents) WHERE len(token) > 0),
+         |n AS (SELECT count(*) AS N FROM documents),
+         |f AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+         |kept AS (SELECT token, df FROM f, n WHERE df >= 50 AND df <= N * 1.0),
+         |kt AS (SELECT t.doc_id, t.token, k.df FROM tok t JOIN kept k USING (token)),
+         |p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab,
+         |    any_value(a.df) AS df_a, any_value(b.df) AS df_b
+         |  FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2 HAVING count(*) >= 50)
+         |SELECT token_a, token_b, n_ab,
+         |  round(ln(CAST(n_ab AS DOUBLE) * N / (df_a * df_b)), 6) AS pmi
+         |FROM p, n ORDER BY 1, 2""".stripMargin,
+
+    "q_nb_quality" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |tr AS (SELECT *, (lang = 'en') AS pos FROM tok2 WHERE doc_id % 5 = 0),
+         |counts AS (SELECT token,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |  FROM tr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS Np,
+         |    CAST(sum(c_neg) AS BIGINT) AS Nn, count(*) AS V FROM counts),
+         |prior AS (SELECT
+         |    ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS lp_prior,
+         |    ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS ln_prior
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |model AS (SELECT token, ln((c_pos + 1)::DOUBLE / (Np + V)) AS lp_pos,
+         |    ln((c_neg + 1)::DOUBLE / (Nn + V)) AS lp_neg FROM counts, tot),
+         |sc AS (SELECT t.doc_id,
+         |    coalesce(m.lp_pos, ln(1.0 / (tot.Np + tot.V))) AS lp_pos,
+         |    coalesce(m.lp_neg, ln(1.0 / (tot.Nn + tot.V))) AS lp_neg
+         |  FROM tok2 t LEFT JOIN model m USING (token), tot WHERE t.doc_id % 5 <> 0)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  round(sum(lp_pos - lp_neg) + any_value(lp_prior) - any_value(ln_prior), 6) AS log_odds,
+         |  (sum(lp_pos - lp_neg) + any_value(lp_prior) - any_value(ln_prior)) > 0 AS predicted
+         |FROM sc, prior GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 AND len(t[1]) > 0
+         |    THEN [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+         |feats AS (SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS feat FROM grams),
+         |pr AS (SELECT feat, count(*) AS c_r FROM feats GROUP BY 1),
+         |pt AS (SELECT feat, count(*) AS c_t FROM feats JOIN documents USING (doc_id)
+         |  WHERE lang = 'en' GROUP BY 1),
+         |model AS (SELECT pr.feat, coalesce(c_t, 0) AS c_t, c_r
+         |  FROM pr LEFT JOIN pt ON pr.feat = pt.feat),
+         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS Nt, CAST(sum(c_r) AS BIGINT) AS Nr
+         |  FROM model),
+         |sc AS (SELECT feat, ln((c_t + 1)::DOUBLE / (Nt + 1024))
+         |    - ln((c_r + 1)::DOUBLE / (Nr + 1024)) AS llr FROM model, tot)
+         |SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) AS weight
+         |FROM feats JOIN sc USING (feat) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_js_div" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |ua AS (SELECT token, count(*) AS c_a FROM tok2 WHERE doc_id % 2 = 0 GROUP BY 1),
+         |ub AS (SELECT token, count(*) AS c_b FROM tok2 WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |  FROM ua FULL OUTER JOIN ub ON ua.token = ub.token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS Na, CAST(sum(c_b) AS BIGINT) AS Nb,
+         |    CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Va,
+         |    CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Vb FROM j),
+         |terms AS (SELECT Na, Nb, Va, Vb,
+         |    c_a::DOUBLE / Na AS p, c_b::DOUBLE / Nb AS q,
+         |    (c_a::DOUBLE / Na + c_b::DOUBLE / Nb) / 2 AS m FROM j, tot),
+         |kl AS (SELECT Na, Nb, Va, Vb,
+         |    sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END) AS kl_pm,
+         |    sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END) AS kl_qm
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT Na AS n_tokens_a, Nb AS n_tokens_b, Va AS n_vocab_a, Vb AS n_vocab_b,
+         |  round(kl_pm, 6) AS kl_pm, round(kl_qm, 6) AS kl_qm,
+         |  round((kl_pm + kl_qm) / 2, 6) AS jsd
+         |FROM kl""".stripMargin,
+
+    "q_centroid_score" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |idx AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |cent AS (SELECT label, i, avg(v[i]) AS c FROM idx GROUP BY 1, 2),
+        |cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+        |s AS (SELECT vec_id, e.label,
+        |    list_sum([v[i] * cv[i] FOR i IN range(1, len(v) + 1)]) AS d,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]))
+        |      * sqrt(list_sum([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)])) AS nn
+        |  FROM e JOIN cv ON e.label = cv.label)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) AS cos_centroid
+        |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

@@ -825,6 +825,80 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup impact report: cluster-size histogram with docs/chars removable.
+    // The synthetic corpus is exact-dup-free, so boilerplate clusters are
+    // planted deterministically (doc_id % 10 < 3 -> one of 25 shared
+    // pages), mirrored in the oracle; n_chars stays the ORIGINAL size
+    // column — the report's bytes accounting is what's under test.
+    "q_dedup_audit" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 10 < 3,
+        concat(lit("duplicate boilerplate page "), (col("doc_id") % 25).cast("string")))
+        .otherwise(col("text"))
+      Dedup.auditReport(
+          Tables.documents(s, dir).withColumn("text", planted),
+          "text", "doc_id", "n_chars")
+        .orderBy("cluster_size")
+    }),
+
+    // PMI word-pair collocations by document co-occurrence. The synthetic
+    // vocabulary is 30 near-ubiquitous tokens (df ~ 0.8N), so the gate
+    // opens maxDocFrac to 1.0 to exercise the pair path; the operator's
+    // 0.5 default is the real-corpus guard.
+    "q_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+          minPairDocs = 50L, maxDocFrac = 1.0)
+        .select(col("token_a"), col("token_b"), col("n_ab"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("token_a", "token_b")
+    }),
+
+    // Naive Bayes quality classifier: train on the doc_id % 5 == 0 slice
+    // (label: lang == 'en'), score the rest by per-token log-odds
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("__lab", col("lang") === "en")
+      TextAnalysis.naiveBayesScore(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "__lab")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          round(col("log_odds"), 6).as("log_odds"), col("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: hashed-bigram distribution match of each
+    // document against the lang == 'en' target slice
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.importanceWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feats"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Jensen-Shannon divergence between the even/odd doc_id corpus halves
+    "q_js_div" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.jsDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .select(col("n_tokens_a"), col("n_tokens_b"),
+          col("n_vocab_a"), col("n_vocab_b"),
+          round(col("kl_pm"), 6).as("kl_pm"),
+          round(col("kl_qm"), 6).as("kl_qm"),
+          round(col("jsd"), 6).as("jsd"))
+    }),
+
+    // SemDeDup-style prototypicality: cosine of each embedding to its own
+    // label-group centroid
+    "q_centroid_score" -> ((s, dir) => {
+      Similarity.centroidScore(Tables.embeddings(s, dir), "embedding", "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(col("cos_centroid"), 5).as("cos_centroid"))
+        .orderBy("vec_id")
+    }),
+
     // deterministic per-stratum sampling (training-mix rebalance):
     // md5-bucket survival, row-local, portable across engines
     "q_stratified_sample" -> ((s, dir) => {

@@ -731,4 +731,38 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         coalesce(col("n_paras_kept"), lit(0)).as("n_paras_kept"))
   }
+
+  /** Dedup impact report: a cluster-size histogram over [[exact]]'s
+    * fingerprint clusters — for each duplicate-cluster size, how many
+    * clusters, documents, removable duplicates, and removable bytes. The
+    * "what did dedup actually buy" audit every curation run publishes
+    * before committing to a corpus drop.
+    *
+    * Returns (cluster_size, n_clusters, n_docs, n_dup_docs, chars_total,
+    * chars_removed) where chars_removed counts every non-canonical copy.
+    *
+    * Scale: two map-side-combined aggregates (fingerprint grain, then
+    * size grain). The fingerprint aggregate is the same shuffle [[exact]]
+    * already pays; the histogram is at most |distinct sizes| rows — tiny.
+    * min(sizeCol) per cluster stands in for "canonical copy's size"
+    * deterministically (all copies of an EXACT cluster normalize alike,
+    * but raw char counts can differ by whitespace/markup stripped in
+    * normalization — keeping the min is the conservative bytes-kept
+    * choice).
+    */
+  def auditReport(df: DataFrame, textCol: String, idCol: String,
+                  sizeCol: String): DataFrame = {
+    val clusters = df
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("__fp")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col(sizeCol)).as("__chars"),
+        min(col(sizeCol)).as("__chars_kept"))
+    clusters.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_dup_docs"),
+        sum(col("__chars")).as("chars_total"),
+        sum(col("__chars") - col("__chars_kept")).as("chars_removed"))
+  }
 }

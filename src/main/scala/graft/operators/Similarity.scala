@@ -305,4 +305,35 @@ object Similarity {
   def quantizedCosine(a: Column, b: Column): Column =
     cosine(a.getField("q").cast("array<double>"),
       b.getField("q").cast("array<double>"))
+
+  /** Prototypicality scoring: per-group embedding centroid (element-wise
+    * mean) and each vector's cosine to its own group's centroid — the
+    * SemDeDup-family pruning signal (keep prototypical examples, or drop
+    * them to diversify; Abbas et al. 2023 §3 rank within clusters exactly
+    * this way). Returns the input plus a `cos_centroid` column.
+    *
+    * Scale: centroids are computed by exploding to (group, position,
+    * value) grain and aggregating — the shuffle carries one row per
+    * (partition, group, position) after map-side combine, bounded by
+    * |groups| x dims, NOT by corpus size. The centroid table (one array
+    * row per group) joins back by group with no forced hint: AQE
+    * broadcasts it when |groups| is small and shuffles when a web-scale
+    * clustering (10^7 clusters) doesn't fit. No driver collect at any
+    * group cardinality.
+    */
+  def centroidScore(df: DataFrame, vecCol: String, byCol: String): DataFrame = {
+    val cents = df
+      .select(col(byCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .groupBy("__g", "__i")
+      .agg(avg(col("__x")).as("__c"))
+      .groupBy("__g")
+      .agg(array_sort(collect_list(struct(col("__i"), col("__c")))).as("__ps"))
+      .select(col("__g"),
+        transform(col("__ps"), p => p.getField("__c")).as("__cent"))
+    df.join(cents, col(byCol) === col("__g"))
+      .withColumn("cos_centroid",
+        cosine(col(vecCol).cast("array<double>"), col("__cent")))
+      .drop("__g", "__cent")
+  }
 }

@@ -424,4 +424,190 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * base + pmod(xxhash64(t), lit(mod)), lit(mod)))
   }
+
+  /** Pointwise mutual information of word pairs by document co-occurrence:
+    * pmi(a,b) = ln(n_ab * N / (n_a * n_b)) over distinct-per-document
+    * tokens, the classic collocation / concept-pair signal (Church & Hanks
+    * 1990). Returns (token_a, token_b, n_ab, pmi) for pairs co-occurring in
+    * at least `minPairDocs` documents.
+    *
+    * Scale (100 TB): pair generation is the quadratic hazard — a document
+    * with m kept tokens emits m(m-1)/2 pairs, and stop-like tokens
+    * ("the" in every doc) would pair with everything. Two bounds keep it
+    * sane: tokens in more than `maxDocFrac` of documents are dropped
+    * (they carry no PMI signal — pmi ~ 0 by construction), and tokens in
+    * fewer than `minPairDocs` documents cannot reach the pair threshold so
+    * they are pre-filtered before the self-join. The join itself is an
+    * equi-join on the document id (shuffle on id, pairs generated stream-
+    * wise inside the join), and the pair aggregate map-side-combines to one
+    * row per (partition, pair).
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               minPairDocs: Long = 5L, maxDocFrac: Double = 0.5): DataFrame = {
+    val docTok = df.select(col(idCol).as("id"),
+        explode(array_distinct(split(normalize(col(textCol)), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+    val nDocs = broadcast(df.agg(count(lit(1)).as("__N")))
+    // token doc-frequencies, bounded to the useful band before pairing
+    val freq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+    val kept = freq.crossJoin(nDocs)
+      .filter(col("df") >= minPairDocs && col("df") <= col("__N") * maxDocFrac)
+      .select(col("token"), col("df"))
+    val keptTok = docTok.join(kept, Seq("token")) // AQE: broadcast when small
+    val pairs = keptTok.select(col("id"), col("token").as("token_a"), col("df").as("df_a"))
+      .join(keptTok.select(col("id"), col("token").as("token_b"), col("df").as("df_b")),
+        Seq("id"))
+      .filter(col("token_a") < col("token_b"))
+      .groupBy("token_a", "token_b")
+      .agg(count(lit(1)).as("n_ab"), first(col("df_a")).as("df_a"),
+        first(col("df_b")).as("df_b"))
+      .filter(col("n_ab") >= minPairDocs)
+    pairs.crossJoin(nDocs)
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        log(col("n_ab").cast("double") * col("__N")
+          / (col("df_a") * col("df_b"))).as("pmi"))
+  }
+
+  /** Multinomial Naive Bayes text scorer with add-one smoothing — the
+    * deterministic analog of the fastText quality classifier real pipelines
+    * (CCNet, GPT-3's WebText filter) use to keep "looks like the reference
+    * corpus" documents: train per-class token log-likelihoods on a labeled
+    * slice, score every document by its log-odds of the positive class.
+    *
+    * Returns (id, n_toks, log_odds, predicted): log_odds = [ln P(pos) +
+    * sum ln P(tok|pos)] - [ln P(neg) + sum ln P(tok|neg)], predicted =
+    * log_odds > 0. Tokens unseen in a class take that class's smoothed
+    * zero-count mass ln(1/(N_c+V)); V is the union vocabulary.
+    *
+    * Scale: the model is a vocabulary-sized aggregate over the training
+    * slice — web-scale vocabularies are unbounded, so the scoring join
+    * carries NO forced broadcast hint (AQE measures); only the 1-row
+    * totals are hinted. Scoring is one token-grain join + one per-doc
+    * aggregate, the same shape as [[unigramLogProb]].
+    */
+  def naiveBayesScore(df: DataFrame, train: DataFrame, idCol: String,
+                      textCol: String, labelCol: String): DataFrame = {
+    def toks(d: DataFrame, keep: Column*) =
+      d.select(col(idCol).as("id") +: keep :+
+          explode(split(normalize(col(textCol)), " ")).as("token"): _*)
+        .filter(length(col("token")) > 0)
+    val trainToks = toks(train, col(labelCol).cast("boolean").as("__pos"))
+    // per-class token counts, pivoted to one row per token
+    val counts = trainToks.groupBy("token")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = broadcast(counts.agg(
+      sum(col("c_pos")).as("__Np"), sum(col("c_neg")).as("__Nn"),
+      count(lit(1)).as("__V")))
+    val priors = broadcast(train
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__dp"),
+        count(lit(1)).as("__dn_tot"))
+      .select(log(col("__dp").cast("double") / col("__dn_tot")).as("__lp_prior"),
+        log((col("__dn_tot") - col("__dp")).cast("double") / col("__dn_tot"))
+          .as("__ln_prior")))
+    val model = counts.crossJoin(totals)
+      .select(col("token"),
+        log((col("c_pos") + 1).cast("double") / (col("__Np") + col("__V"))).as("lp_pos"),
+        log((col("c_neg") + 1).cast("double") / (col("__Nn") + col("__V"))).as("lp_neg"))
+    toks(df).join(model, Seq("token"), "left")
+      .crossJoin(totals)
+      .select(col("id"),
+        coalesce(col("lp_pos"), log(lit(1.0) / (col("__Np") + col("__V")))).as("lp_pos"),
+        coalesce(col("lp_neg"), log(lit(1.0) / (col("__Nn") + col("__V")))).as("lp_neg"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp_pos") - col("lp_neg")).as("__sum_llr"))
+      .crossJoin(priors)
+      .select(col("id"), col("n_toks"),
+        (col("__sum_llr") + col("__lp_prior") - col("__ln_prior")).as("log_odds"))
+      .withColumn("predicted", col("log_odds") > 0)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed word-bigram
+    * features, per-document importance = mean over feature occurrences of
+    * ln(p_target(f) / p_raw(f)) with add-one smoothing, where `target` is
+    * the in-domain sample and `df` (the corpus being selected from) is the
+    * raw distribution. Returns (id, n_feats, weight); downstream selection
+    * keeps the top mass by weight.
+    *
+    * The feature hash is md5-based ([[graft.operators.Sampling.hashBucket]]
+    * rationale: identical in every engine) into `buckets` buckets — the
+    * fixed-dimensional feature space is the point of DSIR: both
+    * distributions are `buckets`-sized regardless of corpus scale, so the
+    * model side of the scoring join is bounded and broadcast-safe at any
+    * corpus size (hinted, unlike the vocabulary-sized LM joins).
+    */
+  def importanceWeights(df: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"bad buckets $buckets")
+    def feats(d: DataFrame) = {
+      val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+      val grams = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      d.select(col(idCol).as("id"), explode(grams).as("gram"))
+        .select(col("id"), Sampling.hashBucket(col("gram"), buckets).as("feat"))
+    }
+    def dist(d: DataFrame, cName: String) =
+      feats(d).groupBy("feat").agg(count(lit(1)).as(cName))
+    val pt = dist(target, "c_t")
+    val pr = dist(df, "c_r")
+    // both sides are <= `buckets` rows by construction: broadcast is safe
+    val model = broadcast(
+      pr.join(pt, Seq("feat"), "left")
+        .select(col("feat"), coalesce(col("c_t"), lit(0L)).as("c_t"), col("c_r")))
+    val totals = broadcast(model.agg(
+      sum(col("c_t")).as("__Nt"), sum(col("c_r")).as("__Nr")))
+    val scored = model.crossJoin(totals)
+      .select(col("feat"),
+        (log((col("c_t") + 1).cast("double") / (col("__Nt") + buckets))
+          - log((col("c_r") + 1).cast("double") / (col("__Nr") + buckets)))
+          .as("llr"))
+    feats(df).join(broadcast(scored), Seq("feat"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), avg(col("llr")).as("weight"))
+  }
+
+  /** Jensen–Shannon divergence between the unigram distributions of two
+    * corpus slices — the drift/shift monitor for corpus curation (is this
+    * crawl snapshot like the last one? did the filter change the
+    * distribution?). Returns one row: vocab sizes, token totals, both
+    * KL(P||M)/KL(Q||M) halves, and jsd in nats (0 = identical,
+    * ln 2 = disjoint). Zero-count tokens contribute 0 to their side's KL
+    * term (lim x->0 of x ln x = 0), no smoothing — the standard JSD.
+    *
+    * Scale: two vocabulary-sized aggregates full-outer-joined on the token
+    * (AQE-planned), then a single global sum — no per-document state at
+    * all; the whole comparison is one number regardless of corpus size.
+    */
+  def jsDivergence(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+    def uni(d: DataFrame, cName: String) =
+      d.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as(cName))
+    val joined = uni(dfA, "c_a").join(uni(dfB, "c_b"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = broadcast(joined.agg(
+      sum(col("c_a")).as("__Na"), sum(col("c_b")).as("__Nb"),
+      sum(when(col("c_a") > 0, 1L).otherwise(0L)).as("__Va"),
+      sum(when(col("c_b") > 0, 1L).otherwise(0L)).as("__Vb")))
+    joined.crossJoin(totals)
+      .select(col("__Na"), col("__Nb"), col("__Va"), col("__Vb"),
+        (col("c_a").cast("double") / col("__Na")).as("p"),
+        (col("c_b").cast("double") / col("__Nb")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .groupBy("__Na", "__Nb", "__Va", "__Vb")
+      .agg(
+        sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0)).as("kl_pm"),
+        sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
+          .otherwise(0.0)).as("kl_qm"))
+      .select(col("__Na").as("n_tokens_a"), col("__Nb").as("n_tokens_b"),
+        col("__Va").as("n_vocab_a"), col("__Vb").as("n_vocab_b"),
+        col("kl_pm"), col("kl_qm"),
+        ((col("kl_pm") + col("kl_qm")) / 2).as("jsd"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-statistics operators: PMI collocations, Naive Bayes scoring,
+  * DSIR importance weights, JS divergence, dedup audit, centroid scoring.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiPairs finds the planted collocation and drops ubiquitous tokens") {
+    // 'new york' always co-occur; 'common' is in every doc; 'rare' in one
+    val docs = (0 until 20).map { i =>
+      val t = if (i < 10) "common new york trip" else s"common other$i word$i"
+      (i.toLong, t)
+    }.toDF("id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "id", "text",
+      minPairDocs = 5L, maxDocFrac = 0.6).collect()
+    // 'common' (df=20 > 0.6*20) is excluded entirely
+    assert(!out.exists(r => r.getString(0) == "common" || r.getString(1) == "common"))
+    val ny = out.find(r => r.getString(0) == "new" && r.getString(1) == "york").get
+    assert(ny.getLong(2) == 10L)
+    // perfect collocation: pmi = ln(10 * 20 / (10 * 10)) = ln 2
+    assert(math.abs(ny.getDouble(3) - math.log(2.0)) < 1e-12)
+  }
+
+  test("naiveBayesScore separates the classes and handles unseen tokens") {
+    val train = Seq(
+      (1L, "good fine nice", true), (2L, "good great nice", true),
+      (3L, "bad awful poor", false), (4L, "bad dire poor", false)
+    ).toDF("id", "text", "lab")
+    val score = Seq((10L, "good nice"), (11L, "bad poor"), (12L, "zzz unseen"))
+      .toDF("id", "text")
+    val out = TextAnalysis.naiveBayesScore(score, train, "id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(10L)._1 > 0 && out(10L)._2)
+    assert(out(11L)._1 < 0 && !out(11L)._2)
+    // unseen tokens: both classes take their smoothed zero mass; equal
+    // priors and equal class token totals make the log-odds exactly 0
+    assert(math.abs(out(12L)._1) < 1e-12 && !out(12L)._2)
+  }
+
+  test("importanceWeights ranks target-like documents above off-target ones") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta")
+    ).toDF("id", "text")
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("id", "text")
+    val w = TextAnalysis.importanceWeights(corpus, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+  }
+
+  test("jsDivergence is 0 for identical slices and ln 2 for disjoint ones") {
+    val a = Seq((1L, "x y z"), (2L, "x y")).toDF("id", "text")
+    val b = Seq((3L, "p q r"), (4L, "p q")).toDF("id", "text")
+    val same = TextAnalysis.jsDivergence(a, a, "text").collect()(0)
+    assert(math.abs(same.getAs[Double]("jsd")) < 1e-12)
+    val disj = TextAnalysis.jsDivergence(a, b, "text").collect()(0)
+    assert(math.abs(disj.getAs[Double]("jsd") - math.log(2.0)) < 1e-12)
+    assert(disj.getAs[Long]("n_tokens_a") == 5L)
+    assert(disj.getAs[Long]("n_vocab_b") == 3L)
+  }
+
+  test("auditReport histogram accounts for every doc and removable byte") {
+    val docs = Seq(
+      (1L, "same page", 10L), (2L, "Same page!", 12L), (3L, "same PAGE", 9L),
+      (4L, "other", 5L), (5L, "another", 7L)
+    ).toDF("id", "text", "n")
+    val out = Dedup.auditReport(docs, "text", "id", "n")
+      .orderBy("cluster_size").collect()
+    assert(out.length == 2)
+    val (singles, triple) = (out(0), out(1))
+    assert(singles.getLong(0) == 1L && singles.getLong(1) == 2L
+      && singles.getLong(5) == 0L)
+    // cluster of 3: min size 9 kept, 10 + 12 removed
+    assert(triple.getLong(0) == 3L && triple.getLong(2) == 3L
+      && triple.getLong(3) == 2L && triple.getLong(4) == 31L
+      && triple.getLong(5) == 22L)
+  }
+
+  test("centroidScore gives cosine 1 to uniform groups, ranks outliers lower") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f), 1), (4L, Array(0.9f, 0.1f), 1),
+      (5L, Array(-1.0f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidScore(rows, "embedding", "label")
+      .select("vec_id", "cos_centroid")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12 && math.abs(out(2L) - 1.0) < 1e-12)
+    // the outlier scores below the two prototypes of its group
+    assert(out(5L) < out(3L) && math.abs(out(3L) - out(4L)) < 1e-12)
+  }
+}
