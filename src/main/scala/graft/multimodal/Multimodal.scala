@@ -142,6 +142,48 @@ object Multimodal {
       .withColumn("chunk",
         substring(col(bytesCol), (col("chunk_offset") + 1).cast("int"), lit(chunkBytes)))
   }
+
+  /** Attach a 64-bit perceptual difference-hash of each image payload —
+    * the image analog of SimHash for text: re-encoding, metadata edits, and
+    * mild recompression keep the dHash within a few bits, so near-duplicate
+    * IMAGES become a Hamming-distance problem on longs. Output: input
+    * columns + (`outCol` long, null when undecodable).
+    *
+    * Scale: mapPartitions batch decode like [[extractFeatures]]; the hash
+    * is 8 bytes per image regardless of payload size, so the downstream
+    * dedup never touches image bytes again.
+    */
+  def withDHash(df: DataFrame, bytesCol: String,
+                codec: MediaCodec = MediaCodec.default,
+                outCol: String = "dhash"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      val c = codec // per-partition codec context
+      rows.map { r =>
+        val h = c.dHash(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance — banding via
+    * [[graft.operators.Dedup.hammingCandidates]] (equality joins on
+    * maxHamming+1 bit-bands, per-bucket skew cap), exact popcount confirm.
+    * Undecodable images (null hash) never pair. Returns (id_a, id_b,
+    * hamming).
+    */
+  def dHashNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+                        codec: MediaCodec = MediaCodec.default,
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    val sigs = withDHash(df.select(col(idCol).as("id"), col(bytesCol)),
+        bytesCol, codec, "sig")
+      .filter(col("sig").isNotNull)
+      .select("id", "sig")
+    graft.operators.Dedup.hammingCandidates(
+      sigs.localCheckpoint(true), maxHamming, maxBucketSize)
+  }
 }
 
 /** Codec boundary. The default is [[ImageIoCodec]] — a REAL JDK-backed
@@ -156,6 +198,12 @@ trait MediaCodec extends Serializable {
 
   /** Decode, resize to (width, height), re-encode; None if undecodable. */
   def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]]
+
+  /** 64-bit perceptual difference-hash of an image (9x8 luminance grid,
+    * bit = left cell brighter than its right neighbor); None if
+    * undecodable or not an image.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long]
 }
 
 /** JDK-native codec: javax.imageio images + javax.sound.sampled WAV.
@@ -238,6 +286,49 @@ final class ImageIoCodec extends MediaCodec {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** dHash over a 9x8 area-averaged luminance grid: bit (y*8+x) is set
+    * when cell (y,x) is strictly brighter than cell (y,x+1). Area
+    * averaging (not point sampling) makes the hash stable under resize
+    * and recompression — the property that makes it a near-dup signal.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    readImage(bytes).map { img =>
+      val (gw, gh) = (9, 8)
+      val sum = new Array[Double](gw * gh)
+      val n = new Array[Long](gw * gh)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          val cell = cy * gw + math.min(x * gw / w, gw - 1)
+          sum(cell) += lum
+          n(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(cy: Int, cx: Int): Double = {
+        val i = cy * gw + cx
+        if (n(i) > 0) sum(i) / n(i) else 0.0
+      }
+      var bits = 0L
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          if (cell(cy, cx) > cell(cy, cx + 1)) bits |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
+    }
+
   /** Bilinear image resize, re-encoded as PNG (lossless, always writable).
     * Non-image or corrupt bytes → None.
     */
@@ -295,5 +386,9 @@ object MediaCodec {
         Some(Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt)))
       }
     }
+    def dHash(bytes: Array[Byte]): Option[Long] =
+      // deterministic stand-in: fold the byte content, no decode
+      if (bytes == null || bytes.isEmpty) None
+      else Some(bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b))
   }
 }

@@ -236,10 +236,23 @@ object Dedup {
     * an all-pairs scan.
     */
   def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    hammingCandidates(simHashTable(df, textCol, idCol).localCheckpoint(true),
+      maxHamming, maxBucketSize)
+
+  /** Near-dup candidate pairs over ANY precomputed 64-bit signature table
+    * (id, sig) with Hamming distance <= maxHamming — the banding engine
+    * behind [[simHashCandidates]] and the image-dHash path
+    * ([[graft.multimodal.Multimodal.dHashNearDupPairs]]). Pigeonhole over
+    * maxHamming+1 disjoint bit-bands turns the all-pairs problem into
+    * equality joins on (band, value); a per-bucket size cap keeps one
+    * degenerate signature value (all-black images, empty documents) from
+    * going quadratic.
+    */
+  def hammingCandidates(sigs: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 2000): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = 64 / bands
-    val sigs = simHashTable(df, textCol, idCol).localCheckpoint(true)
     val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * bandBits)

@@ -147,6 +147,67 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L)._2 && byId(2L)._2 && byId(4L)._2 && !byId(3L)._2)
   }
 
+  /** A real PNG whose luminance is constant inside each cell of the 9x8
+    * dHash grid and pseudo-random (seeded) across cells — so the hash has
+    * ~half its bits set and the per-cell averages survive a resize.
+    */
+  private def blockPng(seed: Int, w: Int = 90, h: Int = 80): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val cell = (y * 8 / h) * 9 + (x * 9 / w)
+      val v = scala.util.hashing.MurmurHash3.productHash((cell, seed)) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("dHash is stable under resize and discriminates distinct images") {
+    val codec = new ImageIoCodec
+    val orig = blockPng(seed = 1)
+    val h1 = codec.dHash(orig).get
+    // same grid content at half resolution: bilinear bleed may flip a few
+    // near-tie comparisons, but the hash must stay within near-dup range
+    val resized = codec.resize(orig, 45, 40).get
+    val h2 = codec.dHash(resized).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 6,
+      s"resize moved ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    // a different random image shares ~half its comparison bits at best
+    val h3 = codec.dHash(blockPng(seed = 2)).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) >= 16,
+      s"distinct image only moved ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+    // non-image payloads: no hash, no crash
+    assert(codec.dHash(wav()).isEmpty)
+    assert(codec.dHash(Array.empty[Byte]).isEmpty)
+    assert(codec.dHash(jpegHeader ++ Array.fill[Byte](50)(3)).isEmpty)
+  }
+
+  test("withDHash attaches hashes and nulls for undecodable payloads") {
+    val out = Multimodal.withDHash(media, "bytes")
+    assert(out.schema.fieldNames.contains("dhash"))
+    val got = out.select("media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isDefined)           // real PNG hashes
+    assert(got(2L).isEmpty)             // WAV is not an image
+    assert(got(3L).isEmpty && got(4L).isEmpty) // empty / corrupt -> null
+  }
+
+  test("dHashNearDupPairs pairs a re-encoded copy with its original, nothing else") {
+    val codec = new ImageIoCodec
+    val orig = blockPng(seed = 1)
+    val copy = codec.resize(orig, 90, 80).get // same pixels, re-encoded bytes
+    val other = blockPng(seed = 9)            // structurally different image
+    val df = Seq((10L, orig), (11L, copy), (12L, other), (13L, wav()))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.dHashNearDupPairs(df, "media_id", "bytes", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)) || pairs.contains((11L, 10L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"got $pairs")
+  }
+
   test("sampleChunks emits n chunks per blob at spread offsets") {
     val got = Multimodal.sampleChunks(media.filter($"media_id" === 1L), "bytes",
       n = 4, chunkBytes = 16)
