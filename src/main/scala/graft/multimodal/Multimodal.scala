@@ -155,14 +155,29 @@ object Multimodal {
     */
   def withDHash(df: DataFrame, bytesCol: String,
                 codec: MediaCodec = MediaCodec.default,
-                outCol: String = "dhash"): DataFrame = {
+                outCol: String = "dhash"): DataFrame =
+    withLongSig(df, bytesCol, outCol, codec, (c, b) => c.dHash(b))
+
+  /** Attach a 64-bit gain-invariant audio envelope hash (see
+    * [[MediaCodec.audioHash]]) — the audio analog of [[withDHash]]:
+    * re-mastered / re-gained copies land within a few Hamming bits.
+    * Output: input columns + (`outCol` long, null when not decodable audio).
+    */
+  def withAudioHash(df: DataFrame, bytesCol: String,
+                    codec: MediaCodec = MediaCodec.default,
+                    outCol: String = "ahash"): DataFrame =
+    withLongSig(df, bytesCol, outCol, codec, (c, b) => c.audioHash(b))
+
+  private def withLongSig(df: DataFrame, bytesCol: String, outCol: String,
+                          codec: MediaCodec,
+                          sig: (MediaCodec, Array[Byte]) => Option[Long]): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
       val c = codec // per-partition codec context
       rows.map { r =>
-        val h = c.dHash(r.getAs[Array[Byte]](idx))
+        val h = sig(c, r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq :+ h.map(Long.box).orNull)
       }
     }(enc)
@@ -176,14 +191,26 @@ object Multimodal {
     */
   def dHashNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
                         codec: MediaCodec = MediaCodec.default,
-                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
-    val sigs = withDHash(df.select(col(idCol).as("id"), col(bytesCol)),
-        bytesCol, codec, "sig")
-      .filter(col("sig").isNotNull)
-      .select("id", "sig")
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    sigNearDupPairs(withDHash(df.select(col(idCol).as("id"), col(bytesCol)),
+      bytesCol, codec, "sig"), maxHamming, maxBucketSize)
+
+  /** Near-duplicate audio pairs by envelope-hash Hamming distance — same
+    * banded engine as [[dHashNearDupPairs]]; non-audio payloads (null
+    * hash) never pair. Returns (id_a, id_b, hamming).
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+                        codec: MediaCodec = MediaCodec.default,
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    sigNearDupPairs(withAudioHash(df.select(col(idCol).as("id"), col(bytesCol)),
+      bytesCol, codec, "sig"), maxHamming, maxBucketSize)
+
+  private def sigNearDupPairs(sigged: DataFrame, maxHamming: Int,
+                              maxBucketSize: Int): DataFrame =
     graft.operators.Dedup.hammingCandidates(
-      sigs.localCheckpoint(true), maxHamming, maxBucketSize)
-  }
+      sigged.filter(col("sig").isNotNull).select("id", "sig")
+        .localCheckpoint(true),
+      maxHamming, maxBucketSize)
 }
 
 /** Codec boundary. The default is [[ImageIoCodec]] — a REAL JDK-backed
@@ -204,6 +231,12 @@ trait MediaCodec extends Serializable {
     * undecodable or not an image.
     */
   def dHash(bytes: Array[Byte]): Option[Long]
+
+  /** 64-bit differential envelope hash of an audio payload (65 equal time
+    * buckets of mean |amplitude|, bit = bucket louder than its successor);
+    * gain-invariant by construction. None if undecodable or not audio.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long]
 }
 
 /** JDK-native codec: javax.imageio images + javax.sound.sampled WAV.
@@ -329,6 +362,23 @@ final class ImageIoCodec extends MediaCodec {
       bits
     }
 
+  /** Differential envelope hash: 65 time buckets of mean |amplitude| from
+    * [[audioFeatures]], bit b set when bucket b is strictly louder than
+    * bucket b+1. Comparing ADJACENT buckets (not thresholding absolute
+    * loudness) makes the hash invariant under any monotone gain change —
+    * a re-mastered copy at half volume keeps every bit.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long] =
+    audioFeatures(bytes, 65).map { env =>
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (env(b) > env(b + 1)) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+
   /** Bilinear image resize, re-encoded as PNG (lossless, always writable).
     * Non-image or corrupt bytes → None.
     */
@@ -390,5 +440,9 @@ object MediaCodec {
       // deterministic stand-in: fold the byte content, no decode
       if (bytes == null || bytes.isEmpty) None
       else Some(bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+    def audioHash(bytes: Array[Byte]): Option[Long] =
+      // distinct seed from dHash so the two fakes never collide
+      if (bytes == null || bytes.isEmpty) None
+      else Some(bytes.foldLeft(2305843009213693951L)((h, b) => 37 * h + b))
   }
 }

@@ -208,6 +208,58 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"got $pairs")
   }
 
+  /** A real WAV whose |amplitude| is constant inside each of the 65
+    * envelope buckets (square wave) and pseudo-random across buckets;
+    * `shift` right-shifts every amplitude (a uniform gain cut).
+    */
+  private def blockWav(seed: Int, shift: Int = 0, nSamples: Int = 6500): Array[Byte] = {
+    val pcm = new Array[Byte](2 * nSamples)
+    for (i <- 0 until nSamples) {
+      val bucket = i * 65 / nSamples
+      val amp = (1000 + (scala.util.hashing.MurmurHash3.productHash((bucket, seed)) & 0x3FFF)) >> shift
+      val v: Short = (if (i % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audioHash is gain-invariant and discriminates distinct audio") {
+    val codec = new ImageIoCodec
+    val h1 = codec.audioHash(blockWav(seed = 1)).get
+    // a quarter-volume re-master: adjacent-bucket comparisons all survive
+    // (integer >> can only create a tie, flipping a strict > to =, rarely)
+    val h2 = codec.audioHash(blockWav(seed = 1, shift = 2)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2,
+      s"gain cut moved ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    val h3 = codec.audioHash(blockWav(seed = 2)).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) >= 16,
+      s"distinct audio only moved ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+    // non-audio payloads: no hash, no crash
+    assert(codec.audioHash(png()).isEmpty)
+    assert(codec.audioHash(Array.empty[Byte]).isEmpty)
+    assert(codec.audioHash(jpegHeader ++ Array.fill[Byte](50)(3)).isEmpty)
+  }
+
+  test("audioNearDupPairs pairs a re-gained copy with its original, nothing else") {
+    val df = Seq((20L, blockWav(seed = 1)), (21L, blockWav(seed = 1, shift = 2)),
+      (22L, blockWav(seed = 7)), (23L, png()))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.audioNearDupPairs(df, "media_id", "bytes", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((20L, 21L)) || pairs.contains((21L, 20L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 22L || p._2 == 22L), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 23L || p._2 == 23L), s"got $pairs")
+  }
+
   test("sampleChunks emits n chunks per blob at spread offsets") {
     val got = Multimodal.sampleChunks(media.filter($"media_id" === 1L), "bytes",
       n = 4, chunkBytes = 16)
