@@ -339,8 +339,8 @@ object Oracles {
         |z AS (SELECT asset_id, w, vane, round(ws) AS wsb, round(vane) AS vb
         |      FROM k WHERE round(ws) IN (5.0, 6.0, 7.0, 8.0))
         |SELECT asset_id, wsb AS ws_bin_center, vb AS vane_bin,
-        |       round(avg(w), 6) AS perf_mean, count(*) AS n,
-        |       round(avg(vane), 6) AS vane_mean
+        |       CAST(sum(w) AS BIGINT) AS perf_sum, count(*) AS n,
+        |       CAST(round(sum(vane) * 8) AS BIGINT) AS vane_sum_8
         |FROM z GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Mirrors EYAGapAnalysis.compile()'s left-associated arithmetic exactly

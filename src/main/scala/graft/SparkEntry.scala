@@ -642,10 +642,15 @@ object SparkEntry {
       val asset = Seq(("T0", "turbine", 2048.0), ("T1", "turbine", 2048.0))
         .toDF("asset_id", "type", "rated_power")
       val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset))
+      // Gate outputs are the DYADIC sums, not round(avg, 6): avg = S/n is
+      // not dyadic even when S is, and round-at-6 of a straddling quotient
+      // diverges between engines (the q_interp_linear failure class, SURVEY
+      // §6). Integer power -> perf_sum is an exact long; 1/8-degree vane ->
+      // vane_sum * 8 is an exact long. The means are recoverable as sum/n.
       new graft.analysis.StaticYawMisalignment(plant).vaneBins()
         .select(col("asset_id"), col("ws_bin_center"), col("vane_bin"),
-          round(col("perf_mean"), 6).as("perf_mean"), col("n"),
-          round(col("vane_mean"), 6).as("vane_mean"))
+          col("perf_sum").cast("long").as("perf_sum"), col("n"),
+          round(col("vane_sum") * 8).cast("long").as("vane_sum_8"))
         .orderBy("asset_id", "ws_bin_center", "vane_bin")
     }),
 

@@ -89,6 +89,37 @@ final class StaticYawMisalignment(
     when(col("p_frac") > minPowerFilter && col("p_frac") <= pf,
       ceil((col("p_frac") - minPowerFilter) / ((pf - minPowerFilter) / numPowerBins)))
 
+  /** Shared cosine-fit-input aggregation tail (yaw_misalignment.py:545-563):
+    * target ws-bin slice, optional power-coefficient normalization, vane
+    * binning, weighted per-bin power/vane statistics. Both the oracle-gated
+    * [[vaneBins]] (weight = 1) and the UQ bootstrap path in [[run]] (weight
+    * = Poisson multiplicity, extra `sim` key) consume THIS tail — the gated
+    * code is the only binning implementation.
+    */
+  private def binAggregate(
+      df: org.apache.spark.sql.DataFrame,
+      weight: Column,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("ws_bin_center",
+        round(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth)
+      .filter(col("ws_bin_center").isin(wsBins.map(w => w: Any): _*))
+      .withColumn("__w", weight)
+      .filter(col("__w") > 0)
+      .withColumn("pow_ratio",
+        if (usePowerCoeff) col("WTUR_W") / pow(col("WMET_HorWdSpd"), 3.0)
+        else col("WTUR_W"))
+      .withColumn("vane_bin",
+        round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
+      .groupBy((keys ++ Seq("asset_id", "ws_bin_center", "vane_bin")).map(col): _*)
+      .agg((sum(col("pow_ratio") * col("__w")) / sum(col("__w"))).as("perf_mean"),
+        sum(col("__w")).as("n"),
+        (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"),
+        // exact sums alongside the means: when power is integer-valued and
+        // vane is dyadic (as in the correctness gate) these are bit-exact
+        // across engines, unlike the quotient means (avg = S/n is not dyadic)
+        sum(col("pow_ratio") * col("__w")).as("perf_sum"),
+        sum(col("WMET_HorWdDirRel") * col("__w")).as("vane_sum"))
+
   /** Per (turbine, ws-bin, vane-bin) power performance + mean vane angle —
     * the cosine-fit INPUTS (yaw_misalignment.py:545-563) for one fixed
     * parameter set: pitch filter, median/MAD power-curve outlier removal at
@@ -106,21 +137,13 @@ final class StaticYawMisalignment(
       .groupBy("asset_id", "__pbin")
       .agg(first(col("__med")).as("__med"),
         percentile(abs(col("WMET_HorWdSpd") - col("__med")), lit(0.5)).as("__mad"))
-    base.join(broadcast(stats), Seq("asset_id", "__pbin"), "left")
+    val kept = base.join(broadcast(stats), Seq("asset_id", "__pbin"), "left")
       .filter(col("__mad").isNull ||
         abs(col("WMET_HorWdSpd") - col("__med")) <= lit(madThresh) * col("__mad"))
-      .withColumn("ws_bin_center",
-        round(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth)
-      .filter(col("ws_bin_center").isin(wsBins.map(w => w: Any): _*))
-      .withColumn("pow_ratio",
-        if (usePowerCoeff) col("WTUR_W") / pow(col("WMET_HorWdSpd"), 3.0)
-        else col("WTUR_W"))
-      .withColumn("vane_bin",
-        round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
-      .groupBy("asset_id", "ws_bin_center", "vane_bin")
-      .agg(avg(col("pow_ratio")).as("perf_mean"),
-        count(lit(1)).as("n"),
-        avg(col("WMET_HorWdDirRel")).as("vane_mean"))
+    // weight 1.0: sum(x*1.0)/sum(1.0) is bit-identical to avg(x), and n is
+    // an exact integer-valued double -> restore the count-typed column
+    binAggregate(kept, lit(1.0), Nil)
+      .withColumn("n", col("n").cast("long"))
   }
 
   def run(): Result = {
@@ -155,6 +178,8 @@ final class StaticYawMisalignment(
     // lookup; bootstrap weights under UQ
     val pfOfSim = typedLit(simPf)
     val madOfSim = typedLit(simMad)
+    // ws bins are CENTERED on wsBins values: slice [c - w/2, c + w/2)
+    // (yaw_misalignment.py:374-378) — applied inside binAggregate
     val simDf = base
       .withColumn("sim", explode(array((0 until sims).map(lit): _*)))
       .withColumn("__pf", pfOfSim.apply(col("sim")))
@@ -162,25 +187,12 @@ final class StaticYawMisalignment(
       .join(broadcast(binStats), Seq("__pf", "asset_id", "__pbin"), "left")
       .filter(col("__mad").isNull ||
         abs(col("WMET_HorWdSpd") - col("__med")) <= madOfSim.apply(col("sim")) * col("__mad"))
-      // ws bins are CENTERED on wsBins values: slice [c - w/2, c + w/2)
-      // (yaw_misalignment.py:374-378)
-      .withColumn("ws_bin_center",
-        round(col("WMET_HorWdSpd") / wsBinWidth) * wsBinWidth)
-      .filter(col("ws_bin_center").isin(wsBins.map(w => w: Any): _*))
-      .withColumn("__w",
-        if (!uq) lit(1.0)
-        else poisson1(
-          (pmod(xxhash64(col("time"), col("asset_id"), col("sim"), lit(seed)),
-            lit(1000000L)) / 1000000.0)).cast("double"))
-      .filter(col("__w") > 0)
-      .withColumn("pow_ratio",
-        if (usePowerCoeff) col("WTUR_W") / pow(col("WMET_HorWdSpd"), 3.0)
-        else col("WTUR_W"))
 
     // (sim, turbine, ws_bin, vane_bin) weighted mean power performance +
     // vane (yaw_misalignment.py:545-563); ONE shuffle for all simulations.
-    // Without UQ the weights are all 1 and this is exactly [[vaneBins]] —
-    // consume it directly so the oracle-gated stage IS the analysis path.
+    // Both branches consume the shared [[binAggregate]] tail: without UQ via
+    // [[vaneBins]] (so the oracle-gated stage IS the analysis path), with UQ
+    // via Poisson bootstrap weights and an extra `sim` key.
     val binned =
       if (!uq)
         vaneBins(simPf(0), simMad(0))
@@ -188,13 +200,13 @@ final class StaticYawMisalignment(
             col("vane_bin"), col("perf_mean"),
             col("n").cast("double").as("n"), col("vane_mean"))
           .collect()
-      else simDf
-        .withColumn("vane_bin",
-          round(col("WMET_HorWdDirRel") / vaneBinWidth) * vaneBinWidth)
-        .groupBy("sim", "asset_id", "ws_bin_center", "vane_bin")
-        .agg((sum(col("pow_ratio") * col("__w")) / sum(col("__w"))).as("perf_mean"),
-          sum(col("__w")).as("n"),
-          (sum(col("WMET_HorWdDirRel") * col("__w")) / sum(col("__w"))).as("vane_mean"))
+      else binAggregate(simDf,
+          poisson1(
+            (pmod(xxhash64(col("time"), col("asset_id"), col("sim"), lit(seed)),
+              lit(1000000L)) / 1000000.0)).cast("double"),
+          Seq("sim"))
+        .select(col("sim"), col("asset_id"), col("ws_bin_center"),
+          col("vane_bin"), col("perf_mean"), col("n"), col("vane_mean"))
         .collect()
 
     // driver-side per (sim, turbine, ws_bin): slice mean vane over ALL vane
