@@ -14,25 +14,38 @@ object Bench {
     // ERROR: stray WARN chatter on stderr must not drown the JSON line the
     // driver parses from this run's output
     spark.sparkContext.setLogLevel("ERROR")
-    // JIT/codegen warmup so the first measured query doesn't absorb JVM
-    // compilation cost (~5s observed)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
-    catch { case _: Throwable => () }
+    // JIT/codegen + page-cache warmup: touch every base table the headline
+    // queries scan (not just lineitem) so no measured query absorbs the
+    // first cold read of a table — BENCH_r05's q_nb_quality outlier (22.9s
+    // vs 2.8s measured in isolation) was run-order interference, not plan
+    // cost.
+    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").toDF().queryExecution
+        .toRdd.count()
+      catch { case _: Throwable => () }
+    }
     // optional subset filter for local scale probes (absent → all queries)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries
+    // fixed run order (queries is an unordered HashMap) + two runs per
+    // query keeping the SECOND: the first run pays any residual cold cost
+    // (shuffle-file creation, codegen of this query's plan), the second is
+    // the steady-state number a long-running cluster job would see
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Execute the REAL plan: .count() lets Catalyst prune every column
-      // (an empty aggregate), under-measuring projection-heavy queries;
-      // toRdd.count() materializes the full output rows of the query plan.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val times = (1 to math.max(1, repeats)).map { _ =>
+        val t0 = System.nanoTime()
+        // Execute the REAL plan: .count() lets Catalyst prune every column
+        // (an empty aggregate), under-measuring projection-heavy queries;
+        // toRdd.count() materializes the full output rows of the query plan.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.last
+    }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Costliest first: the driver's capture keeps only the LAST ~2000 bytes
     // of stdout (BENCH_r04 recorded a 2000-char tail that beheaded the old

@@ -1268,13 +1268,15 @@ object Oracles {
          |  FROM documents WHERE doc_id % 5 = 0),
          |model AS (SELECT token, ln((c_pos + 1)::DOUBLE / (Np + V)) AS lp_pos,
          |    ln((c_neg + 1)::DOUBLE / (Nn + V)) AS lp_neg FROM counts, tot),
-         |sc AS (SELECT t.doc_id,
+         |agg AS (SELECT doc_id, token, count(*) AS cnt FROM tok2
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |sc AS (SELECT t.doc_id, t.cnt,
          |    coalesce(m.lp_pos, ln(1.0 / (tot.Np + tot.V))) AS lp_pos,
          |    coalesce(m.lp_neg, ln(1.0 / (tot.Nn + tot.V))) AS lp_neg
-         |  FROM tok2 t LEFT JOIN model m USING (token), tot WHERE t.doc_id % 5 <> 0)
-         |SELECT doc_id, count(*) AS n_toks,
-         |  round(sum(lp_pos - lp_neg) + any_value(lp_prior) - any_value(ln_prior), 6) AS log_odds,
-         |  (sum(lp_pos - lp_neg) + any_value(lp_prior) - any_value(ln_prior)) > 0 AS predicted
+         |  FROM agg t LEFT JOIN model m USING (token), tot)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |  round(sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior), 6) AS log_odds,
+         |  (sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior)) > 0 AS predicted
          |FROM sc, prior GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dsir" ->

@@ -482,8 +482,13 @@ object TextAnalysis {
     * Scale: the model is a vocabulary-sized aggregate over the training
     * slice — web-scale vocabularies are unbounded, so the scoring join
     * carries NO forced broadcast hint (AQE measures); only the 1-row
-    * totals are hinted. Scoring is one token-grain join + one per-doc
-    * aggregate, the same shape as [[unigramLogProb]].
+    * totals are hinted. The scoring side pre-aggregates to (id, token,
+    * cnt) BEFORE the model join — a Zipf-hot token ("the") is one join row
+    * per document instead of one per occurrence, which divides the join
+    * input by the per-doc duplication factor and bounds per-key fan-out by
+    * the document count; the log-likelihood sum weights by cnt, which is
+    * algebraically identical. Otherwise one join + one per-doc aggregate,
+    * the same shape as [[unigramLogProb]].
     */
   def naiveBayesScore(df: DataFrame, train: DataFrame, idCol: String,
                       textCol: String, labelCol: String): DataFrame = {
@@ -509,14 +514,15 @@ object TextAnalysis {
       .select(col("token"),
         log((col("c_pos") + 1).cast("double") / (col("__Np") + col("__V"))).as("lp_pos"),
         log((col("c_neg") + 1).cast("double") / (col("__Nn") + col("__V"))).as("lp_neg"))
-    toks(df).join(model, Seq("token"), "left")
+    toks(df).groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("token"), "left")
       .crossJoin(totals)
-      .select(col("id"),
+      .select(col("id"), col("cnt"),
         coalesce(col("lp_pos"), log(lit(1.0) / (col("__Np") + col("__V")))).as("lp_pos"),
         coalesce(col("lp_neg"), log(lit(1.0) / (col("__Nn") + col("__V")))).as("lp_neg"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum(col("lp_pos") - col("lp_neg")).as("__sum_llr"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * (col("lp_pos") - col("lp_neg"))).as("__sum_llr"))
       .crossJoin(priors)
       .select(col("id"), col("n_toks"),
         (col("__sum_llr") + col("__lp_prior") - col("__ln_prior")).as("log_odds"))
