@@ -1242,7 +1242,8 @@ object Oracles {
          |n AS (SELECT count(*) AS N FROM documents),
          |f AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
          |kept AS (SELECT token, df FROM f, n WHERE df >= 50 AND df <= N * 1.0),
-         |kt AS (SELECT t.doc_id, t.token, k.df FROM tok t JOIN kept k USING (token)),
+         |kt AS (SELECT t.doc_id, t.token, k.df FROM tok t JOIN kept k USING (token)
+         |  QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY k.df, t.token) <= 1000),
          |p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab,
          |    any_value(a.df) AS df_a, any_value(b.df) AS df_b
          |  FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.token < b.token

@@ -323,9 +323,14 @@ final class ImageIoCodec extends MediaCodec {
     * when cell (y,x) is strictly brighter than cell (y,x+1). Area
     * averaging (not point sampling) makes the hash stable under resize
     * and recompression — the property that makes it a near-dup signal.
+    *
+    * Images smaller than the 9x8 grid return None: sub-grid images leave
+    * unsampled cells pinned at luminance 0, making the hash
+    * position-determined and shared across unrelated tiny images (icons,
+    * spacers) — false near-dup pairs, not a useful signal.
     */
   def dHash(bytes: Array[Byte]): Option[Long] =
-    readImage(bytes).map { img =>
+    readImage(bytes).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
       val (gw, gh) = (9, 8)
       val sum = new Array[Double](gw * gh)
       val n = new Array[Long](gw * gh)

@@ -251,12 +251,17 @@ object Dedup {
     */
   def hammingCandidates(sigs: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
     val bands = maxHamming + 1
     val bandBits = 64 / bands
+    // wrap-safe mask: maxHamming=0 (exact-match dedup) gives bandBits=64,
+    // where (1L << 64) - 1 wraps to 0 on the JVM (shift count is mod 64)
+    // and would silently mask every signature to band_val 0
+    val bandMask = -1L >>> (64 - bandBits)
     val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1))
+          .bitwiseAND(lit(bandMask))
       }: _*)).as(Seq("band", "band_val")))
     // Same skew guard as minHashCandidates: cap per-(band, value) bucket
     // size so one degenerate band value can't go quadratic.
@@ -273,8 +278,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: the Hamming predicate is row-local and
+      // deterministic, so the result is identical but the dedup shuffle
+      // only carries the (rare) qualifying pairs, not every banded collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over an undirected candidate-pair edge list —

@@ -320,6 +320,10 @@ object Similarity {
     * broadcasts it when |groups| is small and shuffles when a web-scale
     * clustering (10^7 clusters) doesn't fit. No driver collect at any
     * group cardinality.
+    *
+    * Rows with a NULL group key pass through with a null `cos_centroid`
+    * (left join; a null key matches no centroid and belongs to no group's
+    * mean) rather than being dropped.
     */
   def centroidScore(df: DataFrame, vecCol: String, byCol: String): DataFrame = {
     val cents = df
@@ -331,7 +335,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__i"), col("__c")))).as("__ps"))
       .select(col("__g"),
         transform(col("__ps"), p => p.getField("__c")).as("__cent"))
-    df.join(cents, col(byCol) === col("__g"))
+    df.join(cents, col(byCol) === col("__g"), "left")
       .withColumn("cos_centroid",
         cosine(col(vecCol).cast("array<double>"), col("__cent")))
       .drop("__g", "__cent")

@@ -443,7 +443,8 @@ object TextAnalysis {
     * row per (partition, pair).
     */
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
-               minPairDocs: Long = 5L, maxDocFrac: Double = 0.5): DataFrame = {
+               minPairDocs: Long = 5L, maxDocFrac: Double = 0.5,
+               maxDocTokens: Int = 1000): DataFrame = {
     val docTok = df.select(col(idCol).as("id"),
         explode(array_distinct(split(normalize(col(textCol)), " "))).as("token"))
       .filter(length(col("token")) > 0)
@@ -453,7 +454,21 @@ object TextAnalysis {
     val kept = freq.crossJoin(nDocs)
       .filter(col("df") >= minPairDocs && col("df") <= col("__N") * maxDocFrac)
       .select(col("token"), col("df"))
-    val keptTok = docTok.join(kept, Seq("token")) // AQE: broadcast when small
+    val keptBand = docTok.join(kept, Seq("token")) // AQE: broadcast when small
+    // per-document token cap: the df band bounds which TOKENS pair, but not
+    // how many a single document keeps — one m-token document emits m^2
+    // pair rows inside ONE id join key (one task). Keep the maxDocTokens
+    // LOWEST-df (most informative) tokens per document, tie-broken on the
+    // token itself for determinism — the same skew-guard role maxBucketSize
+    // plays in the dedup banding paths.
+    val keptTok =
+      if (maxDocTokens <= 0) keptBand
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("id").orderBy(col("df"), col("token"))
+        keptBand.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxDocTokens).drop("__rk")
+      }
     val pairs = keptTok.select(col("id"), col("token").as("token_a"), col("df").as("df_a"))
       .join(keptTok.select(col("id"), col("token").as("token_b"), col("df").as("df_b")),
         Seq("id"))

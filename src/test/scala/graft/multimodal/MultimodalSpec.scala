@@ -182,6 +182,11 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.dHash(wav()).isEmpty)
     assert(codec.dHash(Array.empty[Byte]).isEmpty)
     assert(codec.dHash(jpegHeader ++ Array.fill[Byte](50)(3)).isEmpty)
+    // sub-grid images (icons, spacers): no hash — unsampled cells would be
+    // position-determined zeros shared by unrelated tiny images
+    assert(codec.dHash(png(8, 8)).isEmpty)
+    assert(codec.dHash(png(9, 7)).isEmpty)
+    assert(codec.dHash(png(9, 8)).isDefined)
   }
 
   test("withDHash attaches hashes and nulls for undecodable payloads") {

@@ -282,4 +282,49 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
     }
   }
+
+  test("property: hammingCandidates recalls every planted pair within budget") {
+    // The pigeonhole claim behind all three Hamming dedup modalities
+    // (SimHash text, dHash image, envelope-hash audio): any pair within
+    // Hamming distance k agrees exactly on >= 1 of the k+1 disjoint bands,
+    // so banded equi-joins have recall 1.0 (modulo the bucket cap, which a
+    // generous maxBucketSize disarms here). Seeded => deterministic.
+    val rng = new scala.util.Random(0x5EEDBA5EL)
+    for (k <- Seq(0, 3, 7); trial <- 1 to 3) {
+      val planted = (0 until 40).map { i =>
+        val a = rng.nextLong()
+        val nf = if (k == 0) 0 else 1 + rng.nextInt(k)
+        val flips = rng.shuffle((0 until 64).toList).take(nf)
+        val b = flips.foldLeft(a)((s, bit) => s ^ (1L << bit))
+        (2L * i, a, 2L * i + 1, b)
+      }
+      val sigs = planted.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+        .toDF("id", "sig")
+      val got = Dedup.hammingCandidates(sigs, maxHamming = k,
+          maxBucketSize = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val gotPairs = got.map(t => (t._1, t._2)).toSet
+      planted.foreach { case (ia, a, ib, b) =>
+        val dist = java.lang.Long.bitCount(a ^ b)
+        assert(dist <= k)
+        assert(gotPairs.contains((ia, ib)),
+          s"k=$k trial=$trial: missed planted pair ($ia,$ib) at distance $dist")
+      }
+      // and nothing beyond the budget leaks through the filter
+      got.foreach { case (x, y, h) => assert(h <= k, s"($x,$y) hamming $h > $k") }
+    }
+  }
+
+  test("hammingCandidates maxHamming=0 pairs exact signature matches only") {
+    // Regression pin for the band-mask wrap: bands=1 -> bandBits=64, where
+    // (1L << 64) - 1 wraps to 0 and masked every signature to band 0 — the
+    // skew guard then dropped that lone bucket and returned NO pairs.
+    // maxBucketSize below the row count makes the old behavior observable.
+    val df = (0 until 30).flatMap { i =>
+        Seq((2L * i, 0x1000L + i), (2L * i + 1, 0x1000L + i)) // 30 dup pairs
+      }.toDF("id", "sig")
+    val got = Dedup.hammingCandidates(df, maxHamming = 0, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 30).map(i => (2L * i, 2L * i + 1)).toSet)
+  }
 }
