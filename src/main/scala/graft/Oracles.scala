@@ -377,6 +377,24 @@ object Oracles {
     // q_c4_filter), the x/m uri mirroring, and exact-dedup's
     // min-uri-per-normalized-fingerprint rule. The Spark side must arrive
     // at the same rows THROUGH the WET files it wrote and re-read.
+    // Hamming-0 perceptual pairs are by construction exactly the
+    // same-group pairs of the synthesized fixtures (dHash cancels the
+    // per-doc luminance shift; the envelope hash cancels the per-doc
+    // gain) — so the oracle is a plain self-join on the group key.
+    "q_image_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 120 AND b.doc_id < 120
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_audio_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 96 AND b.doc_id < 96
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_wet_pipeline" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),

@@ -46,6 +46,89 @@ object SparkEntry {
   /** Epoch seconds of a timestamp as BIGINT. */
   private def epochS(c: Column): Column = unix_timestamp(c)
 
+  // ---- media fixture synthesis (q_image_dedup / q_audio_dedup) ------------
+  // The driver tables carry no image/audio bytes, so — like q_wet_pipeline
+  // synthesizes WET files — these gates synthesize REAL media files on disk
+  // from `documents` row ids and push them through the real distributed
+  // path (binaryFile scan -> mapPartitions decode -> banded Hamming join).
+  // The construction makes the expected pairs recomputable in SQL from the
+  // generating parameters alone:
+  //  - image: a 36x32 PNG of 4x4 grey blocks; block luminance = pattern
+  //    P(doc_id % 10) plus a PER-DOC uniform shift. dHash compares adjacent
+  //    area-averaged cells, so a uniform shift cancels — every doc in a
+  //    group hashes IDENTICALLY — while distinct groups differ (the block
+  //    pattern (g*7 + cell*5) % 12 means adjacent cells always differ and
+  //    the >=7 wraparound indicator is distinct for every g < 10).
+  //  - audio: a 3900-sample PCM16 WAV, constant |amplitude| per envelope
+  //    bucket = A(doc_id % 8, bucket) scaled by a PER-DOC gain. The
+  //    envelope hash compares adjacent bucket means, so positive gain
+  //    cancels — same-group WAVs hash identically, distinct groups differ.
+  // => near-dup pairs at Hamming 0 are EXACTLY the same-group pairs, a
+  // plain self-join on doc_id % G in DuckDB. Corrupt payloads (ids past
+  // the group range) must produce null hashes and never pair.
+  private def mediaFixtureDir(kind: String, dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  private def imageFixtures(ids: Seq[Long], corrupt: Seq[Long],
+                            out: java.nio.file.Path): Unit = {
+    ids.foreach { id =>
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (id % 10).toInt
+      val shift = ((id / 10) % 12).toInt // uniform: cancels in dHash
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 36) {
+          val cell = (y / 4) * 9 + (x / 4) // exact dHash 9x8 grid cells
+          val v = ((g * 7 + cell * 5) % 12) * 16 + 16 + shift // 16..203
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      java.nio.file.Files.write(out.resolve(f"img$id%05d.png"), bos.toByteArray)
+    }
+    corrupt.foreach { id => // PNG magic + junk: decodes to None, never pairs
+      java.nio.file.Files.write(out.resolve(f"img$id%05d.png"),
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+          Array.fill[Byte](64)((id % 97).toByte))
+    }
+  }
+
+  private def audioFixtures(ids: Seq[Long], corrupt: Seq[Long],
+                            out: java.nio.file.Path): Unit = {
+    val n = 3900 // 65 envelope buckets x exactly 60 samples
+    ids.foreach { id =>
+      val g = (id % 8).toInt
+      val gain = 1.0 - 0.05 * ((id / 8) % 8) // 0.65..1.0: cancels in hash
+      val samples = Array.tabulate(n) { i =>
+        val b = i * 65 / n
+        val amp = ((g * 7 + b * 5) % 12) * 2000 + 1000 // adjacent always differ
+        val v = math.round(amp * gain).toInt
+        (if (i % 2 == 0) v else -v).toShort
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * n); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2 * n)
+      samples.foreach(bb.putShort)
+      java.nio.file.Files.write(out.resolve(f"aud$id%05d.wav"), bb.array())
+    }
+    corrupt.foreach { id => // RIFF magic + junk: not decodable audio
+      java.nio.file.Files.write(out.resolve(f"aud$id%05d.wav"),
+        "RIFF".getBytes ++ Array.fill[Byte](40)((id % 89).toByte))
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
@@ -728,6 +811,42 @@ object SparkEntry {
         .select(col("target_uri"), col("n_lines_kept"),
           md5(col("text_c4")).as("c4_md5"), col("is_duplicate"))
         .orderBy("target_uri")
+    }),
+
+    // Perceptual image dedup end to end THROUGH real PNG files on disk:
+    // binaryFile scan -> javax.imageio decode -> dHash -> banded Hamming
+    // join. Construction (see imageFixtures): same-group images differ by
+    // a uniform luminance shift that dHash cancels, so the Hamming-0 pairs
+    // are exactly the same-group (doc_id % 10) pairs — recomputable in SQL.
+    // Corrupt payloads (ids 120-127) must hash null and never pair.
+    "q_image_dedup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val out = mediaFixtureDir("img", dir)
+      imageFixtures(ids, 120L until 128L, out)
+      val files = s.read.format("binaryFile").load(s"$out/*.png")
+        .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content"))
+      graft.multimodal.Multimodal.dHashNearDupPairs(
+          files, "media_id", "content", maxHamming = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Perceptual audio dedup end to end THROUGH real WAV files on disk:
+    // same-group WAVs differ by a positive gain the envelope hash cancels
+    // (see audioFixtures) -> Hamming-0 pairs = same-group (doc_id % 8)
+    // pairs. Corrupt payloads (ids 96-103) never pair.
+    "q_audio_dedup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 96)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val out = mediaFixtureDir("aud", dir)
+      audioFixtures(ids, 96L until 104L, out)
+      val files = s.read.format("binaryFile").load(s"$out/*.wav")
+        .select(regexp_extract(col("path"), "aud(\\d+)\\.wav$", 1)
+          .cast("long").as("media_id"), col("content"))
+      graft.multimodal.Multimodal.audioNearDupPairs(
+          files, "media_id", "content", maxHamming = 0)
+        .orderBy("id_a", "id_b")
     }),
 
     "q_circular_mean" -> ((s, dir) => {
