@@ -1270,6 +1270,57 @@ object Oracles {
          |  round(ln(CAST(n_ab AS DOUBLE) * N / (df_a * df_b)), 6) AS pmi
          |FROM p, n ORDER BY 1, 2""".stripMargin,
 
+    "q_ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |vocab AS (SELECT token, count(*) AS tf FROM tok2 WHERE doc_id % 5 = 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
+         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot),
+         |agg AS (SELECT doc_id, any_value(lang) AS lang, token, count(*) AS cnt
+         |  FROM tok2 WHERE doc_id % 5 <> 0 GROUP BY doc_id, token),
+         |sc AS (SELECT a.doc_id, any_value(a.lang) AS lang,
+         |    CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |    round(sum(cnt * coalesce(m.lp, ln(1.0 / (tot.N + tot.V)))) / sum(cnt), 6) AS mean_lp
+         |  FROM agg a LEFT JOIN model m USING (token), tot GROUP BY a.doc_id),
+         |b AS (SELECT lang, quantile_cont(mean_lp, 2.0/3) AS bh,
+         |    quantile_cont(mean_lp, 1.0/3) AS bm FROM sc GROUP BY 1)
+         |SELECT doc_id, sc.lang, n_toks, mean_lp,
+         |  CASE WHEN mean_lp > bh THEN 'head' WHEN mean_lp > bm THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM sc JOIN b ON sc.lang = b.lang
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    AND contains(text, '.') THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    AND contains(text, '.')
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        |  FROM documents)
+        |SELECT 0 AS stage, 'nonempty' AS name, n AS n_in, s0 AS n_kept, n - s0 AS n_dropped FROM a
+        |UNION ALL SELECT 1, 'min_len', s0, s1, s0 - s1 FROM a
+        |UNION ALL SELECT 2, 'has_sentence', s1, s2, s1 - s2 FROM a
+        |UNION ALL SELECT 3, 'token_floor', s2, s3, s2 - s3 FROM a
+        |ORDER BY 1""".stripMargin,
+
+    // Closed-form expected output of the synthesized boilerplate pages:
+    // the universal/nav/footer lines cross the minDocs=5 document
+    // threshold (the footer at exactly 5 docs), the per-doc body line
+    // never does.
+    "q_boilerplate" ->
+      """SELECT doc_id,
+        |  'body ' || doc_id || ' ' || substr(md5(text), 1, 8) AS text_clean,
+        |  1 AS n_lines_kept,
+        |  1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS n_lines_dropped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_nb_quality" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
          |  FROM documents),

@@ -990,6 +990,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail perplexity buckets: unigram LM trained on the
+    // doc_id % 5 == 0 slice, per-language tercile split by score
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.perplexityBuckets(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("n_toks"),
+          col("mean_lp"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // Filter-funnel audit: sequential per-stage in/kept/dropped counts for
+    // a 4-stage curation chain — all-integer, engine-exact.
+    "q_filter_funnel" -> ((s, dir) => {
+      Diagnostics.filterFunnel(Tables.documents(s, dir), Seq(
+          "nonempty" -> (length(col("text")) > 0),
+          "min_len" -> (length(col("text")) >= 200),
+          "has_sentence" -> col("text").contains("."),
+          "token_floor" -> (TextAnalysis.tokenCount(col("text")) >= 40)))
+        .orderBy("stage")
+    }),
+
+    // Corpus-frequency boilerplate removal: pages synthesized with a
+    // universal cookie line, a doc_id%3 nav line, a doc_id%100 footer
+    // (exactly minDocs docs at sf0.01), and one unique body line — only
+    // the body line survives.
+    "q_boilerplate" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        lit("Accept all cookies to continue"),
+        when(col("doc_id") % 3 === 0, lit("Home | About | Contact"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 100 === 0, lit("Powered by ExampleCMS"))
+          .otherwise(lit("")),
+        concat(lit("body "), col("doc_id").cast("string"), lit(" "),
+          substring(md5(col("text")), 1, 8)))
+      Cleanse.dropBoilerplateLines(
+          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
+          "doc_id", "page", minDocs = 5L)
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights: hashed-bigram distribution match of each
     // document against the lang == 'en' target slice
     "q_dsir" -> ((s, dir) => {

@@ -162,4 +162,54 @@ object Cleanse {
       .join(broadcast(bl), col("__domain") === col("__blocked_domain"), "left_anti")
       .drop("__domain")
   }
+
+  /** Corpus-frequency boilerplate line removal — CCNet's first cleaning
+    * step (Wenzek et al. 2020 §4.1 dedup lines across shards): a line
+    * whose normalized form appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (cookie banners, navigation, footers) and
+    * is dropped from EVERY document; remaining lines are rebuilt in their
+    * original order. Differs from [[graft.operators.Dedup.paragraphDedup]]
+    * (which keeps the FIRST occurrence): boilerplate has no canonical
+    * owner, so every copy goes.
+    *
+    * Returns (id, text_clean, n_lines_kept, n_lines_dropped); documents
+    * whose every line is boilerplate survive with empty text.
+    *
+    * Scale: line doc-frequency is a two-step aggregate — (hash, id)
+    * dedup (map-side combine absorbs within-doc repeats) then a count per
+    * hash — never a countDistinct expand. The drop is a left_anti join on
+    * the line hash against the (small: lines crossing `minDocs` docs)
+    * boilerplate set, AQE-broadcast when it fits. The rebuild is the
+    * array_sort-struct groupBy(id) pattern of paragraphDedup — one
+    * shuffle at document grain, no window.
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs would drop every line")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("__h", xxhash64(TextAnalysis.normalize(col("line"))))
+    val boiler = lines.select("__h", "id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__h")
+    val rebuilt = lines.join(boiler, Seq("__h"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("idx"), col("line")))).as("__ls"))
+      .select(col("id"),
+        concat_ws("\n", transform(col("__ls"), l => l.getField("line")))
+          .as("text_clean"),
+        size(col("__ls")).as("n_lines_kept"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
+          .as("__n0"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines_kept"), lit(0)).as("n_lines_kept"),
+        (col("__n0") - coalesce(col("n_lines_kept"), lit(0)))
+          .as("n_lines_dropped"))
+  }
 }

@@ -142,4 +142,48 @@ object Diagnostics {
     df.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("partition_id")
+
+  /** Filter-funnel audit: for an ordered sequence of named keep-predicates
+    * (the shape of every curation pipeline — C4 rules, quality floors,
+    * language gates), report per stage how many documents entered,
+    * survived, and were dropped — the "where did my corpus go" table every
+    * filtering run publishes (cf. RefinedWeb Fig. 2's funnel).
+    *
+    * Returns (stage, name, n_in, n_kept, n_dropped) with stage 0-indexed
+    * in application order; a document must pass every earlier stage to be
+    * counted as entering a later one (sequential semantics, matching an
+    * actual chained .filter pipeline).
+    *
+    * Scale: ONE full-scan aggregate regardless of stage count — each
+    * stage's survivor count is a conditional sum over the conjunction of
+    * predicates so far, all computed in the same map pass (no per-stage
+    * scan, no shuffle beyond the single-row final aggregate); the
+    * per-stage rows are exploded from that one row on the driver side of
+    * the plan. Counts are integers — engine-exact.
+    */
+  def filterFunnel(df: DataFrame,
+                   stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    // survivors-so-far: conjunction of predicates 0..i (null-safe: a null
+    // predicate result does not survive, matching .filter semantics)
+    val surviving = stages
+      .scanLeft(lit(true)) { case (acc, (_, p)) => acc && coalesce(p, lit(false)) }
+      .tail
+    val aggs = count(lit(1)).as("__n_total") +:
+      surviving.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__s$i")
+      }
+    val keptArr = array(stages.indices.map(i => col(s"__s$i")): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n_total"),
+        posexplode(keptArr).as(Seq("stage", "n_kept")),
+        keptArr.as("__ks"))
+      .select(col("stage").cast("int").as("stage"),
+        element_at(array(stages.map(s => lit(s._1)): _*), col("stage") + 1)
+          .as("name"),
+        when(col("stage") === 0, col("__n_total"))
+          .otherwise(element_at(col("__ks"), col("stage"))).as("n_in"),
+        col("n_kept"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+  }
 }

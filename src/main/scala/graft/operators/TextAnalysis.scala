@@ -373,6 +373,64 @@ object TextAnalysis {
           log(lit(1.0) / (col("__N") + col("__V"))))).as("mean_lp"))
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * 2020 §4.3): score every document by its mean unigram log-prob under
+    * a model trained on the reference slice `train` (CCNet scores with a
+    * Wikipedia-trained KenLM; the add-one-smoothed unigram analog keeps
+    * the score deterministic and engine-reproducible), then split each
+    * language at the 1/3 and 2/3 quantiles of the per-document score:
+    * head = the most fluent third (highest mean_lp = lowest perplexity),
+    * then middle, then tail.
+    *
+    * Returns (id, lang, n_toks, mean_lp, bucket).
+    *
+    * Scale: the model is a train-slice vocabulary aggregate — no forced
+    * broadcast (AQE decides); scoring pre-aggregates to (id, token, cnt)
+    * grain as [[naiveBayesScore]]. The split is NOT a rank window (an
+    * ntile per language serializes each language into one sort task at
+    * corpus scale): boundaries are two numbers per language from one
+    * percentile aggregate over the scored frame — |languages| rows,
+    * broadcast back, bucket assignment by comparison. Scores are rounded
+    * to 6 decimals BEFORE the boundary computation/compare (the
+    * cross-engine rounding convention), so both engines bucket identical
+    * values.
+    */
+  def perplexityBuckets(df: DataFrame, train: DataFrame, idCol: String,
+                        textCol: String, langCol: String): DataFrame = {
+    val vocab = train
+      .select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val totals = broadcast(
+      vocab.agg(sum(col("tf")).as("__N"), count(lit(1)).as("__V")))
+    val model = vocab.crossJoin(totals)
+      .select(col("token"),
+        log((col("tf") + 1).cast("double") / (col("__N") + col("__V"))).as("lp"))
+    val scored = df
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("id", "token")
+      .agg(first(col("lang")).as("lang"), count(lit(1)).as("cnt"))
+      .join(model, Seq("token"), "left")
+      .crossJoin(totals)
+      .groupBy("id")
+      .agg(first(col("lang")).as("lang"),
+        sum(col("cnt")).as("n_toks"),
+        round(sum(col("cnt") * coalesce(col("lp"),
+            log(lit(1.0) / (col("__N") + col("__V"))))) / sum(col("cnt")), 6)
+          .as("mean_lp"))
+    val bounds = scored.groupBy("lang")
+      .agg(percentile(col("mean_lp"), lit(2.0 / 3)).as("__b_head"),
+        percentile(col("mean_lp"), lit(1.0 / 3)).as("__b_mid"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("mean_lp") > col("__b_head"), "head")
+          .when(col("mean_lp") > col("__b_mid"), "middle")
+          .otherwise("tail"))
+      .drop("__b_head", "__b_mid")
+  }
+
   /** Per-document mean bigram log-probability with stupid backoff
     * (Brants et al.): lp(w2|w1) = ln(c2(w1 w2)/c1(w1)) when the bigram was
     * seen in `train`, else ln(alpha * (c1(w2)+1)/(N+V)) — the CCNet-style

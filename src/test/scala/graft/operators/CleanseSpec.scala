@@ -140,4 +140,24 @@ class CleanseSpec extends SparkSpec {
       .select(Cleanse.canonicalizeUrl(col("url"))).as[String].collect().toSeq
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
+
+  test("dropBoilerplateLines drops corpus-frequent lines, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Cookie notice\nunique one\nmore one\nFooter Inc"),
+      (2L, "Cookie notice\nunique two\nFooter Inc"),
+      (3L, "cookie   NOTICE\nunique three"), // normalization-equal variant
+      (4L, "Cookie notice\nFooter Inc"), // all boilerplate -> empty
+      (5L, "solo five")
+    ).toDF("id", "text")
+    val out = Cleanse.dropBoilerplateLines(docs, "id", "text", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // "Cookie notice" in docs 1,2,3 (normalized) -> df 3 >= 3: dropped;
+    // "Footer Inc" in docs 1,2,4 -> df 3: dropped; unique lines kept in order
+    assert(out(1L) == (("unique one\nmore one", 2, 2)))
+    assert(out(2L) == (("unique two", 1, 2)))
+    assert(out(3L) == (("unique three", 1, 1)))
+    assert(out(4L) == (("", 0, 2))) // survives with empty text
+    assert(out(5L) == (("solo five", 1, 0)))
+  }
 }

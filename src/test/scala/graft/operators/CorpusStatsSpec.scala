@@ -94,4 +94,23 @@ class CorpusStatsSpec extends SparkSpec {
     // the outlier scores below the two prototypes of its group
     assert(out(5L) < out(3L) && math.abs(out(3L) - out(4L)) < 1e-12)
   }
+
+  test("perplexityBuckets splits each language into fluency terciles") {
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("id", "text").withColumn("lang", lit("en"))
+    // doc i carries i unseen tokens of 9 -> mean_lp strictly decreasing
+    // with i -> docs 1-3 head, 4-6 middle, 7-9 tail
+    val trainToks = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota")
+    val docs = (1 to 9).map { i =>
+      val toks = trainToks.drop(i) ++ (1 to i).map(j => s"unseen${i}_$j")
+      (i.toLong, toks.mkString(" "), "en")
+    }.toDF("id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs, train, "id", "text", "lang")
+      .select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1 to 3).foreach(i => assert(out(i.toLong) == "head", s"doc $i: ${out(i.toLong)}"))
+    (4 to 6).foreach(i => assert(out(i.toLong) == "middle", s"doc $i: ${out(i.toLong)}"))
+    (7 to 9).foreach(i => assert(out(i.toLong) == "tail", s"doc $i: ${out(i.toLong)}"))
+  }
 }

@@ -261,4 +261,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(stats.map(_._2).sum == 100L)
     assert(stats.length <= 7)
   }
+
+  test("filterFunnel counts sequential survivors per stage") {
+    val df = Seq(
+      (1L, 10), (2L, 20), (3L, 30), (4L, 40), (5L, 50), (6L, -1)
+    ).toDF("id", "v")
+    val out = Diagnostics.filterFunnel(df, Seq(
+        "positive" -> (col("v") > 0),       // keeps 5 of 6
+        "min20" -> (col("v") >= 20),        // keeps 4 of 5
+        "even_tens" -> (col("v") % 20 === 0))) // keeps 2 of 4 (20, 40)
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, "positive", 6L, 5L, 1L),
+      (1, "min20", 5L, 4L, 1L),
+      (2, "even_tens", 4L, 2L, 2L)))
+    // a stage predicate evaluating to null counts as dropped
+    val withNull = Seq((1L, Some(1)), (2L, None)).toDF("id", "v")
+    val n = Diagnostics.filterFunnel(withNull, Seq("nn" -> (col("v") > 0)))
+      .collect()(0)
+    assert(n.getLong(2) == 2L && n.getLong(3) == 1L)
+  }
 }
