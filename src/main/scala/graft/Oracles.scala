@@ -1291,6 +1291,16 @@ object Oracles {
          |FROM sc JOIN b ON sc.lang = b.lang
          |ORDER BY doc_id""".stripMargin,
 
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT token FROM tok WHERE len(token) > 0),
+         |n AS (SELECT count(*) AS N FROM t2),
+         |c AS (SELECT token AS item, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM t2 GROUP BY 1)
+         |SELECT item, n_rows, CAST(N AS BIGINT) AS n_total FROM c, n
+         |WHERE n_rows * 1000000 >= N * 5000 ORDER BY item""".stripMargin,
+
     "q_filter_funnel" ->
       """WITH a AS (SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,

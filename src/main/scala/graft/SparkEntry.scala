@@ -1003,6 +1003,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Heavy hitters over the token stream: Misra-Gries candidate sketch
+    // (bounded, mergeable) -> exact recount of candidates -> >= 0.5%
+    // threshold; output identical to a full groupBy HAVING (the oracle).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(TextAnalysis.normalize(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+      Diagnostics.heavyHitters(toks, "token", minFracPpm = 5000L,
+          sketchK = 1024)
+        .orderBy("item")
+    }),
+
     // Filter-funnel audit: sequential per-stage in/kept/dropped counts for
     // a 4-stage curation chain — all-integer, engine-exact.
     "q_filter_funnel" -> ((s, dir) => {

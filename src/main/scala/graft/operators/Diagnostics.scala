@@ -143,6 +143,45 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("partition_id")
 
+  /** Exact corpus heavy hitters by the sketch-then-recount pattern: a
+    * Misra–Gries pass produces a bounded candidate set (every item with
+    * frequency > N/(sketchK+1) is guaranteed present — any merge order),
+    * then a second pass recounts ONLY the candidates exactly and applies
+    * the threshold. Output (item, n_rows, n_total) for every item with
+    * count * 1e6 >= N * minFracPpm — identical to a full groupBy-count
+    * HAVING, which is the oracle. All-integer: engine-exact.
+    *
+    * Scale: a plain groupBy-count over a web-scale key space (URLs,
+    * tokens) shuffles one row per distinct key per partition; here the
+    * first pass shuffles fixed sketchK-counter buffers (mergeable,
+    * map-side combined) and the second shuffles only rows matching the
+    * <= sketchK broadcast candidates. The require() pins the recall
+    * guarantee: sketchK+1 >= 1e6/minFracPpm.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, minFracPpm: Long,
+                   sketchK: Int = 4096): DataFrame = {
+    require(minFracPpm >= 1 && minFracPpm <= 1000000L,
+      s"minFracPpm $minFracPpm out of (0, 1e6]")
+    require((sketchK + 1).toLong * minFracPpm >= 1000000L,
+      s"sketchK=$sketchK cannot guarantee recall at $minFracPpm ppm: " +
+        s"need sketchK+1 >= ${1000000L / minFracPpm}")
+    import org.apache.spark.sql.graft.{ColumnBridge, MisraGriesAgg}
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val sketch = ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(col("item")), sketchK)
+        .toAggregateExpression())
+    val cands = items
+      .agg(sketch.as("__s"), count(lit(1)).as("__n"))
+      .select(explode(col("__s")).as("__e"), col("__n"))
+      .select(col("__e.item").as("item"), col("__n"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_rows"), first(col("__n")).as("__n"))
+      .filter(col("n_rows") * 1000000L >= col("__n") * minFracPpm)
+      .select(col("item"), col("n_rows"), col("__n").as("n_total"))
+  }
+
   /** Filter-funnel audit: for an ordered sequence of named keep-predicates
     * (the shape of every curation pipeline — C4 rules, quality floors,
     * language gates), report per stage how many documents entered,

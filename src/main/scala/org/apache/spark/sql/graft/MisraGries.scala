@@ -1,0 +1,143 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters summary buffer: at most k (item, count)
+  * counters. The guarantee (Misra & Gries 1982; merge per Agarwal et al.
+  * 2012 "Mergeable Summaries"): after any sequence of updates and merges
+  * over N total items, every item with true frequency > N/(k+1) is
+  * present, and each stored count is an UNDER-estimate by at most
+  * N/(k+1). The summary is what makes heavy-hitter detection cheap at
+  * corpus scale: the shuffle carries k-counter buffers instead of the
+  * full key space.
+  */
+private[graft] final class MgBuf(val k: Int) {
+  val counts = new java.util.HashMap[UTF8String, Long](k * 2)
+
+  def update(item: UTF8String): Unit = {
+    val cur = counts.get(item)
+    if (cur != 0L) counts.put(item, cur + 1L)
+    else if (counts.size < k) counts.put(item.clone(), 1L)
+    else decrementAll(1L)
+  }
+
+  /** Subtract `by` from every counter, dropping non-positive ones — the
+    * MG decrement step (each decrement "cancels" one occurrence of k+1
+    * distinct items, which is what bounds the undercount by N/(k+1)).
+    */
+  private def decrementAll(by: Long): Unit = {
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  /** Mergeable-summaries combine: sum counts, then if over capacity
+    * subtract the (k+1)-th largest count from everything and drop the
+    * non-positive remainder — the result is a valid MG summary of the
+    * concatenated streams.
+    */
+  def merge(other: MgBuf): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      counts.put(if (cur == 0L) e.getKey.clone() else e.getKey, cur + e.getValue)
+    }
+    if (counts.size > k) {
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      decrementAll(vals(vals.length - k - 1)) // (k+1)-th largest
+    }
+  }
+}
+
+/** `mg_sketch(item, k)`: Misra–Gries heavy-hitter candidates as
+  * array<struct<item string, count_lb bigint>> sorted by descending
+  * count_lb then item (deterministic presentation; the COUNTS are
+  * merge-order-dependent lower bounds — callers needing exact counts
+  * recount the candidate set, see Diagnostics.heavyHitters).
+  */
+case class MisraGriesAgg(
+    item: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgBuf] {
+  require(k >= 1, s"mg_sketch needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(item)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count_lb", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_sketch"
+
+  override def createAggregationBuffer(): MgBuf = new MgBuf(k)
+
+  override def update(buf: MgBuf, input: InternalRow): MgBuf = {
+    val v = item.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(buf: MgBuf, other: MgBuf): MgBuf = { buf.merge(other); buf }
+
+  override def eval(buf: MgBuf): Any = {
+    val entries = new Array[(UTF8String, Long)](buf.counts.size)
+    var i = 0
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortWith { case ((ia, ca), (ib, cb)) =>
+      ca > cb || (ca == cb && ia.compareTo(ib) < 0)
+    }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      new GenericInternalRow(Array[Any](item, c))
+    })
+  }
+
+  override def serialize(buf: MgBuf): Array[Byte] = {
+    var bytes = 4
+    val it = buf.counts.keySet().iterator()
+    while (it.hasNext) bytes += 12 + it.next().numBytes()
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.counts.size)
+    val eit = buf.counts.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      val kb = e.getKey.getBytes
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MgBuf(k)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt); bb.get(kb)
+      buf.counts.put(UTF8String.fromBytes(kb), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0))
+}

@@ -72,6 +72,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ccnet_buckets buckets via aggregates, not a per-language rank window") {
+    // the design claim in TextAnalysis.perplexityBuckets: tercile
+    // boundaries come from a percentile aggregate + broadcast compare; an
+    // ntile window would serialize each language into ONE sort task
+    val plan = SparkEntry.queries("q_ccnet_buckets")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, windows.mkString("\n"))
+  }
+
+  test("q_filter_funnel scans the corpus exactly once for all stages") {
+    // the design claim in Diagnostics.filterFunnel: every stage's survivor
+    // count is a conditional sum in ONE map pass — adding stages must not
+    // add scans
+    val scans = SparkEntry.queries("q_filter_funnel")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {

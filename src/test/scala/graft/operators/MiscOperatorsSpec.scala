@@ -283,4 +283,23 @@ class MiscOperatorsSpec extends SparkSpec {
       .collect()(0)
     assert(n.getLong(2) == 2L && n.getLong(3) == 1L)
   }
+
+  test("heavyHitters equals the exact groupBy result under a tiny sketch") {
+    // Zipf-ish stream: item i appears 2^(12-i) times -> heavy tail plus
+    // a long flat tail of singletons to force Misra-Gries evictions
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 8).flatMap(i => Seq.fill(1 << (12 - i))(s"hot$i")) ++
+      (1 to 3000).map(i => s"tail${rng.nextInt(100000)}_$i")
+    val df = rng.shuffle(rows).toDF("item")
+    val total = rows.length.toLong
+    // threshold 2% with the SMALLEST k the guarantee allows (k+1 >= 50)
+    val got = Diagnostics.heavyHitters(df, "item", minFracPpm = 20000L,
+        sketchK = 49)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .filter { case (_, c) => c * 1000000L >= total * 20000L }
+      .map { case (k, c) => (k, c, total) }.toSet
+    assert(got == exact, s"got ${got.size}, exact ${exact.size}")
+    assert(exact.nonEmpty && exact.size >= 4) // the test actually tests something
+  }
 }
