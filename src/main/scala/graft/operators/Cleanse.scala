@@ -186,16 +186,22 @@ object Cleanse {
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                            minDocs: Long = 5L): DataFrame = {
     require(minDocs >= 2, s"minDocs $minDocs would drop every line")
+    // 96-bit composite line key (xxhash64 + murmur3), the substringDedup
+    // rationale: at ~10^11 distinct corpus lines the 64-bit birthday bound
+    // is a few hundred wrongly-merged line classes — and a collision with
+    // a frequent line would wrongly DELETE an innocent line everywhere;
+    // at 96 bits the expectation is ~0.
     val lines = df
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .filter(length(trim(col("line"))) > 0)
       .withColumn("__h", xxhash64(TextAnalysis.normalize(col("line"))))
-    val boiler = lines.select("__h", "id").distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .withColumn("__h2", hash(TextAnalysis.normalize(col("line"))))
+    val boiler = lines.select("__h", "__h2", "id").distinct()
+      .groupBy("__h", "__h2").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("__h")
-    val rebuilt = lines.join(boiler, Seq("__h"), "left_anti")
+      .select("__h", "__h2")
+    val rebuilt = lines.join(boiler, Seq("__h", "__h2"), "left_anti")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("idx"), col("line")))).as("__ls"))
       .select(col("id"),
@@ -203,8 +209,10 @@ object Cleanse {
           .as("text_clean"),
         size(col("__ls")).as("n_lines_kept"))
     df.select(col(idCol).as("id"),
-        size(filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
-          .as("__n0"))
+        // coalesce: null text splits to null -> null size; count 0 lines
+        coalesce(
+          size(filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)),
+          lit(0)).as("__n0"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

@@ -210,7 +210,8 @@ object Diagnostics {
       .tail
     val aggs = count(lit(1)).as("__n_total") +:
       surviving.zipWithIndex.map { case (c, i) =>
-        sum(when(c, 1L).otherwise(0L)).as(s"__s$i")
+        // coalesce: sum over an EMPTY frame is null, the funnel row is 0
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__s$i")
       }
     val keptArr = array(stages.indices.map(i => col(s"__s$i")): _*)
     df.agg(aggs.head, aggs.tail: _*)
