@@ -99,10 +99,22 @@ object FunctionRegistration {
         UnicodeNormalize(exprs.head, exprs(1).eval().toString)
       })
 
+  /** `mg_sketch(item, k)` aggregate -> Misra-Gries heavy-hitter candidates
+    * as array<struct<item, count_lb>> (counts are merge-order-dependent
+    * lower bounds; recount candidates for exact figures).
+    */
+  val mgSketchDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"mg_sketch expects 2 arguments, got ${exprs.length}")
+        MisraGriesAgg(exprs.head, litLong(exprs(1), "mg_sketch").toInt)
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
-      kllQuantileDescription, unicodeNormalizeDescription)
+      kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

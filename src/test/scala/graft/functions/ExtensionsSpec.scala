@@ -32,6 +32,13 @@ class ExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT simhash_sig(h) AS s FROM VALUES (5L) t(h)")
       .collect().head.getLong(0)
     assert(sh == 5L) // bits 0 and 2 positive, all other sums are -1
+    // mg_sketch: capacity 2 over a 3-heavy stream keeps the two hitters
+    val mg = spark.sql(
+      """SELECT mg_sketch(x, 2) AS s FROM VALUES
+        |('a'),('a'),('a'),('b'),('b'),('c') t(x)""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.map(_.getString(0)).contains("a"))
+    assert(mg.forall(r => r.getLong(1) <= 3L)) // counts are lower bounds
   }
 
   test("RewriteHofDot swaps the interpreted HOF pattern for the native kernel") {
