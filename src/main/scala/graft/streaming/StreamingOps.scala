@@ -172,6 +172,27 @@ object StreamingOps {
       graft.operators.TextAnalysis.fingerprint(col(textCol))))
   }
 
+  /** Windowed heavy-hitter monitoring on a stream: per tumbling window,
+    * the Misra–Gries candidate summary (top domains, hot tokens, abusive
+    * IPs) plus the window row count. The MG buffer is fixed-size mergeable
+    * state (k counters per window group, ~KB), so per-window state never
+    * grows with item cardinality — the property that keeps an unbounded
+    * key space safe in a state store; windows close at the watermark.
+    * Counts in the summary are lower bounds (see MisraGriesAgg); recount
+    * candidates downstream when exact figures matter.
+    */
+  def topItemsPerWindow(stream: DataFrame, tsCol: String, itemCol: String,
+                        duration: String, k: Int = 256,
+                        watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, MisraGriesAgg}
+    val sketch = ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(col(itemCol).cast("string")), k)
+        .toAggregateExpression())
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration))
+      .agg(sketch.as("top_items"), count(lit(1)).as("n_rows"))
+  }
+
   /** Streaming BPE tokenization: apply a PRE-TRAINED merge model (learned
     * offline by graft.functions.Bpe.train on the standing corpus) to a live
     * document stream — encoding is a stateless row-local projection, so the

@@ -284,6 +284,37 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(n.getLong(2) == 2L && n.getLong(3) == 1L)
   }
 
+  test("property: MG summary keeps every item above N/(k+1) at any split") {
+    // the Misra-Gries recall guarantee under MERGING (Agarwal et al.
+    // 2012) is the backbone of heavyHitters' candidate pass: simulate
+    // arbitrary partitionings by repartitioning the same stream different
+    // ways and assert the guarantee each time. Seeded => deterministic.
+    val rng = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val k = 10 + rng.nextInt(30)
+      val rows = (1 to 6).flatMap(i => Seq.fill(300 / i)(s"h$i")) ++
+        (1 to 1500).map(i => s"t${rng.nextInt(50000)}_$i")
+      val n = rows.length.toLong
+      val exact = rows.groupBy(identity).map { case (it, v) => it -> v.size.toLong }
+      val mustKeep = exact.filter { case (_, c) => c > n / (k + 1) }.keySet
+      val df = rng.shuffle(rows).toDF("item").repartition(1 + rng.nextInt(16))
+      import org.apache.spark.sql.graft.{ColumnBridge, MisraGriesAgg}
+      val sketch = ColumnBridge.column(
+        MisraGriesAgg(ColumnBridge.expression(col("item")), k)
+          .toAggregateExpression())
+      val got = df.agg(sketch.as("s")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mustKeep.foreach { it =>
+        assert(got.contains(it), s"trial $trial k=$k: lost heavy item $it")
+        // count is a lower bound, within N/(k+1) of truth
+        assert(got(it) <= exact(it) && got(it) >= exact(it) - n / (k + 1),
+          s"trial $trial k=$k: count bound violated for $it")
+      }
+      assert(got.size <= k)
+    }
+  }
+
   test("heavyHitters equals the exact groupBy result under a tiny sketch") {
     // Zipf-ish stream: item i appears 2^(12-i) times -> heavy tail plus
     // a long flat tail of singletons to force Misra-Gries evictions

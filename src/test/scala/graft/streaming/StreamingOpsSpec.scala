@@ -46,6 +46,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((3.0, 2L), (10.0, 1L)))
   }
 
+  test("topItemsPerWindow surfaces the window's heavy items with MG state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamingOps.topItemsPerWindow(input.toDF().toDF("ts", "item"),
+      "ts", "item", "10 minutes", k = 4)
+    val q = agg.writeStream.format("memory").queryName("topitems_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(
+      Seq.fill(5)((ts("2020-01-01 00:01:00"), "hot")) ++
+        Seq.fill(2)((ts("2020-01-01 00:02:00"), "warm")) ++
+        Seq((ts("2020-01-01 00:03:00"), "cold")) ++
+        Seq((ts("2020-01-01 00:11:00"), "next")): _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select window.start, top_items, n_rows from topitems_out order by window.start")
+      .collect()
+    q.stop()
+    assert(got.length == 2)
+    val first = got(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(first.head.getString(0) == "hot" && first.head.getLong(1) == 5L)
+    assert(got(0).getLong(2) == 8L)
+    assert(got(1).getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)) == Seq("next"))
+  }
+
   test("dedupExact keeps the first arrival per fingerprint on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
