@@ -857,6 +857,18 @@ object Oracles {
         |  round(sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])), 6) AS nrm
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    "q_random_project" ->
+      """WITH m AS (SELECT k,
+        |    [CASE WHEN ('0x' || substr(md5(k || '-' || j || '-42'), 1, 2))::INTEGER % 2 = 1
+        |       THEN -1 / sqrt(8) ELSE 1 / sqrt(8) END FOR j IN range(0, 64)] AS row
+        |  FROM range(0, 8) t(k)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |    list_sum([v[j + 1] * row[j + 1] FOR j IN range(0, 64)]) AS x
+        |  FROM e, m)
+        |SELECT vec_id, k, round(x, 6) AS x FROM p
+        |ORDER BY vec_id, k""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -1188,6 +1188,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // JL signed random projection 64 -> 8: deterministic sign matrix from
+    // the portable multiplicative mix, bit-reproducible in the oracle
+    "q_random_project" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProject(col("embedding"), 64, 8))
+            .as(Seq("k", "x")))
+        .select(col("vec_id"), col("k"), round(col("x"), 6).as("x"))
+        .orderBy("vec_id", "k")
+    }),
+
     "q_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))

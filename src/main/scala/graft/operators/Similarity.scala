@@ -306,6 +306,43 @@ object Similarity {
     cosine(a.getField("q").cast("array<double>"),
       b.getField("q").cast("array<double>"))
 
+  /** Johnson–Lindenstrauss signed random projection: reduce an embedding
+    * to `outDim` dimensions with a deterministic ±1/sqrt(outDim) matrix —
+    * the standard ANN/clustering pre-step that cuts downstream pair-scoring
+    * cost by inDim/outDim while preserving pairwise distances within
+    * (1 ± eps) w.h.p. (Achlioptas 2003 sign matrices).
+    *
+    * The matrix is never materialized as data: row k is a driver-side
+    * literal of signs from the parity of md5("k-j-seed")'s first byte —
+    * md5 is the repo's engine-portable hash ([[Sampling.hashBucket]]
+    * rationale), so an oracle can recompute the projection exactly, and
+    * md5 bytes are iid-ish (a cheaper multiplicative mix was tried first
+    * and FAILED JL: bit-16 of x*2654435761 over sequential x is a
+    * quasi-periodic Sturmian word, making matrix rows correlated shifts
+    * of each other — measured distortion 0.27-2.5x at dOut=32). Each
+    * output coordinate is one codegen'd [[VectorExprs.dot]] against the
+    * sign-row literal. Row-local: one map stage at any corpus size, no
+    * shuffle, no model table.
+    *
+    * `inDim` is explicit (the lshTopK precedent): literal sign rows are
+    * built at plan time, probing the data for dimensionality would cost a
+    * job.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+                    seed: Long = 42L): Column = {
+    require(inDim > 0 && outDim > 0, s"bad dims $inDim -> $outDim")
+    val scale = 1.0 / math.sqrt(outDim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = vec.cast("array<double>")
+    array((0 until outDim).map { k =>
+      val row = Array.tabulate(inDim) { j =>
+        val d = md.digest(s"$k-$j-$seed".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) -scale else scale
+      }
+      graft.functions.VectorExprs.dot(v, typedLit(row.toSeq))
+    }: _*)
+  }
+
   /** Prototypicality scoring: per-group embedding centroid (element-wise
     * mean) and each vector's cosine to its own group's centroid — the
     * SemDeDup-family pruning signal (keep prototypical examples, or drop

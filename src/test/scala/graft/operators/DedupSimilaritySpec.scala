@@ -327,4 +327,34 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (0 until 30).map(i => (2L * i, 2L * i + 1)).toSet)
   }
+
+  test("randomProject preserves pairwise distances within JL distortion") {
+    val rng = new scala.util.Random(11L)
+    val dIn = 64
+    val dOut = 32
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dIn)(rng.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    val proj = df.select(col("id"),
+        Similarity.randomProject(col("v"), dIn, dOut).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield dist(proj(i.toLong), proj(j.toLong)) /
+      dist(vecs(i)._2, vecs(j)._2)
+    // sign-matrix JL at dOut=32: every pair within loose distortion, the
+    // mean near 1 (the projection is norm-preserving in expectation)
+    assert(ratios.forall(r => r > 0.5 && r < 1.6),
+      s"worst ratios: ${ratios.min}, ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.1, s"mean distortion $mean")
+    // deterministic: same seed, same output
+    val again = df.select(col("id"),
+        Similarity.randomProject(col("v"), dIn, dOut).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(vecs.indices.forall(i =>
+      proj(i.toLong).sameElements(again(i.toLong))))
+  }
 }
