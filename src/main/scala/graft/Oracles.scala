@@ -540,6 +540,19 @@ object Oracles {
         |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      END AS w
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS n
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, w FROM d, t
+        |WHERE w > 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < round(0.3 * n * w / sw * 10000)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_chunk" ->
       """SELECT doc_id, u.s AS chunk_start, length(u.c) AS chunk_len, u.c AS chunk
         |FROM (SELECT doc_id,

@@ -1090,6 +1090,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token-proportional weighted sampling: keep probability ~ token
+    // count, expected total calibrated to 30% — integer weights so the
+    // calibration sum is engine-exact
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(docs, "doc_id", "w", targetFrac = 0.3)
+        .select(col("doc_id"), col("w"))
+        .orderBy("doc_id")
+    }),
+
     // exactly-k-per-stratum deterministic sample: bounded top-k-by-md5
     // aggregate (no per-stratum window sort)
     "q_topk_stratum" -> ((s, dir) => {

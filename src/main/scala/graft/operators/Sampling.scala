@@ -62,6 +62,32 @@ object Sampling {
       }
   }
 
+  /** Deterministic weighted (importance) sampling — the selection step
+    * importance weights feed (DSIR resampling, token-budget selection
+    * proportional to document length): keep each row with probability
+    * min(1, c * w) where c = targetFrac * n / sum(w) calibrates the
+    * EXPECTED kept count to targetFrac of the input. The keep bit is the
+    * row's md5 bucket vs its own scaled weight — reproducible across
+    * runs, engines, and repartitioning (the md5 contract above), unlike
+    * rand()-thinning which moves rows between retries.
+    *
+    * Scale: the calibration constant is ONE tiny aggregate broadcast
+    * back; the filter itself is row-local. Null/negative weights drop.
+    * For engine-exact reproduction use integer-valued weights (token
+    * counts, byte sizes): their sum is exact in any accumulation order.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, s"bad targetFrac $targetFrac")
+    val tot = broadcast(df
+      .filter(col(weightCol) > 0)
+      .agg(sum(col(weightCol)).as("__sw"), count(lit(1)).as("__n")))
+    df.crossJoin(tot)
+      .filter(col(weightCol) > 0 && hashBucket(col(idCol)) <
+        round(lit(targetFrac) * col("__n") * col(weightCol) / col("__sw") * 10000))
+      .drop("__sw", "__n")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: the k rows of each stratum
     * with the smallest md5(id) — a fixed-size "reservoir" that is
     * reproducible across runs, engines, and repartitioning (same md5-key

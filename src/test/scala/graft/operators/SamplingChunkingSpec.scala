@@ -135,4 +135,33 @@ class SamplingChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
     assert(rows == Seq((1L, ""), (2L, "abc")))
   }
+
+  test("weightedSample calibrates to target and favors heavy rows") {
+    val rng = new scala.util.Random(3L)
+    val df = (1 to 2000).map(i => (i.toLong, 1L + rng.nextInt(100)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w", targetFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // expected kept count = 0.3 * n (sampling is by-weight but calibrated
+    // to row count); md5 uniformity puts the realization within a few %
+    assert(math.abs(kept.length - 600) < 90, s"kept ${kept.length}")
+    // heavier rows are kept at a higher RATE than light rows
+    val keptIds = kept.map(_._1).toSet
+    val weights = { val r = new scala.util.Random(3L)
+      (1 to 2000).map(i => i.toLong -> (1L + r.nextInt(100))).toMap }
+    val heavy = weights.filter(_._2 > 66).keySet
+    val light = weights.filter(_._2 <= 33).keySet
+    val heavyRate = heavy.count(keptIds).toDouble / heavy.size
+    val lightRate = light.count(keptIds).toDouble / light.size
+    assert(heavyRate > 2 * lightRate, s"heavy $heavyRate vs light $lightRate")
+    // reproducible: second run keeps the identical set
+    val again = Sampling.weightedSample(df, "id", "w", targetFrac = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+    // non-positive weights never survive
+    val withZero = Seq((1L, 0L), (2L, -5L), (3L, 100L)).toDF("id", "w")
+    val z = Sampling.weightedSample(withZero, "id", "w", 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(!z.contains(1L) && !z.contains(2L))
+  }
 }
