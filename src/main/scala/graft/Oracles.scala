@@ -1316,6 +1316,21 @@ object Oracles {
          |FROM sc JOIN b ON sc.lang = b.lang
          |ORDER BY doc_id""".stripMargin,
 
+    "q_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5($normText) AS fp_old
+         |  FROM documents WHERE doc_id < 400),
+         |nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 100),
+         |n2 AS (SELECT doc_id, md5($normText) AS fp_new FROM nw)
+         |SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n2.doc_id IS NULL THEN 'removed'
+         |       WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status,
+         |  fp_old, fp_new
+         |FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
          |  FROM documents),

@@ -1048,6 +1048,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus snapshot diff: old = ids 0-399, new = ids 100-499 with every
+    // 7th doc edited -> added/removed/changed/unchanged per id
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") < 400)
+      val newSnap = docs.filter(col("doc_id") >= 100)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"),
+          col("fp_old"), col("fp_new"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights: hashed-bigram distribution match of each
     // document against the lang == 'en' target slice
     "q_dsir" -> ((s, dir) => {

@@ -753,6 +753,34 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0)).as("n_paras_kept"))
   }
 
+  /** Corpus snapshot diff — the version-control primitive for curation
+    * runs: given an old and a new snapshot keyed by document id, classify
+    * every id as added (new only), removed (old only), changed (both,
+    * different normalized fingerprint), or unchanged. Returns
+    * (id, status, fp_old, fp_new) — feed to a groupBy(status).count()
+    * for the release-note rollup, or filter status != 'unchanged' for
+    * the incremental-processing frontier (only re-embed/re-score what
+    * actually changed).
+    *
+    * Scale: both sides reduce to (id, md5) before the join — the
+    * full-outer join shuffles 2 x 16-byte-ish rows per document, never
+    * text. Fingerprints use [[TextAnalysis.fingerprint]] (md5 of the
+    * normalized text), so formatting-only edits classify as unchanged —
+    * the semantics dedup already uses.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def fps(d: DataFrame, fpName: String) = d.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as(fpName))
+    fps(oldDf, "fp_old").join(fps(newDf, "fp_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
   /** Dedup impact report: a cluster-size histogram over [[exact]]'s
     * fingerprint clusters — for each duplicate-cluster size, how many
     * clusters, documents, removable duplicates, and removable bytes. The

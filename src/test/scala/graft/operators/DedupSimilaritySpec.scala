@@ -328,6 +328,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == (0 until 30).map(i => (2L * i, 2L * i + 1)).toSet)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by id") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "text")
+    val newSnap = Seq((2L, "BETA"), (3L, "gamma edited"), (4L, "delta"))
+      .toDF("id", "text")
+    val got = Dedup.corpusDiff(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", // case folds away
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("randomProject preserves pairwise distances within JL distortion") {
     val rng = new scala.util.Random(11L)
     val dIn = 64
