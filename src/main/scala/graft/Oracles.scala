@@ -463,6 +463,14 @@ object Oracles {
         |  count(*) AS n
         |FROM lineitem""".stripMargin,
 
+    "q_group_linreg" ->
+      """SELECT l_returnflag,
+        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
+        |  round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS r2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_corr_matrix" ->
       """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
         |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
@@ -1370,6 +1378,73 @@ object Oracles {
         |  1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
         |    + (CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS n_lines_dropped
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repeated_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t
+        |  FROM documents),
+        |ts AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
+        |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM ts),
+        |gm AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |    i -> {'idx': i - 1, 'g': array_to_string(list_slice(toks, i, i + 4), chr(1))})) AS v
+        |  FROM ts WHERE len(toks) >= 5),
+        |fi AS (SELECT doc_id, v.g AS g, min(v.idx) AS first_idx FROM gm GROUP BY 1, 2),
+        |dp AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT gm.doc_id AS doc_id, unnest(range(v.idx, v.idx + 5)) AS pos
+        |  FROM gm JOIN fi ON gm.doc_id = fi.doc_id AND v.g = fi.g
+        |  WHERE v.idx > fi.first_idx)),
+        |kp AS (SELECT tk.doc_id, u.pos AS pos, u.tok AS tok FROM tk
+        |  LEFT JOIN dp ON tk.doc_id = dp.doc_id AND u.pos = dp.pos
+        |  WHERE dp.doc_id IS NULL),
+        |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept FROM kp GROUP BY doc_id),
+        |n0 AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n0 FROM d)
+        |SELECT n0.doc_id AS doc_id, coalesce(rb.text_dedup, '') AS text_dedup,
+        |  coalesce(rb.n_tokens_kept, 0) AS n_tokens_kept,
+        |  n0.n0 - coalesce(rb.n_tokens_kept, 0) AS n_tokens_dropped
+        |FROM n0 LEFT JOIN rb ON n0.doc_id = rb.doc_id
+        |ORDER BY n0.doc_id""".stripMargin,
+
+    "q_psi" ->
+      """WITH rs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents WHERE doc_id % 2 = 0),
+        |cs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
+        |  WHERE doc_id % 2 = 1 AND source <> 'src0'),
+        |b AS (SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+        |    quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+        |    quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+        |    quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+        |    quantile_cont(score, 0.9)] AS bs FROM rs),
+        |rc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_ref FROM rs, b GROUP BY 1),
+        |cc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_cur FROM cs, b GROUP BY 1),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+        |j AS (SELECT bins.bin, coalesce(rc.n_ref, 0) AS n_ref, coalesce(cc.n_cur, 0) AS n_cur
+        |  FROM bins LEFT JOIN rc ON bins.bin = rc.bin LEFT JOIN cc ON bins.bin = cc.bin),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |    (n_ref + 0.5) / (tr + 5.0) AS p_ref, (n_cur + 0.5) / (tc + 5.0) AS p_cur
+        |  FROM j, tot)
+        |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
+        |FROM p ORDER BY bin""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 2000), ('src1', 5000), ('src2', 1000000)),
+        |tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS sw FROM d WHERE w > 0 GROUP BY 1),
+        |thr AS (SELECT t.source,
+        |    CASE WHEN b.budget IS NULL THEN CAST(10000 AS BIGINT)
+        |      ELSE CAST(round(least(1.0, b.budget::DOUBLE / sw) * 10000) AS BIGINT) END AS thr
+        |  FROM tot t LEFT JOIN b ON t.source = b.source)
+        |SELECT d.doc_id, d.source, d.w AS w, thr.thr
+        |FROM d JOIN thr ON d.source = thr.source
+        |WHERE d.w > 0 AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < thr.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_nb_quality" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token

@@ -878,6 +878,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // per-group closed-form OLS (per-turbine degradation fits at scale):
+    // the same covar/var aggregate expressions, grouped — the fit stays IN
+    // the plan, one shuffle at group grain, never a per-group driver loop
+    "q_group_linreg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(Fitting2.slope(col("l_quantity"), col("l_extendedprice")), 6).as("slope"),
+          round(Fitting2.intercept(col("l_quantity"), col("l_extendedprice")), 6).as("intercept"),
+          round(pow(corr(col("l_quantity"), col("l_extendedprice")), 2), 6).as("r2"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // asset-correlation analog (imputing.py:13-31): pivot series + pairwise corr
     "q_corr_matrix" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1046,6 +1060,38 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_clean"),
           col("n_lines_kept"), col("n_lines_dropped"))
         .orderBy("doc_id")
+    }),
+
+    // Within-doc repeated-span removal: pages synthesized with a guaranteed
+    // repeat (the doc's first 40 tokens re-appended), 5-gram rule — the
+    // appended copy is detected and dropped, the original kept
+    "q_repeated_spans" -> ((s, dir) => {
+      val page = concat_ws(" ", col("text"),
+        array_join(slice(split(col("text"), " "), 1, 40), " "))
+      Cleanse.removeRepeatedNgrams(
+          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
+          "doc_id", "page", n = 5)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_tokens_kept").cast("long").as("n_tokens_kept"),
+          col("n_tokens_dropped").cast("long").as("n_tokens_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // PSI drift between corpus snapshots: reference = even doc_ids, current
+    // = odd doc_ids with src0 removed (a planted source-mix shift); score =
+    // n_chars (integer column — boundary arithmetic engine-exact)
+    "q_psi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("n_chars").cast("double").as("score"))
+      val cur = docs.filter(col("doc_id") % 2 === 1 && col("source") =!= "src0")
+        .select(col("n_chars").cast("double").as("score"))
+      Diagnostics.psi(ref, cur, "score", bins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_contrib"), 6).as("psi_contrib"))
+        .orderBy("bin")
     }),
 
     // Corpus snapshot diff: old = ids 0-399, new = ids 100-499 with every
@@ -1451,6 +1497,18 @@ object SparkEntry {
       Sampling.mixtureToTarget(Tables.documents(s, dir), "lang", "doc_id",
           targets = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture: srcs 0/1 sampled down to token budgets, src2's
+    // budget exceeds its mass (keeps all), unbudgeted sources keep all
+    "q_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.tokenBudgetMixture(docs, "source", "doc_id", "w",
+          budgets = Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 1000000L))
+        .select(col("id").as("doc_id"), col("domain").as("source"),
+          col("weight").as("w"), col("thr"))
         .orderBy("doc_id")
     }),
 

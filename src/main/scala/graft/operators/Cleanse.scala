@@ -220,4 +220,62 @@ object Cleanse {
         (col("__n0") - coalesce(col("n_lines_kept"), lit(0)))
           .as("n_lines_dropped"))
   }
+
+  /** Within-document repeated-span removal (the in-doc counterpart of
+    * [[Dedup.substringDedup]]'s cross-doc span dedup): every occurrence of
+    * an n-token gram whose FIRST occurrence in the same document is earlier
+    * is a repeat; tokens covered by any repeat occurrence are dropped and
+    * the document rebuilt from the survivors in order. One deterministic
+    * pass — repeats are judged against the ORIGINAL token stream, not
+    * re-derived after each removal, so the output is a pure function of the
+    * input (reproducible across engines; the DuckDB oracle replays the same
+    * rule on gram strings).
+    *
+    * Scale shape: gram keys are 96-bit composite hashes (the
+    * dropBoilerplateLines rationale — a 64-bit collision would silently
+    * delete innocent spans), grouped by (id, gram) — document-local keys,
+    * so the shuffle is skew-bounded by document length, never by corpus
+    * frequency of a gram. The rebuild is the array_sort-struct groupBy(id)
+    * pattern: one shuffle at token grain, no window over a document.
+    * Returns (id, text_dedup, n_tokens_kept, n_tokens_dropped).
+    */
+  def removeRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    require(n >= 2, s"n $n: a 1-gram repeat rule would drop every repeated token")
+    val sep = "\u0001" // never appears in whitespace-split tokens
+    def toks(c: Column) = filter(split(c, "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val tokTbl = base.select(col("id"),
+      posexplode(toks(col("__text"))).as(Seq("pos", "tok")))
+    val grams = base.select(col("id"), toks(col("__text")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("id"), posexplode(
+          transform(sequence(lit(0), size(col("__ts")) - n), i =>
+            struct(
+              xxhash64(concat_ws(sep, slice(col("__ts"), i + 1, lit(n)))).as("h"),
+              hash(concat_ws(sep, slice(col("__ts"), i + 1, lit(n)))).as("h2"))))
+        .as(Seq("idx", "g")))
+      .select(col("id"), col("idx"), col("g.h").as("h"), col("g.h2").as("h2"))
+    val firsts = grams.groupBy("id", "h", "h2").agg(min("idx").as("__first"))
+    val dropped = grams.join(firsts, Seq("id", "h", "h2"))
+      .filter(col("idx") > col("__first"))
+      .select(col("id"),
+        explode(sequence(col("idx"), col("idx") + (n - 1))).as("pos"))
+      .distinct()
+    val rebuilt = tokTbl.join(dropped, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("__ks"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("__ks"), k => k.getField("tok")))
+          .as("text_dedup"),
+        size(col("__ks")).as("n_tokens_kept"))
+    base.select(col("id"),
+        coalesce(size(toks(col("__text"))), lit(0)).as("__n0"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_tokens_kept"), lit(0)).as("n_tokens_kept"),
+        (col("__n0") - coalesce(col("n_tokens_kept"), lit(0)))
+          .as("n_tokens_dropped"))
+  }
 }

@@ -226,4 +226,54 @@ object Diagnostics {
         col("n_kept"))
       .withColumn("n_dropped", col("n_in") - col("n_kept"))
   }
+
+  /** Population stability index of `scoreCol` between a reference corpus
+    * snapshot and a current one — the standard drift score over
+    * equal-frequency bins cut at the REFERENCE quantiles (so "no drift"
+    * puts ~1/bins of current mass in every bin). Per-bin output rather
+    * than one scalar: each bin's contribution is computed independently
+    * (no cross-bin float summation whose accumulation order an engine
+    * could permute), and the per-bin table is what a drift dashboard needs
+    * anyway; PSI total = sum(psi_contrib). Shares are Laplace-smoothed
+    * ((n + 0.5) / (N + bins/2)) so empty bins contribute a finite,
+    * deterministic penalty instead of an eps-tuned infinity.
+    *
+    * Scale shape: the boundary row is ONE exact-percentile aggregate over
+    * the reference (the KLL-sketch variant of qa.describe is the drop-in
+    * when the reference is 100 TB), broadcast to both sides; each side
+    * then bins row-locally (size(filter(...)) over the boundary array)
+    * and aggregates at bin grain — two scans, one ~bins-row shuffle.
+    * Returns (bin, lo-exclusive boundary semantics doc'd in the gate,
+    * n_ref, n_cur, p_ref, p_cur, psi_contrib).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bins $bins")
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = bcast(ref.agg(
+      array(qs.map(q => percentile(col(scoreCol), lit(q))): _*).as("__bs")))
+    // bin index in [0, bins): number of boundaries strictly below the value
+    def binned(df: DataFrame) = df
+      .filter(col(scoreCol).isNotNull)
+      .crossJoin(bounds)
+      .select(size(filter(col("__bs"),
+        b => col(scoreCol) > b)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val r = binned(ref).withColumnRenamed("n", "n_ref")
+    val c = binned(cur).withColumnRenamed("n", "n_cur")
+    val allBins = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val joined = bcast(allBins)
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = bcast(joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc")))
+    joined.crossJoin(tot)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 0.5) / (col("__tr") + bins * 0.5)).as("p_ref"),
+        ((col("n_cur") + 0.5) / (col("__tc") + bins * 0.5)).as("p_cur"))
+      .withColumn("psi_contrib",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+  }
 }

@@ -147,4 +147,42 @@ object Sampling {
     }
     stratifiedSample(df, stratumCol, idCol, rates, defaultRate = 0.0)
   }
+
+  /** Token-budget mixture execution: keep each budgeted domain's rows at
+    * rate min(1, budget_d / W_d), where W_d = sum of `weightCol` (token
+    * counts) over the domain — uniform row survival at rate r keeps
+    * r * W_d tokens in expectation, so each domain's EXPECTED kept token
+    * mass hits its budget (the "sample CommonCrawl down to 1 T tokens,
+    * keep all of Wikipedia" step of assembling a training mix). Domains
+    * without a budget keep everything; zero/negative-weight rows drop.
+    *
+    * Scale shape: the rate table is ONE groupBy aggregate at domain grain
+    * (a handful of rows), joined back — AQE broadcasts it; the survival
+    * bit is the md5-bucket contract above, so the corpus itself sees one
+    * broadcast-join filter, no second shuffle. Integer weights make W_d
+    * engine-exact in any accumulation order.
+    * Returns the surviving rows' (id, domain, weight, thr) — thr is the
+    * applied per-domain threshold in 1/10000ths for audit.
+    */
+  def tokenBudgetMixture(df: DataFrame, domainCol: String, idCol: String,
+                         weightCol: String,
+                         budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      s"bad budgets $budgets")
+    val bud = typedLit(budgets)
+    val thr = df.filter(col(weightCol) > 0)
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .select(col("__d"),
+        when(bud(col("__d")).isNull, lit(10000L))
+          .otherwise(round(least(lit(1.0),
+            bud(col("__d")).cast("double") / col("__w")) * 10000)
+            .cast("long")).as("thr"))
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"),
+        col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .join(thr, col("domain") === col("__d"))
+      .filter(hashBucket(col("id")) < col("thr"))
+      .select("id", "domain", "weight", "thr")
+  }
 }

@@ -127,6 +127,14 @@ object Ingest {
       .json(path)
   }
 
+  /** Read an ORC table ([[Sinks.writeOrc]]'s counterpart) — schema comes
+    * from the ORC footer (self-describing, no inference pass); column
+    * pruning and predicate pushdown work as for parquet (IngestSpec pins
+    * PushedFilters/ReadSchema on the round-trip).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Read a user CSV for `bucketName` and normalize it: rename user ->
     * canonical per the column map, coerce to the canonical bucket schema,
     * and accumulate (not throw) validation errors. Returns (df, errors).

@@ -128,4 +128,12 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
     shards
   }
+
+  /** ORC sink — Spark's other built-in columnar format, for exchanges with
+    * Hive-era consumers. Same splittable/columnar contracts as parquet:
+    * column pruning via the reader's ReadSchema, predicate pushdown via ORC
+    * search arguments (IngestSpec pins PushedFilters on the round-trip).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

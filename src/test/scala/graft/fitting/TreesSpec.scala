@@ -44,6 +44,9 @@ class TreesSpec extends AnyFunSuite {
     val rng = new scala.util.Random(5)
     val xs = Array.fill(300)(Array(rng.nextDouble() * 10))
     val ys = xs.map(x => x(0) * 2.0 + rng.nextGaussian())
+    // untimed warm-up: the first fits pay JIT compilation, which is not
+    // the thing this test bounds (it flaked at 144ms/fit on a cold JVM)
+    (0 until 10).foreach(_ => Trees.gbtFit(xs, ys, maxDepth = 3, rounds = 50))
     val t0 = System.nanoTime()
     (0 until 100).foreach(_ => Trees.gbtFit(xs, ys, maxDepth = 3, rounds = 50))
     val perFitMs = (System.nanoTime() - t0) / 1e6 / 100

@@ -160,4 +160,35 @@ class CleanseSpec extends SparkSpec {
     assert(out(4L) == (("", 0, 2))) // survives with empty text
     assert(out(5L) == (("solo five", 1, 0)))
   }
+
+  test("removeRepeatedNgrams drops later copies of in-doc repeated spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over x y z the quick brown fox jumps again"),
+      (2L, "no repeats in this short sentence at all"),
+      (3L, "tiny doc"), // < n tokens: untouched
+      (4L, "a a a a a a"), // degenerate all-same: first token survives
+      (5L, "p q r s t u p q r s t u p q r s t u"), // two later copies
+    ).toDF("id", "text")
+    val out = Cleanse.removeRepeatedNgrams(docs, "id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("the quick brown fox jumps over x y z again", 10, 5)))
+    assert(out(2L) == (("no repeats in this short sentence at all", 8, 0)))
+    assert(out(3L) == (("tiny doc", 2, 0)))
+    assert(out(4L) == (("a", 1, 5)))
+    // tokens 0-5 kept; every 5-gram starting at 1.. is a repeat of an
+    // earlier-shifted first occurrence, so 6..17 are all covered
+    assert(out(5L) == (("p q r s t u", 6, 12)))
+  }
+
+  test("removeRepeatedNgrams judges repeats on the original stream (one pass)") {
+    import spark.implicits._
+    // "a b c d e X a b c d e Y a b c d e": copies at 6 and 12 both repeat
+    // the gram at 0 -> positions 6-10 and 12-16 drop; X Y survive
+    val docs = Seq((1L, "a b c d e X a b c d e Y a b c d e")).toDF("id", "text")
+    val out = Cleanse.removeRepeatedNgrams(docs, "id", "text", n = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3))).head
+    assert(out == (("a b c d e X Y", 7, 10)))
+  }
 }

@@ -333,4 +333,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(got == exact, s"got ${got.size}, exact ${exact.size}")
     assert(exact.nonEmpty && exact.size >= 4) // the test actually tests something
   }
+
+  test("psi: zero on identical snapshots, large under a planted shift") {
+    val rng = new scala.util.Random(7L)
+    val ref = (1 to 2000).map(_ => rng.nextDouble() * 100).toDF("score")
+    val bins = 10
+    // identical snapshots: every bin's p_ref == p_cur -> contribution 0
+    val same = Diagnostics.psi(ref, ref, "score", bins)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(same.length == bins)
+    assert(same.map(_._2).sum == 2000L && same.map(_._3).sum == 2000L)
+    assert(same.forall { case (_, nr, nc, c) => nr == nc && math.abs(c) < 1e-12 })
+    // equal-frequency property: reference bins hold ~1/bins each
+    assert(same.forall { case (_, nr, _, _) => math.abs(nr - 200L) <= 1 })
+    // shifted current (everything above the reference max): all mass lands
+    // in the top bin, PSI total is large
+    val shifted = ref.select((col("score") + 1000).as("score"))
+    val drift = Diagnostics.psi(ref, shifted, "score", bins)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+    val top = drift.find(_._1 == bins - 1).get
+    assert(top._2 == 2000L)
+    assert(drift.map(_._3).sum > 1.0, s"psi ${drift.map(_._3).sum}")
+  }
 }

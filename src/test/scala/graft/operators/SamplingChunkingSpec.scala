@@ -164,4 +164,28 @@ class SamplingChunkingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!z.contains(1L) && !z.contains(2L))
   }
+
+  test("tokenBudgetMixture hits per-domain token budgets in expectation") {
+    val rng = new scala.util.Random(11L)
+    // three domains: big (≈200k tokens), small (≈20k), unbudgeted
+    val rows = (1 to 2000).map(i => (i.toLong, "big", 50L + rng.nextInt(100))) ++
+      (10001 to 10400).map(i => (i.toLong, "small", 30L + rng.nextInt(40))) ++
+      (20001 to 20100).map(i => (i.toLong, "free", 10L + rng.nextInt(10)))
+    val df = rows.toDF("id", "dom", "w")
+    val out = Sampling.tokenBudgetMixture(df, "dom", "id", "w",
+        budgets = Map("big" -> 50000L, "small" -> 1000000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDom = out.groupBy(_._2)
+    // budget >= mass and unbudgeted: every row kept at thr 10000
+    assert(byDom("small").length == 400 && byDom("small").forall(_._4 == 10000L))
+    assert(byDom("free").length == 100 && byDom("free").forall(_._4 == 10000L))
+    // budgeted big domain: kept token mass within 15% of the 50k budget
+    val keptTokens = byDom("big").map(_._3).sum.toDouble
+    assert(math.abs(keptTokens - 50000) < 7500, s"kept $keptTokens")
+    // reproducible
+    val again = Sampling.tokenBudgetMixture(df, "dom", "id", "w",
+        budgets = Map("big" -> 50000L, "small" -> 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_._1).toSet)
+  }
 }

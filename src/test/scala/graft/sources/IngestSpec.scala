@@ -136,6 +136,28 @@ class IngestSpec extends SparkSpec {
     assert(ranges.head._1 == 1L && ranges.last._2 == 20000L)
   }
 
+  test("ORC round-trip preserves values; filters push down to the ORC scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"doc$i", i % 7 == 0L))
+      .toDF("id", "name", "flag")
+    val out = Files.createTempDirectory("orc").toString + "/t"
+    Sinks.writeOrc(df, out)
+    val back = Ingest.readOrc(spark, out)
+    assert(back.count() == 5000L)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val got = back.filter(col("id") <= 3).orderBy("id")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == (1L to 3L).map(i => (i, s"doc$i", false)))
+    // predicate reaches the ORC reader as a pushed search argument, and the
+    // projection prunes to the selected columns only
+    val plan = back.filter(col("id") > 4990).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,4990)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
   test("ZOrder.interleave weaves bits; writeZOrdered bounds every dimension") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
