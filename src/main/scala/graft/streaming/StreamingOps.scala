@@ -193,6 +193,68 @@ object StreamingOps {
       .agg(sketch.as("top_items"), count(lit(1)).as("n_rows"))
   }
 
+  /** Reference distribution for [[driftPerWindow]]: equal-frequency bin
+    * boundaries at the reference's quantiles plus the reference's own
+    * Laplace-smoothed per-bin shares ((n + 0.5) / (N + bins/2), the
+    * [[graft.operators.Diagnostics.psi]] convention). Computed ONCE as a
+    * batch aggregate over the standing corpus; the returned arrays enter
+    * the streaming plan as literals, so the stream needs no join against
+    * the reference.
+    */
+  def referenceDistribution(ref: DataFrame, scoreCol: String,
+                            bins: Int = 10): (Seq[Double], Seq[Double]) = {
+    require(bins >= 2 && bins <= 1000, s"bad bins $bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val row = ref.filter(col(scoreCol).isNotNull)
+      .agg(array(qs.map(q => percentile(col(scoreCol), lit(q))): _*).as("bs"))
+      .head()
+    val bounds = row.getSeq[Double](0)
+    val binCol = size(filter(
+      array(bounds.map(lit): _*), b => col(scoreCol) > b))
+    val counts = ref.filter(col(scoreCol).isNotNull)
+      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val shares = (0 until bins)
+      .map(i => (counts.getOrElse(i, 0L) + 0.5) / (total + bins * 0.5))
+    (bounds, shares)
+  }
+
+  /** Per-window distribution-drift monitor: PSI of `scoreCol` in each
+    * event-time window against a STATIC reference distribution (from
+    * [[referenceDistribution]]) — the "did today's crawl stop looking like
+    * the corpus we trained on" alarm. Binning is row-local against literal
+    * boundaries and the per-window histogram is ONE windowed aggregate of
+    * `bins` conditional sums — fixed ~bins-counter state per window
+    * regardless of cardinality, watermark-bounded; the PSI arithmetic is a
+    * row-local fold over that single output row (no second shuffle, no
+    * cross-row float summation).
+    */
+  def driftPerWindow(stream: DataFrame, tsCol: String, scoreCol: String,
+                     refBounds: Seq[Double], refShares: Seq[Double],
+                     duration: String,
+                     watermark: String = "10 minutes"): DataFrame = {
+    require(refShares.length == refBounds.length + 1,
+      s"${refShares.length} shares need ${refShares.length - 1} boundaries")
+    require(refShares.forall(_ > 0), "reference shares must be smoothed > 0")
+    val bins = refShares.length
+    val binCol = size(filter(
+      array(refBounds.map(lit): _*), b => col(scoreCol) > b))
+    val counts = (0 until bins).map(i =>
+      sum(when(binCol === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = stream.withWatermark(tsCol, watermark)
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(window(col(tsCol), duration))
+      .agg(counts.head, counts.tail: _*)
+    val n = (0 until bins).map(i => col(s"__n$i")).reduce(_ + _)
+    val psi = (0 until bins).map { i =>
+      val p = (col(s"__n$i") + 0.5) / (n + bins * 0.5)
+      val q = lit(refShares(i))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    agged.select(col("window"), n.as("n_rows"), psi.as("psi"))
+  }
+
   /** Streaming BPE tokenization: apply a PRE-TRAINED merge model (learned
     * offline by graft.functions.Bpe.train on the standing corpus) to a live
     * document stream — encoding is a stateless row-local projection, so the

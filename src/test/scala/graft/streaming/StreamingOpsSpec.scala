@@ -285,4 +285,30 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(got == Seq((2L, 3.0), (1L, 5.0)))
   }
+
+  test("driftPerWindow: calm window scores near zero, shifted window alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform scores 1..1000
+    val ref = (1 to 1000).map(_.toDouble).toDF("score")
+    val (bounds, shares) = StreamingOps.referenceDistribution(ref, "score", bins = 10)
+    assert(bounds.length == 9 && shares.length == 10)
+    assert(shares.forall(s => math.abs(s - 0.1) < 0.01))
+    val input = MemoryStream[(Timestamp, Double)]
+    val drift = StreamingOps.driftPerWindow(input.toDF().toDF("ts", "score"),
+      "ts", "score", bounds, shares, "10 minutes")
+    val q = drift.writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Complete).start()
+    // window 1: same uniform distribution; window 2: everything above ref max
+    input.addData(
+      (1 to 500).map(i => (ts("2020-01-01 00:01:00"), i * 2.0)) ++
+        (1 to 500).map(i => (ts("2020-01-01 00:12:00"), 5000.0 + i)): _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select window.start, n_rows, psi from drift_out order by window.start")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(got.length == 2)
+    assert(got(0)._1 == 500L && got(0)._2 < 0.05, s"calm psi ${got(0)._2}")
+    assert(got(1)._1 == 500L && got(1)._2 > 1.0, s"drift psi ${got(1)._2}")
+  }
 }
