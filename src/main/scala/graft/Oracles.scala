@@ -1379,6 +1379,40 @@ object Oracles {
         |    + (CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS n_lines_dropped
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
+         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
+         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
+         |pd AS (SELECT token, doc_id,
+         |    array_to_string(list_sort(list(pos)), ',') AS positions
+         |  FROM t2 GROUP BY 1, 2),
+         |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY 1),
+         |cap AS (SELECT CAST(floor(0.78 * count(*)) AS BIGINT) AS maxdf FROM documents)
+         |SELECT pd.token, dfs.df, pd.doc_id, pd.positions
+         |FROM pd JOIN dfs ON pd.token = dfs.token, cap
+         |WHERE dfs.df <= cap.maxdf
+         |ORDER BY pd.token, pd.doc_id""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+         |m AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |sc AS (SELECT qt.doc_id,
+         |    sum(ln(1.0 + (st.N - m.df + 0.5) / (m.df + 0.5)) * (qt.tf * 2.2)
+         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+         |  FROM qt JOIN m ON qt.token = m.token JOIN dl ON qt.doc_id = dl.doc_id, st
+         |  GROUP BY qt.doc_id)
+         |SELECT d.doc_id, round(coalesce(sc.bm25, 0.0), 6) AS bm25
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_repeated_spans" ->
       """WITH d AS (SELECT doc_id,
         |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t

@@ -1218,6 +1218,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Positional inverted index, flattened for the gate (postings exploded,
+    // positions stringified). The df cap is SCALE-PROPORTIONAL (78% of the
+    // corpus) so the same gate exercises both kept and capped-out tokens at
+    // every sf.
+    "q_inverted_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxDf = math.floor(0.78 * docs.count()).toLong
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", maxDf = maxDf)
+        .select(col("token"), col("df"),
+          posexplode(col("postings")).as(Seq("k", "p")))
+        .select(col("token"), col("df"), col("p.id").as("doc_id"),
+          concat_ws(",", transform(col("p.positions"), x => x.cast("string")))
+            .as("positions"))
+        .orderBy("token", "doc_id")
+    }),
+
+    // Okapi BM25 bulk scoring against one query
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Score(Tables.documents(s, dir), "doc_id", "text",
+          query = "spark merge batch")
+        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup pairs within source blocks. The default
     // hot-shingle cap (1000) is active — no shingle reaches it at oracle
     // scale, so the result is unchanged, while a skewed corpus stays

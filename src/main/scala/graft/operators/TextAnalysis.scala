@@ -689,4 +689,78 @@ object TextAnalysis {
         col("kl_pm"), col("kl_qm"),
         ((col("kl_pm") + col("kl_qm")) / 2).as("jsd"))
   }
+
+  /** Positional inverted index: token -> sorted postings of (doc id,
+    * sorted in-doc positions) — the retrieval / exact-phrase-
+    * decontamination artifact. Tokens whose document frequency exceeds
+    * `maxDf` are EXCLUDED (a stop token's posting list is "the whole
+    * corpus": useless for lookup, and collecting it would concentrate the
+    * corpus into one aggregation key — the same skew-guard role
+    * maxBucketSize plays in the dedup banding paths; the df cap bounds
+    * every posting array).
+    *
+    * Scale shape: positions aggregate at (token, id) grain (bounded by one
+    * document), df at token grain (a count, not a collect), and only
+    * df-surviving tokens reach the posting-list collect. Shard the index
+    * by token range with [[graft.sources.Sinks.writeSharded]] for
+    * O(shards) lookup fan-out.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = 100000L): DataFrame = {
+    require(maxDf >= 1, s"bad maxDf $maxDf")
+    val perDoc = df.select(col(idCol).as("id"),
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val dfs = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    perDoc.join(dfs, Seq("token"))
+      .groupBy("token")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(struct(col("id"), col("positions"))))
+          .as("postings"))
+  }
+
+  /** Okapi BM25 relevance of every document to ONE query string (the
+    * retrieval scorer the inverted index serves; this is the scan-side
+    * form for bulk scoring/reranking). idf uses the standard
+    * ln(1 + (N - df + 0.5)/(df + 0.5)); tf saturates with k1 and length-
+    * normalizes with b against the mean document length.
+    *
+    * Scale shape: the per-term df/idf model is a vocabulary aggregate
+    * FILTERED to the query's terms (a handful of rows, broadcast-trivial);
+    * scoring pre-aggregates to (id, token, tf) grain before the model join
+    * — the naiveBayesScore lesson: never join at raw-occurrence grain on
+    * Zipf-hot keys. Documents sharing no query term score 0 via the final
+    * left join back to the corpus.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTokens = normalizeString(query).split(" ").toSeq.distinct
+      .filter(_.nonEmpty)
+    require(qTokens.nonEmpty, s"query '$query' normalizes to nothing")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val docLen = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(docLen.agg(count(lit(1)).as("__N"),
+      avg(col("dl")).as("__avgdl")))
+    val qtf = toks.filter(col("token").isInCollection(qTokens))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val model = qtf.select("token", "id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = qtf.join(model, Seq("token"))
+      .join(docLen, Seq("id"))
+      .crossJoin(stats)
+      .select(col("id"),
+        (log(lit(1.0) + (col("__N") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+          .as("term_score"))
+      .groupBy("id").agg(sum(col("term_score")).as("bm25"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
 }

@@ -113,4 +113,35 @@ class CorpusStatsSpec extends SparkSpec {
     (4 to 6).foreach(i => assert(out(i.toLong) == "middle", s"doc $i: ${out(i.toLong)}"))
     (7 to 9).foreach(i => assert(out(i.toLong) == "tail", s"doc $i: ${out(i.toLong)}"))
   }
+
+  test("invertedIndex: sorted positional postings, stop tokens capped out") {
+    val docs = Seq(
+      (1L, "alpha beta alpha the"),
+      (2L, "beta gamma the"),
+      (3L, "the alpha the")).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text", maxDf = 2L)
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getLong(0), p.getSeq[Int](1))))
+      }.toMap
+    // 'the' is in all 3 docs, df 3 > maxDf 2: excluded
+    assert(!idx.contains("the"))
+    assert(idx("alpha") == ((2L, Seq((1L, Seq(0, 2)), (3L, Seq(1))))))
+    assert(idx("beta") == ((2L, Seq((1L, Seq(1)), (2L, Seq(0))))))
+    assert(idx("gamma") == ((1L, Seq((2L, Seq(1))))))
+  }
+
+  test("bm25Score ranks by term relevance; term-free docs score zero") {
+    val docs = Seq(
+      (1L, "spark spark spark engine engine engine"), // heavy on one term
+      (2L, "spark once in a long long long long long document here now"),
+      (3L, "nothing relevant at all in this one")).toDF("id", "text")
+    val got = TextAnalysis.bm25Score(docs, "id", "text", "spark")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 0.0)
+    assert(got(1L) > got(2L), s"${got(1L)} vs ${got(2L)}")
+    assert(got(2L) > 0.0)
+    // tf saturation: tripling tf must NOT triple the score (k1 caps it)
+    assert(got(1L) < 3 * got(2L))
+  }
 }
