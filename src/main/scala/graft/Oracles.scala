@@ -1413,6 +1413,57 @@ object Oracles {
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_diversity" ->
+      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  WHERE len(token) > 0 GROUP BY 1, 2),
+         |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_vocab,
+         |    sum(c * ln(c)) AS clnc, CAST(sum(c * c) AS BIGINT) AS c2
+         |  FROM c GROUP BY 1),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         |SELECT m.source, d.n_docs, m.n_tokens, m.n_vocab,
+         |  round(ln(m.n_tokens) - clnc / m.n_tokens, 6) AS entropy,
+         |  round(CASE WHEN m.n_vocab > 1
+         |    THEN (ln(m.n_tokens) - clnc / m.n_tokens) / ln(m.n_vocab)
+         |    ELSE 0.0 END, 6) AS norm_entropy,
+         |  round(c2::DOUBLE / (m.n_tokens::DOUBLE * m.n_tokens), 6) AS simpson
+         |FROM m JOIN d ON m.source = d.source
+         |ORDER BY m.source""".stripMargin,
+
+    "q_zipf" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE len(token) > 0 GROUP BY 1),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS DOUBLE) AS rnk,
+         |    CAST(tf AS DOUBLE) AS tf FROM v
+         |  ORDER BY tf DESC, token LIMIT 25)
+         |SELECT
+         |  round(covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk)), 6) AS slope,
+         |  round(avg(ln(tf)) - (covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk))) * avg(ln(rnk)), 6) AS intercept,
+         |  round(pow(corr(ln(rnk), ln(tf)), 2), 6) AS r2,
+         |  count(*) AS n_top
+         |FROM r""".stripMargin,
+
+    "q_weighted_topk" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |    printf('%020.10f',
+        |      -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100000000) + 0.5)
+        |        / 100000000.0) / w)
+        |      || '|' || lpad(CAST(doc_id AS VARCHAR), 18, '0') AS keystr
+        |  FROM d WHERE w > 0),
+        |r AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY keystr) AS BIGINT) AS rnk
+        |  FROM k)
+        |SELECT stratum, id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY stratum, rnk""".stripMargin,
+
     "q_repeated_spans" ->
       """WITH d AS (SELECT doc_id,
         |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t

@@ -1242,6 +1242,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source lexical diversity (corpus-card row per slice)
+    "q_diversity" -> ((s, dir) => {
+      TextAnalysis.diversityByGroup(Tables.documents(s, dir), "source", "text")
+        .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
+          col("n_vocab"), round(col("entropy"), 6).as("entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy"),
+          round(col("simpson"), 6).as("simpson"))
+        .orderBy("source")
+    }),
+
+    // Zipf head fit over the 25 most frequent tokens (bounded top-k
+    // selection — no vocabulary rank window)
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "doc_id", "text",
+          topR = 25)
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n_top"))
+    }),
+
+    // deterministic weighted reservoir (Efraimidis-Spirakis, md5 uniforms):
+    // 5 rows per language, inclusion odds ~ token count
+    "q_weighted_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedTopKPerStratum(docs, "lang", "doc_id", "w", k = 5)
+        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("stratum", "rnk")
+    }),
+
     // n-gram Jaccard near-dup pairs within source blocks. The default
     // hot-shingle cap (1000) is active — no shingle reaches it at oracle
     // scale, so the result is unchanged, while a skewed corpus stays

@@ -164,6 +164,41 @@ object Sampling {
     * Returns the surviving rows' (id, domain, weight, thr) — thr is the
     * applied per-domain threshold in 1/10000ths for audit.
     */
+  /** Deterministic WEIGHTED exactly-k-per-stratum sample — Efraimidis-
+    * Spirakis reservoir sampling (each row's sort key e = -ln(u)/w; the k
+    * smallest e win, giving inclusion probability proportional to weight)
+    * with the md5 contract supplying u, so the draw is reproducible across
+    * runs, engines, and repartitioning — unlike rand()-reservoirs. The
+    * composite sort key appends the zero-padded id, so even a bucket
+    * collision between equal-weight rows cannot make the selection
+    * order-ambiguous (the DuckDB oracle replays the same composite string).
+    *
+    * Same scale shape as [[topKPerStratum]]: the bounded array-heap
+    * aggregate with map-side combining — no per-stratum sort window, a hot
+    * stratum costs one k-entry buffer per task.
+    * Returns (stratum, id, rnk) with rnk in 1..k by the weighted draw.
+    */
+  def weightedTopKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKStringsAgg}
+    def topk(key: Column, value: Column): Column = ColumnBridge.column(
+      TopKStringsAgg(ColumnBridge.expression(key),
+        ColumnBridge.expression(value), k).toAggregateExpression())
+    val buckets = 100000000L // 1e8: u granularity 1e-8
+    val u = (hashBucket(col(idCol), buckets.toInt).cast("double") + 0.5) / buckets
+    val e = -log(u) / col(weightCol).cast("double")
+    val key = concat(format_string("%020.10f", e), lit("|"),
+      lpad(col(idCol).cast("string"), 18, "0"))
+    df.filter(col(weightCol) > 0)
+      .select(col(stratumCol).as("stratum"), key.as("__key"),
+        col(idCol).cast("string").as("__id"))
+      .groupBy("stratum")
+      .agg(topk(col("__key"), col("__id")).as("__ids"))
+      .select(col("stratum"), posexplode(col("__ids")).as(Seq("__pos", "id")))
+      .select(col("stratum"), col("id"), (col("__pos") + 1).as("rnk"))
+  }
+
   def tokenBudgetMixture(df: DataFrame, domainCol: String, idCol: String,
                          weightCol: String,
                          budgets: Map[String, Long]): DataFrame = {

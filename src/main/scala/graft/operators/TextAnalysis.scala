@@ -690,6 +690,80 @@ object TextAnalysis {
         ((col("kl_pm") + col("kl_qm")) / 2).as("jsd"))
   }
 
+  /** Per-group lexical diversity — the corpus-card row for each source/
+    * domain/language slice: document and token counts, vocabulary size,
+    * Shannon entropy of the unigram distribution, entropy normalized by
+    * ln(V) (1.0 = uniform usage), and the Simpson concentration sum(p²)
+    * (probability two random tokens coincide — high = repetitive slice).
+    *
+    * Scale shape: one explode to (group, token) counts, then a group-grain
+    * aggregate of p-moments — vocabulary-bounded intermediate, no window,
+    * no distinct-expand (V comes from the same count rows).
+    */
+  def diversityByGroup(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("grp", "token")
+      .agg(count(lit(1)).as("c"))
+    val docs = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    // all p-moments in ONE vocabulary-grain aggregate; derivations row-local
+    counts.groupBy("grp")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(col("c") * log(col("c"))).as("__clnc"),
+        // decimal square: a hot token's long c² wraps past ~3e9 occurrences
+        sum(col("c").cast("decimal(19,0)") * col("c")).as("__c2"))
+      .withColumn("entropy",
+        log(col("n_tokens")) - col("__clnc") / col("n_tokens"))
+      .withColumn("norm_entropy",
+        when(col("n_vocab") > 1, col("entropy") / log(col("n_vocab")))
+          .otherwise(0.0))
+      .withColumn("simpson", // double square: long n_tokens² wraps at ~1e13 tokens
+        col("__c2").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens")))
+      .join(docs, Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        col("entropy"), col("norm_entropy"), col("simpson"))
+  }
+
+  /** Zipf head fit: rank the `topR` most frequent tokens (freq desc, token
+    * asc — selected with the bounded top-k aggregate, NOT a vocabulary
+    * rank window) and fit ln(freq) ~ ln(rank) by closed-form OLS. A
+    * healthy natural-language corpus slopes near -1; synthetic or
+    * template-generated text flattens. One row: (slope, intercept, r2,
+    * n_top).
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topR: Int = 100): DataFrame = {
+    require(topR > 1, s"need at least 2 ranks, got $topR")
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKStringsAgg}
+    def topk(key: Column, value: Column): Column = ColumnBridge.column(
+      TopKStringsAgg(ColumnBridge.expression(key),
+        ColumnBridge.expression(value), topR).toAggregateExpression())
+    val vocab = df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    // sort key (freq desc, token asc) as one fixed-width string
+    val key = concat(
+      format_string("%019d", lit(1000000000000000000L) - col("tf")),
+      lit("|"), col("token"))
+    val ranked = vocab
+      .select(key.as("__key"), col("tf").cast("string").as("__tf"))
+      .groupBy()
+      .agg(topk(col("__key"), col("__tf")).as("__tfs"))
+      .select(posexplode(col("__tfs")).as(Seq("__pos", "__tf")))
+      .select((col("__pos") + 1).cast("double").as("rnk"),
+        col("__tf").cast("double").as("tf"))
+    ranked.agg(
+      graft.Fitting2.slope(log(col("rnk")), log(col("tf"))).as("slope"),
+      graft.Fitting2.intercept(log(col("rnk")), log(col("tf"))).as("intercept"),
+      pow(corr(log(col("rnk")), log(col("tf"))), 2).as("r2"),
+      count(lit(1)).as("n_top"))
+  }
+
   /** Positional inverted index: token -> sorted postings of (doc id,
     * sorted in-doc positions) — the retrieval / exact-phrase-
     * decontamination artifact. Tokens whose document frequency exceeds

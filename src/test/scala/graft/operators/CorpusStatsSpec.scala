@@ -114,6 +114,39 @@ class CorpusStatsSpec extends SparkSpec {
     (7 to 9).foreach(i => assert(out(i.toLong) == "tail", s"doc $i: ${out(i.toLong)}"))
   }
 
+  test("diversityByGroup: entropy/simpson separate uniform from repetitive") {
+    val docs = Seq(
+      (1L, "u", "a b"), (2L, "u", "a b"),          // uniform 2-token slice
+      (3L, "r", "x x x x x x x y"),                // repetitive slice
+      (4L, "one", "z z z z")).toDF("id", "grp", "text")
+    val got = TextAnalysis.diversityByGroup(docs.select(col("grp"), col("text")),
+        "grp", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // uniform: N=4 (a a b b), V=2, H = ln2, norm 1.0, simpson 0.5
+    val (n, v, h, nh, sp) = got("u")
+    assert(n == 4L && v == 2L)
+    assert(math.abs(h - math.log(2)) < 1e-9 && math.abs(nh - 1.0) < 1e-9)
+    assert(math.abs(sp - 0.5) < 1e-9)
+    // repetitive slice: lower normalized entropy, higher simpson
+    assert(got("r")._4 < 0.8 && got("r")._5 > 0.7)
+    // single-token vocabulary: entropy 0, norm_entropy defined as 0
+    assert(got("one")._3 == 0.0 && got("one")._4 == 0.0 && got("one")._5 == 1.0)
+  }
+
+  test("zipfFit recovers the -1 slope of a planted Zipf head") {
+    // token ti appears floor(2000/i) times -> ln(tf) = ln 2000 - ln rank
+    val text = (1 to 30).flatMap(i => Seq.fill(2000 / i)(s"t${('a' + i).toChar}$i"))
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val row = TextAnalysis.zipfFit(df, "id", "text", topR = 20).head()
+    val (slope, r2, n) = (row.getDouble(0), row.getDouble(2), row.getLong(3))
+    assert(n == 20L)
+    assert(math.abs(slope + 1.0) < 0.05, s"slope $slope")
+    assert(r2 > 0.99, s"r2 $r2") // floor(2000/i) quantizes the tail slightly
+  }
+
   test("invertedIndex: sorted positional postings, stop tokens capped out") {
     val docs = Seq(
       (1L, "alpha beta alpha the"),

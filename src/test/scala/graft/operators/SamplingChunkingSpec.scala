@@ -165,6 +165,25 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(!z.contains(1L) && !z.contains(2L))
   }
 
+  test("weightedTopKPerStratum: exactly k, reproducible, weight-biased") {
+    val rows = (1 to 100).map(i => (i.toLong, "s", 100L)) ++   // heavy
+      (101 to 200).map(i => (i.toLong, "s", 1L)) ++            // light
+      (201 to 220).map(i => (i.toLong, "t", 5L))
+    val df = rows.toDF("id", "st", "w")
+    val got = Sampling.weightedTopKPerStratum(df, "st", "id", "w", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val s = got.filter(_._1 == "s")
+    assert(s.length == 10 && got.count(_._1 == "t") == 10)
+    assert(s.map(_._3).sorted.toSeq == (1 to 10))
+    // 100:1 weight odds: the winners are overwhelmingly heavy rows
+    val heavy = s.count(_._2.toLong <= 100)
+    assert(heavy >= 8, s"only $heavy/10 heavy winners")
+    // zero-weight rows never selected; the draw is reproducible
+    val again = Sampling.weightedTopKPerStratum(df, "st", "id", "w", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("tokenBudgetMixture hits per-domain token budgets in expectation") {
     val rng = new scala.util.Random(11L)
     // three domains: big (≈200k tokens), small (≈20k), unbudgeted
