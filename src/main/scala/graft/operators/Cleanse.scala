@@ -247,21 +247,24 @@ object Cleanse {
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     val tokTbl = base.select(col("id"),
       posexplode(toks(col("__text"))).as(Seq("pos", "tok")))
+    // chained transforms: the gram string concatenates ONCE, then hashes
+    // twice — a single transform computing both hashes would concat_ws the
+    // slice once per hash (the HOF-once rule)
+    val gramStrs = transform(sequence(lit(0), size(col("__ts")) - n),
+      i => concat_ws(sep, slice(col("__ts"), i + 1, lit(n))))
     val grams = base.select(col("id"), toks(col("__text")).as("__ts"))
       .filter(size(col("__ts")) >= n)
       .select(col("id"), posexplode(
-          transform(sequence(lit(0), size(col("__ts")) - n), i =>
-            struct(
-              xxhash64(concat_ws(sep, slice(col("__ts"), i + 1, lit(n)))).as("h"),
-              hash(concat_ws(sep, slice(col("__ts"), i + 1, lit(n)))).as("h2"))))
+          transform(gramStrs, g => struct(xxhash64(g).as("h"), hash(g).as("h2"))))
         .as(Seq("idx", "g")))
       .select(col("id"), col("idx"), col("g.h").as("h"), col("g.h2").as("h2"))
     val firsts = grams.groupBy("id", "h", "h2").agg(min("idx").as("__first"))
+    // no distinct on the overlapping spans: left_anti tests existence, so
+    // duplicate (id, pos) rows on the right are free
     val dropped = grams.join(firsts, Seq("id", "h", "h2"))
       .filter(col("idx") > col("__first"))
       .select(col("id"),
         explode(sequence(col("idx"), col("idx") + (n - 1))).as("pos"))
-      .distinct()
     val rebuilt = tokTbl.join(dropped, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("__ks"))
