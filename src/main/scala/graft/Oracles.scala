@@ -1413,6 +1413,19 @@ object Oracles {
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_phrase_search" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
+         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
+         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
+         |p0 AS (SELECT doc_id, pos FROM t2 WHERE token = 'table'),
+         |p1 AS (SELECT doc_id, pos - 1 AS pos FROM t2 WHERE token = 'hash'),
+         |m AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN p1 USING (doc_id, pos))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_diversity" ->
       s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array($normText, ' ')) AS token
          |  FROM documents),

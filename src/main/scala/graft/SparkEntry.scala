@@ -1242,6 +1242,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact-phrase search from the positional index (capless for the gate
+    // so the high-df phrase terms stay indexed)
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", "table hash",
+          maxDf = docs.count())
+        .select(col("id").as("doc_id"), col("n_matches"),
+          col("first_pos").cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    }),
+
     // per-source lexical diversity (corpus-card row per slice)
     "q_diversity" -> ((s, dir) => {
       TextAnalysis.diversityByGroup(Tables.documents(s, dir), "source", "text")

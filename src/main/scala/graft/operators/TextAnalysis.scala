@@ -796,6 +796,36 @@ object TextAnalysis {
           .as("postings"))
   }
 
+  /** Exact-phrase search FROM the positional index (no text rescan): the
+    * phrase's terms' postings join on (doc, aligned position) — term j's
+    * positions shifted by -j meet term 0's — so a match is a chain of
+    * equi-joins at (id, pos) grain, skew-safe and shuffle-planned, never a
+    * per-document scan loop. Returns (id, n_matches, first_pos) for
+    * documents containing the normalized phrase at least once.
+    *
+    * `maxDf` follows [[invertedIndex]]; a production caller phrase-
+    * searches content terms against a standing index (stop terms capped
+    * out), while tests/gates pass the corpus size for a capless index.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String, maxDf: Long = 100000L): DataFrame = {
+    val terms = normalizeString(phrase).split(" ").filter(_.nonEmpty)
+    require(terms.length >= 2, s"phrase '$phrase' needs >= 2 tokens")
+    val posTbl = invertedIndex(df, idCol, textCol, maxDf)
+      .filter(col("token").isInCollection(terms.distinct.toSeq))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.id").as("id"),
+        explode(col("p.positions")).as("pos"))
+    val start = posTbl.filter(col("token") === terms(0))
+      .select(col("id"), col("pos"))
+    val matched = terms.zipWithIndex.tail.foldLeft(start) { case (acc, (t, j)) =>
+      acc.join(posTbl.filter(col("token") === t)
+        .select(col("id"), (col("pos") - j).as("pos")), Seq("id", "pos"))
+    }
+    matched.groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+  }
+
   /** Okapi BM25 relevance of every document to ONE query string (the
     * retrieval scorer the inverted index serves; this is the scan-side
     * form for bulk scoring/reranking). idf uses the standard

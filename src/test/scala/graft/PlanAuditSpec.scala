@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     // aggregates: a vocabulary/bigram model table is a function of corpus
     // size, and a forced hint makes an impossible broadcast at 100 TB
     // where AQE would have degraded to a shuffle join
-    for (q <- Seq("q_unigram_lp", "q_bigram_lp", "q_tfidf_topk")) {
+    for (q <- Seq("q_unigram_lp", "q_bigram_lp", "q_tfidf_topk",
+        "q_inverted_index", "q_bm25", "q_phrase_search")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       plan.foreach {
         case j: Join =>

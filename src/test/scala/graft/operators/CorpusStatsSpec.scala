@@ -164,6 +164,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(idx("gamma") == ((1L, Seq((2L, Seq(1))))))
   }
 
+  test("phraseSearch finds aligned positions, counts overlapping matches") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b a" at 0 and 2 (overlapping)
+      (2L, "x a y b a"),       // terms present, never adjacent-aligned
+      (3L, "c a b a d")).toDF("id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "id", "text", "a b a", maxDf = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0)), 3L -> ((1L, 1))))
+  }
+
   test("bm25Score ranks by term relevance; term-free docs score zero") {
     val docs = Seq(
       (1L, "spark spark spark engine engine engine"), // heavy on one term
