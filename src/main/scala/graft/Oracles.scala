@@ -53,6 +53,35 @@ object Oracles {
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT CAST(0 AS INTEGER) AS step, 'view' AS name,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY step""".stripMargin,
+
+    "q_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS p FROM events),
+        |c AS (SELECT u, min(p) AS c FROM a GROUP BY 1)
+        |SELECT epoch_us(c.c) // 1000000 AS cohort_epoch,
+        |  date_diff('day', c.c, a.p) AS "offset",
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.u = c.u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_resample_day_sum" ->
       """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
         |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,

@@ -199,6 +199,32 @@ object SparkEntry {
     }),
 
     // ---- 2.4 resampling (aep.py:450 etc.) ----------------------------------
+    // sequenced conversion funnel (view -> click -> purchase, first-touch)
+    "q_funnel" -> ((s, dir) => {
+      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
+    // day-cohort retention matrix
+    "q_cohort" -> ((s, dir) => {
+      EventAnalytics.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+          bucket = "day")
+        .select(unix_timestamp(col("cohort")).as("cohort_epoch"),
+          col("offset"), col("n_active"))
+        .orderBy("cohort_epoch", "offset")
+    }),
+
+    // JSON property extraction from the props column (exact integer sums)
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("n_with_k"))
+        .orderBy("event_type")
+    }),
+
     "q_resample_day_sum" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))

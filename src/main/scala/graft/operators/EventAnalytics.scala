@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over (user, ts, type) fact tables: sequenced
+  * funnels and cohort retention — the product-analytics queries a clickstream
+  * warehouse runs daily, expressed as aggregate/join chains that hold at any
+  * user cardinality.
+  *
+  * Scale posture: every stage is an aggregate at user grain (the natural
+  * partition key) or a user-keyed equi-join — no per-user windows, no event
+  * sorting; a user's whole history never has to fit one task.
+  */
+object EventAnalytics {
+
+  /** Sequenced conversion funnel: how many users reach each step IN ORDER —
+    * step k counts users with an event of `steps(k)` strictly after their
+    * earliest qualifying time for step k-1 (first-touch attribution; re-
+    * orderings like purchase-before-view do NOT count, unlike a presence-
+    * only funnel). Returns one row per step: (step, name, n_users).
+    *
+    * Each stage is one filtered aggregate at user grain joined to the
+    * previous stage's (user, t) frontier — k steps = k passes over the
+    * (pruned) fact scan, no window, no event sort. The per-step outputs are
+    * single-row counts unioned on the driver side of the plan.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val frontiers = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
+        val ev = df.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        Some(prev match {
+          case None => ev.groupBy("__u").agg(min(col("__ts")).as("__t"))
+          case Some(p) => ev.join(p.withColumnRenamed("__t", "__tp"), Seq("__u"))
+            .filter(col("__ts") > col("__tp"))
+            .groupBy("__u").agg(min(col("__ts")).as("__t"))
+        })
+      }.flatten
+    val counts = frontiers.zip(steps).zipWithIndex.map {
+      case ((f, name), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(name).as("name"), col("n_users"))
+    }
+    counts.reduce(_ unionAll _)
+  }
+
+  /** Cohort retention: users bucketed by first-seen period (`bucket` is a
+    * date_trunc unit), then counted per (cohort, period offset) —
+    * the "how many of January's signups were still active in March" matrix.
+    * Returns (cohort, offset, n_active); offset 0 is the cohort period
+    * itself, so its n_active equals the cohort size.
+    *
+    * Two user-grain aggregates and one user-keyed join: (user, period)
+    * de-dups BEFORE the join (a power user's thousand events collapse to
+    * one row per period), and the retention matrix aggregate is at
+    * (cohort, offset) grain — weeks × weeks, tiny at any user count.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      bucket: String = "day"): DataFrame = {
+    val period = date_trunc(bucket, col(tsCol))
+    val active = df.select(col(userCol).as("__u"), period.as("__p")).distinct()
+    val cohort = active.groupBy("__u").agg(min(col("__p")).as("__c"))
+    val unit = bucket.toLowerCase match {
+      case "day" => "DAY"
+      case "week" => "WEEK"
+      case "month" => "MONTH"
+      case other => throw new IllegalArgumentException(s"bucket $other")
+    }
+    active.join(cohort, Seq("__u"))
+      .select(col("__u"), col("__c"),
+        timestamp_diff(unit, col("__c"), col("__p")).as("offset"))
+      .groupBy(col("__c").as("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

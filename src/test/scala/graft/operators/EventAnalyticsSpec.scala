@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel counts only in-sequence conversions (first-touch)") {
+    val ev = Seq(
+      // u1 converts in order: view 10:00 -> click 11:00 -> purchase 12:00
+      (1L, ts("2020-01-01 10:00:00"), "view"),
+      (1L, ts("2020-01-01 11:00:00"), "click"),
+      (1L, ts("2020-01-01 12:00:00"), "purchase"),
+      // u2 clicks BEFORE viewing: reaches view only
+      (2L, ts("2020-01-01 09:00:00"), "click"),
+      (2L, ts("2020-01-01 10:00:00"), "view"),
+      // u3 views and clicks, purchase precedes the click: stops at click
+      (3L, ts("2020-01-01 08:00:00"), "view"),
+      (3L, ts("2020-01-01 08:30:00"), "purchase"),
+      (3L, ts("2020-01-01 09:00:00"), "click"),
+      // u4 never views
+      (4L, ts("2020-01-01 10:00:00"), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("funnel first-touch: a later re-click cannot revive the sequence") {
+    // first qualifying click is at 11:00; purchase at 10:30 is before it,
+    // and a second click at 10:00... does not exist - purchase must follow
+    // the EARLIEST post-view click, not any click
+    val ev = Seq(
+      (1L, ts("2020-01-01 09:00:00"), "view"),
+      (1L, ts("2020-01-01 11:00:00"), "click"),
+      (1L, ts("2020-01-01 10:30:00"), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L, 0L))
+  }
+
+  test("cohortRetention builds the first-seen matrix; offset 0 = cohort size") {
+    val ev = Seq(
+      (1L, ts("2020-01-01 10:00:00")), (1L, ts("2020-01-02 10:00:00")),
+      (1L, ts("2020-01-03 10:00:00")),
+      (2L, ts("2020-01-01 15:00:00")), (2L, ts("2020-01-03 15:00:00")),
+      (3L, ts("2020-01-02 09:00:00")),
+      // many same-day events collapse to one active row
+      (3L, ts("2020-01-02 23:00:00")), (3L, ts("2020-01-02 23:30:00")),
+    ).toDF("user_id", "ts").withColumn("event_type", lit("e"))
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "ts", "day")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("c"),
+        col("offset"), col("n_active"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2020-01-01", 0L, 2L), // u1, u2
+      ("2020-01-01", 1L, 1L), // u1
+      ("2020-01-01", 2L, 2L), // u1, u2
+      ("2020-01-02", 0L, 1L), // u3
+    ))
+  }
+}
