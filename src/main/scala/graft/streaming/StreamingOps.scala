@@ -193,6 +193,64 @@ object StreamingOps {
       .agg(sketch.as("top_items"), count(lit(1)).as("n_rows"))
   }
 
+  /** Per-user funnel position carried between micro-batches: the next step
+    * awaited and the event-time frontier (micros) the next event must pass.
+    */
+  case class FunnelState(step: Int, frontierMicros: Long)
+
+  /** A step advance emitted by [[funnelStream]]. */
+  case class FunnelAdvance(user: Long, step: Int, name: String,
+                           ts: java.sql.Timestamp)
+
+  /** Streaming sequenced-funnel state machine — the custom-state frontier
+    * of the streaming surface (flatMapGroupsWithState; windowed aggregates
+    * can't express "remember WHERE each user is in a sequence"). Each user
+    * carries (next step, event-time frontier); an arriving event advances
+    * the funnel iff it is the awaited type and strictly after the
+    * frontier, emitting one FunnelAdvance row per advance (Append mode).
+    * Events inside a micro-batch are processed in event-time order, so
+    * in-batch disorder is absorbed; an event arriving in a LATER batch
+    * with an earlier timestamp is ignored (its step already advanced past)
+    * — the arrival-order caveat every stateful stream shares; the batch
+    * twin [[graft.operators.EventAnalytics.funnel]] is the retrospective
+    * truth.
+    *
+    * State is one (int, long) per user — fixed-size regardless of event
+    * volume — and lives in the state store partitioned by user: scale =
+    * user cardinality, never event rate.
+    */
+  def funnelStream(stream: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String,
+                   steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(userCol).cast("long").as("_1"),
+        col(tsCol).cast("timestamp").as("_2"), col(typeCol).as("_3"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, events, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          // event-time order within the batch (ties broken by type for
+          // determinism under shuffled arrival)
+          events.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach {
+            case (_, ts, typ) =>
+              val micros = ts.getTime * 1000L
+              if (st.step < steps.length && typ == steps(st.step) &&
+                  micros > st.frontierMicros) {
+                out += FunnelAdvance(user, st.step, steps(st.step), ts)
+                st = FunnelState(st.step + 1, micros)
+              }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Reference distribution for [[driftPerWindow]]: equal-frequency bin
     * boundaries at the reference's quantiles plus the reference's own
     * Laplace-smoothed per-bin shares ((n + 0.5) / (N + bins/2), the

@@ -286,6 +286,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((2L, 3.0), (1L, 5.0)))
   }
 
+  test("funnelStream advances per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.funnelStream(input.toDF().toDF("user", "ts", "typ"),
+      "user", "ts", "typ", Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: u1 views+clicks (delivered out of ts order within the
+    // batch); u2 clicks without viewing
+    input.addData(
+      (1L, ts("2020-01-01 11:00:00"), "click"),
+      (1L, ts("2020-01-01 10:00:00"), "view"),
+      (2L, ts("2020-01-01 10:00:00"), "click"))
+    q.processAllAvailable()
+    // batch 2: u1 purchases (state remembered across batches); u2 views
+    // then re-clicks BEFORE its view -> ignored; a stale u1 view too
+    input.addData(
+      (1L, ts("2020-01-01 12:00:00"), "purchase"),
+      (1L, ts("2020-01-01 09:00:00"), "view"), // before frontier: ignored
+      (2L, ts("2020-01-01 11:00:00"), "view"))
+    q.processAllAvailable()
+    val got = spark.sql("select user, step, name from funnel_out order by user, step")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    q.stop()
+    assert(got == Seq(
+      (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
+      (2L, 0, "view")))
+  }
+
   test("driftPerWindow: calm window scores near zero, shifted window alarms") {
     implicit val sqlCtx = spark.sqlContext
     // reference: uniform scores 1..1000
