@@ -1368,6 +1368,48 @@ object Oracles {
          |FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "q_scd2" ->
+      s"""WITH s1 AS (SELECT doc_id AS id, md5($normText) AS fp FROM documents),
+         |nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 100),
+         |s2 AS (SELECT doc_id AS id, md5($normText) AS fp FROM nw),
+         |j AS (SELECT s1.id AS id, s1.fp AS fp1, s2.fp AS fp2
+         |  FROM s1 LEFT JOIN s2 ON s1.id = s2.id)
+         |SELECT id AS doc_id, fp1 AS fp, CAST(1000 AS BIGINT) AS valid_from,
+         |  CAST(NULL AS BIGINT) AS valid_to FROM j WHERE fp2 = fp1
+         |UNION ALL
+         |SELECT id, fp1, 1000, 2000 FROM j WHERE fp2 IS NULL OR fp2 <> fp1
+         |UNION ALL
+         |SELECT id, fp2, 2000, NULL FROM j WHERE fp2 IS NOT NULL AND fp2 <> fp1
+         |ORDER BY doc_id, valid_from""".stripMargin,
+
+    "q_editdist" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, title FROM t0
+         |  UNION ALL SELECT doc_id + 10000000, source,
+         |    substr(title, 1, length(title) - 1) FROM t0),
+         |b AS (SELECT doc_id AS id, source AS block,
+         |    trim(regexp_replace(regexp_replace(lower(title), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS s
+         |  FROM t),
+         |b2 AS (SELECT id, block, s, length(s) AS len,
+         |    CAST(floor(length(s) / 3) AS BIGINT) AS band, substr(s, 1, 1) AS pfx
+         |  FROM b WHERE length(s) > 0),
+         |hot AS (SELECT block, pfx, band FROM b2 GROUP BY 1, 2, 3 HAVING count(*) > 5000),
+         |c AS (SELECT b2.* FROM b2 LEFT JOIN hot
+         |  ON b2.block = hot.block AND b2.pfx = hot.pfx AND b2.band = hot.band
+         |  WHERE hot.block IS NULL),
+         |r AS (SELECT id AS id_b, block, pfx, s AS s_b, len AS len_b,
+         |    unnest([band - 1, band, band + 1]) AS band FROM c),
+         |p AS (SELECT l.block, l.id AS id_a, r.id_b,
+         |    levenshtein(l.s, r.s_b) AS dist
+         |  FROM c l JOIN r ON l.block = r.block AND l.pfx = r.pfx AND l.band = r.band
+         |  WHERE l.id < r.id_b AND abs(l.len - r.len_b) <= 2)
+         |SELECT block, id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
+         |WHERE dist <= 2 ORDER BY block, id_a, id_b""".stripMargin,
+
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
          |  FROM documents),

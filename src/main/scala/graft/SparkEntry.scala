@@ -1135,6 +1135,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCD2 history: snapshot 1 (all docs) applied to empty history at
+    // t=1000, snapshot 2 (ids >= 100, every 7th edited) at t=2000 —
+    // removals close, edits close + reopen, unchanged stay open
+    "q_scd2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val empty = docs.select(col("doc_id").as("id"),
+          lit("").as("fp"), lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+        .filter(lit(false))
+      val h1 = Dedup.scd2Apply(empty, docs, "doc_id", "text", asOf = 1000L)
+      val snap2 = docs.filter(col("doc_id") >= 100)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+      Dedup.scd2Apply(h1, snap2, "doc_id", "text", asOf = 2000L)
+        .select(col("id").as("doc_id"), col("fp"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("doc_id", "valid_from")
+    }),
+
+    // blocked edit-distance near-dup pairs on 4-token titles within source;
+    // each doc gets a planted typo twin (last char dropped, id + 10^7) so
+    // the gate exercises real matches at every sf
+    "q_editdist" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("title"))
+      val twins = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        col("source"),
+        col("title").substr(lit(1), length(col("title")) - 1).as("title"))
+      Dedup.editDistancePairs(base.unionByName(twins), "doc_id", "title",
+          "source", maxDist = 2, prefixBlock = 1)
+        .select(col("block"), col("id_a"), col("id_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("block", "id_a", "id_b")
+    }),
+
     // DSIR importance weights: hashed-bigram distribution match of each
     // document against the lang == 'en' target slice
     "q_dsir" -> ((s, dir) => {

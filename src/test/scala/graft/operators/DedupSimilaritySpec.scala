@@ -368,4 +368,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(vecs.indices.forall(i =>
       proj(i.toLong).sameElements(again(i.toLong))))
   }
+
+  test("scd2Apply: removals close, edits close+reopen, history accumulates") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long, Option[Long])]
+      .toDF("id", "fp", "valid_from", "valid_to")
+    val snap1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val h1 = Dedup.scd2Apply(empty, snap1, "id", "text", asOf = 100L)
+    assert(h1.count() == 3 && h1.filter(col("valid_to").isNull).count() == 3)
+    // snapshot 2: id 1 unchanged, id 2 edited, id 3 removed, id 4 new
+    val snap2 = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta")).toDF("id", "text")
+    val h2 = Dedup.scd2Apply(h1, snap2, "id", "text", asOf = 200L)
+    val rows = h2.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(rows.map { case (id, _, vf, vt) => (id, vf, vt) } == Set(
+      (1L, 100L, None),        // unchanged: still open since 100
+      (2L, 100L, Some(200L)),  // edited: old row closed
+      (2L, 200L, None),        //         new row open
+      (3L, 100L, Some(200L)),  // removed: closed
+      (4L, 200L, None)))       // added: open
+    // a third application with the SAME snapshot is a no-op on open rows
+    val h3 = Dedup.scd2Apply(h2, snap2, "id", "text", asOf = 300L)
+    assert(h3.count() == h2.count())
+    assert(h3.filter(col("valid_to") === 300L).count() == 0)
+  }
+
+  test("editDistancePairs finds near-typo titles inside blocks") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "b1", "wind turbine report"),
+      (2L, "b1", "wind turbine reprot"),  // transposition = dist 2
+      (3L, "b1", "wind turbine report x"),// suffix = dist 2
+      (4L, "b1", "solar panel summary"),  // far
+      (5L, "b2", "wind turbine report"),  // same title, other block
+      (6L, "b1", "Wind  Turbine REPORT"), // normalizes to dist 0 vs id 1
+    ).toDF("id", "blk", "title")
+    val got = Dedup.editDistancePairs(rows, "id", "title", "blk", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      ("b1", 1L, 2L, 2), ("b1", 1L, 3L, 2), ("b1", 1L, 6L, 0),
+      ("b1", 2L, 6L, 2), ("b1", 3L, 6L, 2)))
+    // 2 vs 3: "reprot" vs "report x" = dist > 2 (absent); block b2 isolated
+  }
 }
