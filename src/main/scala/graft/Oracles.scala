@@ -53,6 +53,16 @@ object Oracles {
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    "q_interval_join" ->
+      """WITH r AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |w AS (SELECT day, day + INTERVAL 2 HOUR AS ws, day + INTERVAL 6 HOUR AS we FROM r),
+        |j AS (SELECT w.day AS day, e.user_id FROM events e
+        |  JOIN w ON e.ts >= w.ws AND e.ts <= w.we)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -199,6 +199,23 @@ object SparkEntry {
     }),
 
     // ---- 2.4 resampling (aep.py:450 etc.) ----------------------------------
+    // bucketized interval join: events inside daily 02:00-06:00 windows —
+    // an EQUI join on hour buckets + containment filter, never a
+    // BroadcastNestedLoop (PlanAuditSpec pins it)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ranges = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select(col("day"),
+          (col("day") + expr("INTERVAL 2 HOURS")).as("win_start"),
+          (col("day") + expr("INTERVAL 6 HOURS")).as("win_end"))
+      Timeseries.intervalJoin(ev, "ts", ranges, "win_start", "win_end",
+          bucketSeconds = 3600L)
+        .groupBy(unix_timestamp(col("day")).as("day_epoch"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day_epoch")
+    }),
+
     // sequenced conversion funnel (view -> click -> purchase, first-touch)
     "q_funnel" -> ((s, dir) => {
       EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",

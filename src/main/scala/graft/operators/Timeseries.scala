@@ -267,4 +267,35 @@ object Timeseries {
       .otherwise(yPrev + (yNext - yPrev) * (col(xCol) - xPrev) / (xNext - xPrev))
     df.withColumn(valueCol, interp)
   }
+
+  /** Bucketized interval join: attach every `ranges` row whose
+    * [startCol, endCol] interval (inclusive both ends) contains the
+    * point's timestamp — "which maintenance window / curtailment order /
+    * campaign was active at this event". A naive `ts BETWEEN start AND
+    * end` join has no equi-key, so Spark plans BroadcastNestedLoop (or a
+    * cartesian) — quadratic and broadcast-bound at scale. Here each range
+    * explodes into the `bucketSeconds` buckets it spans and each point
+    * buckets row-locally, making the join a plain shuffled EQUI join on
+    * (bucket) with a residual containment filter; a point meets a range
+    * in exactly one bucket, so no dedup pass is needed.
+    *
+    * Sizing: range explosion is ceil(span / bucketSeconds) rows per range
+    * — pick the bucket near the typical range span so ranges explode to
+    * ~1-2 buckets and points stay 1 row each. PlanAuditSpec pins the
+    * no-nested-loop claim on the gate plan.
+    */
+  def intervalJoin(points: DataFrame, tsCol: String,
+                   ranges: DataFrame, startCol: String, endCol: String,
+                   bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, s"bad bucketSeconds $bucketSeconds")
+    val pB = points.withColumn("__bkt",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    val rB = ranges
+      .withColumn("__bkt", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds),
+        floor(unix_timestamp(col(endCol)) / bucketSeconds))))
+    pB.join(rB, Seq("__bkt"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bkt")
+  }
 }

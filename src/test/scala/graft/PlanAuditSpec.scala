@@ -93,6 +93,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
   }
 
+  test("q_interval_join plans an equi join, never a nested-loop range join") {
+    // the design claim in Timeseries.intervalJoin: bucketization turns
+    // ts-BETWEEN-start-AND-end into a shuffled equi join; a naive range
+    // join plans BroadcastNestedLoop (broadcast-bound, quadratic work)
+    val plan = SparkEntry.queries("q_interval_join")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {

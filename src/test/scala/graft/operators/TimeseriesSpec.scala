@@ -89,4 +89,24 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("x").select("v").as[Double].collect().toSeq
     assert(got == Seq(0.0, 3.0, 6.0, 9.0, 9.0))
   }
+
+  test("intervalJoin: inclusive bounds, multi-bucket ranges, overlaps") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2020-01-01 02:00:00")), // == start: inclusive
+      (2L, ts("2020-01-01 03:30:00")), // interior, overlap zone
+      (3L, ts("2020-01-01 05:00:00")), // == end of A: inclusive
+      (4L, ts("2020-01-01 07:00:00")), // outside both
+    ).toDF("pid", "ts")
+    val ranges = Seq(
+      ("A", ts("2020-01-01 02:00:00"), ts("2020-01-01 05:00:00")),
+      ("B", ts("2020-01-01 03:00:00"), ts("2020-01-01 04:00:00")), // nested
+    ).toDF("name", "s", "e")
+    // bucket smaller than the spans: ranges explode to several buckets,
+    // and every (point, containing-range) pair must appear exactly once
+    val got = Timeseries.intervalJoin(points, "ts", ranges, "s", "e",
+        bucketSeconds = 1800L)
+      .select("pid", "name").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "A")))
+  }
 }
