@@ -929,6 +929,23 @@ object Oracles {
         |SELECT vec_id, k, round(x, 6) AS x FROM p
         |ORDER BY vec_id, k""".stripMargin,
 
+    "q_embed_cov" ->
+      """WITH q AS (SELECT
+        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
+        |     FOR i IN range(0, 64)] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 8)),
+        |prods AS (SELECT a.i AS i, b.i AS j, SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
+        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
+        |sums AS (SELECT a.i AS i, CAST(-1 AS BIGINT) AS j, SUM(q.v[a.i + 1]) AS sxy
+        |  FROM q, idx a GROUP BY 1, 2),
+        |cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q)
+        |SELECT i, j, sxy FROM prods
+        |UNION ALL SELECT i, j, sxy FROM sums
+        |UNION ALL SELECT i, j, sxy FROM cnt
+        |ORDER BY i, j""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

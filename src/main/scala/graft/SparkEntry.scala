@@ -1911,13 +1911,55 @@ object SparkEntry {
           + col("scale") * col("scale") * sqq, lit(0.0)) / size(col("v"))), 6).as("err"))
         .orderBy("vec_id")
     }),
+
+    // exact second-moment (Gram) stage behind PCA — ONE fixed-size aggregate
+    // regardless of row count (GramMatrixAgg). Input quantized to dyadic
+    // 1/256 via floor(x*256+0.5)/256 so every product/sum is exact in any
+    // accumulation order in BOTH engines (the round-5 integer-bucket
+    // convention, extended to vector moments). First 8 dims gated: 36
+    // product rows + 8 sum rows + the (-1,-1) count row.
+    "q_embed_cov" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", transform(col("embedding"),
+          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
+      Pca.momentRows(e, "v", 64)
+        .filter(col("i") < 8 && col("j") < 8)
+        .orderBy("i", "j")
+    }),
+
+    // PCA whitened projection — rows-only (driver-side Jacobi eigensolve is
+    // not SQL-expressible); PcaSpec pins eigensystem/variance/rotation
+    "q_pca_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Pca.fit(e, "v", 64, 8)
+      Pca.project(e, "v", model, whiten = true)
+        .select(col("vec_id") +: (0 until 8).map(j =>
+          round(element_at(col("pca"), j + 1), 5).as(s"pc${j + 1}")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // product-quantization ADC top-k — rows-only (sampled-Lloyd codebooks
+    // not SQL); PqSpec pins the ADC-distance identity and cluster recall
+    "q_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.pqTopK(e, q, "vec_id", "v", model, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dist"), 5).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
-  /** DuckDB oracles. Key set == queries key set minus the ten rows-only
+  /** DuckDB oracles. Key set == queries key set minus the rows-only
     * ops whose hash/centroid/merge/codec internals aren't oracle-expressible
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
     * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
-    * q_compress_ratio).
+    * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -120,7 +120,7 @@ object KMeansLite {
   /** Seeded bounded sample of the projected points, collected to the
     * driver. One count + one collect; never more than `cap` rows held.
     */
-  private def sampleRows(pts: DataFrame, cap: Int, seed: Long): Array[org.apache.spark.sql.Row] = {
+  private[graft] def sampleRows(pts: DataFrame, cap: Int, seed: Long): Array[org.apache.spark.sql.Row] = {
     val n = pts.count()
     require(n > 0, "kmeans: no input points")
     val sampled = if (n <= cap) pts

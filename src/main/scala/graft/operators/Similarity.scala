@@ -377,4 +377,110 @@ object Similarity {
         cosine(col(vecCol).cast("array<double>"), col("__cent")))
       .drop("__g", "__cent")
   }
+
+  // ---- product quantization (the ANN storage+compute compression path) -----
+
+  /** Per-subspace codebooks: codebooks(j)(c) is centroid c of subspace j. */
+  case class PqModel(dims: Int, m: Int, ksub: Int,
+                     codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dims / m
+  }
+
+  /** Train PQ codebooks (Jegou et al.: split each vector into `m` subvectors,
+    * k-means each subspace independently). ONE bounded driver sample serves
+    * all m fits — the same two-job sampled-Lloyd posture as
+    * [[graft.fitting.KMeansLite]], so training cost is independent of corpus
+    * size; the encode/search passes below see every row.
+    */
+  def pqTrain(df: DataFrame, vecCol: String, dims: Int, m: Int = 8,
+              ksub: Int = 16, maxIter: Int = 20, seed: Long = 42L,
+              sampleCap: Int = 200000): PqModel = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
+    val dsub = dims / m
+    val pts = df.select(col(vecCol).cast("array<double>").as("__v")).na.drop()
+    val sample = graft.fitting.KMeansLite.sampleRows(pts, sampleCap, seed)
+      .map(_.getSeq[Double](0).toArray)
+    val books = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      graft.fitting.KMeansLite.lloyd(sub, ksub, maxIter, seed + j, 1e-6)
+    }
+    PqModel(dims, m, ksub, books)
+  }
+
+  /** Append `codes` = array<int> of m codebook indices (nearest EUCLIDEAN
+    * centroid per subspace — PQ quantizes raw coordinates, unlike the
+    * cosine-space IVF assignment). The m subvectors are materialized once
+    * as columns so the per-centroid distance terms reference attributes,
+    * not re-sliced arrays; argmin over struct(dist, cid) literals is the
+    * same codegen'd `least()` shape as [[assignNearestCentroid]], with the
+    * per-subspace ||x||^2 term dropped (constant under the argmin).
+    */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+               outCol: String = "codes"): DataFrame = {
+    val dsub = model.dsub
+    val subs = df
+      .withColumn("__pqv", col(vecCol).cast("array<double>"))
+      .select(col("*") +: (0 until model.m).map(j =>
+        slice(col("__pqv"), j * dsub + 1, dsub).as(s"__sub$j")): _*)
+    val codes = (0 until model.m).map { j =>
+      least(model.codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val cn = c.map(x => x * x).sum
+        struct((lit(cn) - VectorExprs.dot(col(s"__sub$j"), typedlit(c.toSeq)) * 2.0).as("d"),
+          lit(ci).as("cid"))
+      }: _*).getField("cid")
+    }
+    subs.withColumn(outCol, array(codes: _*))
+      .drop("__pqv" +: (0 until model.m).map(j => s"__sub$j"): _*)
+  }
+
+  /** ADC (asymmetric distance) top-k: corpus rows carry only their m-byte
+    * codes; each query precomputes ONE m*ksub lookup table of exact
+    * squared distances from its subvectors to every codebook centroid, and
+    * each candidate then costs m table lookups instead of `dims` multiplies
+    * — with m=8 over 64 dims that is 8x less score compute and 32x less
+    * candidate memory traffic (8 bytes vs 256), the PQ scale story. The
+    * query side is the broadcast-small side (same contract as
+    * [[bruteForceTopK]]); the corpus streams, no corpus shuffle. Returns
+    * (query_id, neighbor_id, dist, rank) with dist the EXACT squared
+    * distance from the query to the candidate's reconstruction.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val dsub = model.dsub
+    val codes = FanOut(pqEncode(corpus, vecCol, model, "__codes"))
+      .select(col(idCol).as("neighbor_id"), col("__codes"))
+    // LUT entries ||q_j - c||^2 = ||q_j||^2 - 2 q_j.c + ||c||^2; subvectors
+    // and their norms are materialized columns, so every dot reads an
+    // attribute (the HOF/altitude rule — no per-entry re-slicing)
+    val qsubs = queries
+      .withColumn("__pqv", col(vecCol).cast("array<double>"))
+      .select(col(idCol).as("query_id") +: (0 until model.m).map(j =>
+        slice(col("__pqv"), j * dsub + 1, dsub).as(s"__sub$j")): _*)
+    val qnorms = qsubs.select(col("query_id") +:
+      ((0 until model.m).map(j => col(s"__sub$j")) ++
+       (0 until model.m).map(j =>
+         VectorExprs.dot(col(s"__sub$j"), col(s"__sub$j")).as(s"__n$j"))): _*)
+    val lut = array((for (j <- 0 until model.m; c <- 0 until model.ksub) yield {
+      val cb = model.codebooks(j)(c)
+      val cn = cb.map(x => x * x).sum
+      col(s"__n$j") - VectorExprs.dot(col(s"__sub$j"), typedlit(cb.toSeq)) * 2.0 + cn
+    }): _*)
+    val q = broadcast(qnorms.select(col("query_id"), lut.as("__lut")))
+    val dist = (0 until model.m).map(j =>
+      element_at(col("__lut"), lit(j * model.ksub) +
+        element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-dist).as("cosine"))
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
+      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("dist"),
+        col("rank"))
+  }
+
+  /** Driver-side reconstruction of a code row (test/debug surface). */
+  def pqDecode(model: PqModel, codes: Seq[Int]): Array[Double] = {
+    require(codes.length == model.m, s"expected ${model.m} codes, got ${codes.length}")
+    codes.zipWithIndex.flatMap { case (c, j) => model.codebooks(j)(c) }.toArray
+  }
 }

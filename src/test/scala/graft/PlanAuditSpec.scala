@@ -66,7 +66,7 @@ class PlanAuditSpec extends SparkSpec {
     // top-k rankings: the bounded TopKPairs aggregate, not a per-query
     // sort of the full scored candidate set
     for (q <- Seq("q_fingerprint_dedup", "q_cosine_topk", "q_lsh_topk",
-        "q_ivf_topk")) {
+        "q_ivf_topk", "q_pq_topk")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.isEmpty, s"$q plans a WindowExec:\n${windows.mkString("\n")}")
@@ -104,6 +104,19 @@ class PlanAuditSpec extends SparkSpec {
       case j: CartesianProductExec => j
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("q_embed_cov is one scan into one fixed-size moment aggregate") {
+    // the design claim in Pca/GramMatrixAgg: the distributed cost of a PCA
+    // fit is ONE pass over the vectors with ~17 KB of aggregate state —
+    // extra scans or windows would break that at 100 TB
+    val plan = SparkEntry.queries("q_embed_cov")(spark, dir)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, windows.mkString("\n"))
   }
 
   test("no gate query plans an unpartitioned window or a cartesian product") {

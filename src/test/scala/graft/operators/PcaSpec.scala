@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng(seed: Long) = new java.util.Random(seed)
+
+  /** 3-D data with known axes: x along (1,0,0) sd 3, y along (0,1,0) sd 1,
+    * z constant — eigenvalues ~ (9, 1, 0), components axis-aligned.
+    */
+  private def axisData(n: Int): Seq[(Long, Seq[Double])] = {
+    val r = rng(7L)
+    (0 until n).map { i =>
+      (i.toLong, Seq(3.0 * r.nextGaussian() + 5.0, r.nextGaussian() - 2.0, 4.0))
+    }
+  }
+
+  test("jacobiEigSym reproduces a known symmetric eigensystem") {
+    // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)/sqrt2) and 1
+    val (eig, vecs) = Pca.jacobiEigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = eig.indices.sortBy(i => -eig(i))
+    assert(math.abs(eig(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(eig(order(1)) - 1.0) < 1e-12)
+    val v0 = vecs(order(0))
+    assert(math.abs(math.abs(v0(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(v0(0) - v0(1)) < 1e-12) // same sign: along (1,1)
+  }
+
+  test("jacobiEigSym: V rows are orthonormal and reconstruct A") {
+    val r = rng(11L)
+    val d = 8
+    val b = Array.fill(d, d)(r.nextGaussian())
+    val a = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => b(i)(k) * b(j)(k)).sum) // SPD
+    val (eig, vecs) = Pca.jacobiEigSym(a)
+    for (i <- 0 until d; j <- 0 until d) {
+      val dotij = (0 until d).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      assert(math.abs(dotij - (if (i == j) 1.0 else 0.0)) < 1e-9, s"V not orthonormal at ($i,$j)")
+      val recon = (0 until d).map(k => vecs(k)(i) * eig(k) * vecs(k)(j)).sum
+      assert(math.abs(recon - a(i)(j)) < 1e-8 * (1 + math.abs(a(i)(j))), s"A recon off at ($i,$j)")
+    }
+  }
+
+  test("momentRows matches driver-computed sums exactly") {
+    val data = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, -1.0)), (3L, Seq(0.5, 4.0)))
+    val df = data.toDF("id", "v")
+    val rows = Pca.momentRows(df, "v", 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((-1L, -1L)) == 3.0)
+    assert(rows((0L, -1L)) == 4.5)
+    assert(rows((1L, -1L)) == 5.0)
+    assert(rows((0L, 0L)) == 1.0 + 9.0 + 0.25)
+    assert(rows((0L, 1L)) == 2.0 - 3.0 + 2.0)
+    assert(rows((1L, 1L)) == 4.0 + 1.0 + 16.0)
+    assert(rows.size == 1 + 2 + 3)
+  }
+
+  test("fit recovers axis-aligned structure; eigenvalues descend") {
+    val df = axisData(4000).toDF("id", "v")
+    val model = Pca.fit(df, "v", 3, 3)
+    assert(math.abs(model.mean(0) - 5.0) < 0.3)
+    assert(math.abs(model.mean(2) - 4.0) < 1e-9)
+    // top component along x, second along y, third degenerate
+    assert(model.eigenvalues(0) > model.eigenvalues(1))
+    assert(model.eigenvalues(1) > model.eigenvalues(2))
+    assert(math.abs(model.eigenvalues(0) - 9.0) < 1.5)
+    assert(math.abs(model.eigenvalues(1) - 1.0) < 0.3)
+    assert(math.abs(model.eigenvalues(2)) < 1e-9)
+    assert(math.abs(model.components(0)(0)) > 0.99)
+    assert(math.abs(model.components(1)(1)) > 0.99)
+    // sign convention: dominant coordinate positive
+    assert(model.components(0)(0) > 0 && model.components(1)(1) > 0)
+  }
+
+  test("projection variance equals eigenvalue; whitened variance is 1") {
+    val df = axisData(4000).toDF("id", "v").cache()
+    val model = Pca.fit(df, "v", 3, 2)
+    val proj = Pca.project(df, "v", model)
+    val stats = proj.select(
+      variance(element_at(col("pca"), 1)).as("v1"),
+      variance(element_at(col("pca"), 2)).as("v2")).collect()(0)
+    // population vs sample variance differ by n/(n-1) ~ 1.00025 here
+    assert(math.abs(stats.getDouble(0) - model.eigenvalues(0)) < 0.01 * model.eigenvalues(0) + 1e-6)
+    assert(math.abs(stats.getDouble(1) - model.eigenvalues(1)) < 0.01 * model.eigenvalues(1) + 1e-6)
+    val white = Pca.project(df, "v", model, whiten = true)
+    val ws = white.select(
+      variance(element_at(col("pca"), 1)).as("w1"),
+      variance(element_at(col("pca"), 2)).as("w2")).collect()(0)
+    assert(math.abs(ws.getDouble(0) - 1.0) < 0.01)
+    assert(math.abs(ws.getDouble(1) - 1.0) < 0.01)
+    df.unpersist()
+  }
+
+  test("full-k projection preserves pairwise distance (rotation only)") {
+    val df = axisData(50).toDF("id", "v")
+    val model = Pca.fit(df, "v", 3, 3)
+    val proj = Pca.project(df, "v", model).orderBy("id")
+      .select("id", "v", "pca").collect()
+    val a = proj(0); val b = proj(1)
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val dOrig = d2(a.getSeq[Double](1), b.getSeq[Double](1))
+    val dProj = d2(a.getSeq[Double](2), b.getSeq[Double](2))
+    assert(math.abs(dOrig - dProj) < 1e-9 * (1 + dOrig))
+  }
+
+  test("gram aggregate rejects wrong-length vectors with a named error") {
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Pca.secondMoments(df, "v", 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("gram_matrix")))
+  }
+
+  test("null vectors are skipped, not counted") {
+    val df = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None), (3L, Some(Seq(3.0, 4.0))))
+      .toDF("id", "v")
+    val rows = Pca.momentRows(df, "v", 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((-1L, -1L)) == 2.0)
+    assert(rows((0L, -1L)) == 4.0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Well-separated clusters in 16-D: center c has coordinates
+    * (c-ish pattern) * 10, plus sigma-0.1 noise — PQ with 4 subspaces x 8
+    * centroids should rank same-cluster points first.
+    */
+  private def clustered(nClusters: Int, perCluster: Int, dims: Int = 16)
+      : Seq[(Long, Int, Seq[Double])] = {
+    val r = new java.util.Random(13L)
+    val centers = Array.fill(nClusters, dims)(r.nextGaussian() * 10.0)
+    for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = centers(c).map(x => x + 0.1 * r.nextGaussian()).toSeq
+      ((c * perCluster + i).toLong, c, v)
+    }
+  }
+
+  test("pqEncode: codes in range; reconstruction error is noise-scale") {
+    val df = clustered(6, 10).toDF("vec_id", "cluster", "v")
+    val model = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8, seed = 5L)
+    val enc = Similarity.pqEncode(df, "v", model)
+    val rows = enc.select("v", "codes").collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Int](1)))
+    assert(rows.forall { case (_, cs) => cs.length == 4 && cs.forall(c => c >= 0 && c < 8) })
+    // quantization error ~ intra-cluster noise (sigma 0.1), far below the
+    // ~50-unit inter-center scale: reconstruction stays within 2.0 L2
+    rows.foreach { case (v, cs) =>
+      val recon = Similarity.pqDecode(model, cs)
+      val dist = math.sqrt(v.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(dist < 2.0, s"reconstruction L2 error $dist too large")
+    }
+  }
+
+  test("pqTopK dist equals exact squared distance to the reconstruction") {
+    val df = clustered(4, 8).toDF("vec_id", "cluster", "v").cache()
+    val model = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8, seed = 5L)
+    val q = df.filter(col("vec_id") < 3)
+    val top = Similarity.pqTopK(df, q, "vec_id", "v", model, k = 5)
+    val vecs = df.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.pqEncode(df, "v", model).select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    top.collect().foreach { r =>
+      val qid = r.getLong(0); val nid = r.getLong(1); val dist = r.getDouble(2)
+      val recon = Similarity.pqDecode(model, codes(nid))
+      val exact = vecs(qid).zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(dist - exact) < 1e-6 * (1 + exact),
+        s"ADC dist $dist != exact-to-reconstruction $exact for ($qid,$nid)")
+    }
+    df.unpersist()
+  }
+
+  test("pqTopK: every top-5 neighbor is from the query's cluster") {
+    // PQ resolves at codeword granularity: within-cluster ordering sits
+    // below the quantization error, but cross-cluster separation (inter-
+    // center distance >> sigma) must be perfect — the recall contract the
+    // coarse ADC scan actually provides.
+    val df = clustered(6, 12).toDF("vec_id", "cluster", "v").cache()
+    val model = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8, seed = 5L)
+    val q = df.filter(col("vec_id") % 12 === 0) // one query per cluster
+    val got = Similarity.pqTopK(df, q, "vec_id", "v", model, k = 5)
+      .select("query_id", "neighbor_id").collect()
+    val clusterOf = df.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length == 6 * 5)
+    got.foreach { r =>
+      assert(clusterOf(r.getLong(0)) == clusterOf(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cluster")
+    }
+    df.unpersist()
+  }
+
+  test("pqTrain rejects dims not divisible by m") {
+    val df = clustered(2, 4).toDF("vec_id", "cluster", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(df, "v", dims = 16, m = 5)
+    }
+    assert(e.getMessage.contains("subspaces"))
+  }
+}
