@@ -391,47 +391,51 @@ object Similarity {
     * all m fits — the same two-job sampled-Lloyd posture as
     * [[graft.fitting.KMeansLite]], so training cost is independent of corpus
     * size; the encode/search passes below see every row.
+    *
+    * The cap and restart budget are deliberately smaller than the coarse-
+    * quantizer defaults: the driver fit costs m * restarts * iters * n *
+    * ksub * dsub flops, and an uncapped-feeling 200k sample measured ~33 s
+    * for the sf1 gate. 32k points = ksub * 2048 per subspace fit (FAISS
+    * guidance is ksub * 39..256), restarts = 2: ~1 s, bounded at ANY
+    * corpus size, recall unchanged on the spec's clustered data.
     */
   def pqTrain(df: DataFrame, vecCol: String, dims: Int, m: Int = 8,
-              ksub: Int = 16, maxIter: Int = 20, seed: Long = 42L,
-              sampleCap: Int = 200000): PqModel = {
+              ksub: Int = 16, maxIter: Int = 15, seed: Long = 42L,
+              sampleCap: Int = 32768): PqModel = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
     val dsub = dims / m
     val pts = df.select(col(vecCol).cast("array<double>").as("__v")).na.drop()
     val sample = graft.fitting.KMeansLite.sampleRows(pts, sampleCap, seed)
       .map(_.getSeq[Double](0).toArray)
-    val books = Array.tabulate(m) { j =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      graft.fitting.KMeansLite.lloyd(sub, ksub, maxIter, seed + j, 1e-6)
+    // the m subspace fits are independent (seed + j each) — run them on
+    // driver threads; determinism is per-fit, order is by index
+    val books = new Array[Array[Array[Double]]](m)
+    val threads = (0 until m).map { j =>
+      val th = new Thread(() => {
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        books(j) = graft.fitting.KMeansLite.lloyd(sub, ksub, maxIter, seed + j, 1e-6)
+      })
+      th.start(); th
     }
+    threads.foreach(_.join())
     PqModel(dims, m, ksub, books)
   }
 
   /** Append `codes` = array<int> of m codebook indices (nearest EUCLIDEAN
     * centroid per subspace — PQ quantizes raw coordinates, unlike the
-    * cosine-space IVF assignment). The m subvectors are materialized once
-    * as columns so the per-centroid distance terms reference attributes,
-    * not re-sliced arrays; argmin over struct(dist, cid) literals is the
-    * same codegen'd `least()` shape as [[assignNearestCentroid]], with the
-    * per-subspace ||x||^2 term dropped (constant under the argmin).
+    * cosine-space IVF assignment). ONE codegen'd
+    * [[org.apache.spark.sql.graft.PqEncodeExpr]] per row: the composed
+    * `least()`-over-ksub-structs form is an m*ksub-node tree that falls out
+    * of whole-stage codegen and measured ~100 us/row interpreted.
     */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
                outCol: String = "codes"): DataFrame = {
-    val dsub = model.dsub
-    val subs = df
-      .withColumn("__pqv", col(vecCol).cast("array<double>"))
-      .select(col("*") +: (0 until model.m).map(j =>
-        slice(col("__pqv"), j * dsub + 1, dsub).as(s"__sub$j")): _*)
-    val codes = (0 until model.m).map { j =>
-      least(model.codebooks(j).zipWithIndex.map { case (c, ci) =>
-        val cn = c.map(x => x * x).sum
-        struct((lit(cn) - VectorExprs.dot(col(s"__sub$j"), typedlit(c.toSeq)) * 2.0).as("d"),
-          lit(ci).as("cid"))
-      }: _*).getField("cid")
-    }
-    subs.withColumn(outCol, array(codes: _*))
-      .drop("__pqv" +: (0 until model.m).map(j => s"__sub$j"): _*)
+    import org.apache.spark.sql.graft.{ColumnBridge, PqEncodeExpr, PqExprs}
+    val (cb, cn) = PqExprs.flatten(model.codebooks)
+    df.withColumn(outCol, ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(col(vecCol).cast("array<double>")),
+      cb, cn, model.m, model.ksub, model.dsub)))
   }
 
   /** ADC (asymmetric distance) top-k: corpus rows carry only their m-byte
@@ -447,29 +451,24 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, model: PqModel, k: Int): DataFrame = {
-    val dsub = model.dsub
+    import org.apache.spark.sql.graft.{ColumnBridge, PqAdcExpr, PqExprs, PqLutExpr}
+    val (cb, cn) = PqExprs.flatten(model.codebooks)
+    // The codes table IS the PQ index (m ints per row — the 32x-compressed
+    // corpus representation a deployment persists once and scans per query
+    // batch). localCheckpoint materializes it so the optimizer cannot
+    // inline the encode expression into the per-PAIR projection below —
+    // re-encoding per (candidate x query) multiplies the encode cost by
+    // the query count (the CollapseProject hazard, cf. minHashCandidates).
     val codes = FanOut(pqEncode(corpus, vecCol, model, "__codes"))
       .select(col(idCol).as("neighbor_id"), col("__codes"))
-    // LUT entries ||q_j - c||^2 = ||q_j||^2 - 2 q_j.c + ||c||^2; subvectors
-    // and their norms are materialized columns, so every dot reads an
-    // attribute (the HOF/altitude rule — no per-entry re-slicing)
-    val qsubs = queries
-      .withColumn("__pqv", col(vecCol).cast("array<double>"))
-      .select(col(idCol).as("query_id") +: (0 until model.m).map(j =>
-        slice(col("__pqv"), j * dsub + 1, dsub).as(s"__sub$j")): _*)
-    val qnorms = qsubs.select(col("query_id") +:
-      ((0 until model.m).map(j => col(s"__sub$j")) ++
-       (0 until model.m).map(j =>
-         VectorExprs.dot(col(s"__sub$j"), col(s"__sub$j")).as(s"__n$j"))): _*)
-    val lut = array((for (j <- 0 until model.m; c <- 0 until model.ksub) yield {
-      val cb = model.codebooks(j)(c)
-      val cn = cb.map(x => x * x).sum
-      col(s"__n$j") - VectorExprs.dot(col(s"__sub$j"), typedlit(cb.toSeq)) * 2.0 + cn
-    }): _*)
-    val q = broadcast(qnorms.select(col("query_id"), lut.as("__lut")))
-    val dist = (0 until model.m).map(j =>
-      element_at(col("__lut"), lit(j * model.ksub) +
-        element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
+      .localCheckpoint(true)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      ColumnBridge.column(PqLutExpr(
+        ColumnBridge.expression(col(vecCol).cast("array<double>")),
+        cb, cn, model.m, model.ksub, model.dsub)).as("__lut")))
+    val dist = ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(col("__lut")),
+      ColumnBridge.expression(col("__codes")), model.m, model.ksub))
     val scored = codes.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), (-dist).as("cosine"))

@@ -1,0 +1,197 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization kernels as native codegen'd expressions.
+  *
+  * The composed form (per-subspace `least()` over ksub struct(dist, cid)
+  * literals with an ArrayDot each) builds an m*ksub-node expression tree —
+  * 128 nodes for m=8/ksub=16 — that blows the whole-stage codegen size
+  * budget and drops the entire stage to interpreted eval: measured
+  * ~100 us/row to encode and ~55 us/PAIR to score at sf1 (22 s for a
+  * 400k-pair scan whose arithmetic is ~10 ms). One expression holding the
+  * codebook as a reference object turns each kernel into a single tight
+  * JIT'd loop inside the enclosing codegen span.
+  *
+  * Codebook layout: flat row-major `cb[(j*ksub + c)*dsub + t]`; `cn` holds
+  * the centroid squared norms `cn[j*ksub + c]`. Both are planted once per
+  * plan via `ctx.addReferenceObj` — never serialized per row.
+  */
+object PqExprs {
+  /** Flatten codebooks + precompute centroid squared norms. */
+  def flatten(codebooks: Array[Array[Array[Double]]]): (Array[Double], Array[Double]) = {
+    val flat = codebooks.flatMap(_.flatMap(_.toSeq))
+    val norms = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+    (flat, norms)
+  }
+}
+
+/** codes(j) = argmin_c ||v_j - cb[j][c]||^2, emitted as array<int>. The
+  * per-subspace ||v_j||^2 term is constant under the argmin and dropped;
+  * ties resolve to the lowest c (the `least(struct)` convention).
+  */
+case class PqEncodeExpr(child: Expression, cb: Array[Double], cn: Array[Double],
+                        m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var dot = 0.0
+        val base = (j * ksub + c) * dsub
+        var t = 0
+        while (t < dsub) { dot += v.getDouble(j * dsub + t) * cb(base + t); t += 1 }
+        val d = cn(j * ksub + c) - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+      val cnRef = ctx.addReferenceObj("pqCn", cn, "double[]")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c"); val t = ctx.freshName("t")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val dot = ctx.freshName("dot"); val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $dot = 0.0;
+         |    int $base = ($j * $ksub + $c) * $dsub;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $dot += $v.getDouble($j * $dsub + $t) * $cbRef[$base + $t];
+         |    }
+         |    double $d = $cnRef[$j * $ksub + $c] - 2.0 * $dot;
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC lookup table for one query: lut[j*ksub + c] = ||q_j - cb[j][c]||^2
+  * = ||q_j||^2 - 2 q_j.cb + ||cb||^2, emitted as array<double>.
+  */
+case class PqLutExpr(child: Expression, cb: Array[Double], cn: Array[Double],
+                     m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var qn = 0.0
+      var t = 0
+      while (t < dsub) { val x = v.getDouble(j * dsub + t); qn += x * x; t += 1 }
+      var c = 0
+      while (c < ksub) {
+        var dot = 0.0
+        val base = (j * ksub + c) * dsub
+        t = 0
+        while (t < dsub) { dot += v.getDouble(j * dsub + t) * cb(base + t); t += 1 }
+        lut(j * ksub + c) = qn - 2.0 * dot + cn(j * ksub + c)
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+      val cnRef = ctx.addReferenceObj("pqCn", cn, "double[]")
+      val lut = ctx.freshName("lut")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c"); val t = ctx.freshName("t")
+      val qn = ctx.freshName("qn"); val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base"); val x = ctx.freshName("x")
+      s"""
+         |double[] $lut = new double[${m * ksub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $qn = 0.0;
+         |  for (int $t = 0; $t < $dsub; $t++) {
+         |    double $x = $v.getDouble($j * $dsub + $t); $qn += $x * $x;
+         |  }
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $dot = 0.0;
+         |    int $base = ($j * $ksub + $c) * $dsub;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $dot += $v.getDouble($j * $dsub + $t) * $cbRef[$base + $t];
+         |    }
+         |    $lut[$j * $ksub + $c] = $qn - 2.0 * $dot + $cnRef[$j * $ksub + $c];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: sum_j lut[j*ksub + codes[j]] — m array reads per candidate
+  * pair (THE per-pair hot path of a PQ scan).
+  */
+case class PqAdcExpr(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $lut.getDouble($j * $ksub + $codes.getInt($j));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
