@@ -1940,6 +1940,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF-PQ ANN: coarse lists prune via an equi join, PQ residual codes
+    // score — rows-only (kmeans + codebooks not SQL); PqSpec pins recall
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.ivfPqTopK(e, q, "vec_id", "v", k = 5, nlist = 8, nprobe = 3,
+        m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dist"), 5).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization ADC top-k — rows-only (sampled-Lloyd codebooks
     // not SQL); PqSpec pins the ADC-distance identity and cluster recall
     "q_pq_topk" -> ((s, dir) => {

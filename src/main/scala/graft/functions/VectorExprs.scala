@@ -14,6 +14,14 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Codegen'd element-wise a - b over two array<double> columns (the
+    * interpreted `zip_with(a, b, _ - _)` replacement for hot map paths:
+    * PCA centering, IVF-PQ residuals).
+    */
+  def sub(a: Column, b: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graft.ArraySub(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Codegen'd wraparound h1 + seed*h2 double-hashing combiner (long
     * arithmetic that must wrap; ANSI checked ops would throw).
     */

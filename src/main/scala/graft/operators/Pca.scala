@@ -157,8 +157,8 @@ object Pca {
     */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
               whiten: Boolean = false, outCol: String = "pca"): DataFrame = {
-    val centered = zip_with(col(vecCol).cast("array<double>"),
-      typedlit(model.mean.toSeq), (x, mu) => x - mu)
+    val centered = VectorExprs.sub(col(vecCol).cast("array<double>"),
+      typedlit(model.mean.toSeq))
     val base = df.withColumn("__centered", centered)
     val scores = model.components.zipWithIndex.map { case (comp, j) =>
       val s = VectorExprs.dot(col("__centered"), typedlit(comp.toSeq))

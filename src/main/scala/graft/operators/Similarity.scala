@@ -477,6 +477,92 @@ object Similarity {
         col("rank"))
   }
 
+  /** Squared-euclidean argmin assignment over literal centroids:
+    * argmin_c ||v - c||^2 = argmin_c (||c||^2 - 2 v.c); the ||v||^2 term is
+    * constant under the argmin. Same codegen'd `least()` shape as the
+    * cosine [[assignNearestCentroid]] (nlist is small — 16-256 — so the
+    * tree stays inside the codegen budget, unlike the m*ksub PQ encode).
+    */
+  def assignNearestEuclidean(vec: Column, cents: Array[Array[Double]]): Column =
+    least(cents.zipWithIndex.map { case (c, i) =>
+      val cn = c.map(x => x * x).sum
+      struct((lit(cn) - VectorExprs.dot(vec, typedlit(c.toSeq)) * 2.0).as("d"),
+        lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** IVF-PQ (the FAISS IVFPQ composition — the ANN architecture that
+    * actually holds at 100 TB): a coarse euclidean quantizer routes every
+    * corpus row to one of `nlist` inverted lists, PQ encodes the RESIDUAL
+    * v - centroid (residual energy is a cluster diameter, not a corpus
+    * diameter, so the same ksub codebook spends its resolution where the
+    * data is), and a query probes only its `nprobe` nearest lists.
+    *
+    * Scale shape vs [[pqTopK]]: the candidate scan becomes an EQUI JOIN on
+    * list_id — candidates per query drop from n to ~n*nprobe/nlist, and the
+    * plan is a shuffled hash join any cluster executes, never a broadcast
+    * nested loop over the whole corpus. The codes table (list_id + m ints
+    * per row) is the persisted index; LUTs are per-(query, probed list)
+    * because residuals are centered differently per list.
+    * Returns (query_id, neighbor_id, dist, rank) — dist is the exact
+    * squared distance from the query to centroid + reconstructed residual.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, PqAdcExpr, PqEncodeExpr, PqExprs, PqLutExpr}
+    val cents = graft.fitting.KMeansLite.fitVectors(corpus, vecCol, nlist,
+      maxIter = 20, seed = seed)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+
+    val cv = FanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__list", assignNearestEuclidean(col("__cv"), cents))
+      .withColumn("__res", VectorExprs.sub(col("__cv"),
+        element_at(centsLit, col("__list") + 1)))
+
+    val dims = cents(0).length
+    val model = pqTrain(cv, "__res", dims, m, ksub, seed = seed)
+    val (cb, cn) = PqExprs.flatten(model.codebooks)
+    // list_id + m ints per row — the persisted IVF-PQ index (localCheckpoint
+    // barriers encode out of the per-pair projection, cf. pqTopK)
+    val codes = cv
+      .withColumn("__codes", ColumnBridge.column(PqEncodeExpr(
+        ColumnBridge.expression(col("__res")), cb, cn, m, ksub, model.dsub)))
+      .select(col("neighbor_id"), col("__list"), col("__codes"))
+      .localCheckpoint(true)
+
+    // queries: top-nprobe lists by euclidean distance, one residual LUT per
+    // probed list (the query table is the small side: nlist structs + a
+    // sort over nlist elements per row)
+    val qAssign = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__probes",
+        slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+          val cnq = c.map(x => x * x).sum
+          struct((lit(cnq) - VectorExprs.dot(col("__qv"), typedlit(c.toSeq)) * 2.0).as("d"),
+            lit(i).as("cid"))
+        }: _*)), 1, nprobe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probes").getField("cid")).as("__list"))
+      .withColumn("__qres", VectorExprs.sub(col("__qv"),
+        element_at(centsLit, col("__list") + 1)))
+      .select(col("query_id"), col("__list"),
+        ColumnBridge.column(PqLutExpr(ColumnBridge.expression(col("__qres")),
+          cb, cn, m, ksub, model.dsub)).as("__lut"))
+
+    val dist = ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(col("__lut")),
+      ColumnBridge.expression(col("__codes")), m, ksub))
+    // equi join on the probed list — a neighbor lives in exactly ONE list,
+    // so (query, neighbor) pairs are already unique
+    val scored = codes.join(broadcast(qAssign), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-dist).as("cosine"))
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
+      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("dist"),
+        col("rank"))
+  }
+
   /** Driver-side reconstruction of a code row (test/debug surface). */
   def pqDecode(model: PqModel, codes: Seq[Int]): Array[Double] = {
     require(codes.length == model.m, s"expected ${model.m} codes, got ${codes.length}")

@@ -106,6 +106,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q_ivfpq_topk scores through an equi join, never a nested loop") {
+    // the design claim in Similarity.ivfPqTopK: probed-list routing turns
+    // the candidate scan into a hash join on __list — pqTopK's deliberate
+    // BNLJ full scan must NOT appear here (it is what nprobe/nlist prunes)
+    val plan = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, windows.mkString("\n"))
+  }
+
   test("q_embed_cov is one scan into one fixed-size moment aggregate") {
     // the design claim in Pca/GramMatrixAgg: the distributed cost of a PCA
     // fit is ONE pass over the vectors with ~17 KB of aggregate state —

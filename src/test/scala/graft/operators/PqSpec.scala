@@ -75,6 +75,28 @@ class PqSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("ivfPqTopK: same-cluster recall through the probed equi join") {
+    val df = clustered(6, 12).toDF("vec_id", "cluster", "v").cache()
+    val q = df.filter(col("vec_id") % 12 === 1)
+    val got = Similarity.ivfPqTopK(df, q, "vec_id", "v", k = 5,
+      nlist = 6, nprobe = 2, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id", "dist", "rank").collect()
+    val clusterOf = df.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length == 6 * 5)
+    got.foreach { r =>
+      assert(clusterOf(r.getLong(0)) == clusterOf(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cluster")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // ranks ascend with dist within each query
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Number](3).longValue)
+      assert(byRank.map(_.getDouble(2)).sliding(2).forall(p => p.head <= p.last + 1e-12))
+    }
+    df.unpersist()
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     val df = clustered(2, 4).toDF("vec_id", "cluster", "v")
     val e = intercept[IllegalArgumentException] {
