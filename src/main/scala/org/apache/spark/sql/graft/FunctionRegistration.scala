@@ -111,10 +111,31 @@ object FunctionRegistration {
         MisraGriesAgg(exprs.head, litLong(exprs(1), "mg_sketch").toInt)
       })
 
+  /** `array_sub(a, b)` -> element-wise a - b (array<double>). */
+  val arraySubDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("array_sub"),
+      new ExpressionInfo(classOf[ArraySub].getName, "array_sub"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"array_sub expects 2 arguments, got ${exprs.length}")
+        ArraySub(exprs.head, exprs(1))
+      })
+
+  /** `gram_matrix(vec, dims)` aggregate -> flattened second-moment buffer
+    * [n, sums, upper-triangle products] (see GramMatrixAgg layout).
+    */
+  val gramMatrixDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("gram_matrix"),
+      new ExpressionInfo(classOf[GramMatrixAgg].getName, "gram_matrix"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"gram_matrix expects 2 arguments, got ${exprs.length}")
+        GramMatrixAgg(exprs.head, litLong(exprs(1), "gram_matrix").toInt)
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
-      kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription)
+      kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription,
+      arraySubDescription, gramMatrixDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

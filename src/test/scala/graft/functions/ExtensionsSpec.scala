@@ -41,6 +41,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(mg.forall(r => r.getLong(1) <= 3L)) // counts are lower bounds
   }
 
+  test("array_sub and gram_matrix register as SQL functions") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    val sub = spark.sql(
+      "SELECT array_sub(array(5.0D, 7.0D), array(1.0D, 2.0D)) AS d")
+      .collect().head.getSeq[Double](0)
+    assert(sub == Seq(4.0, 5.0))
+    // gram over two 2-D rows: [n, s0, s1, s00, s01, s11]
+    val g = spark.sql(
+      """SELECT gram_matrix(v, 2) AS g FROM VALUES
+        |(array(1.0D, 2.0D)), (array(3.0D, 4.0D)) t(v)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(g == Seq(2.0, 4.0, 6.0, 10.0, 14.0, 20.0))
+  }
+
   test("RewriteHofDot swaps the interpreted HOF pattern for the native kernel") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
