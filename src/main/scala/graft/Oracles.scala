@@ -63,6 +63,15 @@ object Oracles {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM o WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

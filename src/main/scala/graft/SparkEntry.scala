@@ -232,6 +232,13 @@ object SparkEntry {
         .orderBy("cohort_epoch", "offset")
     }),
 
+    // first-order Markov transition matrix over per-user event sequences
+    "q_transitions" -> ((s, dir) => {
+      EventAnalytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+          "event_type", tieCols = Seq("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // JSON property extraction from the props column (exact integer sums)
     "q_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)

@@ -75,4 +75,28 @@ object EventAnalytics {
       .groupBy(col("__c").as("cohort"), col("offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (from_type, to_type, n, n_users) for each consecutive pair — the
+    * "what do users do next" path-analysis table behind sankey/flow views.
+    *
+    * One `lead` window PARTITIONED BY user (a user's history is the unit of
+    * order — the partition key bounds every sort task) feeding a
+    * transition-grain aggregate (#types², tiny at any user count).
+    * `tieCols` break equal-timestamp ordering so results are deterministic
+    * (cf. the interpolateLinear tie lesson).
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy(col("__ts") +: tieCols.map(col): _*)
+    df.select(Seq(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).as("__from")) ++ tieCols.map(col): _*)
+      .withColumn("__to", lead(col("__from"), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col("__from").as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("__u")).as("n_users"))
+  }
 }

@@ -449,19 +449,29 @@ object Similarity {
     * (query_id, neighbor_id, dist, rank) with dist the EXACT squared
     * distance from the query to the candidate's reconstruction.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, model: PqModel, k: Int): DataFrame = {
+  /** Build the PQ index: (id, codes) — m ints per row, the 32x-compressed
+    * corpus representation a deployment persists ONCE (write this to a
+    * table) and scans per query batch. localCheckpoint materializes it so
+    * the optimizer cannot inline the encode expression into a downstream
+    * per-PAIR projection — re-encoding per (candidate x query) multiplies
+    * the encode cost by the query count (the CollapseProject hazard, cf.
+    * minHashCandidates).
+    */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              model: PqModel): DataFrame =
+    FanOut(pqEncode(corpus, vecCol, model, "codes"))
+      .select(col(idCol).as("id"), col("codes"))
+      .localCheckpoint(true)
+
+  /** ADC top-k against a prebuilt [[pqIndex]] table — the build-once /
+    * query-many deployment shape: each batch pays only its LUTs + the
+    * candidate scan, never re-encoding the corpus.
+    */
+  def pqTopKIndexed(index: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, model: PqModel, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, PqAdcExpr, PqExprs, PqLutExpr}
     val (cb, cn) = PqExprs.flatten(model.codebooks)
-    // The codes table IS the PQ index (m ints per row — the 32x-compressed
-    // corpus representation a deployment persists once and scans per query
-    // batch). localCheckpoint materializes it so the optimizer cannot
-    // inline the encode expression into the per-PAIR projection below —
-    // re-encoding per (candidate x query) multiplies the encode cost by
-    // the query count (the CollapseProject hazard, cf. minHashCandidates).
-    val codes = FanOut(pqEncode(corpus, vecCol, model, "__codes"))
-      .select(col(idCol).as("neighbor_id"), col("__codes"))
-      .localCheckpoint(true)
+    val codes = index.select(col("id").as("neighbor_id"), col("codes").as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       ColumnBridge.column(PqLutExpr(
         ColumnBridge.expression(col(vecCol).cast("array<double>")),
@@ -472,10 +482,18 @@ object Similarity {
     val scored = codes.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), (-dist).as("cosine"))
-    rankTopK(scored, k, corpus.schema(idCol).dataType)
+    rankTopK(scored, k, index.schema("id").dataType)
       .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("dist"),
         col("rank"))
   }
+
+  /** One-shot convenience: build the index and query it (see [[pqIndex]] /
+    * [[pqTopKIndexed]] for the persisted-index deployment shape).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int): DataFrame =
+    pqTopKIndexed(pqIndex(corpus, idCol, vecCol, model), queries, idCol,
+      vecCol, model, k)
 
   /** Squared-euclidean argmin assignment over literal centroids:
     * argmin_c ||v - c||^2 = argmin_c (||c||^2 - 2 v.c); the ||v||^2 term is

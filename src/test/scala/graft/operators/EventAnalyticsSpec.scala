@@ -67,4 +67,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2020-01-02", 0L, 1L), // u3
     ))
   }
+
+  test("transitionMatrix counts consecutive pairs per user with tie-break") {
+    val ev = Seq(
+      // u1: a -> b -> b ; u2: a -> c ; u3 single event (no transition)
+      (1L, 1L, ts("2020-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2020-01-01 11:00:00"), "b"),
+      (1L, 3L, ts("2020-01-01 12:00:00"), "b"),
+      (2L, 4L, ts("2020-01-01 10:00:00"), "a"),
+      (2L, 5L, ts("2020-01-01 11:00:00"), "c"),
+      (3L, 6L, ts("2020-01-01 10:00:00"), "a"),
+      // u4: equal timestamps — event_id breaks the tie: x(7) -> y(8)
+      (4L, 7L, ts("2020-01-01 10:00:00"), "x"),
+      (4L, 8L, ts("2020-01-01 10:00:00"), "y"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "ts",
+        "event_type", tieCols = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", "b", 1L, 1L), ("a", "c", 1L, 1L), ("b", "b", 1L, 1L),
+      ("x", "y", 1L, 1L)))
+  }
 }

@@ -97,6 +97,20 @@ class PqSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("pqTopKIndexed over a persisted index equals the one-shot pqTopK") {
+    val df = clustered(4, 8).toDF("vec_id", "cluster", "v").cache()
+    val model = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8, seed = 5L)
+    val q = df.filter(col("vec_id") < 3)
+    val oneShot = Similarity.pqTopK(df, q, "vec_id", "v", model, k = 5)
+    // round-trip the index through parquet — the deployment shape
+    val path = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Similarity.pqIndex(df, "vec_id", "v", model).write.mode("overwrite").parquet(path)
+    val indexed = Similarity.pqTopKIndexed(spark.read.parquet(path), q,
+      "vec_id", "v", model, k = 5)
+    assert(indexed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(indexed).isEmpty)
+    df.unpersist()
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     val df = clustered(2, 4).toDF("vec_id", "cluster", "v")
     val e = intercept[IllegalArgumentException] {
