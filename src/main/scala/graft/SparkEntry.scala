@@ -1947,6 +1947,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // host-graph PageRank over deterministically synthesized link edges
+    // (source sites -> their cdn hosts -> a shared hub) — rows-only
+    // (iterative float fixpoint; shuffle-order ulps make rounded ranks
+    // engine-unstable); LinkGraphSpec pins exact small-graph values and
+    // driver==distributed parity
+    "q_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      LinkGraph.pageRank(edges, "src", "dst", iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // IVF-PQ ANN: coarse lists prune via an equi join, PQ residual codes
     // score — rows-only (kmeans + codebooks not SQL); PqSpec pins recall
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -1980,7 +1998,8 @@ object SparkEntry {
     * ops whose hash/centroid/merge/codec internals aren't oracle-expressible
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
     * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
-    * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk).
+    * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk,
+    * q_ivfpq_topk, q_pagerank).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality over an edge table — the host-graph quality prior
+  * a crawl pipeline feeds into document scoring (Common Crawl publishes
+  * exactly this: host-level centrality over the link graph; pages from
+  * well-ranked hosts get a quality boost).
+  *
+  * PageRank update: r' = (1-d)/N + d * (Σ_in r/outdeg + dangling/N).
+  * Scale shape: one edges⋈ranks shuffle + one dst-grain aggregate per
+  * iteration (the classic join-based formulation every Spark/Pregel
+  * implementation converges on), the per-iteration ranks table is
+  * localCheckpoint'd so lineage stays one-iteration deep, and the dangling
+  * mass is a single scalar aggregate per iteration. The same altitude rule
+  * as connectedComponents applies: a graph whose edge list fits the driver
+  * cap runs the identical power iteration in-memory (iterations × fixed
+  * job overhead dominates tiny graphs — the q_cc_dedup lesson), while the
+  * distributed loop covers graphs that cannot fit.
+  */
+object LinkGraph {
+
+  /** PageRank over (src, dst) string edges. Returns (node, rank); ranks sum
+    * to 1. Multi-edges count once per occurrence (weight by repetition);
+    * self-loops participate like any edge. `driverCap` = max edge rows the
+    * in-memory path may collect (0 forces the distributed loop).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85,
+               driverCap: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+
+    val nEdges = e.count()
+    if (nEdges <= driverCap) {
+      // in-memory power iteration, identical update rule
+      val pairs = e.as[(String, String)].collect()
+      val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.length
+      val outdeg = new Array[Long](n)
+      pairs.foreach { case (s, _) => outdeg(idx(s)) += 1 }
+      var rank = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val in = new Array[Double](n)
+        pairs.foreach { case (s, d) => in(idx(d)) += rank(idx(s)) / outdeg(idx(s)) }
+        var dangling = 0.0
+        var i = 0
+        while (i < n) { if (outdeg(i) == 0) dangling += rank(i); i += 1 }
+        rank = Array.tabulate(n)(i =>
+          (1.0 - damping) / n + damping * (in(i) + dangling / n))
+      }
+      spark.createDataFrame(nodes.zip(rank).toSeq).toDF("node", "rank")
+    } else {
+      val ec = e.localCheckpoint(true)
+      val nodes = ec.select(col("src").as("node"))
+        .union(ec.select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      val n = nodes.count()
+      val outdeg = ec.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        // scalar job: rank mass sitting on dangling nodes this iteration
+        val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        val contrib = ec.join(outdeg, "src")
+          .join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("__deg")).as("__in"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / n + damping * dangling / n)
+              + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    }
+  }
+}

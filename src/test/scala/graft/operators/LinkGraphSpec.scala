@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int = 30,
+                      driverCap: Long = 2000000L): Map[String, Double] =
+    LinkGraph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = iters, driverCap = driverCap)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle splits rank evenly; ranks sum to 1") {
+    val r = ranksOf(Seq(("a", "b"), ("b", "a")))
+    assert(math.abs(r("a") - 0.5) < 1e-12)
+    assert(math.abs(r("b") - 0.5) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star graph: the hub out-ranks every spoke") {
+    val r = ranksOf(Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3")))
+    assert(r("hub") > r("s1") && r("hub") > r("s2") && r("hub") > r("s3"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("dangling node mass is redistributed; total stays 1") {
+    // a -> b, b has no out-edges: without redistribution total mass decays
+    val r = ranksOf(Seq(("a", "b")))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("b") > r("a")) // b receives a's contribution on top of base
+  }
+
+  test("distributed loop agrees with the in-memory power iteration") {
+    val rnd = new java.util.Random(3L)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val edges = (0 until 150).map { _ =>
+      (nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30)))
+    }
+    val mem = ranksOf(edges, iters = 10)
+    val dist = ranksOf(edges, iters = 10, driverCap = 0L)
+    assert(mem.keySet == dist.keySet)
+    mem.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-9, s"rank mismatch at $k: $v vs ${dist(k)}")
+    }
+  }
+
+  test("multi-edges weight contributions by repetition") {
+    // a points twice at b, once at c: b gets 2/3 of a's rank share
+    val r = ranksOf(Seq(("a", "b"), ("a", "b"), ("a", "c"),
+      ("b", "a"), ("c", "a")))
+    assert(r("b") > r("c"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+}
