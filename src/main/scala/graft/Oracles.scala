@@ -1095,6 +1095,23 @@ object Oracles {
         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |    sum(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)) AS ss FROM cnt),
+        |r AS (SELECT lang, CAST(least(
+        |    floor((SELECT nn FROM tot) * floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)
+        |      / (SELECT ss FROM tot) / n * 10000 + 0.5), 100000.0) AS BIGINT) AS thr
+        |  FROM cnt),
+        |b AS (SELECT d.doc_id, d.lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bkt,
+        |    r.thr FROM documents d JOIN r ON d.lang = r.lang),
+        |c AS (SELECT doc_id, lang,
+        |    (thr // 10000) + CASE WHEN bkt < thr % 10000 THEN 1 ELSE 0 END AS copies
+        |  FROM b)
+        |SELECT doc_id, lang, CAST(unnest([i FOR i IN range(0, copies)]) AS BIGINT) AS copy
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
+
     "q_mixture" ->
       """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |t(lang, tgt) AS (VALUES ('en', 0.5), ('fr', 0.3), ('de', 0.2)),

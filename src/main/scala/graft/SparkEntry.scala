@@ -1652,6 +1652,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature-flattened language mixture (alpha = 0.5 -> sqrt, exact
+    // in both engines): low-resource langs upsample with copy indices
+    "q_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id",
+          alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // Token-budget mixture: srcs 0/1 sampled down to token budgets, src2's
     // budget exceeds its mass (keeps all), unbudgeted sources keep all
     "q_token_budget" -> ((s, dir) => {

@@ -148,6 +148,56 @@ object Sampling {
     stratifiedSample(df, stratumCol, idCol, rates, defaultRate = 0.0)
   }
 
+  /** Temperature-flattened mixture resampling (the XLM-R/mBERT alpha-
+    * sampling scheme): stratum l is drawn with probability
+    * q_l = p_l^alpha / sum_k p_k^alpha (p_l = its corpus share), realized
+    * as a target of `targetRows` output rows (default: corpus size) —
+    * rate_l = T * q_l / n_l. alpha < 1 UPSAMPLES low-resource strata
+    * (rate > 1 emits `copy` 0..c-1 repetitions; the fractional copy is the
+    * md5-bucket draw), alpha = 1 is proportional, rates cap at `maxRate`.
+    *
+    * Engine-reproducible rate table (the oracle contract): per-stratum
+    * powers are quantized to integer-valued doubles floor(n^alpha*1000+.5)
+    * BEFORE summing (integer-double sums are exact in any accumulation
+    * order — the round-5 convention), every subsequent op is a correctly-
+    * rounded IEEE op applied in a pinned order, and thresholds are
+    * integers out of floor(rate*10000+.5). alpha = 0.5 uses sqrt (exact in
+    * every engine; pow is not correctly rounded). Scale shape: ONE
+    * stratum-grain aggregate collected (strata = languages/domains —
+    * bounded), a broadcast rate join, and a row-local copies explode.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+                         alpha: Double = 0.5, targetRows: Option[Long] = None,
+                         maxRate: Double = 10.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum
+    require(total > 0, "temperatureMixture: empty input")
+    val t = targetRows.getOrElse(total).toDouble
+    def powQ(n: Long): Double = {
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      math.floor(p * 1000.0 + 0.5)
+    }
+    val ssum = counts.map { case (_, n) => powQ(n) }.sum
+    val capThr = math.floor(maxRate * 10000.0 + 0.5).toLong
+    val thr = counts.map { case (k, n) =>
+      (k, math.min(
+        math.floor(t * powQ(n) / ssum / n * 10000.0 + 0.5).toLong, capThr))
+    }
+    val thrDf = broadcast(thr.toDF("__s", "__thr"))
+    val copies = (col("__thr") / 10000L).cast("long") +
+      when(hashBucket(col(idCol)) < col("__thr") % 10000L, 1L).otherwise(0L)
+    df.join(thrDf, col(stratumCol).cast("string") === col("__s"))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__s", "__thr", "__copies")
+  }
+
   /** Token-budget mixture execution: keep each budgeted domain's rows at
     * rate min(1, budget_d / W_d), where W_d = sum of `weightCol` (token
     * counts) over the domain — uniform row survival at rate r keeps

@@ -207,4 +207,43 @@ class SamplingChunkingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == out.map(_._1).toSet)
   }
+
+  test("temperatureMixture alpha=1 keeps everything exactly once") {
+    val df = (1L to 300L).map(i => (i, if (i <= 250) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out.length == 300)
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("temperatureMixture alpha=0.5 upsamples the small stratum") {
+    // 900 en vs 100 fr: q_fr = sqrt(100)/(sqrt(900)+sqrt(100)) = 0.25 ->
+    // fr rate = 1000*0.25/100 = 2.5 (copies), en rate = 0.75/0.9 ~ 0.833
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val frRows = out.count(_._2 == "fr")
+    val enRows = out.count(_._2 == "en")
+    assert(math.abs(frRows - 250) < 40, s"fr rows $frRows not ~250")
+    assert(math.abs(enRows - 750) < 40, s"en rows $enRows not ~750")
+    // every fr doc appears at least twice (floor(2.5) = 2 guaranteed copies)
+    val frCopies = out.filter(_._2 == "fr").groupBy(_._1).map(_._2.size)
+    assert(frCopies.forall(_ >= 2))
+    // reproducible
+    val again = Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("temperatureMixture rejects alpha outside (0, 1]") {
+    val df = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.5)
+    }
+  }
 }
