@@ -324,6 +324,20 @@ object StreamingOps {
                       model: graft.functions.Bpe.BpeModel): DataFrame =
     graft.functions.Bpe.encode(stream, textCol, model)
 
+  /** Streaming PQ-encode twin of graft.operators.Similarity.pqEncode:
+    * compress a live embedding stream to m-byte codes against a
+    * pretrained codebook — the ingest half of a continuously-refreshed ANN
+    * index (codes append to the [[graft.operators.Similarity.pqIndex]]
+    * table; retraining the codebook stays an offline batch concern, the
+    * same split as BPE/MinHash refresh). Stateless row-local projection:
+    * the codegen'd PqEncodeExpr runs verbatim per micro-batch, codebook
+    * planted once per plan.
+    */
+  def pqEncodeStream(stream: DataFrame, vecCol: String,
+                     model: graft.operators.Similarity.PqModel,
+                     outCol: String = "codes"): DataFrame =
+    graft.operators.Similarity.pqEncode(stream, vecCol, model, outCol)
+
   /** Streaming decontamination twin of graft.operators.Decontaminate: flag
     * (or drop) streamed documents sharing any word n-gram with a STATIC
     * benchmark set. The benchmark's distinct gram hashes are collected once

@@ -340,4 +340,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(0)._1 == 500L && got(0)._2 < 0.05, s"calm psi ${got(0)._2}")
     assert(got(1)._1 == 500L && got(1)._2 > 1.0, s"drift psi ${got(1)._2}")
   }
+
+  test("pqEncodeStream codes match the batch encoder exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = new java.util.Random(9L)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(16)(r.nextGaussian() * 5)))
+    val batch = vecs.toDF("vec_id", "v")
+    val model = graft.operators.Similarity.pqTrain(batch, "v", dims = 16,
+      m = 4, ksub = 8, seed = 11L)
+    val expected = graft.operators.Similarity.pqEncode(batch, "v", model)
+      .select("vec_id", "codes").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    val input = MemoryStream[(Long, Seq[Double])]
+    val coded = StreamingOps.pqEncodeStream(
+      input.toDF().toDF("vec_id", "v"), "v", model)
+    val q = coded.writeStream.format("memory").queryName("pq_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(vecs: _*)
+    q.processAllAvailable()
+    val got = spark.sql("select vec_id, codes from pq_out").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    q.stop()
+    assert(got == expected)
+    assert(got.size == 20)
+  }
 }
