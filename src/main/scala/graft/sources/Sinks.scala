@@ -70,11 +70,12 @@ object Sinks {
     * Bucketing requires saveAsTable (the metastore records the layout).
     */
   def writeBucketedTable(df: DataFrame, table: String, partitionCol: String,
-                         bucketCol: String, numBuckets: Int = 64): Unit =
+                         bucketCol: String, numBuckets: Int = 64,
+                         sortCol: String = "time"): Unit =
     df.write.mode("overwrite")
       .partitionBy(partitionCol)
       .bucketBy(numBuckets, bucketCol)
-      .sortBy("time")
+      .sortBy(sortCol)
       .format("parquet")
       .saveAsTable(table)
 

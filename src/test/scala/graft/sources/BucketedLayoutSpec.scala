@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the POINT of Sinks.writeBucketedTable: two tables bucketed on the
+  * same key with the same bucket count equi-join with ZERO shuffle — at
+  * 100 TB the join reads co-located buckets instead of re-shuffling both
+  * sides (the single biggest repeated-join cost a curated layout removes).
+  */
+class BucketedLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables equi-join with zero shuffles") {
+    val left = (1L to 1000L)
+      .map(i => (i, s"v$i", java.sql.Date.valueOf(s"2024-01-0${i % 5 + 1}")))
+      .toDF("asset", "time", "day")
+    val right = (1L to 1000L).map(i => (i, i * 2.0)).toDF("asset", "power")
+    Sinks.writeBucketedTable(left, "bl_left", "day", "asset",
+      numBuckets = 8, sortCol = "asset")
+    right.write.mode("overwrite").bucketBy(8, "asset").sortBy("asset")
+      .format("parquet").saveAsTable("bl_right")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps executedPlan in an opaque AdaptiveSparkPlanExec; exchanges
+    // are only inserted by EnsureRequirements (executedPlan, not sparkPlan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("bl_left").join(spark.table("bl_right"), "asset")
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"co-bucketed join planned a shuffle:\n${shuffles.mkString("\n")}")
+      assert(j.count() == 1000)
+
+      // control: the same join over UNBUCKETED data must shuffle — proves
+      // the assertion above is the layout's doing, not a planner accident
+      val plainL = left.localCheckpoint(true)
+      val plainR = right.localCheckpoint(true)
+      val control = plainL.join(plainR, "asset").queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(control.nonEmpty, "control join planned no shuffle; assertion vacuous")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bl_left")
+      spark.sql("DROP TABLE IF EXISTS bl_right")
+    }
+  }
+
+  test("bucketed layout still prunes the date partition") {
+    val data = (1L to 200L)
+      .map(i => (i, s"t$i", java.sql.Date.valueOf(s"2024-02-0${i % 3 + 1}")))
+      .toDF("asset", "time", "day")
+    Sinks.writeBucketedTable(data, "bl_part", "day", "asset",
+      numBuckets = 4, sortCol = "asset")
+    try {
+      val q = spark.table("bl_part")
+        .filter(col("day") === java.sql.Date.valueOf("2024-02-01"))
+      val scan = q.queryExecution.executedPlan.toString
+      // partition filter must reach the scan, not a post-scan Filter only
+      assert(scan.contains("PartitionFilters") &&
+        scan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("day")),
+        scan.takeRight(800))
+      assert(q.count() == data.filter(col("day") === java.sql.Date.valueOf("2024-02-01")).count())
+    } finally spark.sql("DROP TABLE IF EXISTS bl_part")
+  }
+}
