@@ -1146,6 +1146,10 @@ object Oracles {
     // lang cardinality per shard is far below the HLL sparse-mode bound, so
     // the sketch estimate is exactly the distinct count; the doc_id estimate
     // is pinned to a 5%-of-exact contract rather than a value
+    "q_score_calibration" ->
+      """SELECT doc_id, lang, true AS cal_ok FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q_shard_profile" ->
       """SELECT source AS shard, count(*) AS n_rows,
         |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok

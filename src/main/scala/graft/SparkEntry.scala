@@ -1766,6 +1766,21 @@ object SparkEntry {
     // pins exact per-shard counts and that the estimate stays within 5%
     // of DuckDB's exact distinct (sketch internals aren't SQL, the
     // tolerance contract is)
+    // per-language score calibration via broadcast KLL sketches — the gate
+    // emits the ACCURACY CLAIM (|kll_rank - exact cume_dist| <= 0.05, k=400
+    // => ~0.8% rank error) as a boolean, oracle asserts all-true (the
+    // q_shard_profile pattern for sketch outputs); the exact window form
+    // exists only inside the gate as the reference
+    "q_score_calibration" -> ((s, dir) => {
+      val cal = Diagnostics.scoreCalibration(Tables.documents(s, dir),
+        "lang", "n_chars", k = 400)
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      cal.withColumn("__exact", cume_dist().over(w))
+        .select(col("doc_id"), col("lang"),
+          (abs(col("pct_rank") - col("__exact")) <= 0.05).as("cal_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q_shard_profile" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val prof = Diagnostics.shardProfile(docs, "source", Seq("lang", "doc_id"))

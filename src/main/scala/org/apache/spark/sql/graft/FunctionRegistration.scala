@@ -99,6 +99,15 @@ object FunctionRegistration {
         UnicodeNormalize(exprs.head, exprs(1).eval().toString)
       })
 
+  /** `kll_rank(sketch, value)` -> normalized rank in [0, 1] (inclusive). */
+  val kllRankDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"kll_rank expects 2 arguments, got ${exprs.length}")
+        KllRank(exprs.head, exprs(1))
+      })
+
   /** `mg_sketch(item, k)` aggregate -> Misra-Gries heavy-hitter candidates
     * as array<struct<item, count_lb>> (counts are merge-order-dependent
     * lower bounds; recount candidates for exact figures).
@@ -135,7 +144,7 @@ object FunctionRegistration {
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
       kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription,
-      arraySubDescription, gramMatrixDescription)
+      arraySubDescription, gramMatrixDescription, kllRankDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

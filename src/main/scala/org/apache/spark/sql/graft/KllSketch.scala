@@ -128,3 +128,31 @@ case class KllQuantile(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** CDF lookup on a serialized KLL sketch: (sketch binary, value) → the
+  * value's normalized rank in [0, 1], INCLUSIVE convention (fraction of
+  * retained mass <= value — the `cume_dist` convention, so a calibrated
+  * score can be validated against the exact window form). The inverse of
+  * [[KllQuantile]]; same altitude rule (runs on profile/broadcast rows or
+  * as a row-local lookup against a BROADCAST sketch — never sorts).
+  */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_rank"
+  override def nullable: Boolean = true // empty sketch → null (cf. KllQuantile)
+
+  override protected def nullSafeEval(sketch: Any, value: Any): Any = {
+    val s = KllDoublesSketch.heapify(Memory.wrap(sketch.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null
+    else s.getRank(value.asInstanceOf[Double],
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

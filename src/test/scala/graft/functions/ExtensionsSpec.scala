@@ -102,4 +102,23 @@ class ExtensionsSpec extends SparkSpec {
       default.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("kll_rank inverts kll_quantile; scoreCalibration matches cume_dist") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    // exact regime (n < k): rank of x = fraction of values <= x
+    val r = spark.sql(
+      """SELECT kll_rank(kll_sketch(x), 3.0D) AS r FROM VALUES
+        |(1.0D),(2.0D),(3.0D),(4.0D) t(x)""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 0.75) < 1e-12)
+    // operator parity with the exact window form on two skewed groups
+    val df = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 7).map(i => ("b", i.toDouble))).toDF("g", "s")
+    val cal = graft.operators.Diagnostics.scoreCalibration(df, "g", "s")
+      .collect().map(row => (row.getString(0), row.getDouble(1), row.getDouble(2)))
+    cal.foreach { case (g, s, got) =>
+      val n = if (g == "a") 50 else 7
+      assert(math.abs(got - s / n) < 1e-12, s"($g, $s): $got != ${s / n}")
+    }
+  }
 }
