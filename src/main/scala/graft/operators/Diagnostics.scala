@@ -309,4 +309,42 @@ object Diagnostics {
       .withColumn("psi_contrib",
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
   }
+
+  /** File-layout report for a parquet path: per-size-decade histogram plus
+    * a compaction recommendation. Small-files sprawl is THE silent
+    * 100-TB read tax (a million 1-MB files = a million scan tasks + a
+    * million footer reads + NameNode/liststore pressure; the flip side,
+    * multi-GB unsplittable files, serializes readers) — this is the
+    * check a layout job runs before and after a write.
+    *
+    * The listing walks the FS iterator driver-side accumulating ONLY
+    * histogram counters (bounded memory at any file count — never
+    * materializes the file list). Returns one row per occupied size
+    * decade: (bucket, n_files, bytes, plus the same `target_files`
+    * recommendation on every row = ceil(total_bytes / targetBytes)).
+    */
+  def parquetLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                    targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val hist = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val len = f.getLen
+        val decade = if (len <= 0) 0 else math.log10(len.toDouble).toInt
+        val (n, b) = hist.getOrElse(decade, (0L, 0L))
+        hist(decade) = (n + 1, b + len)
+        total += len
+      }
+    }
+    val target = math.max(1L, (total + targetBytes - 1) / targetBytes)
+    hist.toSeq.sortBy(_._1).map { case (d, (n, b)) =>
+      (s"1e$d-1e${d + 1}B", n, b, target)
+    }.toDF("bucket", "n_files", "bytes", "target_files")
+  }
 }

@@ -355,4 +355,18 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(top._2 == 2000L)
     assert(drift.map(_._3).sum > 1.0, s"psi ${drift.map(_._3).sum}")
   }
+
+  test("parquetLayout histograms files and recommends a compaction target") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    (1L to 500L).map(i => (i, s"text $i")).toDF("id", "t")
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val got = Diagnostics.parquetLayout(spark, dir, targetBytes = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 20, s"expected 20 data files, got $got")
+    val totalBytes = got.map(_._3).sum
+    assert(totalBytes > 0)
+    val target = got.head._4
+    assert(target == (totalBytes + 4095) / 4096)
+    assert(got.forall(_._4 == target))
+  }
 }
