@@ -1095,6 +1095,25 @@ object Oracles {
         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_sentence_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS ps FROM documents),
+        |p1 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
+        |  FROM p0),
+        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM p1 WHERE len(trim(u.para)) > 0),
+        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
+        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
+        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
+        |r AS (SELECT doc_id, string_agg(para, '. ' ORDER BY idx) AS text_dedup,
+        |    count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n, 0) AS n_sents_kept
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_temperature_mix" ->
       """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,

@@ -1642,6 +1642,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sentence-grain exact dedup (grain below q_para_dedup)
+    "q_sentence_dedup" -> ((s, dir) => {
+      Dedup.sentenceDedup(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_paras_kept").cast("long").as("n_sents_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Data-mixture resampling to a 50/30/20 en/fr/de target (limiting
     // stratum keeps 100%; others downsample via the deterministic md5
     // bucket — rate math mirrored in the oracle).

@@ -753,6 +753,18 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0)).as("n_paras_kept"))
   }
 
+  /** Sentence-level exact dedup — the grain below [[paragraphDedup]] (the
+    * Lee et al. 2022 observation: boilerplate sentences repeat across
+    * documents whose paragraphs differ). Splitting is on terminal
+    * punctuation + whitespace WITHOUT lookbehind (RE2-compatible, so the
+    * oracle and any engine reproduce the same boundaries); terminal
+    * punctuation is consumed by the split and re-normalized to ". " on
+    * rebuild — a dedup normalization, not a text-preserving transform.
+    * Same skew-safe groupBy-min plan as the paragraph grain.
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    paragraphDedup(df, idCol, textCol, sepRegex = "[.!?]+\\s+", joinSep = ". ")
+
   /** Corpus snapshot diff — the version-control primitive for curation
     * runs: given an old and a new snapshot keyed by document id, classify
     * every id as added (new only), removed (old only), changed (both,

@@ -411,4 +411,17 @@ class DedupSimilaritySpec extends SparkSpec {
       ("b1", 2L, 6L, 2), ("b1", 3L, 6L, 2)))
     // 2 vs 3: "reprot" vs "report x" = dist > 2 (absent); block b2 isolated
   }
+
+  test("sentenceDedup drops cross-document repeated sentences, keeps first") {
+    val df = Seq(
+      (1L, "Unique opening here. Subscribe to our newsletter! Real content one."),
+      (2L, "Different opening text. Subscribe to our newsletter! Real content two."))
+      .toDF("doc_id", "text")
+    val got = Dedup.sentenceDedup(df, "doc_id", "text").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got(0)._3 == 3) // doc 1 keeps all three sentences
+    assert(got(1)._3 == 2, s"doc 2 kept ${got(1)._3}: ${got(1)._2}")
+    assert(!got(1)._2.toLowerCase.contains("subscribe"))
+    assert(got(1)._2.contains("Real content two"))
+  }
 }
