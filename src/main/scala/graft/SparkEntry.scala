@@ -2011,6 +2011,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // OPQ: eigenvalue-balanced rotation before PQ — rows-only (eigensolve
+    // + codebooks not SQL); PqSpec pins isometry + MSE win vs plain PQ
+    "q_opq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.opqTopK(e, q, "vec_id", "v", model, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dist"), 5).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization ADC top-k — rows-only (sampled-Lloyd codebooks
     // not SQL); PqSpec pins the ADC-distance identity and cluster recall
     "q_pq_topk" -> ((s, dir) => {
@@ -2031,7 +2045,7 @@ object SparkEntry {
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
     * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
     * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk,
-    * q_ivfpq_topk, q_pagerank).
+    * q_ivfpq_topk, q_opq_topk, q_pagerank).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -581,6 +581,72 @@ object Similarity {
         col("rank"))
   }
 
+  /** OPQ (parametric variant, Ge et al. 2014): rotate into the PCA
+    * eigenbasis, then PERMUTE principal dimensions so each PQ subspace
+    * receives a balanced share of the variance (greedy: next-largest
+    * eigenvalue goes to the subspace with the smallest eigenvalue
+    * log-product). Naive PCA rotation alone would be the WRONG PQ
+    * preprocessing — it concentrates all energy in subspace 0 and starves
+    * the rest; the balancing is the point. Rotation + translation are
+    * isometries, so ADC distances in the rotated space ARE the original
+    * euclidean distances.
+    */
+  case class OpqModel(mean: Array[Double], rot: Array[Array[Double]], pq: PqModel)
+
+  def opqTrain(df: DataFrame, vecCol: String, dims: Int, m: Int = 8,
+               ksub: Int = 16, maxIter: Int = 15, seed: Long = 42L,
+               sampleCap: Int = 32768): OpqModel = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val pca = Pca.fit(df, vecCol, dims, dims)
+    val dsub = dims / m
+    // greedy balance: eigenvalues desc → subspace with smallest log-product
+    val order = (0 until dims).sortBy(i => -pca.eigenvalues(i))
+    val logProd = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val assign = Array.fill(m)(List.empty[Int]) // principal dims per subspace
+    order.foreach { pcDim =>
+      val j = (0 until m).filter(slots(_) < dsub).minBy(logProd)
+      assign(j) = assign(j) :+ pcDim
+      slots(j) += 1
+      logProd(j) += math.log(math.max(pca.eigenvalues(pcDim), 1e-12))
+    }
+    val rot = assign.flatten.map(pca.components).toArray
+    val rotated = rotate(df, vecCol, pca.mean, rot, "__rv")
+    OpqModel(pca.mean, rot, pqTrain(rotated, "__rv", dims, m, ksub, maxIter,
+      seed, sampleCap))
+  }
+
+  private def rotate(df: DataFrame, vecCol: String, mean: Array[Double],
+                     rot: Array[Array[Double]], outCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.{ArrayMatVec, ColumnBridge}
+    val rows = rot.length
+    val cols = rot(0).length
+    val flat = rot.flatMap(_.toSeq)
+    // fold centering into the affine offset: R(v - mean) = Rv - R*mean
+    val off = rot.map(r => -r.zip(mean).map { case (a, b) => a * b }.sum)
+    df.withColumn(outCol, ColumnBridge.column(ArrayMatVec(
+      ColumnBridge.expression(col(vecCol).cast("array<double>")),
+      flat, off, rows, cols)))
+  }
+
+  /** Append the rotated (centered, eigen-permuted) vector — one codegen'd
+    * affine mat-vec kernel per row ([[org.apache.spark.sql.graft.ArrayMatVec]];
+    * the composed array-of-dots form was the OPQ gate's dominant cost).
+    */
+  def opqRotate(df: DataFrame, vecCol: String, model: OpqModel,
+                outCol: String = "rotated"): DataFrame =
+    rotate(df, vecCol, model.mean, model.rot, outCol)
+
+  /** ADC top-k in the rotated space (= exact original euclidean distances
+    * to the rotated reconstructions). Same serving shape as [[pqTopK]].
+    */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, model: OpqModel, k: Int): DataFrame = {
+    val rc = opqRotate(corpus, vecCol, model, "__rv")
+    val rq = opqRotate(queries, vecCol, model, "__rv")
+    pqTopK(rc, rq, idCol, "__rv", model.pq, k)
+  }
+
   /** Driver-side reconstruction of a code row (test/debug surface). */
   def pqDecode(model: PqModel, codes: Seq[Int]): Array[Double] = {
     require(codes.length == model.m, s"expected ${model.m} codes, got ${codes.length}")

@@ -1,0 +1,68 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Codegen'd affine map over an array<double> column:
+  * out[r] = offset[r] + sum_c v[c] * mat[r*cols + c].
+  *
+  * The composed form — array(dot(v, lit(row0)), dot(v, lit(row1)), ...) —
+  * is an out-dim-wide expression tree whose generated source embeds
+  * rows x cols literals; at 64x64 it measured as the dominant cost of the
+  * OPQ gate (compile + fallback, the PqEncodeExpr story again). One
+  * expression holds the matrix as a reference object and runs a single
+  * tight loop. Folding the translation into `offset`
+  * (offset = -M*mean for a centered rotation) removes the separate
+  * ArraySub pass entirely.
+  */
+case class ArrayMatVec(child: Expression, mat: Array[Double],
+                       offset: Array[Double], rows: Int, cols: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mat.length == rows * cols, s"mat ${mat.length} != $rows x $cols")
+  require(offset.length == rows, s"offset ${offset.length} != $rows")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "array_matvec"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var s = offset(r)
+      val base = r * cols
+      var c = 0
+      while (c < cols) { s += v.getDouble(c) * mat(base + c); c += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("mvMat", mat, "double[]")
+      val offRef = ctx.addReferenceObj("mvOff", offset, "double[]")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r"); val c = ctx.freshName("c")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      s"""
+         |double[] $out = new double[$rows];
+         |for (int $r = 0; $r < $rows; $r++) {
+         |  double $s = $offRef[$r];
+         |  int $base = $r * $cols;
+         |  for (int $c = 0; $c < $cols; $c++) {
+         |    $s += $v.getDouble($c) * $matRef[$base + $c];
+         |  }
+         |  $out[$r] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -118,4 +118,78 @@ class PqSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("subspaces"))
   }
+
+  /** Anisotropic data: first 4 dims carry sd-20 structure, last 12 are
+    * sd-0.05 noise — plain PQ's subspace 0 holds ALL the energy while
+    * subspaces 1-3 quantize noise; OPQ's balanced permutation spreads the
+    * 4 informative principal directions one-per-subspace.
+    */
+  private def anisotropic(n: Int): Seq[(Long, Seq[Double])] = {
+    val r = new java.util.Random(21L)
+    (0 until n).map { i =>
+      val sig = Seq.fill(4)(r.nextGaussian() * 20.0)
+      val noise = Seq.fill(12)(r.nextGaussian() * 0.05)
+      (i.toLong, sig ++ noise)
+    }
+  }
+
+  test("opqRotate is an isometry (pairwise distances preserved)") {
+    val df = anisotropic(60).toDF("vec_id", "v").cache()
+    val model = Similarity.opqTrain(df, "v", dims = 16, m = 4, ksub = 8)
+    val rot = Similarity.opqRotate(df, "v", model).orderBy("vec_id")
+      .select("v", "rotated").collect()
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    for (Array(a, b) <- rot.take(10).sliding(2)) {
+      val dOrig = d2(a.getSeq[Double](0), b.getSeq[Double](0))
+      val dRot = d2(a.getSeq[Double](1), b.getSeq[Double](1))
+      assert(math.abs(dOrig - dRot) < 1e-8 * (1 + dOrig), s"$dOrig vs $dRot")
+    }
+    df.unpersist()
+  }
+
+  test("OPQ quantization error beats plain PQ on anisotropic data") {
+    val df = anisotropic(400).toDF("vec_id", "v").cache()
+    val opq = Similarity.opqTrain(df, "v", dims = 16, m = 4, ksub = 8)
+    val pq = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8)
+    def mse(codesDf: org.apache.spark.sql.DataFrame, vecCol: String,
+            model: Similarity.PqModel): Double = {
+      val rows = codesDf.select(vecCol, "codes").collect()
+      rows.map { r =>
+        val v = r.getSeq[Double](0)
+        val recon = Similarity.pqDecode(model, r.getSeq[Int](1))
+        v.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / rows.length
+    }
+    val pqMse = mse(Similarity.pqEncode(df, "v", pq), "v", pq)
+    val rotated = Similarity.opqRotate(df, "v", opq, "rv")
+    val opqMse = mse(Similarity.pqEncode(rotated, "rv", opq.pq), "rv", opq.pq)
+    assert(opqMse < pqMse * 0.8,
+      s"OPQ mse $opqMse not clearly below plain PQ mse $pqMse")
+    df.unpersist()
+  }
+
+  test("opqTopK ranks by true euclidean distance on anisotropic clusters") {
+    // two tight anisotropic clusters far apart: every top-3 neighbor must
+    // come from the query's cluster
+    val r = new java.util.Random(5L)
+    val data = (0 until 40).map { i =>
+      val c = i % 2
+      val base = if (c == 0) 0.0 else 200.0
+      val sig = Seq.fill(4)(base + r.nextGaussian() * 5.0)
+      val noise = Seq.fill(12)(r.nextGaussian() * 0.05)
+      (i.toLong, c, sig ++ noise)
+    }
+    val df = data.toDF("vec_id", "cluster", "v").cache()
+    val model = Similarity.opqTrain(df, "v", dims = 16, m = 4, ksub = 8)
+    val q = df.filter(col("vec_id") < 2)
+    val got = Similarity.opqTopK(df, q, "vec_id", "v", model, k = 3)
+      .select("query_id", "neighbor_id").collect()
+    val clusterOf = data.map(t => t._1 -> t._2).toMap
+    assert(got.length == 2 * 3)
+    got.foreach { row =>
+      assert(clusterOf(row.getLong(0)) == clusterOf(row.getLong(1)))
+    }
+    df.unpersist()
+  }
 }
