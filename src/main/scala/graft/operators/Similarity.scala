@@ -333,14 +333,18 @@ object Similarity {
     require(inDim > 0 && outDim > 0, s"bad dims $inDim -> $outDim")
     val scale = 1.0 / math.sqrt(outDim)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val v = vec.cast("array<double>")
-    array((0 until outDim).map { k =>
-      val row = Array.tabulate(inDim) { j =>
-        val d = md.digest(s"$k-$j-$seed".getBytes("UTF-8"))
-        if ((d(0) & 1) == 1) -scale else scale
-      }
-      graft.functions.VectorExprs.dot(v, typedLit(row.toSeq))
-    }: _*)
+    // one ArrayMatVec kernel instead of outDim composed dots — same
+    // row-major summation order, so outputs are bit-identical (the
+    // q_random_project oracle hash pins this)
+    val flat = new Array[Double](outDim * inDim)
+    for (k <- 0 until outDim; j <- 0 until inDim) {
+      val d = md.digest(s"$k-$j-$seed".getBytes("UTF-8"))
+      flat(k * inDim + j) = if ((d(0) & 1) == 1) -scale else scale
+    }
+    import org.apache.spark.sql.graft.{ArrayMatVec, ColumnBridge}
+    ColumnBridge.column(ArrayMatVec(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      flat, new Array[Double](outDim), outDim, inDim))
   }
 
   /** Prototypicality scoring: per-group embedding centroid (element-wise
