@@ -533,6 +533,18 @@ object Oracles {
         |  round(corr(view, purchase), 6) AS corr_view_purchase
         |FROM m""".stripMargin,
 
+    "q_winsorized" ->
+      """WITH v AS (SELECT event_type, floor(value * 100 + 0.5) AS v FROM events),
+        |b AS (SELECT event_type, quantile_cont(v, 0.25) AS lo,
+        |    quantile_cont(v, 0.75) AS hi FROM v GROUP BY 1)
+        |SELECT v.event_type, count(*) AS n, any_value(b.lo) AS lo,
+        |  any_value(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  avg(least(greatest(v.v, b.lo), b.hi)) AS wmean
+        |FROM v JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_global_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,

@@ -956,6 +956,17 @@ object SparkEntry {
         round(corr(col("view"), col("purchase")), 6).as("corr_view_purchase"))
     }),
 
+    // per-type winsorized stats over integer-scaled values (cents are
+    // exact in any accumulation order; quartile bounds interpolate on
+    // dyadic fractions -> bit-identical clamps in both engines)
+    "q_winsorized" -> ((s, dir) => {
+      val cents = Tables.events(s, dir)
+        .withColumn("v", floor(col("value") * 100 + lit(0.5)))
+      Timeseries.winsorizedStats(cents, "event_type", "v",
+          pLow = 0.25, pHigh = 0.75)
+        .orderBy("event_type")
+    }),
+
     "q_global_stats" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")

@@ -298,4 +298,32 @@ object Timeseries {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Per-group winsorized statistics: clamp values to the group's
+    * [pLow, pHigh] exact percentiles, then aggregate — the robust
+    * sensor-statistics companion to std_range_flag (outliers bounded, not
+    * dropped, so n is preserved). Returns (group, n, lo, hi, n_clipped_low,
+    * n_clipped_high, wmean).
+    *
+    * Two group-grain aggregates joined by group (AQE broadcasts the bounds
+    * table — one row per group); no window, no sort. Exact `percentile`
+    * state grows with distinct values per group (the q_qa_describe
+    * finding) — at 100-TB scale swap the bounds pass to the KLL sketches
+    * if approximate bounds are acceptable.
+    */
+  def winsorizedStats(df: DataFrame, byCol: String, valueCol: String,
+                      pLow: Double = 0.05, pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0 && pLow < pHigh && pHigh <= 1, s"bad bounds [$pLow, $pHigh]")
+    val bounds = df.groupBy(col(byCol).as("__g"))
+      .agg(percentile(col(valueCol), lit(pLow)).as("__lo"),
+        percentile(col(valueCol), lit(pHigh)).as("__hi"))
+    val w = least(greatest(col(valueCol), col("__lo")), col("__hi"))
+    df.join(bounds, col(byCol) === col("__g"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("lo"), first(col("__hi")).as("hi"),
+        sum(when(col(valueCol) < col("__lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col(valueCol) > col("__hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        avg(w).as("wmean"))
+  }
 }

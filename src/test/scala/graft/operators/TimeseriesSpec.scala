@@ -109,4 +109,19 @@ class TimeseriesSpec extends SparkSpec {
       .select("pid", "name").as[(Long, String)].collect().toSeq.sorted
     assert(got == Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "A")))
   }
+
+  test("winsorizedStats clamps to group quartiles and counts clips") {
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .toDF("g", "v")
+    // values 1..9 + outlier 1000: p25 = 3.25, p75 = 7.75 over 10 values
+    val r = Timeseries.winsorizedStats(df, "g", "v", 0.25, 0.75)
+      .collect().head
+    assert(r.getLong(1) == 10)
+    assert(math.abs(r.getDouble(2) - 3.25) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 7.75) < 1e-12)
+    assert(r.getLong(4) == 3) // 1, 2, 3 below
+    assert(r.getLong(5) == 3) // 8, 9, 1000 above
+    val expected = (3.25 * 3 + 4 + 5 + 6 + 7 + 7.75 * 3) / 10
+    assert(math.abs(r.getDouble(6) - expected) < 1e-12)
+  }
 }
