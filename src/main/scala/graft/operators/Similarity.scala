@@ -121,7 +121,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
-              dims: Int = 0): DataFrame = {
+              dims: Int = 0, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming supports 0 (exact bucket) or 1 (all single-bit flips), got $probeHamming")
     val d = if (dims > 0) dims
       else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
     def bucketed(df: DataFrame, side: String) =
@@ -129,8 +131,21 @@ object Similarity {
           array((0 until tables).map(t =>
             hyperplaneBucket(col(vecCol), d, bits, seed = 42 + 7919 * t)): _*).as("__buckets"))
         .select(col(s"${side}_id"), posexplode(col("__buckets")).as(Seq("table", "bucket")))
+    // multi-probe (QUERY side only — the small side): also probe every
+    // bucket one sign-flip away, recovering neighbors that straddle a
+    // single hyperplane without paying for more tables; candidate growth
+    // is bounded by (bits+1) x the query fan-out, the corpus index is
+    // untouched
+    def probed(df: DataFrame) = {
+      val b = bucketed(df, "query")
+      if (probeHamming == 0) b
+      else b.select(col("query_id"), col("table"),
+        explode(array((col("bucket") +:
+          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
+          .as("bucket"))
+    }
     val candIds = bucketed(FanOut(corpus), "neighbor")
-      .join(bucketed(queries, "query"), Seq("table", "bucket"))
+      .join(probed(queries), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct()

@@ -424,4 +424,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got(1)._2.toLowerCase.contains("subscribe"))
     assert(got(1)._2.contains("Real content two"))
   }
+
+  test("multi-probe LSH recall dominates single-probe at the same tables") {
+    val r = new java.util.Random(17L)
+    // direction-clustered data (20 directions, small angular noise):
+    // cosine neighbors share hyperplane signs, so LSH has signal to find —
+    // isotropic random vectors are the no-structure worst case where ANY
+    // bucketing scheme degenerates
+    val centers = Array.fill(20, 16)(r.nextGaussian())
+    val data = (0L until 200L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => x + 0.15 * r.nextGaussian()).toSeq)
+    }
+    val df = data.toDF("vec_id", "v").cache()
+    val q = df.filter(col("vec_id") < 15)
+    def hits(probe: Int): Map[Long, Set[Long]] =
+      Similarity.lshTopK(df, q, "vec_id", "v", k = 5, bits = 10, tables = 2,
+          dims = 16, probeHamming = probe)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val single = hits(0)
+    val multi = hits(1)
+    // brute-force cosine truth
+    val truth = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // keys.toSeq: mapping a Set would DEDUPLICATE equal per-query recalls
+    def recall(h: Map[Long, Set[Long]]): Double = truth.keys.toSeq.map { qid =>
+      h.getOrElse(qid, Set.empty).intersect(truth(qid)).size.toDouble / 5.0
+    }.sum / truth.size
+    val rs = recall(single); val rm = recall(multi)
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm > 0.5, s"multi-probe recall $rm unexpectedly low")
+    df.unpersist()
+  }
 }
