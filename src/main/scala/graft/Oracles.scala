@@ -1177,6 +1177,12 @@ object Oracles {
     // lang cardinality per shard is far below the HLL sparse-mode bound, so
     // the sketch estimate is exactly the distinct count; the doc_id estimate
     // is pinned to a 5%-of-exact contract rather than a value
+    "q_cumulative_uniques" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch, n_events, true AS cum_ok
+        |FROM d ORDER BY 1""".stripMargin,
+
     "q_score_calibration" ->
       """SELECT doc_id, lang, true AS cal_ok FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -1785,6 +1785,25 @@ object SparkEntry {
     // pins exact per-shard counts and that the estimate stays within 5%
     // of DuckDB's exact distinct (sketch internals aren't SQL, the
     // tolerance contract is)
+    // daily cumulative unique users via mergeable HLL (triangle join at
+    // calendar grain, no running window) — boolean accuracy claim vs the
+    // exact first-seen-day curve (lgK=14 => ~0.8% error, 5% bound = 6 sigma)
+    "q_cumulative_uniques" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val cu = Diagnostics.cumulativeUniques(e, "ts", "user_id", "day")
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("fd"))
+      val exact = cu.select(col("bucket_start"))
+        .join(firstDay, col("fd") <= col("bucket_start"))
+        .groupBy("bucket_start").agg(count(lit(1)).as("__exact"))
+      cu.join(exact, Seq("bucket_start"))
+        .select(unix_timestamp(col("bucket_start")).as("day_epoch"),
+          col("n_events"),
+          (abs(col("cumulative_unique_est") / col("__exact") - 1) <= 0.05)
+            .as("cum_ok"))
+        .orderBy("day_epoch")
+    }),
+
     // per-language score calibration via broadcast KLL sketches — the gate
     // emits the ACCURACY CLAIM (|kll_rank - exact cume_dist| <= 0.05, k=400
     // => ~0.8% rank error) as a boolean, oracle asserts all-true (the

@@ -310,6 +310,30 @@ object Diagnostics {
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
   }
 
+  /** Cumulative unique-entity curve per calendar bucket (daily/weekly
+    * cumulative unique users — the growth-accounting query): per-bucket
+    * HLL sketches, then cumulative unions via a TRIANGLE JOIN at calendar
+    * grain (b' <= b) — bucket count is bounded by the calendar (365²/year
+    * pairs, trivial), so no unpartitioned running window ever exists in
+    * the plan, and the per-bucket sketches are the mergeable persisted
+    * form (yesterday's curve extends without rescanning history — the
+    * exact `countDistinct` over a growing window cannot do that).
+    * Returns (bucket start, n_events, unique_est, cumulative_unique_est).
+    */
+  def cumulativeUniques(df: DataFrame, tsCol: String, idCol: String,
+                        bucket: String = "day", lgConfigK: Int = 14): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc(bucket, col(tsCol)).as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col(idCol), lit(lgConfigK)).as("__sk"))
+    daily.alias("a")
+      .join(daily.alias("b"), col("b.bucket_start") <= col("a.bucket_start"))
+      .groupBy(col("a.bucket_start").as("bucket_start"))
+      .agg(first(col("a.n_events")).as("n_events"),
+        hll_sketch_estimate(first(col("a.__sk"))).as("unique_est"),
+        hll_sketch_estimate(hll_union_agg(col("b.__sk"))).as("cumulative_unique_est"))
+  }
+
   /** File-layout report for a parquet path: per-size-decade histogram plus
     * a compaction recommendation. Small-files sprawl is THE silent
     * 100-TB read tax (a million 1-MB files = a million scan tasks + a

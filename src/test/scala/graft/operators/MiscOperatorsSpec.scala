@@ -369,4 +369,25 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(target == (totalBytes + 4095) / 4096)
     assert(got.forall(_._4 == target))
   }
+
+  test("cumulativeUniques: per-day and cumulative estimates track exact") {
+    import java.sql.Timestamp
+    // day 1: users 1..50; day 2: users 26..75 (25 new); day 3: user 1 only
+    val ev = ((1 to 50).map(u => (u.toLong, Timestamp.valueOf("2024-03-01 10:00:00"))) ++
+      (26 to 75).map(u => (u.toLong, Timestamp.valueOf("2024-03-02 10:00:00"))) ++
+      Seq((1L, Timestamp.valueOf("2024-03-03 10:00:00"))))
+      .toDF("user_id", "ts")
+    val got = Diagnostics.cumulativeUniques(ev, "ts", "user_id", "day")
+      .orderBy("bucket_start").collect()
+    assert(got.length == 3)
+    val daily = got.map(_.getLong(2))
+    val cum = got.map(_.getLong(3))
+    // small cardinalities sit in the HLL exact regime
+    assert(math.abs(daily(0) - 50) <= 1 && math.abs(daily(1) - 50) <= 1)
+    assert(daily(2) == 1)
+    assert(math.abs(cum(0) - 50) <= 1)
+    assert(math.abs(cum(1) - 75) <= 2)
+    assert(math.abs(cum(2) - 75) <= 2) // day 3 adds no new user
+    assert(got.map(_.getLong(1)).toSeq == Seq(50L, 50L, 1L))
+  }
 }
