@@ -1375,6 +1375,44 @@ object Oracles {
         |    + CAST((n_chars > q[3]) AS INT) AS bucket
         |FROM documents, t ORDER BY doc_id""".stripMargin,
 
+    "q_topk_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |pt AS (SELECT a.vec_id AS query, b.vec_id AS item,
+        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) AS cos
+        |  FROM n a, n b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |rt AS (SELECT query, item,
+        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pt),
+        |truth AS (SELECT query, item FROM rt WHERE rnk <= 5),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |qv AS (SELECT vec_id,
+        |    [CASE WHEN maxabs = 0 THEN 0.0
+        |          ELSE CAST(CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) AS DOUBLE) END
+        |     FOR i IN range(1, len(v) + 1)] AS q
+        |  FROM m),
+        |nq AS (SELECT vec_id, q,
+        |    sqrt(list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)])) AS nrm FROM qv),
+        |pp AS (SELECT a.vec_id AS query, b.vec_id AS item,
+        |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |         ELSE list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) / (a.nrm * b.nrm)
+        |    END AS cos
+        |  FROM nq a, nq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |rp AS (SELECT query, item,
+        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pp),
+        |pred AS (SELECT query, item FROM rp WHERE rnk <= 5),
+        |np AS (SELECT query, count(*) AS n_pred FROM pred GROUP BY 1),
+        |nt AS (SELECT query, count(*) AS n_truth FROM truth GROUP BY 1),
+        |h AS (SELECT p.query, count(*) AS n_hit FROM pred p
+        |  JOIN truth t ON p.query = t.query AND p.item = t.item GROUP BY 1)
+        |SELECT nt.query AS query_id, coalesce(np.n_pred, 0) AS n_pred,
+        |  nt.n_truth AS n_truth, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / np.n_pred AS precision
+        |FROM nt LEFT JOIN np ON nt.query = np.query
+        |LEFT JOIN h ON nt.query = h.query
+        |ORDER BY query_id""".stripMargin,
+
     "q_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),

@@ -1445,6 +1445,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ranking-metrics operator: recall/precision@5 of the int8-quantized
+    // cosine ranking vs the exact ranking — both rankings integer-exact in
+    // both engines (cosine over the raw code arrays; per-vector scales
+    // cancel), so even the METRIC table hash-matches
+    "q_topk_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "v", k = 5)
+      val qd = e.withColumn("v",
+          Similarity.quantizeInt8(col("v")).getField("q").cast("array<double>"))
+        .select("vec_id", "v")
+      val pred = Similarity.bruteForceTopK(qd, qd.filter(col("vec_id") < 20),
+        "vec_id", "v", k = 5)
+      Metrics.rankingOverlap(pred, truth, "query_id", "neighbor_id")
+        .select(col("query").as("query_id"), col("n_pred"), col("n_truth"),
+          col("n_hit"), col("recall"), col("precision"))
+        .orderBy("query_id")
+    }),
+
     // LSH-bucketed ANN — rows-only (approximate by construction)
     "q_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)

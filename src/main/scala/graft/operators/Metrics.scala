@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-evaluation metrics as plans (the eval harness for the ANN /
+  * search family): compare a predicted ranking against a ground-truth
+  * ranking at (query, item) grain — recall/precision per query from one
+  * equi join + two aggregates, never a per-query driver loop. At eval
+  * scale (10^6 queries x k items) this is a small join; at sweep scale
+  * (grid of index configs) each config is one metrics call over its
+  * prediction table.
+  */
+object Metrics {
+
+  /** Per-query overlap metrics between two (query, item) tables:
+    * (query, n_pred, n_truth, n_hit, recall, precision). Queries present
+    * in only one side appear with zero counts on the other (full outer at
+    * query grain — a query the predictor returned nothing for is a recall
+    * 0, not a dropped row).
+    */
+  def rankingOverlap(pred: DataFrame, truth: DataFrame,
+                     queryCol: String, itemCol: String): DataFrame = {
+    def pairs(df: DataFrame, side: String) = df
+      .select(col(queryCol).as("query"), col(itemCol).as(s"__i_$side"))
+      .distinct()
+    val p = pairs(pred, "p")
+    val t = pairs(truth, "t")
+    val hits = p.join(t, col("__i_p") === col("__i_t") &&
+        p("query") === t("query"))
+      .groupBy(p("query").as("query")).agg(count(lit(1)).as("n_hit"))
+    val np = p.groupBy("query").agg(count(lit(1)).as("n_pred"))
+    val nt = t.groupBy("query").agg(count(lit(1)).as("n_truth"))
+    np.join(nt, Seq("query"), "full_outer")
+      .join(hits, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        when(col("n_truth") === 0, lit(null)).otherwise(
+          col("n_hit").cast("double") / col("n_truth")))
+      .withColumn("precision",
+        when(col("n_pred") === 0, lit(null)).otherwise(
+          col("n_hit").cast("double") / col("n_pred")))
+  }
+}

@@ -390,4 +390,18 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(cum(2) - 75) <= 2) // day 3 adds no new user
     assert(got.map(_.getLong(1)).toSeq == Seq(50L, 50L, 1L))
   }
+
+  test("rankingOverlap: hits, zero-pred queries, and one-sided queries") {
+    val pred = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("q", "item")
+    val truth = Seq((1L, 10L), (1L, 12L), (3L, 30L)).toDF("q", "item")
+    val got = Metrics.rankingOverlap(pred, truth, "q", "item")
+      .orderBy("query").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1L), (2L, 1L, 0L, 0L), (3L, 0L, 1L, 0L)))
+    val m = Metrics.rankingOverlap(pred, truth, "q", "item")
+      .orderBy("query").collect()
+    assert(m(0).getDouble(4) == 0.5 && m(0).getDouble(5) == 0.5)
+    assert(m(1).isNullAt(4)) // no truth -> recall null
+    assert(m(2).isNullAt(5)) // no pred -> precision null
+  }
 }
