@@ -1375,6 +1375,24 @@ object Oracles {
         |    + CAST((n_chars > q[3]) AS INT) AS bucket
         |FROM documents, t ORDER BY doc_id""".stripMargin,
 
+    "q_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS cs FROM embeddings),
+        |q AS (SELECT vec_id AS query, (vec_id * 7 + 1) % (SELECT cs FROM n) AS pos
+        |  FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT t.query, s.slot,
+        |    ('0x' || substr(md5(CAST(t.query AS VARCHAR) || '|' || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT
+        |      % (SELECT cs FROM n) AS cand
+        |  FROM (SELECT DISTINCT query FROM q) t,
+        |       (SELECT unnest(range(0, 15)) AS slot) s),
+        |dd AS (SELECT query, cand, min(slot) AS slot FROM d
+        |  WHERE cand <> query GROUP BY 1, 2),
+        |neg AS (SELECT dd.* FROM dd LEFT JOIN q
+        |  ON dd.query = q.query AND dd.cand = q.pos WHERE q.query IS NULL),
+        |r AS (SELECT query, cand, slot,
+        |    row_number() OVER (PARTITION BY query ORDER BY slot, cand) AS rnk FROM neg)
+        |SELECT query AS vec_id, cand AS neg_id, rnk AS slot_rank
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin,
+
     "q_topk_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

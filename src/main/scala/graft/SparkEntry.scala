@@ -1445,6 +1445,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // deterministic negative sampling (contrastive-training pairs): md5
+    // uniforms over the dense id domain, collision dedup, anti-join
+    // positives, bounded k-by-slot selection — fully hash-gated
+    "q_negative_sample" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id")
+      val cs = e.count()
+      val pos = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), ((col("vec_id") * 7 + 1) % cs).as("pos"))
+      Sampling.negativeSample(pos, "vec_id", "pos", cs, k = 5, oversample = 3)
+        .select(col("vec_id"), col("neg_id"),
+          col("slot_rank").cast("long").as("slot_rank"))
+        .orderBy("vec_id", "slot_rank")
+    }),
+
     // ranking-metrics operator: recall/precision@5 of the int8-quantized
     // cosine ranking vs the exact ranking — both rankings integer-exact in
     // both engines (cosine over the raw code arrays; per-vector scales

@@ -148,6 +148,47 @@ object Sampling {
     stratifiedSample(df, stratumCol, idCol, rates, defaultRate = 0.0)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * query in `positives` (query, positive) pairs, draw `k` corpus ids the
+    * query is NOT paired with — uniform over a dense id domain [0,
+    * corpusSize), reproducible across runs/engines (candidate for slot s
+    * is md5(query|s) mod corpusSize — the repo's md5 uniform contract).
+    *
+    * Scale shape: `oversample * k` candidate rows per query (row-local
+    * generation — never a query x corpus cross join), collision dedup via
+    * groupBy-min(slot), positives removed by an anti join at (query, cand)
+    * grain, and the final k-by-slot-order selection is the bounded
+    * [[topKPerStratum]]-style aggregate — no per-query sort window. A
+    * query whose draws are exhausted by collisions/positives emits fewer
+    * than k rows (raise `oversample`); requires dense ids (standard for
+    * training corpora — reindex otherwise).
+    */
+  def negativeSample(positives: DataFrame, queryCol: String, posCol: String,
+                     corpusSize: Long, k: Int, oversample: Int = 3): DataFrame = {
+    require(corpusSize > 0 && k > 0 && oversample >= 1,
+      s"bad args corpusSize=$corpusSize k=$k oversample=$oversample")
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
+    val draws = positives.select(col(queryCol).as("query")).distinct()
+      .withColumn("slot", explode(sequence(lit(0), lit(oversample * k - 1))))
+      .withColumn("cand",
+        conv(substring(md5(concat(col("query").cast("string"), lit("|"),
+          col("slot").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % corpusSize)
+      .filter(col("cand") =!= col("query"))
+      .groupBy("query", "cand").agg(min(col("slot")).as("slot"))
+    val pos = positives.select(col(queryCol).as("query"), col(posCol).as("cand"))
+    val negs = draws.join(pos, Seq("query", "cand"), "left_anti")
+    def topk(key: Column, id: Column): Column = ColumnBridge.column(
+      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+    negs
+      .groupBy("query")
+      .agg(topk(col("slot").cast("double"), col("cand")).as("__top"))
+      .select(col("query"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("query").as(queryCol), col("__e._2").as("neg_id"),
+        (col("__r") + 1).as("slot_rank"))
+  }
+
   /** Temperature-flattened mixture resampling (the XLM-R/mBERT alpha-
     * sampling scheme): stratum l is drawn with probability
     * q_l = p_l^alpha / sum_k p_k^alpha (p_l = its corpus share), realized

@@ -246,4 +246,23 @@ class SamplingChunkingSpec extends SparkSpec {
       Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.5)
     }
   }
+
+  test("negativeSample: k negatives per query, none positive, reproducible") {
+    val pos = Seq((1L, 5L), (1L, 9L), (2L, 3L)).toDF("q", "p")
+    val got = Sampling.negativeSample(pos, "q", "p", corpusSize = 100L, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 4, s"query $q got ${rows.length} negatives")
+      val posSet = if (q == 1L) Set(5L, 9L) else Set(3L)
+      rows.foreach { case (_, neg, _) =>
+        assert(!posSet.contains(neg) && neg != q && neg >= 0 && neg < 100)
+      }
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+    val again = Sampling.negativeSample(pos, "q", "p", corpusSize = 100L, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == got.toSet)
+  }
 }
