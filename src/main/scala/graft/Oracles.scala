@@ -950,6 +950,25 @@ object Oracles {
         |SELECT vec_id, k, round(x, 6) AS x FROM p
         |ORDER BY vec_id, k""".stripMargin,
 
+    "q_embed_cov_by_group" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
+        |     FOR i IN range(0, 64)] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 4)),
+        |prods AS (SELECT q.label, a.i AS i, b.i AS j,
+        |    SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
+        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2, 3),
+        |sums AS (SELECT q.label, a.i AS i, CAST(-1 AS BIGINT) AS j,
+        |    SUM(q.v[a.i + 1]) AS sxy
+        |  FROM q, idx a GROUP BY 1, 2, 3),
+        |cnt AS (SELECT label, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q GROUP BY 1)
+        |SELECT label, i, j, sxy FROM prods
+        |UNION ALL SELECT label, i, j, sxy FROM sums
+        |UNION ALL SELECT label, i, j, sxy FROM cnt
+        |ORDER BY label, i, j""".stripMargin,
+
     "q_embed_cov" ->
       """WITH q AS (SELECT
         |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256

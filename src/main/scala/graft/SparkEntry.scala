@@ -2031,6 +2031,19 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // per-label second moments (grouped-PCA stage): one fixed-size gram
+    // buffer per group, same dyadic-quantization contract as q_embed_cov
+    "q_embed_cov_by_group" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", transform(col("embedding"),
+          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
+      Pca.momentRowsBy(e, "v", 64, "label")
+        .filter(col("i") < 4 && col("j") < 4)
+        .select(col("group").cast("long").as("label"), col("i"), col("j"),
+          col("sxy"))
+        .orderBy("label", "i", "j")
+    }),
+
     // PCA whitened projection — rows-only (driver-side Jacobi eigensolve is
     // not SQL-expressible); PcaSpec pins eigensystem/variance/rotation
     "q_pca_project" -> ((s, dir) => {

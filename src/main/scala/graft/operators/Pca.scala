@@ -57,6 +57,29 @@ object Pca {
       .select(col("i"), col("j"), col("sxy"))
   }
 
+  /** Per-group moment rows: (group, i, j, sxy) — one fixed-size gram buffer
+    * per group (grouped PCA / per-language embedding statistics), same
+    * layout as [[momentRows]]. Shuffle carries |groups| buffers, never
+    * vector data.
+    */
+  def momentRowsBy(df: DataFrame, vecCol: String, dims: Int,
+                   byCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val triBase = 1 + dims
+    val mapping: Seq[(Int, Long, Long)] =
+      Seq((0, -1L, -1L)) ++
+      (0 until dims).map(i => (1 + i, i.toLong, -1L)) ++
+      (for (i <- 0 until dims; j <- i until dims) yield
+        (triBase + i * dims - i * (i - 1) / 2 + (j - i), i.toLong, j.toLong))
+    val mapDf = mapping.toDF("pos", "i", "j")
+    df.groupBy(col(byCol).as("group"))
+      .agg(gram(col(vecCol).cast("array<double>"), dims).as("moments"))
+      .select(col("group"), posexplode(col("moments")).as(Seq("pos", "sxy")))
+      .join(broadcast(mapDf), "pos")
+      .select(col("group"), col("i"), col("j"), col("sxy"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvectors as rows), unsorted. Deterministic: fixed
     * sweep order, convergence on the off-diagonal Frobenius norm.

@@ -193,6 +193,23 @@ object StreamingOps {
       .agg(sketch.as("top_items"), count(lit(1)).as("n_rows"))
   }
 
+  /** Per-window unique-entity estimates: event count + HLL sketch binary +
+    * its estimate per event-time window — the streaming half of
+    * [[graft.operators.Diagnostics.cumulativeUniques]]: persisted window
+    * sketches union into the batch cumulative curve (hll_union_agg over
+    * the sink table), so the live feed extends history without a rescan.
+    * State per window is the fixed ~KB sketch regardless of cardinality;
+    * an exact streaming countDistinct would hold every id in state.
+    */
+  def uniquesPerWindow(stream: DataFrame, tsCol: String, idCol: String,
+                       duration: String, lgConfigK: Int = 14,
+                       watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(idCol), lit(lgConfigK)).as("id_sketch"))
+      .withColumn("unique_est", hll_sketch_estimate(col("id_sketch")))
+
   /** Per-user funnel position carried between micro-batches: the next step
     * awaited and the event-time frontier (micros) the next event must pass.
     */

@@ -364,4 +364,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.size == 20)
   }
+
+  test("uniquesPerWindow sketches merge into the batch cumulative curve") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, Long)]
+    val uw = StreamingOps.uniquesPerWindow(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id", "1 hour",
+      watermark = "0 seconds")
+    val q = uw.writeStream.format("memory").queryName("uniq_out")
+      .outputMode(OutputMode.Update).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-05-01 10:05:00"), 1L), (t("2024-05-01 10:10:00"), 2L),
+      (t("2024-05-01 10:20:00"), 1L),
+      (t("2024-05-01 11:05:00"), 2L), (t("2024-05-01 11:30:00"), 3L))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select window.start, n_rows, unique_est, id_sketch from uniq_out order by 1")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 2L)) // exact regime
+    // persisted sketches union into the cumulative distinct (users 1,2,3)
+    val merged = spark.sql(
+      """select hll_sketch_estimate(hll_union_agg(id_sketch)) from uniq_out""")
+      .collect().head.getLong(0)
+    assert(merged == 3L)
+  }
 }
