@@ -1394,6 +1394,19 @@ object Oracles {
         |    + CAST((n_chars > q[3]) AS INT) AS bucket
         |FROM documents, t ORDER BY doc_id""".stripMargin,
 
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.vec_id <> q.vec_id + 1),
+        |r AS (SELECT query_id, neg_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rnk FROM p)
+        |SELECT query_id, neg_id, round(cos, 5) AS cosine, rnk AS hard_rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     "q_negative_sample" ->
       """WITH n AS (SELECT count(*) AS cs FROM embeddings),
         |q AS (SELECT vec_id AS query, (vec_id * 7 + 1) % (SELECT cs FROM n) AS pos

@@ -1445,6 +1445,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining: most-similar non-positives by exact cosine
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val pos = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), (col("vec_id") + 1).as("p"))
+      Similarity.hardNegatives(e, pos, "vec_id", "v", "q", "p", k = 3)
+        .select(col("query_id"), col("neg_id"),
+          round(col("cosine"), 5).as("cosine"),
+          col("hard_rank").cast("long").as("hard_rank"))
+        .orderBy("query_id", "hard_rank")
+    }),
+
     // deterministic negative sampling (contrastive-training pairs): md5
     // uniforms over the dense id domain, collision dedup, anti-join
     // positives, bounded k-by-slot selection — fully hash-gated

@@ -666,6 +666,37 @@ object Similarity {
     pqTopK(rc, rq, idCol, "__rv", model.pq, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query in
+    * `positives` (query, positive) pairs, the k most-SIMILAR corpus items
+    * that are not positives (and not the query) — the ANN-powered sibling
+    * of [[graft.operators.Sampling.negativeSample]]'s uniform draws
+    * (in-batch random negatives saturate; hard negatives carry the
+    * gradient). Exact-cosine ranking with `k * oversample` headroom so
+    * removing positives still leaves k; swap [[bruteForceTopK]] for
+    * [[pqTopK]]/[[ivfPqTopK]] candidates at corpus scales where the exact
+    * scan is the bottleneck. Returns (query_id, neg_id, cosine, hard_rank).
+    */
+  def hardNegatives(corpus: DataFrame, positives: DataFrame, idCol: String,
+                    vecCol: String, queryCol: String, posCol: String,
+                    k: Int, oversample: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
+    require(k > 0 && oversample >= 1, s"bad args k=$k oversample=$oversample")
+    val queries = positives.select(col(queryCol).as(idCol)).distinct()
+      .join(corpus, Seq(idCol))
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k * oversample)
+    val pos = positives.select(col(queryCol).as("query_id"),
+      col(posCol).as("neighbor_id"))
+    def topk(key: Column, id: Column): Column = ColumnBridge.column(
+      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+    top.join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .groupBy("query_id")
+      .agg(topk((-col("cosine")).cast("double"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("query_id"), col("__e._2").as("neg_id"),
+        (-col("__e._1")).as("cosine"), (col("__r") + 1).as("hard_rank"))
+  }
+
   /** Driver-side reconstruction of a code row (test/debug surface). */
   def pqDecode(model: PqModel, codes: Seq[Int]): Array[Double] = {
     require(codes.length == model.m, s"expected ${model.m} codes, got ${codes.length}")

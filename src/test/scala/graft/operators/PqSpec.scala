@@ -192,4 +192,21 @@ class PqSpec extends SparkSpec {
     }
     df.unpersist()
   }
+
+  test("hardNegatives excludes positives and keeps similarity order") {
+    val df = clustered(4, 10).toDF("vec_id", "cluster", "v")
+      .select("vec_id", "v").cache()
+    // query 0's positives: its two nearest same-cluster ids 1 and 2
+    val pos = Seq((0L, 1L), (0L, 2L)).toDF("q", "p")
+    val got = Similarity.hardNegatives(df, pos, "vec_id", "v", "q", "p", k = 3)
+      .orderBy("hard_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 3)
+    assert(got.forall(_._1 == 0L))
+    assert(got.forall(t => t._2 != 1L && t._2 != 2L && t._2 != 0L))
+    assert(got.map(_._3).sliding(2).forall(p2 => p2.head >= p2.last - 1e-12))
+    // hard negatives of a clustered query are its remaining cluster-mates
+    assert(got.forall(_._2 < 10L), s"expected same-cluster negatives, got $got")
+    df.unpersist()
+  }
 }
