@@ -881,6 +881,25 @@ object Oracles {
          |WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05
          |ORDER BY block, id_a, id_b""".stripMargin,
 
+    "q_ngram_containment" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT block, id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / sa.sh_size, 6) AS containment_a,
+         |  round(CAST(inter AS DOUBLE) / sb.sh_size, 6) AS containment_b
+         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / sa.sh_size >= 0.3
+         |   OR CAST(inter AS DOUBLE) / sb.sh_size >= 0.3
+         |ORDER BY block, id_a, id_b""".stripMargin,
+
     // Connected components via recursive-CTE reachability: in an undirected
     // graph the reachable set IS the component, so min(reachable ∪ self)
     // is the component's minimum id. Terminates because UNION dedups.

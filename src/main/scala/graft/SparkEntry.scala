@@ -1391,6 +1391,17 @@ object SparkEntry {
         .orderBy("block", "id_a", "id_b")
     }),
 
+    // directional n-gram containment (quote/subset detection — the
+    // asymmetric signal jaccard misses)
+    "q_ngram_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "text", "doc_id",
+          "source", n = 3, minContainment = 0.3)
+        .select(col("block"), col("id_a"), col("id_b"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy("block", "id_a", "id_b")
+    }),
+
     // MinHash-LSH near-dup candidates — rows-only (hash internals not SQL)
     "q_minhash_pairs" -> ((s, dir) => {
       Dedup.minHashCandidates(Tables.documents(s, dir), "text", "doc_id",

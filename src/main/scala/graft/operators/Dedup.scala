@@ -478,7 +478,37 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int = 3, minJaccard: Double = 0.1,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+                        maxShingleFreq: Int = 1000): DataFrame =
+    ngramPairCore(df, textCol, idCol, blockCol, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("block", "id_a", "id_b", "jaccard")
+
+  /** Directional n-gram containment pairs: containment of A in B =
+    * |A ∩ B| / |A| — the ASYMMETRIC near-dup signal Jaccard misses: a
+    * paragraph quoted inside a 100x-longer document has tiny Jaccard but
+    * containment ~1 for the short side (quote/subset/excerpt detection,
+    * the Lee et al. "contained documents" case). Emits both directions on
+    * the canonical (id_a < id_b) pair; filter keeps pairs where EITHER
+    * direction clears `minContainment`. Same blocked, hot-shingle-capped
+    * pair plan as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            blockCol: String, n: Int = 3,
+                            minContainment: Double = 0.5,
+                            maxShingleFreq: Int = 1000): DataFrame =
+    ngramPairCore(df, textCol, idCol, blockCol, n, maxShingleFreq)
+      .withColumn("containment_a", col("inter").cast("double") / col("size_a"))
+      .withColumn("containment_b", col("inter").cast("double") / col("size_b"))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select("block", "id_a", "id_b", "containment_a", "containment_b")
+
+  private def ngramPairCore(df: DataFrame, textCol: String, idCol: String,
+                            blockCol: String, n: Int,
+                            maxShingleFreq: Int): DataFrame = {
     // Shingles become 8-byte xxhash64 longs BEFORE the dedup shuffle and the
     // self-join: intersection/union COUNTS are what Jaccard needs, and longs
     // cut the shuffled bytes ~3x vs ~20-char gram strings (collision odds at
@@ -511,11 +541,6 @@ object Dedup {
     pairs
       .join(sizes.select(col("id").as("id_a"), col("sh_size").as("size_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sh_size").as("size_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("block", "id_a", "id_b", "jaccard")
   }
 
   /** Cross-corpus MinHash candidates: near-dup pairs between a NEW batch's

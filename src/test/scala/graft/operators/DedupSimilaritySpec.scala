@@ -458,4 +458,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rm > 0.5, s"multi-probe recall $rm unexpectedly low")
     df.unpersist()
   }
+
+  test("ngramContainmentPairs flags a quote Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    // distinct filler tokens: shingle-set size must actually grow with length
+    val long = (1 to 80).map(i => s"filler$i").mkString(" ") + " " + quote
+    val df = Seq((1L, "b", quote), (2L, "b", long)).toDF("doc_id", "blk", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "text", "doc_id", "blk",
+      n = 3, minContainment = 0.5).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    // the short doc's shingles are (almost) all inside the long one
+    assert(r.getDouble(3) > 0.8, s"containment_a ${r.getDouble(3)}")
+    assert(r.getDouble(4) < 0.5, s"containment_b ${r.getDouble(4)}")
+    // symmetric jaccard at the same bar sees nothing
+    val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", "blk",
+      n = 3, minJaccard = 0.5).collect()
+    assert(jac.isEmpty)
+  }
 }
