@@ -1905,6 +1905,27 @@ object SparkEntry {
     // algorithm against hand-computed merges. Scalar columns only: the
     // harness's pandas comparator cannot sort/hash array cells, so the
     // leading subwords are serialized with concat_ws.
+    // tokenizer fertility per language: BPE subwords per whitespace word —
+    // the "is this tokenizer fair to language X" diagnostic (fertility >> 1
+    // means X pays more sequence length per word). rows-only (BPE merges
+    // not SQL); word counts exact
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 40 merges: the synthetic wordlist is small enough that 200 merges
+      // reassemble every word (fertility would be a flat 1.0); an under-
+      // trained vocab keeps longer words split, which is what the
+      // diagnostic is FOR
+      val model = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 40)
+      graft.functions.Bpe.encode(docs, "text", model)
+        .withColumn("n_words", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(sum(col("n_subwords")).cast("long").as("n_subwords"),
+          sum(col("n_words")).as("n_words"),
+          round(sum(col("n_subwords")) / sum(col("n_words")), 4).as("fertility"))
+        .orderBy("lang")
+    }),
+
     "q_bpe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val model = graft.functions.Bpe.train(
@@ -2148,7 +2169,7 @@ object SparkEntry {
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
     * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
     * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk,
-    * q_ivfpq_topk, q_opq_topk, q_pagerank).
+    * q_ivfpq_topk, q_opq_topk, q_pagerank, q_bpe_fertility).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }
