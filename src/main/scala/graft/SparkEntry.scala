@@ -2121,6 +2121,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // seeded (TrustRank-style) PageRank over the same host graph: teleport
+    // mass returns to two trusted source hosts — rows-only like q_pagerank
+    "q_trustrank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      LinkGraph.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq("src0.org", "src1.org"), iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // IVF-PQ ANN: coarse lists prune via an equi join, PQ residual codes
     // score — rows-only (kmeans + codebooks not SQL); PqSpec pins recall
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -2169,7 +2185,7 @@ object SparkEntry {
     * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
     * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
     * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk,
-    * q_ivfpq_topk, q_opq_topk, q_pagerank, q_bpe_fertility).
+    * q_ivfpq_topk, q_opq_topk, q_pagerank, q_trustrank, q_bpe_fertility).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality over an edge table — the host-graph quality prior
@@ -28,24 +28,47 @@ object LinkGraph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
-               driverCap: Long = 2000000L): DataFrame = {
+               driverCap: Long = 2000000L): DataFrame =
+    personalizedPageRank(edges, srcCol, dstCol, seeds = Seq.empty,
+      iters, damping, driverCap)
+
+  /** Seeded (personalized) PageRank — the TrustRank pattern: teleport mass
+    * returns to the SEED set (trusted hosts: curated domains, .edu/.gov
+    * whitelists) instead of uniformly, so rank flows outward from trust
+    * through links and spam islands unreachable from seeds get only
+    * residual mass. Empty `seeds` = classic uniform PageRank. Seeds absent
+    * from the graph still receive teleport mass (they are nodes by
+    * declaration).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[String], iters: Int = 10,
+                           damping: Double = 0.85,
+                           driverCap: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+    val seedSet = seeds.distinct
 
     val nEdges = e.count()
     if (nEdges <= driverCap) {
       // in-memory power iteration, identical update rule
       val pairs = e.as[(String, String)].collect()
-      val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val nodes = (pairs.map(_._1) ++ pairs.map(_._2) ++ seedSet).distinct.sorted
       val idx = nodes.zipWithIndex.toMap
       val n = nodes.length
       val outdeg = new Array[Long](n)
       pairs.foreach { case (s, _) => outdeg(idx(s)) += 1 }
-      var rank = Array.fill(n)(1.0 / n)
+      val t: Array[Double] =
+        if (seedSet.isEmpty) Array.fill(n)(1.0 / n)
+        else {
+          val a = new Array[Double](n)
+          seedSet.foreach(s => a(idx(s)) = 1.0 / seedSet.size)
+          a
+        }
+      var rank = t.clone()
       for (_ <- 1 to iters) {
         val in = new Array[Double](n)
         pairs.foreach { case (s, d) => in(idx(d)) += rank(idx(s)) / outdeg(idx(s)) }
@@ -53,18 +76,24 @@ object LinkGraph {
         var i = 0
         while (i < n) { if (outdeg(i) == 0) dangling += rank(i); i += 1 }
         rank = Array.tabulate(n)(i =>
-          (1.0 - damping) / n + damping * (in(i) + dangling / n))
+          (1.0 - damping) * t(i) + damping * (in(i) + dangling * t(i)))
       }
       spark.createDataFrame(nodes.zip(rank).toSeq).toDF("node", "rank")
     } else {
       val ec = e.localCheckpoint(true)
-      val nodes = ec.select(col("src").as("node"))
+      val nodes = (ec.select(col("src").as("node"))
         .union(ec.select(col("dst").as("node")))
+        .union(seedSet.toDF("node")))
         .distinct().localCheckpoint(true)
       val n = nodes.count()
+      // teleport share per node: uniform, or concentrated on the seed list
+      // (trusted lists are driver-sized by nature — a curated whitelist)
+      def teleport(node: Column): Column =
+        if (seedSet.isEmpty) lit(1.0 / n)
+        else when(node.isin(seedSet: _*), lit(1.0 / seedSet.size)).otherwise(lit(0.0))
       val outdeg = ec.groupBy("src").agg(count(lit(1)).as("__deg"))
         .localCheckpoint(true)
-      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      var ranks = nodes.withColumn("rank", teleport(col("node")))
       for (_ <- 1 to iters) {
         // scalar job: rank mass sitting on dangling nodes this iteration
         val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
@@ -75,7 +104,7 @@ object LinkGraph {
           .agg(sum(col("rank") / col("__deg")).as("__in"))
         ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
-            (lit((1.0 - damping) / n + damping * dangling / n)
+            ((lit(1.0 - damping) + lit(damping) * dangling) * teleport(col("node"))
               + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
           .localCheckpoint(true)
       }

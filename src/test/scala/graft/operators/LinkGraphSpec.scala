@@ -53,4 +53,27 @@ class LinkGraphSpec extends SparkSpec {
     assert(r("b") > r("c"))
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
+
+  test("personalized PageRank concentrates rank around the seed set") {
+    // chain: seed -> a -> b, plus an island c <-> d unreachable from seed
+    val edges = Seq(("seed", "a"), ("a", "b"), ("b", "seed"),
+      ("c", "d"), ("d", "c"))
+    def pr(seeds: Seq[String], cap: Long) =
+      LinkGraph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seeds, iters = 30, driverCap = cap)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val seeded = pr(Seq("seed"), 2000000L)
+    assert(math.abs(seeded.values.sum - 1.0) < 1e-9)
+    // the trust chain holds essentially all mass; the island decays to ~0
+    assert(seeded("seed") + seeded("a") + seeded("b") > 0.99)
+    assert(seeded("c") < 1e-6 && seeded("d") < 1e-6)
+    assert(seeded("seed") > seeded("a") && seeded("a") > seeded("b"))
+    // distributed loop agrees
+    val dist = pr(Seq("seed"), 0L)
+    seeded.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-9, k) }
+    // a seed absent from the graph still exists and holds teleport mass
+    val ghost = pr(Seq("ghost"), 2000000L)
+    assert(ghost("ghost") > 0.14) // (1-d) of its teleport share, plus decay
+    assert(math.abs(ghost.values.sum - 1.0) < 1e-9)
+  }
 }
