@@ -140,13 +140,27 @@ object Diagnostics {
     * baselines), calibrated percentiles are.
     */
   def scoreCalibration(df: DataFrame, groupCol: String, scoreCol: String,
-                       k: Int = 200): DataFrame = {
-    val sketches = df.groupBy(col(groupCol).as("__g"))
+                       k: Int = 200): DataFrame =
+    applyCalibration(df, calibrationModel(df, groupCol, scoreCol, k),
+      groupCol, scoreCol)
+
+  /** The calibration MODEL: one KLL sketch binary per group — persist this
+    * (a few KB per group) and re-apply to batches/streams without
+    * rescanning the fitting corpus.
+    */
+  def calibrationModel(df: DataFrame, groupCol: String, scoreCol: String,
+                       k: Int = 200): DataFrame =
+    df.groupBy(col(groupCol).as("__g"))
       .agg(kllSketchAgg(col(scoreCol).cast("double"), k).as("__sk"))
-    df.join(broadcast(sketches), col(groupCol) === col("__g"), "left")
+
+  /** Apply a [[calibrationModel]] to any frame (batch or stream — the join
+    * is a broadcast stream-static join, stateless): appends `pct_rank`.
+    */
+  def applyCalibration(df: DataFrame, model: DataFrame, groupCol: String,
+                       scoreCol: String): DataFrame =
+    df.join(broadcast(model), col(groupCol) === col("__g"), "left")
       .withColumn("pct_rank", kllRank(col("__sk"), col(scoreCol)))
       .drop("__g", "__sk")
-  }
 
   /** Merge per-shard quantile profiles into one global row: total rows plus
     * p10/p50/p90 per column from the unioned sketches.

@@ -341,6 +341,16 @@ object StreamingOps {
                       model: graft.functions.Bpe.BpeModel): DataFrame =
     graft.functions.Bpe.encode(stream, textCol, model)
 
+  /** Streaming score-calibration twin: apply a batch-fit
+    * [[graft.operators.Diagnostics.calibrationModel]] (one KLL sketch per
+    * group) to a live document stream — a stateless broadcast
+    * stream-static join + row-local kll_rank lookup, the same
+    * offline-model/online-apply split as BPE and the Bloom index.
+    */
+  def calibrateStream(stream: DataFrame, model: DataFrame,
+                      groupCol: String, scoreCol: String): DataFrame =
+    graft.operators.Diagnostics.applyCalibration(stream, model, groupCol, scoreCol)
+
   /** Streaming PQ-encode twin of graft.operators.Similarity.pqEncode:
     * compress a live embedding stream to m-byte codes against a
     * pretrained codebook — the ingest half of a continuously-refreshed ANN

@@ -393,4 +393,30 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(merged == 3L)
   }
+
+  test("calibrateStream matches the batch calibration exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val fit = ((1 to 40).map(i => ("en", i.toDouble)) ++
+      (1 to 10).map(i => ("fr", i * 3.0))).toDF("lang", "score")
+    val model = graft.operators.Diagnostics.calibrationModel(fit, "lang", "score")
+      .localCheckpoint(true)
+    val batchExpected = graft.operators.Diagnostics
+      .applyCalibration(fit, model, "lang", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val input = MemoryStream[(String, Double)]
+    val cal = StreamingOps.calibrateStream(
+      input.toDF().toDF("lang", "score"), model, "lang", "score")
+    val q = cal.writeStream.format("memory").queryName("cal_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(("en", 10.0), ("en", 40.0), ("fr", 3.0), ("de", 1.0))
+    q.processAllAvailable()
+    val got = spark.sql("select lang, score, pct_rank from cal_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    q.stop()
+    assert(got(("en", 10.0)) == Some(batchExpected(("en", 10.0))))
+    assert(got(("en", 40.0)) == Some(1.0))
+    assert(got(("fr", 3.0)) == Some(batchExpected(("fr", 3.0))))
+    assert(got(("de", 1.0)) == None) // unseen group -> null, not dropped
+  }
 }
