@@ -13,6 +13,11 @@ object Oracles {
   private val normText =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Deterministic code-ish suffix shared by the q_code_detect gate and its
+    * oracle (no single quotes: it is embedded in a SQL literal verbatim). */
+  val codeSuffix: String = "\n    def quick_sort(arr):\n        " +
+    "return sorted(arr);\n    total_n = {key: [1], innerVal: (2 < 3)}"
+
   private val stopList =
     "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
 
@@ -899,6 +904,119 @@ object Oracles {
          |WHERE CAST(inter AS DOUBLE) / sa.sh_size >= 0.3
          |   OR CAST(inter AS DOUBLE) / sb.sh_size >= 0.3
          |ORDER BY block, id_a, id_b""".stripMargin,
+
+    // Distinct-3-gram novelty vs the % 10 == 0 reference slice; ppm
+    // quantization (floor(x*1e6+0.5)) of identical doubles, never round().
+    "q_novelty" ->
+      s"""WITH norm AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
+         |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         |tgt AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+         |agg AS (SELECT t.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM tgt t LEFT JOIN ref r ON t.gram = r.gram GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_novel, 0) AS n_novel,
+         |  CAST(floor(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 1.0
+         |    ELSE CAST(a.n_novel AS DOUBLE) / a.n_grams END * 1e6 + 0.5) AS BIGINT) AS novelty_ppm
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // Unicode-script counts by explicit BMP ranges (RE2 \x{...} spelling of
+    // the same ranges the Spark side writes as \uXXXX); dominant script =
+    // first field in fixed order attaining the max.
+    "q_script_mix" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN repeat('д', CAST(doc_id % 11 + 5 AS INT)) || repeat('中', CAST(doc_id % 4 AS INT))
+        |    ELSE text || repeat('д', CAST(doc_id % 5 AS INT)) || repeat('中', CAST(doc_id % 3 AS INT)) || repeat('ا', CAST(doc_id % 2 AS INT))
+        |  END AS mixed FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(regexp_replace(mixed, '[^a-zA-Z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
+        |  length(regexp_replace(mixed, '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+        |  length(regexp_replace(mixed, '[^\x{0370}-\x{03FF}]', '', 'g')) AS greek,
+        |  length(regexp_replace(mixed, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |  length(regexp_replace(mixed, '[^\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
+        |  length(regexp_replace(mixed, '[^\x{0590}-\x{05FF}]', '', 'g')) AS hebrew,
+        |  length(regexp_replace(mixed, '[^0-9]', '', 'g')) AS digit
+        |FROM m),
+        |x AS (SELECT *, greatest(latin, cyrillic, greek, cjk, arabic, hebrew) AS mx FROM c)
+        |SELECT doc_id, latin, cyrillic, cjk, arabic, digit,
+        |  CASE WHEN mx <= 0 THEN 'none'
+        |       WHEN latin = mx THEN 'latin'
+        |       WHEN cyrillic = mx THEN 'cyrillic'
+        |       WHEN greek = mx THEN 'greek'
+        |       WHEN cjk = mx THEN 'cjk'
+        |       WHEN arabic = mx THEN 'arabic'
+        |       ELSE 'hebrew' END AS script
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // Code-likeness signals over raw text + the shared deterministic
+    // suffix; same character classes, ppm-quantized quotients.
+    "q_code_detect" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
+         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
+         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
+         |  FROM t),
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END AS symbol_ratio,
+         |  len(lines) AS n_lines,
+         |  CASE WHEN len(lines) <= 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END AS indent_fraction,
+         |  CASE WHEN len(words) <= 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(words, w ->
+         |      regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
+         |      OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
+         |      OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END AS ident_fraction
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(floor(symbol_ratio * 1e6 + 0.5) AS BIGINT) AS symbol_ppm,
+         |  CAST(floor(indent_fraction * 1e6 + 0.5) AS BIGINT) AS indent_ppm,
+         |  CAST(floor(ident_fraction * 1e6 + 0.5) AS BIGINT) AS ident_ppm,
+         |  CAST(n_lines AS BIGINT) AS n_lines,
+         |  (symbol_ratio > 0.12 OR (indent_fraction > 0.3 AND ident_fraction > 0.05)) AS is_code
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // Empirical-Bayes shrinkage toward the global mean, k = 20; identical
+    // double arithmetic (integer sums, same association), ppm quantized.
+    "q_domain_prior" ->
+      """WITH g AS (SELECT source, count(n_chars) AS n,
+        |    sum(CAST(n_chars AS DOUBLE)) AS s FROM documents GROUP BY 1),
+        |t AS (SELECT sum(CAST(n_chars AS DOUBLE)) / count(n_chars) AS m FROM documents)
+        |SELECT source, n,
+        |  CAST(floor(s / n * 1e6 + 0.5) AS BIGINT) AS mean_raw_ppm,
+        |  CAST(floor((s + 20.0 * m) / (n + 20.0) * 1e6 + 0.5) AS BIGINT) AS mean_shrunk_ppm
+        |FROM g, t ORDER BY source""".stripMargin,
+
+    // Degree of each document in the 3-gram Jaccard candidate graph
+    // (same pair construction as q_ngram_jaccard), 0 when untouched.
+    "q_neardup_degree" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p2 AS (SELECT id_a, id_b FROM pairs
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT id_a AS id FROM p2 UNION ALL SELECT id_b FROM p2)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+         |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Connected components via recursive-CTE reachability: in an undirected
     // graph the reachable set IS the component, so min(reachable ∪ self)

@@ -2178,6 +2178,104 @@ object SparkEntry {
           round(col("dist"), 5).as("dist"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+
+    // 3-gram novelty of the corpus (doc_id % 10 != 0) against a reference
+    // slice (% 10 == 0): counts are exact longs; the fraction is emitted
+    // ppm-quantized — floor(x*1e6+0.5) of identical doubles is the same
+    // integer in both engines (no round-at-6 straddle class).
+    "q_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.ngramNovelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          floor(col("novelty") * 1e6 + 0.5).as("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode-script composition + dominant script. Documents are ASCII,
+    // so multi-script content is synthesized deterministically per doc_id
+    // (repeat counts of Cyrillic/CJK/Arabic code points; every 7th doc is
+    // script-pure so dominance actually varies). Integer counts only.
+    "q_script_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("mixed",
+          when(col("doc_id") % 7 === 0,
+            concat(expr("repeat('д', CAST(doc_id % 11 + 5 AS INT))"),
+              expr("repeat('中', CAST(doc_id % 4 AS INT))")))
+          .otherwise(concat(col("text"),
+            expr("repeat('д', CAST(doc_id % 5 AS INT))"),
+            expr("repeat('中', CAST(doc_id % 3 AS INT))"),
+            expr("repeat('ا', CAST(doc_id % 2 AS INT))"))))
+      val sc = TextAnalysis.scriptCounts(col("mixed"))
+      d.select(col("doc_id"), sc.as("s"))
+        .select(col("doc_id"),
+          col("s.latin").cast("long").as("latin"),
+          col("s.cyrillic").cast("long").as("cyrillic"),
+          col("s.cjk").cast("long").as("cjk"),
+          col("s.arabic").cast("long").as("arabic"),
+          col("s.digit").cast("long").as("digit"),
+          TextAnalysis.dominantScript(col("s")).as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // Code-likeness signals; every 3rd doc gets a deterministic code-ish
+    // suffix so the signals separate. Fractions ppm-quantized, counts
+    // exact; regexes restricted to classes both engines share.
+    "q_code_detect" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(Oracles.codeSuffix))).otherwise(col("text")))
+      val cs = TextAnalysis.codeSignals(col("t2"))
+      d.select(col("doc_id"), cs.as("c"))
+        .select(col("doc_id"),
+          floor(col("c.symbol_ratio") * 1e6 + 0.5).as("symbol_ppm"),
+          floor(col("c.indent_fraction") * 1e6 + 0.5).as("indent_ppm"),
+          floor(col("c.ident_fraction") * 1e6 + 0.5).as("ident_ppm"),
+          col("c.n_lines").cast("long").as("n_lines"),
+          col("c.is_code").as("is_code"))
+        .orderBy("doc_id")
+    }),
+
+    // Empirical-Bayes shrunk per-source quality prior (score = n_chars,
+    // k = 20 pseudo-observations). Integer sums -> identical doubles in
+    // any engine; quotients ppm-quantized.
+    "q_domain_prior" -> ((s, dir) => {
+      TextAnalysis.shrunkGroupMeans(Tables.documents(s, dir), "source",
+          "n_chars", k = 20.0)
+        .select(col("group").as("source"), col("n"),
+          floor(col("mean_raw") * 1e6 + 0.5).as("mean_raw_ppm"),
+          floor(col("mean_shrunk") * 1e6 + 0.5).as("mean_shrunk_ppm"))
+        .orderBy("source")
+    }),
+
+    // Distributed IRLS logistic quality classifier — rows-only (iterative
+    // transcendental float sums aren't oracle-reproducible); LogisticSpec
+    // pins the math (loss descent, stationarity, closed-form cases).
+    "q_logreg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val feats = d.select(col("doc_id"),
+        array(col("n_chars").cast("double") / 100.0,
+          TextAnalysis.tokenCount(col("text")).cast("double") / 10.0,
+          TextAnalysis.punctRatio(col("text"))).as("x"),
+        (col("n_chars") > 250).as("y"))
+      val m = graft.fitting.Logistic.fit(feats, "x", "y", dims = 3,
+        iters = 8, lambda = 0.1)
+      graft.fitting.Logistic.score(feats, "doc_id", "x", m)
+        .select(col("doc_id"), col("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup graph degree per document over the gated n-gram Jaccard
+    // pair table — the hub diagnostic run before transitive closure.
+    "q_neardup_degree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+        n = 3, minJaccard = 0.05)
+      Dedup.pairDegrees(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("degree"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB oracles. Key set == queries key set minus the rows-only

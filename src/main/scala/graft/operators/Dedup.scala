@@ -940,4 +940,76 @@ object Dedup {
         sum(col("__chars")).as("chars_total"),
         sum(col("__chars") - col("__chars_kept")).as("chars_removed"))
   }
+
+  /** Per-node degree in a near-dup candidate graph — the node-grain
+    * complement of [[auditReport]]'s cluster-grain histogram: a document's
+    * degree is how many candidate pairs touch it. High-degree nodes are
+    * the templates/boilerplate hubs that connected components will chain
+    * into giant clusters — the standard pre-clustering diagnostic (find
+    * the hubs BEFORE transitive closure welds everything they touch), and
+    * the place a pipeline inserts a degree cap or hub quarantine.
+    *
+    * `pairs` is any (id_a, id_b) candidate table ([[minHashCandidates]],
+    * [[simHashCandidates]], [[ngramJaccardPairs]], embedding pairs…).
+    * Every document in `df` gets a row (degree 0 when untouched). Scale:
+    * one union + map-side-combined count per endpoint and a left join back
+    * — pair-table-bounded, no window, no collect.
+    */
+  def pairDegrees(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    df.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  /** MinHash-LSH collision probability for a pair of Jaccard similarity
+    * `s` under `bands` bands of `rows` rows: 1 - (1 - s^rows)^bands (the
+    * MMDS S-curve). */
+  def lshCollisionProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** (bands, rows) chosen for a target Jaccard `threshold` within a
+    * `numHashes` signature budget, with the integrated S-curve areas the
+    * choice minimized. */
+  case class BandParams(bands: Int, rows: Int, fpArea: Double, fnArea: Double)
+
+  /** Optimal MinHash banding for a similarity threshold — the knob-to-math
+    * bridge for [[minHashCandidates]]: instead of hand-picking (bands,
+    * numHashes), give the target threshold and the hash budget, and get
+    * the banding whose S-curve hugs it. Minimizes fpWeight * (area of the
+    * collision curve BELOW the threshold — candidate pairs that waste
+    * verification work) + fnWeight * (area of 1 - curve ABOVE it — true
+    * near-dups the banding misses), over all (rows, bands = budget/rows)
+    * splits; fixed 1000-step midpoint integration, deterministic
+    * (datasketch's optimal_param, independently formulated from the MMDS
+    * S-curve). Driver-side arithmetic — O(numHashes * steps) flops, no
+    * Spark job.
+    */
+  def minHashBandParams(threshold: Double, numHashes: Int,
+                        fpWeight: Double = 0.5,
+                        fnWeight: Double = 0.5): BandParams = {
+    require(threshold > 0 && threshold < 1, s"bad threshold $threshold")
+    require(numHashes >= 2, s"bad numHashes $numHashes")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      s"bad weights ($fpWeight, $fnWeight)")
+    val steps = 1000
+    var best: BandParams = null
+    var bestCost = Double.MaxValue
+    for (r <- 1 to numHashes; b = numHashes / r; if b >= 1) {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = lshCollisionProb(s, b, r)
+        if (s < threshold) fp += p / steps else fn += (1.0 - p) / steps
+        i += 1
+      }
+      val cost = fpWeight * fp + fnWeight * fn
+      if (cost < bestCost) { bestCost = cost; best = BandParams(b, r, fp, fn) }
+    }
+    best
+  }
 }

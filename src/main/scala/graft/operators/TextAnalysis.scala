@@ -867,4 +867,154 @@ object TextAnalysis {
       .join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
+
+  /** Per-document n-gram novelty against a reference corpus: the fraction
+    * of a document's distinct word n-grams that do NOT occur anywhere in
+    * `reference`. High novelty = genuinely new text; near-zero novelty =
+    * the document is assembled from already-seen phrasing (template spam,
+    * boilerplate remixes, near-copies below the dedup thresholds) — the
+    * complement of the decontamination overlap signal, used to prioritize
+    * fresh data and to estimate how much a new crawl snapshot actually
+    * adds. Returns (id, n_grams, n_novel, novelty); documents too short to
+    * form one n-gram report 0 grams and novelty 1.0 by convention (nothing
+    * seen before).
+    *
+    * Scale: the reference side collapses to its DISTINCT gram set once
+    * (vocabulary-like, Zipf-bounded, far smaller than occurrence grain);
+    * the membership probe is a left equi-join on the gram with no forced
+    * broadcast — AQE broadcasts a small reference snapshot and shuffles a
+    * web-scale one. Both sides are distinct-per-document grain, so a
+    * Zipf-hot gram is one row per document, never one per occurrence.
+    */
+  def ngramNovelty(df: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"bad n $n")
+    def grams(d: DataFrame) = {
+      val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+      d.select(col(idCol).as("id"),
+          explode_outer(array_distinct(ngramsOf(toks, n))).as("gram"))
+    }
+    val refSet = grams(reference).select("gram").distinct()
+      .withColumn("__seen", lit(1))
+    grams(df)
+      .join(refSet, Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("gram").isNotNull && col("__seen").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, 1.0)
+          .otherwise(col("n_novel").cast("double") / col("n_grams")))
+  }
+
+  /** Unicode-script composition of a document: counts of Latin, Cyrillic,
+    * Greek, CJK (Han + kana), Arabic, Hebrew and decimal-digit code points,
+    * plus the dominant script label — the first-pass router for a
+    * multilingual pipeline (script gates which language-ID / tokenizer /
+    * quality model applies) and a mojibake tripwire (a "Latin" page with a
+    * high Cyrillic count is usually an encoding accident).
+    *
+    * Counting is by explicit BMP code-point ranges (not named regex
+    * classes) so any engine with range character classes computes the same
+    * numbers. Row-local regexp arithmetic: one map stage at 100 TB.
+    */
+  def scriptCounts(text: Column): Column = {
+    def countRange(ranges: String): Column =
+      length(regexp_replace(text, s"[^$ranges]", ""))
+    val latin = countRange("a-zA-Z\\u00C0-\\u024F")
+    val cyr = countRange("\\u0400-\\u04FF")
+    val greek = countRange("\\u0370-\\u03FF")
+    val cjk = countRange("\\u3040-\\u30FF\\u4E00-\\u9FFF")
+    val arabic = countRange("\\u0600-\\u06FF")
+    val hebrew = countRange("\\u0590-\\u05FF")
+    val digit = countRange("0-9")
+    struct(latin.as("latin"), cyr.as("cyrillic"), greek.as("greek"),
+      cjk.as("cjk"), arabic.as("arabic"), hebrew.as("hebrew"),
+      digit.as("digit"))
+  }
+
+  /** Dominant script from [[scriptCounts]] output: the largest of the six
+    * letter-script counts, ties broken by the fixed field order (latin
+    * first), "none" when no scripted letter occurs at all. */
+  def dominantScript(counts: Column): Column = {
+    val fields = Seq("latin", "cyrillic", "greek", "cjk", "arabic", "hebrew")
+    val best = fields.tail.foldLeft((lit(fields.head), counts.getField(fields.head))) {
+      case ((bn, bc), f) =>
+        val c = counts.getField(f)
+        (when(c > bc, lit(f)).otherwise(bn), when(c > bc, c).otherwise(bc))
+    }
+    when(best._2 <= 0, lit("none")).otherwise(best._1)
+  }
+
+  /** Code-likeness signals — the "is this prose or source code?" router
+    * that decides whether a document flows to the code or the text branch
+    * of a training pipeline (and the guard that keeps code out of prose
+    * quality statistics). Four row-local signals over the RAW text:
+    *
+    *  - `symbol_ratio`: fraction of non-space characters from the
+    *    code-syntax set (braces, brackets, parens, angle brackets,
+    *    semicolon, arithmetic/logic operators, hash, dollar, backtick)
+    *  - `indent_fraction`: fraction of non-empty lines starting with >= 2
+    *    spaces or a tab (indentation-structured text)
+    *  - `ident_fraction`: fraction of whitespace-separated words shaped
+    *    like programming identifiers — snake_case, camelCase, or
+    *    namespace.qualified — per simple structural patterns
+    *  - `is_code`: the blend — symbol-heavy OR (indented AND identifier-
+    *    bearing) — tuned loose on purpose; downstream branches re-filter.
+    *
+    * All plain regexp/length arithmetic on character classes both engines
+    * share — codegen'd, one map stage at 100 TB.
+    */
+  def codeSignals(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s+", ""))
+    val symbols = length(regexp_replace(text, "[^{}\\[\\]()<>;=+*/&|#$`]", ""))
+    val symbolRatio = when(nonSpace === 0, 0.0)
+      .otherwise(symbols.cast("double") / nonSpace)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val indented = size(filter(lines, l => l.rlike("^(  |\\t)")))
+    val indentFraction = when(nLines <= 0, 0.0)
+      .otherwise(indented.cast("double") / nLines)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val idents = size(filter(words, w =>
+      w.rlike("^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$") ||
+        w.rlike("^[a-z]+[A-Z][a-zA-Z0-9]*$") ||
+        w.rlike("^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$")))
+    val identFraction = when(nWords <= 0, 0.0)
+      .otherwise(idents.cast("double") / nWords)
+    val isCode = symbolRatio > 0.12 ||
+      (indentFraction > 0.3 && identFraction > 0.05)
+    struct(symbolRatio.as("symbol_ratio"), indentFraction.as("indent_fraction"),
+      identFraction.as("ident_fraction"), nLines.as("n_lines"),
+      isCode.as("is_code"))
+  }
+
+  /** Empirical-Bayes shrunk per-group score means — the per-domain /
+    * per-source quality prior a pipeline actually uses for routing and
+    * sampling decisions: a raw per-group mean over 3 documents is noise,
+    * so each group's mean is shrunk toward the global mean with prior
+    * strength `k` pseudo-observations (shrunk = (sum_g + k * m) / (n_g +
+    * k), m = global mean) — groups with little evidence sit near the
+    * prior, groups with thousands of documents keep their own mean.
+    * Returns one row per group: (group, n, mean_raw, mean_shrunk).
+    *
+    * Scale: one map-side-combined groupBy for the per-group sums and one
+    * 1-row global aggregate (broadcast-hinted — it IS one row); no second
+    * pass over the data, no window.
+    */
+  def shrunkGroupMeans(df: DataFrame, groupCol: String, scoreCol: String,
+                       k: Double = 20.0): DataFrame = {
+    require(k >= 0, s"bad prior strength $k")
+    val grp = df.groupBy(col(groupCol).as("group"))
+      .agg(count(col(scoreCol)).as("n"),
+        sum(col(scoreCol).cast("double")).as("__s"))
+    val glob = broadcast(df.agg(
+      (sum(col(scoreCol).cast("double")) / count(col(scoreCol))).as("__m")))
+    grp.crossJoin(glob)
+      .select(col("group"), col("n"),
+        (col("__s") / col("n")).as("mean_raw"),
+        ((col("__s") + lit(k) * col("__m")) / (col("n") + lit(k)))
+          .as("mean_shrunk"))
+  }
 }

@@ -476,4 +476,49 @@ class DedupSimilaritySpec extends SparkSpec {
       n = 3, minJaccard = 0.5).collect()
     assert(jac.isEmpty)
   }
+
+  test("minHashBandParams picks the cost-minimizing banding") {
+    val h = 128
+    val t = 0.5
+    val got = Dedup.minHashBandParams(t, h)
+    assert(got.bands * got.rows <= h)
+    assert(got.bands >= 1 && got.rows >= 1)
+    // exhaustive recheck: no (rows, bands) split does better
+    val steps = 1000
+    def cost(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      for (i <- 0 until steps) {
+        val s = (i + 0.5) / steps
+        val p = Dedup.lshCollisionProb(s, b, r)
+        if (s < t) fp += p / steps else fn += (1.0 - p) / steps
+      }
+      0.5 * fp + 0.5 * fn
+    }
+    val bestCost = (1 to h).map(r => cost(h / r, r)).min
+    assert(math.abs(cost(got.bands, got.rows) - bestCost) < 1e-12)
+    // the S-curve at the threshold sits in the transition zone
+    val pAtT = Dedup.lshCollisionProb(t, got.bands, got.rows)
+    assert(pAtT > 0.2 && pAtT < 0.98, s"p(threshold) = $pAtT")
+  }
+
+  test("minHashBandParams trades rows for the weighted error direction") {
+    // punishing false negatives -> more permissive banding (fewer rows
+    // per band, curve shifts left); punishing false positives -> stricter
+    val fnHeavy = Dedup.minHashBandParams(0.6, 128, fpWeight = 0.05, fnWeight = 0.95)
+    val fpHeavy = Dedup.minHashBandParams(0.6, 128, fpWeight = 0.95, fnWeight = 0.05)
+    assert(fnHeavy.rows <= fpHeavy.rows,
+      s"fnHeavy rows ${fnHeavy.rows} > fpHeavy rows ${fpHeavy.rows}")
+    assert(fnHeavy.fnArea <= fpHeavy.fnArea + 1e-12)
+    assert(fpHeavy.fpArea <= fnHeavy.fpArea + 1e-12)
+  }
+
+  test("lshCollisionProb is the MMDS S-curve") {
+    assert(Dedup.lshCollisionProb(0.0, 16, 8) == 0.0)
+    assert(math.abs(Dedup.lshCollisionProb(1.0, 16, 8) - 1.0) < 1e-15)
+    // b=1: p = s^r exactly
+    assert(math.abs(Dedup.lshCollisionProb(0.7, 1, 4) - math.pow(0.7, 4)) < 1e-15)
+    // monotone in s
+    val ps = (0 to 10).map(i => Dedup.lshCollisionProb(i / 10.0, 16, 8))
+    assert(ps.sliding(2).forall { case Seq(a, b) => b >= a })
+  }
 }

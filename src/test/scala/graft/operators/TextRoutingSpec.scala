@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Routing/novelty operators: n-gram novelty vs a reference corpus,
+  * Unicode-script composition, code-likeness signals, empirical-Bayes
+  * per-group priors, near-dup graph degrees.
+  */
+class TextRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramNovelty: copies score 0, fresh text scores 1, mixes between") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // exact copy: novelty 0
+      (2L, "one two three four five"),        // all fresh: novelty 1
+      (3L, "alpha beta gamma nine ten eleven"), // 1 seen of 4 grams
+      (4L, "hi")                              // too short: 0 grams
+    ).toDF("id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L)._1 == 4L && out(3L)._2 == 3L)
+    assert(out(4L) == ((0L, 0L, 1.0)))
+  }
+
+  test("scriptCounts + dominantScript route by majority script") {
+    val df = Seq(
+      (1L, "hello world 123"),
+      (2L, "привет мир"),
+      (3L, "日本語のテキスト"),
+      (4L, "mixed текст here"), // 9 latin letters vs 5 cyrillic
+      (5L, "12345 !!!")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.scriptCounts(col("text")).as("s"))
+      .select(col("id"), col("s.latin"), col("s.cyrillic"), col("s.cjk"),
+        col("s.digit"), TextAnalysis.dominantScript(col("s")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(out(1L) == ((10, 0, 0, 3, "latin")))
+    assert(out(2L)._2 == 9 && out(2L)._5 == "cyrillic")
+    assert(out(3L)._3 == 8 && out(3L)._5 == "cjk")
+    assert(out(4L)._5 == "latin")
+    assert(out(5L)._5 == "none" && out(5L)._4 == 5)
+  }
+
+  test("codeSignals separates code from prose") {
+    val code =
+      "def quick_sort(arr):\n    if len(arr) <= 1:\n        return arr\n" +
+        "    pivot_val = arr[0]\n    return helper_fn(arr, pivot_val);"
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "It was a bright cold day in April and the clocks were striking."
+    val df = Seq((1L, code), (2L, prose)).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.codeSignals(col("text")).as("c"))
+      .select(col("id"), col("c.symbol_ratio"), col("c.indent_fraction"),
+        col("c.ident_fraction"), col("c.is_code"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._4, s"code not detected: ${out(1L)}")
+    assert(!out(2L)._4, s"prose misrouted: ${out(2L)}")
+    assert(out(1L)._1 > out(2L)._1) // more syntax symbols
+    assert(out(1L)._2 > 0.5)        // most lines indented
+    assert(out(2L)._2 == 0.0 && out(2L)._3 == 0.0)
+  }
+
+  test("shrunkGroupMeans pulls small groups to the prior, keeps big ones") {
+    // global mean = 50; tiny group at 100 shrinks hard, big group at 100
+    // barely moves
+    val rows = Seq.fill(98)(("big", 49.0)) ++ Seq.fill(2)(("big", 99.0)) ++
+      Seq(("tiny", 100.0)) ++ Seq.fill(99)(("mid", 49.0))
+    val df = rows.toDF("g", "score")
+    val out = TextAnalysis.shrunkGroupMeans(df, "g", "score", k = 20.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val globalMean = rows.map(_._2).sum / rows.size
+    val tiny = out("tiny")
+    assert(tiny._1 == 1L && tiny._2 == 100.0)
+    // shrunk = (100 + 20*m) / 21 — close to the prior
+    assert(math.abs(tiny._3 - (100.0 + 20 * globalMean) / 21.0) < 1e-9)
+    assert(math.abs(tiny._3 - globalMean) < math.abs(tiny._2 - globalMean) / 2)
+    val big = out("big")
+    assert(math.abs(big._3 - big._2) < math.abs(tiny._3 - tiny._2))
+  }
+
+  test("shrunkGroupMeans k=0 degenerates to the raw mean") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "score")
+    val out = TextAnalysis.shrunkGroupMeans(df, "g", "score", k = 0.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a") == ((2.0, 2.0)))
+    assert(out("b") == ((10.0, 10.0)))
+  }
+
+  test("pairDegrees counts endpoints and zero-fills untouched docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.pairDegrees(docs, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 0L))
+  }
+}
