@@ -1018,6 +1018,65 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Anchor extraction: same RE2 patterns as linkTable; positions via
+    // the struct-comprehension unnest (0-based like posexplode).
+    "q_link_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body><p>' || text || '</p>' ||
+        |    '<a href="http://cdn' || (doc_id % 7) || '.' || source ||
+        |    '.org/page?id=' || doc_id || '&utm_source=feed">read <b>more</b> now</a>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<a class="x" href="https://hub.org/">Hub</a>'
+        |         ELSE '' END ||
+        |    '</body></html>' AS html FROM documents),
+        |lst AS (SELECT doc_id,
+        |    regexp_extract_all(html, '(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>') AS arr
+        |  FROM h),
+        |e AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'v': arr[i]} FOR i IN range(1, len(arr) + 1)]) AS u
+        |  FROM lst),
+        |f AS (SELECT doc_id, CAST(u.p AS BIGINT) AS link_pos,
+        |    regexp_extract(u.v, '(?is)href="([^"]*)"', 1) AS url,
+        |    trim(regexp_replace(regexp_replace(u.v,
+        |      '(?is)^<a[^>]*>|</a>$|<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+        |  FROM e)
+        |SELECT doc_id, link_pos, url, anchor,
+        |  regexp_extract(regexp_replace(
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
+        |    '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM f ORDER BY doc_id, link_pos""".stripMargin,
+
+    // Directed source-overlap matrix on distinct 3-grams.
+    "q_source_overlap" ->
+      s"""WITH norm AS (SELECT source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
+         |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+         |p AS (SELECT a.source AS slice_a, b.source AS slice_b, count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT slice_a, slice_b, n_shared,
+         |  CAST(floor(CAST(n_shared AS DOUBLE) / sz.n_grams * 1e6 + 0.5) AS BIGINT) AS containment_ppm
+         |FROM p JOIN sz ON p.slice_a = sz.source
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Zone blocklist: membership of any host dot-suffix == equality OR
+    // dotted-suffix LIKE per entry.
+    "q_suffix_block" ->
+      """WITH u AS (SELECT doc_id, 'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'ads.tracker' || (doc_id % 3) || '.net'
+        |         ELSE source || '.org' END || '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host FROM u)
+        |SELECT doc_id, url FROM h
+        |WHERE NOT (host = 'tracker0.net' OR host LIKE '%.tracker0.net'
+        |  OR host = 'tracker1.net' OR host LIKE '%.tracker1.net'
+        |  OR host = 'src0.org' OR host LIKE '%.src0.org'
+        |  OR host = 'src1.org' OR host LIKE '%.src1.org')
+        |ORDER BY doc_id""".stripMargin,
+
     // Connected components via recursive-CTE reachability: in an undirected
     // graph the reachable set IS the component, so min(reachable ∪ self)
     // is the component's minimum id. Terminates because UNION dedups.

@@ -2249,6 +2249,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Anchor-link extraction from synthesized per-doc HTML (href + anchor
+    // text + registered domain) — the crawl step feeding the link graph.
+    "q_link_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org/page?id="),
+        col("doc_id").cast("string"),
+        lit("&utm_source=feed\">read <b>more</b> now</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a class=\"x\" href=\"https://hub.org/\">Hub</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      Cleanse.linkTable(d.withColumn("html", html), "doc_id", "html")
+        .select(col("id").as("doc_id"), col("link_pos"), col("url"),
+          col("anchor"),
+          Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    // Directed distinct-3-gram overlap between sources — the "who copies
+    // from whom" matrix; counts exact, containment ppm-quantized.
+    "q_source_overlap" -> ((s, dir) => {
+      TextAnalysis.sliceOverlapMatrix(Tables.documents(s, dir), "source",
+          "text", n = 3)
+        .select(col("slice_a"), col("slice_b"), col("n_shared"),
+          floor(col("containment_a") * 1e6 + 0.5).as("containment_ppm"))
+        .orderBy("slice_a", "slice_b")
+    }),
+
+    // Suffix-matching domain blocklist over synthesized URLs: an entry
+    // blocks its whole zone (ads.tracker0.net via tracker0.net).
+    "q_suffix_block" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("ads.tracker"), (col("doc_id") % 3).cast("string"),
+              lit(".net")))
+          .otherwise(concat(col("source"), lit(".org"))),
+          lit("/p/"), col("doc_id").cast("string")))
+      Cleanse.filterByDomainSuffixBlocklist(d, "url",
+          Seq("tracker0.net", "tracker1.net", "src0.org", "src1.org"))
+        .select(col("doc_id"), col("url"))
+        .orderBy("doc_id")
+    }),
+
     // Distributed IRLS logistic quality classifier — rows-only (iterative
     // transcendental float sums aren't oracle-reproducible); LogisticSpec
     // pins the math (loss descent, stationarity, closed-form cases).

@@ -149,6 +149,29 @@ object Cleanse {
     regexp_replace(collapsed, "[?&/]+$", "")
   }
 
+  /** Anchor links with their anchor text, one row per `<a href=...>`
+    * element: (id, url, anchor) — the crawl-side extraction that feeds
+    * the host link graph ([[graft.operators.LinkGraph]] PageRank /
+    * TrustRank run over exactly this output keyed by
+    * [[urlHost]]/[[registeredDomain]]) and anchor-text relevance signals.
+    * Double-quoted hrefs only (the dominant form; a production extractor
+    * adds the single-quote/bare variants the same way). Anchor text is
+    * tag-stripped and whitespace-collapsed. Row-local regexp work — one
+    * map stage over 100 TB of HTML; RE2-compatible patterns (non-greedy,
+    * no lookaround) so any engine reproduces the same rows.
+    */
+  def linkTable(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val aTag = "(?is)<a\\s[^>]*href=\"[^\"]*\"[^>]*>.*?</a>"
+    df.select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(aTag), lit(0)))
+          .as(Seq("link_pos", "__a")))
+      .select(col("id"), col("link_pos").cast("long").as("link_pos"),
+        regexp_extract(col("__a"), "(?is)href=\"([^\"]*)\"", 1).as("url"),
+        trim(regexp_replace(
+          regexp_replace(col("__a"), "(?is)^<a[^>]*>|</a>$|<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
+  }
+
   /** Drop rows whose `urlCol`'s registered domain is blocklisted. The
     * blocklist is a dimension table (thousands of rows at most) — joined
     * with an explicit broadcast anti-join so the corpus never shuffles.
@@ -161,6 +184,36 @@ object Cleanse {
     df.withColumn("__domain", registeredDomain(urlHost(col(urlCol))))
       .join(broadcast(bl), col("__domain") === col("__blocked_domain"), "left_anti")
       .drop("__domain")
+  }
+
+  /** All dot-suffixes of a host that could name a blockable zone:
+    * "a.b.example.com" -> [a.b.example.com, b.example.com, example.com,
+    * com]. Bounded by label count (hosts have a handful), row-local. */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => concat_ws(".", slice(labels, i + 1, size(labels))))
+  }
+
+  /** Suffix-matching domain blocklist — [[filterByDomainBlocklist]] keys
+    * on the naive registered domain, which misses the Dolma/RefinedWeb
+    * convention of blocking whole zones: an entry "example.com" must also
+    * block "ads.example.com" and "a.b.example.com". A row is dropped when
+    * ANY dot-suffix of its host is listed.
+    *
+    * The blocklist ships as an array literal into the row-local
+    * `arrays_overlap` predicate — zero joins, zero shuffles, the filter
+    * stays inside whole-stage codegen and pushes down with the scan. That
+    * is the right shape for real blocklists (10^3-10^4 zones); a
+    * list too large to literal-encode should switch to the exploded-
+    * suffix left_semi-on-id + left_anti form instead of a per-row
+    * nested-loop join.
+    */
+  def filterByDomainSuffixBlocklist(df: DataFrame, urlCol: String,
+                                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val bl = array(blocklist.map(d => lit(d.toLowerCase)): _*)
+    df.filter(!arrays_overlap(hostSuffixes(urlHost(col(urlCol))), bl))
   }
 
   /** Corpus-frequency boilerplate line removal — CCNet's first cleaning

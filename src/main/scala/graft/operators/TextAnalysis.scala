@@ -907,6 +907,39 @@ object TextAnalysis {
           .otherwise(col("n_novel").cast("double") / col("n_grams")))
   }
 
+  /** Directed n-gram overlap between corpus SLICES (sources, snapshots,
+    * shards): for each ordered pair of slices, the count of distinct
+    * n-grams they share and what fraction of slice A's gram set that is —
+    * the "who copies from whom" matrix. A syndication mirror shows as a
+    * row with high containment into its upstream; a snapshot-over-snapshot
+    * run quantifies carry-over. The document-grain sibling is
+    * [[graft.operators.Dedup.ngramContainmentPairs]].
+    *
+    * Scale: operates at SLICE grain — the gram table is distinct
+    * (slice, gram), so a Zipf-hot gram contributes one row per slice it
+    * appears in, and the self-join fan-out per gram is bounded by the
+    * slice count squared, never by document count. Intended for bounded
+    * slice vocabularies (sources/shards/snapshots: dozens-hundreds); a
+    * host-grain run at web scale should bucket hosts first.
+    */
+  def sliceOverlapMatrix(df: DataFrame, sliceCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    require(n >= 1, s"bad n $n")
+    val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val grams = df
+      .select(col(sliceCol).as("slice"), explode(ngramsOf(toks, n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("slice").agg(count(lit(1)).as("n_grams"))
+    grams.select(col("slice").as("slice_a"), col("gram"))
+      .join(grams.select(col("slice").as("slice_b"), col("gram")), Seq("gram"))
+      .filter(col("slice_a") =!= col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("slice", "slice_a"), Seq("slice_a"))
+      .select(col("slice_a"), col("slice_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("containment_a"))
+  }
+
   /** Unicode-script composition of a document: counts of Latin, Cyrillic,
     * Greek, CJK (Han + kana), Arabic, Hebrew and decimal-digit code points,
     * plus the dominant script label — the first-pass router for a

@@ -191,4 +191,36 @@ class CleanseSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3))).head
     assert(out == (("a b c d e X Y", 7, 10)))
   }
+
+  test("linkTable extracts hrefs, positions, and stripped anchor text") {
+    import spark.implicits._
+    val html = """<p>intro</p><a href="http://a.example.com/x">First <b>link</b></a>
+      |mid <A HREF="https://b.org/y?z=1">second</A><a class="c" id="d"
+      | href="http://c.net/">third one</a><a name="no-href">not a link</a>""".stripMargin
+    val df = Seq((1L, html), (2L, "no links here")).toDF("id", "html")
+    val out = Cleanse.linkTable(df, "id", "html").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.length == 3)
+    assert(out.toSet == Set(
+      (1L, 0L, "http://a.example.com/x", "First link"),
+      (1L, 1L, "https://b.org/y?z=1", "second"),
+      (1L, 2L, "http://c.net/", "third one")))
+  }
+
+  test("hostSuffixes enumerates dot-suffixes; suffix blocklist blocks zones") {
+    import spark.implicits._
+    val sufs = Seq("a.b.example.com").toDF("h")
+      .select(Cleanse.hostSuffixes(col("h"))).head().getSeq[String](0)
+    assert(sufs == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),   // blocked via example.com
+      (2L, "https://example.com/y"),       // blocked exactly
+      (3L, "https://examplexcom.org/z"),   // NOT blocked (no dot boundary)
+      (4L, "https://sub.safe.org/w"),
+      (5L, "https://notexample.com/v")     // NOT blocked: com only as TLD
+    ).toDF("id", "url")
+    val kept = Cleanse.filterByDomainSuffixBlocklist(df, "url", Seq("example.com"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
 }

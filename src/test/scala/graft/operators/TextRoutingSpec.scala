@@ -93,6 +93,26 @@ class TextRoutingSpec extends SparkSpec {
     assert(out("b") == ((10.0, 10.0)))
   }
 
+  test("sliceOverlapMatrix: mirror slice shows high containment into upstream") {
+    val up = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "up", up),
+      (2L, "up", "one two three four five"),
+      (3L, "mirror", up),                    // verbatim syndication
+      (4L, "fresh", "six seven eight nine ten")
+    ).toDF("id", "slice", "text")
+    val out = TextAnalysis.sliceOverlapMatrix(docs, "slice", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // mirror's 6 grams all inside up: containment 1.0
+    assert(out(("mirror", "up")) == ((6L, 1.0)))
+    // up has 6 + 3 = 9 distinct grams, 6 shared
+    assert(out(("up", "mirror"))._1 == 6L)
+    assert(math.abs(out(("up", "mirror"))._2 - 6.0 / 9.0) < 1e-12)
+    // fresh shares nothing: no rows at all
+    assert(!out.keySet.exists { case (a, b) => a == "fresh" || b == "fresh" })
+  }
+
   test("pairDegrees counts endpoints and zero-fills untouched docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
