@@ -140,11 +140,23 @@ object FunctionRegistration {
         GramMatrixAgg(exprs.head, litLong(exprs(1), "gram_matrix").toInt)
       })
 
+  /** `script_counts(text)` -> 7-field int struct of per-script code-point
+    * counts (latin, cyrillic, greek, cjk, arabic, hebrew, digit).
+    */
+  val scriptCountsDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("script_counts"),
+      new ExpressionInfo(classOf[ScriptCountsExpr].getName, "script_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"script_counts expects 1 argument, got ${exprs.length}")
+        ScriptCountsExpr(exprs.head)
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
       kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription,
-      arraySubDescription, gramMatrixDescription, kllRankDescription)
+      arraySubDescription, gramMatrixDescription, kllRankDescription,
+      scriptCountsDescription)
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

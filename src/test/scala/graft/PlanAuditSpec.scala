@@ -134,6 +134,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.isEmpty, windows.mkString("\n"))
   }
 
+  test("q_suffix_block filters with zero joins in one scan") {
+    // the design claim in Cleanse.filterByDomainSuffixBlocklist: the
+    // blocklist is a row-local arrays_overlap literal — a join (worse, a
+    // per-row BNLJ over the list) would shuffle or loop a 100 TB corpus
+    // for a 10^3-entry dimension
+    val plan = SparkEntry.queries("q_suffix_block")(spark, dir)
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, joins.mkString("\n"))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+  }
+
+  test("q_novelty forces no broadcast of the reference gram set") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    // the reference corpus is unbounded (a full crawl snapshot in the
+    // incremental-novelty use); only AQE may choose to broadcast it
+    val plan = SparkEntry.queries("q_novelty")(spark, dir)
+      .queryExecution.optimizedPlan
+    plan.foreach {
+      case j: Join =>
+        for ((hint, side) <- Seq(j.hint.leftHint -> j.left,
+            j.hint.rightHint -> j.right)
+            if hint.exists(_.strategy.contains(BROADCAST)))
+          assert(side.maxRows.contains(1L),
+            s"forced broadcast of an unbounded side:\n$side")
+      case _ =>
+    }
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {

@@ -47,6 +47,19 @@ class TextRoutingSpec extends SparkSpec {
     assert(out(5L)._5 == "none" && out(5L)._4 == 5)
   }
 
+  test("native scriptCounts equals the seven-regex reference form") {
+    val texts = Seq("hello world 123", "привет мир", "日本語のテキスト",
+      "mixed текст here", "12345 !!!", "", "ωμέγα", "العربية עברית",
+      "Çà et là, le café naïve — émigré") // Latin-1/Ext-A accents in 00C0-024F
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+      TextAnalysis.scriptCounts(col("text")).as("fast"),
+      TextAnalysis.scriptCountsRegex(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0,
+      both.collect().mkString("\n"))
+  }
+
   test("codeSignals separates code from prose") {
     val code =
       "def quick_sort(arr):\n    if len(arr) <= 1:\n        return arr\n" +
