@@ -406,4 +406,40 @@ object StreamingOps {
     if (drop) flagged.filter(!col("contaminated")).drop("contaminated")
     else flagged
   }
+
+  /** Stateless ingest routing — the first decision an arriving document
+    * meets: zone blocklist on its URL, code-vs-prose, dominant script,
+    * and (optionally) a learned quality probability from a trained
+    * [[graft.fitting.Logistic.LogisticModel]]. Every signal is a
+    * row-local codegen'd column, so the stream plan is ONE map stage with
+    * no state store or watermark, and the output matches the batch
+    * operators exactly (spec-pinned parity). Route precedence:
+    * "blocked" > "code" > dominant script.
+    */
+  def routeStream(stream: DataFrame, idCol: String, textCol: String,
+                  urlCol: String, blockedZones: Seq[String],
+                  quality: Option[(graft.fitting.Logistic.LogisticModel, String)] = None)
+      : DataFrame = {
+    import graft.operators.{Cleanse, TextAnalysis}
+    require(blockedZones.nonEmpty, "empty blockedZones")
+    val blocked = arrays_overlap(
+      Cleanse.hostSuffixes(Cleanse.urlHost(col(urlCol))),
+      array(blockedZones.map(z => lit(z.toLowerCase)): _*))
+    val base = stream
+      .withColumn("__sc", TextAnalysis.scriptCounts(col(textCol)))
+      .withColumn("script", TextAnalysis.dominantScript(col("__sc")))
+      .withColumn("is_code",
+        TextAnalysis.codeSignals(col(textCol)).getField("is_code"))
+      .withColumn("blocked", blocked)
+      .withColumn("route",
+        when(col("blocked"), lit("blocked"))
+          .when(col("is_code"), lit("code"))
+          .otherwise(col("script")))
+      .drop("__sc")
+    quality match {
+      case Some((m, featuresCol)) => base.withColumn("quality_prob",
+        graft.fitting.Logistic.probability(col(featuresCol), m))
+      case None => base
+    }
+  }
 }

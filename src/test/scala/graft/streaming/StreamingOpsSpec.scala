@@ -210,6 +210,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == "cafe 00 s il vous plait")
   }
 
+  test("routeStream matches the batch routing operators row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "plain english prose about nothing much", "https://ok.org/a"),
+      (2L, "привет мир это текст на русском языке", "https://ok.org/b"),
+      (3L, "def f(x):\n    return [x]; total_n = {1: (2 < 3)}\n    y = f(2);",
+        "https://ok.org/c"),
+      (4L, "fine text on a blocked zone", "https://ads.spam.net/x"))
+    val model = graft.fitting.Logistic.LogisticModel(
+      1, 4L, Array(0.0, 1.0), 0.0, Array.empty)
+    def route(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.routeStream(
+        df.withColumn("feats", array(length(col("text")).cast("double") / 10)),
+        "id", "text", "url", Seq("spam.net"), Some((model, "feats")))
+        .select("id", "script", "is_code", "blocked", "route", "quality_prob")
+    val batch = route(rows.toDF("id", "text", "url")).collect().toSet
+    val input = MemoryStream[(Long, String, String)]
+    val q = route(input.toDF().toDF("id", "text", "url"))
+      .writeStream.format("memory").queryName("route_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select id, script, is_code, blocked, route, quality_prob from route_out")
+      .collect().toSet
+    q.stop()
+    assert(streamed == batch, s"stream:\n$streamed\nbatch:\n$batch")
+    val routes = batch.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(routes == Map(1L -> "latin", 2L -> "cyrillic", 3L -> "code",
+      4L -> "blocked"))
+  }
+
   test("decontaminateStream drops streamed docs overlapping the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
