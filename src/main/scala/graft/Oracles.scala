@@ -1018,6 +1018,66 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Rand/ARI from exact integer pair counts; same double association
+    // for the two ratios, ppm floors.
+    "q_cluster_agreement" ->
+      """WITH k AS (SELECT source AS a, floor(n_chars / 100) AS b FROM documents),
+        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
+        |cs AS (SELECT CAST(sum(n_ab * (n_ab - 1) // 2) AS BIGINT) AS sum_cells,
+        |              CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+        |rs AS (SELECT CAST(sum(n_a * (n_a - 1) // 2) AS BIGINT) AS sum_rows
+        |       FROM (SELECT sum(n_ab) AS n_a FROM cells GROUP BY a)),
+        |cls AS (SELECT CAST(sum(n_b * (n_b - 1) // 2) AS BIGINT) AS sum_cols
+        |        FROM (SELECT sum(n_ab) AS n_b FROM cells GROUP BY b)),
+        |j AS (SELECT n, n * (n - 1) // 2 AS n_pairs, sum_cells, sum_rows, sum_cols
+        |      FROM cs, rs, cls),
+        |x AS (SELECT *,
+        |    CAST(sum_rows AS DOUBLE) * sum_cols / n_pairs AS expected,
+        |    CAST(sum_rows + sum_cols AS DOUBLE) / 2.0 AS max_idx
+        |  FROM j)
+        |SELECT n, n_pairs, sum_cells, sum_rows, sum_cols,
+        |  CAST(floor(CAST(n_pairs + 2 * sum_cells - sum_rows - sum_cols AS DOUBLE)
+        |    / n_pairs * 1e6 + 0.5) AS BIGINT) AS rand_ppm,
+        |  CAST(floor(CASE WHEN max_idx = expected THEN 1.0
+        |    ELSE (sum_cells - expected) / (max_idx - expected) END * 1e6 + 0.5)
+        |    AS BIGINT) AS ari_ppm
+        |FROM x""".stripMargin,
+
+    // Planted capitalized spans over lowercase corpus text; RE2 \b word
+    // boundaries, leftmost-greedy — identical matches in both engines.
+    "q_entities" ->
+      """WITH t AS (SELECT doc_id, text || ' ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    ' visited ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
+        |    ' yesterday.' AS t2 FROM documents),
+        |e AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
+        |  FROM t)
+        |SELECT entity, count(*) AS n_docs FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Flesch signals: shared regex classes, greatest(_,1) guards, same
+    // left-associated score arithmetic, ppm floor.
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT)) AS t2
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |      s -> len(trim(s)) > 0)) AS n_sentences,
+        |    len(list_filter(regexp_split_to_array(t2, '\s+'),
+        |      w -> len(w) > 0)) AS n_words,
+        |    len(regexp_extract_all(lower(t2), '[aeiouy]+')) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(floor((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)))
+        |    * 1e6 + 0.5) AS BIGINT) AS flesch_ppm
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Anchor extraction: same RE2 patterns as linkTable; positions via
     // the struct-comprehension unnest (0-based like posexplode).
     "q_link_extract" ->

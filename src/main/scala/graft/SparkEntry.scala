@@ -2295,6 +2295,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Rand / adjusted-Rand agreement between two clusterings of the
+    // corpus (source vs length-bucket labels): all pair counts are exact
+    // C(n,2) longs; rand/ari ppm-quantized from the same integers.
+    "q_cluster_agreement" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("la", col("source"))
+        .withColumn("lb", floor(col("n_chars") / 100))
+      Metrics.clusteringAgreement(d, "la", "lb")
+        .select(col("n"), col("n_pairs"), col("sum_cells"), col("sum_rows"),
+          col("sum_cols"),
+          floor(col("rand") * 1e6 + 0.5).as("rand_ppm"),
+          floor(col("ari") * 1e6 + 0.5).as("ari_ppm"))
+    }),
+
+    // Proto-entity extraction over deterministically synthesized
+    // capitalized spans (corpus text is lowercase, so only the planted
+    // entities match): per-entity document counts.
+    "q_entities" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
+        lit("San Francisco Bay"), lit("Acme Corp"))
+      val t2 = concat(col("text"), lit(" "),
+        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" visited "),
+        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
+        lit(" yesterday."))
+      TextAnalysis.entityTable(d.withColumn("t2", t2), "doc_id", "t2")
+        .groupBy("entity").agg(count(lit(1)).as("n_docs"))
+        .orderBy("entity")
+    }),
+
+    // Flesch readability signals; sentence punctuation synthesized (the
+    // corpus text has none). Counts exact; score ppm-quantized.
+    "q_readability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", concat(col("text"),
+          expr("repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT))")))
+      val r = TextAnalysis.readabilitySignals(col("t2"))
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_sentences").cast("long").as("n_sentences"),
+          col("r.n_words").cast("long").as("n_words"),
+          col("r.n_syllables").cast("long").as("n_syllables"),
+          floor(col("r.flesch") * 1e6 + 0.5).as("flesch_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Distributed IRLS logistic quality classifier — rows-only (iterative
     // transcendental float sums aren't oracle-reproducible); LogisticSpec
     // pins the math (loss descent, stationarity, closed-form cases).

@@ -44,4 +44,56 @@ object Metrics {
         when(col("n_pred") === 0, lit(null)).otherwise(
           col("n_hit").cast("double") / col("n_pred")))
   }
+
+  /** Agreement between two clusterings of the same rows — Rand index and
+    * adjusted Rand (Hubert & Arabie 1985) — the eval harness for the
+    * dedup family: how much do MinHash components and SemDeDup clusters
+    * (or yesterday's and today's run) agree about who is whose duplicate?
+    * Returns ONE row: n, contingency-cell/row/col/total pair counts (all
+    * exact longs — pair counting is C(n,2) integer arithmetic), and
+    * rand / ari as doubles derived from those integers with fixed
+    * association (engine-reproducible given the same labels).
+    *
+    * Scale: one groupBy on (label_a, label_b) for the contingency counts
+    * (map-side combined), two marginal re-aggregates of THAT table
+    * (contingency-sized, not corpus-sized), one global count. Null labels
+    * are their own singleton-ish bucket only if present on both sides;
+    * rows with a null in either label are dropped (they belong to no
+    * cluster) — count `n` reflects the kept rows.
+    */
+  def clusteringAgreement(df: DataFrame, labelACol: String,
+                          labelBCol: String): DataFrame = {
+    // C(c,2) in pure long arithmetic: c*(c-1) is even, so >>1 IS the
+    // halving — no double division to lose exactness past 2^53. (The
+    // product itself overflows past c ~ 3e9 rows in one cell; at that
+    // point pair counting is the wrong metric anyway.)
+    def comb2(c: org.apache.spark.sql.Column) =
+      shiftright((c * (c - 1)).cast("long"), 1)
+    val kept = df.filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .select(col(labelACol).as("__a"), col(labelBCol).as("__b"))
+    val cells = kept.groupBy("__a", "__b").agg(count(lit(1)).as("n_ab"))
+    val cellSum = cells.agg(sum(comb2(col("n_ab"))).as("sum_cells"),
+      sum(col("n_ab")).as("n"))
+    val rowSum = cells.groupBy("__a").agg(sum(col("n_ab")).as("n_a"))
+      .agg(sum(comb2(col("n_a"))).as("sum_rows"))
+    val colSum = cells.groupBy("__b").agg(sum(col("n_ab")).as("n_b"))
+      .agg(sum(comb2(col("n_b"))).as("sum_cols"))
+    cellSum.crossJoin(rowSum).crossJoin(colSum) // three 1-row frames
+      .select(col("n"), comb2(col("n")).as("n_pairs"), col("sum_cells"),
+        col("sum_rows"), col("sum_cols"))
+      .withColumn("rand",
+        when(col("n_pairs") === 0, lit(null)).otherwise(
+          (col("n_pairs") + lit(2L) * col("sum_cells") - col("sum_rows")
+            - col("sum_cols")).cast("double") / col("n_pairs")))
+      .withColumn("ari", {
+        val expected = col("sum_rows").cast("double") * col("sum_cols") /
+          col("n_pairs")
+        val maxIdx = (col("sum_rows") + col("sum_cols")).cast("double") / 2.0
+        when(col("n_pairs") === 0, lit(null))
+          // both clusterings all-singletons or all-one-cluster: max ==
+          // expected and the ARI denominator is 0; agreement is perfect
+          .when(maxIdx === expected, lit(1.0))
+          .otherwise((col("sum_cells") - expected) / (maxIdx - expected))
+      })
+  }
 }

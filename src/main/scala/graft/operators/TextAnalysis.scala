@@ -907,6 +907,72 @@ object TextAnalysis {
           .otherwise(col("n_novel").cast("double") / col("n_grams")))
   }
 
+  /** Proto-entity table: capitalized multi-word spans ("New York",
+    * "Mary Jones") extracted per document — the regex-grade named-entity
+    * signal that powers entity-overlap dedup of rewrites (two articles
+    * about the same event share entities even when their phrasing
+    * diverges below the n-gram thresholds) and entity co-occurrence
+    * graphs. Pattern: 2+ consecutive Capitalized words, ASCII word
+    * boundaries — RE2-compatible, so the oracle reproduces the rows.
+    * Returns (id, entity) DISTINCT per document. Row-local extraction +
+    * one distinct — map-side combined, no window.
+    */
+  def entityTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("\\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\\b"), lit(0))).as("entity"))
+      .distinct()
+
+  /** Entity co-occurrence pairs: (entity_a, entity_b, n_docs) for entities
+    * appearing in >= `minPairDocs` documents together — the edge list of
+    * the entity graph ([[graft.operators.LinkGraph]] centrality runs on
+    * it). Same bounded pairing shape as [[pmiPairs]]: the per-document
+    * entity list is naturally small (unlike tokens), and `maxDocEntities`
+    * caps the quadratic hazard of entity-dump pages.
+    */
+  def entityPairs(df: DataFrame, idCol: String, textCol: String,
+                  minPairDocs: Long = 2L,
+                  maxDocEntities: Int = 100): DataFrame = {
+    val ents = entityTable(df, idCol, textCol)
+    val capped =
+      if (maxDocEntities <= 0) ents
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("id").orderBy("entity")
+        ents.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxDocEntities).drop("__rk")
+      }
+    capped.select(col("id"), col("entity").as("entity_a"))
+      .join(capped.select(col("id"), col("entity").as("entity_b")), Seq("id"))
+      .filter(col("entity_a") < col("entity_b"))
+      .groupBy("entity_a", "entity_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minPairDocs)
+  }
+
+  /** Flesch-style readability signals: sentence/word/syllable counts and
+    * the reading-ease score (206.835 - 1.015*(words/sentences) -
+    * 84.6*(syllables/words)). Syllables are approximated by vowel-group
+    * counting — the standard dictionary-free proxy; scores are comparable
+    * WITHIN a corpus, which is what a quality filter needs. All counts
+    * from shared regex classes (RE2-safe), row-local — one map stage.
+    */
+  def readabilitySignals(text: Column): Column = {
+    val sentences = size(filter(split(text, "[.!?]+\\s+|[.!?]+$"),
+      s => length(trim(s)) > 0))
+    val words = size(filter(split(text, "\\s+"), w => length(w) > 0))
+    val syllables = size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0)))
+    val nS = greatest(sentences, lit(1))
+    val nW = greatest(words, lit(1))
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / nS) -
+      lit(84.6) * (syllables.cast("double") / nW)
+    struct(sentences.as("n_sentences"), words.as("n_words"),
+      syllables.as("n_syllables"),
+      when(words === 0, lit(null)).otherwise(flesch).as("flesch"))
+  }
+
   /** Directed n-gram overlap between corpus SLICES (sources, snapshots,
     * shards): for each ordered pair of slices, the count of distinct
     * n-grams they share and what fraction of slice A's gram set that is —

@@ -126,6 +126,55 @@ class TextRoutingSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == "fresh" || b == "fresh" })
   }
 
+  test("clusteringAgreement: identical, orthogonal, and singleton cases") {
+    def one(rows: Seq[(Int, Int)]) = {
+      val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "la", "lb")
+      Metrics.clusteringAgreement(df, "la", "lb").head()
+    }
+    // identical clusterings: perfect agreement
+    val same = one(Seq((0, 10), (0, 10), (1, 20), (1, 20), (2, 30)))
+    assert(same.getDouble(5) == 1.0 && same.getDouble(6) == 1.0)
+    // orthogonal 2x2: rand = 1/3, ari = -0.5 (textbook values)
+    val orth = one(Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(orth.getLong(1) == 6L && orth.getLong(2) == 0L)
+    assert(math.abs(orth.getDouble(5) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(orth.getDouble(6) - (-0.5)) < 1e-12)
+    // all singletons on both sides: degenerate denominator -> ari 1.0
+    val single = one(Seq((0, 0), (1, 1), (2, 2)))
+    assert(single.getDouble(5) == 1.0 && single.getDouble(6) == 1.0)
+  }
+
+  test("entityTable extracts capitalized spans; entityPairs counts co-docs") {
+    val docs = Seq(
+      (1L, "John Smith went to New York with a map"),
+      (2L, "later John Smith left New York for Rome alone"), // Rome: 1 word
+      (3L, "nothing capitalized here at all")
+    ).toDF("id", "text")
+    val ents = TextAnalysis.entityTable(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ents == Set((1L, "John Smith"), (1L, "New York"),
+      (2L, "John Smith"), (2L, "New York")))
+    val pairs = TextAnalysis.entityPairs(docs, "id", "text", minPairDocs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq(("John Smith", "New York", 2L)))
+  }
+
+  test("readabilitySignals matches a hand computation") {
+    val df = Seq((1L, "The cat sat. The dog ran!"), (2L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.readabilitySignals(col("text")).as("r"))
+      .select(col("id"), col("r.n_sentences"), col("r.n_words"),
+        col("r.n_syllables"), col("r.flesch"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getInt(1) == 2 && a.getInt(2) == 6 && a.getInt(3) == 6)
+    val expect = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(math.abs(a.getDouble(4) - expect) < 1e-12)
+    val b = out(2L)
+    assert(b.getInt(2) == 0 && b.isNullAt(4)) // empty text: no score
+  }
+
   test("pairDegrees counts endpoints and zero-fills untouched docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
