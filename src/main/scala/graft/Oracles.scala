@@ -1018,6 +1018,34 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Sentence-budget chunking: prefix sums via sliced list_sum, the
+    // struct-comprehension unnest, order-preserving string_agg rebuild.
+    "q_sentence_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |    x -> len(trim(x)) > 0) AS sents FROM t),
+        |c AS (SELECT doc_id, sents,
+        |    [len(list_filter(regexp_split_to_array(sents[i], '\s+'), w -> len(w) > 0))
+        |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM s),
+        |st AS (SELECT doc_id, sents, cnts,
+        |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
+        |  FROM c),
+        |a AS (SELECT doc_id,
+        |    unnest([{'i': i,
+        |             'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
+        |             's': sents[i], 't': cnts[i]}
+        |            FOR i IN range(1, len(sents) + 1)]) AS u FROM st),
+        |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+        |    string_agg(u.s, '. ' ORDER BY u.i) AS chunk,
+        |    CAST(count(*) AS INT) AS n_sentences,
+        |    CAST(sum(u.t) AS INT) AS n_tokens
+        |  FROM a GROUP BY 1, 2)
+        |SELECT * FROM g
+        |UNION ALL SELECT doc_id, 0, '', 0, 0 FROM s WHERE len(sents) = 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // Rand/ARI from exact integer pair counts; same double association
     // for the two ratios, ppm floors.
     "q_cluster_agreement" ->

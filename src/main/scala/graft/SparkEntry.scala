@@ -2295,6 +2295,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sentence-aligned budget chunking (sentence boundaries synthesized —
+    // the corpus text has no punctuation): cumulative-token assignment,
+    // chunks rebuilt ". "-joined, all counts exact ints.
+    "q_sentence_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2",
+          regexp_replace(col("text"), " (table|key|value) ", ". "))
+      Chunking.chunkRowsBySentences(d, "t2", "doc_id", budgetTokens = 25)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
+          col("n_sentences"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Rand / adjusted-Rand agreement between two clusterings of the
     // corpus (source vs length-bucket labels): all pair counts are exact
     // C(n,2) longs; rand/ari ppm-quantized from the same integers.

@@ -55,4 +55,76 @@ object Chunking {
         greatest(least(nToks - col("tok_start") + 1, lit(size)), lit(0))
           .as("n_toks"))
   }
+
+  /** Sentence-aligned budget chunking — the RAG/packing variant that never
+    * splits mid-sentence: sentences (terminal-punctuation boundaries, the
+    * [[Dedup.sentenceDedup]] convention — punctuation consumed, rebuilt
+    * with ". ") are assigned to chunks by their cumulative token offset
+    * (sentence i goes to chunk floor(tokens_before_i / budget)), then each
+    * chunk rejoins its sentences in order. A sentence longer than the
+    * budget gets its own chunk (assignment skips ids; empties are
+    * dropped). Empty documents yield one empty chunk so no id disappears.
+    *
+    * Returns (id, chunk_id, chunk, n_sentences, n_tokens). Entirely
+    * row-local higher-order-function arithmetic — prefix sums via one
+    * aggregate() fold, chunk texts via a per-chunk filter over the
+    * (chunk, sentence, count) struct array — so unlike a
+    * groupBy(id, chunk) rebuild there is NO shuffle: the 100 TB chunking
+    * pass stays a map stage like its fixed-window siblings. Per-row cost
+    * is O(n_chunks * n_sentences); every array column is staged as a
+    * materialized projection before reuse (HOF-once rule).
+    */
+  def chunkRowsBySentences(df: DataFrame, textCol: String, idCol: String,
+                           budgetTokens: Int = 256): DataFrame = {
+    require(budgetTokens > 0, s"bad budgetTokens $budgetTokens")
+    val b = budgetTokens
+    val staged = FanOut(df)
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "[.!?]+\\s+|[.!?]+$"),
+          s => length(trim(s)) > 0).as("__sents"))
+      .select(col("id"), col("__sents"),
+        transform(col("__sents"),
+          s => size(filter(split(s, "\\s+"), t => length(t) > 0)))
+          .as("__cnts"))
+      // prefix sums, length n+1: slot i (1-based) = tokens before
+      // sentence i; last slot = total tokens
+      .select(col("id"), col("__sents"),
+        aggregate(col("__cnts"), array(lit(0)),
+          (acc, c) => concat(acc, array(element_at(acc, -1) + c)))
+          .as("__starts"))
+      .select(col("id"), col("__sents"),
+        // guarded: projection columns evaluate for EVERY row, and
+        // sequence(1, 0) on an empty doc runs DESCENDING into
+        // element_at(sents, 1) on an empty array
+        when(org.apache.spark.sql.functions.size(col("__sents")) === 0,
+          array().cast("array<struct<c:int,s:string,t:int>>"))
+          .otherwise(
+            transform(sequence(lit(1), size(col("__sents"))), i => struct(
+              floor(element_at(col("__starts"), i).cast("double") / b)
+                .cast("int").as("c"),
+              element_at(col("__sents"), i).as("s"),
+              (element_at(col("__starts"), i + 1)
+                - element_at(col("__starts"), i)).as("t"))))
+          .as("__z"),
+        element_at(col("__starts"), -1).as("__total"))
+    val maxChunk = floor((col("__total") - 1).cast("double") / b).cast("int")
+    val emptyDoc = array(struct(lit(0).as("chunk_id"), lit("").as("chunk"),
+      lit(0).as("n_sentences"), lit(0).as("n_tokens")))
+    val packed = transform(sequence(lit(0), maxChunk), cid => struct(
+      cid.as("chunk_id"),
+      array_join(transform(filter(col("__z"), z => z.getField("c") === cid),
+        z => z.getField("s")), ". ").as("chunk"),
+      org.apache.spark.sql.functions.size(
+        filter(col("__z"), z => z.getField("c") === cid)).as("n_sentences"),
+      aggregate(filter(col("__z"), z => z.getField("c") === cid), lit(0),
+        (acc, z) => acc + z.getField("t")).as("n_tokens")))
+    staged
+      .select(col("id"), explode(
+        when(org.apache.spark.sql.functions.size(col("__sents")) === 0,
+          emptyDoc)
+          .otherwise(filter(packed, ch => ch.getField("n_sentences") > 0)))
+        .as("ch"))
+      .select(col("id"), col("ch.chunk_id").cast("long").as("chunk_id"),
+        col("ch.chunk"), col("ch.n_sentences"), col("ch.n_tokens"))
+  }
 }

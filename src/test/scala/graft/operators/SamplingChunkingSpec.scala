@@ -265,4 +265,29 @@ class SamplingChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(again.toSet == got.toSet)
   }
+
+  test("chunkRowsBySentences packs whole sentences by cumulative budget") {
+    val df = Seq(
+      (1L, "One two three. Four five. Six seven eight nine! Ten"),
+      (2L, "a b c d e f g. hi"), // 7-token sentence overflows budget 3
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkRowsBySentences(df, "text", "doc_id",
+        budgetTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    // starts 0,3,5,9 with budget 5 -> chunks 0,0,1,1
+    assert(out((1L, 0L)) == (("One two three. Four five", 2, 5)))
+    assert(out((1L, 1L)) == (("Six seven eight nine. Ten", 2, 5)))
+    assert(out((3L, 0L)) == (("", 0, 0))) // empty doc keeps its id
+    assert(out.keySet.filter(_._1 == 1L) == Set((1L, 0L), (1L, 1L)))
+    val out3 = Chunking.chunkRowsBySentences(df, "text", "doc_id",
+        budgetTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    // doc 2: starts 0,7 -> chunk ids 0 and 2; the empty chunk 1 is dropped
+    assert(out3((2L, 0L)) == (("a b c d e f g", 1, 7)))
+    assert(out3((2L, 2L)) == (("hi", 1, 1)))
+    assert(!out3.contains((2L, 1L)))
+  }
 }
