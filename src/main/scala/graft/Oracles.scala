@@ -995,6 +995,26 @@ object Oracles {
         |  CAST(floor((s + 20.0 * m) / (n + 20.0) * 1e6 + 0.5) AS BIGINT) AS mean_shrunk_ppm
         |FROM g, t ORDER BY source""".stripMargin,
 
+    // Triangle participation per node over the q_cc_dedup edge set:
+    // two-join enumeration on canonical a<b edges, explode corners.
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
+        |    AND a.doc_id < b.doc_id),
+        |tri AS (SELECT w.ea AS x, w.eb AS y, e2.eb AS z
+        |  FROM e w JOIN e e2 ON w.eb = e2.ea
+        |  JOIN e e3 ON e3.ea = w.ea AND e3.eb = e2.eb),
+        |corner AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM corner GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT ea AS id FROM e UNION ALL SELECT eb FROM e))
+        |SELECT n.id AS doc_id, coalesce(c.triangles, 0) AS triangles
+        |FROM nodes n LEFT JOIN cnt c ON n.id = c.id
+        |ORDER BY n.id""".stripMargin,
+
     // Degree of each document in the 3-gram Jaccard candidate graph
     // (same pair construction as q_ngram_jaccard), 0 when untouched.
     "q_neardup_degree" ->

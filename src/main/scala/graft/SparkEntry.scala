@@ -2372,6 +2372,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-node triangles in the same synthetic candidate graph q_cc_dedup
+    // clusters — cliques (safe to collapse) vs chains (hub accidents).
+    "q_triangles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.as("a")
+        .join(docs.as("b"),
+          col("a.source") === col("b.source") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.triangleCounts(pairs)
+        .select(col("id").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup graph degree per document over the gated n-gram Jaccard
     // pair table — the hub diagnostic run before transitive closure.
     "q_neardup_degree" -> ((s, dir) => {

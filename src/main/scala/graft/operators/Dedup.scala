@@ -964,6 +964,40 @@ object Dedup {
       .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
   }
 
+  /** Per-node triangle counts in a near-dup candidate graph — the
+    * cohesion diagnostic that separates genuine duplicate CLIQUES (a
+    * template with N fills: every pair matches, triangle-rich) from
+    * chain-of-coincidence CLUSTERS (A~B~C where A and C share nothing:
+    * triangle-free) BEFORE transitive closure welds both into identical
+    * components. High triangle count = safe to collapse; high degree with
+    * low triangles = a hub chaining unrelated documents ([[pairDegrees]]'
+    * complement — use both).
+    *
+    * `pairs` is any (id_a, id_b) candidate table. Returns every node of
+    * the pair table with its triangle participation count (nodes in no
+    * triangle report 0). Standard two-join triangle enumeration on
+    * canonicalized a<b edges: wedges b->(a,c) then closure check on
+    * (a,c) — shuffle keys are node ids, wedge fan-out is bounded by the
+    * same per-bucket caps the candidate generators enforce upstream.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val wedges = e.select(col("a").as("w_a"), col("b").as("w_b"))
+      .join(e.select(col("a").as("w_b"), col("b").as("w_c")), Seq("w_b"))
+    val tris = wedges.join(
+      e.select(col("a").as("w_a"), col("b").as("w_c")), Seq("w_a", "w_c"))
+    val nodeTris = tris
+      .select(explode(array(col("w_a"), col("w_b"), col("w_c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct()
+    nodes.join(nodeTris, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** MinHash-LSH collision probability for a pair of Jaccard similarity
     * `s` under `bands` bands of `rows` rows: 1 - (1 - s^rows)^bands (the
     * MMDS S-curve). */

@@ -477,6 +477,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("triangleCounts separates a clique from a chain") {
+    // clique on {1,2,3,4}: C(3,2)=3 triangles per node, 4 total;
+    // chain 10-11-12-13: zero triangles anywhere
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val pairs = (clique ++ chain).toDF("id_a", "id_b")
+    val got = Dedup.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 3L), got.toString)
+    assert((10L to 13L).forall(got(_) == 0L), got.toString)
+    // reversed / duplicate edges canonicalize away
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val g2 = Dedup.triangleCounts(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("minHashBandParams picks the cost-minimizing banding") {
     val h = 128
     val t = 0.5
