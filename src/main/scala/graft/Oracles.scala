@@ -1038,6 +1038,104 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // nDCG: DCG folds as list_reduce with a 0.0 seed over rank-sorted
+    // terms (same association as Spark's aggregate() fold; 0.0 + x is
+    // bit-exact); log2 spelled ln(x)/ln(2.0) — Spark's log(2, x) formula.
+    "q_ndcg" ->
+      """WITH p AS (SELECT doc_id % 20 AS query, doc_id AS item,
+        |    doc_id // 20 + 1 AS rnk FROM documents),
+        |t AS (SELECT doc_id % 20 AS query, doc_id AS item,
+        |    CAST(doc_id % 7 AS DOUBLE) AS rel FROM documents WHERE doc_id % 3 = 0),
+        |j AS (SELECT p.query, p.rnk, coalesce(t.rel, 0.0) AS rel
+        |  FROM p LEFT JOIN t ON p.query = t.query AND p.item = t.item),
+        |d AS (SELECT query, count(*) AS k,
+        |    list_reduce([0.0] ||
+        |      [x.rel / (ln(x.rnk + 1) / ln(2.0))
+        |       FOR x IN list_sort(list({'rnk': rnk, 'rel': rel}))],
+        |      (a, b) -> a + b) AS dcg
+        |  FROM j GROUP BY query),
+        |i AS (SELECT query, list_sort(list(rel), 'DESC') AS rels
+        |  FROM t GROUP BY query),
+        |f AS (SELECT d.query, d.k, d.dcg,
+        |    CASE WHEN i.rels IS NULL OR least(len(i.rels), d.k) <= 0 THEN 0.0
+        |    ELSE list_reduce([0.0] ||
+        |      [i.rels[n] / (ln(n + 1) / ln(2.0))
+        |       FOR n IN range(1, CAST(least(len(i.rels), d.k) AS INT) + 1)],
+        |      (a, b) -> a + b) END AS idcg
+        |  FROM d LEFT JOIN i ON d.query = i.query)
+        |SELECT query, k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  CASE WHEN idcg = 0.0 THEN NULL ELSE round(dcg / idcg, 6) END AS ndcg
+        |FROM f ORDER BY query""".stripMargin,
+
+    // Confusion counts for the code rule vs its planted truth; the
+    // is_code computation is the q_code_detect oracle's.
+    "q_classifier_eval" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2,
+         |  (doc_id % 3 = 0) AS label FROM documents),
+         |m AS (SELECT doc_id, label,
+         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
+         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
+         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
+         |  FROM t),
+         |sig AS (SELECT doc_id, label,
+         |  (CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END > 0.12
+         |   OR (
+         |    (CASE WHEN len(lines) <= 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END) > 0.3
+         |    AND
+         |    (CASE WHEN len(words) <= 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(words, w ->
+         |        regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
+         |        OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
+         |        OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END) > 0.05
+         |   )) AS pred
+         |  FROM m),
+         |c AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sig),
+         |r AS (SELECT *,
+         |    CAST(tp + tn AS DOUBLE) / n AS accuracy,
+         |    CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |    CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+         |  FROM c)
+         |SELECT n, tp, fp, fn, tn,
+         |  CAST(floor(accuracy * 1e6 + 0.5) AS BIGINT) AS accuracy_ppm,
+         |  CAST(floor(prec * 1e6 + 0.5) AS BIGINT) AS precision_ppm,
+         |  CAST(floor(rec * 1e6 + 0.5) AS BIGINT) AS recall_ppm,
+         |  CAST(floor(CASE WHEN prec IS NULL OR rec IS NULL OR prec + rec = 0.0
+         |    THEN NULL ELSE 2.0 * prec * rec / (prec + rec) END * 1e6 + 0.5)
+         |    AS BIGINT) AS f1_ppm
+         |FROM r""".stripMargin,
+
+    // TextTiling valleys: adjacent distinct-token intersections, strict
+    // valley with infinite edges; struct-comprehension unnest.
+    "q_topic_boundaries" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|key|value|row|scan) ', '. ', 'g') AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |    x -> len(trim(x)) > 0) AS sents FROM t),
+        |ss AS (SELECT doc_id,
+        |    [list_distinct(list_filter(regexp_split_to_array(lower(sents[i]), '\s+'),
+        |       w -> len(w) > 0)) FOR i IN range(1, len(sents) + 1)] AS sets
+        |  FROM s),
+        |g AS (SELECT doc_id,
+        |    [len(list_intersect(sets[i], sets[i+1])) FOR i IN range(1, len(sets))] AS gaps
+        |  FROM ss WHERE len(sets) >= 2),
+        |e AS (SELECT doc_id, unnest([{'i': i, 'g': gaps[i],
+        |      'l': CASE WHEN i = 1 THEN 2147483647 ELSE gaps[i-1] END,
+        |      'r': CASE WHEN i = len(gaps) THEN 2147483647 ELSE gaps[i+1] END}
+        |      FOR i IN range(1, len(gaps) + 1)]) AS u FROM g)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS gap_idx,
+        |  CAST(u.g AS BIGINT) AS overlap,
+        |  (u.g < u.l AND u.g < u.r) AS is_boundary
+        |FROM e ORDER BY doc_id, gap_idx""".stripMargin,
+
     // Sentence-budget chunking: prefix sums via sliced list_sum, the
     // struct-comprehension unnest, order-preserving string_agg rebuild.
     "q_sentence_chunks" ->

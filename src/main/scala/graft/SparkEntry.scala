@@ -2295,6 +2295,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // nDCG over a deterministic synthetic ranking (rank from integer
+    // division, no window): both DCG folds run in fixed sorted order in
+    // both engines (aggregate() fold == list_reduce with 0.0 seed), so
+    // the transcendental sums are bit-identical; round(6) like the LM
+    // gates.
+    "q_ndcg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pred = d.select((col("doc_id") % 20).as("q"), col("doc_id").as("item"),
+        (floor(col("doc_id") / 20) + 1).cast("long").as("rnk"))
+      val truth = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 20).as("q"), col("doc_id").as("item"),
+          (col("doc_id") % 7).cast("double").as("rel"))
+      Metrics.ndcg(pred, truth, "q", "item", "rnk", "rel")
+        .select(col("query"), col("k"), round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query")
+    }),
+
+    // Confusion counts + derived metrics for the code-detection rule
+    // against its planted ground truth (doc_id % 3 == 0 got the code
+    // suffix): counts exact, ratios ppm.
+    "q_classifier_eval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(Oracles.codeSuffix))).otherwise(col("text")))
+        .withColumn("pred",
+          TextAnalysis.codeSignals(col("t2")).getField("is_code"))
+        .withColumn("label", col("doc_id") % 3 === 0)
+      Metrics.binaryClassifierEval(d, "label", "pred")
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          floor(col("accuracy") * 1e6 + 0.5).as("accuracy_ppm"),
+          floor(col("precision") * 1e6 + 0.5).as("precision_ppm"),
+          floor(col("recall") * 1e6 + 0.5).as("recall_ppm"),
+          floor(col("f1") * 1e6 + 0.5).as("f1_ppm"))
+    }),
+
+    // TextTiling valley boundaries over synthesized sentence breaks:
+    // integer overlaps, strict-valley booleans — all exact.
+    "q_topic_boundaries" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", regexp_replace(col("text"),
+          " (table|key|value|row|scan) ", ". "))
+      TextAnalysis.topicBoundaries(d, "doc_id", "t2")
+        .select(col("id").as("doc_id"), col("gap_idx"),
+          col("overlap").cast("long").as("overlap"), col("is_boundary"))
+        .orderBy("doc_id", "gap_idx")
+    }),
+
     // Sentence-aligned budget chunking (sentence boundaries synthesized —
     // the corpus text has no punctuation): cumulative-token assignment,
     // chunks rebuilt ". "-joined, all counts exact ints.

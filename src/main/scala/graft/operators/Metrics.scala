@@ -45,6 +45,84 @@ object Metrics {
           col("n_hit").cast("double") / col("n_pred")))
   }
 
+  /** nDCG per query — the graded-relevance ranking metric ([[rankingOverlap]]
+    * is the set version): DCG sums rel/log2(rank+1) over the predicted
+    * ranking; ideal DCG re-ranks that query's TRUE relevances descending,
+    * truncated at the predicted depth. Returns (query, k, dcg, idcg, ndcg).
+    *
+    * Determinism: both sums run as row-local aggregate() folds over
+    * rank-sorted (resp. relevance-sorted) arrays — a fixed fold order, so
+    * the transcendental sums are bit-reproducible run to run (a groupBy
+    * sum's partition order is not). Per-query lists are collect_list'd:
+    * bounded by ranking depth k and truth-set size — eval-table grain,
+    * never corpus grain.
+    */
+  def ndcg(pred: DataFrame, truth: DataFrame, queryCol: String,
+           itemCol: String, rankCol: String, relCol: String): DataFrame = {
+    val p = pred.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rank"))
+    val t = truth.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(relCol).cast("double").as("rel"))
+    val scored = p.join(t, Seq("query", "item"), "left")
+      .select(col("query"), col("rank"), coalesce(col("rel"), lit(0.0)).as("rel"))
+      .groupBy("query")
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("rank"), col("rel")))).as("__ps"))
+      .select(col("query"), col("k"),
+        aggregate(col("__ps"), lit(0.0), (acc, x) =>
+          acc + x.getField("rel") /
+            log(2.0, x.getField("rank").cast("double") + 1)).as("dcg"))
+    val ideal = t.groupBy("query")
+      .agg(reverse(array_sort(collect_list(col("rel")))).as("__rels"))
+    val rels = coalesce(col("__rels"), array().cast("array<double>"))
+    // fold depth = min(|truth rels|, k): slice and sequence lengths match
+    // exactly (zip_with pads the shorter side with nulls, which would
+    // poison the fold)
+    val m = least(size(rels).cast("long"), col("k"))
+    scored.join(ideal, Seq("query"), "left")
+      .select(col("query"), col("k"), col("dcg"),
+        when(m <= 0, lit(0.0)).otherwise(aggregate(
+          zip_with(slice(rels, lit(1), m.cast("int")),
+            sequence(lit(1L), greatest(m, lit(1L))),
+            (r, i) => struct(r.as("r"), i.as("i"))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("r") /
+            log(2.0, x.getField("i").cast("double") + 1)))
+          .as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") === 0.0, lit(null)).otherwise(col("dcg") / col("idcg")))
+  }
+
+  /** Binary-classifier confusion counts + derived metrics over a scored
+    * frame — ONE map-side-combined aggregate pass: (n, tp, fp, fn, tn,
+    * accuracy, precision, recall, f1). Undefined ratios (no predicted
+    * positives / no actual positives) are null, not NaN. The eval row for
+    * [[graft.fitting.Logistic]] / naiveBayesScore quality classifiers.
+    */
+  def binaryClassifierEval(df: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val p = col(predCol).cast("boolean")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    df.agg(count(lit(1)).as("n"),
+        cnt(y && p).as("tp"), cnt(!y && p).as("fp"),
+        cnt(y && !p).as("fn"), cnt(!y && !p).as("tn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") / col("n"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull ||
+          (col("precision") + col("recall")) === 0.0, lit(null))
+          .otherwise(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))))
+  }
+
   /** Agreement between two clusterings of the same rows — Rand index and
     * adjusted Rand (Hubert & Arabie 1985) — the eval harness for the
     * dedup family: how much do MinHash components and SemDeDup clusters

@@ -973,6 +973,54 @@ object TextAnalysis {
       when(words === 0, lit(null)).otherwise(flesch).as("flesch"))
   }
 
+  /** TextTiling-style topic boundaries (Hearst 1997, the valley rule):
+    * lexical overlap between ADJACENT sentences dips where the topic
+    * shifts. Emits one row per sentence gap — (id, gap_idx [1-based, gap
+    * i sits between sentences i and i+1], overlap [distinct shared
+    * lowercase tokens], is_boundary [strict valley: overlap below both
+    * neighbors; document edges count as infinitely high]) — the segmenter
+    * that tells a RAG chunker WHERE to prefer splitting (feed boundaries
+    * to [[graft.operators.Chunking.chunkRowsBySentences]] budgets).
+    * Documents with fewer than two sentences emit no gap rows.
+    *
+    * All row-local HOF arithmetic (sets, adjacent intersections, valley
+    * test) — one map stage, no shuffle, same staging discipline as the
+    * sentence chunker.
+    */
+  def topicBoundaries(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val staged = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "[.!?]+\\s+|[.!?]+$"),
+          s => length(trim(s)) > 0).as("__sents"))
+      .select(col("id"),
+        transform(col("__sents"), s =>
+          array_distinct(filter(split(lower(s), "\\s+"),
+            t => length(t) > 0))).as("__sets"))
+      .select(col("id"),
+        when(size(col("__sets")) < 2,
+          array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(1), size(col("__sets")) - 1),
+            i => size(array_intersect(element_at(col("__sets"), i),
+              element_at(col("__sets"), i + 1)))))
+          .as("__gaps"))
+    val ng = size(col("__gaps"))
+    val hi = lit(Int.MaxValue)
+    val rows = when(ng <= 0,
+      array().cast("array<struct<gap_idx:long,overlap:int,is_boundary:boolean>>"))
+      .otherwise(transform(sequence(lit(1), ng), i => struct(
+        i.cast("long").as("gap_idx"),
+        element_at(col("__gaps"), i).as("overlap"),
+        (element_at(col("__gaps"), i) <
+          when(i === 1, hi).otherwise(element_at(col("__gaps"), i - 1)) &&
+          element_at(col("__gaps"), i) <
+            when(i === ng, hi).otherwise(element_at(col("__gaps"), i + 1)))
+          .as("is_boundary"))))
+    staged.select(col("id"), explode(rows).as("g"))
+      .select(col("id"), col("g.gap_idx"), col("g.overlap"),
+        col("g.is_boundary"))
+  }
+
   /** Directed n-gram overlap between corpus SLICES (sources, snapshots,
     * shards): for each ordered pair of slices, the count of distinct
     * n-grams they share and what fraction of slice A's gram set that is —

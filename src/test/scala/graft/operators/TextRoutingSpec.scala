@@ -175,6 +175,65 @@ class TextRoutingSpec extends SparkSpec {
     assert(b.getInt(2) == 0 && b.isNullAt(4)) // empty text: no score
   }
 
+  test("ndcg matches a hand computation, truncates ideal at k") {
+    val pred = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "x", 1L), (2L, "y", 2L), (3L, "z", 1L))
+      .toDF("q", "item", "rnk")
+    val truth = Seq((1L, "a", 3.0), (1L, "c", 1.0), (1L, "d", 2.0),
+      (2L, "x", 5.0)).toDF("q", "item", "rel")
+    val out = Metrics.ndcg(pred, truth, "q", "item", "rnk", "rel")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L)
+    assert(math.abs(r1.getDouble(2) - (3.0 + 0.0 + 1.0 / log2(4))) < 1e-12)
+    val idcg1 = 3.0 + 2.0 / log2(3) + 1.0 / log2(4)
+    assert(math.abs(r1.getDouble(3) - idcg1) < 1e-12)
+    assert(math.abs(r1.getDouble(4) - r1.getDouble(2) / idcg1) < 1e-12)
+    // query 2: one relevant item, k=2 -> ideal truncates to the 1 rel
+    val r2 = out(2L)
+    assert(r2.getDouble(2) == 5.0 && r2.getDouble(3) == 5.0
+      && r2.getDouble(4) == 1.0)
+    // query 3: no truth at all -> idcg 0, ndcg null
+    val r3 = out(3L)
+    assert(r3.getDouble(3) == 0.0 && r3.isNullAt(4))
+  }
+
+  test("binaryClassifierEval counts the confusion matrix and derives f1") {
+    val df = Seq(
+      (true, true), (true, true), (true, false),     // tp=2 fn=1
+      (false, true), (false, false), (false, false)  // fp=1 tn=2
+    ).toDF("label", "pred")
+    val r = Metrics.binaryClassifierEval(df, "label", "pred").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((2L, 1L, 1L, 2L)))
+    assert(math.abs(r.getDouble(5) - 4.0 / 6) < 1e-12)   // accuracy
+    assert(math.abs(r.getDouble(6) - 2.0 / 3) < 1e-12)   // precision
+    assert(math.abs(r.getDouble(7) - 2.0 / 3) < 1e-12)   // recall
+    assert(math.abs(r.getDouble(8) - 2.0 / 3) < 1e-12)   // f1 (p == r)
+    // degenerate: predictor never fires -> precision/f1 null
+    val never = Seq((true, false), (false, false)).toDF("label", "pred")
+    val r2 = Metrics.binaryClassifierEval(never, "label", "pred").head()
+    assert(r2.isNullAt(6) && r2.isNullAt(8) && r2.getDouble(7) == 0.0)
+  }
+
+  test("topicBoundaries flags the lexical valley, not the edges") {
+    val df = Seq(
+      (1L, "cats dogs. dogs birds. fish trees. trees birds"),
+      (2L, "single sentence only")
+    ).toDF("id", "text")
+    val out = TextAnalysis.topicBoundaries(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getBoolean(3))).toMap
+    // gaps: overlap 1 ({dogs}), 0, 1 ({trees}) -> only the middle is a
+    // strict valley; edges have an infinite outer neighbor
+    assert(out((1L, 1L)) == ((1, false)))
+    assert(out((1L, 2L)) == ((0, true)))
+    assert(out((1L, 3L)) == ((1, false)))
+    // a 1-sentence doc has no gaps at all
+    assert(!out.keySet.exists(_._1 == 2L))
+  }
+
   test("pairDegrees counts endpoints and zero-fills untouched docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
