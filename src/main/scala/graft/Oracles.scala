@@ -1038,6 +1038,25 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Exact set arithmetic over the same bounded md5-bucket keys the
+    // theta sketches see (sketches are in exact mode below 4096 keys).
+    "q_theta_overlap" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000 AS key
+        |  FROM documents),
+        |a AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT key FROM k WHERE doc_id % 3 = 0),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM a JOIN b USING (key)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT key FROM a UNION SELECT key FROM b)) AS n_union,
+        |  (SELECT count(*) FROM a WHERE key NOT IN (SELECT key FROM b)) AS n_a_not_b,
+        |  (SELECT count(*) FROM b WHERE key NOT IN (SELECT key FROM a)) AS n_b_not_a)
+        |SELECT n_a, n_b, n_intersect, n_union, n_a_not_b, n_b_not_a,
+        |  CAST(floor(CAST(n_intersect AS DOUBLE) / n_union * 1e6 + 0.5) AS BIGINT) AS jaccard_ppm
+        |FROM m""".stripMargin,
+
     // nDCG: DCG folds as list_reduce with a 0.0 seed over rank-sorted
     // terms (same association as Spark's aggregate() fold; 0.0 + x is
     // bit-exact); log2 spelled ln(x)/ln(2.0) — Spark's log(2, x) formula.

@@ -2295,6 +2295,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Theta-sketch slice overlap on a BOUNDED key space (md5 buckets %
+    // 3000 < the lgK=12 exact-mode limit at any sf): estimates are exact
+    // distinct counts, so the sketch algebra hash-matches DuckDB's exact
+    // set arithmetic. Above the bound the same operator degrades to
+    // ~1.6%-error estimates (ThetaSpec covers that mode).
+    "q_theta_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("key", Sampling.hashBucket(col("doc_id"), 3000))
+      Diagnostics.overlapProfile(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 3 === 0), "key")
+        .select(col("est_a").cast("long").as("n_a"),
+          col("est_b").cast("long").as("n_b"),
+          col("est_intersect").cast("long").as("n_intersect"),
+          col("est_union").cast("long").as("n_union"),
+          col("est_a_not_b").cast("long").as("n_a_not_b"),
+          col("est_b_not_a").cast("long").as("n_b_not_a"),
+          floor(col("jaccard") * 1e6 + 0.5).as("jaccard_ppm"))
+    }),
+
     // nDCG over a deterministic synthetic ranking (rank from integer
     // division, no window): both DCG folds run in fixed sorted order in
     // both engines (aggregate() fold == list_reduce with 0.0 seed), so

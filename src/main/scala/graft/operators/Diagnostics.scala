@@ -385,4 +385,89 @@ object Diagnostics {
       (s"1e$d-1e${d + 1}B", n, b, target)
     }.toDF("bucket", "n_files", "bytes", "target_files")
   }
+
+  private def thetaAgg(c: org.apache.spark.sql.Column, lgK: Int) = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaAgg}
+    ColumnBridge.column(ThetaAgg(ColumnBridge.expression(c), lgK)
+      .toAggregateExpression())
+  }
+
+  /** theta_estimate of a serialized sketch column. */
+  def thetaEstimate(sketch: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaEstimate}
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
+  }
+
+  /** Per-group theta key sketches — (group, sketch, estimate): the
+    * persistable profile rows whose set ALGEBRA (not just counts) stays
+    * available after the corpus scan. The HLL shard profile answers "how
+    * many distinct"; this answers "how many SHARED / how many NEW"
+    * between any two groups later, via [[overlapOfProfiles]].
+    */
+  def thetaProfile(df: DataFrame, byCol: String, keyCol: String,
+                   lgK: Int = 12): DataFrame =
+    df.groupBy(col(byCol).as("group"))
+      .agg(thetaAgg(col(keyCol).cast("string"), lgK).as("sketch"))
+      .withColumn("estimate", thetaEstimate(col("sketch")))
+
+  /** Overlap of two slices by key — ONE row: estimated |A|, |B|, |A∩B|,
+    * |A∪B|, |A\B|, |B\A| and the Jaccard — via two theta sketch
+    * aggregates and driver-free sketch algebra (a cross join of two 1-row
+    * frames). The 100 TB posture: each side is one scan into ~KB of
+    * state; the alternative exact form is a corpus-by-corpus anti/inner
+    * join. Below the lgK exact-mode bound the estimates ARE exact.
+    */
+  def overlapProfile(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                     lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaSetOp}
+    def setOp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              op: String) =
+      ColumnBridge.column(ThetaSetOp(ColumnBridge.expression(a),
+        ColumnBridge.expression(b), op))
+    val sa = dfA.agg(thetaAgg(col(keyCol).cast("string"), lgK).as("__sa"))
+    val sb = dfB.agg(thetaAgg(col(keyCol).cast("string"), lgK).as("__sb"))
+    sa.crossJoin(sb) // two 1-row frames
+      .select(
+        thetaEstimate(col("__sa")).as("est_a"),
+        thetaEstimate(col("__sb")).as("est_b"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "intersect"))
+          .as("est_intersect"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "union")).as("est_union"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "a_not_b"))
+          .as("est_a_not_b"),
+        thetaEstimate(setOp(col("__sb"), col("__sa"), "a_not_b"))
+          .as("est_b_not_a"))
+      .withColumn("jaccard",
+        when(col("est_union") === 0.0, lit(null))
+          .otherwise(col("est_intersect") / col("est_union")))
+  }
+
+  /** Overlap from two PERSISTED profile sketches (binary columns of
+    * 1-row frames) — same outputs as [[overlapProfile]] without touching
+    * the corpora: snapshot comparisons become profile-table algebra.
+    */
+  def overlapOfProfiles(profA: DataFrame, profB: DataFrame,
+                        sketchCol: String = "sketch"): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaSetOp}
+    def setOp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              op: String) =
+      ColumnBridge.column(ThetaSetOp(ColumnBridge.expression(a),
+        ColumnBridge.expression(b), op))
+    profA.select(col(sketchCol).as("__sa"))
+      .crossJoin(profB.select(col(sketchCol).as("__sb")))
+      .select(
+        thetaEstimate(col("__sa")).as("est_a"),
+        thetaEstimate(col("__sb")).as("est_b"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "intersect"))
+          .as("est_intersect"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "union")).as("est_union"),
+        thetaEstimate(setOp(col("__sa"), col("__sb"), "a_not_b"))
+          .as("est_a_not_b"),
+        thetaEstimate(setOp(col("__sb"), col("__sa"), "a_not_b"))
+          .as("est_b_not_a"))
+      .withColumn("jaccard",
+        when(col("est_union") === 0.0, lit(null))
+          .otherwise(col("est_intersect") / col("est_union")))
+  }
 }

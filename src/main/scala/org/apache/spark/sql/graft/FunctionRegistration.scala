@@ -151,12 +151,48 @@ object FunctionRegistration {
         ScriptCountsExpr(exprs.head)
       })
 
+  /** `theta_sketch(key)` aggregate / `theta_union(sketch)` aggregate /
+    * `theta_estimate(sketch)` / `theta_intersect(a, b)` /
+    * `theta_a_not_b(a, b)` scalar sketch algebra.
+    */
+  val thetaDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaAgg].getName, "theta_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"theta_sketch expects 1 argument, got ${exprs.length}")
+        ThetaAgg(exprs.head)
+      }),
+    (FunctionIdentifier("theta_union"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"theta_union expects 1 argument, got ${exprs.length}")
+        ThetaUnionAgg(exprs.head)
+      }),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"theta_estimate expects 1 argument, got ${exprs.length}")
+        ThetaEstimate(exprs.head)
+      }),
+    (FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaSetOp].getName, "theta_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"theta_intersect expects 2 arguments, got ${exprs.length}")
+        ThetaSetOp(exprs.head, exprs(1), "intersect")
+      }),
+    (FunctionIdentifier("theta_a_not_b"),
+      new ExpressionInfo(classOf[ThetaSetOp].getName, "theta_a_not_b"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"theta_a_not_b expects 2 arguments, got ${exprs.length}")
+        ThetaSetOp(exprs.head, exprs(1), "a_not_b")
+      }))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
       kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription,
       arraySubDescription, gramMatrixDescription, kllRankDescription,
-      scriptCountsDescription)
+      scriptCountsDescription) ++ thetaDescriptions
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,186 @@
+package org.apache.spark.sql.graft
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketches (DataSketches, on Spark's classpath): mergeable
+  * distinct-count state that — unlike HLL — supports INTERSECTION and
+  * DIFFERENCE set algebra on the sketches themselves. The corpus-curation
+  * use: per-slice/per-snapshot key sketches persist as ~KB binaries, and
+  * "how many documents do snapshot A and B share" / "how many are new in
+  * B" is sketch algebra over profile rows, never a corpus-scale join.
+  * Below ~nominal-entries cardinality (lgK=12 -> 4096) the sketch is in
+  * exact mode and estimates are exact distinct counts.
+  */
+case class ThetaAgg(
+    child: Expression, lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
+  require(lgK >= 4 && lgK <= 26, s"bad lgK $lgK")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** Union of serialized theta sketches — the merge side of [[ThetaAgg]],
+  * run over profile rows (one binary per shard/slice), never fact grain.
+  */
+case class ThetaUnionAgg(
+    child: Expression, lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
+  require(lgK >= 4 && lgK <= 26, s"bad lgK $lgK")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object ThetaSketchOps {
+  def estimate(bytes: Array[Byte]): Double =
+    Sketches.wrapSketch(Memory.wrap(bytes)).getEstimate
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val op = SetOperation.builder().buildIntersection()
+    op.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+    op.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+    op.getResult.toByteArray
+  }
+
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val op = SetOperation.builder().buildANotB()
+    op.aNotB(Sketches.wrapSketch(Memory.wrap(a)),
+        Sketches.wrapSketch(Memory.wrap(b)))
+      .asInstanceOf[CompactSketch].toByteArray
+  }
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(a)))
+    u.union(Sketches.wrapSketch(Memory.wrap(b)))
+    u.getResult.toByteArray
+  }
+}
+
+/** `theta_estimate(sketch)` — distinct-count estimate of a serialized
+  * theta sketch (exact while the sketch is in exact mode). */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+  override def nullSafeEval(input: Any): Any =
+    ThetaSketchOps.estimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.ThetaSketchOps.estimate($in);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `theta_intersect(a, b)` / `theta_a_not_b(a, b)` / `theta_union2(a, b)`
+  * — sketch set algebra over two serialized sketches. */
+case class ThetaSetOp(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(ThetaSetOp.Ops(op), s"bad theta op $op")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"theta_$op"
+  override def nullSafeEval(a: Any, b: Any): Any = op match {
+    case "intersect" => ThetaSketchOps.intersect(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "a_not_b" => ThetaSketchOps.aNotB(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "union" => ThetaSketchOps.union(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = op match {
+      case "intersect" => "intersect"
+      case "a_not_b" => "aNotB"
+      case "union" => "union"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.ThetaSketchOps.$m($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ThetaSetOp {
+  val Ops: Set[String] = Set("intersect", "a_not_b", "union")
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Theta-sketch overlap profiles: exact mode below nominal entries,
+  * bounded error above, profile-algebra equivalence, SQL surface.
+  */
+class ThetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlapProfile is exact below the nominal-entries bound") {
+    // A = 0..999, B = 500..1499: |A|=|B|=1000, inter=500, union=1500
+    val a = (0 until 1000).map(i => Tuple1(s"k$i")).toDF("key")
+    val b = (500 until 1500).map(i => Tuple1(s"k$i")).toDF("key")
+    val r = Diagnostics.overlapProfile(a, b, "key").head()
+    assert(r.getDouble(0) == 1000.0 && r.getDouble(1) == 1000.0)
+    assert(r.getDouble(2) == 500.0)   // intersect
+    assert(r.getDouble(3) == 1500.0)  // union
+    assert(r.getDouble(4) == 500.0 && r.getDouble(5) == 500.0)
+    assert(math.abs(r.getDouble(6) - 500.0 / 1500.0) < 1e-15)
+  }
+
+  test("estimation mode stays within ~3x the RSE at 200k distinct") {
+    val n = 200000
+    val a = spark.range(n).select(concat(lit("x"), col("id")).as("key"))
+    val b = spark.range(n / 2, n + n / 2)
+      .select(concat(lit("x"), col("id")).as("key"))
+    val r = Diagnostics.overlapProfile(a, b, "key", lgK = 12).head()
+    // RSE for lgK=12 is ~1/sqrt(4096) ~ 1.6%; allow 3 sigma
+    def within(est: Double, truth: Double): Unit =
+      assert(math.abs(est - truth) / truth < 0.05, s"$est vs $truth")
+    within(r.getDouble(0), n)
+    within(r.getDouble(1), n)
+    within(r.getDouble(2), n / 2)
+    within(r.getDouble(3), 1.5 * n)
+  }
+
+  test("persisted profile algebra equals the direct two-corpus profile") {
+    val a = (0 until 800).map(i => ("A", s"k$i")).toDF("slice", "key")
+    val b = (400 until 1200).map(i => ("B", s"k$i")).toDF("slice", "key")
+    val profs = Diagnostics.thetaProfile(a.union(b), "slice", "key")
+    assert(profs.count() == 2)
+    val est = profs.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est("A") == 800.0 && est("B") == 800.0)
+    val direct = Diagnostics.overlapProfile(a, b, "key").head()
+    val viaProfiles = Diagnostics.overlapOfProfiles(
+      profs.filter(col("group") === "A"),
+      profs.filter(col("group") === "B")).head()
+    for (i <- 0 until 6)
+      assert(direct.getDouble(i) == viaProfiles.getDouble(i),
+        s"col $i: ${direct.getDouble(i)} vs ${viaProfiles.getDouble(i)}")
+  }
+
+  test("theta functions work from SQL") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    Seq("p", "p", "q").toDF("k").createOrReplaceTempView("theta_in")
+    val est = spark.sql(
+      "SELECT theta_estimate(theta_sketch(k)) FROM theta_in").head().getDouble(0)
+    assert(est == 2.0)
+    val inter = spark.sql(
+      """SELECT theta_estimate(theta_intersect(
+        |  (SELECT theta_sketch(k) FROM theta_in),
+        |  (SELECT theta_sketch(k) FROM theta_in WHERE k = 'p')))
+        |""".stripMargin).head().getDouble(0)
+    assert(inter == 1.0)
+  }
+}
