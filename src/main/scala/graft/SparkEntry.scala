@@ -1936,6 +1936,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer — rows-only like q_bpe
+    // (EM-trained piece probabilities aren't SQL); UnigramTokenizerSpec
+    // pins coverage, vocab bound, Viterbi likelihood, determinism.
+    "q_unigram_tok" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.functions.UnigramTokenizer.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", vocabSize = 300)
+      graft.functions.UnigramTokenizer.encode(docs, "text", model)
+        .select(col("doc_id"), col("n_pieces").cast("long").as("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 5)).as("first_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 5
     // words, no javascript) + page-level keep (>= 3 sentences, no lorem
     // ipsum, no brace). The corpus text is punctuation-free word soup, so

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018, the SentencePiece "unigram"
+  * model) — the second of the two tokenizer families real pipelines train
+  * ([[Bpe]] is the merge-based one): pieces carry log-probabilities, a
+  * word's tokenization is the max-likelihood segmentation (Viterbi over
+  * the piece lattice), and training is EM — segment under current probs,
+  * re-estimate probs from segment counts, prune to the target vocabulary.
+  *
+  * Same scale posture as [[Bpe.train]]: the ONLY distributed work is the
+  * word-frequency aggregate (capped to `vocabCap` most-frequent words —
+  * the tail doesn't move piece statistics); seeding, EM, and pruning run
+  * driver-side over that bounded table. Deterministic throughout: seed
+  * selection and pruning order by (count desc, piece asc), Viterbi
+  * tie-breaks by fixed scan order — identical corpora give identical
+  * models run to run.
+  */
+object UnigramTokenizer {
+
+  private val UnkLogProb = math.log(1e-10)
+
+  final case class UnigramModel(logProbs: Map[String, Double])
+      extends Serializable {
+
+    /** Max-likelihood segmentation; unknown single chars fall back to a
+      * floor probability so encoding always succeeds. */
+    def encodeWord(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      val n = word.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = new Array[Int](n + 1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - MaxPieceLen)
+        while (j < i) {
+          val piece = word.substring(j, i)
+          val lp = logProbs.getOrElse(piece,
+            if (i - j == 1) UnkLogProb else Double.NegativeInfinity)
+          if (lp > Double.NegativeInfinity && best(j) + lp > best(i)) {
+            best(i) = best(j) + lp
+            back(i) = j
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = n
+      while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+      out.reverse.toSeq
+    }
+
+    def encodeText(text: String): Seq[String] =
+      text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(encodeWord)
+  }
+
+  /** Pieces longer than this never enter the vocabulary (bounds the
+    * Viterbi inner loop and the seed-substring blowup). */
+  val MaxPieceLen = 8
+
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            vocabCap: Int = 100000, emIters: Int = 4): UnigramModel = {
+    import graft.operators.TextAnalysis
+    val wordFreq: Array[(String, Long)] = df
+      .select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnWordFreq(wordFreq, vocabSize, emIters)
+  }
+
+  /** Driver-side seeding + EM + prune, exposed for tests. */
+  def trainOnWordFreq(wordFreq: Array[(String, Long)], vocabSize: Int,
+                      emIters: Int = 4): UnigramModel = {
+    require(vocabSize > 0, s"bad vocabSize $vocabSize")
+    require(emIters >= 1, s"bad emIters $emIters")
+    import scala.collection.mutable
+    // seed: all substrings up to MaxPieceLen weighted by word frequency;
+    // single chars are mandatory (coverage), multi-char seeds capped to
+    // the most frequent 4x the target vocabulary
+    val subCount = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- wordFreq; i <- 0 until w.length;
+         l <- 1 to math.min(MaxPieceLen, w.length - i))
+      subCount(w.substring(i, i + l)) += f
+    val chars = subCount.keys.filter(_.length == 1).toSeq.sorted
+    val multiSeed = subCount.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(4 * vocabSize).map(_._1)
+    var pieces: Seq[String] = chars ++ multiSeed
+    var model = estimate(pieces.map(p => p -> subCount(p).toDouble).toMap)
+    // EM: Viterbi-segment the weighted vocabulary, re-estimate from
+    // segment counts; prune to target size before the final iteration
+    for (it <- 1 to emIters) {
+      val segCount = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((w, f) <- wordFreq; p <- model.encodeWord(w))
+        segCount(p) += f.toDouble
+      if (it == emIters - 1 || emIters == 1) {
+        val keepMulti = segCount.iterator
+          .filter { case (p, _) => p.length > 1 }.toSeq
+          .sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, vocabSize - chars.length)).map(_._1)
+        pieces = chars ++ keepMulti
+      }
+      val kept = pieces.map(p => p -> math.max(segCount(p), 1e-3)).toMap
+      model = estimate(kept)
+    }
+    model
+  }
+
+  private def estimate(counts: Map[String, Double]): UnigramModel = {
+    val total = counts.values.sum
+    UnigramModel(counts.map { case (p, c) => p -> math.log(c / total) })
+  }
+
+  /** Encode a text column: (outCol array<string>, n_outCol). Row-local;
+    * the piece table ships in the UDF closure — a UDF by necessity
+    * (lattice Viterbi has no built-in-expression form; the documented
+    * exception class of [[Bpe.encode]]).
+    */
+  def encode(df: DataFrame, textCol: String, model: UnigramModel,
+             outCol: String = "pieces"): DataFrame = {
+    val enc = udf((t: String) =>
+      if (t == null) Seq.empty[String]
+      else model.encodeText(graft.operators.TextAnalysis.normalizeString(t)))
+    df.withColumn(outCol, enc(col(textCol)))
+      .withColumn(s"n_$outCol", size(col(outCol)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.UnigramTokenizer.{UnigramModel, trainOnWordFreq}
+
+class UnigramTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus: Array[(String, Long)] = Array(
+    ("window", 50L), ("windows", 30L), ("win", 20L), ("dow", 5L),
+    ("spark", 40L), ("sparkly", 10L), ("park", 15L), ("s", 2L))
+
+  test("training covers every word and reconstructs it exactly") {
+    val m = trainOnWordFreq(corpus, vocabSize = 40)
+    for ((w, _) <- corpus) {
+      val pieces = m.encodeWord(w)
+      assert(pieces.nonEmpty && pieces.mkString("") == w,
+        s"$w -> $pieces")
+    }
+  }
+
+  test("frequent words become single pieces; vocab bound respected") {
+    val m = trainOnWordFreq(corpus, vocabSize = 40)
+    assert(m.encodeWord("window") == Seq("window"))
+    assert(m.encodeWord("spark") == Seq("spark"))
+    val chars = m.logProbs.keys.count(_.length == 1)
+    assert(m.logProbs.size <= math.max(40, chars))
+    // a tight budget forces more char-level splitting but never failure
+    val tiny = trainOnWordFreq(corpus, vocabSize = 1)
+    assert(tiny.logProbs.keys.forall(_.length == 1))
+    assert(tiny.encodeWord("window").mkString("") == "window")
+  }
+
+  test("Viterbi picks the max-likelihood segmentation") {
+    // hand model: 'ab' much likelier than 'a'+'b'
+    val m = UnigramModel(Map(
+      "ab" -> math.log(0.5), "a" -> math.log(0.1), "b" -> math.log(0.1),
+      "c" -> math.log(0.3)))
+    assert(m.encodeWord("abc") == Seq("ab", "c"))
+    assert(m.encodeWord("cab") == Seq("c", "ab"))
+    // unknown chars fall back to the floor, never fail
+    assert(m.encodeWord("axb").mkString("") == "axb")
+  }
+
+  test("training is deterministic run to run") {
+    val a = trainOnWordFreq(corpus, vocabSize = 25)
+    val b = trainOnWordFreq(corpus, vocabSize = 25)
+    assert(a.logProbs == b.logProbs)
+  }
+
+  test("encode attaches pieces and counts on a DataFrame") {
+    val docs = Seq((1L, "window spark"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val m = trainOnWordFreq(corpus, vocabSize = 40)
+    val out = UnigramTokenizer.encode(docs, "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](2), r.getInt(3))).toMap
+    assert(out(1L)._1.mkString("") == "windowspark")
+    assert(out(2L) == ((Seq.empty, 0)) && out(3L) == ((Seq.empty, 0)))
+  }
+}
