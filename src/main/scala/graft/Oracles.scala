@@ -1038,6 +1038,22 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Per-source distinct bucket counts (theta exact mode).
+    "q_theta_profile" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Join-size prediction: per-key count histograms, sum/max of products.
+    "q_join_size" ->
+      """WITH ka AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1),
+        |kb AS (SELECT l_orderkey % 1000 AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+        |j AS (SELECT na * nb AS rows_k FROM ka JOIN kb USING (k))
+        |SELECT CAST(coalesce(sum(rows_k), 0) AS BIGINT) AS est_rows,
+        |  CAST(coalesce(max(rows_k), 0) AS BIGINT) AS max_key_rows,
+        |  count(*) AS n_join_keys
+        |FROM j""".stripMargin,
+
     // Exact set arithmetic over the same bounded md5-bucket keys the
     // theta sketches see (sketches are in exact mode below 4096 keys).
     "q_theta_overlap" ->

@@ -2308,6 +2308,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source theta key profiles on the bounded key space — exact-mode
+    // estimates == per-group distinct counts.
+    "q_theta_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("key", Sampling.hashBucket(col("doc_id"), 3000))
+      Diagnostics.thetaProfile(d, "source", "key")
+        .select(col("group").as("source"),
+          col("estimate").cast("long").as("n_distinct"))
+        .orderBy("source")
+    }),
+
+    // Predicted join size from key histograms (no join of payloads):
+    // exact integer arithmetic in both engines.
+    "q_join_size" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      Diagnostics.joinSizeEstimate(
+          o.select(col("o_custkey").as("k")),
+          l.select((col("l_orderkey") % 1000).as("k")), Seq("k"))
+        .select(col("est_rows"), col("max_key_rows"), col("n_join_keys"))
+    }),
+
     // Theta-sketch slice overlap on a BOUNDED key space (md5 buckets %
     // 3000 < the lgK=12 exact-mode limit at any sf): estimates are exact
     // distinct counts, so the sketch algebra hash-matches DuckDB's exact

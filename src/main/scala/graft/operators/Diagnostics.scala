@@ -411,6 +411,27 @@ object Diagnostics {
       .agg(thetaAgg(col(keyCol).cast("string"), lgK).as("sketch"))
       .withColumn("estimate", thetaEstimate(col("sketch")))
 
+  /** Predicted equi-join output size WITHOUT running the join: per-key
+    * count histograms of both sides joined at key grain, output rows =
+    * sum(n_a * n_b), plus the skew tells (max per-key product, the key
+    * that dominates). The pre-flight check a 100 TB pipeline runs before
+    * an unfamiliar join — a Zipf-hot key shows up here as one row
+    * dominating `max_key_rows`, BEFORE it becomes a 6-hour straggler
+    * task; feed such keys to [[graft.operators.Skew.saltedEquiJoin]].
+    * Cost: two key-grain aggregates and a key-grain join — counts move,
+    * never payloads.
+    */
+  def joinSizeEstimate(dfA: DataFrame, dfB: DataFrame,
+                       keyCols: Seq[String]): DataFrame = {
+    val ka = dfA.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__na"))
+    val kb = dfB.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    ka.join(kb, keyCols)
+      .select((col("__na") * col("__nb")).as("__rows"))
+      .agg(coalesce(sum(col("__rows")), lit(0L)).as("est_rows"),
+        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"),
+        count(lit(1)).as("n_join_keys"))
+  }
+
   /** Overlap of two slices by key — ONE row: estimated |A|, |B|, |A∩B|,
     * |A∪B|, |A\B|, |B\A| and the Jaccard — via two theta sketch
     * aggregates and driver-free sketch algebra (a cross join of two 1-row

@@ -52,6 +52,20 @@ class ThetaSpec extends SparkSpec {
         s"col $i: ${direct.getDouble(i)} vs ${viaProfiles.getDouble(i)}")
   }
 
+  test("joinSizeEstimate predicts the exact join output and the hot key") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k")        // x:3 y:1 z:1
+    val b = Seq("x", "x", "y", "w").toDF("k")             // x:2 y:1 w:1
+    val r = Diagnostics.joinSizeEstimate(a, b, Seq("k")).head()
+    // x: 3*2=6, y: 1*1=1; z/w don't join
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 6L, 2L)))
+    val exact = a.join(b, "k").count()
+    assert(exact == r.getLong(0))
+    // disjoint keys: zero everywhere, no null aggregates
+    val none = Diagnostics.joinSizeEstimate(
+      Seq("p").toDF("k"), Seq("q").toDF("k"), Seq("k")).head()
+    assert((none.getLong(0), none.getLong(1), none.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("theta functions work from SQL") {
     org.apache.spark.sql.graft.FunctionRegistration.register(spark)
     Seq("p", "p", "q").toDF("k").createOrReplaceTempView("theta_in")
