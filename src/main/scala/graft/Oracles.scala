@@ -1038,6 +1038,59 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // CDC: boundary flags, prefix-sum chunk ids, order-preserving
+    // string_agg rebuild, md5 fingerprints.
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks,
+        |    [CASE WHEN substr(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END
+        |     FOR i IN range(1, len(toks) + 1)] AS flags FROM t),
+        |st AS (SELECT doc_id, toks,
+        |    [coalesce(list_sum(flags[1:i-1]), 0) FOR i IN range(1, len(flags) + 1)] AS starts
+        |  FROM f),
+        |a AS (SELECT doc_id,
+        |    unnest([{'i': i, 'c': starts[i], 't': toks[i]}
+        |            FOR i IN range(1, len(toks) + 1)]) AS u
+        |  FROM st WHERE len(toks) > 0),
+        |g AS (SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+        |    md5(string_agg(u.t, ' ' ORDER BY u.i)) AS chunk_md5,
+        |    CAST(count(*) AS INT) AS n_toks
+        |  FROM a GROUP BY 1, 2)
+        |SELECT * FROM g
+        |UNION ALL SELECT doc_id, 0, md5(''), 0 FROM t WHERE len(toks) = 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // REP precedence over the rule table the literal bodies parse to:
+    // own agent beats '*', longest prefix, allow beats disallow on ties,
+    // no match = allowed.
+    "q_robots" ->
+      """WITH rules(host, agent, allow, path_prefix) AS (VALUES
+        |  ('site0.org', '*', false, '/private/'),
+        |  ('site0.org', '*', true, '/private/ok'),
+        |  ('site0.org', 'gptbot', false, '/'),
+        |  ('site1.org', 'ccbot', false, '/data/'),
+        |  ('site1.org', 'ccbot', true, '/data/public/')),
+        |u AS (SELECT 'https://site' || (doc_id % 3) || '.org' ||
+        |    (['/private/x','/private/ok/page','/data/x','/data/public/y','/open/z'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    '?id=' || doc_id AS url FROM documents),
+        |uu AS (SELECT url,
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host,
+        |    coalesce(nullif(regexp_extract(url, 'https?://[^/\s?#]+(/[^\s#]*)', 1), ''), '/') AS path
+        |  FROM u),
+        |m AS (SELECT uu.url, r.allow, len(r.path_prefix) AS l,
+        |    CASE WHEN r.agent = 'ccbot' THEN 1 ELSE 0 END AS pri
+        |  FROM uu JOIN rules r ON uu.host = r.host
+        |    AND (r.agent = 'ccbot' OR r.agent = '*')
+        |  WHERE starts_with(uu.path, r.path_prefix)),
+        |w AS (SELECT url, allow,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY pri DESC, l DESC, allow DESC) AS rn FROM m)
+        |SELECT u.url, coalesce(w.allow, true) AS allowed
+        |FROM u LEFT JOIN w ON u.url = w.url AND w.rn = 1
+        |ORDER BY u.url""".stripMargin,
+
     // Per-source distinct bucket counts (theta exact mode).
     "q_theta_profile" ->
       """SELECT source,

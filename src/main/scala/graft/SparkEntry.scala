@@ -2308,6 +2308,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking: md5-boundary tokens close chunks (16
+    // tokens expected), chunk fingerprints exact in both engines.
+    "q_cdc_chunks" -> ((s, dir) => {
+      Chunking.cdcChunks(Tables.documents(s, dir), "text", "doc_id",
+          boundaryNibbles = 1)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          md5(col("chunk")).as("chunk_md5"), col("n_toks"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // robots.txt crawl permissions: literal bodies parse through
+    // robotsRules, synthesized URLs check through robotsAllowed; the
+    // oracle applies the same precedence to the known parsed rule table
+    // (parse correctness is part of the hash — a wrong parse changes
+    // every verdict).
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("site0.org", "User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/ok\n\nUser-agent: gptbot\nDisallow: /"),
+        ("site1.org", "User-agent: ccbot\nDisallow: /data/\n" +
+          "Allow: /data/public/")
+      ).toDF("host", "robots")
+      val rules = Cleanse.robotsRules(robots, "host", "robots")
+      val urls = Tables.documents(s, dir).select(
+        concat(lit("https://site"), (col("doc_id") % 3).cast("string"),
+          lit(".org"),
+          element_at(array(lit("/private/x"), lit("/private/ok/page"),
+            lit("/data/x"), lit("/data/public/y"), lit("/open/z")),
+            (col("doc_id") % 5 + 1).cast("int")),
+          lit("?id="), col("doc_id").cast("string")).as("url"))
+      Cleanse.robotsAllowed(urls, "url", rules, "ccbot")
+        .orderBy("url")
+    }),
+
     // Per-source theta key profiles on the bounded key space — exact-mode
     // estimates == per-group distinct counts.
     "q_theta_profile" -> ((s, dir) => {

@@ -56,6 +56,66 @@ object Chunking {
           .as("n_toks"))
   }
 
+  /** Content-defined chunking (the rsync/CDC trick at token grain):
+    * a token CLOSES its chunk when its md5 opens with `boundaryNibbles`
+    * zero hex digits — expected chunk length 16^n tokens, boundaries
+    * determined by CONTENT, not position. The property that matters for
+    * chunk-grain dedup: inserting or deleting a sentence re-frames only
+    * the chunk it lands in — every downstream chunk keeps its exact bytes
+    * (a fixed-window chunker shifts all of them, so near-identical
+    * documents share zero window-grain fingerprints). md5 is the
+    * engine-portable hash of the sampling layer (same rationale as
+    * [[graft.operators.Sampling.hashBucket]]).
+    *
+    * Returns (id, chunk_id, chunk, n_toks); empty documents keep their id
+    * with one empty chunk. Row-local throughout: boundary flags, prefix
+    * sums via one aggregate() fold, per-chunk filters — a map stage, no
+    * shuffle (the [[chunkRowsBySentences]] pattern).
+    */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                boundaryNibbles: Int = 1): DataFrame = {
+    require(boundaryNibbles >= 1 && boundaryNibbles <= 8,
+      s"bad boundaryNibbles $boundaryNibbles")
+    val zeros = "0" * boundaryNibbles
+    val staged = FanOut(df)
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+      .select(col("id"), col("__toks"),
+        transform(col("__toks"), t =>
+          when(substring(md5(t), 1, boundaryNibbles) === zeros, 1)
+            .otherwise(0)).as("__flags"))
+      // chunk of token i = boundary tokens BEFORE i (a boundary token
+      // closes its own chunk); prefix sums, length n+1
+      .select(col("id"), col("__toks"),
+        aggregate(col("__flags"), array(lit(0)),
+          (acc, f) => concat(acc, array(element_at(acc, -1) + f)))
+          .as("__starts"))
+      .select(col("id"),
+        when(size(col("__toks")) === 0,
+          array().cast("array<struct<c:int,t:string>>"))
+          .otherwise(
+            transform(sequence(lit(1), size(col("__toks"))), i => struct(
+              element_at(col("__starts"), i).as("c"),
+              element_at(col("__toks"), i).as("t"))))
+          .as("__z"),
+        element_at(col("__starts"), -1).as("__nChunksUpper"))
+    val emptyDoc = array(struct(lit(0).as("chunk_id"), lit("").as("chunk"),
+      lit(0).as("n_toks")))
+    val packed = transform(sequence(lit(0), col("__nChunksUpper")), cid =>
+      struct(cid.as("chunk_id"),
+        array_join(transform(filter(col("__z"), z => z.getField("c") === cid),
+          z => z.getField("t")), " ").as("chunk"),
+        org.apache.spark.sql.functions.size(
+          filter(col("__z"), z => z.getField("c") === cid)).as("n_toks")))
+    staged
+      .select(col("id"), explode(
+        when(org.apache.spark.sql.functions.size(col("__z")) === 0, emptyDoc)
+          .otherwise(filter(packed, ch => ch.getField("n_toks") > 0)))
+        .as("ch"))
+      .select(col("id"), col("ch.chunk_id").cast("long").as("chunk_id"),
+        col("ch.chunk"), col("ch.n_toks"))
+  }
+
   /** Sentence-aligned budget chunking — the RAG/packing variant that never
     * splits mid-sentence: sentences (terminal-punctuation boundaries, the
     * [[Dedup.sentenceDedup]] convention — punctuation consumed, rebuilt

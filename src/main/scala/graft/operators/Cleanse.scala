@@ -216,6 +216,99 @@ object Cleanse {
     df.filter(!arrays_overlap(hostSuffixes(urlHost(col(urlCol))), bl))
   }
 
+  /** robots.txt rule table: parse raw robots.txt bodies into one row per
+    * (host, agent, allow, path_prefix) — REP group semantics (RFC 9309):
+    * a `User-agent:` run opens a group; `Allow:`/`Disallow:` lines attach
+    * to every agent of the open group; an empty `Disallow:` means
+    * allow-all and is dropped (no rule == allowed). Comments and unknown
+    * directives are ignored. Wildcard-free prefix rules only (the
+    * dominant form; `*`/`$` patterns are a documented non-goal).
+    *
+    * The parse is row-local HOF arithmetic over the line array (a group
+    * id via a prefix count of user-agent runs, then a self-join of agent
+    * lines to rule lines at (host, group) grain) — crawl-metadata grain,
+    * never corpus grain.
+    */
+  def robotsRules(df: DataFrame, hostCol: String,
+                  robotsCol: String): DataFrame = {
+    val lines = df.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(length(col("line")) > 0)
+      .select(col("host"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+          .as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+          .as("value"))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    // group id: a user-agent line NOT preceded by another user-agent line
+    // starts a new group; rules bind to the latest group
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("ln")
+    val grouped = lines
+      .withColumn("__isUa", (col("directive") === "user-agent").cast("int"))
+      .withColumn("__newGroup",
+        (col("__isUa") === 1 &&
+          coalesce(lag(col("__isUa"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("group", sum(col("__newGroup")).over(w))
+    val agents = grouped.filter(col("directive") === "user-agent")
+      .select(col("host"), col("group"), lower(col("value")).as("agent"))
+      .distinct()
+    val rules = grouped
+      .filter(col("directive") =!= "user-agent" && length(col("value")) > 0)
+      .select(col("host"), col("group"),
+        (col("directive") === "allow").as("allow"),
+        col("value").as("path_prefix"))
+    agents.join(rules, Seq("host", "group"))
+      .select("host", "agent", "allow", "path_prefix")
+  }
+
+  /** Crawl-permission check: for each URL, is `agent` allowed under the
+    * rule table from [[robotsRules]]? REP precedence: the most specific
+    * (longest) matching path prefix wins, Allow beats Disallow on equal
+    * length; no matching rule (or no rules for the host/agent) means
+    * allowed. Agent resolution prefers the agent's own group over `*`.
+    *
+    * Deliberate deviation from strict REP group-exclusivity: shadowing is
+    * per-URL — own-group rules win where they MATCH, but a URL matched by
+    * no own-group rule falls through to `*` (an allow-all own group does
+    * not suppress `*` blocks). Conservative in the blocking direction;
+    * spec-pinned.
+    *
+    * Plan shape: URL table joins the rule DIMENSION on host (AQE
+    * broadcasts a normal rule set), prefix-match filter, then a
+    * groupBy-max on (url) over (priority, prefix_len, allow) — no window
+    * over the corpus.
+    */
+  def robotsAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
+                    agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase
+    val u = urls.withColumn("__host", urlHost(col(urlCol)))
+      .withColumn("__path",
+        coalesce(nullif(regexp_extract(col(urlCol),
+          "https?://[^/\\s?#]+(/[^\\s#]*)", 1), lit("")), lit("/")))
+    val r = rules
+      .filter(col("agent") === agentLc || col("agent") === "*")
+      .select(col("host").as("__host"), col("agent").as("__agent"),
+        col("allow"), col("path_prefix"))
+    // own-group rules shadow '*' rules entirely (priority first in the
+    // ordering struct); within the winning priority the longest prefix
+    // wins, allow beating disallow at equal length (true > false)
+    val best = u.join(r, Seq("__host"))
+      .filter(col("__path").startsWith(col("path_prefix")))
+      .withColumn("__pri", when(col("__agent") === agentLc, 1).otherwise(0))
+      .groupBy(col(urlCol).as("url"), col("__pri"))
+      .agg(max(struct(length(col("path_prefix")).as("l"), col("allow")))
+        .as("__b"))
+      .groupBy("url")
+      .agg(max(struct(col("__pri"), col("__b"))).as("__w"))
+      .select(col("url"), col("__w.__b.allow").as("allowed"))
+    urls.select(col(urlCol).as("url"))
+      .join(best, Seq("url"), "left")
+      .select(col("url"), coalesce(col("allowed"), lit(true)).as("allowed"))
+  }
+
   /** Corpus-frequency boilerplate line removal — CCNet's first cleaning
     * step (Wenzek et al. 2020 §4.1 dedup lines across shards): a line
     * whose normalized form appears in at least `minDocs` DISTINCT

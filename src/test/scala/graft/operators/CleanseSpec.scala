@@ -207,6 +207,50 @@ class CleanseSpec extends SparkSpec {
       (1L, 2L, "http://c.net/", "third one")))
   }
 
+  test("robotsRules parses REP groups; robotsAllowed applies precedence") {
+    import spark.implicits._
+    val robots = Seq(
+      ("h1.org",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
+          "# comment line\nCrawl-delay: 10\n" +
+          "User-agent: gptbot\nUser-agent: ccbot\nDisallow: /\n" +
+          "User-agent: emptybot\nDisallow:\n"),
+      ("h2.org", "User-agent: other\nDisallow: /")
+    ).toDF("host", "robots")
+    val rules = Cleanse.robotsRules(robots, "host", "robots")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3))).toSet
+    assert(rules == Set(
+      ("h1.org", "*", false, "/private/"),
+      ("h1.org", "*", true, "/private/ok"),
+      ("h1.org", "gptbot", false, "/"),   // shared group: both agents
+      ("h1.org", "ccbot", false, "/"),
+      ("h2.org", "other", false, "/")))   // emptybot's empty Disallow drops
+    val rulesDf = Cleanse.robotsRules(robots, "host", "robots")
+    def allowed(agent: String, urls: String*): Map[String, Boolean] =
+      Cleanse.robotsAllowed(urls.map(Tuple1(_)).toDF("url"), "url",
+          rulesDf, agent)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // somebot falls to '*': longest prefix wins, allow at /private/ok
+    val sb = allowed("somebot", "https://h1.org/private/secret",
+      "https://h1.org/private/ok/page", "https://h1.org/public/x",
+      "https://h2.org/anything")
+    assert(!sb("https://h1.org/private/secret"))
+    assert(sb("https://h1.org/private/ok/page"))
+    assert(sb("https://h1.org/public/x"))
+    assert(sb("https://h2.org/anything")) // rules exist only for 'other'
+    // ccbot's own group (Disallow: /) shadows the '*' Allow entirely
+    val cc = allowed("ccbot", "https://h1.org/private/ok/page",
+      "https://h1.org/public/x")
+    assert(!cc("https://h1.org/private/ok/page"))
+    assert(!cc("https://h1.org/public/x"))
+    // emptybot: its own group has no rules -> '*' group applies
+    val eb = allowed("emptybot", "https://h1.org/private/secret",
+      "https://h1.org/anything")
+    assert(!eb("https://h1.org/private/secret"))
+    assert(eb("https://h1.org/anything"))
+  }
+
   test("hostSuffixes enumerates dot-suffixes; suffix blocklist blocks zones") {
     import spark.implicits._
     val sufs = Seq("a.b.example.com").toDF("h")

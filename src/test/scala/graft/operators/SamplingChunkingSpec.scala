@@ -266,6 +266,30 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("cdcChunks boundaries are content-defined: inserts re-frame one chunk") {
+    // enough tokens that (at 1 nibble, p=1/16) boundaries certainly occur
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted words up front " + base
+    val df = Seq((1L, base), (2L, shifted), (3L, "")).toDF("doc_id", "text")
+    val out = Chunking.cdcChunks(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    val a = out.filter(_._1 == 1L).map(_._2)
+    val b = out.filter(_._1 == 2L).map(_._2)
+    assert(a.length > 5, s"expected several chunks, got ${a.length}")
+    // every chunk of the original except the FIRST reappears verbatim in
+    // the shifted document (fixed-window chunking would share none)
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.length - 1, s"${shared.size} of ${a.length} shared")
+    // token conservation: chunks partition the token stream
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 400)
+    // empty doc keeps its id
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq == Seq(("", 0)))
+    // chunk contents reassemble the original token stream in order
+    val texts = Chunking.cdcChunks(df.filter(col("doc_id") === 1L), "text", "doc_id")
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(texts.mkString(" ") == base)
+  }
+
   test("chunkRowsBySentences packs whole sentences by cumulative budget") {
     val df = Seq(
       (1L, "One two three. Four five. Six seven eight nine! Ten"),
