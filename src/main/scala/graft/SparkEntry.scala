@@ -2308,6 +2308,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HITS hubs & authorities on the synthetic host graph — rows-only
+    // (L1-normalized float iterations, like q_pagerank); LinkGraphSpec
+    // pins star-graph closed forms + driver==distributed parity.
+    "q_hits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      LinkGraph.hits(edges, "src", "dst", iters = 10)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
+    }),
+
     // Content-defined chunking: md5-boundary tokens close chunks (16
     // tokens expected), chunk fingerprints exact in both engines.
     "q_cdc_chunks" -> ((s, dir) => {

@@ -111,4 +111,82 @@ object LinkGraph {
       ranks
     }
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the second classic link
+    * signal next to PageRank, and the one that separates ROLES: a
+    * directory/aggregator page is a hub (links to many authorities), a
+    * canonical source is an authority (linked by many hubs). PageRank
+    * conflates the two into one score. Mutual-reinforcement iteration
+    * with L1 normalization each round (keeps both vectors summing to 1 —
+    * the scale-free part of the classic L2 form, chosen because the sums
+    * are single scalar aggregates).
+    *
+    * Returns (node, hub, authority). Same dual-path altitude rule as
+    * [[personalizedPageRank]]: small edge lists iterate on the driver
+    * (identical arithmetic — spec-pinned parity), large ones run the
+    * join-based loop with one-iteration-deep lineage.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 10, driverCap: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nEdges = e.count()
+    if (nEdges <= driverCap) {
+      val pairs = e.as[(String, String)].collect()
+      val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.length
+      var hub = Array.fill(n)(1.0 / n)
+      var auth = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val a = new Array[Double](n)
+        pairs.foreach { case (s, d) => a(idx(d)) += hub(idx(s)) }
+        val aSum = a.sum
+        auth = if (aSum > 0) a.map(_ / aSum) else a
+        val h = new Array[Double](n)
+        pairs.foreach { case (s, d) => h(idx(s)) += auth(idx(d)) }
+        val hSum = h.sum
+        hub = if (hSum > 0) h.map(_ / hSum) else h
+      }
+      spark.createDataFrame(
+        nodes.indices.map(i => (nodes(i), hub(i), auth(i))))
+        .toDF("node", "hub", "authority")
+    } else {
+      val ec = e.localCheckpoint(true)
+      val nodes = ec.select(col("src").as("node"))
+        .union(ec.select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      val n = nodes.count()
+      var scores = nodes.withColumn("hub", lit(1.0 / n))
+        .withColumn("authority", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        val aRaw = ec.join(scores, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+        val aSum = aRaw.agg(coalesce(sum(col("__a")), lit(0.0)))
+          .head().getDouble(0)
+        val withAuth = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
+          .select(col("node"),
+            (coalesce(col("__a"), lit(0.0)) /
+              (if (aSum > 0) lit(aSum) else lit(1.0))).as("authority"))
+          .localCheckpoint(true)
+        val hRaw = ec.join(withAuth, col("dst") === col("node"))
+          .groupBy(col("src")).agg(sum(col("authority")).as("__h"))
+        val hSum = hRaw.agg(coalesce(sum(col("__h")), lit(0.0)))
+          .head().getDouble(0)
+        scores = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
+          .select(nodes("node"),
+            (coalesce(col("__h"), lit(0.0)) /
+              (if (hSum > 0) lit(hSum) else lit(1.0))).as("hub"))
+          .join(withAuth.withColumnRenamed("node", "__n2"),
+            col("node") === col("__n2"))
+          .select(col("node"), col("hub"), col("authority"))
+          .localCheckpoint(true)
+      }
+      scores
+    }
+  }
 }

@@ -76,4 +76,36 @@ class LinkGraphSpec extends SparkSpec {
     assert(ghost("ghost") > 0.14) // (1-d) of its teleport share, plus decay
     assert(math.abs(ghost.values.sum - 1.0) < 1e-9)
   }
+
+  private def hitsOf(edges: Seq[(String, String)], iters: Int = 20,
+                     driverCap: Long = 2000000L): Map[String, (Double, Double)] =
+    LinkGraph.hits(edges.toDF("src", "dst"), "src", "dst",
+        iters = iters, driverCap = driverCap)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+  test("HITS separates the directory hub from the authorities") {
+    val h = hitsOf(Seq(("dir", "a"), ("dir", "b"), ("dir", "c")))
+    assert(math.abs(h("dir")._1 - 1.0) < 1e-12) // the only hub
+    assert(h("dir")._2 == 0.0)                  // nothing links TO it
+    for (n <- Seq("a", "b", "c")) {
+      assert(math.abs(h(n)._2 - 1.0 / 3) < 1e-12)
+      assert(h(n)._1 == 0.0)
+    }
+    // roles swap when edges reverse
+    val r = hitsOf(Seq(("a", "dir"), ("b", "dir"), ("c", "dir")))
+    assert(math.abs(r("dir")._2 - 1.0) < 1e-12 && r("dir")._1 == 0.0)
+  }
+
+  test("HITS distributed loop agrees with the in-memory iteration") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("d", "b"))
+    val mem = hitsOf(edges, iters = 15)
+    val dist = hitsOf(edges, iters = 15, driverCap = 0L)
+    assert(mem.keySet == dist.keySet)
+    for (k <- mem.keys) {
+      assert(math.abs(mem(k)._1 - dist(k)._1) < 1e-9, s"hub $k")
+      assert(math.abs(mem(k)._2 - dist(k)._2) < 1e-9, s"auth $k")
+    }
+  }
 }
