@@ -1038,6 +1038,26 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Mix-recipe rates: min(1, B*share/avail), floor(+0.5) expected,
+    // realized share of the expected total.
+    "q_mixture_rates" ->
+      """WITH avail AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS a
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+        |t(grp, ts) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |j AS (SELECT t.grp, t.ts, coalesce(avail.a, 0) AS a
+        |  FROM t LEFT JOIN avail ON t.grp = avail.grp),
+        |r AS (SELECT grp, ts, a,
+        |    CASE WHEN a = 0 THEN 0.0
+        |         ELSE least(1.0, CAST(50000 AS DOUBLE) * ts / a) END AS rate
+        |  FROM j),
+        |e AS (SELECT grp, ts, a, rate, floor(rate * a + 0.5) AS expected FROM r),
+        |tot AS (SELECT sum(expected) AS te FROM e)
+        |SELECT grp AS "group", a AS available,
+        |  CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS rate_ppm,
+        |  CAST(expected AS BIGINT) AS expected_tokens,
+        |  CAST(floor(CASE WHEN te = 0 THEN NULL ELSE expected / te END * 1e6 + 0.5) AS BIGINT) AS realized_ppm
+        |FROM e, tot ORDER BY grp""".stripMargin,
+
     // CDC: boundary flags, prefix-sum chunk ids, order-preserving
     // string_agg rebuild, md5 fingerprints.
     "q_cdc_chunks" ->

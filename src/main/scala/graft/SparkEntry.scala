@@ -2308,6 +2308,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mix-recipe solver: target proportions + token budget -> per-source
+    // rates and feasibility; integer sums, ppm-quantized ratios.
+    "q_mixture_rates" -> ((s, dir) => {
+      Sampling.mixtureRateReport(Tables.documents(s, dir), "source",
+          "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          totalBudget = 50000L)
+        .select(col("group"), col("available"),
+          floor(col("rate") * 1e6 + 0.5).as("rate_ppm"),
+          col("expected_tokens").cast("long").as("expected_tokens"),
+          floor(col("realized_share") * 1e6 + 0.5).as("realized_ppm"))
+        .orderBy("group")
+    }),
+
     // HITS hubs & authorities on the synthetic host graph — rows-only
     // (L1-normalized float iterations, like q_pagerank); LinkGraphSpec
     // pins star-graph closed forms + driver==distributed parity.

@@ -311,4 +311,53 @@ object Sampling {
       .filter(hashBucket(col("id")) < col("thr"))
       .select("id", "domain", "weight", "thr")
   }
+
+  /** The mix-planning step BEFORE [[tokenBudgetMixture]]: given target
+    * PROPORTIONS (the Pile/Dolma-style recipe: "30% web, 20% code, …")
+    * and a total token budget, solve each group's sampling rate and
+    * report feasibility. rate_g = min(1, budget * target_g / available_g)
+    * — a group with too little data caps at rate 1 and UNDER-delivers its
+    * share (expected < budget * target); the realized-share column makes
+    * the shortfall visible so the operator stays a single deterministic
+    * pass (re-balancing is a policy choice: rerun with adjusted targets,
+    * or upsample via [[temperatureMixture]]'s copy mechanism).
+    *
+    * Returns one row per group in `targets`: (group, available,
+    * target_share, rate, expected, realized_share). Groups present in the
+    * data but absent from `targets` get rate 0 by omission. One
+    * map-side-combined aggregate + literal-table arithmetic.
+    */
+  def mixtureRateReport(df: DataFrame, groupCol: String, weightCol: String,
+                        targets: Map[String, Double],
+                        totalBudget: Long): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0), s"bad targets")
+    require(totalBudget > 0, s"bad totalBudget $totalBudget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tshare = {
+      val s = targets.values.sum
+      targets.map { case (g, w) => (g, w / s) }
+    }
+    val avail = df.filter(col(weightCol) > 0)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(sum(col(weightCol).cast("long")).as("available"))
+    val tgt = tshare.toSeq.toDF("group", "target_share")
+    val joined = tgt.join(avail, Seq("group"), "left")
+      .select(col("group"), col("target_share"),
+        coalesce(col("available"), lit(0L)).as("available"))
+      .withColumn("rate",
+        when(col("available") === 0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            lit(totalBudget.toDouble) * col("target_share")
+              / col("available"))))
+      .withColumn("expected",
+        floor(col("rate") * col("available") + 0.5))
+    val tot = broadcast(joined.agg(
+      sum(col("expected")).as("__tot")))
+    joined.crossJoin(tot)
+      .select(col("group"), col("available"), col("target_share"),
+        col("rate"), col("expected").as("expected_tokens"),
+        when(col("__tot") === 0, lit(null))
+          .otherwise(col("expected") / col("__tot")).as("realized_share"))
+  }
 }

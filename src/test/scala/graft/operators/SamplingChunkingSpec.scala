@@ -266,6 +266,31 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("mixtureRateReport solves rates and surfaces infeasible targets") {
+    // web has plenty (rate < 1); code is scarce (rate caps at 1 and
+    // under-delivers its 50% share)
+    val rows = Seq.fill(10)(("web", 100L)) ++ Seq.fill(2)(("code", 50L)) ++
+      Seq.fill(5)(("junk", 10L)) // not in targets -> no row
+    val df = rows.toDF("g", "w")
+    val out = Sampling.mixtureRateReport(df, "g", "w",
+        Map("web" -> 0.5, "code" -> 0.5), totalBudget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set("web", "code"))
+    val web = out("web") // available 1000, wants 200 -> rate 0.2
+    assert(web._1 == 1000L && math.abs(web._2 - 0.2) < 1e-12 && web._3 == 200L)
+    val codeG = out("code") // available 100 < 200 wanted -> rate 1, gets 100
+    assert(codeG._1 == 100L && codeG._2 == 1.0 && codeG._3 == 100L)
+    // realized shares: 200/300 vs 100/300 — the shortfall is visible
+    assert(math.abs(web._4 - 2.0 / 3) < 1e-12)
+    assert(math.abs(codeG._4 - 1.0 / 3) < 1e-12)
+    // a target group with no data at all: rate 0, zero expected
+    val out2 = Sampling.mixtureRateReport(df, "g", "w",
+        Map("web" -> 1.0, "ghost" -> 1.0), totalBudget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out2("ghost") == 0L && out2("web") == 50L)
+  }
+
   test("cdcChunks boundaries are content-defined: inserts re-frame one chunk") {
     // enough tokens that (at 1 nibble, p=1/16) boundaries certainly occur
     val base = (1 to 400).map(i => s"tok$i").mkString(" ")
