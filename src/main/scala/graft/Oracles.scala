@@ -1038,6 +1038,24 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Homoglyph fold: same confusable translate table + invisible strip
+    // (RE2 \x{...} ranges), md5 equality with the unspoofed original.
+    "q_homoglyph" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN chr(8203) || translate(text, 'aeo', 'аео') || chr(8205)
+         |         ELSE text END AS sp
+         |  FROM documents),
+         |f AS (SELECT doc_id, text,
+         |    translate(regexp_replace(sp,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS folded
+         |  FROM s)
+         |SELECT doc_id, md5(folded) AS folded_md5,
+         |  (md5(folded) = md5(text)) AS dedup_match
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // Mix-recipe rates: min(1, B*share/avail), floor(+0.5) expected,
     // realized share of the expected total.
     "q_mixture_rates" ->

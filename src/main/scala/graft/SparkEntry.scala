@@ -2308,6 +2308,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Homoglyph folding: spoofed docs (Cyrillic lookalikes + zero-width
+    // salt planted on doc_id % 4 == 0) fold back to their original
+    // fingerprint — dedup_match is true everywhere iff the fold works.
+    "q_homoglyph" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val spoofed = when(col("doc_id") % 4 === 0,
+        concat(lit("​"), translate(col("text"), "aeo", "аео"),
+          lit("‍")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+          md5(TextAnalysis.foldHomoglyphs(spoofed)).as("folded_md5"),
+          (md5(TextAnalysis.foldHomoglyphs(spoofed)) === md5(col("text")))
+            .as("dedup_match"))
+        .orderBy("doc_id")
+    }),
+
     // Mix-recipe solver: target proportions + token budget -> per-source
     // rates and feasibility; integer sums, ppm-quantized ratios.
     "q_mixture_rates" -> ((s, dir) => {

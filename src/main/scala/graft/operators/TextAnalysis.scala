@@ -907,6 +907,41 @@ object TextAnalysis {
           .otherwise(col("n_novel").cast("double") / col("n_grams")))
   }
 
+  /** Confusable (homoglyph) folding + invisible-character stripping — the
+    * spoof-resistance layer for dedup keys and decontamination: a spammer
+    * (or an innocently copy-pasted PDF) swaps Latin letters for their
+    * Cyrillic/Greek lookalikes or salts text with zero-width characters,
+    * and every fingerprint/n-gram key changes while the rendered text
+    * looks identical. Fold BEFORE hashing.
+    *
+    * Two codegen'd pieces both engines share: `translate` over an
+    * explicit confusable table (the common Cyrillic/Greek lookalikes of
+    * Latin letters — a deterministic core of Unicode TR39, not the full
+    * table), and a regexp strip of zero-width/bidi-control code points
+    * (ZWSP/ZWNJ/ZWJ/WJ, BOM, bidi embedding controls, soft hyphen).
+    */
+  def foldHomoglyphs(text: Column): Column =
+    translate(stripInvisible(text),
+      TextAnalysis.ConfusableFrom, TextAnalysis.ConfusableTo)
+
+  /** Remove zero-width and bidi-control code points (see
+    * [[foldHomoglyphs]]); safe on any script — these render as nothing.
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text,
+      "[\\u00AD\\u200B-\\u200F\\u202A-\\u202E\\u2060\\uFEFF]", "")
+
+  /** Cyrillic + Greek lookalikes of Latin letters (paired with
+    * [[ConfusableTo]]; same order). */
+  val ConfusableFrom: String =
+    "аеорсухіј" + // а е о р с у х і ј
+      "АВЕКМНОРСТХ" + // АВЕКМНОРСТХ
+      "οαΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" // ο α ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ
+  val ConfusableTo: String =
+    "aeopcyxij" +
+      "ABEKMHOPCTX" +
+      "oaABEZHIKMNOPTYX"
+
   /** Proto-entity table: capitalized multi-word spans ("New York",
     * "Mary Jones") extracted per document — the regex-grade named-entity
     * signal that powers entity-overlap dedup of rewrites (two articles

@@ -175,6 +175,25 @@ class TextRoutingSpec extends SparkSpec {
     assert(b.getInt(2) == 0 && b.isNullAt(4)) // empty text: no score
   }
 
+  test("foldHomoglyphs restores spoofed text to its dedup key") {
+    val original = "paxetypock ABECKOPT"
+    // Cyrillic lookalikes for every lowercase vowel-ish + uppercase run,
+    // zero-width salt inside a word, soft hyphen, bidi mark
+    val spoofed = "pаxеtуpосk АВ" +
+      "ЕСКОPТ" + "​­‎"
+    val df = Seq((1L, original), (2L, spoofed)).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.foldHomoglyphs(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == original) // ASCII is a fixed point
+    assert(out(2L) == original, s"got '${out(2L)}'")
+    // Greek lookalikes too
+    val greek = Seq((3L, "ΟΡΑ οαk")).toDF("id", "text")
+    val g = greek.select(TextAnalysis.foldHomoglyphs(col("text")))
+      .head().getString(0)
+    assert(g == "OPA oak", s"got '$g'")
+  }
+
   test("ndcg matches a hand computation, truncates ideal at k") {
     val pred = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
       (2L, "x", 1L), (2L, "y", 2L), (3L, "z", 1L))
