@@ -1038,6 +1038,46 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Good-Turing n1/N + Chao1 V + n1^2/(2 n2).
+    "q_unseen_mass" ->
+      s"""WITH v AS (SELECT t.token, count(*) AS c FROM
+         |    (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |     FROM documents) t
+         |  WHERE len(t.token) > 0 GROUP BY 1),
+         |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+         |  FROM v)
+         |SELECT n_tokens, n_vocab, n_hapax, n_dis,
+         |  CAST(floor(CASE WHEN n_tokens = 0 THEN NULL
+         |    ELSE CAST(n_hapax AS DOUBLE) / n_tokens END * 1e6 + 0.5) AS BIGINT) AS p_unseen_ppm,
+         |  CAST(floor(CASE WHEN n_dis = 0 THEN CAST(n_vocab AS DOUBLE)
+         |    ELSE n_vocab + CAST(n_hapax AS DOUBLE) * n_hapax / (2.0 * n_dis) END
+         |    * 1e6 + 0.5) AS BIGINT) AS chao1_ppm
+         |FROM a""".stripMargin,
+
+    // Markdown strip: identical RE2 chain, \1 backrefs, md5 + length.
+    "q_markdown" ->
+      """WITH m AS (SELECT doc_id,
+        |    '# Title' || chr(10) || chr(10) || '**bold** and *emph* text' ||
+        |    chr(10) || chr(10) || '```' || chr(10) || 'code block' || chr(10) ||
+        |    '```' || chr(10) || '- item one' || chr(10) || '- item two' ||
+        |    chr(10) || chr(10) || '[link text](http://x.org) ![alt](img.png)' ||
+        |    chr(10) || chr(10) || '> quote line' || chr(10) || chr(10) ||
+        |    '| a | b |' || chr(10) || chr(10) || text AS md
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(md, '(?s)```.*?```|~~~.*?~~~', ' ', 'g') AS t FROM m),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '`[^`\n]*`', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*(#{1,6}\s+|>\s?|[-*+]\s+|\d+\.\s+)', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*([-=*_]\s*){3,}$|\|', ' ', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[*_]{1,3}([^*_]+)[*_]{1,3}', '\1', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s7)
+        |SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS clean_len
+        |FROM s8 ORDER BY doc_id""".stripMargin,
+
     // Homoglyph fold: same confusable translate table + invisible strip
     // (RE2 \x{...} ranges), md5 equality with the unspoofed original.
     "q_homoglyph" ->

@@ -2308,6 +2308,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Good-Turing unseen mass + Chao1 richness over the corpus vocabulary
+    // — exact integer counts, ppm-quantized estimates.
+    "q_unseen_mass" -> ((s, dir) => {
+      TextAnalysis.unseenMassEstimate(Tables.documents(s, dir), "text")
+        .select(col("n_tokens"), col("n_vocab"), col("n_hapax"), col("n_dis"),
+          floor(col("p_unseen") * 1e6 + 0.5).as("p_unseen_ppm"),
+          floor(col("chao1_vocab") * 1e6 + 0.5).as("chao1_ppm"))
+    }),
+
+    // Markdown stripping over deterministically synthesized markdown
+    // wrapping; same RE2 chain in the oracle.
+    "q_markdown" -> ((s, dir) => {
+      val md = concat(
+        lit("# Title\n\n**bold** and *emph* text\n\n```\ncode block\n```\n" +
+          "- item one\n- item two\n\n[link text](http://x.org) " +
+          "![alt](img.png)\n\n> quote line\n\n| a | b |\n\n"),
+        col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(TextAnalysis.stripMarkdown(md)).as("clean_md5"),
+          length(TextAnalysis.stripMarkdown(md)).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
     // Homoglyph folding: spoofed docs (Cyrillic lookalikes + zero-width
     // salt planted on doc_id % 4 == 0) fold back to their original
     // fingerprint — dedup_match is true everywhere iff the fold works.

@@ -907,6 +907,57 @@ object TextAnalysis {
           .otherwise(col("n_novel").cast("double") / col("n_grams")))
   }
 
+  /** Good-Turing unseen-mass estimate over the unigram vocabulary: the
+    * probability that the NEXT token drawn from the population is a type
+    * never seen in this corpus is ~ n1/N (Good 1953; n1 = hapax count,
+    * N = total tokens) — the coverage dial for corpus planning ("is this
+    * crawl slice exhausted?" high n1/N = no) and the sanity bound for
+    * vocabulary-dependent models. Also reports the Chao1 richness lower
+    * bound V + n1²/(2·n2) (the species-estimation classic). One
+    * vocabulary aggregate + one 1-row rollup — no second corpus pass.
+    */
+  def unseenMassEstimate(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("__c"))
+    vocab.agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("p_unseen",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("n_hapax").cast("double") / col("n_tokens")))
+      .withColumn("chao1_vocab",
+        when(col("n_dis") === 0, col("n_vocab").cast("double"))
+          .otherwise(col("n_vocab") +
+            col("n_hapax").cast("double") * col("n_hapax")
+              / (lit(2.0) * col("n_dis"))))
+  }
+
+  /** Markdown-to-text: strip the structural syntax while keeping the
+    * prose — fenced/inline code dropped (it is not prose; route code via
+    * [[codeSignals]] instead), link/image text kept and URLs dropped,
+    * emphasis/heading/list/blockquote/table markers removed, whitespace
+    * collapsed. A pure RE2-safe regexp chain (no lookaround), row-local —
+    * the markdown sibling of [[graft.operators.Cleanse.stripHtml]].
+    */
+  def stripMarkdown(text: Column): Column = {
+    val noFence = regexp_replace(text, "(?s)```.*?```|~~~.*?~~~", " ")
+    val noInline = regexp_replace(noFence, "`[^`\n]*`", " ")
+    // images first (their ! would survive the link rule), then links:
+    // keep the bracket text, drop the target
+    val noImg = regexp_replace(noInline, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    // heading/list/quote markers at line starts; table/rule lines
+    val noMarkers = regexp_replace(noLink,
+      "(?m)^\\s*(#{1,6}\\s+|>\\s?|[-*+]\\s+|\\d+\\.\\s+)", "")
+    val noRules = regexp_replace(noMarkers, "(?m)^\\s*([-=*_]\\s*){3,}$|\\|", " ")
+    val noEmph = regexp_replace(noRules, "[*_]{1,3}([^*_]+)[*_]{1,3}", "$1")
+    trim(regexp_replace(noEmph, "\\s+", " "))
+  }
+
   /** Confusable (homoglyph) folding + invisible-character stripping — the
     * spoof-resistance layer for dedup keys and decontamination: a spammer
     * (or an innocently copy-pasted PDF) swaps Latin letters for their

@@ -175,6 +175,29 @@ class TextRoutingSpec extends SparkSpec {
     assert(b.getInt(2) == 0 && b.isNullAt(4)) // empty text: no score
   }
 
+  test("unseenMassEstimate: hapax ratio and Chao1 on a hand corpus") {
+    // tokens: the(3) cat(2) sat(1) mat(1) dog(1) -> N=8 V=5 n1=3 n2=1
+    val df = Seq((1L, "the cat sat"), (2L, "the cat mat"), (3L, "the dog"))
+      .toDF("id", "text")
+    val r = TextAnalysis.unseenMassEstimate(df, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((8L, 5L, 3L, 1L)))
+    assert(math.abs(r.getDouble(4) - 3.0 / 8) < 1e-15)
+    assert(math.abs(r.getDouble(5) - (5 + 9.0 / 2)) < 1e-12) // 5 + n1²/(2n2)
+  }
+
+  test("stripMarkdown keeps prose, drops syntax and code") {
+    val md = "# Head\n\nSome **bold** and *light* prose.\n\n" +
+      "```\nval x = 1\n```\n\n- first\n- second\n\n" +
+      "See [the docs](http://d.org) and ![a chart](c.png) here.\n\n" +
+      "> quoted words\n\n| c1 | c2 |\n\ntail `inline()` end"
+    val out = Seq(Tuple1(md)).toDF("text")
+      .select(TextAnalysis.stripMarkdown(col("text"))).head().getString(0)
+    assert(out == "Head Some bold and light prose. first second " +
+      "See the docs and a chart here. quoted words c1 c2 tail end",
+      s"got '$out'")
+  }
+
   test("foldHomoglyphs restores spoofed text to its dedup key") {
     val original = "paxetypock ABECKOPT"
     // Cyrillic lookalikes for every lowercase vowel-ish + uppercase run,
