@@ -1038,6 +1038,43 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Chat flattening through DuckDB's JSON functions: same blocks,
+    // prefix-sum offsets, last-assistant span.
+    "q_chat_flatten" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+        |  FROM documents),
+        |j AS (SELECT doc_id,
+        |    '[{"role":"user","content":"' || coalesce(array_to_string(t[1:6], ' '), '') ||
+        |    '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[7:12], ' '), '') ||
+        |    '"},{"role":"user","content":"' || coalesce(array_to_string(t[13:18], ' '), '') ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[19:24], ' '), '')
+        |      ELSE '' END || '"}]' AS msgs
+        |  FROM toks),
+        |p AS (SELECT doc_id, msgs, CAST(json_array_length(msgs::JSON) AS INT) AS n FROM j),
+        |e AS (SELECT doc_id, n,
+        |    [{'r': json_extract_string(msgs, '$[' || (i - 1) || '].role'),
+        |      'c': json_extract_string(msgs, '$[' || (i - 1) || '].content')}
+        |     FOR i IN range(1, n + 1)] AS m FROM p),
+        |b AS (SELECT doc_id, n, m,
+        |    [x.r || ': ' || x.c || chr(10) FOR x IN m] AS blocks FROM e),
+        |st AS (SELECT doc_id, n, m, blocks,
+        |    [coalesce(list_sum([len(blocks[k]) FOR k IN range(1, i)]), 0)
+        |     FOR i IN range(1, len(blocks) + 1)] AS starts FROM b),
+        |la AS (SELECT doc_id, n, m, blocks, starts,
+        |    list_max([CASE WHEN m[i].r = 'assistant' THEN i ELSE 0 END
+        |              FOR i IN range(1, len(m) + 1)]) AS lastA FROM st)
+        |SELECT doc_id, md5(array_to_string(blocks, '')) AS text_md5,
+        |  n AS n_turns,
+        |  CAST(len(list_filter(m, x -> x.r = 'user')) AS INT) AS n_user,
+        |  CAST(len(list_filter(m, x -> x.r = 'assistant')) AS INT) AS n_assistant,
+        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
+        |    ELSE CAST(starts[lastA] + len(m[lastA].r) + 2 AS BIGINT) END AS response_start,
+        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
+        |    ELSE CAST(len(m[lastA].c) AS BIGINT) END AS response_chars
+        |FROM la ORDER BY doc_id""".stripMargin,
+
     // Good-Turing n1/N + Chao1 V + n1^2/(2 n2).
     "q_unseen_mass" ->
       s"""WITH v AS (SELECT t.token, count(*) AS c FROM

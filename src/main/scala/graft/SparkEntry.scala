@@ -2308,6 +2308,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Chat-template flattening + loss-mask offsets over synthesized
+    // message JSON (doc tokens segmented into turns; every 3rd doc ends
+    // on an assistant turn). Parse goes through from_json in Spark and
+    // DuckDB's JSON functions in the oracle — structure, counts, and
+    // span offsets are all exact.
+    "q_chat_flatten" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      def seg(a: Int) = array_join(slice(toks, a, 6), " ")
+      val msgs = concat(
+        lit("[{\"role\":\"user\",\"content\":\""), seg(1),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(7),
+        lit("\"},{\"role\":\"user\",\"content\":\""), seg(13),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(19)))
+          .otherwise(lit("")),
+        lit("\"}]"))
+      Conversations.chatFlatten(
+          Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+        .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_turns"), col("n_user"), col("n_assistant"),
+          col("response_start").cast("long").as("response_start"),
+          col("response_chars").cast("long").as("response_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Good-Turing unseen mass + Chao1 richness over the corpus vocabulary
     // — exact integer counts, ppm-quantized estimates.
     "q_unseen_mass" -> ((s, dir) => {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning data prep: flatten chat-message arrays into
+  * training text with the offsets a loss mask needs.
+  *
+  * The input convention is the common interchange form — a JSON array of
+  * {"role": ..., "content": ...} per conversation. Flattening renders
+  * "role: content\n" blocks in order; the loss-mask fields locate the
+  * LAST assistant message's content in the flattened text (the span SFT
+  * trains on — everything before it is prompt context): `response_start`
+  * is its 0-based char offset, `response_chars` its length, both null
+  * when no assistant turn exists.
+  *
+  * Scale: JSON parse + struct-array HOF arithmetic (prefix sums over
+  * block lengths, one reverse scan for the last assistant turn) — all
+  * row-local, one map stage, no UDF, no shuffle.
+  */
+object Conversations {
+
+  private val MsgSchema = "array<struct<role:string,content:string>>"
+
+  def chatFlatten(df: DataFrame, idCol: String,
+                  messagesCol: String): DataFrame = {
+    val parsed = df.select(col(idCol).as("id"),
+      from_json(col(messagesCol), org.apache.spark.sql.types.DataType
+        .fromDDL(MsgSchema)).as("__m"))
+    val staged = parsed
+      .select(col("id"), col("__m"),
+        transform(col("__m"), m =>
+          concat(m.getField("role"), lit(": "),
+            m.getField("content"), lit("\n"))).as("__blocks"))
+      // 0-based char offset where block i (1-based) starts; length n+1
+      .select(col("id"), col("__m"), col("__blocks"),
+        aggregate(col("__blocks"), array(lit(0)),
+          (acc, b) => concat(acc, array(element_at(acc, -1) + length(b))))
+          .as("__starts"))
+    val roles = transform(col("__m"), m => m.getField("role"))
+    // last assistant turn, 1-based; 0 when absent
+    val lastA = {
+      val posFromEnd = array_position(reverse(roles), "assistant")
+      when(posFromEnd === 0, lit(0L))
+        .otherwise(size(col("__m")) - posFromEnd + 1)
+    }
+    staged
+      .select(col("id"),
+        // concat_ws treats a null array as "" — unparseable JSON should
+        // yield a null conversation, not an empty one
+        when(col("__m").isNull, lit(null))
+          .otherwise(concat_ws("", col("__blocks"))).as("text"),
+        size(col("__m")).as("n_turns"),
+        size(filter(col("__m"), m => m.getField("role") === "user"))
+          .as("n_user"),
+        size(filter(col("__m"), m => m.getField("role") === "assistant"))
+          .as("n_assistant"),
+        lastA.as("__la"), col("__m"), col("__starts"))
+      .select(col("id"), col("text"), col("n_turns"), col("n_user"),
+        col("n_assistant"),
+        when(col("__la") === 0, lit(null)).otherwise(
+          element_at(col("__starts"), col("__la").cast("int"))
+            // skip "assistant: " (role + colon + space)
+            + length(element_at(col("__m"), col("__la").cast("int"))
+              .getField("role")) + 2).as("response_start"),
+        when(col("__la") === 0, lit(null)).otherwise(
+          length(element_at(col("__m"), col("__la").cast("int"))
+            .getField("content"))).as("response_chars"))
+  }
+
+  /** Role-composition rollup per conversation corpus slice — the dataset
+    * card row: conversations, turn totals/means, role balance, and how
+    * many conversations end on an assistant turn (the shape SFT wants).
+    */
+  def chatStats(flat: DataFrame, byCol: String): DataFrame =
+    flat.groupBy(col(byCol).as("slice"))
+      .agg(count(lit(1)).as("n_conversations"),
+        sum(col("n_turns")).as("total_turns"),
+        sum(col("n_user")).as("total_user"),
+        sum(col("n_assistant")).as("total_assistant"),
+        sum(when(col("response_start").isNotNull, 1L).otherwise(0L))
+          .as("n_trainable"))
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConversationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chatFlatten renders blocks and locates the trainable span") {
+    val msgs = """[{"role":"user","content":"hi there"},
+      |{"role":"assistant","content":"hello"},
+      |{"role":"user","content":"bye"},
+      |{"role":"assistant","content":"see ya"}]""".stripMargin
+    val df = Seq((1L, msgs),
+      (2L, """[{"role":"user","content":"alone"}]"""),
+      (3L, "not json at all")).toDF("id", "msgs")
+    val out = Conversations.chatFlatten(df, "id", "msgs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val text = r1.getString(1)
+    assert(text ==
+      "user: hi there\nassistant: hello\nuser: bye\nassistant: see ya\n")
+    assert((r1.getInt(2), r1.getInt(3), r1.getInt(4)) == ((4, 2, 2)))
+    val start = r1.getInt(5)
+    val len = r1.getInt(6)
+    assert(text.substring(start, start + len) == "see ya",
+      s"span [$start, +$len) = '${text.substring(start, start + len)}'")
+    // no assistant turn: flattened but not trainable
+    val r2 = out(2L)
+    assert(r2.getString(1) == "user: alone\n" && r2.isNullAt(5))
+    // unparseable JSON: null text, no crash
+    assert(out(3L).isNullAt(1))
+  }
+
+  test("chatStats rolls up role balance and trainability") {
+    val flat = Seq(
+      (1L, "a", 4, 2, 2, Some(10), Some(5)),
+      (2L, "a", 1, 1, 0, None, None),
+      (3L, "b", 2, 1, 1, Some(3), Some(2))
+    ).toDF("id", "slice", "n_turns", "n_user", "n_assistant",
+      "response_start", "response_chars")
+    val out = Conversations.chatStats(flat, "slice")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out("a") == ((2L, 5L, 1L)))
+    assert(out("b") == ((1L, 2L, 1L)))
+  }
+}
