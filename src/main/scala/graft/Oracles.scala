@@ -1038,6 +1038,21 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Entity pair co-occurrence counts (distinct per doc, a < b).
+    "q_entity_pairs" ->
+      """WITH t AS (SELECT doc_id, text || ' ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    ' visited ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
+        |    ' yesterday.' AS t2 FROM documents),
+        |e AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
+        |  FROM t)
+        |SELECT a.entity AS entity_a, b.entity AS entity_b, count(*) AS n_docs
+        |FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // Chat flattening through DuckDB's JSON functions: same blocks,
     // prefix-sum offsets, last-assistant span.
     "q_chat_flatten" ->

@@ -2308,6 +2308,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Entity co-occurrence edges over the same planted spans as
+    // q_entities — the input LinkGraph centrality runs on.
+    "q_entity_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
+        lit("San Francisco Bay"), lit("Acme Corp"))
+      val t2 = concat(col("text"), lit(" "),
+        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" visited "),
+        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
+        lit(" yesterday."))
+      TextAnalysis.entityPairs(d.withColumn("t2", t2), "doc_id", "t2",
+          minPairDocs = 2L)
+        .orderBy("entity_a", "entity_b")
+    }),
+
     // Chat-template flattening + loss-mask offsets over synthesized
     // message JSON (doc tokens segmented into turns; every 3rd doc ends
     // on an assistant turn). Parse goes through from_json in Spark and

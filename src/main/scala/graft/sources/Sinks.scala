@@ -137,4 +137,18 @@ object Sinks {
     */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** JSONL (newline-delimited JSON) sink with optional gzip — the lingua
+    * franca of dataset releases (HF datasets, Dolma, RedPajama all ship
+    * it). One JSON object per line via Spark's json writer; pair with
+    * [[graft.sources.Ingest]]'s JSONL reader (corrupt-line capture) for
+    * the round trip. Compression note: gzip is NOT splittable — release
+    * shards should stay ~100s of MB so a reader gets one task per file
+    * (the WARC lesson); `None` leaves plain text.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 codec: Option[String] = Some("gzip")): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 }

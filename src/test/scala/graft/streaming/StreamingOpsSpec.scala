@@ -210,6 +210,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == "cafe 00 s il vous plait")
   }
 
+  test("file-source ingest pipeline: JSONL in, routed parquet out, incremental") {
+    // the deployment loop the MemoryStream twins abstract away: files
+    // arrive in a watched dir, a checkpointed query routes them to
+    // parquet, later files process incrementally without reprocessing
+    val root = java.nio.file.Files.createTempDirectory("ingest_e2e")
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    def writeBatch(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      graft.sources.Sinks.writeJsonl(rows.toDF("id", "text", "url"), tmp,
+        codec = None)
+      val src = new java.io.File(tmp)
+      new java.io.File(inDir).mkdirs()
+      src.listFiles().filter(_.getName.endsWith(".json"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/$name-${f.getName}")))
+    }
+    val batch1 = Seq(
+      (1L, "plain english text", "https://ok.org/a"),
+      (2L, "def f(x):\n    return [x]; y_val = {1: (2 < 3)}\n    z = f(1);",
+        "https://ok.org/b"),
+      (3L, "spam text", "https://ads.spam.net/x"))
+    writeBatch("b1", batch1)
+    val schema = "id LONG, text STRING, url STRING"
+    val stream = spark.readStream.schema(schema).json(inDir)
+    val routed = StreamingOps.routeStream(stream, "id", "text", "url",
+      Seq("spam.net"))
+    val q = routed.select("id", "route", "blocked")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(after1 == Map(1L -> ("latin", false), 2L -> ("code", false),
+      3L -> ("blocked", true)), after1.toString)
+    // second file batch: incremental append only
+    writeBatch("b2", Seq((4L, "привет мир текст", "https://ok.org/c")))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2.size == 4 && after2(4L) == "cyrillic", after2.toString)
+  }
+
   test("routeStream matches the batch routing operators row for row") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
