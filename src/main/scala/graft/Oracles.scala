@@ -1038,6 +1038,44 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Per-sentence language labels via the marker lists (first lang in
+    // fixed order attaining the max count; 'und' when no list hits),
+    // adjacent-pair switch count, sorted distinct tags.
+    "q_code_switch" -> {
+      import graft.operators.TextAnalysis.LanguageMarkers
+      def toks(s: String) =
+        "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(" +
+          s"lower($s), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), " +
+          "t -> len(t) > 0)"
+      def cnt(s: String, lang: String) = {
+        val list = LanguageMarkers(lang).map(m => s"'$m'").mkString("(", ",", ")")
+        s"len(list_filter(${toks(s)}, x -> x IN $list))"
+      }
+      def label(s: String) = {
+        val (en, fr, de, es) = (cnt(s, "en"), cnt(s, "fr"), cnt(s, "de"), cnt(s, "es"))
+        val mx = s"greatest($en, $fr, $de, $es)"
+        s"CASE WHEN $mx <= 0 THEN 'und' WHEN $en = $mx THEN 'en' " +
+          s"WHEN $fr = $mx THEN 'fr' WHEN $de = $mx THEN 'de' ELSE 'es' END"
+      }
+      s"""WITH t AS (SELECT doc_id, 'the cat is in the house. ' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN 'le chat est dans la maison. ' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN 'der hund ist mit von zu. ' ELSE '' END ||
+         |    regexp_replace(text, ' (table|key) ', '. ', 'g') AS t2 FROM documents),
+         |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\\s+|[.!?]+$$'),
+         |    x -> len(trim(x)) > 0) AS sents FROM t),
+         |l AS (SELECT doc_id, [${label("sents[i]")}
+         |    FOR i IN range(1, len(sents) + 1)] AS labels FROM s),
+         |g AS (SELECT doc_id, labels,
+         |    list_filter(labels, x -> x <> 'und') AS tagged FROM l)
+         |SELECT doc_id, CAST(len(labels) AS INT) AS n_sentences,
+         |  CAST(len(tagged) AS INT) AS n_tagged,
+         |  CAST(coalesce(list_sum([CASE WHEN labels[i] <> 'und'
+         |      AND labels[i+1] <> 'und' AND labels[i] <> labels[i+1]
+         |      THEN 1 ELSE 0 END FOR i IN range(1, len(labels))]), 0) AS INT) AS n_switches,
+         |  array_to_string(list_sort(list_distinct(tagged)), ',') AS langs
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
     // Entity pair co-occurrence counts (distinct per doc, a < b).
     "q_entity_pairs" ->
       """WITH t AS (SELECT doc_id, text || ' ' ||

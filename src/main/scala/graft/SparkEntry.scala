@@ -2308,6 +2308,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-sentence language-ID + code-switch statistics over planted
+    // French/German sentences; all counts exact, tie order fixed.
+    "q_code_switch" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t2 = concat(lit("the cat is in the house. "),
+        when(col("doc_id") % 4 === 0,
+          lit("le chat est dans la maison. ")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("der hund ist mit von zu. ")).otherwise(lit("")),
+        regexp_replace(col("text"), " (table|key) ", ". "))
+      val cs = TextAnalysis.codeSwitchSignals(t2)
+      d.select(col("doc_id"), cs.as("c"))
+        .select(col("doc_id"), col("c.n_sentences"), col("c.n_tagged"),
+          col("c.n_switches"), col("c.langs"))
+        .orderBy("doc_id")
+    }),
+
     // Entity co-occurrence edges over the same planted spans as
     // q_entities — the input LinkGraph centrality runs on.
     "q_entity_pairs" -> ((s, dir) => {

@@ -907,6 +907,48 @@ object TextAnalysis {
           .otherwise(col("n_novel").cast("double") / col("n_grams")))
   }
 
+  /** Code-switching signals: per-SENTENCE language-ID over the marker
+    * lists, then document-level mixing statistics — (n_sentences,
+    * n_tagged [sentences any marker list claimed], n_switches [adjacent
+    * tagged sentences disagreeing], langs [sorted distinct tags, csv]).
+    * A bilingual forum thread or a mistranslated page shows n_switches >
+    * 0 where the document-level [[languageId]] reports only the majority
+    * language — the router for "split or drop" multilingual handling.
+    * Ties across marker lists resolve to the FIRST language in the fixed
+    * en/fr/de/es order (deterministic, oracle-mirrored). Untagged
+    * ("und") sentences — no marker hit — join no switch pair.
+    *
+    * Row-local nested HOFs; the per-sentence token array is re-derived
+    * per language count (4x, bounded by the marker-list scan — the
+    * sentence grain keeps the re-evaluation cheap, unlike the documented
+    * document-grain HOF hazard).
+    */
+  def codeSwitchSignals(text: Column): Column = {
+    val langOrder = Seq("en", "fr", "de", "es")
+    val sents = filter(split(text, "[.!?]+\\s+|[.!?]+$"),
+      s => length(trim(s)) > 0)
+    val labels = transform(sents, s => {
+      def cnt(lang: String) = size(filter(
+        filter(split(normalize(s), " "), t => length(t) > 0),
+        t => t.isInCollection(LanguageMarkers(lang))))
+      val best = langOrder.tail.foldLeft((lit(langOrder.head), cnt(langOrder.head))) {
+        case ((bn, bc), l) =>
+          val c = cnt(l)
+          (when(c > bc, lit(l)).otherwise(bn), when(c > bc, c).otherwise(bc))
+      }
+      when(best._2 <= 0, lit("und")).otherwise(best._1)
+    })
+    val tagged = filter(labels, l => l =!= "und")
+    val n = size(labels)
+    val switches = when(n < 2, lit(0)).otherwise(aggregate(
+      zip_with(slice(labels, lit(1), n - 1), slice(labels, lit(2), n - 1),
+        (a, b) => when(a =!= "und" && b =!= "und" && a =!= b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x))
+    struct(n.as("n_sentences"), size(tagged).as("n_tagged"),
+      switches.as("n_switches"),
+      concat_ws(",", array_sort(array_distinct(tagged))).as("langs"))
+  }
+
   /** Good-Turing unseen-mass estimate over the unigram vocabulary: the
     * probability that the NEXT token drawn from the population is a type
     * never seen in this corpus is ~ n1/N (Good 1953; n1 = hapax count,

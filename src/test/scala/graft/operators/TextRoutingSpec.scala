@@ -175,6 +175,23 @@ class TextRoutingSpec extends SparkSpec {
     assert(b.getInt(2) == 0 && b.isNullAt(4)) // empty text: no score
   }
 
+  test("codeSwitchSignals counts per-sentence language switches") {
+    val mixed = "the dog is in the house. le chat est dans la maison. " +
+      "it is for the best. xyz qqq zzz." // last sentence: no markers -> und
+    val mono = "the cat is with it. it is for the dog."
+    val df = Seq((1L, mixed), (2L, mono), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.codeSwitchSignals(col("text")).as("c"))
+      .select(col("id"), col("c.n_sentences"), col("c.n_tagged"),
+        col("c.n_switches"), col("c.langs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // en -> fr -> en = 2 switches; the und sentence joins no pair
+    assert(out(1L) == ((4, 3, 2, "en,fr")))
+    assert(out(2L) == ((2, 2, 0, "en")))
+    assert(out(3L) == ((0, 0, 0, "")))
+  }
+
   test("unseenMassEstimate: hapax ratio and Chao1 on a hand corpus") {
     // tokens: the(3) cat(2) sat(1) mat(1) dog(1) -> N=8 V=5 n1=3 n2=1
     val df = Seq((1L, "the cat sat"), (2L, "the cat mat"), (3L, "the dog"))
