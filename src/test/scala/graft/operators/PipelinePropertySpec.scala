@@ -135,4 +135,57 @@ class PipelinePropertySpec extends SparkSpec {
       assert((0 until counts.length).forall(counts.getInt(_) == 0), s"$text -> $red")
     }
   }
+
+  test("property: cdcChunks partitions the token stream exactly") {
+    // random word-salad docs of varied length (incl. empty and 1-token):
+    // chunks must reassemble the exact token stream, counts must add up,
+    // and chunk ids must be strictly increasing per doc
+    def randDoc(): String =
+      (0 until rng.nextInt(120)).map(_ => s"w${rng.nextInt(400)}").mkString(" ")
+    val docs = (0 until 120).map(i => (i.toLong, randDoc())).toDF("id", "text")
+    val chunks = Chunking.cdcChunks(docs, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    val truth = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    for ((id, toks) <- truth) {
+      val rows = chunks(id).sortBy(_._2)
+      assert(rows.map(_._2).distinct.length == rows.length, s"dup chunk ids $id")
+      val rebuilt = rows.map(_._3).filter(_.nonEmpty)
+        .flatMap(_.split(" ")).toSeq
+      assert(rebuilt == toks, s"doc $id token stream broken")
+      assert(rows.map(_._4).sum == toks.length, s"doc $id counts")
+    }
+  }
+
+  test("property: chunkRowsBySentences conserves sentences and budgets chunks") {
+    def randDoc(): String =
+      (0 until 1 + rng.nextInt(12)).map(_ =>
+        (0 until 1 + rng.nextInt(9)).map(_ => s"t${rng.nextInt(50)}")
+          .mkString(" ")).mkString(". ")
+    val docs = (0 until 80).map(i => (i.toLong, randDoc())).toDF("id", "text")
+    val budget = 8
+    val out = Chunking.chunkRowsBySentences(docs, "text", "id", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(4)))
+      .groupBy(_._1)
+    val sentsOf = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("[.!?]+\\s+|[.!?]+$").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toMap
+    for ((id, sents) <- sentsOf) {
+      val rows = out(id).sortBy(_._2)
+      // every sentence appears exactly once, in order, across the chunks
+      val rebuilt = rows.map(_._3).filter(_.nonEmpty)
+        .flatMap(_.split("\\. ")).toSeq
+      assert(rebuilt == sents, s"doc $id sentences broken")
+      // no chunk ever STARTS beyond budget: its first sentence's
+      // cumulative offset is inside [chunk_id*budget, (chunk_id+1)*budget)
+      val counts = sents.map(_.split("\\s+").count(_.nonEmpty))
+      val starts = counts.scanLeft(0)(_ + _)
+      var si = 0
+      for ((_, cid, chunk, _) <- rows if chunk.nonEmpty) {
+        assert(starts(si) / budget == cid, s"doc $id chunk $cid misassigned")
+        si += chunk.split("\\. ").length
+      }
+    }
+  }
 }
