@@ -162,20 +162,20 @@ object Oracles {
 
     "q_lag_diff" ->
       """SELECT event_id, user_id,
-        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_rolling_sum" ->
       """SELECT event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id ORDER BY ts
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_unresponsive" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value, 0) AS BIGINT) AS vi FROM events),
-        |c AS (SELECT *, CASE WHEN lag(vi) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    OR lag(vi) OVER (PARTITION BY user_id ORDER BY ts) <> vi THEN 1 ELSE 0 END AS chg FROM v),
-        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |c AS (SELECT *, CASE WHEN lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> vi THEN 1 ELSE 0 END AS chg FROM v),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
         |SELECT event_id, count(*) OVER (PARTITION BY user_id, run) >= 3 AS flag
         |FROM r ORDER BY event_id""".stripMargin,
@@ -183,7 +183,7 @@ object Oracles {
     "q_ffill" ->
       """SELECT event_id,
         |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -1667,13 +1667,13 @@ object Oracles {
         |FROM p WHERE cos >= 0.25 ORDER BY block, id_a, id_b""".stripMargin,
 
     "q_sessionize" ->
-      """WITH g AS (SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |      OR (epoch_us(ts) // 1000000)
-        |        - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |        - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
         |      THEN 1 ELSE 0 END AS st
         |  FROM events),
-        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts
+        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,

@@ -324,7 +324,9 @@ object SparkEntry {
 
     // ---- 2.5 window functions ----------------------------------------------
     "q_lag_diff" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // event_id tie-break: sf1-style replicated timestamps otherwise
+      // make lag() order- and engine-dependent
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, dir)
         .withColumn("diff", col("value") - lag(col("value"), 1).over(w))
         .select("event_id", "user_id", "diff")
@@ -332,7 +334,8 @@ object SparkEntry {
     }),
 
     "q_rolling_sum" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
       Tables.events(s, dir)
         .withColumn("rsum", sum(col("value").cast(Dec)).over(w).cast("double"))
         .select("event_id", "rsum")
@@ -344,7 +347,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .withColumn("vi", round(col("value"), 0).cast("long"))
       Flags.unresponsiveFlag(ev, "vi", "ts", threshold = 3,
-          partitionCols = Seq("user_id"))
+          partitionCols = Seq("user_id"), tieBreakCols = Seq("event_id"))
         .select("event_id", "flag")
         .orderBy("event_id")
     }),
@@ -353,7 +356,8 @@ object SparkEntry {
     "q_ffill" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-      Timeseries.forwardFill(ev, "v", "ts", Seq("user_id"))
+      Timeseries.forwardFill(ev, "v", "ts", Seq("user_id"),
+          tieBreakCols = Seq("event_id"))
         .select(col("event_id"), col("v").as("filled"))
         .orderBy("event_id")
     }),
@@ -1555,7 +1559,8 @@ object SparkEntry {
     // ---- event-stream operators --------------------------------------------
     "q_sessionize" -> ((s, dir) => {
       val sess = Sessionize.withSessionId(Tables.events(s, dir),
-        Seq("user_id"), "ts", gapSeconds = 1800)
+        Seq("user_id"), "ts", gapSeconds = 1800,
+        tieBreakCols = Seq("event_id"))
       sess.groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("value_sum"),

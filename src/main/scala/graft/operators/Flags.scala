@@ -76,10 +76,15 @@ object Flags {
     */
   def unresponsiveFlag(df: DataFrame, valueCol: String, orderCol: String,
                        threshold: Int = 3, flagCol: String = "flag",
-                       partitionCols: Seq[String]): DataFrame = {
+                       partitionCols: Seq[String],
+                       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // tieBreakCols: tied order keys make run boundaries window-order
+    // dependent (which tied row "changes" the value is arbitrary) — pass
+    // a unique id when the order column can repeat within a partition
+    val order = col(orderCol) +: tieBreakCols.map(col)
     val w = if (partitionCols.isEmpty)
-              Window.partitionBy(Timeseries.singlePartitionKey(col(orderCol))).orderBy(orderCol)
-            else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+              Window.partitionBy(Timeseries.singlePartitionKey(col(orderCol))).orderBy(order: _*)
+            else Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     val changed = when(
       lag(col(valueCol), 1).over(w).isNull ||
         (lag(col(valueCol), 1).over(w) =!= col(valueCol)), 1).otherwise(0)

@@ -12,10 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Adds a `session_id` column (1-based per key, ordered by ts). */
+  /** Adds a `session_id` column (1-based per key, ordered by ts).
+    *
+    * `tieBreakCols`: tied timestamps make the window order — and
+    * therefore which tied row carries the session-start flag into the
+    * running sum — engine- and run-dependent (the lag pass and the sum
+    * pass may even order the SAME tie block differently, splitting it
+    * across two sessions). Pass a unique column (an event id) whenever
+    * timestamps can repeat within a key — the interpolateLinear lesson.
+    */
   def withSessionId(df: DataFrame, keyCols: Seq[String], tsCol: String,
-                    gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+                    gapSeconds: Long,
+                    tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol) +: tieBreakCols.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
     val isStart = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
     df.withColumn("session_id",
@@ -24,8 +34,9 @@ object Sessionize {
 
   /** Per-session aggregate: event count, span seconds, value sum. */
   def sessionStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
-                   gapSeconds: Long, valueCol: String): DataFrame =
-    withSessionId(df, keyCols, tsCol, gapSeconds)
+                   gapSeconds: Long, valueCol: String,
+                   tieBreakCols: Seq[String] = Nil): DataFrame =
+    withSessionId(df, keyCols, tsCol, gapSeconds, tieBreakCols)
       .groupBy((keyCols.map(col) :+ col("session_id")): _*)
       .agg(count(lit(1)).as("n_events"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))

@@ -181,10 +181,14 @@ object Timeseries {
     * Reference pattern: wake_losses.py:1050 (reanalysis hourly -> 10-min ffill).
     */
   def forwardFill(df: DataFrame, valueCol: String, orderCol: String,
-                  partitionCols: Seq[String]): DataFrame = {
+                  partitionCols: Seq[String],
+                  tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(partitionCols.nonEmpty,
       "forwardFill needs partition keys; use forwardFillGlobal for a single global series")
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    // tieBreakCols: with repeated order keys, WHICH tied value fills
+    // forward is window-order dependent — pass a unique id to pin it
+    val order = col(orderCol) +: tieBreakCols.map(col)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
