@@ -448,6 +448,30 @@ object Oracles {
         |WHERE a.doc_id < 96 AND b.doc_id < 96
         |ORDER BY 1, 2""".stripMargin,
 
+    // DSv2 crawl read: per-record uri, payload byte length (ASCII page
+    // text -> strlen), payload md5 — two uris per fixture doc.
+    "q_warc_dsv2" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
+        |built AS (SELECT doc_id,
+        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
+        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
+        |  FROM w),
+        |page AS (SELECT doc_id,
+        |    array_to_string(list_concat(body, CASE WHEN doc_id % 7 = 0
+        |      THEN ['enable javascript now please friend.', 'too short.',
+        |            'lorem ipsum dolor sit amet today.']
+        |      ELSE ['enable javascript now please friend.', 'too short.']
+        |      END), chr(10)) AS raw
+        |  FROM built),
+        |u AS (SELECT 'http://m.example/' || format('{:05d}', doc_id) AS target_uri,
+        |    raw FROM page
+        |  UNION ALL
+        |  SELECT 'http://x.example/' || format('{:05d}', doc_id), raw FROM page)
+        |SELECT target_uri, CAST(strlen(raw) AS BIGINT) AS content_length,
+        |  md5(raw) AS text_md5
+        |FROM u ORDER BY target_uri""".stripMargin,
+
     "q_wet_pipeline" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),

@@ -66,6 +66,45 @@ object SparkEntry {
   // => near-dup pairs at Hamming 0 are EXACTLY the same-group pairs, a
   // plain self-join on doc_id % G in DuckDB. Corrupt payloads (ids past
   // the group range) must produce null hashes and never pair.
+  /** Synthesize the sharded WET fixture (4 .warc files, 2 uris per doc,
+    * deterministic page text from `documents`) into a scratch dir and
+    * return its path — shared by q_wet_pipeline (RDD front door) and
+    * q_warc_dsv2 (DataSource V2 front door).
+    */
+  private def wetFixture(s: SparkSession, dir: String,
+                         tag: String): java.nio.file.Path = {
+    val words = slice(split(col("text"), " "), 1, 64)
+    val nch = ceil(size(words) / lit(8.0)).cast("int")
+    val body = transform(sequence(lit(0), nch - 1),
+      i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "), lit(".")))
+    val extra = when(col("doc_id") % 7 === 0,
+      array(lit("enable javascript now please friend."), lit("too short."),
+        lit("lorem ipsum dolor sit amet today.")))
+      .otherwise(
+        array(lit("enable javascript now please friend."), lit("too short.")))
+    val pages = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        array_join(concat(body, extra), "\n").as("wet_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(outDir)
+    Option(outDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    pages.groupBy { case (id, _) => id % 4 }.foreach { case (shard, docs) =>
+      val bytes = docs.flatMap { case (id, text) =>
+        graft.sources.Warc.recordBytes("conversion",
+          f"http://m.example/$id%05d", "2024-01-02T00:00:00Z", text) ++
+          graft.sources.Warc.recordBytes("conversion",
+            f"http://x.example/$id%05d", "2024-01-02T00:00:00Z", text)
+      }
+      java.nio.file.Files.write(outDir.resolve(f"part$shard%02d.warc"),
+        graft.sources.Warc.recordBytes("warcinfo", null, null,
+          "software: graft-gate") ++ bytes)
+    }
+    outDir
+  }
+
   private def mediaFixtureDir(kind: String, dir: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${kind}_${Integer.toHexString(dir.hashCode)}")
@@ -828,36 +867,21 @@ object SparkEntry {
     // dir), so the DuckDB oracle can recompute the expected kept pages,
     // C4 text hashes, and duplicate flags from the same table without ever
     // touching the files — the file round-trip itself is what's under test.
+    // The same crawl fixture through the DataSource V2 front door
+    // (spark.read.format("warc")): record metadata + payload hashes are
+    // SQL-recomputable from the generating parameters; the projection
+    // includes text so the reader's payload path is exercised, while
+    // WarcSpec pins the pruned skip path.
+    "q_warc_dsv2" -> ((s, dir) => {
+      val outDir = wetFixture(s, dir, "wetv2")
+      s.read.format("warc").load(s"$outDir/*.warc")
+        .select(col("target_uri"), col("content_length"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("target_uri")
+    }),
+
     "q_wet_pipeline" -> ((s, dir) => {
-      val words = slice(split(col("text"), " "), 1, 64)
-      val nch = ceil(size(words) / lit(8.0)).cast("int")
-      val body = transform(sequence(lit(0), nch - 1),
-        i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "), lit(".")))
-      val extra = when(col("doc_id") % 7 === 0,
-        array(lit("enable javascript now please friend."), lit("too short."),
-          lit("lorem ipsum dolor sit amet today.")))
-        .otherwise(
-          array(lit("enable javascript now please friend."), lit("too short.")))
-      val pages = Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          array_join(concat(body, extra), "\n").as("wet_text"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val outDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_wet_${Integer.toHexString(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(outDir)
-      Option(outDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
-      pages.groupBy { case (id, _) => id % 4 }.foreach { case (shard, docs) =>
-        val bytes = docs.flatMap { case (id, text) =>
-          graft.sources.Warc.recordBytes("conversion",
-            f"http://m.example/$id%05d", "2024-01-02T00:00:00Z", text) ++
-            graft.sources.Warc.recordBytes("conversion",
-              f"http://x.example/$id%05d", "2024-01-02T00:00:00Z", text)
-        }
-        java.nio.file.Files.write(outDir.resolve(f"part$shard%02d.warc"),
-          graft.sources.Warc.recordBytes("warcinfo", null, null,
-            "software: graft-gate") ++ bytes)
-      }
+      val outDir = wetFixture(s, dir, "wet")
       val wet = graft.sources.Warc.read(s, s"$outDir/*.warc")
         .select(col("target_uri"), col("text"))
       val c4 = Cleanse.c4Filter(wet, "text").filter(col("keep"))

@@ -70,7 +70,7 @@ object Warc {
       payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def isGzip(in: BufferedInputStream): Boolean = {
+  private[sources] def isGzip(in: BufferedInputStream): Boolean = {
     in.mark(2)
     val b0 = in.read(); val b1 = in.read()
     in.reset()
@@ -94,8 +94,9 @@ object Warc {
     * Malformation or truncation ends the file's parse with a synthetic
     * "error" row (records already emitted survive).
     */
-  private def parseRecords(path: String, in: InputStream,
-                           keep: Set[String]): Iterator[Row] = new Iterator[Row] {
+  private[sources] def parseRecords(path: String, in: InputStream,
+                           keep: Set[String],
+                           readText: Boolean = true): Iterator[Row] = new Iterator[Row] {
     private val din = new DataInputStream(in)
     private var pending: Row = _
     private var done = false
@@ -125,16 +126,34 @@ object Warc {
                   s"record without a valid Content-Length (got '${headers.getOrElse("content-length", "<absent>").take(40)}')"))
               if (len > MaxRecordBytes)
                 throw new java.io.IOException(s"record of $len bytes exceeds cap")
-              val payload = new Array[Byte](len.toInt)
-              din.readFully(payload)
               val typ = headers.getOrElse("warc-type", "").toLowerCase
-              if (keep.isEmpty || keep(typ)) {
+              val wanted = keep.isEmpty || keep(typ)
+              // column pruning from the DSv2 path: when the projection
+              // dropped `text`, records are SKIPPED not read — metadata
+              // scans over a crawl never materialize payloads
+              val text =
+                if (wanted && readText) {
+                  val payload = new Array[Byte](len.toInt)
+                  din.readFully(payload)
+                  new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+                } else {
+                  var left = len
+                  while (left > 0) {
+                    val skipped = din.skip(left)
+                    if (skipped <= 0) {
+                      if (din.read() < 0) throw new EOFException(
+                        s"truncated payload: $left bytes short")
+                      left -= 1
+                    } else left -= skipped
+                  }
+                  null
+                }
+              if (wanted) {
                 val date = headers.get("warc-date").flatMap(parseDate)
                 pending = Row(path, typ,
                   headers.getOrElse("warc-record-id", null),
                   headers.getOrElse("warc-target-uri", null),
-                  date.orNull, len,
-                  new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+                  date.orNull, len, text)
               } // else: filtered type — loop to the next record
             case Some(other) =>
               throw new java.io.IOException(

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** WARC/WET as a first-class DataSource V2 — `spark.read.format("warc")
+  * .load("s3://crawl/segments/" + glob)` — over the same streaming
+  * parser as [[Warc.read]]. What the V2 integration adds over the RDD
+  * front door:
+  *
+  *  - the natural parallelism contract stated to the PLANNER: one input
+  *    partition per (non-splittable gzip) file;
+  *  - column pruning pushed INTO the record parser: a projection without
+  *    `text` skips payload bytes instead of reading them — metadata scans
+  *    over a 64k-file crawl never materialize page bodies;
+  *  - the session Hadoop conf shipped to readers (object-store
+  *    credentials survive, the NetCdf lesson);
+  *  - options: `keepTypes` (comma list of WARC-Type values; default
+  *    `conversion` = WET text records; empty string keeps all).
+  *
+  * Registered in META-INF/services so the short name `warc` resolves.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Warc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(properties.asScala.toMap)
+}
+
+private[sources] class WarcTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"warc(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = Warc.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(
+      Option(options.get("path")).orElse(props.get("path"))
+        .getOrElse(throw new IllegalArgumentException(
+          "warc source needs a path, e.g. .load(\"dir/*.warc.gz\")")),
+      Option(options.get("keepTypes")).orElse(props.get("keepTypes"))
+        .getOrElse("conversion"))
+}
+
+private[sources] class WarcScanBuilder(path: String, keepTypes: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Warc.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(path, keepTypes, required)
+}
+
+private[sources] class WarcScan(path: String, keepTypes: String,
+                                required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"warc $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.filter(_.isFile)
+      .map(st => WarcInputPartition(st.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val keep = keepTypes.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSet
+    WarcReaderFactory(conf, keep, required.fieldNames)
+  }
+}
+
+private[sources] case class WarcInputPartition(file: String)
+    extends InputPartition
+
+private[sources] case class WarcReaderFactory(
+    conf: SerializableConfiguration, keep: Set[String],
+    fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[WarcInputPartition].file
+    new WarcPartitionReader(file, conf, keep, fields)
+  }
+}
+
+private[sources] class WarcPartitionReader(
+    file: String, conf: SerializableConfiguration, keep: Set[String],
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val fullIdx = fields.map(Warc.schema.fieldIndex)
+  private val readText = fields.contains("text")
+
+  private val stream = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val raw = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    if (Warc.isGzip(raw)) new java.io.BufferedInputStream(
+      new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16)
+    else raw
+  }
+  private val it = Warc.parseRecords(file, stream, keep, readText)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val r = it.next()
+      val out = new GenericInternalRow(fields.length)
+      var i = 0
+      while (i < fields.length) {
+        out.update(i, r.get(fullIdx(i)) match {
+          case null => null
+          case s: String => UTF8String.fromString(s)
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case l: java.lang.Long => l.longValue()
+          case other => other
+        })
+        i += 1
+      }
+      current = out
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit =
+    try stream.close() catch { case _: java.io.IOException => () }
+}

@@ -102,6 +102,57 @@ class WarcSpec extends SparkSpec {
     assert(r2.length == 1 && r2.head.getAs[String]("record_type") == "error")
   }
 
+  test("DSv2: spark.read.format(\"warc\") matches Warc.read over a glob") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_dsv2")
+    java.nio.file.Files.write(dir.resolve("a.warc"), wetBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(wetBytes); gz.close()
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), bos.toByteArray)
+    val glob = s"$dir/*.warc*"
+    val v2 = spark.read.format("warc").load(glob)
+    assert(v2.schema == Warc.schema)
+    val cols = Seq("record_type", "record_id", "target_uri", "warc_date",
+      "content_length", "text")
+    val a = v2.select(cols.head, cols.tail: _*).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Warc.read(spark, glob).select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.length == 4, s"v2=${a.length} rdd=${b.length}")
+    // one input partition per (non-splittable) file
+    assert(v2.rdd.getNumPartitions == 2)
+  }
+
+  test("DSv2: pruning a projection without text skips payload reads") {
+    val path = writeTemp(wetBytes, ".warc")
+    val pruned = spark.read.format("warc").load(path)
+      .select("target_uri", "content_length")
+    // the physical scan schema must have lost the text column
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("target_uri") && !scan.contains("text,"),
+      scan.takeRight(400))
+    val got = pruned.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("http://a.example/x", "http://b.example/y"))
+    assert(got.values.forall(_ > 0))
+    // keepTypes option: keep everything including warcinfo
+    val all = spark.read.format("warc").option("keepTypes", "")
+      .load(path).count()
+    assert(all == 3)
+  }
+
+  test("DSv2: a corrupt file yields an error row through the V2 path too") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_dsv2_bad")
+    java.nio.file.Files.write(dir.resolve("good.warc"), wetBytes)
+    java.nio.file.Files.write(dir.resolve("bad.warc"),
+      "this is not a warc file at all".getBytes(UTF_8))
+    val df = spark.read.format("warc").option("keepTypes", "")
+      .load(s"$dir/*.warc")
+    val byType = df.groupBy("record_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("error") == 1L && byType("conversion") == 2L, byType.toString)
+  }
+
   test("WET → C4 → exact dedup composes (the crawl ingestion pipeline)") {
     val path = writeTemp(wetBytes, ".warc")
     val docs = Warc.read(spark, path)
