@@ -1062,6 +1062,31 @@ object Oracles {
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Pipeline replay in stage order: fold (invisible strip + confusable
+    // translate), min_chars on the folded text, first-id dedup on the
+    // normalized fingerprint.
+    "q_pipeline" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, chr(8203) || translate(text, 'aeo', 'аео')
+         |  FROM documents),
+         |folded AS (SELECT doc_id,
+         |    translate(regexp_replace(text,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
+         |  FROM all_docs),
+         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
+         |fp AS (SELECT doc_id, t,
+         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fp
+         |  FROM f2),
+         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1)
+         |SELECT doc_id, md5(t) AS text_md5
+         |FROM fp JOIN keep USING (fp)
+         |WHERE doc_id = first_id ORDER BY doc_id""".stripMargin,
+
     // Per-sentence language labels via the marker lists (first lang in
     // fixed order attaining the max count; 'und' when no list hits),
     // adjacent-pair switch count, sorted distinct tags.

@@ -2337,6 +2337,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Declarative curation pipeline from a JSON config: fold spoofed
+    // copies (ids +10000) back onto their originals, length-filter,
+    // exact-dedup — the oracle replays the same stage order in SQL.
+    "q_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
+      graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
+        """[{"op": "fold_homoglyphs"},
+          |{"op": "min_chars", "n": "50"},
+          |{"op": "dedup_exact"}]""".stripMargin)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Per-sentence language-ID + code-switch statistics over planted
     // French/German sentences; all counts exact, tie order fixed.
     "q_code_switch" -> ((s, dir) => {

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleanse, Dedup, TextAnalysis}
+
+/** Declarative curation pipelines — the config-as-data pattern every
+  * production corpus team converges on (Dolma's pipeline YAML, CCNet's
+  * stage lists): a JSON array of stages, each a whitelisted operator with
+  * parameters, applied in order to a (id, text) corpus. The config is
+  * reviewable, diffable, and replayable; the operators are the engine's
+  * audited ones — the pipeline runner adds NO new semantics, only
+  * composition.
+  *
+  * ```json
+  * [ {"op": "fold_homoglyphs"},
+  *   {"op": "min_quality", "threshold": "0.3"},
+  *   {"op": "blocklist_suffix", "zones": "spam.net,ads.example.com",
+  *    "urlCol": "url"},
+  *   {"op": "dedup_exact"} ]
+  * ```
+  *
+  * Text transforms rewrite the text column in place; filters drop rows;
+  * `dedup_exact` drops every later duplicate of a normalized fingerprint
+  * (groupBy-min, skew-safe). Unknown ops fail at PARSE time with the
+  * whitelist in the message — a config typo must not silently no-op.
+  * The composed job is one lazy plan: transforms fuse into a single map
+  * stage, filters push toward the scan, only dedup shuffles.
+  */
+object CurationPipeline {
+
+  final case class Stage(op: String, params: Map[String, String])
+
+  val SupportedOps: Set[String] = Set(
+    "strip_html", "strip_markdown", "ccnet_normalize", "fold_homoglyphs",
+    "redact_pii", "strip_invisible",
+    "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
+    "c4_filter", "min_chars",
+    "dedup_exact", "sentence_dedup")
+
+  /** Parse a JSON stage array (jackson, on Spark's classpath). */
+  def parse(json: String): Seq[Stage] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, s"pipeline config must be a JSON array")
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { node =>
+      require(node.isObject && node.has("op"),
+        s"each stage needs an \"op\": $node")
+      val op = node.get("op").asText()
+      require(SupportedOps(op),
+        s"unknown op '$op'; supported: ${SupportedOps.toSeq.sorted.mkString(", ")}")
+      val params = node.properties().asScala
+        .filter(_.getKey != "op")
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      Stage(op, params)
+    }.toSeq
+  }
+
+  /** Apply stages in order. `idCol`/`textCol` name the corpus columns;
+    * stages needing other columns (blocklist_suffix) take them as params.
+    */
+  def run(df: DataFrame, stages: Seq[Stage], idCol: String = "doc_id",
+          textCol: String = "text"): DataFrame =
+    stages.foldLeft(df) { (cur, st) =>
+      def p(key: String): String = st.params.getOrElse(key,
+        throw new IllegalArgumentException(s"${st.op} needs param '$key'"))
+      st.op match {
+        case "strip_html" =>
+          cur.withColumn(textCol, Cleanse.stripHtml(col(textCol)))
+        case "strip_markdown" =>
+          cur.withColumn(textCol, TextAnalysis.stripMarkdown(col(textCol)))
+        case "ccnet_normalize" =>
+          cur.withColumn(textCol, TextAnalysis.ccnetNormalize(col(textCol)))
+        case "fold_homoglyphs" =>
+          cur.withColumn(textCol, TextAnalysis.foldHomoglyphs(col(textCol)))
+        case "strip_invisible" =>
+          cur.withColumn(textCol, TextAnalysis.stripInvisible(col(textCol)))
+        case "redact_pii" =>
+          cur.withColumn(textCol, Cleanse.redactPii(col(textCol)))
+        case "min_quality" =>
+          cur.filter(TextAnalysis.qualityScore(col(textCol))
+            >= p("threshold").toDouble)
+        case "max_repetition" =>
+          cur.filter(TextAnalysis.topNgramFraction(col(textCol), 2)
+            <= p("threshold").toDouble)
+        case "lang_keep" =>
+          val langs = p("langs").split(",").map(_.trim).filter(_.nonEmpty)
+          cur.filter(TextAnalysis.languageId(col(textCol))
+            .isInCollection(langs.toSeq))
+        case "blocklist_suffix" =>
+          Cleanse.filterByDomainSuffixBlocklist(cur, p("urlCol"),
+            p("zones").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "c4_filter" =>
+          Cleanse.c4Filter(cur, textCol).filter(col("keep"))
+            .withColumn(textCol, col("text_c4"))
+            .drop("text_c4", "n_lines_kept", "keep")
+        case "min_chars" =>
+          cur.filter(length(col(textCol)) >= p("n").toLong)
+        case "dedup_exact" =>
+          Dedup.exact(cur, textCol, idCol)
+            .filter(!col("is_duplicate"))
+            .drop("fingerprint", "is_duplicate")
+        case "sentence_dedup" =>
+          Dedup.sentenceDedup(cur, idCol, textCol)
+            .withColumnRenamed("id", idCol)
+            .withColumnRenamed("text_dedup", textCol)
+            .drop("n_paras_kept")
+      }
+    }
+
+  /** Parse + run in one call. */
+  def runJson(df: DataFrame, json: String, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    run(df, parse(json), idCol, textCol)
+}

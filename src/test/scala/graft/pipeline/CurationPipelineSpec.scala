@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parse validates ops and parameters") {
+    val stages = CurationPipeline.parse(
+      """[{"op": "fold_homoglyphs"},
+        |{"op": "min_quality", "threshold": "0.3"},
+        |{"op": "dedup_exact"}]""".stripMargin)
+    assert(stages.map(_.op) == Seq("fold_homoglyphs", "min_quality", "dedup_exact"))
+    assert(stages(1).params == Map("threshold" -> "0.3"))
+    val bad = intercept[IllegalArgumentException] {
+      CurationPipeline.parse("""[{"op": "summon_demons"}]""")
+    }
+    assert(bad.getMessage.contains("supported:"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.runJson(Seq((1L, "x")).toDF("doc_id", "text"),
+        """[{"op": "min_quality"}]""") // missing threshold
+    }
+  }
+
+  test("a fold + filter + dedup pipeline drops spoofed copies") {
+    val originals = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different second document with plenty of words here"),
+      (3L, "tiny")) // dropped by min_chars
+    // ids 100x: homoglyph-spoofed copies of the originals
+    val spoofed = originals.map { case (id, t) =>
+      (100 + id, "​" + t.replace('a', 'а').replace('e', 'е')) }
+    val df = (originals ++ spoofed).toDF("doc_id", "text")
+    val out = CurationPipeline.runJson(df,
+      """[{"op": "fold_homoglyphs"},
+        |{"op": "min_chars", "n": "10"},
+        |{"op": "dedup_exact"}]""".stripMargin)
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L), kept.toString) // spoofs deduped, tiny dropped
+    // the surviving text is the FOLDED form
+    val t1 = out.filter(col("doc_id") === 1L).select("text").head().getString(0)
+    assert(t1 == originals.head._2)
+  }
+
+  test("transform stages fuse: only dedup shuffles") {
+    val df = Seq((1L, "some text here"), (2L, "other text there"))
+      .toDF("doc_id", "text")
+    val plan = CurationPipeline.runJson(df,
+      """[{"op": "fold_homoglyphs"}, {"op": "strip_invisible"},
+        |{"op": "min_chars", "n": "2"}, {"op": "dedup_exact"}]""".stripMargin)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"$shuffles shuffles:\n$plan") // dedup's groupBy+join
+  }
+
+  test("blocklist and language stages apply with their params") {
+    val df = Seq(
+      (1L, "the cat is in the house with the dog", "https://ok.org/a"),
+      (2L, "le chat est dans la maison avec le chien", "https://ok.org/b"),
+      (3L, "the dog is near the house by the tree", "https://ads.spam.net/c"))
+      .toDF("doc_id", "text", "url")
+    val out = CurationPipeline.runJson(df,
+      """[{"op": "blocklist_suffix", "zones": "spam.net", "urlCol": "url"},
+        |{"op": "lang_keep", "langs": "en"}]""".stripMargin)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
