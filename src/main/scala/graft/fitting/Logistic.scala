@@ -149,4 +149,26 @@ object Logistic {
     val p = probability(col(featuresCol), model)
     df.select(col(idCol), p.as("prob"), (p > 0.5).as("predicted"))
   }
+
+  /** The model as a 1-row frame — persist with any sink and reload with
+    * [[modelFromDf]]: the deployment loop trains once (offline, this
+    * module) and scores everywhere (a broadcast-free literal column),
+    * the calibrationModel pattern.
+    */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+                model: LogisticModel): DataFrame = {
+    import spark.implicits._
+    Seq((model.dims, model.count, model.lambda, model.weights.toSeq,
+      model.lossTrace.toSeq))
+      .toDF("dims", "count", "lambda", "weights", "loss_trace")
+  }
+
+  /** Rebuild a model from a persisted [[modelToDf]] frame. */
+  def modelFromDf(df: DataFrame): LogisticModel = {
+    val r = df.select("dims", "count", "lambda", "weights", "loss_trace")
+      .head()
+    LogisticModel(r.getInt(0), r.getLong(1),
+      r.getSeq[Double](3).toArray, r.getDouble(2),
+      r.getSeq[Double](4).toArray)
+  }
 }

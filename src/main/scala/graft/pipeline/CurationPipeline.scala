@@ -37,7 +37,8 @@ object CurationPipeline {
     "redact_pii", "strip_invisible",
     "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
     "c4_filter", "min_chars",
-    "dedup_exact", "sentence_dedup")
+    "dedup_exact", "sentence_dedup",
+    "chunk_sentences", "chunk_cdc")
 
   /** Parse a JSON stage array (jackson, on Spark's classpath). */
   def parse(json: String): Seq[Stage] = {
@@ -107,6 +108,21 @@ object CurationPipeline {
             .withColumnRenamed("id", idCol)
             .withColumnRenamed("text_dedup", textCol)
             .drop("n_paras_kept")
+        // grain changes: one document row becomes its chunk rows; the id
+        // gains a "#<chunk>" suffix so downstream stages (dedup!) keep
+        // working at the new grain. Terminal-prep stages — run them last.
+        case "chunk_sentences" =>
+          graft.operators.Chunking.chunkRowsBySentences(cur, textCol, idCol,
+              st.params.getOrElse("budget", "256").toInt)
+            .select(concat(col("id").cast("string"), lit("#"),
+              col("chunk_id").cast("string")).as(idCol),
+              col("chunk").as(textCol))
+        case "chunk_cdc" =>
+          graft.operators.Chunking.cdcChunks(cur, textCol, idCol,
+              st.params.getOrElse("boundaryNibbles", "1").toInt)
+            .select(concat(col("id").cast("string"), lit("#"),
+              col("chunk_id").cast("string")).as(idCol),
+              col("chunk").as(textCol))
       }
     }
 

@@ -81,6 +81,19 @@ class LogisticSpec extends SparkSpec {
     got.zip(x).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("model parquet round-trip scores identically") {
+    val df = clusters(100).toDF("id", "x", "y")
+    val m = Logistic.fit(df, "x", "y", dims = 2, iters = 6, lambda = 0.05)
+    val path = java.nio.file.Files.createTempDirectory("logreg").toString + "/m"
+    Logistic.modelToDf(spark, m).write.parquet(path)
+    val m2 = Logistic.modelFromDf(spark.read.parquet(path))
+    assert(m2.weights.toSeq == m.weights.toSeq)
+    assert(m2.dims == m.dims && m2.count == m.count && m2.lambda == m.lambda)
+    val a = Logistic.score(df, "id", "x", m).collect().map(_.toString).sorted
+    val b = Logistic.score(df, "id", "x", m2).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("probability is sigmoid of the affine score") {
     val m = Logistic.LogisticModel(2, 1L, Array(0.5, 1.0, -2.0), 0.0,
       Array.empty)

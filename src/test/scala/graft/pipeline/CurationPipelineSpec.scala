@@ -54,6 +54,20 @@ class CurationPipelineSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles:\n$plan") // dedup's groupBy+join
   }
 
+  test("chunk stages change grain with composite ids") {
+    val df = Seq((7L, "one two three. four five six. seven eight nine"))
+      .toDF("doc_id", "text")
+    val out = CurationPipeline.runJson(df,
+      """[{"op": "chunk_sentences", "budget": "4"},
+        |{"op": "dedup_exact"}]""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 3-token sentences, budget 4 -> cumulative offsets 0,3,6 assign
+    // chunks 0,0,1
+    assert(out.keySet == Set("7#0", "7#1"), out.keySet.toString)
+    assert(out("7#0") == "one two three. four five six")
+    assert(out("7#1") == "seven eight nine")
+  }
+
   test("blocklist and language stages apply with their params") {
     val df = Seq(
       (1L, "the cat is in the house with the dog", "https://ok.org/a"),
