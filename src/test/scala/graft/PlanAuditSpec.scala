@@ -166,6 +166,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("row-local chunkers plan no hash shuffle (map stage + output sort only)") {
+    // the design claim in Chunking.chunkRowsBySentences/cdcChunks: chunk
+    // rebuild happens row-locally via HOF folds — a groupBy(id, chunk)
+    // rebuild would hash-shuffle the whole corpus
+    for (q <- Seq("q_sentence_chunks", "q_cdc_chunks")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q hash-shuffles:\n${plan.take(1200)}")
+    }
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
