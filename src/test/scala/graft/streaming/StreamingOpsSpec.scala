@@ -255,6 +255,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(after2.size == 4 && after2(4L) == "cyrillic", after2.toString)
   }
 
+  test("chatFlatten runs unchanged on a stream (stateless from_json + HOFs)") {
+    implicit val sqlCtx = spark.sqlContext
+    val msgs = """[{"role":"user","content":"hi"},
+      |{"role":"assistant","content":"hello there"}]""".stripMargin
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Conversations.chatFlatten(
+        input.toDF().toDF("id", "msgs"), "id", "msgs")
+      .writeStream.format("memory").queryName("chat_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, msgs), (2L, "broken json"))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select id, text, response_start, response_chars from chat_out")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    q.stop()
+    val r1 = got(1L)
+    assert(r1.getString(1) == "user: hi\nassistant: hello there\n")
+    val span = r1.getString(1).substring(r1.getInt(2), r1.getInt(2) + r1.getInt(3))
+    assert(span == "hello there")
+    assert(got(2L).isNullAt(1)) // unparseable stays null on the stream too
+  }
+
   test("routeStream matches the batch routing operators row for row") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
