@@ -1039,6 +1039,33 @@ object Oracles {
         |FROM nodes n LEFT JOIN cnt c ON n.id = c.id
         |ORDER BY n.id""".stripMargin,
 
+    // Shared-shingle audit for the jaccard pairs: counts + the sorted
+    // first-3 sample, ' | '-joined.
+    "q_pair_evidence" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p2 AS (SELECT id_a, id_b FROM pr
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
+         |ev AS (SELECT p2.id_a, p2.id_b, count(*) AS n_shared,
+         |    array_to_string(list_sort(list(a.shingle))[1:3], ' | ') AS shared_sample
+         |  FROM p2 JOIN sh a ON a.doc_id = p2.id_a
+         |  JOIN sh b ON b.doc_id = p2.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p2.id_a, p2.id_b,
+         |  coalesce(ev.n_shared, 0) AS n_shared,
+         |  coalesce(ev.shared_sample, '') AS shared_sample
+         |FROM p2 LEFT JOIN ev USING (id_a, id_b)
+         |ORDER BY 1, 2""".stripMargin,
+
     // Degree of each document in the 3-gram Jaccard candidate graph
     // (same pair construction as q_ngram_jaccard), 0 when untouched.
     "q_neardup_degree" ->

@@ -2697,6 +2697,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Audit evidence for the gated near-dup pairs: shared-shingle counts
+    // plus a deterministic (lexicographically first) sample.
+    "q_pair_evidence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+          n = 3, minJaccard = 0.05)
+        .select(col("id_a"), col("id_b"))
+      Dedup.pairEvidence(docs, "text", "doc_id", pairs,
+          shingleSize = 3, sampleK = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Near-dup graph degree per document over the gated n-gram Jaccard
     // pair table — the hub diagnostic run before transitive closure.
     "q_neardup_degree" -> ((s, dir) => {

@@ -477,6 +477,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("pairEvidence counts shared shingles, zero-fills false positives") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown cat sleeps"),  // shares 2 distinct 3-shingles
+      (3L, "totally unrelated words entirely different")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.pairEvidence(docs, "text", "doc_id", pairs,
+        shingleSize = 3, sampleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // shared: "the quick brown", "quick brown" + differing 3rd word -> 1
+    assert(out((1L, 2L))._1 == 1L, out.toString)
+    assert(out((1L, 2L))._2 == "the quick brown")
+    assert(out((1L, 3L)) == ((0L, ""))) // banding false positive surfaced
+  }
+
   test("triangleCounts separates a clique from a chain") {
     // clique on {1,2,3,4}: C(3,2)=3 triangles per node, 4 total;
     // chain 10-11-12-13: zero triangles anywhere
