@@ -160,6 +160,21 @@ object Oracles {
         |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
         |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
 
+    "q_logreg" ->
+      """SELECT count(*) AS n, true AS counts_ok, true AS accuracy_ok
+        |FROM documents""".stripMargin,
+
+    "q_pca_project" ->
+      """SELECT count(*) AS n, true AS ortho_ok, true AS var_ok,
+        |       true AS mean_ok
+        |FROM embeddings""".stripMargin,
+
+    // Planted-truth oracle: the flag must equal the planting rule (outliers
+    // at +80 x-offset, ~9 sigma even with outlier-inflated variance).
+    "q_mahalanobis" ->
+      """SELECT event_id, (event_id % 101 = 0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_lag_diff" ->
       """SELECT event_id, user_id,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
@@ -167,8 +182,8 @@ object Oracles {
 
     "q_rolling_sum" ->
       """SELECT event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rsum
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_unresponsive" ->
@@ -391,7 +406,8 @@ object Oracles {
         |      WHERE mad.mad IS NULL OR abs(p.ws - mad.med) <= 7.0 * mad.mad),
         |z AS (SELECT asset_id, w, vane, round(ws) AS wsb, round(vane) AS vb
         |      FROM k WHERE round(ws) IN (5.0, 6.0, 7.0, 8.0))
-        |SELECT asset_id, wsb AS ws_bin_center, vb AS vane_bin,
+        |SELECT asset_id, CAST(wsb AS BIGINT) AS ws_bin_center,
+        |       CAST(vb AS BIGINT) AS vane_bin,
         |       CAST(sum(w) AS BIGINT) AS perf_sum, count(*) AS n,
         |       CAST(round(sum(vane) * 8) AS BIGINT) AS vane_sum_8
         |FROM z GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
@@ -1935,6 +1951,52 @@ object Oracles {
         |  FROM events GROUP BY 1)
         |SELECT epoch_us(day) // 1000000 AS day_epoch, n_events, true AS cum_ok
         |FROM d ORDER BY 1""".stripMargin,
+
+    // Claims oracles for the link-analysis gates: node lists + expected
+    // booleans derived from the same deterministic edge construction
+    // (src host -> its cdn hosts; cdn -> hub for doc_id%3 docs).
+    "q_pagerank" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source || '.org' AS node FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0))
+        |SELECT node, true AS above_floor, (node = 'hub.org') AS is_top,
+        |       true AS sum_ok
+        |FROM hosts ORDER BY node""".stripMargin,
+
+    "q_trustrank" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source || '.org' AS node FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
+        |  UNION SELECT 'src0.org' UNION SELECT 'src1.org'),
+        |reach AS (
+        |  SELECT 'src0.org' AS node UNION SELECT 'src1.org'
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org'
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents
+        |    WHERE source IN ('src0', 'src1') AND doc_id % 3 = 0))
+        |SELECT h.node, (h.node IN (SELECT node FROM reach)) AS trust_pos,
+        |       true AS sum_ok
+        |FROM hosts h ORDER BY h.node""".stripMargin,
+
+    "q_hits" ->
+      """WITH cdn AS (
+        |  SELECT 'cdn' || (doc_id % 7) || '.' || source || '.org' AS node,
+        |         bool_or(doc_id % 3 = 0) AS has_out
+        |  FROM documents GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source || '.org' AS node FROM documents)
+        |SELECT node, true AS auth_pos, has_out AS hub_pos FROM cdn
+        |UNION ALL SELECT node, false, true FROM srcs
+        |UNION ALL SELECT 'hub.org', true, false
+        |  WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY node""".stripMargin,
 
     "q_score_calibration" ->
       """SELECT doc_id, lang, true AS cal_ok FROM documents

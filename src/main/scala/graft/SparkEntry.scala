@@ -373,10 +373,17 @@ object SparkEntry {
     }),
 
     "q_rolling_sum" -> ((s, dir) => {
+      // Long-cents frame sum (the r3 q1_agg lesson, applied after the r6
+      // bench flagged this gate at 3.08 s): value is cents-valued, so
+      // round(value*100) is an exact long and every frame slide is a long
+      // add instead of a BigDecimal add; /100.0 at the end is the same
+      // double in both engines. A/B at sf0.1: decimal 2.9 s -> long 1.0 s.
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-2, 0)
       Tables.events(s, dir)
-        .withColumn("rsum", sum(col("value").cast(Dec)).over(w).cast("double"))
+        .withColumn("rsum",
+          sum(round(col("value") * 100).cast("long")).over(w)
+            .cast("double") / 100.0)
         .select("event_id", "rsum")
         .orderBy("event_id")
     }),
@@ -440,11 +447,23 @@ object SparkEntry {
     }),
 
     // KMeans+Mahalanobis (filters.py:290-343) — no SQL oracle (rows-only)
+    // Planted-truth oracle gate (r7, formerly rows-only): four clusters at
+    // (0/200, 0/200) with spread <10, outliers (event_id%101==0) pushed +80
+    // in x — ~27 sigma out, so kmeans recovers the planted partition
+    // regardless of init and the Mahalanobis flag EQUALS the planting rule.
+    // DuckDB reproduces the planting rule, not the kmeans (filters.py:290-343).
     "q_mahalanobis" -> ((s, dir) => {
-      Flags.clusterMahalanobis2d(Tables.lineitem(s, dir),
-          "l_quantity", "l_extendedprice", nClusters = 8)
-        .select("l_orderkey", "l_linenumber", "flag")
-        .orderBy("l_orderkey", "l_linenumber")
+      val ev = Tables.events(s, dir)
+        .withColumn("x",
+          when(col("user_id") % 2 === 1, 200.0).otherwise(0.0)
+            + pmod(col("value"), lit(10.0))
+            + when(col("event_id") % 101 === 0, 80.0).otherwise(0.0))
+        .withColumn("y",
+          when(col("user_id") % 4 >= 2, 200.0).otherwise(0.0)
+            + (col("event_id") % 17).cast("double") / 2.0)
+      Flags.clusterMahalanobis2d(ev, "x", "y", nClusters = 4)
+        .select("event_id", "flag")
+        .orderBy("event_id")
     }),
 
     // ---- 2.7 met-science scalar expressions --------------------------------
@@ -823,8 +842,15 @@ object SparkEntry {
       // diverges between engines (the q_interp_linear failure class, SURVEY
       // §6). Integer power -> perf_sum is an exact long; 1/8-degree vane ->
       // vane_sum * 8 is an exact long. The means are recoverable as sum/n.
+      // Bin centers are integers by construction -> cast to LONG on both
+      // sides: DuckDB's round() emits -0.0 for vane in (-0.5, 0) where
+      // Spark emits +0.0; values compare equal but the driver hashes float
+      // BIT PATTERNS, so a DOUBLE bin column can never hash-match (SURVEY
+      // §6 signed-zero lesson, r6 verdict).
       new graft.analysis.StaticYawMisalignment(plant).vaneBins()
-        .select(col("asset_id"), col("ws_bin_center"), col("vane_bin"),
+        .select(col("asset_id"),
+          col("ws_bin_center").cast("long").as("ws_bin_center"),
+          col("vane_bin").cast("long").as("vane_bin"),
           col("perf_sum").cast("long").as("perf_sum"), col("n"),
           round(col("vane_sum") * 8).cast("long").as("vane_sum_8"))
         .orderBy("asset_id", "ws_bin_center", "vane_bin")
@@ -2134,22 +2160,48 @@ object SparkEntry {
 
     // PCA whitened projection — rows-only (driver-side Jacobi eigensolve is
     // not SQL-expressible); PcaSpec pins eigensystem/variance/rotation
+    // Claims gate (r7, formerly rows-only): rounded scores are
+    // eigensolve-ulp unstable, but the CONTRACT is checkable as booleans —
+    // the fitted basis is orthonormal (Jacobi property, driver-checked),
+    // and whitening makes every component's population variance exactly 1
+    // with mean exactly 0 (var of a projection onto a unit eigenvector IS
+    // its eigenvalue; whitening divides by sqrt of it) — both within FP
+    // tolerance, verified by a distributed moment pass over the output.
     "q_pca_project" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       val model = Pca.fit(e, "v", 64, 8)
-      Pca.project(e, "v", model, whiten = true)
-        .select(col("vec_id") +: (0 until 8).map(j =>
-          round(element_at(col("pca"), j + 1), 5).as(s"pc${j + 1}")): _*)
-        .orderBy("vec_id")
+      val orthoErr = {
+        val c = model.components
+        (for (i <- c.indices; j <- i until c.length) yield {
+          val dot = (0 until 64).map(t => c(i)(t) * c(j)(t)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0))
+        }).max
+      }
+      val proj = Pca.project(e, "v", model, whiten = true)
+      val aggs = (0 until 8).flatMap(j => Seq(
+        sum(element_at(col("pca"), j + 1)).as(s"s$j"),
+        sum(pow(element_at(col("pca"), j + 1), 2)).as(s"q$j")))
+      proj.agg(count(lit(1)).as("n"), aggs: _*)
+        .select(col("n"), lit(orthoErr < 1e-7).as("ortho_ok"),
+          (0 until 8).map(j =>
+            abs(col(s"q$j") / col("n")
+              - pow(col(s"s$j") / col("n"), 2) - 1.0) < 1e-6)
+            .reduce(_ && _).as("var_ok"),
+          (0 until 8).map(j => abs(col(s"s$j") / col("n")) < 1e-6)
+            .reduce(_ && _).as("mean_ok"))
     }),
 
     // host-graph PageRank over deterministically synthesized link edges
-    // (source sites -> their cdn hosts -> a shared hub) — rows-only
-    // (iterative float fixpoint; shuffle-order ulps make rounded ranks
-    // engine-unstable); LinkGraphSpec pins exact small-graph values and
-    // driver==distributed parity
+    // (source sites -> their cdn hosts -> a shared hub). Oracle-gated via
+    // per-node BOOLEAN CLAIMS (r7, formerly rows-only): rounded rank
+    // values are shuffle-order-ulp unstable, but (a) every rank >= the
+    // teleport floor (1-d)/N by the update rule, (b) hub.org is the argmax
+    // (margin 0.41 vs #2 = 0.004, measured sf0.01/0.1), (c) mass sums to 1
+    // within 1e-9. DuckDB reproduces the node list + expected booleans
+    // from the same edge construction; LinkGraphSpec still pins exact
+    // small-graph values and driver==distributed parity.
     "q_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val srcHost = concat(col("source"), lit(".org"))
@@ -2158,13 +2210,24 @@ object SparkEntry {
       val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
         .union(d.filter(col("doc_id") % 3 === 0)
           .select(cdnHost.as("src"), lit("hub.org").as("dst")))
-      LinkGraph.pageRank(edges, "src", "dst", iters = 10)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+      val ranks = LinkGraph.pageRank(edges, "src", "dst", iters = 10)
+      val tot = ranks.agg(count(lit(1)).cast("double").as("__n"),
+        max(col("rank")).as("__max"), sum(col("rank")).as("__sum"))
+      ranks.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("rank") >= lit(0.15) / col("__n") * 0.999999).as("above_floor"),
+          (col("rank") === col("__max")).as("is_top"),
+          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
         .orderBy("node")
     }),
 
     // seeded (TrustRank-style) PageRank over the same host graph: teleport
-    // mass returns to two trusted source hosts — rows-only like q_pagerank
+    // mass returns to two trusted source hosts. Claims gate (r7): a node
+    // UNREACHABLE from the seeds has rank EXACTLY 0.0 (teleport share 0,
+    // in-mass 0 — every term is a 0.0 product), a reachable one has rank
+    // >= 0.027 (measured min, sf0.01/0.1) — threshold 1e-9 splits them
+    // with 7 orders of margin; DuckDB computes reachability from the same
+    // edge rule (seeds -> their cdns -> hub).
     "q_trustrank" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val srcHost = concat(col("source"), lit(".org"))
@@ -2173,9 +2236,13 @@ object SparkEntry {
       val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
         .union(d.filter(col("doc_id") % 3 === 0)
           .select(cdnHost.as("src"), lit("hub.org").as("dst")))
-      LinkGraph.personalizedPageRank(edges, "src", "dst",
-          seeds = Seq("src0.org", "src1.org"), iters = 10)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+      val ranks = LinkGraph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("src0.org", "src1.org"), iters = 10)
+      val tot = ranks.agg(sum(col("rank")).as("__sum"))
+      ranks.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("rank") > 1e-9).as("trust_pos"),
+          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
         .orderBy("node")
     }),
 
@@ -2474,9 +2541,15 @@ object SparkEntry {
       val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
         .union(d.filter(col("doc_id") % 3 === 0)
           .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      // Claims gate (r7, formerly rows-only): with all-positive init,
+      // authority > 0 IFF the node has an in-edge and hub > 0 IFF it has
+      // an out-edge (positivity propagates through every iteration; the
+      // scores of edge-less roles are exact 0.0 sums). Min positive score
+      // measured 1.1e-6 (sf0.01/0.1) vs exact zero -> 1e-9 threshold.
+      // DuckDB derives has_in/has_out per node from the edge rule.
       LinkGraph.hits(edges, "src", "dst", iters = 10)
-        .select(col("node"), round(col("hub"), 6).as("hub"),
-          round(col("authority"), 6).as("authority"))
+        .select(col("node"), (col("authority") > 1e-9).as("auth_pos"),
+          (col("hub") > 1e-9).as("hub_pos"))
         .orderBy("node")
     }),
 
@@ -2668,6 +2741,12 @@ object SparkEntry {
     // Distributed IRLS logistic quality classifier — rows-only (iterative
     // transcendental float sums aren't oracle-reproducible); LogisticSpec
     // pins the math (loss descent, stationarity, closed-form cases).
+    // Claims gate (r7, formerly rows-only): weights are FP-iteration
+    // internals, but the planted truth is checkable — the label
+    // (n_chars > 250) is perfectly separable on feature 1 (n_chars/100),
+    // so the IRLS fit must classify nearly everything right. Gated on
+    // accuracy vs the planted labels plus confusion-count consistency
+    // (tp+fp+fn+tn == n — the r7 ADVICE null-handling contract).
     "q_logreg" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val feats = d.select(col("doc_id"),
@@ -2677,9 +2756,13 @@ object SparkEntry {
         (col("n_chars") > 250).as("y"))
       val m = graft.fitting.Logistic.fit(feats, "x", "y", dims = 3,
         iters = 8, lambda = 0.1)
-      graft.fitting.Logistic.score(feats, "doc_id", "x", m)
-        .select(col("doc_id"), col("predicted"))
-        .orderBy("doc_id")
+      val scored = graft.fitting.Logistic.score(feats, "doc_id", "x", m)
+        .join(feats.select("doc_id", "y"), "doc_id")
+      Metrics.binaryClassifierEval(scored, "y", "predicted")
+        .select(col("n"),
+          (col("tp") + col("fp") + col("fn") + col("tn") === col("n"))
+            .as("counts_ok"),
+          (col("accuracy") >= 0.95).as("accuracy_ok"))
     }),
 
     // Per-node triangles in the same synthetic candidate graph q_cc_dedup

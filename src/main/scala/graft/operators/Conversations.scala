@@ -29,9 +29,14 @@ object Conversations {
         .fromDDL(MsgSchema)).as("__m"))
     val staged = parsed
       .select(col("id"), col("__m"),
+        // coalesce role/content to '' INSIDE the block: a null field would
+        // null the whole block, which poisons the prefix-sum starts (null
+        // length propagates) while concat_ws silently DROPS the block from
+        // text — n_turns would disagree with the rendered text
         transform(col("__m"), m =>
-          concat(m.getField("role"), lit(": "),
-            m.getField("content"), lit("\n"))).as("__blocks"))
+          concat(coalesce(m.getField("role"), lit("")), lit(": "),
+            coalesce(m.getField("content"), lit("")), lit("\n")))
+          .as("__blocks"))
       // 0-based char offset where block i (1-based) starts; length n+1
       .select(col("id"), col("__m"), col("__blocks"),
         aggregate(col("__blocks"), array(lit(0)),
@@ -60,12 +65,13 @@ object Conversations {
         col("n_assistant"),
         when(col("__la") === 0, lit(null)).otherwise(
           element_at(col("__starts"), col("__la").cast("int"))
-            // skip "assistant: " (role + colon + space)
-            + length(element_at(col("__m"), col("__la").cast("int"))
-              .getField("role")) + 2).as("response_start"),
+            // skip "assistant: " (role + colon + space); coalesce mirrors
+            // the '' used when rendering __blocks
+            + length(coalesce(element_at(col("__m"), col("__la").cast("int"))
+              .getField("role"), lit(""))) + 2).as("response_start"),
         when(col("__la") === 0, lit(null)).otherwise(
-          length(element_at(col("__m"), col("__la").cast("int"))
-            .getField("content"))).as("response_chars"))
+          length(coalesce(element_at(col("__m"), col("__la").cast("int"))
+            .getField("content"), lit("")))).as("response_chars"))
   }
 
   /** Role-composition rollup per conversation corpus slice — the dataset

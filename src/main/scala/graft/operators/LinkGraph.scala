@@ -163,24 +163,33 @@ object LinkGraph {
       val n = nodes.count()
       var scores = nodes.withColumn("hub", lit(1.0 / n))
         .withColumn("authority", lit(1.0 / n))
+      // Normalization is folded into the lazy plan as 1-row aggregate
+      // frames (crossJoin) instead of blocking head() actions, and the
+      // iteration materializes with ONE localCheckpoint — 1 job per
+      // iteration instead of ~5 (two scalar actions + three eager
+      // checkpoints). The authority subtree appears twice in the DAG;
+      // Spark's exchange reuse dedups the shuffle, so it costs one
+      // computation. Arithmetic is identical to the driver path
+      // (normalize-every-round), so the 1e-9 parity spec still pins it.
       for (_ <- 1 to iters) {
         val aRaw = ec.join(scores, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
-        val aSum = aRaw.agg(coalesce(sum(col("__a")), lit(0.0)))
-          .head().getDouble(0)
+        val aTot = aRaw.agg(coalesce(sum(col("__a")), lit(0.0)).as("__asum"))
         val withAuth = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
+          .crossJoin(aTot)
           .select(col("node"),
             (coalesce(col("__a"), lit(0.0)) /
-              (if (aSum > 0) lit(aSum) else lit(1.0))).as("authority"))
-          .localCheckpoint(true)
+              when(col("__asum") > 0, col("__asum")).otherwise(lit(1.0)))
+              .as("authority"))
         val hRaw = ec.join(withAuth, col("dst") === col("node"))
           .groupBy(col("src")).agg(sum(col("authority")).as("__h"))
-        val hSum = hRaw.agg(coalesce(sum(col("__h")), lit(0.0)))
-          .head().getDouble(0)
+        val hTot = hRaw.agg(coalesce(sum(col("__h")), lit(0.0)).as("__hsum"))
         scores = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
+          .crossJoin(hTot)
           .select(nodes("node"),
             (coalesce(col("__h"), lit(0.0)) /
-              (if (hSum > 0) lit(hSum) else lit(1.0))).as("hub"))
+              when(col("__hsum") > 0, col("__hsum")).otherwise(lit(1.0)))
+              .as("hub"))
           .join(withAuth.withColumnRenamed("node", "__n2"),
             col("node") === col("__n2"))
           .select(col("node"), col("hub"), col("authority"))

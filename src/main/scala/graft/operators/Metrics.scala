@@ -105,11 +105,16 @@ object Metrics {
     val p = col(predCol).cast("boolean")
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    df.agg(count(lit(1)).as("n"),
+    // Rows with a null label or prediction belong to no confusion cell:
+    // keep them OUT of n too (else accuracy deflates and tp+fp+fn+tn != n
+    // on dirty input) and surface them as n_null instead.
+    df.agg(cnt(y.isNotNull && p.isNotNull).as("n"),
+        cnt(y.isNull || p.isNull).as("n_null"),
         cnt(y && p).as("tp"), cnt(!y && p).as("fp"),
         cnt(y && !p).as("fn"), cnt(!y && !p).as("tn"))
       .withColumn("accuracy",
-        (col("tp") + col("tn")).cast("double") / col("n"))
+        when(col("n") === 0, lit(null))
+          .otherwise((col("tp") + col("tn")).cast("double") / col("n")))
       .withColumn("precision",
         when(col("tp") + col("fp") === 0, lit(null))
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))

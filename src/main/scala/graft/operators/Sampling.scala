@@ -298,7 +298,8 @@ object Sampling {
     val bud = typedLit(budgets)
     val thr = df.filter(col(weightCol) > 0)
       .groupBy(col(domainCol).as("__d"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      // sum-then-cast (not per-row cast): see mixtureRateReport
+      .agg(sum(col(weightCol)).cast("long").as("__w"))
       .select(col("__d"),
         when(bud(col("__d")).isNull, lit(10000L))
           .otherwise(round(least(lit(1.0),
@@ -338,9 +339,13 @@ object Sampling {
       val s = targets.values.sum
       targets.map { case (g, w) => (g, w / s) }
     }
+    // Sum in the column's own type and cast the TOTAL (casting per-row
+    // would truncate fractional token-estimate weights before summing,
+    // systematically underestimating `available`). Integer-weight columns
+    // are unaffected: sum-then-cast == cast-then-sum exactly.
     val avail = df.filter(col(weightCol) > 0)
       .groupBy(col(groupCol).cast("string").as("group"))
-      .agg(sum(col(weightCol).cast("long")).as("available"))
+      .agg(sum(col(weightCol)).cast("long").as("available"))
     val tgt = tshare.toSeq.toDF("group", "target_share")
     val joined = tgt.join(avail, Seq("group"), "left")
       .select(col("group"), col("target_share"),

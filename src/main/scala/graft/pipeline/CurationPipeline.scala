@@ -63,7 +63,8 @@ object CurationPipeline {
     * stages needing other columns (blocklist_suffix) take them as params.
     */
   def run(df: DataFrame, stages: Seq[Stage], idCol: String = "doc_id",
-          textCol: String = "text"): DataFrame =
+          textCol: String = "text"): DataFrame = {
+    validate(stages)
     stages.foldLeft(df) { (cur, st) =>
       def p(key: String): String = st.params.getOrElse(key,
         throw new IllegalArgumentException(s"${st.op} needs param '$key'"))
@@ -125,6 +126,32 @@ object CurationPipeline {
               col("chunk").as(textCol))
       }
     }
+  }
+
+  /** Ops that re-grain the corpus and project down to (id, text),
+    * dropping every auxiliary column. */
+  private val GrainChangingOps = Set("chunk_sentences", "chunk_cdc",
+    "sentence_dedup")
+
+  /** Stage-order validation, run BEFORE any plan is built: a stage that
+    * needs an auxiliary column (blocklist_suffix's urlCol) placed after a
+    * grain-changing op would otherwise surface as a confusing downstream
+    * AnalysisException — a config-shape error must fail at config time
+    * with the fix in the message.
+    */
+  def validate(stages: Seq[Stage]): Unit = {
+    val firstGrain = stages.indexWhere(s => GrainChangingOps(s.op))
+    if (firstGrain >= 0) {
+      stages.drop(firstGrain + 1).foreach { st =>
+        require(!st.params.contains("urlCol"),
+          s"stage '${st.op}' needs auxiliary column " +
+            s"'${st.params("urlCol")}', but the earlier " +
+            s"'${stages(firstGrain).op}' stage re-grains the corpus to " +
+            s"(id, text) and drops it — move '${st.op}' before the " +
+            "grain-changing stage")
+      }
+    }
+  }
 
   /** Parse + run in one call. */
   def runJson(df: DataFrame, json: String, idCol: String = "doc_id",

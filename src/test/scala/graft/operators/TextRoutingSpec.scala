@@ -263,17 +263,29 @@ class TextRoutingSpec extends SparkSpec {
       (true, true), (true, true), (true, false),     // tp=2 fn=1
       (false, true), (false, false), (false, false)  // fp=1 tn=2
     ).toDF("label", "pred")
+    // columns: n, n_null, tp, fp, fn, tn, accuracy, precision, recall, f1
     val r = Metrics.binaryClassifierEval(df, "label", "pred").head()
-    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(r.getLong(0) == 6L && r.getLong(1) == 0L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       == ((2L, 1L, 1L, 2L)))
-    assert(math.abs(r.getDouble(5) - 4.0 / 6) < 1e-12)   // accuracy
-    assert(math.abs(r.getDouble(6) - 2.0 / 3) < 1e-12)   // precision
-    assert(math.abs(r.getDouble(7) - 2.0 / 3) < 1e-12)   // recall
-    assert(math.abs(r.getDouble(8) - 2.0 / 3) < 1e-12)   // f1 (p == r)
+    assert(math.abs(r.getDouble(6) - 4.0 / 6) < 1e-12)   // accuracy
+    assert(math.abs(r.getDouble(7) - 2.0 / 3) < 1e-12)   // precision
+    assert(math.abs(r.getDouble(8) - 2.0 / 3) < 1e-12)   // recall
+    assert(math.abs(r.getDouble(9) - 2.0 / 3) < 1e-12)   // f1 (p == r)
     // degenerate: predictor never fires -> precision/f1 null
     val never = Seq((true, false), (false, false)).toDF("label", "pred")
     val r2 = Metrics.binaryClassifierEval(never, "label", "pred").head()
-    assert(r2.isNullAt(6) && r2.isNullAt(8) && r2.getDouble(7) == 0.0)
+    assert(r2.isNullAt(7) && r2.isNullAt(9) && r2.getDouble(8) == 0.0)
+    // dirty input: null label/pred rows leave n (so tp+fp+fn+tn == n and
+    // accuracy uses only classified rows) and surface as n_null
+    val dirty = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, true), (null, true), (false, null), (false, false))
+      .toDF("label", "pred")
+    val r3 = Metrics.binaryClassifierEval(dirty, "label", "pred").head()
+    assert(r3.getLong(0) == 2L && r3.getLong(1) == 2L)
+    assert(r3.getLong(2) + r3.getLong(3) + r3.getLong(4) + r3.getLong(5)
+      == r3.getLong(0))
+    assert(math.abs(r3.getDouble(6) - 1.0) < 1e-12)
   }
 
   test("topicBoundaries flags the lexical valley, not the edges") {

@@ -7,10 +7,20 @@ compare (rows, schema-ish, values). Usage:
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def float_bits_equal(a: float, b: float) -> bool:
+    """Bit-pattern equality — the driver hashes raw float bits, so -0.0 vs
+    +0.0 (and any NaN-payload difference) is a driver mismatch even though
+    `==` says equal. Local check must be at least as strict (r6 lesson:
+    q_yaw_vane_bins was locally green / driver red on exactly this)."""
+    return struct.pack("<d", a) == struct.pack("<d", b)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,12 +45,19 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         sc, oc = s[col].iloc[:n], o[col].iloc[:n]
         if str(sc.dtype) != str(oc.dtype):
             errs.append(f"dtype[{col}]: spark={sc.dtype} oracle={oc.dtype}")
-        # Vectorized fast path: when the whole column already matches
-        # (equal, or NaN/None on both sides), skip the per-row loop —
-        # it is minutes per million-row gate and almost always all-green.
-        # Any discrepancy falls through to the loop for exact reporting.
+        # Vectorized fast path: when the whole column already matches,
+        # skip the per-row loop — it is minutes per million-row gate and
+        # almost always all-green. Floats compare on BIT PATTERNS (the
+        # driver hashes bits: -0.0 != +0.0 there); everything else via
+        # Series.equals. Any discrepancy falls through for exact reporting.
         try:
-            if sc.reset_index(drop=True).equals(oc.reset_index(drop=True)):
+            scr, ocr = sc.reset_index(drop=True), oc.reset_index(drop=True)
+            if scr.dtype.kind == "f" and ocr.dtype.kind == "f":
+                sb = scr.to_numpy().astype(np.float64).view(np.int64)
+                ob = ocr.to_numpy().astype(np.float64).view(np.int64)
+                if np.array_equal(sb, ob):
+                    continue
+            elif scr.equals(ocr):
                 continue
         except (TypeError, ValueError):
             pass
@@ -62,10 +79,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
                     first = (i, a, b)
                 continue
             if isinstance(a, float) and isinstance(b, float):
-                if a != b and not (math.isnan(a) and math.isnan(b)):
+                if not float_bits_equal(a, b):
                     bad += 1
                     if first is None:
-                        first = (i, a, b)
+                        first = (i, a, b, "bits" if a == b or
+                                 (math.isnan(a) and math.isnan(b)) else "value")
             elif a != b:
                 bad += 1
                 if first is None:
