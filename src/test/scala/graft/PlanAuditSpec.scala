@@ -64,12 +64,32 @@ class PlanAuditSpec extends SparkSpec {
   test("dedup and ANN rankings plan bounded aggregates, not rank windows") {
     // Dedup.exact: groupBy-min, not a window over a hot fingerprint;
     // top-k rankings: the bounded TopKPairs aggregate, not a per-query
-    // sort of the full scored candidate set
-    for (q <- Seq("q_fingerprint_dedup", "q_cosine_topk", "q_lsh_topk",
-        "q_ivf_topk", "q_pq_topk")) {
+    // sort of the full scored candidate set. The ANN operators are
+    // audited DIRECTLY (their gates became recall-claims in r7, which
+    // deliberately embed the brute-force exact baseline for comparison).
+    for (q <- Seq("q_fingerprint_dedup", "q_cosine_topk")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.isEmpty, s"$q plans a WindowExec:\n${windows.mkString("\n")}")
+    }
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val q = e.filter(col("vec_id") < 20)
+    val pqm = graft.operators.Similarity.pqTrain(e, "v", dims = 64, m = 8,
+      ksub = 16)
+    val anns = Map(
+      "lshTopK" -> graft.operators.Similarity.lshTopK(e, q, "vec_id", "v",
+        k = 5, bits = 6, tables = 4, dims = 64, probeHamming = 1),
+      "ivfTopK" -> graft.operators.Similarity.ivfTopK(e, q, "vec_id", "v",
+        k = 5, nlist = 8, nprobe = 3),
+      "pqTopK" -> graft.operators.Similarity.pqTopK(e, q, "vec_id", "v",
+        pqm, k = 5))
+    for ((name, ann) <- anns) {
+      val windows = ann.queryExecution.sparkPlan
+        .collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"$name plans a WindowExec:\n${windows.mkString("\n")}")
     }
   }
 
@@ -106,11 +126,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
-  test("q_ivfpq_topk scores through an equi join, never a nested loop") {
+  test("ivfPqTopK scores through an equi join, never a nested loop") {
     // the design claim in Similarity.ivfPqTopK: probed-list routing turns
     // the candidate scan into a hash join on __list — pqTopK's deliberate
-    // BNLJ full scan must NOT appear here (it is what nprobe/nlist prunes)
-    val plan = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
+    // BNLJ full scan must NOT appear here (it is what nprobe/nlist prunes).
+    // Audited at the operator (the r7 claims gate embeds a brute-force
+    // exact baseline whose crossJoin is intentional).
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val q = e.filter(col("vec_id") < 20)
+    val plan = graft.operators.Similarity.ivfPqTopK(e, q, "vec_id", "v",
+        k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 16)
       .queryExecution.sparkPlan
     val bad = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
