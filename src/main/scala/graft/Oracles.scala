@@ -160,6 +160,44 @@ object Oracles {
         |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
         |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
 
+    // Planted-recall / roundtrip claims oracles (r7 rows-only conversions)
+    "q_minhash_pairs" ->
+      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
+
+    "q_simhash" ->
+      """SELECT doc_id, true AS sig_match, true AS perturb_local
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_neardup" ->
+      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
+
+    "q_semdedup" ->
+      """SELECT vec_id, true AS found FROM embeddings ORDER BY vec_id""",
+
+    "q_fuzzy_decontam" ->
+      """SELECT doc_id + 10000000 AS doc_id, true AS contaminated
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_compress_ratio" ->
+      """SELECT doc_id, true AS ratio_pos, true AS repeat_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe" ->
+      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_tok" ->
+      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_fertility" ->
+      s"""WITH n AS (SELECT lang, $normText AS nt FROM documents)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN length(nt) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(nt, ' ')) END) AS BIGINT) AS n_words,
+         |  true AS fertility_ge1
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ANN claims gates: every query covered, dense monotone ranks, mean
     // recall@5 at least 10x the k/corpus chance level.
     "q_lsh_topk" ->
@@ -1135,6 +1173,66 @@ object Oracles {
     // Pipeline replay in stage order: fold (invisible strip + confusable
     // translate), min_chars on the folded text, first-id dedup on the
     // normalized fingerprint.
+    // End-to-end curation capstone: the q_pipeline fold/filter/dedup CTEs
+    // composed with the q_sentence_chunks chunker CTEs and the q_pack
+    // running-sum packer CTEs — one SQL replay of the whole dataflow.
+    "q_e2e_curation" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    chr(8203) || translate(
+         |      regexp_replace(text, ' (table|key|value) ', '. ', 'g'),
+         |      'aeo', 'аео')
+         |  FROM documents),
+         |folded AS (SELECT doc_id,
+         |    translate(regexp_replace(text,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
+         |  FROM all_docs),
+         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
+         |fp AS (SELECT doc_id, t,
+         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fp
+         |  FROM f2),
+         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1),
+         |kept AS (SELECT doc_id, t FROM fp JOIN keep USING (fp)
+         |  WHERE doc_id = first_id),
+         |se AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(t, '[.!?]+\\s+|[.!?]+$$'),
+         |    x -> len(trim(x)) > 0) AS sents FROM kept),
+         |c AS (SELECT doc_id, sents,
+         |    [len(list_filter(regexp_split_to_array(sents[i], '\\s+'), w -> len(w) > 0))
+         |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM se),
+         |st AS (SELECT doc_id, cnts,
+         |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
+         |  FROM c),
+         |a AS (SELECT doc_id,
+         |    unnest([{'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
+         |             't': cnts[i]}
+         |            FOR i IN range(1, len(cnts) + 1)]) AS u FROM st),
+         |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+         |    CAST(sum(u.t) AS BIGINT) AS n_tokens
+         |  FROM a GROUP BY 1, 2),
+         |ch AS (SELECT doc_id * 1000 + chunk_id AS key, n_tokens
+         |  FROM g WHERE n_tokens > 0),
+         |cum AS (SELECT key, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+         |  FROM ch),
+         |sp AS (SELECT key, cend - n_tokens AS cstart, cend,
+         |    unnest(range(CAST(floor((cend - n_tokens) / 64) AS BIGINT),
+         |                 CAST(floor((cend - 1) / 64) AS BIGINT) + 1)) AS seq_id
+         |  FROM cum)
+         |SELECT CAST(floor(key / 1000) AS BIGINT) AS doc_id,
+         |  key % 1000 AS chunk_id, seq_id,
+         |  greatest(seq_id * 64, cstart) - cstart AS doc_tok_start,
+         |  least((seq_id + 1) * 64, cend) - cstart AS doc_tok_end,
+         |  greatest(seq_id * 64, cstart) - seq_id * 64 AS seq_tok_start
+         |FROM sp ORDER BY doc_id, chunk_id, seq_id""".stripMargin,
+
     "q_pipeline" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

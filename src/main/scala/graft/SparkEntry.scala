@@ -1503,27 +1503,74 @@ object SparkEntry {
     }),
 
     // MinHash-LSH near-dup candidates — rows-only (hash internals not SQL)
+    // Planted-recall claims gate (r7, formerly rows-only): hash/seed
+    // internals aren't SQL, but banding's CONTRACT is — an exact copy
+    // shares every band key and estimates Jaccard 1, so each planted
+    // (doc, copy-at-id+10M) pair MUST surface above the 0.3 threshold.
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashCandidates(Tables.documents(s, dir), "text", "doc_id",
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val union = docs.unionByName(docs.select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.minHashCandidates(union, "text", "doc_id",
           shingleSize = 5, numHashes = 64, bands = 16)
         .filter(col("est_jaccard") >= 0.3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // SimHash signatures — rows-only. Uses the exploded-token codegen table
-    // form; the row-local simHash expression computes the same value but
-    // runs 64 interpreted array lambdas per row (17.5s vs ~2s at sf0.1).
-    "q_simhash" -> ((s, dir) => {
-      Dedup.simHashTable(Tables.documents(s, dir), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("sig").as("simhash"))
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
+      docs.select("doc_id").join(pairs, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("found"))
         .orderBy("doc_id")
     }),
 
-    // SimHash banded near-dup pairs — rows-only
+    // SimHash claims gate (r7, formerly rows-only). Still the
+    // exploded-token codegen table form (the row-local expression runs 64
+    // interpreted lambdas per row — 17.5s vs ~2s at sf0.1). Claims: an
+    // identical text under a different id gets the IDENTICAL signature
+    // (pins order-invariance of the bit-count aggregation — copies
+    // aggregate their tokens in a different shuffle order), and a
+    // one-token append flips at most half the signature for >=30-word
+    // docs — the LSH locality property. A bit flips only when its running
+    // +-1 margin is within 1, i.e. with probability ~0.8/sqrt(words) per
+    // bit (~0.15 at 30 words; binomial tail past 32/64 is < 1e-10), while
+    // an avalanche hash flips 32 in EXPECTATION and would fail half the
+    // time. A 16-bit bound was too tight: one 5000-doc sf0.1 doc hit it.
+    "q_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val union = docs
+        .unionByName(docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" zzqq")).as("text")))
+      val sigs = Dedup.simHashTable(union, "text", "doc_id")
+      val a = sigs.filter(col("id") < 10000000L)
+        .select(col("id").as("doc_id"), col("sig").as("__sa"))
+      val b = sigs.filter(col("id") >= 10000000L && col("id") < 20000000L)
+        .select((col("id") - 10000000L).as("doc_id"), col("sig").as("__sb"))
+      val c = sigs.filter(col("id") >= 20000000L)
+        .select((col("id") - 20000000L).as("doc_id"), col("sig").as("__sc"))
+      val words = when(length(TextAnalysis.normalize(col("text"))) === 0, 0)
+        .otherwise(size(split(TextAnalysis.normalize(col("text")), " ")))
+      val withWords = docs.select(col("doc_id"), words.as("__nw"))
+      a.join(b, "doc_id").join(c, "doc_id").join(withWords, "doc_id")
+        .select(col("doc_id"), (col("__sa") === col("__sb")).as("sig_match"),
+          when(col("__nw") >= 30,
+            bit_count(col("__sa").bitwiseXOR(col("__sc"))) <= 32)
+            .otherwise(lit(true)).as("perturb_local"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash banded near-dup claims (r7): every planted exact copy is at
+    // Hamming 0 and MUST surface through the banded candidate join.
     "q_simhash_neardup" -> ((s, dir) => {
-      Dedup.simHashCandidates(Tables.documents(s, dir), "text", "doc_id",
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val union = docs.unionByName(docs.select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simHashCandidates(union, "text", "doc_id",
           maxHamming = 7)
-        .orderBy("id_a", "id_b")
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
+      docs.select("doc_id").join(pairs, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("found"))
+        .orderBy("doc_id")
     }),
 
     // ---- similarity search -------------------------------------------------
@@ -1648,16 +1695,23 @@ object SparkEntry {
         ascending = false)
     }),
 
-    // SemDeDup: KMeans-clustered embedding space, exact cosine pairs within
-    // each cluster — rows-only (centroids not SQL); spec-gated
+    // SemDeDup planted-recall claims (r7, formerly rows-only): an exact
+    // vector copy lands in the same kmeans cluster (identical point, same
+    // nearest centroid) at cosine 1 >= threshold, so every planted
+    // (vec, copy-at-id+1M) pair MUST appear in the within-cluster pairs.
     "q_semdedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
-      Similarity.semDedupPairs(e, "vec_id", "v", threshold = 0.25, k = 8)
-        .select(col("cluster").cast("long").as("cluster"), col("id_a"),
-          col("id_b"), round(col("cosine"), 5).as("cosine"))
-        .orderBy("cluster", "id_a", "id_b")
+      val union = e.unionByName(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      val pairs = Similarity.semDedupPairs(union, "vec_id", "v",
+          threshold = 0.25, k = 8)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("vec_id"), lit(true).as("__hit"))
+      e.select("vec_id").join(pairs, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("__hit"), lit(false)).as("found"))
+        .orderBy("vec_id")
     }),
 
     // ---- event-stream operators --------------------------------------------
@@ -1919,10 +1973,18 @@ object SparkEntry {
     }),
 
     // deflate compression-ratio quality signal — rows-only (no SQL codec)
+    // Compression-ratio claims (r7, formerly rows-only): deflate isn't
+    // SQL, but its contract is — the ratio is positive, and a 5x
+    // self-repetition (inside deflate's 32KB window) MUST compress
+    // strictly better than the original for non-trivial docs.
     "q_compress_ratio" -> ((s, dir) => {
+      val r1 = TextAnalysis.compressionRatio(col("text"))
+      val r5 = TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text"), col("text")))
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          round(TextAnalysis.compressionRatio(col("text")), 4).as("deflate_ratio"))
+        .select(col("doc_id"), (r1 > 0).as("ratio_pos"),
+          when(col("n_chars") >= 50, r5 < r1).otherwise(lit(true))
+            .as("repeat_compresses"))
         .orderBy("doc_id")
     }),
 
@@ -1941,12 +2003,18 @@ object SparkEntry {
 
     // fuzzy decontamination: MinHash near-match vs the benchmark slice —
     // rows-only (minhash internals); ClusteringDecontamSpec pins behavior
+    // Planted-recall claims (r7, formerly rows-only): the corpus gets an
+    // exact copy of every benchmark doc at id+10M; MinHash near-match MUST
+    // flag each copy contaminated (est_jaccard 1 >= 0.5).
     "q_fuzzy_decontam" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Decontaminate.flagFuzzy(docs.filter(col("doc_id") % 20 =!= 0),
-          docs.filter(col("doc_id") % 20 === 0))
-        .select(col("doc_id"), round(col("max_est_jaccard"), 5).as("max_est_jaccard"),
-          col("contaminated"))
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 10000000L).as("doc_id"),
+          col("text")))
+      Decontaminate.flagFuzzy(corpus, bench)
+        .filter(col("doc_id") >= 10000000L)
+        .select(col("doc_id"), col("contaminated"))
         .orderBy("doc_id")
     }),
 
@@ -2026,35 +2094,60 @@ object SparkEntry {
       // diagnostic is FOR
       val model = graft.functions.Bpe.train(
         docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 40)
+      // r7 oracle conversion: n_words is SQL-replicable (normalized word
+      // count), fertility itself is a >= 1 claim (every word costs at
+      // least one subword with an undertrained vocab).
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
       graft.functions.Bpe.encode(docs, "text", model)
-        .withColumn("n_words", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("n_words",
+          when(length(norm) === 0, 0L)
+            .otherwise(size(split(norm, " ")).cast("long")))
         .groupBy("lang")
-        .agg(sum(col("n_subwords")).cast("long").as("n_subwords"),
-          sum(col("n_words")).as("n_words"),
-          round(sum(col("n_subwords")) / sum(col("n_words")), 4).as("fertility"))
+        .agg(sum(col("n_words")).as("n_words"),
+          (sum(col("n_subwords")) >= sum(col("n_words"))).as("fertility_ge1"))
         .orderBy("lang")
     }),
 
+    // BPE roundtrip claims (r7, formerly rows-only): merges aren't SQL,
+    // but the segmentation contract is — subwords concatenated with </w>
+    // restored to spaces MUST rebuild the normalized text exactly
+    // (lossless segmentation), and the token count sits between the word
+    // count and the non-space char count (>=1 and <=len tokens per word).
     "q_bpe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val model = graft.functions.Bpe.train(
         docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
+      val words = when(length(norm) === 0, 0)
+        .otherwise(size(split(norm, " ")))
       graft.functions.Bpe.encode(docs, "text", model)
-        .select(col("doc_id"), col("n_subwords").cast("long").as("n_subwords"),
-          concat_ws(" ", slice(col("subwords"), 1, 5)).as("first_subwords"))
+        .select(col("doc_id"),
+          (trim(regexp_replace(concat_ws("", col("subwords")), "</w>", " "))
+            === norm).as("roundtrip_ok"),
+          (col("n_subwords") >= words &&
+            col("n_subwords") <= length(regexp_replace(norm, " ", "")))
+            .as("bounds_ok"))
         .orderBy("doc_id")
     }),
 
-    // Unigram-LM (SentencePiece-style) tokenizer — rows-only like q_bpe
-    // (EM-trained piece probabilities aren't SQL); UnigramTokenizerSpec
-    // pins coverage, vocab bound, Viterbi likelihood, determinism.
+    // Unigram-LM (SentencePiece-style) roundtrip claims (r7, formerly
+    // rows-only): Viterbi pieces concatenate back to the normalized text
+    // without its spaces (lossless), count-bounded like q_bpe;
+    // UnigramTokenizerSpec still pins vocab bound, likelihood, determinism.
     "q_unigram_tok" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val model = graft.functions.UnigramTokenizer.train(
         docs.filter(col("doc_id") % 2 === 0), "text", vocabSize = 300)
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
+      val words = when(length(norm) === 0, 0)
+        .otherwise(size(split(norm, " ")))
       graft.functions.UnigramTokenizer.encode(docs, "text", model)
-        .select(col("doc_id"), col("n_pieces").cast("long").as("n_pieces"),
-          concat_ws(" ", slice(col("pieces"), 1, 5)).as("first_pieces"))
+        .select(col("doc_id"),
+          (concat_ws("", col("pieces"))
+            === regexp_replace(norm, " ", "")).as("roundtrip_ok"),
+          (col("n_pieces") >= words &&
+            col("n_pieces") <= length(regexp_replace(norm, " ", "")))
+            .as("bounds_ok"))
         .orderBy("doc_id")
     }),
 
@@ -2478,6 +2571,36 @@ object SparkEntry {
           |{"op": "dedup_exact"}]""".stripMargin)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // END-TO-END curation capstone (r7, VERDICT ask #8b): the Dolma-style
+    // chain a corpus team actually runs, composed from individually-gated
+    // stages into ONE oracle-checked dataflow — homoglyph-spoofed raw docs
+    // -> CurationPipeline [fold_homoglyphs, min_chars, dedup_exact] (the
+    // config-as-data front door) -> sentence-aligned chunking (25-token
+    // budget) -> fixed-length sequence packing (64). The oracle replays
+    // every stage in SQL (the q_pipeline + q_sentence_chunks + q_pack
+    // CTEs composed), so content AND offsets hash-match end to end.
+    "q_e2e_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " (table|key|value) ", ". ").as("text"))
+      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
+      val curated = graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
+        """[{"op": "fold_homoglyphs"},
+          |{"op": "min_chars", "n": "50"},
+          |{"op": "dedup_exact"}]""".stripMargin)
+      val chunks = Chunking.chunkRowsBySentences(curated, "text", "doc_id",
+          budgetTokens = 25)
+        .filter(col("n_tokens") > 0)
+        .select((col("id") * 1000 + col("chunk_id")).as("pack_key"),
+          col("n_tokens"))
+      Packing.packSequences(chunks, "pack_key", "n_tokens", seqLen = 64)
+        .select((col("id") / 1000).cast("long").as("doc_id"),
+          pmod(col("id"), lit(1000)).cast("long").as("chunk_id"),
+          col("seq_id"), col("doc_tok_start"), col("doc_tok_end"),
+          col("seq_tok_start"))
+        .orderBy("doc_id", "chunk_id", "seq_id")
     }),
 
     // Per-sentence language-ID + code-switch statistics over planted
