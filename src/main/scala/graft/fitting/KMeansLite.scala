@@ -21,7 +21,9 @@ object KMeansLite {
 
   /** Squared-distance argmin assignment over literal 2-D centroids. */
   def assign2d(x: Column, y: Column, cents: Array[(Double, Double)]): Column =
-    least(cents.zipWithIndex.map { case ((cx, cy), i) =>
+    // k=1: Spark's least() requires >= 2 args (r7 degenerate-args find)
+    if (cents.length == 1) lit(0)
+    else least(cents.zipWithIndex.map { case ((cx, cy), i) =>
       val dx = x - cx
       val dy = y - cy
       struct((dx * dx + dy * dy).as("d"), lit(i).as("cid"))

@@ -154,13 +154,17 @@ object Metrics {
       shiftright((c * (c - 1)).cast("long"), 1)
     val kept = df.filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
       .select(col(labelACol).as("__a"), col(labelBCol).as("__b"))
+    // coalesce(0): an EMPTY input must report n=0 / 0 pair counts (with
+    // rand/ari null), not a row of nulls (r7 degenerate-args find — a
+    // null `n` even breaks Dataset.head()'s row materialization)
     val cells = kept.groupBy("__a", "__b").agg(count(lit(1)).as("n_ab"))
-    val cellSum = cells.agg(sum(comb2(col("n_ab"))).as("sum_cells"),
-      sum(col("n_ab")).as("n"))
+    val cellSum = cells.agg(
+      coalesce(sum(comb2(col("n_ab"))), lit(0L)).as("sum_cells"),
+      coalesce(sum(col("n_ab")), lit(0L)).as("n"))
     val rowSum = cells.groupBy("__a").agg(sum(col("n_ab")).as("n_a"))
-      .agg(sum(comb2(col("n_a"))).as("sum_rows"))
+      .agg(coalesce(sum(comb2(col("n_a"))), lit(0L)).as("sum_rows"))
     val colSum = cells.groupBy("__b").agg(sum(col("n_ab")).as("n_b"))
-      .agg(sum(comb2(col("n_b"))).as("sum_cols"))
+      .agg(coalesce(sum(comb2(col("n_b"))), lit(0L)).as("sum_cols"))
     cellSum.crossJoin(rowSum).crossJoin(colSum) // three 1-row frames
       .select(col("n"), comb2(col("n")).as("n_pairs"), col("sum_cells"),
         col("sum_rows"), col("sum_cols"))

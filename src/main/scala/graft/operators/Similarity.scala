@@ -194,6 +194,8 @@ object Similarity {
     * to array vectors).
     */
   def assignNearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    // single centroid: least() requires >= 2 args (r7 degenerate-args find)
+    if (cents.length == 1) return lit(0)
     val n = norm(vec)
     least(cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
@@ -521,7 +523,9 @@ object Similarity {
     * tree stays inside the codegen budget, unlike the m*ksub PQ encode).
     */
   def assignNearestEuclidean(vec: Column, cents: Array[Array[Double]]): Column =
-    least(cents.zipWithIndex.map { case (c, i) =>
+    // single centroid: least() requires >= 2 args (r7 degenerate-args find)
+    if (cents.length == 1) lit(0)
+    else least(cents.zipWithIndex.map { case (c, i) =>
       val cn = c.map(x => x * x).sum
       struct((lit(cn) - VectorExprs.dot(vec, typedlit(c.toSeq)) * 2.0).as("d"),
         lit(i).as("cid"))

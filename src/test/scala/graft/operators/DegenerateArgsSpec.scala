@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate-argument net over every public operator family (r7 VERDICT
+  * ask #7): all four r6 ADVICE findings were edge-case hazards in PUBLIC
+  * API argument ranges (maxHamming=0, sub-grid images, uncapped per-doc
+  * pairs, null group keys), so each operator file gets a test that drives
+  * its main entry points with the degenerate shapes — empty input, null
+  * fields, single rows, boundary parameters — and pins either the sane
+  * output or the clean `require` message.
+  */
+class DegenerateArgsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def nullDoc: DataFrame =
+    Seq[(java.lang.Long, String)]((1L, null), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+
+  // ---- Chunking ----------------------------------------------------------
+  test("Chunking: empty corpus, null text, boundary params") {
+    assert(Chunking.chunkRows(emptyDocs, "text", "doc_id").count() == 0)
+    // size=1, overlap=0 is the minimal legal config (char grain: "a b c"
+    // -> 5 single-char chunks)
+    val one = Chunking.chunkRows(nullDoc, "text", "doc_id", size = 1, overlap = 0)
+    assert(one.filter(col("id") === 3L).count() == 5)
+    intercept[IllegalArgumentException] {
+      Chunking.chunkRows(nullDoc, "text", "doc_id", size = 4, overlap = 4)
+    }
+    assert(Chunking.cdcChunks(emptyDocs, "text", "doc_id").count() == 0)
+    // null/empty text must not throw
+    Chunking.chunkRowsBySentences(nullDoc, "text", "doc_id", 5).collect()
+  }
+
+  // ---- Cleanse -----------------------------------------------------------
+  test("Cleanse: null text and empty blocklists") {
+    val out = nullDoc.select(Cleanse.redactPii(col("text")).as("r")).collect()
+    assert(out.length == 3)
+    assert(Cleanse.c4Filter(emptyDocs, "text").count() == 0)
+    val withUrl = nullDoc.withColumn("url", lit("http://a.example.com/x"))
+    // empty zone list is refused at call time (a no-op blocklist is more
+    // likely a config bug than an intent)
+    intercept[IllegalArgumentException] {
+      Cleanse.filterByDomainSuffixBlocklist(withUrl, "url", Seq.empty)
+    }
+    assert(Cleanse.extractUrls(lit(null.asInstanceOf[String])) != null)
+  }
+
+  // ---- Conversations -----------------------------------------------------
+  test("Conversations: empty array, unparseable, null fields") {
+    val df = Seq(
+      (1L, "[]"),
+      (2L, "not json"),
+      (3L, """[{"role": null, "content": "x"}]"""),
+      (4L, """[{"role": "assistant", "content": null}]""")
+    ).toDF("id", "messages")
+    val out = Conversations.chatFlatten(df, "id", "messages")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "" && out(1L).getInt(2) == 0)
+    assert(out(2L).isNullAt(1)) // unparseable -> null conversation
+    // null fields render as '' and keep offsets consistent with text
+    assert(out(3L).getString(1) == ": x\n")
+    val r4 = out(4L)
+    assert(r4.getString(1) == "assistant: \n")
+    assert(r4.getAs[Number]("response_start").longValue() == 11L)
+    assert(r4.getAs[Number]("response_chars").longValue() == 0L)
+  }
+
+  // ---- Decontaminate -----------------------------------------------------
+  test("Decontaminate: empty benchmark flags nothing") {
+    val c = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val f = Decontaminate.flagContamination(c, emptyDocs)
+    assert(f.filter(col("contaminated")).count() == 0)
+    assert(Decontaminate.flagFuzzy(c, emptyDocs)
+      .filter(col("contaminated")).count() == 0)
+  }
+
+  // ---- Dedup -------------------------------------------------------------
+  test("Dedup: empty corpus, single doc, null text") {
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() == 0)
+    val single = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minHashCandidates(single, "text", "doc_id").count() == 0)
+    assert(Dedup.simHashCandidates(single, "text", "doc_id").count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // null text: exact() must not throw and must not pair null with ''
+    Dedup.exact(nullDoc, "text", "doc_id").collect()
+  }
+
+  // ---- Diagnostics -------------------------------------------------------
+  test("Diagnostics: empty frames and boundary params") {
+    assert(Diagnostics.keySkew(emptyDocs, Seq("text")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Diagnostics.keySkew(nullDoc, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Diagnostics.heavyHitters(nullDoc, "text", minFracPpm = 0)
+    }
+    // psi over an empty current side must not throw
+    val scored = Seq(1.0, 2.0, 3.0).toDF("score")
+    Diagnostics.psi(scored, scored.filter(lit(false)), "score").collect()
+  }
+
+  // ---- EventAnalytics ----------------------------------------------------
+  test("EventAnalytics: empty events, empty steps") {
+    val ev = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "etype")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev, "user_id", "ts", "etype", Seq.empty)
+    }
+    val f = EventAnalytics.funnel(ev, "user_id", "ts", "etype", Seq("a", "b"))
+    assert(f.agg(sum("n_users")).head().getLong(0) == 0L)
+    assert(EventAnalytics.transitionMatrix(ev, "user_id", "ts", "etype")
+      .count() == 0)
+  }
+
+  // ---- Flags -------------------------------------------------------------
+  test("Flags: degenerate bounds and single-row clusters") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    // lower == upper: only exact value passes
+    assert(df.filter(!Flags.rangeFlag(col("v"), 2.0, 2.0)).count() == 1)
+    // single row: sample variance undefined -> never flagged, no throw
+    val one = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+    assert(Flags.clusterMahalanobis2d(one, "x", "y", nClusters = 1)
+      .filter(col("flag")).count() == 0)
+  }
+
+  // ---- Imputing ----------------------------------------------------------
+  test("Imputing: empty reference leaves values unimputed, not thrown") {
+    val t = Seq((1L, Some(1.0)), (2L, None)).toDF("k", "v")
+    val r = Seq.empty[(Long, Double)].toDF("k", "rv")
+    val out = Imputing.imputeData(t, r, "k", "v", "rv")
+    assert(out.count() == 2)
+    assert(out.filter(col("k") === 2L).head().isNullAt(
+      out.columns.indexOf("imputed")))
+  }
+
+  // ---- LinkGraph ---------------------------------------------------------
+  test("LinkGraph: empty and self-loop-only graphs") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(LinkGraph.pageRank(empty, "src", "dst").count() == 0)
+    assert(LinkGraph.hits(empty, "src", "dst").count() == 0)
+    // a single self-loop: one node holding all mass
+    val self = Seq(("a", "a")).toDF("src", "dst")
+    val pr = LinkGraph.pageRank(self, "src", "dst").head()
+    assert(math.abs(pr.getDouble(1) - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(self, "src", "dst", iters = 0)
+    }
+  }
+
+  // ---- Metrics -----------------------------------------------------------
+  test("Metrics: all-null labels, empty truth, degenerate clusterings") {
+    val dirty = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (null, null), (null, true)).toDF("label", "pred")
+    val r = Metrics.binaryClassifierEval(dirty, "label", "pred").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L && r.isNullAt(6))
+    val pred = Seq((1L, "a", 1)).toDF("q", "item", "rnk")
+    val noTruth = Seq.empty[(Long, String, Double)].toDF("q", "item", "rel")
+    Metrics.ndcg(pred, noTruth, "q", "item", "rnk", "rel").collect()
+    // empty input: zero counts, rand/ari null, no division blowup (and
+    // head() itself must work — a null n used to break row materialization)
+    val e = Seq.empty[(String, String)].toDF("a", "b")
+    val ca = Metrics.clusteringAgreement(e, "a", "b").head()
+    assert(ca.getLong(0) == 0L && ca.getLong(1) == 0L)
+    assert(ca.isNullAt(ca.length - 2) && ca.isNullAt(ca.length - 1))
+  }
+
+  // ---- Packing -----------------------------------------------------------
+  test("Packing: empty corpus, zero-weight rows, seqLen 1") {
+    val w = Seq((1L, 0L), (2L, 3L)).toDF("id", "n")
+    val packed = Packing.packSequences(w, "id", "n", seqLen = 1)
+    // zero-token docs pack into no sequence; 3 tokens -> 3 unit sequences
+    assert(packed.filter(col("id") === 1L).count() == 0)
+    assert(packed.filter(col("id") === 2L).count() == 3)
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(w, "id", "n", seqLen = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(w, "n", nBuckets = 1)
+    }
+  }
+
+  // ---- Pca ---------------------------------------------------------------
+  test("Pca: single row refuses cleanly, k bounds checked") {
+    val one = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    intercept[IllegalArgumentException] { Pca.fit(one, "v", 2, 1) }
+    intercept[IllegalArgumentException] {
+      Pca.fit(one.union(one), "v", 2, 3) // k > dims
+    }
+  }
+
+  // ---- QaDatetime --------------------------------------------------------
+  test("QaDatetime: empty frame describes to nulls, not a throw") {
+    val e = Seq.empty[Tuple1[Double]].toDF("v")
+    assert(QaDatetime.describe(e, Seq("v")).count() == 1)
+    intercept[IllegalArgumentException] { QaDatetime.describe(e, Seq.empty) }
+  }
+
+  // ---- Sampling ----------------------------------------------------------
+  test("Sampling: rate 0/1 extremes, zero weights, bad params") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val all = Sampling.stratifiedSample(df, "s", "id",
+      rates = Map("a" -> 1.0), defaultRate = 0.0)
+    assert(all.count() == 50)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df.withColumn("w", lit(1L)), "id", "w", 0.0)
+    }
+    // all-zero weights: nothing to sample, nothing thrown
+    assert(Sampling.weightedSample(df.withColumn("w", lit(0L)), "id", "w", 0.5)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "s", "id", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRateReport(df.withColumn("w", lit(1L)), "s", "w",
+        targets = Map.empty, totalBudget = 10L)
+    }
+  }
+
+  // ---- Sessionize --------------------------------------------------------
+  test("Sessionize: empty and single-event streams") {
+    val ev = Seq.empty[(Long, java.sql.Timestamp)].toDF("u", "ts")
+    assert(Sessionize.withSessionId(ev, Seq("u"), "ts", 60).count() == 0)
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("u", "ts")
+    val s = Sessionize.withSessionId(one, Seq("u"), "ts", 60)
+    assert(s.count() == 1)
+  }
+
+  // ---- Similarity --------------------------------------------------------
+  test("Similarity: k past corpus size, zero vectors, bad PQ shapes") {
+    val e = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val q = e.filter(col("vec_id") === 1L)
+    // k > corpus: returns what exists (2 non-self rows), zero vector at
+    // cosine 0, no NaN
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 10)
+    assert(bf.count() == 2)
+    assert(bf.filter(col("cosine").isNaN).count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(e, "v", dims = 2, m = 3, ksub = 4) // dims % m != 0
+    }
+  }
+
+  // ---- Skew --------------------------------------------------------------
+  test("Skew: saltFactor 1 equals the plain join; bad type refused") {
+    val big = Seq((1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val dim = Seq(("k1", 10L)).toDF("k", "x")
+    val out = Skew.saltedEquiJoin(big, dim, Seq("k"), "id", saltFactor = 1,
+      joinType = "left")
+    assert(out.count() == 2)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(big, dim, Seq("k"), "id", joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(big, dim, Seq.empty, "id")
+    }
+  }
+
+  // ---- StatusOps ---------------------------------------------------------
+  test("StatusOps: empty status table keeps every fact row") {
+    val facts = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("asset_id", "time")
+    val status = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("asset_id", "time", "status_code")
+    assert(StatusOps.filterByStatus(facts, status, Seq("FAULT")).count() == 1)
+  }
+
+  // ---- TextAnalysis ------------------------------------------------------
+  test("TextAnalysis: null/empty text through the scalar surface") {
+    val out = nullDoc.select(
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.languageId(col("text")).as("lid"),
+      TextAnalysis.punctRatio(col("text")).as("pr"))
+    assert(out.count() == 3)
+    val empt = out.collect()(1)
+    assert(empt.getInt(0) == 0)
+    assert(TextAnalysis.vocabulary(emptyDocs, "doc_id", "text", minCount = 1)
+      .count() == 0)
+  }
+
+  // ---- Timeseries --------------------------------------------------------
+  test("Timeseries: empty frames and single points") {
+    val e = Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "v")
+    assert(Timeseries.timeGaps(e, "ts", 60).count() == 0)
+    // single point (numeric x axis): nothing to interpolate, passes through
+    val one = Seq((1L, 1.0)).toDF("x", "v")
+    val interp = Timeseries.interpolateLinear(one, "v", "x", "x")
+    assert(interp.count() == 1)
+  }
+
+  // ---- AsOfJoin ----------------------------------------------------------
+  test("AsOfJoin: empty right side yields null payloads") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val r = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "x")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", Seq("x"))
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(out.columns.indexOf("right_x")))
+  }
+}
