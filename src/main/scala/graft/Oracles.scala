@@ -225,6 +225,16 @@ object Oracles {
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
+    // Method-sweep claims: one row per ANN family, each claiming coverage,
+    // rerank monotonicity, and 10x-chance reranked recall.
+    "q_ann_sweep" ->
+      """SELECT method,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
+        |    AS n_queries,
+        |  true AS covered_ok, true AS rerank_ge_raw, true AS recall_ok
+        |FROM (VALUES ('ivf'),('ivfpq'),('lsh'),('opq'),('pq')) t(method)
+        |ORDER BY method""".stripMargin,
+
     "q_logreg" ->
       """SELECT count(*) AS n, true AS counts_ok, true AS accuracy_ok
         |FROM documents""".stripMargin,
@@ -2302,6 +2312,67 @@ object Oracles {
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_group_split" ->
+      """SELECT source,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM (SELECT source,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """SELECT * FROM (
+        |  (SELECT 0 AS epoch, doc_id,
+        |     md5('0:7:' || CAST(doc_id AS VARCHAR)) AS k
+        |   FROM documents ORDER BY k LIMIT 20)
+        |  UNION ALL
+        |  (SELECT 1 AS epoch, doc_id,
+        |     md5('1:7:' || CAST(doc_id AS VARCHAR)) AS k
+        |   FROM documents ORDER BY k LIMIT 20))
+        |ORDER BY epoch, k""".stripMargin,
+
+    "q_secret_scan" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        |        || ' token=' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |        || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b')) AS n_awskey,
+        |  len(regexp_extract_all(t, '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----')) AS n_pem,
+        |  len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS n_hex32,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9+/]{40,}={0,2}')) AS n_b64tok,
+        |  len(regexp_extract_all(t, '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}')) AS n_assign,
+        |  length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t,
+        |      '\bAKIA[0-9A-Z]{16}\b', '<AWSKEY>', 'g'),
+        |      '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<PEM>', 'g'),
+        |      '\b[0-9a-f]{32,}\b', '<HEX32>', 'g'),
+        |      '[A-Za-z0-9+/]{40,}={0,2}', '<B64TOK>', 'g'),
+        |      '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}', '<ASSIGN>', 'g'))
+        |    AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_card" ->
+      s"""WITH b AS (SELECT
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        x -> len(x) > 0)) AS t,
+         |    CAST(length(text) AS BIGINT) AS c,
+         |    md5($normText) AS fp
+         |  FROM documents)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM b
+         |  UNION ALL SELECT 'n_distinct_docs', CAST(count(DISTINCT fp) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'total_tokens', CAST(sum(t) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'total_chars', CAST(sum(c) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'max_doc_tokens', CAST(max(t) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'median_doc_tokens', quantile_cont(t, 0.5) FROM b)
+         |ORDER BY metric""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,

@@ -2236,6 +2236,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Group-aware (leakage-safe) split (r7): every document of a source
+    // lands in ONE split — the md5 bucket of the GROUP key, not the row id
+    // — so near-identical pages of a site can never straddle train/test.
+    // One row per (source, split) makes the property visible; the oracle
+    // reproduces the bucket arithmetic.
+    "q_group_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.groupSplitAssign(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    }),
+
+    // Deterministic per-epoch shuffle (r7): md5(epoch:seed:id) gives a
+    // different order every epoch, the same order every rerun — the first
+    // 20 keys of epochs 0 and 1. The 100-TB path shards by hashBucket(key)
+    // and sorts within partitions; the gate's TakeOrdered is the bounded
+    // per-epoch head of that total order.
+    "q_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Seq(0, 1).map { ep =>
+        docs.select(lit(ep).as("epoch"), col("doc_id"),
+            Sampling.epochShuffleKey(col("doc_id"), ep, seed = 7L).as("k"))
+          .orderBy("k").limit(20)
+      }.reduce(_ unionByName _).orderBy("epoch", "k")
+    }),
+
+    // Secret/credential scrub (r7): plant an AWS-style key, an assign-style
+    // token, and a 32-hex blob into every doc_id % 7 == 0 document
+    // (md5-derived, so both engines synthesize identical bytes), then
+    // count per-category patterns and measure the redacted length. All
+    // patterns are RE2-safe — the same regexes run verbatim in DuckDB.
+    "q_secret_scan" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" AKIA"),
+            upper(substring(md5(idStr), 1, 16)),
+            lit(" token="), substring(md5(concat(lit("s:"), idStr)), 1, 12),
+            lit(" "), md5(idStr)))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          Cleanse.secretCounts(col("text2")).as("sc"),
+          length(Cleanse.redactSecrets(col("text2"))).cast("long")
+            .as("redacted_len"))
+        .select(col("doc_id"), col("sc.n_awskey").cast("long").as("n_awskey"),
+          col("sc.n_pem").cast("long").as("n_pem"),
+          col("sc.n_hex32").cast("long").as("n_hex32"),
+          col("sc.n_b64tok").cast("long").as("n_b64tok"),
+          col("sc.n_assign").cast("long").as("n_assign"),
+          col("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
+    // One-call dataset card (r7): the headline numbers of a corpus release
+    // in one aggregate pass — exact integers (and exact .0/.5 medians), so
+    // the card is engine-reproducible bit-for-bit.
+    "q_dataset_card" -> ((s, dir) => {
+      Diagnostics.datasetCard(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("metric")
+    }),
+
     // Corpus report over CUBE(lang, source): the grouping-sets/Expand
     // operator family — doc counts and char volume at every roll-up level.
     "q_cube" -> ((s, dir) => {
@@ -2440,6 +2502,50 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
       annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
         ascending = true)
+    }),
+
+    // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): all
+    // five approximate methods over ONE query set, each proposing 20
+    // candidates, each reranked by the exact cosine down to 5 — one metric
+    // row per method. Claims: every query covered, reranked hits >= the
+    // method's own raw top-5 hits (the rerankExact monotonicity
+    // guarantee), reranked mean recall@5 at least 10x chance.
+    "q_ann_sweep" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val kc = 20
+      val cands: Seq[(String, DataFrame)] = Seq(
+        "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc, nlist = 8,
+          nprobe = 3),
+        "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
+          nlist = 8, nprobe = 3, m = 8, ksub = 16),
+        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc, bits = 6,
+          tables = 4, dims = 64, probeHamming = 1),
+        "opq" -> Similarity.opqTopK(e, q, "vec_id", "v", opqModel, k = kc),
+        "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
+      val truthPairs = exact.select("query_id", "neighbor_id")
+      val nQ = q.count()
+      val chance = lit(10.0 * 5 / e.count().toDouble)
+      cands.map { case (name, cand) =>
+        val raw5 = cand.filter(col("rank") <= 5)
+        val rer = Similarity.rerankExact(cand, e, q, "vec_id", "v", k = 5)
+        def hits(df: DataFrame, as: String) =
+          df.select("query_id", "neighbor_id").distinct()
+            .join(truthPairs, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as(as))
+        val cov = rer.agg(countDistinct(col("query_id")).as("__cov"))
+        hits(raw5, "__raw").crossJoin(hits(rer, "__rer")).crossJoin(cov)
+          .select(lit(name).as("method"), lit(nQ).as("n_queries"),
+            (col("__cov") === nQ).as("covered_ok"),
+            (col("__rer") >= col("__raw")).as("rerank_ge_raw"),
+            (col("__rer").cast("double") / (nQ * 5.0) >= chance)
+              .as("recall_ok"))
+      }.reduce(_ unionByName _).orderBy("method")
     }),
 
     // 3-gram novelty of the corpus (doc_id % 10 != 0) against a reference

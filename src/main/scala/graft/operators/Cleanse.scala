@@ -41,6 +41,63 @@ object Cleanse {
       regexp_count(text, lit(pat)).as(s"n_$name")
     }: _*)
 
+  /** Credential/secret patterns for the pre-release scrub every code-and-web
+    * corpus needs (leaked API keys and private keys must not reach a
+    * training set). Categories are independent (counts run per category on
+    * the raw text, the [[piiCounts]] convention); all patterns are RE2-safe
+    * (no lookaround, no backreferences) so the same regex runs in any
+    * engine. hex32 is lowercase-only by design — uppercase hex runs are
+    * dominated by the AKIA rule and by base64 spans.
+    */
+  val SecretPatterns: Seq[(String, String)] = Seq(
+    "awskey" -> "\\bAKIA[0-9A-Z]{16}\\b",
+    "pem" -> "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    "hex32" -> "\\b[0-9a-f]{32,}\\b",
+    "b64tok" -> "[A-Za-z0-9+/]{40,}={0,2}",
+    "assign" -> "(?i)\\b(api_key|apikey|secret|passwd|password|token)\\b\\s*[:=]\\s*[\"']?[A-Za-z0-9+/_-]{8,}",
+  )
+
+  /** Per-category secret match counts as one struct column (raw text,
+    * categories independent). */
+  def secretCounts(text: Column): Column =
+    struct(SecretPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).as(s"n_$name")
+    }: _*)
+
+  /** Replace each secret category with its `<CATEGORY>` token. Applied in
+    * [[SecretPatterns]] order; an assign-style secret whose value is a long
+    * hex run is redacted by the hex rule first and the assign rule then no
+    * longer fires on the replaced token — redaction never leaks either way.
+    */
+  def redactSecrets(text: Column): Column =
+    SecretPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
+
+  /** High-entropy token detector — the generic-credential catch for keys no
+    * pattern names: candidate tokens (length >= `minLen` over the base64-ish
+    * alphabet) whose Shannon entropy is at least `minBitsPerChar`. Random
+    * 128-bit-plus material sits near log2(alphabet) bits/char; natural-
+    * language words of that length sit well under 3.5. Row-local HOF chain
+    * (candidates are rare, so the O(len * distinct) inner loop is cheap);
+    * Spark-side signal — pattern counts above are the engine-portable
+    * subset.
+    */
+  def highEntropySecretTokens(text: Column, minLen: Int = 20,
+                              minBitsPerChar: Double = 3.5): Column = {
+    val cands = regexp_extract_all(text, lit(s"[A-Za-z0-9+/=_-]{$minLen,}"),
+      lit(0))
+    filter(cands, t => {
+      val chars = filter(split(t, ""), c => length(c) > 0)
+      val n = size(chars).cast("double")
+      val ent = aggregate(array_distinct(chars), lit(0.0), (acc, c) => {
+        val cnt = size(filter(chars, x => x === c)).cast("double")
+        acc - (cnt / n) * log2(cnt / n)
+      })
+      ent >= minBitsPerChar
+    })
+  }
+
   /** Strip HTML/XML markup to text: drop script/style blocks wholesale,
     * remove tags, decode the five named entities + numeric entities' common
     * cases, collapse whitespace. Row-local regexp chain (RE2-safe: no

@@ -491,4 +491,36 @@ object Diagnostics {
         when(col("est_union") === 0.0, lit(null))
           .otherwise(col("est_intersect") / col("est_union")))
   }
+
+  /** One-call corpus "dataset card": the headline numbers a training-data
+    * release documents — document count, exact-duplicate count, token and
+    * character volume, length distribution — in long (metric, value)
+    * format. ONE aggregate over a single scan (token/char counts are
+    * row-local, the fingerprint distinct-count is the only expand); the
+    * median is the exact interpolated percentile, which over integer token
+    * counts is an exact x.0/x.5 double, so the whole card is
+    * engine-reproducible bit-for-bit.
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+    val base = df.select(toks.as("__t"),
+      length(col(textCol)).cast("long").as("__c"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(col("__fp")).cast("double").as("n_distinct_docs"),
+        sum(col("__t")).cast("double").as("total_tokens"),
+        sum(col("__c")).cast("double").as("total_chars"),
+        max(col("__t")).cast("double").as("max_doc_tokens"),
+        expr("percentile(__t, 0.5d)").as("median_doc_tokens"))
+      .selectExpr(
+        """stack(6,
+          |  'n_docs', n_docs,
+          |  'n_distinct_docs', n_distinct_docs,
+          |  'total_tokens', total_tokens,
+          |  'total_chars', total_chars,
+          |  'max_doc_tokens', max_doc_tokens,
+          |  'median_doc_tokens', median_doc_tokens) AS (metric, value)"""
+          .stripMargin)
+  }
 }

@@ -62,6 +62,28 @@ object Sampling {
       }
   }
 
+  /** Leakage-safe split: assign by a GROUP key (url host, source domain,
+    * near-dup cluster id) instead of the row id, so every document of the
+    * group lands in the same split. Splitting near-identical pages of one
+    * site across train/test is silent contamination — the decontamination
+    * suite can only catch what crosses its n-gram net; group-splitting
+    * removes the leak class structurally. Same md5 bucket contract as
+    * [[splitAssign]]: reproducible across runs, engines, repartitioning,
+    * and corpus growth.
+    */
+  def groupSplitAssign(group: Column, weights: Seq[(String, Double)]): Column =
+    splitAssign(group, weights)
+
+  /** Deterministic per-epoch shuffle key: md5 over (epoch, seed, id).
+    * Training wants a DIFFERENT order every epoch but the SAME order every
+    * rerun of that epoch — rand() gives neither across retries. Sort is
+    * distributed: assign shard = hashBucket(key) and sortWithinPartitions
+    * by the key after repartitioning on shard, so a 100 TB epoch order
+    * needs no global sort; (shard, key) IS the total order.
+    */
+  def epochShuffleKey(id: Column, epoch: Int, seed: Long = 0L): Column =
+    md5(concat_ws(":", lit(epoch), lit(seed), id.cast("string")))
+
   /** Deterministic weighted (importance) sampling — the selection step
     * importance weights feed (DSIR resampling, token-budget selection
     * proportional to document length): keep each row with probability

@@ -87,6 +87,38 @@ object Similarity {
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Exact re-score ("rerank") of an ANN candidate list — stage two of the
+    * standard retrieval cascade: a cheap approximate stage (LSH / IVF / PQ)
+    * proposes k' candidates per query and this stage scores ONLY those
+    * pairs with the exact cosine, keeping the best `k`. At 100 TB the cost
+    * is |queries| x k' dot products reached through two id-keyed equi
+    * joins — the corpus is joined by neighbor_id, never re-scanned per
+    * query — and the final cut is the bounded [[rankTopK]] heap aggregate.
+    * The scorer is a plug point: swap the cosine for a model call
+    * (mapInPandas cross-encoder batch) without touching the plumbing.
+    *
+    * Monotonicity guarantee (the sweep gate's claim): if the candidate set
+    * contains the approximate stage's own top-k, reranked recall@k vs the
+    * exact truth is >= the raw stage's recall@k — truth members carry the
+    * globally-highest exact scores, so re-sorting any candidate superset
+    * by exact score surfaces every truth member the candidates contain.
+    */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val nn = col("__qn") * col("__cn")
+    val scored = candidates.select(col("query_id"), col("neighbor_id")).distinct()
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(nn === 0, 0.0).otherwise(dot(col("__qv"), col("__cv")) / nn))
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** Deterministic +-1 hyperplane weights (bits x dims), derived driver-side
     * from `seed` (java.util.Random's LCG is spec-pinned, so weights are
     * stable across JVMs). Planted as array literals so each projection is

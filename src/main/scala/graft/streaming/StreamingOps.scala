@@ -268,6 +268,83 @@ object StreamingOps {
       }
   }
 
+  /** The single open SCD2 row carried per id between micro-batches. */
+  case class Scd2Open(fp: String, validFrom: Long)
+
+  /** A history row emitted by [[scd2Stream]]: `valid_to` None = open. */
+  case class Scd2Row(id: Long, fp: String, valid_from: Long,
+                     valid_to: Option[Long])
+
+  /** Streaming SCD2 twin of [[graft.operators.Dedup.scd2Apply]] (VERDICT r6
+    * ask 8c). The batch operator folds FULL snapshots; a stream cannot
+    * observe absence, so the streaming contract is a change feed
+    * (id, asOf, text) of upserts with null text as an explicit tombstone —
+    * the standard CDC-to-SCD2 shape. Per-id state is ONE open
+    * (fingerprint, valid_from) pair; every arrival that changes the
+    * fingerprint emits the closed row and (for non-tombstones) the newly
+    * opened row in Append mode. An emitted open row is superseded by the
+    * id's later emissions; [[scd2Materialize]] is the consumer rule that
+    * reduces the emitted log to the exact batch history (parity
+    * spec-pinned against chained scd2Apply). Requires strictly increasing
+    * `asOf` per id (snapshots are totally ordered in batch too).
+    *
+    * Scale: state is ~50 bytes per live id, sharded by the groupByKey
+    * hash; no timeout because an SCD2 dimension is standing state by
+    * definition. History growth is by actual change only, same as batch.
+    */
+  def scd2Stream(changes: DataFrame, idCol: String, textCol: String,
+                 asOfCol: String): org.apache.spark.sql.Dataset[Scd2Row] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col(idCol).cast("long").as("_1"),
+        col(asOfCol).cast("long").as("_2"),
+        graft.operators.TextAnalysis.fingerprint(col(textCol)).as("_3"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (id, rows, state) =>
+        var open = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+        rows.toSeq.sortBy(_._2).foreach { case (_, asOf, fp) =>
+          (open, Option(fp)) match {
+            case (Some(o), f) if f.contains(o.fp) => // unchanged
+            case (Some(o), f) =>
+              out += Scd2Row(id, o.fp, o.validFrom, Some(asOf))
+              f.foreach { nf => out += Scd2Row(id, nf, asOf, None) }
+              open = f.map(Scd2Open(_, asOf))
+            case (None, Some(nf)) =>
+              out += Scd2Row(id, nf, asOf, None)
+              open = Some(Scd2Open(nf, asOf))
+            case (None, None) => // tombstone for an absent id
+          }
+        }
+        open match {
+          case Some(o) => state.update(o)
+          case None => if (state.exists) state.remove()
+        }
+        out.iterator
+      }
+  }
+
+  /** Consumer-side reduction of [[scd2Stream]]'s emitted log to the exact
+    * SCD2 history: closed rows are final; an open row stands unless the
+    * same (id, fp, valid_from) was later emitted closed. One anti join —
+    * no per-id window.
+    */
+  def scd2Materialize(emitted: DataFrame): DataFrame = {
+    val closed = emitted.filter(col("valid_to").isNotNull)
+    // renamed projection of the anti side: a filtered self-join of one
+    // source otherwise carries conflicting attribute references
+    val closedKeys = closed.select(col("id").as("__cid"),
+      col("fp").as("__cfp"), col("valid_from").as("__cvf"))
+    val open = emitted.filter(col("valid_to").isNull)
+      .join(closedKeys, col("id") === col("__cid") &&
+        col("fp") === col("__cfp") && col("valid_from") === col("__cvf"),
+        "left_anti")
+    closed.unionByName(open)
+  }
+
   /** Reference distribution for [[driftPerWindow]]: equal-frequency bin
     * boundaries at the reference's quantiles plus the reference's own
     * Laplace-smoothed per-bin shares ((n + 0.5) / (N + bins/2), the

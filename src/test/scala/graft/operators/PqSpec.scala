@@ -193,6 +193,42 @@ class PqSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rerankExact of brute-force candidates is the brute-force top-k") {
+    // the identity case: candidates already ARE the exact top-k', so the
+    // exact re-score must reproduce the exact top-k ids in the same order
+    val df = clustered(4, 10).toDF("vec_id", "cluster", "v")
+      .select("vec_id", "v").cache()
+    val q = df.filter(col("vec_id") < 4)
+    val cand = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 10)
+    val rer = Similarity.rerankExact(cand, df, q, "vec_id", "v", k = 5)
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 5)
+    val got = rer.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = exact.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    df.unpersist()
+  }
+
+  test("rerankExact recall@k dominates the raw approximate stage's") {
+    val df = clustered(6, 10).toDF("vec_id", "cluster", "v")
+      .select("vec_id", "v").cache()
+    val q = df.filter(col("vec_id") < 6)
+    val truth = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Similarity.pqTrain(df, "v", dims = 16, m = 4, ksub = 8, seed = 5L)
+    val cand = Similarity.pqTopK(df, q, "vec_id", "v", model, k = 15)
+    def hitCount(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    val rawHits = hitCount(cand.filter(col("rank") <= 5))
+    val rerHits = hitCount(
+      Similarity.rerankExact(cand, df, q, "vec_id", "v", k = 5))
+    assert(rerHits >= rawHits, s"rerank $rerHits < raw $rawHits")
+    df.unpersist()
+  }
+
   test("hardNegatives excludes positives and keeps similarity order") {
     val df = clustered(4, 10).toDF("vec_id", "cluster", "v")
       .select("vec_id", "v").cache()

@@ -518,4 +518,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(("fr", 3.0)) == Some(batchExpected(("fr", 3.0))))
     assert(got(("de", 1.0)) == None) // unseen group -> null, not dropped
   }
+
+  test("scd2Stream + scd2Materialize equals the chained batch scd2Apply") {
+    implicit val sqlCtx = spark.sqlContext
+    // three snapshots: id1 stable throughout, id2 changes at t20, id3
+    // removed at t30, id4 added at t20 and changed at t30
+    val s1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val s2 = Seq((1L, "alpha"), (2L, "BETA two"), (3L, "gamma"),
+      (4L, "delta")).toDF("id", "text")
+    val s3 = Seq((1L, "alpha"), (2L, "BETA two"), (4L, "delta v2"))
+      .toDF("id", "text")
+    var hist = Seq.empty[(Long, String, Long, Option[Long])]
+      .toDF("id", "fp", "valid_from", "valid_to")
+    for ((asOf, snap) <- Seq((10L, s1), (20L, s2), (30L, s3)))
+      hist = graft.operators.Dedup.scd2Apply(hist, snap, "id", "text", asOf)
+        .localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "fp", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    // the same snapshots as a CDC change feed: upserts + null tombstones
+    // (an unchanged upsert like (1, t20) must be a state no-op)
+    val input = MemoryStream[(Long, Long, String)]
+    val out = StreamingOps.scd2Stream(input.toDF().toDF("id", "asof", "text"),
+      "id", "text", "asof")
+    val q = out.writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, 10L, "alpha"), (2L, 10L, "beta"), (3L, 10L, "gamma"))
+    q.processAllAvailable()
+    input.addData((1L, 20L, "alpha"), (2L, 20L, "BETA two"), (4L, 20L, "delta"))
+    q.processAllAvailable()
+    input.addData((3L, 30L, null), (4L, 30L, "delta v2"), (7L, 30L, null))
+    q.processAllAvailable()
+    val got = canon(StreamingOps.scd2Materialize(spark.table("scd2_out")))
+    q.stop()
+    assert(got == canon(hist), s"stream $got != batch ${canon(hist)}")
+    // spot-check the shape: id3 closed at 30, id4 has one closed + one open
+    assert(got.exists(r => r._1 == 3L && r._4 == 30L))
+    assert(got.count(_._1 == 4L) == 2)
+  }
 }
