@@ -1560,12 +1560,17 @@ object SparkEntry {
 
     // SimHash banded near-dup claims (r7): every planted exact copy is at
     // Hamming 0 and MUST surface through the banded candidate join.
+    // maxHamming=3 (16-bit bands) is the SCALABLE operating point: band
+    // selectivity is 64/(k+1) bits, so k=7 leaves 8-bit bands whose 256
+    // buckets saturate the hot-bucket cap near ~500k docs (found=false for
+    // 13% of planted copies at sf1, caught by this gate's r7 sf1 sweep);
+    // k=3 keeps expected bucket size n/65536 — selective past 10^8 docs.
     "q_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val union = docs.unionByName(docs.select(
         (col("doc_id") + 10000000L).as("doc_id"), col("text")))
       val pairs = Dedup.simHashCandidates(union, "text", "doc_id",
-          maxHamming = 7)
+          maxHamming = 3)
         .filter(col("id_b") === col("id_a") + 10000000L)
         .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
       docs.select("doc_id").join(pairs, Seq("doc_id"), "left")

