@@ -59,6 +59,13 @@ object SparkEntry {
   private def annClaims(ann: DataFrame, exact: DataFrame, corpusCount: Column,
                         k: Int, scoreCol: String,
                         ascending: Boolean): DataFrame = {
+    // NOTE (r7 A/B): the ann/exact subtrees are referenced by 2-3 claim
+    // branches each and DO re-execute — but at gate scale the duplicate
+    // branches run in PARALLEL across idle cores, while eager
+    // localCheckpoints serialize into barriers (measured: checkpointing
+    // both inputs made q_pq_topk 1.51 -> 1.65 s). Leave the plan lazy; at
+    // 100 TB a caller evaluating claims over an expensive ANN run should
+    // checkpoint its OWN inputs once (as q_ann_sweep does for the truth).
     val perQ = ann.groupBy("query_id").agg(
       count(lit(1)).as("__nq"),
       max(col("rank").cast("long")).as("__maxr"),
@@ -2520,7 +2527,13 @@ object SparkEntry {
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       val q = e.filter(col("vec_id") < 20)
+      // tiny per-stage results (<= n_queries * 20 rows) feed 2-3 union
+      // branches each; an eager localCheckpoint computes each stage ONCE —
+      // without it the brute-force truth subtree re-executes in all ~10
+      // branches of the final union (measured 9.98 s -> the sum of the
+      // individual method costs)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+        .localCheckpoint(true)
       val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
       val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
       val kc = 20
@@ -2536,7 +2549,8 @@ object SparkEntry {
       val truthPairs = exact.select("query_id", "neighbor_id")
       val nQ = q.count()
       val chance = lit(10.0 * 5 / e.count().toDouble)
-      cands.map { case (name, cand) =>
+      cands.map { case (name, cand0) =>
+        val cand = cand0.localCheckpoint(true)
         val raw5 = cand.filter(col("rank") <= 5)
         val rer = Similarity.rerankExact(cand, e, q, "vec_id", "v", k = 5)
         def hits(df: DataFrame, as: String) =

@@ -260,9 +260,14 @@ object Dedup {
     * signature instead of widening the Hamming budget.
     */
   def hammingCandidates(sigs: DataFrame, maxHamming: Int = 3,
-                        maxBucketSize: Int = 2000): DataFrame = {
+                        maxBucketSize: Int = 2000,
+                        bandsOverride: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
-    val bands = maxHamming + 1
+    // bandsOverride decouples band WIDTH from the distance filter: the
+    // multi-table path bands at the selective 4x16-bit point while keeping
+    // a looser emit threshold (full recall then only for d < bands, by
+    // pigeonhole; the extra tables buy the rest probabilistically)
+    val bands = if (bandsOverride > 0) bandsOverride else maxHamming + 1
     val bandBits = 64 / bands
     // wrap-safe mask: maxHamming=0 (exact-match dedup) gives bandBits=64,
     // where (1L << 64) - 1 wraps to 0 on the JVM (shift count is mod 64)
@@ -293,6 +298,40 @@ object Dedup {
       // only carries the (rare) qualifying pairs, not every banded collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Multi-table banded Hamming candidates — the SCALABLE loose-threshold
+    * path the single-table pigeonhole can't offer (Lesson 11: one table at
+    * maxHamming=7 needs 8-bit bands, which saturate near ~500k rows).
+    * Each table bands a BIT-ROTATED copy of the signature at the selective
+    * k=3 operating point (16-bit bands); rotation preserves Hamming
+    * distance, so each table guarantees recall for Hamming <= 3 and adds
+    * an independent chance that a looser pair's differing bits straddle
+    * band boundaries. Recall for 3 < d <= maxHamming grows with `tables`
+    * (probabilistic, spec-measured >= 90% at d=5 with 4 tables) while
+    * bucket sizes stay n/65536 per table — the Manku et al. WWW'07
+    * multiple-permutation design, with rotations standing in for general
+    * permutations so each table is one codegen'd shift-or expression, no
+    * per-table shuffle of reordered bits.
+    */
+  def hammingCandidatesMulti(sigs: DataFrame, maxHamming: Int = 7,
+                             tables: Int = 4,
+                             maxBucketSize: Int = 2000): DataFrame = {
+    require(tables >= 1 && tables <= 16, s"bad tables $tables")
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    // odd rotation stride decorrelates tables' band boundaries; any fixed
+    // stride works, 13 spreads 4 tables across 52 of the 64 bit positions
+    def rot(c: org.apache.spark.sql.Column, r: Int) =
+      if (r == 0) c
+      else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+    val perTable = (0 until tables).map { t =>
+      val rotated = sigs.select(col("id"), rot(col("sig"), (t * 13) % 64).as("sig"))
+      // rotation preserves Hamming distance, so the emitted distances ARE
+      // the original-signature distances — no re-join needed
+      hammingCandidates(rotated.localCheckpoint(true), maxHamming,
+        maxBucketSize, bandsOverride = 4)
+    }
+    perTable.reduce(_ unionByName _).distinct()
   }
 
   /** Connected components over an undirected candidate-pair edge list —

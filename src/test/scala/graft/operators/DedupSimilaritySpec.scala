@@ -315,6 +315,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingCandidatesMulti: k<=3 guaranteed; d=5 recall grows with tables") {
+    // Lesson 11's scalable loose-threshold path: each table bands a
+    // bit-rotated signature at the selective 4x16-bit point. Table 0 alone
+    // guarantees d <= 3 (pigeonhole); looser pairs are found when some
+    // rotation spreads the differing bits across <= 3 bands — recall
+    // grows with tables and lands high at d=5 (seeded => deterministic).
+    val rng = new scala.util.Random(0xBAD5EEDL)
+    def planted(d: Int) = (0 until 60).map { i =>
+      val a = rng.nextLong()
+      val flips = rng.shuffle((0 until 64).toList).take(d)
+      (4000L * (d + 1) + 2 * i, a,
+        4000L * (d + 1) + 2 * i + 1, flips.foldLeft(a)((s, b) => s ^ (1L << b)))
+    }
+    val p3 = planted(3); val p5 = planted(5)
+    val sigs = (p3 ++ p5).flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("id", "sig")
+    def recall(tables: Int, ps: Seq[(Long, Long, Long, Long)]) = {
+      val got = Dedup.hammingCandidatesMulti(sigs, maxHamming = 7,
+          tables = tables, maxBucketSize = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ps.count { case (ia, _, ib, _) => got((ia, ib)) }.toDouble / ps.size
+    }
+    assert(recall(1, p3) == 1.0, "d<=3 must be table-0 guaranteed")
+    val r1 = recall(1, p5); val r4 = recall(4, p5)
+    assert(r4 >= r1, s"recall must not shrink with tables: $r1 -> $r4")
+    assert(r4 >= 0.9, s"4-table recall at d=5 too low: $r4")
+    // emitted distances are exact and within the loose budget
+    Dedup.hammingCandidatesMulti(sigs, maxHamming = 7, tables = 2,
+        maxBucketSize = 100000)
+      .collect().foreach(r => assert(r.getInt(2) <= 7))
+  }
+
   test("hammingCandidates maxHamming=0 pairs exact signature matches only") {
     // Regression pin for the band-mask wrap: bands=1 -> bandBits=64, where
     // (1L << 64) - 1 wraps to 0 and masked every signature to band 0 — the
