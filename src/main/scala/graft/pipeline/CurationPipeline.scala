@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleanse, Dedup, TextAnalysis}
+import graft.operators.{Cleanse, Dedup, Sampling, TextAnalysis}
 
 /** Declarative curation pipelines — the config-as-data pattern every
   * production corpus team converges on (Dolma's pipeline YAML, CCNet's
@@ -34,10 +34,10 @@ object CurationPipeline {
 
   val SupportedOps: Set[String] = Set(
     "strip_html", "strip_markdown", "ccnet_normalize", "fold_homoglyphs",
-    "redact_pii", "strip_invisible",
+    "redact_pii", "redact_secrets", "strip_invisible",
     "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
     "c4_filter", "min_chars",
-    "dedup_exact", "sentence_dedup",
+    "dedup_exact", "sentence_dedup", "split_keep",
     "chunk_sentences", "chunk_cdc")
 
   /** Parse a JSON stage array (jackson, on Spark's classpath). */
@@ -81,6 +81,18 @@ object CurationPipeline {
           cur.withColumn(textCol, TextAnalysis.stripInvisible(col(textCol)))
         case "redact_pii" =>
           cur.withColumn(textCol, Cleanse.redactPii(col(textCol)))
+        case "redact_secrets" =>
+          cur.withColumn(textCol, Cleanse.redactSecrets(col(textCol)))
+        // leakage-safe split filter: keep only rows whose GROUP key (param
+        // groupCol; default the id) buckets into `keep` under `weights`
+        // ("train:0.8,val:0.1,test:0.1") — the release pipeline's way to
+        // emit one split per run with group cohesion
+        case "split_keep" =>
+          val weights = p("weights").split(",").toSeq.map { w =>
+            val Array(n, v) = w.split(":"); (n.trim, v.trim.toDouble)
+          }
+          val grp = col(st.params.getOrElse("groupCol", idCol))
+          cur.filter(Sampling.groupSplitAssign(grp, weights) === p("keep"))
         case "min_quality" =>
           cur.filter(TextAnalysis.qualityScore(col(textCol))
             >= p("threshold").toDouble)
@@ -143,12 +155,13 @@ object CurationPipeline {
     val firstGrain = stages.indexWhere(s => GrainChangingOps(s.op))
     if (firstGrain >= 0) {
       stages.drop(firstGrain + 1).foreach { st =>
-        require(!st.params.contains("urlCol"),
-          s"stage '${st.op}' needs auxiliary column " +
-            s"'${st.params("urlCol")}', but the earlier " +
-            s"'${stages(firstGrain).op}' stage re-grains the corpus to " +
-            s"(id, text) and drops it — move '${st.op}' before the " +
-            "grain-changing stage")
+        for (auxKey <- Seq("urlCol", "groupCol") if st.params.contains(auxKey))
+          require(false,
+            s"stage '${st.op}' needs auxiliary column " +
+              s"'${st.params(auxKey)}', but the earlier " +
+              s"'${stages(firstGrain).op}' stage re-grains the corpus to " +
+              s"(id, text) and drops it — move '${st.op}' before the " +
+              "grain-changing stage")
       }
     }
   }

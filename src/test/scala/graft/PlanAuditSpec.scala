@@ -206,6 +206,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_dataset_card is one corpus scan, no joins") {
+    val plan = SparkEntry.queries("q_dataset_card")(spark, dir)
+      .queryExecution.optimizedPlan
+    var joins = 0; var scans = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => joins += 1
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => scans += 1
+      case _ =>
+    }
+    assert(joins == 0, s"dataset card must not join: $joins joins")
+    assert(scans == 1, s"dataset card must scan once: $scans scans")
+  }
+
+  test("q_secret_scan is row-local (no hash shuffle before the output sort)") {
+    val plan = SparkEntry.queries("q_secret_scan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"secret scan hash-shuffles:\n${plan.take(1200)}")
+  }
+
+  test("rerankExact plans equi joins only — no nested loop over the corpus") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cand = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 7).as("neighbor_id"))
+    val p = graft.operators.Similarity
+      .rerankExact(cand, e, e.filter(col("vec_id") < 5), "vec_id", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
