@@ -2313,6 +2313,19 @@ object Oracles {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_phrase_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), 'table scan')) AS c1,
+        |    len(regexp_extract_all(lower(text), 'hash join')) AS c2,
+        |    len(regexp_extract_all(lower(text), 'sort merge')) AS c3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_matches,
+        |  CAST((c1 > 0)::INT + (c2 > 0)::INT + (c3 > 0)::INT AS BIGINT)
+        |    AS n_phrases_hit,
+        |  (c1 + c2 + c3) > 0 AS flagged
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_group_split" ->
       """SELECT source,
         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'

@@ -2728,6 +2728,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id", "seq_id")
     }),
 
+    // Phrase-blocklist scan (r7): multi-phrase Aho-Corasick matching in
+    // ONE pass per document — the content-safety primitive whose value is
+    // the 10k-phrase list a regex union cannot compile. The oracle replays
+    // the phrases as independent lowercase regexp counts (phrases chosen
+    // without self-overlap, so every-occurrence AC counts equal regex
+    // non-overlapping counts).
+    "q_phrase_blocklist" -> ((s, dir) => {
+      TextAnalysis.phraseBlocklistStats(Tables.documents(s, dir), "doc_id",
+          "text", Seq("table scan", "hash join", "sort merge"))
+        .select(col("id").as("doc_id"), col("n_matches"),
+          col("n_phrases_hit"), col("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // Per-sentence language-ID + code-switch statistics over planted
     // French/German sentences; all counts exact, tie order fixed.
     "q_code_switch" -> ((s, dir) => {

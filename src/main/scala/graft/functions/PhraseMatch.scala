@@ -1,0 +1,94 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Multi-phrase matching via a driver-built Aho–Corasick automaton — the
+  * content-safety / blocklist primitive the regex surface cannot scale to:
+  * a union regex of 10k phrases compiles to a pathological alternation,
+  * while the automaton matches ALL phrases in ONE O(len) pass per document
+  * regardless of phrase count, with memory = one broadcast automaton
+  * (~tens of bytes per phrase char).
+  *
+  * Dictionary-automaton construction is the textbook Aho–Corasick '75
+  * algorithm: trie of phrases, BFS failure links, output lists merged
+  * through the failure chain. Matching counts EVERY occurrence (each end
+  * position reports all phrases ending there), so phrases that can overlap
+  * themselves count overlapping hits — callers comparing against a
+  * non-overlapping counter (regex engines) should use phrases without
+  * self-overlap or expect the superset count.
+  *
+  * This rides the documented bounded-UDF exception (bloom probe / BPE
+  * encode class): the automaton is opaque JVM state broadcast once; the
+  * per-row work is a single array-walk, far cheaper than the codegen'd
+  * regex chain it replaces at high phrase counts.
+  */
+object PhraseMatch {
+
+  final class Automaton private[PhraseMatch] (
+      val phrases: Array[String],
+      gotoMaps: Array[mutable.HashMap[Char, Int]],
+      fail: Array[Int],
+      out: Array[List[Int]]) extends Serializable {
+
+    /** Per-phrase occurrence counts over `text` (index-aligned with
+      * [[phrases]]); null-safe (null text counts nothing). */
+    def countMatches(text: String): Array[Int] = {
+      val counts = new Array[Int](phrases.length)
+      if (text == null) return counts
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = Character.toLowerCase(text.charAt(i))
+        var s = state
+        while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
+        state = gotoMaps(s).getOrElse(c, 0)
+        out(state).foreach(p => counts(p) += 1)
+        i += 1
+      }
+      counts
+    }
+
+    def totalMatches(text: String): Int = {
+      val c = countMatches(text); var s = 0; var i = 0
+      while (i < c.length) { s += c(i); i += 1 }
+      s
+    }
+  }
+
+  /** Build the automaton driver-side. Phrases are matched
+    * case-insensitively (both sides lowercased); empty phrases rejected.
+    */
+  def build(phrasesIn: Seq[String]): Automaton = {
+    require(phrasesIn.nonEmpty, "phrase list must be non-empty")
+    require(phrasesIn.forall(p => p != null && p.nonEmpty),
+      "phrases must be non-null and non-empty")
+    val phrases = phrasesIn.map(_.toLowerCase).toArray
+    val gotoMaps = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    val outB = mutable.ArrayBuffer(List.empty[Int])
+    phrases.zipWithIndex.foreach { case (p, pi) =>
+      var state = 0
+      p.foreach { c =>
+        state = gotoMaps(state).getOrElseUpdate(c, {
+          gotoMaps += mutable.HashMap.empty[Char, Int]
+          outB += List.empty[Int]
+          gotoMaps.length - 1
+        })
+      }
+      outB(state) = pi :: outB(state)
+    }
+    val fail = new Array[Int](gotoMaps.length)
+    val queue = mutable.Queue.empty[Int]
+    gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoMaps(r).foreach { case (c, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !gotoMaps(f).contains(c)) f = fail(f)
+        fail(s) = gotoMaps(f).getOrElse(c, 0)
+        if (fail(s) != s) outB(s) = outB(s) ++ outB(fail(s))
+      }
+    }
+    new Automaton(phrases, gotoMaps.toArray, fail, outB.toArray)
+  }
+}

@@ -1313,4 +1313,29 @@ object TextAnalysis {
         ((col("__s") + lit(k) * col("__m")) / (col("n") + lit(k)))
           .as("mean_shrunk"))
   }
+
+  /** Phrase-blocklist scan (content-safety filtering): per-document match
+    * statistics for a list of banned phrases, matched case-insensitively
+    * in ONE Aho–Corasick pass per document
+    * ([[graft.functions.PhraseMatch]]). A 10-phrase list could be a regex
+    * chain; the point is the 10,000-phrase list a production safety
+    * blocklist actually is — automaton cost is O(len) per doc regardless
+    * of phrase count, and the broadcast is one automaton, not 10k compiled
+    * patterns. Bounded-UDF exception (bloom-probe class): the automaton is
+    * opaque JVM state, documented at the operator.
+    *
+    * Returns (id, n_matches, n_phrases_hit, flagged).
+    */
+  def phraseBlocklistStats(df: DataFrame, idCol: String, textCol: String,
+                           phrases: Seq[String]): DataFrame = {
+    val auto = graft.functions.PhraseMatch.build(phrases)
+    val bc = df.sparkSession.sparkContext.broadcast(auto)
+    val counts = udf((s: String) => bc.value.countMatches(s))
+    df.select(col(idCol).as("id"), counts(col(textCol)).as("__c"))
+      .select(col("id"),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_matches"),
+        size(filter(col("__c"), x => x > 0)).cast("long")
+          .as("n_phrases_hit"))
+      .withColumn("flagged", col("n_matches") > 0)
+  }
 }

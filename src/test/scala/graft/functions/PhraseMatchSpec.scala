@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PhraseMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("automaton counts every occurrence, case-insensitive, overlapping") {
+    val a = PhraseMatch.build(Seq("he", "she", "his", "hers"))
+    // the classic AC example: "ushers" contains she, he, hers
+    assert(a.countMatches("ushers").toSeq == Seq(1, 1, 0, 1))
+    assert(a.totalMatches("USHERS") == 3) // case folded
+    assert(a.countMatches(null).toSeq == Seq(0, 0, 0, 0))
+    assert(a.countMatches("").toSeq == Seq(0, 0, 0, 0))
+    // self-overlapping phrase counts overlaps ("aa" twice in "aaa")
+    val b = PhraseMatch.build(Seq("aa"))
+    assert(b.countMatches("aaa").toSeq == Seq(2))
+  }
+
+  test("automaton equals brute-force indexOf scan on random text") {
+    val phrases = Seq("scan", "table scan", "join", "me", "merge", "rge j")
+    val a = PhraseMatch.build(phrases)
+    val rng = new scala.util.Random(7L)
+    val words = Array("table", "scan", "merge", "join", "x")
+    for (_ <- 1 to 50) {
+      val text = Seq.fill(30)(words(rng.nextInt(words.length))).mkString(" ")
+      val got = a.countMatches(text).toSeq
+      val want = phrases.map { p =>
+        var i = text.indexOf(p); var n = 0
+        while (i >= 0) { n += 1; i = text.indexOf(p, i + 1) }
+        n
+      }
+      assert(got == want, s"text=$text got=$got want=$want")
+    }
+  }
+
+  test("build rejects empty input; phraseBlocklistStats flags matches") {
+    intercept[IllegalArgumentException] { PhraseMatch.build(Seq.empty) }
+    intercept[IllegalArgumentException] { PhraseMatch.build(Seq("ok", "")) }
+    val df = Seq(
+      (1L, "run a Table Scan then a hash join"),
+      (2L, "nothing banned here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.phraseBlocklistStats(
+        df, "doc_id", "text", Seq("table scan", "hash join"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, true), (2L, 0L, 0L, false),
+      (3L, 0L, 0L, false)))
+  }
+}
