@@ -109,6 +109,28 @@ object Sinks {
     shards
   }
 
+  /** Epoch-shuffled training shards: the materialization of
+    * [[graft.operators.Sampling.epochShuffleKey]]'s documented 100-TB
+    * pattern — shard = md5-bucket of the per-epoch key, rows sorted by the
+    * key WITHIN each shard, so (shard, position) is a deterministic total
+    * order for the epoch with no global sort: one hash shuffle into
+    * `nShards` partitions + a partition-local sort, identical on rerun.
+    * Readers stream shard files in name order to replay the epoch.
+    */
+  def writeEpochShards(df: DataFrame, path: String, idCol: String,
+                       epoch: Int, nShards: Int, seed: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nShards > 0, s"bad nShards $nShards")
+    val keyed = df.withColumn("__ek",
+      graft.operators.Sampling.epochShuffleKey(col(idCol), epoch, seed))
+    keyed
+      .withColumn("__shard",
+        graft.operators.Sampling.hashBucket(col("__ek"), nShards))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__ek")
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+  }
+
   /** [[writeSharded]] ordered by the Z-order (Morton) interleave of
     * `zCols`: every shard's parquet min/max stats then bound EVERY listed
     * dimension, so multi-predicate range scans prune files (a 1-D sort

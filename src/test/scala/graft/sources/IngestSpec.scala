@@ -136,6 +136,28 @@ class IngestSpec extends SparkSpec {
     assert(ranges.head._1 == 1L && ranges.last._2 == 20000L)
   }
 
+  test("writeEpochShards: deterministic per-epoch order, epochs differ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    def readOrder(path: String): Seq[Long] =
+      spark.read.parquet(path).orderBy("__shard", "__ek")
+        .select("id").as[Long].collect().toSeq
+    val base = Files.createTempDirectory("epoch").toString
+    Sinks.writeEpochShards(df, s"$base/e0", "id", epoch = 0, nShards = 4)
+    Sinks.writeEpochShards(df, s"$base/e0b", "id", epoch = 0, nShards = 4)
+    Sinks.writeEpochShards(df, s"$base/e1", "id", epoch = 1, nShards = 4)
+    val o0 = readOrder(s"$base/e0")
+    assert(o0 == readOrder(s"$base/e0b"), "epoch order must be rerun-stable")
+    assert(o0 != readOrder(s"$base/e1"), "epochs must produce different orders")
+    assert(o0.sorted == (1L to 2000L), "no row lost or duplicated")
+    // within each shard FILE, rows are already in __ek order (no read-side
+    // sort needed to replay): check one shard directory
+    val shard0 = spark.read.parquet(s"$base/e0").filter(col("__shard") === 0)
+      .select("__ek").as[String].collect().toSeq
+    assert(shard0 == shard0.sorted, "shard rows must be key-sorted on disk")
+  }
+
   test("ORC round-trip preserves values; filters push down to the ORC scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

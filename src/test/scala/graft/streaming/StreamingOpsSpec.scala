@@ -519,6 +519,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(("de", 1.0)) == None) // unseen group -> null, not dropped
   }
 
+  test("phraseBlocklistStats runs unchanged on a stream (broadcast automaton)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scanned = graft.operators.TextAnalysis.phraseBlocklistStats(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Seq("table scan", "hash join"))
+    val q = scanned.writeStream.format("memory").queryName("blocklist_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, "a Table Scan and a hash join here"), (2L, "clean"))
+    q.processAllAvailable()
+    val got = spark.sql("select id, n_matches, flagged from blocklist_out order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    q.stop()
+    assert(got == Seq((1L, 2L, true), (2L, 0L, false)))
+  }
+
   test("scd2Stream + scd2Materialize equals the chained batch scd2Apply") {
     implicit val sqlCtx = spark.sqlContext
     // three snapshots: id1 stable throughout, id2 changes at t20, id3
