@@ -2885,5 +2885,166 @@ object Oracles {
         |SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) AS cos_centroid
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_cohen_kappa" ->
+      """WITH ann AS (SELECT doc_id, n_chars % 3 AS a,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3
+        |         ELSE n_chars % 3 END AS b
+        |  FROM documents),
+        |k AS (SELECT a, b FROM ann WHERE a IS NOT NULL AND b IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
+        |agree AS (SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN n_ab ELSE 0 END), 0) AS BIGINT) AS n_agree
+        |  FROM cells),
+        |ma AS (SELECT a AS l, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |mb AS (SELECT b AS l, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |sj AS (SELECT CAST(coalesce(sum(n_a * n_b), 0) AS BIGINT) AS s
+        |  FROM ma JOIN mb USING (l)),
+        |nn AS (SELECT CAST(count(*) FILTER (a IS NULL OR b IS NULL) AS BIGINT) AS n_null
+        |  FROM ann)
+        |SELECT n, n_null, n_agree, s AS pe_num,
+        |  CASE WHEN n = 0 THEN NULL ELSE CAST(n_agree AS DOUBLE) / n END AS po,
+        |  CASE WHEN n = 0 THEN NULL ELSE CAST(s AS DOUBLE) / (n * n) END AS pe,
+        |  CASE WHEN n * n = s THEN NULL
+        |       ELSE CAST(n * n_agree - s AS DOUBLE) / (n * n - s) END AS kappa
+        |FROM agree, sj, nn""".stripMargin,
+
+    "q_calibration" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN user_id % 97 = 0 THEN NULL
+        |         ELSE (event_id % 256) / 256.0 END AS p,
+        |    ((event_id * 7) % 256) < (event_id % 256) AS y
+        |  FROM events),
+        |k AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |  FROM e WHERE p IS NOT NULL AND y IS NOT NULL AND p >= 0 AND p <= 1)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(yy) AS BIGINT) AS n_pos,
+        |  sum(p) AS sum_prob,
+        |  sum(p) / count(*) AS mean_prob,
+        |  CAST(sum(yy) AS DOUBLE) / count(*) AS frac_pos,
+        |  CAST(sum(yy) AS DOUBLE) / count(*) - sum(p) / count(*) AS gap,
+        |  sum((p - yy) * (p - yy)) AS sum_sq_err
+        |FROM k GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_k_anon" ->
+      """WITH e AS (SELECT event_id, event_type, user_id % 50 AS ub FROM events),
+        |g AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_id, e.event_type, e.ub, group_n
+        |FROM e JOIN g ON e.event_type = g.event_type AND e.ub = g.ub
+        |WHERE group_n >= 25 ORDER BY event_id""".stripMargin,
+
+    "q_k_anon_report" ->
+      """WITH g AS (SELECT event_type, user_id % 50 AS ub, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT)
+        |    AS n_rows_suppressed,
+        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_groups_suppressed,
+        |  CAST(min(n) AS BIGINT) AS min_group_n,
+        |  CAST(max(n) AS BIGINT) AS max_group_n
+        |FROM g""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH e AS (SELECT event_type, user_id % 200 AS ub,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 7 END AS sv
+        |  FROM events),
+        |sizes AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT event_type, ub, sv FROM e WHERE sv IS NOT NULL),
+        |ns AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS n_sensitive
+        |  FROM d GROUP BY 1, 2)
+        |SELECT s.event_type, s.ub, s.group_n,
+        |  coalesce(ns.n_sensitive, 0) AS n_sensitive,
+        |  coalesce(ns.n_sensitive, 0) >= 5 AS diverse
+        |FROM sizes s LEFT JOIN ns ON s.event_type = ns.event_type AND s.ub = ns.ub
+        |ORDER BY s.event_type, s.ub""".stripMargin,
+
+    // Nearest-aspect bucket in exact integer arithmetic: score_i =
+    // |w*bh_i - bw_i*h| * (L / bh_i) with L = lcm of the bucket heights
+    // (79672320) — the same ordering as the engine's pairwise
+    // cross-multiplied comparator, ties to the lower bucket index.
+    "q_aspect_buckets" ->
+      """WITH imgs AS (SELECT event_id, 256 + event_id % 1800 AS w,
+        |    256 + (event_id * 7) % 1350 AS h FROM events),
+        |b(i, bw, bh) AS (VALUES (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+        |    (3, 1216, 832), (4, 832, 1216), (5, 1344, 768), (6, 768, 1344),
+        |    (7, 1536, 640), (8, 640, 1536)),
+        |scored AS (SELECT imgs.*, b.i, b.bw, b.bh,
+        |    abs(w * bh - bw * h) * (79672320 // bh) AS score
+        |  FROM imgs CROSS JOIN b),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY score, i) AS rn FROM scored),
+        |r AS (SELECT *, CASE WHEN w * bh >= bw * h THEN (w * bh) // h ELSE bw END AS rw,
+        |    CASE WHEN w * bh >= bw * h THEN bh ELSE (h * bw) // w END AS rh
+        |  FROM best WHERE rn = 1)
+        |SELECT event_id, w, h, CAST(i AS BIGINT) AS bucket_id,
+        |  CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+        |  CAST(rw AS BIGINT) AS resize_w, CAST(rh AS BIGINT) AS resize_h,
+        |  CAST((rw - bw) // 2 AS BIGINT) AS crop_x,
+        |  CAST((rh - bh) // 2 AS BIGINT) AS crop_y
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "q_frame_schedule" ->
+      """WITH v AS (SELECT event_id, event_id % 500 AS nf,
+        |    CASE event_id % 3 WHEN 0 THEN 23976 WHEN 1 THEN 25000
+        |         ELSE 29970 END AS fm
+        |  FROM events WHERE event_id % 500 > 0),
+        |s AS (SELECT event_id, nf, fm, least(16, nf) AS nt FROM v),
+        |x AS (SELECT event_id, nf, fm, nt, unnest(range(0, nt)) AS k FROM s)
+        |SELECT event_id, k AS sample_k, (k * nf) // nt AS frame_idx,
+        |  ((k * nf) // nt) * 1000000 // fm AS t_ms
+        |FROM x ORDER BY event_id, sample_k""".stripMargin,
+
+    // Independent formulation: the fingerprint is derived from the
+    // CONSTRUCTION (both the clean and the uppercased/double-spaced
+    // variant normalize to the same role||content stream), not by
+    // replaying the engine's normalization.
+    "q_conv_dedup" ->
+      """WITH c AS (SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+        |    ELSE md5('user' || chr(1) || 'question number ' || base || chr(2) ||
+        |             'assistant' || chr(1) || 'answer text ' || (base * 7) % 1000) END
+        |    AS conv_fp
+        |  FROM c),
+        |m AS (SELECT conv_fp, min(doc_id) AS first FROM f
+        |  WHERE conv_fp IS NOT NULL GROUP BY 1)
+        |SELECT f.doc_id, f.conv_fp,
+        |  coalesce(f.doc_id <> m.first, false) AS is_duplicate
+        |FROM f LEFT JOIN m USING (conv_fp) ORDER BY f.doc_id""".stripMargin,
+
+    // Closed-form token counts from the synthesis (n_tok = a+b+2,
+    // response tokens [a+2, a+b+2)) — the oracle checks the engine's
+    // whole char->token->sequence chain without tokenizing anything.
+    "q_sft_pack" ->
+      """WITH c AS (SELECT doc_id, 3 + doc_id % 7 AS a, 2 + doc_id % 11 AS b
+        |  FROM documents),
+        |t AS (SELECT doc_id, a + b + 2 AS n_tok, a + 2 AS resp_s,
+        |    a + b + 2 AS resp_e FROM c),
+        |cum AS (SELECT doc_id, n_tok, resp_s, resp_e,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cend FROM t),
+        |s AS (SELECT *, cend - n_tok AS cstart,
+        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
+        |  FROM cum),
+        |x AS (SELECT doc_id, seq_id,
+        |    greatest(seq_id * 32, cstart) - cstart AS dts,
+        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
+        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
+        |    n_tok, resp_s, resp_e FROM s),
+        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
+        |  FROM x)
+        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
+        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(resp_s AS BIGINT) AS resp_tok_start,
+        |  CAST(resp_e AS BIGINT) AS resp_tok_end,
+        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
+        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
+        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
   )
 }

@@ -3125,7 +3125,152 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"))
         .orderBy("doc_id")
     }),
+
+    // Cohen's kappa between two synthetic annotators (80% planned
+    // agreement, nulls on doc_id % 17): kappa reduces to the integer
+    // ratio (n*agree - S)/(n^2 - S), so the doubles are one division of
+    // exact longs in both engines.
+    "q_cohen_kappa" -> ((s, dir) => {
+      val ann = Tables.documents(s, dir).select(col("doc_id"),
+        (col("n_chars") % 3).as("ann_a"),
+        when(col("doc_id") % 17 === 0, lit(null))
+          .otherwise(when(col("doc_id") % 5 === 0, (col("n_chars") + 1) % 3)
+            .otherwise(col("n_chars") % 3)).as("ann_b"))
+      Metrics.cohenKappa(ann, "ann_a", "ann_b")
+    }),
+
+    // Calibration / reliability bins over dyadic probabilities (k/256 —
+    // sums exact in any accumulation order) with planted miscalibration;
+    // nulls on user_id % 97 exercise the kept-rows filter.
+    "q_calibration" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(
+        when(col("user_id") % 97 === 0, lit(null))
+          .otherwise((col("event_id") % 256).cast("double") / 256.0).as("p"),
+        ((col("event_id") * 7) % 256 < col("event_id") % 256).as("y"))
+      Metrics.calibrationReport(scored, "p", "y", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // k-anonymity row suppression over (event_type, user-bucket) quasi
+    // identifiers: every surviving row carries its group size, groups
+    // below k vanish. Pure integer counts.
+    "q_k_anon" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), (col("user_id") % 50).as("ub"))
+      Privacy.kAnonymize(e, Seq("event_type", "ub"), k = 25)
+        .select(col("event_id"), col("event_type"), col("ub"), col("group_n"))
+        .orderBy("event_id")
+    }),
+
+    // The one-row cost audit behind q_k_anon: what does k=25 suppress?
+    "q_k_anon_report" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), (col("user_id") % 50).as("ub"))
+      Privacy.kAnonymityReport(e, Seq("event_type", "ub"), k = 25)
+    }),
+
+    // Distinct-l-diversity audit: per quasi-identifier group, how many
+    // distinct sensitive values (nulls carry no information); diverse =
+    // n_sensitive >= l. The distinct count runs as a pre-aggregate, not
+    // countDistinct (no expand at corpus grain — plan-audited).
+    "q_l_diversity" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 200).as("ub"),
+        when(col("event_id") % 13 === 0, lit(null))
+          .otherwise(col("event_id") % 7).as("sensitive"))
+      Privacy.lDiversityReport(e, Seq("event_type", "ub"), "sensitive", l = 5)
+        .orderBy("event_type", "ub")
+    }),
+
+    // SDXL-style aspect-ratio bucketing from (width, height) metadata:
+    // nearest-ratio bucket decided in EXACT integer arithmetic (the /h
+    // and /bh denominators cancel via cross-multiplication), then
+    // resize-to-cover + center-crop dims as integer floor divisions —
+    // no float ratio anywhere, so no ulp can flip a bucket in either
+    // engine. One map stage, zero joins (plan-audited).
+    "q_aspect_buckets" -> ((s, dir) => {
+      val imgs = Tables.events(s, dir).select(col("event_id"),
+        (lit(256) + col("event_id") % 1800).as("w"),
+        (lit(256) + (col("event_id") * 7) % 1350).as("h"))
+      graft.multimodal.Multimodal.aspectBuckets(imgs, "w", "h",
+          SdxlBuckets)
+        .select(col("event_id"), col("w"), col("h"), col("bucket_id"),
+          col("bucket_w"), col("bucket_h"), col("resize_w"), col("resize_h"),
+          col("crop_x"), col("crop_y"))
+        .orderBy("event_id")
+    }),
+
+    // Uniform frame-sampling schedule from video metadata (frame count +
+    // millifps): which frame indices to decode, at what timestamps —
+    // all integer floor arithmetic, short clips never repeat a frame.
+    "q_frame_schedule" -> ((s, dir) => {
+      val v = Tables.events(s, dir).select(col("event_id"),
+        (col("event_id") % 500).as("n_frames"),
+        element_at(array(lit(23976), lit(25000), lit(29970)),
+          (col("event_id") % 3 + 1).cast("int")).as("fps_milli"))
+      graft.multimodal.Multimodal.frameSchedule(v, "n_frames", "fps_milli",
+          n = 16)
+        .select(col("event_id"), col("sample_k"), col("frame_idx"), col("t_ms"))
+        .orderBy("event_id", "sample_k")
+    }),
+
+    // Conversation-grain dedup: odd docs carry the SAME logical dialogue
+    // as their even buddy, uppercased with doubled spaces — the
+    // normalized fingerprint folds both to one md5; unparseable JSON
+    // (doc_id % 97) gets a null fingerprint and never dedups. The oracle
+    // formulates the fingerprint independently from the construction.
+    "q_conv_dedup" -> ((s, dir) => {
+      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val cu = concat(lit("question number "), base)
+      val ca = concat(lit("answer text "), pmod(base * 7, lit(1000)))
+      def spoof(c: Column) =
+        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
+          .otherwise(c)
+      val msgs = when(col("doc_id") % 97 === 0, lit("not json")).otherwise(
+        concat(lit("[{\"role\":\"user\",\"content\":\""), spoof(cu),
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(ca),
+          lit("\"}]")))
+      val fp = Conversations.withConversationFingerprint(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "msgs")
+      val firsts = fp.filter(col("conv_fp").isNotNull)
+        .groupBy("conv_fp").agg(min(col("doc_id")).as("__first"))
+      fp.join(firsts, Seq("conv_fp"), "left")
+        .select(col("doc_id"), col("conv_fp"),
+          coalesce(col("doc_id") =!= col("__first"), lit(false))
+            .as("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
+    // SFT packing with loss-mask spans: chatFlatten -> whitespace token
+    // counts -> packSequences -> response-span intersection, all through
+    // the real text pipeline. The synthesis (a user words, b assistant
+    // words) makes the oracle's token counts CLOSED-FORM (n_tok = a+b+2,
+    // response tokens [a+2, a+b+2)) — the oracle never tokenizes, so it
+    // independently checks the whole char->token->sequence chain.
+    "q_sft_pack" -> ((s, dir) => {
+      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
+      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), words(b),
+        lit("\"}]"))
+      val flat = Conversations.chatFlatten(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+      Conversations.lossMaskedPack(flat, seqLen = 32)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
+          col("resp_tok_start"), col("resp_tok_end"),
+          col("mask_start"), col("mask_end"))
+        .orderBy("doc_id", "seq_id")
+    }),
   )
+
+  /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the
+    * standard 1024^2-area ladder in 64-px steps (public SDXL recipe).
+    */
+  private[graft] val SdxlBuckets: Seq[(Int, Int)] = Seq(
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536))
 
   /** DuckDB oracles. Key set == queries key set minus the rows-only
     * ops whose hash/centroid/merge/codec internals aren't oracle-expressible

@@ -211,6 +211,101 @@ object Multimodal {
       sigged.filter(col("sig").isNotNull).select("id", "sig")
         .localCheckpoint(true),
       maxHamming, maxBucketSize)
+
+  /** Aspect-ratio bucketing for image-training batch assembly (the
+    * SDXL-style trick: group images into a fixed set of (width, height)
+    * buckets so a batch shares one shape and padding waste disappears).
+    * Assigns each image the bucket whose aspect ratio is nearest ITS
+    * ratio, then derives the resize-to-cover dimensions and the
+    * center-crop offsets that land the image exactly on the bucket shape.
+    *
+    * Determinism: "nearest ratio" is decided in EXACT integer arithmetic
+    * — d_i = |w*hb_i - wb_i*h| / hb_i compares as
+    * |w*hb_i - wb_i*h| * hb_j < |w*hb_j - wb_j*h| * hb_i (the common /h
+    * cancels), so no float ratio or log is ever formed and ties break to
+    * the earlier bucket in the list. The resize/crop dims are floor
+    * divisions of integer products. Engine-identical by construction —
+    * no ulp can flip a bucket. (Long overflow needs w*hb*hb' >= 2^63:
+    * unreachable for real image dims.)
+    *
+    * Scale: the bucket list is a literal array folded row-locally — one
+    * map stage, zero joins, zero shuffles.
+    *
+    * Output: input columns + (bucket_id, bucket_w, bucket_h, resize_w,
+    * resize_h, crop_x, crop_y); null dims or non-positive dims get null
+    * bucket columns.
+    */
+  def aspectBuckets(df: DataFrame, widthCol: String, heightCol: String,
+                    buckets: Seq[(Int, Int)]): DataFrame = {
+    require(buckets.nonEmpty, "buckets must be non-empty")
+    require(buckets.forall { case (w, h) => w > 0 && h > 0 }, "bad bucket dims")
+    val w = col(widthCol).cast("long")
+    val h = col(heightCol).cast("long")
+    val lits = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(lit(i).as("i"), lit(bw.toLong).as("bw"), lit(bh.toLong).as("bh"))
+    }
+    // fold: carry the best (i, bw, bh, num) where num = |w*bh - bw*h|;
+    // candidate beats incumbent iff num_c * bh_b < num_b * bh_c (strict:
+    // ties keep the earlier bucket)
+    val best = aggregate(array(lits: _*),
+      struct(lit(-1L).as("i"), lit(0L).as("bw"), lit(0L).as("bh"),
+        lit(-1L).as("num")),
+      (acc, c) => {
+        val num = abs(w * c.getField("bh") - c.getField("bw") * h)
+        when(acc.getField("i") === -1L ||
+            num * acc.getField("bh") < acc.getField("num") * c.getField("bh"),
+          struct(c.getField("i").cast("long").as("i"),
+            c.getField("bw").as("bw"), c.getField("bh").as("bh"),
+            num.as("num")))
+          .otherwise(acc)
+      })
+    val ok = w.isNotNull && h.isNotNull && w > 0 && h > 0
+    val withB = df.withColumn("__b", when(ok, best))
+    val bw = col("__b").getField("bw")
+    val bh = col("__b").getField("bh")
+    // resize to COVER the bucket then center-crop: image wider than the
+    // bucket (w*bh >= bw*h) scales by height, else by width
+    val wider = w * bh >= bw * h
+    val rw = when(wider, floor(w * bh / h)).otherwise(bw)
+    val rh = when(wider, bh).otherwise(floor(h * bw / w))
+    withB
+      .withColumn("bucket_id", col("__b").getField("i"))
+      .withColumn("bucket_w", bw)
+      .withColumn("bucket_h", bh)
+      .withColumn("resize_w", rw)
+      .withColumn("resize_h", rh)
+      .withColumn("crop_x", floor((rw - bw) / 2))
+      .withColumn("crop_y", floor((rh - bh) / 2))
+      .drop("__b")
+  }
+
+  /** Deterministic uniform frame-sampling schedule from video METADATA
+    * (frame count + fps) — the planning step a video-training pipeline
+    * runs before any decoder touches bytes: which frame indices to pull,
+    * and at what timestamps. One row per sampled frame: input id grain
+    * fans out to (sample_k, frame_idx, t_ms).
+    *
+    * frame_idx = floor(k * n_frames / n) for k in 0..n'-1 with
+    * n' = min(n, n_frames) (never emits duplicate frames on short clips);
+    * t_ms = floor(frame_idx * 1000 * 1000 / fps_milli) where fps_milli is
+    * fps*1000 as an integer (29.97 fps -> 29970) — all integer floor
+    * arithmetic, engine-identical. Non-positive frame counts or fps emit
+    * no rows (the id vanishes from the schedule, as a corrupt probe
+    * should — join back to find them).
+    *
+    * Scale: explode over a row-local sequence — one map stage.
+    */
+  def frameSchedule(df: DataFrame, framesCol: String, fpsMilliCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"bad n $n")
+    val nf = col(framesCol).cast("long")
+    val fm = col(fpsMilliCol).cast("long")
+    val nTake = least(lit(n.toLong), nf)
+    df.filter(nf.isNotNull && nf > 0 && fm.isNotNull && fm > 0)
+      .withColumn("sample_k", explode(sequence(lit(0L), nTake - 1)))
+      .withColumn("frame_idx", floor(col("sample_k") * nf / nTake))
+      .withColumn("t_ms", floor(col("frame_idx") * 1000000L / fm))
+  }
 }
 
 /** Codec boundary. The default is [[ImageIoCodec]] — a REAL JDK-backed

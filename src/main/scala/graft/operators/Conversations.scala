@@ -86,4 +86,81 @@ object Conversations {
         sum(col("n_assistant")).as("total_assistant"),
         sum(when(col("response_start").isNotNull, 1L).otherwise(0L))
           .as("n_trainable"))
+
+  /** Content fingerprint for conversation-grain dedup: md5 over the
+    * normalized (role, content) sequence — role and content lowercased,
+    * whitespace collapsed, joined with control separators so
+    * ("a", "b c") and ("a b", "c") cannot collide. Two conversations that
+    * differ only in spacing/casing (the dominant near-dup mode in scraped
+    * chat data) share a fingerprint; feed the output to the same
+    * groupBy-min machinery as [[Dedup.exact]]. Unparseable JSON gets a
+    * null fingerprint (never dedups). Row-local, one map stage.
+    */
+  def withConversationFingerprint(df: DataFrame, messagesCol: String,
+                                  outCol: String = "conv_fp"): DataFrame = {
+    def norm(c: Column) = trim(regexp_replace(lower(coalesce(c, lit(""))),
+      "\\s+", " "))
+    val parsed = from_json(col(messagesCol),
+      org.apache.spark.sql.types.DataType.fromDDL(MsgSchema))
+    df.withColumn(outCol,
+      when(parsed.isNull, lit(null)).otherwise(md5(concat_ws("\u0002",
+        transform(parsed, m =>
+          concat_ws("\u0001", norm(m.getField("role")),
+            norm(m.getField("content"))))))))
+  }
+
+  /** SFT sequence packing with loss-mask spans: run [[chatFlatten]]'s
+    * output through [[Packing.packSequences]] (concat-and-chunk over
+    * whitespace-token counts) and intersect each (conversation, sequence)
+    * token span with the conversation's response-token span — the span a
+    * masked-loss trainer actually optimizes. One output row per
+    * (conversation, sequence) assignment: the packing columns plus
+    * (n_tok, resp_tok_start, resp_tok_end, mask_start, mask_end) where
+    * mask_* are SEQUENCE-coordinate token offsets (null when none of the
+    * response lands in this sequence or the conversation has no
+    * assistant turn).
+    *
+    * The response char offsets land on whitespace-token boundaries by
+    * construction of [[chatFlatten]]'s rendering ("role: " precedes the
+    * content), so the char->token conversion is exact: tokens before the
+    * span = tokens in the prefix, span tokens = tokens in the content
+    * substring.
+    *
+    * Scale: token counting is row-local; the global offsets come from
+    * [[Packing.packSequences]]'s bucketed prefix sums (no unpartitioned
+    * window); the span attach is one equi join on id.
+    */
+  def lossMaskedPack(flat: DataFrame, seqLen: Int,
+                     bucketWidth: Long = 65536L): DataFrame = {
+    def nToks(c: Column) =
+      size(filter(split(c, "\\s+"), t => length(t) > 0)).cast("long")
+    val toks = flat.select(col("id"),
+      nToks(col("text")).as("n_tok"),
+      when(col("response_start").isNotNull,
+        nToks(col("text").substr(lit(1), col("response_start")))).as("__resp_s"),
+      when(col("response_start").isNotNull,
+        nToks(col("text").substr(col("response_start") + 1,
+          col("response_chars")))).as("__resp_n"))
+    val packed = Packing.packSequences(
+      toks.select("id", "n_tok"), "id", "n_tok", seqLen, bucketWidth)
+    packed.join(toks.select(col("id"), col("n_tok"), col("__resp_s"),
+        (col("__resp_s") + col("__resp_n")).as("__resp_e")), Seq("id"))
+      // greatest/least SKIP nulls in Spark — without the isNotNull guard
+      // a no-assistant conversation (null response span) would be masked
+      // over its whole doc span (degenerate-args spec catch)
+      .withColumn("__ms", when(col("__resp_s").isNotNull,
+        greatest(col("__resp_s"), col("doc_tok_start"))))
+      .withColumn("__me", when(col("__resp_e").isNotNull,
+        least(col("__resp_e"), col("doc_tok_end"))))
+      .select(col("id"), col("seq_id"), col("doc_tok_start"),
+        col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
+        col("__resp_s").as("resp_tok_start"),
+        col("__resp_e").as("resp_tok_end"),
+        when(col("__ms") < col("__me"),
+          col("seq_tok_start") + col("__ms") - col("doc_tok_start"))
+          .as("mask_start"),
+        when(col("__ms") < col("__me"),
+          col("seq_tok_start") + col("__me") - col("doc_tok_start"))
+          .as("mask_end"))
+  }
 }

@@ -183,4 +183,91 @@ object Metrics {
           .otherwise((col("sum_cells") - expected) / (maxIdx - expected))
       })
   }
+
+  /** Cohen's kappa — chance-corrected inter-annotator agreement between
+    * two label columns over the same rows (the QA metric for
+    * human-labeled quality/toxicity sets BEFORE a classifier is trained
+    * on them; [[clusteringAgreement]] is the unsupervised sibling).
+    *
+    * Exactness: kappa = (po - pe) / (1 - pe) with po = agree/n and
+    * pe = sum_l(nA_l * nB_l) / n^2 reduces to the INTEGER ratio
+    * (n*agree - S) / (n*n - S) with S = sum_l nA_l*nB_l — both operands
+    * are exact longs, so the one double division is engine-identical.
+    * Rows with a null on either side are excluded from the contingency
+    * (they carry no judgment) and surfaced as n_null.
+    *
+    * Scale: one groupBy on (label_a, label_b) — map-side combined,
+    * contingency-sized from there on; marginal re-aggregates run over
+    * THAT table, never the corpus.
+    */
+  def cohenKappa(df: DataFrame, labelACol: String,
+                 labelBCol: String): DataFrame = {
+    val a = col(labelACol).cast("string")
+    val b = col(labelBCol).cast("string")
+    val kept = df.select(a.as("__a"), b.as("__b"))
+    val nNull = kept.agg(
+      sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("n_null"))
+    val cells = kept.filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("n_ab"))
+    val agree = cells.agg(
+      coalesce(sum(col("n_ab")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("n_ab"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    // marginal product sum S: join the two marginal tables of the
+    // contingency (label-count-sized — tiny) on label value
+    val ma = cells.groupBy(col("__a").as("__l")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("__b").as("__l")).agg(sum(col("n_ab")).as("n_b"))
+    val s = ma.join(mb, Seq("__l"))
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("__s"))
+    agree.crossJoin(s).crossJoin(nNull) // three 1-row frames
+      .select(col("n"), col("n_null"), col("n_agree"), col("__s").as("pe_num"),
+        when(col("n") === 0, lit(null))
+          .otherwise(col("n_agree").cast("double") / col("n")).as("po"),
+        when(col("n") === 0, lit(null))
+          .otherwise(col("__s").cast("double") / (col("n") * col("n"))).as("pe"),
+        when(col("n") * col("n") === col("__s"), lit(null)) // pe == 1
+          .otherwise((col("n") * col("n_agree") - col("__s")).cast("double")
+            / (col("n") * col("n") - col("__s"))).as("kappa"))
+  }
+
+  /** Calibration report for a probabilistic classifier — the reliability
+    * diagram's data plus the Brier decomposition inputs, per equal-width
+    * probability bin: (bin, n, n_pos, sum_prob, mean_prob, frac_pos, gap,
+    * sum_sq_err). `gap` = frac_pos - mean_prob is the per-bin
+    * calibration error (ECE = sum |gap|*n / N); sum_sq_err sums
+    * (prob - label)^2, so Brier = sum(sum_sq_err)/sum(n).
+    *
+    * Exactness: when probabilities are dyadic (k/2^m — the int8/256 or
+    * logit-quantized form a production scorer emits), sum_prob and
+    * sum_sq_err are exact in double for any accumulation order, so the
+    * whole report is engine-reproducible. Rows with a null or
+    * out-of-[0,1] probability or a null label carry no calibration
+    * evidence and are excluded; the top bin is closed ([1-1/B, 1]).
+    *
+    * Scale: ONE map-side-combined groupBy on the bin id (B groups) —
+    * corpus-size-independent state.
+    */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"bad nBins $nBins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val kept = df.filter(p.isNotNull && y.isNotNull)
+      .filter(p >= 0.0 && p <= 1.0)
+      .select(least(floor(p * nBins), lit(nBins - 1L)).as("bin"),
+        p.as("__p"), when(y, 1L).otherwise(0L).as("__y"))
+    kept.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__p")).as("sum_prob"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("sum_sq_err"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_prob"),
+        (col("sum_prob") / col("n")).as("mean_prob"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+        (col("n_pos").cast("double") / col("n") - col("sum_prob") / col("n"))
+          .as("gap"),
+        col("sum_sq_err"))
+  }
 }

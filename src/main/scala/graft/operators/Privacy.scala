@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-privacy operators for training-data release: k-anonymity
+  * suppression and l-diversity auditing over quasi-identifier columns
+  * (Sweeney 2002; Machanavajjhala et al. 2007). The row-level PII story
+  * (regex redaction, secret scanning) lives in [[Cleanse]]; these are the
+  * GROUP-level guarantees a dataset card asserts: no released row's
+  * quasi-identifier combination is shared by fewer than k rows, and no
+  * small group leaks a single sensitive value.
+  *
+  * Scale: both are one map-side-combined groupBy on the quasi-identifier
+  * tuple plus one equi join of the group table back to the rows — the
+  * group table is bounded by the quasi-identifier domain, not the corpus.
+  * No windows, no driver collection.
+  */
+object Privacy {
+
+  /** Suppress rows whose quasi-identifier group has fewer than k members.
+    * Returns the input rows annotated with `group_n` (the group's size)
+    * and filtered to group_n >= k. Rows with a NULL in any
+    * quasi-identifier column form their own groups per SQL grouping
+    * semantics (null == null for grouping) — a null combination shared by
+    * >= k rows is as anonymous as any other.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, s"bad k $k")
+    // group-key columns renamed so the join back to the (derived-from-df)
+    // group table is never self-join-ambiguous
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__q$i") } :+ col("group_n"): _*)
+    // null-SAFE join back: groupBy treats null==null but a plain equi
+    // join does not — without <=> every null-quasi row would silently
+    // lose its group and be suppressed regardless of k (degenerate-args
+    // spec catch)
+    val cond = quasiCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> col(s"__q$i") }.reduce(_ && _)
+    df.join(groups, cond)
+      .filter(col("group_n") >= k)
+      .select(df.columns.map(df(_)) :+ col("group_n"): _*)
+  }
+
+  /** The audit row behind [[kAnonymize]]: how much would a given k cost?
+    * ONE pass over the group table: (n_rows, n_groups, n_rows_suppressed,
+    * n_groups_suppressed, min_group_n, max_group_n) for the given k.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, s"bad k $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_rows_suppressed"),
+        coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_groups_suppressed"),
+        min(col("__n")).as("min_group_n"),
+        max(col("__n")).as("max_group_n"))
+  }
+
+  /** Distinct-l-diversity audit: per quasi-identifier group, the number
+    * of distinct non-null values of `sensitiveCol` — a group where that
+    * count is below l lets an attacker who can place a person in the
+    * group infer their sensitive value. Returns the group table
+    * (quasi cols, group_n, n_sensitive, diverse = n_sensitive >= l).
+    *
+    * The distinct count is exact via a (quasi, sensitive)-grain
+    * pre-aggregate, NOT countDistinct — a countDistinct over the corpus
+    * grain triggers the expand-based rewrite (2 rows per input row);
+    * the pre-aggregate is one map-side-combined dedup then a plain count.
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 1, s"bad l $l")
+    val qc = quasiCols.map(col)
+    val sizes = df.groupBy(qc: _*).agg(count(lit(1)).as("group_n"))
+    val distincts = df.filter(col(sensitiveCol).isNotNull)
+      .select(qc :+ col(sensitiveCol).as("__s"): _*)
+      .distinct()
+      .groupBy(qc: _*).agg(count(lit(1)).as("n_sensitive"))
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__q$i") } :+ col("n_sensitive"): _*)
+    // null-safe group-table join, same reasoning as [[kAnonymize]]
+    val cond = quasiCols.zipWithIndex
+      .map { case (c, i) => sizes(c) <=> col(s"__q$i") }.reduce(_ && _)
+    sizes.join(distincts, cond, "left")
+      .select(quasiCols.map(sizes(_)) ++ Seq(sizes("group_n"),
+        coalesce(col("n_sensitive"), lit(0L)).as("n_sensitive"),
+        (coalesce(col("n_sensitive"), lit(0L)) >= l).as("diverse")): _*)
+  }
+}

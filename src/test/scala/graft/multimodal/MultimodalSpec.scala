@@ -272,4 +272,65 @@ class MultimodalSpec extends SparkSpec {
     val offsets = got.select("chunk_offset").as[Long].collect().sorted
     assert(offsets.distinct.length == 4)
   }
+
+  private val sdxl = Seq(
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536))
+
+  test("aspectBuckets: nearest-ratio assignment and cover-crop geometry") {
+    val df = Seq(
+      (1L, 512, 512),    // square -> bucket 0 (1:1)
+      (2L, 1920, 1080),  // 16:9 = 1.78 -> closest to 1344/768 = 1.75
+      (3L, 400, 1000),   // 0.4 -> closest to 640/1536 = 0.4167
+      (4L, 0, 100),      // degenerate -> null bucket
+      (5L, 1088, 896)    // between 1024/1024 and 1152/896: nearer 1.214? |1.214-1|=.214 vs |1.214-1.286|=.071 -> bucket 1
+    ).toDF("id", "w", "h")
+    val out = Multimodal.aspectBuckets(df, "w", "h", sdxl)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("bucket_id") == 0)
+    assert(out(2L).getAs[Long]("bucket_id") == 5)
+    assert(out(3L).getAs[Long]("bucket_id") == 8)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("bucket_id")))
+    assert(out(5L).getAs[Long]("bucket_id") == 1)
+    // geometry invariants: resize covers the bucket, crop is centered
+    // inside the slack, cropped output IS the bucket shape
+    out.values.filter(!_.isNullAt(3)).foreach { r =>
+      val (bw, bh) = (r.getAs[Long]("bucket_w"), r.getAs[Long]("bucket_h"))
+      val (rw, rh) = (r.getAs[Long]("resize_w"), r.getAs[Long]("resize_h"))
+      val (cx, cy) = (r.getAs[Long]("crop_x"), r.getAs[Long]("crop_y"))
+      assert(rw >= bw && rh >= bh, s"resize must cover: $r")
+      assert(rw == bw || rh == bh, s"one axis must be tight: $r")
+      assert(cx == (rw - bw) / 2 && cy == (rh - bh) / 2)
+      assert(cx + bw <= rw && cy + bh <= rh)
+    }
+  }
+
+  test("aspectBuckets ties break to the earlier bucket in the list") {
+    // two buckets with the SAME ratio: the first must win
+    val out = Multimodal.aspectBuckets(
+      Seq((1L, 100, 100)).toDF("id", "w", "h"),
+      "w", "h", Seq((512, 512), (1024, 1024)))
+      .head()
+    assert(out.getAs[Long]("bucket_id") == 0)
+  }
+
+  test("frameSchedule: uniform indices, short clips never repeat") {
+    val df = Seq((1L, 100L, 25000L), (2L, 5L, 25000L), (3L, 0L, 25000L),
+      (4L, 10L, 0L)).toDF("id", "frames", "fpsm")
+    val out = Multimodal.frameSchedule(df, "frames", "fpsm", n = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_k")) -> r)
+      .toMap
+    // clip 1: 8 samples, indices floor(k*100/8) = 0,12,25,...,87
+    assert(out.keys.count(_._1 == 1L) == 8)
+    assert(out((1L, 2L)).getAs[Long]("frame_idx") == 25)
+    // t_ms for frame 25 at 25 fps = 1000 ms
+    assert(out((1L, 2L)).getAs[Long]("t_ms") == 1000)
+    // clip 2 has 5 frames: exactly 5 samples 0..4, no repeats
+    val c2 = out.keys.filter(_._1 == 2L).toSeq
+    assert(c2.size == 5)
+    val idx2 = c2.map(k => out(k).getAs[Long]("frame_idx")).sorted
+    assert(idx2 == Seq(0L, 1L, 2L, 3L, 4L))
+    // zero frames / zero fps emit no rows
+    assert(!out.keys.exists(k => k._1 == 3L || k._1 == 4L))
+  }
 }

@@ -45,4 +45,63 @@ class ConversationsSpec extends SparkSpec {
     assert(out("a") == ((2L, 5L, 1L)))
     assert(out("b") == ((1L, 2L, 1L)))
   }
+
+  test("conversation fingerprint: case/whitespace-invariant, " +
+    "boundary-collision-proof, null for unparseable") {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"Hello   world"}]"""),
+      (2L, """[{"role":"USER","content":"hello world"}]"""),
+      // same chars, different (role, content) split: must NOT collide
+      (3L, """[{"role":"user","content":"a b"},{"role":"x","content":"c"}]"""),
+      (4L, """[{"role":"user","content":"a"},{"role":"b x","content":"c"}]"""),
+      (5L, "nope")).toDF("id", "msgs")
+    val fp = Conversations.withConversationFingerprint(df, "msgs")
+      .select("id", "conv_fp").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fp(1L) == fp(2L) && fp(1L).isDefined)
+    assert(fp(3L) != fp(4L))
+    assert(fp(5L).isEmpty)
+  }
+
+  test("lossMaskedPack: response spans intersect sequence boundaries") {
+    // conv 1: 6 tokens, response = tokens [3, 6); conv 2: 4 tokens, no
+    // assistant turn. seqLen 4 -> conv 1 straddles sequences 0/1.
+    val msgs1 = """[{"role":"user","content":"q one"},
+      |{"role":"assistant","content":"a b c"}]""".stripMargin
+    val msgs2 = """[{"role":"user","content":"just a question"}]"""
+    val flat = Conversations.chatFlatten(
+      Seq((1L, msgs1), (2L, msgs2)).toDF("id", "msgs"), "id", "msgs")
+    val out = Conversations.lossMaskedPack(flat, seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // conv 1 text: "user: q one\nassistant: a b c\n" -> tokens
+    // [user:, q, one\nassistant:?]... whitespace split on \s+:
+    // user:, q, one, assistant:, a, b, c -> wait, \n splits too
+    val r10 = out((1L, 0L))
+    assert(r10.getAs[Long]("n_tok") == 7)
+    assert(r10.getAs[Long]("resp_tok_start") == 4 &&
+      r10.getAs[Long]("resp_tok_end") == 7)
+    // seq 0 holds conv-1 tokens [0,4): no response overlap
+    assert(r10.getAs[Long]("doc_tok_start") == 0 &&
+      r10.getAs[Long]("doc_tok_end") == 4)
+    assert(r10.isNullAt(r10.fieldIndex("mask_start")))
+    // seq 1 holds conv-1 tokens [4,7): response tokens 4..6 at seq
+    // offsets 0..2
+    val r11 = out((1L, 1L))
+    assert(r11.getAs[Long]("seq_tok_start") == 0)
+    assert(r11.getAs[Long]("mask_start") == 0 &&
+      r11.getAs[Long]("mask_end") == 3)
+    // conv 2 (4 tokens: just:, ... -> user:, just, a, question) has no
+    // assistant turn: packed but never masked
+    val conv2 = out.keys.filter(_._1 == 2L)
+    assert(conv2.nonEmpty)
+    conv2.foreach { k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("mask_start")))
+      assert(out(k).isNullAt(out(k).fieldIndex("resp_tok_start")))
+    }
+    // every sequence-coordinate mask lies inside [0, seqLen)
+    out.values.filter(!_.isNullAt(8)).foreach { r =>
+      assert(r.getAs[Long]("mask_start") >= 0 &&
+        r.getAs[Long]("mask_end") <= 4)
+    }
+  }
 }

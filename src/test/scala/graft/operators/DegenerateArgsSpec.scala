@@ -172,6 +172,72 @@ class DegenerateArgsSpec extends SparkSpec {
     assert(ca.isNullAt(ca.length - 2) && ca.isNullAt(ca.length - 1))
   }
 
+  test("Metrics: kappa/calibration on empty and all-null input") {
+    val e = Seq.empty[(String, String)].toDF("a", "b")
+    val k = Metrics.cohenKappa(e, "a", "b").head()
+    assert(k.getAs[Long]("n") == 0L && k.isNullAt(k.fieldIndex("kappa")))
+    val allNull = Seq[(java.lang.Double, java.lang.Boolean)](
+      (null, null), (null, true)).toDF("p", "y")
+    assert(Metrics.calibrationReport(allNull, "p", "y").count() == 0)
+    intercept[IllegalArgumentException] {
+      Metrics.calibrationReport(allNull, "p", "y", nBins = 1)
+    }
+  }
+
+  // ---- Privacy -----------------------------------------------------------
+  test("Privacy: empty input, k/l bounds, all-suppressed corpus") {
+    val e = Seq.empty[(Long, String)].toDF("id", "q")
+    assert(Privacy.kAnonymize(e, Seq("q"), k = 2).count() == 0)
+    val r = Privacy.kAnonymityReport(e, Seq("q"), k = 2).head()
+    assert(r.getAs[Long]("n_rows") == 0 && r.getAs[Long]("n_groups") == 0 &&
+      r.isNullAt(r.fieldIndex("min_group_n")))
+    assert(Privacy.lDiversityReport(e, Seq("q"), "q", l = 1).count() == 0)
+    intercept[IllegalArgumentException] { Privacy.kAnonymize(e, Seq(), 2) }
+    intercept[IllegalArgumentException] { Privacy.kAnonymize(e, Seq("q"), 0) }
+    // every row a singleton group: k=2 suppresses the whole corpus
+    val singletons = Seq((1L, "a"), (2L, "b")).toDF("id", "q")
+    assert(Privacy.kAnonymize(singletons, Seq("q"), k = 2).count() == 0)
+  }
+
+  // ---- Multimodal metadata ----------------------------------------------
+  test("Multimodal: aspect/frame planners on degenerate metadata") {
+    import graft.multimodal.Multimodal
+    val bad = Seq[(Long, java.lang.Integer, java.lang.Integer)](
+      (1L, null, 100), (2L, -5, 100), (3L, 100, 0)).toDF("id", "w", "h")
+    val out = Multimodal.aspectBuckets(bad, "w", "h", Seq((64, 64))).collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      Multimodal.aspectBuckets(bad, "w", "h", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.aspectBuckets(bad, "w", "h", Seq((0, 64)))
+    }
+    val clips = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, null, 25000L), (2L, 10L, null)).toDF("id", "f", "fm")
+    assert(Multimodal.frameSchedule(clips, "f", "fm", n = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSchedule(clips, "f", "fm", n = 0)
+    }
+  }
+
+  // ---- Conversations (fingerprint + pack) --------------------------------
+  test("Conversations: fingerprint/pack on empty, null-field, no-turn input") {
+    val df = Seq((1L, "[]"), (2L, """[{"role":null,"content":null}]"""))
+      .toDF("id", "msgs")
+    val fp = Conversations.withConversationFingerprint(df, "msgs")
+      .select("id", "conv_fp").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fp(1L).isDefined && fp(2L).isDefined && fp(1L) != fp(2L))
+    val flat = Conversations.chatFlatten(df, "id", "msgs")
+    // empty-array conv flattens to "" (0 tokens) -> no pack row; the
+    // null-field conv renders ": \n" and still packs without a mask
+    val packed = Conversations.lossMaskedPack(flat, seqLen = 8).collect()
+    assert(packed.forall(_.getLong(0) == 2L))
+    assert(packed.forall(r => r.isNullAt(r.fieldIndex("mask_start"))))
+    assert(Conversations.lossMaskedPack(
+      Conversations.chatFlatten(df.limit(0), "id", "msgs"), 8).count() == 0)
+  }
+
   // ---- Packing -----------------------------------------------------------
   test("Packing: empty corpus, zero-weight rows, seqLen 1") {
     val w = Seq((1L, 0L), (2L, 3L)).toDF("id", "n")

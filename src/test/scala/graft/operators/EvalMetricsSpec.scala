@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Textbook-value checks for the annotation-QA metrics (cohenKappa,
+  * calibrationReport). Reference values computed by hand from the
+  * published formulas (Cohen 1960; Brier 1950 / DeGroot & Fienberg 1983).
+  */
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohenKappa matches the hand-computed 2x2 textbook case") {
+    // The classic example: 50 items, A/B agree on 20 yes + 15 no,
+    // disagree on 10 (A yes) + 5 (B yes). po = 0.7,
+    // pe = (30*25 + 20*25) / 2500 = 0.5, kappa = 0.4.
+    val df = (
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(10)(("yes", "no")) ++ Seq.fill(5)(("no", "yes"))
+    ).toDF("a", "b")
+    val r = Metrics.cohenKappa(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Long]("n_agree") == 35)
+    assert(r.getAs[Long]("pe_num") == 30L * 25 + 20L * 25)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-15)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-15)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
+  }
+
+  test("cohenKappa: perfect agreement 1.0, independence ~0, pe=1 null") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Metrics.cohenKappa(perfect, "a", "b").head()
+      .getAs[Double]("kappa") == 1.0)
+    // one label only on both sides: pe = 1 -> kappa undefined (null)
+    val degenerate = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Metrics.cohenKappa(degenerate, "a", "b").head().isNullAt(
+      Metrics.cohenKappa(degenerate, "a", "b").schema.fieldIndex("kappa")))
+  }
+
+  test("cohenKappa null handling: nulls out of the contingency, counted") {
+    val df = Seq((Some("x"), Some("x")), (Some("x"), None),
+      (None, Some("y")), (Some("y"), Some("x"))).toDF("a", "b")
+    val r = Metrics.cohenKappa(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Long]("n_null") == 2)
+  }
+
+  test("calibrationReport bins, gap sign, and Brier sum") {
+    // probs dyadic (k/8); bin width 0.25 over 4 bins
+    val df = Seq(
+      (0.125, false), (0.125, false),           // bin 0: mean .125, frac 0
+      (0.375, true), (0.25, false),             // bin 1
+      (0.875, true), (0.875, true), (0.875, false) // bin 3
+    ).toDF("p", "y")
+    val out = Metrics.calibrationReport(df, "p", "y", nBins = 4)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 3L))
+    val b0 = out(0L)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("n_pos") == 0)
+    assert(b0.getAs[Double]("mean_prob") == 0.125)
+    assert(b0.getAs[Double]("gap") == -0.125) // overconfident upward
+    assert(b0.getAs[Double]("sum_sq_err") == 2 * 0.125 * 0.125)
+    val b3 = out(3L)
+    assert(b3.getAs[Long]("n") == 3 && b3.getAs[Long]("n_pos") == 2)
+    val brier = out.values.map(_.getAs[Double]("sum_sq_err")).sum /
+      out.values.map(_.getAs[Long]("n")).sum
+    val expected = (2 * 0.125 * 0.125 + 0.625 * 0.625 + 0.25 * 0.25 +
+      2 * 0.125 * 0.125 + 0.875 * 0.875) / 7
+    assert(math.abs(brier - expected) < 1e-15)
+  }
+
+  test("calibrationReport: p = 1.0 lands in the closed top bin; " +
+    "out-of-range and null rows are excluded") {
+    val df = Seq((Some(1.0), Some(true)), (Some(1.5), Some(true)),
+      (Some(-0.1), Some(false)), (None, Some(true)),
+      (Some(0.5), None)).toDF("p", "y")
+    val out = Metrics.calibrationReport(df, "p", "y", nBins = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("bin") == 9 && out.head.getAs[Long]("n") == 1)
+  }
+}

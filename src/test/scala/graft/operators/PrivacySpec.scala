@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    // (id, zip, age_band, disease)
+    (1L, "02139", "30s", "flu"),
+    (2L, "02139", "30s", "flu"),
+    (3L, "02139", "30s", "cold"),
+    (4L, "02139", "40s", "flu"),   // singleton group
+    (5L, "94110", "30s", "flu"),
+    (6L, "94110", "30s", null),    // null sensitive: no information
+    (7L, "94110", "30s", "cold"),
+    (8L, null, "30s", "flu"),      // null quasi value forms its own group
+    (9L, null, "30s", "cold")
+  ).toDF("id", "zip", "age", "disease")
+
+  test("kAnonymize keeps only groups of size >= k, nulls group together") {
+    val out = Privacy.kAnonymize(rows, Seq("zip", "age"), k = 2)
+      .select("id", "group_n").as[(Long, Long)].collect().toMap
+    // (02139, 40s) is a singleton -> suppressed
+    assert(!out.contains(4L))
+    assert(out(1L) == 3L && out(2L) == 3L && out(3L) == 3L)
+    assert(out(5L) == 3L && out(7L) == 3L)
+    // SQL grouping semantics: the two null-zip rows are one group of 2
+    assert(out(8L) == 2L && out(9L) == 2L)
+    assert(out.size == 8)
+    // k=1 keeps everything
+    assert(Privacy.kAnonymize(rows, Seq("zip", "age"), k = 1).count() == 9)
+  }
+
+  test("kAnonymityReport prices the suppression") {
+    val r = Privacy.kAnonymityReport(rows, Seq("zip", "age"), k = 2).head()
+    assert(r.getAs[Long]("n_rows") == 9)
+    assert(r.getAs[Long]("n_groups") == 4)
+    assert(r.getAs[Long]("n_rows_suppressed") == 1)
+    assert(r.getAs[Long]("n_groups_suppressed") == 1)
+    assert(r.getAs[Long]("min_group_n") == 1)
+    assert(r.getAs[Long]("max_group_n") == 3)
+  }
+
+  test("lDiversityReport counts distinct non-null sensitive values") {
+    val out = Privacy.lDiversityReport(rows, Seq("zip", "age"), "disease", l = 2)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getAs[Long]("group_n"), r.getAs[Long]("n_sensitive"),
+          r.getAs[Boolean]("diverse"))).toMap
+    assert(out((Some("02139"), "30s")) == ((3L, 2L, true)))
+    assert(out((Some("02139"), "40s")) == ((1L, 1L, false)))
+    // null disease row contributes to group_n but not n_sensitive
+    assert(out((Some("94110"), "30s")) == ((3L, 2L, true)))
+    assert(out((None, "30s")) == ((2L, 2L, true)))
+  }
+
+  test("lDiversity distinct count avoids the countDistinct expand") {
+    val plan = Privacy.lDiversityReport(rows, Seq("zip"), "disease", l = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"expand in plan:\n$plan")
+  }
+}
