@@ -2993,7 +2993,7 @@ object Oracles {
       """WITH v AS (SELECT event_id, event_id % 500 AS nf,
         |    CASE event_id % 3 WHEN 0 THEN 23976 WHEN 1 THEN 25000
         |         ELSE 29970 END AS fm
-        |  FROM events WHERE event_id % 500 > 0),
+        |  FROM events WHERE event_id % 4 = 0 AND event_id % 500 > 0),
         |s AS (SELECT event_id, nf, fm, least(16, nf) AS nt FROM v),
         |x AS (SELECT event_id, nf, fm, nt, unnest(range(0, nt)) AS k FROM s)
         |SELECT event_id, k AS sample_k, (k * nf) // nt AS frame_idx,

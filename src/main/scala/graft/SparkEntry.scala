@@ -3203,8 +3203,12 @@ object SparkEntry {
     // Uniform frame-sampling schedule from video metadata (frame count +
     // millifps): which frame indices to decode, at what timestamps —
     // all integer floor arithmetic, short clips never repeat a frame.
+    // The gate takes every 4th event as a clip: the operator's cost is
+    // linear in its EXPLODED output (16 rows/clip), and the sweep should
+    // not spend its budget materializing a 15M-row schedule.
     "q_frame_schedule" -> ((s, dir) => {
-      val v = Tables.events(s, dir).select(col("event_id"),
+      val v = Tables.events(s, dir).filter(col("event_id") % 4 === 0)
+        .select(col("event_id"),
         (col("event_id") % 500).as("n_frames"),
         element_at(array(lit(23976), lit(25000), lit(29970)),
           (col("event_id") % 3 + 1).cast("int")).as("fps_milli"))

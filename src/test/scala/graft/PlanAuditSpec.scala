@@ -241,6 +241,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("q_aspect_buckets and q_frame_schedule are row-local map stages") {
+    // the design claim in Multimodal.aspectBuckets/frameSchedule: the
+    // bucket list is a folded literal array and the schedule an explode —
+    // a join against a bucket table or a per-image shuffle would be wrong
+    for (q <- Seq("q_aspect_buckets", "q_frame_schedule")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q hash-shuffles:\n${plan.take(1200)}")
+      assert(!plan.contains("Join"), s"$q joins:\n${plan.take(1200)}")
+    }
+  }
+
+  test("privacy group joins stay group-grain: no corpus expand, no window") {
+    for (q <- Seq("q_k_anon", "q_k_anon_report", "q_l_diversity")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"),
+        s"$q plans a countDistinct expand:\n${plan.take(1200)}")
+      assert(!plan.contains("Window"), s"$q windows:\n${plan.take(1200)}")
+    }
+  }
+
+  test("lossMaskedPack windows are bucket-partitioned, span attach is equi") {
+    val plan = SparkEntry.queries("q_sft_pack")(spark, dir)
+      .queryExecution.executedPlan
+    plan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in q_sft_pack:\n$w")
+      case _ =>
+    }
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(1200))
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
