@@ -3046,5 +3046,92 @@ object Oracles {
         |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
         |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
         |FROM y ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0,
+        |      CASE WHEN doc_id % 29 = 0 THEN 4 ELSE 3 END)) AS rater
+        |  FROM documents),
+        |ratings AS (SELECT doc_id, (n_chars + rater * doc_id) % 3 AS label
+        |  FROM r),
+        |cells AS (SELECT doc_id, label, count(*) AS n_ik
+        |  FROM ratings GROUP BY 1, 2),
+        |items AS (SELECT doc_id, sum(n_ik) AS n_i FROM cells GROUP BY 1),
+        |kept AS (SELECT c.* FROM cells c JOIN items i USING (doc_id)
+        |  WHERE i.n_i = 3),
+        |counts AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN n_i = 3 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN n_i <> 3 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_items_dropped
+        |  FROM items),
+        |base AS (SELECT CAST(coalesce(sum(n_ik * n_ik), 0) AS BIGINT)
+        |    AS sum_sq FROM kept),
+        |marg AS (SELECT label, sum(n_ik) AS m_k FROM kept GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(m_k * m_k), 0) AS BIGINT) AS pe_num
+        |  FROM marg)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_items_dropped,
+        |  sum_sq, pe_num,
+        |  CASE WHEN n_items = 0 THEN NULL
+        |    ELSE CAST(sum_sq - n_items * 3 AS DOUBLE)
+        |      / (n_items * 3 * 2) END AS p_bar,
+        |  CASE WHEN n_items = 0 THEN NULL
+        |    ELSE CAST(pe_num AS DOUBLE)
+        |      / (n_items * 3 * (n_items * 3)) END AS p_e,
+        |  CASE WHEN n_items = 0 OR CAST(pe_num AS DOUBLE)
+        |      / (n_items * 3 * (n_items * 3)) = 1.0 THEN NULL
+        |    ELSE (CAST(sum_sq - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
+        |        - CAST(pe_num AS DOUBLE) / (n_items * 3 * (n_items * 3)))
+        |      / (1.0 - CAST(pe_num AS DOUBLE)
+        |        / (n_items * 3 * (n_items * 3))) END AS kappa
+        |FROM counts, base, pe""".stripMargin,
+
+    "q_mrr" ->
+      """WITH pred AS (SELECT DISTINCT user_id % 50 AS q,
+        |    event_id % 10 + 1 AS rank FROM events),
+        |p2 AS (SELECT q, rank, (q * 7 + rank * 3) % 100 AS item FROM pred),
+        |truth AS (SELECT q, CASE WHEN q % 4 = 0 THEN (q * 7 + 50) % 100
+        |    ELSE (q * 7 + 9) % 100 END AS item
+        |  FROM (SELECT DISTINCT q FROM pred)),
+        |firsts AS (SELECT p2.q, CAST(min(p2.rank) AS BIGINT)
+        |    AS first_hit_rank
+        |  FROM p2 JOIN truth ON p2.q = truth.q AND p2.item = truth.item
+        |  GROUP BY 1),
+        |np AS (SELECT q, CAST(count(*) AS BIGINT) AS n_pred
+        |  FROM p2 GROUP BY 1)
+        |SELECT np.q AS query, n_pred, first_hit_rank,
+        |  CASE WHEN first_hit_rank IS NOT NULL
+        |    THEN 1.0 / first_hit_rank END AS rr
+        |FROM np LEFT JOIN firsts ON np.q = firsts.q
+        |ORDER BY query""".stripMargin,
+
+    // Closed-form truth: response exists iff doc_id % 10 <> 0, refusal
+    // iff doc_id % 3 = 0; the engine extracts the real substring and
+    // matches the real lowered pattern list.
+    "q_refusal_scan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE doc_id % 3 = 0 END AS is_refusal,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(6 AS BIGINT)
+        |       ELSE CAST(3 + (2 + doc_id % 11) AS BIGINT) END
+        |    AS response_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dpo_audit" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS cw,
+        |    CASE WHEN doc_id % 7 = 0 THEN 3 + doc_id % 5
+        |         ELSE 2 + doc_id % 9 END AS rw,
+        |    doc_id % 7 = 0 AS ident
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(sum(CASE WHEN ident THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_identical,
+        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_chosen_longer,
+        |  CAST(coalesce(sum(cw), 0) AS BIGINT) AS chosen_words_total,
+        |  CAST(coalesce(sum(rw), 0) AS BIGINT) AS rejected_words_total,
+        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
+        |    AS DOUBLE) / count(*) AS chosen_longer_rate
+        |FROM p""".stripMargin,
   )
 }

@@ -3267,6 +3267,78 @@ object SparkEntry {
           col("mask_start"), col("mask_end"))
         .orderBy("doc_id", "seq_id")
     }),
+    // Fleiss' kappa over a synthesized 3-rater panel (every 29th doc
+    // gets a 4th rating and is dropped by the constant-panel rule): all
+    // counts exact longs, the three doubles fixed-association divisions.
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val ratings = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0),
+            when(col("doc_id") % 29 === 0, 3).otherwise(2))).as("rater"))
+        .select(col("doc_id"),
+          ((col("n_chars") + col("rater") * col("doc_id")) % 3).as("label"))
+      Metrics.fleissKappa(ratings, "doc_id", "label", nRaters = 3)
+    }),
+
+    // Reciprocal rank / MRR inputs: deterministic rankings where every
+    // 4th query's truth item never appears in its ranking (null rr).
+    "q_mrr" -> ((s, dir) => {
+      val pred = Tables.events(s, dir)
+        .select((col("user_id") % 50).as("q"),
+          (col("event_id") % 10 + 1).as("rank"))
+        .distinct()
+        .withColumn("item", (col("q") * 7 + col("rank") * 3) % 100)
+      val truth = pred.select("q").distinct()
+        .withColumn("item",
+          when(col("q") % 4 === 0, (col("q") * 7 + 50) % 100)
+            .otherwise((col("q") * 7 + 9) % 100))
+      Metrics.reciprocalRank(pred, truth, "q", "item", "rank")
+        .orderBy("query")
+    }),
+
+    // Refusal-pattern scan over the trainable span: every 3rd doc's
+    // assistant responds with a canned refusal, every 10th doc has no
+    // assistant turn at all (null flag). The oracle knows the answer in
+    // closed form; the engine extracts the real substring and matches
+    // the real pattern list.
+    "q_refusal_scan" -> ((s, dir) => {
+      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
+      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val asst = when(col("doc_id") % 3 === 0,
+        lit("I CANNOT help with that request"))
+        .otherwise(concat(lit("sure here is "), words(b)))
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
+        when(col("doc_id") % 10 === 0, lit(""))
+          .otherwise(concat(lit("\"},{\"role\":\"assistant\",\"content\":\""),
+            asst)),
+        lit("\"}]"))
+      val flat = Conversations.chatFlatten(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+      Conversations.withRefusalFlag(flat,
+          Seq("i cannot", "i'm sorry", "as an AI"))
+        .select(col("id").as("doc_id"), col("is_refusal"),
+          col("response_words"))
+        .orderBy("doc_id")
+    }),
+
+    // DPO preference-pair audit: every 7th pair is chosen==rejected
+    // after normalization (planted degenerate pairs), word counts give
+    // the length-bias rate in closed form.
+    "q_dpo_audit" -> ((s, dir) => {
+      def words(t: String, n: Column) =
+        array_join(array_repeat(lit(t), n.cast("int")), " ")
+      val cw = lit(3) + pmod(col("doc_id"), lit(5))
+      val rw = lit(2) + pmod(col("doc_id"), lit(9))
+      // distinct word tokens per side: only the PLANTED pairs may
+      // normalize equal (a same-count "w w w" pair would too)
+      val pairs = Tables.documents(s, dir).select(col("doc_id"),
+        words("w", cw).as("chosen"),
+        when(col("doc_id") % 7 === 0,
+          upper(regexp_replace(words("w", cw), " ", "  ")))
+          .otherwise(words("v", rw)).as("rejected"))
+      Preference.pairAudit(Preference.pairFlags(pairs, "chosen", "rejected"))
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

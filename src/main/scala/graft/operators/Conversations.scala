@@ -109,6 +109,40 @@ object Conversations {
             norm(m.getField("content"))))))))
   }
 
+  /** Materialize the trainable response text from [[chatFlatten]]'s
+    * offsets (substr is 1-based; the offsets are 0-based). Null when the
+    * conversation has no assistant turn. Row-local.
+    */
+  def withResponseText(flat: DataFrame,
+                       outCol: String = "response_text"): DataFrame =
+    flat.withColumn(outCol,
+      when(col("response_start").isNotNull,
+        col("text").substr(col("response_start") + 1, col("response_chars"))))
+
+  /** Refusal / canned-response detection over the trainable span — the
+    * SFT-data hygiene scan (a corpus whose responses are 30% "I cannot
+    * help with that" teaches refusal, not capability): flags a response
+    * whose lowercased text contains any of `patterns` (literal
+    * substrings, matched case-insensitively). Returns the input plus
+    * (is_refusal boolean — null when there is no response,
+    * response_words long). The pattern list is a literal array folded
+    * row-locally: one map stage, no join, no regex compilation per row.
+    */
+  def withRefusalFlag(flat: DataFrame,
+                      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    val resp = when(col("response_start").isNotNull,
+      col("text").substr(col("response_start") + 1, col("response_chars")))
+    val lowered = lower(resp)
+    val pats = array(patterns.map(p => lit(p.toLowerCase)): _*)
+    flat
+      .withColumn("is_refusal",
+        when(resp.isNotNull, exists(pats, p => lowered.contains(p))))
+      .withColumn("response_words",
+        when(resp.isNotNull,
+          size(filter(split(resp, "\\s+"), t => length(t) > 0)).cast("long")))
+  }
+
   /** SFT sequence packing with loss-mask spans: run [[chatFlatten]]'s
     * output through [[Packing.packSequences]] (concat-and-chunk over
     * whitespace-token counts) and intersect each (conversation, sequence)
@@ -163,4 +197,53 @@ object Conversations {
           col("seq_tok_start") + col("__me") - col("doc_tok_start"))
           .as("mask_end"))
   }
+}
+
+/** Preference-pair (RLHF/DPO) data QA: row-local audits over
+  * (prompt, chosen, rejected) triples. The failure modes these catch are
+  * the documented ones from public preference-data postmortems: chosen
+  * and rejected that are literally the same text after normalization
+  * (no learning signal, destabilizes DPO), and systematic length bias
+  * (the reward learns verbosity, not quality).
+  *
+  * Scale: everything is a row-local expression — one map stage; the
+  * rollup is one map-side-combined aggregate.
+  */
+object Preference {
+
+  private def norm(c: Column) =
+    trim(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
+
+  /** Per-pair flags: (input columns +) is_identical (normalized chosen ==
+    * normalized rejected), chosen_words / rejected_words (whitespace
+    * tokens), chosen_longer. Null chosen/rejected normalize to "" (two
+    * nulls are identical — no signal either way).
+    */
+  def pairFlags(df: DataFrame, chosenCol: String,
+                rejectedCol: String): DataFrame = {
+    def words(c: Column) =
+      size(filter(split(coalesce(c, lit("")), "\\s+"), t => length(t) > 0))
+        .cast("long")
+    df.withColumn("is_identical", norm(col(chosenCol)) === norm(col(rejectedCol)))
+      .withColumn("chosen_words", words(col(chosenCol)))
+      .withColumn("rejected_words", words(col(rejectedCol)))
+      .withColumn("chosen_longer", col("chosen_words") > col("rejected_words"))
+  }
+
+  /** The one-row dataset-card audit over [[pairFlags]]' output: pair
+    * count, degenerate-pair count, length-bias rate (how often the
+    * chosen side is longer — ~0.5 is unbiased), and exact word totals
+    * for both sides.
+    */
+  def pairAudit(flags: DataFrame): DataFrame =
+    flags.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("is_identical"), 1L).otherwise(0L)), lit(0L))
+        .as("n_identical"),
+      coalesce(sum(when(col("chosen_longer"), 1L).otherwise(0L)), lit(0L))
+        .as("n_chosen_longer"),
+      coalesce(sum(col("chosen_words")), lit(0L)).as("chosen_words_total"),
+      coalesce(sum(col("rejected_words")), lit(0L)).as("rejected_words_total"))
+      .withColumn("chosen_longer_rate",
+        when(col("n_pairs") === 0, lit(null))
+          .otherwise(col("n_chosen_longer").cast("double") / col("n_pairs")))
 }

@@ -231,6 +231,80 @@ object Metrics {
             / (col("n") * col("n") - col("__s"))).as("kappa"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for N raters per item
+    * ([[cohenKappa]] is the 2-rater special case; this is the QA metric
+    * for crowd-labeled preference/quality data where each document gets
+    * the same number of independent judgments).
+    *
+    * Input is the long form: one row per (item, rating). Items that did
+    * not receive exactly `nRaters` ratings are dropped (Fleiss assumes a
+    * constant panel size) and surfaced as n_items_dropped. With m kept
+    * items, P_bar = (sum_ik n_ik^2 - m*n) / (m*n*(n-1)) and
+    * P_e = sum_k (sum_i n_ik)^2 / (m*n)^2 — both ratios of exact longs,
+    * so the doubles are single divisions with fixed association,
+    * engine-identical; kappa = (P_bar - P_e)/(1 - P_e) in doubles with
+    * the same fixed op order on both engines. Null ratings are excluded
+    * before the panel-size check.
+    *
+    * Scale: one groupBy to (item, label) cells, everything after runs at
+    * cell/label grain.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"bad nRaters $nRaters")
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("n_ik"))
+    val items = cells.groupBy("__i").agg(sum(col("n_ik")).as("__n_i"))
+    val kept = cells.join(items.filter(col("__n_i") === nRaters.toLong)
+      .select("__i"), Seq("__i"))
+    val counts = items.agg(
+      coalesce(sum(when(col("__n_i") === nRaters.toLong, 1L).otherwise(0L)),
+        lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__n_i") =!= nRaters.toLong, 1L).otherwise(0L)),
+        lit(0L)).as("n_items_dropped"))
+    val base = kept.agg(
+      coalesce(sum(col("n_ik") * col("n_ik")), lit(0L)).as("sum_sq"))
+    val margins = kept.groupBy("__k").agg(sum(col("n_ik")).as("__m_k"))
+      .agg(coalesce(sum(col("__m_k") * col("__m_k")), lit(0L)).as("pe_num"))
+    val n = lit(nRaters.toLong)
+    counts.crossJoin(base).crossJoin(margins) // three 1-row frames
+      .select(col("n_items"), n.as("n_raters"), col("n_items_dropped"),
+        col("sum_sq"), col("pe_num"),
+        when(col("n_items") === 0, lit(null)).otherwise(
+          (col("sum_sq") - col("n_items") * n).cast("double")
+            / (col("n_items") * n * (n - 1))).as("p_bar"),
+        when(col("n_items") === 0, lit(null)).otherwise(
+          col("pe_num").cast("double")
+            / (col("n_items") * n * (col("n_items") * n))).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e").isNull || col("p_e") === 1.0, lit(null))
+          .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+  }
+
+  /** Reciprocal rank per query — the navigational-retrieval metric
+    * ([[ndcg]] grades the whole ranking; RR cares only where the FIRST
+    * relevant item lands): (query, n_pred, first_hit_rank, rr) with
+    * rr = 1/first_hit_rank, null when the ranking contains no relevant
+    * item. MRR is one avg over the output. One equi join + two
+    * aggregates, never a per-query sort.
+    */
+  def reciprocalRank(pred: DataFrame, truth: DataFrame, queryCol: String,
+                     itemCol: String, rankCol: String): DataFrame = {
+    val p = pred.select(col(queryCol).as("query"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("__r"))
+    val t = truth.select(col(queryCol).as("query"), col(itemCol).as("__i"))
+      .distinct()
+    val firsts = p.join(t, Seq("query", "__i"))
+      .groupBy("query").agg(min(col("__r")).as("first_hit_rank"))
+    p.groupBy("query").agg(count(lit(1)).as("n_pred"))
+      .join(firsts, Seq("query"), "left")
+      .select(col("query"), col("n_pred"), col("first_hit_rank"),
+        when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank")).as("rr"))
+  }
+
   /** Calibration report for a probabilistic classifier — the reliability
     * diagram's data plus the Brier decomposition inputs, per equal-width
     * probability bin: (bin, n, n_pos, sum_prob, mean_prob, frac_pos, gap,

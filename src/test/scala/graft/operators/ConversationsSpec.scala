@@ -104,4 +104,64 @@ class ConversationsSpec extends SparkSpec {
         r.getAs[Long]("mask_end") <= 4)
     }
   }
+
+  test("withResponseText + withRefusalFlag over the trainable span") {
+    val flat = Conversations.chatFlatten(Seq(
+      (1L, """[{"role":"user","content":"help"},
+        |{"role":"assistant","content":"I CANNOT do that, sorry"}]"""
+        .stripMargin.replace("\n", "")),
+      (2L, """[{"role":"user","content":"hi"},
+        |{"role":"assistant","content":"sure, here you go"}]"""
+        .stripMargin.replace("\n", "")),
+      // refusal text in the USER turn must not flag the response
+      (3L, """[{"role":"user","content":"i cannot believe it"},
+        |{"role":"assistant","content":"ok"}]"""
+        .stripMargin.replace("\n", "")),
+      (4L, """[{"role":"user","content":"no reply"}]""")
+    ).toDF("id", "msgs"), "id", "msgs")
+    val rt = Conversations.withResponseText(flat)
+      .select("id", "response_text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rt(1L).contains("I CANNOT do that, sorry"))
+    assert(rt(4L).isEmpty)
+    val rf = Conversations.withRefusalFlag(flat, Seq("i cannot", "I'm Sorry"))
+      .select("id", "is_refusal", "response_words").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rf(1L).getAs[Boolean]("is_refusal"))
+    assert(!rf(2L).getAs[Boolean]("is_refusal"))
+    assert(!rf(3L).getAs[Boolean]("is_refusal"),
+      "user-turn refusal text leaked into the response flag")
+    assert(rf(4L).isNullAt(rf(4L).fieldIndex("is_refusal")))
+    assert(rf(2L).getAs[Long]("response_words") == 4)
+    intercept[IllegalArgumentException] {
+      Conversations.withRefusalFlag(flat, Seq.empty)
+    }
+  }
+
+  test("Preference.pairFlags/pairAudit: normalization, nulls, rates") {
+    val pairs = Seq(
+      (1L, "Good  Answer", "good answer"),      // identical after norm
+      (2L, "a b c", "a b"),                     // chosen longer
+      (3L, "a", "x y z"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("id", "chosen", "rejected")
+    val flags = Preference.pairFlags(pairs, "chosen", "rejected")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getAs[Boolean]("is_identical"))
+    assert(!flags(2L).getAs[Boolean]("is_identical"))
+    assert(flags(2L).getAs[Boolean]("chosen_longer"))
+    assert(flags(4L).getAs[Boolean]("is_identical")) // both normalize to ""
+    assert(flags(4L).getAs[Long]("chosen_words") == 0)
+    val audit = Preference.pairAudit(
+      Preference.pairFlags(pairs, "chosen", "rejected")).head()
+    assert(audit.getAs[Long]("n_pairs") == 4)
+    assert(audit.getAs[Long]("n_identical") == 2)
+    assert(audit.getAs[Long]("n_chosen_longer") == 1)
+    assert(audit.getAs[Double]("chosen_longer_rate") == 0.25)
+    // empty input: zero counts, null rate, head() well-defined
+    val e = Preference.pairAudit(Preference.pairFlags(
+      pairs.limit(0), "chosen", "rejected")).head()
+    assert(e.getAs[Long]("n_pairs") == 0 &&
+      e.isNullAt(e.fieldIndex("chosen_longer_rate")))
+  }
 }

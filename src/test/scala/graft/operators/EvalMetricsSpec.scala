@@ -66,6 +66,48 @@ class EvalMetricsSpec extends SparkSpec {
     assert(math.abs(brier - expected) < 1e-15)
   }
 
+  test("fleissKappa matches the exact hand-computed 3-rater panel") {
+    // items: A (x,x,x), B (x,x,y), C (y,y,y): sum_sq = 23,
+    // P_bar = 14/18 = 7/9, margins x=5 y=4 -> pe_num = 41,
+    // P_e = 41/81, kappa = (63-41)/(81-41) = 22/40 = 0.55 exactly
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "y")).toDF("item", "label")
+    val r = Metrics.fleissKappa(df, "item", "label", nRaters = 3).head()
+    assert(r.getAs[Long]("n_items") == 3 && r.getAs[Long]("sum_sq") == 23)
+    assert(r.getAs[Long]("pe_num") == 41)
+    assert(math.abs(r.getAs[Double]("p_bar") - 7.0 / 9) < 1e-15)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.55) < 1e-12)
+  }
+
+  test("fleissKappa drops off-panel items; degenerate panels go null") {
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"),
+      ("B", "y"), ("B", "y")).toDF("item", "label") // A has 2, B has 3
+    val r = Metrics.fleissKappa(df, "item", "label", nRaters = 2).head()
+    assert(r.getAs[Long]("n_items") == 1 &&
+      r.getAs[Long]("n_items_dropped") == 1)
+    // unanimous single label on every kept item: pe = 1 -> kappa null
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+    intercept[IllegalArgumentException] {
+      Metrics.fleissKappa(df, "item", "label", nRaters = 1)
+    }
+  }
+
+  test("reciprocalRank: first hit wins, misses null, MRR from the table") {
+    val pred = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "x", 1), (2L, "y", 2),
+      (3L, "q", 1)).toDF("query", "item", "rank")
+    val truth = Seq((1L, "b"), (1L, "c"), (2L, "none"), (3L, "q"),
+      (3L, "q")).toDF("query", "item") // duplicate truth rows collapse
+    val out = Metrics.reciprocalRank(pred, truth, "query", "item", "rank")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("first_hit_rank") == 2 &&
+      out(1L).getAs[Double]("rr") == 0.5)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("rr")))
+    assert(out(3L).getAs[Double]("rr") == 1.0)
+    assert(out(1L).getAs[Long]("n_pred") == 3)
+  }
+
   test("calibrationReport: p = 1.0 lands in the closed top bin; " +
     "out-of-range and null rows are excluded") {
     val df = Seq((Some(1.0), Some(true)), (Some(1.5), Some(true)),
