@@ -3133,5 +3133,34 @@ object Oracles {
         |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
         |    AS DOUBLE) / count(*) AS chosen_longer_rate
         |FROM p""".stripMargin,
+
+    // Closed-form pipeline outcome: survivors are the even non-%3 docs
+    // (odd twins dedup onto their even buddy; base%3==0 dialogues are
+    // refusals), n_tok = a+b+5, response tokens [a+2, n_tok).
+    "q_sft_pipeline" ->
+      """WITH c AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
+        |t AS (SELECT doc_id,
+        |    (3 + doc_id % 7) + (2 + doc_id % 11) + 6 AS n_tok,
+        |    (3 + doc_id % 7) + 3 AS resp_s FROM c),
+        |cum AS (SELECT doc_id, n_tok, resp_s, n_tok AS resp_e,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cend FROM t),
+        |s AS (SELECT *, cend - n_tok AS cstart,
+        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
+        |  FROM cum),
+        |x AS (SELECT doc_id, seq_id,
+        |    greatest(seq_id * 32, cstart) - cstart AS dts,
+        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
+        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
+        |    n_tok, resp_s, resp_e FROM s),
+        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
+        |  FROM x)
+        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
+        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
+        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
+        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
   )
 }

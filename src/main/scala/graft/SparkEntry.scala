@@ -3339,6 +3339,42 @@ object SparkEntry {
           .otherwise(words("v", rw)).as("rejected"))
       Preference.pairAudit(Preference.pairFlags(pairs, "chosen", "rejected"))
     }),
+    // SFT-corpus capstone: conversation JSON through the DECLARATIVE
+    // pipeline (conversation dedup folds each odd spoofed twin into its
+    // even buddy; refusal filter drops every base%3==0 dialogue), then
+    // chatFlatten -> loss-masked packing. The oracle knows the surviving
+    // set and every token count in closed form — it independently checks
+    // the composed dedup -> filter -> flatten -> pack chain end to end.
+    "q_sft_pipeline" -> ((s, dir) => {
+      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val a = (lit(3) + pmod(base, lit(7))).cast("int")
+      val b = (lit(2) + pmod(base, lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val asst = when(base % 3 === 0, lit("I cannot help with that"))
+        .otherwise(concat(lit("sure here is "), words(b)))
+      def spoof(c: Column) =
+        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
+          .otherwise(c)
+      // "q<base>" makes every base's dialogue unique: without it, bases
+      // 154 apart share (a, b) and the conversation dedup CORRECTLY
+      // collapses them cross-base (first oracle draft missed that)
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""),
+        spoof(concat(lit("q"), base, lit(" "), words(a))),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(asst),
+        lit("\"}]"))
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"), msgs.as("text"))
+      val curated = graft.pipeline.CurationPipeline.runJson(corpus,
+        """[{"op": "dedup_conversations"},
+          |{"op": "drop_refusals", "patterns": "i cannot,i'm sorry"}]"""
+          .stripMargin)
+      val flat = Conversations.chatFlatten(curated, "doc_id", "text")
+      Conversations.lossMaskedPack(flat, seqLen = 32)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
+          col("mask_start"), col("mask_end"))
+        .orderBy("doc_id", "seq_id")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -22,13 +22,19 @@ object Conversations {
 
   private val MsgSchema = "array<struct<role:string,content:string>>"
 
+  /** `carryCols`: extra input columns threaded through to the output
+    * unchanged (e.g. a fingerprint computed upstream) — keeps streaming
+    * compositions one stateless map stage instead of a re-join on id.
+    */
   def chatFlatten(df: DataFrame, idCol: String,
-                  messagesCol: String): DataFrame = {
-    val parsed = df.select(col(idCol).as("id"),
+                  messagesCol: String,
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
+    val parsed = df.select(Seq(col(idCol).as("id"),
       from_json(col(messagesCol), org.apache.spark.sql.types.DataType
-        .fromDDL(MsgSchema)).as("__m"))
+        .fromDDL(MsgSchema)).as("__m")) ++ carry: _*)
     val staged = parsed
-      .select(col("id"), col("__m"),
+      .select(Seq(col("id"), col("__m"),
         // coalesce role/content to '' INSIDE the block: a null field would
         // null the whole block, which poisons the prefix-sum starts (null
         // length propagates) while concat_ws silently DROPS the block from
@@ -36,12 +42,12 @@ object Conversations {
         transform(col("__m"), m =>
           concat(coalesce(m.getField("role"), lit("")), lit(": "),
             coalesce(m.getField("content"), lit("")), lit("\n")))
-          .as("__blocks"))
+          .as("__blocks")) ++ carry: _*)
       // 0-based char offset where block i (1-based) starts; length n+1
-      .select(col("id"), col("__m"), col("__blocks"),
+      .select(Seq(col("id"), col("__m"), col("__blocks"),
         aggregate(col("__blocks"), array(lit(0)),
           (acc, b) => concat(acc, array(element_at(acc, -1) + length(b))))
-          .as("__starts"))
+          .as("__starts")) ++ carry: _*)
     val roles = transform(col("__m"), m => m.getField("role"))
     // last assistant turn, 1-based; 0 when absent
     val lastA = {
@@ -50,7 +56,7 @@ object Conversations {
         .otherwise(size(col("__m")) - posFromEnd + 1)
     }
     staged
-      .select(col("id"),
+      .select(Seq(col("id"),
         // concat_ws treats a null array as "" — unparseable JSON should
         // yield a null conversation, not an empty one
         when(col("__m").isNull, lit(null))
@@ -60,8 +66,8 @@ object Conversations {
           .as("n_user"),
         size(filter(col("__m"), m => m.getField("role") === "assistant"))
           .as("n_assistant"),
-        lastA.as("__la"), col("__m"), col("__starts"))
-      .select(col("id"), col("text"), col("n_turns"), col("n_user"),
+        lastA.as("__la"), col("__m"), col("__starts")) ++ carry: _*)
+      .select(Seq(col("id"), col("text"), col("n_turns"), col("n_user"),
         col("n_assistant"),
         when(col("__la") === 0, lit(null)).otherwise(
           element_at(col("__starts"), col("__la").cast("int"))
@@ -71,7 +77,7 @@ object Conversations {
               .getField("role"), lit(""))) + 2).as("response_start"),
         when(col("__la") === 0, lit(null)).otherwise(
           length(coalesce(element_at(col("__m"), col("__la").cast("int"))
-            .getField("content"), lit("")))).as("response_chars"))
+            .getField("content"), lit("")))).as("response_chars")) ++ carry: _*)
   }
 
   /** Role-composition rollup per conversation corpus slice — the dataset
@@ -141,6 +147,25 @@ object Conversations {
       .withColumn("response_words",
         when(resp.isNotNull,
           size(filter(split(resp, "\\s+"), t => length(t) > 0)).cast("long")))
+  }
+
+  /** Column-level refusal flag straight off the messages JSON — the
+    * [[withRefusalFlag]] semantics without requiring a flatten pass
+    * first (for filter pushdown in pipelines/streams): true/false when a
+    * last assistant turn exists and its lowercased content does/doesn't
+    * contain one of `patterns`; null when the JSON is unparseable or no
+    * assistant turn exists. Row-local.
+    */
+  def lastAssistantRefusal(msgs: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    val parsed = from_json(msgs,
+      org.apache.spark.sql.types.DataType.fromDDL(MsgSchema))
+    val asst = filter(parsed, m => m.getField("role") === "assistant")
+    val lastContent = lower(coalesce(
+      element_at(asst, -1).getField("content"), lit("")))
+    val pats = array(patterns.map(p => lit(p.toLowerCase)): _*)
+    when(parsed.isNotNull && size(asst) > 0,
+      exists(pats, p => lastContent.contains(p)))
   }
 
   /** SFT sequence packing with loss-mask spans: run [[chatFlatten]]'s

@@ -38,6 +38,7 @@ object CurationPipeline {
     "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
     "c4_filter", "min_chars",
     "dedup_exact", "sentence_dedup", "split_keep",
+    "dedup_conversations", "drop_refusals",
     "chunk_sentences", "chunk_cdc")
 
   /** Parse a JSON stage array (jackson, on Spark's classpath). */
@@ -116,6 +117,23 @@ object CurationPipeline {
           Dedup.exact(cur, textCol, idCol)
             .filter(!col("is_duplicate"))
             .drop("fingerprint", "is_duplicate")
+        // conversation-corpus stages: the text column holds the
+        // messages-JSON interchange form
+        case "dedup_conversations" =>
+          val fp = graft.operators.Conversations
+            .withConversationFingerprint(cur, textCol, "__conv_fp")
+          val firsts = fp.filter(col("__conv_fp").isNotNull)
+            .groupBy("__conv_fp").agg(min(col(idCol)).as("__first"))
+          fp.join(firsts, Seq("__conv_fp"), "left")
+            .filter(col("__first").isNull || col(idCol) === col("__first"))
+            .drop("__conv_fp", "__first")
+        case "drop_refusals" =>
+          val pats = p("patterns").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          // keep unless POSITIVELY flagged (no assistant turn or
+          // unparseable JSON is not a refusal)
+          cur.filter(!coalesce(graft.operators.Conversations
+            .lastAssistantRefusal(col(textCol), pats), lit(false)))
         case "sentence_dedup" =>
           Dedup.sentenceDedup(cur, idCol, textCol)
             .withColumnRenamed("id", idCol)

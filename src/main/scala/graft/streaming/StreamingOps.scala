@@ -519,4 +519,25 @@ object StreamingOps {
       case None => base
     }
   }
+
+  /** Streaming SFT-ingest twin: flatten chat-message JSON, fingerprint
+    * the normalized dialogue, and flag canned refusals — the full
+    * conversation-intake row in ONE stateless map stage (chatFlatten,
+    * withConversationFingerprint, and withRefusalFlag are all row-local
+    * by construction, so the batch operators ARE the stream operators;
+    * parity is structural, not re-implemented). Cross-batch dedup
+    * composes downstream exactly as dedupExact / bloomNovelOnly do for
+    * plain text — on conv_fp instead of a text fingerprint.
+    */
+  def sftIngestStream(stream: DataFrame, idCol: String, messagesCol: String,
+                      refusalPatterns: Seq[String]): DataFrame = {
+    import graft.operators.Conversations
+    // fingerprint BEFORE the flatten and thread it through via carryCols:
+    // a re-join on id would be a stateful stream-stream join
+    Conversations.withRefusalFlag(
+      Conversations.chatFlatten(
+        Conversations.withConversationFingerprint(stream, messagesCol),
+        idCol, messagesCol, carryCols = Seq("conv_fp")),
+      refusalPatterns)
+  }
 }

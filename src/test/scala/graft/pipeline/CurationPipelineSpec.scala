@@ -109,4 +109,28 @@ class CurationPipelineSpec extends SparkSpec {
         |{"op": "lang_keep", "langs": "en"}]""".stripMargin)
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("conversation stages: dedup folds spoofed twins, refusals drop") {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"hello there"},{"role":"assistant","content":"hi friend"}]"""),
+      (2L, """[{"role":"user","content":"HELLO  THERE"},{"role":"assistant","content":"Hi  Friend"}]"""),
+      (3L, """[{"role":"user","content":"do a thing"},{"role":"assistant","content":"I cannot do that"}]"""),
+      (4L, """[{"role":"user","content":"lonely"}]"""),  // no assistant: kept
+      (5L, "broken json")                                // null fp: kept
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.runJson(df,
+      """[{"op": "dedup_conversations"},
+        |{"op": "drop_refusals", "patterns": "i cannot,i'm sorry"}]"""
+        .stripMargin)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 4L, 5L))
+    // drop_refusals requires its parameter at run time, and unknown ops
+    // still fail at parse time
+    intercept[IllegalArgumentException] {
+      CurationPipeline.runJson(df, """[{"op": "drop_refusals"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.parse("""[{"op": "dedup_conv"}]""")
+    }
+  }
 }

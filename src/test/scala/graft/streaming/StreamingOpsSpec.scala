@@ -574,4 +574,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 3L && r._4 == 30L))
     assert(got.count(_._1 == 4L) == 2)
   }
+
+  test("sftIngestStream: one stateless map stage, batch-parity rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val convs = Seq(
+      (1L, """[{"role":"user","content":"q"},{"role":"assistant","content":"I cannot say"}]"""),
+      (2L, """[{"role":"user","content":"q"},{"role":"assistant","content":"sure thing"}]"""),
+      (3L, "broken"))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.sftIngestStream(input.toDF().toDF("id", "msgs"),
+      "id", "msgs", Seq("i cannot"))
+    val q = out.writeStream.format("memory").queryName("sft_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(convs: _*)
+    q.processAllAvailable()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "conv_fp", "is_refusal", "response_words", "n_turns")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSet
+    val streamed = canon(spark.table("sft_out"))
+    q.stop()
+    val batch = canon(StreamingOps.sftIngestStream(
+      convs.toDF("id", "msgs"), "id", "msgs", Seq("i cannot")))
+    assert(streamed == batch && streamed.size == 3)
+    assert(streamed.exists(r => r._1 == 1L && r._3.contains(true)))
+    assert(streamed.exists(r => r._1 == 3L && r._2.isEmpty))
+  }
 }
