@@ -3162,5 +3162,175 @@ object Oracles {
         |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
         |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
         |FROM y ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q_hubness" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
+        |occ AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occurrence
+        |  FROM r WHERE rnk <= 10 GROUP BY 1)
+        |SELECT e.vec_id, coalesce(occ.k_occurrence, 0) AS k_occurrence
+        |FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT qa.vec_id AS id_a, cb.vec_id + 10000 AS id_b,
+        |    list_sum([qa.v[i] * cb.v[i] FOR i IN range(1, len(qa.v) + 1)])
+        |      / (qa.nrm * cb.nrm) AS cos
+        |  FROM n qa, n cb),
+        |fr AS (SELECT *, row_number() OVER (PARTITION BY id_a
+        |    ORDER BY cos DESC, id_b) AS rnk FROM p),
+        |br AS (SELECT *, row_number() OVER (PARTITION BY id_b
+        |    ORDER BY cos DESC, id_a) AS rnk FROM p),
+        |af AS (SELECT id_a, list_sum(l) / len(l) AS avg_a FROM
+        |  (SELECT id_a, list(cos ORDER BY rnk) AS l FROM fr
+        |   WHERE rnk <= 4 GROUP BY 1)),
+        |ab AS (SELECT id_b, list_sum(l) / len(l) AS avg_b FROM
+        |  (SELECT id_b, list(cos ORDER BY rnk) AS l FROM br
+        |   WHERE rnk <= 4 GROUP BY 1)),
+        |m AS (SELECT f.id_a, f.id_b, f.cos
+        |  FROM fr f JOIN br b ON f.id_a = b.id_a AND f.id_b = b.id_b
+        |  WHERE f.rnk = 1 AND b.rnk = 1)
+        |SELECT m.id_a, m.id_b, round(m.cos, 5) AS cosine,
+        |  round(m.cos / ((af.avg_a + ab.avg_b) / 2), 5) AS margin,
+        |  m.id_b = m.id_a + 10000 AS is_planted
+        |FROM m JOIN af ON m.id_a = af.id_a JOIN ab ON m.id_b = ab.id_b
+        |ORDER BY m.id_a""".stripMargin,
+
+    "q_centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 16 AS bucket,
+        |    [floor(x * 256 + 0.5) / 256 FOR x IN CAST(embedding AS DOUBLE[])] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT bucket, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |d AS (SELECT bucket, i, sum(v[i]) AS s, count(*) AS n
+        |  FROM idx GROUP BY 1, 2),
+        |cents AS (SELECT bucket, max(n) AS n, list(s / n ORDER BY i) AS cv
+        |  FROM d GROUP BY 1)
+        |SELECT c.bucket, CAST(c.n AS BIGINT) AS n,
+        |  CASE WHEN p.cv IS NULL THEN NULL ELSE round(
+        |    list_sum([c.cv[i] * p.cv[i] FOR i IN range(1, len(c.cv) + 1)])
+        |    / (sqrt(list_sum([c.cv[i] * c.cv[i] FOR i IN range(1, len(c.cv) + 1)]))
+        |       * sqrt(list_sum([p.cv[i] * p.cv[i] FOR i IN range(1, len(p.cv) + 1)])))
+        |    , 6) END AS cos_prev
+        |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
+        |ORDER BY c.bucket""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN [array_to_string(toks[i:i+4], ' ')
+        |            FOR i IN range(1, len(toks) - 3)]
+        |      ELSE [] END AS grams FROM t),
+        |h AS (SELECT doc_id,
+        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |  FROM h WHERE len(hs) >= 4),
+        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
+        |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM m),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM fps GROUP BY 1),
+        |cold AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE a.fp IN (SELECT fp FROM cold)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.id_a, pr.id_b, pr.n_shared,
+        |  na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+        |  CAST(pr.n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp) AS coverage
+        |FROM pr JOIN nf na ON pr.id_a = na.doc_id
+        |  JOIN nf nb ON pr.id_b = nb.doc_id
+        |ORDER BY pr.id_a, pr.id_b""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+         |mo AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |sc AS (SELECT qt.doc_id,
+         |    round(sum(ln(1.0 + (st.N - mo.df + 0.5) / (mo.df + 0.5)) * (qt.tf * 2.2)
+         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS s
+         |  FROM qt JOIN mo ON qt.token = mo.token JOIN dl ON qt.doc_id = dl.doc_id, st
+         |  GROUP BY qt.doc_id),
+         |sp AS (SELECT doc_id AS nid,
+         |    row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+         |  FROM sc WHERE s > 0 QUALIFY rnk <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+         |q AS (SELECT * FROM n WHERE vec_id = 7),
+         |dp AS (SELECT c.vec_id AS nid,
+         |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)])
+         |      / (q.nrm * c.nrm) AS cos
+         |  FROM n c, q WHERE c.vec_id <> 7),
+         |dn AS (SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS rnk
+         |  FROM dp QUALIFY rnk <= 20),
+         |u AS (SELECT nid, rnk FROM sp UNION ALL SELECT nid, rnk FROM dn),
+         |f AS (SELECT nid,
+         |    CAST(sum(CAST(floor(1000000000.0 / (60 + rnk)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY 1),
+         |r AS (SELECT nid, n_lists, rrf_micro,
+         |    row_number() OVER (ORDER BY rrf_micro DESC, nid) AS rnk
+         |  FROM f QUALIFY rnk <= 15)
+         |SELECT nid AS id, n_lists, rrf_micro,
+         |  CAST(rrf_micro AS DOUBLE) / 1000000000 AS rrf,
+         |  CAST(rnk AS BIGINT) AS rank
+         |FROM r ORDER BY rank""".stripMargin,
+
+    "q_backtest" ->
+      """WITH e AS (SELECT event_id,
+        |    epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS t
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT unnest(range(0, 8)) AS w),
+        |tr AS (SELECT event_id, w.w AS window_id, 'train' AS role FROM e, w
+        |  WHERE t >= w.w * 259200000000 AND t < w.w * 259200000000 + 604800000000),
+        |te AS (SELECT event_id, w.w AS window_id, 'test' AS role FROM e, w
+        |  WHERE t >= w.w * 259200000000 + 648000000000
+        |    AND t < w.w * 259200000000 + 648000000000 + 172800000000)
+        |SELECT event_id, CAST(window_id AS BIGINT) AS window_id, role
+        |FROM (SELECT * FROM tr UNION ALL SELECT * FROM te)
+        |WHERE event_id IN (SELECT event_id FROM e WHERE t >= 0)
+        |ORDER BY event_id, window_id, role""".stripMargin,
+
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN [array_to_string(toks[i:i+4], ' ')
+        |            FOR i IN range(1, len(toks) - 3)]
+        |      ELSE [] END AS grams FROM t),
+        |h AS (SELECT doc_id,
+        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |  FROM h WHERE len(hs) >= 4),
+        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
+        |p AS (SELECT doc_id,
+        |    CAST(j + list_max([CASE WHEN hs[j + o] = mh THEN o ELSE -1 END
+        |      FOR o IN range(0, 4)]) AS BIGINT) AS pos,
+        |    mh AS fp FROM m)
+        |SELECT DISTINCT doc_id, pos, fp FROM p
+        |ORDER BY doc_id, pos""".stripMargin,
   )
 }

@@ -3375,6 +3375,102 @@ object SparkEntry {
           col("mask_start"), col("mask_end"))
         .orderBy("doc_id", "seq_id")
     }),
+    // Hubness diagnostic: k-occurrence counts over the exact top-10
+    // graph — same dot-product determinism contract as q_cosine_topk.
+    "q_hubness" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val topk = Similarity.bruteForceTopK(e, e, "vec_id", "v", k = 10)
+      Similarity.kOccurrence(topk, e, "vec_id").orderBy("vec_id")
+    }),
+
+    // Margin-based mutual-NN bitext mining: corpus B is corpus A under
+    // disjoint ids, so every mutual top-1 must recover its planted twin
+    // with margin >= 1 (cosine 1.0 against a <1 neighborhood average).
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.select(col("vec_id").as("id"), col("v"))
+      val b = e.select((col("vec_id") + 10000).as("id"), col("v"))
+      Similarity.mutualTopMatches(a, b, "id", "v", k = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 5).as("cosine"),
+          round(col("margin"), 5).as("margin"),
+          (col("id_b") === col("id_a") + 10000).as("is_planted"))
+        .orderBy("id_a")
+    }),
+
+    // Embedding-centroid drift across ordered buckets — dyadic-quantized
+    // vectors make the per-dimension sums exact in any order (the
+    // q_embed_cov contract); the cosine chain is fixed-association folds,
+    // rounded at 6 on both sides (libm boundary convention).
+    "q_centroid_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select((col("vec_id") % 16).as("bucket"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 256 + 0.5) / 256).as("v"))
+      Diagnostics.centroidDrift(e, "v", "bucket")
+        .select(col("bucket"), col("n"),
+          round(col("cos_prev"), 6).as("cos_prev"))
+        .orderBy("bucket")
+    }),
+    // Winnowing fingerprints (MOSS): window-minimum sampling of the gram
+    // hash stream — md5-prefix hashes are engine-portable, the argmin
+    // fold and the oracle's max-tie-index agree on rightmost ties.
+    "q_winnow" -> ((s, dir) => {
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          k = 5, window = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Winnowing pair mining: shared-fingerprint counts + directional
+    // coverage — exact long counts, one exact-ratio division.
+    "q_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 5, window = 4, minShared = 2, maxFpDocFreq = 100)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("n_fp_a"),
+          col("n_fp_b"), col("coverage"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Hybrid retrieval: RRF fusion of a BM25 lexical ranking (round-6
+    // scores — the q_bm25 cross-engine contract — tie-broken by id) and
+    // an exact dense cosine ranking. Contributions are the quantized
+    // longs floor(1e9/(60+rank)), so the fused order is engine-exact.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sparse = Similarity.topKRanking(
+        TextAnalysis.bm25Score(docs, "doc_id", "text", "spark merge batch")
+          .select(lit(0L).as("q"), col("id"),
+            round(col("bm25"), 6).as("s"))
+          .filter(col("s") > 0), "q", "id", "s", k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val dense = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 7), "vec_id", "v", k = 20)
+        .select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(Seq(sparse, dense), "query_id", "neighbor_id",
+          "rank", kConst = 60, topK = 15)
+        .select(col("neighbor_id").as("id"), col("n_lists"),
+          col("rrf_micro"), col("rrf"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // Rolling-origin backtest with a 12 h embargo: pure int64-microsecond
+    // window arithmetic over events — every (row, window, role)
+    // membership is closed-form, so the oracle is an independent
+    // restatement of the same ranges.
+    "q_backtest" -> ((s, dir) => {
+      val day = 86400000000L
+      Sampling.rollingBacktestAssign(Tables.events(s, dir), "ts", "event_id",
+          "2024-01-01 00:00:00", trainLenUs = 7 * day, testLenUs = 2 * day,
+          stepUs = 3 * day, nWindows = 8, embargoUs = day / 2)
+        .orderBy("event_id", "window_id", "role")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -1130,4 +1130,117 @@ object Dedup {
     }
     best
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every `k`-token gram, slide a window of
+    * `window` consecutive gram hashes, and select each window's MINIMUM
+    * hash (rightmost on ties). The guarantee that makes this the standard
+    * local-similarity fingerprint: any shared substring of at least
+    * k + window - 1 tokens contributes at least one IDENTICAL selected
+    * fingerprint to both documents, while the expected density is only
+    * 2/(window+1) — a position-robust sample of the document, unlike
+    * fixed-stride sampling (which an insertion shifts) or MinHash (which
+    * is global, not local).
+    *
+    * Returns (id, pos — 1-based gram index, fp) with consecutive-window
+    * duplicate selections collapsed (the classic output). The hash is the
+    * engine-portable md5-prefix (the [[Sampling.hashBucket]] family), so
+    * fingerprints match across engines and runs. Pair mining downstream
+    * is a plain equi-join on fp — the same banded-join altitude as every
+    * other candidate generator here.
+    *
+    * Scale: entirely row-local (token/gram/hash arrays are staged as
+    * materialized projection columns per the HOF-once rule; the window
+    * argmin is an O(window) fold per position). Cost O(n_tokens x window)
+    * per document, one map stage, no shuffle.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(window >= 1, s"bad window $window")
+    val toksDf = FanOut(df).select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+        .as("__toks"))
+    val gramsDf = toksDf.select(col("id"),
+      when(size(col("__toks")) >= k,
+        transform(sequence(lit(1), size(col("__toks")) - k + 1),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(k)))))
+        .otherwise(array().cast("array<string>")).as("__grams"))
+    val hashDf = gramsDf.select(col("id"),
+      transform(col("__grams"), g =>
+        conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__h"))
+    // per window start j (1-based): argmin over hashes[j .. j+window-1],
+    // RIGHTMOST position wins ties (<= replace in the left-to-right fold).
+    // The hash array is LET-BOUND via the transform-over-singleton trick:
+    // the fold references __h window times per window position, and
+    // CollapseProject would inline the whole md5-gram chain at every
+    // element_at — O(len x window) md5-array builds per document
+    // (measured: q_winnow alone >540 s at sf0.1; 2.6 s after this fix).
+    // A lambda variable binds ONCE (the q_code_switch lesson).
+    val selected = hashDf.select(col("id"),
+      element_at(transform(array(col("__h")), hs =>
+        when(size(hs) >= window,
+          array_distinct(transform(
+            sequence(lit(1), size(hs) - window + 1),
+            j => aggregate(sequence(lit(0L), lit(window - 1L)),
+              struct(lit(0L).as("pos"), lit(Long.MaxValue).as("h")),
+              (acc, o) => {
+                val cand = element_at(hs, (j + o).cast("int"))
+                when(cand <= acc.getField("h"),
+                  struct((j + o).cast("long").as("pos"), cand.as("h")))
+                  .otherwise(acc)
+              }))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))),
+        1).as("__sel"))
+    selected.select(col("id"), explode(col("__sel")).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.h").as("fp"))
+  }
+
+  /** Local-overlap pair mining over [[winnowFingerprints]] — the MOSS
+    * report stage: candidate pairs are documents sharing at least one
+    * selected fingerprint, scored by how many DISTINCT fingerprints they
+    * share and by coverage = n_shared / min(n_fp) (the fraction of the
+    * smaller document's fingerprint set that also appears in the other —
+    * the winnowing analog of directional containment, which catches a
+    * small document pasted into a large one where symmetric Jaccard
+    * dilutes away). Returns (id_a, id_b, n_shared, n_fp_a, n_fp_b,
+    * coverage) with id_a < id_b and n_shared >= minShared.
+    *
+    * Scale: the join key is the fingerprint itself — winnowing already
+    * sampled the gram stream down to ~2/(window+1) density, so the
+    * candidate join is that much cheaper than shingle-grain joins. A
+    * fingerprint appearing in more than `maxFpDocFreq` documents is
+    * boilerplate (license headers, navigation chrome) and is dropped
+    * before pairing — the hot-shingle cap rule every pair generator here
+    * follows: without it one fingerprint shared by 10^5 docs emits
+    * C(10^5, 2) candidate rows from a single bucket.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, window: Int = 4, minShared: Int = 2,
+                  maxFpDocFreq: Int = 100): DataFrame = {
+    require(minShared >= 1, s"bad minShared $minShared")
+    require(maxFpDocFreq >= 2, s"bad maxFpDocFreq $maxFpDocFreq")
+    // pair grain wants the fingerprint SET: collapse repeated window
+    // selections of the same hash within one document first
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("id"), col("fp")).distinct()
+    val nFp = fps.groupBy("id").agg(count(lit(1)).as("__n_fp"))
+    val cold = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFpDocFreq).select("fp"), Seq("fp"))
+    val pairs = cold.select(col("fp"), col("id").as("id_a"))
+      .join(cold.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(nFp.select(col("id").as("id_a"), col("__n_fp").as("n_fp_a")),
+        Seq("id_a"))
+      .join(nFp.select(col("id").as("id_b"), col("__n_fp").as("n_fp_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_fp_a"),
+        col("n_fp_b"),
+        (col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+          .as("coverage"))
+  }
 }

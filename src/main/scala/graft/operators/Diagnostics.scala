@@ -523,4 +523,47 @@ object Diagnostics {
           |  'median_doc_tokens', median_doc_tokens) AS (metric, value)"""
           .stripMargin)
   }
+
+  /** Embedding-centroid drift per ordered bucket (ingest day, crawl
+    * snapshot, shard id): the semantic sibling of the KLL score-drift
+    * monitor — a corpus whose day-over-day centroid cosine drops is
+    * changing TOPIC, which no scalar quality score sees. Returns one row
+    * per bucket: (bucket, n, cos_prev — cosine between this bucket's
+    * centroid and the previous bucket's, null for the first bucket or a
+    * zero-norm side).
+    *
+    * Determinism: per-dimension sums aggregate at (bucket, dim) grain;
+    * centroids re-assemble via array_sort(collect_list(struct(dim, c)))
+    * and the dot/norm reductions are aggregate() FOLDS over those
+    * index-ordered arrays — fixed association, so with dyadic-quantized
+    * inputs the whole chain is engine-exact (the q_embed_cov contract).
+    *
+    * Scale: state is (buckets x dims), never corpus-sized; the
+    * consecutive-bucket attach is an equi join on bucket-1.
+    */
+  def centroidDrift(df: DataFrame, vecCol: String,
+                    bucketCol: String): DataFrame = {
+    val dims = df.select(col(bucketCol).cast("long").as("bucket"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .groupBy("bucket", "__i")
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+    val cents = dims
+      .groupBy("bucket")
+      .agg(max(col("__n")).as("n"),
+        array_sort(collect_list(struct(col("__i"), (col("__s") / col("__n"))
+          .as("__c")))).as("__iv"))
+      .select(col("bucket"), col("n"),
+        transform(col("__iv"), e => e.getField("__c")).as("__v"))
+    def fdot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val prev = cents.select((col("bucket") + 1).as("bucket"),
+      col("__v").as("__pv"))
+    cents.join(prev, Seq("bucket"), "left")
+      .select(col("bucket"), col("n"), {
+        val nn = sqrt(fdot(col("__v"), col("__v"))) *
+          sqrt(fdot(col("__pv"), col("__pv")))
+        when(col("__pv").isNull || nn === 0, lit(null))
+          .otherwise(fdot(col("__v"), col("__pv")) / nn).as("cos_prev")
+      })
+  }
 }

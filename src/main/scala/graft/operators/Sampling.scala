@@ -387,4 +387,63 @@ object Sampling {
         when(col("__tot") === 0, lit(null))
           .otherwise(col("expected") / col("__tot")).as("realized_share"))
   }
+
+  /** Rolling-origin backtest assignment — the time-series analog of the
+    * leakage-safe split: window w trains on
+    * [origin + w*step, +trainLen) and tests on the NEXT [.., +testLen)
+    * slice, so the model is only ever evaluated on data strictly after
+    * everything it trained on (walk-forward validation; a plain random
+    * split on temporal data leaks the future into training). An optional
+    * `embargo` gap between the train and test ranges excludes the
+    * boundary region where labels computed from forward-looking windows
+    * (returns, churn-within-30d) would straddle the cut (the purged-
+    * cross-validation rule, de Prado 2018).
+    *
+    * All arithmetic is exact int64 microseconds — a row at time t maps to
+    * its eligible window range [wLo, wHi] per role in closed form, and
+    * only those (window, role) rows are EMITTED: cost is linear in the
+    * output (rows x overlapping windows, ~trainLen/step per row), never
+    * rows x nWindows. Rows before `originTs` or beyond the last window
+    * belong to no fold and disappear. Returns input id + (window_id,
+    * role 'train'|'test').
+    */
+  def rollingBacktestAssign(df: DataFrame, tsCol: String, idCol: String,
+                            originTs: String, trainLenUs: Long,
+                            testLenUs: Long, stepUs: Long, nWindows: Int,
+                            embargoUs: Long = 0L): DataFrame = {
+    require(trainLenUs > 0 && testLenUs > 0 && stepUs > 0,
+      s"bad window lengths ($trainLenUs, $testLenUs, $stepUs)")
+    require(nWindows >= 1, s"bad nWindows $nWindows")
+    require(embargoUs >= 0, s"bad embargo $embargoUs")
+    val t = (unix_micros(col(tsCol)) -
+      unix_micros(to_timestamp(lit(originTs)))).as("__t")
+    // exact floor division on longs: subtract the POSITIVE remainder
+    // (pmod), leaving an exact multiple of d; the double division of
+    // that multiple is exact while |n| < 2^53 us — data within ~285
+    // years of `originTs`, which the relative `__t` guarantees for any
+    // sane origin choice. (Plain long `div` truncates toward zero and
+    // would mis-bin the negative pre-window numerators by one.)
+    def floorDiv(n: Column, d: Long): Column =
+      ((n - pmod(n, lit(d))) / d).cast("long")
+    // window w covers role [off, off+len) at offset off from w*stepUs;
+    // eligible w: (t - off - len)/step < w <= (t - off)/step, clamped
+    def windowsFor(off: Long, len: Long) = {
+      val lo = greatest(lit(0L), floorDiv(col("__t") - off - len, stepUs) + 1)
+      val hi = least(lit(nWindows - 1L), floorDiv(col("__t") - off, stepUs))
+      when(col("__t") >= off && lo <= hi, sequence(lo, hi))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val testOff = trainLenUs + embargoUs
+    df.select(col(idCol), t)
+      .filter(col("__t").isNotNull && col("__t") >= 0)
+      .select(col(idCol),
+        explode(concat(
+          transform(windowsFor(0L, trainLenUs),
+            w => struct(w.as("window_id"), lit("train").as("role"))),
+          transform(windowsFor(testOff, testLenUs),
+            w => struct(w.as("window_id"), lit("test").as("role")))))
+          .as("__wr"))
+      .select(col(idCol), col("__wr.window_id").as("window_id"),
+        col("__wr.role").as("role"))
+  }
 }

@@ -87,6 +87,64 @@ object Similarity {
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Hubness diagnostic over a top-k table: how often each corpus row
+    * appears in OTHER rows' top-k (its k-occurrence). High-dimensional
+    * embedding spaces concentrate retrieval mass on a few hub points
+    * (Radovanović et al. 2010) — a hub that appears in thousands of
+    * result lists is the ANN analog of a skewed join key, and the same
+    * remedy applies (cap, reweight, or drop). Rows never retrieved get
+    * k_occurrence 0 (anti-hubs — unreachable corpus is wasted corpus).
+    *
+    * One groupBy on neighbor_id + one null-safe left attach — runs on any
+    * (query_id, neighbor_id) table from the exact or ANN paths.
+    */
+  def kOccurrence(topk: DataFrame, corpus: DataFrame,
+                  idCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"))
+      .join(topk.groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("__k_occ")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__k_occ"), lit(0L)).as("k_occurrence"))
+
+  /** Margin-based mutual-nearest-neighbor mining between two embedding
+    * corpora — the bitext-alignment primitive (Artetxe & Schwenk 2019):
+    * a pair (x in A, y in B) is emitted when y is x's top-1 in B AND x is
+    * y's top-1 in A, scored by the margin ratio
+    * cos(x,y) / ((avgTopK(x->B) + avgTopK(y->A)) / 2) — mutual matches
+    * with margin near 1 are hubs coincidentally close to everything;
+    * genuine translations/duplicates score well above their neighborhood
+    * average. Returns (id_a, id_b, cosine, margin).
+    *
+    * The two corpora must use disjoint id spaces (the top-k machinery
+    * excludes same-id self matches). Determinism: the k neighbor cosines
+    * of one query are emitted by one explode in rank order and partially
+    * aggregated in that order, so the averages are fixed-association.
+    *
+    * Scale: two [[bruteForceTopK]] calls (swap in an ANN path for 10^9
+    * rows — the mutual/margin algebra is identical), two query-grain
+    * aggregates, equi joins only.
+    */
+  def mutualTopMatches(a: DataFrame, b: DataFrame, idCol: String,
+                       vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val fwd = bruteForceTopK(b, a, idCol, vecCol, k)
+    val bwd = bruteForceTopK(a, b, idCol, vecCol, k)
+    val avgF = fwd.groupBy(col("query_id").as("id_a"))
+      .agg((sum(col("cosine")) / count(lit(1))).as("__avg_a"))
+    val avgB = bwd.groupBy(col("query_id").as("id_b"))
+      .agg((sum(col("cosine")) / count(lit(1))).as("__avg_b"))
+    val f1 = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val b1 = bwd.filter(col("rank") === 1)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    f1.join(b1, Seq("id_a", "id_b")) // mutual top-1 both directions
+      .join(avgF, Seq("id_a")).join(avgB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        (col("cosine") / ((col("__avg_a") + col("__avg_b")) / 2))
+          .as("margin"))
+  }
+
   /** Exact re-score ("rerank") of an ANN candidate list — stage two of the
     * standard retrieval cascade: a cheap approximate stage (LSH / IVF / PQ)
     * proposes k' candidates per query and this stage scores ONLY those
@@ -737,5 +795,90 @@ object Similarity {
   def pqDecode(model: PqModel, codes: Seq[Int]): Array[Double] = {
     require(codes.length == model.m, s"expected ${model.m} codes, got ${codes.length}")
     codes.zipWithIndex.flatMap { case (c, j) => model.codebooks(j)(c) }.toArray
+  }
+
+  /** Generic per-query top-k ranking of a scored candidate table —
+    * the public face of the bounded-heap rank used by every ANN path
+    * here: (query, id, score) in, (query_id, neighbor_id, score, rank)
+    * out, rank 1 = highest score, ties broken by smaller id. Map-side
+    * k-entry heaps per query, never a sort window over the scored set —
+    * the property that makes "rank 10^9 scored candidates per query"
+    * safe. Ids must be (castable to) int64, the corpus-wide convention.
+    */
+  def topKRanking(scored: DataFrame, queryCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
+    def topk(key: Column, id: Column): Column = ColumnBridge.column(
+      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+    val idType = scored.schema(idCol).dataType
+    scored
+      .select(col(queryCol).as("query_id"),
+        (-col(scoreCol).cast("double")).as("__neg"),
+        col(idCol).cast("long").as("__nid"))
+      .groupBy("query_id")
+      .agg(topk(col("__neg"), col("__nid")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e._2").cast(idType).as("neighbor_id"),
+        (-col("__e._1")).as("score"), (col("__pos") + 1).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * N ranked candidate lists per query — the standard hybrid-retrieval
+    * combiner (BM25 + dense ANN, or several ANN indexes): each list
+    * contributes 1/(kConst + rank) for each candidate it ranked, and
+    * candidates are re-ranked by the summed score. Robust to incomparable
+    * score scales because only RANKS cross lists.
+    *
+    * Determinism contract: the per-list contribution is quantized to an
+    * exact long, floor(scale / (kConst + rank)) — for rank + kConst below
+    * ~10^6 the double division is provably more than an ulp away from the
+    * next integer, so floor is engine-exact (the q_temperature_mix
+    * integer-quantization pattern) — and long sums are order-independent,
+    * so the fused ranking is reproducible across engines and runs.
+    * `rrf` = rrf_micro / scale is the conventional float score derived
+    * from that exact sum by one correctly-rounded division.
+    *
+    * Each input needs (queryCol, idCol, rankCol) with rank >= 1; a
+    * candidate listed twice in one list counts once at its best rank.
+    * Returns (query_id, neighbor_id, n_lists, rrf_micro, rrf, rank) with
+    * rank 1..topK per query by (rrf_micro desc, neighbor_id asc).
+    *
+    * Scale: one union (map-side), one (list, query, id) best-rank
+    * aggregate, one (query, id) sum, then the bounded-heap ranking —
+    * no rank window, no driver state; the post-heap attach of n_lists
+    * and scores is an equi join of a topK-bounded set.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, kConst: Int = 60, topK: Int = 10,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0, s"bad kConst $kConst")
+    require(scale >= 1000, s"bad scale $scale")
+    val idType = rankings.head.schema(idCol).dataType
+    val parts = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(lit(i).as("__list"), col(queryCol).as("query_id"),
+        col(idCol).cast("long").as("__nid"),
+        col(rankCol).cast("long").as("__rank"))
+    }
+    val best = parts.reduce(_.union(_))
+      .filter(col("__rank") >= 1)
+      .groupBy("__list", "query_id", "__nid")
+      .agg(min(col("__rank")).as("__r"))
+    val fused = best
+      .select(col("query_id"), col("__nid"),
+        floor(lit(scale.toDouble) / (lit(kConst) + col("__r")))
+          .cast("long").as("__c"))
+      .groupBy("query_id", "__nid")
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    topKRanking(fused.withColumn("__score",
+        col("rrf_micro").cast("double")), "query_id", "__nid", "__score", topK)
+      .select(col("query_id"), col("neighbor_id").as("__nid"), col("rank"))
+      .join(fused, Seq("query_id", "__nid"))
+      .select(col("query_id"), col("__nid").cast(idType).as("neighbor_id"),
+        col("n_lists"), col("rrf_micro"),
+        (col("rrf_micro").cast("double") / scale).as("rrf"),
+        col("rank").cast("long").as("rank"))
   }
 }

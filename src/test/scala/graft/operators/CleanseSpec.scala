@@ -337,4 +337,39 @@ class CleanseSpec extends SparkSpec {
     assert(k0 == k0b, "epoch key must be deterministic")
     assert(k0 != k1, "different epochs must produce different orders")
   }
+
+  test("rollingBacktestAssign: walk-forward ranges, embargo gap, clamps") {
+    val hour = 3600000000L
+    // windows: step 2h, train 3h, embargo 1h, test 1h, nWindows = 3
+    //   w0 train [0,3h)  test [4h,5h)
+    //   w1 train [2h,5h) test [6h,7h)
+    //   w2 train [4h,7h) test [8h,9h)
+    val rows = Seq(
+      (1L, "2024-03-01 00:30:00"), // w0 train only
+      (2L, "2024-03-01 02:30:00"), // w0+w1 train
+      (3L, "2024-03-01 04:30:00"), // w1+w2 train AND w0 test
+      (4L, "2024-03-01 03:30:00"), // embargo of w0, w1 train
+      (5L, "2024-03-01 08:30:00"), // w2 test only
+      (6L, "2024-03-01 23:00:00"), // beyond every window
+      (7L, "2024-02-29 23:00:00"), // before origin: dropped
+    ).toDF("event_id", "s").select(col("event_id"),
+      to_timestamp(col("s")).as("ts"))
+    val out = Sampling.rollingBacktestAssign(rows, "ts", "event_id",
+        "2024-03-01 00:00:00", trainLenUs = 3 * hour, testLenUs = hour,
+        stepUs = 2 * hour, nWindows = 3, embargoUs = hour)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 0L, "train"),
+      (2L, 0L, "train"), (2L, 1L, "train"),
+      (3L, 1L, "train"), (3L, 2L, "train"), (3L, 0L, "test"),
+      (4L, 1L, "train"),
+      (5L, 2L, "test")), s"got $out")
+    // leakage property over the exhaustive set: no id is simultaneously
+    // in window w's train AND in any test of a window <= w (walk-forward:
+    // test data is strictly after every train range of its window)
+    for ((id, w, role) <- out if role == "test";
+         (id2, w2, role2) <- out if role2 == "train" && id2 == id)
+      assert(w2 > w, s"row $id trains in w$w2 but tests in w$w")
+  }
 }

@@ -587,4 +587,111 @@ class DedupSimilaritySpec extends SparkSpec {
     val ps = (0 to 10).map(i => Dedup.lshCollisionProb(i / 10.0, 16, 8))
     assert(ps.sliding(2).forall { case Seq(a, b) => b >= a })
   }
+
+  test("kOccurrence counts retrievals, zero-fills anti-hubs") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val topk = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L))
+      .toDF("query_id", "neighbor_id")
+    val out = graft.operators.Similarity.kOccurrence(topk, corpus, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
+  }
+
+  test("winnowing: the k+w-1 shared-run guarantee and shift robustness") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"one two three $run four five six seven eight nine"),
+      (2L, s"different prefix words here $run and a changed tail ending"),
+      (3L, "totally unrelated content with nothing shared at all here now"),
+      (4L, "tiny doc"), // fewer grams than the window: no fingerprints
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // guarantee: an 8-token shared run (= k + window - 1) forces at least
+    // one identical selected fingerprint in both documents
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"shared-run guarantee violated: ${byDoc(1L)} vs ${byDoc(2L)}")
+    assert((byDoc(1L) intersect byDoc.getOrElse(3L, Set.empty)).isEmpty)
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // positions are 1-based gram indices within each document
+    assert(fp.filter(_._1 == 1L).forall(t => t._2 >= 1))
+    // density: roughly 2/(w+1) of windows select a distinct fingerprint —
+    // sanity bound, not exact (duplicates collapse)
+    assert(byDoc(1L).size >= 2)
+  }
+
+  test("winnowPairs scores shared fingerprints; boilerplate fps dropped") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $run four five six seven eight nine ten more"),
+      (2L, s"other prefix stuff here $run and a different tail close out"),
+      (3L, "nothing in common with anybody else in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 5, window = 4,
+      minShared = 1, maxFpDocFreq = 100).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    val (nShared, nA, nB) = (p.getLong(2), p.getLong(3), p.getLong(4))
+    assert(nShared >= 1 && nShared <= math.min(nA, nB))
+    assert(math.abs(p.getDouble(5) - nShared.toDouble / math.min(nA, nB))
+      < 1e-15)
+    // boilerplate guard: 4 identical docs, cap 2 -> every shared fp is
+    // hot, no pairs survive
+    val boiler = (1L to 4L).map(i =>
+      (i, "the exact same license header text repeated verbatim each time"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text", k = 5, window = 4,
+      minShared = 1, maxFpDocFreq = 2).count() == 0)
+  }
+
+  test("rrfFuse: quantized contributions, best-rank dedup, tie by id") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), (0L, 10L, 5L))
+      .toDF("q", "id", "r") // id 10 listed twice: best rank wins
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L)).toDF("q", "id", "r")
+    val out = graft.operators.Similarity
+      .rrfFuse(Seq(a, b), "q", "id", "r", kConst = 60, topK = 3)
+      .collect().map(r => (r.getLong(5), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // floor(1e9/61)=16393442, /62=16129032, /63=15873015
+    assert(out.toSeq == Seq(
+      (1L, 11L, 2L, 16393442L + 16129032L),
+      (2L, 10L, 1L, 16393442L),
+      (3L, 13L, 1L, 16129032L)), s"got ${out.toSeq}")
+    // exact tie on score -> smaller id first
+    val t1 = Seq((0L, 5L, 1L), (0L, 3L, 1L)).toDF("q", "id", "r")
+    val tie = graft.operators.Similarity
+      .rrfFuse(Seq(t1.filter(col("id") === 5), t1.filter(col("id") === 3)),
+        "q", "id", "r", kConst = 60, topK = 2)
+      .collect().map(r => (r.getLong(5), r.getLong(1))).sortBy(_._1)
+    assert(tie.toSeq == Seq((1L, 3L), (2L, 5L)))
+  }
+
+  test("mutualTopMatches recovers planted twins with margin > 1") {
+    import spark.implicits._
+    // A: three well-separated directions; B: identical copies under
+    // disjoint ids plus one decoy that is nobody's mutual match
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val a = dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val b = dirs.zipWithIndex.map { case (v, i) => (100L + i, v) } :+
+      ((103L, Array(0.6, 0.56, 0.57)))
+    val bdf = b.toDF("id", "v")
+    val m = graft.operators.Similarity
+      .mutualTopMatches(a, bdf, "id", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(0L, 1L, 2L))
+    m.foreach { case (ida, r) =>
+      assert(r.getLong(1) == 100L + ida, s"wrong twin for $ida: $r")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+      assert(r.getAs[Double]("margin") > 1.0, s"margin not > 1: $r")
+    }
+  }
 }

@@ -404,6 +404,77 @@ class DegenerateArgsSpec extends SparkSpec {
     }
   }
 
+  // ---- r7 s3 additions: winnow / rrf / backtest / drift ------------------
+  test("winnowFingerprints/winnowPairs: empty, null text, boundary params") {
+    assert(Dedup.winnowFingerprints(emptyDocs, "doc_id", "text").count() == 0)
+    // null and sub-k texts produce no fingerprints, never throw
+    assert(Dedup.winnowFingerprints(nullDoc, "doc_id", "text").count() == 0)
+    // window=1 selects every gram hash (density 1): legal boundary
+    val w1 = Dedup.winnowFingerprints(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, window = 1)
+    assert(w1.count() == 2) // 2 grams, each its own window
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(nullDoc, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairs(nullDoc, "doc_id", "text", minShared = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairs(nullDoc, "doc_id", "text", maxFpDocFreq = 1)
+    }
+    assert(Dedup.winnowPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("rrfFuse/topKRanking/kOccurrence: empty lists, bad params") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("q", "id", "r")
+    assert(Similarity.rrfFuse(Seq(empty), "q", "id", "r").count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq.empty, "q", "id", "r")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(empty), "q", "id", "r", kConst = -1)
+    }
+    // rank 0 / negative ranks are dropped, not folded into the sum
+    val bad = Seq((0L, 1L, 0L), (0L, 2L, 1L)).toDF("q", "id", "r")
+    val kept = Similarity.rrfFuse(Seq(bad), "q", "id", "r").collect()
+    assert(kept.map(_.getLong(1)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Similarity.topKRanking(empty, "q", "id", "r", k = 0)
+    }
+    // kOccurrence on an empty topk table zero-fills the whole corpus
+    val corpus = Seq(1L, 2L).toDF("vec_id")
+    val occ = Similarity.kOccurrence(
+      Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id"), corpus,
+      "vec_id")
+    assert(occ.collect().map(_.getLong(1)).forall(_ == 0L))
+  }
+
+  test("rollingBacktestAssign/centroidDrift: empty, nulls, bad params") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, null.asInstanceOf[java.sql.Timestamp])).toDF("event_id", "ts")
+    // null ts rows vanish; nWindows=1 legal
+    val out = Sampling.rollingBacktestAssign(ev, "ts", "event_id",
+      "2024-01-01 00:00:00", 86400000000L * 7, 86400000000L, 86400000000L, 1)
+    assert(out.collect().map(_.getLong(0)).forall(_ == 1L))
+    intercept[IllegalArgumentException] {
+      Sampling.rollingBacktestAssign(ev, "ts", "event_id", "2024-01-01",
+        0L, 1L, 1L, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rollingBacktestAssign(ev, "ts", "event_id", "2024-01-01",
+        1L, 1L, 1L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rollingBacktestAssign(ev, "ts", "event_id", "2024-01-01",
+        1L, 1L, 1L, 1, embargoUs = -1L)
+    }
+    // centroidDrift: single bucket -> one row, cos_prev null
+    val one = Diagnostics.centroidDrift(
+      Seq((5L, Array(1.0, 2.0))).toDF("b", "v"), "v", "b").collect()
+    assert(one.length == 1 && one.head.isNullAt(2))
+  }
+
   // ---- AsOfJoin ----------------------------------------------------------
   test("AsOfJoin: empty right side yields null payloads") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))

@@ -404,4 +404,30 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(m(1).isNullAt(4)) // no truth -> recall null
     assert(m(2).isNullAt(5)) // no pred -> precision null
   }
+
+  test("centroidDrift: identical buckets cos 1, orthogonal cos 0, " +
+    "first bucket null") {
+    import spark.implicits._
+    val rows =
+      // bucket 0 and 1: identical centroids along x; bucket 2: along y
+      Seq((0L, Array(2.0, 0.0)), (0L, Array(4.0, 0.0)),
+        (1L, Array(3.0, 0.0)),
+        (2L, Array(0.0, 5.0)), (2L, Array(0.0, 1.0)))
+        .toDF("bucket", "v")
+    val out = graft.operators.Diagnostics.centroidDrift(rows, "v", "bucket")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).isNullAt(2))
+    assert(out(0L).getAs[Long]("n") == 2)
+    assert(math.abs(out(1L).getAs[Double]("cos_prev") - 1.0) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("cos_prev")) < 1e-12)
+    // empty input: no rows, no throw
+    assert(graft.operators.Diagnostics
+      .centroidDrift(rows.limit(0), "v", "bucket").count() == 0)
+    // a zero-norm centroid yields null, not NaN
+    val z = Seq((0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)))
+      .toDF("bucket", "v")
+    val zr = graft.operators.Diagnostics.centroidDrift(z, "v", "bucket")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(zr(1L).isNullAt(2))
+  }
 }
