@@ -3223,6 +3223,31 @@ object Oracles {
         |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
         |ORDER BY c.bucket""".stripMargin,
 
+    "q_linkage" -> {
+      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
+      def w(m: Double, u: Double, agree: String) =
+        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
+          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
+         |  FROM customer),
+         |p AS (SELECT a.k AS id_a, b.k AS id_b,
+         |    a.seg = b.seg AS seg_agree,
+         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
+         |    a.d = b.d AS name_agree
+         |  FROM c a JOIN c b ON a.nat = b.nat
+         |    AND b.k > a.k AND b.k <= a.k + 20),
+         |s AS (SELECT *,
+         |    ${w(0.9, 0.25, "seg_agree")}
+         |      + ${w(0.85, 0.05, "bal_agree")}
+         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
+         |SELECT id_a, id_b, seg_agree, bal_agree, name_agree, weight,
+         |  CASE WHEN weight >= 4.0 THEN 'match'
+         |       WHEN weight >= -2.0 THEN 'possible'
+         |       ELSE 'non_match' END AS decision
+         |FROM s ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q_winnow_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

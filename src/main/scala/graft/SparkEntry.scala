@@ -3471,6 +3471,33 @@ object SparkEntry {
           stepUs = 3 * day, nWindows = 8, embargoUs = day / 2)
         .orderBy("event_id", "window_id", "role")
     }),
+
+    // Fellegi–Sunter record linkage over nation-blocked customer pairs:
+    // the weight is a fixed-association sum of driver-planted literal
+    // log2 ratios (the oracle embeds the SAME literals via
+    // Linkage.sqlLiteral), so weights and decisions are bit-exact.
+    "q_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
+        col("c_nationkey").as(s"${p}_nat"),
+        col("c_mktsegment").as(s"${p}_seg"),
+        col("c_acctbal").as(s"${p}_bal"),
+        substring(col("c_name"), -1, 1).as(s"${p}_d"))
+      val pairs = side("a").join(side("b"),
+          col("a_nat") === col("b_nat") &&
+            col("b_key") > col("a_key") &&
+            col("b_key") <= col("a_key") + 20)
+        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
+          (col("a_seg") === col("b_seg")).as("seg_agree"),
+          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
+          (col("a_d") === col("b_d")).as("name_agree"))
+      Linkage.fellegiSunterScore(pairs, Seq(
+          Linkage.LinkField("seg_agree", 0.9, 0.25),
+          Linkage.LinkField("bal_agree", 0.85, 0.05),
+          Linkage.LinkField("name_agree", 0.95, 0.1)),
+          upper = 4.0, lower = -2.0)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter, JASA 1969) — the
+  * entity-resolution layer a training-data platform needs once documents
+  * carry structured identity (authors, domains, product records joined
+  * from N crawls): given BLOCKED candidate pairs and per-field agreement
+  * indicators, score each pair by the sum of log2 likelihood ratios and
+  * classify against the two FS thresholds.
+  *
+  * Scale design: scoring is row-local over an already-blocked pair table
+  * (the same banded candidate generators the dedup family uses — never
+  * all-pairs); EM parameter estimation runs on the AGREEMENT-PATTERN
+  * table, which has at most 2^k rows for k fields regardless of corpus
+  * size — one distributed aggregate, then driver-side iteration on a
+  * dozen rows (the Logistic.scala shape: the data-sized pass is a single
+  * fixed-size aggregate per fit, not per iteration).
+  */
+object Linkage {
+
+  /** One comparison field: a boolean agreement column plus the FS
+    * conditional probabilities m = P(agree | match) and
+    * u = P(agree | non-match).
+    */
+  case class LinkField(agreeCol: String, m: Double, u: Double) {
+    require(m > 0 && m < 1, s"m must be in (0,1), got $m")
+    require(u > 0 && u < 1, s"u must be in (0,1), got $u")
+  }
+
+  /** log2(m/u): the weight contributed by an agreeing field. Computed
+    * driver-side with java.lang.Math so the planted literal is identical
+    * wherever the plan is compiled.
+    */
+  def agreeWeight(m: Double, u: Double): Double =
+    math.log(m / u) / math.log(2.0)
+
+  /** log2((1-m)/(1-u)): the (negative) weight of a disagreeing field. */
+  def disagreeWeight(m: Double, u: Double): Double =
+    math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)
+
+  /** Exact decimal SQL literal for a double — BigDecimal's plain string
+    * is the exact binary value, so any engine parsing it recovers the
+    * identical bits (the cross-engine contract for planted weights).
+    */
+  def sqlLiteral(d: Double): String =
+    new java.math.BigDecimal(d).toPlainString
+
+  /** Score blocked candidate pairs: adds `weight` (the FS log2-ratio
+    * sum; null agreement reads as disagreement) and `decision`
+    * ('match' / 'possible' / 'non_match') against the upper/lower
+    * thresholds. The weight is a FIXED-ASSOCIATION left-to-right sum of
+    * per-field literal doubles, so it is bit-reproducible across engines
+    * and partitionings. Row-local: one map stage over the pair table.
+    */
+  def fellegiSunterScore(pairs: DataFrame, fields: Seq[LinkField],
+                         upper: Double, lower: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    require(lower <= upper, s"thresholds out of order: $lower > $upper")
+    val w = fields.map { f =>
+      when(coalesce(col(f.agreeCol), lit(false)), lit(agreeWeight(f.m, f.u)))
+        .otherwise(lit(disagreeWeight(f.m, f.u)))
+    }.reduceLeft(_ + _)
+    pairs.withColumn("weight", w)
+      .withColumn("decision",
+        when(col("weight") >= upper, "match")
+          .when(col("weight") >= lower, "possible")
+          .otherwise("non_match"))
+  }
+
+  /** EM fit of the FS parameters (m_i, u_i, and the match prevalence p)
+    * from UNLABELED pairs — the standard latent-class estimation: the
+    * E-step weights each agreement PATTERN by its posterior match
+    * probability, the M-step re-estimates per-field rates from the
+    * weighted pattern counts. Returns the fitted fields and p.
+    *
+    * The distributed work is ONE groupBy over the 2^k pattern space
+    * (count per observed pattern); EM then iterates driver-side on that
+    * bounded table. Fitted rates are clamped to [1e-6, 1-1e-6] so a
+    * degenerate field (all-agree / all-disagree) cannot emit 0/1 rates
+    * that blow up downstream log weights.
+    */
+  def fellegiSunterEm(pairs: DataFrame, agreeCols: Seq[String],
+                      iters: Int = 25,
+                      mInit: Double = 0.9, uInit: Double = 0.1,
+                      pInit: Double = 0.5): (Seq[LinkField], Double) = {
+    require(agreeCols.nonEmpty, "need at least one agreement column")
+    require(agreeCols.size <= 20, s"${agreeCols.size} fields: the pattern " +
+      "space 2^k must stay driver-sized")
+    require(iters >= 1, s"bad iters $iters")
+    val k = agreeCols.size
+    val patterns = pairs
+      .groupBy(agreeCols.map(c =>
+        coalesce(col(c), lit(false)).cast("int").as(c)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (Array.tabulate(k)(i => r.getInt(i) == 1), r.getLong(k)))
+    require(patterns.nonEmpty, "no pairs to fit")
+    val total = patterns.map(_._2).sum.toDouble
+    var m = Array.fill(k)(mInit)
+    var u = Array.fill(k)(uInit)
+    var p = pInit
+    def clamp(x: Double) = math.max(1e-6, math.min(1.0 - 1e-6, x))
+    for (_ <- 1 to iters) {
+      val mNum = new Array[Double](k)
+      val uNum = new Array[Double](k)
+      var mDen = 0.0
+      var uDen = 0.0
+      patterns.foreach { case (g, n) =>
+        var pm = p; var pu = 1.0 - p
+        var i = 0
+        while (i < k) {
+          pm *= (if (g(i)) m(i) else 1.0 - m(i))
+          pu *= (if (g(i)) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val w = if (pm + pu == 0) 0.0 else pm / (pm + pu)
+        mDen += w * n; uDen += (1.0 - w) * n
+        i = 0
+        while (i < k) {
+          if (g(i)) { mNum(i) += w * n; uNum(i) += (1.0 - w) * n }
+          i += 1
+        }
+      }
+      m = Array.tabulate(k)(i => clamp(if (mDen == 0) m(i) else mNum(i) / mDen))
+      u = Array.tabulate(k)(i => clamp(if (uDen == 0) u(i) else uNum(i) / uDen))
+      p = clamp(mDen / total)
+    }
+    (agreeCols.indices.map(i => LinkField(agreeCols(i), m(i), u(i))), p)
+  }
+}

@@ -475,6 +475,30 @@ class DegenerateArgsSpec extends SparkSpec {
     assert(one.length == 1 && one.head.isNullAt(2))
   }
 
+  // ---- Linkage -----------------------------------------------------------
+  test("Linkage: bad probabilities, empty fields, empty pairs") {
+    intercept[IllegalArgumentException] {
+      Linkage.LinkField("f", 0.0, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.LinkField("f", 0.9, 1.0)
+    }
+    val pairs = Seq((1L, true)).toDF("id", "f")
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterScore(pairs, Seq.empty, 1.0, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterScore(pairs,
+        Seq(Linkage.LinkField("f", 0.9, 0.1)), upper = 0.0, lower = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterEm(pairs.limit(0), Seq("f"))
+    }
+    // single pattern, all agree: EM converges without NaN and clamps
+    val (fs, p) = Linkage.fellegiSunterEm(pairs, Seq("f"), iters = 5)
+    assert(!p.isNaN && fs.forall(f => !f.m.isNaN && !f.u.isNaN))
+  }
+
   // ---- AsOfJoin ----------------------------------------------------------
   test("AsOfJoin: empty right side yields null payloads") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))

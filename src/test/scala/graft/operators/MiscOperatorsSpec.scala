@@ -405,6 +405,71 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(m(2).isNullAt(5)) // no pred -> precision null
   }
 
+  test("fellegiSunterScore: hand-computed weights, thresholds, null=disagree") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, true, true),   // both agree
+      (1L, 3L, true, false),  // mixed
+      (1L, 4L, false, false)  // both disagree
+    ).toDF("id_a", "id_b", "f1", "f2")
+    // m=0.8, u=0.1: agree log2(8)=3 exactly; disagree log2(0.2/0.9)
+    val fields = Seq(graft.operators.Linkage.LinkField("f1", 0.8, 0.1),
+      graft.operators.Linkage.LinkField("f2", 0.8, 0.1))
+    val d = math.log(0.2 / 0.9) / math.log(2.0)
+    val out = graft.operators.Linkage
+      .fellegiSunterScore(pairs, fields, upper = 5.0, lower = 0.0)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(2L).getAs[Double]("weight") == 6.0)
+    assert(out(2L).getAs[String]("decision") == "match")
+    assert(math.abs(out(3L).getAs[Double]("weight") - (3.0 + d)) < 1e-12)
+    assert(out(3L).getAs[String]("decision") == "possible") // ~0.83
+    assert(math.abs(out(4L).getAs[Double]("weight") - 2 * d) < 1e-12)
+    assert(out(4L).getAs[String]("decision") == "non_match")
+    // null agreement counts as disagreement, never nulls the weight
+    val withNull = Seq((9L, 10L, null.asInstanceOf[java.lang.Boolean],
+      java.lang.Boolean.TRUE)).toDF("id_a", "id_b", "f1", "f2")
+    val nw = graft.operators.Linkage
+      .fellegiSunterScore(withNull, fields, 5.0, 0.0).head()
+    assert(math.abs(nw.getAs[Double]("weight") - (d + 3.0)) < 1e-12)
+  }
+
+  test("fellegiSunterEm recovers planted m/u/p from unlabeled pairs") {
+    import spark.implicits._
+    // 1000 matches (agree ~90% per field), 9000 non-matches (~10%),
+    // deterministic modular striping with decorrelated multipliers
+    val rows = (0 until 10000).map { i =>
+      val isMatch = i < 1000
+      def agree(j: Int) = {
+        val r = (i * (31 + 6 * j) + j * 17) % 10
+        if (isMatch) r < 9 else r < 1
+      }
+      (i.toLong, agree(0), agree(1), agree(2))
+    }
+    val df = rows.toDF("id", "g0", "g1", "g2")
+    val (fields, p) = graft.operators.Linkage
+      .fellegiSunterEm(df, Seq("g0", "g1", "g2"), iters = 50)
+    // the striping induces mild field correlation, which biases the
+    // latent-class fit (EM assumes conditional independence): accept a
+    // loose window on the rates and pin the OPERATIVE property below —
+    // class separation under the fitted weights
+    assert(math.abs(p - 0.1) < 0.05, s"p=$p")
+    fields.foreach { f =>
+      assert(math.abs(f.m - 0.9) < 0.1, s"$f")
+      assert(math.abs(f.u - 0.1) < 0.1, s"$f")
+    }
+    // scoring with the fitted params separates the planted classes:
+    // every true match scores above every true non-match median
+    val scored = graft.operators.Linkage.fellegiSunterScore(
+      df.withColumnRenamed("g0", "f0").withColumnRenamed("g1", "f1")
+        .withColumnRenamed("g2", "f2"),
+      fields.map(f => f.copy(agreeCol = f.agreeCol.replace('g', 'f'))),
+      upper = 2.0, lower = -2.0)
+    val byClass = scored.withColumn("is_match", col("id") < 1000)
+      .groupBy("is_match").agg(avg(col("weight")).as("w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byClass(true) > byClass(false) + 3.0, s"$byClass")
+  }
+
   test("centroidDrift: identical buckets cos 1, orthogonal cos 0, " +
     "first bucket null") {
     import spark.implicits._
