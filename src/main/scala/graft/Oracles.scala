@@ -3223,6 +3223,15 @@ object Oracles {
         |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
         |ORDER BY c.bucket""".stripMargin,
 
+    "q_dedup_sweep" ->
+      """SELECT claim, CASE WHEN claim = 'minhash_simhash_rand_ge_090'
+        |    THEN 2 * (SELECT count(*) FROM documents)
+        |    ELSE (SELECT count(*) FROM documents) END AS n,
+        |  true AS ok
+        |FROM (VALUES ('minhash_covered'), ('minhash_simhash_rand_ge_090'),
+        |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
+        |ORDER BY claim""".stripMargin,
+
     "q_linkage" -> {
       import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
       def w(m: Double, u: Double, agree: String) =

@@ -3498,6 +3498,55 @@ object SparkEntry {
           upper = 4.0, lower = -2.0)
         .orderBy("id_a", "id_b")
     }),
+
+    // Dedup-method agreement sweep (the q_ann_sweep analog for the dedup
+    // families): plant an exact twin of every document under a disjoint
+    // id, run the three signature-family candidate generators on the
+    // union, and claim (a) MinHash and SimHash recover EVERY planted twin
+    // (identical text -> identical signature -> guaranteed band
+    // collision; sf1-proven band parameters), (b) blocked n-gram Jaccard
+    // recovers >= 95% (its hot-shingle cap may orphan a doc whose every
+    // shingle is corpus-hot), (c) the two signature methods' connected
+    // components agree at Rand >= 0.9 (singleton-dominated clusterings
+    // disagree on at most the near-dup fringe). Claim table shape: the
+    // oracle restates the expected counts and booleans.
+    "q_dedup_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val OFF = 10000000L
+      val union = docs.unionByName(docs.select(
+          (col("doc_id") + OFF).as("doc_id"), col("text"), col("source")))
+        .localCheckpoint(true) // three generators + two CC passes read it
+      val nDocs = docs.count()
+      def planted(pairs: DataFrame): Long = pairs
+        .filter(col("id_b") === col("id_a") + OFF && col("id_a") < OFF)
+        .select("id_a").distinct().count()
+      // est_jaccard >= 0.5: raw band collisions include the j^4-per-band
+      // accidental hits, which chain 80% of a template-heavy corpus into
+      // one giant component (measured: one 804-member component at
+      // sf0.01 unfiltered; the q_minhash_pairs gate applies the same
+      // post-filter before using candidates as pairs)
+      val mh = Dedup.minHashCandidates(union, "text", "doc_id",
+          shingleSize = 5, numHashes = 64, bands = 16)
+        .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
+      val sh = Dedup.simHashCandidates(union, "text", "doc_id",
+        maxHamming = 3).localCheckpoint(true)
+      val ng = Dedup.ngramJaccardPairs(union, "text", "doc_id", "source",
+        n = 3, minJaccard = 0.5)
+      val (mhFound, shFound, ngFound) = (planted(mh), planted(sh), planted(ng))
+      val labels = Dedup.dedupClusters(union, "doc_id", mh)
+        .select(col("doc_id"), col("component").as("la"))
+        .join(Dedup.dedupClusters(union, "doc_id", sh)
+          .select(col("doc_id"), col("component").as("lb")), Seq("doc_id"))
+      val rand = Metrics.clusteringAgreement(labels, "la", "lb")
+        .head().getAs[Double]("rand")
+      import s.implicits._
+      Seq(
+        ("minhash_covered", nDocs, mhFound == nDocs),
+        ("minhash_simhash_rand_ge_090", 2 * nDocs, rand >= 0.9),
+        ("ngram_covered_95", nDocs, ngFound * 100L >= nDocs * 95L),
+        ("simhash_covered", nDocs, shFound == nDocs))
+        .toDF("claim", "n", "ok").orderBy("claim")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -188,4 +188,61 @@ class PipelinePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: winnowing emits a shared fingerprint for every shared " +
+    "run of k+w-1 tokens, on random corpora") {
+    val vocab = (0 until 60).map(i => s"w$i")
+    def randTokens(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.length)))
+    val k = 4; val w = 3
+    val cases = (0 until 25).map { i =>
+      val run = randTokens(k + w - 1) // exactly the guarantee length
+      val a = randTokens(rng.nextInt(20)) ++ run ++ randTokens(rng.nextInt(20))
+      val b = randTokens(rng.nextInt(20)) ++ run ++ randTokens(rng.nextInt(20))
+      (2L * i, a.mkString(" "), 2L * i + 1, b.mkString(" "))
+    }
+    val docs = cases.flatMap { case (ia, ta, ib, tb) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = k,
+        window = w)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    cases.foreach { case (ia, _, ib, _) =>
+      assert((fps(ia) intersect fps(ib)).nonEmpty,
+        s"no shared fingerprint for planted run in docs $ia/$ib")
+    }
+  }
+
+  test("property: rrfFuse micro scores equal the closed-form long sums " +
+    "on random rank lists") {
+    val nLists = 3
+    val lists = (0 until nLists).map { l =>
+      // random subset of 30 candidates with random ranks 1..15
+      (0 until 40).flatMap { _ =>
+        val id = rng.nextInt(30).toLong
+        val r = 1L + rng.nextInt(15)
+        if (rng.nextBoolean()) Some((0L, id, r)) else None
+      }
+    }
+    val expected = {
+      val best = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      lists.zipWithIndex.foreach { case (rows, l) =>
+        rows.foreach { case (_, id, r) =>
+          best.updateWith((l, id))(o => Some(o.fold(r)(math.min(_, r)))) }
+      }
+      val sums = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      best.foreach { case ((_, id), r) =>
+        val c = 1000000000L / (60L + r) // integer floor, exact
+        val (s, n) = sums.getOrElse(id, (0L, 0L))
+        sums(id) = (s + c, n + 1)
+      }
+      sums.toMap
+    }
+    val dfs = lists.map(_.toDF("q", "id", "r"))
+    val got = graft.operators.Similarity
+      .rrfFuse(dfs, "q", "id", "r", kConst = 60, topK = 30)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(2))).toMap
+    // every fused row matches the closed-form sum and list count; the
+    // top-30 heap covers all candidates here, so the maps are equal
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }

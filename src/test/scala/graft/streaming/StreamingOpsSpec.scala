@@ -602,4 +602,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == 1L && r._3.contains(true)))
     assert(streamed.exists(r => r._1 == 3L && r._2.isEmpty))
   }
+
+  test("fellegiSunterScore is stream-safe: scored pairs match batch") {
+    // linkage scoring is one row-local map stage (fixed-association sum
+    // of literal weights), so the SAME operator call works unchanged on
+    // a stream of blocked candidate pairs — parity pinned here
+    implicit val sqlCtx = spark.sqlContext
+    val fields = Seq(graft.operators.Linkage.LinkField("f1", 0.8, 0.1),
+      graft.operators.Linkage.LinkField("f2", 0.9, 0.2))
+    val rows = Seq((1L, 2L, true, true), (1L, 3L, false, true),
+      (2L, 3L, false, false))
+    val input = MemoryStream[(Long, Long, Boolean, Boolean)]
+    val scored = graft.operators.Linkage.fellegiSunterScore(
+      input.toDF().toDF("id_a", "id_b", "f1", "f2"), fields,
+      upper = 3.0, lower = 0.0)
+    val q = scored.writeStream.format("memory").queryName("fs_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select id_a, id_b, weight, decision from fs_out").collect().toSet
+    q.stop()
+    val batch = graft.operators.Linkage.fellegiSunterScore(
+      rows.toDF("id_a", "id_b", "f1", "f2"), fields, 3.0, 0.0)
+      .select("id_a", "id_b", "weight", "decision").collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
 }
