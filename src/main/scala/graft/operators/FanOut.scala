@@ -22,6 +22,10 @@ object FanOut {
   import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
 
   def apply(df: DataFrame): DataFrame = {
+    // streaming frames: inspecting optimizedPlan forces the batch
+    // UnsupportedOperationChecker, and micro-batches are already
+    // source-partitioned — pass through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.optimizedPlan
     // idempotent: a scan-level FanOut (Tables) followed by an operator-level

@@ -69,6 +69,25 @@ object Linkage {
           .otherwise("non_match"))
   }
 
+  /** Entity resolution from scored pairs: keep pairs at-or-above
+    * `threshold`, take connected components, and label every record of
+    * `records` with its entity id (component representative; records
+    * matching nothing resolve to themselves). The standard FS -> graph ->
+    * golden-record pipeline tail; component sizes are bounded by the
+    * blocking strategy that produced the pairs, and the CC machinery is
+    * the dedup family's (O(log d) rounds, size-aware driver
+    * short-circuit).
+    */
+  def resolveEntities(records: DataFrame, idCol: String,
+                      scoredPairs: DataFrame,
+                      threshold: Double): DataFrame = {
+    val matches = scoredPairs.filter(col("weight") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dedupClusters(records, idCol, matches)
+      .withColumnRenamed("component", "entity_id")
+      .drop("is_duplicate")
+  }
+
   /** EM fit of the FS parameters (m_i, u_i, and the match prevalence p)
     * from UNLABELED pairs — the standard latent-class estimation: the
     * E-step weights each agreement PATTERN by its posterior match

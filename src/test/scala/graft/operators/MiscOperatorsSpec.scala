@@ -470,6 +470,23 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(byClass(true) > byClass(false) + 3.0, s"$byClass")
   }
 
+  test("resolveEntities: matches chain into one entity, others stay solo") {
+    import spark.implicits._
+    val recs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val scored = Seq(
+      (1L, 2L, 9.0), // match
+      (2L, 3L, 7.5), // match -> {1,2,3} one entity
+      (3L, 4L, 1.0), // below threshold
+      (4L, 5L, -2.0)
+    ).toDF("id_a", "id_b", "weight")
+    val out = graft.operators.Linkage
+      .resolveEntities(recs, "id", scored, threshold = 5.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == 4L && out(5L) == 5L)
+    assert(out(1L) != out(4L))
+  }
+
   test("centroidDrift: identical buckets cos 1, orthogonal cos 0, " +
     "first bucket null") {
     import spark.implicits._

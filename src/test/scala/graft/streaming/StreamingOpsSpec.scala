@@ -603,6 +603,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == 3L && r._2.isEmpty))
   }
 
+  test("winnowFingerprints is stream-safe: fingerprints match batch") {
+    // the codegen'd WinnowExpr path is one map + explode stage — the
+    // streaming ingest can fingerprint documents as they arrive and feed
+    // the incremental-dedup join against a standing fingerprint index
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "tiny doc"),
+      (3L, "one two three four five six seven eight nine ten"))
+    val input = MemoryStream[(Long, String)]
+    val fp = graft.operators.Dedup.winnowFingerprints(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = fp.writeStream.format("memory").queryName("winnow_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select id, pos, fp from winnow_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = graft.operators.Dedup.winnowFingerprints(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("fellegiSunterScore is stream-safe: scored pairs match batch") {
     // linkage scoring is one row-local map stage (fixed-association sum
     // of literal weights), so the SAME operator call works unchanged on
