@@ -187,12 +187,24 @@ object FunctionRegistration {
         ThetaSetOp(exprs.head, exprs(1), "a_not_b")
       }))
 
+  /** `winnow(tokens, k, window)` -> array<struct<pos, fp>> of winnowing
+    * fingerprints (Schleimer et al. 2003) over a token array.
+    */
+  val winnowDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"winnow expects 3 arguments, got ${exprs.length}")
+        WinnowExpr(exprs.head, litLong(exprs(1), "winnow").toInt,
+          litLong(exprs(2), "winnow").toInt)
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDotDescription, hashCombineDescription, minHashSigDescription,
       simHashSigDescription, kllSketchDescription, kllUnionDescription,
       kllQuantileDescription, unicodeNormalizeDescription, mgSketchDescription,
       arraySubDescription, gramMatrixDescription, kllRankDescription,
-      scriptCountsDescription) ++ thetaDescriptions
+      scriptCountsDescription, winnowDescription) ++ thetaDescriptions
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -121,4 +121,18 @@ class ExtensionsSpec extends SparkSpec {
       assert(math.abs(got - s / n) < 1e-12, s"($g, $s): $got != ${s / n}")
     }
   }
+
+  test("winnow registers as a SQL function and matches the operator") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    val viaSql = spark.sql(
+      """SELECT w.pos, w.fp FROM (
+        |  SELECT explode(winnow(split('a b c d e f g h', ' '), 5, 4)) AS w
+        |) ORDER BY w.pos""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaOp = graft.operators.Dedup.winnowFingerprints(
+        Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, window = 4)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+  }
 }
