@@ -37,7 +37,7 @@ object CurationPipeline {
     "redact_pii", "redact_secrets", "strip_invisible",
     "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
     "c4_filter", "min_chars",
-    "dedup_exact", "sentence_dedup", "split_keep",
+    "dedup_exact", "dedup_winnow", "sentence_dedup", "split_keep",
     "dedup_conversations", "drop_refusals",
     "chunk_sentences", "chunk_cdc")
 
@@ -117,6 +117,19 @@ object CurationPipeline {
           Dedup.exact(cur, textCol, idCol)
             .filter(!col("is_duplicate"))
             .drop("fingerprint", "is_duplicate")
+        // winnowing near-dup removal: mine local-overlap pairs above the
+        // coverage threshold, connect, keep each component's min id —
+        // catches the copied-with-edits and excerpt-pasted class exact
+        // dedup misses, at fingerprint (not shingle) join density
+        case "dedup_winnow" =>
+          val pairs = Dedup.winnowPairs(cur, idCol, textCol,
+              k = st.params.getOrElse("k", "5").toInt,
+              window = st.params.getOrElse("window", "4").toInt,
+              minShared = st.params.getOrElse("min_shared", "2").toInt)
+            .filter(col("coverage") >= p("min_coverage").toDouble)
+          Dedup.dedupClusters(cur, idCol, pairs)
+            .filter(!col("is_duplicate"))
+            .drop("component", "is_duplicate")
         // conversation-corpus stages: the text column holds the
         // messages-JSON interchange form
         case "dedup_conversations" =>

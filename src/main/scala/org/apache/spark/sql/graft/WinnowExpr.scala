@@ -26,6 +26,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   */
 case class WinnowExpr(child: Expression, k: Int, window: Int)
     extends UnaryExpression {
+  require(k >= 1, s"winnow: k must be >= 1, got $k")
+  require(window >= 1, s"winnow: window must be >= 1, got $window")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

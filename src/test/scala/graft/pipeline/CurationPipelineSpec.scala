@@ -133,4 +133,26 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.parse("""[{"op": "dedup_conv"}]""")
     }
   }
+
+  test("dedup_winnow stage drops copied-with-edits docs, keeps min id") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, s"$core and an original closing sentence here"),
+      (2L, s"$core with a slightly different ending instead"), // near-copy of 1
+      (3L, "completely different content that shares nothing with others " +
+        "at all in any window of tokens anywhere within this document")
+    ).toDF("doc_id", "text")
+    val stages = CurationPipeline.parse(
+      """[{"op": "dedup_winnow", "min_coverage": "0.5", "min_shared": "2"}]""")
+    val kept = CurationPipeline.run(docs, stages)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept")
+    // missing required param is a parse/run-time error, not a null plan
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs,
+        CurationPipeline.parse("""[{"op": "dedup_winnow"}]"""))
+    }
+  }
 }
