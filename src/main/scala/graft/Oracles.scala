@@ -3232,6 +3232,35 @@ object Oracles {
         |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
         |ORDER BY claim""".stripMargin,
 
+    "q_entity_resolution" -> {
+      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
+      def w(m: Double, u: Double, agree: String) =
+        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
+          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
+      s"""WITH RECURSIVE c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
+         |  FROM customer),
+         |p AS (SELECT a.k AS id_a, b.k AS id_b,
+         |    a.seg = b.seg AS seg_agree,
+         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
+         |    a.d = b.d AS name_agree
+         |  FROM c a JOIN c b ON a.nat = b.nat
+         |    AND b.k > a.k AND b.k <= a.k + 20),
+         |m AS (SELECT id_a, id_b FROM (SELECT *,
+         |    ${w(0.9, 0.25, "seg_agree")}
+         |      + ${w(0.85, 0.05, "bal_agree")}
+         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
+         |  WHERE weight >= 4.0),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM m
+         |  UNION ALL SELECT id_b, id_a FROM m),
+         |reach(id, r) AS (
+         |  SELECT k, k FROM c
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src)
+         |SELECT id AS c_custkey, CAST(min(r) AS BIGINT) AS entity_id
+         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin
+    },
+
     "q_linkage" -> {
       import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
       def w(m: Double, u: Double, agree: String) =

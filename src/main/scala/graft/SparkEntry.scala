@@ -3499,6 +3499,37 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Entity resolution end-to-end: the q_linkage scored pairs above the
+    // 'match' threshold, connected, every customer labeled with its
+    // entity id (min reachable id; unmatched customers resolve to
+    // themselves). The oracle recomputes the same weights from identical
+    // literals and takes the transitive closure with a recursive CTE.
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
+        col("c_nationkey").as(s"${p}_nat"),
+        col("c_mktsegment").as(s"${p}_seg"),
+        col("c_acctbal").as(s"${p}_bal"),
+        substring(col("c_name"), -1, 1).as(s"${p}_d"))
+      val pairs = side("a").join(side("b"),
+          col("a_nat") === col("b_nat") &&
+            col("b_key") > col("a_key") &&
+            col("b_key") <= col("a_key") + 20)
+        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
+          (col("a_seg") === col("b_seg")).as("seg_agree"),
+          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
+          (col("a_d") === col("b_d")).as("name_agree"))
+      val scored = Linkage.fellegiSunterScore(pairs, Seq(
+        Linkage.LinkField("seg_agree", 0.9, 0.25),
+        Linkage.LinkField("bal_agree", 0.85, 0.05),
+        Linkage.LinkField("name_agree", 0.95, 0.1)),
+        upper = 4.0, lower = -2.0)
+      Linkage.resolveEntities(c.select(col("c_custkey")), "c_custkey",
+          scored, threshold = 4.0)
+        .select(col("c_custkey"), col("entity_id").cast("long").as("entity_id"))
+        .orderBy("c_custkey")
+    }),
+
     // Dedup-method agreement sweep (the q_ann_sweep analog for the dedup
     // families): plant an exact twin of every document under a disjoint
     // id, run the three signature-family candidate generators on the

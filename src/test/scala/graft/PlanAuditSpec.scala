@@ -278,6 +278,30 @@ class PlanAuditSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s.take(1200))
   }
 
+  test("r7-s3 gates: linkage joins equi+residual, fusion heap-ranked, " +
+    "backtest shuffle-free") {
+    // q_linkage: the nation-blocked pair join must plan as an equi join
+    // (hash/sort-merge on the block key) with the range band as residual,
+    // never BroadcastNestedLoop/Cartesian
+    val link = SparkEntry.queries("q_linkage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!link.contains("BroadcastNestedLoopJoin") &&
+      !link.contains("CartesianProduct"), link.take(1200))
+    // q_rrf_fusion / q_winnow_pairs: ranking via the bounded heap
+    // aggregate and groupBy-count pair mining — no WindowExec anywhere
+    for (q <- Seq("q_rrf_fusion", "q_winnow_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"$q plans a WindowExec:\n${windows.mkString("\n")}")
+    }
+    // q_backtest: pure map + explode over one scan — no join, no
+    // aggregate-shuffle (the final orderBy is the gate's presentation
+    // sort, the only exchange allowed)
+    val bt = SparkEntry.queries("q_backtest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!bt.contains("Join"), bt.take(1200))
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
