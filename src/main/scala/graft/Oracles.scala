@@ -3232,6 +3232,20 @@ object Oracles {
         |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
         |ORDER BY claim""".stripMargin,
 
+    "q_systematic_resample" ->
+      """WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (SELECT id, weight, sum(weight) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+        |t AS (SELECT sum(weight) AS tw FROM w),
+        |x AS (SELECT id, weight,
+        |    ((cum * 2000 - 777 + 2 * t.tw - 1) // t.tw)
+        |      - (((cum - weight) * 2000 - 777 + 2 * t.tw - 1) // t.tw)
+        |      AS n_copies
+        |  FROM c, t)
+        |SELECT id, weight, CAST(n_copies AS BIGINT) AS n_copies FROM x
+        |WHERE n_copies > 0 ORDER BY id""".stripMargin,
+
     "q_entity_resolution" -> {
       import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
       def w(m: Double, u: Double, agree: String) =

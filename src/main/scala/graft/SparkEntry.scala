@@ -3499,6 +3499,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Systematic resampling: exactly 2000 draws proportional to n_chars —
+    // the count formulas are pure int64 arithmetic on an id-ordered
+    // cumulative weight line, so the oracle restates them with one
+    // ORDER-BY-id window (partitioning cancels out of the result).
+    "q_systematic_resample" -> ((s, dir) => {
+      Sampling.systematicResample(Tables.documents(s, dir), "doc_id",
+          "n_chars", nSamples = 2000L, offsetNum = 777L)
+        .orderBy("id")
+    }),
+
     // Entity resolution end-to-end: the q_linkage scored pairs above the
     // 'match' threshold, connected, every customer labeled with its
     // entity id (min reachable id; unmatched customers resolve to

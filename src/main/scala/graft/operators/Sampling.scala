@@ -388,6 +388,76 @@ object Sampling {
           .otherwise(col("expected") / col("__tot")).as("realized_share"))
   }
 
+  /** Systematic (low-variance) weighted resampling WITH replacement:
+    * exactly `nSamples` draws proportional to integer `weightCol`, the
+    * particle-filter/data-mixing primitive the Bernoulli-style samplers
+    * here cannot provide — `mixtureToTarget`/`temperatureMixture` hit
+    * target PROPORTIONS in expectation, this hits an exact COUNT: the
+    * j-th sample lands at position (j*W + offset)/n on the cumulative
+    * weight line (o in [0, W)), so every row receives either
+    * floor(n*w_i/W) or one more copy — deterministic, zero variance
+    * beyond the shared offset, sum(n_copies) == nSamples exactly.
+    * Returns (id, weight, n_copies) for rows drawn at least once.
+    *
+    * Scale design: the cumulative weight per row is a TWO-PASS prefix
+    * sum — range-repartition by id, per-partition totals (one tiny
+    * aggregate, #partitions rows) collected once to compute partition
+    * offsets, then a window partitioned BY PARTITION (bounded per task;
+    * never the banned unpartitioned corpus window). All arithmetic is
+    * exact int64: the count formulas divide shifted positive numerators
+    * with integer `div`, and the driver rejects W * nSamples overflow
+    * up front. Cross-engine the result depends only on (id order,
+    * weights, nSamples, offset) — partitioning cancels out — so a plain
+    * ORDER-BY-id window restates it in any SQL engine.
+    *
+    * Vary `offsetNum` per epoch (e.g. a hash of the epoch number modulo
+    * W) to redraw the tie-breaking fractional copies while keeping every
+    * run reproducible.
+    */
+  def systematicResample(df: DataFrame, idCol: String, weightCol: String,
+                         nSamples: Long, offsetNum: Long = 0L): DataFrame = {
+    require(nSamples >= 1, s"bad nSamples $nSamples")
+    require(offsetNum >= 0, s"bad offset $offsetNum")
+    val spark = df.sparkSession
+    val w = df.select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .repartitionByRange(col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // two consumers + pins the partition layout
+    val partSums = w.groupBy("__pid").agg(sum(col("weight")).as("__ps"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (partSums.isEmpty)
+      return w.withColumn("n_copies", lit(0L)).drop("__pid").limit(0)
+    val total = partSums.map(_._2).sum
+    // the shifted numerators reach W * (n + 2): guard that product
+    require(total <= Long.MaxValue / (nSamples + 2),
+      s"W * nSamples overflows int64 (W=$total, n=$nSamples): " +
+        "pre-scale the weights down")
+    require(offsetNum < total, s"offset $offsetNum must be < W=$total")
+    val offsets = partSums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.init.zip(partSums).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("id")
+    // positions j in [0, n): row i receives j with
+    //   cum_{i-1} * n <= j * W + o < cum_i * n
+    // shift both ceil-div numerators by +W so they stay positive and
+    // integer `div` (truncation) equals the floor the formula needs
+    w.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", col("__off") + sum(col("weight")).over(win))
+      .withColumn("__hi",
+        expr(s"(__cum * ${nSamples}L - ${offsetNum}L + ${2 * total - 1}L) " +
+          s"div ${total}L"))
+      .withColumn("__lo",
+        expr(s"((__cum - weight) * ${nSamples}L - ${offsetNum}L + " +
+          s"${2 * total - 1}L) div ${total}L"))
+      .withColumn("n_copies", col("__hi") - col("__lo"))
+      .filter(col("n_copies") > 0)
+      .select("id", "weight", "n_copies")
+  }
+
   /** Rolling-origin backtest assignment — the time-series analog of the
     * leakage-safe split: window w trains on
     * [origin + w*step, +trainLen) and tests on the NEXT [.., +testLen)

@@ -338,6 +338,39 @@ class CleanseSpec extends SparkSpec {
     assert(k0 != k1, "different epochs must produce different orders")
   }
 
+  test("systematicResample: exact total, floor-or-ceil copies, " +
+    "repartition-invariant") {
+    val df = (1L to 97L).map(i => (i, 10L + (i * 7) % 50)).toDF("id", "w")
+    val n = 400L
+    val out = Sampling.systematicResample(df, "id", "w", n, offsetNum = 123L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == n, "total draws must be exact")
+    val totalW = df.select(sum(col("w"))).as[Long].head()
+    out.foreach { case (id, w, c) =>
+      val fl = n * w / totalW
+      assert(c == fl || c == fl + 1, s"row $id: $c not in {$fl, ${fl + 1}}")
+    }
+    // zero/negative weights never drawn; empty input -> empty output
+    val withZero = df.union(Seq((1000L, 0L), (1001L, -5L)).toDF("id", "w"))
+    assert(Sampling.systematicResample(withZero, "id", "w", n, 123L)
+      .filter(col("id") >= 1000L).count() == 0)
+    assert(Sampling.systematicResample(df.limit(0), "id", "w", 5L).count() == 0)
+    // partitioning must cancel out of the result
+    val repart = Sampling.systematicResample(df.repartition(13), "id", "w",
+        n, offsetNum = 123L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repart.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a different offset redraws the fractional copies but keeps the total
+    val out2 = Sampling.systematicResample(df, "id", "w", n, offsetNum = 0L)
+    assert(out2.agg(sum(col("n_copies"))).as[Long].head() == n)
+    intercept[IllegalArgumentException] {
+      Sampling.systematicResample(df, "id", "w", n, offsetNum = 1L << 62)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicResample(df, "id", "w", Long.MaxValue / 2)
+    }
+  }
+
   test("rollingBacktestAssign: walk-forward ranges, embargo gap, clamps") {
     val hour = 3600000000L
     // windows: step 2h, train 3h, embargo 1h, test 1h, nWindows = 3
