@@ -485,6 +485,8 @@ object Sampling {
       s"bad window lengths ($trainLenUs, $testLenUs, $stepUs)")
     require(nWindows >= 1, s"bad nWindows $nWindows")
     require(embargoUs >= 0, s"bad embargo $embargoUs")
+    require(trainLenUs <= Long.MaxValue - embargoUs,
+      s"trainLen + embargo overflows int64 ($trainLenUs + $embargoUs)")
     val t = (unix_micros(col(tsCol)) -
       unix_micros(to_timestamp(lit(originTs)))).as("__t")
     // exact floor division on longs: subtract the POSITIVE remainder

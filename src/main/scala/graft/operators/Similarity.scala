@@ -862,8 +862,11 @@ object Similarity {
         col(idCol).cast("long").as("__nid"),
         col(rankCol).cast("long").as("__rank"))
     }
+    // ranks beyond `scale` contribute floor(scale/(k+r)) = 0 anyway;
+    // dropping them up front also removes the k+r int64 overflow path
+    // for adversarial rank values
     val best = parts.reduce(_.union(_))
-      .filter(col("__rank") >= 1)
+      .filter(col("__rank") >= 1 && col("__rank") < scale)
       .groupBy("__list", "query_id", "__nid")
       .agg(min(col("__rank")).as("__r"))
     val fused = best
