@@ -3232,6 +3232,36 @@ object Oracles {
         |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
         |ORDER BY claim""".stripMargin,
 
+    "q_min_k_prob" -> {
+      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |trtok AS (SELECT unnest($toks) AS token FROM tr),
+         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
+         |trbi0 AS (SELECT $toks AS toks FROM tr),
+         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
+         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
+         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni),
+         |tl AS (SELECT doc_id, CAST(floor(coalesce(lp2,
+         |    ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V))) * 1000000) AS BIGINT) AS micro
+         |  FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    list(micro ORDER BY micro) AS arr FROM tl GROUP BY 1),
+         |k AS (SELECT doc_id, n_bigrams,
+         |    CAST((n_bigrams + 4) // 5 AS BIGINT) AS k_count, arr FROM ag)
+         |SELECT doc_id, n_bigrams, k_count,
+         |  CAST(list_sum(arr[1:k_count]) AS BIGINT) AS mink_sum_micro,
+         |  CAST(list_sum(arr[1:k_count]) AS DOUBLE) / (k_count * 1000000)
+         |    AS mink_mean_lp
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
+
     "q_systematic_resample" ->
       """WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight
         |  FROM documents WHERE n_chars > 0),

@@ -3499,6 +3499,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Min-k% probability memorization screen: bottom-20% token logprobs
+    // under the even-docs bigram model, micro-quantized so the sort and
+    // bottom-k sum are exact int64 (the q_bigram_lp model, Shi et al.
+    // min-k% selection).
+    "q_min_k_prob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.minKProbScore(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", kDenom = 5)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("k_count"),
+          col("mink_sum_micro"), col("mink_mean_lp"))
+        .orderBy("doc_id")
+    }),
+
     // Systematic resampling: exactly 2000 draws proportional to n_chars —
     // the count formulas are pure int64 arithmetic on an id-ordered
     // cumulative weight line, so the oracle restates them with one

@@ -472,6 +472,73 @@ object TextAnalysis {
             / (col("__N") + col("__V"))))).as("mean_lp"))
   }
 
+  /** Min-k% probability memorization screen (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): score each document by
+    * the mean log-probability of its k% LEAST likely tokens under a
+    * reference model — a document the model has memorized has no
+    * low-probability outlier tokens, so a high min-k% score flags
+    * benchmark leakage / verbatim memorization candidates where the
+    * full-document mean (which fluent-but-unseen text also maximizes)
+    * cannot. The reference model here is the same backoff bigram LM as
+    * [[bigramLogProb]] (plug in any per-token log-prob source for a real
+    * LM). k = 1/kDenom of the document's bigrams, at least 1.
+    *
+    * Determinism: per-token log-probs quantize to exact micro-units
+    * (floor(lp * 1e6) — the established libm boundary convention), so the
+    * per-document sort, the bottom-k selection, and the selected sum are
+    * pure int64 arithmetic, engine-exact given the same model counts.
+    *
+    * Returns (id, n_bigrams, k_count, mink_sum_micro, mink_mean_lp);
+    * documents with < 2 tokens emit no row.
+    *
+    * Scale: model joins as [[bigramLogProb]] (corpus-derived tables, no
+    * forced broadcast — AQE decides); the only new state is the per-DOC
+    * micro array (bounded by document length, row-local sort) — never a
+    * corpus-grain window or sort.
+    */
+  def minKProbScore(df: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, kDenom: Int = 5,
+                    alpha: Double = 0.4): DataFrame = {
+    require(kDenom >= 1, s"bad kDenom $kDenom")
+    def bigrams(d: DataFrame) =
+      Dedup.wordShingleRows(d, idCol, textCol, 2, dedup = false)
+        .select(col("id"),
+          substring_index(col("shingle"), " ", 1).as("w1"),
+          substring_index(col("shingle"), " ", -1).as("w2"))
+    def unigrams(d: DataFrame) =
+      d.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c1"))
+    val tuni = unigrams(train)
+    val totals = broadcast(tuni.agg(sum(col("c1")).as("__N"),
+      count(lit(1)).as("__V")))
+    val tbi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(tuni.select(col("token").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("c2").cast("double") / col("c1w1")).as("lp2"))
+    bigrams(df)
+      .join(tbi, Seq("w1", "w2"), "left")
+      .join(tuni.select(col("token").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(totals)
+      .select(col("id"),
+        floor(coalesce(col("lp2"),
+          log(lit(alpha) * (coalesce(col("c1w2"), lit(0L)) + 1)
+            / (col("__N") + col("__V")))) * 1e6).cast("long").as("__micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("__micro"))).as("__arr"))
+      .withColumn("k_count",
+        floor((col("n_bigrams") + kDenom - 1) / kDenom).cast("long"))
+      .withColumn("mink_sum_micro",
+        aggregate(slice(col("__arr"), lit(1), col("k_count").cast("int")),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("id"), col("n_bigrams"), col("k_count"),
+        col("mink_sum_micro"),
+        (col("mink_sum_micro").cast("double") / (col("k_count") * 1e6))
+          .as("mink_mean_lp"))
+  }
+
   /** Rolling (Rabin-Karp-style) hash of the token stream: h = fold(acc ->
     * acc*B + hash(tok) mod M). base*mod must stay below 2^63 (ANSI mode
     * overflow-checks long multiply): with M = 2^31-1 and B ~ 2^20 the

@@ -177,4 +177,36 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(math.abs(out(12L)._2 - backoffOov) < 1e-9)
     assert(out(10L)._2 > out(11L)._2 && out(11L)._2 > out(12L)._2)
   }
+
+  test("minKProbScore: memorized text scores above novel-tail text") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      // verbatim training doc: every bigram seen -> bottom-k has no outlier
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      // same fluent prefix but a novel tail: min-k% isolates the tail
+      (11L, "the quick brown fox zxq wvv qqq pxp"),
+      (12L, "a") // single token: no bigrams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.minKProbScore(score, train, "doc_id", "text",
+        kDenom = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("mink_mean_lp"))).toMap
+    assert(!out.contains(12L))
+    val (n10, k10, s10, m10) = out(10L)
+    assert(n10 == 10L && k10 == 2L) // ceil(10/5)
+    assert(math.abs(s10 - m10 * k10 * 1e6) < 1e-6)
+    val m11 = out(11L)._4
+    assert(m10 > m11 + 1.0,
+      s"memorized $m10 must clearly beat novel-tail $m11")
+    // full-mean would also separate these two, but min-k% must isolate
+    // the tail harder than the mean dilutes it
+    val mean11 = TextAnalysis.bigramLogProb(
+      score.filter(col("doc_id") === 11L), train, "doc_id", "text")
+      .select("mean_lp").as[Double].head()
+    assert(m11 < mean11, "bottom-k mean must sit below the full mean")
+  }
 }
