@@ -3439,5 +3439,26 @@ object Oracles {
         |    mh AS fp FROM m)
         |SELECT DISTINCT doc_id, pos, fp FROM p
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // Same grid-cell blocking as the operator: any pair within r=1500
+    // lies within one cell (side = r) of Chebyshev distance 1, so the
+    // 3x3 neighbor equi-join is exhaustive; exact long arithmetic.
+    "q_radius_join" ->
+      """WITH p AS (SELECT event_id AS pid,
+        |    (event_id * 2654435761) % 1000000 AS x,
+        |    (event_id * 1779033703 + user_id * 2246822519) % 1000000 AS y
+        |  FROM events),
+        |c AS (SELECT pid, x, y,
+        |    CAST(floor(x / 1500.0) AS BIGINT) AS cx,
+        |    CAST(floor(y / 1500.0) AS BIGINT) AS cy FROM p),
+        |o AS (SELECT a.ox, b.oy
+        |  FROM (VALUES (-1), (0), (1)) a(ox), (VALUES (-1), (0), (1)) b(oy)),
+        |n AS (SELECT pid, x, y, cx + ox AS cx, cy + oy AS cy FROM c, o),
+        |j AS (SELECT a.pid AS id_a, b.pid AS id_b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM c a JOIN n b ON a.cx = b.cx AND a.cy = b.cy
+        |    AND a.pid < b.pid)
+        |SELECT id_a, id_b, dist2 FROM j WHERE dist2 <= 2250000
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

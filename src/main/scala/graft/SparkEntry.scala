@@ -3601,6 +3601,22 @@ object SparkEntry {
         ("simhash_covered", nDocs, shFound == nDocs))
         .toDF("claim", "n", "ok").orderBy("claim")
     }),
+
+    // Grid-cell radius self-join (Spatial.radiusJoinPlanar): points
+    // hash-derived from events onto a 1e6 x 1e6 integer plane, r=1500.
+    // The pair generator is a banded equi-join on (cx, cy) with a 9-way
+    // explode probe side — never a cross join — and the distance math is
+    // exact long arithmetic end to end, so the gate is engine-portable
+    // with no rounding rule at all.
+    "q_radius_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id").as("pid"),
+        pmod(col("event_id") * 2654435761L, lit(1000000L)).as("x"),
+        pmod(col("event_id") * 1779033703L + col("user_id") * 2246822519L,
+          lit(1000000L)).as("y"))
+      Spatial.radiusJoinPlanar(pts, "pid", "x", "y", radius = 1500L)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

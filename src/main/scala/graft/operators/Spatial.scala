@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spatial neighbor mining via grid-cell banding.
+  *
+  * An all-pairs distance join is the spatial cousin of the dedup cross
+  * joins this library never runs: at 100 TB the only viable shape is
+  * blocking. Quantize each point to an integer grid cell whose side is
+  * >= the search radius; every qualifying pair then lies within
+  * Chebyshev distance 1 in cell space (|dx| <= dist <= r <= cellSide),
+  * so the candidate set is an equi-join of points against a 3x3
+  * neighborhood replication, post-filtered on the exact distance.
+  * Candidate volume is sum over cells of n_cell * n_neighborhood —
+  * linear in data for bounded point density — versus n^2 for the naive
+  * join, and the join is a plain shuffled equi-join on (cx, cy) that
+  * Catalyst plans as sort-merge/shuffled-hash (PlanAuditSpec pins
+  * no-cartesian / no-BNLJ; the 9-way replication is an `explode`, not a
+  * cross join). Dense hot spots (one city block with millions of
+  * points) are the skew case: `hotCellCap` drops cells above the cap
+  * from pair generation, mirroring the documented hot-bucket cap of
+  * every banded dedup candidate generator in [[Dedup]].
+  */
+object Spatial {
+
+  /** Radius self-join on an integer plane (micro-degrees on a local
+    * tangent plane, metres, pixel grids). Emits each pair once
+    * (`id_a < id_b`) with the exact squared distance `dist2` — long
+    * arithmetic end to end (no trig, no float rounding), which keeps
+    * results bit-identical across engines and makes the oracle gate
+    * hash-exact. Caller contract: coordinate spans must keep
+    * dx^2 + dy^2 inside Int64 — true even for full-earth micro-degree
+    * longitudes (3.6e8^2 * 2 ~ 2.6e17 << 9.2e18).
+    *
+    * @param hotCellCap 0 = off; otherwise cells holding more than this
+    *   many points are excluded from pair generation (documented recall
+    *   trade for bounded worst-case work, as in [[Dedup]]'s banders).
+    */
+  def radiusJoinPlanar(df: DataFrame, idCol: String, xCol: String,
+                       yCol: String, radius: Long,
+                       hotCellCap: Int = 0): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val r = lit(radius.toDouble)
+    val withCell = df.select(col(idCol).as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__cx", floor(col("__x") / r).cast("long"))
+      .withColumn("__cy", floor(col("__y") / r).cast("long"))
+    val pts = if (hotCellCap > 0) {
+      val hot = withCell.groupBy("__cx", "__cy")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > hotCellCap)
+        .select("__cx", "__cy")
+      withCell.join(hot, Seq("__cx", "__cy"), "left_anti")
+    } else withCell
+    // Probe side: each point replicated into its 3x3 cell neighborhood
+    // (explode of a 9-literal array — row-local, no join).
+    val offsets = for { ox <- -1 to 1; oy <- -1 to 1 }
+      yield struct(lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))
+    val probe = pts.withColumn("__o", explode(array(offsets: _*)))
+      .select(col("__id").as("__idb"), col("__x").as("__xb"),
+        col("__y").as("__yb"),
+        (col("__cx") + col("__o.ox")).as("__cx"),
+        (col("__cy") + col("__o.oy")).as("__cy"))
+    // For a pair with cells at Chebyshev distance <= 1 there is exactly
+    // one offset mapping b's cell onto a's, so no pair dedup is needed.
+    val dx = col("__x") - col("__xb")
+    val dy = col("__y") - col("__yb")
+    pts.join(probe, Seq("__cx", "__cy"))
+      .filter(col("__id") < col("__idb"))
+      .withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= lit(radius * radius))
+      .select(col("__id").as("id_a"), col("__idb").as("id_b"), col("dist2"))
+  }
+
+  /** Geodetic radius self-join (lat/lon degrees, radius in metres):
+    * grid side derived from the radius — latitude cells at
+    * radius / 111132 m-per-degree, longitude cells widened by the worst
+    * cos(lat) the caller admits via `maxAbsLatDeg` (rows beyond it are
+    * excluded: near the poles lon cells degenerate and a lat-band-only
+    * blocking is the right tool). Candidates post-filter on the exact
+    * haversine, so the grid affects only completeness — which the
+    * conservative cell sizing guarantees inside |lat| <= maxAbsLatDeg.
+    * Output distance is rounded to 3 decimals (mm): trig results differ
+    * across engines/libm in the last ulp, so the raw double is not
+    * portable — same rule as every trig-bearing gate here.
+    */
+  def radiusJoinGeo(df: DataFrame, idCol: String, latCol: String,
+                    lonCol: String, radiusMeters: Double,
+                    maxAbsLatDeg: Double = 70.0,
+                    hotCellCap: Int = 0): DataFrame = {
+    require(radiusMeters > 0, s"radius must be positive, got $radiusMeters")
+    require(maxAbsLatDeg > 0 && maxAbsLatDeg < 85,
+      s"maxAbsLatDeg must lie in (0, 85), got $maxAbsLatDeg")
+    val latCell = radiusMeters / 111132.0
+    val lonCell = radiusMeters /
+      (111320.0 * math.cos(math.toRadians(maxAbsLatDeg)))
+    val bounded = df.filter(abs(col(latCol)) <= lit(maxAbsLatDeg))
+    val withCell = bounded.select(col(idCol).as("__id"),
+        col(latCol).cast("double").as("__lat"),
+        col(lonCol).cast("double").as("__lon"))
+      .withColumn("__cx", floor(col("__lon") / lonCell).cast("long"))
+      .withColumn("__cy", floor(col("__lat") / latCell).cast("long"))
+    val pts = if (hotCellCap > 0) {
+      val hot = withCell.groupBy("__cx", "__cy")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > hotCellCap)
+        .select("__cx", "__cy")
+      withCell.join(hot, Seq("__cx", "__cy"), "left_anti")
+    } else withCell
+    val offsets = for { ox <- -1 to 1; oy <- -1 to 1 }
+      yield struct(lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))
+    val probe = pts.withColumn("__o", explode(array(offsets: _*)))
+      .select(col("__id").as("__idb"), col("__lat").as("__latb"),
+        col("__lon").as("__lonb"),
+        (col("__cx") + col("__o.ox")).as("__cx"),
+        (col("__cy") + col("__o.oy")).as("__cy"))
+    pts.join(probe, Seq("__cx", "__cy"))
+      .filter(col("__id") < col("__idb"))
+      .withColumn("distance_m", graft.plant.PlantData.haversineMeters(
+        col("__lat"), col("__lon"), col("__latb"), col("__lonb")))
+      .filter(col("distance_m") <= lit(radiusMeters))
+      .select(col("__id").as("id_a"), col("__idb").as("id_b"),
+        round(col("distance_m"), 3).as("distance_m"))
+  }
+}

@@ -126,6 +126,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q_radius_join plans a shuffled equi join on cells, never a cross join") {
+    // the design claim in Spatial.radiusJoinPlanar: grid-cell banding +
+    // 9-way explode turns the radius join into a plain equi join on
+    // (cx, cy); the naive distance join would plan Cartesian/BNLJ
+    val plan = SparkEntry.queries("q_radius_join")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("ivfPqTopK scores through an equi join, never a nested loop") {
     // the design claim in Similarity.ivfPqTopK: probed-list routing turns
     // the candidate scan into a hash join on __list — pqTopK's deliberate

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Grid-cell radius joins: brute-force parity on random points (the
+  * blocking must be exhaustive — cell side >= radius guarantees every
+  * qualifying pair is within Chebyshev distance 1 in cell space),
+  * planted-cluster recovery, hot-cell capping, and degenerate args.
+  */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForcePairs(pts: Seq[(Long, Long, Long)], r: Long) =
+    (for {
+      a <- pts; b <- pts
+      if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+
+  test("planar radius join == brute force on random points (incl. negatives)") {
+    val rnd = new scala.util.Random(42)
+    // Span negative coordinates on purpose: floor-division cell
+    // assignment must not truncate toward zero at the origin seam.
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextLong() % 5000L, rnd.nextLong() % 5000L))
+    for (r <- Seq(1L, 137L, 800L)) {
+      val got = Spatial.radiusJoinPlanar(
+          pts.toDF("id", "x", "y"), "id", "x", "y", r)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteForcePairs(pts, r), s"radius $r")
+    }
+  }
+
+  test("pair emitted exactly once across cell boundaries") {
+    // Two points straddling a cell boundary (x = r-1 vs x = r) — found
+    // via the neighbor offset, and exactly once.
+    val df = Seq((1L, 99L, 0L), (2L, 100L, 0L)).toDF("id", "x", "y")
+    val got = Spatial.radiusJoinPlanar(df, "id", "x", "y", 100L)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 1L)))
+  }
+
+  test("hot-cell cap drops dense cells from pair generation") {
+    // 50 points piled in one cell + an isolated close pair elsewhere.
+    val dense = (0L until 50L).map(i => (i, 10L + i % 5, 10L + i / 5))
+    val pair = Seq((100L, 5000L, 5000L), (101L, 5001L, 5000L))
+    val df = (dense ++ pair).toDF("id", "x", "y")
+    val capped = Spatial.radiusJoinPlanar(df, "id", "x", "y", 50L,
+      hotCellCap = 10).as[(Long, Long, Long)].collect().toList
+    assert(capped == List((100L, 101L, 1L)))
+    val uncapped = Spatial.radiusJoinPlanar(df, "id", "x", "y", 50L)
+    assert(uncapped.count() == 50L * 49L / 2 + 1)
+  }
+
+  test("geo radius join finds known-distance pairs and excludes polar rows") {
+    // ~111 m per 0.001 deg latitude at the equator.
+    val df = Seq(
+      (1L, 0.0, 0.0), (2L, 0.001, 0.0),   // ~111 m apart
+      (3L, 50.0, 10.0), (4L, 50.0, 10.002), // ~143 m at lat 50
+      (5L, 80.0, 0.0), (6L, 80.0, 0.0001)   // beyond maxAbsLat: excluded
+    ).toDF("id", "lat", "lon")
+    val got = Spatial.radiusJoinGeo(df, "id", "lat", "lon",
+        radiusMeters = 200.0, maxAbsLatDeg = 70.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+    val dist = Spatial.radiusJoinGeo(df, "id", "lat", "lon", 200.0)
+      .filter(col("id_a") === 1L).select("distance_m")
+      .as[Double].head()
+    assert(math.abs(dist - 111.2) < 1.0, s"got $dist")
+  }
+
+  test("geo parity vs brute-force haversine on random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 200L).map { i =>
+      (i, (rnd.nextDouble() - 0.5) * 0.2 + 45.0,
+        (rnd.nextDouble() - 0.5) * 0.2)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+    val got = Spatial.radiusJoinGeo(df, "id", "lat", "lon",
+        radiusMeters = 2000.0, maxAbsLatDeg = 46.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val R = 6371008.8
+      val (p1, p2) = (math.toRadians(a._2), math.toRadians(b._2))
+      val (dp, dl) = (p2 - p1, math.toRadians(b._3 - a._3))
+      val h = math.pow(math.sin(dp / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+      2 * R * math.asin(math.sqrt(h))
+    }
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1 && hav(a, b) <= 2000.0
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+  }
+
+  test("degenerate args: empty input, single point, zero/negative radius") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(Spatial.radiusJoinPlanar(empty, "id", "x", "y", 10L).count() == 0)
+    val one = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
+    assert(Spatial.radiusJoinPlanar(one, "id", "x", "y", 10L).count() == 0)
+    // Coincident points still pair once, with dist2 = 0.
+    val dup = Seq((1L, 5L, 5L), (2L, 5L, 5L)).toDF("id", "x", "y")
+    assert(Spatial.radiusJoinPlanar(dup, "id", "x", "y", 1L)
+      .as[(Long, Long, Long)].collect().toList == List((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Spatial.radiusJoinPlanar(one, "id", "x", "y", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Spatial.radiusJoinGeo(one.toDF("id", "lat", "lon"), "id", "lat",
+        "lon", -5.0)
+    }
+    intercept[IllegalArgumentException] {
+      Spatial.radiusJoinGeo(one.toDF("id", "lat", "lon"), "id", "lat",
+        "lon", 10.0, maxAbsLatDeg = 90.0)
+    }
+  }
+}
