@@ -3460,5 +3460,36 @@ object Oracles {
         |    AND a.pid < b.pid)
         |SELECT id_a, id_b, dist2 FROM j WHERE dist2 <= 2250000
         |ORDER BY 1, 2""".stripMargin,
+
+    // Synchronous k-core peeling replayed as fixed chained CTE rounds
+    // (the k-core fixpoint is unique, so any round count >= convergence
+    // depth reproduces the operator exactly; 30 rounds is generous —
+    // the gate graph converges in < 10).
+    "q_kcore" -> {
+      val k = 19
+      val rounds = 30
+      // MATERIALIZED is load-bearing: plain CTEs inline, and each round
+      // references the previous twice -> 2^rounds plan expansion (first
+      // symptom: "too many open files" from re-opened parquet scans).
+      val iters = (1 to rounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT a, b FROM und
+           |  WHERE a IN (SELECT node FROM s${i - 1})
+           |    AND b IN (SELECT node FROM s${i - 1})),
+           |d$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
+           |    (SELECT a AS node FROM k$i UNION ALL SELECT b FROM k$i)
+           |  GROUP BY node),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT
+         |    CAST((user_id * 13) % 500 AS VARCHAR) AS s,
+         |    CAST(1000 + (event_id * 2654435761) % 500 AS VARCHAR) AS d
+         |  FROM events),
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |  FROM e WHERE s <> d),
+         |s0 AS MATERIALIZED (SELECT a AS node FROM und UNION SELECT b FROM und),
+         |$iters
+         |SELECT node, degree FROM d$rounds WHERE degree >= $k
+         |ORDER BY node""".stripMargin
+    },
   )
 }

@@ -3617,6 +3617,19 @@ object SparkEntry {
       Spatial.radiusJoinPlanar(pts, "pid", "x", "y", radius = 1500L)
         .orderBy("id_a", "id_b")
     }),
+
+    // k-core of a bipartite-ish interaction graph derived from events
+    // (LinkGraph.kCore): synchronous peeling to the unique fixpoint; the
+    // oracle replays the same rounds as 30 chained CTEs in DuckDB. Pure
+    // integer/string arithmetic — no rounding rule needed.
+    "q_kcore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = ev.select(
+        pmod(col("user_id") * 13L, lit(500L)).as("src"),
+        (lit(1000L) + pmod(col("event_id") * 2654435761L, lit(500L))).as("dst"))
+      LinkGraph.kCore(edges, "src", "dst", k = 19)
+        .orderBy("node")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -198,4 +198,93 @@ object LinkGraph {
       scores
     }
   }
+
+  /** k-core: the (unique) maximal subgraph in which every node keeps at
+    * least `k` neighbors — the standard dense-community filter for link
+    * graphs (spam farms and boilerplate interlinks survive low cores;
+    * organic hubs survive high ones). Edges are canonicalized to an
+    * UNDIRECTED SIMPLE graph first (dedup + self-loop drop), because
+    * core membership is a neighborhood-size property, not a multi-edge
+    * count. Returns (node, degree) for core members, degree measured
+    * inside the core.
+    *
+    * Peeling runs in synchronous rounds — every round removes ALL nodes
+    * whose survivor-degree is < k at once. The fixpoint is unique no
+    * matter the removal order, so the result is deterministic and an
+    * independent engine iterating the same rounds reproduces it exactly
+    * (the oracle gate chains fixed-round CTEs in DuckDB). Scale shape:
+    * each round is two left-semi joins (edges x survivors, shuffled on
+    * the node key) + one endpoint-union aggregate; the survivor table is
+    * localCheckpoint'd so lineage stays one round deep; rounds are
+    * bounded by the graph's peeling depth (small for real link graphs —
+    * shells empty out layer by layer). Graphs under `driverCap` edges
+    * run identical synchronous rounds in memory — the q_cc_dedup
+    * altitude rule: per-round job overhead dominates tiny graphs.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 30, driverCap: Long = 2000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(col(srcCol).cast("string").as("s"), col(dstCol).cast("string").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val nEdges = und.count()
+    if (nEdges <= driverCap) {
+      val pairs = und.as[(String, String)].collect()
+      val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      var alive = Array.fill(nodes.length)(true)
+      var changed = true
+      var it = 0
+      var deg = new Array[Int](nodes.length)
+      while (changed && it < maxIters) {
+        java.util.Arrays.fill(deg, 0)
+        pairs.foreach { case (x, y) =>
+          if (alive(idx(x)) && alive(idx(y))) { deg(idx(x)) += 1; deg(idx(y)) += 1 }
+        }
+        val next = nodes.indices.map(i => alive(i) && deg(i) >= k).toArray
+        changed = !java.util.Arrays.equals(next, alive)
+        alive = next
+        it += 1
+      }
+      spark.createDataFrame(nodes.indices.collect {
+          case i if alive(i) => (nodes(i), deg(i).toLong)
+        }).toDF("node", "degree")
+    } else {
+      val ec = und.localCheckpoint(true)
+      var surv = ec.select(col("a").as("node"))
+        .union(ec.select(col("b").as("node")))
+        .distinct().localCheckpoint(true)
+      var n = surv.count()
+      var result: DataFrame = null
+      var it = 0
+      while (result == null && it < maxIters && n > 0) {
+        val kept = ec
+          .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+        val deg = kept.select(col("a").as("node"))
+          .union(kept.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+          .filter(col("degree") >= k)
+          .localCheckpoint(true)
+        val m = deg.count()
+        if (m == n) result = deg // fixpoint: survivor set stable
+        else { surv = deg.select("node"); n = m }
+        it += 1
+      }
+      if (result != null) result
+      else if (n == 0) surv.withColumn("degree", lit(0L)).limit(0)
+      else { // maxIters hit pre-fixpoint: report the current shell
+        val kept = ec
+          .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+        kept.select(col("a").as("node")).union(kept.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+      }
+    }
+  }
 }

@@ -108,4 +108,53 @@ class LinkGraphSpec extends SparkSpec {
       assert(math.abs(mem(k)._2 - dist(k)._2) < 1e-9, s"auth $k")
     }
   }
+
+  private def kcoreOf(edges: Seq[(String, String)], k: Int,
+                      driverCap: Long = 2000000L): Map[String, Long] = {
+    import spark.implicits._
+    LinkGraph.kCore(edges.toDF("src", "dst"), "src", "dst", k,
+        driverCap = driverCap)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("kCore: triangle with a tail keeps only the triangle at k=2") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "t1"),
+      ("t1", "t2"))
+    assert(kcoreOf(edges, 2) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // path graph peels from the ends inward over multiple rounds
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
+    assert(kcoreOf(path, 2).isEmpty)
+  }
+
+  test("kCore: multi-edges and self-loops do not inflate degrees") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      ("b", "c"), ("c", "a"))
+    // simple undirected graph is the triangle a-b-c
+    assert(kcoreOf(edges, 2) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    assert(kcoreOf(edges, 3).isEmpty)
+  }
+
+  test("kCore: distributed rounds agree with the in-memory peeling") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ =>
+      (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+    def kcoreOfDist(e: Seq[(String, String)], k: Int) =
+      kcoreOf(e, k, driverCap = 0L)
+    for (k <- Seq(2, 5, 9)) {
+      assert(kcoreOf(edges, k) == kcoreOfDist(edges, k), s"k=$k")
+    }
+  }
+
+  test("kCore degenerate args: empty graph, k=1, invalid k") {
+    import spark.implicits._
+    assert(kcoreOf(Seq.empty, 2).isEmpty)
+    // k=1 drops only isolated self-loop nodes (none here): all survive
+    assert(kcoreOf(Seq(("a", "b"), ("b", "c")), 1) ==
+      Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    intercept[IllegalArgumentException] { kcoreOf(Seq(("a", "b")), 0) }
+    // null endpoints are dropped, not propagated
+    val withNull = Seq(("a", "b"), (null, "b"), ("a", null))
+      .toDF("src", "dst")
+    assert(LinkGraph.kCore(withNull, "src", "dst", 1).count() == 2)
+  }
 }
