@@ -3491,5 +3491,23 @@ object Oracles {
          |SELECT node, degree FROM d$rounds WHERE degree >= $k
          |ORDER BY node""".stripMargin
     },
+
+    // The identical quantized-Laplace table (driver-precomputed in
+    // graft.operators.Privacy.dpNoiseTable) embedded as a list literal:
+    // noise lookup = md5 PRF bucket, all integer arithmetic at runtime.
+    "q_dp_counts" -> {
+      val table = graft.operators.Privacy
+        .dpNoiseTable(epsilon = 0.5, sensitivity = 1.0)
+        .mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT lang, source, count(*) AS n FROM documents
+         |  GROUP BY 1, 2),
+         |z AS (SELECT lang, source, n,
+         |    ($table)[CAST(('0x' || substr(md5(
+         |      lang || chr(1) || source || chr(1) || '42'),
+         |      1, 8))::BIGINT % 1024 AS INT) + 1] AS noise
+         |  FROM g)
+         |SELECT lang, source, greatest(n + noise, 0) AS noisy_n
+         |FROM z ORDER BY lang, source""".stripMargin
+    },
   )
 }

@@ -3630,6 +3630,18 @@ object SparkEntry {
       LinkGraph.kCore(edges, "src", "dst", k = 19)
         .orderBy("node")
     }),
+
+    // ε-DP noisy release of (lang, source) counts over documents
+    // (Privacy.dpNoisyCounts): quantized-Laplace noise from a seeded md5
+    // PRF — after the driver precomputes the noise table, runtime
+    // arithmetic is md5 + mod + integer add, so the release is
+    // engine-exact (the oracle embeds the identical table literal).
+    "q_dp_counts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Privacy.dpNoisyCounts(d, Seq("lang", "source"), epsilon = 0.5,
+          seed = 42L)
+        .orderBy("lang", "source")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

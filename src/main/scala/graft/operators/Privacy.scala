@@ -96,4 +96,67 @@ object Privacy {
         coalesce(col("n_sensitive"), lit(0L)).as("n_sensitive"),
         (coalesce(col("n_sensitive"), lit(0L)) >= l).as("diverse")): _*)
   }
+
+  /** Buckets in the quantized-Laplace noise table: the uniform draw is a
+    * deterministic md5 bucket, so two engines (and two runs) reproduce
+    * the release bit-for-bit. 1024 buckets quantize the Laplace CDF to
+    * ~0.1% — far below the mechanism's own noise scale for any ε that
+    * is private enough to bother with.
+    */
+  val DpNoiseBuckets = 1024
+
+  /** The integer noise value [[dpNoisyCounts]] adds for md5 bucket `b`
+    * at Laplace scale s = sensitivity/ε: the inverse CDF at the bucket's
+    * centered midpoint, rounded to the nearest integer. Exposed so an
+    * independent engine (the oracle) can embed the identical table as a
+    * literal — after this driver-side precomputation, the only RUNTIME
+    * arithmetic is md5, mod, and an integer add, none of it libm.
+    */
+  def dpNoiseTable(epsilon: Double, sensitivity: Double): Seq[Long] = {
+    val scale = sensitivity / epsilon
+    (0 until DpNoiseBuckets).map { b =>
+      val u = (b + 0.5) / DpNoiseBuckets - 0.5
+      math.round(-scale * math.signum(u) * math.log1p(-2 * math.abs(u)))
+    }
+  }
+
+  /** ε-differentially-private group counts: the discretized Laplace
+    * mechanism (Dwork et al. 2006) with a seeded, quantized noise draw.
+    * Counting queries have L1 sensitivity `sensitivity` (1 when each
+    * individual contributes one row), so adding Laplace(sensitivity/ε)
+    * noise to every group count gives ε-DP; rounding the noise to
+    * integers and clamping at zero are post-processing and cost no
+    * privacy. The draw for a group is its md5(keys ‖ seed) bucket into
+    * [[dpNoiseTable]] — deterministic for reproducible releases (and for
+    * the oracle gate), seeded so distinct releases draw fresh noise.
+    * Note the standard caveats: the noise is a PRF of (keys, seed), so
+    * the guarantee is COMPUTATIONAL DP and the seed is the secret — a
+    * published seed voids the mechanism (as with any PRNG-backed DP
+    * implementation, only more visibly). Re-releasing with the SAME seed
+    * reveals nothing new; k releases under k seeds compose to kε.
+    *
+    * Output: (keys..., noisy_n) — the TRUE count never leaves the
+    * operator. One map-side-combined groupBy plus row-local noise
+    * lookup; the table rides along as a single array literal (no join,
+    * no codegen blow-up).
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+                    seed: Long, sensitivity: Double = 1.0,
+                    clampNonNegative: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    val table = typedlit(dpNoiseTable(epsilon, sensitivity))
+    // "\u0001" field separator: without one the key tuples ("ab","c")
+    // and ("a","bc") would draw identical noise
+    val bucket = (conv(substring(md5(concat_ws("\u0001",
+        keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)),
+      1, 8), 16, 10).cast("long") % DpNoiseBuckets).cast("int")
+    val noisy = col("__n") + element_at(table, bucket + 1)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("noisy_n",
+        if (clampNonNegative) greatest(noisy, lit(0L)) else noisy)
+      .drop("__n")
+  }
 }

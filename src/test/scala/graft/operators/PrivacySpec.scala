@@ -56,6 +56,60 @@ class PrivacySpec extends SparkSpec {
     assert(out((None, "30s")) == ((2L, 2L, true)))
   }
 
+  test("dpNoisyCounts: deterministic per seed, fresh noise across seeds") {
+    val a = Privacy.dpNoisyCounts(rows, Seq("zip", "age"), epsilon = 1.0,
+      seed = 7L).orderBy("zip", "age").collect().toList
+    val b = Privacy.dpNoisyCounts(rows, Seq("zip", "age"), epsilon = 1.0,
+      seed = 7L).orderBy("zip", "age").collect().toList
+    assert(a == b) // reproducible release
+    // the true count never appears in the schema
+    assert(Privacy.dpNoisyCounts(rows, Seq("zip"), 1.0, 7L).columns.toSeq
+      == Seq("zip", "noisy_n"))
+    // across many seeds the noise actually varies
+    val perSeed = (1L to 20L).map(s =>
+      Privacy.dpNoisyCounts(rows, Seq("age"), epsilon = 0.3, seed = s)
+        .filter(col("age") === "30s").select("noisy_n").as[Long].head())
+    assert(perSeed.distinct.size > 3, perSeed.toString)
+  }
+
+  test("dpNoiseTable: symmetric, scales with 1/epsilon, quantizes to 0 at large eps") {
+    val t1 = Privacy.dpNoiseTable(epsilon = 0.2, sensitivity = 1.0)
+    assert(t1.size == Privacy.DpNoiseBuckets)
+    // inverse-CDF symmetry: bucket b and its mirror draw opposite noise
+    for (b <- 0 until Privacy.DpNoiseBuckets / 2)
+      assert(t1(b) == -t1(Privacy.DpNoiseBuckets - 1 - b))
+    val spread1 = t1.map(math.abs).max
+    val spread2 = Privacy.dpNoiseTable(0.05, 1.0).map(math.abs).max
+    assert(spread2 > spread1 * 3, s"$spread1 vs $spread2")
+    // huge epsilon: every bucket rounds to zero noise
+    assert(Privacy.dpNoiseTable(1000.0, 1.0).forall(_ == 0L))
+  }
+
+  test("dpNoisyCounts: clamp floor and degenerate args") {
+    // epsilon small enough that some singleton group goes negative
+    // pre-clamp across seeds; the clamped release never does
+    val clamped = (1L to 30L).flatMap(s =>
+      Privacy.dpNoisyCounts(rows, Seq("zip", "age"), epsilon = 0.1,
+        seed = s).select("noisy_n").as[Long].collect())
+    assert(clamped.forall(_ >= 0L))
+    val raw = (1L to 30L).flatMap(s =>
+      Privacy.dpNoisyCounts(rows, Seq("zip", "age"), epsilon = 0.1,
+        seed = s, clampNonNegative = false)
+        .select("noisy_n").as[Long].collect())
+    assert(raw.exists(_ < 0L), "expected some pre-clamp negative release")
+    val empty = rows.limit(0)
+    assert(Privacy.dpNoisyCounts(empty, Seq("zip"), 1.0, 1L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(rows, Seq.empty, 1.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(rows, Seq("zip"), 0.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(rows, Seq("zip"), 1.0, 1L, sensitivity = -1.0)
+    }
+  }
+
   test("lDiversity distinct count avoids the countDistinct expand") {
     val plan = Privacy.lDiversityReport(rows, Seq("zip"), "disease", l = 2)
       .queryExecution.executedPlan.toString
