@@ -3509,5 +3509,48 @@ object Oracles {
          |SELECT lang, source, greatest(n + noise, 0) AS noisy_n
          |FROM z ORDER BY lang, source""".stripMargin
     },
+
+    // Mirrors Cleanse.contentExtract paragraph-by-paragraph: same page
+    // synthesis, same tag->space strip, same density divisions.
+    "q_content_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a>'
+        |    || chr(10) || chr(10) || '<p>' || substr(text, 1, 400) || '</p>'
+        |    || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'see also <a href="/d/' || CAST(doc_id % 97 AS VARCHAR)
+        |           || '">related topic link text here</a>'
+        |      ELSE 'short note' END
+        |    || chr(10) || chr(10) || '<a href="/terms">terms of service</a>'
+        |    AS html FROM documents),
+        |p0 AS (SELECT doc_id, string_split_regex(html, '\n{2,}') AS parts
+        |  FROM h),
+        |p1 AS (SELECT doc_id, parts,
+        |    unnest(range(1, len(parts) + 1)) AS j FROM p0),
+        |p AS (SELECT doc_id AS id, CAST(j - 1 AS INT) AS para_idx,
+        |    parts[CAST(j AS INT)] AS para FROM p1),
+        |m AS (SELECT id, para_idx,
+        |    trim(regexp_replace(regexp_replace(para, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS plain,
+        |    coalesce(list_sum([len(x) FOR x IN
+        |      regexp_extract_all(para, '(?s)<a[^>]*>(.*?)</a>', 1)]), 0)
+        |      AS lc FROM p),
+        |t AS (SELECT id, para_idx, plain, lc,
+        |    list_filter(string_split(plain, ' '), w -> len(w) > 0) AS toks
+        |  FROM m),
+        |f AS (SELECT id, para_idx,
+        |    CAST(len(plain) AS INT) AS n_chars,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CAST(lc AS DOUBLE) / greatest(len(plain), 1) AS link_density,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |        ['the', 'a', 'data', 'value', 'query', 'table', 'join',
+        |         'scan', 'order', 'key'], lower(w)))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stopword_density
+        |  FROM t)
+        |SELECT id, para_idx, n_chars, n_words, link_density,
+        |  stopword_density,
+        |  (n_chars >= 80 AND link_density <= 0.2
+        |    AND stopword_density >= 0.15) AS is_content
+        |FROM f ORDER BY id, para_idx""".stripMargin,
   )
 }

@@ -3642,6 +3642,30 @@ object SparkEntry {
           seed = 42L)
         .orderBy("lang", "source")
     }),
+
+    // jusText-lite content extraction (Cleanse.contentExtract):
+    // paragraph-grain link/stopword/length densities over synthesized
+    // page structure (nav + body + optional related-links + footer).
+    // Densities are single IEEE divisions — engine-exact without any
+    // rounding rule.
+    "q_content_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = concat_ws("\n\n",
+        lit("<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a>"),
+        concat(lit("<p>"), substring(col("text"), 1, 400), lit("</p>")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("see also <a href=\"/d/"),
+            (col("doc_id") % 97).cast("string"),
+            lit("\">related topic link text here</a>")))
+          .otherwise(lit("short note")),
+        lit("<a href=\"/terms\">terms of service</a>"))
+      Cleanse.contentExtract(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html",
+          stopwords = Seq("the", "a", "data", "value", "query", "table",
+            "join", "scan", "order", "key"))
+        .orderBy("id", "para_idx")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

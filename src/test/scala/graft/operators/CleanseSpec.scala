@@ -405,4 +405,58 @@ class CleanseSpec extends SparkSpec {
          (id2, w2, role2) <- out if role2 == "train" && id2 == id)
       assert(w2 > w, s"row $id trains in w$w2 but tests in w$w")
   }
+
+  test("contentExtract classifies by link density, stopword density, length") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "is")
+    val body = ("the quick brown fox is one of the animals and " * 4).trim
+    val html = Seq(
+      (1L, "<a href=\"/\">home</a> <a href=\"/x\">about us</a>\n\n" +
+        s"<p>$body</p>\n\nshort\n\n" +
+        "<a href=\"/t\">terms</a> <a href=\"/p\">privacy</a>")
+    ).toDF("id", "html")
+    val out = Cleanse.contentExtract(html, "id", "html", stop)
+      .orderBy("para_idx")
+      .select("para_idx", "n_chars", "is_content")
+      .as[(Int, Int, Boolean)].collect().toList
+    assert(out.map(_._1) == List(0, 1, 2, 3))
+    assert(out.map(_._3) == List(false, true, false, false))
+    // the nav fails on link density AND length; "short" on length;
+    // the body's exact char count survives the tag strip
+    assert(out(1)._2 == body.length)
+    // link density accounting: nav = all link text
+    val nav = Cleanse.contentExtract(html, "id", "html", stop)
+      .filter(col("para_idx") === 0)
+      .select("link_density").as[Double].head()
+    assert(nav > 0.6, s"nav link density $nav")
+  }
+
+  test("extractContent rebuilds kept paragraphs in order") {
+    import spark.implicits._
+    val stop = Seq("the", "a")
+    val p1 = "the first real paragraph is long enough to keep " * 3
+    val p2 = "the second real paragraph is also long enough to keep " * 3
+    val html = Seq(
+      (1L, s"<a href=\"/\">nav</a>\n\n$p1\n\njunk\n\n$p2"),
+      (2L, "<a href=\"/\">only a nav</a>")
+    ).toDF("id", "html")
+    val out = Cleanse.extractContent(html, "id", "html", stop,
+        minStopDensity = 0.1)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toList
+    assert(out(0)._2 == p1.trim + "\n\n" + p2.trim)
+    assert((out(0)._3, out(0)._4) == (2L, 2L))
+    assert(out(1) == (2L, "", 0L, 1L)) // nothing kept: empty content
+  }
+
+  test("contentExtract degenerate args: empty text, empty stopwords") {
+    import spark.implicits._
+    val one = Seq((1L, "")).toDF("id", "html")
+    val out = Cleanse.contentExtract(one, "id", "html", Seq("the"))
+      .select("n_chars", "n_words", "is_content")
+      .as[(Int, Int, Boolean)].collect().toList
+    assert(out == List((0, 0, false))) // empty page: one empty paragraph
+    intercept[IllegalArgumentException] {
+      Cleanse.contentExtract(one, "id", "html", Seq.empty)
+    }
+  }
 }
