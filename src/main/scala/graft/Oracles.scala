@@ -3552,5 +3552,37 @@ object Oracles {
         |  (n_chars >= 80 AND link_density <= 0.2
         |    AND stopword_density >= 0.15) AS is_content
         |FROM f ORDER BY id, para_idx""".stripMargin,
+
+    // Same blocked span-corruption arithmetic as Chunking.spanCorrupt:
+    // per full 20-token block, span length 2 + h1%3 and offset
+    // h2 % (20 - len + 1) from the two md5 halves of (id, b, seed).
+    "q_span_corrupt" -> {
+      val l = "(2 + ('0x' || substr(md5(id || '_' || b || '_7'), 1, 8))" +
+        "::BIGINT % 3)"
+      val o = "(('0x' || substr(md5(id || '_' || b || '_7'), 9, 8))" +
+        s"::BIGINT % (20 - $l + 1))"
+      s"""WITH t AS (SELECT doc_id AS id,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |n AS (SELECT id, toks, CAST(len(toks) // 20 AS INT) AS nfull
+         |  FROM t),
+         |r AS (SELECT id, toks, nfull,
+         |    flatten([toks[b*20+1 : b*20+$o]
+         |        || ['<extra_id_' || b || '>']
+         |        || toks[b*20+$o+$l+1 : b*20+20]
+         |      FOR b IN range(0, nfull)])
+         |      || toks[nfull*20+1 : len(toks)] AS input_arr,
+         |    ['<extra_id_' || b || '> ' ||
+         |        array_to_string(toks[b*20+$o+1 : b*20+$o+$l], ' ')
+         |      FOR b IN range(0, nfull)]
+         |      || ['<extra_id_' || nfull || '>'] AS target_arr
+         |  FROM n)
+         |SELECT id, CAST(len(toks) AS INT) AS n_tokens,
+         |  nfull AS n_spans,
+         |  array_to_string(input_arr, ' ') AS input_text,
+         |  array_to_string(target_arr, ' ') AS target_text
+         |FROM r ORDER BY id""".stripMargin
+    },
   )
 }

@@ -3666,6 +3666,16 @@ object SparkEntry {
             "join", "scan", "order", "key"))
         .orderBy("id", "para_idx")
     }),
+
+    // Blocked span corruption (Chunking.spanCorrupt): the T5 denoising
+    // pair generator with md5-PRF span placement — deterministic,
+    // shuffle-free, engine-exact (the oracle replays the same block
+    // arithmetic in DuckDB list comprehensions).
+    "q_span_corrupt" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Chunking.spanCorrupt(d, "doc_id", "text", blockSize = 20, seed = 7L)
+        .orderBy("id")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

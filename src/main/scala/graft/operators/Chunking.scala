@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-window document chunking with overlap — the standard pre-tokenize
@@ -186,5 +186,76 @@ object Chunking {
         .as("ch"))
       .select(col("id"), col("ch.chunk_id").cast("long").as("chunk_id"),
         col("ch.chunk"), col("ch.n_sentences"), col("ch.n_tokens"))
+  }
+
+  /** Blocked span corruption — the T5/UL2 denoising objective (Raffel et
+    * al. 2020) reshaped for engine-portable determinism: instead of a
+    * Poisson span process (a sequential recurrence no SQL engine can
+    * replay), token positions are partitioned into fixed blocks of
+    * `blockSize` tokens and every FULL block masks exactly one span.
+    * The span's length (2..4, mean 3) and in-block offset come from an
+    * md5 PRF of (id, block index, seed), so at blockSize=20 the realized
+    * corruption rate is the published ~15% with mean span 3 — but any
+    * two engines (and any shuffle order) reproduce the pair exactly.
+    * Sentinel k of a masked block is its block index, so the numbering
+    * needs no running counter; the target closes with one final
+    * sentinel, per the T5 convention.
+    *
+    * Output: (id, n_tokens, n_spans, input_text, target_text).
+    * Row-local: one staged token array + two HOF passes (the md5 is
+    * let-bound inside the lambda per the HOF re-evaluation rule); runs
+    * at scan speed, no shuffle.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  blockSize: Int = 20, seed: Long = 0L): DataFrame = {
+    require(blockSize >= 6, s"blockSize must be >= 6 (span + context), got $blockSize")
+    val B = blockSize
+    def h8(m: Column, off: Int) =
+      conv(substring(m, 1 + off, 8), 16, 10).cast("long")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val nFull = (org.apache.spark.sql.functions.size(col("__toks")) / B)
+      .cast("int")
+    // per full block: (block idx, span length, absolute span start) with
+    // the md5 bound once via the single-element-transform let idiom
+    // sequence(0, -1) is DESCENDING in Spark — an empty doc must yield
+    // an empty span list, not blocks 0 and -1
+    val blockIdxs = when(col("__nfull") > 0,
+      sequence(lit(0), col("__nfull") - 1))
+      .otherwise(typedlit(Seq.empty[Int]))
+    val spans = transform(blockIdxs,
+      b => element_at(transform(
+        array(md5(concat_ws("_", col(idCol).cast("string"),
+          b.cast("string"), lit(seed.toString)))),
+        m => struct(b.as("b"),
+          (lit(2) + pmod(h8(m, 0), lit(3L))).cast("int").as("len"),
+          pmod(h8(m, 8), lit(B.toLong) - (lit(2) + pmod(h8(m, 0), lit(3L)))
+            + 1).cast("int").as("off"))), 1))
+    def sentinel(b: Column) =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    // input: per block, tokens before the span + sentinel + tokens after;
+    // the partial tail block (if any) passes through uncorrupted
+    val inputArr = flatten(concat(
+      transform(col("__spans"), s => concat(
+        slice(col("__toks"), s.getField("b") * B + 1, s.getField("off")),
+        array(sentinel(s.getField("b"))),
+        slice(col("__toks"),
+          s.getField("b") * B + s.getField("off") + s.getField("len") + 1,
+          lit(B) - s.getField("off") - s.getField("len")))),
+      array(slice(col("__toks"), col("__nfull") * B + 1, lit(B)))))
+    val targetArr = transform(col("__spans"), s => concat_ws(" ",
+      sentinel(s.getField("b")),
+      array_join(slice(col("__toks"), s.getField("b") * B +
+        s.getField("off") + 1, s.getField("len")), " ")))
+    FanOut(df)
+      .withColumn("__toks", toks)
+      .withColumn("__nfull", nFull)
+      .withColumn("__spans", spans)
+      .withColumn("__target", targetArr)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.functions.size(col("__toks")).as("n_tokens"),
+        col("__nfull").as("n_spans"),
+        array_join(inputArr, " ").as("input_text"),
+        array_join(concat(col("__target"),
+          array(sentinel(col("__nfull")))), " ").as("target_text"))
   }
 }

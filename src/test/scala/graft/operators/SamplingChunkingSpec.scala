@@ -339,4 +339,57 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(out3((2L, 2L)) == (("hi", 1, 1)))
     assert(!out3.contains((2L, 1L)))
   }
+
+  test("spanCorrupt: sentinel round-trip reconstructs the original text") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until rnd.nextInt(90)).map(_ => s"w${rnd.nextInt(50)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Chunking.spanCorrupt(docs, "doc_id", "text", blockSize = 20,
+        seed = 5L)
+      .as[(Long, Int, Int, String, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    for ((id, nTok, nSpans, input, target) <- out) {
+      val want = orig(id).split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(nTok == want.split(" ").count(_.nonEmpty) ||
+        (want.isEmpty && nTok == 0))
+      // splice every <extra_id_k> span from the target back into the
+      // input; the result must be the original token stream
+      val spans = target.split("<extra_id_\\d+>").map(_.trim)
+      // spans(0) is empty (target starts with a sentinel); last sentinel
+      // has no following text
+      val fill = spans.drop(1)
+      var rebuilt = input
+      for (k <- 0 until nSpans)
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", fill(k))
+      assert(rebuilt.split(" ").filter(_.nonEmpty).mkString(" ") == want,
+        s"doc $id")
+      assert(target.endsWith(s"<extra_id_$nSpans>"))
+    }
+    // corruption rate: ~15% of tokens masked (span mean 3 per 20)
+    val tot = out.map(_._2).sum.toDouble
+    val masked = out.map { case (_, n, _, input, _) =>
+      n - input.split(" ").count(w => w.nonEmpty && !w.startsWith("<extra"))
+    }.sum.toDouble
+    assert(masked / tot > 0.10 && masked / tot < 0.20, masked / tot)
+  }
+
+  test("spanCorrupt: determinism, short docs, degenerate args") {
+    val docs = Seq((1L, "only five tokens right here"),
+      (2L, ""), (3L, ("tok " * 45).trim)).toDF("doc_id", "text")
+    val a = Chunking.spanCorrupt(docs, "doc_id", "text").orderBy("id")
+      .as[(Long, Int, Int, String, String)].collect().toList
+    val b = Chunking.spanCorrupt(docs, "doc_id", "text").orderBy("id")
+      .as[(Long, Int, Int, String, String)].collect().toList
+    assert(a == b)
+    // short doc: no full block -> uncorrupted input, sentinel-only target
+    assert(a(0) == ((1L, 5, 0, "only five tokens right here",
+      "<extra_id_0>")))
+    assert(a(1) == ((2L, 0, 0, "", "<extra_id_0>")))
+    assert(a(2)._3 == 2) // 45 tokens -> 2 full blocks
+    intercept[IllegalArgumentException] {
+      Chunking.spanCorrupt(docs, "doc_id", "text", blockSize = 4)
+    }
+  }
 }
