@@ -3584,5 +3584,38 @@ object Oracles {
          |  array_to_string(target_arr, ' ') AS target_text
          |FROM r ORDER BY id""".stripMargin
     },
+
+    // Same per-column exact profile + drift arithmetic as
+    // Diagnostics.profileDrift over the same planted mutations.
+    "q_profile_drift" -> {
+      def prof(src: String) = Seq("lang", "source", "text").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM $src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT
+         |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang,
+         |    source || '_' || CAST(doc_id % 50 AS VARCHAR) AS source,
+         |    text
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |pa AS (${prof("documents")}),
+         |pb AS (${prof("b")}),
+         |j AS (SELECT pa."column" AS "column",
+         |    pa.n AS n_a, pb.n AS n_b,
+         |    CAST(pa.n_null AS DOUBLE) / greatest(pa.n, 1) AS null_rate_a,
+         |    CAST(pb.n_null AS DOUBLE) / greatest(pb.n, 1) AS null_rate_b,
+         |    pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+         |    CASE WHEN pa.n_distinct > 0
+         |      THEN CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct END
+         |      AS distinct_ratio
+         |  FROM pa JOIN pb USING ("column"))
+         |SELECT "column", n_a, n_b, null_rate_a, null_rate_b,
+         |  null_rate_b - null_rate_a AS null_rate_delta,
+         |  n_distinct_a, n_distinct_b, distinct_ratio,
+         |  (abs(null_rate_b - null_rate_a) > 0.05
+         |    OR coalesce(distinct_ratio > 2.0
+         |      OR distinct_ratio < 0.5, true)) AS drifted
+         |FROM j ORDER BY "column"""".stripMargin
+    },
   )
 }

@@ -3676,6 +3676,22 @@ object SparkEntry {
       Chunking.spanCorrupt(d, "doc_id", "text", blockSize = 20, seed = 7L)
         .orderBy("id")
     }),
+
+    // Snapshot-over-snapshot column drift (Diagnostics.profileDrift):
+    // the "after" snapshot plants a nulling-out lang extractor, an
+    // exploding source cardinality, and a 10% row drop; the report must
+    // flag the first two and clear text. Exact counts + single IEEE
+    // divisions — engine-exact.
+    "q_profile_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val after = d.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("lang", when(col("doc_id") % 4 === 0, lit(null))
+          .otherwise(col("lang")))
+        .withColumn("source", concat(col("source"), lit("_"),
+          (col("doc_id") % 50).cast("string")))
+      Diagnostics.profileDrift(d, after, Seq("lang", "source", "text"))
+        .orderBy("column")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -566,4 +566,73 @@ object Diagnostics {
           .otherwise(fdot(col("__v"), col("__pv")) / nn).as("cos_prev")
       })
   }
+
+  /** Exact per-column profile of a snapshot, long format: one row per
+    * profiled column with (n, n_null, n_distinct). The scalable shape is
+    * ONE scan stacking each row into (column, value-as-string) pairs,
+    * a map-side-combined (column, value) dedup-count, then a column-grain
+    * rollup — the shuffle is bounded by the columns' value cardinality,
+    * never the corpus. (For columns whose cardinality itself is
+    * corpus-scale, the sketch profiles — [[shardProfile]]'s HLL,
+    * [[thetaProfile]] — are the right tool; this is the exact path that
+    * feeds [[profileDrift]].)
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val stacked = df.select(cols.map(c => col(c).cast("string")): _*)
+      .selectExpr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (column, val)")
+    stacked.groupBy("column", "val").agg(count(lit(1)).as("__n"))
+      .groupBy("column")
+      .agg(sum(col("__n")).as("n"),
+        coalesce(sum(when(col("val").isNull, col("__n"))), lit(0L))
+          .as("n_null"),
+        sum(when(col("val").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+  }
+
+  /** Snapshot-over-snapshot schema health: join two [[columnProfile]]s
+    * and flag columns whose NULL RATE moved more than
+    * `nullDeltaThreshold` or whose DISTINCT COUNT moved by more than
+    * `distinctRatioThreshold`x either way — the two cheap signals that
+    * catch a broken upstream extractor (a field silently nulling out, an
+    * id column collapsing to a constant, a free-text field exploding)
+    * before the corpus ships. Rates are single IEEE divisions over exact
+    * longs, so the report is engine-exact.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame, cols: Seq[String],
+                   nullDeltaThreshold: Double = 0.05,
+                   distinctRatioThreshold: Double = 2.0): DataFrame = {
+    require(nullDeltaThreshold >= 0, s"bad threshold $nullDeltaThreshold")
+    require(distinctRatioThreshold >= 1,
+      s"distinctRatioThreshold must be >= 1, got $distinctRatioThreshold")
+    val a = columnProfile(before, cols)
+      .select(col("column"), col("n").as("n_a"),
+        col("n_null").as("n_null_a"), col("n_distinct").as("n_distinct_a"))
+    val b = columnProfile(after, cols)
+      .select(col("column"), col("n").as("n_b"),
+        col("n_null").as("n_null_b"), col("n_distinct").as("n_distinct_b"))
+    // coalesce before dividing: a column absent from one snapshot (full
+    // outer join) must read as an empty column (rate 0), not null-poison
+    // the drifted flag
+    val nullA = coalesce(col("n_null_a"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_a"), lit(0L)), lit(1L))
+    val nullB = coalesce(col("n_null_b"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_b"), lit(0L)), lit(1L))
+    val ratio = when(coalesce(col("n_distinct_a"), lit(0L)) > 0,
+      coalesce(col("n_distinct_b"), lit(0L)).cast("double") /
+        col("n_distinct_a"))
+    a.join(b, Seq("column"), "full_outer")
+      .select(col("column"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        nullA.as("null_rate_a"), nullB.as("null_rate_b"),
+        (nullB - nullA).as("null_rate_delta"),
+        coalesce(col("n_distinct_a"), lit(0L)).as("n_distinct_a"),
+        coalesce(col("n_distinct_b"), lit(0L)).as("n_distinct_b"),
+        ratio.as("distinct_ratio"),
+        (abs(nullB - nullA) > nullDeltaThreshold ||
+          coalesce(ratio > distinctRatioThreshold ||
+            ratio < lit(1.0) / distinctRatioThreshold, lit(true)))
+          .as("drifted"))
+  }
 }

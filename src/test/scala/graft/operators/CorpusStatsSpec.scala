@@ -187,4 +187,45 @@ class CorpusStatsSpec extends SparkSpec {
     // tf saturation: tripling tf must NOT triple the score (k1 caps it)
     assert(got(1L) < 3 * got(2L))
   }
+
+  test("columnProfile: exact per-column n / nulls / distincts") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1)), (Option("a"), Option.empty[Int]),
+      (Option("b"), Option(2)), (Option.empty[String], Option(2)),
+      (Option.empty[String], Option.empty[Int])
+    ).toDF("s", "i")
+    val got = Diagnostics.columnProfile(df, Seq("s", "i"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s") == ((5L, 2L, 2L)))
+    assert(got("i") == ((5L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Diagnostics.columnProfile(df, Seq.empty)
+    }
+  }
+
+  test("profileDrift flags null-rate and distinct-ratio moves, not stable columns") {
+    import spark.implicits._
+    val before = (1 to 100).map(i => (s"u$i", s"g${i % 10}", "ok"))
+      .toDF("id", "grp", "status")
+    // id collapses to 2 distinct values, status nulls out for 20%, grp stable
+    val after = (1 to 100).map(i => (s"u${i % 2}", s"g${i % 10}",
+      if (i % 5 == 0) null else "ok")).toDF("id", "grp", "status")
+    val got = Diagnostics.profileDrift(before, after,
+        Seq("id", "grp", "status"))
+      .select("column", "drifted").as[(String, Boolean)].collect().toMap
+    assert(got == Map("id" -> true, "status" -> true, "grp" -> false))
+    // a column entirely missing (all-null) on one side counts as drifted
+    // via the null distinct_ratio branch
+    val afterNull = after.withColumn("grp",
+      lit(null).cast("string"))
+    val g2 = Diagnostics.profileDrift(before, afterNull, Seq("grp"))
+      .select("column", "drifted").as[(String, Boolean)].collect().toMap
+    assert(g2("grp"))
+    intercept[IllegalArgumentException] {
+      Diagnostics.profileDrift(before, after, Seq("grp"),
+        distinctRatioThreshold = 0.5)
+    }
+  }
 }
