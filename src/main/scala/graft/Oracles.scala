@@ -3617,5 +3617,16 @@ object Oracles {
          |      OR distinct_ratio < 0.5, true)) AS drifted
          |FROM j ORDER BY "column"""".stripMargin
     },
+
+    // Claims oracle (float MM iterations aren't oracle-replayable):
+    // restates the planted-tournament claims; n = the distinct item
+    // count the same construction yields.
+    "q_bradley_terry" ->
+      """WITH items AS (SELECT count(DISTINCT event_id % 50) AS n
+        |  FROM events)
+        |SELECT c.claim, items.n, true AS ok
+        |FROM items, (VALUES ('strength_monotone_in_skill'),
+        |  ('strengths_normalized'), ('top_has_top_skill')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
   )
 }

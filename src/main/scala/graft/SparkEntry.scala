@@ -3692,6 +3692,46 @@ object SparkEntry {
       Diagnostics.profileDrift(d, after, Seq("lang", "source", "text"))
         .orderBy("column")
     }),
+
+    // Bradley-Terry preference strengths (fitting.BradleyTerry) over a
+    // deterministic planted tournament: 50 items, skill s = item%10+1,
+    // game outcomes decided by an exact integer compare of the event's
+    // md5 bucket against 10000*sa/(sa+sb). Claims-style gate (float
+    // MM iterations are not oracle-replayable): per-skill mean strength
+    // must be strictly monotone, strengths normalize, and the top
+    // strength lands on a top-skill item.
+    "q_bradley_terry" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val g = ev.select(pmod(col("event_id"), lit(50L)).as("a"),
+          pmod(expr("event_id div 50"), lit(50L)).as("b"),
+          Sampling.hashBucket(col("event_id")).as("u"))
+        .filter(col("a") =!= col("b"))
+      val sa = pmod(col("a"), lit(10L)) + 1L
+      val sb = pmod(col("b"), lit(10L)) + 1L
+      val pairs = g.groupBy("a", "b").agg(count(lit(1)).as("n"),
+        sum(when(col("u") * (sa + sb) < lit(10000L) * sa, 1L)
+          .otherwise(0L)).as("w"))
+      val st = graft.fitting.BradleyTerry.fit(pairs, "a", "b", "n", "w",
+        iters = 50)
+      val withSkill = st.withColumn("skill",
+        pmod(col("item").cast("long"), lit(10L)) + 1)
+      val bySkill = withSkill.groupBy("skill")
+        .agg(avg(col("strength")).as("m")).orderBy("skill")
+        .select("m").collect().map(_.getDouble(0))
+      val monotone = bySkill.zip(bySkill.tail).forall { case (x, y) => x < y }
+      val tot = withSkill.agg(sum(col("strength")).as("s"),
+        count(lit(1)).as("n"),
+        max(struct(col("strength"), col("skill"))).as("top")).head()
+      val nItems = tot.getLong(1)
+      import s.implicits._
+      Seq(
+        ("strength_monotone_in_skill", nItems, monotone),
+        ("strengths_normalized", nItems,
+          math.abs(tot.getDouble(0) - 1.0) < 1e-9),
+        ("top_has_top_skill", nItems,
+          tot.getStruct(2).getLong(1) == 10L))
+        .toDF("claim", "n", "ok").orderBy("claim")
+    }),
   )
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

@@ -444,12 +444,16 @@ object Dedup {
       // twice) halves the rounds but quadruples the un-reused relax
       // subplan copies per round — 49s vs 26s wall for q_cc_dedup at
       // sf0.1; an eager checkpoint of `relaxed` also loses (38s).
-      val next = relaxed.as("a")
+      // PlanRebase, not bare localCheckpoint: `relaxed` (itself holding the
+      // previous labels twice) appears on BOTH sides of the compression
+      // self-join, so a carried-stats checkpoint compounds the Catalyst
+      // size estimate ~4x per round — harmless at 5 rounds, BigInt
+      // planning blowup past ~20 (see PlanRebase's scaladoc).
+      val next = org.apache.spark.sql.graft.PlanRebase.rebase(relaxed.as("a")
         .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("cid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp")))
       // Convergence via the label-sum invariant: min-label propagation only
       // ever LOWERS labels, so sum(comp) strictly decreases until the fixed
       // point — one narrow aggregate over the cached table per round,

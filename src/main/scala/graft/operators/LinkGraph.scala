@@ -102,11 +102,15 @@ object LinkGraph {
           .join(ranks, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("__deg")).as("__in"))
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        // PlanRebase, not localCheckpoint: a checkpoint CARRIES origin
+        // stats, and a loop-carried frame whose plan references the
+        // previous round more than once compounds the size estimate
+        // exponentially across rounds (see PlanRebase's scaladoc).
+        ranks = org.apache.spark.sql.graft.PlanRebase.rebase(
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             ((lit(1.0 - damping) + lit(damping) * dangling) * teleport(col("node"))
-              + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+              + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank")))
       }
       ranks
     }
@@ -193,7 +197,10 @@ object LinkGraph {
           .join(withAuth.withColumnRenamed("node", "__n2"),
             col("node") === col("__n2"))
           .select(col("node"), col("hub"), col("authority"))
-          .localCheckpoint(true)
+        // stats-truncating rebase: this plan references `scores` (and the
+        // lazy totals) several times, so carried-stats checkpointing would
+        // compound the size estimate each round (PlanRebase scaladoc)
+        scores = org.apache.spark.sql.graft.PlanRebase.rebase(scores)
       }
       scores
     }
@@ -266,11 +273,14 @@ object LinkGraph {
         val kept = ec
           .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
-        val deg = kept.select(col("a").as("node"))
+        // rebase (lineage + stats truncation): `kept` is referenced twice
+        // and carries two semi-joins on the shrinking survivor set — see
+        // PlanRebase for why carried-stats checkpoints compound per round
+        val deg = org.apache.spark.sql.graft.PlanRebase.rebase(
+          kept.select(col("a").as("node"))
           .union(kept.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("degree"))
-          .filter(col("degree") >= k)
-          .localCheckpoint(true)
+          .filter(col("degree") >= k))
         val m = deg.count()
         if (m == n) result = deg // fixpoint: survivor set stable
         else { surv = deg.select("node"); n = m }

@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage AND statistics truncation for iterative DataFrame loops.
+  *
+  * `Dataset.localCheckpoint(eager = true)` truncates the plan to a
+  * `LogicalRDD`, but deliberately carries the ORIGIN plan's Catalyst
+  * statistics through (`LogicalRDD.originStats`), so join selection after
+  * a checkpoint still sees the pre-checkpoint size estimate. That is the
+  * right default for a single checkpoint — and a time bomb for a LOOP:
+  * `SizeInBytesOnlyStatsPlanVisitor` estimates a join as the PRODUCT of
+  * its children's `sizeInBytes`, so an iteration whose plan references the
+  * previous round's frame twice (a self-join, or a lazy 1-row total folded
+  * back via crossJoin) roughly SQUARES the carried estimate every round.
+  * The number is a `BigInt`: after ~20 rounds it has millions of bits and
+  * every planning pass disappears into Toom-Cook multiplication — measured
+  * on the Bradley–Terry MM loop as 6 iters = 0.4 s/iter, 24 iters = hung
+  * (>10 min inside `BigInteger.multiply` under `visitJoin`). The same
+  * silent tax applies to every join-based iteration (PageRank, HITS,
+  * k-core, connected components) — survivable only because they converge
+  * in ≤ ~15 rounds.
+  *
+  * `rebase` checkpoints eagerly and then re-wraps the materialized RDD in
+  * a FRESH `LogicalRDD` with no origin stats (via the same
+  * `internalCreateDataFrame` path `Dataset.checkpoint` itself uses — zero
+  * row copies, the blocks are already immutable cached `UnsafeRow`s), so
+  * each iteration's planning starts from the engine default estimate
+  * instead of the previous rounds' compounded product. AQE re-plans from
+  * RUNTIME sizes anyway, so nothing is lost at execution time.
+  */
+object PlanRebase {
+  def rebase(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint(true)
+    ckpt.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(ckpt.queryExecution.toRdd, ckpt.schema)
+  }
+}

@@ -653,4 +653,52 @@ class StreamingOpsSpec extends SparkSpec {
       .select("id_a", "id_b", "weight", "decision").collect().toSet
     assert(streamed == batch && streamed.size == 3)
   }
+
+  test("spanCorrupt is stream-safe: denoising pairs match batch") {
+    // span placement is a PRF of (id, block, seed) — no state, no order
+    // dependence — so the SAME operator runs unchanged per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ("tok " * 45).trim),
+      (2L, "short doc only"),
+      (3L, ("word " * 25).trim))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.Chunking.spanCorrupt(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("spancorrupt_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select id, n_spans, input_text, target_text from spancorrupt_out")
+      .collect().toSet
+    q.stop()
+    val batch = graft.operators.Chunking.spanCorrupt(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "n_spans", "input_text", "target_text").collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("contentExtract is stream-safe: paragraph classes match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stop = Seq("the", "a", "of")
+    val rows = Seq(
+      (1L, "<a href=\"/\">nav</a>\n\n" +
+        ("the body of a long paragraph " * 5).trim),
+      (2L, "just the one short line"))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.Cleanse.contentExtract(
+      input.toDF().toDF("id", "html"), "id", "html", stop)
+    val q = out.writeStream.format("memory").queryName("content_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select id, para_idx, is_content from content_out").collect().toSet
+    q.stop()
+    val batch = graft.operators.Cleanse.contentExtract(
+      rows.toDF("id", "html"), "id", "html", stop)
+      .select("id", "para_idx", "is_content").collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
 }
