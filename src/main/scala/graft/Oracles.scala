@@ -3628,5 +3628,76 @@ object Oracles {
         |FROM items, (VALUES ('strength_monotone_in_skill'),
         |  ('strengths_normalized'), ('top_has_top_skill')) c(claim)
         |ORDER BY c.claim""".stripMargin,
+
+    // Full round replay of the synchronous label-propagation update
+    // (closed-neighborhood max-frequency, tie -> max label) — the q_kcore
+    // MATERIALIZED-CTE pattern. The edge construction mirrors
+    // SparkEntry.communityEdges verbatim.
+    "q_communities" ->
+      s"""WITH $lpaCtes
+         |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin,
+
+    // Modularity decomposition of the replayed LPA partition: all-long
+    // arithmetic (q_scaled_term = 4*m*e_c - d_c^2), per community.
+    "q_modularity" ->
+      s"""WITH $lpaCtes,
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+         |    greatest(s, d) AS b FROM sym),
+         |lab AS MATERIALIZED (SELECT node, community FROM l$LpaRounds),
+         |bo AS MATERIALIZED (SELECT la.community AS ca, lb.community AS cb
+         |  FROM und JOIN lab la ON und.a = la.node
+         |           JOIN lab lb ON und.b = lb.node),
+         |m AS (SELECT count(*) AS m_edges FROM bo),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |  FROM bo WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT community, count(*) AS degree_sum FROM
+         |    (SELECT ca AS community FROM bo
+         |     UNION ALL SELECT cb FROM bo) GROUP BY 1),
+         |sz AS (SELECT community, count(*) AS size FROM lab GROUP BY 1)
+         |SELECT sz.community, sz.size,
+         |  coalesce(intra.intra_edges, 0) AS intra_edges,
+         |  coalesce(deg.degree_sum, 0) AS degree_sum,
+         |  4 * m.m_edges * coalesce(intra.intra_edges, 0)
+         |    - coalesce(deg.degree_sum, 0) * coalesce(deg.degree_sum, 0)
+         |    AS q_scaled_term,
+         |  m.m_edges
+         |FROM sz LEFT JOIN deg ON sz.community = deg.community
+         |        LEFT JOIN intra ON sz.community = intra.community
+         |        CROSS JOIN m
+         |ORDER BY sz.community""".stripMargin,
   )
+
+  private val LpaRounds = 8
+
+  /** Shared CTE chain for q_communities / q_modularity: the edge
+    * construction + LpaRounds synchronous update rounds. MATERIALIZED is
+    * load-bearing (the q_kcore lesson): plain CTEs inline, and each round
+    * references the previous twice -> exponential plan expansion.
+    */
+  private def lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT x.node, x.community, count(*) AS cnt
+         |  FROM (SELECT sym.d AS node, p.community
+         |          FROM sym JOIN l${i - 1} p ON sym.s = p.node
+         |        UNION ALL SELECT node, community FROM l${i - 1}) x
+         |  GROUP BY 1, 2),
+         |mx$i AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM v$i
+         |  GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT v.node, max(v.community) AS community
+         |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.cnt = m.mc
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT event_id % 600 AS s,
+       |    ((event_id % 600) // 6) * 6 + ((event_id // 600) % 6) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_id % 600, (event_id * 31) % 600 FROM events
+       |  WHERE event_id % 97 = 0),
+       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM e WHERE s <> d
+       |   UNION ALL SELECT d, s FROM e WHERE s <> d)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community
+       |  FROM sym),
+       |$rounds""".stripMargin
+  }
 }

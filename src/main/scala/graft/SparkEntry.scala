@@ -3732,7 +3732,54 @@ object SparkEntry {
           tot.getStruct(2).getLong(1) == 10L))
         .toDF("claim", "n", "ok").orderBy("claim")
     }),
+
+    // Label propagation communities (LinkGraph.labelPropagation) over a
+    // planted clique graph with data-derived noise edges: 100 cliques of
+    // 6 (nodes 0..599, intra edges from each event row) + md5-free
+    // arithmetic noise edges on every 97th event. The synchronous
+    // closed-neighborhood max-frequency/max-label update is a pure
+    // function of the previous round, so the DuckDB oracle replays the
+    // SAME 8 rounds as MATERIALIZED CTEs (the q_kcore pattern) — full
+    // label parity, not claims.
+    "q_communities" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      graft.operators.LinkGraph
+        .labelPropagation(edges, "src", "dst", maxIters = 8)
+        .orderBy("node")
+    }),
+
+    // Newman modularity decomposition of the q_communities partition
+    // (LinkGraph.modularity): per-community size / intra-edge / degree
+    // longs plus the exact integer numerator q_scaled_term = 4*m*e_c -
+    // d_c^2 (Q = sum/4m^2) — all-long arithmetic, engine-exact in any
+    // accumulation order (a double Q would be the lesson-5 parallel-sum
+    // trap).
+    "q_modularity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      val labels = graft.operators.LinkGraph
+        .labelPropagation(edges, "src", "dst", maxIters = 8)
+      graft.operators.LinkGraph
+        .modularity(edges, "src", "dst", labels)
+        .orderBy("community")
+    }),
   )
+
+  /** Shared edge construction for q_communities / q_modularity: intra-
+    * clique edges (node -> another member of its 6-clique, picked by the
+    * event id) plus sparse arithmetic noise edges. Mirrored verbatim in
+    * the oracle SQL.
+    */
+  private def communityEdges(ev: DataFrame): DataFrame = {
+    val intra = ev.select(
+      expr("event_id % 600").as("src"),
+      expr("((event_id % 600) div 6) * 6 + ((event_id div 600) % 6)").as("dst"))
+    val noise = ev.filter(expr("event_id % 97 = 0")).select(
+      expr("event_id % 600").as("src"),
+      expr("(event_id * 31) % 600").as("dst"))
+    intra.unionByName(noise)
+  }
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the
     * standard 1024^2-area ladder in 64-px steps (public SDXL recipe).

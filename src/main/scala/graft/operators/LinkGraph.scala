@@ -297,4 +297,174 @@ object LinkGraph {
       }
     }
   }
+
+  /** Label propagation communities (Raghavan et al. 2007, synchronous
+    * variant): every node simultaneously adopts the most frequent label
+    * in its CLOSED neighborhood (neighbors + itself), ties broken by the
+    * LARGEST label. This is the community layer [[graft.operators.Dedup
+    * .connectedComponents]] deliberately is not: CC merges everything any
+    * path connects (one boilerplate bridge chains two template families
+    * into one blob — the lesson-13 failure), LPA keeps densely
+    * intra-linked groups apart because a handful of bridge votes loses to
+    * the clique majority. Including the node's own label and breaking
+    * ties deterministically makes the synchronous update a pure function
+    * of the previous round (no engine- or order-dependence — an oracle
+    * can replay the rounds), and damps the classic 2-cycle oscillation on
+    * bipartite structure; `maxIters` bounds the rare residual oscillator,
+    * and the loop exits early at a fixpoint (further rounds are no-ops,
+    * so a fixed-round replay still matches).
+    *
+    * Edges are canonicalized to an undirected SIMPLE graph (multi-edge
+    * dedup + self-loop drop): membership should reflect distinct
+    * neighbors, not crawl-frequency multi-edges. Scale shape: each round
+    * is one equi join (symmetrized edges x labels, shuffled on the node
+    * key) + two aggregates — (node, label) vote counts, then the
+    * frequency argmax as ONE max(struct(cnt, label)) with no window; the
+    * label table is [[org.apache.spark.sql.graft.PlanRebase]]d so neither
+    * lineage nor carried size stats compound across rounds. Graphs under
+    * `driverCap` edges run the identical rounds in memory (the q_cc_dedup
+    * altitude rule); the short-circuit requires integral ids — driver
+    * label ordering must agree with Catalyst's for parity, which holds
+    * for integers but not for arbitrary collated strings.
+    *
+    * Returns (node, community), community = the converged label (a node
+    * id). Unweighted: a crawl graph's edge multiplicity is hostility
+    * (boilerplate), not affinity — weight-aware variants should
+    * pre-aggregate edges and pass the weight as repeated rows only if
+    * that is genuinely the wanted semantics.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxIters: Int = 15,
+                       driverCap: Long = 2000000L): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idType = edges.schema(srcCol).dataType
+    val directed = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    // both directions, deduped: each undirected neighbor votes exactly once
+    val sym = directed
+      .union(directed.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+    val integralIds = Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType).contains(idType)
+    val nDirected = sym.count() // 2x undirected edge count
+    if (integralIds && nDirected <= 2 * driverCap) {
+      val pairs = sym.select(col("s").cast("long"), col("d").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = pairs.map(_._1).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      var label = nodes.clone()
+      var round = 0
+      var converged = false
+      while (round < maxIters && !converged) {
+        // closed-neighborhood vote: most frequent, tie -> largest label
+        val votes = Array.fill(nodes.length)(
+          scala.collection.mutable.HashMap.empty[Long, Long])
+        nodes.indices.foreach { i =>
+          votes(i)(label(i)) = votes(i).getOrElse(label(i), 0L) + 1L
+        }
+        pairs.foreach { case (s, d) =>
+          val m = votes(idx(d))
+          m(label(idx(s))) = m.getOrElse(label(idx(s)), 0L) + 1L
+        }
+        val next = Array.tabulate(nodes.length) { i =>
+          votes(i).maxBy { case (lbl, cnt) => (cnt, lbl) }._1
+        }
+        converged = java.util.Arrays.equals(next, label)
+        label = next
+        round += 1
+      }
+      spark.createDataFrame(nodes.indices.map(i => (nodes(i), label(i))))
+        .toDF("node", "community")
+        .select(col("node").cast(idType), col("community").cast(idType))
+    } else {
+      val ec = org.apache.spark.sql.graft.PlanRebase.rebase(sym)
+      var labels = org.apache.spark.sql.graft.PlanRebase.rebase(
+        ec.select(col("s").as("node")).distinct()
+          .withColumn("community", col("node")))
+      var round = 0
+      var converged = false
+      while (round < maxIters && !converged) {
+        val votes = ec
+          .join(labels.select(col("node").as("s"), col("community")), Seq("s"))
+          .select(col("d").as("node"), col("community"))
+          .unionByName(labels)
+          .groupBy("node", "community").agg(count(lit(1)).as("__cnt"))
+        val next = org.apache.spark.sql.graft.PlanRebase.rebase(votes
+          .groupBy("node")
+          .agg(max(struct(col("__cnt"), col("community"))).as("__m"))
+          .select(col("node"), col("__m.community").as("community")))
+        // fixpoint probe: one existence check over two label tables —
+        // any changed row means another round
+        converged = next.join(labels.withColumnRenamed("community", "__prev"),
+            Seq("node"))
+          .filter(col("community") =!= col("__prev"))
+          .limit(1).isEmpty
+        labels = next
+        round += 1
+      }
+      labels
+    }
+  }
+
+  /** Newman modularity of a labeled partition over an undirected simple
+    * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — intra-community edge share
+    * minus the share expected from degrees alone. Positive Q means the
+    * partition beats a degree-preserving random rewiring; the standard
+    * acceptance metric for [[labelPropagation]] output (and for deciding
+    * whether a near-dup component split is real structure or chaining).
+    *
+    * Returns per-community rows (community, size, intra_edges,
+    * degree_sum) plus the exact integer modularity numerator carried on
+    * every row: `q_scaled_term = 4·m·e_c − d_c²` with Q =
+    * Σ q_scaled_term / (4m²) — all-long arithmetic, so the decomposition
+    * is engine-exact in any accumulation order (the DuckDB oracle
+    * restates it from its own replayed labels; a double Q would be
+    * parallel-sum nondeterministic — the lesson-5 class). Unlabeled
+    * nodes (in `labels` but not the graph, or vice versa) follow left
+    * semantics: only edges with BOTH endpoints labeled count, and
+    * `size` counts label rows. Shape: two equi joins of the edge list
+    * against the label table + three community-grain aggregates — no
+    * window, no driver loop.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String = "node",
+                 communityCol: String = "community"): DataFrame = {
+    val directed = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val und = directed
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(communityCol).as("__c"))
+    val both = und
+      .join(lab.withColumnRenamed("__n", "a").withColumnRenamed("__c", "__ca"),
+        Seq("a"))
+      .join(lab.withColumnRenamed("__n", "b").withColumnRenamed("__c", "__cb"),
+        Seq("b"))
+    val intra = both.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = both.select(col("__ca").as("community"))
+      .unionByName(both.select(col("__cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val size = lab.groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("size"))
+    val m = both.agg(coalesce(count(lit(1)), lit(0L)).as("__m"))
+    size
+      .join(deg, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .crossJoin(m) // 1-row total frame
+      .select(col("community"), col("size"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        (lit(4L) * col("__m") * coalesce(col("intra_edges"), lit(0L))
+          - coalesce(col("degree_sum"), lit(0L))
+            * coalesce(col("degree_sum"), lit(0L))).as("q_scaled_term"),
+        col("__m").as("m_edges"))
+  }
 }

@@ -157,4 +157,102 @@ class LinkGraphSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(LinkGraph.kCore(withNull, "src", "dst", 1).count() == 2)
   }
+
+  private def lpaOf(edges: Seq[(Long, Long)],
+                    driverCap: Long = 2000000L): Map[Long, Long] =
+    LinkGraph.labelPropagation(edges.toDF("src", "dst"), "src", "dst",
+        driverCap = driverCap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (i <- ids.indices; j <- i + 1 until ids.size)
+      yield (ids(i), ids(j))
+
+  test("LPA separates bridged cliques that connected components merge") {
+    // two 5-cliques joined by ONE bridge edge — the lesson-13 chaining
+    // shape: CC must merge them, LPA must keep them apart
+    val edges = clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 10L)
+    val lpa = lpaOf(edges)
+    assert(lpa.filter(_._1 <= 4).values.toSet.size == 1)
+    assert(lpa.filter(_._1 >= 10).values.toSet.size == 1)
+    assert(lpa(0L) != lpa(10L), lpa.toString) // two communities
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size == 1) // one component
+  }
+
+  test("LPA distributed rounds agree with the in-memory update") {
+    val rnd = new scala.util.Random(7)
+    val planted = (0 until 8).flatMap(c =>
+      clique((c * 10).toLong until (c * 10 + 6).toLong))
+    val noise = (1 to 40).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val edges = planted ++ noise
+    assert(lpaOf(edges) == lpaOf(edges, driverCap = 0L))
+  }
+
+  test("LPA bipartite square converges (own-label vote damps the 2-cycle)") {
+    val lpa = lpaOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(lpa.values.toSet.size == 1, lpa.toString)
+  }
+
+  test("LPA degenerate args: empty, self-loops only, multi-edges, nulls") {
+    assert(lpaOf(Seq.empty).isEmpty)
+    assert(lpaOf(Seq((1L, 1L))).isEmpty) // self-loops drop entirely
+    // multi-edges collapse: 10 copies of one bridge edge still lose to
+    // the clique majority on each side
+    val edges = clique(0L to 3L) ++ clique(10L to 13L) ++
+      Seq.fill(10)((0L, 10L))
+    val lpa = lpaOf(edges)
+    assert(lpa(0L) != lpa(10L), lpa.toString)
+    intercept[IllegalArgumentException] {
+      LinkGraph.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", maxIters = 0)
+    }
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L)))
+      .toDF("src", "dst")
+    assert(LinkGraph.labelPropagation(withNull, "src", "dst").count() == 2)
+  }
+
+  test("modularity: textbook decomposition on two cliques and a bridge") {
+    val edges = clique(0L to 3L) ++ clique(10L to 13L) :+ (3L, 10L)
+    val labels = ((0L to 3L).map(_ -> 0L) ++ (10L to 13L).map(_ -> 1L))
+      .toDF("node", "community")
+    val rows = LinkGraph.modularity(edges.toDF("src", "dst"), "src", "dst",
+      labels).collect()
+    // m = 13 edges; each community: 6 intra, degree 13 (12 clique + bridge)
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("size") == 4)
+      assert(r.getAs[Long]("intra_edges") == 6)
+      assert(r.getAs[Long]("degree_sum") == 13)
+      assert(r.getAs[Long]("m_edges") == 13)
+      assert(r.getAs[Long]("q_scaled_term") == 4 * 13 * 6 - 13 * 13)
+    }
+    // Q = sum(q_scaled_term) / (4 m^2) = 2*143/676 ~ 0.423
+    val q = rows.map(_.getAs[Long]("q_scaled_term")).sum.toDouble /
+      (4.0 * 13 * 13)
+    assert(math.abs(q - 286.0 / 676.0) < 1e-15)
+    // the all-in-one partition scores ZERO (e = m, d = 2m exactly)
+    val one = labels.withColumn("community",
+      org.apache.spark.sql.functions.lit(0L))
+    val qOne = LinkGraph.modularity(edges.toDF("src", "dst"), "src", "dst",
+        one).collect().map(_.getAs[Long]("q_scaled_term")).sum
+    assert(qOne == 0L)
+  }
+
+  test("modularity: unlabeled endpoints drop the edge, empty labels OK") {
+    val labels = Seq((1L, 0L), (2L, 0L)).toDF("node", "community")
+    val rows = LinkGraph.modularity(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", labels)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("intra_edges") == 1) // (2,3) dropped
+    assert(rows.head.getAs[Long]("m_edges") == 1)
+    val empty = LinkGraph.modularity(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      Seq.empty[(Long, Long)].toDF("node", "community"))
+    assert(empty.count() == 0)
+  }
 }
