@@ -3665,6 +3665,33 @@ object Oracles {
          |        LEFT JOIN intra ON sz.community = intra.community
          |        CROSS JOIN m
          |ORDER BY sz.community""".stripMargin,
+
+    // Bit-exact replay of the PRF random walks: the same sorted capped
+    // adjacency and the same md5-bucket step index, one MATERIALIZED CTE
+    // per step (the q_kcore round-replay pattern).
+    "q_random_walks" -> {
+      val L = 6
+      val steps = (1 to L).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
+           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
+           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
+           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
+           |    AS cur
+           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
+      }.mkString(",\n")
+      val emit = (0 to L).map(i =>
+        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $communityGraphCtes,
+         |adj AS MATERIALIZED (SELECT s AS node,
+         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
+         |  FROM sym GROUP BY 1),
+         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
+         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
+         |$steps
+         |$emit
+         |ORDER BY origin, walk, step""".stripMargin
+    },
   )
 
   private val LpaRounds = 8
@@ -3674,6 +3701,20 @@ object Oracles {
     * load-bearing (the q_kcore lesson): plain CTEs inline, and each round
     * references the previous twice -> exponential plan expansion.
     */
+  /** The q_communities/q_modularity/q_random_walks edge construction +
+    * symmetrized simple graph, mirroring SparkEntry.communityEdges.
+    */
+  private def communityGraphCtes: String =
+    s"""e AS (SELECT event_id % 600 AS s,
+       |    ((event_id % 600) // 6) * 6 + ((event_id // 600) % 6) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_id % 600, (event_id * 31) % 600 FROM events
+       |  WHERE event_id % 97 = 0),
+       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM e WHERE s <> d
+       |   UNION ALL SELECT d, s FROM e WHERE s <> d))""".stripMargin
+
   private def lpaCtes: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""v$i AS MATERIALIZED (SELECT x.node, x.community, count(*) AS cnt
@@ -3687,15 +3728,7 @@ object Oracles {
          |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.cnt = m.mc
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT event_id % 600 AS s,
-       |    ((event_id % 600) // 6) * 6 + ((event_id // 600) % 6) AS d
-       |  FROM events
-       |  UNION ALL
-       |  SELECT event_id % 600, (event_id * 31) % 600 FROM events
-       |  WHERE event_id % 97 = 0),
-       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM
-       |  (SELECT s, d FROM e WHERE s <> d
-       |   UNION ALL SELECT d, s FROM e WHERE s <> d)),
+    s"""$communityGraphCtes,
        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community
        |  FROM sym),
        |$rounds""".stripMargin

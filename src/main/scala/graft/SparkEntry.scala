@@ -3764,6 +3764,19 @@ object SparkEntry {
         .modularity(edges, "src", "dst", labels)
         .orderBy("community")
     }),
+
+    // DeepWalk-style random-walk corpus (LinkGraph.randomWalks) over the
+    // same planted community graph: every step is an md5 PRF of (origin,
+    // walk, step, seed) indexing the node's sorted, degree-capped
+    // neighbor list, so the DuckDB oracle replays the walks bit-exactly
+    // as fixed-round CTEs.
+    "q_random_walks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .randomWalks(communityEdges(ev), "src", "dst",
+          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
+        .orderBy("origin", "walk", "step")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

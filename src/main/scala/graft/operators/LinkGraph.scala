@@ -409,6 +409,70 @@ object LinkGraph {
     }
   }
 
+  /** Deterministic random-walk corpus over an undirected simple graph —
+    * the DeepWalk/node2vec(p=q=1) data-generation stage: fixed-length
+    * walks from every node become the "sentences" a skip-gram embedding
+    * trains on. Every step is a PRF of (origin, walk, step, seed) — an
+    * md5 bucket indexing the node's SORTED neighbor list — so the corpus
+    * is bit-reproducible across engines and runs (no RNG state, no
+    * order-dependence; the DuckDB oracle replays the walks as fixed-round
+    * CTEs), and regenerating with the same seed after a corpus refresh
+    * yields stable walk ids for incremental training.
+    *
+    * Scale shape: the adjacency table is built ONCE (one groupBy; each
+    * node keeps its `maxDegree` SMALLEST-id neighbors — a deterministic
+    * hub cap that bounds the array payload, where an uncapped crawl-hub
+    * row would be a multi-MB cell), then each of the `walkLen` steps is
+    * one equi join of the (origin, walk, cur) frontier against adjacency,
+    * PlanRebase'd so neither lineage nor carried stats compound. Total
+    * cost: walkLen shuffles of a frontier that never exceeds
+    * nodes x walksPerNode rows. Walks never dead-end: the symmetrized
+    * graph gives every non-isolated node a neighbor; isolated nodes have
+    * no walks.
+    *
+    * Returns (origin, walk, step, node), step 0 = origin.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walkLen: Int = 10, walksPerNode: Int = 2,
+                  maxDegree: Int = 128, seed: Long = 0L): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val directed = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val sym = directed
+      .union(directed.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+    val adj = org.apache.spark.sql.graft.PlanRebase.rebase(
+      sym.groupBy(col("s").as("__node"))
+        .agg(slice(array_sort(collect_set(col("d"))), 1, maxDegree)
+          .as("__nbrs")))
+    var frontier = adj.select(col("__node").as("origin"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .withColumn("cur", col("origin"))
+    val out = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("origin"), col("walk"), lit(0).as("step"),
+        col("cur").as("node")))
+    for (s <- 1 to walkLen) {
+      // PRF step: md5(origin, walk, step, seed) indexes the sorted
+      // neighbor list — same spelling as Sampling.hashBucket, mirrored
+      // verbatim in the oracle
+      val prf = conv(substring(md5(concat_ws("_",
+        col("origin").cast("string"), col("walk").cast("string"),
+        lit(s.toString), lit(seed.toString))), 1, 8), 16, 10).cast("long")
+      frontier = org.apache.spark.sql.graft.PlanRebase.rebase(
+        frontier.join(adj, frontier("cur") === adj("__node"))
+          .select(col("origin"), col("walk"),
+            element_at(col("__nbrs"),
+              (pmod(prf, size(col("__nbrs")).cast("long")) + 1L).cast("int"))
+              .as("cur")))
+      out += frontier.select(col("origin"), col("walk"),
+        lit(s).as("step"), col("cur").as("node"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Newman modularity of a labeled partition over an undirected simple
     * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — intra-community edge share
     * minus the share expected from degrees alone. Positive Q means the

@@ -242,6 +242,63 @@ class LinkGraphSpec extends SparkSpec {
     assert(qOne == 0L)
   }
 
+  test("randomWalks: valid, deterministic, degree-capped") {
+    val edges = (clique(0L to 4L) :+ (4L, 10L)).toDF("src", "dst")
+    val walks = LinkGraph.randomWalks(edges, "src", "dst",
+      walkLen = 5, walksPerNode = 3, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // every node walks: 6 nodes x 3 walks x 6 steps (incl. step 0)
+    assert(walks.length == 6 * 3 * 6)
+    // step 0 is the origin
+    walks.filter(_._3 == 0).foreach { case (o, _, _, n) => assert(o == n) }
+    // every consecutive (step, step+1) pair is a real undirected edge
+    val edgeSet = (clique(0L to 4L) :+ (4L, 10L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    walks.groupBy(w => (w._1, w._2)).values.foreach { w =>
+      w.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet((a._4, b._4)), s"$a -> $b")
+        case _ =>
+      }
+    }
+    // bit-reproducible: a second run is identical
+    val again = LinkGraph.randomWalks(edges, "src", "dst",
+      walkLen = 5, walksPerNode = 3, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(walks.sorted.sameElements(again.sorted))
+    // a different seed changes at least one step
+    val other = LinkGraph.randomWalks(edges, "src", "dst",
+      walkLen = 5, walksPerNode = 3, seed = 12L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(!walks.sorted.sameElements(other.sorted))
+    // maxDegree = 1 pins every step to the smallest-id neighbor
+    val capped = LinkGraph.randomWalks(edges, "src", "dst",
+      walkLen = 3, walksPerNode = 1, maxDegree = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // from node 1 the only kept neighbor is 0; from 0 it is 1 -> ping-pong
+    assert(capped.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq(1L, 0L, 1L, 0L))
+  }
+
+  test("randomWalks degenerate args: empty graph, self-loops, bad params") {
+    import spark.implicits._
+    assert(LinkGraph.randomWalks(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").count() == 0)
+    assert(LinkGraph.randomWalks(
+      Seq((1L, 1L)).toDF("src", "dst"), "src", "dst").count() == 0)
+    intercept[IllegalArgumentException] {
+      LinkGraph.randomWalks(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        walkLen = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.randomWalks(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        walksPerNode = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.randomWalks(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        maxDegree = 0)
+    }
+  }
+
   test("modularity: unlabeled endpoints drop the edge, empty labels OK") {
     val labels = Seq((1L, 0L), (2L, 0L)).toDF("node", "community")
     val rows = LinkGraph.modularity(
