@@ -3692,6 +3692,38 @@ object Oracles {
          |$emit
          |ORDER BY origin, walk, step""".stripMargin
     },
+
+    // Skip-gram pairs from the replayed walks: a step-distance self-join
+    // (the oracle spelling; the operator emits pairs row-locally from the
+    // collected sequence instead).
+    "q_skipgram" -> {
+      val L = 6
+      val steps = (1 to L).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
+           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
+           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
+           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
+           |    AS cur
+           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
+      }.mkString(",\n")
+      val emit = (0 to L).map(i =>
+        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $communityGraphCtes,
+         |adj AS MATERIALIZED (SELECT s AS node,
+         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
+         |  FROM sym GROUP BY 1),
+         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
+         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
+         |$steps,
+         |walks AS MATERIALIZED ($emit)
+         |SELECT c.origin, c.walk, c.node AS center, x.node AS context,
+         |       CAST(x.step - c.step AS INT) AS "offset"
+         |FROM walks c JOIN walks x
+         |  ON c.origin = x.origin AND c.walk = x.walk
+         |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
+         |ORDER BY c.origin, c.walk, center, context, "offset"""".stripMargin
+    },
   )
 
   private val LpaRounds = 8

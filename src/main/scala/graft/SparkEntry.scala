@@ -3777,6 +3777,22 @@ object SparkEntry {
           walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
         .orderBy("origin", "walk", "step")
     }),
+
+    // Skip-gram training pairs (Packing.skipGramPairs) over the replayed
+    // walk corpus: every (center, context) pair at step distance 1..2,
+    // both directions, signed offset. The oracle self-joins its replayed
+    // walks (fine at gate scale); the OPERATOR is the scale path — one
+    // sequence-grain groupBy + row-local nested transforms, no self-join.
+    "q_skipgram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val walks = graft.operators.LinkGraph
+        .randomWalks(communityEdges(ev), "src", "dst",
+          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
+      graft.operators.Packing
+        .skipGramPairs(walks, Seq("origin", "walk"), "step", "node",
+          window = 2)
+        .orderBy("origin", "walk", "center", "context", "offset")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

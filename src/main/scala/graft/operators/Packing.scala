@@ -90,4 +90,51 @@ object Packing {
       .reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
+
+  /** Skip-gram (center, context) pair extraction over ordered sequences —
+    * the training-pair stage between a sequence corpus (documents' token
+    * streams, [[graft.operators.LinkGraph.randomWalks]] output) and a
+    * word2vec/DeepWalk-style embedding fit: every ordered token pair at
+    * distance 1..`window` inside one sequence becomes a row (both
+    * directions), with the signed offset carried for distance-weighted
+    * training.
+    *
+    * Input grain: one row per (sequence, position, token); `seqCols`
+    * identify the sequence. Shape: ONE groupBy collects each sequence to
+    * a position-sorted struct array (sequence length is the operator's
+    * contract — walks are walkLen+1, packed LLM sequences a few k tokens;
+    * this is NOT for unbounded streams), then pair emission is a
+    * row-local flatten of two nested transforms — no self-join (which
+    * would shuffle the corpus twice and re-key it |window| times), no
+    * window function. Output rows = ~2·window per token, linear in the
+    * corpus.
+    *
+    * Returns seqCols ++ (center, context, offset), offset in
+    * [-window, window] \ {0} = position(context) - position(center).
+    */
+  def skipGramPairs(seqs: DataFrame, seqCols: Seq[String], posCol: String,
+                    tokenCol: String, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(seqCols.nonEmpty, "seqCols must be non-empty")
+    val sorted = seqs
+      .filter(col(posCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(seqCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(posCol).cast("long").as("p"),
+        col(tokenCol).as("t")))).as("__seq"))
+    // for each center index i, contexts are the in-bounds j in
+    // [i-window, i+window], j != i; sequence() is inclusive on both ends
+    val n = size(col("__seq"))
+    val pairs = flatten(transform(sequence(lit(0), n - 1), i =>
+      transform(
+        filter(sequence(greatest(i - window, lit(0)),
+          least(i + window, n - 1)), j => j =!= i),
+        j => struct(
+          element_at(col("__seq"), (i + 1).cast("int")).getField("t").as("center"),
+          element_at(col("__seq"), (j + 1).cast("int")).getField("t").as("context"),
+          (j - i).cast("int").as("offset")))))
+    sorted
+      .select(seqCols.map(col) :+ explode(pairs).as("__pair"): _*)
+      .select(seqCols.map(col) :+ col("__pair.center") :+
+        col("__pair.context") :+ col("__pair.offset"): _*)
+  }
 }

@@ -392,4 +392,37 @@ class SamplingChunkingSpec extends SparkSpec {
       Chunking.spanCorrupt(docs, "doc_id", "text", blockSize = 4)
     }
   }
+
+  test("skipGramPairs: exact closed form, gaps, singletons, degenerates") {
+    // sequence s1 = [a b c d] at window 2: pair count = 2*(3+... ) —
+    // enumerate by hand; positions 10/20/30/40 prove ORDER drives pairing,
+    // not position arithmetic (offset is the index distance)
+    val rows = Seq(
+      ("s1", 10L, "a"), ("s1", 20L, "b"), ("s1", 30L, "c"), ("s1", 40L, "d"),
+      ("s2", 0L, "x")).toDF("seq", "pos", "tok")
+    val got = Packing.skipGramPairs(rows, Seq("seq"), "pos", "tok", window = 2)
+      .as[(String, String, String, Int)].collect().toSet
+    val expected = Set(
+      ("s1", "a", "b", 1), ("s1", "a", "c", 2),
+      ("s1", "b", "a", -1), ("s1", "b", "c", 1), ("s1", "b", "d", 2),
+      ("s1", "c", "a", -2), ("s1", "c", "b", -1), ("s1", "c", "d", 1),
+      ("s1", "d", "b", -2), ("s1", "d", "c", -1))
+    assert(got == expected) // s2 is a singleton: zero pairs
+    // window wider than any sequence: all ordered pairs, nothing more
+    val all = Packing.skipGramPairs(rows, Seq("seq"), "pos", "tok",
+      window = 99).count()
+    assert(all == 4 * 3)
+    // null positions/tokens drop; empty input yields empty output
+    val withNull = Seq(("s", java.lang.Long.valueOf(1L), "a"),
+      ("s", null.asInstanceOf[java.lang.Long], "b"),
+      ("s", java.lang.Long.valueOf(2L), null.asInstanceOf[String]))
+      .toDF("seq", "pos", "tok")
+    assert(Packing.skipGramPairs(withNull, Seq("seq"), "pos", "tok").count() == 0)
+    intercept[IllegalArgumentException] {
+      Packing.skipGramPairs(rows, Seq("seq"), "pos", "tok", window = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.skipGramPairs(rows, Seq.empty, "pos", "tok")
+    }
+  }
 }
