@@ -315,6 +315,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!bt.contains("Join"), bt.take(1200))
   }
 
+  test("skipGramPairs is one sequence-grain aggregate: no self-join, no window") {
+    import spark.implicits._
+    val seqs = Seq(("s1", 0L, "a"), ("s1", 1L, "b"), ("s1", 2L, "c"))
+      .toDF("seq", "pos", "tok")
+    val plan = graft.operators.Packing
+      .skipGramPairs(seqs, Seq("seq"), "pos", "tok", window = 2)
+      .queryExecution.executedPlan.toString
+    // pair emission must be row-local: the only join-like/windowed shape
+    // allowed is the single collect_list aggregate (2 exchanges = partial
+    // + final would show as one Exchange under hash aggregation)
+    assert(!plan.contains("Join"), plan.takeRight(800))
+    assert(!plan.contains("Window"), plan.takeRight(800))
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {
