@@ -3724,6 +3724,28 @@ object Oracles {
          |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
          |ORDER BY c.origin, c.walk, center, context, "offset"""".stripMargin
     },
+
+    // Fixed-round replay of the seed-distance min-relaxation over the
+    // shared community graph; unreached nodes surface as null via the
+    // final left join.
+    "q_seed_distance" -> {
+      val hops = 4
+      val rounds = (1 to hops).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
+           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
+           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
+           |        UNION ALL SELECT node, distance FROM d${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $communityGraphCtes,
+         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
+         |  FROM nodes WHERE node IN (0, 301)),
+         |$rounds
+         |SELECT n.node, d.distance
+         |FROM nodes n LEFT JOIN d$hops d ON n.node = d.node
+         |ORDER BY n.node""".stripMargin
+    },
   )
 
   private val LpaRounds = 8

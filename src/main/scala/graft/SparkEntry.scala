@@ -3793,6 +3793,18 @@ object SparkEntry {
           window = 2)
         .orderBy("origin", "walk", "center", "context", "offset")
     }),
+
+    // Min hop distance from a trusted seed set (LinkGraph.seedDistance)
+    // over the planted community graph: fixed maxHops rounds of
+    // synchronous min-relaxation, replayed round for round by the oracle;
+    // nodes unreached within the cap report null.
+    "q_seed_distance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .seedDistance(communityEdges(ev), "src", "dst",
+          seeds = Seq(0L, 301L), maxHops = 4)
+        .orderBy("node")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

@@ -242,6 +242,48 @@ class LinkGraphSpec extends SparkSpec {
     assert(qOne == 0L)
   }
 
+  private def distOf(edges: Seq[(Long, Long)], seeds: Seq[Any],
+                     maxHops: Int = 6,
+                     driverCap: Long = 2000000L): Map[Long, Option[Long]] =
+    LinkGraph.seedDistance(edges.toDF("src", "dst"), "src", "dst",
+        seeds, maxHops, driverCap)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("seedDistance: path distances, hop cap, min over seeds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(distOf(path, Seq(1L)) == Map(1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(3L), 5L -> Some(4L)))
+    // hop cap: node 5 is 4 hops out, unreached at maxHops = 3
+    assert(distOf(path, Seq(1L), maxHops = 3)(5L).isEmpty)
+    // two seeds: minimum wins everywhere
+    assert(distOf(path, Seq(1L, 5L)) == Map(1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(1L), 5L -> Some(0L)))
+    // disconnected component stays null; absent seed contributes nothing
+    val twoComp = path ++ Seq((10L, 11L))
+    assert(distOf(twoComp, Seq(1L))(10L).isEmpty)
+    assert(distOf(twoComp, Seq(99L)).values.forall(_.isEmpty))
+  }
+
+  test("seedDistance: distributed rounds agree with the in-memory relax") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val mem = distOf(edges, Seq(0L, 7L), maxHops = 4)
+    val dist = distOf(edges, Seq(0L, 7L), maxHops = 4, driverCap = 0L)
+    assert(mem == dist)
+  }
+
+  test("seedDistance degenerate args") {
+    intercept[IllegalArgumentException] { distOf(Seq((1L, 2L)), Seq.empty) }
+    intercept[IllegalArgumentException] {
+      distOf(Seq((1L, 2L)), Seq(1L), maxHops = 0)
+    }
+    assert(distOf(Seq.empty, Seq(1L)).isEmpty)
+    // self-loops drop: the node does not even enter the graph
+    assert(distOf(Seq((1L, 1L)), Seq(1L)).isEmpty)
+  }
+
   test("randomWalks: valid, deterministic, degree-capped") {
     val edges = (clique(0L to 4L) :+ (4L, 10L)).toDF("src", "dst")
     val walks = LinkGraph.randomWalks(edges, "src", "dst",
