@@ -3746,6 +3746,27 @@ object Oracles {
          |FROM nodes n LEFT JOIN d$hops d ON n.node = d.node
          |ORDER BY n.node""".stripMargin
     },
+
+    // Wedge self-join restatement of the common-neighbor scores (the
+    // operator emits pairs row-locally from bounded adjacency arrays;
+    // the oracle's join is fine at gate scale). 16777216 = 2^24.
+    "q_link_predict" ->
+      s"""WITH $communityGraphCtes,
+         |deg AS MATERIALIZED (SELECT s AS z, count(*) AS deg
+         |  FROM sym GROUP BY 1),
+         |w AS MATERIALIZED (SELECT sym.s AS z, sym.d AS n, deg.deg
+         |  FROM sym JOIN deg ON sym.s = deg.z
+         |  WHERE deg.deg BETWEEN 2 AND 16),
+         |scored AS (SELECT w1.n AS a, w2.n AS b,
+         |    count(*) AS common_neighbors,
+         |    CAST(sum(16777216 // w1.deg) AS BIGINT) AS ra_scaled
+         |  FROM w w1 JOIN w w2 ON w1.z = w2.z AND w1.n < w2.n
+         |  GROUP BY 1, 2),
+         |und AS (SELECT s AS a, d AS b FROM sym WHERE s < d)
+         |SELECT s.a, s.b, s.common_neighbors, s.ra_scaled,
+         |  (u.a IS NOT NULL) AS is_edge
+         |FROM scored s LEFT JOIN und u ON s.a = u.a AND s.b = u.b
+         |ORDER BY s.a, s.b""".stripMargin,
   )
 
   private val LpaRounds = 8

@@ -3805,6 +3805,20 @@ object SparkEntry {
           seeds = Seq(0L, 301L), maxHops = 4)
         .orderBy("node")
     }),
+
+    // Common-neighbor link prediction (LinkGraph.commonNeighborScores):
+    // shared-neighbor counts + the exact-integer Resource Allocation
+    // index (ra_scaled = sum of 2^24 div deg over common neighbors — no
+    // libm in the gate; the AA double stays an operator-only column) and
+    // the is_edge flag separating re-scored links from predictions.
+    "q_link_predict" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .commonNeighborScores(communityEdges(ev), "src", "dst",
+          maxDegree = 16)
+        .select("a", "b", "common_neighbors", "ra_scaled", "is_edge")
+        .orderBy("a", "b")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

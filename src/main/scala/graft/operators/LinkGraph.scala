@@ -409,6 +409,64 @@ object LinkGraph {
     }
   }
 
+  /** Common-neighbor link prediction over an undirected simple graph:
+    * for every node pair sharing at least one neighbor, the shared count,
+    * the Resource Allocation index (Zhou et al. 2009: Σ_z 1/deg(z) over
+    * common neighbors z — empirically at least as good as Adamic–Adar,
+    * and its weight is EXACT integer arithmetic: `ra_scaled` carries
+    * Σ_z (2^24 div deg(z)), engine-identical in any accumulation order,
+    * where 1/ln(deg) would ride on libm's last ulp — the lesson-10
+    * representation family), the Adamic–Adar score as a double
+    * convenience column, and whether the pair is already linked. Filter
+    * `NOT is_edge` for missing-link candidates (crawl frontier hints,
+    * near-dup pairs the banding missed); keep edges for re-scoring
+    * existing links by structural support.
+    *
+    * Scale shape: the wedge work is done ROW-LOCALLY — one groupBy
+    * collects each center's sorted neighbor list (centers capped at
+    * `maxDegree`: a hub's C(deg, 2) wedge fan-out is quadratic cost for
+    * near-zero per-pair weight, so dropping hub centers bounds compute
+    * AND matches the signal's intent), then pair emission is a nested
+    * transform over the bounded array — no wedge self-join shuffle. One
+    * further groupBy aggregates pair scores; total cost Σ_z deg(z)²
+    * under the cap.
+    *
+    * Returns (a, b, common_neighbors, ra_scaled, aa, is_edge), a < b.
+    */
+  def commonNeighborScores(edges: DataFrame, srcCol: String, dstCol: String,
+                           maxDegree: Int = 1000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val directed = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val sym = directed
+      .union(directed.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+    val centers = sym.groupBy(col("s").as("__z"))
+      .agg(array_sort(collect_set(col("d"))).as("__nbrs"))
+      .filter(size(col("__nbrs")).between(2, maxDegree))
+      .withColumn("__deg", size(col("__nbrs")).cast("long"))
+    val n = size(col("__nbrs"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("__nbrs"), (i + 1).cast("int")).as("a"),
+          element_at(col("__nbrs"), (j + 1).cast("int")).as("b")))))
+    val wedges = centers
+      .select(explode(pairs).as("__p"), col("__deg"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"),
+        expr("16777216L div __deg").as("__ra"),
+        (lit(1.0) / log(col("__deg").cast("double"))).as("__aa"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__ra")).as("ra_scaled"), sum(col("__aa")).as("aa"))
+    val und = sym.filter(col("s") < col("d"))
+      .select(col("s").as("a"), col("d").as("b"), lit(true).as("__e"))
+    scored.join(und, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("ra_scaled"), col("aa"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
+
   /** Minimum hop distance from a trusted seed set — the hop-count cousin
     * of [[pageRank]]-with-seeds (TrustRank): "how many links from a
     * curated whitelist" is a standard crawl-quality feature (SEO farms

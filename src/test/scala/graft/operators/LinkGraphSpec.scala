@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 
 class LinkGraphSpec extends SparkSpec {
   import spark.implicits._
@@ -272,6 +273,38 @@ class LinkGraphSpec extends SparkSpec {
     val mem = distOf(edges, Seq(0L, 7L), maxHops = 4)
     val dist = distOf(edges, Seq(0L, 7L), maxHops = 4, driverCap = 0L)
     assert(mem == dist)
+  }
+
+  test("commonNeighborScores: hand wedges, RA weights, missing-link flag") {
+    // triangle a-b-c plus pendant c-d: the only predicted (non-edge)
+    // pairs are (a,d) and (b,d), through center c
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val rows = LinkGraph.commonNeighborScores(edges, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+    val w2 = 16777216L / 2 // center degree 2
+    val w3 = 16777216L / 3 // center degree 3 (c)
+    assert(rows == Set(
+      ("b", "c", 1L, w2, true), ("a", "c", 1L, w2, true),
+      ("a", "b", 1L, w3, true),
+      ("a", "d", 1L, w3, false), ("b", "d", 1L, w3, false)))
+    // the double AA column agrees with 1/ln(deg) on the same wedges
+    val aa = LinkGraph.commonNeighborScores(edges, "src", "dst")
+      .filter(col("a") === "a" && col("b") === "d")
+      .head().getDouble(4)
+    assert(math.abs(aa - 1.0 / math.log(3.0)) < 1e-12)
+    // maxDegree = 2 drops center c: only the degree-2 wedges remain
+    val capped = LinkGraph.commonNeighborScores(edges, "src", "dst",
+      maxDegree = 2).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("b", "c"), ("a", "c")))
+    // degenerates: empty graph, self-loops, bad cap
+    assert(LinkGraph.commonNeighborScores(
+      spark.emptyDataFrame.select(lit("x").as("src"), lit("y").as("dst"))
+        .limit(0), "src", "dst").count() == 0)
+    intercept[IllegalArgumentException] {
+      LinkGraph.commonNeighborScores(edges, "src", "dst", maxDegree = 1)
+    }
   }
 
   test("seedDistance degenerate args") {
