@@ -3767,6 +3767,22 @@ object Oracles {
          |  (u.a IS NOT NULL) AS is_edge
          |FROM scored s LEFT JOIN und u ON s.a = u.a AND s.b = u.b
          |ORDER BY s.a, s.b""".stripMargin,
+
+    // The identical PRF membership (md5 bucket of id_replicate_seed) and
+    // exact integer length sums; the cross join is the oracle's spelling —
+    // the operator evaluates all replicates in ONE scan.
+    "q_subsample_ci" ->
+      """WITH b AS (SELECT CAST(range AS INT) AS replicate FROM range(16)),
+        |m AS (SELECT b.replicate, length(d.text) AS len
+        |      FROM documents d CROSS JOIN b
+        |      WHERE ('0x' || substr(md5(concat_ws('_',
+        |          CAST(d.doc_id AS VARCHAR),
+        |          CAST(b.replicate AS VARCHAR), '3')), 1, 8))::BIGINT
+        |        % 10000 < 5000)
+        |SELECT replicate, count(*) AS n,
+        |       CAST(sum(len) AS DOUBLE) AS sum,
+        |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private val LpaRounds = 8

@@ -3819,6 +3819,20 @@ object SparkEntry {
         .select("a", "b", "common_neighbors", "ra_scaled", "is_edge")
         .orderBy("a", "b")
     }),
+
+    // Deterministic half-sample replicates of a corpus metric
+    // (Diagnostics.subsampleReplicates): PRF membership, one scan, 2B
+    // aggregate columns. The metric is integer (text length), so sums
+    // are exact in any accumulation order and the mean is one IEEE
+    // division on both engines; the CI rank-pick math is spec-pinned.
+    "q_subsample_ci" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      graft.operators.Diagnostics
+        .subsampleReplicates(d, "doc_id", "len",
+          replicates = 16, fraction = 0.5, seed = 3L)
+        .orderBy("replicate")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

@@ -635,4 +635,82 @@ object Diagnostics {
             ratio < lit(1.0) / distinctRatioThreshold, lit(true)))
           .as("drifted"))
   }
+
+  /** Deterministic half-sample replicates of a corpus metric — the
+    * uncertainty layer corpus dashboards lack: "mean quality is 0.73" is
+    * unactionable without knowing whether a re-crawl would move it by
+    * 0.001 or 0.05. Replicate membership is a PRF (md5 bucket of
+    * (id, replicate, seed)), so the replicates are reproducible across
+    * runs AND engines — no RNG state, a DuckDB oracle recomputes them
+    * exactly — and each replicate is an independent `fraction`-subsample
+    * (delete-half subsampling: the replicate spread estimates the
+    * sampling distribution of the mean, the same inference as a bootstrap
+    * for means at corpus n).
+    *
+    * ONE corpus scan: membership for all `replicates` is evaluated
+    * row-locally and aggregated as 2·B map-side-combined columns (sum +
+    * count per replicate) — no explode, no B passes, ~KB of aggregate
+    * state regardless of corpus size. Returns one row per replicate:
+    * (replicate, n, sum, mean). Null values and null ids drop (a null id
+    * cannot have stable membership).
+    */
+  def subsampleReplicates(df: DataFrame, idCol: String, valueCol: String,
+                          replicates: Int = 32, fraction: Double = 0.5,
+                          seed: Long = 0L): DataFrame = {
+    require(replicates >= 2 && replicates <= 256,
+      s"replicates must be in [2, 256], got $replicates")
+    require(fraction > 0 && fraction < 1, s"bad fraction $fraction")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cut = math.round(fraction * 10000).toInt
+    val kept = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+    def member(b: Int) =
+      conv(substring(md5(concat_ws("_", col(idCol).cast("string"),
+        lit(b.toString), lit(seed.toString))), 1, 8), 16, 10)
+        .cast("long") % 10000 < cut
+    val aggs = (0 until replicates).flatMap { b =>
+      Seq(sum(when(member(b), col(valueCol))).as(s"__s$b"),
+        count(when(member(b), lit(1))).as(s"__n$b"))
+    }
+    val row = kept.agg(aggs.head, aggs.tail: _*).head()
+    val out = (0 until replicates).map { b =>
+      val n = row.getLong(2 * b + 1)
+      val s = if (row.isNullAt(2 * b)) 0.0
+        else row.get(2 * b) match {
+          case d: java.lang.Double => d.doubleValue()
+          case l: java.lang.Long => l.toDouble
+          case x: java.math.BigDecimal => x.doubleValue()
+          case x => x.toString.toDouble
+        }
+      (b, n, s, if (n > 0) s / n else Double.NaN)
+    }
+    spark.createDataFrame(out).toDF("replicate", "n", "sum", "mean")
+  }
+
+  /** Percentile confidence interval from [[subsampleReplicates]]: the
+    * full-corpus mean plus the [alpha/2, 1-alpha/2] quantiles of the
+    * replicate means (index-ranked on the sorted replicate list — exact,
+    * no interpolation). One extra scan for the full mean; the B-row
+    * replicate table is driver-sized by construction.
+    */
+  def subsampleCI(df: DataFrame, idCol: String, valueCol: String,
+                  replicates: Int = 32, fraction: Double = 0.5,
+                  seed: Long = 0L, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reps = subsampleReplicates(df, idCol, valueCol, replicates,
+      fraction, seed)
+      .filter(col("n") > 0)
+      .select("mean").as[Double].collect().sorted
+    val full = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean")).head()
+    val lo = if (reps.isEmpty) Double.NaN
+      else reps(math.min(reps.length - 1, (alpha / 2 * reps.length).toInt))
+    val hi = if (reps.isEmpty) Double.NaN
+      else reps(math.min(reps.length - 1,
+        ((1 - alpha / 2) * reps.length).toInt))
+    Seq((full.getLong(0), full.getDouble(1), lo, hi, reps.length))
+      .toDF("n", "mean", "ci_lo", "ci_hi", "replicates_used")
+  }
 }

@@ -228,4 +228,60 @@ class CorpusStatsSpec extends SparkSpec {
         distinctRatioThreshold = 0.5)
     }
   }
+
+  test("subsampleReplicates: deterministic, ~half-sized, sum-consistent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = (1L to 2000L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    val reps = Diagnostics.subsampleReplicates(df, "id", "v",
+      replicates = 8, seed = 5L)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(reps.length == 8 && reps.map(_._1).toSeq == (0 until 8))
+    // PRF membership: every replicate lands near half, none identical n
+    // to the full corpus, and a re-run reproduces the rows exactly
+    reps.foreach { case (_, n, s, m) =>
+      assert(n > 800 && n < 1200, n)
+      assert(math.abs(m - s / n) < 1e-12)
+    }
+    val again = Diagnostics.subsampleReplicates(df, "id", "v",
+      replicates = 8, seed = 5L)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(reps.sameElements(again))
+    // different seed -> different membership counts somewhere
+    val other = Diagnostics.subsampleReplicates(df, "id", "v",
+      replicates = 8, seed = 6L)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(!reps.map(_._2).sameElements(other.map(_._2)))
+    // null ids/values drop
+    val withNull = df.withColumn("id",
+      org.apache.spark.sql.functions.when(col("id") <= 1000, col("id")))
+    val halved = Diagnostics.subsampleReplicates(withNull, "id", "v",
+      replicates = 4)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(halved.forall(_._2 < 700))
+    intercept[IllegalArgumentException] {
+      Diagnostics.subsampleReplicates(df, "id", "v", replicates = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Diagnostics.subsampleReplicates(df, "id", "v", fraction = 1.0)
+    }
+  }
+
+  test("subsampleCI: brackets the true mean, shrinks with n, exact ranks") {
+    // constant column: every replicate mean equals the constant -> the CI
+    // is degenerate at the truth
+    val const = (1L to 500L).map(i => (i, 3.0)).toDF("id", "v")
+    val c = Diagnostics.subsampleCI(const, "id", "v").head()
+    assert(c.getDouble(1) == 3.0 && c.getDouble(2) == 3.0 &&
+      c.getDouble(3) == 3.0)
+    // varying column: CI brackets the full mean with lo <= mean <= hi
+    val df = (1L to 4000L).map(i => (i, (i % 101).toDouble)).toDF("id", "v")
+    val r = Diagnostics.subsampleCI(df, "id", "v", replicates = 32,
+      seed = 9L).head()
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= mean && mean <= hi, s"$lo $mean $hi")
+    assert(hi - lo > 0 && hi - lo < 10) // nondegenerate, sane width
+    intercept[IllegalArgumentException] {
+      Diagnostics.subsampleCI(df, "id", "v", alpha = 0.0)
+    }
+  }
 }
