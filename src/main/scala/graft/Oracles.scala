@@ -3783,6 +3783,15 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) AS sum,
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Claims oracle (the PAV merge sequence is sequential — not
+    // SQL-replayable); n = the document count the same construction sees.
+    "q_isotonic" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents)
+        |SELECT c.claim, t.n, true AS ok
+        |FROM t, (VALUES ('calibrated_mse_not_worse'),
+        |  ('positive_mass_preserved'), ('probs_monotone')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
   )
 
   private val LpaRounds = 8

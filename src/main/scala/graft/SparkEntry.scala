@@ -3833,6 +3833,40 @@ object SparkEntry {
           replicates = 16, fraction = 0.5, seed = 3L)
         .orderBy("replicate")
     }),
+
+    // Isotonic (PAV) calibration over a planted miscalibrated scorer:
+    // score = md5 bucket / 10^4, label drawn by a second PRF with
+    // P = floor(s_int^2/10^4)/10^4 (all integer compares — the label set
+    // is engine-reproducible). Claims gate (the PAV merge sequence is
+    // not SQL-replayable): probs monotone, positive mass preserved
+    // exactly, calibrated MSE <= raw MSE.
+    "q_isotonic" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val sInt = Sampling.hashBucket(col("doc_id"))
+      val u2 = Sampling.hashBucket(concat(col("doc_id").cast("string"),
+        lit("_lbl")))
+      val scored = d.select((sInt.cast("double") / 10000.0).as("score"),
+        (u2 < (sInt * sInt) / 10000L).cast("int").as("label"))
+      val model = graft.fitting.Isotonic
+        .fitBinned(scored, "score", "label", nBins = 100)
+      val fit = model.orderBy("bin_lo").collect()
+      val probs = fit.map(_.getDouble(4))
+      val monotone = probs.zip(probs.tail).forall { case (a, b) => a <= b }
+      val totals = scored.agg(count(lit(1)), sum(col("label"))).head()
+      val massOk = fit.map(_.getLong(3)).sum == totals.getLong(1)
+      val cal = graft.fitting.Isotonic
+        .calibrate(scored, "score", model, nBins = 100)
+      val mse = cal.agg(
+        sum(pow(col("calibrated") - col("label"), 2)).as("c"),
+        sum(pow(col("score") - col("label"), 2)).as("r")).head()
+      Seq(
+        ("calibrated_mse_not_worse", totals.getLong(0),
+          mse.getDouble(0) <= mse.getDouble(1) + 1e-9),
+        ("positive_mass_preserved", totals.getLong(0), massOk),
+        ("probs_monotone", totals.getLong(0), monotone))
+        .toDF("claim", "n", "ok").orderBy("claim")
+    }),
   )
 
   /** Shared edge construction for q_communities / q_modularity: intra-

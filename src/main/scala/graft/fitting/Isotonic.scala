@@ -1,0 +1,97 @@
+package graft.fitting
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Isotonic (monotone) calibration via pool-adjacent-violators — the
+  * standard recalibration for classifier scores (Zadrozny & Elkan 2002):
+  * a quality model's raw score ranks documents well but its VALUE is not
+  * a probability; PAV fits the least-squares monotone map from score to
+  * empirical label rate, which is exactly what mixture planning and
+  * threshold picking need ("keep docs with P(good) > 0.8" only means
+  * something after calibration). Complements the existing calibration
+  * surface: `Metrics.calibrationReport` MEASURES miscalibration
+  * (Brier/ECE), `scoreCalibration` maps scores to RANK quantiles; this
+  * fits the monotone probability map itself.
+  *
+  * Scale shape (the Logistic/KMeansLite altitude pattern): scores are
+  * quantized to `nBins` fixed-width bins in ONE map-side-combined
+  * aggregate — (bin, n, positives) is ≤ nBins rows regardless of corpus
+  * size — then PAV runs driver-side over the bounded bin table (linear
+  * stack algorithm), and the fitted step function is a broadcast-joinable
+  * table. Pooled values are kept as EXACT integer (positives, n) pairs;
+  * the probability is their one-division quotient.
+  *
+  * Scores must lie in [0, 1] (the classifier-output contract; rescale
+  * upstream otherwise) — out-of-range rows are rejected loudly rather
+  * than silently clamped into the edge bins.
+  */
+object Isotonic {
+
+  /** Fit the PAV step function from (score, binary label) data.
+    * Returns one row per pooled block: (bin_lo, bin_hi, n, positives,
+    * prob), bins fixed-width over [0, 1], prob non-decreasing in bin.
+    */
+  def fitBinned(df: DataFrame, scoreCol: String, labelCol: String,
+                nBins: Int = 1000): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"bad nBins $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kept = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val bad = kept.filter(col(scoreCol) < 0.0 || col(scoreCol) > 1.0).limit(1)
+    require(bad.isEmpty, s"$scoreCol outside [0, 1]; rescale upstream")
+    val bin = least(floor(col(scoreCol) * nBins).cast("int"), lit(nBins - 1))
+    val bins = kept
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("boolean").cast("long")).as("pos"))
+      .orderBy("bin")
+      .as[(Int, Long, Long)].collect()
+    // pool adjacent violators: merge any block whose rate is below its
+    // predecessor's until the sequence is non-decreasing (stack form,
+    // O(nBins)); compare rates as cross-multiplied longs — no doubles in
+    // the pooling decision, so the fit is bit-deterministic
+    case class Block(lo: Int, hi: Int, n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    bins.foreach { case (b, n, pos) =>
+      var cur = Block(b, b, n, pos)
+      while (stack.nonEmpty &&
+        stack.last.pos * cur.n >= cur.pos * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.lo, cur.hi, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack += cur
+    }
+    spark.createDataFrame(stack.toSeq.map(bk =>
+        (bk.lo, bk.hi, bk.n, bk.pos, bk.pos.toDouble / bk.n)))
+      .toDF("bin_lo", "bin_hi", "n", "positives", "prob")
+  }
+
+  /** Attach the calibrated probability to a scored frame: bins the score
+    * identically and range-joins the (driver-sized, broadcast) step
+    * table. Scores in bins the fit never saw (possible when applying to
+    * new data) get the nearest block's prob via the range match on
+    * [bin_lo, bin_hi] after widening the edge blocks to cover [0, nBins).
+    */
+  def calibrate(df: DataFrame, scoreCol: String, model: DataFrame,
+                nBins: Int = 1000,
+                outputCol: String = "calibrated"): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"bad nBins $nBins")
+    val m = model.orderBy("bin_lo").collect()
+    require(m.nonEmpty, "empty calibration model")
+    // widen edges so every possible bin maps somewhere
+    val rows = m.zipWithIndex.map { case (r, i) =>
+      val lo = if (i == 0) 0 else r.getInt(0)
+      val hi = if (i == m.length - 1) nBins - 1 else r.getInt(1)
+      (lo, hi, r.getDouble(4))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val steps = broadcast(rows.toSeq.toDF("__lo", "__hi", outputCol))
+    val bin: Column =
+      least(floor(col(scoreCol) * nBins).cast("int"), lit(nBins - 1))
+    df.withColumn("__bin", bin)
+      .join(steps, col("__bin").between(col("__lo"), col("__hi")), "left")
+      .drop("__lo", "__hi", "__bin")
+  }
+}

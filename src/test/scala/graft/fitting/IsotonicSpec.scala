@@ -1,0 +1,86 @@
+package graft.fitting
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** PAV isotonic calibration: textbook pooling, monotonicity, mass
+  * preservation, MSE dominance, application semantics, degenerates.
+  */
+class IsotonicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fitOf(rows: Seq[(Double, Int)], nBins: Int = 10) =
+    Isotonic.fitBinned(rows.toDF("score", "label"), "score", "label", nBins)
+      .orderBy("bin_lo")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+
+  test("textbook pooling: a rate dip merges into one block") {
+    // bins 0/1/2 with rates 0.2, 0.8, 0.5: the 0.8->0.5 violation pools
+    // bins 1-2 into rate (4+1)/(5+2) = 5/7... use exact counts:
+    // bin0: 1/5, bin1: 4/5, bin2: 1/2 -> pool(1,2) = 5/7 >= 1/5: monotone
+    val rows =
+      Seq.fill(4)((0.05, 0)) ++ Seq((0.05, 1)) ++
+      Seq.fill(4)((0.15, 1)) ++ Seq((0.15, 0)) ++
+      Seq((0.25, 1), (0.25, 0))
+    val fit = fitOf(rows)
+    assert(fit.length == 2, fit.toString)
+    assert(fit(0) == ((0, 0, 5L, 1L, 0.2)))
+    assert(fit(1)._1 == 1 && fit(1)._2 == 2 &&
+      fit(1)._3 == 7L && fit(1)._4 == 5L)
+    assert(fit(1)._5 == 5.0 / 7.0)
+  }
+
+  test("already-monotone rates stay unpooled; probs non-decreasing") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 3000).map { _ =>
+      val s = rnd.nextDouble()
+      (s, if (rnd.nextDouble() < s) 1 else 0) // perfectly calibrated source
+    }
+    val fit = fitOf(rows, nBins = 20)
+    val probs = fit.map(_._5)
+    assert(probs.zip(probs.tail).forall { case (a, b) => a <= b })
+    // PAV preserves total positive mass exactly
+    assert(fit.map(_._4).sum == rows.count(_._2 == 1))
+    assert(fit.map(_._3).sum == rows.length)
+    // calibrated MSE must not exceed the raw-score MSE (PAV is the L2
+    // projection onto monotone functions of the bin)
+    val df = rows.toDF("score", "label")
+    val model = Isotonic.fitBinned(df, "score", "label", nBins = 20)
+    val cal = Isotonic.calibrate(df, "score", model, nBins = 20)
+      .select(col("calibrated"), col("label").cast("double"), col("score"))
+      .as[(Double, Double, Double)].collect()
+    val mseCal = cal.map { case (c, y, _) => (c - y) * (c - y) }.sum
+    val mseRaw = cal.map { case (_, y, s) => (s - y) * (s - y) }.sum
+    assert(mseCal <= mseRaw + 1e-9, s"$mseCal vs $mseRaw")
+  }
+
+  test("calibrate covers unseen edge bins via widened blocks") {
+    val model = Isotonic.fitBinned(
+      Seq((0.45, 0), (0.55, 1)).toDF("score", "label"),
+      "score", "label", nBins = 10)
+    val applied = Isotonic.calibrate(
+      Seq((0.01, "lo"), (0.99, "hi")).toDF("score", "tag"),
+      "score", model, nBins = 10)
+      .select("tag", "calibrated").as[(String, Double)].collect().toMap
+    assert(applied("lo") == 0.0 && applied("hi") == 1.0)
+  }
+
+  test("degenerate args: out-of-range scores, nulls, bad nBins, empty model") {
+    intercept[IllegalArgumentException] {
+      fitOf(Seq((1.5, 1)))
+    }
+    intercept[IllegalArgumentException] {
+      fitOf(Seq((0.5, 1)), nBins = 1)
+    }
+    // nulls drop rather than poison
+    val withNull = Seq((java.lang.Double.valueOf(0.5), java.lang.Integer.valueOf(1)),
+      (null.asInstanceOf[java.lang.Double], java.lang.Integer.valueOf(0)))
+      .toDF("score", "label")
+    val f = Isotonic.fitBinned(withNull, "score", "label", nBins = 4)
+    assert(f.count() == 1)
+    intercept[IllegalArgumentException] {
+      Isotonic.calibrate(Seq((0.5, 1)).toDF("score", "label"), "score",
+        f.limit(0), nBins = 4)
+    }
+  }
+}
