@@ -679,6 +679,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("Isotonic.calibrate is stream-safe: a pre-fit model applies per batch") {
+    // the step table is driver-sized and broadcast — scoring a stream is
+    // a stateless map + broadcast join, the serving shape for a
+    // calibrated quality filter on live ingest
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.fitting.Isotonic.fitBinned(
+      Seq((0.1, 0), (0.2, 0), (0.6, 1), (0.9, 1)).toDF("score", "label"),
+      "score", "label", nBins = 10)
+    val rows = Seq((1L, 0.15), (2L, 0.65), (3L, 0.95))
+    val input = MemoryStream[(Long, Double)]
+    val out = graft.fitting.Isotonic.calibrate(
+      input.toDF().toDF("id", "score"), "score", model, nBins = 10)
+    val q = out.writeStream.format("memory").queryName("isotonic_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select id, calibrated from isotonic_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    val batch = graft.fitting.Isotonic.calibrate(
+      rows.toDF("id", "score"), "score", model, nBins = 10)
+      .select("id", "calibrated")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("contentExtract is stream-safe: paragraph classes match batch") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of")
