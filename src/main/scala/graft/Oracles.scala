@@ -3784,6 +3784,24 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Full replay of the median-of-means: same PRF buckets, exact integer
+    // sums (sum/count, never avg — DuckDB's avg accumulates in doubles,
+    // order-nondeterministic), ranked-middle pick at (c // 2) + 1.
+    "q_median_of_means" ->
+      """WITH kept AS (SELECT doc_id, length(text) AS len FROM documents),
+        |per AS (SELECT ('0x' || substr(md5(concat_ws('_',
+        |      CAST(doc_id AS VARCHAR), 'mom', '2')), 1, 8))::BIGINT % 15
+        |    AS bk, count(*) AS n, sum(len) AS s
+        |  FROM kept GROUP BY 1),
+        |means AS (SELECT CAST(s AS DOUBLE) / n AS m FROM per WHERE n > 0),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS r,
+        |    count(*) OVER () AS c FROM means),
+        |f AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*)
+        |    AS mean FROM kept)
+        |SELECT f.n, f.mean, ranked.m AS median_of_means,
+        |  CAST(ranked.c AS INT) AS buckets_used
+        |FROM f, ranked WHERE ranked.r = ranked.c // 2 + 1""".stripMargin,
+
     // Claims oracle (the PAV merge sequence is sequential — not
     // SQL-replayable); n = the document count the same construction sees.
     "q_isotonic" ->

@@ -3840,6 +3840,18 @@ object SparkEntry {
     // is engine-reproducible). Claims gate (the PAV merge sequence is
     // not SQL-replayable): probs monotone, positive mass preserved
     // exactly, calibrated MSE <= raw MSE.
+    // Median-of-means robust estimator (Diagnostics.medianOfMeans) over
+    // integer text lengths: the 15 PRF bucket sums are exact longs, each
+    // mean one IEEE division, and the median an exact ranked pick — the
+    // whole output is engine-identical, so the gate is a FULL oracle
+    // (the oracle restates buckets, sums, and the ranked middle in SQL).
+    "q_median_of_means" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      graft.operators.Diagnostics
+        .medianOfMeans(d, "doc_id", "len", buckets = 15, seed = 2L)
+    }),
+
     "q_isotonic" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.documents(s, dir)

@@ -687,6 +687,44 @@ object Diagnostics {
     spark.createDataFrame(out).toDF("replicate", "n", "sum", "mean")
   }
 
+  /** Median-of-means robust estimator — the heavy-tail companion to
+    * [[subsampleReplicates]]: corpus metrics like document length or
+    * token count are Zipf-tailed, and a handful of pathological rows (a
+    * binary blob mis-ingested as text) can drag the plain mean
+    * arbitrarily; the median over k disjoint PRF-assigned bucket means
+    * has bounded sensitivity to any single bucket's corruption
+    * (exponential concentration under only a finite variance — the
+    * standard MoM guarantee). Bucket assignment is the same md5 PRF
+    * family as the replicates, so the estimate is reproducible across
+    * runs and engines.
+    *
+    * ONE scan: groupBy the k-way PRF bucket (k odd, required — the
+    * median is then an exact ranked element, no midpoint averaging to
+    * diverge between engines), k-row table to the driver, pick the
+    * middle mean. Returns one row: (n, mean, median_of_means, buckets).
+    */
+  def medianOfMeans(df: DataFrame, idCol: String, valueCol: String,
+                    buckets: Int = 15, seed: Long = 0L): DataFrame = {
+    require(buckets >= 3 && buckets % 2 == 1 && buckets <= 1001,
+      s"buckets must be odd in [3, 1001], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kept = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+    val bucket = conv(substring(md5(concat_ws("_",
+      col(idCol).cast("string"), lit("mom"), lit(seed.toString))), 1, 8),
+      16, 10).cast("long") % buckets
+    val per = kept.groupBy(bucket.as("__b"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("double")).as("s"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val means = per.filter(_._1 > 0).map { case (n, s) => s / n }.sorted
+    val full = kept.agg(count(lit(1)).as("n"),
+      avg(col(valueCol)).as("mean")).head()
+    val mom = if (means.isEmpty) Double.NaN else means(means.length / 2)
+    val fullMean = if (full.isNullAt(1)) Double.NaN else full.getDouble(1)
+    Seq((full.getLong(0), fullMean, mom, means.length))
+      .toDF("n", "mean", "median_of_means", "buckets_used")
+  }
+
   /** Percentile confidence interval from [[subsampleReplicates]]: the
     * full-corpus mean plus the [alpha/2, 1-alpha/2] quantiles of the
     * replicate means (index-ranked on the sorted replicate list — exact,

@@ -266,6 +266,31 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("medianOfMeans: tracks the mean on clean data, shrugs off outliers") {
+    val clean = (1L to 3000L).map(i => (i, (i % 11).toDouble)).toDF("id", "v")
+    val c = Diagnostics.medianOfMeans(clean, "id", "v", buckets = 15).head()
+    assert(math.abs(c.getDouble(2) - c.getDouble(1)) < 0.3,
+      s"${c.getDouble(2)} vs ${c.getDouble(1)}")
+    // one pathological row (the mis-ingested-blob scenario): the mean
+    // jumps by ~333; the median of 15 bucket means barely moves
+    val dirty = clean.union(Seq((99999L, 1e6)).toDF("id", "v"))
+    val d = Diagnostics.medianOfMeans(dirty, "id", "v", buckets = 15).head()
+    assert(d.getDouble(1) - c.getDouble(1) > 300) // mean poisoned
+    assert(math.abs(d.getDouble(2) - c.getDouble(2)) < 1.0) // MoM robust
+    // deterministic across runs; different seed reshuffles buckets
+    val again = Diagnostics.medianOfMeans(dirty, "id", "v", buckets = 15).head()
+    assert(d.getDouble(2) == again.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Diagnostics.medianOfMeans(clean, "id", "v", buckets = 4) // even
+    }
+    intercept[IllegalArgumentException] {
+      Diagnostics.medianOfMeans(clean, "id", "v", buckets = 1)
+    }
+    // empty input: n = 0, NaN estimates, zero buckets used
+    val empty = Diagnostics.medianOfMeans(clean.limit(0), "id", "v").head()
+    assert(empty.getLong(0) == 0L && empty.getInt(3) == 0)
+  }
+
   test("subsampleCI: brackets the true mean, shrinks with n, exact ranks") {
     // constant column: every replicate mean equals the constant -> the CI
     // is degenerate at the truth
