@@ -3784,6 +3784,47 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Capstone replay: LPA rounds + BFS rounds + k-core peeling + degree
+    // over the SAME community graph, joined — verifies the operators
+    // agree on the node universe, not just their own outputs.
+    "q_graph_features" -> {
+      val bfs = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
+           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
+           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
+           |        UNION ALL SELECT node, distance FROM d${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val peel = (1 to 20).map { i =>
+        s"""ke$i AS MATERIALIZED (SELECT a, b FROM und
+           |  WHERE a IN (SELECT node FROM ks${i - 1})
+           |    AND b IN (SELECT node FROM ks${i - 1})),
+           |kd$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
+           |    (SELECT a AS node FROM ke$i UNION ALL SELECT b FROM ke$i)
+           |  GROUP BY node),
+           |ks$i AS MATERIALIZED (SELECT node FROM kd$i WHERE degree >= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lpaCtes,
+         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+         |deg AS MATERIALIZED (SELECT s AS node, count(*) AS degree
+         |  FROM sym GROUP BY 1),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
+         |  FROM nodes WHERE node IN (0, 301)),
+         |$bfs,
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+         |    greatest(s, d) AS b FROM sym),
+         |ks0 AS MATERIALIZED (SELECT node FROM nodes),
+         |$peel
+         |SELECT deg.node, deg.degree, l8.community, d4.distance,
+         |  (kd.node IS NOT NULL) AS in_core, kd.degree AS core_degree
+         |FROM deg
+         |JOIN l8 ON deg.node = l8.node
+         |LEFT JOIN d4 ON deg.node = d4.node
+         |LEFT JOIN (SELECT kd20.node, kd20.degree FROM kd20
+         |           WHERE kd20.degree >= 5) kd ON deg.node = kd.node
+         |ORDER BY deg.node""".stripMargin
+    },
+
     // Full replay of the median-of-means: same PRF buckets, exact integer
     // sums (sum/count, never avg — DuckDB's avg accumulates in doubles,
     // order-nondeterministic), ranked-middle pick at (c // 2) + 1.

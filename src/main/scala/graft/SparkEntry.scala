@@ -3840,6 +3840,40 @@ object SparkEntry {
     // is engine-reproducible). Claims gate (the PAV merge sequence is
     // not SQL-replayable): probs monotone, positive mass preserved
     // exactly, calibrated MSE <= raw MSE.
+    // Graph-feature capstone: the host quality-feature table a crawl
+    // pipeline joins onto documents — degree, LPA community, hop
+    // distance from trusted seeds, k-core membership — all four signals
+    // over ONE shared graph, composed from individually-gated operators.
+    // The oracle replays every stage (LPA rounds + BFS rounds + peeling
+    // rounds + degree) and joins them, so the gate also verifies the
+    // operators agree on the node universe.
+    "q_graph_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      val lg = graft.operators.LinkGraph
+      val sym = {
+        val d = edges.select(col("src").as("s"), col("dst").as("d"))
+          .filter(col("s").isNotNull && col("d").isNotNull &&
+            col("s") =!= col("d"))
+        d.union(d.select(col("d").as("s"), col("s").as("d"))).distinct()
+      }
+      val deg = sym.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val comm = lg.labelPropagation(edges, "src", "dst", maxIters = 8)
+      val dist = lg.seedDistance(edges, "src", "dst",
+        seeds = Seq(0L, 301L), maxHops = 4)
+      val core = lg.kCore(edges, "src", "dst", k = 5)
+        .select(col("node").cast("long").as("node"),
+          col("degree").as("core_degree"))
+      deg.join(comm, Seq("node"))
+        .join(dist, Seq("node"))
+        .join(core, Seq("node"), "left")
+        .select(col("node"), col("degree"), col("community"),
+          col("distance"), col("core_degree").isNotNull.as("in_core"),
+          col("core_degree"))
+        .orderBy("node")
+    }),
+
     // Median-of-means robust estimator (Diagnostics.medianOfMeans) over
     // integer text lengths: the 15 PRF bucket sums are exact longs, each
     // mean one IEEE division, and the median an exact ranked pick — the
