@@ -3784,6 +3784,27 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The same candidate regex + the Luhn mod-10 checksum as a list
+    // comprehension over the digit string — integer arithmetic only.
+    "q_card_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    'pay ' || lpad(CAST((doc_id * doc_id) % 10000000000000000
+        |      AS VARCHAR), 16, '0') || ' ok' AS txt
+        |  FROM documents),
+        |c AS (SELECT id, unnest(regexp_extract_all(txt,
+        |    '\b\d(?:[ -]?\d){12,18}\b')) AS raw FROM t),
+        |d AS (SELECT id, raw, regexp_replace(raw, '[ -]', '', 'g')
+        |    AS digits FROM c)
+        |SELECT id, raw, digits,
+        |  (length(digits) BETWEEN 13 AND 19
+        |   AND list_sum([CASE WHEN (length(digits) - i + 1) % 2 = 0
+        |     THEN CASE WHEN 2 * CAST(digits[i] AS INT) > 9
+        |       THEN 2 * CAST(digits[i] AS INT) - 9
+        |       ELSE 2 * CAST(digits[i] AS INT) END
+        |     ELSE CAST(digits[i] AS INT) END
+        |     FOR i IN range(1, length(digits) + 1)]) % 10 = 0) AS valid
+        |FROM d ORDER BY id, raw""".stripMargin,
+
     // Capstone replay: LPA rounds + BFS rounds + k-core peeling + degree
     // over the SAME community graph, joined — verifies the operators
     // agree on the node universe, not just their own outputs.

@@ -3840,6 +3840,20 @@ object SparkEntry {
     // is engine-reproducible). Claims gate (the PAV merge sequence is
     // not SQL-replayable): probs monotone, positive mass preserved
     // exactly, calibrated MSE <= raw MSE.
+    // Luhn-validated card scan (Cleanse.cardCandidates): candidate
+    // digit runs synthesized from doc_id squares; the oracle replays the
+    // extraction regex AND the mod-10 checksum as a list comprehension —
+    // pure integer arithmetic, full verdict parity.
+    "q_card_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val txt = concat(lit("pay "),
+        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
+          .cast("string"), 16, "0"), lit(" ok"))
+      graft.operators.Cleanse
+        .cardCandidates(d.select(col("doc_id"), txt.as("t")), "doc_id", "t")
+        .orderBy("id", "raw")
+    }),
+
     // Graph-feature capstone: the host quality-feature table a crawl
     // pipeline joins onto documents — degree, LPA community, hop
     // distance from trusted seeds, k-core membership — all four signals

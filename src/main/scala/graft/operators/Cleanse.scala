@@ -41,6 +41,64 @@ object Cleanse {
       regexp_count(text, lit(pat)).as(s"n_$name")
     }: _*)
 
+  /** Candidate payment-card spans: 13–19 digits allowing single space or
+    * dash separators, word-bounded. Deliberately broad — [[luhnValid]]
+    * is the precision stage. RE2-safe. */
+  val CardCandidatePattern: String =
+    "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn checksum validity of a digits-only string (ISO/IEC 7812 mod-10
+    * — every real payment-card number passes): from the RIGHT, double
+    * every second digit, subtract 9 when doubling overflows, sum ≡ 0
+    * (mod 10). A bare \d{13,19} PII rule flags timestamps, ids, and hash
+    * fragments; the checksum rejects 90% of random digit runs, which is
+    * the difference between a usable card scrubber and one that shreds
+    * every log file. Row-local integer HOF arithmetic — codegen-friendly,
+    * engine-portable (the oracle restates it as a list comprehension).
+    * Null/empty/non-digit input yields false, never an error.
+    */
+  def luhnValid(digits: Column): Column = {
+    val s = coalesce(digits, lit(""))
+    val n = length(s)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = ascii(substring(s, i, lit(1))) - 48
+      // position from the right, 1-based: double the even ones
+      val fromRight = n - i + 1
+      val dd = when(fromRight % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    (n >= 13) && (n <= 19) && rlike(s, lit("^\\d+$")) &&
+      (total % 10 === 0)
+  }
+
+  /** Extract card candidates with their Luhn verdicts: one row per
+    * matched span — (id, raw span as matched, digits-only normalization,
+    * valid). The (candidate, verdict) table is the auditable unit a PII
+    * review signs off on; [[redactValidCards]] consumes the same logic.
+    * One map stage + explode, linear in matches.
+    */
+  def cardCandidates(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val raws = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(CardCandidatePattern), lit(0))
+    df.select(col(idCol).as("id"), explode(raws).as("raw"))
+      .withColumn("digits", regexp_replace(col("raw"), "[ -]", ""))
+      .withColumn("valid", luhnValid(col("digits")))
+  }
+
+  /** Replace ONLY Luhn-valid card spans with `<CARD>`, preserving
+    * everything else (including invalid digit runs — order ids and
+    * timestamps survive). Row-local: extract candidates, keep the valid
+    * raw spans, fold literal replacements over the text. */
+  def redactValidCards(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val valids = filter(
+      regexp_extract_all(t, lit(CardCandidatePattern), lit(0)),
+      r => luhnValid(regexp_replace(r, "[ -]", "")))
+    aggregate(valids, t, (acc, r) => replace(acc, r, lit("<CARD>")))
+  }
+
   /** Credential/secret patterns for the pre-release scrub every code-and-web
     * corpus needs (leaked API keys and private keys must not reach a
     * training set). Categories are independent (counts run per category on

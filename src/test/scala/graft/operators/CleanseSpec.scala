@@ -459,4 +459,43 @@ class CleanseSpec extends SparkSpec {
       Cleanse.contentExtract(one, "id", "html", Seq.empty)
     }
   }
+
+  test("luhnValid: published test numbers pass, off-by-one fails, bounds") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def luhn(s: String): Boolean =
+      spark.range(1).select(Cleanse.luhnValid(lit(s)).as("v"))
+        .head().getBoolean(0)
+    // industry test numbers (Visa 16, Visa 13+3 pattern, Amex 15, MC 16)
+    assert(luhn("4111111111111111"))
+    assert(luhn("4012888888881881"))
+    assert(luhn("378282246310005"))
+    assert(luhn("5555555555554444"))
+    assert(!luhn("4111111111111112")) // checksum off by one
+    assert(!luhn("79927398713")) // valid Luhn sum but 11 digits < 13
+    assert(!luhn("41111111111111110000")) // 20 digits > 19
+    assert(!luhn("4111-1111-1111-1111")) // non-digit: normalize first
+    assert(!luhn("")) // empty
+  }
+
+  test("cardCandidates + redactValidCards: only checksummed spans redact") {
+    val rows = Seq(
+      (1L, "pay 4111 1111 1111 1111 order 4111111111111112 ts 1755241200123"),
+      (2L, "no digits here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val cands = Cleanse.cardCandidates(rows, "id", "text")
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(cands == Set(
+      (1L, "4111 1111 1111 1111", "4111111111111111", true),
+      (1L, "4111111111111112", "4111111111111112", false),
+      (1L, "1755241200123", "1755241200123", false)))
+    val red = rows.select(col("id"),
+        Cleanse.redactValidCards(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    // the valid card goes, the invalid run and the timestamp SURVIVE
+    assert(red(1L) ==
+      "pay <CARD> order 4111111111111112 ts 1755241200123")
+    assert(red(2L) == "no digits here")
+    assert(red(3L) == "") // null text -> empty, never an error
+  }
 }
