@@ -3784,6 +3784,25 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The same shape regex + incremental mod-97 fold via list_reduce —
+    // integer arithmetic only (verified against the ISO examples).
+    "q_iban_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK'
+        |      || lpad(CAST((doc_id * 7919) % 10000000000 AS VARCHAR),
+        |        10, '0') AS iban
+        |  FROM documents),
+        |r AS (SELECT id, iban, substr(iban, 5) || substr(iban, 1, 4)
+        |    AS re FROM t)
+        |SELECT id, iban,
+        |  (regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
+        |   AND list_reduce(list_prepend(0,
+        |       [ascii(re[i]) FOR i IN range(1, length(re) + 1)]),
+        |     (a, c) -> CASE WHEN c BETWEEN 48 AND 57
+        |       THEN (a * 10 + (c - 48)) % 97
+        |       ELSE (a * 100 + (c - 55)) % 97 END) = 1) AS valid
+        |FROM r ORDER BY id""".stripMargin,
+
     // The same candidate regex + the Luhn mod-10 checksum as a list
     // comprehension over the digit string — integer arithmetic only.
     "q_card_scan" ->

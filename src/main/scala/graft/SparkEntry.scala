@@ -3854,6 +3854,21 @@ object SparkEntry {
         .orderBy("id", "raw")
     }),
 
+    // IBAN mod-97 validation (Cleanse.ibanValid) over synthesized
+    // account strings (1-in-97 planted pass rate): shape regex + the
+    // incremental-mod fold, replayed in the oracle with list_reduce —
+    // full verdict parity, pure integer arithmetic.
+    "q_iban_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val iban = concat(lit("DE"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("BANK"),
+        lpad(((col("doc_id") * 7919L) % 10000000000L).cast("string"),
+          10, "0"))
+      d.select(col("doc_id").as("id"), iban.as("iban"))
+        .withColumn("valid", graft.operators.Cleanse.ibanValid(col("iban")))
+        .orderBy("id")
+    }),
+
     // Graph-feature capstone: the host quality-feature table a crawl
     // pipeline joins onto documents — degree, LPA community, hop
     // distance from trusted seeds, k-core membership — all four signals

@@ -99,6 +99,32 @@ object Cleanse {
     aggregate(valids, t, (acc, r) => replace(acc, r, lit("<CARD>")))
   }
 
+  /** IBAN checksum validity (ISO 13616 mod-97) — the bank-account
+    * sibling of [[luhnValid]], and the GDPR-sensitive pattern a European
+    * corpus scrub cannot do by regex alone (an IBAN-shaped string is
+    * valid only if rearranging the first four characters to the end and
+    * reading letters as 10..35 yields ≡ 1 mod 97 — a 1-in-97 bar random
+    * uppercase-alphanumeric runs fail). Accepts spaces and lowercase
+    * (normalized away, the common display forms); validates SHAPE
+    * (CC + 2 check digits + 11-30 alphanumerics) plus the checksum.
+    * Country-specific length rules are deliberately out of scope (a
+    * literal-table refinement). Row-local incremental-mod fold — exact
+    * integer arithmetic, engine-portable (the oracle folds the same
+    * recurrence with list_reduce). Null yields false, never an error.
+    */
+  def ibanValid(iban: Column): Column = {
+    val s = upper(regexp_replace(coalesce(iban, lit("")), "[ ]", ""))
+    val shape = s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    val r = concat(substring(s, lit(5), length(s) - 4),
+      substring(s, lit(1), lit(4)))
+    val m = aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val c = ascii(substring(r, i, lit(1)))
+      when(c >= 48 && c <= 57, (acc * 10 + (c - 48)) % 97)
+        .otherwise((acc * 100 + (c - 55)) % 97)
+    })
+    shape && (m === 1)
+  }
+
   /** Credential/secret patterns for the pre-release scrub every code-and-web
     * corpus needs (leaked API keys and private keys must not reach a
     * training set). Categories are independent (counts run per category on

@@ -477,6 +477,23 @@ class CleanseSpec extends SparkSpec {
     assert(!luhn("")) // empty
   }
 
+  test("ibanValid: ISO examples pass, mutations fail, display forms normalize") {
+    import org.apache.spark.sql.functions.lit
+    def iban(s: String): Boolean =
+      spark.range(1).select(Cleanse.ibanValid(lit(s)).as("v"))
+        .head().getBoolean(0)
+    assert(iban("GB82WEST12345698765432"))
+    assert(iban("DE89370400440532013000"))
+    assert(iban("FR1420041010050500013M02606")) // letters in the BBAN
+    assert(iban("GB82 WEST 1234 5698 7654 32")) // spaced display form
+    assert(iban("gb82west12345698765432")) // lowercase normalizes
+    assert(!iban("GB82WEST12345698765431")) // last digit mutated
+    assert(!iban("DE89370400440532013001"))
+    assert(!iban("XX00SHORT1")) // shape: too short
+    assert(!iban("1234WEST12345698765432")) // shape: digits where CC goes
+    assert(!iban(""))
+  }
+
   test("cardCandidates + redactValidCards: only checksummed spans redact") {
     val rows = Seq(
       (1L, "pay 4111 1111 1111 1111 order 4111111111111112 ts 1755241200123"),
