@@ -3784,6 +3784,42 @@ object Oracles {
         |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Stage-order replay of the PII pipeline: the four PII regex
+    // replacements, then Luhn-verdict filtering of card candidates (the
+    // planted cards carry no separators, so the raw span IS the digit
+    // string) folded back as literal replacements, then the length gate.
+    "q_pii_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.org pay '
+        |      || lpad(CAST((doc_id * doc_id) % 10000000000000000
+        |           AS VARCHAR), 16, '0')
+        |      || ' ref ' || doc_id || ' '
+        |      || repeat('x', CAST(doc_id % 40 AS INT)) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t1
+        |  FROM w),
+        |c AS (SELECT doc_id, t1,
+        |  list_filter(regexp_extract_all(t1, '\b\d(?:[ -]?\d){12,18}\b'),
+        |    d -> length(d) BETWEEN 13 AND 19
+        |      AND list_sum([CASE WHEN (length(d) - i + 1) % 2 = 0
+        |        THEN CASE WHEN 2 * CAST(d[i] AS INT) > 9
+        |          THEN 2 * CAST(d[i] AS INT) - 9
+        |          ELSE 2 * CAST(d[i] AS INT) END
+        |        ELSE CAST(d[i] AS INT) END
+        |        FOR i IN range(1, length(d) + 1)]) % 10 = 0) AS valids
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    list_reduce(list_prepend(t1, valids),
+        |      (acc, v) -> replace(acc, v, '<CARD>')) AS text
+        |  FROM c)
+        |SELECT doc_id, text FROM r WHERE length(text) >= 60
+        |ORDER BY doc_id""".stripMargin,
+
     // The same shape regex + incremental mod-97 fold via list_reduce —
     // integer arithmetic only (verified against the ISO examples).
     "q_iban_scan" ->

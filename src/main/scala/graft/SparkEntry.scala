@@ -3854,6 +3854,27 @@ object SparkEntry {
         .orderBy("id", "raw")
     }),
 
+    // PII-scrub pipeline composition: redact_pii -> redact_cards (the
+    // Luhn-gated stage) -> min_chars as ONE declarative JSON config; the
+    // oracle chains the same regex replacements, replays the Luhn
+    // verdicts, folds the valid-span replacements with list_reduce, and
+    // applies the same length filter.
+    "q_pii_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val txt = concat(lit("contact user"), col("doc_id"),
+        lit("@mail.example.org pay "),
+        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
+          .cast("string"), 16, "0"),
+        lit(" ref "), col("doc_id"), lit(" "),
+        expr("repeat('x', CAST(doc_id % 40 AS INT))"))
+      graft.pipeline.CurationPipeline.runJson(
+        d.select(col("doc_id"), txt.as("text")),
+        """[{"op": "redact_pii"},
+          |{"op": "redact_cards"},
+          |{"op": "min_chars", "n": "60"}]""".stripMargin)
+        .orderBy("doc_id")
+    }),
+
     // IBAN mod-97 validation (Cleanse.ibanValid) over synthesized
     // account strings (1-in-97 planted pass rate): shape regex + the
     // incremental-mod fold, replayed in the oracle with list_reduce —

@@ -34,7 +34,7 @@ object CurationPipeline {
 
   val SupportedOps: Set[String] = Set(
     "strip_html", "strip_markdown", "ccnet_normalize", "fold_homoglyphs",
-    "redact_pii", "redact_secrets", "strip_invisible",
+    "redact_pii", "redact_secrets", "redact_cards", "strip_invisible",
     "min_quality", "max_repetition", "lang_keep", "blocklist_suffix",
     "c4_filter", "min_chars",
     "dedup_exact", "dedup_winnow", "sentence_dedup", "split_keep",
@@ -84,6 +84,10 @@ object CurationPipeline {
           cur.withColumn(textCol, Cleanse.redactPii(col(textCol)))
         case "redact_secrets" =>
           cur.withColumn(textCol, Cleanse.redactSecrets(col(textCol)))
+        // Luhn-gated: only checksummed card spans redact (invalid digit
+        // runs — order ids, timestamps — survive; Cleanse.redactValidCards)
+        case "redact_cards" =>
+          cur.withColumn(textCol, Cleanse.redactValidCards(col(textCol)))
         // leakage-safe split filter: keep only rows whose GROUP key (param
         // groupCol; default the id) buckets into `keep` under `weights`
         // ("train:0.8,val:0.1,test:0.1") — the release pipeline's way to
