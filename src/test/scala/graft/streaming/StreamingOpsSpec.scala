@@ -679,6 +679,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("checksum PII ops are stream-safe: card redaction + IBAN verdicts") {
+    // both are row-local regex + integer-fold columns — the live-ingest
+    // scrub shape: no state, no shuffle, identical per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "pay 4111 1111 1111 1111 ref 4111111111111112",
+        "GB82WEST12345698765432"),
+      (2L, "no pii", "GB82WEST12345698765431"))
+    val input = MemoryStream[(Long, String, String)]
+    val out = input.toDF().toDF("id", "text", "acct")
+      .select(col("id"),
+        graft.operators.Cleanse.redactValidCards(col("text")).as("t"),
+        graft.operators.Cleanse.ibanValid(col("acct")).as("iban_ok"))
+    val q = out.writeStream.format("memory").queryName("checksum_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select id, t, iban_ok from checksum_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    q.stop()
+    assert(streamed == Set(
+      (1L, "pay <CARD> ref 4111111111111112", true),
+      (2L, "no pii", false)))
+  }
+
   test("Isotonic.calibrate is stream-safe: a pre-fit model applies per batch") {
     // the step table is driver-sized and broadcast — scoring a stream is
     // a stateless map + broadcast join, the serving shape for a
