@@ -3820,6 +3820,28 @@ object Oracles {
         |SELECT doc_id, text FROM r WHERE length(text) >= 60
         |ORDER BY doc_id""".stripMargin,
 
+    // 3-7-1 weighted digit sum + prefix ranges, restated positionally.
+    "q_aba_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    lpad(CAST((doc_id * 1009) % 1000000000 AS VARCHAR), 9, '0')
+        |      AS aba
+        |  FROM documents),
+        |d AS (SELECT id, aba,
+        |    CAST(aba[1] AS INT) AS d1, CAST(aba[2] AS INT) AS d2,
+        |    CAST(aba[3] AS INT) AS d3, CAST(aba[4] AS INT) AS d4,
+        |    CAST(aba[5] AS INT) AS d5, CAST(aba[6] AS INT) AS d6,
+        |    CAST(aba[7] AS INT) AS d7, CAST(aba[8] AS INT) AS d8,
+        |    CAST(aba[9] AS INT) AS d9
+        |  FROM t)
+        |SELECT id, aba,
+        |  ((3 * (d1 + d4 + d7) + 7 * (d2 + d5 + d8)
+        |      + (d3 + d6 + d9)) % 10 = 0
+        |   AND ((d1 * 10 + d2 BETWEEN 0 AND 12)
+        |     OR (d1 * 10 + d2 BETWEEN 21 AND 32)
+        |     OR (d1 * 10 + d2 BETWEEN 61 AND 72)
+        |     OR d1 * 10 + d2 = 80)) AS valid
+        |FROM d ORDER BY id""".stripMargin,
+
     // The same shape regex + incremental mod-97 fold via list_reduce —
     // integer arithmetic only (verified against the ISO examples).
     "q_iban_scan" ->

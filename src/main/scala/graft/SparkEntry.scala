@@ -3875,6 +3875,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ABA routing-number checksum (Cleanse.abaRoutingValid): 3-7-1
+    // weighted mod-10 + Federal-Reserve prefix ranges over synthesized
+    // 9-digit runs — plain integer arithmetic on both sides, full
+    // verdict parity.
+    "q_aba_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aba = lpad(((col("doc_id") * 1009L) % 1000000000L)
+        .cast("string"), 9, "0")
+      d.select(col("doc_id").as("id"), aba.as("aba"))
+        .withColumn("valid",
+          graft.operators.Cleanse.abaRoutingValid(col("aba")))
+        .orderBy("id")
+    }),
+
     // IBAN mod-97 validation (Cleanse.ibanValid) over synthesized
     // account strings (1-in-97 planted pass rate): shape regex + the
     // incremental-mod fold, replayed in the oracle with list_reduce —

@@ -99,6 +99,26 @@ object Cleanse {
     aggregate(valids, t, (acc, r) => replace(acc, r, lit("<CARD>")))
   }
 
+  /** ABA routing-number checksum (the 9-digit US bank identifier): sum
+    * of digits under the published 3-7-1 weight cycle ≡ 0 (mod 10), plus
+    * the valid Federal-Reserve prefix ranges (00-12, 21-32, 61-72, 80).
+    * Rounds out the financial-PII validators next to [[luhnValid]] and
+    * [[ibanValid]]: a bare \d{9} rule flags zip+4 runs and ids; the
+    * checksum+prefix bar passes ~4% of random 9-digit runs. Row-local
+    * exact integers; null/malformed input yields false.
+    */
+  def abaRoutingValid(digits: Column): Column = {
+    val s = coalesce(digits, lit(""))
+    def d(i: Int) = ascii(substring(s, lit(i), lit(1))) - 48
+    val sum = lit(3) * (d(1) + d(4) + d(7)) + lit(7) * (d(2) + d(5) + d(8)) +
+      (d(3) + d(6) + d(9))
+    val prefix = (ascii(substring(s, lit(1), lit(1))) - 48) * 10 +
+      (ascii(substring(s, lit(2), lit(1))) - 48)
+    s.rlike("^\\d{9}$") && (sum % 10 === 0) &&
+      ((prefix >= 0 && prefix <= 12) || (prefix >= 21 && prefix <= 32) ||
+        (prefix >= 61 && prefix <= 72) || (prefix === 80))
+  }
+
   /** IBAN checksum validity (ISO 13616 mod-97) — the bank-account
     * sibling of [[luhnValid]], and the GDPR-sensitive pattern a European
     * corpus scrub cannot do by regex alone (an IBAN-shaped string is

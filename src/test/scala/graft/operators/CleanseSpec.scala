@@ -477,6 +477,22 @@ class CleanseSpec extends SparkSpec {
     assert(!luhn("")) // empty
   }
 
+  test("abaRoutingValid: Fed test numbers pass, mutations and bad prefixes fail") {
+    import org.apache.spark.sql.functions.lit
+    def aba(s: String): Boolean =
+      spark.range(1).select(Cleanse.abaRoutingValid(lit(s)).as("v"))
+        .head().getBoolean(0)
+    assert(aba("011000015")) // Federal Reserve Bank of Boston
+    assert(aba("121000358")) // well-known West-coast routing number
+    assert(aba("026009593"))
+    assert(!aba("011000016")) // checksum off by one
+    assert(!aba("974000000")) // checksum-valid weight sum but prefix 97
+    assert(!aba("01100001")) // 8 digits
+    assert(!aba("0110000155")) // 10 digits
+    assert(!aba("01100001a"))
+    assert(!aba(""))
+  }
+
   test("ibanValid: ISO examples pass, mutations fail, display forms normalize") {
     import org.apache.spark.sql.functions.lit
     def iban(s: String): Boolean =
