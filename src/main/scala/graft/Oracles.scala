@@ -3503,7 +3503,12 @@ object Oracles {
          |  GROUP BY 1, 2),
          |z AS (SELECT lang, source, n,
          |    ($table)[CAST(('0x' || substr(md5(
-         |      lang || chr(1) || source || chr(1) || '42'),
+         |      (CASE WHEN lang IS NULL THEN chr(3)
+         |            ELSE chr(2) || lang END)
+         |      || chr(1) ||
+         |      (CASE WHEN source IS NULL THEN chr(3)
+         |            ELSE chr(2) || source END)
+         |      || chr(1) || '42'),
          |      1, 8))::BIGINT % 1024 AS INT) + 1] AS noise
          |  FROM g)
          |SELECT lang, source, greatest(n + noise, 0) AS noisy_n
@@ -3614,7 +3619,7 @@ object Oracles {
          |  n_distinct_a, n_distinct_b, distinct_ratio,
          |  (abs(null_rate_b - null_rate_a) > 0.05
          |    OR coalesce(distinct_ratio > 2.0
-         |      OR distinct_ratio < 0.5, true)) AS drifted
+         |      OR distinct_ratio < 0.5, n_distinct_b > 0)) AS drifted
          |FROM j ORDER BY "column"""".stripMargin
     },
 
@@ -3804,18 +3809,24 @@ object Oracles {
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t1
         |  FROM w),
         |c AS (SELECT doc_id, t1,
-        |  list_filter(regexp_extract_all(t1, '\b\d(?:[ -]?\d){12,18}\b'),
-        |    d -> length(d) BETWEEN 13 AND 19
-        |      AND list_sum([CASE WHEN (length(d) - i + 1) % 2 = 0
-        |        THEN CASE WHEN 2 * CAST(d[i] AS INT) > 9
-        |          THEN 2 * CAST(d[i] AS INT) - 9
-        |          ELSE 2 * CAST(d[i] AS INT) END
-        |        ELSE CAST(d[i] AS INT) END
-        |        FOR i IN range(1, length(d) + 1)]) % 10 = 0) AS valids
+        |    regexp_split_to_array(t1, '\b\d(?:[ -]?\d){12,18}\b') AS segs,
+        |    regexp_extract_all(t1, '\b\d(?:[ -]?\d){12,18}\b') AS raws,
+        |    list_transform(regexp_extract_all(t1,
+        |        '\b\d(?:[ -]?\d){12,18}\b'),
+        |      m -> regexp_replace(m, '[ -]', '', 'g')) AS digs
         |  FROM p),
         |r AS (SELECT doc_id,
-        |    list_reduce(list_prepend(t1, valids),
-        |      (acc, v) -> replace(acc, v, '<CARD>')) AS text
+        |    segs[1] || coalesce(list_aggregate(
+        |      [CASE WHEN length(digs[i]) BETWEEN 13 AND 19
+        |          AND list_sum([CASE WHEN (length(digs[i]) - j + 1) % 2 = 0
+        |            THEN CASE WHEN 2 * CAST(digs[i][j] AS INT) > 9
+        |              THEN 2 * CAST(digs[i][j] AS INT) - 9
+        |              ELSE 2 * CAST(digs[i][j] AS INT) END
+        |            ELSE CAST(digs[i][j] AS INT) END
+        |            FOR j IN range(1, length(digs[i]) + 1)]) % 10 = 0
+        |        THEN '<CARD>' ELSE raws[i] END || segs[i + 1]
+        |        FOR i IN range(1, len(raws) + 1)],
+        |      'string_agg', ''), '') AS text
         |  FROM c)
         |SELECT doc_id, text FROM r WHERE length(text) >= 60
         |ORDER BY doc_id""".stripMargin,

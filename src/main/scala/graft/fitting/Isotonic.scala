@@ -71,7 +71,13 @@ object Isotonic {
     * identically and range-joins the (driver-sized, broadcast) step
     * table. Scores in bins the fit never saw (possible when applying to
     * new data) get the nearest block's prob via the range match on
-    * [bin_lo, bin_hi] after widening the edge blocks to cover [0, nBins).
+    * [bin_lo, bin_hi] after widening the blocks to tile [0, nBins):
+    * edge blocks extend to the boundaries, and an INTERIOR gap between
+    * two non-adjacent blocks (data clustered at the ends of the score
+    * range leaves the middle bins unobserved) splits at its midpoint so
+    * each gap bin takes the nearest block's prob — without this, a score
+    * binned into an interior gap matched no step row and silently
+    * calibrated to null.
     */
   def calibrate(df: DataFrame, scoreCol: String, model: DataFrame,
                 nBins: Int = 1000,
@@ -79,11 +85,14 @@ object Isotonic {
     require(nBins >= 2 && nBins <= 100000, s"bad nBins $nBins")
     val m = model.orderBy("bin_lo").collect()
     require(m.nonEmpty, "empty calibration model")
-    // widen edges so every possible bin maps somewhere
-    val rows = m.zipWithIndex.map { case (r, i) =>
-      val lo = if (i == 0) 0 else r.getInt(0)
-      val hi = if (i == m.length - 1) nBins - 1 else r.getInt(1)
-      (lo, hi, r.getDouble(4))
+    // widen so the blocks tile [0, nBins): for adjacent blocks the
+    // midpoint rule is the identity (hi = next.lo - 1 already)
+    val rows = m.indices.map { i =>
+      val lo = if (i == 0) 0
+        else (m(i - 1).getInt(1) + m(i).getInt(0)) / 2 + 1
+      val hi = if (i == m.length - 1) nBins - 1
+        else (m(i).getInt(1) + m(i + 1).getInt(0)) / 2
+      (lo, hi, m(i).getDouble(4))
     }
     val spark = df.sparkSession
     import spark.implicits._

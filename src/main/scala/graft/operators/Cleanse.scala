@@ -89,14 +89,28 @@ object Cleanse {
 
   /** Replace ONLY Luhn-valid card spans with `<CARD>`, preserving
     * everything else (including invalid digit runs — order ids and
-    * timestamps survive). Row-local: extract candidates, keep the valid
-    * raw spans, fold literal replacements over the text. */
+    * timestamps survive). Row-local, POSITION-EXACT: the text splits on
+    * the candidate pattern into between-match segments, each matched
+    * span maps to `<CARD>` or itself by its own Luhn verdict, and the
+    * pieces reassemble in order. (The previous literal-fold form —
+    * replace() per valid span over the whole text — mangled inputs
+    * where one valid span's digits occur as a substring of another
+    * matched span elsewhere: the earlier replacement edited inside the
+    * longer span, its own replace then no-op'd, and residual card
+    * digits survived around the inserted token.) split() and
+    * regexp_extract_all use the same java.util.regex find() walk, so
+    * segments and matches interleave exactly: n matches, n+1 segments.
+    */
   def redactValidCards(text: Column): Column = {
     val t = coalesce(text, lit(""))
-    val valids = filter(
+    val segs = split(t, CardCandidatePattern, -1)
+    val repl = transform(
       regexp_extract_all(t, lit(CardCandidatePattern), lit(0)),
-      r => luhnValid(regexp_replace(r, "[ -]", "")))
-    aggregate(valids, t, (acc, r) => replace(acc, r, lit("<CARD>")))
+      r => when(luhnValid(regexp_replace(r, "[ -]", "")), lit("<CARD>"))
+        .otherwise(r))
+    concat(element_at(segs, 1),
+      array_join(zip_with(repl, slice(segs, lit(2), size(repl)),
+        (r, sg) => concat(r, sg)), ""))
   }
 
   /** ABA routing-number checksum (the 9-digit US bank identifier): sum

@@ -621,6 +621,13 @@ object Diagnostics {
     val ratio = when(coalesce(col("n_distinct_a"), lit(0L)) > 0,
       coalesce(col("n_distinct_b"), lit(0L)).cast("double") /
         col("n_distinct_a"))
+    // a null ratio means n_distinct_a = 0: drifted when values APPEARED
+    // (n_distinct_b > 0), but NOT when the column is empty/all-null in
+    // both snapshots — an unchanged empty column is not drift
+    val distinctDrifted =
+      coalesce(ratio > distinctRatioThreshold ||
+          ratio < lit(1.0) / distinctRatioThreshold,
+        coalesce(col("n_distinct_b"), lit(0L)) > 0)
     a.join(b, Seq("column"), "full_outer")
       .select(col("column"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -630,9 +637,7 @@ object Diagnostics {
         coalesce(col("n_distinct_a"), lit(0L)).as("n_distinct_a"),
         coalesce(col("n_distinct_b"), lit(0L)).as("n_distinct_b"),
         ratio.as("distinct_ratio"),
-        (abs(nullB - nullA) > nullDeltaThreshold ||
-          coalesce(ratio > distinctRatioThreshold ||
-            ratio < lit(1.0) / distinctRatioThreshold, lit(true)))
+        (abs(nullB - nullA) > nullDeltaThreshold || distinctDrifted)
           .as("drifted"))
   }
 

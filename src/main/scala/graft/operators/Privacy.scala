@@ -148,9 +148,17 @@ object Privacy {
     require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
     val table = typedlit(dpNoiseTable(epsilon, sensitivity))
     // "\u0001" field separator: without one the key tuples ("ab","c")
-    // and ("a","bc") would draw identical noise
+    // and ("a","bc") would draw identical noise. Each key is prefixed
+    // with a null marker ("\u0003" alone for null, "\u0002" + value
+    // otherwise) because concat_ws silently DROPS null arguments —
+    // without the marker the distinct groups ('a', null) and (null, 'a'),
+    // and null vs '', would serialize identically and draw the same
+    // noise, correlating draws the mechanism treats as independent.
+    val encoded = keyCols.map(c =>
+      when(col(c).isNull, lit("\u0003"))
+        .otherwise(concat(lit("\u0002"), col(c).cast("string"))))
     val bucket = (conv(substring(md5(concat_ws("\u0001",
-        keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)),
+        encoded :+ lit(seed.toString): _*)),
       1, 8), 16, 10).cast("long") % DpNoiseBuckets).cast("int")
     val noisy = col("__n") + element_at(table, bucket + 1)
     df.groupBy(keyCols.map(col): _*)

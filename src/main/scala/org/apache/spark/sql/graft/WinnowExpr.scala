@@ -69,11 +69,18 @@ object WinnowExpr {
     val n = tokens.numElements()
     val nGrams = n - k + 1
     if (nGrams < window) return EMPTY
+    // null tokens stay null here and are SKIPPED below — separator
+    // included — so a gram's hash input matches concat_ws(" ", ...)
+    // exactly (concat_ws silently drops null elements); the declarative
+    // parity twin winnowFingerprintsHof builds its gram strings that
+    // way, and hashing a null as "" while still emitting the space
+    // would diverge from it on any array containing nulls (reachable
+    // via the registered SQL winnow() over arbitrary arrays)
     val tokBytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      tokBytes(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      tokBytes(i) = if (t == null) null else t.getBytes
       i += 1
     }
     val md = digest.get()
@@ -83,9 +90,14 @@ object WinnowExpr {
       md.reset()
       var t = j
       val end = j + k
+      var first = true
       while (t < end) {
-        md.update(tokBytes(t))
-        if (t < end - 1) md.update(SPACE)
+        val tb = tokBytes(t)
+        if (tb != null) {
+          if (!first) md.update(SPACE)
+          md.update(tb)
+          first = false
+        }
         t += 1
       }
       val d = md.digest() // first 8 hex chars = first 4 bytes, unsigned

@@ -65,6 +65,27 @@ class IsotonicSpec extends SparkSpec {
     assert(applied("lo") == 0.0 && applied("hi") == 1.0)
   }
 
+  test("calibrate covers INTERIOR gap bins: nearest block by midpoint") {
+    // data clusters at the score-range ends only: two PAV blocks (bin 0
+    // and bin 9 of 10) with bins 1..8 never observed. Every gap bin must
+    // still calibrate (pre-fix they matched no step row -> silent null):
+    // the gap splits at its midpoint (0+9)/2 = 4, bins <= 4 take the
+    // left block's prob, bins >= 5 the right's.
+    val fitRows = Seq.fill(10)((0.05, 0)) ++ Seq((0.05, 1)) ++
+      Seq.fill(10)((0.95, 1)) ++ Seq((0.95, 0))
+    val model = Isotonic.fitBinned(fitRows.toDF("score", "label"),
+      "score", "label", nBins = 10)
+    assert(model.count() == 2) // no pooling: 1/11 then 10/11
+    val applied = Isotonic.calibrate(
+        (0 until 10).map(b => b / 10.0 + 0.05).toDF("score"),
+        "score", model, nBins = 10)
+      .orderBy("score").select("calibrated").collect()
+    assert(applied.forall(!_.isNullAt(0)), "gap bin calibrated to null")
+    val vals = applied.map(_.getDouble(0)).toSeq
+    assert(vals.take(5).forall(_ == 1.0 / 11), vals.toString)
+    assert(vals.drop(5).forall(_ == 10.0 / 11), vals.toString)
+  }
+
   test("degenerate args: out-of-range scores, nulls, bad nBins, empty model") {
     intercept[IllegalArgumentException] {
       fitOf(Seq((1.5, 1)))

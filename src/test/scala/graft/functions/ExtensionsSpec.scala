@@ -135,4 +135,35 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(viaSql == viaOp && viaSql.nonEmpty)
   }
+
+  test("winnow null tokens hash like concat_ws: dropped, no separator") {
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark)
+    // gram (a, NULL) must hash md5('a') — concat_ws(' ', 'a', NULL) =
+    // 'a' — not md5('a ') (pre-fix the separator was emitted for the
+    // null slot, diverging from the declarative HOF parity twin)
+    val got = spark.sql(
+      """SELECT w.pos, w.fp FROM (SELECT explode(winnow(
+        |  array('a', NULL, 'b'), 2, 1)) AS w) ORDER BY w.pos""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val Array(hA, hB, hEmpty) = spark.sql(
+      """SELECT conv(substring(md5('a'), 1, 8), 16, 10),
+        |  conv(substring(md5('b'), 1, 8), 16, 10),
+        |  conv(substring(md5(''), 1, 8), 16, 10)""".stripMargin)
+      .head().toSeq.map(_.asInstanceOf[String].toLong).toArray
+    assert(got == Seq((1L, hA), (2L, hB)), got.toString)
+    // an all-null gram hashes the empty string, like concat_ws over nulls
+    val gotNull = spark.sql(
+      """SELECT w.fp FROM (SELECT explode(winnow(
+        |  array(CAST(NULL AS STRING), NULL), 2, 1)) AS w)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotNull == Seq(hEmpty), gotNull.toString)
+    // empty-string tokens are NOT null: separators stay ('a', '') -> 'a '
+    val gotEmptyTok = spark.sql(
+      """SELECT w.fp FROM (SELECT explode(winnow(
+        |  array('a', ''), 2, 1)) AS w)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val hASpace = spark.sql("SELECT conv(substring(md5('a '), 1, 8), 16, 10)")
+      .head().getString(0).toLong
+    assert(gotEmptyTok == Seq(hASpace), gotEmptyTok.toString)
+  }
 }

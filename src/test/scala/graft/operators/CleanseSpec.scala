@@ -531,4 +531,23 @@ class CleanseSpec extends SparkSpec {
     assert(red(2L) == "no digits here")
     assert(red(3L) == "") // null text -> empty, never an error
   }
+
+  test("redactValidCards: a valid span embedded in a longer candidate " +
+    "does not mangle it (position-exact replacement)") {
+    // 4111111111111111 is Luhn-valid; both 19-digit runs CONTAIN it as a
+    // prefix — one Luhn-invalid (must survive byte-for-byte), one valid
+    // (must redact as its own span). The old literal-fold replace()
+    // edited INSIDE the longer spans ("<CARD>000", "<CARD>003").
+    val rows = Seq(
+      (1L, "card 4111111111111111 id 4111111111111111000 " +
+        "ok 4111111111111111003 end")).toDF("id", "text")
+    val red = rows.select(Cleanse.redactValidCards(col("text")))
+      .as[String].head()
+    assert(red == "card <CARD> id 4111111111111111000 ok <CARD> end", red)
+    // boundary shapes: match at string start/end, back-to-back segments
+    val edge = Seq((1L, "4111111111111111 and 4111111111111111"))
+      .toDF("id", "text")
+    assert(edge.select(Cleanse.redactValidCards(col("text")))
+      .as[String].head() == "<CARD> and <CARD>")
+  }
 }

@@ -229,6 +229,23 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("profileDrift: a column all-null in BOTH snapshots is not drifted") {
+    import spark.implicits._
+    val before = (1 to 50).map(i => (s"u$i", null.asInstanceOf[String]))
+      .toDF("id", "c")
+    val after = (1 to 40).map(i => (s"v$i", null.asInstanceOf[String]))
+      .toDF("id", "c")
+    // unchanged empty column: null rates 1.0 == 1.0, 0 distinct on both
+    // sides -> NOT drift (pre-fix the null ratio coalesced to true)
+    val got = Diagnostics.profileDrift(before, after, Seq("c"))
+      .select("column", "drifted").as[(String, Boolean)].collect().toMap
+    assert(got == Map("c" -> false))
+    // values APPEARING in a previously all-null column is still drift
+    val after2 = (1 to 40).map(i => (s"v$i", "x")).toDF("id", "c")
+    assert(Diagnostics.profileDrift(before, after2, Seq("c"))
+      .select("drifted").as[Boolean].head())
+  }
+
   test("subsampleReplicates: deterministic, ~half-sized, sum-consistent") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = (1L to 2000L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")

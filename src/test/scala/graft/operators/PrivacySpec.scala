@@ -72,6 +72,37 @@ class PrivacySpec extends SparkSpec {
     assert(perSeed.distinct.size > 3, perSeed.toString)
   }
 
+  test("dpNoisyCounts: null and '' keys serialize distinctly in the PRF") {
+    // concat_ws silently drops nulls, so without the null-marker
+    // encoding ('a', null) / (null, 'a') — and null vs '' — drew the
+    // SAME noise bucket. Each group's draw must match the documented
+    // encoding exactly: enc(null) = \\u0003, enc(v) = \\u0002 + v.
+    val eps = 0.2
+    val seed = 9L
+    val df = Seq(
+      (Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("a")),
+      (Option(""), Option("a")),
+      (Option("a"), Option(""))).toDF("k1", "k2")
+    val table = Privacy.dpNoiseTable(eps, 1.0)
+    def expected(k1: Option[String], k2: Option[String]): Long = {
+      def enc(v: Option[String]) = v.fold("\u0003")("\u0002" + _)
+      val in = enc(k1) + "\u0001" + enc(k2) + "\u0001" + seed.toString
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(in.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = (java.lang.Long.parseLong(hex.substring(0, 8), 16) %
+        Privacy.DpNoiseBuckets).toInt
+      math.max(1L + table(b), 0L)
+    }
+    val got = Privacy.dpNoisyCounts(df, Seq("k1", "k2"), eps, seed)
+      .collect()
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1))),
+        r.getLong(2))).toMap
+    assert(got.size == 4) // four DISTINCT groups, none merged
+    got.foreach { case (k, n) =>
+      assert(n == expected(k._1, k._2), s"group $k") }
+  }
+
   test("dpNoiseTable: symmetric, scales with 1/epsilon, quantizes to 0 at large eps") {
     val t1 = Privacy.dpNoiseTable(epsilon = 0.2, sensitivity = 1.0)
     assert(t1.size == Privacy.DpNoiseBuckets)
