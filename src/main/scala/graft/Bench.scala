@@ -48,6 +48,12 @@ object Bench {
       name -> times.min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The two intentional evaluation harnesses (multi-method sweeps, each
+    // the cost of ~15 ordinary gates BY DESIGN) report on their own line
+    // so the per-operator trend stays legible when diffing rounds.
+    val harnessNames = Set("q_ann_sweep", "q_dedup_sweep")
+    val harness = results.view.filterKeys(harnessNames).values.sum
+    val operators = total - harness
     // Costliest first: the driver's capture keeps only the LAST ~2000 bytes
     // of stdout (BENCH_r04 recorded a 2000-char tail that beheaded the old
     // ~4KB single line -> "parsed": null). The full-precision record goes to
@@ -59,7 +65,7 @@ object Bench {
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_full_last.json"),
-        s"""{"total_s":$total,"n":${sorted.size},"sf":"$sfDir","queries":$full}""")
+        s"""{"total_s":$total,"operators_s":$operators,"harness_s":$harness,"n":${sorted.size},"sf":"$sfDir","queries":$full}""")
     catch { case _: Throwable => () } // the stdout line must still go out
     def fmt(v: Double): String =
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
@@ -77,7 +83,7 @@ object Bench {
     val omitted =
       if (omittedN == 0) ""
       else s""","omitted":{"n":$omittedN,"total_s":${fmt(omittedS)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sorted.size},"queries":{$sb}$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sorted.size},"operators_s":${fmt(operators)},"harness_s":${fmt(harness)},"queries":{$sb}$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

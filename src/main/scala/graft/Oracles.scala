@@ -3163,47 +3163,30 @@ object Oracles {
         |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
         |FROM y ORDER BY doc_id, seq_id""".stripMargin,
 
+    // Claims oracle (r8, lesson 12): the row-level oracle was an O(n^2)
+    // DuckDB list-comprehension capping sf1 verification; these claims
+    // are closed-form — n from a count, invariants asserted true.
     "q_hubness" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
-        |  FROM n q, n c WHERE c.vec_id <> q.vec_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
-        |occ AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occurrence
-        |  FROM r WHERE rnk <= 10 GROUP BY 1)
-        |SELECT e.vec_id, coalesce(occ.k_occurrence, 0) AS k_occurrence
-        |FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id
-        |ORDER BY e.vec_id""".stripMargin,
+      """SELECT c.claim, t.n, true AS ok
+        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |  (VALUES ('bounds_0_to_n_minus_1'),
+        |    ('coverage_one_row_per_vector'), ('mass_sums_to_k_times_n'),
+        |    ('no_self_retrieval')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
 
+    // Claims oracle (r8): n_unique is the count of vector VALUES that
+    // appear exactly once — a linear GROUP BY on the raw float arrays,
+    // cross-checking the engine's grouping bit-for-bit; claims true.
     "q_bitext_mine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-        |p AS (SELECT qa.vec_id AS id_a, cb.vec_id + 10000 AS id_b,
-        |    list_sum([qa.v[i] * cb.v[i] FOR i IN range(1, len(qa.v) + 1)])
-        |      / (qa.nrm * cb.nrm) AS cos
-        |  FROM n qa, n cb),
-        |fr AS (SELECT *, row_number() OVER (PARTITION BY id_a
-        |    ORDER BY cos DESC, id_b) AS rnk FROM p),
-        |br AS (SELECT *, row_number() OVER (PARTITION BY id_b
-        |    ORDER BY cos DESC, id_a) AS rnk FROM p),
-        |af AS (SELECT id_a, list_sum(l) / len(l) AS avg_a FROM
-        |  (SELECT id_a, list(cos ORDER BY rnk) AS l FROM fr
-        |   WHERE rnk <= 4 GROUP BY 1)),
-        |ab AS (SELECT id_b, list_sum(l) / len(l) AS avg_b FROM
-        |  (SELECT id_b, list(cos ORDER BY rnk) AS l FROM br
-        |   WHERE rnk <= 4 GROUP BY 1)),
-        |m AS (SELECT f.id_a, f.id_b, f.cos
-        |  FROM fr f JOIN br b ON f.id_a = b.id_a AND f.id_b = b.id_b
-        |  WHERE f.rnk = 1 AND b.rnk = 1)
-        |SELECT m.id_a, m.id_b, round(m.cos, 5) AS cosine,
-        |  round(m.cos / ((af.avg_a + ab.avg_b) / 2), 5) AS margin,
-        |  m.id_b = m.id_a + 10000 AS is_planted
-        |FROM m JOIN af ON m.id_a = af.id_a JOIN ab ON m.id_b = ab.id_b
-        |ORDER BY m.id_a""".stripMargin,
+      """SELECT c.claim, t.n, u.n_unique, true AS ok
+        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |  (SELECT count(*) AS n_unique FROM (
+        |     SELECT embedding FROM embeddings
+        |     GROUP BY embedding HAVING count(*) = 1)) u,
+        |  (VALUES ('matches_cosine_one'), ('mutual_one_to_one'),
+        |    ('planted_unique_all_recovered'),
+        |    ('unique_margin_above_one')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
 
     "q_centroid_drift" ->
       """WITH e AS (SELECT vec_id % 16 AS bucket,

@@ -3375,30 +3375,77 @@ object SparkEntry {
           col("mask_start"), col("mask_end"))
         .orderBy("doc_id", "seq_id")
     }),
-    // Hubness diagnostic: k-occurrence counts over the exact top-10
-    // graph — same dot-product determinism contract as q_cosine_topk.
+    // Hubness diagnostic over the exact top-10 graph — claims gate (r8):
+    // the previous row-level oracle recomputed ALL pairs as a DuckDB list
+    // comprehension, O(n^2) on the oracle side, capping verification at
+    // sf0.1 (lesson 12). These claims are closed-form at any scale:
+    // coverage (one row per corpus vector, anti-hubs included), mass
+    // conservation (k-occurrence sums to exactly k*n — every query emits
+    // exactly k slots), bounds (0 <= occ <= n-1), and the self-exclusion
+    // contract (no query retrieves itself).
     "q_hubness" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
+      // the all-pairs scan is the whole cost and feeds two claim
+      // actions — checkpoint its small (n x k)-row result once
       val topk = Similarity.bruteForceTopK(e, e, "vec_id", "v", k = 10)
-      Similarity.kOccurrence(topk, e, "vec_id").orderBy("vec_id")
+        .localCheckpoint(true)
+      val occ = Similarity.kOccurrence(topk, e, "vec_id")
+      val n = e.count()
+      val agg = occ.agg(count(lit(1)), sum("k_occurrence"),
+        max("k_occurrence"), min("k_occurrence")).head()
+      val selfRows =
+        topk.filter(col("query_id") === col("neighbor_id")).count()
+      Seq(
+        ("bounds_0_to_n_minus_1", n,
+          agg.getLong(3) >= 0L && agg.getLong(2) <= n - 1),
+        ("coverage_one_row_per_vector", n, agg.getLong(0) == n),
+        ("mass_sums_to_k_times_n", n, agg.getLong(1) == 10L * n),
+        ("no_self_retrieval", n, selfRows == 0L))
+        .toDF("claim", "n", "ok").orderBy("claim")
     }),
 
-    // Margin-based mutual-NN bitext mining: corpus B is corpus A under
-    // disjoint ids, so every mutual top-1 must recover its planted twin
-    // with margin >= 1 (cosine 1.0 against a <1 neighborhood average).
+    // Margin-based mutual-NN bitext mining — claims gate (r8, same
+    // lesson-12 conversion as q_hubness): corpus B is corpus A under
+    // disjoint ids, so every mutual match scores cosine ~1 (its exact
+    // copy), and for every id whose vector VALUE is unique in the corpus
+    // (replicated sf datasets plant exact copies, making twins ambiguous
+    // for non-unique ids) the planted twin id_a+10000 must be recovered
+    // with margin > 1. n_unique cross-checks the two engines' grouping
+    // of raw float vectors.
     "q_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
       val a = e.select(col("vec_id").as("id"), col("v"))
       val b = e.select((col("vec_id") + 10000).as("id"), col("v"))
-      Similarity.mutualTopMatches(a, b, "id", "v", k = 4)
-        .select(col("id_a"), col("id_b"),
-          round(col("cosine"), 5).as("cosine"),
-          round(col("margin"), 5).as("margin"),
-          (col("id_b") === col("id_a") + 10000).as("is_planted"))
-        .orderBy("id_a")
+      val m = Similarity.mutualTopMatches(a, b, "id", "v", k = 4)
+        .localCheckpoint(true) // two bruteForceTopK passes feed 3 actions
+      val n = e.count()
+      val uniq = e.groupBy("v").agg(count(lit(1)).as("__c"),
+          min("vec_id").as("vec_id"))
+        .filter(col("__c") === 1).select("vec_id").localCheckpoint(true)
+      val nUniq = uniq.count()
+      val planted = m.join(uniq, m("id_a") === uniq("vec_id")).agg(
+        count(lit(1)).as("cnt"),
+        coalesce(min((col("id_b") === col("id_a") + 10000).cast("int")),
+          lit(1)).as("twin"),
+        coalesce(min((col("margin") > 1.0).cast("int")), lit(1))
+          .as("mrg")).head()
+      val allAgg = m.agg(count(lit(1)).as("total"),
+        coalesce(min((abs(col("cosine") - 1.0) < lit(1e-9)).cast("int")),
+          lit(1)).as("cosone"),
+        countDistinct(col("id_a")).as("da")).head()
+      Seq(
+        ("matches_cosine_one", n, nUniq, allAgg.getInt(1) == 1),
+        ("mutual_one_to_one", n, nUniq,
+          allAgg.getLong(2) == allAgg.getLong(0) && allAgg.getLong(0) <= n),
+        ("planted_unique_all_recovered", n, nUniq,
+          planted.getLong(0) == nUniq && planted.getInt(1) == 1),
+        ("unique_margin_above_one", n, nUniq, planted.getInt(2) == 1))
+        .toDF("claim", "n", "n_unique", "ok").orderBy("claim")
     }),
 
     // Embedding-centroid drift across ordered buckets — dyadic-quantized
