@@ -9,3979 +9,18 @@ package graft
   * queries (KMeans, MinHash/SimHash/LSH internals) have no entry.
   */
 object Oracles {
-
-  private val normText =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
-
-  /** Deterministic code-ish suffix shared by the q_code_detect gate and its
-    * oracle (no single quotes: it is embedded in a SQL literal verbatim). */
-  val codeSuffix: String = "\n    def quick_sort(arr):\n        " +
-    "return sorted(arr);\n    total_n = {key: [1], innerVal: (2 < 3)}"
-
-  private val stopList =
-    "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
-
-  def sql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(l_quantity) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
-        |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 25
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_join_revenue" ->
-      """SELECT c_mktsegment,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
-        |  count(DISTINCT o_orderkey) AS n_orders
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_cross_pairs" ->
-      """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
-        |  a.n_name AS name_a, b.n_name AS name_b,
-        |  abs(a.n_regionkey - b.n_regionkey) AS region_dist
-        |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q_top_orders" ->
-      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "q_interval_join" ->
-      """WITH r AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
-        |w AS (SELECT day, day + INTERVAL 2 HOUR AS ws, day + INTERVAL 6 HOUR AS we FROM r),
-        |j AS (SELECT w.day AS day, e.user_id FROM events e
-        |  JOIN w ON e.ts >= w.ws AND e.ts <= w.we)
-        |SELECT epoch_us(day) // 1000000 AS day_epoch,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_transitions" ->
-      """WITH o AS (SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-        |  FROM events)
-        |SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
-        |  COUNT(DISTINCT user_id) AS n_users
-        |FROM o WHERE nxt IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_funnel" ->
-      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s0 ON e.user_id = s0.u
-        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.u
-        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
-        |SELECT CAST(0 AS INTEGER) AS step, 'view' AS name,
-        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
-        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
-        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
-        |ORDER BY step""".stripMargin,
-
-    "q_cohort" ->
-      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS p FROM events),
-        |c AS (SELECT u, min(p) AS c FROM a GROUP BY 1)
-        |SELECT epoch_us(c.c) // 1000000 AS cohort_epoch,
-        |  date_diff('day', c.c, a.p) AS "offset",
-        |  CAST(count(*) AS BIGINT) AS n_active
-        |FROM a JOIN c ON a.u = c.u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_json_extract" ->
-      """SELECT event_type,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_resample_day_sum" ->
-      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
-        |  count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_resample_hour_mean" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
-        |  count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_calendar_profile" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
-        |  count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_percent_flagged" ->
-      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
-        |  CAST(sum(CAST(CASE WHEN value > 15.0 THEN 1.0 ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS flagged_frac
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_num_hours" ->
-      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
-        |  count(DISTINCT date_trunc('hour', ts)) AS num_hours
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // reference num_days/num_hours SPAN semantics (timeseries.py:245-275:
-    // resample().asfreq().index.size == calendar buckets first..last inclusive)
-    "q_num_days_span" ->
-      """SELECT
-        |  date_diff('day', date_trunc('day', min(ts)), date_trunc('day', max(ts))) + 1 AS num_days,
-        |  date_diff('hour', date_trunc('hour', min(ts)), date_trunc('hour', max(ts))) + 1 AS num_hours
-        |FROM events""".stripMargin,
-
-    "q_gap_detect" ->
-      """WITH m AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute FROM events),
-        |span AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
-        |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM span),
-        |obs AS (SELECT DISTINCT minute FROM m)
-        |SELECT epoch_us(g.minute) // 1000000 AS minute_epoch
-        |FROM grid g ANTI JOIN obs o USING (minute) ORDER BY 1""".stripMargin,
-
-    "q_dup_keys" ->
-      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
-        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
-
-    "q_freq_infer" ->
-      """WITH d AS (SELECT (epoch_us(ts) // 1000000)
-        |    - lag(epoch_us(ts) // 1000000) OVER (ORDER BY ts) AS diff FROM events)
-        |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
-        |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
-
-    // Planted-recall / roundtrip claims oracles (r7 rows-only conversions)
-    "q_minhash_pairs" ->
-      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
-
-    "q_simhash" ->
-      """SELECT doc_id, true AS sig_match, true AS perturb_local
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_simhash_neardup" ->
-      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
-
-    "q_semdedup" ->
-      """SELECT vec_id, true AS found FROM embeddings ORDER BY vec_id""",
-
-    "q_fuzzy_decontam" ->
-      """SELECT doc_id + 10000000 AS doc_id, true AS contaminated
-        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
-
-    "q_compress_ratio" ->
-      """SELECT doc_id, true AS ratio_pos, true AS repeat_compresses
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_bpe" ->
-      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_unigram_tok" ->
-      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_bpe_fertility" ->
-      s"""WITH n AS (SELECT lang, $normText AS nt FROM documents)
-         |SELECT lang,
-         |  CAST(sum(CASE WHEN length(nt) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(nt, ' ')) END) AS BIGINT) AS n_words,
-         |  true AS fertility_ge1
-         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // ANN claims gates: every query covered, dense monotone ranks, mean
-    // recall@5 at least 10x the k/corpus chance level.
-    "q_lsh_topk" ->
-      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
-        |       true AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
-
-    "q_ivf_topk" ->
-      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
-        |       true AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
-
-    "q_pq_topk" ->
-      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
-        |       true AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
-
-    "q_opq_topk" ->
-      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
-        |       true AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
-
-    "q_ivfpq_topk" ->
-      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
-        |       true AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
-
-    // Method-sweep claims: one row per ANN family, each claiming coverage,
-    // rerank monotonicity, and 10x-chance reranked recall.
-    "q_ann_sweep" ->
-      """SELECT method,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
-        |    AS n_queries,
-        |  true AS covered_ok, true AS rerank_ge_raw, true AS recall_ok
-        |FROM (VALUES ('ivf'),('ivfpq'),('lsh'),('opq'),('pq')) t(method)
-        |ORDER BY method""".stripMargin,
-
-    "q_logreg" ->
-      """SELECT count(*) AS n, true AS counts_ok, true AS accuracy_ok
-        |FROM documents""".stripMargin,
-
-    "q_pca_project" ->
-      """SELECT count(*) AS n, true AS ortho_ok, true AS var_ok,
-        |       true AS mean_ok
-        |FROM embeddings""".stripMargin,
-
-    // Planted-truth oracle: the flag must equal the planting rule (outliers
-    // at +80 x-offset, ~9 sigma even with outlier-inflated variance).
-    "q_mahalanobis" ->
-      """SELECT event_id, (event_id % 101 = 0) AS flag
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_lag_diff" ->
-      """SELECT event_id, user_id,
-        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_rolling_sum" ->
-      """SELECT event_id,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rsum
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_unresponsive" ->
-      """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value, 0) AS BIGINT) AS vi FROM events),
-        |c AS (SELECT *, CASE WHEN lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |    OR lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> vi THEN 1 ELSE 0 END AS chg FROM v),
-        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
-        |SELECT event_id, count(*) OVER (PARTITION BY user_id, run) >= 3 AS flag
-        |FROM r ORDER BY event_id""".stripMargin,
-
-    "q_ffill" ->
-      """SELECT event_id,
-        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_range_flag" ->
-      """SELECT event_id, NOT (value BETWEEN 2.0 AND 18.0) AS flag
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_window_range_flag" ->
-      """SELECT event_id,
-        |  (CAST(hour(ts) AS DOUBLE) BETWEEN 8.0 AND 17.0)
-        |    AND NOT (value BETWEEN 0.5 AND 18.0) AS flag
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_std_range_flag" ->
-      """SELECT event_id, value <= m - 2.0 * s OR value >= m + 2.0 * s AS flag
-        |FROM events, (SELECT avg(value) AS m, stddev_samp(value) AS s FROM events)
-        |ORDER BY event_id""".stripMargin,
-
-    "q_bin_filter" ->
-      """WITH bounds AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),
-        |b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |    CASE WHEN l_quantity > lo AND l_quantity <= hi
-        |         THEN ceiling((l_quantity - lo) / 5.0) END AS bin
-        |  FROM lineitem, bounds),
-        |st AS (SELECT bin, avg(l_extendedprice) AS c, stddev_samp(l_extendedprice) AS sd
-        |    FROM b WHERE bin IS NOT NULL GROUP BY bin)
-        |SELECT l_orderkey, l_linenumber,
-        |  coalesce((l_extendedprice - c) > 2.0 * sd, false) AS flag
-        |FROM b LEFT JOIN st USING (bin) ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_met_columns" ->
-      """WITH u AS (SELECT event_id, value - 10.0 AS u,
-        |    CAST(user_id % 7 AS DOUBLE) - 3.0 AS v, value FROM events)
-        |SELECT event_id,
-        |  round(sqrt(u * u + v * v), 6) AS ws,
-        |  round(fmod(fmod(180.0 + degrees(atan2(u, v)), 360.0) + 360.0, 360.0), 6) AS wd,
-        |  round(fmod(fmod(value * 37.0, 360.0) + 540.0, 360.0) - 180.0, 6) AS wrapped
-        |FROM u ORDER BY event_id""".stripMargin,
-
-    "q_air_density" ->
-      """SELECT event_id,
-        |  round(((101325.0 - user_id * 10.0) / 287.058
-        |    - 0.5 * (0.0000205 * exp(0.0631846 * (288.15 + value / 10.0)))
-        |      * (1.0/287.058 - 1.0/461.5)) / (288.15 + value / 10.0), 6) AS rho
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_gross_energy" ->
-      """WITH b AS (SELECT event_id, value,
-        |    CAST(user_id % 10 AS DOUBLE) / 100.0 AS a, 0.02 AS c FROM events)
-        |SELECT event_id,
-        |  round(value / (1.0 - a - c), 6) AS gross_ff,
-        |  round(value / (1.0 - c) + a, 6) AS gross_ef,
-        |  round(value / (1.0 - a) + c, 6) AS gross_fe,
-        |  round(value + a + c, 6) AS gross_ee,
-        |  round(value * (600 / 3600.0), 6) AS energy_kwh
-        |FROM b ORDER BY event_id""".stripMargin,
-
-    "q_aep_monthly" ->
-      """WITH ev AS (
-        |  SELECT ts + to_months(CAST(user_id % 12 AS INT)) AS t,
-        |         value, user_id, event_id
-        |  FROM events WHERE date_part('day', ts) <= 28),
-        |meter AS (
-        |  SELECT date_trunc('month', t) AS period,
-        |         sum(round(value * 1000)) / 1e6 AS energy_gwh,
-        |         count(DISTINCT date_trunc('day', t)) AS days_actual
-        |  FROM ev GROUP BY 1),
-        |curt AS (
-        |  SELECT date_trunc('month', t) AS period,
-        |         sum(round(value * 50)) / 1e6 AS avail_gwh,
-        |         sum(round(value * 20)) / 1e6 AS curt_gwh
-        |  FROM ev GROUP BY 1),
-        |rea AS (
-        |  SELECT t, 4.0 + CAST(event_id % 100 AS DOUBLE) / 10.0 AS ws,
-        |         1.15 + CAST(user_id % 20 AS DOUBLE) / 200.0 AS rho
-        |  FROM ev),
-        |reag AS (
-        |  SELECT date_trunc('month', t) AS period,
-        |         avg(ws * pow(rho / (SELECT avg(rho) FROM rea), 1.0 / 3.0)) AS ws_era5
-        |  FROM rea GROUP BY 1),
-        |j AS (
-        |  SELECT m.period, m.energy_gwh, c.avail_gwh, c.curt_gwh,
-        |         m.energy_gwh + c.avail_gwh + c.curt_gwh AS gross_gwh,
-        |         r.ws_era5, m.days_actual,
-        |         CAST(date_part('day', last_day(m.period)) AS DOUBLE) AS num_days
-        |  FROM meter m
-        |  LEFT JOIN curt c ON m.period = c.period
-        |  LEFT JOIN reag r ON m.period = r.period),
-        |o AS (SELECT *, row_number() OVER (ORDER BY period) AS rn,
-        |             count(*) OVER () AS n FROM j)
-        |SELECT epoch_us(period) // 1000000 AS period_epoch,
-        |       round(energy_gwh, 6) AS energy_gwh,
-        |       round(avail_gwh, 6) AS avail_gwh,
-        |       round(curt_gwh, 6) AS curt_gwh,
-        |       round(gross_gwh, 6) AS gross_gwh,
-        |       round(avail_gwh / gross_gwh, 6) AS avail_pct,
-        |       round(curt_gwh / gross_gwh, 6) AS curt_pct,
-        |       num_days, round(ws_era5, 6) AS ws_era5, FALSE AS nan_flag
-        |FROM o
-        |WHERE NOT ((rn = 1 OR rn = n) AND days_actual <> num_days)
-        |ORDER BY period_epoch""".stripMargin,
-
-    "q_elec_daily" ->
-      """WITH s AS (SELECT date_trunc('hour', ts) AS t, user_id % 2 AS turb,
-        |                  sum(round(value * 100)) AS wh
-        |           FROM events GROUP BY 1, 2),
-        |sper AS (SELECT t, sum(wh) AS wh, count(*) AS cnt FROM s GROUP BY 1),
-        |sday AS (SELECT date_trunc('day', t) AS day, sum(wh) AS turbine_wh,
-        |                sum(cnt) AS scada_count
-        |         FROM sper GROUP BY 1),
-        |m AS (SELECT date_trunc('hour', ts) AS t, sum(round(value * 95)) AS mwh
-        |      FROM events GROUP BY 1),
-        |mday AS (SELECT date_trunc('day', t) AS day, sum(mwh) AS meter_wh,
-        |                count(*) AS mcnt
-        |         FROM m GROUP BY 1)
-        |SELECT epoch_us(day) // 1000000 AS day_epoch,
-        |       round(turbine_wh, 2) AS turbine_wh,
-        |       CAST(scada_count AS BIGINT) AS scada_count,
-        |       round(turbine_wh * 48.0 / scada_count, 2) AS corrected_wh,
-        |       round(scada_count / 48.0, 6) AS scada_pct,
-        |       round(meter_wh, 2) AS meter_wh
-        |FROM sday JOIN mday USING (day)
-        |WHERE mcnt = 24
-        |ORDER BY day_epoch""".stripMargin,
-
-    // Freestream membership is closed-form for the 2-turbine equator E-W
-    // layout: T0 (west) is waked when the upwind bearing 90 is within 45
-    // deg of the bin center 5b+2.5 => b in [9,26]; T1 (bearing 270) => b
-    // in [45,62]. wd_bin == hour%71 because wd = (hour%71)*5 + 2.5.
-    "q_wake_por" ->
-      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
-        |                  sum(round(value * 100)) AS w
-        |           FROM events GROUP BY 1, 2),
-        |h AS (SELECT time, a, w, epoch_us(time) // 3600000000 AS hh FROM s),
-        |e AS (SELECT time, a, w, hh % 71 AS wd_bin,
-        |             ((hh + a) % 100) / 4.0 AS ws,
-        |             CASE WHEN a = 0 THEN NOT ((hh % 71) BETWEEN 9 AND 26)
-        |                  ELSE NOT ((hh % 71) BETWEEN 45 AND 62) END AS free
-        |      FROM h),
-        |t AS (SELECT time, min(wd_bin) AS wd_bin, sum(w) AS plant_w,
-        |             avg(CASE WHEN free THEN w END) AS fs_w,
-        |             avg(CASE WHEN free THEN ws END) AS fs_ws
-        |      FROM e GROUP BY time HAVING count(*) = 2)
-        |SELECT CAST(wd_bin AS INTEGER) AS wd_bin, count(*) AS n_times,
-        |       round(sum(plant_w), 2) AS actual_w,
-        |       round(sum(fs_w * 2), 2) AS potential_w,
-        |       round(1.0 - sum(plant_w) / sum(fs_w * 2), 6) AS por_loss,
-        |       round(avg(fs_ws), 6) AS fs_ws
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_wake_freq" ->
-      """WITH r AS (SELECT
-        |    CAST(FLOOR(((event_id % 288) * 10) / 8.0 / 5.0) AS INTEGER) AS wd_bin,
-        |    CAST(FLOOR((event_id % 200) / 8.0 / 1.0) AS INTEGER) AS ws_bin
-        |  FROM events)
-        |SELECT wd_bin, ws_bin, count(*) AS freq,
-        |       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM r), 9) AS freq_frac
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_tie_daily" ->
-      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
-        |                  sum(round(value * 100)) AS wh
-        |           FROM events GROUP BY 1, 2),
-        |f AS (SELECT time, a, wh, epoch_us(time) // 3600000000 AS hh FROM s),
-        |v AS (SELECT 'T' || a AS asset_id, date_trunc('day', time) AS day,
-        |             sum(wh) AS energy, count(*) AS n
-        |      FROM f WHERE (hh + a) % 17 <> 0
-        |      GROUP BY 1, 2 HAVING count(*) >= 24 * 0.9),
-        |r0 AS (SELECT DISTINCT date_trunc('hour', ts) AS time FROM events),
-        |r1 AS (SELECT time, epoch_us(time) // 3600000000 AS he FROM r0),
-        |r2 AS (SELECT date_trunc('day', time) AS day,
-        |              avg((he % 160) / 8.0) AS ws,
-        |              avg(((he % 64) - 32) / 4.0) AS u,
-        |              avg((((he * 7 + 11) % 64) - 32) / 4.0) AS v,
-        |              avg(1.0 + (he % 64) / 256.0) AS rho,
-        |              count(*) AS n_rea
-        |       FROM r1 GROUP BY 1)
-        |SELECT asset_id, epoch_us(v.day) // 1000000 AS day_epoch,
-        |       round(energy, 2) AS energy_wh, n,
-        |       round(energy * 24.0 / n, 4) AS energy_corrected,
-        |       round(ws, 6) AS ws,
-        |       round(fmod(fmod(180.0 + degrees(atan2(u, r2.v)), 360.0) + 360.0, 360.0), 4) AS wd,
-        |       round(rho, 6) AS rho, n_rea
-        |FROM v JOIN r2 ON v.day = r2.day
-        |ORDER BY asset_id, day_epoch""".stripMargin,
-
-    "q_yaw_vane_bins" ->
-      """WITH s AS (SELECT 'T' || (user_id % 2) AS asset_id,
-        |                  round(fmod(value * 193, 1900)) + 30 AS w,
-        |                  4.0 + (event_id % 44) / 8.0 AS ws,
-        |                  ((event_id % 240) - 120) / 8.0 AS vane,
-        |                  (event_id % 5) * 0.25 AS pitch
-        |           FROM events),
-        |p AS (SELECT *, CASE WHEN w / 2048.0 > 0.01 AND w / 2048.0 <= 0.95
-        |                THEN ceil((w / 2048.0 - 0.01) / ((0.95 - 0.01) / 25)) END AS pbin
-        |      FROM s WHERE pitch <= 0.5),
-        |med AS (SELECT asset_id, pbin, quantile_cont(ws, 0.5) AS med
-        |        FROM p WHERE pbin IS NOT NULL GROUP BY 1, 2),
-        |mad AS (SELECT p.asset_id, p.pbin, min(m.med) AS med,
-        |               quantile_cont(abs(p.ws - m.med), 0.5) AS mad
-        |        FROM p JOIN med m ON p.asset_id = m.asset_id AND p.pbin = m.pbin
-        |        GROUP BY 1, 2),
-        |k AS (SELECT p.asset_id, p.w, p.ws, p.vane
-        |      FROM p LEFT JOIN mad ON p.asset_id = mad.asset_id AND p.pbin = mad.pbin
-        |      WHERE mad.mad IS NULL OR abs(p.ws - mad.med) <= 7.0 * mad.mad),
-        |z AS (SELECT asset_id, w, vane, round(ws) AS wsb, round(vane) AS vb
-        |      FROM k WHERE round(ws) IN (5.0, 6.0, 7.0, 8.0))
-        |SELECT asset_id, CAST(wsb AS BIGINT) AS ws_bin_center,
-        |       CAST(vb AS BIGINT) AS vane_bin,
-        |       CAST(sum(w) AS BIGINT) AS perf_sum, count(*) AS n,
-        |       CAST(round(sum(vane) * 8) AS BIGINT) AS vane_sum_8
-        |FROM z GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    // Mirrors EYAGapAnalysis.compile()'s left-associated arithmetic exactly
-    // (same operand order => identical doubles, round(6) on both sides).
-    "q_eya_waterfall" ->
-      """WITH agg AS (SELECT sum(round(value * 100)) AS s1,
-        |                    sum(round(value * 37)) AS s2,
-        |                    CAST(sum(user_id % 97) AS DOUBLE) AS s3,
-        |                    CAST(count(*) AS DOUBLE) AS n
-        |             FROM events),
-        |p AS (SELECT s1 / 1e7 AS eya_aep,
-        |             s1 / 1e7 * 1.3 * (1 - 0.037) * (1 - (s3 / n) / 1000.0) * (1 - 0.011) AS eya_tie,
-        |             s2 / 1e7 * 2.5 AS oa_aep, s2 / 1e7 * 3.0 AS oa_tie,
-        |             (s3 / n) / 400.0 AS e_av, (s3 / n) / 500.0 AS o_av,
-        |             (s3 / n) / 800.0 AS e_el, (s3 / n) / 900.0 AS o_el
-        |      FROM agg),
-        |t AS (SELECT eya_aep, oa_tie - eya_tie AS tg,
-        |             (e_av - o_av) * eya_tie AS av,
-        |             (e_el - o_el) * eya_tie AS el, oa_aep
-        |      FROM p)
-        |SELECT * FROM (
-        |  SELECT CAST(0 AS BIGINT) AS idx, 'eya_aep' AS term,
-        |         round(eya_aep, 6) AS value FROM t
-        |  UNION ALL SELECT 1, 'turb_gross_diff', round(tg, 6) FROM t
-        |  UNION ALL SELECT 2, 'avail_diff', round(av, 6) FROM t
-        |  UNION ALL SELECT 3, 'elec_diff', round(el, 6) FROM t
-        |  UNION ALL SELECT 4, 'unexplained',
-        |         round(oa_aep - (eya_aep + tg + av + el), 6) FROM t
-        |) ORDER BY idx""".stripMargin,
-
-    // Recomputes the WET pipeline's expected output straight from
-    // `documents` — page construction (64 words, 8-word sentences, planted
-    // violations), the C4 line/page rules (same formulation as
-    // q_c4_filter), the x/m uri mirroring, and exact-dedup's
-    // min-uri-per-normalized-fingerprint rule. The Spark side must arrive
-    // at the same rows THROUGH the WET files it wrote and re-read.
-    // Hamming-0 perceptual pairs are by construction exactly the
-    // same-group pairs of the synthesized fixtures (dHash cancels the
-    // per-doc luminance shift; the envelope hash cancels the per-doc
-    // gain) — so the oracle is a plain self-join on the group key.
-    "q_image_dedup" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id
-        |WHERE a.doc_id < 120 AND b.doc_id < 120
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q_audio_dedup" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
-        |WHERE a.doc_id < 96 AND b.doc_id < 96
-        |ORDER BY 1, 2""".stripMargin,
-
-    // DSv2 crawl read: per-record uri, payload byte length (ASCII page
-    // text -> strlen), payload md5 — two uris per fixture doc.
-    "q_warc_dsv2" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
-        |built AS (SELECT doc_id,
-        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
-        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
-        |  FROM w),
-        |page AS (SELECT doc_id,
-        |    array_to_string(list_concat(body, CASE WHEN doc_id % 7 = 0
-        |      THEN ['enable javascript now please friend.', 'too short.',
-        |            'lorem ipsum dolor sit amet today.']
-        |      ELSE ['enable javascript now please friend.', 'too short.']
-        |      END), chr(10)) AS raw
-        |  FROM built),
-        |u AS (SELECT 'http://m.example/' || format('{:05d}', doc_id) AS target_uri,
-        |    raw FROM page
-        |  UNION ALL
-        |  SELECT 'http://x.example/' || format('{:05d}', doc_id), raw FROM page)
-        |SELECT target_uri, CAST(strlen(raw) AS BIGINT) AS content_length,
-        |  md5(raw) AS text_md5
-        |FROM u ORDER BY target_uri""".stripMargin,
-
-    "q_wet_pipeline" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
-        |built AS (SELECT doc_id,
-        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
-        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
-        |  FROM w),
-        |page AS (SELECT doc_id,
-        |    list_concat(body, CASE WHEN doc_id % 7 = 0
-        |      THEN ['enable javascript now please friend.', 'too short.',
-        |            'lorem ipsum dolor sit amet today.']
-        |      ELSE ['enable javascript now please friend.', 'too short.']
-        |      END) AS lines0
-        |  FROM built),
-        |l AS (SELECT doc_id,
-        |    array_to_string(lines0, chr(10)) AS raw,
-        |    list_filter([trim(x) FOR x IN lines0], x -> length(x) > 0) AS lines
-        |  FROM page),
-        |k AS (SELECT doc_id, raw,
-        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
-        |      AND NOT contains(lower(x), 'javascript')) AS kept
-        |  FROM l),
-        |c AS (SELECT doc_id,
-        |    coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
-        |    CAST(len(kept) AS BIGINT) AS n_lines_kept
-        |  FROM k
-        |  WHERE len(regexp_extract_all(
-        |          coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
-        |    AND NOT contains(lower(raw), 'lorem ipsum')
-        |    AND NOT contains(raw, '{')),
-        |u AS (SELECT printf('http://%s.example/%05d', m.p, doc_id) AS target_uri,
-        |             n_lines_kept, text_c4,
-        |             md5(trim(regexp_replace(regexp_replace(lower(text_c4),
-        |               '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
-        |      FROM c CROSS JOIN (VALUES ('m'), ('x')) AS m(p))
-        |SELECT target_uri, n_lines_kept, md5(text_c4) AS c4_md5,
-        |       target_uri <> min(target_uri) OVER (PARTITION BY fp) AS is_duplicate
-        |FROM u ORDER BY target_uri""".stripMargin,
-
-    "q_circular_mean" ->
-      """SELECT event_type,
-        |  round(fmod(fmod(degrees(atan2(
-        |    avg(sin(radians(fmod(value * 36.0, 360.0)))),
-        |    avg(cos(radians(fmod(value * 36.0, 360.0)))))), 360.0) + 360.0, 360.0), 6) AS circ_mean,
-        |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_shear_alpha" -> {
-      val lz1 = math.log(10.0); val lz2 = math.log(50.0); val lz3 = math.log(80.0)
-      s"""WITH s AS (SELECT l_orderkey, l_linenumber,
-         |    ln(l_quantity + 1.0) AS lw1, ln(l_quantity * 1.1 + 2.0) AS lw2,
-         |    ln(l_quantity * 1.2 + 3.0) AS lw3 FROM lineitem),
-         |c AS (SELECT *, (($lz1 + $lz2) + $lz3) / 3.0 AS mlz,
-         |    ((lw1 + lw2) + lw3) / 3.0 AS mlw FROM s)
-         |SELECT l_orderkey, l_linenumber,
-         |  round(((($lz1 - mlz) * (lw1 - mlw) + ($lz2 - mlz) * (lw2 - mlw)) + ($lz3 - mlz) * (lw3 - mlw))
-         |    / ((($lz1 - mlz) * ($lz1 - mlz) + ($lz2 - mlz) * ($lz2 - mlz)) + ($lz3 - mlz) * ($lz3 - mlz)), 6) AS alpha
-         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin
-    },
-
-    "q_linreg" ->
-      """SELECT
-        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
-        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
-        |  count(*) AS n
-        |FROM lineitem""".stripMargin,
-
-    "q_group_linreg" ->
-      """SELECT l_returnflag,
-        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
-        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
-        |  round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS r2,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_corr_matrix" ->
-      """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
-        |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
-        |    / count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-        |  CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
-        |    / count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
-        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
-        |    / count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
-        |  FROM events GROUP BY 1)
-        |SELECT round(corr(click, view), 6) AS corr_click_view,
-        |  round(corr(click, purchase), 6) AS corr_click_purchase,
-        |  round(corr(view, purchase), 6) AS corr_view_purchase
-        |FROM m""".stripMargin,
-
-    "q_winsorized" ->
-      """WITH v AS (SELECT event_type, floor(value * 100 + 0.5) AS v FROM events),
-        |b AS (SELECT event_type, quantile_cont(v, 0.25) AS lo,
-        |    quantile_cont(v, 0.75) AS hi FROM v GROUP BY 1)
-        |SELECT v.event_type, count(*) AS n, any_value(b.lo) AS lo,
-        |  any_value(b.hi) AS hi,
-        |  CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
-        |  CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-        |  avg(least(greatest(v.v, b.lo), b.hi)) AS wmean
-        |FROM v JOIN b USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_global_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
-        |  round(stddev_samp(value), 6) AS value_std,
-        |  round(quantile_cont(value, 0.5), 6) AS value_med,
-        |  min(value) AS value_min, max(value) AS value_max
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_impute" ->
-      """WITH mins AS (SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events),
-        |tv AS (SELECT date_trunc('minute', ts) AS minute,
-        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS target_val
-        |  FROM events WHERE event_type = 'view' GROUP BY 1),
-        |rv AS (SELECT date_trunc('minute', ts) AS minute,
-        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS ref_val
-        |  FROM events WHERE event_type = 'click' GROUP BY 1),
-        |t AS (SELECT m.minute, tv.target_val FROM mins m LEFT JOIN tv USING (minute)),
-        |j AS (SELECT t.minute, t.target_val, rv.ref_val FROM t LEFT JOIN rv USING (minute)),
-        |fit AS (SELECT covar_samp(ref_val, target_val) / var_samp(ref_val) AS b,
-        |    avg(target_val) AS my, avg(ref_val) AS mx
-        |  FROM j WHERE target_val IS NOT NULL AND ref_val IS NOT NULL),
-        |f2 AS (SELECT b, my - b * mx AS a FROM fit)
-        |SELECT epoch_us(j.minute) // 1000000 AS minute_epoch,
-        |  round(coalesce(j.target_val, a + b * j.ref_val), 6) AS imputed
-        |FROM j, f2 ORDER BY 1""".stripMargin,
-
-    "q_token_stats" ->
-      s"""SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
-         |       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-         |         / (CASE WHEN length(trim(text)) = 0 THEN 0
-         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END AS mean_word_len,
-         |  CASE WHEN len(regexp_split_to_array($normText, ' ')) = 0 THEN 0.0
-         |       ELSE CAST(len(list_filter(regexp_split_to_array($normText, ' '),
-         |           x -> x IN $stopList)) AS DOUBLE)
-         |         / len(regexp_split_to_array($normText, ' ')) END AS stop_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // strip_accents == NFD + combining-mark strip for the planted Latin
-    // accents; \p classes are RE2 here and java.util.regex in Spark, which
-    // agree on the corpus's ASCII + planted chars (P/S/C/Nd)
-    "q_ccnet_norm" ->
-      """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(
-        |    strip_accents(lower(
-        |      (CASE WHEN doc_id % 3 = 0 THEN translate(text, 'ae', 'áé')
-        |            ELSE text END) || ' Café #'
-        |        || CAST(doc_id % 97 AS VARCHAR) || '! 42;')),
-        |    '\p{Nd}', '0', 'g'),
-        |    '[\p{P}\p{S}\p{C}]+', ' ', 'g'),
-        |    '\s+', ' ', 'g')) AS norm FROM documents)
-        |SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS norm_len
-        |FROM n ORDER BY doc_id""".stripMargin,
-
-    "q_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_weighted_sample" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      END AS w
-        |  FROM documents),
-        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS n
-        |  FROM d WHERE w > 0)
-        |SELECT doc_id, w FROM d, t
-        |WHERE w > 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-        |  < round(0.3 * n * w / sw * 10000)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_chunk" ->
-      """SELECT doc_id, u.s AS chunk_start, length(u.c) AS chunk_len, u.c AS chunk
-        |FROM (SELECT doc_id,
-        |    unnest([{'s': s, 'c': substring(text, s, 200)}
-        |            FOR s IN range(1, greatest(length(text), 1) + 1, 150)]) AS u
-        |  FROM documents)
-        |ORDER BY doc_id, chunk_start""".stripMargin,
-
-    "q_fingerprint_dedup" ->
-      s"""WITH f AS (SELECT doc_id, md5($normText) AS fingerprint FROM documents)
-         |SELECT doc_id, fingerprint,
-         |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
-         |FROM f ORDER BY doc_id""".stripMargin,
-
-    "q_tz_convert" ->
-      """WITH b AS (SELECT event_id,
-        |    (CASE WHEN event_id % 2 = 0 THEN TIMESTAMP '2024-03-10 00:00:00'
-        |          ELSE TIMESTAMP '2024-11-03 00:00:00' END
-        |     + to_seconds(CAST(event_id % 14400 AS INT))) AS tloc
-        |  FROM events)
-        |SELECT event_id,
-        |  epoch_us(timezone('America/New_York', tloc)) // 1000000 AS utc_epoch
-        |FROM b
-        |WHERE NOT (event_id % 2 = 1 AND event_id % 14400 BETWEEN 3600 AND 7199)
-        |ORDER BY event_id""".stripMargin,
-
-    "q_impute_corr" ->
-      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
-        |    sum(round(value * 100)) AS base FROM events GROUP BY 1),
-        |series AS (SELECT h, 'A' || CAST(k AS VARCHAR) AS asset,
-        |    CASE WHEN (epoch_us(h) // 3600000000 + k) % 19 = 0 THEN NULL
-        |         ELSE base * (1.0 + k / 10.0) + k * 1000 END AS v,
-        |    base * (1.0 + k / 10.0) + k * 1000 AS vt
-        |  FROM hourly, range(5) t(k))
-        |SELECT epoch_us(h) // 1000000 AS h_epoch, asset,
-        |       round(coalesce(v, vt), 2) AS v_imputed
-        |FROM series ORDER BY h_epoch, asset""".stripMargin,
-
-    "q_offset_dst" ->
-      """WITH b AS (SELECT event_id,
-        |    ts + to_months(CAST(event_id % 12 AS INT)) AS utc
-        |  FROM events WHERE date_part('day', ts) <= 28)
-        |SELECT event_id,
-        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
-        |     - epoch_us(utc)) / 3600000000.0 AS utc_offset_hours,
-        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
-        |     - epoch_us(utc)) / 1000000 <> -18000 AS is_dst
-        |FROM b ORDER BY event_id""".stripMargin,
-
-    "q_qa_describe" ->
-      """WITH e AS (SELECT value, value * 3.0 - user_id AS mix,
-        |                  CAST(user_id AS DOUBLE) AS uid FROM events),
-        |s AS (
-        |  SELECT 'value' AS "column", count(value) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS mean,
-        |    stddev_samp(value) AS std, min(value) AS min,
-        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
-        |    quantile_cont(value, 0.75) AS p75, max(value) AS max FROM e
-        |  UNION ALL
-        |  SELECT 'mix', count(mix),
-        |    CAST(sum(CAST(mix AS DECIMAL(38,10))) AS DOUBLE) / count(mix),
-        |    stddev_samp(mix), min(mix), quantile_cont(mix, 0.25),
-        |    quantile_cont(mix, 0.5), quantile_cont(mix, 0.75), max(mix) FROM e
-        |  UNION ALL
-        |  SELECT 'uid', count(uid),
-        |    CAST(sum(CAST(uid AS DECIMAL(38,10))) AS DOUBLE) / count(uid),
-        |    stddev_samp(uid), min(uid), quantile_cont(uid, 0.25),
-        |    quantile_cont(uid, 0.5), quantile_cont(uid, 0.75), max(uid) FROM e)
-        |SELECT "column", n, round(mean, 6) AS mean, round(std, 6) AS std,
-        |       round(min, 6) AS min, round(p25, 6) AS p25, round(p50, 6) AS p50,
-        |       round(p75, 6) AS p75, round(max, 6) AS max
-        |FROM s ORDER BY "column"""".stripMargin,
-
-    "q_dst_windows" ->
-      """WITH h0 AS (SELECT DISTINCT
-        |    date_trunc('hour', ts + to_months(CAST(event_id % 12 AS INT))) AS utc
-        |  FROM events WHERE date_part('day', ts) <= 28),
-        |h1 AS (SELECT utc FROM h0
-        |       UNION ALL SELECT utc FROM h0 WHERE date_part('hour', utc) = 6),
-        |b AS (SELECT utc,
-        |    CAST(date_part('hour', utc) * 100 + date_part('day', utc) AS BIGINT) AS power,
-        |    timezone('America/New_York', utc AT TIME ZONE 'UTC') AS loc,
-        |    (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
-        |       - epoch_us(utc)) / 1000000 AS off
-        |  FROM h1),
-        |c AS (SELECT *, CAST(date_part('year', loc) AS INT) AS yr,
-        |             off <> -18000 AS dst FROM b),
-        |a AS (SELECT yr, min(CASE WHEN dst THEN utc END) AS spring,
-        |             max(CASE WHEN dst THEN utc END) AS last_dst
-        |      FROM c GROUP BY yr),
-        |f AS (SELECT c.yr, min(c.utc) AS fall
-        |      FROM c JOIN a ON c.yr = a.yr AND c.utc > a.last_dst
-        |      GROUP BY c.yr),
-        |lab AS (SELECT c.*, count(*) OVER (PARTITION BY c.utc) AS n_dups,
-        |          CASE WHEN abs(epoch_us(c.utc) - epoch_us(a.spring)) <= 3 * 3600000000
-        |               THEN 'spring'
-        |               WHEN abs(epoch_us(c.utc) - epoch_us(f.fall)) <= 3 * 3600000000
-        |               THEN 'fall' END AS season
-        |        FROM c JOIN a ON c.yr = a.yr LEFT JOIN f ON c.yr = f.yr
-        |        WHERE a.spring IS NOT NULL)
-        |SELECT yr AS year, season, epoch_us(utc) // 1000000 AS utc_epoch,
-        |       epoch_us(loc) // 1000000 AS local_epoch, power,
-        |       dst AS is_dst, off / 3600.0 AS utc_offset_hours, n_dups
-        |FROM lab WHERE season IS NOT NULL
-        |ORDER BY utc_epoch, year""".stripMargin,
-
-    "q_interp_linear" ->
-      """WITH b AS (SELECT event_id, ts, event_type,
-        |             CAST(epoch_us(ts) AS DOUBLE) AS x,
-        |             CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
-        |           FROM events),
-        |f AS (SELECT event_id, v, x,
-        |        last_value(v IGNORE NULLS) OVER w AS yp,
-        |        last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w AS xp,
-        |        first_value(v IGNORE NULLS) OVER w2 AS yn,
-        |        first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w2 AS xn
-        |      FROM b
-        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |             w2 AS (PARTITION BY event_type ORDER BY ts, event_id
-        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
-        |    WHEN yp IS NULL THEN yn WHEN yn IS NULL THEN yp
-        |    WHEN xn = xp THEN yp
-        |    ELSE yp + (yn - yp) * (x - xp) / (xn - xp) END, 4) AS v
-        |FROM f ORDER BY event_id""".stripMargin,
-
-    "q_canonical" ->
-      s"""WITH fp AS (SELECT doc_id, md5($normText) AS f,
-         |              CAST(length(text) AS DOUBLE) AS score FROM documents),
-         |comp AS (SELECT f, min(doc_id) AS component FROM fp GROUP BY f),
-         |j AS (SELECT fp.doc_id, fp.score, c.component
-         |      FROM fp JOIN comp c USING (f)),
-         |canon AS (SELECT component, doc_id AS canonical_id FROM (
-         |  SELECT component, doc_id,
-         |    row_number() OVER (PARTITION BY component
-         |                       ORDER BY score DESC, doc_id ASC) AS rn
-         |  FROM j) WHERE rn = 1)
-         |SELECT j.doc_id, j.component, canon.canonical_id,
-         |       j.doc_id <> canon.canonical_id AS is_duplicate
-         |FROM j JOIN canon USING (component)
-         |ORDER BY j.doc_id""".stripMargin,
-
-    "q_iec_curve" ->
-      """WITH d AS (SELECT least(CAST(floor((value / 20.0) / 0.5) AS INT), 60) AS bin,
-        |                  round(value * 3.0) AS power
-        |           FROM events WHERE value / 20.0 >= 0
-        |             AND value IS NOT NULL),
-        |st AS (SELECT bin, avg(power) AS p FROM d GROUP BY bin),
-        |grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 61)),
-        |j AS (SELECT g.bin, st.p FROM grid g LEFT JOIN st ON g.bin = st.bin),
-        |f AS (SELECT bin, p,
-        |        last_value(p IGNORE NULLS) OVER w AS pv,
-        |        last_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w AS bv,
-        |        first_value(p IGNORE NULLS) OVER w2 AS pn,
-        |        first_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w2 AS bn
-        |      FROM j
-        |      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |             w2 AS (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT bin, round(CASE WHEN p IS NOT NULL THEN p
-        |    WHEN pv IS NULL THEN pn WHEN pn IS NULL THEN pv
-        |    ELSE pv + (pn - pv) * (bin - bv) / CAST(bn - bv AS DOUBLE) END, 6) AS p
-        |FROM f ORDER BY bin""".stripMargin,
-
-    "q_c4_filter" ->
-      """WITH s0 AS (SELECT doc_id,
-        |    regexp_replace(text, ' (a|the) ', '.' || chr(10), 'g') AS t FROM documents),
-        |s1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-        |    THEN t || chr(10) || 'please enable javascript to continue here.'
-        |    ELSE t END AS t FROM s0),
-        |s2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
-        |    THEN t || chr(10) || 'filler lorem ipsum dolor sit amet text.'
-        |    ELSE t END AS t FROM s1),
-        |s3 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
-        |    THEN t || chr(10) || 'var x = function() { return 1; }.'
-        |    ELSE t END AS t FROM s2),
-        |l AS (SELECT doc_id, t,
-        |    list_filter(list_transform(regexp_split_to_array(t, '\n'), x -> trim(x)),
-        |                x -> length(x) > 0) AS lines FROM s3),
-        |k AS (SELECT doc_id, t, lines,
-        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
-        |      AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
-        |SELECT doc_id,
-        |  coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
-        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
-        |  CAST(len(lines) AS BIGINT) AS n_lines_total,
-        |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
-        |       '[.!?]')) >= 3
-        |    AND NOT contains(lower(t), 'lorem ipsum')
-        |    AND NOT contains(t, '{')) AS keep
-        |FROM k ORDER BY doc_id""".stripMargin,
-
-    "q_lang_scores" -> {
-      def score(markers: Seq[String]) = {
-        val list = markers.map(m => s"'$m'").mkString("(", ",", ")")
-        s"""CAST(len(list_filter(regexp_split_to_array($normText, ' '), x -> x IN $list)) AS DOUBLE)
-           | / greatest(len(regexp_split_to_array($normText, ' ')), 1)""".stripMargin.replace("\n", "")
-      }
-      import graft.operators.TextAnalysis.LanguageMarkers
-      s"""SELECT doc_id,
-         |  ${score(LanguageMarkers("en"))} AS en_score,
-         |  ${score(LanguageMarkers("fr"))} AS fr_score,
-         |  ${score(LanguageMarkers("de"))} AS de_score,
-         |  ${score(LanguageMarkers("es"))} AS es_score
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    "q_quality" -> {
-      val toks = s"regexp_split_to_array($normText, ' ')"
-      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
-      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
-      val stop = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, x -> x IN $stopList)) AS DOUBLE) / len($toks) END"
-      s"""SELECT doc_id,
-         |  (((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-         |   + (1.0 - least(($punct) * 5.0, 1.0)))
-         |   + least(($stop) * 4.0, 1.0))
-         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0 AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    "q_lang_quality" -> {
-      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
-      val sl = """CASE lang
-        | WHEN 'fr' THEN ['le','la','les','de','et','un','une','est','que','pour']
-        | WHEN 'de' THEN ['der','die','das','und','ist','ein','eine','mit','von','zu']
-        | WHEN 'es' THEN ['el','la','los','de','y','un','una','es','que','por']
-        | WHEN 'en' THEN ['the','and','of','to','is','in','that','it','for','with']
-        | ELSE ['the','and','of','to','is','in','that','it','for','with'] END""".stripMargin
-      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
-      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
-      val stop = s"CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(sl, x))) AS DOUBLE) / len(t) END"
-      s"""WITH base AS (SELECT doc_id, lang, text, $toks AS t, $sl AS sl FROM documents)
-         |SELECT doc_id, lang, round($stop, 6) AS stop_ratio,
-         |  round((((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-         |   + (1.0 - least(($punct) * 5.0, 1.0)))
-         |   + least(($stop) * 4.0, 1.0))
-         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
-         |FROM base ORDER BY doc_id""".stripMargin
-    },
-
-    "q_ngram_jaccard" ->
-      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, source,
-         |    unnest(CASE WHEN len(t) >= 3
-         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
-         |  FROM norm),
-         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3)
-         |SELECT block, id_a, id_b,
-         |  CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) AS jaccard
-         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05
-         |ORDER BY block, id_a, id_b""".stripMargin,
-
-    "q_ngram_containment" ->
-      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, source,
-         |    unnest(CASE WHEN len(t) >= 3
-         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
-         |  FROM norm),
-         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3)
-         |SELECT block, id_a, id_b,
-         |  round(CAST(inter AS DOUBLE) / sa.sh_size, 6) AS containment_a,
-         |  round(CAST(inter AS DOUBLE) / sb.sh_size, 6) AS containment_b
-         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / sa.sh_size >= 0.3
-         |   OR CAST(inter AS DOUBLE) / sb.sh_size >= 0.3
-         |ORDER BY block, id_a, id_b""".stripMargin,
-
-    // Distinct-3-gram novelty vs the % 10 == 0 reference slice; ppm
-    // quantization (floor(x*1e6+0.5)) of identical doubles, never round().
-    "q_novelty" ->
-      s"""WITH norm AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
-         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
-         |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-         |tgt AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
-         |agg AS (SELECT t.doc_id, count(*) AS n_grams,
-         |    CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |  FROM tgt t LEFT JOIN ref r ON t.gram = r.gram GROUP BY 1)
-         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
-         |  coalesce(a.n_novel, 0) AS n_novel,
-         |  CAST(floor(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 1.0
-         |    ELSE CAST(a.n_novel AS DOUBLE) / a.n_grams END * 1e6 + 0.5) AS BIGINT) AS novelty_ppm
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
-
-    // Unicode-script counts by explicit BMP ranges (RE2 \x{...} spelling of
-    // the same ranges the Spark side writes as \uXXXX); dominant script =
-    // first field in fixed order attaining the max.
-    "q_script_mix" ->
-      """WITH m AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0
-        |    THEN repeat('д', CAST(doc_id % 11 + 5 AS INT)) || repeat('中', CAST(doc_id % 4 AS INT))
-        |    ELSE text || repeat('д', CAST(doc_id % 5 AS INT)) || repeat('中', CAST(doc_id % 3 AS INT)) || repeat('ا', CAST(doc_id % 2 AS INT))
-        |  END AS mixed FROM documents),
-        |c AS (SELECT doc_id,
-        |  length(regexp_replace(mixed, '[^a-zA-Z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
-        |  length(regexp_replace(mixed, '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
-        |  length(regexp_replace(mixed, '[^\x{0370}-\x{03FF}]', '', 'g')) AS greek,
-        |  length(regexp_replace(mixed, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
-        |  length(regexp_replace(mixed, '[^\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
-        |  length(regexp_replace(mixed, '[^\x{0590}-\x{05FF}]', '', 'g')) AS hebrew,
-        |  length(regexp_replace(mixed, '[^0-9]', '', 'g')) AS digit
-        |FROM m),
-        |x AS (SELECT *, greatest(latin, cyrillic, greek, cjk, arabic, hebrew) AS mx FROM c)
-        |SELECT doc_id, latin, cyrillic, cjk, arabic, digit,
-        |  CASE WHEN mx <= 0 THEN 'none'
-        |       WHEN latin = mx THEN 'latin'
-        |       WHEN cyrillic = mx THEN 'cyrillic'
-        |       WHEN greek = mx THEN 'greek'
-        |       WHEN cjk = mx THEN 'cjk'
-        |       WHEN arabic = mx THEN 'arabic'
-        |       ELSE 'hebrew' END AS script
-        |FROM x ORDER BY doc_id""".stripMargin,
-
-    // Code-likeness signals over raw text + the shared deterministic
-    // suffix; same character classes, ppm-quantized quotients.
-    "q_code_detect" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2
-         |  FROM documents),
-         |m AS (SELECT doc_id,
-         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
-         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
-         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
-         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
-         |  FROM t),
-         |sig AS (SELECT doc_id,
-         |  CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END AS symbol_ratio,
-         |  len(lines) AS n_lines,
-         |  CASE WHEN len(lines) <= 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END AS indent_fraction,
-         |  CASE WHEN len(words) <= 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(words, w ->
-         |      regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
-         |      OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
-         |      OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END AS ident_fraction
-         |  FROM m)
-         |SELECT doc_id,
-         |  CAST(floor(symbol_ratio * 1e6 + 0.5) AS BIGINT) AS symbol_ppm,
-         |  CAST(floor(indent_fraction * 1e6 + 0.5) AS BIGINT) AS indent_ppm,
-         |  CAST(floor(ident_fraction * 1e6 + 0.5) AS BIGINT) AS ident_ppm,
-         |  CAST(n_lines AS BIGINT) AS n_lines,
-         |  (symbol_ratio > 0.12 OR (indent_fraction > 0.3 AND ident_fraction > 0.05)) AS is_code
-         |FROM sig ORDER BY doc_id""".stripMargin,
-
-    // Empirical-Bayes shrinkage toward the global mean, k = 20; identical
-    // double arithmetic (integer sums, same association), ppm quantized.
-    "q_domain_prior" ->
-      """WITH g AS (SELECT source, count(n_chars) AS n,
-        |    sum(CAST(n_chars AS DOUBLE)) AS s FROM documents GROUP BY 1),
-        |t AS (SELECT sum(CAST(n_chars AS DOUBLE)) / count(n_chars) AS m FROM documents)
-        |SELECT source, n,
-        |  CAST(floor(s / n * 1e6 + 0.5) AS BIGINT) AS mean_raw_ppm,
-        |  CAST(floor((s + 20.0 * m) / (n + 20.0) * 1e6 + 0.5) AS BIGINT) AS mean_shrunk_ppm
-        |FROM g, t ORDER BY source""".stripMargin,
-
-    // Triangle participation per node over the q_cc_dedup edge set:
-    // two-join enumeration on canonical a<b edges, explode corners.
-    "q_triangles" ->
-      """WITH e AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
-        |  FROM documents a JOIN documents b
-        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
-        |    AND a.doc_id < b.doc_id),
-        |tri AS (SELECT w.ea AS x, w.eb AS y, e2.eb AS z
-        |  FROM e w JOIN e e2 ON w.eb = e2.ea
-        |  JOIN e e3 ON e3.ea = w.ea AND e3.eb = e2.eb),
-        |corner AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
-        |  UNION ALL SELECT z FROM tri),
-        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
-        |  FROM corner GROUP BY 1),
-        |nodes AS (SELECT DISTINCT id FROM
-        |  (SELECT ea AS id FROM e UNION ALL SELECT eb FROM e))
-        |SELECT n.id AS doc_id, coalesce(c.triangles, 0) AS triangles
-        |FROM nodes n LEFT JOIN cnt c ON n.id = c.id
-        |ORDER BY n.id""".stripMargin,
-
-    // Shared-shingle audit for the jaccard pairs: counts + the sorted
-    // first-3 sample, ' | '-joined.
-    "q_pair_evidence" ->
-      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, source,
-         |    unnest(CASE WHEN len(t) >= 3
-         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
-         |  FROM norm),
-         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p2 AS (SELECT id_a, id_b FROM pr
-         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
-         |ev AS (SELECT p2.id_a, p2.id_b, count(*) AS n_shared,
-         |    array_to_string(list_sort(list(a.shingle))[1:3], ' | ') AS shared_sample
-         |  FROM p2 JOIN sh a ON a.doc_id = p2.id_a
-         |  JOIN sh b ON b.doc_id = p2.id_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT p2.id_a, p2.id_b,
-         |  coalesce(ev.n_shared, 0) AS n_shared,
-         |  coalesce(ev.shared_sample, '') AS shared_sample
-         |FROM p2 LEFT JOIN ev USING (id_a, id_b)
-         |ORDER BY 1, 2""".stripMargin,
-
-    // Degree of each document in the 3-gram Jaccard candidate graph
-    // (same pair construction as q_ngram_jaccard), 0 when untouched.
-    "q_neardup_degree" ->
-      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, source,
-         |    unnest(CASE WHEN len(t) >= 3
-         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
-         |  FROM norm),
-         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p2 AS (SELECT id_a, id_b FROM pairs
-         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
-         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
-         |  FROM (SELECT id_a AS id FROM p2 UNION ALL SELECT id_b FROM p2)
-         |  GROUP BY 1)
-         |SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
-         |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Pipeline replay in stage order: fold (invisible strip + confusable
-    // translate), min_chars on the folded text, first-id dedup on the
-    // normalized fingerprint.
-    // End-to-end curation capstone: the q_pipeline fold/filter/dedup CTEs
-    // composed with the q_sentence_chunks chunker CTEs and the q_pack
-    // running-sum packer CTEs — one SQL replay of the whole dataflow.
-    "q_e2e_curation" ->
-      s"""WITH all_docs AS (
-         |  SELECT doc_id,
-         |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS text
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000,
-         |    chr(8203) || translate(
-         |      regexp_replace(text, ' (table|key|value) ', '. ', 'g'),
-         |      'aeo', 'аео')
-         |  FROM documents),
-         |folded AS (SELECT doc_id,
-         |    translate(regexp_replace(text,
-         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
-         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
-         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
-         |  FROM all_docs),
-         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
-         |fp AS (SELECT doc_id, t,
-         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
-         |      '\\s+', ' ', 'g'))) AS fp
-         |  FROM f2),
-         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1),
-         |kept AS (SELECT doc_id, t FROM fp JOIN keep USING (fp)
-         |  WHERE doc_id = first_id),
-         |se AS (SELECT doc_id, list_filter(
-         |    regexp_split_to_array(t, '[.!?]+\\s+|[.!?]+$$'),
-         |    x -> len(trim(x)) > 0) AS sents FROM kept),
-         |c AS (SELECT doc_id, sents,
-         |    [len(list_filter(regexp_split_to_array(sents[i], '\\s+'), w -> len(w) > 0))
-         |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM se),
-         |st AS (SELECT doc_id, cnts,
-         |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
-         |  FROM c),
-         |a AS (SELECT doc_id,
-         |    unnest([{'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
-         |             't': cnts[i]}
-         |            FOR i IN range(1, len(cnts) + 1)]) AS u FROM st),
-         |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
-         |    CAST(sum(u.t) AS BIGINT) AS n_tokens
-         |  FROM a GROUP BY 1, 2),
-         |ch AS (SELECT doc_id * 1000 + chunk_id AS key, n_tokens
-         |  FROM g WHERE n_tokens > 0),
-         |cum AS (SELECT key, n_tokens,
-         |    CAST(sum(n_tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
-         |  FROM ch),
-         |sp AS (SELECT key, cend - n_tokens AS cstart, cend,
-         |    unnest(range(CAST(floor((cend - n_tokens) / 64) AS BIGINT),
-         |                 CAST(floor((cend - 1) / 64) AS BIGINT) + 1)) AS seq_id
-         |  FROM cum)
-         |SELECT CAST(floor(key / 1000) AS BIGINT) AS doc_id,
-         |  key % 1000 AS chunk_id, seq_id,
-         |  greatest(seq_id * 64, cstart) - cstart AS doc_tok_start,
-         |  least((seq_id + 1) * 64, cend) - cstart AS doc_tok_end,
-         |  greatest(seq_id * 64, cstart) - seq_id * 64 AS seq_tok_start
-         |FROM sp ORDER BY doc_id, chunk_id, seq_id""".stripMargin,
-
-    "q_pipeline" ->
-      s"""WITH all_docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000, chr(8203) || translate(text, 'aeo', 'аео')
-         |  FROM documents),
-         |folded AS (SELECT doc_id,
-         |    translate(regexp_replace(text,
-         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
-         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
-         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
-         |  FROM all_docs),
-         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
-         |fp AS (SELECT doc_id, t,
-         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
-         |      '\\s+', ' ', 'g'))) AS fp
-         |  FROM f2),
-         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1)
-         |SELECT doc_id, md5(t) AS text_md5
-         |FROM fp JOIN keep USING (fp)
-         |WHERE doc_id = first_id ORDER BY doc_id""".stripMargin,
-
-    // Per-sentence language labels via the marker lists (first lang in
-    // fixed order attaining the max count; 'und' when no list hits),
-    // adjacent-pair switch count, sorted distinct tags.
-    "q_code_switch" -> {
-      import graft.operators.TextAnalysis.LanguageMarkers
-      def toks(s: String) =
-        "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(" +
-          s"lower($s), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), " +
-          "t -> len(t) > 0)"
-      def cnt(s: String, lang: String) = {
-        val list = LanguageMarkers(lang).map(m => s"'$m'").mkString("(", ",", ")")
-        s"len(list_filter(${toks(s)}, x -> x IN $list))"
-      }
-      def label(s: String) = {
-        val (en, fr, de, es) = (cnt(s, "en"), cnt(s, "fr"), cnt(s, "de"), cnt(s, "es"))
-        val mx = s"greatest($en, $fr, $de, $es)"
-        s"CASE WHEN $mx <= 0 THEN 'und' WHEN $en = $mx THEN 'en' " +
-          s"WHEN $fr = $mx THEN 'fr' WHEN $de = $mx THEN 'de' ELSE 'es' END"
-      }
-      s"""WITH t AS (SELECT doc_id, 'the cat is in the house. ' ||
-         |    CASE WHEN doc_id % 4 = 0 THEN 'le chat est dans la maison. ' ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN 'der hund ist mit von zu. ' ELSE '' END ||
-         |    regexp_replace(text, ' (table|key) ', '. ', 'g') AS t2 FROM documents),
-         |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\\s+|[.!?]+$$'),
-         |    x -> len(trim(x)) > 0) AS sents FROM t),
-         |l AS (SELECT doc_id, [${label("sents[i]")}
-         |    FOR i IN range(1, len(sents) + 1)] AS labels FROM s),
-         |g AS (SELECT doc_id, labels,
-         |    list_filter(labels, x -> x <> 'und') AS tagged FROM l)
-         |SELECT doc_id, CAST(len(labels) AS INT) AS n_sentences,
-         |  CAST(len(tagged) AS INT) AS n_tagged,
-         |  CAST(coalesce(list_sum([CASE WHEN labels[i] <> 'und'
-         |      AND labels[i+1] <> 'und' AND labels[i] <> labels[i+1]
-         |      THEN 1 ELSE 0 END FOR i IN range(1, len(labels))]), 0) AS INT) AS n_switches,
-         |  array_to_string(list_sort(list_distinct(tagged)), ',') AS langs
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
-
-    // Entity pair co-occurrence counts (distinct per doc, a < b).
-    "q_entity_pairs" ->
-      """WITH t AS (SELECT doc_id, text || ' ' ||
-        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
-        |    ' visited ' ||
-        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
-        |    ' yesterday.' AS t2 FROM documents),
-        |e AS (SELECT DISTINCT doc_id,
-        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
-        |  FROM t)
-        |SELECT a.entity AS entity_a, b.entity AS entity_b, count(*) AS n_docs
-        |FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.entity < b.entity
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Chat flattening through DuckDB's JSON functions: same blocks,
-    // prefix-sum offsets, last-assistant span.
-    "q_chat_flatten" ->
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
-        |  FROM documents),
-        |j AS (SELECT doc_id,
-        |    '[{"role":"user","content":"' || coalesce(array_to_string(t[1:6], ' '), '') ||
-        |    '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[7:12], ' '), '') ||
-        |    '"},{"role":"user","content":"' || coalesce(array_to_string(t[13:18], ' '), '') ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[19:24], ' '), '')
-        |      ELSE '' END || '"}]' AS msgs
-        |  FROM toks),
-        |p AS (SELECT doc_id, msgs, CAST(json_array_length(msgs::JSON) AS INT) AS n FROM j),
-        |e AS (SELECT doc_id, n,
-        |    [{'r': json_extract_string(msgs, '$[' || (i - 1) || '].role'),
-        |      'c': json_extract_string(msgs, '$[' || (i - 1) || '].content')}
-        |     FOR i IN range(1, n + 1)] AS m FROM p),
-        |b AS (SELECT doc_id, n, m,
-        |    [x.r || ': ' || x.c || chr(10) FOR x IN m] AS blocks FROM e),
-        |st AS (SELECT doc_id, n, m, blocks,
-        |    [coalesce(list_sum([len(blocks[k]) FOR k IN range(1, i)]), 0)
-        |     FOR i IN range(1, len(blocks) + 1)] AS starts FROM b),
-        |la AS (SELECT doc_id, n, m, blocks, starts,
-        |    list_max([CASE WHEN m[i].r = 'assistant' THEN i ELSE 0 END
-        |              FOR i IN range(1, len(m) + 1)]) AS lastA FROM st)
-        |SELECT doc_id, md5(array_to_string(blocks, '')) AS text_md5,
-        |  n AS n_turns,
-        |  CAST(len(list_filter(m, x -> x.r = 'user')) AS INT) AS n_user,
-        |  CAST(len(list_filter(m, x -> x.r = 'assistant')) AS INT) AS n_assistant,
-        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
-        |    ELSE CAST(starts[lastA] + len(m[lastA].r) + 2 AS BIGINT) END AS response_start,
-        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
-        |    ELSE CAST(len(m[lastA].c) AS BIGINT) END AS response_chars
-        |FROM la ORDER BY doc_id""".stripMargin,
-
-    // Good-Turing n1/N + Chao1 V + n1^2/(2 n2).
-    "q_unseen_mass" ->
-      s"""WITH v AS (SELECT t.token, count(*) AS c FROM
-         |    (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
-         |     FROM documents) t
-         |  WHERE len(t.token) > 0 GROUP BY 1),
-         |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    count(*) AS n_vocab,
-         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
-         |  FROM v)
-         |SELECT n_tokens, n_vocab, n_hapax, n_dis,
-         |  CAST(floor(CASE WHEN n_tokens = 0 THEN NULL
-         |    ELSE CAST(n_hapax AS DOUBLE) / n_tokens END * 1e6 + 0.5) AS BIGINT) AS p_unseen_ppm,
-         |  CAST(floor(CASE WHEN n_dis = 0 THEN CAST(n_vocab AS DOUBLE)
-         |    ELSE n_vocab + CAST(n_hapax AS DOUBLE) * n_hapax / (2.0 * n_dis) END
-         |    * 1e6 + 0.5) AS BIGINT) AS chao1_ppm
-         |FROM a""".stripMargin,
-
-    // Markdown strip: identical RE2 chain, \1 backrefs, md5 + length.
-    "q_markdown" ->
-      """WITH m AS (SELECT doc_id,
-        |    '# Title' || chr(10) || chr(10) || '**bold** and *emph* text' ||
-        |    chr(10) || chr(10) || '```' || chr(10) || 'code block' || chr(10) ||
-        |    '```' || chr(10) || '- item one' || chr(10) || '- item two' ||
-        |    chr(10) || chr(10) || '[link text](http://x.org) ![alt](img.png)' ||
-        |    chr(10) || chr(10) || '> quote line' || chr(10) || chr(10) ||
-        |    '| a | b |' || chr(10) || chr(10) || text AS md
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(md, '(?s)```.*?```|~~~.*?~~~', ' ', 'g') AS t FROM m),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '`[^`\n]*`', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*(#{1,6}\s+|>\s?|[-*+]\s+|\d+\.\s+)', '', 'g') AS t FROM s4),
-        |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*([-=*_]\s*){3,}$|\|', ' ', 'g') AS t FROM s5),
-        |s7 AS (SELECT doc_id, regexp_replace(t, '[*_]{1,3}([^*_]+)[*_]{1,3}', '\1', 'g') AS t FROM s6),
-        |s8 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s7)
-        |SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS clean_len
-        |FROM s8 ORDER BY doc_id""".stripMargin,
-
-    // Homoglyph fold: same confusable translate table + invisible strip
-    // (RE2 \x{...} ranges), md5 equality with the unspoofed original.
-    "q_homoglyph" ->
-      s"""WITH s AS (SELECT doc_id, text,
-         |    CASE WHEN doc_id % 4 = 0
-         |         THEN chr(8203) || translate(text, 'aeo', 'аео') || chr(8205)
-         |         ELSE text END AS sp
-         |  FROM documents),
-         |f AS (SELECT doc_id, text,
-         |    translate(regexp_replace(sp,
-         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
-         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
-         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS folded
-         |  FROM s)
-         |SELECT doc_id, md5(folded) AS folded_md5,
-         |  (md5(folded) = md5(text)) AS dedup_match
-         |FROM f ORDER BY doc_id""".stripMargin,
-
-    // Mix-recipe rates: min(1, B*share/avail), floor(+0.5) expected,
-    // realized share of the expected total.
-    "q_mixture_rates" ->
-      """WITH avail AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS a
-        |  FROM documents WHERE n_chars > 0 GROUP BY 1),
-        |t(grp, ts) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
-        |j AS (SELECT t.grp, t.ts, coalesce(avail.a, 0) AS a
-        |  FROM t LEFT JOIN avail ON t.grp = avail.grp),
-        |r AS (SELECT grp, ts, a,
-        |    CASE WHEN a = 0 THEN 0.0
-        |         ELSE least(1.0, CAST(50000 AS DOUBLE) * ts / a) END AS rate
-        |  FROM j),
-        |e AS (SELECT grp, ts, a, rate, floor(rate * a + 0.5) AS expected FROM r),
-        |tot AS (SELECT sum(expected) AS te FROM e)
-        |SELECT grp AS "group", a AS available,
-        |  CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS rate_ppm,
-        |  CAST(expected AS BIGINT) AS expected_tokens,
-        |  CAST(floor(CASE WHEN te = 0 THEN NULL ELSE expected / te END * 1e6 + 0.5) AS BIGINT) AS realized_ppm
-        |FROM e, tot ORDER BY grp""".stripMargin,
-
-    // CDC: boundary flags, prefix-sum chunk ids, order-preserving
-    // string_agg rebuild, md5 fingerprints.
-    "q_cdc_chunks" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks
-        |  FROM documents),
-        |f AS (SELECT doc_id, toks,
-        |    [CASE WHEN substr(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END
-        |     FOR i IN range(1, len(toks) + 1)] AS flags FROM t),
-        |st AS (SELECT doc_id, toks,
-        |    [coalesce(list_sum(flags[1:i-1]), 0) FOR i IN range(1, len(flags) + 1)] AS starts
-        |  FROM f),
-        |a AS (SELECT doc_id,
-        |    unnest([{'i': i, 'c': starts[i], 't': toks[i]}
-        |            FOR i IN range(1, len(toks) + 1)]) AS u
-        |  FROM st WHERE len(toks) > 0),
-        |g AS (SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
-        |    md5(string_agg(u.t, ' ' ORDER BY u.i)) AS chunk_md5,
-        |    CAST(count(*) AS INT) AS n_toks
-        |  FROM a GROUP BY 1, 2)
-        |SELECT * FROM g
-        |UNION ALL SELECT doc_id, 0, md5(''), 0 FROM t WHERE len(toks) = 0
-        |ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // REP precedence over the rule table the literal bodies parse to:
-    // own agent beats '*', longest prefix, allow beats disallow on ties,
-    // no match = allowed.
-    "q_robots" ->
-      """WITH rules(host, agent, allow, path_prefix) AS (VALUES
-        |  ('site0.org', '*', false, '/private/'),
-        |  ('site0.org', '*', true, '/private/ok'),
-        |  ('site0.org', 'gptbot', false, '/'),
-        |  ('site1.org', 'ccbot', false, '/data/'),
-        |  ('site1.org', 'ccbot', true, '/data/public/')),
-        |u AS (SELECT 'https://site' || (doc_id % 3) || '.org' ||
-        |    (['/private/x','/private/ok/page','/data/x','/data/public/y','/open/z'])[CAST(doc_id % 5 + 1 AS INT)] ||
-        |    '?id=' || doc_id AS url FROM documents),
-        |uu AS (SELECT url,
-        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host,
-        |    coalesce(nullif(regexp_extract(url, 'https?://[^/\s?#]+(/[^\s#]*)', 1), ''), '/') AS path
-        |  FROM u),
-        |m AS (SELECT uu.url, r.allow, len(r.path_prefix) AS l,
-        |    CASE WHEN r.agent = 'ccbot' THEN 1 ELSE 0 END AS pri
-        |  FROM uu JOIN rules r ON uu.host = r.host
-        |    AND (r.agent = 'ccbot' OR r.agent = '*')
-        |  WHERE starts_with(uu.path, r.path_prefix)),
-        |w AS (SELECT url, allow,
-        |    row_number() OVER (PARTITION BY url
-        |      ORDER BY pri DESC, l DESC, allow DESC) AS rn FROM m)
-        |SELECT u.url, coalesce(w.allow, true) AS allowed
-        |FROM u LEFT JOIN w ON u.url = w.url AND w.rn = 1
-        |ORDER BY u.url""".stripMargin,
-
-    // Per-source distinct bucket counts (theta exact mode).
-    "q_theta_profile" ->
-      """SELECT source,
-        |  CAST(count(DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000) AS BIGINT) AS n_distinct
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // Join-size prediction: per-key count histograms, sum/max of products.
-    "q_join_size" ->
-      """WITH ka AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1),
-        |kb AS (SELECT l_orderkey % 1000 AS k, count(*) AS nb FROM lineitem GROUP BY 1),
-        |j AS (SELECT na * nb AS rows_k FROM ka JOIN kb USING (k))
-        |SELECT CAST(coalesce(sum(rows_k), 0) AS BIGINT) AS est_rows,
-        |  CAST(coalesce(max(rows_k), 0) AS BIGINT) AS max_key_rows,
-        |  count(*) AS n_join_keys
-        |FROM j""".stripMargin,
-
-    // Exact set arithmetic over the same bounded md5-bucket keys the
-    // theta sketches see (sketches are in exact mode below 4096 keys).
-    "q_theta_overlap" ->
-      """WITH k AS (SELECT doc_id,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000 AS key
-        |  FROM documents),
-        |a AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0),
-        |b AS (SELECT DISTINCT key FROM k WHERE doc_id % 3 = 0),
-        |m AS (SELECT
-        |  (SELECT count(*) FROM a) AS n_a,
-        |  (SELECT count(*) FROM b) AS n_b,
-        |  (SELECT count(*) FROM a JOIN b USING (key)) AS n_intersect,
-        |  (SELECT count(*) FROM (SELECT key FROM a UNION SELECT key FROM b)) AS n_union,
-        |  (SELECT count(*) FROM a WHERE key NOT IN (SELECT key FROM b)) AS n_a_not_b,
-        |  (SELECT count(*) FROM b WHERE key NOT IN (SELECT key FROM a)) AS n_b_not_a)
-        |SELECT n_a, n_b, n_intersect, n_union, n_a_not_b, n_b_not_a,
-        |  CAST(floor(CAST(n_intersect AS DOUBLE) / n_union * 1e6 + 0.5) AS BIGINT) AS jaccard_ppm
-        |FROM m""".stripMargin,
-
-    // nDCG: DCG folds as list_reduce with a 0.0 seed over rank-sorted
-    // terms (same association as Spark's aggregate() fold; 0.0 + x is
-    // bit-exact); log2 spelled ln(x)/ln(2.0) — Spark's log(2, x) formula.
-    "q_ndcg" ->
-      """WITH p AS (SELECT doc_id % 20 AS query, doc_id AS item,
-        |    doc_id // 20 + 1 AS rnk FROM documents),
-        |t AS (SELECT doc_id % 20 AS query, doc_id AS item,
-        |    CAST(doc_id % 7 AS DOUBLE) AS rel FROM documents WHERE doc_id % 3 = 0),
-        |j AS (SELECT p.query, p.rnk, coalesce(t.rel, 0.0) AS rel
-        |  FROM p LEFT JOIN t ON p.query = t.query AND p.item = t.item),
-        |d AS (SELECT query, count(*) AS k,
-        |    list_reduce([0.0] ||
-        |      [x.rel / (ln(x.rnk + 1) / ln(2.0))
-        |       FOR x IN list_sort(list({'rnk': rnk, 'rel': rel}))],
-        |      (a, b) -> a + b) AS dcg
-        |  FROM j GROUP BY query),
-        |i AS (SELECT query, list_sort(list(rel), 'DESC') AS rels
-        |  FROM t GROUP BY query),
-        |f AS (SELECT d.query, d.k, d.dcg,
-        |    CASE WHEN i.rels IS NULL OR least(len(i.rels), d.k) <= 0 THEN 0.0
-        |    ELSE list_reduce([0.0] ||
-        |      [i.rels[n] / (ln(n + 1) / ln(2.0))
-        |       FOR n IN range(1, CAST(least(len(i.rels), d.k) AS INT) + 1)],
-        |      (a, b) -> a + b) END AS idcg
-        |  FROM d LEFT JOIN i ON d.query = i.query)
-        |SELECT query, k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
-        |  CASE WHEN idcg = 0.0 THEN NULL ELSE round(dcg / idcg, 6) END AS ndcg
-        |FROM f ORDER BY query""".stripMargin,
-
-    // Confusion counts for the code rule vs its planted truth; the
-    // is_code computation is the q_code_detect oracle's.
-    "q_classifier_eval" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2,
-         |  (doc_id % 3 = 0) AS label FROM documents),
-         |m AS (SELECT doc_id, label,
-         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
-         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
-         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
-         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
-         |  FROM t),
-         |sig AS (SELECT doc_id, label,
-         |  (CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END > 0.12
-         |   OR (
-         |    (CASE WHEN len(lines) <= 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END) > 0.3
-         |    AND
-         |    (CASE WHEN len(words) <= 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(words, w ->
-         |        regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
-         |        OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
-         |        OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END) > 0.05
-         |   )) AS pred
-         |  FROM m),
-         |c AS (SELECT count(*) AS n,
-         |    CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM sig),
-         |r AS (SELECT *,
-         |    CAST(tp + tn AS DOUBLE) / n AS accuracy,
-         |    CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
-         |    CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec
-         |  FROM c)
-         |SELECT n, tp, fp, fn, tn,
-         |  CAST(floor(accuracy * 1e6 + 0.5) AS BIGINT) AS accuracy_ppm,
-         |  CAST(floor(prec * 1e6 + 0.5) AS BIGINT) AS precision_ppm,
-         |  CAST(floor(rec * 1e6 + 0.5) AS BIGINT) AS recall_ppm,
-         |  CAST(floor(CASE WHEN prec IS NULL OR rec IS NULL OR prec + rec = 0.0
-         |    THEN NULL ELSE 2.0 * prec * rec / (prec + rec) END * 1e6 + 0.5)
-         |    AS BIGINT) AS f1_ppm
-         |FROM r""".stripMargin,
-
-    // TextTiling valleys: adjacent distinct-token intersections, strict
-    // valley with infinite edges; struct-comprehension unnest.
-    "q_topic_boundaries" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_replace(text, ' (table|key|value|row|scan) ', '. ', 'g') AS t2
-        |  FROM documents),
-        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
-        |    x -> len(trim(x)) > 0) AS sents FROM t),
-        |ss AS (SELECT doc_id,
-        |    [list_distinct(list_filter(regexp_split_to_array(lower(sents[i]), '\s+'),
-        |       w -> len(w) > 0)) FOR i IN range(1, len(sents) + 1)] AS sets
-        |  FROM s),
-        |g AS (SELECT doc_id,
-        |    [len(list_intersect(sets[i], sets[i+1])) FOR i IN range(1, len(sets))] AS gaps
-        |  FROM ss WHERE len(sets) >= 2),
-        |e AS (SELECT doc_id, unnest([{'i': i, 'g': gaps[i],
-        |      'l': CASE WHEN i = 1 THEN 2147483647 ELSE gaps[i-1] END,
-        |      'r': CASE WHEN i = len(gaps) THEN 2147483647 ELSE gaps[i+1] END}
-        |      FOR i IN range(1, len(gaps) + 1)]) AS u FROM g)
-        |SELECT doc_id, CAST(u.i AS BIGINT) AS gap_idx,
-        |  CAST(u.g AS BIGINT) AS overlap,
-        |  (u.g < u.l AND u.g < u.r) AS is_boundary
-        |FROM e ORDER BY doc_id, gap_idx""".stripMargin,
-
-    // Sentence-budget chunking: prefix sums via sliced list_sum, the
-    // struct-comprehension unnest, order-preserving string_agg rebuild.
-    "q_sentence_chunks" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS t2
-        |  FROM documents),
-        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
-        |    x -> len(trim(x)) > 0) AS sents FROM t),
-        |c AS (SELECT doc_id, sents,
-        |    [len(list_filter(regexp_split_to_array(sents[i], '\s+'), w -> len(w) > 0))
-        |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM s),
-        |st AS (SELECT doc_id, sents, cnts,
-        |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
-        |  FROM c),
-        |a AS (SELECT doc_id,
-        |    unnest([{'i': i,
-        |             'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
-        |             's': sents[i], 't': cnts[i]}
-        |            FOR i IN range(1, len(sents) + 1)]) AS u FROM st),
-        |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
-        |    string_agg(u.s, '. ' ORDER BY u.i) AS chunk,
-        |    CAST(count(*) AS INT) AS n_sentences,
-        |    CAST(sum(u.t) AS INT) AS n_tokens
-        |  FROM a GROUP BY 1, 2)
-        |SELECT * FROM g
-        |UNION ALL SELECT doc_id, 0, '', 0, 0 FROM s WHERE len(sents) = 0
-        |ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Rand/ARI from exact integer pair counts; same double association
-    // for the two ratios, ppm floors.
-    "q_cluster_agreement" ->
-      """WITH k AS (SELECT source AS a, floor(n_chars / 100) AS b FROM documents),
-        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
-        |cs AS (SELECT CAST(sum(n_ab * (n_ab - 1) // 2) AS BIGINT) AS sum_cells,
-        |              CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
-        |rs AS (SELECT CAST(sum(n_a * (n_a - 1) // 2) AS BIGINT) AS sum_rows
-        |       FROM (SELECT sum(n_ab) AS n_a FROM cells GROUP BY a)),
-        |cls AS (SELECT CAST(sum(n_b * (n_b - 1) // 2) AS BIGINT) AS sum_cols
-        |        FROM (SELECT sum(n_ab) AS n_b FROM cells GROUP BY b)),
-        |j AS (SELECT n, n * (n - 1) // 2 AS n_pairs, sum_cells, sum_rows, sum_cols
-        |      FROM cs, rs, cls),
-        |x AS (SELECT *,
-        |    CAST(sum_rows AS DOUBLE) * sum_cols / n_pairs AS expected,
-        |    CAST(sum_rows + sum_cols AS DOUBLE) / 2.0 AS max_idx
-        |  FROM j)
-        |SELECT n, n_pairs, sum_cells, sum_rows, sum_cols,
-        |  CAST(floor(CAST(n_pairs + 2 * sum_cells - sum_rows - sum_cols AS DOUBLE)
-        |    / n_pairs * 1e6 + 0.5) AS BIGINT) AS rand_ppm,
-        |  CAST(floor(CASE WHEN max_idx = expected THEN 1.0
-        |    ELSE (sum_cells - expected) / (max_idx - expected) END * 1e6 + 0.5)
-        |    AS BIGINT) AS ari_ppm
-        |FROM x""".stripMargin,
-
-    // Planted capitalized spans over lowercase corpus text; RE2 \b word
-    // boundaries, leftmost-greedy — identical matches in both engines.
-    "q_entities" ->
-      """WITH t AS (SELECT doc_id, text || ' ' ||
-        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
-        |    ' visited ' ||
-        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
-        |    ' yesterday.' AS t2 FROM documents),
-        |e AS (SELECT DISTINCT doc_id,
-        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
-        |  FROM t)
-        |SELECT entity, count(*) AS n_docs FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Flesch signals: shared regex classes, greatest(_,1) guards, same
-    // left-associated score arithmetic, ppm floor.
-    "q_readability" ->
-      """WITH t AS (SELECT doc_id,
-        |    text || repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT)) AS t2
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    len(list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
-        |      s -> len(trim(s)) > 0)) AS n_sentences,
-        |    len(list_filter(regexp_split_to_array(t2, '\s+'),
-        |      w -> len(w) > 0)) AS n_words,
-        |    len(regexp_extract_all(lower(t2), '[aeiouy]+')) AS n_syllables
-        |  FROM t)
-        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
-        |  CAST(n_words AS BIGINT) AS n_words,
-        |  CAST(n_syllables AS BIGINT) AS n_syllables,
-        |  CAST(floor((206.835
-        |    - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
-        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)))
-        |    * 1e6 + 0.5) AS BIGINT) AS flesch_ppm
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Anchor extraction: same RE2 patterns as linkTable; positions via
-    // the struct-comprehension unnest (0-based like posexplode).
-    "q_link_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |    '<html><body><p>' || text || '</p>' ||
-        |    '<a href="http://cdn' || (doc_id % 7) || '.' || source ||
-        |    '.org/page?id=' || doc_id || '&utm_source=feed">read <b>more</b> now</a>' ||
-        |    CASE WHEN doc_id % 3 = 0
-        |         THEN '<a class="x" href="https://hub.org/">Hub</a>'
-        |         ELSE '' END ||
-        |    '</body></html>' AS html FROM documents),
-        |lst AS (SELECT doc_id,
-        |    regexp_extract_all(html, '(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>') AS arr
-        |  FROM h),
-        |e AS (SELECT doc_id,
-        |    unnest([{'p': i - 1, 'v': arr[i]} FOR i IN range(1, len(arr) + 1)]) AS u
-        |  FROM lst),
-        |f AS (SELECT doc_id, CAST(u.p AS BIGINT) AS link_pos,
-        |    regexp_extract(u.v, '(?is)href="([^"]*)"', 1) AS url,
-        |    trim(regexp_replace(regexp_replace(u.v,
-        |      '(?is)^<a[^>]*>|</a>$|<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
-        |  FROM e)
-        |SELECT doc_id, link_pos, url, anchor,
-        |  regexp_extract(regexp_replace(
-        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
-        |    '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
-        |FROM f ORDER BY doc_id, link_pos""".stripMargin,
-
-    // Directed source-overlap matrix on distinct 3-grams.
-    "q_source_overlap" ->
-      s"""WITH norm AS (SELECT source, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
-         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
-         |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
-         |p AS (SELECT a.source AS slice_a, b.source AS slice_b, count(*) AS n_shared
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
-         |  GROUP BY 1, 2)
-         |SELECT slice_a, slice_b, n_shared,
-         |  CAST(floor(CAST(n_shared AS DOUBLE) / sz.n_grams * 1e6 + 0.5) AS BIGINT) AS containment_ppm
-         |FROM p JOIN sz ON p.slice_a = sz.source
-         |ORDER BY 1, 2""".stripMargin,
-
-    // Zone blocklist: membership of any host dot-suffix == equality OR
-    // dotted-suffix LIKE per entry.
-    "q_suffix_block" ->
-      """WITH u AS (SELECT doc_id, 'https://' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'ads.tracker' || (doc_id % 3) || '.net'
-        |         ELSE source || '.org' END || '/p/' || doc_id AS url
-        |  FROM documents),
-        |h AS (SELECT doc_id, url,
-        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host FROM u)
-        |SELECT doc_id, url FROM h
-        |WHERE NOT (host = 'tracker0.net' OR host LIKE '%.tracker0.net'
-        |  OR host = 'tracker1.net' OR host LIKE '%.tracker1.net'
-        |  OR host = 'src0.org' OR host LIKE '%.src0.org'
-        |  OR host = 'src1.org' OR host LIKE '%.src1.org')
-        |ORDER BY doc_id""".stripMargin,
-
-    // Connected components via recursive-CTE reachability: in an undirected
-    // graph the reachable set IS the component, so min(reachable ∪ self)
-    // is the component's minimum id. Terminates because UNION dedups.
-    "q_cc_dedup" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM documents a JOIN documents b
-        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
-        |    AND a.doc_id <> b.doc_id),
-        |r(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src)
-        |SELECT id AS doc_id, min(comp) AS component,
-        |  (min(comp) <> id) AS is_duplicate
-        |FROM r GROUP BY id ORDER BY 1""".stripMargin,
-
-    "q_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |grams AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 13
-         |    THEN [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)]
-         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
-         |hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams,
-         |    count(DISTINCT b.doc_id) AS n_bench_docs
-         |  FROM grams c JOIN grams b ON c.g = b.g AND b.doc_id % 20 = 0
-         |  WHERE c.doc_id % 20 <> 0 GROUP BY 1)
-         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
-         |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
-         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
-
-    "q_vocab" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents)
-         |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
-         |FROM tok WHERE len(token) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_tfidf_topk" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
-         |idf AS (SELECT token, ln((SELECT count(*) FROM documents) / count(DISTINCT doc_id)) AS idf
-         |  FROM tok2 GROUP BY 1),
-         |r AS (SELECT doc_id, token, tf, tf * idf AS score,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf DESC, token) AS rnk
-         |  FROM tf JOIN idf USING (token))
-         |SELECT doc_id, token, tf, round(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
-         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
-
-    "q_vector_norm" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT vec_id,
-        |  round(sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])), 6) AS nrm
-        |FROM e ORDER BY vec_id""".stripMargin,
-
-    "q_random_project" ->
-      """WITH m AS (SELECT k,
-        |    [CASE WHEN ('0x' || substr(md5(k || '-' || j || '-42'), 1, 2))::INTEGER % 2 = 1
-        |       THEN -1 / sqrt(8) ELSE 1 / sqrt(8) END FOR j IN range(0, 64)] AS row
-        |  FROM range(0, 8) t(k)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT vec_id, CAST(k AS INTEGER) AS k,
-        |    list_sum([v[j + 1] * row[j + 1] FOR j IN range(0, 64)]) AS x
-        |  FROM e, m)
-        |SELECT vec_id, k, round(x, 6) AS x FROM p
-        |ORDER BY vec_id, k""".stripMargin,
-
-    "q_embed_cov_by_group" ->
-      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
-        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
-        |     FOR i IN range(0, 64)] AS v
-        |  FROM embeddings),
-        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 4)),
-        |prods AS (SELECT q.label, a.i AS i, b.i AS j,
-        |    SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
-        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2, 3),
-        |sums AS (SELECT q.label, a.i AS i, CAST(-1 AS BIGINT) AS j,
-        |    SUM(q.v[a.i + 1]) AS sxy
-        |  FROM q, idx a GROUP BY 1, 2, 3),
-        |cnt AS (SELECT label, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
-        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q GROUP BY 1)
-        |SELECT label, i, j, sxy FROM prods
-        |UNION ALL SELECT label, i, j, sxy FROM sums
-        |UNION ALL SELECT label, i, j, sxy FROM cnt
-        |ORDER BY label, i, j""".stripMargin,
-
-    "q_embed_cov" ->
-      """WITH q AS (SELECT
-        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
-        |     FOR i IN range(0, 64)] AS v
-        |  FROM embeddings),
-        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 8)),
-        |prods AS (SELECT a.i AS i, b.i AS j, SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
-        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
-        |sums AS (SELECT a.i AS i, CAST(-1 AS BIGINT) AS j, SUM(q.v[a.i + 1]) AS sxy
-        |  FROM q, idx a GROUP BY 1, 2),
-        |cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
-        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q)
-        |SELECT i, j, sxy FROM prods
-        |UNION ALL SELECT i, j, sxy FROM sums
-        |UNION ALL SELECT i, j, sxy FROM cnt
-        |ORDER BY i, j""".stripMargin,
-
-    "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
-        |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
-        |SELECT query_id, neighbor_id, round(cos, 5) AS cosine, CAST(rnk AS BIGINT) AS rank
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-
-    "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) /
-        |      (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
-        |       * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)]))) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT CAST(block AS BIGINT) AS block, id_a, id_b, round(cos, 5) AS cosine
-        |FROM p WHERE cos >= 0.25 ORDER BY block, id_a, id_b""".stripMargin,
-
-    "q_sessionize" ->
-      """WITH g AS (SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      OR (epoch_us(ts) // 1000000)
-        |        - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-        |      THEN 1 ELSE 0 END AS st
-        |  FROM events),
-        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
-        |  (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS span_seconds
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_status_filter" ->
-      """WITH f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
-        |s AS (SELECT user_id, ts, event_type AS status_code FROM events
-        |  WHERE event_type IN ('signup', 'error'))
-        |SELECT f.event_id, f.user_id, f.value
-        |FROM f ASOF LEFT JOIN s ON f.user_id = s.user_id AND f.ts >= s.ts
-        |WHERE s.status_code IS NULL OR s.status_code <> 'error'
-        |ORDER BY f.event_id""".stripMargin,
-
-    "q_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, c.value AS prior_click_value
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
-
-    "q_pii_redact" ->
-      """WITH w AS (SELECT doc_id,
-        |    'contact user' || doc_id || '@mail.example.org or 10.' || (doc_id % 256)
-        |      || '.0.1 or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |      || ' ' || substring(text, 1, 40) AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
-        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-        |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    "q_url_domain" ->
-      """WITH u AS (SELECT doc_id,
-        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
-        |      || 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
-        |      || '.org/path/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |d AS (SELECT doc_id,
-        |    regexp_extract(regexp_replace(
-        |      lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
-        |      '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
-        |  FROM u)
-        |SELECT domain, count(*) AS n FROM d
-        |WHERE domain NOT IN ('src0.org', 'src1.org')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_repetition" ->
-      s"""WITH base AS (SELECT doc_id,
-         |    list_filter(string_split_regex($normText, ' '), t -> len(t) > 0) AS toks,
-         |    list_filter(list_transform(
-         |      string_split(regexp_replace(text, ' customer', chr(10) || 'customer', 'g'), chr(10)),
-         |      s -> trim(s)), s -> len(s) > 0) AS lines
-         |  FROM documents),
-         |g AS (SELECT doc_id, toks, lines,
-         |    CASE WHEN len(toks) >= 2
-         |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-         |         ELSE [] END AS grams
-         |  FROM base)
-         |SELECT doc_id,
-         |  round(CASE WHEN len(toks) = 0 THEN 1.0
-         |    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_tok_ratio,
-         |  round(CASE WHEN len(toks) < 2 THEN 0.0
-         |    ELSE CAST(list_max(list_transform(list_distinct(grams),
-         |      x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) * 2 / len(toks) END, 6) AS top2gram_frac,
-         |  round(CASE WHEN len(lines) <= 1 THEN 0.0
-         |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac
-         |FROM g ORDER BY doc_id""".stripMargin,
-
-    "q_pack" ->
-      """WITH c AS (SELECT doc_id, n_chars,
-        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
-        |  FROM documents WHERE n_chars > 0),
-        |s AS (SELECT doc_id, cend - n_chars AS cstart, cend,
-        |    unnest(range(CAST(floor((cend - n_chars) / 512) AS BIGINT),
-        |                 CAST(floor((cend - 1) / 512) AS BIGINT) + 1)) AS seq_id
-        |  FROM c)
-        |SELECT doc_id, seq_id,
-        |  greatest(seq_id * 512, cstart) - cstart AS doc_tok_start,
-        |  least((seq_id + 1) * 512, cend) - cstart AS doc_tok_end,
-        |  greatest(seq_id * 512, cstart) - seq_id * 512 AS seq_tok_start
-        |FROM s ORDER BY doc_id, seq_id""".stripMargin,
-
-    "q_para_dedup" ->
-      """WITH p0 AS (SELECT doc_id, string_split_regex(text, ' customer ') AS ps FROM documents),
-        |p1 AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
-        |  FROM p0),
-        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
-        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
-        |      '\s+', ' ', 'g'))) AS h
-        |  FROM p1 WHERE len(trim(u.para)) > 0),
-        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
-        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
-        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
-        |r AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
-        |    count(*) AS n FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
-        |  coalesce(r.n, 0) AS n_paras_kept
-        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_sentence_dedup" ->
-      """WITH p0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS ps FROM documents),
-        |p1 AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
-        |  FROM p0),
-        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
-        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
-        |      '\s+', ' ', 'g'))) AS h
-        |  FROM p1 WHERE len(trim(u.para)) > 0),
-        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
-        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
-        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
-        |r AS (SELECT doc_id, string_agg(para, '. ' ORDER BY idx) AS text_dedup,
-        |    count(*) AS n FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
-        |  coalesce(r.n, 0) AS n_sents_kept
-        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_temperature_mix" ->
-      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
-        |    sum(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)) AS ss FROM cnt),
-        |r AS (SELECT lang, CAST(least(
-        |    floor((SELECT nn FROM tot) * floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)
-        |      / (SELECT ss FROM tot) / n * 10000 + 0.5), 100000.0) AS BIGINT) AS thr
-        |  FROM cnt),
-        |b AS (SELECT d.doc_id, d.lang,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bkt,
-        |    r.thr FROM documents d JOIN r ON d.lang = r.lang),
-        |c AS (SELECT doc_id, lang,
-        |    (thr // 10000) + CASE WHEN bkt < thr % 10000 THEN 1 ELSE 0 END AS copies
-        |  FROM b)
-        |SELECT doc_id, lang, CAST(unnest([i FOR i IN range(0, copies)]) AS BIGINT) AS copy
-        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
-
-    "q_mixture" ->
-      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |t(lang, tgt) AS (VALUES ('en', 0.5), ('fr', 0.3), ('de', 0.2)),
-        |j AS (SELECT c.lang, c.n, t.tgt FROM cnt c JOIN t ON c.lang = t.lang),
-        |r AS (SELECT lang,
-        |    CAST(round(least(1.0, (SELECT min(n / tgt) FROM j) * tgt / n) * 10000) AS BIGINT) AS thr
-        |  FROM j)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_chunk_tokens" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, toks,
-        |    unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS tok_start
-        |  FROM t)
-        |SELECT doc_id, CAST(tok_start AS BIGINT) AS tok_start,
-        |  array_to_string(toks[tok_start : tok_start + 39], ' ') AS chunk,
-        |  greatest(least(len(toks) - tok_start + 1, 40), 0) AS n_toks
-        |FROM s ORDER BY doc_id, tok_start""".stripMargin,
-
-    "q_incr_dedup" ->
-      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 1),
-         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 1),
-         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
-         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
-         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
-         |ORDER BY n.doc_id""".stripMargin,
-
-    // lang cardinality per shard is far below the HLL sparse-mode bound, so
-    // the sketch estimate is exactly the distinct count; the doc_id estimate
-    // is pinned to a 5%-of-exact contract rather than a value
-    "q_cumulative_uniques" ->
-      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
-        |  FROM events GROUP BY 1)
-        |SELECT epoch_us(day) // 1000000 AS day_epoch, n_events, true AS cum_ok
-        |FROM d ORDER BY 1""".stripMargin,
-
-    // Claims oracles for the link-analysis gates: node lists + expected
-    // booleans derived from the same deterministic edge construction
-    // (src host -> its cdn hosts; cdn -> hub for doc_id%3 docs).
-    "q_pagerank" ->
-      """WITH hosts AS (
-        |  SELECT DISTINCT source || '.org' AS node FROM documents
-        |  UNION
-        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
-        |  UNION
-        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0))
-        |SELECT node, true AS above_floor, (node = 'hub.org') AS is_top,
-        |       true AS sum_ok
-        |FROM hosts ORDER BY node""".stripMargin,
-
-    "q_trustrank" ->
-      """WITH hosts AS (
-        |  SELECT DISTINCT source || '.org' AS node FROM documents
-        |  UNION
-        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
-        |  UNION
-        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
-        |  UNION SELECT 'src0.org' UNION SELECT 'src1.org'),
-        |reach AS (
-        |  SELECT 'src0.org' AS node UNION SELECT 'src1.org'
-        |  UNION
-        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org'
-        |  FROM documents WHERE source IN ('src0', 'src1')
-        |  UNION
-        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents
-        |    WHERE source IN ('src0', 'src1') AND doc_id % 3 = 0))
-        |SELECT h.node, (h.node IN (SELECT node FROM reach)) AS trust_pos,
-        |       true AS sum_ok
-        |FROM hosts h ORDER BY h.node""".stripMargin,
-
-    "q_hits" ->
-      """WITH cdn AS (
-        |  SELECT 'cdn' || (doc_id % 7) || '.' || source || '.org' AS node,
-        |         bool_or(doc_id % 3 = 0) AS has_out
-        |  FROM documents GROUP BY 1),
-        |srcs AS (SELECT DISTINCT source || '.org' AS node FROM documents)
-        |SELECT node, true AS auth_pos, has_out AS hub_pos FROM cdn
-        |UNION ALL SELECT node, false, true FROM srcs
-        |UNION ALL SELECT 'hub.org', true, false
-        |  WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
-        |ORDER BY node""".stripMargin,
-
-    "q_score_calibration" ->
-      """SELECT doc_id, lang, true AS cal_ok FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_shard_profile" ->
-      """SELECT source AS shard, count(*) AS n_rows,
-        |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-        |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
-        |  || source || '.org' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
-        |  || '/Path/' || CAST(doc_id AS VARCHAR)
-        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
-        |  || '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
-        |  || '&fbclid=xyz'
-        |  || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
-        |s2 AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(lower(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)),
-        |    '^(http://[^/]*):80$', '\1'), '^(https://[^/]*):443$', '\1')
-        |  || substring(url, length(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)) + 1) AS url
-        |  FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(url,
-        |  '([?&])(?i:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '\1', 'g') AS url FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '\?&+', '?', 'g'),
-        |  '&{2,}', '&', 'g') AS url FROM s3)
-        |SELECT doc_id, regexp_replace(url, '[?&/]+$', '') AS canon_url
-        |FROM s4 ORDER BY doc_id""".stripMargin,
-
-    // HUGEINT keeps the boundary test exact (BIGINT would overflow at
-    // dev^2 * (n-1) ~ 1e22)
-    "q_doclen_outlier" ->
-      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
-        |    sum(n_chars::HUGEINT * n_chars) AS sxx FROM documents GROUP BY 1)
-        |SELECT doc_id, lang, n_chars,
-        |  (n > 1 AND
-        |   (d.n_chars::HUGEINT * n - sx) * (d.n_chars::HUGEINT * n - sx) * (n - 1)
-        |     >= 4::HUGEINT * n * (n::HUGEINT * sxx - sx::HUGEINT * sx)) AS len_outlier
-        |FROM documents d JOIN st USING (lang)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_mojibake" -> {
-      val cls = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]"
-      s"""WITH d AS (SELECT doc_id,
-         |    substring(text, 1, 40) || chr(7) || substring(text, 41, 40) || chr(65533) AS dmg,
-         |    text FROM documents)
-         |SELECT doc_id,
-         |  round((length(dmg) - length(regexp_replace(dmg, '$cls', '', 'g')))::DOUBLE
-         |    / length(dmg), 6) AS damaged_score,
-         |  CASE WHEN length(text) = 0 THEN 0.0
-         |    ELSE round((length(text) - length(regexp_replace(text, '$cls', '', 'g')))::DOUBLE
-         |      / length(text), 6) END AS clean_score
-         |FROM d ORDER BY doc_id""".stripMargin
-    },
-
-    // salting is pure physical re-sharding: the oracle is the unsalted join
-    "q_salted_join" ->
-      """WITH dim AS (SELECT source, avg(n_chars) AS src_avg_chars
-        |  FROM documents GROUP BY 1)
-        |SELECT d.doc_id, d.source, round(dim.src_avg_chars, 6) AS src_avg_chars
-        |FROM documents d LEFT JOIN dim USING (source)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_key_skew" ->
-      """WITH c AS (SELECT source, lang, count(*) AS n_rows FROM documents GROUP BY 1, 2),
-        |t AS (SELECT count(*) AS tot FROM documents),
-        |top AS (SELECT source, lang, n_rows,
-        |  row_number() OVER (ORDER BY n_rows DESC, source, lang) AS rank FROM c)
-        |SELECT source, lang, n_rows, round(n_rows::DOUBLE / tot, 6) AS frac_of_total, rank
-        |FROM top, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
-
-    // first-occurrence key packs (doc_id, pos) into one BIGINT — valid while
-    // positions stay below 10^6 tokens/doc, far above the gate data
-    "q_substr_dedup" -> {
-      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
-      """WITH t AS (SELECT doc_id, TOKS AS toks FROM documents),
-        |w0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
-        |    THEN [{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')} FOR i IN range(1, len(toks) - 6)]
-        |    ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS u FROM t),
-        |w AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM w0),
-        |firsts AS (SELECT g, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY 1),
-        |dupw AS (SELECT doc_id, pos FROM w JOIN firsts USING (g)
-        |  WHERE doc_id * 1000000 + pos <> fk),
-        |cov AS (SELECT DISTINCT doc_id, idx FROM
-        |  (SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM dupw)),
-        |tok0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 1
-        |    THEN [{'idx': i, 'tok': toks[i]} FOR i IN range(1, len(toks) + 1)]
-        |    ELSE CAST([] AS STRUCT(idx BIGINT, tok VARCHAR)[]) END) AS u FROM t),
-        |tokens AS (SELECT doc_id, u.idx AS idx, u.tok AS tok FROM tok0),
-        |kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tokens tk
-        |  LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.idx = c.idx
-        |  WHERE c.idx IS NULL),
-        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
-        |  count(*) AS n_tokens_kept FROM kept GROUP BY 1),
-        |ndrop AS (SELECT doc_id, count(*) AS n_tokens_dropped FROM cov GROUP BY 1)
-        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
-        |  coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
-        |  coalesce(n.n_tokens_dropped, 0) AS n_tokens_dropped
-        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
-        |LEFT JOIN ndrop n USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin.replace("TOKS", toks)
-    },
-
-    // bloom prefilter is an optimization, not a semantic change: the oracle
-    // is the plain incremental-dedup SQL on the complementary split
-    "q_bloom_incr" ->
-      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 2),
-         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 2),
-         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
-         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
-         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
-         |ORDER BY n.doc_id""".stripMargin,
-
-    "q_topk_stratum" ->
-      """SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id, rnk FROM (
-        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rnk
-        |  FROM documents)
-        |WHERE rnk <= 7 ORDER BY stratum, rnk""".stripMargin,
-
-    "q_bigram_lp" -> {
-      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
-        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-         |trtok AS (SELECT unnest($toks) AS token FROM tr),
-         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
-         |trbi0 AS (SELECT $toks AS toks FROM tr),
-         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
-         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
-         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
-         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
-         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
-         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
-         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
-         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(avg(coalesce(lp2, ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V)))), 6) AS mean_lp
-         |FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    "q_unigram_lp" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
-         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot)
-         |SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS mean_lp
-         |FROM tok2 JOIN model USING (token) GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_html_strip" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><style>x{color:red}</style></head><body><h1>' || substring(text, 1, 30)
-        |    || '</h1><p class="a">' || substring(text, 31, 60)
-        |    || ' &amp; more</p><script>var x=1;</script>' || chr(7) || '</body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F�]', '', 'g'),
-        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(t, '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g') AS t FROM s2)
-        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
-        |FROM s3 ORDER BY doc_id""".stripMargin,
-
-    "q_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_phrase_blocklist" ->
-      """WITH c AS (SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), 'table scan')) AS c1,
-        |    len(regexp_extract_all(lower(text), 'hash join')) AS c2,
-        |    len(regexp_extract_all(lower(text), 'sort merge')) AS c3
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_matches,
-        |  CAST((c1 > 0)::INT + (c2 > 0)::INT + (c3 > 0)::INT AS BIGINT)
-        |    AS n_phrases_hit,
-        |  (c1 + c2 + c3) > 0 AS flagged
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q_group_split" ->
-      """SELECT source,
-        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
-        |       ELSE 'test' END AS split,
-        |  count(*) AS n_docs
-        |FROM (SELECT source,
-        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 10000 AS b
-        |  FROM documents)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_epoch_shuffle" ->
-      """SELECT * FROM (
-        |  (SELECT 0 AS epoch, doc_id,
-        |     md5('0:7:' || CAST(doc_id AS VARCHAR)) AS k
-        |   FROM documents ORDER BY k LIMIT 20)
-        |  UNION ALL
-        |  (SELECT 1 AS epoch, doc_id,
-        |     md5('1:7:' || CAST(doc_id AS VARCHAR)) AS k
-        |   FROM documents ORDER BY k LIMIT 20))
-        |ORDER BY epoch, k""".stripMargin,
-
-    "q_secret_scan" ->
-      """WITH p AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN
-        |      text || ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
-        |        || ' token=' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 12)
-        |        || ' ' || md5(CAST(doc_id AS VARCHAR))
-        |    ELSE text END AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  len(regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b')) AS n_awskey,
-        |  len(regexp_extract_all(t, '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----')) AS n_pem,
-        |  len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS n_hex32,
-        |  len(regexp_extract_all(t, '[A-Za-z0-9+/]{40,}={0,2}')) AS n_b64tok,
-        |  len(regexp_extract_all(t, '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}')) AS n_assign,
-        |  length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(t,
-        |      '\bAKIA[0-9A-Z]{16}\b', '<AWSKEY>', 'g'),
-        |      '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<PEM>', 'g'),
-        |      '\b[0-9a-f]{32,}\b', '<HEX32>', 'g'),
-        |      '[A-Za-z0-9+/]{40,}={0,2}', '<B64TOK>', 'g'),
-        |      '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}', '<ASSIGN>', 'g'))
-        |    AS redacted_len
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-    "q_dataset_card" ->
-      s"""WITH b AS (SELECT
-         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |        x -> len(x) > 0)) AS t,
-         |    CAST(length(text) AS BIGINT) AS c,
-         |    md5($normText) AS fp
-         |  FROM documents)
-         |SELECT metric, value FROM (
-         |  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM b
-         |  UNION ALL SELECT 'n_distinct_docs', CAST(count(DISTINCT fp) AS DOUBLE) FROM b
-         |  UNION ALL SELECT 'total_tokens', CAST(sum(t) AS DOUBLE) FROM b
-         |  UNION ALL SELECT 'total_chars', CAST(sum(c) AS DOUBLE) FROM b
-         |  UNION ALL SELECT 'max_doc_tokens', CAST(max(t) AS DOUBLE) FROM b
-         |  UNION ALL SELECT 'median_doc_tokens', quantile_cont(t, 0.5) FROM b)
-         |ORDER BY metric""".stripMargin,
-
-    "q_cube" ->
-      """SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
-        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""".stripMargin,
-
-    "q_length_buckets" ->
-      """WITH t AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents)
-        |SELECT doc_id, n_chars,
-        |  CAST((n_chars > q[1]) AS INT) + CAST((n_chars > q[2]) AS INT)
-        |    + CAST((n_chars > q[3]) AS INT) AS bucket
-        |FROM documents, t ORDER BY doc_id""".stripMargin,
-
-    "q_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
-        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
-        |  FROM n q, n c
-        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.vec_id <> q.vec_id + 1),
-        |r AS (SELECT query_id, neg_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rnk FROM p)
-        |SELECT query_id, neg_id, round(cos, 5) AS cosine, rnk AS hard_rank
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-
-    "q_negative_sample" ->
-      """WITH n AS (SELECT count(*) AS cs FROM embeddings),
-        |q AS (SELECT vec_id AS query, (vec_id * 7 + 1) % (SELECT cs FROM n) AS pos
-        |  FROM embeddings WHERE vec_id < 20),
-        |d AS (SELECT t.query, s.slot,
-        |    ('0x' || substr(md5(CAST(t.query AS VARCHAR) || '|' || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT
-        |      % (SELECT cs FROM n) AS cand
-        |  FROM (SELECT DISTINCT query FROM q) t,
-        |       (SELECT unnest(range(0, 15)) AS slot) s),
-        |dd AS (SELECT query, cand, min(slot) AS slot FROM d
-        |  WHERE cand <> query GROUP BY 1, 2),
-        |neg AS (SELECT dd.* FROM dd LEFT JOIN q
-        |  ON dd.query = q.query AND dd.cand = q.pos WHERE q.query IS NULL),
-        |r AS (SELECT query, cand, slot,
-        |    row_number() OVER (PARTITION BY query ORDER BY slot, cand) AS rnk FROM neg)
-        |SELECT query AS vec_id, cand AS neg_id, rnk AS slot_rank
-        |FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin,
-
-    "q_topk_recall" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-        |pt AS (SELECT a.vec_id AS query, b.vec_id AS item,
-        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) AS cos
-        |  FROM n a, n b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
-        |rt AS (SELECT query, item,
-        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pt),
-        |truth AS (SELECT query, item FROM rt WHERE rnk <= 5),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
-        |qv AS (SELECT vec_id,
-        |    [CASE WHEN maxabs = 0 THEN 0.0
-        |          ELSE CAST(CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) AS DOUBLE) END
-        |     FOR i IN range(1, len(v) + 1)] AS q
-        |  FROM m),
-        |nq AS (SELECT vec_id, q,
-        |    sqrt(list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)])) AS nrm FROM qv),
-        |pp AS (SELECT a.vec_id AS query, b.vec_id AS item,
-        |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-        |         ELSE list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) / (a.nrm * b.nrm)
-        |    END AS cos
-        |  FROM nq a, nq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
-        |rp AS (SELECT query, item,
-        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pp),
-        |pred AS (SELECT query, item FROM rp WHERE rnk <= 5),
-        |np AS (SELECT query, count(*) AS n_pred FROM pred GROUP BY 1),
-        |nt AS (SELECT query, count(*) AS n_truth FROM truth GROUP BY 1),
-        |h AS (SELECT p.query, count(*) AS n_hit FROM pred p
-        |  JOIN truth t ON p.query = t.query AND p.item = t.item GROUP BY 1)
-        |SELECT nt.query AS query_id, coalesce(np.n_pred, 0) AS n_pred,
-        |  nt.n_truth AS n_truth, coalesce(h.n_hit, 0) AS n_hit,
-        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall,
-        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / np.n_pred AS precision
-        |FROM nt LEFT JOIN np ON nt.query = np.query
-        |LEFT JOIN h ON nt.query = h.query
-        |ORDER BY query_id""".stripMargin,
-
-    "q_quantize" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
-        |q AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
-        |    [CASE WHEN maxabs = 0 THEN 0
-        |          ELSE CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) END
-        |     FOR i IN range(1, len(v) + 1)] AS q
-        |  FROM m),
-        |s AS (SELECT vec_id, scale, list_sum(q) AS q_sum,
-        |    list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]) AS svv,
-        |    list_sum([v[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS svq,
-        |    list_sum([q[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS sqq,
-        |    len(v) AS d
-        |  FROM q)
-        |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
-        |  round(sqrt(greatest(svv - 2 * scale * svq + scale * scale * sqq, 0) / d), 6) AS err
-        |FROM s ORDER BY vec_id""".stripMargin,
-
-    "q_dedup_audit" ->
-      s"""WITH d AS (SELECT doc_id, n_chars,
-         |    CASE WHEN doc_id % 10 < 3
-         |      THEN 'duplicate boilerplate page ' || CAST(doc_id % 25 AS VARCHAR)
-         |      ELSE text END AS text FROM documents),
-         |c AS (SELECT $normText AS norm, count(*) AS cluster_size,
-         |    CAST(sum(n_chars) AS BIGINT) AS chars,
-         |    CAST(min(n_chars) AS BIGINT) AS chars_kept
-         |  FROM d GROUP BY 1)
-         |SELECT cluster_size, count(*) AS n_clusters,
-         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
-         |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_dup_docs,
-         |  CAST(sum(chars) AS BIGINT) AS chars_total,
-         |  CAST(sum(chars - chars_kept) AS BIGINT) AS chars_removed
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_pmi" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
-         |    (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |     FROM documents) WHERE len(token) > 0),
-         |n AS (SELECT count(*) AS N FROM documents),
-         |f AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
-         |kept AS (SELECT token, df FROM f, n WHERE df >= 50 AND df <= N * 1.0),
-         |kt AS (SELECT t.doc_id, t.token, k.df FROM tok t JOIN kept k USING (token)
-         |  QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY k.df, t.token) <= 1000),
-         |p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab,
-         |    any_value(a.df) AS df_a, any_value(b.df) AS df_b
-         |  FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.token < b.token
-         |  GROUP BY 1, 2 HAVING count(*) >= 50)
-         |SELECT token_a, token_b, n_ab,
-         |  round(ln(CAST(n_ab AS DOUBLE) * N / (df_a * df_b)), 6) AS pmi
-         |FROM p, n ORDER BY 1, 2""".stripMargin,
-
-    "q_ccnet_buckets" ->
-      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |vocab AS (SELECT token, count(*) AS tf FROM tok2 WHERE doc_id % 5 = 0 GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
-         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot),
-         |agg AS (SELECT doc_id, any_value(lang) AS lang, token, count(*) AS cnt
-         |  FROM tok2 WHERE doc_id % 5 <> 0 GROUP BY doc_id, token),
-         |sc AS (SELECT a.doc_id, any_value(a.lang) AS lang,
-         |    CAST(sum(cnt) AS BIGINT) AS n_toks,
-         |    round(sum(cnt * coalesce(m.lp, ln(1.0 / (tot.N + tot.V)))) / sum(cnt), 6) AS mean_lp
-         |  FROM agg a LEFT JOIN model m USING (token), tot GROUP BY a.doc_id),
-         |b AS (SELECT lang, quantile_cont(mean_lp, 2.0/3) AS bh,
-         |    quantile_cont(mean_lp, 1.0/3) AS bm FROM sc GROUP BY 1)
-         |SELECT doc_id, sc.lang, n_toks, mean_lp,
-         |  CASE WHEN mean_lp > bh THEN 'head' WHEN mean_lp > bm THEN 'middle'
-         |    ELSE 'tail' END AS bucket
-         |FROM sc JOIN b ON sc.lang = b.lang
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_corpus_diff" ->
-      s"""WITH o AS (SELECT doc_id, md5($normText) AS fp_old
-         |  FROM documents WHERE doc_id < 400),
-         |nw AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
-         |  FROM documents WHERE doc_id >= 100),
-         |n2 AS (SELECT doc_id, md5($normText) AS fp_new FROM nw)
-         |SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id,
-         |  CASE WHEN o.doc_id IS NULL THEN 'added'
-         |       WHEN n2.doc_id IS NULL THEN 'removed'
-         |       WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status,
-         |  fp_old, fp_new
-         |FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_scd2" ->
-      s"""WITH s1 AS (SELECT doc_id AS id, md5($normText) AS fp FROM documents),
-         |nw AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
-         |  FROM documents WHERE doc_id >= 100),
-         |s2 AS (SELECT doc_id AS id, md5($normText) AS fp FROM nw),
-         |j AS (SELECT s1.id AS id, s1.fp AS fp1, s2.fp AS fp2
-         |  FROM s1 LEFT JOIN s2 ON s1.id = s2.id)
-         |SELECT id AS doc_id, fp1 AS fp, CAST(1000 AS BIGINT) AS valid_from,
-         |  CAST(NULL AS BIGINT) AS valid_to FROM j WHERE fp2 = fp1
-         |UNION ALL
-         |SELECT id, fp1, 1000, 2000 FROM j WHERE fp2 IS NULL OR fp2 <> fp1
-         |UNION ALL
-         |SELECT id, fp2, 2000, NULL FROM j WHERE fp2 IS NOT NULL AND fp2 <> fp1
-         |ORDER BY doc_id, valid_from""".stripMargin,
-
-    "q_editdist" ->
-      s"""WITH t0 AS (SELECT doc_id, source,
-         |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title
-         |  FROM documents),
-         |t AS (SELECT doc_id, source, title FROM t0
-         |  UNION ALL SELECT doc_id + 10000000, source,
-         |    substr(title, 1, length(title) - 1) FROM t0),
-         |b AS (SELECT doc_id AS id, source AS block,
-         |    trim(regexp_replace(regexp_replace(lower(title), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS s
-         |  FROM t),
-         |b2 AS (SELECT id, block, s, length(s) AS len,
-         |    CAST(floor(length(s) / 3) AS BIGINT) AS band, substr(s, 1, 1) AS pfx
-         |  FROM b WHERE length(s) > 0),
-         |hot AS (SELECT block, pfx, band FROM b2 GROUP BY 1, 2, 3 HAVING count(*) > 5000),
-         |c AS (SELECT b2.* FROM b2 LEFT JOIN hot
-         |  ON b2.block = hot.block AND b2.pfx = hot.pfx AND b2.band = hot.band
-         |  WHERE hot.block IS NULL),
-         |r AS (SELECT id AS id_b, block, pfx, s AS s_b, len AS len_b,
-         |    unnest([band - 1, band, band + 1]) AS band FROM c),
-         |p AS (SELECT l.block, l.id AS id_a, r.id_b,
-         |    levenshtein(l.s, r.s_b) AS dist
-         |  FROM c l JOIN r ON l.block = r.block AND l.pfx = r.pfx AND l.band = r.band
-         |  WHERE l.id < r.id_b AND abs(l.len - r.len_b) <= 2)
-         |SELECT block, id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
-         |WHERE dist <= 2 ORDER BY block, id_a, id_b""".stripMargin,
-
-    "q_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |t2 AS (SELECT token FROM tok WHERE len(token) > 0),
-         |n AS (SELECT count(*) AS N FROM t2),
-         |c AS (SELECT token AS item, CAST(count(*) AS BIGINT) AS n_rows
-         |  FROM t2 GROUP BY 1)
-         |SELECT item, n_rows, CAST(N AS BIGINT) AS n_total FROM c, n
-         |WHERE n_rows * 1000000 >= N * 5000 ORDER BY item""".stripMargin,
-
-    "q_filter_funnel" ->
-      """WITH a AS (SELECT count(*) AS n,
-        |  CAST(sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
-        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
-        |    AND contains(text, '.') THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
-        |    AND contains(text, '.')
-        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 40
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS s3
-        |  FROM documents)
-        |SELECT 0 AS stage, 'nonempty' AS name, n AS n_in, s0 AS n_kept, n - s0 AS n_dropped FROM a
-        |UNION ALL SELECT 1, 'min_len', s0, s1, s0 - s1 FROM a
-        |UNION ALL SELECT 2, 'has_sentence', s1, s2, s1 - s2 FROM a
-        |UNION ALL SELECT 3, 'token_floor', s2, s3, s2 - s3 FROM a
-        |ORDER BY 1""".stripMargin,
-
-    // Closed-form expected output of the synthesized boilerplate pages:
-    // the universal/nav/footer lines cross the minDocs=5 document
-    // threshold (the footer at exactly 5 docs), the per-doc body line
-    // never does.
-    "q_boilerplate" ->
-      """SELECT doc_id,
-        |  'body ' || doc_id || ' ' || substr(md5(text), 1, 8) AS text_clean,
-        |  1 AS n_lines_kept,
-        |  1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS n_lines_dropped
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_inverted_index" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(ts) + 1),
-         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
-         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
-         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
-         |pd AS (SELECT token, doc_id,
-         |    array_to_string(list_sort(list(pos)), ',') AS positions
-         |  FROM t2 GROUP BY 1, 2),
-         |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY 1),
-         |cap AS (SELECT CAST(floor(0.78 * count(*)) AS BIGINT) AS maxdf FROM documents)
-         |SELECT pd.token, dfs.df, pd.doc_id, pd.positions
-         |FROM pd JOIN dfs ON pd.token = dfs.token, cap
-         |WHERE dfs.df <= cap.maxdf
-         |ORDER BY pd.token, pd.doc_id""".stripMargin,
-
-    "q_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
-         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
-         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
-         |m AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
-         |sc AS (SELECT qt.doc_id,
-         |    sum(ln(1.0 + (st.N - m.df + 0.5) / (m.df + 0.5)) * (qt.tf * 2.2)
-         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
-         |  FROM qt JOIN m ON qt.token = m.token JOIN dl ON qt.doc_id = dl.doc_id, st
-         |  GROUP BY qt.doc_id)
-         |SELECT d.doc_id, round(coalesce(sc.bm25, 0.0), 6) AS bm25
-         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "q_phrase_search" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(ts) + 1),
-         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
-         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
-         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
-         |p0 AS (SELECT doc_id, pos FROM t2 WHERE token = 'table'),
-         |p1 AS (SELECT doc_id, pos - 1 AS pos FROM t2 WHERE token = 'hash'),
-         |m AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN p1 USING (doc_id, pos))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
-         |  CAST(min(pos) AS BIGINT) AS first_pos
-         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_diversity" ->
-      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok
-         |  WHERE len(token) > 0 GROUP BY 1, 2),
-         |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    CAST(count(*) AS BIGINT) AS n_vocab,
-         |    sum(c * ln(c)) AS clnc, CAST(sum(c * c) AS BIGINT) AS c2
-         |  FROM c GROUP BY 1),
-         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
-         |SELECT m.source, d.n_docs, m.n_tokens, m.n_vocab,
-         |  round(ln(m.n_tokens) - clnc / m.n_tokens, 6) AS entropy,
-         |  round(CASE WHEN m.n_vocab > 1
-         |    THEN (ln(m.n_tokens) - clnc / m.n_tokens) / ln(m.n_vocab)
-         |    ELSE 0.0 END, 6) AS norm_entropy,
-         |  round(c2::DOUBLE / (m.n_tokens::DOUBLE * m.n_tokens), 6) AS simpson
-         |FROM m JOIN d ON m.source = d.source
-         |ORDER BY m.source""".stripMargin,
-
-    "q_zipf" ->
-      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
-         |  WHERE len(token) > 0 GROUP BY 1),
-         |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS DOUBLE) AS rnk,
-         |    CAST(tf AS DOUBLE) AS tf FROM v
-         |  ORDER BY tf DESC, token LIMIT 25)
-         |SELECT
-         |  round(covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk)), 6) AS slope,
-         |  round(avg(ln(tf)) - (covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk))) * avg(ln(rnk)), 6) AS intercept,
-         |  round(pow(corr(ln(rnk), ln(tf)), 2), 6) AS r2,
-         |  count(*) AS n_top
-         |FROM r""".stripMargin,
-
-    "q_weighted_topk" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
-        |  FROM documents),
-        |k AS (SELECT doc_id, lang,
-        |    printf('%020.10f',
-        |      -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100000000) + 0.5)
-        |        / 100000000.0) / w)
-        |      || '|' || lpad(CAST(doc_id AS VARCHAR), 18, '0') AS keystr
-        |  FROM d WHERE w > 0),
-        |r AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY keystr) AS BIGINT) AS rnk
-        |  FROM k)
-        |SELECT stratum, id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY stratum, rnk""".stripMargin,
-
-    "q_repeated_spans" ->
-      """WITH d AS (SELECT doc_id,
-        |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t
-        |  FROM documents),
-        |ts AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
-        |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
-        |    i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM ts),
-        |gm AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-        |    i -> {'idx': i - 1, 'g': array_to_string(list_slice(toks, i, i + 4), chr(1))})) AS v
-        |  FROM ts WHERE len(toks) >= 5),
-        |fi AS (SELECT doc_id, v.g AS g, min(v.idx) AS first_idx FROM gm GROUP BY 1, 2),
-        |dp AS (SELECT DISTINCT doc_id, pos FROM (
-        |  SELECT gm.doc_id AS doc_id, unnest(range(v.idx, v.idx + 5)) AS pos
-        |  FROM gm JOIN fi ON gm.doc_id = fi.doc_id AND v.g = fi.g
-        |  WHERE v.idx > fi.first_idx)),
-        |kp AS (SELECT tk.doc_id, u.pos AS pos, u.tok AS tok FROM tk
-        |  LEFT JOIN dp ON tk.doc_id = dp.doc_id AND u.pos = dp.pos
-        |  WHERE dp.doc_id IS NULL),
-        |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
-        |    CAST(count(*) AS BIGINT) AS n_tokens_kept FROM kp GROUP BY doc_id),
-        |n0 AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n0 FROM d)
-        |SELECT n0.doc_id AS doc_id, coalesce(rb.text_dedup, '') AS text_dedup,
-        |  coalesce(rb.n_tokens_kept, 0) AS n_tokens_kept,
-        |  n0.n0 - coalesce(rb.n_tokens_kept, 0) AS n_tokens_dropped
-        |FROM n0 LEFT JOIN rb ON n0.doc_id = rb.doc_id
-        |ORDER BY n0.doc_id""".stripMargin,
-
-    "q_psi" ->
-      """WITH rs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents WHERE doc_id % 2 = 0),
-        |cs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
-        |  WHERE doc_id % 2 = 1 AND source <> 'src0'),
-        |b AS (SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
-        |    quantile_cont(score, 0.3), quantile_cont(score, 0.4),
-        |    quantile_cont(score, 0.5), quantile_cont(score, 0.6),
-        |    quantile_cont(score, 0.7), quantile_cont(score, 0.8),
-        |    quantile_cont(score, 0.9)] AS bs FROM rs),
-        |rc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
-        |    CAST(count(*) AS BIGINT) AS n_ref FROM rs, b GROUP BY 1),
-        |cc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
-        |    CAST(count(*) AS BIGINT) AS n_cur FROM cs, b GROUP BY 1),
-        |bins AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
-        |j AS (SELECT bins.bin, coalesce(rc.n_ref, 0) AS n_ref, coalesce(cc.n_cur, 0) AS n_cur
-        |  FROM bins LEFT JOIN rc ON bins.bin = rc.bin LEFT JOIN cc ON bins.bin = cc.bin),
-        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
-        |p AS (SELECT bin, n_ref, n_cur,
-        |    (n_ref + 0.5) / (tr + 5.0) AS p_ref, (n_cur + 0.5) / (tc + 5.0) AS p_cur
-        |  FROM j, tot)
-        |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
-        |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
-        |FROM p ORDER BY bin""".stripMargin,
-
-    "q_token_budget" ->
-      """WITH d AS (SELECT doc_id, source,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
-        |  FROM documents),
-        |b(source, budget) AS (VALUES ('src0', 2000), ('src1', 5000), ('src2', 1000000)),
-        |tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS sw FROM d WHERE w > 0 GROUP BY 1),
-        |thr AS (SELECT t.source,
-        |    CASE WHEN b.budget IS NULL THEN CAST(10000 AS BIGINT)
-        |      ELSE CAST(round(least(1.0, b.budget::DOUBLE / sw) * 10000) AS BIGINT) END AS thr
-        |  FROM tot t LEFT JOIN b ON t.source = b.source)
-        |SELECT d.doc_id, d.source, d.w AS w, thr.thr
-        |FROM d JOIN thr ON d.source = thr.source
-        |WHERE d.w > 0 AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < thr.thr
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_nb_quality" ->
-      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |tr AS (SELECT *, (lang = 'en') AS pos FROM tok2 WHERE doc_id % 5 = 0),
-         |counts AS (SELECT token,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-         |  FROM tr GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS Np,
-         |    CAST(sum(c_neg) AS BIGINT) AS Nn, count(*) AS V FROM counts),
-         |prior AS (SELECT
-         |    ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS lp_prior,
-         |    ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS ln_prior
-         |  FROM documents WHERE doc_id % 5 = 0),
-         |model AS (SELECT token, ln((c_pos + 1)::DOUBLE / (Np + V)) AS lp_pos,
-         |    ln((c_neg + 1)::DOUBLE / (Nn + V)) AS lp_neg FROM counts, tot),
-         |agg AS (SELECT doc_id, token, count(*) AS cnt FROM tok2
-         |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
-         |sc AS (SELECT t.doc_id, t.cnt,
-         |    coalesce(m.lp_pos, ln(1.0 / (tot.Np + tot.V))) AS lp_pos,
-         |    coalesce(m.lp_neg, ln(1.0 / (tot.Nn + tot.V))) AS lp_neg
-         |  FROM agg t LEFT JOIN model m USING (token), tot)
-         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
-         |  round(sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior), 6) AS log_odds,
-         |  (sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior)) > 0 AS predicted
-         |FROM sc, prior GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_dsir" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
-         |grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 AND len(t[1]) > 0
-         |    THEN [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
-         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
-         |feats AS (SELECT doc_id,
-         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS feat FROM grams),
-         |pr AS (SELECT feat, count(*) AS c_r FROM feats GROUP BY 1),
-         |pt AS (SELECT feat, count(*) AS c_t FROM feats JOIN documents USING (doc_id)
-         |  WHERE lang = 'en' GROUP BY 1),
-         |model AS (SELECT pr.feat, coalesce(c_t, 0) AS c_t, c_r
-         |  FROM pr LEFT JOIN pt ON pr.feat = pt.feat),
-         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS Nt, CAST(sum(c_r) AS BIGINT) AS Nr
-         |  FROM model),
-         |sc AS (SELECT feat, ln((c_t + 1)::DOUBLE / (Nt + 1024))
-         |    - ln((c_r + 1)::DOUBLE / (Nr + 1024)) AS llr FROM model, tot)
-         |SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) AS weight
-         |FROM feats JOIN sc USING (feat) GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_js_div" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |ua AS (SELECT token, count(*) AS c_a FROM tok2 WHERE doc_id % 2 = 0 GROUP BY 1),
-         |ub AS (SELECT token, count(*) AS c_b FROM tok2 WHERE doc_id % 2 = 1 GROUP BY 1),
-         |j AS (SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-         |  FROM ua FULL OUTER JOIN ub ON ua.token = ub.token),
-         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS Na, CAST(sum(c_b) AS BIGINT) AS Nb,
-         |    CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Va,
-         |    CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Vb FROM j),
-         |terms AS (SELECT Na, Nb, Va, Vb,
-         |    c_a::DOUBLE / Na AS p, c_b::DOUBLE / Nb AS q,
-         |    (c_a::DOUBLE / Na + c_b::DOUBLE / Nb) / 2 AS m FROM j, tot),
-         |kl AS (SELECT Na, Nb, Va, Vb,
-         |    sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END) AS kl_pm,
-         |    sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END) AS kl_qm
-         |  FROM terms GROUP BY 1, 2, 3, 4)
-         |SELECT Na AS n_tokens_a, Nb AS n_tokens_b, Va AS n_vocab_a, Vb AS n_vocab_b,
-         |  round(kl_pm, 6) AS kl_pm, round(kl_qm, 6) AS kl_qm,
-         |  round((kl_pm + kl_qm) / 2, 6) AS jsd
-         |FROM kl""".stripMargin,
-
-    "q_centroid_score" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |idx AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS i FROM e),
-        |cent AS (SELECT label, i, avg(v[i]) AS c FROM idx GROUP BY 1, 2),
-        |cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
-        |s AS (SELECT vec_id, e.label,
-        |    list_sum([v[i] * cv[i] FOR i IN range(1, len(v) + 1)]) AS d,
-        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]))
-        |      * sqrt(list_sum([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)])) AS nn
-        |  FROM e JOIN cv ON e.label = cv.label)
-        |SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) AS cos_centroid
-        |FROM s ORDER BY vec_id""".stripMargin,
-
-    "q_cohen_kappa" ->
-      """WITH ann AS (SELECT doc_id, n_chars % 3 AS a,
-        |    CASE WHEN doc_id % 17 = 0 THEN NULL
-        |         WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3
-        |         ELSE n_chars % 3 END AS b
-        |  FROM documents),
-        |k AS (SELECT a, b FROM ann WHERE a IS NOT NULL AND b IS NOT NULL),
-        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
-        |agree AS (SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n,
-        |    CAST(coalesce(sum(CASE WHEN a = b THEN n_ab ELSE 0 END), 0) AS BIGINT) AS n_agree
-        |  FROM cells),
-        |ma AS (SELECT a AS l, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
-        |mb AS (SELECT b AS l, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
-        |sj AS (SELECT CAST(coalesce(sum(n_a * n_b), 0) AS BIGINT) AS s
-        |  FROM ma JOIN mb USING (l)),
-        |nn AS (SELECT CAST(count(*) FILTER (a IS NULL OR b IS NULL) AS BIGINT) AS n_null
-        |  FROM ann)
-        |SELECT n, n_null, n_agree, s AS pe_num,
-        |  CASE WHEN n = 0 THEN NULL ELSE CAST(n_agree AS DOUBLE) / n END AS po,
-        |  CASE WHEN n = 0 THEN NULL ELSE CAST(s AS DOUBLE) / (n * n) END AS pe,
-        |  CASE WHEN n * n = s THEN NULL
-        |       ELSE CAST(n * n_agree - s AS DOUBLE) / (n * n - s) END AS kappa
-        |FROM agree, sj, nn""".stripMargin,
-
-    "q_calibration" ->
-      """WITH e AS (SELECT
-        |    CASE WHEN user_id % 97 = 0 THEN NULL
-        |         ELSE (event_id % 256) / 256.0 END AS p,
-        |    ((event_id * 7) % 256) < (event_id % 256) AS y
-        |  FROM events),
-        |k AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p,
-        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
-        |  FROM e WHERE p IS NOT NULL AND y IS NOT NULL AND p >= 0 AND p <= 1)
-        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(yy) AS BIGINT) AS n_pos,
-        |  sum(p) AS sum_prob,
-        |  sum(p) / count(*) AS mean_prob,
-        |  CAST(sum(yy) AS DOUBLE) / count(*) AS frac_pos,
-        |  CAST(sum(yy) AS DOUBLE) / count(*) - sum(p) / count(*) AS gap,
-        |  sum((p - yy) * (p - yy)) AS sum_sq_err
-        |FROM k GROUP BY bin ORDER BY bin""".stripMargin,
-
-    "q_k_anon" ->
-      """WITH e AS (SELECT event_id, event_type, user_id % 50 AS ub FROM events),
-        |g AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
-        |  FROM e GROUP BY 1, 2)
-        |SELECT event_id, e.event_type, e.ub, group_n
-        |FROM e JOIN g ON e.event_type = g.event_type AND e.ub = g.ub
-        |WHERE group_n >= 25 ORDER BY event_id""".stripMargin,
-
-    "q_k_anon_report" ->
-      """WITH g AS (SELECT event_type, user_id % 50 AS ub, count(*) AS n
-        |  FROM events GROUP BY 1, 2)
-        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
-        |  CAST(count(*) AS BIGINT) AS n_groups,
-        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT)
-        |    AS n_rows_suppressed,
-        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |    AS n_groups_suppressed,
-        |  CAST(min(n) AS BIGINT) AS min_group_n,
-        |  CAST(max(n) AS BIGINT) AS max_group_n
-        |FROM g""".stripMargin,
-
-    "q_l_diversity" ->
-      """WITH e AS (SELECT event_type, user_id % 200 AS ub,
-        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 7 END AS sv
-        |  FROM events),
-        |sizes AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
-        |  FROM e GROUP BY 1, 2),
-        |d AS (SELECT DISTINCT event_type, ub, sv FROM e WHERE sv IS NOT NULL),
-        |ns AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS n_sensitive
-        |  FROM d GROUP BY 1, 2)
-        |SELECT s.event_type, s.ub, s.group_n,
-        |  coalesce(ns.n_sensitive, 0) AS n_sensitive,
-        |  coalesce(ns.n_sensitive, 0) >= 5 AS diverse
-        |FROM sizes s LEFT JOIN ns ON s.event_type = ns.event_type AND s.ub = ns.ub
-        |ORDER BY s.event_type, s.ub""".stripMargin,
-
-    // Nearest-aspect bucket in exact integer arithmetic: score_i =
-    // |w*bh_i - bw_i*h| * (L / bh_i) with L = lcm of the bucket heights
-    // (79672320) — the same ordering as the engine's pairwise
-    // cross-multiplied comparator, ties to the lower bucket index.
-    "q_aspect_buckets" ->
-      """WITH imgs AS (SELECT event_id, 256 + event_id % 1800 AS w,
-        |    256 + (event_id * 7) % 1350 AS h FROM events),
-        |b(i, bw, bh) AS (VALUES (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
-        |    (3, 1216, 832), (4, 832, 1216), (5, 1344, 768), (6, 768, 1344),
-        |    (7, 1536, 640), (8, 640, 1536)),
-        |scored AS (SELECT imgs.*, b.i, b.bw, b.bh,
-        |    abs(w * bh - bw * h) * (79672320 // bh) AS score
-        |  FROM imgs CROSS JOIN b),
-        |best AS (SELECT *, row_number() OVER (PARTITION BY event_id
-        |    ORDER BY score, i) AS rn FROM scored),
-        |r AS (SELECT *, CASE WHEN w * bh >= bw * h THEN (w * bh) // h ELSE bw END AS rw,
-        |    CASE WHEN w * bh >= bw * h THEN bh ELSE (h * bw) // w END AS rh
-        |  FROM best WHERE rn = 1)
-        |SELECT event_id, w, h, CAST(i AS BIGINT) AS bucket_id,
-        |  CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
-        |  CAST(rw AS BIGINT) AS resize_w, CAST(rh AS BIGINT) AS resize_h,
-        |  CAST((rw - bw) // 2 AS BIGINT) AS crop_x,
-        |  CAST((rh - bh) // 2 AS BIGINT) AS crop_y
-        |FROM r ORDER BY event_id""".stripMargin,
-
-    "q_frame_schedule" ->
-      """WITH v AS (SELECT event_id, event_id % 500 AS nf,
-        |    CASE event_id % 3 WHEN 0 THEN 23976 WHEN 1 THEN 25000
-        |         ELSE 29970 END AS fm
-        |  FROM events WHERE event_id % 4 = 0 AND event_id % 500 > 0),
-        |s AS (SELECT event_id, nf, fm, least(16, nf) AS nt FROM v),
-        |x AS (SELECT event_id, nf, fm, nt, unnest(range(0, nt)) AS k FROM s)
-        |SELECT event_id, k AS sample_k, (k * nf) // nt AS frame_idx,
-        |  ((k * nf) // nt) * 1000000 // fm AS t_ms
-        |FROM x ORDER BY event_id, sample_k""".stripMargin,
-
-    // Independent formulation: the fingerprint is derived from the
-    // CONSTRUCTION (both the clean and the uppercased/double-spaced
-    // variant normalize to the same role||content stream), not by
-    // replaying the engine's normalization.
-    "q_conv_dedup" ->
-      """WITH c AS (SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents),
-        |f AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
-        |    ELSE md5('user' || chr(1) || 'question number ' || base || chr(2) ||
-        |             'assistant' || chr(1) || 'answer text ' || (base * 7) % 1000) END
-        |    AS conv_fp
-        |  FROM c),
-        |m AS (SELECT conv_fp, min(doc_id) AS first FROM f
-        |  WHERE conv_fp IS NOT NULL GROUP BY 1)
-        |SELECT f.doc_id, f.conv_fp,
-        |  coalesce(f.doc_id <> m.first, false) AS is_duplicate
-        |FROM f LEFT JOIN m USING (conv_fp) ORDER BY f.doc_id""".stripMargin,
-
-    // Closed-form token counts from the synthesis (n_tok = a+b+2,
-    // response tokens [a+2, a+b+2)) — the oracle checks the engine's
-    // whole char->token->sequence chain without tokenizing anything.
-    "q_sft_pack" ->
-      """WITH c AS (SELECT doc_id, 3 + doc_id % 7 AS a, 2 + doc_id % 11 AS b
-        |  FROM documents),
-        |t AS (SELECT doc_id, a + b + 2 AS n_tok, a + 2 AS resp_s,
-        |    a + b + 2 AS resp_e FROM c),
-        |cum AS (SELECT doc_id, n_tok, resp_s, resp_e,
-        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cend FROM t),
-        |s AS (SELECT *, cend - n_tok AS cstart,
-        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
-        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
-        |  FROM cum),
-        |x AS (SELECT doc_id, seq_id,
-        |    greatest(seq_id * 32, cstart) - cstart AS dts,
-        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
-        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
-        |    n_tok, resp_s, resp_e FROM s),
-        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
-        |  FROM x)
-        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
-        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
-        |  CAST(resp_s AS BIGINT) AS resp_tok_start,
-        |  CAST(resp_e AS BIGINT) AS resp_tok_end,
-        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
-        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
-        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
-
-    "q_fleiss_kappa" ->
-      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0,
-        |      CASE WHEN doc_id % 29 = 0 THEN 4 ELSE 3 END)) AS rater
-        |  FROM documents),
-        |ratings AS (SELECT doc_id, (n_chars + rater * doc_id) % 3 AS label
-        |  FROM r),
-        |cells AS (SELECT doc_id, label, count(*) AS n_ik
-        |  FROM ratings GROUP BY 1, 2),
-        |items AS (SELECT doc_id, sum(n_ik) AS n_i FROM cells GROUP BY 1),
-        |kept AS (SELECT c.* FROM cells c JOIN items i USING (doc_id)
-        |  WHERE i.n_i = 3),
-        |counts AS (SELECT
-        |    CAST(coalesce(sum(CASE WHEN n_i = 3 THEN 1 ELSE 0 END), 0)
-        |      AS BIGINT) AS n_items,
-        |    CAST(coalesce(sum(CASE WHEN n_i <> 3 THEN 1 ELSE 0 END), 0)
-        |      AS BIGINT) AS n_items_dropped
-        |  FROM items),
-        |base AS (SELECT CAST(coalesce(sum(n_ik * n_ik), 0) AS BIGINT)
-        |    AS sum_sq FROM kept),
-        |marg AS (SELECT label, sum(n_ik) AS m_k FROM kept GROUP BY 1),
-        |pe AS (SELECT CAST(coalesce(sum(m_k * m_k), 0) AS BIGINT) AS pe_num
-        |  FROM marg)
-        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_items_dropped,
-        |  sum_sq, pe_num,
-        |  CASE WHEN n_items = 0 THEN NULL
-        |    ELSE CAST(sum_sq - n_items * 3 AS DOUBLE)
-        |      / (n_items * 3 * 2) END AS p_bar,
-        |  CASE WHEN n_items = 0 THEN NULL
-        |    ELSE CAST(pe_num AS DOUBLE)
-        |      / (n_items * 3 * (n_items * 3)) END AS p_e,
-        |  CASE WHEN n_items = 0 OR CAST(pe_num AS DOUBLE)
-        |      / (n_items * 3 * (n_items * 3)) = 1.0 THEN NULL
-        |    ELSE (CAST(sum_sq - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
-        |        - CAST(pe_num AS DOUBLE) / (n_items * 3 * (n_items * 3)))
-        |      / (1.0 - CAST(pe_num AS DOUBLE)
-        |        / (n_items * 3 * (n_items * 3))) END AS kappa
-        |FROM counts, base, pe""".stripMargin,
-
-    "q_mrr" ->
-      """WITH pred AS (SELECT DISTINCT user_id % 50 AS q,
-        |    event_id % 10 + 1 AS rank FROM events),
-        |p2 AS (SELECT q, rank, (q * 7 + rank * 3) % 100 AS item FROM pred),
-        |truth AS (SELECT q, CASE WHEN q % 4 = 0 THEN (q * 7 + 50) % 100
-        |    ELSE (q * 7 + 9) % 100 END AS item
-        |  FROM (SELECT DISTINCT q FROM pred)),
-        |firsts AS (SELECT p2.q, CAST(min(p2.rank) AS BIGINT)
-        |    AS first_hit_rank
-        |  FROM p2 JOIN truth ON p2.q = truth.q AND p2.item = truth.item
-        |  GROUP BY 1),
-        |np AS (SELECT q, CAST(count(*) AS BIGINT) AS n_pred
-        |  FROM p2 GROUP BY 1)
-        |SELECT np.q AS query, n_pred, first_hit_rank,
-        |  CASE WHEN first_hit_rank IS NOT NULL
-        |    THEN 1.0 / first_hit_rank END AS rr
-        |FROM np LEFT JOIN firsts ON np.q = firsts.q
-        |ORDER BY query""".stripMargin,
-
-    // Closed-form truth: response exists iff doc_id % 10 <> 0, refusal
-    // iff doc_id % 3 = 0; the engine extracts the real substring and
-    // matches the real lowered pattern list.
-    "q_refusal_scan" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 10 = 0 THEN NULL
-        |       ELSE doc_id % 3 = 0 END AS is_refusal,
-        |  CASE WHEN doc_id % 10 = 0 THEN NULL
-        |       WHEN doc_id % 3 = 0 THEN CAST(6 AS BIGINT)
-        |       ELSE CAST(3 + (2 + doc_id % 11) AS BIGINT) END
-        |    AS response_words
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_dpo_audit" ->
-      """WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS cw,
-        |    CASE WHEN doc_id % 7 = 0 THEN 3 + doc_id % 5
-        |         ELSE 2 + doc_id % 9 END AS rw,
-        |    doc_id % 7 = 0 AS ident
-        |  FROM documents)
-        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(coalesce(sum(CASE WHEN ident THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_identical,
-        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_chosen_longer,
-        |  CAST(coalesce(sum(cw), 0) AS BIGINT) AS chosen_words_total,
-        |  CAST(coalesce(sum(rw), 0) AS BIGINT) AS rejected_words_total,
-        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
-        |    AS DOUBLE) / count(*) AS chosen_longer_rate
-        |FROM p""".stripMargin,
-
-    // Closed-form pipeline outcome: survivors are the even non-%3 docs
-    // (odd twins dedup onto their even buddy; base%3==0 dialogues are
-    // refusals), n_tok = a+b+5, response tokens [a+2, n_tok).
-    "q_sft_pipeline" ->
-      """WITH c AS (SELECT doc_id FROM documents
-        |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
-        |t AS (SELECT doc_id,
-        |    (3 + doc_id % 7) + (2 + doc_id % 11) + 6 AS n_tok,
-        |    (3 + doc_id % 7) + 3 AS resp_s FROM c),
-        |cum AS (SELECT doc_id, n_tok, resp_s, n_tok AS resp_e,
-        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cend FROM t),
-        |s AS (SELECT *, cend - n_tok AS cstart,
-        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
-        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
-        |  FROM cum),
-        |x AS (SELECT doc_id, seq_id,
-        |    greatest(seq_id * 32, cstart) - cstart AS dts,
-        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
-        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
-        |    n_tok, resp_s, resp_e FROM s),
-        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
-        |  FROM x)
-        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
-        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
-        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
-        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
-        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
-
-    // Claims oracle (r8, lesson 12): the row-level oracle was an O(n^2)
-    // DuckDB list-comprehension capping sf1 verification; these claims
-    // are closed-form — n from a count, invariants asserted true.
-    "q_hubness" ->
-      """SELECT c.claim, t.n, true AS ok
-        |FROM (SELECT count(*) AS n FROM embeddings) t,
-        |  (VALUES ('bounds_0_to_n_minus_1'),
-        |    ('coverage_one_row_per_vector'), ('mass_sums_to_k_times_n'),
-        |    ('no_self_retrieval')) c(claim)
-        |ORDER BY c.claim""".stripMargin,
-
-    // Claims oracle (r8): n_unique is the count of vector VALUES that
-    // appear exactly once — a linear GROUP BY on the raw float arrays,
-    // cross-checking the engine's grouping bit-for-bit; claims true.
-    "q_bitext_mine" ->
-      """SELECT c.claim, t.n, u.n_unique, true AS ok
-        |FROM (SELECT count(*) AS n FROM embeddings) t,
-        |  (SELECT count(*) AS n_unique FROM (
-        |     SELECT embedding FROM embeddings
-        |     GROUP BY embedding HAVING count(*) = 1)) u,
-        |  (VALUES ('matches_cosine_one'), ('mutual_one_to_one'),
-        |    ('planted_unique_all_recovered'),
-        |    ('unique_margin_above_one')) c(claim)
-        |ORDER BY c.claim""".stripMargin,
-
-    "q_centroid_drift" ->
-      """WITH e AS (SELECT vec_id % 16 AS bucket,
-        |    [floor(x * 256 + 0.5) / 256 FOR x IN CAST(embedding AS DOUBLE[])] AS v
-        |  FROM embeddings),
-        |idx AS (SELECT bucket, v, unnest(range(1, len(v) + 1)) AS i FROM e),
-        |d AS (SELECT bucket, i, sum(v[i]) AS s, count(*) AS n
-        |  FROM idx GROUP BY 1, 2),
-        |cents AS (SELECT bucket, max(n) AS n, list(s / n ORDER BY i) AS cv
-        |  FROM d GROUP BY 1)
-        |SELECT c.bucket, CAST(c.n AS BIGINT) AS n,
-        |  CASE WHEN p.cv IS NULL THEN NULL ELSE round(
-        |    list_sum([c.cv[i] * p.cv[i] FOR i IN range(1, len(c.cv) + 1)])
-        |    / (sqrt(list_sum([c.cv[i] * c.cv[i] FOR i IN range(1, len(c.cv) + 1)]))
-        |       * sqrt(list_sum([p.cv[i] * p.cv[i] FOR i IN range(1, len(p.cv) + 1)])))
-        |    , 6) END AS cos_prev
-        |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
-        |ORDER BY c.bucket""".stripMargin,
-
-    "q_dedup_sweep" ->
-      """SELECT claim, CASE WHEN claim = 'minhash_simhash_rand_ge_090'
-        |    THEN 2 * (SELECT count(*) FROM documents)
-        |    ELSE (SELECT count(*) FROM documents) END AS n,
-        |  true AS ok
-        |FROM (VALUES ('minhash_covered'), ('minhash_simhash_rand_ge_090'),
-        |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
-        |ORDER BY claim""".stripMargin,
-
-    "q_min_k_prob" -> {
-      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
-        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-         |trtok AS (SELECT unnest($toks) AS token FROM tr),
-         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
-         |trbi0 AS (SELECT $toks AS toks FROM tr),
-         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
-         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
-         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
-         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
-         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
-         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
-         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
-         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni),
-         |tl AS (SELECT doc_id, CAST(floor(coalesce(lp2,
-         |    ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V))) * 1000000) AS BIGINT) AS micro
-         |  FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot),
-         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    list(micro ORDER BY micro) AS arr FROM tl GROUP BY 1),
-         |k AS (SELECT doc_id, n_bigrams,
-         |    CAST((n_bigrams + 4) // 5 AS BIGINT) AS k_count, arr FROM ag)
-         |SELECT doc_id, n_bigrams, k_count,
-         |  CAST(list_sum(arr[1:k_count]) AS BIGINT) AS mink_sum_micro,
-         |  CAST(list_sum(arr[1:k_count]) AS DOUBLE) / (k_count * 1000000)
-         |    AS mink_mean_lp
-         |FROM k ORDER BY doc_id""".stripMargin
-    },
-
-    "q_systematic_resample" ->
-      """WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight
-        |  FROM documents WHERE n_chars > 0),
-        |c AS (SELECT id, weight, sum(weight) OVER (ORDER BY id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
-        |t AS (SELECT sum(weight) AS tw FROM w),
-        |x AS (SELECT id, weight,
-        |    ((cum * 2000 - 777 + 2 * t.tw - 1) // t.tw)
-        |      - (((cum - weight) * 2000 - 777 + 2 * t.tw - 1) // t.tw)
-        |      AS n_copies
-        |  FROM c, t)
-        |SELECT id, weight, CAST(n_copies AS BIGINT) AS n_copies FROM x
-        |WHERE n_copies > 0 ORDER BY id""".stripMargin,
-
-    "q_entity_resolution" -> {
-      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
-      def w(m: Double, u: Double, agree: String) =
-        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
-          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
-      s"""WITH RECURSIVE c AS (SELECT c_custkey AS k, c_nationkey AS nat,
-         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
-         |  FROM customer),
-         |p AS (SELECT a.k AS id_a, b.k AS id_b,
-         |    a.seg = b.seg AS seg_agree,
-         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
-         |    a.d = b.d AS name_agree
-         |  FROM c a JOIN c b ON a.nat = b.nat
-         |    AND b.k > a.k AND b.k <= a.k + 20),
-         |m AS (SELECT id_a, id_b FROM (SELECT *,
-         |    ${w(0.9, 0.25, "seg_agree")}
-         |      + ${w(0.85, 0.05, "bal_agree")}
-         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
-         |  WHERE weight >= 4.0),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM m
-         |  UNION ALL SELECT id_b, id_a FROM m),
-         |reach(id, r) AS (
-         |  SELECT k, k FROM c
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src)
-         |SELECT id AS c_custkey, CAST(min(r) AS BIGINT) AS entity_id
-         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin
-    },
-
-    "q_linkage" -> {
-      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
-      def w(m: Double, u: Double, agree: String) =
-        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
-          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
-      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
-         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
-         |  FROM customer),
-         |p AS (SELECT a.k AS id_a, b.k AS id_b,
-         |    a.seg = b.seg AS seg_agree,
-         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
-         |    a.d = b.d AS name_agree
-         |  FROM c a JOIN c b ON a.nat = b.nat
-         |    AND b.k > a.k AND b.k <= a.k + 20),
-         |s AS (SELECT *,
-         |    ${w(0.9, 0.25, "seg_agree")}
-         |      + ${w(0.85, 0.05, "bal_agree")}
-         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
-         |SELECT id_a, id_b, seg_agree, bal_agree, name_agree, weight,
-         |  CASE WHEN weight >= 4.0 THEN 'match'
-         |       WHEN weight >= -2.0 THEN 'possible'
-         |       ELSE 'non_match' END AS decision
-         |FROM s ORDER BY id_a, id_b""".stripMargin
-    },
-
-    "q_winnow_pairs" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |      w -> len(w) > 0) AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(toks) >= 5
-        |      THEN [array_to_string(toks[i:i+4], ' ')
-        |            FOR i IN range(1, len(toks) - 3)]
-        |      ELSE [] END AS grams FROM t),
-        |h AS (SELECT doc_id,
-        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
-        |  FROM g),
-        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
-        |  FROM h WHERE len(hs) >= 4),
-        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
-        |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM m),
-        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
-        |  FROM fps GROUP BY 1),
-        |cold AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  WHERE a.fp IN (SELECT fp FROM cold)
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT pr.id_a, pr.id_b, pr.n_shared,
-        |  na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
-        |  CAST(pr.n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp) AS coverage
-        |FROM pr JOIN nf na ON pr.id_a = na.doc_id
-        |  JOIN nf nb ON pr.id_b = nb.doc_id
-        |ORDER BY pr.id_a, pr.id_b""".stripMargin,
-
-    "q_rrf_fusion" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
-         |  FROM documents),
-         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
-         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
-         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
-         |mo AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
-         |sc AS (SELECT qt.doc_id,
-         |    round(sum(ln(1.0 + (st.N - mo.df + 0.5) / (mo.df + 0.5)) * (qt.tf * 2.2)
-         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS s
-         |  FROM qt JOIN mo ON qt.token = mo.token JOIN dl ON qt.doc_id = dl.doc_id, st
-         |  GROUP BY qt.doc_id),
-         |sp AS (SELECT doc_id AS nid,
-         |    row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
-         |  FROM sc WHERE s > 0 QUALIFY rnk <= 20),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
-         |q AS (SELECT * FROM n WHERE vec_id = 7),
-         |dp AS (SELECT c.vec_id AS nid,
-         |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)])
-         |      / (q.nrm * c.nrm) AS cos
-         |  FROM n c, q WHERE c.vec_id <> 7),
-         |dn AS (SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS rnk
-         |  FROM dp QUALIFY rnk <= 20),
-         |u AS (SELECT nid, rnk FROM sp UNION ALL SELECT nid, rnk FROM dn),
-         |f AS (SELECT nid,
-         |    CAST(sum(CAST(floor(1000000000.0 / (60 + rnk)) AS BIGINT)) AS BIGINT) AS rrf_micro,
-         |    CAST(count(*) AS BIGINT) AS n_lists
-         |  FROM u GROUP BY 1),
-         |r AS (SELECT nid, n_lists, rrf_micro,
-         |    row_number() OVER (ORDER BY rrf_micro DESC, nid) AS rnk
-         |  FROM f QUALIFY rnk <= 15)
-         |SELECT nid AS id, n_lists, rrf_micro,
-         |  CAST(rrf_micro AS DOUBLE) / 1000000000 AS rrf,
-         |  CAST(rnk AS BIGINT) AS rank
-         |FROM r ORDER BY rank""".stripMargin,
-
-    "q_backtest" ->
-      """WITH e AS (SELECT event_id,
-        |    epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS t
-        |  FROM events WHERE ts IS NOT NULL),
-        |w AS (SELECT unnest(range(0, 8)) AS w),
-        |tr AS (SELECT event_id, w.w AS window_id, 'train' AS role FROM e, w
-        |  WHERE t >= w.w * 259200000000 AND t < w.w * 259200000000 + 604800000000),
-        |te AS (SELECT event_id, w.w AS window_id, 'test' AS role FROM e, w
-        |  WHERE t >= w.w * 259200000000 + 648000000000
-        |    AND t < w.w * 259200000000 + 648000000000 + 172800000000)
-        |SELECT event_id, CAST(window_id AS BIGINT) AS window_id, role
-        |FROM (SELECT * FROM tr UNION ALL SELECT * FROM te)
-        |WHERE event_id IN (SELECT event_id FROM e WHERE t >= 0)
-        |ORDER BY event_id, window_id, role""".stripMargin,
-
-    "q_winnow" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |      w -> len(w) > 0) AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(toks) >= 5
-        |      THEN [array_to_string(toks[i:i+4], ' ')
-        |            FOR i IN range(1, len(toks) - 3)]
-        |      ELSE [] END AS grams FROM t),
-        |h AS (SELECT doc_id,
-        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
-        |  FROM g),
-        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
-        |  FROM h WHERE len(hs) >= 4),
-        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
-        |p AS (SELECT doc_id,
-        |    CAST(j + list_max([CASE WHEN hs[j + o] = mh THEN o ELSE -1 END
-        |      FOR o IN range(0, 4)]) AS BIGINT) AS pos,
-        |    mh AS fp FROM m)
-        |SELECT DISTINCT doc_id, pos, fp FROM p
-        |ORDER BY doc_id, pos""".stripMargin,
-
-    // Same grid-cell blocking as the operator: any pair within r=1500
-    // lies within one cell (side = r) of Chebyshev distance 1, so the
-    // 3x3 neighbor equi-join is exhaustive; exact long arithmetic.
-    "q_radius_join" ->
-      """WITH p AS (SELECT event_id AS pid,
-        |    (event_id * 2654435761) % 1000000 AS x,
-        |    (event_id * 1779033703 + user_id * 2246822519) % 1000000 AS y
-        |  FROM events),
-        |c AS (SELECT pid, x, y,
-        |    CAST(floor(x / 1500.0) AS BIGINT) AS cx,
-        |    CAST(floor(y / 1500.0) AS BIGINT) AS cy FROM p),
-        |o AS (SELECT a.ox, b.oy
-        |  FROM (VALUES (-1), (0), (1)) a(ox), (VALUES (-1), (0), (1)) b(oy)),
-        |n AS (SELECT pid, x, y, cx + ox AS cx, cy + oy AS cy FROM c, o),
-        |j AS (SELECT a.pid AS id_a, b.pid AS id_b,
-        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
-        |  FROM c a JOIN n b ON a.cx = b.cx AND a.cy = b.cy
-        |    AND a.pid < b.pid)
-        |SELECT id_a, id_b, dist2 FROM j WHERE dist2 <= 2250000
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Synchronous k-core peeling replayed as fixed chained CTE rounds
-    // (the k-core fixpoint is unique, so any round count >= convergence
-    // depth reproduces the operator exactly; 30 rounds is generous —
-    // the gate graph converges in < 10).
-    "q_kcore" -> {
-      val k = 19
-      val rounds = 30
-      // MATERIALIZED is load-bearing: plain CTEs inline, and each round
-      // references the previous twice -> 2^rounds plan expansion (first
-      // symptom: "too many open files" from re-opened parquet scans).
-      val iters = (1 to rounds).map { i =>
-        s"""k$i AS MATERIALIZED (SELECT a, b FROM und
-           |  WHERE a IN (SELECT node FROM s${i - 1})
-           |    AND b IN (SELECT node FROM s${i - 1})),
-           |d$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
-           |    (SELECT a AS node FROM k$i UNION ALL SELECT b FROM k$i)
-           |  GROUP BY node),
-           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT
-         |    CAST((user_id * 13) % 500 AS VARCHAR) AS s,
-         |    CAST(1000 + (event_id * 2654435761) % 500 AS VARCHAR) AS d
-         |  FROM events),
-         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
-         |  FROM e WHERE s <> d),
-         |s0 AS MATERIALIZED (SELECT a AS node FROM und UNION SELECT b FROM und),
-         |$iters
-         |SELECT node, degree FROM d$rounds WHERE degree >= $k
-         |ORDER BY node""".stripMargin
-    },
-
-    // The identical quantized-Laplace table (driver-precomputed in
-    // graft.operators.Privacy.dpNoiseTable) embedded as a list literal:
-    // noise lookup = md5 PRF bucket, all integer arithmetic at runtime.
-    "q_dp_counts" -> {
-      val table = graft.operators.Privacy
-        .dpNoiseTable(epsilon = 0.5, sensitivity = 1.0)
-        .mkString("[", ", ", "]")
-      s"""WITH g AS (SELECT lang, source, count(*) AS n FROM documents
-         |  GROUP BY 1, 2),
-         |z AS (SELECT lang, source, n,
-         |    ($table)[CAST(('0x' || substr(md5(
-         |      (CASE WHEN lang IS NULL THEN chr(3)
-         |            ELSE chr(2) || lang END)
-         |      || chr(1) ||
-         |      (CASE WHEN source IS NULL THEN chr(3)
-         |            ELSE chr(2) || source END)
-         |      || chr(1) || '42'),
-         |      1, 8))::BIGINT % 1024 AS INT) + 1] AS noise
-         |  FROM g)
-         |SELECT lang, source, greatest(n + noise, 0) AS noisy_n
-         |FROM z ORDER BY lang, source""".stripMargin
-    },
-
-    // Mirrors Cleanse.contentExtract paragraph-by-paragraph: same page
-    // synthesis, same tag->space strip, same density divisions.
-    "q_content_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |    '<a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a>'
-        |    || chr(10) || chr(10) || '<p>' || substr(text, 1, 400) || '</p>'
-        |    || chr(10) || chr(10) ||
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN 'see also <a href="/d/' || CAST(doc_id % 97 AS VARCHAR)
-        |           || '">related topic link text here</a>'
-        |      ELSE 'short note' END
-        |    || chr(10) || chr(10) || '<a href="/terms">terms of service</a>'
-        |    AS html FROM documents),
-        |p0 AS (SELECT doc_id, string_split_regex(html, '\n{2,}') AS parts
-        |  FROM h),
-        |p1 AS (SELECT doc_id, parts,
-        |    unnest(range(1, len(parts) + 1)) AS j FROM p0),
-        |p AS (SELECT doc_id AS id, CAST(j - 1 AS INT) AS para_idx,
-        |    parts[CAST(j AS INT)] AS para FROM p1),
-        |m AS (SELECT id, para_idx,
-        |    trim(regexp_replace(regexp_replace(para, '<[^>]*>', ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS plain,
-        |    coalesce(list_sum([len(x) FOR x IN
-        |      regexp_extract_all(para, '(?s)<a[^>]*>(.*?)</a>', 1)]), 0)
-        |      AS lc FROM p),
-        |t AS (SELECT id, para_idx, plain, lc,
-        |    list_filter(string_split(plain, ' '), w -> len(w) > 0) AS toks
-        |  FROM m),
-        |f AS (SELECT id, para_idx,
-        |    CAST(len(plain) AS INT) AS n_chars,
-        |    CAST(len(toks) AS INT) AS n_words,
-        |    CAST(lc AS DOUBLE) / greatest(len(plain), 1) AS link_density,
-        |    CAST(len(list_filter(toks, w -> list_contains(
-        |        ['the', 'a', 'data', 'value', 'query', 'table', 'join',
-        |         'scan', 'order', 'key'], lower(w)))) AS DOUBLE)
-        |      / greatest(len(toks), 1) AS stopword_density
-        |  FROM t)
-        |SELECT id, para_idx, n_chars, n_words, link_density,
-        |  stopword_density,
-        |  (n_chars >= 80 AND link_density <= 0.2
-        |    AND stopword_density >= 0.15) AS is_content
-        |FROM f ORDER BY id, para_idx""".stripMargin,
-
-    // Same blocked span-corruption arithmetic as Chunking.spanCorrupt:
-    // per full 20-token block, span length 2 + h1%3 and offset
-    // h2 % (20 - len + 1) from the two md5 halves of (id, b, seed).
-    "q_span_corrupt" -> {
-      val l = "(2 + ('0x' || substr(md5(id || '_' || b || '_7'), 1, 8))" +
-        "::BIGINT % 3)"
-      val o = "(('0x' || substr(md5(id || '_' || b || '_7'), 9, 8))" +
-        s"::BIGINT % (20 - $l + 1))"
-      s"""WITH t AS (SELECT doc_id AS id,
-         |    list_filter(string_split_regex(text, '\\s+'),
-         |      w -> len(w) > 0) AS toks
-         |  FROM documents),
-         |n AS (SELECT id, toks, CAST(len(toks) // 20 AS INT) AS nfull
-         |  FROM t),
-         |r AS (SELECT id, toks, nfull,
-         |    flatten([toks[b*20+1 : b*20+$o]
-         |        || ['<extra_id_' || b || '>']
-         |        || toks[b*20+$o+$l+1 : b*20+20]
-         |      FOR b IN range(0, nfull)])
-         |      || toks[nfull*20+1 : len(toks)] AS input_arr,
-         |    ['<extra_id_' || b || '> ' ||
-         |        array_to_string(toks[b*20+$o+1 : b*20+$o+$l], ' ')
-         |      FOR b IN range(0, nfull)]
-         |      || ['<extra_id_' || nfull || '>'] AS target_arr
-         |  FROM n)
-         |SELECT id, CAST(len(toks) AS INT) AS n_tokens,
-         |  nfull AS n_spans,
-         |  array_to_string(input_arr, ' ') AS input_text,
-         |  array_to_string(target_arr, ' ') AS target_text
-         |FROM r ORDER BY id""".stripMargin
-    },
-
-    // Same per-column exact profile + drift arithmetic as
-    // Diagnostics.profileDrift over the same planted mutations.
-    "q_profile_drift" -> {
-      def prof(src: String) = Seq("lang", "source", "text").map { c =>
-        s"""SELECT '$c' AS "column", count(*) AS n,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct FROM $src""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH b AS (SELECT
-         |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang,
-         |    source || '_' || CAST(doc_id % 50 AS VARCHAR) AS source,
-         |    text
-         |  FROM documents WHERE doc_id % 10 <> 0),
-         |pa AS (${prof("documents")}),
-         |pb AS (${prof("b")}),
-         |j AS (SELECT pa."column" AS "column",
-         |    pa.n AS n_a, pb.n AS n_b,
-         |    CAST(pa.n_null AS DOUBLE) / greatest(pa.n, 1) AS null_rate_a,
-         |    CAST(pb.n_null AS DOUBLE) / greatest(pb.n, 1) AS null_rate_b,
-         |    pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
-         |    CASE WHEN pa.n_distinct > 0
-         |      THEN CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct END
-         |      AS distinct_ratio
-         |  FROM pa JOIN pb USING ("column"))
-         |SELECT "column", n_a, n_b, null_rate_a, null_rate_b,
-         |  null_rate_b - null_rate_a AS null_rate_delta,
-         |  n_distinct_a, n_distinct_b, distinct_ratio,
-         |  (abs(null_rate_b - null_rate_a) > 0.05
-         |    OR coalesce(distinct_ratio > 2.0
-         |      OR distinct_ratio < 0.5, n_distinct_b > 0)) AS drifted
-         |FROM j ORDER BY "column"""".stripMargin
-    },
-
-    // Claims oracle (float MM iterations aren't oracle-replayable):
-    // restates the planted-tournament claims; n = the distinct item
-    // count the same construction yields.
-    "q_bradley_terry" ->
-      """WITH items AS (SELECT count(DISTINCT event_id % 50) AS n
-        |  FROM events)
-        |SELECT c.claim, items.n, true AS ok
-        |FROM items, (VALUES ('strength_monotone_in_skill'),
-        |  ('strengths_normalized'), ('top_has_top_skill')) c(claim)
-        |ORDER BY c.claim""".stripMargin,
-
-    // Full round replay of the synchronous label-propagation update
-    // (closed-neighborhood max-frequency, tie -> max label) — the q_kcore
-    // MATERIALIZED-CTE pattern. The edge construction mirrors
-    // SparkEntry.communityEdges verbatim.
-    "q_communities" ->
-      s"""WITH $lpaCtes
-         |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin,
-
-    // Modularity decomposition of the replayed LPA partition: all-long
-    // arithmetic (q_scaled_term = 4*m*e_c - d_c^2), per community.
-    "q_modularity" ->
-      s"""WITH $lpaCtes,
-         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
-         |    greatest(s, d) AS b FROM sym),
-         |lab AS MATERIALIZED (SELECT node, community FROM l$LpaRounds),
-         |bo AS MATERIALIZED (SELECT la.community AS ca, lb.community AS cb
-         |  FROM und JOIN lab la ON und.a = la.node
-         |           JOIN lab lb ON und.b = lb.node),
-         |m AS (SELECT count(*) AS m_edges FROM bo),
-         |intra AS (SELECT ca AS community, count(*) AS intra_edges
-         |  FROM bo WHERE ca = cb GROUP BY 1),
-         |deg AS (SELECT community, count(*) AS degree_sum FROM
-         |    (SELECT ca AS community FROM bo
-         |     UNION ALL SELECT cb FROM bo) GROUP BY 1),
-         |sz AS (SELECT community, count(*) AS size FROM lab GROUP BY 1)
-         |SELECT sz.community, sz.size,
-         |  coalesce(intra.intra_edges, 0) AS intra_edges,
-         |  coalesce(deg.degree_sum, 0) AS degree_sum,
-         |  4 * m.m_edges * coalesce(intra.intra_edges, 0)
-         |    - coalesce(deg.degree_sum, 0) * coalesce(deg.degree_sum, 0)
-         |    AS q_scaled_term,
-         |  m.m_edges
-         |FROM sz LEFT JOIN deg ON sz.community = deg.community
-         |        LEFT JOIN intra ON sz.community = intra.community
-         |        CROSS JOIN m
-         |ORDER BY sz.community""".stripMargin,
-
-    // Bit-exact replay of the PRF random walks: the same sorted capped
-    // adjacency and the same md5-bucket step index, one MATERIALIZED CTE
-    // per step (the q_kcore round-replay pattern).
-    "q_random_walks" -> {
-      val L = 6
-      val steps = (1 to L).map { i =>
-        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
-           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
-           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
-           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
-           |    AS cur
-           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
-      }.mkString(",\n")
-      val emit = (0 to L).map(i =>
-        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
-        .mkString("\nUNION ALL ")
-      s"""WITH $communityGraphCtes,
-         |adj AS MATERIALIZED (SELECT s AS node,
-         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
-         |  FROM sym GROUP BY 1),
-         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
-         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
-         |$steps
-         |$emit
-         |ORDER BY origin, walk, step""".stripMargin
-    },
-
-    // Skip-gram pairs from the replayed walks: a step-distance self-join
-    // (the oracle spelling; the operator emits pairs row-locally from the
-    // collected sequence instead).
-    "q_skipgram" -> {
-      val L = 6
-      val steps = (1 to L).map { i =>
-        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
-           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
-           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
-           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
-           |    AS cur
-           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
-      }.mkString(",\n")
-      val emit = (0 to L).map(i =>
-        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
-        .mkString("\nUNION ALL ")
-      s"""WITH $communityGraphCtes,
-         |adj AS MATERIALIZED (SELECT s AS node,
-         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
-         |  FROM sym GROUP BY 1),
-         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
-         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
-         |$steps,
-         |walks AS MATERIALIZED ($emit)
-         |SELECT c.origin, c.walk, c.node AS center, x.node AS context,
-         |       CAST(x.step - c.step AS INT) AS "offset"
-         |FROM walks c JOIN walks x
-         |  ON c.origin = x.origin AND c.walk = x.walk
-         |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
-         |ORDER BY c.origin, c.walk, center, context, "offset"""".stripMargin
-    },
-
-    // Fixed-round replay of the seed-distance min-relaxation over the
-    // shared community graph; unreached nodes surface as null via the
-    // final left join.
-    "q_seed_distance" -> {
-      val hops = 4
-      val rounds = (1 to hops).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
-           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
-           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
-           |        UNION ALL SELECT node, distance FROM d${i - 1})
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $communityGraphCtes,
-         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
-         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
-         |  FROM nodes WHERE node IN (0, 301)),
-         |$rounds
-         |SELECT n.node, d.distance
-         |FROM nodes n LEFT JOIN d$hops d ON n.node = d.node
-         |ORDER BY n.node""".stripMargin
-    },
-
-    // Wedge self-join restatement of the common-neighbor scores (the
-    // operator emits pairs row-locally from bounded adjacency arrays;
-    // the oracle's join is fine at gate scale). 16777216 = 2^24.
-    "q_link_predict" ->
-      s"""WITH $communityGraphCtes,
-         |deg AS MATERIALIZED (SELECT s AS z, count(*) AS deg
-         |  FROM sym GROUP BY 1),
-         |w AS MATERIALIZED (SELECT sym.s AS z, sym.d AS n, deg.deg
-         |  FROM sym JOIN deg ON sym.s = deg.z
-         |  WHERE deg.deg BETWEEN 2 AND 16),
-         |scored AS (SELECT w1.n AS a, w2.n AS b,
-         |    count(*) AS common_neighbors,
-         |    CAST(sum(16777216 // w1.deg) AS BIGINT) AS ra_scaled
-         |  FROM w w1 JOIN w w2 ON w1.z = w2.z AND w1.n < w2.n
-         |  GROUP BY 1, 2),
-         |und AS (SELECT s AS a, d AS b FROM sym WHERE s < d)
-         |SELECT s.a, s.b, s.common_neighbors, s.ra_scaled,
-         |  (u.a IS NOT NULL) AS is_edge
-         |FROM scored s LEFT JOIN und u ON s.a = u.a AND s.b = u.b
-         |ORDER BY s.a, s.b""".stripMargin,
-
-    // The identical PRF membership (md5 bucket of id_replicate_seed) and
-    // exact integer length sums; the cross join is the oracle's spelling —
-    // the operator evaluates all replicates in ONE scan.
-    "q_subsample_ci" ->
-      """WITH b AS (SELECT CAST(range AS INT) AS replicate FROM range(16)),
-        |m AS (SELECT b.replicate, length(d.text) AS len
-        |      FROM documents d CROSS JOIN b
-        |      WHERE ('0x' || substr(md5(concat_ws('_',
-        |          CAST(d.doc_id AS VARCHAR),
-        |          CAST(b.replicate AS VARCHAR), '3')), 1, 8))::BIGINT
-        |        % 10000 < 5000)
-        |SELECT replicate, count(*) AS n,
-        |       CAST(sum(len) AS DOUBLE) AS sum,
-        |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Stage-order replay of the PII pipeline: the four PII regex
-    // replacements, then Luhn-verdict filtering of card candidates (the
-    // planted cards carry no separators, so the raw span IS the digit
-    // string) folded back as literal replacements, then the length gate.
-    "q_pii_pipeline" ->
-      """WITH w AS (SELECT doc_id,
-        |    'contact user' || doc_id || '@mail.example.org pay '
-        |      || lpad(CAST((doc_id * doc_id) % 10000000000000000
-        |           AS VARCHAR), 16, '0')
-        |      || ' ref ' || doc_id || ' '
-        |      || repeat('x', CAST(doc_id % 40 AS INT)) AS t
-        |  FROM documents),
-        |p AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t1
-        |  FROM w),
-        |c AS (SELECT doc_id, t1,
-        |    regexp_split_to_array(t1, '\b\d(?:[ -]?\d){12,18}\b') AS segs,
-        |    regexp_extract_all(t1, '\b\d(?:[ -]?\d){12,18}\b') AS raws,
-        |    list_transform(regexp_extract_all(t1,
-        |        '\b\d(?:[ -]?\d){12,18}\b'),
-        |      m -> regexp_replace(m, '[ -]', '', 'g')) AS digs
-        |  FROM p),
-        |r AS (SELECT doc_id,
-        |    segs[1] || coalesce(list_aggregate(
-        |      [CASE WHEN length(digs[i]) BETWEEN 13 AND 19
-        |          AND list_sum([CASE WHEN (length(digs[i]) - j + 1) % 2 = 0
-        |            THEN CASE WHEN 2 * CAST(digs[i][j] AS INT) > 9
-        |              THEN 2 * CAST(digs[i][j] AS INT) - 9
-        |              ELSE 2 * CAST(digs[i][j] AS INT) END
-        |            ELSE CAST(digs[i][j] AS INT) END
-        |            FOR j IN range(1, length(digs[i]) + 1)]) % 10 = 0
-        |        THEN '<CARD>' ELSE raws[i] END || segs[i + 1]
-        |        FOR i IN range(1, len(raws) + 1)],
-        |      'string_agg', ''), '') AS text
-        |  FROM c)
-        |SELECT doc_id, text FROM r WHERE length(text) >= 60
-        |ORDER BY doc_id""".stripMargin,
-
-    // 3-7-1 weighted digit sum + prefix ranges, restated positionally.
-    "q_aba_scan" ->
-      """WITH t AS (SELECT doc_id AS id,
-        |    lpad(CAST((doc_id * 1009) % 1000000000 AS VARCHAR), 9, '0')
-        |      AS aba
-        |  FROM documents),
-        |d AS (SELECT id, aba,
-        |    CAST(aba[1] AS INT) AS d1, CAST(aba[2] AS INT) AS d2,
-        |    CAST(aba[3] AS INT) AS d3, CAST(aba[4] AS INT) AS d4,
-        |    CAST(aba[5] AS INT) AS d5, CAST(aba[6] AS INT) AS d6,
-        |    CAST(aba[7] AS INT) AS d7, CAST(aba[8] AS INT) AS d8,
-        |    CAST(aba[9] AS INT) AS d9
-        |  FROM t)
-        |SELECT id, aba,
-        |  ((3 * (d1 + d4 + d7) + 7 * (d2 + d5 + d8)
-        |      + (d3 + d6 + d9)) % 10 = 0
-        |   AND ((d1 * 10 + d2 BETWEEN 0 AND 12)
-        |     OR (d1 * 10 + d2 BETWEEN 21 AND 32)
-        |     OR (d1 * 10 + d2 BETWEEN 61 AND 72)
-        |     OR d1 * 10 + d2 = 80)) AS valid
-        |FROM d ORDER BY id""".stripMargin,
-
-    // The same shape regex + incremental mod-97 fold via list_reduce —
-    // integer arithmetic only (verified against the ISO examples).
-    "q_iban_scan" ->
-      """WITH t AS (SELECT doc_id AS id,
-        |    'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK'
-        |      || lpad(CAST((doc_id * 7919) % 10000000000 AS VARCHAR),
-        |        10, '0') AS iban
-        |  FROM documents),
-        |r AS (SELECT id, iban, substr(iban, 5) || substr(iban, 1, 4)
-        |    AS re FROM t)
-        |SELECT id, iban,
-        |  (regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
-        |   AND list_reduce(list_prepend(0,
-        |       [ascii(re[i]) FOR i IN range(1, length(re) + 1)]),
-        |     (a, c) -> CASE WHEN c BETWEEN 48 AND 57
-        |       THEN (a * 10 + (c - 48)) % 97
-        |       ELSE (a * 100 + (c - 55)) % 97 END) = 1) AS valid
-        |FROM r ORDER BY id""".stripMargin,
-
-    // The same candidate regex + the Luhn mod-10 checksum as a list
-    // comprehension over the digit string — integer arithmetic only.
-    "q_card_scan" ->
-      """WITH t AS (SELECT doc_id AS id,
-        |    'pay ' || lpad(CAST((doc_id * doc_id) % 10000000000000000
-        |      AS VARCHAR), 16, '0') || ' ok' AS txt
-        |  FROM documents),
-        |c AS (SELECT id, unnest(regexp_extract_all(txt,
-        |    '\b\d(?:[ -]?\d){12,18}\b')) AS raw FROM t),
-        |d AS (SELECT id, raw, regexp_replace(raw, '[ -]', '', 'g')
-        |    AS digits FROM c)
-        |SELECT id, raw, digits,
-        |  (length(digits) BETWEEN 13 AND 19
-        |   AND list_sum([CASE WHEN (length(digits) - i + 1) % 2 = 0
-        |     THEN CASE WHEN 2 * CAST(digits[i] AS INT) > 9
-        |       THEN 2 * CAST(digits[i] AS INT) - 9
-        |       ELSE 2 * CAST(digits[i] AS INT) END
-        |     ELSE CAST(digits[i] AS INT) END
-        |     FOR i IN range(1, length(digits) + 1)]) % 10 = 0) AS valid
-        |FROM d ORDER BY id, raw""".stripMargin,
-
-    // Capstone replay: LPA rounds + BFS rounds + k-core peeling + degree
-    // over the SAME community graph, joined — verifies the operators
-    // agree on the node universe, not just their own outputs.
-    "q_graph_features" -> {
-      val bfs = (1 to 4).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
-           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
-           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
-           |        UNION ALL SELECT node, distance FROM d${i - 1})
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      val peel = (1 to 20).map { i =>
-        s"""ke$i AS MATERIALIZED (SELECT a, b FROM und
-           |  WHERE a IN (SELECT node FROM ks${i - 1})
-           |    AND b IN (SELECT node FROM ks${i - 1})),
-           |kd$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
-           |    (SELECT a AS node FROM ke$i UNION ALL SELECT b FROM ke$i)
-           |  GROUP BY node),
-           |ks$i AS MATERIALIZED (SELECT node FROM kd$i WHERE degree >= 5)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $lpaCtes,
-         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
-         |deg AS MATERIALIZED (SELECT s AS node, count(*) AS degree
-         |  FROM sym GROUP BY 1),
-         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
-         |  FROM nodes WHERE node IN (0, 301)),
-         |$bfs,
-         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
-         |    greatest(s, d) AS b FROM sym),
-         |ks0 AS MATERIALIZED (SELECT node FROM nodes),
-         |$peel
-         |SELECT deg.node, deg.degree, l8.community, d4.distance,
-         |  (kd.node IS NOT NULL) AS in_core, kd.degree AS core_degree
-         |FROM deg
-         |JOIN l8 ON deg.node = l8.node
-         |LEFT JOIN d4 ON deg.node = d4.node
-         |LEFT JOIN (SELECT kd20.node, kd20.degree FROM kd20
-         |           WHERE kd20.degree >= 5) kd ON deg.node = kd.node
-         |ORDER BY deg.node""".stripMargin
-    },
-
-    // Full replay of the median-of-means: same PRF buckets, exact integer
-    // sums (sum/count, never avg — DuckDB's avg accumulates in doubles,
-    // order-nondeterministic), ranked-middle pick at (c // 2) + 1.
-    "q_median_of_means" ->
-      """WITH kept AS (SELECT doc_id, length(text) AS len FROM documents),
-        |per AS (SELECT ('0x' || substr(md5(concat_ws('_',
-        |      CAST(doc_id AS VARCHAR), 'mom', '2')), 1, 8))::BIGINT % 15
-        |    AS bk, count(*) AS n, sum(len) AS s
-        |  FROM kept GROUP BY 1),
-        |means AS (SELECT CAST(s AS DOUBLE) / n AS m FROM per WHERE n > 0),
-        |ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS r,
-        |    count(*) OVER () AS c FROM means),
-        |f AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*)
-        |    AS mean FROM kept)
-        |SELECT f.n, f.mean, ranked.m AS median_of_means,
-        |  CAST(ranked.c AS INT) AS buckets_used
-        |FROM f, ranked WHERE ranked.r = ranked.c // 2 + 1""".stripMargin,
-
-    // Claims oracle (the PAV merge sequence is sequential — not
-    // SQL-replayable); n = the document count the same construction sees.
-    "q_isotonic" ->
-      """WITH t AS (SELECT count(*) AS n FROM documents)
-        |SELECT c.claim, t.n, true AS ok
-        |FROM t, (VALUES ('calibrated_mse_not_worse'),
-        |  ('positive_mass_preserved'), ('probs_monotone')) c(claim)
-        |ORDER BY c.claim""".stripMargin,
-  )
-
-  private val LpaRounds = 8
-
-  /** Shared CTE chain for q_communities / q_modularity: the edge
-    * construction + LpaRounds synchronous update rounds. MATERIALIZED is
-    * load-bearing (the q_kcore lesson): plain CTEs inline, and each round
-    * references the previous twice -> exponential plan expansion.
-    */
-  /** The q_communities/q_modularity/q_random_walks edge construction +
-    * symmetrized simple graph, mirroring SparkEntry.communityEdges.
-    */
-  private def communityGraphCtes: String =
-    s"""e AS (SELECT event_id % 600 AS s,
-       |    ((event_id % 600) // 6) * 6 + ((event_id // 600) % 6) AS d
-       |  FROM events
-       |  UNION ALL
-       |  SELECT event_id % 600, (event_id * 31) % 600 FROM events
-       |  WHERE event_id % 97 = 0),
-       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM
-       |  (SELECT s, d FROM e WHERE s <> d
-       |   UNION ALL SELECT d, s FROM e WHERE s <> d))""".stripMargin
-
-  private def lpaCtes: String = {
-    val rounds = (1 to LpaRounds).map { i =>
-      s"""v$i AS MATERIALIZED (SELECT x.node, x.community, count(*) AS cnt
-         |  FROM (SELECT sym.d AS node, p.community
-         |          FROM sym JOIN l${i - 1} p ON sym.s = p.node
-         |        UNION ALL SELECT node, community FROM l${i - 1}) x
-         |  GROUP BY 1, 2),
-         |mx$i AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM v$i
-         |  GROUP BY 1),
-         |l$i AS MATERIALIZED (SELECT v.node, max(v.community) AS community
-         |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.cnt = m.mc
-         |  GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""$communityGraphCtes,
-       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community
-       |  FROM sym),
-       |$rounds""".stripMargin
-  }
+  // Shared SQL fragments live in graft.OracleHelpers; the
+  // per-family oracle maps live alongside their gate files in
+  // src/main/scala/graft/gates/ (r8 split).
+  def sql: Map[String, String] =
+    OraclesCore.sql ++
+    OraclesPlant.sql ++
+    OraclesDedup.sql ++
+    OraclesAnn.sql ++
+    OraclesText.sql ++
+    OraclesCuration.sql ++
+    OraclesSampling.sql ++
+    OraclesGraph.sql ++
+    OraclesEvents.sql ++
+    OraclesDiag.sql
 }

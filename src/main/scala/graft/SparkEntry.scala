@@ -22,204 +22,8 @@ import graft.operators._
   */
 object SparkEntry {
 
-  // ---- determinism helpers -------------------------------------------------
-  private val Dec = DecimalType(38, 10)
-  /** Exact sum: decimal-accumulated, emitted as double. */
-  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
-  /** Exact revenue-style sum over 2-dp money inputs as INTEGER arithmetic:
-    * price*(1-discount)*10^4 == cents(price) * (100 - cents(discount)), a
-    * per-row long product summed as longs — exact, vectorizable, and ~4x
-    * faster than a DECIMAL(38,10) sum (BigDecimal-backed aggregation
-    * measured 1.4s vs 0.3s double / 0.5s long-cents on sf0.1 q1_agg). The
-    * final long->double conversion rounds identically in both engines at
-    * any magnitude. Long overflow headroom: ~1e9/row -> safe past 1e9 rows
-    * per group; beyond that switch back to decimal sums.
-    */
-  private def dsumRevenue(price: Column, discount: Column): Column =
-    sum(round(price * 100).cast("long") * (lit(100L) - round(discount * 100).cast("long")))
-      .cast("double") / 10000.0
-  /** Exact money sum via integer cents (see dsumRevenue). */
-  private def dsumMoney(c: Column): Column =
-    sum(round(c * 100).cast("long")).cast("double") / 100.0
-  /** Exact mean: exact sum / non-null count. */
-  private def davg(c: Column): Column = dsum(c) / count(c)
-  /** Epoch seconds of a timestamp as BIGINT. */
-  private def epochS(c: Column): Column = unix_timestamp(c)
-
-  /** Claims row for an ANN gate (r7 rows-only -> oracle conversion): the
-    * codebooks/buckets aren't SQL, but the CONTRACT is checkable as
-    * booleans — every query answered (covered_ok), per-query ranks dense
-    * 1..n with scores monotone in rank (shape_ok), and mean recall@k vs
-    * the exact brute-force top-k at least `chanceFactor` times the
-    * k/corpus chance level (recall_ok: "the index beats random by >=
-    * 10x" — measured margins 2.3x-67x across sf0.01/0.1). All inputs are
-    * seed-fixed, so the booleans are deterministic; DuckDB reproduces
-    * (n_queries, true, true, true).
-    */
-  private def annClaims(ann: DataFrame, exact: DataFrame, corpusCount: Column,
-                        k: Int, scoreCol: String,
-                        ascending: Boolean): DataFrame = {
-    // NOTE (r7 A/B): the ann/exact subtrees are referenced by 2-3 claim
-    // branches each and DO re-execute — but at gate scale the duplicate
-    // branches run in PARALLEL across idle cores, while eager
-    // localCheckpoints serialize into barriers (measured: checkpointing
-    // both inputs made q_pq_topk 1.51 -> 1.65 s). Leave the plan lazy; at
-    // 100 TB a caller evaluating claims over an expensive ANN run should
-    // checkpoint its OWN inputs once (as q_ann_sweep does for the truth).
-    val perQ = ann.groupBy("query_id").agg(
-      count(lit(1)).as("__nq"),
-      max(col("rank").cast("long")).as("__maxr"),
-      countDistinct(col("rank")).as("__ndr"),
-      array_sort(collect_list(struct(col("rank").cast("long").as("r"),
-        col(scoreCol).cast("double").as("sc")))).as("__byrank"))
-    val mono = {
-      val a = col("__byrank")
-      val n = size(a)
-      val pairsOk = zip_with(slice(a, lit(1), n - 1), slice(a, lit(2), n - 1),
-        (x, y) => if (ascending) x.getField("sc") <= y.getField("sc")
-                  else x.getField("sc") >= y.getField("sc"))
-      when(n <= 1, lit(true)).otherwise(forall(pairsOk, b => b))
-    }
-    val shape = perQ.select(col("query_id"),
-      (col("__nq") <= k && col("__maxr") === col("__nq") &&
-        col("__ndr") === col("__nq") && mono).as("__shape_ok"))
-    val nQ = exact.agg(countDistinct(col("query_id")).as("n_queries"))
-    val hits = ann.select(col("query_id"), col("neighbor_id")).distinct()
-      .join(exact.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"))
-      .agg(count(lit(1)).as("__hits"))
-    val covered = ann.agg(countDistinct(col("query_id")).as("__covered"))
-    val shapeAll = shape.agg(
-      coalesce(min(col("__shape_ok").cast("int")), lit(1)).as("__shape_min"))
-    nQ.crossJoin(hits).crossJoin(covered).crossJoin(shapeAll)
-      .select(col("n_queries"),
-        (col("__covered") === col("n_queries")).as("covered_ok"),
-        (col("__shape_min") === 1).as("shape_ok"),
-        (col("__hits").cast("double") / (col("n_queries") * k) >=
-          lit(10.0) * k / corpusCount).as("recall_ok"))
-  }
-
-  // ---- media fixture synthesis (q_image_dedup / q_audio_dedup) ------------
-  // The driver tables carry no image/audio bytes, so — like q_wet_pipeline
-  // synthesizes WET files — these gates synthesize REAL media files on disk
-  // from `documents` row ids and push them through the real distributed
-  // path (binaryFile scan -> mapPartitions decode -> banded Hamming join).
-  // The construction makes the expected pairs recomputable in SQL from the
-  // generating parameters alone:
-  //  - image: a 36x32 PNG of 4x4 grey blocks; block luminance = pattern
-  //    P(doc_id % 10) plus a PER-DOC uniform shift. dHash compares adjacent
-  //    area-averaged cells, so a uniform shift cancels — every doc in a
-  //    group hashes IDENTICALLY — while distinct groups differ (the block
-  //    pattern (g*7 + cell*5) % 12 means adjacent cells always differ and
-  //    the >=7 wraparound indicator is distinct for every g < 10).
-  //  - audio: a 3900-sample PCM16 WAV, constant |amplitude| per envelope
-  //    bucket = A(doc_id % 8, bucket) scaled by a PER-DOC gain. The
-  //    envelope hash compares adjacent bucket means, so positive gain
-  //    cancels — same-group WAVs hash identically, distinct groups differ.
-  // => near-dup pairs at Hamming 0 are EXACTLY the same-group pairs, a
-  // plain self-join on doc_id % G in DuckDB. Corrupt payloads (ids past
-  // the group range) must produce null hashes and never pair.
-  /** Synthesize the sharded WET fixture (4 .warc files, 2 uris per doc,
-    * deterministic page text from `documents`) into a scratch dir and
-    * return its path — shared by q_wet_pipeline (RDD front door) and
-    * q_warc_dsv2 (DataSource V2 front door).
-    */
-  private def wetFixture(s: SparkSession, dir: String,
-                         tag: String): java.nio.file.Path = {
-    val words = slice(split(col("text"), " "), 1, 64)
-    val nch = ceil(size(words) / lit(8.0)).cast("int")
-    val body = transform(sequence(lit(0), nch - 1),
-      i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "), lit(".")))
-    val extra = when(col("doc_id") % 7 === 0,
-      array(lit("enable javascript now please friend."), lit("too short."),
-        lit("lorem ipsum dolor sit amet today.")))
-      .otherwise(
-        array(lit("enable javascript now please friend."), lit("too short.")))
-    val pages = Tables.documents(s, dir).filter(col("doc_id") < 200)
-      .select(col("doc_id"),
-        array_join(concat(body, extra), "\n").as("wet_text"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(outDir)
-    Option(outDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
-    pages.groupBy { case (id, _) => id % 4 }.foreach { case (shard, docs) =>
-      val bytes = docs.flatMap { case (id, text) =>
-        graft.sources.Warc.recordBytes("conversion",
-          f"http://m.example/$id%05d", "2024-01-02T00:00:00Z", text) ++
-          graft.sources.Warc.recordBytes("conversion",
-            f"http://x.example/$id%05d", "2024-01-02T00:00:00Z", text)
-      }
-      java.nio.file.Files.write(outDir.resolve(f"part$shard%02d.warc"),
-        graft.sources.Warc.recordBytes("warcinfo", null, null,
-          "software: graft-gate") ++ bytes)
-    }
-    outDir
-  }
-
-  private def mediaFixtureDir(kind: String, dir: String): java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(p)
-    p
-  }
-
-  private def imageFixtures(ids: Seq[Long], corrupt: Seq[Long],
-                            out: java.nio.file.Path): Unit = {
-    ids.foreach { id =>
-      val img = new java.awt.image.BufferedImage(36, 32,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = (id % 10).toInt
-      val shift = ((id / 10) % 12).toInt // uniform: cancels in dHash
-      var y = 0
-      while (y < 32) {
-        var x = 0
-        while (x < 36) {
-          val cell = (y / 4) * 9 + (x / 4) // exact dHash 9x8 grid cells
-          val v = ((g * 7 + cell * 5) % 12) * 16 + 16 + shift // 16..203
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      java.nio.file.Files.write(out.resolve(f"img$id%05d.png"), bos.toByteArray)
-    }
-    corrupt.foreach { id => // PNG magic + junk: decodes to None, never pairs
-      java.nio.file.Files.write(out.resolve(f"img$id%05d.png"),
-        Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
-          Array.fill[Byte](64)((id % 97).toByte))
-    }
-  }
-
-  private def audioFixtures(ids: Seq[Long], corrupt: Seq[Long],
-                            out: java.nio.file.Path): Unit = {
-    val n = 3900 // 65 envelope buckets x exactly 60 samples
-    ids.foreach { id =>
-      val g = (id % 8).toInt
-      val gain = 1.0 - 0.05 * ((id / 8) % 8) // 0.65..1.0: cancels in hash
-      val samples = Array.tabulate(n) { i =>
-        val b = i * 65 / n
-        val amp = ((g * 7 + b * 5) % 12) * 2000 + 1000 // adjacent always differ
-        val v = math.round(amp * gain).toInt
-        (if (i % 2 == 0) v else -v).toShort
-      }
-      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * n); bb.put("WAVE".getBytes)
-      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
-      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
-      bb.put("data".getBytes); bb.putInt(2 * n)
-      samples.foreach(bb.putShort)
-      java.nio.file.Files.write(out.resolve(f"aud$id%05d.wav"), bb.array())
-    }
-    corrupt.foreach { id => // RIFF magic + junk: not decodable audio
-      java.nio.file.Files.write(out.resolve(f"aud$id%05d.wav"),
-        "RIFF".getBytes ++ Array.fill[Byte](40)((id % 89).toByte))
-    }
-  }
+  // Shared helpers live in graft.GateHelpers; the per-family
+  // gate maps live in src/main/scala/graft/gates/ (r8 split).
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -228,3835 +32,28 @@ object SparkEntry {
   // =========================================================================
   // Queries — each returns a deterministic DataFrame over the sf tables.
   // =========================================================================
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- 2.1/2.4 scans + aggregation ---------------------------------------
-    "q1_agg" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsumMoney(col("l_quantity")).as("sum_qty"),
-          dsumMoney(col("l_extendedprice")).as("sum_base_price"),
-          dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          (dsumMoney(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    "q_filter_project" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
-          && col("l_quantity") < 25)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "q_join_revenue" -> ((s, dir) => {
-      // Pre-aggregate revenue to order grain BEFORE the join: the partial
-      // agg combines map-side, the orderkey shuffle doubles as the join
-      // shuffle, and n_orders becomes a plain count (the countDistinct
-      // expand over the raw join was the honest-measurement hotspot).
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
-      val revPerOrder = li.groupBy(col("l_orderkey"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
-          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cents"))
-      revPerOrder.join(o, revPerOrder("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // distance/direction pair table analog (plant.py:1229-1258): tiny dim
-    // self-cross-join, broadcast
-    "q_cross_pairs" -> ((s, dir) => {
-      val n = Tables.nation(s, dir)
-      val a = n.select(col("n_nationkey").as("key_a"), col("n_name").as("name_a"),
-        col("n_regionkey").as("region_a"))
-      val b = n.select(col("n_nationkey").as("key_b"), col("n_name").as("name_b"),
-        col("n_regionkey").as("region_b"))
-      a.crossJoin(broadcast(b)).filter(col("key_a") < col("key_b"))
-        .withColumn("region_dist", abs(col("region_a") - col("region_b")))
-        .select("key_a", "key_b", "name_a", "name_b", "region_dist")
-        .orderBy("key_a", "key_b")
-    }),
-
-    "q_top_orders" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    }),
-
-    // ---- 2.4 resampling (aep.py:450 etc.) ----------------------------------
-    // bucketized interval join: events inside daily 02:00-06:00 windows —
-    // an EQUI join on hour buckets + containment filter, never a
-    // BroadcastNestedLoop (PlanAuditSpec pins it)
-    "q_interval_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val ranges = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
-        .select(col("day"),
-          (col("day") + expr("INTERVAL 2 HOURS")).as("win_start"),
-          (col("day") + expr("INTERVAL 6 HOURS")).as("win_end"))
-      Timeseries.intervalJoin(ev, "ts", ranges, "win_start", "win_end",
-          bucketSeconds = 3600L)
-        .groupBy(unix_timestamp(col("day")).as("day_epoch"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("day_epoch")
-    }),
-
-    // sequenced conversion funnel (view -> click -> purchase, first-touch)
-    "q_funnel" -> ((s, dir) => {
-      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
-          "event_type", Seq("view", "click", "purchase"))
-        .orderBy("step")
-    }),
-
-    // day-cohort retention matrix
-    "q_cohort" -> ((s, dir) => {
-      EventAnalytics.cohortRetention(Tables.events(s, dir), "user_id", "ts",
-          bucket = "day")
-        .select(unix_timestamp(col("cohort")).as("cohort_epoch"),
-          col("offset"), col("n_active"))
-        .orderBy("cohort_epoch", "offset")
-    }),
-
-    // first-order Markov transition matrix over per-user event sequences
-    "q_transitions" -> ((s, dir) => {
-      EventAnalytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
-          "event_type", tieCols = Seq("event_id"))
-        .orderBy("from_type", "to_type")
-    }),
-
-    // JSON property extraction from the props column (exact integer sums)
-    "q_json_extract" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("event_type")
-        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("n_with_k"))
-        .orderBy("event_type")
-    }),
-
-    "q_resample_day_sum" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
-        .agg(dsum(col("value")).as("value_sum"), count(lit(1)).as("n_events"))
-        .orderBy("day_epoch")
-    }),
-
-    "q_resample_hour_mean" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(epochS(date_trunc("hour", col("ts"))).as("hour_epoch"))
-        .agg(davg(col("value")).as("value_avg"), count(lit(1)).as("n_events"))
-        .orderBy("hour_epoch")
-    }),
-
-    // typical-period calendar profile (aep.py:394-412)
-    "q_calendar_profile" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
-        .agg(davg(col("value")).as("value_avg"), count(lit(1)).as("n_events"))
-        .orderBy("hour_of_day")
-    }),
-
-    // percent_nan analog (timeseries.py:228-241): flagged fraction per day
-    "q_percent_flagged" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
-        .agg((dsum(when(col("value") > 15.0, 1.0).otherwise(0.0)) / count(lit(1)))
-          .as("flagged_frac"))
-        .orderBy("day_epoch")
-    }),
-
-    // num_hours per day (timeseries.py:245-275)
-    "q_num_hours" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(epochS(date_trunc("day", col("ts"))).as("day_epoch"))
-        .agg(countDistinct(date_trunc("hour", col("ts"))).as("num_hours"))
-        .orderBy("day_epoch")
-    }),
-
-    // reference num_days/num_hours span semantics (timeseries.py:245-275)
-    "q_num_days_span" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      Timeseries.numSpan(ev, "ts", "day").select(col("num_day").as("num_days"))
-        .crossJoin(Timeseries.numSpan(ev, "ts", "hour")
-          .select(col("num_hour").as("num_hours")))
-    }),
-
-    // ---- 2.6 gap detection (timeseries.py:145-170) -------------------------
-    "q_gap_detect" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).withColumn("minute", date_trunc("minute", col("ts")))
-      val span = ev.agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
-      val grid = span.select(explode(sequence(col("mn"), col("mx"),
-        expr("INTERVAL 1 MINUTE"))).as("minute"))
-      grid.join(ev.select("minute").distinct(), Seq("minute"), "left_anti")
-        .select(epochS(col("minute")).as("minute_epoch"))
-        .orderBy("minute_epoch")
-    }),
-
-    // duplicate detection (timeseries.py:174-190 analog on lineitem)
-    "q_dup_keys" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
-        .filter(col("n_lines") > 1)
-        .orderBy("l_orderkey")
-    }),
-
-    // frequency inference: mode of consecutive deltas (timeseries.py:35-79).
-    // Bucket-partitioned diff computation — no global fact-grain window.
-    "q_freq_infer" -> ((s, dir) => {
-      Timeseries.inferFrequencySeconds(Tables.events(s, dir), "ts",
-        bucketSeconds = 86400L)
-    }),
-
-    // ---- 2.5 window functions ----------------------------------------------
-    "q_lag_diff" -> ((s, dir) => {
-      // event_id tie-break: sf1-style replicated timestamps otherwise
-      // make lag() order- and engine-dependent
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .withColumn("diff", col("value") - lag(col("value"), 1).over(w))
-        .select("event_id", "user_id", "diff")
-        .orderBy("event_id")
-    }),
-
-    "q_rolling_sum" -> ((s, dir) => {
-      // Long-cents frame sum (the r3 q1_agg lesson, applied after the r6
-      // bench flagged this gate at 3.08 s): value is cents-valued, so
-      // round(value*100) is an exact long and every frame slide is a long
-      // add instead of a BigDecimal add; /100.0 at the end is the same
-      // double in both engines. A/B at sf0.1: decimal 2.9 s -> long 1.0 s.
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(-2, 0)
-      Tables.events(s, dir)
-        .withColumn("rsum",
-          sum(round(col("value") * 100).cast("long")).over(w)
-            .cast("double") / 100.0)
-        .select("event_id", "rsum")
-        .orderBy("event_id")
-    }),
-
-    // unresponsive-sensor flag (filters.py:67-109)
-    "q_unresponsive" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("vi", round(col("value"), 0).cast("long"))
-      Flags.unresponsiveFlag(ev, "vi", "ts", threshold = 3,
-          partitionCols = Seq("user_id"), tieBreakCols = Seq("event_id"))
-        .select("event_id", "flag")
-        .orderBy("event_id")
-    }),
-
-    // forward-fill (wake_losses.py:1050 pattern)
-    "q_ffill" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-      Timeseries.forwardFill(ev, "v", "ts", Seq("user_id"),
-          tieBreakCols = Seq("event_id"))
-        .select(col("event_id"), col("v").as("filled"))
-        .orderBy("event_id")
-    }),
-
-    // ---- 2.2 flag operators ------------------------------------------------
-    "q_range_flag" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .withColumn("flag", Flags.rangeFlag(col("value"), 2.0, 18.0))
-        .select("event_id", "flag")
-        .orderBy("event_id")
-    }),
-
-    "q_window_range_flag" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .withColumn("flag", Flags.windowRangeFlag(
-          hour(col("ts")).cast("double"), 8.0, 17.0, col("value"), 0.5, 18.0))
-        .select("event_id", "flag")
-        .orderBy("event_id")
-    }),
-
-    "q_std_range_flag" -> ((s, dir) => {
-      Flags.stdRangeFlag(Tables.events(s, dir), "value", threshold = 2.0)
-        .select("event_id", "flag")
-        .orderBy("event_id")
-    }),
-
-    // Explicit bin bounds: the r2->r3 regression (1.07->1.65s) was the
-    // digitize semantics' data-dependent-edges bounds pass, a third full
-    // scan (A/B at sf0.1 warm: auto-bounds 1.70s, explicit 1.08s, r2 floor
-    // 0.99s). Production calls on physical quantities know their range —
-    // the reference's bin_filter takes the same bounds — and [1, 50] IS
-    // l_quantity's exact min/max, so results and oracle are unchanged.
-    // The auto-bounds path stays spec-covered (FlagsSpec).
-    "q_bin_filter" -> ((s, dir) => {
-      Flags.binFilter(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
-          binWidth = 5.0, threshold = 2.0, centerType = "mean",
-          deviationType = "std", direction = "above",
-          binMin = Some(1.0), binMax = Some(50.0))
-        .select("l_orderkey", "l_linenumber", "flag")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // KMeans+Mahalanobis (filters.py:290-343) — no SQL oracle (rows-only)
-    // Planted-truth oracle gate (r7, formerly rows-only): four clusters at
-    // (0/200, 0/200) with spread <10, outliers (event_id%101==0) pushed +80
-    // in x — ~27 sigma out, so kmeans recovers the planted partition
-    // regardless of init and the Mahalanobis flag EQUALS the planting rule.
-    // DuckDB reproduces the planting rule, not the kmeans (filters.py:290-343).
-    "q_mahalanobis" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("x",
-          when(col("user_id") % 2 === 1, 200.0).otherwise(0.0)
-            + pmod(col("value"), lit(10.0))
-            + when(col("event_id") % 101 === 0, 80.0).otherwise(0.0))
-        .withColumn("y",
-          when(col("user_id") % 4 >= 2, 200.0).otherwise(0.0)
-            + (col("event_id") % 17).cast("double") / 2.0)
-      Flags.clusterMahalanobis2d(ev, "x", "y", nClusters = 4)
-        .select("event_id", "flag")
-        .orderBy("event_id")
-    }),
-
-    // ---- 2.7 met-science scalar expressions --------------------------------
-    "q_met_columns" -> ((s, dir) => {
-      val u = col("value") - 10.0
-      val v = (col("user_id") % 7).cast("double") - 3.0
-      Tables.events(s, dir)
-        .withColumn("ws", round(Met.windSpeed(u, v), 6))
-        .withColumn("wd", round(Met.windDirection(u, v), 6))
-        .withColumn("wrapped", round(Met.wrap180(col("value") * 37.0), 6))
-        .select("event_id", "ws", "wd", "wrapped")
-        .orderBy("event_id")
-    }),
-
-    "q_air_density" -> ((s, dir) => {
-      val tempK = lit(288.15) + col("value") / 10.0
-      val presPa = lit(101325.0) - col("user_id") * 10.0
-      Tables.events(s, dir)
-        .withColumn("rho", round(Met.airDensity(tempK, presPa), 6))
-        .select("event_id", "rho")
-        .orderBy("event_id")
-    }),
-
-    // unit conversions: all four gross-energy loss-mode combinations +
-    // power->energy (unit_conversion.py:14-106)
-    "q_gross_energy" -> ((s, dir) => {
-      import graft.functions.UnitConversion
-      val avail = (col("user_id") % 10).cast("double") / 100.0
-      val curt = lit(0.02)
-      Tables.events(s, dir).select(col("event_id"),
-        round(UnitConversion.grossEnergy(col("value"), avail, curt, "frac", "frac"), 6).as("gross_ff"),
-        round(UnitConversion.grossEnergy(col("value"), avail, curt, "energy", "frac"), 6).as("gross_ef"),
-        round(UnitConversion.grossEnergy(col("value"), avail, curt, "frac", "energy"), 6).as("gross_fe"),
-        round(UnitConversion.grossEnergy(col("value"), avail, curt, "energy", "energy"), 6).as("gross_ee"),
-        round(UnitConversion.powerToEnergy(col("value"), 600L), 6).as("energy_kwh"))
-        .orderBy("event_id")
-    }),
-
-    // MonteCarloAEP.aggregate() — the analysis' deterministic distributed
-    // stage (monthly energy/avail/curt + density-corrected per-product wind
-    // speed + the partial first/last-period trim), oracle-gated over an
-    // events-derived plant. The 12-month user_id spread gives the monthly
-    // path real data; day-of-month is capped at 28 so the month arithmetic
-    // never hits end-of-month clamping (every month is then "partial",
-    // which exercises the trim: first + last month drop).
-    "q_aep_monthly" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-        .filter(dayofmonth(col("ts")) <= 28)
-        .withColumn("t",
-          expr("ts + make_interval(0, CAST(user_id % 12 AS INT), 0, 0, 0, 0, 0)"))
-      // integer-valued Wh (round to whole units): double sums of integers
-      // are EXACT in any accumulation order — DuckDB's parallel sum is
-      // order-nondeterministic run to run, so summing raw products would
-      // flake whenever a monthly total lands near a rounding boundary
-      val meter = ev.select(col("t").as("time"),
-        round(col("value") * 1000).as("MMTR_SupWh"))
-      val curtail = ev.select(col("t").as("time"),
-        round(col("value") * 50).as("IAVL_DnWh"),
-        round(col("value") * 20).as("IAVL_ExtPwrDnWh"))
-      val rea = ev.select(col("t").as("time"),
-        (lit(4.0) + (col("event_id") % 100).cast("double") / 10.0).as("WMETR_HorWdSpd"),
-        (lit(1.15) + (col("user_id") % 20).cast("double") / 200.0).as("WMETR_AirDen"))
-      val plant = graft.plant.PlantData(meter = Some(meter),
-        curtail = Some(curtail), reanalysis = Map("era5" -> rea))
-      val aep = new graft.analysis.MonteCarloAEP(plant, timeResolution = "MS")
-      aep.aggregate()
-        .map(r => (r.epochSec, r.energyGwh, r.availGwh, r.curtGwh, r.grossGwh,
-          r.availPct, r.curtPct, r.numDays, r.ws("era5"), r.nanFlag))
-        .toDF("period_epoch", "energy_gwh", "avail_gwh", "curt_gwh",
-          "gross_gwh", "avail_pct", "curt_pct", "num_days", "ws_era5", "nan_flag")
-        .select(col("period_epoch"), round(col("energy_gwh"), 6).as("energy_gwh"),
-          round(col("avail_gwh"), 6).as("avail_gwh"),
-          round(col("curt_gwh"), 6).as("curt_gwh"),
-          round(col("gross_gwh"), 6).as("gross_gwh"),
-          round(col("avail_pct"), 6).as("avail_pct"),
-          round(col("curt_pct"), 6).as("curt_pct"),
-          col("num_days"), round(col("ws_era5"), 6).as("ws_era5"), col("nan_flag"))
-        .orderBy("period_epoch")
-    }),
-
-    // Local->UTC conversion across BOTH 2024 US DST transitions: synthetic
-    // naive timestamps spanning 00:00-04:00 of the spring-forward and
-    // fall-back days. Nonexistent spring times shift by the gap in both
-    // engines; the ambiguous fall-back hour is EXCLUDED deterministically
-    // (java.time resolves it to the earlier offset, DuckDB/ICU to the
-    // later — that path is pinned by the refvector spec instead).
-    "q_tz_convert" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val secs = (col("event_id") % 14400).cast("int")
-      val base = when(col("event_id") % 2 === 0,
-        lit("2024-03-10 00:00:00")).otherwise(lit("2024-11-03 00:00:00"))
-      val tloc = to_timestamp(base) + expr("INTERVAL '1' SECOND") * secs
-      ev.filter(!(col("event_id") % 2 === 1 && secs.between(3600, 7199)))
-        .select(col("event_id"),
-          epochS(Timeseries.localToUtc(tloc, "America/New_York")).as("utc_epoch"))
-        .orderBy("event_id")
-    }),
-
-    // impute_all_assets_by_correlation over five exactly-linearly-related
-    // hourly asset series (v_k = base*(1+k/10) + 1000k) with nulls planted
-    // at (hour_index + k) % 19 == 0. Exact linearity makes the oracle
-    // independent of which ranked neighbor fills: every per-pair fit
-    // recovers the true value to ~1e-10 relative, and true values carry
-    // <= 1 decimal, so round(2) is engine-stable by a 500x margin.
-    "q_impute_corr" -> ((s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(sum(round(col("value") * 100)).as("base"))
-      val series = hourly
-        .select(col("h"), col("base"), explode(sequence(lit(0), lit(4))).as("k"))
-        .withColumn("asset", concat(lit("A"), col("k")))
-        .withColumn("v",
-          when(((unix_timestamp(col("h")) / 3600).cast("long") + col("k")) % 19 === 0,
-            lit(null).cast("double"))
-          .otherwise(col("base") * (lit(1.0) + col("k") / 10.0) + col("k") * 1000))
-        .select("h", "asset", "v")
-      Imputing.imputeAllByCorrelation(series, "h", "asset", "v",
-          minR2 = 0.7, topM = 3)
-        .select(epochS(col("h")).as("h_epoch"), col("asset"),
-          round(col("v_imputed"), 2).as("v_imputed"))
-        .orderBy("h_epoch", "asset")
-    }),
-
-    // QA determine_offset_dst: UTC-offset + DST flag from already-UTC
-    // stamps spread across the whole year (UTC->local is never ambiguous,
-    // so both engines agree everywhere, transitions included).
-    "q_offset_dst" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .filter(dayofmonth(col("ts")) <= 28)
-        .withColumn("utc",
-          expr("ts + make_interval(0, CAST(event_id % 12 AS INT), 0, 0, 0, 0, 0)"))
-      QaDatetime.determineOffsetDst(
-          ev.select(col("event_id"), col("utc")), "utc", "America/New_York")
-        .select(col("event_id"), col("utc_offset_hours"), col("is_dst"))
-        .orderBy("event_id")
-    }),
-
-    // QA describe (qa.py:252-264): transposed per-column summary stats.
-    "q_qa_describe" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("value"),
-        (col("value") * 3.0 - col("user_id")).as("mix"),
-        col("user_id").cast("double").as("uid"))
-      QaDatetime.describe(ev, Seq("value", "mix", "uid"))
-        .select(col("column"), col("n"),
-          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
-          round(col("min"), 6).as("min"), round(col("p25"), 6).as("p25"),
-          round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"),
-          round(col("max"), 6).as("max"))
-        .orderBy("column")
-    }),
-
-    // daylight_savings_plot's deterministic data-prep (qa.py:267-463):
-    // per-year DST transition windows over an hourly UTC series spread
-    // across 12 months (planted duplicate stamps at hour 6) — window rows
-    // with season labels, localized twins, and duplicate counts.
-    "q_dst_windows" -> ((s, dir) => {
-      val hours = Tables.events(s, dir)
-        .filter(dayofmonth(col("ts")) <= 28)
-        .select(date_trunc("hour",
-          expr("ts + make_interval(0, CAST(event_id % 12 AS INT), 0, 0, 0, 0, 0)"))
-          .as("utc"))
-        .distinct()
-      val withDups = hours.union(hours.filter(hour(col("utc")) === 6))
-        .withColumn("power",
-          (hour(col("utc")) * 100 + dayofmonth(col("utc"))).cast("long"))
-      QaDatetime.dstWindows(withDups, "utc", "America/New_York")
-        .select(col("year"), col("season"), epochS(col("utc")).as("utc_epoch"),
-          epochS(col("utc_localized")).as("local_epoch"), col("power"),
-          col("is_dst"), col("utc_offset_hours"), col("n_dups"))
-        .orderBy("utc_epoch", "year")
-    }),
-
-    // Linear interpolation between surviving points (x = event time),
-    // bfill/ffill at partition edges — the imputation primitive, oracle-
-    // gated with planted nulls (every 37th event id). round(4): the
-    // engines' interp doubles differ by ~1 ulp and at 6 decimals one row
-    // sits exactly on the half boundary; at 4 the nearest boundary is 4
-    // orders of magnitude away from ulp noise (measured at both SFs).
-    "q_interp_linear" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("v", when(col("event_id") % 37 === 0, lit(null).cast("double"))
-          .otherwise(col("value")))
-        .withColumn("x", unix_micros(col("ts")).cast("double"))
-      Timeseries.interpolateLinear(ev, "v", "x", orderCol = "ts",
-          partitionCols = Seq("event_type"),
-          tieBreakCols = Seq("event_id")) // replicated data has tied ts
-        .select(col("event_id"), round(col("v"), 4).as("v"))
-        .orderBy("event_id")
-    }),
-
-    // Quality-aware canonical selection: duplicate clusters from exact-dup
-    // star pairs; the surviving member is the highest-score (raw length)
-    // row, ties to the minimum id — groupBy max(struct), no windows.
-    "q_canonical" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("score", length(col("text")).cast("double"))
-      val fp = docs.select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("__f"))
-      val firsts = fp.groupBy("__f").agg(min(col("doc_id")).as("id_a"))
-      // checkpoint: connectedComponents evaluates its edge input several
-      // times (size probe + traversal) and each re-run would repeat the
-      // fingerprint scan; the pair list is duplicate-grain (tiny), the
-      // legitimate thing to materialize
-      val pairs = fp.join(firsts, Seq("__f"))
-        .filter(col("doc_id") =!= col("id_a"))
-        .select(col("id_a"), col("doc_id").as("id_b"))
-        .localCheckpoint(true)
-      Dedup.dedupClustersBy(docs, "doc_id", "score", pairs)
-        .select(col("doc_id"), col("component"), col("canonical_id"),
-          col("is_duplicate"))
-        .orderBy("doc_id")
-    }),
-
-    // IEC 61400-12 binned power curve (left-edge bins, linear interp of
-    // empty interior bins, nearest at the edges) over an events-derived
-    // (ws, power) table — the driver-side curve re-emitted as rows.
-    "q_iec_curve" -> ((s, dir) => {
-      import s.implicits._
-      // integer-valued power: bin means become exact-integer sums / count,
-      // immune to DuckDB's order-nondeterministic parallel double sum
-      val wsPower = Tables.events(s, dir)
-        .select((col("value") / 20.0).as("ws"), round(col("value") * 3.0).as("power"))
-      val c = graft.powercurve.PowerCurve.iec(wsPower, "ws", "power",
-        binWidth = 0.5, windspeedStart = 0.0, windspeedEnd = 30.0)
-      c.values.zipWithIndex.map { case (p, b) => (b.toLong, p) }.toSeq
-        .toDF("bin", "p")
-        .select(col("bin"), round(col("p"), 6).as("p"))
-        .orderBy("bin")
-    }),
-
-    // ElectricalLosses' daily concurrent stage (scadaDaily x meterDaily
-    // inner join on fully-reporting meter days), oracle-gated: hourly
-    // (slot, turbine)-grain scada and hourly meter derived from events.
-    "q_elec_daily" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val slot = date_trunc("hour", col("ts"))
-      // integer-valued Wh per row (exact sums in any accumulation order —
-      // see q_aep_monthly: DuckDB's parallel double sum is
-      // order-nondeterministic, so raw-product sums flake at boundaries)
-      val scada = ev.groupBy(slot.as("time"),
-          concat(lit("T"), col("user_id") % 2).as("asset_id"))
-        .agg(sum(round(col("value") * 100)).as("WTUR_SupWh"))
-      val meter = ev.groupBy(slot.as("time"))
-        .agg(sum(round(col("value") * 95)).as("MMTR_SupWh"))
-      val asset = Seq(("T0", "turbine"), ("T1", "turbine")).toDF("asset_id", "type")
-      val plant = graft.plant.PlantData(scada = Some(scada), meter = Some(meter),
-        asset = Some(asset),
-        metadata = graft.plant.PlantMetadata(scadaFreqSeconds = 3600L,
-          meterFreqSeconds = 3600L))
-      val el = new graft.analysis.ElectricalLosses(plant)
-      el.scadaDaily
-        .join(el.meterDaily.select(col("day"), col("MMTR_SupWh")), Seq("day"))
-        .select(epochS(col("day")).as("day_epoch"),
-          round(col("WTUR_SupWh"), 2).as("turbine_wh"),
-          col("count").cast("long").as("scada_count"),
-          round(col("corrected_energy"), 2).as("corrected_wh"),
-          round(col("percent"), 6).as("scada_pct"),
-          round(col("MMTR_SupWh"), 2).as("meter_wh"))
-        .orderBy("day_epoch")
-    }),
-
-    // WakeLosses' deterministic POR stage (wake_losses.py:653-731 via
-    // timestampAggregate): per-timestamp plant power + freestream mean
-    // power/ws (2 turbines, equator E-W layout so bearings are exactly
-    // 90/270 and the waked wd-bin ranges are closed-form), rolled up per
-    // wd bin. Integer power + dyadic ws/wd (multiples of 1/4, wd at bin
-    // midpoints) keep every engine-side sum exact in any accumulation
-    // order; the per-time circular mean runs over two IDENTICAL wd values,
-    // so wd_bin is ulp-safe (2.5 deg from any bin boundary).
-    "q_wake_por" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val scada0 = ev.groupBy(date_trunc("hour", col("ts")).as("time"),
-          concat(lit("T"), col("user_id") % 2).as("asset_id"))
-        .agg(sum(round(col("value") * 100)).as("WTUR_W"))
-      val h = (unix_timestamp(col("time")) / 3600).cast("long")
-      val scada = scada0
-        .withColumn("WMET_HorWdSpd",
-          ((h + when(col("asset_id") === "T1", 1).otherwise(0)) % 100)
-            .cast("double") / 4.0)
-        .withColumn("WMET_HorWdDir", ((h % 71) * 5).cast("double") + 2.5)
-      val asset = Seq(("T0", "turbine", 0.0, 0.0, 3000.0),
-          ("T1", "turbine", 0.0, 0.01, 3000.0))
-        .toDF("asset_id", "type", "latitude", "longitude", "rated_power")
-      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset))
-      val wl = new graft.analysis.WakeLosses(plant)
-      wl.timestampAggregate(scada, sectorWidth = 90.0, nTurbines = 2)
-        .groupBy(col("wd_bin"))
-        .agg(count(lit(1)).as("n_times"),
-          sum(col("plant_power")).as("actual"),
-          sum(col("freestream_power") * 2).as("potential"),
-          avg(col("freestream_ws")).as("fs_ws"))
-        .select(col("wd_bin"), col("n_times"),
-          round(col("actual"), 2).as("actual_w"),
-          round(col("potential"), 2).as("potential_w"),
-          round(lit(1.0) - col("actual") / col("potential"), 6).as("por_loss"),
-          round(col("fs_ws"), 6).as("fs_ws"))
-        .orderBy("wd_bin")
-    }),
-
-    // WakeLosses' long-term (wd, ws) wind-rose frequency table
-    // (wake_losses.py:1150-1174) — counts per bin + normalized fraction.
-    "q_wake_freq" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val rea2 = ev.select(col("ts").as("time"),
-        (((col("event_id") % 288) * 10).cast("double") / 8.0).as("WMETR_HorWdDir"),
-        ((col("event_id") % 200).cast("double") / 8.0).as("WMETR_HorWdSpd"))
-      val plant = graft.plant.PlantData(reanalysis = Map("era5" -> rea2))
-      val wl = new graft.analysis.WakeLosses(plant)
-      val freq = wl.longTermFrequency("era5", years = 30)
-      val total = freq.agg(sum(col("freq"))).head().getLong(0)
-      freq.select(col("wd_bin"), col("ws_bin"), col("freq"),
-          round(col("freq") / total.toDouble, 9).as("freq_frac"))
-        .orderBy("wd_bin", "ws_bin")
-    }),
-
-    // TIE's daily valid-energy stage (turbine_long_term_gross_energy.py
-    // :440-501): per-turbine daily energy sums with expected-count
-    // availability correction and the >= 90%-reporting day filter, joined
-    // to the daily reanalysis covariates (mean ws/u/v/rho + vector wd).
-    // Flags planted by (hour + turbine) % 17; all measures integer/dyadic.
-    "q_tie_daily" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val h = (unix_timestamp(col("time")) / 3600).cast("long")
-      val scada = ev.groupBy(date_trunc("hour", col("ts")).as("time"),
-          concat(lit("T"), col("user_id") % 2).as("asset_id"))
-        .agg(sum(round(col("value") * 100)).as("WTUR_SupWh"))
-        .withColumn("flag_final",
-          ((h + when(col("asset_id") === "T1", 1).otherwise(0)) % 17) === 0)
-      val rea = ev.select(date_trunc("hour", col("ts")).as("time")).distinct()
-        .withColumn("WMETR_HorWdSpd", (h % 160).cast("double") / 8.0)
-        .withColumn("WMETR_HorWdSpdU", ((h % 64) - 32).cast("double") / 4.0)
-        .withColumn("WMETR_HorWdSpdV",
-          (((h * 7 + 11) % 64) - 32).cast("double") / 4.0)
-        .withColumn("WMETR_AirDen", lit(1.0) + (h % 64).cast("double") / 256.0)
-      val asset = Seq(("T0", "turbine", 2000.0), ("T1", "turbine", 2000.0))
-        .toDF("asset_id", "type", "rated_power")
-      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset),
-        reanalysis = Map("era5" -> rea),
-        metadata = graft.plant.PlantMetadata(scadaFreqSeconds = 3600L))
-      val tie = new graft.analysis.TurbineLongTermGrossEnergy(plant)
-      tie.dailyValid(scada, correctionThresholdValue = 0.9)
-        .join(tie.dailyReanalysis("era5").withColumnRenamed("n", "n_rea"),
-          Seq("day"))
-        .select(col("asset_id"), epochS(col("day")).as("day_epoch"),
-          round(col("energy_kwh"), 2).as("energy_wh"), col("n"),
-          round(col("energy_corrected"), 4).as("energy_corrected"),
-          round(col("ws"), 6).as("ws"), round(col("wd"), 4).as("wd"),
-          round(col("rho"), 6).as("rho"), col("n_rea"))
-        .orderBy("asset_id", "day_epoch")
-    }),
-
-    // StaticYawMisalignment's cosine-fit INPUT stage (yaw_misalignment.py
-    // :545-563 via vaneBins): pitch filter, median/MAD power-bin outlier
-    // removal, target ws-bin slice, per-vane-bin power/vane means. Rated
-    // power 2048 (a power of two) keeps p_frac dyadic; integer power and
-    // 1/8-degree vane/ws keep sums and exact medians engine-identical.
-    "q_yaw_vane_bins" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val scada = ev.select(
-        col("ts").as("time"),
-        concat(lit("T"), col("user_id") % 2).as("asset_id"),
-        (round((col("value") * 193) % 1900) + 30).as("WTUR_W"),
-        (lit(4.0) + (col("event_id") % 44).cast("double") / 8.0).as("WMET_HorWdSpd"),
-        ((col("event_id") % 240) - 120).cast("double") / 8.0 as "WMET_HorWdDirRel",
-        (col("event_id") % 5).cast("double") * 0.25 as "WROT_BlPthAngVal")
-      val asset = Seq(("T0", "turbine", 2048.0), ("T1", "turbine", 2048.0))
-        .toDF("asset_id", "type", "rated_power")
-      val plant = graft.plant.PlantData(scada = Some(scada), asset = Some(asset))
-      // Gate outputs are the DYADIC sums, not round(avg, 6): avg = S/n is
-      // not dyadic even when S is, and round-at-6 of a straddling quotient
-      // diverges between engines (the q_interp_linear failure class, SURVEY
-      // §6). Integer power -> perf_sum is an exact long; 1/8-degree vane ->
-      // vane_sum * 8 is an exact long. The means are recoverable as sum/n.
-      // Bin centers are integers by construction -> cast to LONG on both
-      // sides: DuckDB's round() emits -0.0 for vane in (-0.5, 0) where
-      // Spark emits +0.0; values compare equal but the driver hashes float
-      // BIT PATTERNS, so a DOUBLE bin column can never hash-match (SURVEY
-      // §6 signed-zero lesson, r6 verdict).
-      new graft.analysis.StaticYawMisalignment(plant).vaneBins()
-        .select(col("asset_id"),
-          col("ws_bin_center").cast("long").as("ws_bin_center"),
-          col("vane_bin").cast("long").as("vane_bin"),
-          col("perf_sum").cast("long").as("perf_sum"), col("n"),
-          round(col("vane_sum") * 8).cast("long").as("vane_sum_8"))
-        .orderBy("asset_id", "ws_bin_center", "vane_bin")
-    }),
-
-    // EYA gap-analysis waterfall (eya_gap_analysis.py:83-229): the five
-    // reconciliation terms from events-derived EYA/OA scalars (exact
-    // integer sums -> identical doubles; the arithmetic order in the
-    // oracle mirrors compile()'s left-association).
-    "q_eya_waterfall" -> ((s, dir) => {
-      import s.implicits._
-      val r = Tables.events(s, dir).agg(
-        sum(round(col("value") * 100)).as("s1"),
-        sum(round(col("value") * 37)).as("s2"),
-        sum(col("user_id") % 97).as("s3"),
-        count(lit(1)).as("n")).head()
-      val s1 = r.getDouble(0); val s2 = r.getDouble(1)
-      val s3 = r.getLong(2).toDouble; val n = r.getLong(3).toDouble
-      val gap = new graft.analysis.EYAGapAnalysis(
-        eyaAep = s1 / 1e7, eyaGross = s1 / 1e7 * 1.3,
-        eyaAvailLoss = (s3 / n) / 400.0, eyaElecLoss = (s3 / n) / 800.0,
-        eyaTurbineLoss = 0.037, eyaWakeLoss = (s3 / n) / 1000.0,
-        eyaBladeDegLoss = 0.011,
-        oaAep = s2 / 1e7 * 2.5, oaAvailLoss = (s3 / n) / 500.0,
-        oaElecLoss = (s3 / n) / 900.0, oaTurbineIdeal = s2 / 1e7 * 3.0)
-      val terms = Seq("eya_aep", "turb_gross_diff", "avail_diff",
-        "elec_diff", "unexplained")
-      gap.compile().zipWithIndex
-        .map { case (v, i) => (i.toLong, terms(i), v) }
-        .toDF("idx", "term", "value")
-        .select(col("idx"), col("term"), round(col("value"), 6).as("value"))
-        .orderBy("idx")
-    }),
-
-    // The crawl-ingestion pipeline end to end: WET files on disk -> Warc
-    // reader -> C4 cleaning -> exact dedup. The WET corpus is synthesized
-    // DETERMINISTICALLY from `documents` (first 64 words re-lined into
-    // 8-word sentences + planted per-line and per-page C4 violations; each
-    // page written under TWO uris across 4 plain WET files in a scratch
-    // dir), so the DuckDB oracle can recompute the expected kept pages,
-    // C4 text hashes, and duplicate flags from the same table without ever
-    // touching the files — the file round-trip itself is what's under test.
-    // The same crawl fixture through the DataSource V2 front door
-    // (spark.read.format("warc")): record metadata + payload hashes are
-    // SQL-recomputable from the generating parameters; the projection
-    // includes text so the reader's payload path is exercised, while
-    // WarcSpec pins the pruned skip path.
-    "q_warc_dsv2" -> ((s, dir) => {
-      val outDir = wetFixture(s, dir, "wetv2")
-      s.read.format("warc").load(s"$outDir/*.warc")
-        .select(col("target_uri"), col("content_length"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("target_uri")
-    }),
-
-    "q_wet_pipeline" -> ((s, dir) => {
-      val outDir = wetFixture(s, dir, "wet")
-      val wet = graft.sources.Warc.read(s, s"$outDir/*.warc")
-        .select(col("target_uri"), col("text"))
-      val c4 = Cleanse.c4Filter(wet, "text").filter(col("keep"))
-      Dedup.exact(c4, "text_c4", "target_uri")
-        .select(col("target_uri"), col("n_lines_kept"),
-          md5(col("text_c4")).as("c4_md5"), col("is_duplicate"))
-        .orderBy("target_uri")
-    }),
-
-    // Perceptual image dedup end to end THROUGH real PNG files on disk:
-    // binaryFile scan -> javax.imageio decode -> dHash -> banded Hamming
-    // join. Construction (see imageFixtures): same-group images differ by
-    // a uniform luminance shift that dHash cancels, so the Hamming-0 pairs
-    // are exactly the same-group (doc_id % 10) pairs — recomputable in SQL.
-    // Corrupt payloads (ids 120-127) must hash null and never pair.
-    "q_image_dedup" -> ((s, dir) => {
-      val ids = Tables.documents(s, dir).filter(col("doc_id") < 120)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-      val out = mediaFixtureDir("img", dir)
-      imageFixtures(ids, 120L until 128L, out)
-      val files = s.read.format("binaryFile").load(s"$out/*.png")
-        .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
-          .cast("long").as("media_id"), col("content"))
-      graft.multimodal.Multimodal.dHashNearDupPairs(
-          files, "media_id", "content", maxHamming = 0)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Perceptual audio dedup end to end THROUGH real WAV files on disk:
-    // same-group WAVs differ by a positive gain the envelope hash cancels
-    // (see audioFixtures) -> Hamming-0 pairs = same-group (doc_id % 8)
-    // pairs. Corrupt payloads (ids 96-103) never pair.
-    "q_audio_dedup" -> ((s, dir) => {
-      val ids = Tables.documents(s, dir).filter(col("doc_id") < 96)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-      val out = mediaFixtureDir("aud", dir)
-      audioFixtures(ids, 96L until 104L, out)
-      val files = s.read.format("binaryFile").load(s"$out/*.wav")
-        .select(regexp_extract(col("path"), "aud(\\d+)\\.wav$", 1)
-          .cast("long").as("media_id"), col("content"))
-      graft.multimodal.Multimodal.audioNearDupPairs(
-          files, "media_id", "content", maxHamming = 0)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q_circular_mean" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .withColumn("angle", (col("value") * 36.0) % 360.0)
-        .groupBy("event_type")
-        .agg(round(Met.circularMeanAgg(col("angle")), 6).as("circ_mean"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")
-    }),
-
-    "q_shear_alpha" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val alpha = Met.shearAlpha(Seq(
-        (col("l_quantity") + 1.0, 10.0),
-        (col("l_quantity") * 1.1 + 2.0, 50.0),
-        (col("l_quantity") * 1.2 + 3.0, 80.0)))
-      li.withColumn("alpha", round(alpha, 6))
-        .select("l_orderkey", "l_linenumber", "alpha")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- 2.8 regression (closed-form OLS via aggregates, aep.py:920) -------
-    "q_linreg" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .agg(
-          round(Fitting2.slope(col("l_quantity"), col("l_extendedprice")), 6).as("slope"),
-          round(Fitting2.intercept(col("l_quantity"), col("l_extendedprice")), 6).as("intercept"),
-          count(lit(1)).as("n"))
-    }),
-
-    // per-group closed-form OLS (per-turbine degradation fits at scale):
-    // the same covar/var aggregate expressions, grouped — the fit stays IN
-    // the plan, one shuffle at group grain, never a per-group driver loop
-    "q_group_linreg" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(Fitting2.slope(col("l_quantity"), col("l_extendedprice")), 6).as("slope"),
-          round(Fitting2.intercept(col("l_quantity"), col("l_extendedprice")), 6).as("intercept"),
-          round(pow(corr(col("l_quantity"), col("l_extendedprice")), 2), 6).as("r2"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
-    }),
-
-    // asset-correlation analog (imputing.py:13-31): pivot series + pairwise corr
-    "q_corr_matrix" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      def seriesAvg(t: String) =
-        (sum(when(col("event_type") === t, col("value")).cast(Dec)).cast("double")
-          / count(when(col("event_type") === t, lit(1)))).as(t)
-      val m = ev.groupBy(epochS(date_trunc("minute", col("ts"))).as("minute"))
-        .agg(seriesAvg("click"), seriesAvg("view"), seriesAvg("purchase"))
-      m.agg(
-        round(corr(col("click"), col("view")), 6).as("corr_click_view"),
-        round(corr(col("click"), col("purchase")), 6).as("corr_click_purchase"),
-        round(corr(col("view"), col("purchase")), 6).as("corr_view_purchase"))
-    }),
-
-    // per-type winsorized stats over integer-scaled values (cents are
-    // exact in any accumulation order; quartile bounds interpolate on
-    // dyadic fractions -> bit-identical clamps in both engines)
-    "q_winsorized" -> ((s, dir) => {
-      val cents = Tables.events(s, dir)
-        .withColumn("v", floor(col("value") * 100 + lit(0.5)))
-      Timeseries.winsorizedStats(cents, "event_type", "v",
-          pLow = 0.25, pHigh = 0.75)
-        .orderBy("event_type")
-    }),
-
-    "q_global_stats" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          davg(col("value")).as("value_avg"),
-          round(stddev_samp(col("value")), 6).as("value_std"),
-          round(percentile(col("value"), lit(0.5)), 6).as("value_med"),
-          min(col("value")).as("value_min"),
-          max(col("value")).as("value_max"))
-        .orderBy("event_type")
-    }),
-
-    // imputation (imputing.py:34-131): fill gaps in one series from another
-    "q_impute" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val minutes = ev.select(date_trunc("minute", col("ts")).as("minute")).distinct()
-      def seriesOf(t: String, name: String) =
-        ev.filter(col("event_type") === t)
-          .groupBy(date_trunc("minute", col("ts")).as("minute"))
-          .agg(davg(col("value")).as(name))
-      val target = minutes.join(seriesOf("view", "target_val"), Seq("minute"), "left")
-      val ref = seriesOf("click", "ref_val")
-      Imputing.imputeData(target, ref, "minute", "target_val", "ref_val")
-        .select(epochS(col("minute")).as("minute_epoch"),
-          round(col("imputed"), 6).as("imputed"))
-        .orderBy("minute_epoch")
-    }),
-
-    // ---- text analysis -----------------------------------------------------
-    "q_token_stats" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
-          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
-        .orderBy("doc_id")
-    }),
-
-    // CCNet-style multilingual dedup-hash normalization (Wenzek et al.
-    // 2020): the corpus is ASCII, so accents/digits/punct are PLANTED
-    // deterministically (translate to á/é on every 3rd doc + a suffix with
-    // an accent, digits, and punctuation) and must fold back out — the
-    // oracle mirrors via strip_accents. Output is md5 + length, not the
-    // full normalized text, to keep the compare payload bounded.
-    "q_ccnet_norm" -> ((s, dir) => {
-      val decorated = concat(
-        when(col("doc_id") % 3 === 0,
-          translate(col("text"), "ae", "áé")).otherwise(col("text")),
-        lit(" Café #"), (col("doc_id") % 97).cast("string"), lit("! 42;"))
-      val norm = TextAnalysis.ccnetNormalize(decorated)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), md5(norm).as("norm_md5"),
-          length(norm).cast("long").as("norm_len"))
-        .orderBy("doc_id")
-    }),
-
-    // Dedup impact report: cluster-size histogram with docs/chars removable.
-    // The synthetic corpus is exact-dup-free, so boilerplate clusters are
-    // planted deterministically (doc_id % 10 < 3 -> one of 25 shared
-    // pages), mirrored in the oracle; n_chars stays the ORIGINAL size
-    // column — the report's bytes accounting is what's under test.
-    "q_dedup_audit" -> ((s, dir) => {
-      val planted = when(col("doc_id") % 10 < 3,
-        concat(lit("duplicate boilerplate page "), (col("doc_id") % 25).cast("string")))
-        .otherwise(col("text"))
-      Dedup.auditReport(
-          Tables.documents(s, dir).withColumn("text", planted),
-          "text", "doc_id", "n_chars")
-        .orderBy("cluster_size")
-    }),
-
-    // PMI word-pair collocations by document co-occurrence. The synthetic
-    // vocabulary is 30 near-ubiquitous tokens (df ~ 0.8N), so the gate
-    // opens maxDocFrac to 1.0 to exercise the pair path; the operator's
-    // 0.5 default is the real-corpus guard.
-    "q_pmi" -> ((s, dir) => {
-      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
-          minPairDocs = 50L, maxDocFrac = 1.0)
-        .select(col("token_a"), col("token_b"), col("n_ab"),
-          round(col("pmi"), 6).as("pmi"))
-        .orderBy("token_a", "token_b")
-    }),
-
-    // Naive Bayes quality classifier: train on the doc_id % 5 == 0 slice
-    // (label: lang == 'en'), score the rest by per-token log-odds
-    "q_nb_quality" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("__lab", col("lang") === "en")
-      TextAnalysis.naiveBayesScore(
-          docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", "__lab")
-        .select(col("id").as("doc_id"), col("n_toks"),
-          round(col("log_odds"), 6).as("log_odds"), col("predicted"))
-        .orderBy("doc_id")
-    }),
-
-    // CCNet head/middle/tail perplexity buckets: unigram LM trained on the
-    // doc_id % 5 == 0 slice, per-language tercile split by score
-    "q_ccnet_buckets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.perplexityBuckets(
-          docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", "lang")
-        .select(col("id").as("doc_id"), col("lang"), col("n_toks"),
-          col("mean_lp"), col("bucket"))
-        .orderBy("doc_id")
-    }),
-
-    // Heavy hitters over the token stream: Misra-Gries candidate sketch
-    // (bounded, mergeable) -> exact recount of candidates -> >= 0.5%
-    // threshold; output identical to a full groupBy HAVING (the oracle).
-    "q_heavy_hitters" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(explode(split(TextAnalysis.normalize(col("text")), " "))
-          .as("token"))
-        .filter(length(col("token")) > 0)
-      Diagnostics.heavyHitters(toks, "token", minFracPpm = 5000L,
-          sketchK = 1024)
-        .orderBy("item")
-    }),
-
-    // Filter-funnel audit: sequential per-stage in/kept/dropped counts for
-    // a 4-stage curation chain — all-integer, engine-exact.
-    "q_filter_funnel" -> ((s, dir) => {
-      Diagnostics.filterFunnel(Tables.documents(s, dir), Seq(
-          "nonempty" -> (length(col("text")) > 0),
-          "min_len" -> (length(col("text")) >= 200),
-          "has_sentence" -> col("text").contains("."),
-          "token_floor" -> (TextAnalysis.tokenCount(col("text")) >= 40)))
-        .orderBy("stage")
-    }),
-
-    // Corpus-frequency boilerplate removal: pages synthesized with a
-    // universal cookie line, a doc_id%3 nav line, a doc_id%100 footer
-    // (exactly minDocs docs at sf0.01), and one unique body line — only
-    // the body line survives.
-    "q_boilerplate" -> ((s, dir) => {
-      val page = concat_ws("\n",
-        lit("Accept all cookies to continue"),
-        when(col("doc_id") % 3 === 0, lit("Home | About | Contact"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 100 === 0, lit("Powered by ExampleCMS"))
-          .otherwise(lit("")),
-        concat(lit("body "), col("doc_id").cast("string"), lit(" "),
-          substring(md5(col("text")), 1, 8)))
-      Cleanse.dropBoilerplateLines(
-          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
-          "doc_id", "page", minDocs = 5L)
-        .select(col("id").as("doc_id"), col("text_clean"),
-          col("n_lines_kept"), col("n_lines_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    // Within-doc repeated-span removal: pages synthesized with a guaranteed
-    // repeat (the doc's first 40 tokens re-appended), 5-gram rule — the
-    // appended copy is detected and dropped, the original kept
-    "q_repeated_spans" -> ((s, dir) => {
-      val page = concat_ws(" ", col("text"),
-        array_join(slice(split(col("text"), " "), 1, 40), " "))
-      Cleanse.removeRepeatedNgrams(
-          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
-          "doc_id", "page", n = 5)
-        .select(col("id").as("doc_id"), col("text_dedup"),
-          col("n_tokens_kept").cast("long").as("n_tokens_kept"),
-          col("n_tokens_dropped").cast("long").as("n_tokens_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    // PSI drift between corpus snapshots: reference = even doc_ids, current
-    // = odd doc_ids with src0 removed (a planted source-mix shift); score =
-    // n_chars (integer column — boundary arithmetic engine-exact)
-    "q_psi" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ref = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("n_chars").cast("double").as("score"))
-      val cur = docs.filter(col("doc_id") % 2 === 1 && col("source") =!= "src0")
-        .select(col("n_chars").cast("double").as("score"))
-      Diagnostics.psi(ref, cur, "score", bins = 10)
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          round(col("p_ref"), 6).as("p_ref"),
-          round(col("p_cur"), 6).as("p_cur"),
-          round(col("psi_contrib"), 6).as("psi_contrib"))
-        .orderBy("bin")
-    }),
-
-    // Corpus snapshot diff: old = ids 0-399, new = ids 100-499 with every
-    // 7th doc edited -> added/removed/changed/unchanged per id
-    "q_corpus_diff" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val oldSnap = docs.filter(col("doc_id") < 400)
-      val newSnap = docs.filter(col("doc_id") >= 100)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")))
-      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
-        .select(col("id").as("doc_id"), col("status"),
-          col("fp_old"), col("fp_new"))
-        .orderBy("doc_id")
-    }),
-
-    // SCD2 history: snapshot 1 (all docs) applied to empty history at
-    // t=1000, snapshot 2 (ids >= 100, every 7th edited) at t=2000 —
-    // removals close, edits close + reopen, unchanged stay open
-    "q_scd2" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val empty = docs.select(col("doc_id").as("id"),
-          lit("").as("fp"), lit(0L).as("valid_from"),
-          lit(null).cast("long").as("valid_to"))
-        .filter(lit(false))
-      val h1 = Dedup.scd2Apply(empty, docs, "doc_id", "text", asOf = 1000L)
-      val snap2 = docs.filter(col("doc_id") >= 100)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")))
-      Dedup.scd2Apply(h1, snap2, "doc_id", "text", asOf = 2000L)
-        .select(col("id").as("doc_id"), col("fp"),
-          col("valid_from"), col("valid_to"))
-        .orderBy("doc_id", "valid_from")
-    }),
-
-    // blocked edit-distance near-dup pairs on 4-token titles within source;
-    // each doc gets a planted typo twin (last char dropped, id + 10^7) so
-    // the gate exercises real matches at every sf
-    "q_editdist" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          array_join(slice(split(col("text"), " "), 1, 4), " ").as("title"))
-      val twins = base.select((col("doc_id") + 10000000L).as("doc_id"),
-        col("source"),
-        col("title").substr(lit(1), length(col("title")) - 1).as("title"))
-      Dedup.editDistancePairs(base.unionByName(twins), "doc_id", "title",
-          "source", maxDist = 2, prefixBlock = 1)
-        .select(col("block"), col("id_a"), col("id_b"),
-          col("dist").cast("long").as("dist"))
-        .orderBy("block", "id_a", "id_b")
-    }),
-
-    // DSIR importance weights: hashed-bigram distribution match of each
-    // document against the lang == 'en' target slice
-    "q_dsir" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.importanceWeights(docs, docs.filter(col("lang") === "en"),
-          "doc_id", "text", buckets = 1024)
-        .select(col("id").as("doc_id"), col("n_feats"),
-          round(col("weight"), 6).as("weight"))
-        .orderBy("doc_id")
-    }),
-
-    // Jensen-Shannon divergence between the even/odd doc_id corpus halves
-    "q_js_div" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.jsDivergence(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1), "text")
-        .select(col("n_tokens_a"), col("n_tokens_b"),
-          col("n_vocab_a"), col("n_vocab_b"),
-          round(col("kl_pm"), 6).as("kl_pm"),
-          round(col("kl_qm"), 6).as("kl_qm"),
-          round(col("jsd"), 6).as("jsd"))
-    }),
-
-    // SemDeDup-style prototypicality: cosine of each embedding to its own
-    // label-group centroid
-    "q_centroid_score" -> ((s, dir) => {
-      Similarity.centroidScore(Tables.embeddings(s, dir), "embedding", "label")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          round(col("cos_centroid"), 5).as("cos_centroid"))
-        .orderBy("vec_id")
-    }),
-
-    // deterministic per-stratum sampling (training-mix rebalance):
-    // md5-bucket survival, row-local, portable across engines
-    "q_stratified_sample" -> ((s, dir) => {
-      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
-          rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-
-    // token-proportional weighted sampling: keep probability ~ token
-    // count, expected total calibrated to 30% — integer weights so the
-    // calibration sum is engine-exact
-    "q_weighted_sample" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
-      Sampling.weightedSample(docs, "doc_id", "w", targetFrac = 0.3)
-        .select(col("doc_id"), col("w"))
-        .orderBy("doc_id")
-    }),
-
-    // exactly-k-per-stratum deterministic sample: bounded top-k-by-md5
-    // aggregate (no per-stratum window sort)
-    "q_topk_stratum" -> ((s, dir) => {
-      Sampling.topKPerStratum(Tables.documents(s, dir), "lang", "doc_id", k = 7)
-        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
-        .orderBy("stratum", "rnk")
-    }),
-
-    // fixed-window chunking with overlap (pre-tokenization splitting)
-    "q_chunk" -> ((s, dir) => {
-      Chunking.chunkRows(Tables.documents(s, dir), "text", "doc_id",
-          size = 200, overlap = 50)
-        .select(col("id").as("doc_id"),
-          col("chunk_start").cast("long").as("chunk_start"),
-          length(col("chunk")).cast("long").as("chunk_len"), col("chunk"))
-        .orderBy("doc_id", "chunk_start")
-    }),
-
-    "q_fingerprint_dedup" -> ((s, dir) => {
-      Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
-        .select("doc_id", "fingerprint", "is_duplicate")
-        .orderBy("doc_id")
-    }),
-
-    "q_lang_scores" -> ((s, dir) => {
-      val toks = split(TextAnalysis.normalize(col("text")), " ")
-      def score(markers: Seq[String]) =
-        size(filter(toks, t => t.isInCollection(markers))).cast("double") /
-          greatest(size(toks), lit(1))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          score(TextAnalysis.LanguageMarkers("en")).as("en_score"),
-          score(TextAnalysis.LanguageMarkers("fr")).as("fr_score"),
-          score(TextAnalysis.LanguageMarkers("de")).as("de_score"),
-          score(TextAnalysis.LanguageMarkers("es")).as("es_score"))
-        .orderBy("doc_id")
-    }),
-
-    "q_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    // language-conditioned quality: stopword ratio and quality score judged
-    // against each row's own language's marker list
-    "q_lang_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          round(TextAnalysis.stopwordRatioFor(col("text"), col("lang")), 6)
-            .as("stop_ratio"),
-          round(TextAnalysis.qualityScoreFor(col("text"), col("lang")), 6)
-            .as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    // Positional inverted index, flattened for the gate (postings exploded,
-    // positions stringified). The df cap is SCALE-PROPORTIONAL (78% of the
-    // corpus) so the same gate exercises both kept and capped-out tokens at
-    // every sf.
-    "q_inverted_index" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val maxDf = math.floor(0.78 * docs.count()).toLong
-      TextAnalysis.invertedIndex(docs, "doc_id", "text", maxDf = maxDf)
-        .select(col("token"), col("df"),
-          posexplode(col("postings")).as(Seq("k", "p")))
-        .select(col("token"), col("df"), col("p.id").as("doc_id"),
-          concat_ws(",", transform(col("p.positions"), x => x.cast("string")))
-            .as("positions"))
-        .orderBy("token", "doc_id")
-    }),
-
-    // Okapi BM25 bulk scoring against one query
-    "q_bm25" -> ((s, dir) => {
-      TextAnalysis.bm25Score(Tables.documents(s, dir), "doc_id", "text",
-          query = "spark merge batch")
-        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"))
-        .orderBy("doc_id")
-    }),
-
-    // exact-phrase search from the positional index (capless for the gate
-    // so the high-df phrase terms stay indexed)
-    "q_phrase_search" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.phraseSearch(docs, "doc_id", "text", "table hash",
-          maxDf = docs.count())
-        .select(col("id").as("doc_id"), col("n_matches"),
-          col("first_pos").cast("long").as("first_pos"))
-        .orderBy("doc_id")
-    }),
-
-    // per-source lexical diversity (corpus-card row per slice)
-    "q_diversity" -> ((s, dir) => {
-      TextAnalysis.diversityByGroup(Tables.documents(s, dir), "source", "text")
-        .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
-          col("n_vocab"), round(col("entropy"), 6).as("entropy"),
-          round(col("norm_entropy"), 6).as("norm_entropy"),
-          round(col("simpson"), 6).as("simpson"))
-        .orderBy("source")
-    }),
-
-    // Zipf head fit over the 25 most frequent tokens (bounded top-k
-    // selection — no vocabulary rank window)
-    "q_zipf" -> ((s, dir) => {
-      TextAnalysis.zipfFit(Tables.documents(s, dir), "doc_id", "text",
-          topR = 25)
-        .select(round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("r2"), 6).as("r2"), col("n_top"))
-    }),
-
-    // deterministic weighted reservoir (Efraimidis-Spirakis, md5 uniforms):
-    // 5 rows per language, inclusion odds ~ token count
-    "q_weighted_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
-      Sampling.weightedTopKPerStratum(docs, "lang", "doc_id", "w", k = 5)
-        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
-        .orderBy("stratum", "rnk")
-    }),
-
-    // n-gram Jaccard near-dup pairs within source blocks. The default
-    // hot-shingle cap (1000) is active — no shingle reaches it at oracle
-    // scale, so the result is unchanged, while a skewed corpus stays
-    // sub-quadratic.
-    "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-          "source", n = 3, minJaccard = 0.05)
-        .orderBy("block", "id_a", "id_b")
-    }),
-
-    // directional n-gram containment (quote/subset detection — the
-    // asymmetric signal jaccard misses)
-    "q_ngram_containment" -> ((s, dir) => {
-      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "text", "doc_id",
-          "source", n = 3, minContainment = 0.3)
-        .select(col("block"), col("id_a"), col("id_b"),
-          round(col("containment_a"), 6).as("containment_a"),
-          round(col("containment_b"), 6).as("containment_b"))
-        .orderBy("block", "id_a", "id_b")
-    }),
-
-    // MinHash-LSH near-dup candidates — rows-only (hash internals not SQL)
-    // Planted-recall claims gate (r7, formerly rows-only): hash/seed
-    // internals aren't SQL, but banding's CONTRACT is — an exact copy
-    // shares every band key and estimates Jaccard 1, so each planted
-    // (doc, copy-at-id+10M) pair MUST surface above the 0.3 threshold.
-    "q_minhash_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val union = docs.unionByName(docs.select(
-        (col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val pairs = Dedup.minHashCandidates(union, "text", "doc_id",
-          shingleSize = 5, numHashes = 64, bands = 16)
-        .filter(col("est_jaccard") >= 0.3)
-        .filter(col("id_b") === col("id_a") + 10000000L)
-        .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
-      docs.select("doc_id").join(pairs, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("found"))
-        .orderBy("doc_id")
-    }),
-
-    // SimHash claims gate (r7, formerly rows-only). Still the
-    // exploded-token codegen table form (the row-local expression runs 64
-    // interpreted lambdas per row — 17.5s vs ~2s at sf0.1). Claims: an
-    // identical text under a different id gets the IDENTICAL signature
-    // (pins order-invariance of the bit-count aggregation — copies
-    // aggregate their tokens in a different shuffle order), and a
-    // one-token append flips at most half the signature for >=30-word
-    // docs — the LSH locality property. A bit flips only when its running
-    // +-1 margin is within 1, i.e. with probability ~0.8/sqrt(words) per
-    // bit (~0.15 at 30 words; binomial tail past 32/64 is < 1e-10), while
-    // an avalanche hash flips 32 in EXPECTATION and would fail half the
-    // time. A 16-bit bound was too tight: one 5000-doc sf0.1 doc hit it.
-    "q_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val union = docs
-        .unionByName(docs.select((col("doc_id") + 10000000L).as("doc_id"),
-          col("text")))
-        .unionByName(docs.select((col("doc_id") + 20000000L).as("doc_id"),
-          concat(col("text"), lit(" zzqq")).as("text")))
-      val sigs = Dedup.simHashTable(union, "text", "doc_id")
-      val a = sigs.filter(col("id") < 10000000L)
-        .select(col("id").as("doc_id"), col("sig").as("__sa"))
-      val b = sigs.filter(col("id") >= 10000000L && col("id") < 20000000L)
-        .select((col("id") - 10000000L).as("doc_id"), col("sig").as("__sb"))
-      val c = sigs.filter(col("id") >= 20000000L)
-        .select((col("id") - 20000000L).as("doc_id"), col("sig").as("__sc"))
-      val words = when(length(TextAnalysis.normalize(col("text"))) === 0, 0)
-        .otherwise(size(split(TextAnalysis.normalize(col("text")), " ")))
-      val withWords = docs.select(col("doc_id"), words.as("__nw"))
-      a.join(b, "doc_id").join(c, "doc_id").join(withWords, "doc_id")
-        .select(col("doc_id"), (col("__sa") === col("__sb")).as("sig_match"),
-          when(col("__nw") >= 30,
-            bit_count(col("__sa").bitwiseXOR(col("__sc"))) <= 32)
-            .otherwise(lit(true)).as("perturb_local"))
-        .orderBy("doc_id")
-    }),
-
-    // SimHash banded near-dup claims (r7): every planted exact copy is at
-    // Hamming 0 and MUST surface through the banded candidate join.
-    // maxHamming=3 (16-bit bands) is the SCALABLE operating point: band
-    // selectivity is 64/(k+1) bits, so k=7 leaves 8-bit bands whose 256
-    // buckets saturate the hot-bucket cap near ~500k docs (found=false for
-    // 13% of planted copies at sf1, caught by this gate's r7 sf1 sweep);
-    // k=3 keeps expected bucket size n/65536 — selective past 10^8 docs.
-    "q_simhash_neardup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val union = docs.unionByName(docs.select(
-        (col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val pairs = Dedup.simHashCandidates(union, "text", "doc_id",
-          maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 10000000L)
-        .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
-      docs.select("doc_id").join(pairs, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("found"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- similarity search -------------------------------------------------
-    "q_vector_norm" -> ((s, dir) => {
-      Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select(col("vec_id"), round(Similarity.norm(col("v")), 6).as("nrm"))
-        .orderBy("vec_id")
-    }),
-
-    // JL signed random projection 64 -> 8: deterministic sign matrix from
-    // the portable multiplicative mix, bit-reproducible in the oracle
-    "q_random_project" -> ((s, dir) => {
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          posexplode(Similarity.randomProject(col("embedding"), 64, 8))
-            .as(Seq("k", "x")))
-        .select(col("vec_id"), col("k"), round(col("x"), 6).as("x"))
-        .orderBy("vec_id", "k")
-    }),
-
-    "q_cosine_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val q = e.filter(col("vec_id") < 20)
-      Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // hard-negative mining: most-similar non-positives by exact cosine
-    "q_hard_negatives" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val pos = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q"), (col("vec_id") + 1).as("p"))
-      Similarity.hardNegatives(e, pos, "vec_id", "v", "q", "p", k = 3)
-        .select(col("query_id"), col("neg_id"),
-          round(col("cosine"), 5).as("cosine"),
-          col("hard_rank").cast("long").as("hard_rank"))
-        .orderBy("query_id", "hard_rank")
-    }),
-
-    // deterministic negative sampling (contrastive-training pairs): md5
-    // uniforms over the dense id domain, collision dedup, anti-join
-    // positives, bounded k-by-slot selection — fully hash-gated
-    "q_negative_sample" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select("vec_id")
-      val cs = e.count()
-      val pos = e.filter(col("vec_id") < 20)
-        .select(col("vec_id"), ((col("vec_id") * 7 + 1) % cs).as("pos"))
-      Sampling.negativeSample(pos, "vec_id", "pos", cs, k = 5, oversample = 3)
-        .select(col("vec_id"), col("neg_id"),
-          col("slot_rank").cast("long").as("slot_rank"))
-        .orderBy("vec_id", "slot_rank")
-    }),
-
-    // ranking-metrics operator: recall/precision@5 of the int8-quantized
-    // cosine ranking vs the exact ranking — both rankings integer-exact in
-    // both engines (cosine over the raw code arrays; per-vector scales
-    // cancel), so even the METRIC table hash-matches
-    "q_topk_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "v", k = 5)
-      val qd = e.withColumn("v",
-          Similarity.quantizeInt8(col("v")).getField("q").cast("array<double>"))
-        .select("vec_id", "v")
-      val pred = Similarity.bruteForceTopK(qd, qd.filter(col("vec_id") < 20),
-        "vec_id", "v", k = 5)
-      Metrics.rankingOverlap(pred, truth, "query_id", "neighbor_id")
-        .select(col("query").as("query_id"), col("n_pred"), col("n_truth"),
-          col("n_hit"), col("recall"), col("precision"))
-        .orderBy("query_id")
-    }),
-
-    // LSH-bucketed ANN — rows-only (approximate by construction)
-    // Claims gate (r7, formerly rows-only). Also retuned: bits=10 gave
-    // ~1024 buckets for a 500-5000 vector corpus — near-empty candidates,
-    // recall at CHANCE level (0.01-0.03 measured). bits=6 + 1-bit
-    // multi-probe is the right operating point for this corpus: recall
-    // 0.67/0.69 at sf0.01/0.1 vs the 0.1/0.01 claim thresholds.
-    "q_lsh_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 6,
-        tables = 4, dims = 64, probeHamming = 1)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
-        ascending = false)
-    }),
-
-    // embedding-cosine near-dup pairs, blocked by label
-    "q_embed_neardup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-      Similarity.cosineNearDupPairs(e, "vec_id", "v", "label", threshold = 0.25)
-        .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"),
-          round(col("cosine"), 5).as("cosine"))
-        .orderBy("block", "id_a", "id_b")
-    }),
-
-    // IVF (KMeans-partitioned) ANN — rows-only (clustering not SQL)
-    // Claims gate (r7, formerly rows-only): recall 0.65/0.75 measured at
-    // sf0.01/0.1 vs the 10x-chance thresholds 0.1/0.01.
-    "q_ivf_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfTopK(e, q, "vec_id", "v", k = 5, nlist = 8,
-        nprobe = 3)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
-        ascending = false)
-    }),
-
-    // SemDeDup planted-recall claims (r7, formerly rows-only): an exact
-    // vector copy lands in the same kmeans cluster (identical point, same
-    // nearest centroid) at cosine 1 >= threshold, so every planted
-    // (vec, copy-at-id+1M) pair MUST appear in the within-cluster pairs.
-    "q_semdedup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val union = e.unionByName(e.select(
-        (col("vec_id") + 1000000L).as("vec_id"), col("v")))
-      val pairs = Similarity.semDedupPairs(union, "vec_id", "v",
-          threshold = 0.25, k = 8)
-        .filter(col("id_b") === col("id_a") + 1000000L)
-        .select(col("id_a").as("vec_id"), lit(true).as("__hit"))
-      e.select("vec_id").join(pairs, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("__hit"), lit(false)).as("found"))
-        .orderBy("vec_id")
-    }),
-
-    // ---- event-stream operators --------------------------------------------
-    "q_sessionize" -> ((s, dir) => {
-      val sess = Sessionize.withSessionId(Tables.events(s, dir),
-        Seq("user_id"), "ts", gapSeconds = 1800,
-        tieBreakCols = Seq("event_id"))
-      sess.groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          dsum(col("value")).as("value_sum"),
-          (epochS(max(col("ts"))) - epochS(min(col("ts")))).as("span_seconds"))
-        .orderBy("user_id", "session_id")
-    }),
-
-    "q_status_filter" -> ((s, dir) => {
-      // status-bucket consumer (StatusOps): signup/error events are the
-      // changepoint stream; view rows during an active "error" status drop
-      val ev = Tables.events(s, dir)
-      val facts = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts", "value")
-      val status = ev.filter(col("event_type").isin("signup", "error"))
-        .select(col("user_id"), col("ts"), col("event_type").as("status_code"))
-      StatusOps.filterByStatus(facts, status, Seq("error"),
-          keyCol = "user_id", tsCol = "ts")
-        .select(col("event_id"), col("user_id"), col("value"))
-        .orderBy("event_id")
-    }),
-
-    "q_asof_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("user_id", "ts", "value")
-      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts",
-          payloadCols = Seq("value"), prefix = "prior_click_")
-        .select(col("event_id"), col("user_id"), col("prior_click_value"))
-        .orderBy("event_id")
-    }),
-
-    // Dedup clustering: connected components over a candidate-pair graph,
-    // min-id canonical per cluster. The edge rule here (same source,
-    // n_chars within 2) is oracle-expressible SQL standing in for LSH
-    // pairs, whose hash internals aren't; the operator under test is the
-    // distributed clustering (DuckDB twin: recursive CTE reachability).
-    "q_cc_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = docs.as("a")
-        .join(docs.as("b"),
-          col("a.source") === col("b.source") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.dedupClusters(docs, "doc_id", pairs)
-        .select("doc_id", "component", "is_duplicate")
-        .orderBy("doc_id")
-    }),
-
-    // Benchmark decontamination: 13-gram exact overlap of the corpus
-    // (doc_id % 20 != 0) against a held-out "benchmark" slice (% 20 == 0)
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Decontaminate.flagContamination(
-          docs.filter(col("doc_id") % 20 =!= 0),
-          docs.filter(col("doc_id") % 20 === 0), n = 13)
-        .orderBy("doc_id")
-    }),
-
-    // Corpus vocabulary with term/document frequencies
-    "q_vocab" -> ((s, dir) => {
-      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("token")
-    }),
-
-    // Per-document top-3 terms by tf-idf, deterministic tie-break
-    "q_tfidf_topk" -> ((s, dir) => {
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
-        .select(col("id").as("doc_id"), col("token"), col("tf"),
-          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
-        .orderBy("doc_id", "rank")
-    }),
-
-    // PII redaction + per-category counts. The synthetic corpus carries no
-    // PII, so deterministic PII-shaped strings are stitched in from doc_id
-    // (identically in the oracle); the operator under test is the
-    // RE2-compatible redact/count expression chain.
-    "q_pii_redact" -> ((s, dir) => {
-      val t = concat(lit("contact user"), col("doc_id").cast("string"),
-        lit("@mail.example.org or 10."), (col("doc_id") % 256).cast("string"),
-        lit(".0.1 or 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" "), substring(col("text"), 1, 40))
-      val c = Cleanse.piiCounts(col("__t"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), t.as("__t"))
-        .select(col("doc_id"), Cleanse.redactPii(col("__t")).as("redacted"),
-          c.getField("n_email").cast("long").as("n_email"),
-          c.getField("n_ssn").cast("long").as("n_ssn"),
-          c.getField("n_ip").cast("long").as("n_ip"),
-          c.getField("n_phone").cast("long").as("n_phone"))
-        .orderBy("doc_id")
-    }),
-
-    // URL normalization -> registered domain + blocklist anti-join, grouped
-    // domain histogram. URLs are synthesized deterministically from
-    // doc_id/source (twin construction in the oracle).
-    "q_url_domain" -> ((s, dir) => {
-      val url = concat(lit("https://"),
-        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
-        lit("cdn"), (col("doc_id") % 7).cast("string"), lit("."),
-        col("source"), lit(".org/path/"), col("doc_id").cast("string"))
-      val urls = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
-      Cleanse.filterByDomainBlocklist(urls, "url", Seq("src0.org", "src1.org"))
-        .groupBy(Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("domain")
-    }),
-
-    // URL canonicalization over deterministically tracking-decorated URLs
-    "q_url_canon" -> ((s, dir) => {
-      val url = concat(lit("HTTPS://"),
-        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
-        col("source"), lit(".org"),
-        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
-        lit("/Path/"), col("doc_id").cast("string"),
-        when(col("doc_id") % 2 === 0, "/").otherwise(""),
-        lit("?utm_source=feed&id="), (col("doc_id") % 11).cast("string"),
-        lit("&fbclid=xyz"),
-        when(col("doc_id") % 4 === 0, "#frag").otherwise(""))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Cleanse.canonicalizeUrl(url).as("canon_url"))
-        .orderBy("doc_id")
-    }),
-
-    // Gopher-style repetition/quality signals: distinct-token ratio, top
-    // 2-gram coverage, duplicate-line fraction (lines synthesized by
-    // breaking before each "customer" token — the corpus is single-line).
-    "q_repetition" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        round(TextAnalysis.distinctTokenRatio(col("text")), 6).as("distinct_tok_ratio"),
-        round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top2gram_frac"),
-        round(TextAnalysis.dupLineFraction(
-          regexp_replace(col("text"), " customer", "\ncustomer")), 6).as("dup_line_frac"))
-        .orderBy("doc_id")
-    }),
-
-    // Concat-and-chunk sequence packing (seqLen=512, n_chars as the token
-    // count): every (doc, training-sequence) assignment with token spans.
-    "q_pack" -> ((s, dir) => {
-      Packing.packSequences(Tables.documents(s, dir), "doc_id", "n_chars", seqLen = 512)
-        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
-          col("doc_tok_end"), col("seq_tok_start"))
-        .orderBy("doc_id", "seq_id")
-    }),
-
-    // Paragraph-grain exact dedup with document rebuild (paragraphs split on
-    // the " customer " token; global first occurrence by (doc_id, idx)).
-    "q_para_dedup" -> ((s, dir) => {
-      Dedup.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
-          sepRegex = " customer ", joinSep = "\n\n")
-        .select(col("id").as("doc_id"), col("text_dedup"),
-          col("n_paras_kept").cast("long").as("n_paras_kept"))
-        .orderBy("doc_id")
-    }),
-
-    // sentence-grain exact dedup (grain below q_para_dedup)
-    "q_sentence_dedup" -> ((s, dir) => {
-      Dedup.sentenceDedup(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("text_dedup"),
-          col("n_paras_kept").cast("long").as("n_sents_kept"))
-        .orderBy("doc_id")
-    }),
-
-    // Data-mixture resampling to a 50/30/20 en/fr/de target (limiting
-    // stratum keeps 100%; others downsample via the deterministic md5
-    // bucket — rate math mirrored in the oracle).
-    "q_mixture" -> ((s, dir) => {
-      Sampling.mixtureToTarget(Tables.documents(s, dir), "lang", "doc_id",
-          targets = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-
-    // temperature-flattened language mixture (alpha = 0.5 -> sqrt, exact
-    // in both engines): low-resource langs upsample with copy indices
-    "q_temperature_mix" -> ((s, dir) => {
-      Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id",
-          alpha = 0.5)
-        .select(col("doc_id"), col("lang"), col("copy"))
-        .orderBy("doc_id", "copy")
-    }),
-
-    // Token-budget mixture: srcs 0/1 sampled down to token budgets, src2's
-    // budget exceeds its mass (keeps all), unbudgeted sources keep all
-    "q_token_budget" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
-      Sampling.tokenBudgetMixture(docs, "source", "doc_id", "w",
-          budgets = Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 1000000L))
-        .select(col("id").as("doc_id"), col("domain").as("source"),
-          col("weight").as("w"), col("thr"))
-        .orderBy("doc_id")
-    }),
-
-    // Token-count chunking (40-token windows, 8-token overlap)
-    "q_chunk_tokens" -> ((s, dir) => {
-      Chunking.chunkRowsByTokens(Tables.documents(s, dir), "text", "doc_id",
-          size = 40, overlap = 8)
-        .select(col("id").as("doc_id"), col("tok_start").cast("long").as("tok_start"),
-          col("chunk"), col("n_toks").cast("long").as("n_toks"))
-        .orderBy("doc_id", "tok_start")
-    }),
-
-    // Incremental exact dedup: flag a new batch (doc_id % 3 = 1) against a
-    // standing corpus (the rest) plus batch-internal first occurrence.
-    "q_incr_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.exactAgainst(docs.filter(col("doc_id") % 3 === 1),
-          docs.filter(col("doc_id") % 3 =!= 1), "text", "doc_id")
-        .select(col("doc_id"), col("is_duplicate"))
-        .orderBy("doc_id")
-    }),
-
-    // per-language document-length outliers: the reference's std_range_flag
-    // pattern (filters.py:112-154) grouped by stratum, with the 2-sigma
-    // boundary test in EXACT integer/decimal arithmetic — (x*n - sx)^2 *
-    // (n-1) >= 4 * n * (n*sxx - sx^2) — so the flag cannot flip on
-    // engine-specific stddev accumulation order
-    "q_doclen_outlier" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val D = DecimalType(38, 0)
-      // sxx accumulates in DECIMAL — a long sum of x^2 (~1e12/row) wraps
-      // silently past ~1e7 rows per stratum, exactly the overflow the
-      // oracle's HUGEINT guards against
-      val stats = docs.groupBy("lang").agg(
-        count(lit(1)).as("n"),
-        sum(col("n_chars").cast("long")).as("sx"),
-        sum((col("n_chars").cast("long") * col("n_chars").cast("long")).cast(D))
-          .as("sxx"))
-      val dev = (col("n_chars").cast("long") * col("n") - col("sx")).cast(D)
-      val lhs = dev * dev * (col("n") - 1).cast(D)
-      val rhs = lit(4).cast(D) * col("n").cast(D) *
-        (col("n").cast(D) * col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D))
-      docs.join(broadcast(stats), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          (col("n") > 1 && lhs >= rhs).as("len_outlier"))
-        .orderBy("doc_id")
-    }),
-
-    // encoding-damage score over deterministically damaged text (a BEL and
-    // a replacement char spliced in), plus the clean-text score (0.0)
-    "q_mojibake" -> ((s, dir) => {
-      val damaged = concat(substring(col("text"), 1, 40), lit("\u0007"),
-        substring(col("text"), 41, 40), lit("\uFFFD"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          round(TextAnalysis.mojibakeScore(damaged), 6).as("damaged_score"),
-          round(TextAnalysis.mojibakeScore(col("text")), 6).as("clean_score"))
-        .orderBy("doc_id")
-    }),
-
-    // deflate compression-ratio quality signal — rows-only (no SQL codec)
-    // Compression-ratio claims (r7, formerly rows-only): deflate isn't
-    // SQL, but its contract is — the ratio is positive, and a 5x
-    // self-repetition (inside deflate's 32KB window) MUST compress
-    // strictly better than the original for non-trivial docs.
-    "q_compress_ratio" -> ((s, dir) => {
-      val r1 = TextAnalysis.compressionRatio(col("text"))
-      val r5 = TextAnalysis.compressionRatio(
-        concat(col("text"), col("text"), col("text"), col("text"), col("text")))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), (r1 > 0).as("ratio_pos"),
-          when(col("n_chars") >= 50, r5 < r1).otherwise(lit(true))
-            .as("repeat_compresses"))
-        .orderBy("doc_id")
-    }),
-
-    // salted equi-join: hot source keys spread over 8 salts; output equals
-    // the plain join, which IS the oracle
-    "q_salted_join" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dim = docs.groupBy("source")
-        .agg(avg(col("n_chars")).as("src_avg_chars"))
-      Skew.saltedEquiJoin(docs, dim, Seq("source"), saltBy = "doc_id",
-          saltFactor = 8, joinType = "left")
-        .select(col("doc_id"), col("source"),
-          round(col("src_avg_chars"), 6).as("src_avg_chars"))
-        .orderBy("doc_id")
-    }),
-
-    // fuzzy decontamination: MinHash near-match vs the benchmark slice —
-    // rows-only (minhash internals); ClusteringDecontamSpec pins behavior
-    // Planted-recall claims (r7, formerly rows-only): the corpus gets an
-    // exact copy of every benchmark doc at id+10M; MinHash near-match MUST
-    // flag each copy contaminated (est_jaccard 1 >= 0.5).
-    "q_fuzzy_decontam" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val bench = docs.filter(col("doc_id") % 20 === 0)
-      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-        .unionByName(bench.select((col("doc_id") + 10000000L).as("doc_id"),
-          col("text")))
-      Decontaminate.flagFuzzy(corpus, bench)
-        .filter(col("doc_id") >= 10000000L)
-        .select(col("doc_id"), col("contaminated"))
-        .orderBy("doc_id")
-    }),
-
-    // per-shard profile with mergeable HLL distinct sketches; the oracle
-    // pins exact per-shard counts and that the estimate stays within 5%
-    // of DuckDB's exact distinct (sketch internals aren't SQL, the
-    // tolerance contract is)
-    // daily cumulative unique users via mergeable HLL (triangle join at
-    // calendar grain, no running window) — boolean accuracy claim vs the
-    // exact first-seen-day curve (lgK=14 => ~0.8% error, 5% bound = 6 sigma)
-    "q_cumulative_uniques" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      val cu = Diagnostics.cumulativeUniques(e, "ts", "user_id", "day")
-      val firstDay = e.groupBy(col("user_id"))
-        .agg(min(date_trunc("day", col("ts"))).as("fd"))
-      val exact = cu.select(col("bucket_start"))
-        .join(firstDay, col("fd") <= col("bucket_start"))
-        .groupBy("bucket_start").agg(count(lit(1)).as("__exact"))
-      cu.join(exact, Seq("bucket_start"))
-        .select(unix_timestamp(col("bucket_start")).as("day_epoch"),
-          col("n_events"),
-          (abs(col("cumulative_unique_est") / col("__exact") - 1) <= 0.05)
-            .as("cum_ok"))
-        .orderBy("day_epoch")
-    }),
-
-    // per-language score calibration via broadcast KLL sketches — the gate
-    // emits the ACCURACY CLAIM (|kll_rank - exact cume_dist| <= 0.05, k=400
-    // => ~0.8% rank error) as a boolean, oracle asserts all-true (the
-    // q_shard_profile pattern for sketch outputs); the exact window form
-    // exists only inside the gate as the reference
-    "q_score_calibration" -> ((s, dir) => {
-      val cal = Diagnostics.scoreCalibration(Tables.documents(s, dir),
-        "lang", "n_chars", k = 400)
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-      cal.withColumn("__exact", cume_dist().over(w))
-        .select(col("doc_id"), col("lang"),
-          (abs(col("pct_rank") - col("__exact")) <= 0.05).as("cal_ok"))
-        .orderBy("doc_id")
-    }),
-
-    "q_shard_profile" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val prof = Diagnostics.shardProfile(docs, "source", Seq("lang", "doc_id"))
-      val exact = docs.groupBy(col("source").as("shard"))
-        .agg(countDistinct("doc_id").as("exact_docs"))
-      prof.join(exact, Seq("shard"))
-        .select(col("shard"), col("n_rows"), col("lang_distinct"),
-          (abs(col("doc_id_distinct") - col("exact_docs")) <=
-            col("exact_docs") * 0.05).as("docs_est_ok"))
-        .orderBy("shard")
-    }),
-
-    // key-skew heavy-hitter report: the pre-salting diagnostic
-    "q_key_skew" -> ((s, dir) => {
-      Diagnostics.keySkew(Tables.documents(s, dir), Seq("source", "lang"), topN = 10)
-        .select(col("source"), col("lang"), col("n_rows"),
-          col("frac_of_total"), col("rank").cast("long").as("rank"))
-        .orderBy("rank")
-    }),
-
-    // BPE tokenizer: merges learned from the even-doc_id slice (distributed
-    // word-freq aggregate + driver merge loop), applied to every document —
-    // rows-only (iterative merge learning isn't SQL); BpeSpec pins the
-    // algorithm against hand-computed merges. Scalar columns only: the
-    // harness's pandas comparator cannot sort/hash array cells, so the
-    // leading subwords are serialized with concat_ws.
-    // tokenizer fertility per language: BPE subwords per whitespace word —
-    // the "is this tokenizer fair to language X" diagnostic (fertility >> 1
-    // means X pays more sequence length per word). rows-only (BPE merges
-    // not SQL); word counts exact
-    "q_bpe_fertility" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // 40 merges: the synthetic wordlist is small enough that 200 merges
-      // reassemble every word (fertility would be a flat 1.0); an under-
-      // trained vocab keeps longer words split, which is what the
-      // diagnostic is FOR
-      val model = graft.functions.Bpe.train(
-        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 40)
-      // r7 oracle conversion: n_words is SQL-replicable (normalized word
-      // count), fertility itself is a >= 1 claim (every word costs at
-      // least one subword with an undertrained vocab).
-      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
-      graft.functions.Bpe.encode(docs, "text", model)
-        .withColumn("n_words",
-          when(length(norm) === 0, 0L)
-            .otherwise(size(split(norm, " ")).cast("long")))
-        .groupBy("lang")
-        .agg(sum(col("n_words")).as("n_words"),
-          (sum(col("n_subwords")) >= sum(col("n_words"))).as("fertility_ge1"))
-        .orderBy("lang")
-    }),
-
-    // BPE roundtrip claims (r7, formerly rows-only): merges aren't SQL,
-    // but the segmentation contract is — subwords concatenated with </w>
-    // restored to spaces MUST rebuild the normalized text exactly
-    // (lossless segmentation), and the token count sits between the word
-    // count and the non-space char count (>=1 and <=len tokens per word).
-    "q_bpe" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = graft.functions.Bpe.train(
-        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
-      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
-      val words = when(length(norm) === 0, 0)
-        .otherwise(size(split(norm, " ")))
-      graft.functions.Bpe.encode(docs, "text", model)
-        .select(col("doc_id"),
-          (trim(regexp_replace(concat_ws("", col("subwords")), "</w>", " "))
-            === norm).as("roundtrip_ok"),
-          (col("n_subwords") >= words &&
-            col("n_subwords") <= length(regexp_replace(norm, " ", "")))
-            .as("bounds_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // Unigram-LM (SentencePiece-style) roundtrip claims (r7, formerly
-    // rows-only): Viterbi pieces concatenate back to the normalized text
-    // without its spaces (lossless), count-bounded like q_bpe;
-    // UnigramTokenizerSpec still pins vocab bound, likelihood, determinism.
-    "q_unigram_tok" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = graft.functions.UnigramTokenizer.train(
-        docs.filter(col("doc_id") % 2 === 0), "text", vocabSize = 300)
-      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
-      val words = when(length(norm) === 0, 0)
-        .otherwise(size(split(norm, " ")))
-      graft.functions.UnigramTokenizer.encode(docs, "text", model)
-        .select(col("doc_id"),
-          (concat_ws("", col("pieces"))
-            === regexp_replace(norm, " ", "")).as("roundtrip_ok"),
-          (col("n_pieces") >= words &&
-            col("n_pieces") <= length(regexp_replace(norm, " ", "")))
-            .as("bounds_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 5
-    // words, no javascript) + page-level keep (>= 3 sentences, no lorem
-    // ipsum, no brace). The corpus text is punctuation-free word soup, so
-    // the gate synthesizes line structure deterministically (same regex in
-    // the oracle) and plants the page-level violations by doc_id.
-    "q_c4_filter" -> ((s, dir) => {
-      val base = regexp_replace(col("text"), " (a|the) ", ".\n")
-      val withJs = when(col("doc_id") % 7 === 0,
-        concat(base, lit("\nplease enable javascript to continue here."))).otherwise(base)
-      val withLorem = when(col("doc_id") % 11 === 0,
-        concat(withJs, lit("\nfiller lorem ipsum dolor sit amet text."))).otherwise(withJs)
-      val synth = when(col("doc_id") % 13 === 0,
-        concat(withLorem, lit("\nvar x = function() { return 1; }."))).otherwise(withLorem)
-      Cleanse.c4Filter(
-          Tables.documents(s, dir).withColumn("text_s", synth), "text_s")
-        .select(col("doc_id"), col("text_c4"), col("n_lines_kept"),
-          col("n_lines_total"), col("keep"))
-        .orderBy("doc_id")
-    }),
-
-    // Exact substring-span dedup: repeated 8-token spans keep only their
-    // first (doc, pos) occurrence; covered tokens removed, docs rebuilt.
-    "q_substr_dedup" -> ((s, dir) => {
-      Dedup.substringDedup(Tables.documents(s, dir), "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("text_dedup"),
-          col("n_tokens_kept"), col("n_tokens_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    // Bloom-prefiltered incremental dedup: same contract as q_incr_dedup
-    // (the sketch only shrinks the corpus-join input; exact confirm join
-    // resolves false positives) on the complementary batch split.
-    "q_bloom_incr" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.bloomExactAgainst(docs.filter(col("doc_id") % 3 === 2),
-          docs.filter(col("doc_id") % 3 =!= 2), "text", "doc_id")
-        .select(col("doc_id"), col("is_duplicate"))
-        .orderBy("doc_id")
-    }),
-
-    // Bigram LM with stupid backoff, trained on the even-doc_id half and
-    // scoring every document — the CCNet-style fluency filter.
-    "q_bigram_lp" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_bigrams"),
-          round(col("mean_lp"), 6).as("mean_lp"))
-        .orderBy("doc_id")
-    }),
-
-    // Mean unigram log-probability under the corpus's own smoothed unigram
-    // model — the KenLM-style fluency signal.
-    "q_unigram_lp" -> ((s, dir) => {
-      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_toks"),
-          round(col("mean_lp"), 6).as("mean_lp"))
-        .orderBy("doc_id")
-    }),
-
-    // HTML -> text extraction + control-char cleanup over deterministic
-    // synthesized markup (script/style blocks, tags, entities, a BEL byte).
-    "q_html_strip" -> ((s, dir) => {
-      val html = concat(
-        lit("<html><head><style>x{color:red}</style></head><body><h1>"),
-        substring(col("text"), 1, 30),
-        lit("</h1><p class=\"a\">"), substring(col("text"), 31, 60),
-        lit(" &amp; more</p><script>var x=1;</script>\u0007</body></html>"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), html.as("__h"))
-        .select(col("doc_id"),
-          Cleanse.stripHtml(Cleanse.stripControlChars(col("__h"))).as("clean"))
-        .orderBy("doc_id")
-    }),
-
-    // Deterministic 80/10/10 train/val/test split: pure function of the id
-    // (md5 bucket), stable under corpus growth and repartitioning.
-    "q_split" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          Sampling.splitAssign(col("doc_id"),
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-        .orderBy("doc_id")
-    }),
-
-    // Group-aware (leakage-safe) split (r7): every document of a source
-    // lands in ONE split — the md5 bucket of the GROUP key, not the row id
-    // — so near-identical pages of a site can never straddle train/test.
-    // One row per (source, split) makes the property visible; the oracle
-    // reproduces the bucket arithmetic.
-    "q_group_split" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("split", Sampling.groupSplitAssign(col("source"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
-        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
-        .orderBy("source", "split")
-    }),
-
-    // Deterministic per-epoch shuffle (r7): md5(epoch:seed:id) gives a
-    // different order every epoch, the same order every rerun — the first
-    // 20 keys of epochs 0 and 1. The 100-TB path shards by hashBucket(key)
-    // and sorts within partitions; the gate's TakeOrdered is the bounded
-    // per-epoch head of that total order.
-    "q_epoch_shuffle" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Seq(0, 1).map { ep =>
-        docs.select(lit(ep).as("epoch"), col("doc_id"),
-            Sampling.epochShuffleKey(col("doc_id"), ep, seed = 7L).as("k"))
-          .orderBy("k").limit(20)
-      }.reduce(_ unionByName _).orderBy("epoch", "k")
-    }),
-
-    // Secret/credential scrub (r7): plant an AWS-style key, an assign-style
-    // token, and a 32-hex blob into every doc_id % 7 == 0 document
-    // (md5-derived, so both engines synthesize identical bytes), then
-    // count per-category patterns and measure the redacted length. All
-    // patterns are RE2-safe — the same regexes run verbatim in DuckDB.
-    "q_secret_scan" -> ((s, dir) => {
-      val idStr = col("doc_id").cast("string")
-      val planted = Tables.documents(s, dir).withColumn("text2",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" AKIA"),
-            upper(substring(md5(idStr), 1, 16)),
-            lit(" token="), substring(md5(concat(lit("s:"), idStr)), 1, 12),
-            lit(" "), md5(idStr)))
-          .otherwise(col("text")))
-      planted.select(col("doc_id"),
-          Cleanse.secretCounts(col("text2")).as("sc"),
-          length(Cleanse.redactSecrets(col("text2"))).cast("long")
-            .as("redacted_len"))
-        .select(col("doc_id"), col("sc.n_awskey").cast("long").as("n_awskey"),
-          col("sc.n_pem").cast("long").as("n_pem"),
-          col("sc.n_hex32").cast("long").as("n_hex32"),
-          col("sc.n_b64tok").cast("long").as("n_b64tok"),
-          col("sc.n_assign").cast("long").as("n_assign"),
-          col("redacted_len"))
-        .orderBy("doc_id")
-    }),
-
-    // One-call dataset card (r7): the headline numbers of a corpus release
-    // in one aggregate pass — exact integers (and exact .0/.5 medians), so
-    // the card is engine-reproducible bit-for-bit.
-    "q_dataset_card" -> ((s, dir) => {
-      Diagnostics.datasetCard(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("metric")
-    }),
-
-    // Corpus report over CUBE(lang, source): the grouping-sets/Expand
-    // operator family — doc counts and char volume at every roll-up level.
-    "q_cube" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .cube(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
-          coalesce(col("source"), lit("(all)")).as("source"),
-          col("n"), col("chars"))
-        .orderBy("lang", "source")
-    }),
-
-    // Equal-population length bucketing (4 buckets over n_chars) for
-    // curriculum/batch assembly: exact percentile thresholds, row-local
-    // assignment.
-    "q_length_buckets" -> ((s, dir) => {
-      Packing.lengthBuckets(Tables.documents(s, dir), "n_chars", nBuckets = 4)
-        .select(col("doc_id"), col("n_chars"),
-          col("bucket").cast("int").as("bucket"))
-        .orderBy("doc_id")
-    }),
-
-    // Symmetric int8 embedding quantization: per-vector scale, quantized
-    // checksum, and RMS reconstruction error (identical algebraic form —
-    // dot(v,v) - 2s*dot(v,q) + s^2*dot(q,q) — on both engines).
-    "q_quantize" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("qs", Similarity.quantizeInt8(col("v")))
-        .select(col("vec_id"), col("v"), col("qs.scale").as("scale"),
-          col("qs.q").cast("array<double>").as("q"))
-      val svv = Similarity.dot(col("v"), col("v"))
-      val svq = Similarity.dot(col("v"), col("q"))
-      val sqq = Similarity.dot(col("q"), col("q"))
-      e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        aggregate(col("q"), lit(0.0), (a, x) => a + x).cast("long").as("q_sum"),
-        round(sqrt(greatest(svv - lit(2.0) * col("scale") * svq
-          + col("scale") * col("scale") * sqq, lit(0.0)) / size(col("v"))), 6).as("err"))
-        .orderBy("vec_id")
-    }),
-
-    // exact second-moment (Gram) stage behind PCA — ONE fixed-size aggregate
-    // regardless of row count (GramMatrixAgg). Input quantized to dyadic
-    // 1/256 via floor(x*256+0.5)/256 so every product/sum is exact in any
-    // accumulation order in BOTH engines (the round-5 integer-bucket
-    // convention, extended to vector moments). First 8 dims gated: 36
-    // product rows + 8 sum rows + the (-1,-1) count row.
-    "q_embed_cov" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", transform(col("embedding"),
-          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
-      Pca.momentRows(e, "v", 64)
-        .filter(col("i") < 8 && col("j") < 8)
-        .orderBy("i", "j")
-    }),
-
-    // per-label second moments (grouped-PCA stage): one fixed-size gram
-    // buffer per group, same dyadic-quantization contract as q_embed_cov
-    "q_embed_cov_by_group" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", transform(col("embedding"),
-          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
-      Pca.momentRowsBy(e, "v", 64, "label")
-        .filter(col("i") < 4 && col("j") < 4)
-        .select(col("group").cast("long").as("label"), col("i"), col("j"),
-          col("sxy"))
-        .orderBy("label", "i", "j")
-    }),
-
-    // PCA whitened projection — rows-only (driver-side Jacobi eigensolve is
-    // not SQL-expressible); PcaSpec pins eigensystem/variance/rotation
-    // Claims gate (r7, formerly rows-only): rounded scores are
-    // eigensolve-ulp unstable, but the CONTRACT is checkable as booleans —
-    // the fitted basis is orthonormal (Jacobi property, driver-checked),
-    // and whitening makes every component's population variance exactly 1
-    // with mean exactly 0 (var of a projection onto a unit eigenvector IS
-    // its eigenvalue; whitening divides by sqrt of it) — both within FP
-    // tolerance, verified by a distributed moment pass over the output.
-    "q_pca_project" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val model = Pca.fit(e, "v", 64, 8)
-      val orthoErr = {
-        val c = model.components
-        (for (i <- c.indices; j <- i until c.length) yield {
-          val dot = (0 until 64).map(t => c(i)(t) * c(j)(t)).sum
-          math.abs(dot - (if (i == j) 1.0 else 0.0))
-        }).max
-      }
-      val proj = Pca.project(e, "v", model, whiten = true)
-      val aggs = (0 until 8).flatMap(j => Seq(
-        sum(element_at(col("pca"), j + 1)).as(s"s$j"),
-        sum(pow(element_at(col("pca"), j + 1), 2)).as(s"q$j")))
-      proj.agg(count(lit(1)).as("n"), aggs: _*)
-        .select(col("n"), lit(orthoErr < 1e-7).as("ortho_ok"),
-          (0 until 8).map(j =>
-            abs(col(s"q$j") / col("n")
-              - pow(col(s"s$j") / col("n"), 2) - 1.0) < 1e-6)
-            .reduce(_ && _).as("var_ok"),
-          (0 until 8).map(j => abs(col(s"s$j") / col("n")) < 1e-6)
-            .reduce(_ && _).as("mean_ok"))
-    }),
-
-    // host-graph PageRank over deterministically synthesized link edges
-    // (source sites -> their cdn hosts -> a shared hub). Oracle-gated via
-    // per-node BOOLEAN CLAIMS (r7, formerly rows-only): rounded rank
-    // values are shuffle-order-ulp unstable, but (a) every rank >= the
-    // teleport floor (1-d)/N by the update rule, (b) hub.org is the argmax
-    // (margin 0.41 vs #2 = 0.004, measured sf0.01/0.1), (c) mass sums to 1
-    // within 1e-9. DuckDB reproduces the node list + expected booleans
-    // from the same edge construction; LinkGraphSpec still pins exact
-    // small-graph values and driver==distributed parity.
-    "q_pagerank" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val srcHost = concat(col("source"), lit(".org"))
-      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
-        lit("."), col("source"), lit(".org"))
-      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
-        .union(d.filter(col("doc_id") % 3 === 0)
-          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
-      val ranks = LinkGraph.pageRank(edges, "src", "dst", iters = 10)
-      val tot = ranks.agg(count(lit(1)).cast("double").as("__n"),
-        max(col("rank")).as("__max"), sum(col("rank")).as("__sum"))
-      ranks.crossJoin(broadcast(tot))
-        .select(col("node"),
-          (col("rank") >= lit(0.15) / col("__n") * 0.999999).as("above_floor"),
-          (col("rank") === col("__max")).as("is_top"),
-          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
-        .orderBy("node")
-    }),
-
-    // seeded (TrustRank-style) PageRank over the same host graph: teleport
-    // mass returns to two trusted source hosts. Claims gate (r7): a node
-    // UNREACHABLE from the seeds has rank EXACTLY 0.0 (teleport share 0,
-    // in-mass 0 — every term is a 0.0 product), a reachable one has rank
-    // >= 0.027 (measured min, sf0.01/0.1) — threshold 1e-9 splits them
-    // with 7 orders of margin; DuckDB computes reachability from the same
-    // edge rule (seeds -> their cdns -> hub).
-    "q_trustrank" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val srcHost = concat(col("source"), lit(".org"))
-      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
-        lit("."), col("source"), lit(".org"))
-      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
-        .union(d.filter(col("doc_id") % 3 === 0)
-          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
-      val ranks = LinkGraph.personalizedPageRank(edges, "src", "dst",
-        seeds = Seq("src0.org", "src1.org"), iters = 10)
-      val tot = ranks.agg(sum(col("rank")).as("__sum"))
-      ranks.crossJoin(broadcast(tot))
-        .select(col("node"),
-          (col("rank") > 1e-9).as("trust_pos"),
-          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
-        .orderBy("node")
-    }),
-
-    // IVF-PQ ANN: coarse lists prune via an equi join, PQ residual codes
-    // score — rows-only (kmeans + codebooks not SQL); PqSpec pins recall
-    // Claims gate (r7, formerly rows-only): recall 0.27/0.15 at
-    // sf0.01/0.1 vs 10x-chance thresholds 0.1/0.01. ADC distances rank
-    // ASCENDING.
-    "q_ivfpq_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfPqTopK(e, q, "vec_id", "v", k = 5, nlist = 8,
-        nprobe = 3, m = 8, ksub = 16)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
-        ascending = true)
-    }),
-
-    // OPQ: eigenvalue-balanced rotation before PQ — rows-only (eigensolve
-    // + codebooks not SQL); PqSpec pins isometry + MSE win vs plain PQ
-    // Claims gate (r7): recall 0.23/0.14 at sf0.01/0.1 vs 10x-chance
-    // thresholds 0.1/0.01.
-    "q_opq_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val model = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.opqTopK(e, q, "vec_id", "v", model, k = 5)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
-        ascending = true)
-    }),
-
-    // product-quantization ADC top-k — rows-only (sampled-Lloyd codebooks
-    // not SQL); PqSpec pins the ADC-distance identity and cluster recall
-    // Claims gate (r7): recall 0.28/0.15 at sf0.01/0.1 vs 10x-chance
-    // thresholds 0.1/0.01.
-    "q_pq_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val model = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.pqTopK(e, q, "vec_id", "v", model, k = 5)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
-        ascending = true)
-    }),
-
-    // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): all
-    // five approximate methods over ONE query set, each proposing 20
-    // candidates, each reranked by the exact cosine down to 5 — one metric
-    // row per method. Claims: every query covered, reranked hits >= the
-    // method's own raw top-5 hits (the rerankExact monotonicity
-    // guarantee), reranked mean recall@5 at least 10x chance.
-    "q_ann_sweep" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val q = e.filter(col("vec_id") < 20)
-      // tiny per-stage results (<= n_queries * 20 rows) feed 2-3 union
-      // branches each; an eager localCheckpoint computes each stage ONCE —
-      // without it the brute-force truth subtree re-executes in all ~10
-      // branches of the final union (measured 9.98 s -> the sum of the
-      // individual method costs)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-        .localCheckpoint(true)
-      val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val kc = 20
-      val cands: Seq[(String, DataFrame)] = Seq(
-        "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc, nlist = 8,
-          nprobe = 3),
-        "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
-          nlist = 8, nprobe = 3, m = 8, ksub = 16),
-        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc, bits = 6,
-          tables = 4, dims = 64, probeHamming = 1),
-        "opq" -> Similarity.opqTopK(e, q, "vec_id", "v", opqModel, k = kc),
-        "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
-      val truthPairs = exact.select("query_id", "neighbor_id")
-      val nQ = q.count()
-      val chance = lit(10.0 * 5 / e.count().toDouble)
-      cands.map { case (name, cand0) =>
-        val cand = cand0.localCheckpoint(true)
-        val raw5 = cand.filter(col("rank") <= 5)
-        val rer = Similarity.rerankExact(cand, e, q, "vec_id", "v", k = 5)
-        def hits(df: DataFrame, as: String) =
-          df.select("query_id", "neighbor_id").distinct()
-            .join(truthPairs, Seq("query_id", "neighbor_id"))
-            .agg(count(lit(1)).as(as))
-        val cov = rer.agg(countDistinct(col("query_id")).as("__cov"))
-        hits(raw5, "__raw").crossJoin(hits(rer, "__rer")).crossJoin(cov)
-          .select(lit(name).as("method"), lit(nQ).as("n_queries"),
-            (col("__cov") === nQ).as("covered_ok"),
-            (col("__rer") >= col("__raw")).as("rerank_ge_raw"),
-            (col("__rer").cast("double") / (nQ * 5.0) >= chance)
-              .as("recall_ok"))
-      }.reduce(_ unionByName _).orderBy("method")
-    }),
-
-    // 3-gram novelty of the corpus (doc_id % 10 != 0) against a reference
-    // slice (% 10 == 0): counts are exact longs; the fraction is emitted
-    // ppm-quantized — floor(x*1e6+0.5) of identical doubles is the same
-    // integer in both engines (no round-at-6 straddle class).
-    "q_novelty" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.ngramNovelty(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
-        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
-          floor(col("novelty") * 1e6 + 0.5).as("novelty_ppm"))
-        .orderBy("doc_id")
-    }),
-
-    // Unicode-script composition + dominant script. Documents are ASCII,
-    // so multi-script content is synthesized deterministically per doc_id
-    // (repeat counts of Cyrillic/CJK/Arabic code points; every 7th doc is
-    // script-pure so dominance actually varies). Integer counts only.
-    "q_script_mix" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("mixed",
-          when(col("doc_id") % 7 === 0,
-            concat(expr("repeat('д', CAST(doc_id % 11 + 5 AS INT))"),
-              expr("repeat('中', CAST(doc_id % 4 AS INT))")))
-          .otherwise(concat(col("text"),
-            expr("repeat('д', CAST(doc_id % 5 AS INT))"),
-            expr("repeat('中', CAST(doc_id % 3 AS INT))"),
-            expr("repeat('ا', CAST(doc_id % 2 AS INT))"))))
-      val sc = TextAnalysis.scriptCounts(col("mixed"))
-      d.select(col("doc_id"), sc.as("s"))
-        .select(col("doc_id"),
-          col("s.latin").cast("long").as("latin"),
-          col("s.cyrillic").cast("long").as("cyrillic"),
-          col("s.cjk").cast("long").as("cjk"),
-          col("s.arabic").cast("long").as("arabic"),
-          col("s.digit").cast("long").as("digit"),
-          TextAnalysis.dominantScript(col("s")).as("script"))
-        .orderBy("doc_id")
-    }),
-
-    // Code-likeness signals; every 3rd doc gets a deterministic code-ish
-    // suffix so the signals separate. Fractions ppm-quantized, counts
-    // exact; regexes restricted to classes both engines share.
-    "q_code_detect" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("t2", when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(Oracles.codeSuffix))).otherwise(col("text")))
-      val cs = TextAnalysis.codeSignals(col("t2"))
-      d.select(col("doc_id"), cs.as("c"))
-        .select(col("doc_id"),
-          floor(col("c.symbol_ratio") * 1e6 + 0.5).as("symbol_ppm"),
-          floor(col("c.indent_fraction") * 1e6 + 0.5).as("indent_ppm"),
-          floor(col("c.ident_fraction") * 1e6 + 0.5).as("ident_ppm"),
-          col("c.n_lines").cast("long").as("n_lines"),
-          col("c.is_code").as("is_code"))
-        .orderBy("doc_id")
-    }),
-
-    // Empirical-Bayes shrunk per-source quality prior (score = n_chars,
-    // k = 20 pseudo-observations). Integer sums -> identical doubles in
-    // any engine; quotients ppm-quantized.
-    "q_domain_prior" -> ((s, dir) => {
-      TextAnalysis.shrunkGroupMeans(Tables.documents(s, dir), "source",
-          "n_chars", k = 20.0)
-        .select(col("group").as("source"), col("n"),
-          floor(col("mean_raw") * 1e6 + 0.5).as("mean_raw_ppm"),
-          floor(col("mean_shrunk") * 1e6 + 0.5).as("mean_shrunk_ppm"))
-        .orderBy("source")
-    }),
-
-    // Anchor-link extraction from synthesized per-doc HTML (href + anchor
-    // text + registered domain) — the crawl step feeding the link graph.
-    "q_link_extract" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
-        lit("<a href=\"http://cdn"), (col("doc_id") % 7).cast("string"),
-        lit("."), col("source"), lit(".org/page?id="),
-        col("doc_id").cast("string"),
-        lit("&utm_source=feed\">read <b>more</b> now</a>"),
-        when(col("doc_id") % 3 === 0,
-          lit("<a class=\"x\" href=\"https://hub.org/\">Hub</a>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
-      Cleanse.linkTable(d.withColumn("html", html), "doc_id", "html")
-        .select(col("id").as("doc_id"), col("link_pos"), col("url"),
-          col("anchor"),
-          Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
-        .orderBy("doc_id", "link_pos")
-    }),
-
-    // Directed distinct-3-gram overlap between sources — the "who copies
-    // from whom" matrix; counts exact, containment ppm-quantized.
-    "q_source_overlap" -> ((s, dir) => {
-      TextAnalysis.sliceOverlapMatrix(Tables.documents(s, dir), "source",
-          "text", n = 3)
-        .select(col("slice_a"), col("slice_b"), col("n_shared"),
-          floor(col("containment_a") * 1e6 + 0.5).as("containment_ppm"))
-        .orderBy("slice_a", "slice_b")
-    }),
-
-    // Suffix-matching domain blocklist over synthesized URLs: an entry
-    // blocks its whole zone (ads.tracker0.net via tracker0.net).
-    "q_suffix_block" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("url", concat(lit("https://"),
-          when(col("doc_id") % 4 === 0,
-            concat(lit("ads.tracker"), (col("doc_id") % 3).cast("string"),
-              lit(".net")))
-          .otherwise(concat(col("source"), lit(".org"))),
-          lit("/p/"), col("doc_id").cast("string")))
-      Cleanse.filterByDomainSuffixBlocklist(d, "url",
-          Seq("tracker0.net", "tracker1.net", "src0.org", "src1.org"))
-        .select(col("doc_id"), col("url"))
-        .orderBy("doc_id")
-    }),
-
-    // Declarative curation pipeline from a JSON config: fold spoofed
-    // copies (ids +10000) back onto their originals, length-filter,
-    // exact-dedup — the oracle replays the same stage order in SQL.
-    "q_pipeline" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "text")
-      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
-        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
-      graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
-        """[{"op": "fold_homoglyphs"},
-          |{"op": "min_chars", "n": "50"},
-          |{"op": "dedup_exact"}]""".stripMargin)
-        .select(col("doc_id"), md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // END-TO-END curation capstone (r7, VERDICT ask #8b): the Dolma-style
-    // chain a corpus team actually runs, composed from individually-gated
-    // stages into ONE oracle-checked dataflow — homoglyph-spoofed raw docs
-    // -> CurationPipeline [fold_homoglyphs, min_chars, dedup_exact] (the
-    // config-as-data front door) -> sentence-aligned chunking (25-token
-    // budget) -> fixed-length sequence packing (64). The oracle replays
-    // every stage in SQL (the q_pipeline + q_sentence_chunks + q_pack
-    // CTEs composed), so content AND offsets hash-match end to end.
-    "q_e2e_curation" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"),
-        regexp_replace(col("text"), " (table|key|value) ", ". ").as("text"))
-      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
-        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
-      val curated = graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
-        """[{"op": "fold_homoglyphs"},
-          |{"op": "min_chars", "n": "50"},
-          |{"op": "dedup_exact"}]""".stripMargin)
-      val chunks = Chunking.chunkRowsBySentences(curated, "text", "doc_id",
-          budgetTokens = 25)
-        .filter(col("n_tokens") > 0)
-        .select((col("id") * 1000 + col("chunk_id")).as("pack_key"),
-          col("n_tokens"))
-      Packing.packSequences(chunks, "pack_key", "n_tokens", seqLen = 64)
-        .select((col("id") / 1000).cast("long").as("doc_id"),
-          pmod(col("id"), lit(1000)).cast("long").as("chunk_id"),
-          col("seq_id"), col("doc_tok_start"), col("doc_tok_end"),
-          col("seq_tok_start"))
-        .orderBy("doc_id", "chunk_id", "seq_id")
-    }),
-
-    // Phrase-blocklist scan (r7): multi-phrase Aho-Corasick matching in
-    // ONE pass per document — the content-safety primitive whose value is
-    // the 10k-phrase list a regex union cannot compile. The oracle replays
-    // the phrases as independent lowercase regexp counts (phrases chosen
-    // without self-overlap, so every-occurrence AC counts equal regex
-    // non-overlapping counts).
-    "q_phrase_blocklist" -> ((s, dir) => {
-      TextAnalysis.phraseBlocklistStats(Tables.documents(s, dir), "doc_id",
-          "text", Seq("table scan", "hash join", "sort merge"))
-        .select(col("id").as("doc_id"), col("n_matches"),
-          col("n_phrases_hit"), col("flagged"))
-        .orderBy("doc_id")
-    }),
-
-    // Per-sentence language-ID + code-switch statistics over planted
-    // French/German sentences; all counts exact, tie order fixed.
-    "q_code_switch" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val t2 = concat(lit("the cat is in the house. "),
-        when(col("doc_id") % 4 === 0,
-          lit("le chat est dans la maison. ")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          lit("der hund ist mit von zu. ")).otherwise(lit("")),
-        regexp_replace(col("text"), " (table|key) ", ". "))
-      val cs = TextAnalysis.codeSwitchSignals(t2)
-      d.select(col("doc_id"), cs.as("c"))
-        .select(col("doc_id"), col("c.n_sentences"), col("c.n_tagged"),
-          col("c.n_switches"), col("c.langs"))
-        .orderBy("doc_id")
-    }),
-
-    // Entity co-occurrence edges over the same planted spans as
-    // q_entities — the input LinkGraph centrality runs on.
-    "q_entity_pairs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
-        lit("San Francisco Bay"), lit("Acme Corp"))
-      val t2 = concat(col("text"), lit(" "),
-        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
-        lit(" visited "),
-        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
-        lit(" yesterday."))
-      TextAnalysis.entityPairs(d.withColumn("t2", t2), "doc_id", "t2",
-          minPairDocs = 2L)
-        .orderBy("entity_a", "entity_b")
-    }),
-
-    // Chat-template flattening + loss-mask offsets over synthesized
-    // message JSON (doc tokens segmented into turns; every 3rd doc ends
-    // on an assistant turn). Parse goes through from_json in Spark and
-    // DuckDB's JSON functions in the oracle — structure, counts, and
-    // span offsets are all exact.
-    "q_chat_flatten" -> ((s, dir) => {
-      val toks = filter(split(col("text"), " "), t => length(t) > 0)
-      def seg(a: Int) = array_join(slice(toks, a, 6), " ")
-      val msgs = concat(
-        lit("[{\"role\":\"user\",\"content\":\""), seg(1),
-        lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(7),
-        lit("\"},{\"role\":\"user\",\"content\":\""), seg(13),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(19)))
-          .otherwise(lit("")),
-        lit("\"}]"))
-      Conversations.chatFlatten(
-          Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
-        .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
-          col("n_turns"), col("n_user"), col("n_assistant"),
-          col("response_start").cast("long").as("response_start"),
-          col("response_chars").cast("long").as("response_chars"))
-        .orderBy("doc_id")
-    }),
-
-    // Good-Turing unseen mass + Chao1 richness over the corpus vocabulary
-    // — exact integer counts, ppm-quantized estimates.
-    "q_unseen_mass" -> ((s, dir) => {
-      TextAnalysis.unseenMassEstimate(Tables.documents(s, dir), "text")
-        .select(col("n_tokens"), col("n_vocab"), col("n_hapax"), col("n_dis"),
-          floor(col("p_unseen") * 1e6 + 0.5).as("p_unseen_ppm"),
-          floor(col("chao1_vocab") * 1e6 + 0.5).as("chao1_ppm"))
-    }),
-
-    // Markdown stripping over deterministically synthesized markdown
-    // wrapping; same RE2 chain in the oracle.
-    "q_markdown" -> ((s, dir) => {
-      val md = concat(
-        lit("# Title\n\n**bold** and *emph* text\n\n```\ncode block\n```\n" +
-          "- item one\n- item two\n\n[link text](http://x.org) " +
-          "![alt](img.png)\n\n> quote line\n\n| a | b |\n\n"),
-        col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(TextAnalysis.stripMarkdown(md)).as("clean_md5"),
-          length(TextAnalysis.stripMarkdown(md)).cast("long").as("clean_len"))
-        .orderBy("doc_id")
-    }),
-
-    // Homoglyph folding: spoofed docs (Cyrillic lookalikes + zero-width
-    // salt planted on doc_id % 4 == 0) fold back to their original
-    // fingerprint — dedup_match is true everywhere iff the fold works.
-    "q_homoglyph" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val spoofed = when(col("doc_id") % 4 === 0,
-        concat(lit("​"), translate(col("text"), "aeo", "аео"),
-          lit("‍")))
-        .otherwise(col("text"))
-      d.select(col("doc_id"),
-          md5(TextAnalysis.foldHomoglyphs(spoofed)).as("folded_md5"),
-          (md5(TextAnalysis.foldHomoglyphs(spoofed)) === md5(col("text")))
-            .as("dedup_match"))
-        .orderBy("doc_id")
-    }),
-
-    // Mix-recipe solver: target proportions + token budget -> per-source
-    // rates and feasibility; integer sums, ppm-quantized ratios.
-    "q_mixture_rates" -> ((s, dir) => {
-      Sampling.mixtureRateReport(Tables.documents(s, dir), "source",
-          "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
-          totalBudget = 50000L)
-        .select(col("group"), col("available"),
-          floor(col("rate") * 1e6 + 0.5).as("rate_ppm"),
-          col("expected_tokens").cast("long").as("expected_tokens"),
-          floor(col("realized_share") * 1e6 + 0.5).as("realized_ppm"))
-        .orderBy("group")
-    }),
-
-    // HITS hubs & authorities on the synthetic host graph — rows-only
-    // (L1-normalized float iterations, like q_pagerank); LinkGraphSpec
-    // pins star-graph closed forms + driver==distributed parity.
-    "q_hits" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val srcHost = concat(col("source"), lit(".org"))
-      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
-        lit("."), col("source"), lit(".org"))
-      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
-        .union(d.filter(col("doc_id") % 3 === 0)
-          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
-      // Claims gate (r7, formerly rows-only): with all-positive init,
-      // authority > 0 IFF the node has an in-edge and hub > 0 IFF it has
-      // an out-edge (positivity propagates through every iteration; the
-      // scores of edge-less roles are exact 0.0 sums). Min positive score
-      // measured 1.1e-6 (sf0.01/0.1) vs exact zero -> 1e-9 threshold.
-      // DuckDB derives has_in/has_out per node from the edge rule.
-      LinkGraph.hits(edges, "src", "dst", iters = 10)
-        .select(col("node"), (col("authority") > 1e-9).as("auth_pos"),
-          (col("hub") > 1e-9).as("hub_pos"))
-        .orderBy("node")
-    }),
-
-    // Content-defined chunking: md5-boundary tokens close chunks (16
-    // tokens expected), chunk fingerprints exact in both engines.
-    "q_cdc_chunks" -> ((s, dir) => {
-      Chunking.cdcChunks(Tables.documents(s, dir), "text", "doc_id",
-          boundaryNibbles = 1)
-        .select(col("id").as("doc_id"), col("chunk_id"),
-          md5(col("chunk")).as("chunk_md5"), col("n_toks"))
-        .orderBy("doc_id", "chunk_id")
-    }),
-
-    // robots.txt crawl permissions: literal bodies parse through
-    // robotsRules, synthesized URLs check through robotsAllowed; the
-    // oracle applies the same precedence to the known parsed rule table
-    // (parse correctness is part of the hash — a wrong parse changes
-    // every verdict).
-    "q_robots" -> ((s, dir) => {
-      import s.implicits._
-      val robots = Seq(
-        ("site0.org", "User-agent: *\nDisallow: /private/\n" +
-          "Allow: /private/ok\n\nUser-agent: gptbot\nDisallow: /"),
-        ("site1.org", "User-agent: ccbot\nDisallow: /data/\n" +
-          "Allow: /data/public/")
-      ).toDF("host", "robots")
-      val rules = Cleanse.robotsRules(robots, "host", "robots")
-      val urls = Tables.documents(s, dir).select(
-        concat(lit("https://site"), (col("doc_id") % 3).cast("string"),
-          lit(".org"),
-          element_at(array(lit("/private/x"), lit("/private/ok/page"),
-            lit("/data/x"), lit("/data/public/y"), lit("/open/z")),
-            (col("doc_id") % 5 + 1).cast("int")),
-          lit("?id="), col("doc_id").cast("string")).as("url"))
-      Cleanse.robotsAllowed(urls, "url", rules, "ccbot")
-        .orderBy("url")
-    }),
-
-    // Per-source theta key profiles on the bounded key space — exact-mode
-    // estimates == per-group distinct counts.
-    "q_theta_profile" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("key", Sampling.hashBucket(col("doc_id"), 3000))
-      Diagnostics.thetaProfile(d, "source", "key")
-        .select(col("group").as("source"),
-          col("estimate").cast("long").as("n_distinct"))
-        .orderBy("source")
-    }),
-
-    // Predicted join size from key histograms (no join of payloads):
-    // exact integer arithmetic in both engines.
-    "q_join_size" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      Diagnostics.joinSizeEstimate(
-          o.select(col("o_custkey").as("k")),
-          l.select((col("l_orderkey") % 1000).as("k")), Seq("k"))
-        .select(col("est_rows"), col("max_key_rows"), col("n_join_keys"))
-    }),
-
-    // Theta-sketch slice overlap on a BOUNDED key space (md5 buckets %
-    // 3000 < the lgK=12 exact-mode limit at any sf): estimates are exact
-    // distinct counts, so the sketch algebra hash-matches DuckDB's exact
-    // set arithmetic. Above the bound the same operator degrades to
-    // ~1.6%-error estimates (ThetaSpec covers that mode).
-    "q_theta_overlap" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("key", Sampling.hashBucket(col("doc_id"), 3000))
-      Diagnostics.overlapProfile(
-          d.filter(col("doc_id") % 2 === 0),
-          d.filter(col("doc_id") % 3 === 0), "key")
-        .select(col("est_a").cast("long").as("n_a"),
-          col("est_b").cast("long").as("n_b"),
-          col("est_intersect").cast("long").as("n_intersect"),
-          col("est_union").cast("long").as("n_union"),
-          col("est_a_not_b").cast("long").as("n_a_not_b"),
-          col("est_b_not_a").cast("long").as("n_b_not_a"),
-          floor(col("jaccard") * 1e6 + 0.5).as("jaccard_ppm"))
-    }),
-
-    // nDCG over a deterministic synthetic ranking (rank from integer
-    // division, no window): both DCG folds run in fixed sorted order in
-    // both engines (aggregate() fold == list_reduce with 0.0 seed), so
-    // the transcendental sums are bit-identical; round(6) like the LM
-    // gates.
-    "q_ndcg" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val pred = d.select((col("doc_id") % 20).as("q"), col("doc_id").as("item"),
-        (floor(col("doc_id") / 20) + 1).cast("long").as("rnk"))
-      val truth = d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") % 20).as("q"), col("doc_id").as("item"),
-          (col("doc_id") % 7).cast("double").as("rel"))
-      Metrics.ndcg(pred, truth, "q", "item", "rnk", "rel")
-        .select(col("query"), col("k"), round(col("dcg"), 6).as("dcg"),
-          round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
-        .orderBy("query")
-    }),
-
-    // Confusion counts + derived metrics for the code-detection rule
-    // against its planted ground truth (doc_id % 3 == 0 got the code
-    // suffix): counts exact, ratios ppm.
-    "q_classifier_eval" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("t2", when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(Oracles.codeSuffix))).otherwise(col("text")))
-        .withColumn("pred",
-          TextAnalysis.codeSignals(col("t2")).getField("is_code"))
-        .withColumn("label", col("doc_id") % 3 === 0)
-      Metrics.binaryClassifierEval(d, "label", "pred")
-        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
-          floor(col("accuracy") * 1e6 + 0.5).as("accuracy_ppm"),
-          floor(col("precision") * 1e6 + 0.5).as("precision_ppm"),
-          floor(col("recall") * 1e6 + 0.5).as("recall_ppm"),
-          floor(col("f1") * 1e6 + 0.5).as("f1_ppm"))
-    }),
-
-    // TextTiling valley boundaries over synthesized sentence breaks:
-    // integer overlaps, strict-valley booleans — all exact.
-    "q_topic_boundaries" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("t2", regexp_replace(col("text"),
-          " (table|key|value|row|scan) ", ". "))
-      TextAnalysis.topicBoundaries(d, "doc_id", "t2")
-        .select(col("id").as("doc_id"), col("gap_idx"),
-          col("overlap").cast("long").as("overlap"), col("is_boundary"))
-        .orderBy("doc_id", "gap_idx")
-    }),
-
-    // Sentence-aligned budget chunking (sentence boundaries synthesized —
-    // the corpus text has no punctuation): cumulative-token assignment,
-    // chunks rebuilt ". "-joined, all counts exact ints.
-    "q_sentence_chunks" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("t2",
-          regexp_replace(col("text"), " (table|key|value) ", ". "))
-      Chunking.chunkRowsBySentences(d, "t2", "doc_id", budgetTokens = 25)
-        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
-          col("n_sentences"), col("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
-
-    // Rand / adjusted-Rand agreement between two clusterings of the
-    // corpus (source vs length-bucket labels): all pair counts are exact
-    // C(n,2) longs; rand/ari ppm-quantized from the same integers.
-    "q_cluster_agreement" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("la", col("source"))
-        .withColumn("lb", floor(col("n_chars") / 100))
-      Metrics.clusteringAgreement(d, "la", "lb")
-        .select(col("n"), col("n_pairs"), col("sum_cells"), col("sum_rows"),
-          col("sum_cols"),
-          floor(col("rand") * 1e6 + 0.5).as("rand_ppm"),
-          floor(col("ari") * 1e6 + 0.5).as("ari_ppm"))
-    }),
-
-    // Proto-entity extraction over deterministically synthesized
-    // capitalized spans (corpus text is lowercase, so only the planted
-    // entities match): per-entity document counts.
-    "q_entities" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
-        lit("San Francisco Bay"), lit("Acme Corp"))
-      val t2 = concat(col("text"), lit(" "),
-        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
-        lit(" visited "),
-        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
-        lit(" yesterday."))
-      TextAnalysis.entityTable(d.withColumn("t2", t2), "doc_id", "t2")
-        .groupBy("entity").agg(count(lit(1)).as("n_docs"))
-        .orderBy("entity")
-    }),
-
-    // Flesch readability signals; sentence punctuation synthesized (the
-    // corpus text has none). Counts exact; score ppm-quantized.
-    "q_readability" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("t2", concat(col("text"),
-          expr("repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT))")))
-      val r = TextAnalysis.readabilitySignals(col("t2"))
-      d.select(col("doc_id"), r.as("r"))
-        .select(col("doc_id"),
-          col("r.n_sentences").cast("long").as("n_sentences"),
-          col("r.n_words").cast("long").as("n_words"),
-          col("r.n_syllables").cast("long").as("n_syllables"),
-          floor(col("r.flesch") * 1e6 + 0.5).as("flesch_ppm"))
-        .orderBy("doc_id")
-    }),
-
-    // Distributed IRLS logistic quality classifier — rows-only (iterative
-    // transcendental float sums aren't oracle-reproducible); LogisticSpec
-    // pins the math (loss descent, stationarity, closed-form cases).
-    // Claims gate (r7, formerly rows-only): weights are FP-iteration
-    // internals, but the planted truth is checkable — the label
-    // (n_chars > 250) is perfectly separable on feature 1 (n_chars/100),
-    // so the IRLS fit must classify nearly everything right. Gated on
-    // accuracy vs the planted labels plus confusion-count consistency
-    // (tp+fp+fn+tn == n — the r7 ADVICE null-handling contract).
-    "q_logreg" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val feats = d.select(col("doc_id"),
-        array(col("n_chars").cast("double") / 100.0,
-          TextAnalysis.tokenCount(col("text")).cast("double") / 10.0,
-          TextAnalysis.punctRatio(col("text"))).as("x"),
-        (col("n_chars") > 250).as("y"))
-      val m = graft.fitting.Logistic.fit(feats, "x", "y", dims = 3,
-        iters = 8, lambda = 0.1)
-      val scored = graft.fitting.Logistic.score(feats, "doc_id", "x", m)
-        .join(feats.select("doc_id", "y"), "doc_id")
-      Metrics.binaryClassifierEval(scored, "y", "predicted")
-        .select(col("n"),
-          (col("tp") + col("fp") + col("fn") + col("tn") === col("n"))
-            .as("counts_ok"),
-          (col("accuracy") >= 0.95).as("accuracy_ok"))
-    }),
-
-    // Per-node triangles in the same synthetic candidate graph q_cc_dedup
-    // clusters — cliques (safe to collapse) vs chains (hub accidents).
-    "q_triangles" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = docs.as("a")
-        .join(docs.as("b"),
-          col("a.source") === col("b.source") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.triangleCounts(pairs)
-        .select(col("id").as("doc_id"), col("triangles"))
-        .orderBy("doc_id")
-    }),
-
-    // Audit evidence for the gated near-dup pairs: shared-shingle counts
-    // plus a deterministic (lexicographically first) sample.
-    "q_pair_evidence" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
-          n = 3, minJaccard = 0.05)
-        .select(col("id_a"), col("id_b"))
-      Dedup.pairEvidence(docs, "text", "doc_id", pairs,
-          shingleSize = 3, sampleK = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Near-dup graph degree per document over the gated n-gram Jaccard
-    // pair table — the hub diagnostic run before transitive closure.
-    "q_neardup_degree" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
-        n = 3, minJaccard = 0.05)
-      Dedup.pairDegrees(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("degree"))
-        .orderBy("doc_id")
-    }),
-
-    // Cohen's kappa between two synthetic annotators (80% planned
-    // agreement, nulls on doc_id % 17): kappa reduces to the integer
-    // ratio (n*agree - S)/(n^2 - S), so the doubles are one division of
-    // exact longs in both engines.
-    "q_cohen_kappa" -> ((s, dir) => {
-      val ann = Tables.documents(s, dir).select(col("doc_id"),
-        (col("n_chars") % 3).as("ann_a"),
-        when(col("doc_id") % 17 === 0, lit(null))
-          .otherwise(when(col("doc_id") % 5 === 0, (col("n_chars") + 1) % 3)
-            .otherwise(col("n_chars") % 3)).as("ann_b"))
-      Metrics.cohenKappa(ann, "ann_a", "ann_b")
-    }),
-
-    // Calibration / reliability bins over dyadic probabilities (k/256 —
-    // sums exact in any accumulation order) with planted miscalibration;
-    // nulls on user_id % 97 exercise the kept-rows filter.
-    "q_calibration" -> ((s, dir) => {
-      val scored = Tables.events(s, dir).select(
-        when(col("user_id") % 97 === 0, lit(null))
-          .otherwise((col("event_id") % 256).cast("double") / 256.0).as("p"),
-        ((col("event_id") * 7) % 256 < col("event_id") % 256).as("y"))
-      Metrics.calibrationReport(scored, "p", "y", nBins = 10)
-        .orderBy("bin")
-    }),
-
-    // k-anonymity row suppression over (event_type, user-bucket) quasi
-    // identifiers: every surviving row carries its group size, groups
-    // below k vanish. Pure integer counts.
-    "q_k_anon" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_id"),
-        col("event_type"), (col("user_id") % 50).as("ub"))
-      Privacy.kAnonymize(e, Seq("event_type", "ub"), k = 25)
-        .select(col("event_id"), col("event_type"), col("ub"), col("group_n"))
-        .orderBy("event_id")
-    }),
-
-    // The one-row cost audit behind q_k_anon: what does k=25 suppress?
-    "q_k_anon_report" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_id"),
-        col("event_type"), (col("user_id") % 50).as("ub"))
-      Privacy.kAnonymityReport(e, Seq("event_type", "ub"), k = 25)
-    }),
-
-    // Distinct-l-diversity audit: per quasi-identifier group, how many
-    // distinct sensitive values (nulls carry no information); diverse =
-    // n_sensitive >= l. The distinct count runs as a pre-aggregate, not
-    // countDistinct (no expand at corpus grain — plan-audited).
-    "q_l_diversity" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_type"),
-        (col("user_id") % 200).as("ub"),
-        when(col("event_id") % 13 === 0, lit(null))
-          .otherwise(col("event_id") % 7).as("sensitive"))
-      Privacy.lDiversityReport(e, Seq("event_type", "ub"), "sensitive", l = 5)
-        .orderBy("event_type", "ub")
-    }),
-
-    // SDXL-style aspect-ratio bucketing from (width, height) metadata:
-    // nearest-ratio bucket decided in EXACT integer arithmetic (the /h
-    // and /bh denominators cancel via cross-multiplication), then
-    // resize-to-cover + center-crop dims as integer floor divisions —
-    // no float ratio anywhere, so no ulp can flip a bucket in either
-    // engine. One map stage, zero joins (plan-audited).
-    "q_aspect_buckets" -> ((s, dir) => {
-      val imgs = Tables.events(s, dir).select(col("event_id"),
-        (lit(256) + col("event_id") % 1800).as("w"),
-        (lit(256) + (col("event_id") * 7) % 1350).as("h"))
-      graft.multimodal.Multimodal.aspectBuckets(imgs, "w", "h",
-          SdxlBuckets)
-        .select(col("event_id"), col("w"), col("h"), col("bucket_id"),
-          col("bucket_w"), col("bucket_h"), col("resize_w"), col("resize_h"),
-          col("crop_x"), col("crop_y"))
-        .orderBy("event_id")
-    }),
-
-    // Uniform frame-sampling schedule from video metadata (frame count +
-    // millifps): which frame indices to decode, at what timestamps —
-    // all integer floor arithmetic, short clips never repeat a frame.
-    // The gate takes every 4th event as a clip: the operator's cost is
-    // linear in its EXPLODED output (16 rows/clip), and the sweep should
-    // not spend its budget materializing a 15M-row schedule.
-    "q_frame_schedule" -> ((s, dir) => {
-      val v = Tables.events(s, dir).filter(col("event_id") % 4 === 0)
-        .select(col("event_id"),
-        (col("event_id") % 500).as("n_frames"),
-        element_at(array(lit(23976), lit(25000), lit(29970)),
-          (col("event_id") % 3 + 1).cast("int")).as("fps_milli"))
-      graft.multimodal.Multimodal.frameSchedule(v, "n_frames", "fps_milli",
-          n = 16)
-        .select(col("event_id"), col("sample_k"), col("frame_idx"), col("t_ms"))
-        .orderBy("event_id", "sample_k")
-    }),
-
-    // Conversation-grain dedup: odd docs carry the SAME logical dialogue
-    // as their even buddy, uppercased with doubled spaces — the
-    // normalized fingerprint folds both to one md5; unparseable JSON
-    // (doc_id % 97) gets a null fingerprint and never dedups. The oracle
-    // formulates the fingerprint independently from the construction.
-    "q_conv_dedup" -> ((s, dir) => {
-      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
-      val cu = concat(lit("question number "), base)
-      val ca = concat(lit("answer text "), pmod(base * 7, lit(1000)))
-      def spoof(c: Column) =
-        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
-          .otherwise(c)
-      val msgs = when(col("doc_id") % 97 === 0, lit("not json")).otherwise(
-        concat(lit("[{\"role\":\"user\",\"content\":\""), spoof(cu),
-          lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(ca),
-          lit("\"}]")))
-      val fp = Conversations.withConversationFingerprint(
-        Tables.documents(s, dir).withColumn("msgs", msgs), "msgs")
-      val firsts = fp.filter(col("conv_fp").isNotNull)
-        .groupBy("conv_fp").agg(min(col("doc_id")).as("__first"))
-      fp.join(firsts, Seq("conv_fp"), "left")
-        .select(col("doc_id"), col("conv_fp"),
-          coalesce(col("doc_id") =!= col("__first"), lit(false))
-            .as("is_duplicate"))
-        .orderBy("doc_id")
-    }),
-
-    // SFT packing with loss-mask spans: chatFlatten -> whitespace token
-    // counts -> packSequences -> response-span intersection, all through
-    // the real text pipeline. The synthesis (a user words, b assistant
-    // words) makes the oracle's token counts CLOSED-FORM (n_tok = a+b+2,
-    // response tokens [a+2, a+b+2)) — the oracle never tokenizes, so it
-    // independently checks the whole char->token->sequence chain.
-    "q_sft_pack" -> ((s, dir) => {
-      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
-      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
-      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
-      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
-        lit("\"},{\"role\":\"assistant\",\"content\":\""), words(b),
-        lit("\"}]"))
-      val flat = Conversations.chatFlatten(
-        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
-      Conversations.lossMaskedPack(flat, seqLen = 32)
-        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
-          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
-          col("resp_tok_start"), col("resp_tok_end"),
-          col("mask_start"), col("mask_end"))
-        .orderBy("doc_id", "seq_id")
-    }),
-    // Fleiss' kappa over a synthesized 3-rater panel (every 29th doc
-    // gets a 4th rating and is dropped by the constant-panel rule): all
-    // counts exact longs, the three doubles fixed-association divisions.
-    "q_fleiss_kappa" -> ((s, dir) => {
-      val ratings = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"),
-          explode(sequence(lit(0),
-            when(col("doc_id") % 29 === 0, 3).otherwise(2))).as("rater"))
-        .select(col("doc_id"),
-          ((col("n_chars") + col("rater") * col("doc_id")) % 3).as("label"))
-      Metrics.fleissKappa(ratings, "doc_id", "label", nRaters = 3)
-    }),
-
-    // Reciprocal rank / MRR inputs: deterministic rankings where every
-    // 4th query's truth item never appears in its ranking (null rr).
-    "q_mrr" -> ((s, dir) => {
-      val pred = Tables.events(s, dir)
-        .select((col("user_id") % 50).as("q"),
-          (col("event_id") % 10 + 1).as("rank"))
-        .distinct()
-        .withColumn("item", (col("q") * 7 + col("rank") * 3) % 100)
-      val truth = pred.select("q").distinct()
-        .withColumn("item",
-          when(col("q") % 4 === 0, (col("q") * 7 + 50) % 100)
-            .otherwise((col("q") * 7 + 9) % 100))
-      Metrics.reciprocalRank(pred, truth, "q", "item", "rank")
-        .orderBy("query")
-    }),
-
-    // Refusal-pattern scan over the trainable span: every 3rd doc's
-    // assistant responds with a canned refusal, every 10th doc has no
-    // assistant turn at all (null flag). The oracle knows the answer in
-    // closed form; the engine extracts the real substring and matches
-    // the real pattern list.
-    "q_refusal_scan" -> ((s, dir) => {
-      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
-      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
-      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
-      val asst = when(col("doc_id") % 3 === 0,
-        lit("I CANNOT help with that request"))
-        .otherwise(concat(lit("sure here is "), words(b)))
-      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
-        when(col("doc_id") % 10 === 0, lit(""))
-          .otherwise(concat(lit("\"},{\"role\":\"assistant\",\"content\":\""),
-            asst)),
-        lit("\"}]"))
-      val flat = Conversations.chatFlatten(
-        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
-      Conversations.withRefusalFlag(flat,
-          Seq("i cannot", "i'm sorry", "as an AI"))
-        .select(col("id").as("doc_id"), col("is_refusal"),
-          col("response_words"))
-        .orderBy("doc_id")
-    }),
-
-    // DPO preference-pair audit: every 7th pair is chosen==rejected
-    // after normalization (planted degenerate pairs), word counts give
-    // the length-bias rate in closed form.
-    "q_dpo_audit" -> ((s, dir) => {
-      def words(t: String, n: Column) =
-        array_join(array_repeat(lit(t), n.cast("int")), " ")
-      val cw = lit(3) + pmod(col("doc_id"), lit(5))
-      val rw = lit(2) + pmod(col("doc_id"), lit(9))
-      // distinct word tokens per side: only the PLANTED pairs may
-      // normalize equal (a same-count "w w w" pair would too)
-      val pairs = Tables.documents(s, dir).select(col("doc_id"),
-        words("w", cw).as("chosen"),
-        when(col("doc_id") % 7 === 0,
-          upper(regexp_replace(words("w", cw), " ", "  ")))
-          .otherwise(words("v", rw)).as("rejected"))
-      Preference.pairAudit(Preference.pairFlags(pairs, "chosen", "rejected"))
-    }),
-    // SFT-corpus capstone: conversation JSON through the DECLARATIVE
-    // pipeline (conversation dedup folds each odd spoofed twin into its
-    // even buddy; refusal filter drops every base%3==0 dialogue), then
-    // chatFlatten -> loss-masked packing. The oracle knows the surviving
-    // set and every token count in closed form — it independently checks
-    // the composed dedup -> filter -> flatten -> pack chain end to end.
-    "q_sft_pipeline" -> ((s, dir) => {
-      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
-      val a = (lit(3) + pmod(base, lit(7))).cast("int")
-      val b = (lit(2) + pmod(base, lit(11))).cast("int")
-      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
-      val asst = when(base % 3 === 0, lit("I cannot help with that"))
-        .otherwise(concat(lit("sure here is "), words(b)))
-      def spoof(c: Column) =
-        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
-          .otherwise(c)
-      // "q<base>" makes every base's dialogue unique: without it, bases
-      // 154 apart share (a, b) and the conversation dedup CORRECTLY
-      // collapses them cross-base (first oracle draft missed that)
-      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""),
-        spoof(concat(lit("q"), base, lit(" "), words(a))),
-        lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(asst),
-        lit("\"}]"))
-      val corpus = Tables.documents(s, dir)
-        .select(col("doc_id"), msgs.as("text"))
-      val curated = graft.pipeline.CurationPipeline.runJson(corpus,
-        """[{"op": "dedup_conversations"},
-          |{"op": "drop_refusals", "patterns": "i cannot,i'm sorry"}]"""
-          .stripMargin)
-      val flat = Conversations.chatFlatten(curated, "doc_id", "text")
-      Conversations.lossMaskedPack(flat, seqLen = 32)
-        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
-          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
-          col("mask_start"), col("mask_end"))
-        .orderBy("doc_id", "seq_id")
-    }),
-    // Hubness diagnostic over the exact top-10 graph — claims gate (r8):
-    // the previous row-level oracle recomputed ALL pairs as a DuckDB list
-    // comprehension, O(n^2) on the oracle side, capping verification at
-    // sf0.1 (lesson 12). These claims are closed-form at any scale:
-    // coverage (one row per corpus vector, anti-hubs included), mass
-    // conservation (k-occurrence sums to exactly k*n — every query emits
-    // exactly k slots), bounds (0 <= occ <= n-1), and the self-exclusion
-    // contract (no query retrieves itself).
-    "q_hubness" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      // the all-pairs scan is the whole cost and feeds two claim
-      // actions — checkpoint its small (n x k)-row result once
-      val topk = Similarity.bruteForceTopK(e, e, "vec_id", "v", k = 10)
-        .localCheckpoint(true)
-      val occ = Similarity.kOccurrence(topk, e, "vec_id")
-      val n = e.count()
-      val agg = occ.agg(count(lit(1)), sum("k_occurrence"),
-        max("k_occurrence"), min("k_occurrence")).head()
-      val selfRows =
-        topk.filter(col("query_id") === col("neighbor_id")).count()
-      Seq(
-        ("bounds_0_to_n_minus_1", n,
-          agg.getLong(3) >= 0L && agg.getLong(2) <= n - 1),
-        ("coverage_one_row_per_vector", n, agg.getLong(0) == n),
-        ("mass_sums_to_k_times_n", n, agg.getLong(1) == 10L * n),
-        ("no_self_retrieval", n, selfRows == 0L))
-        .toDF("claim", "n", "ok").orderBy("claim")
-    }),
-
-    // Margin-based mutual-NN bitext mining — claims gate (r8, same
-    // lesson-12 conversion as q_hubness): corpus B is corpus A under
-    // disjoint ids, so every mutual match scores cosine ~1 (its exact
-    // copy), and for every id whose vector VALUE is unique in the corpus
-    // (replicated sf datasets plant exact copies, making twins ambiguous
-    // for non-unique ids) the planted twin id_a+10000 must be recovered
-    // with margin > 1. n_unique cross-checks the two engines' grouping
-    // of raw float vectors.
-    "q_bitext_mine" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-      val a = e.select(col("vec_id").as("id"), col("v"))
-      val b = e.select((col("vec_id") + 10000).as("id"), col("v"))
-      val m = Similarity.mutualTopMatches(a, b, "id", "v", k = 4)
-        .localCheckpoint(true) // two bruteForceTopK passes feed 3 actions
-      val n = e.count()
-      val uniq = e.groupBy("v").agg(count(lit(1)).as("__c"),
-          min("vec_id").as("vec_id"))
-        .filter(col("__c") === 1).select("vec_id").localCheckpoint(true)
-      val nUniq = uniq.count()
-      val planted = m.join(uniq, m("id_a") === uniq("vec_id")).agg(
-        count(lit(1)).as("cnt"),
-        coalesce(min((col("id_b") === col("id_a") + 10000).cast("int")),
-          lit(1)).as("twin"),
-        coalesce(min((col("margin") > 1.0).cast("int")), lit(1))
-          .as("mrg")).head()
-      val allAgg = m.agg(count(lit(1)).as("total"),
-        coalesce(min((abs(col("cosine") - 1.0) < lit(1e-9)).cast("int")),
-          lit(1)).as("cosone"),
-        countDistinct(col("id_a")).as("da")).head()
-      Seq(
-        ("matches_cosine_one", n, nUniq, allAgg.getInt(1) == 1),
-        ("mutual_one_to_one", n, nUniq,
-          allAgg.getLong(2) == allAgg.getLong(0) && allAgg.getLong(0) <= n),
-        ("planted_unique_all_recovered", n, nUniq,
-          planted.getLong(0) == nUniq && planted.getInt(1) == 1),
-        ("unique_margin_above_one", n, nUniq, planted.getInt(2) == 1))
-        .toDF("claim", "n", "n_unique", "ok").orderBy("claim")
-    }),
-
-    // Embedding-centroid drift across ordered buckets — dyadic-quantized
-    // vectors make the per-dimension sums exact in any order (the
-    // q_embed_cov contract); the cosine chain is fixed-association folds,
-    // rounded at 6 on both sides (libm boundary convention).
-    "q_centroid_drift" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select((col("vec_id") % 16).as("bucket"),
-          transform(col("embedding").cast("array<double>"),
-            x => floor(x * 256 + 0.5) / 256).as("v"))
-      Diagnostics.centroidDrift(e, "v", "bucket")
-        .select(col("bucket"), col("n"),
-          round(col("cos_prev"), 6).as("cos_prev"))
-        .orderBy("bucket")
-    }),
-    // Winnowing fingerprints (MOSS): window-minimum sampling of the gram
-    // hash stream — md5-prefix hashes are engine-portable, the argmin
-    // fold and the oracle's max-tie-index agree on rightmost ties.
-    "q_winnow" -> ((s, dir) => {
-      Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
-          k = 5, window = 4)
-        .select(col("id").as("doc_id"), col("pos"), col("fp"))
-        .orderBy("doc_id", "pos")
-    }),
-
-    // Winnowing pair mining: shared-fingerprint counts + directional
-    // coverage — exact long counts, one exact-ratio division.
-    "q_winnow_pairs" -> ((s, dir) => {
-      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 5, window = 4, minShared = 2, maxFpDocFreq = 100)
-        .select(col("id_a"), col("id_b"), col("n_shared"), col("n_fp_a"),
-          col("n_fp_b"), col("coverage"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Hybrid retrieval: RRF fusion of a BM25 lexical ranking (round-6
-    // scores — the q_bm25 cross-engine contract — tie-broken by id) and
-    // an exact dense cosine ranking. Contributions are the quantized
-    // longs floor(1e9/(60+rank)), so the fused order is engine-exact.
-    "q_rrf_fusion" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sparse = Similarity.topKRanking(
-        TextAnalysis.bm25Score(docs, "doc_id", "text", "spark merge batch")
-          .select(lit(0L).as("q"), col("id"),
-            round(col("bm25"), 6).as("s"))
-          .filter(col("s") > 0), "q", "id", "s", k = 20)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      val e = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select("vec_id", "v")
-      val dense = Similarity
-        .bruteForceTopK(e, e.filter(col("vec_id") === 7), "vec_id", "v", k = 20)
-        .select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
-      Similarity.rrfFuse(Seq(sparse, dense), "query_id", "neighbor_id",
-          "rank", kConst = 60, topK = 15)
-        .select(col("neighbor_id").as("id"), col("n_lists"),
-          col("rrf_micro"), col("rrf"), col("rank"))
-        .orderBy("rank")
-    }),
-
-    // Rolling-origin backtest with a 12 h embargo: pure int64-microsecond
-    // window arithmetic over events — every (row, window, role)
-    // membership is closed-form, so the oracle is an independent
-    // restatement of the same ranges.
-    "q_backtest" -> ((s, dir) => {
-      val day = 86400000000L
-      Sampling.rollingBacktestAssign(Tables.events(s, dir), "ts", "event_id",
-          "2024-01-01 00:00:00", trainLenUs = 7 * day, testLenUs = 2 * day,
-          stepUs = 3 * day, nWindows = 8, embargoUs = day / 2)
-        .orderBy("event_id", "window_id", "role")
-    }),
-
-    // Fellegi–Sunter record linkage over nation-blocked customer pairs:
-    // the weight is a fixed-association sum of driver-planted literal
-    // log2 ratios (the oracle embeds the SAME literals via
-    // Linkage.sqlLiteral), so weights and decisions are bit-exact.
-    "q_linkage" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
-        col("c_nationkey").as(s"${p}_nat"),
-        col("c_mktsegment").as(s"${p}_seg"),
-        col("c_acctbal").as(s"${p}_bal"),
-        substring(col("c_name"), -1, 1).as(s"${p}_d"))
-      val pairs = side("a").join(side("b"),
-          col("a_nat") === col("b_nat") &&
-            col("b_key") > col("a_key") &&
-            col("b_key") <= col("a_key") + 20)
-        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
-          (col("a_seg") === col("b_seg")).as("seg_agree"),
-          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
-          (col("a_d") === col("b_d")).as("name_agree"))
-      Linkage.fellegiSunterScore(pairs, Seq(
-          Linkage.LinkField("seg_agree", 0.9, 0.25),
-          Linkage.LinkField("bal_agree", 0.85, 0.05),
-          Linkage.LinkField("name_agree", 0.95, 0.1)),
-          upper = 4.0, lower = -2.0)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Min-k% probability memorization screen: bottom-20% token logprobs
-    // under the even-docs bigram model, micro-quantized so the sort and
-    // bottom-k sum are exact int64 (the q_bigram_lp model, Shi et al.
-    // min-k% selection).
-    "q_min_k_prob" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.minKProbScore(docs,
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", kDenom = 5)
-        .select(col("id").as("doc_id"), col("n_bigrams"), col("k_count"),
-          col("mink_sum_micro"), col("mink_mean_lp"))
-        .orderBy("doc_id")
-    }),
-
-    // Systematic resampling: exactly 2000 draws proportional to n_chars —
-    // the count formulas are pure int64 arithmetic on an id-ordered
-    // cumulative weight line, so the oracle restates them with one
-    // ORDER-BY-id window (partitioning cancels out of the result).
-    "q_systematic_resample" -> ((s, dir) => {
-      Sampling.systematicResample(Tables.documents(s, dir), "doc_id",
-          "n_chars", nSamples = 2000L, offsetNum = 777L)
-        .orderBy("id")
-    }),
-
-    // Entity resolution end-to-end: the q_linkage scored pairs above the
-    // 'match' threshold, connected, every customer labeled with its
-    // entity id (min reachable id; unmatched customers resolve to
-    // themselves). The oracle recomputes the same weights from identical
-    // literals and takes the transitive closure with a recursive CTE.
-    "q_entity_resolution" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
-        col("c_nationkey").as(s"${p}_nat"),
-        col("c_mktsegment").as(s"${p}_seg"),
-        col("c_acctbal").as(s"${p}_bal"),
-        substring(col("c_name"), -1, 1).as(s"${p}_d"))
-      val pairs = side("a").join(side("b"),
-          col("a_nat") === col("b_nat") &&
-            col("b_key") > col("a_key") &&
-            col("b_key") <= col("a_key") + 20)
-        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
-          (col("a_seg") === col("b_seg")).as("seg_agree"),
-          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
-          (col("a_d") === col("b_d")).as("name_agree"))
-      val scored = Linkage.fellegiSunterScore(pairs, Seq(
-        Linkage.LinkField("seg_agree", 0.9, 0.25),
-        Linkage.LinkField("bal_agree", 0.85, 0.05),
-        Linkage.LinkField("name_agree", 0.95, 0.1)),
-        upper = 4.0, lower = -2.0)
-      Linkage.resolveEntities(c.select(col("c_custkey")), "c_custkey",
-          scored, threshold = 4.0)
-        .select(col("c_custkey"), col("entity_id").cast("long").as("entity_id"))
-        .orderBy("c_custkey")
-    }),
-
-    // Dedup-method agreement sweep (the q_ann_sweep analog for the dedup
-    // families): plant an exact twin of every document under a disjoint
-    // id, run the three signature-family candidate generators on the
-    // union, and claim (a) MinHash and SimHash recover EVERY planted twin
-    // (identical text -> identical signature -> guaranteed band
-    // collision; sf1-proven band parameters), (b) blocked n-gram Jaccard
-    // recovers >= 95% (its hot-shingle cap may orphan a doc whose every
-    // shingle is corpus-hot), (c) the two signature methods' connected
-    // components agree at Rand >= 0.9 (singleton-dominated clusterings
-    // disagree on at most the near-dup fringe). Claim table shape: the
-    // oracle restates the expected counts and booleans.
-    "q_dedup_sweep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
-      val OFF = 10000000L
-      val union = docs.unionByName(docs.select(
-          (col("doc_id") + OFF).as("doc_id"), col("text"), col("source")))
-        .localCheckpoint(true) // three generators + two CC passes read it
-      val nDocs = docs.count()
-      def planted(pairs: DataFrame): Long = pairs
-        .filter(col("id_b") === col("id_a") + OFF && col("id_a") < OFF)
-        .select("id_a").distinct().count()
-      // est_jaccard >= 0.5: raw band collisions include the j^4-per-band
-      // accidental hits, which chain 80% of a template-heavy corpus into
-      // one giant component (measured: one 804-member component at
-      // sf0.01 unfiltered; the q_minhash_pairs gate applies the same
-      // post-filter before using candidates as pairs)
-      val mh = Dedup.minHashCandidates(union, "text", "doc_id",
-          shingleSize = 5, numHashes = 64, bands = 16)
-        .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
-      val sh = Dedup.simHashCandidates(union, "text", "doc_id",
-        maxHamming = 3).localCheckpoint(true)
-      val ng = Dedup.ngramJaccardPairs(union, "text", "doc_id", "source",
-        n = 3, minJaccard = 0.5)
-      val (mhFound, shFound, ngFound) = (planted(mh), planted(sh), planted(ng))
-      val labels = Dedup.dedupClusters(union, "doc_id", mh)
-        .select(col("doc_id"), col("component").as("la"))
-        .join(Dedup.dedupClusters(union, "doc_id", sh)
-          .select(col("doc_id"), col("component").as("lb")), Seq("doc_id"))
-      val rand = Metrics.clusteringAgreement(labels, "la", "lb")
-        .head().getAs[Double]("rand")
-      import s.implicits._
-      Seq(
-        ("minhash_covered", nDocs, mhFound == nDocs),
-        ("minhash_simhash_rand_ge_090", 2 * nDocs, rand >= 0.9),
-        ("ngram_covered_95", nDocs, ngFound * 100L >= nDocs * 95L),
-        ("simhash_covered", nDocs, shFound == nDocs))
-        .toDF("claim", "n", "ok").orderBy("claim")
-    }),
-
-    // Grid-cell radius self-join (Spatial.radiusJoinPlanar): points
-    // hash-derived from events onto a 1e6 x 1e6 integer plane, r=1500.
-    // The pair generator is a banded equi-join on (cx, cy) with a 9-way
-    // explode probe side — never a cross join — and the distance math is
-    // exact long arithmetic end to end, so the gate is engine-portable
-    // with no rounding rule at all.
-    "q_radius_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val pts = ev.select(col("event_id").as("pid"),
-        pmod(col("event_id") * 2654435761L, lit(1000000L)).as("x"),
-        pmod(col("event_id") * 1779033703L + col("user_id") * 2246822519L,
-          lit(1000000L)).as("y"))
-      Spatial.radiusJoinPlanar(pts, "pid", "x", "y", radius = 1500L)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // k-core of a bipartite-ish interaction graph derived from events
-    // (LinkGraph.kCore): synchronous peeling to the unique fixpoint; the
-    // oracle replays the same rounds as 30 chained CTEs in DuckDB. Pure
-    // integer/string arithmetic — no rounding rule needed.
-    "q_kcore" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val edges = ev.select(
-        pmod(col("user_id") * 13L, lit(500L)).as("src"),
-        (lit(1000L) + pmod(col("event_id") * 2654435761L, lit(500L))).as("dst"))
-      LinkGraph.kCore(edges, "src", "dst", k = 19)
-        .orderBy("node")
-    }),
-
-    // ε-DP noisy release of (lang, source) counts over documents
-    // (Privacy.dpNoisyCounts): quantized-Laplace noise from a seeded md5
-    // PRF — after the driver precomputes the noise table, runtime
-    // arithmetic is md5 + mod + integer add, so the release is
-    // engine-exact (the oracle embeds the identical table literal).
-    "q_dp_counts" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Privacy.dpNoisyCounts(d, Seq("lang", "source"), epsilon = 0.5,
-          seed = 42L)
-        .orderBy("lang", "source")
-    }),
-
-    // jusText-lite content extraction (Cleanse.contentExtract):
-    // paragraph-grain link/stopword/length densities over synthesized
-    // page structure (nav + body + optional related-links + footer).
-    // Densities are single IEEE divisions — engine-exact without any
-    // rounding rule.
-    "q_content_extract" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val html = concat_ws("\n\n",
-        lit("<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
-          "<a href=\"/contact\">contact</a>"),
-        concat(lit("<p>"), substring(col("text"), 1, 400), lit("</p>")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit("see also <a href=\"/d/"),
-            (col("doc_id") % 97).cast("string"),
-            lit("\">related topic link text here</a>")))
-          .otherwise(lit("short note")),
-        lit("<a href=\"/terms\">terms of service</a>"))
-      Cleanse.contentExtract(
-          d.select(col("doc_id"), html.as("html")), "doc_id", "html",
-          stopwords = Seq("the", "a", "data", "value", "query", "table",
-            "join", "scan", "order", "key"))
-        .orderBy("id", "para_idx")
-    }),
-
-    // Blocked span corruption (Chunking.spanCorrupt): the T5 denoising
-    // pair generator with md5-PRF span placement — deterministic,
-    // shuffle-free, engine-exact (the oracle replays the same block
-    // arithmetic in DuckDB list comprehensions).
-    "q_span_corrupt" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Chunking.spanCorrupt(d, "doc_id", "text", blockSize = 20, seed = 7L)
-        .orderBy("id")
-    }),
-
-    // Snapshot-over-snapshot column drift (Diagnostics.profileDrift):
-    // the "after" snapshot plants a nulling-out lang extractor, an
-    // exploding source cardinality, and a 10% row drop; the report must
-    // flag the first two and clear text. Exact counts + single IEEE
-    // divisions — engine-exact.
-    "q_profile_drift" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val after = d.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("lang", when(col("doc_id") % 4 === 0, lit(null))
-          .otherwise(col("lang")))
-        .withColumn("source", concat(col("source"), lit("_"),
-          (col("doc_id") % 50).cast("string")))
-      Diagnostics.profileDrift(d, after, Seq("lang", "source", "text"))
-        .orderBy("column")
-    }),
-
-    // Bradley-Terry preference strengths (fitting.BradleyTerry) over a
-    // deterministic planted tournament: 50 items, skill s = item%10+1,
-    // game outcomes decided by an exact integer compare of the event's
-    // md5 bucket against 10000*sa/(sa+sb). Claims-style gate (float
-    // MM iterations are not oracle-replayable): per-skill mean strength
-    // must be strictly monotone, strengths normalize, and the top
-    // strength lands on a top-skill item.
-    "q_bradley_terry" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val g = ev.select(pmod(col("event_id"), lit(50L)).as("a"),
-          pmod(expr("event_id div 50"), lit(50L)).as("b"),
-          Sampling.hashBucket(col("event_id")).as("u"))
-        .filter(col("a") =!= col("b"))
-      val sa = pmod(col("a"), lit(10L)) + 1L
-      val sb = pmod(col("b"), lit(10L)) + 1L
-      val pairs = g.groupBy("a", "b").agg(count(lit(1)).as("n"),
-        sum(when(col("u") * (sa + sb) < lit(10000L) * sa, 1L)
-          .otherwise(0L)).as("w"))
-      val st = graft.fitting.BradleyTerry.fit(pairs, "a", "b", "n", "w",
-        iters = 50)
-      val withSkill = st.withColumn("skill",
-        pmod(col("item").cast("long"), lit(10L)) + 1)
-      val bySkill = withSkill.groupBy("skill")
-        .agg(avg(col("strength")).as("m")).orderBy("skill")
-        .select("m").collect().map(_.getDouble(0))
-      val monotone = bySkill.zip(bySkill.tail).forall { case (x, y) => x < y }
-      val tot = withSkill.agg(sum(col("strength")).as("s"),
-        count(lit(1)).as("n"),
-        max(struct(col("strength"), col("skill"))).as("top")).head()
-      val nItems = tot.getLong(1)
-      import s.implicits._
-      Seq(
-        ("strength_monotone_in_skill", nItems, monotone),
-        ("strengths_normalized", nItems,
-          math.abs(tot.getDouble(0) - 1.0) < 1e-9),
-        ("top_has_top_skill", nItems,
-          tot.getStruct(2).getLong(1) == 10L))
-        .toDF("claim", "n", "ok").orderBy("claim")
-    }),
-
-    // Label propagation communities (LinkGraph.labelPropagation) over a
-    // planted clique graph with data-derived noise edges: 100 cliques of
-    // 6 (nodes 0..599, intra edges from each event row) + md5-free
-    // arithmetic noise edges on every 97th event. The synchronous
-    // closed-neighborhood max-frequency/max-label update is a pure
-    // function of the previous round, so the DuckDB oracle replays the
-    // SAME 8 rounds as MATERIALIZED CTEs (the q_kcore pattern) — full
-    // label parity, not claims.
-    "q_communities" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val edges = communityEdges(ev)
-      graft.operators.LinkGraph
-        .labelPropagation(edges, "src", "dst", maxIters = 8)
-        .orderBy("node")
-    }),
-
-    // Newman modularity decomposition of the q_communities partition
-    // (LinkGraph.modularity): per-community size / intra-edge / degree
-    // longs plus the exact integer numerator q_scaled_term = 4*m*e_c -
-    // d_c^2 (Q = sum/4m^2) — all-long arithmetic, engine-exact in any
-    // accumulation order (a double Q would be the lesson-5 parallel-sum
-    // trap).
-    "q_modularity" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val edges = communityEdges(ev)
-      val labels = graft.operators.LinkGraph
-        .labelPropagation(edges, "src", "dst", maxIters = 8)
-      graft.operators.LinkGraph
-        .modularity(edges, "src", "dst", labels)
-        .orderBy("community")
-    }),
-
-    // DeepWalk-style random-walk corpus (LinkGraph.randomWalks) over the
-    // same planted community graph: every step is an md5 PRF of (origin,
-    // walk, step, seed) indexing the node's sorted, degree-capped
-    // neighbor list, so the DuckDB oracle replays the walks bit-exactly
-    // as fixed-round CTEs.
-    "q_random_walks" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.operators.LinkGraph
-        .randomWalks(communityEdges(ev), "src", "dst",
-          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
-        .orderBy("origin", "walk", "step")
-    }),
-
-    // Skip-gram training pairs (Packing.skipGramPairs) over the replayed
-    // walk corpus: every (center, context) pair at step distance 1..2,
-    // both directions, signed offset. The oracle self-joins its replayed
-    // walks (fine at gate scale); the OPERATOR is the scale path — one
-    // sequence-grain groupBy + row-local nested transforms, no self-join.
-    "q_skipgram" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val walks = graft.operators.LinkGraph
-        .randomWalks(communityEdges(ev), "src", "dst",
-          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
-      graft.operators.Packing
-        .skipGramPairs(walks, Seq("origin", "walk"), "step", "node",
-          window = 2)
-        .orderBy("origin", "walk", "center", "context", "offset")
-    }),
-
-    // Min hop distance from a trusted seed set (LinkGraph.seedDistance)
-    // over the planted community graph: fixed maxHops rounds of
-    // synchronous min-relaxation, replayed round for round by the oracle;
-    // nodes unreached within the cap report null.
-    "q_seed_distance" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.operators.LinkGraph
-        .seedDistance(communityEdges(ev), "src", "dst",
-          seeds = Seq(0L, 301L), maxHops = 4)
-        .orderBy("node")
-    }),
-
-    // Common-neighbor link prediction (LinkGraph.commonNeighborScores):
-    // shared-neighbor counts + the exact-integer Resource Allocation
-    // index (ra_scaled = sum of 2^24 div deg over common neighbors — no
-    // libm in the gate; the AA double stays an operator-only column) and
-    // the is_edge flag separating re-scored links from predictions.
-    "q_link_predict" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.operators.LinkGraph
-        .commonNeighborScores(communityEdges(ev), "src", "dst",
-          maxDegree = 16)
-        .select("a", "b", "common_neighbors", "ra_scaled", "is_edge")
-        .orderBy("a", "b")
-    }),
-
-    // Deterministic half-sample replicates of a corpus metric
-    // (Diagnostics.subsampleReplicates): PRF membership, one scan, 2B
-    // aggregate columns. The metric is integer (text length), so sums
-    // are exact in any accumulation order and the mean is one IEEE
-    // division on both engines; the CI rank-pick math is spec-pinned.
-    "q_subsample_ci" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-      graft.operators.Diagnostics
-        .subsampleReplicates(d, "doc_id", "len",
-          replicates = 16, fraction = 0.5, seed = 3L)
-        .orderBy("replicate")
-    }),
-
-    // Isotonic (PAV) calibration over a planted miscalibrated scorer:
-    // score = md5 bucket / 10^4, label drawn by a second PRF with
-    // P = floor(s_int^2/10^4)/10^4 (all integer compares — the label set
-    // is engine-reproducible). Claims gate (the PAV merge sequence is
-    // not SQL-replayable): probs monotone, positive mass preserved
-    // exactly, calibrated MSE <= raw MSE.
-    // Luhn-validated card scan (Cleanse.cardCandidates): candidate
-    // digit runs synthesized from doc_id squares; the oracle replays the
-    // extraction regex AND the mod-10 checksum as a list comprehension —
-    // pure integer arithmetic, full verdict parity.
-    "q_card_scan" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val txt = concat(lit("pay "),
-        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
-          .cast("string"), 16, "0"), lit(" ok"))
-      graft.operators.Cleanse
-        .cardCandidates(d.select(col("doc_id"), txt.as("t")), "doc_id", "t")
-        .orderBy("id", "raw")
-    }),
-
-    // PII-scrub pipeline composition: redact_pii -> redact_cards (the
-    // Luhn-gated stage) -> min_chars as ONE declarative JSON config; the
-    // oracle chains the same regex replacements, replays the Luhn
-    // verdicts, folds the valid-span replacements with list_reduce, and
-    // applies the same length filter.
-    "q_pii_pipeline" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val txt = concat(lit("contact user"), col("doc_id"),
-        lit("@mail.example.org pay "),
-        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
-          .cast("string"), 16, "0"),
-        lit(" ref "), col("doc_id"), lit(" "),
-        expr("repeat('x', CAST(doc_id % 40 AS INT))"))
-      graft.pipeline.CurationPipeline.runJson(
-        d.select(col("doc_id"), txt.as("text")),
-        """[{"op": "redact_pii"},
-          |{"op": "redact_cards"},
-          |{"op": "min_chars", "n": "60"}]""".stripMargin)
-        .orderBy("doc_id")
-    }),
-
-    // ABA routing-number checksum (Cleanse.abaRoutingValid): 3-7-1
-    // weighted mod-10 + Federal-Reserve prefix ranges over synthesized
-    // 9-digit runs — plain integer arithmetic on both sides, full
-    // verdict parity.
-    "q_aba_scan" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val aba = lpad(((col("doc_id") * 1009L) % 1000000000L)
-        .cast("string"), 9, "0")
-      d.select(col("doc_id").as("id"), aba.as("aba"))
-        .withColumn("valid",
-          graft.operators.Cleanse.abaRoutingValid(col("aba")))
-        .orderBy("id")
-    }),
-
-    // IBAN mod-97 validation (Cleanse.ibanValid) over synthesized
-    // account strings (1-in-97 planted pass rate): shape regex + the
-    // incremental-mod fold, replayed in the oracle with list_reduce —
-    // full verdict parity, pure integer arithmetic.
-    "q_iban_scan" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val iban = concat(lit("DE"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("BANK"),
-        lpad(((col("doc_id") * 7919L) % 10000000000L).cast("string"),
-          10, "0"))
-      d.select(col("doc_id").as("id"), iban.as("iban"))
-        .withColumn("valid", graft.operators.Cleanse.ibanValid(col("iban")))
-        .orderBy("id")
-    }),
-
-    // Graph-feature capstone: the host quality-feature table a crawl
-    // pipeline joins onto documents — degree, LPA community, hop
-    // distance from trusted seeds, k-core membership — all four signals
-    // over ONE shared graph, composed from individually-gated operators.
-    // The oracle replays every stage (LPA rounds + BFS rounds + peeling
-    // rounds + degree) and joins them, so the gate also verifies the
-    // operators agree on the node universe.
-    "q_graph_features" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val edges = communityEdges(ev)
-      val lg = graft.operators.LinkGraph
-      val sym = {
-        val d = edges.select(col("src").as("s"), col("dst").as("d"))
-          .filter(col("s").isNotNull && col("d").isNotNull &&
-            col("s") =!= col("d"))
-        d.union(d.select(col("d").as("s"), col("s").as("d"))).distinct()
-      }
-      val deg = sym.groupBy(col("s").as("node"))
-        .agg(count(lit(1)).as("degree"))
-      val comm = lg.labelPropagation(edges, "src", "dst", maxIters = 8)
-      val dist = lg.seedDistance(edges, "src", "dst",
-        seeds = Seq(0L, 301L), maxHops = 4)
-      val core = lg.kCore(edges, "src", "dst", k = 5)
-        .select(col("node").cast("long").as("node"),
-          col("degree").as("core_degree"))
-      deg.join(comm, Seq("node"))
-        .join(dist, Seq("node"))
-        .join(core, Seq("node"), "left")
-        .select(col("node"), col("degree"), col("community"),
-          col("distance"), col("core_degree").isNotNull.as("in_core"),
-          col("core_degree"))
-        .orderBy("node")
-    }),
-
-    // Median-of-means robust estimator (Diagnostics.medianOfMeans) over
-    // integer text lengths: the 15 PRF bucket sums are exact longs, each
-    // mean one IEEE division, and the median an exact ranked pick — the
-    // whole output is engine-identical, so the gate is a FULL oracle
-    // (the oracle restates buckets, sums, and the ranked middle in SQL).
-    "q_median_of_means" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-      graft.operators.Diagnostics
-        .medianOfMeans(d, "doc_id", "len", buckets = 15, seed = 2L)
-    }),
-
-    "q_isotonic" -> ((s, dir) => {
-      import s.implicits._
-      val d = Tables.documents(s, dir)
-      val sInt = Sampling.hashBucket(col("doc_id"))
-      val u2 = Sampling.hashBucket(concat(col("doc_id").cast("string"),
-        lit("_lbl")))
-      val scored = d.select((sInt.cast("double") / 10000.0).as("score"),
-        (u2 < (sInt * sInt) / 10000L).cast("int").as("label"))
-      val model = graft.fitting.Isotonic
-        .fitBinned(scored, "score", "label", nBins = 100)
-      val fit = model.orderBy("bin_lo").collect()
-      val probs = fit.map(_.getDouble(4))
-      val monotone = probs.zip(probs.tail).forall { case (a, b) => a <= b }
-      val totals = scored.agg(count(lit(1)), sum(col("label"))).head()
-      val massOk = fit.map(_.getLong(3)).sum == totals.getLong(1)
-      val cal = graft.fitting.Isotonic
-        .calibrate(scored, "score", model, nBins = 100)
-      val mse = cal.agg(
-        sum(pow(col("calibrated") - col("label"), 2)).as("c"),
-        sum(pow(col("score") - col("label"), 2)).as("r")).head()
-      Seq(
-        ("calibrated_mse_not_worse", totals.getLong(0),
-          mse.getDouble(0) <= mse.getDouble(1) + 1e-9),
-        ("positive_mass_preserved", totals.getLong(0), massOk),
-        ("probs_monotone", totals.getLong(0), monotone))
-        .toDF("claim", "n", "ok").orderBy("claim")
-    }),
-  )
-
-  /** Shared edge construction for q_communities / q_modularity: intra-
-    * clique edges (node -> another member of its 6-clique, picked by the
-    * event id) plus sparse arithmetic noise edges. Mirrored verbatim in
-    * the oracle SQL.
-    */
-  private def communityEdges(ev: DataFrame): DataFrame = {
-    val intra = ev.select(
-      expr("event_id % 600").as("src"),
-      expr("((event_id % 600) div 6) * 6 + ((event_id div 600) % 6)").as("dst"))
-    val noise = ev.filter(expr("event_id % 97 = 0")).select(
-      expr("event_id % 600").as("src"),
-      expr("(event_id * 31) % 600").as("dst"))
-    intra.unionByName(noise)
-  }
-
-  /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the
-    * standard 1024^2-area ladder in 64-px steps (public SDXL recipe).
-    */
-  private[graft] val SdxlBuckets: Seq[(Int, Int)] = Seq(
-    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
-    (1344, 768), (768, 1344), (1536, 640), (640, 1536))
-
-  /** DuckDB oracles. Key set == queries key set minus the rows-only
-    * ops whose hash/centroid/merge/codec internals aren't oracle-expressible
-    * (q_mahalanobis, q_minhash_pairs, q_simhash, q_simhash_neardup,
-    * q_lsh_topk, q_ivf_topk, q_semdedup, q_bpe, q_fuzzy_decontam,
-    * q_compress_ratio, q_random_project, q_pca_project, q_pq_topk,
-    * q_ivfpq_topk, q_opq_topk, q_pagerank, q_trustrank, q_bpe_fertility).
+  /** One entry per implemented operator, assembled from the
+    * per-family gate files. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GatesCore.queries ++
+    GatesPlant.queries ++
+    GatesDedup.queries ++
+    GatesAnn.queries ++
+    GatesText.queries ++
+    GatesCuration.queries ++
+    GatesSampling.queries ++
+    GatesGraph.queries ++
+    GatesEvents.queries ++
+    GatesDiag.queries
+
+  /** DuckDB oracles. Key set == queries key set — since r7 every gate is
+    * oracle-backed: ops whose hash/centroid/merge/codec internals aren't
+    * SQL-expressible gate on engine-portable CLAIMS (planted-structure
+    * recall, coverage, monotonicity) the oracle verifies in closed form.
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }
+
 
 /** Aggregate-expression forms of the closed-form linear fit, shared by
   * queries and the Fitting module (cov/var, aep.py:920-927).

@@ -97,8 +97,12 @@ object Isotonic {
     val spark = df.sparkSession
     import spark.implicits._
     val steps = broadcast(rows.toSeq.toDF("__lo", "__hi", outputCol))
-    val bin: Column =
-      least(floor(col(scoreCol) * nBins).cast("int"), lit(nBins - 1))
+    // clamp BOTH ends: fitBinned rejects out-of-range scores, but
+    // calibrate applies to NEW data — a stray score < 0 would bin
+    // negative, match no block, and silently calibrate to null
+    val bin: Column = greatest(
+      least(floor(col(scoreCol) * nBins).cast("int"), lit(nBins - 1)),
+      lit(0))
     df.withColumn("__bin", bin)
       .join(steps, col("__bin").between(col("__lo"), col("__hi")), "left")
       .drop("__lo", "__hi", "__bin")

@@ -1,0 +1,445 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — embedding similarity: ANN indexes, PCA, centroids, mining.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesAnn.
+  */
+private[graft] object GatesAnn {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SemDeDup-style prototypicality: cosine of each embedding to its own
+    // label-group centroid
+    "q_centroid_score" -> ((s, dir) => {
+      Similarity.centroidScore(Tables.embeddings(s, dir), "embedding", "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(col("cos_centroid"), 5).as("cos_centroid"))
+        .orderBy("vec_id")
+    }),
+
+
+    // ---- similarity search -------------------------------------------------
+    "q_vector_norm" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), round(Similarity.norm(col("v")), 6).as("nrm"))
+        .orderBy("vec_id")
+    }),
+
+
+    // JL signed random projection 64 -> 8: deterministic sign matrix from
+    // the portable multiplicative mix, bit-reproducible in the oracle
+    "q_random_project" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProject(col("embedding"), 64, 8))
+            .as(Seq("k", "x")))
+        .select(col("vec_id"), col("k"), round(col("x"), 6).as("x"))
+        .orderBy("vec_id", "k")
+    }),
+
+
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 5).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // hard-negative mining: most-similar non-positives by exact cosine
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val pos = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), (col("vec_id") + 1).as("p"))
+      Similarity.hardNegatives(e, pos, "vec_id", "v", "q", "p", k = 3)
+        .select(col("query_id"), col("neg_id"),
+          round(col("cosine"), 5).as("cosine"),
+          col("hard_rank").cast("long").as("hard_rank"))
+        .orderBy("query_id", "hard_rank")
+    }),
+
+
+    // ranking-metrics operator: recall/precision@5 of the int8-quantized
+    // cosine ranking vs the exact ranking — both rankings integer-exact in
+    // both engines (cosine over the raw code arrays; per-vector scales
+    // cancel), so even the METRIC table hash-matches
+    "q_topk_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "v", k = 5)
+      val qd = e.withColumn("v",
+          Similarity.quantizeInt8(col("v")).getField("q").cast("array<double>"))
+        .select("vec_id", "v")
+      val pred = Similarity.bruteForceTopK(qd, qd.filter(col("vec_id") < 20),
+        "vec_id", "v", k = 5)
+      Metrics.rankingOverlap(pred, truth, "query_id", "neighbor_id")
+        .select(col("query").as("query_id"), col("n_pred"), col("n_truth"),
+          col("n_hit"), col("recall"), col("precision"))
+        .orderBy("query_id")
+    }),
+
+
+    // LSH-bucketed ANN — rows-only (approximate by construction)
+    // Claims gate (r7, formerly rows-only). Also retuned: bits=10 gave
+    // ~1024 buckets for a 500-5000 vector corpus — near-empty candidates,
+    // recall at CHANCE level (0.01-0.03 measured). bits=6 + 1-bit
+    // multi-probe is the right operating point for this corpus: recall
+    // 0.67/0.69 at sf0.01/0.1 vs the 0.1/0.01 claim thresholds.
+    "q_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 6,
+        tables = 4, dims = 64, probeHamming = 1)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
+        ascending = false)
+    }),
+
+
+    // embedding-cosine near-dup pairs, blocked by label
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      Similarity.cosineNearDupPairs(e, "vec_id", "v", "label", threshold = 0.25)
+        .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"),
+          round(col("cosine"), 5).as("cosine"))
+        .orderBy("block", "id_a", "id_b")
+    }),
+
+
+    // IVF (KMeans-partitioned) ANN — rows-only (clustering not SQL)
+    // Claims gate (r7, formerly rows-only): recall 0.65/0.75 measured at
+    // sf0.01/0.1 vs the 10x-chance thresholds 0.1/0.01.
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfTopK(e, q, "vec_id", "v", k = 5, nlist = 8,
+        nprobe = 3)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
+        ascending = false)
+    }),
+
+
+    // SemDeDup planted-recall claims (r7, formerly rows-only): an exact
+    // vector copy lands in the same kmeans cluster (identical point, same
+    // nearest centroid) at cosine 1 >= threshold, so every planted
+    // (vec, copy-at-id+1M) pair MUST appear in the within-cluster pairs.
+    "q_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val union = e.unionByName(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      val pairs = Similarity.semDedupPairs(union, "vec_id", "v",
+          threshold = 0.25, k = 8)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("vec_id"), lit(true).as("__hit"))
+      e.select("vec_id").join(pairs, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("__hit"), lit(false)).as("found"))
+        .orderBy("vec_id")
+    }),
+
+
+    // Symmetric int8 embedding quantization: per-vector scale, quantized
+    // checksum, and RMS reconstruction error (identical algebraic form —
+    // dot(v,v) - 2s*dot(v,q) + s^2*dot(q,q) — on both engines).
+    "q_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("qs", Similarity.quantizeInt8(col("v")))
+        .select(col("vec_id"), col("v"), col("qs.scale").as("scale"),
+          col("qs.q").cast("array<double>").as("q"))
+      val svv = Similarity.dot(col("v"), col("v"))
+      val svq = Similarity.dot(col("v"), col("q"))
+      val sqq = Similarity.dot(col("q"), col("q"))
+      e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0.0), (a, x) => a + x).cast("long").as("q_sum"),
+        round(sqrt(greatest(svv - lit(2.0) * col("scale") * svq
+          + col("scale") * col("scale") * sqq, lit(0.0)) / size(col("v"))), 6).as("err"))
+        .orderBy("vec_id")
+    }),
+
+
+    // exact second-moment (Gram) stage behind PCA — ONE fixed-size aggregate
+    // regardless of row count (GramMatrixAgg). Input quantized to dyadic
+    // 1/256 via floor(x*256+0.5)/256 so every product/sum is exact in any
+    // accumulation order in BOTH engines (the round-5 integer-bucket
+    // convention, extended to vector moments). First 8 dims gated: 36
+    // product rows + 8 sum rows + the (-1,-1) count row.
+    "q_embed_cov" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", transform(col("embedding"),
+          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
+      Pca.momentRows(e, "v", 64)
+        .filter(col("i") < 8 && col("j") < 8)
+        .orderBy("i", "j")
+    }),
+
+
+    // per-label second moments (grouped-PCA stage): one fixed-size gram
+    // buffer per group, same dyadic-quantization contract as q_embed_cov
+    "q_embed_cov_by_group" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", transform(col("embedding"),
+          x => floor(x.cast("double") * 256 + lit(0.5)) / 256))
+      Pca.momentRowsBy(e, "v", 64, "label")
+        .filter(col("i") < 4 && col("j") < 4)
+        .select(col("group").cast("long").as("label"), col("i"), col("j"),
+          col("sxy"))
+        .orderBy("label", "i", "j")
+    }),
+
+
+    // PCA whitened projection — rows-only (driver-side Jacobi eigensolve is
+    // not SQL-expressible); PcaSpec pins eigensystem/variance/rotation
+    // Claims gate (r7, formerly rows-only): rounded scores are
+    // eigensolve-ulp unstable, but the CONTRACT is checkable as booleans —
+    // the fitted basis is orthonormal (Jacobi property, driver-checked),
+    // and whitening makes every component's population variance exactly 1
+    // with mean exactly 0 (var of a projection onto a unit eigenvector IS
+    // its eigenvalue; whitening divides by sqrt of it) — both within FP
+    // tolerance, verified by a distributed moment pass over the output.
+    "q_pca_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Pca.fit(e, "v", 64, 8)
+      val orthoErr = {
+        val c = model.components
+        (for (i <- c.indices; j <- i until c.length) yield {
+          val dot = (0 until 64).map(t => c(i)(t) * c(j)(t)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0))
+        }).max
+      }
+      val proj = Pca.project(e, "v", model, whiten = true)
+      val aggs = (0 until 8).flatMap(j => Seq(
+        sum(element_at(col("pca"), j + 1)).as(s"s$j"),
+        sum(pow(element_at(col("pca"), j + 1), 2)).as(s"q$j")))
+      proj.agg(count(lit(1)).as("n"), aggs: _*)
+        .select(col("n"), lit(orthoErr < 1e-7).as("ortho_ok"),
+          (0 until 8).map(j =>
+            abs(col(s"q$j") / col("n")
+              - pow(col(s"s$j") / col("n"), 2) - 1.0) < 1e-6)
+            .reduce(_ && _).as("var_ok"),
+          (0 until 8).map(j => abs(col(s"s$j") / col("n")) < 1e-6)
+            .reduce(_ && _).as("mean_ok"))
+    }),
+
+
+    // IVF-PQ ANN: coarse lists prune via an equi join, PQ residual codes
+    // score — rows-only (kmeans + codebooks not SQL); PqSpec pins recall
+    // Claims gate (r7, formerly rows-only): recall 0.27/0.15 at
+    // sf0.01/0.1 vs 10x-chance thresholds 0.1/0.01. ADC distances rank
+    // ASCENDING.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfPqTopK(e, q, "vec_id", "v", k = 5, nlist = 8,
+        nprobe = 3, m = 8, ksub = 16)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
+        ascending = true)
+    }),
+
+
+    // OPQ: eigenvalue-balanced rotation before PQ — rows-only (eigensolve
+    // + codebooks not SQL); PqSpec pins isometry + MSE win vs plain PQ
+    // Claims gate (r7): recall 0.23/0.14 at sf0.01/0.1 vs 10x-chance
+    // thresholds 0.1/0.01.
+    "q_opq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.opqTopK(e, q, "vec_id", "v", model, k = 5)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
+        ascending = true)
+    }),
+
+
+    // product-quantization ADC top-k — rows-only (sampled-Lloyd codebooks
+    // not SQL); PqSpec pins the ADC-distance identity and cluster recall
+    // Claims gate (r7): recall 0.28/0.15 at sf0.01/0.1 vs 10x-chance
+    // thresholds 0.1/0.01.
+    "q_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val model = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.pqTopK(e, q, "vec_id", "v", model, k = 5)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "dist",
+        ascending = true)
+    }),
+
+
+    // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): all
+    // five approximate methods over ONE query set, each proposing 20
+    // candidates, each reranked by the exact cosine down to 5 — one metric
+    // row per method. Claims: every query covered, reranked hits >= the
+    // method's own raw top-5 hits (the rerankExact monotonicity
+    // guarantee), reranked mean recall@5 at least 10x chance.
+    "q_ann_sweep" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      // tiny per-stage results (<= n_queries * 20 rows) feed 2-3 union
+      // branches each; an eager localCheckpoint computes each stage ONCE —
+      // without it the brute-force truth subtree re-executes in all ~10
+      // branches of the final union (measured 9.98 s -> the sum of the
+      // individual method costs)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+        .localCheckpoint(true)
+      val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+      val kc = 20
+      val cands: Seq[(String, DataFrame)] = Seq(
+        "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc, nlist = 8,
+          nprobe = 3),
+        "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
+          nlist = 8, nprobe = 3, m = 8, ksub = 16),
+        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc, bits = 6,
+          tables = 4, dims = 64, probeHamming = 1),
+        "opq" -> Similarity.opqTopK(e, q, "vec_id", "v", opqModel, k = kc),
+        "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
+      val truthPairs = exact.select("query_id", "neighbor_id")
+      val nQ = q.count()
+      val chance = lit(10.0 * 5 / e.count().toDouble)
+      cands.map { case (name, cand0) =>
+        val cand = cand0.localCheckpoint(true)
+        val raw5 = cand.filter(col("rank") <= 5)
+        val rer = Similarity.rerankExact(cand, e, q, "vec_id", "v", k = 5)
+        def hits(df: DataFrame, as: String) =
+          df.select("query_id", "neighbor_id").distinct()
+            .join(truthPairs, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as(as))
+        val cov = rer.agg(countDistinct(col("query_id")).as("__cov"))
+        hits(raw5, "__raw").crossJoin(hits(rer, "__rer")).crossJoin(cov)
+          .select(lit(name).as("method"), lit(nQ).as("n_queries"),
+            (col("__cov") === nQ).as("covered_ok"),
+            (col("__rer") >= col("__raw")).as("rerank_ge_raw"),
+            (col("__rer").cast("double") / (nQ * 5.0) >= chance)
+              .as("recall_ok"))
+      }.reduce(_ unionByName _).orderBy("method")
+    }),
+
+    // Hubness diagnostic over the exact top-10 graph — claims gate (r8):
+    // the previous row-level oracle recomputed ALL pairs as a DuckDB list
+    // comprehension, O(n^2) on the oracle side, capping verification at
+    // sf0.1 (lesson 12). These claims are closed-form at any scale:
+    // coverage (one row per corpus vector, anti-hubs included), mass
+    // conservation (k-occurrence sums to exactly k*n — every query emits
+    // exactly k slots), bounds (0 <= occ <= n-1), and the self-exclusion
+    // contract (no query retrieves itself).
+    "q_hubness" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      // the all-pairs scan is the whole cost and feeds two claim
+      // actions — checkpoint its small (n x k)-row result once
+      val topk = Similarity.bruteForceTopK(e, e, "vec_id", "v", k = 10)
+        .localCheckpoint(true)
+      val occ = Similarity.kOccurrence(topk, e, "vec_id")
+      val n = e.count()
+      val agg = occ.agg(count(lit(1)), sum("k_occurrence"),
+        max("k_occurrence"), min("k_occurrence")).head()
+      val selfRows =
+        topk.filter(col("query_id") === col("neighbor_id")).count()
+      Seq(
+        ("bounds_0_to_n_minus_1", n,
+          agg.getLong(3) >= 0L && agg.getLong(2) <= n - 1),
+        ("coverage_one_row_per_vector", n, agg.getLong(0) == n),
+        ("mass_sums_to_k_times_n", n, agg.getLong(1) == 10L * n),
+        ("no_self_retrieval", n, selfRows == 0L))
+        .toDF("claim", "n", "ok").orderBy("claim")
+    }),
+
+
+    // Margin-based mutual-NN bitext mining — claims gate (r8, same
+    // lesson-12 conversion as q_hubness): corpus B is corpus A under
+    // disjoint ids, so every mutual match scores cosine ~1 (its exact
+    // copy), and for every id whose vector VALUE is unique in the corpus
+    // (replicated sf datasets plant exact copies, making twins ambiguous
+    // for non-unique ids) the planted twin id_a+10000 must be recovered
+    // with margin > 1. n_unique cross-checks the two engines' grouping
+    // of raw float vectors.
+    "q_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.select(col("vec_id").as("id"), col("v"))
+      val b = e.select((col("vec_id") + 10000).as("id"), col("v"))
+      val m = Similarity.mutualTopMatches(a, b, "id", "v", k = 4)
+        .localCheckpoint(true) // two bruteForceTopK passes feed 3 actions
+      val n = e.count()
+      val uniq = e.groupBy("v").agg(count(lit(1)).as("__c"),
+          min("vec_id").as("vec_id"))
+        .filter(col("__c") === 1).select("vec_id").localCheckpoint(true)
+      val nUniq = uniq.count()
+      val planted = m.join(uniq, m("id_a") === uniq("vec_id")).agg(
+        count(lit(1)).as("cnt"),
+        coalesce(min((col("id_b") === col("id_a") + 10000).cast("int")),
+          lit(1)).as("twin"),
+        coalesce(min((col("margin") > 1.0).cast("int")), lit(1))
+          .as("mrg")).head()
+      val allAgg = m.agg(count(lit(1)).as("total"),
+        coalesce(min((abs(col("cosine") - 1.0) < lit(1e-9)).cast("int")),
+          lit(1)).as("cosone"),
+        countDistinct(col("id_a")).as("da")).head()
+      Seq(
+        ("matches_cosine_one", n, nUniq, allAgg.getInt(1) == 1),
+        ("mutual_one_to_one", n, nUniq,
+          allAgg.getLong(2) == allAgg.getLong(0) && allAgg.getLong(0) <= n),
+        ("planted_unique_all_recovered", n, nUniq,
+          planted.getLong(0) == nUniq && planted.getInt(1) == 1),
+        ("unique_margin_above_one", n, nUniq, planted.getInt(2) == 1))
+        .toDF("claim", "n", "n_unique", "ok").orderBy("claim")
+    }),
+
+
+    // Embedding-centroid drift across ordered buckets — dyadic-quantized
+    // vectors make the per-dimension sums exact in any order (the
+    // q_embed_cov contract); the cosine chain is fixed-association folds,
+    // rounded at 6 on both sides (libm boundary convention).
+    "q_centroid_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select((col("vec_id") % 16).as("bucket"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 256 + 0.5) / 256).as("v"))
+      Diagnostics.centroidDrift(e, "v", "bucket")
+        .select(col("bucket"), col("n"),
+          round(col("cos_prev"), 6).as("cos_prev"))
+        .orderBy("bucket")
+    }),
+
+  )
+}

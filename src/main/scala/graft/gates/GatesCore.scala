@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — TPC-H-style scans/aggregations/joins + generic windows/skew.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesCore.
+  */
+private[graft] object GatesCore {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- 2.1/2.4 scans + aggregation ---------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsumMoney(col("l_quantity")).as("sum_qty"),
+          dsumMoney(col("l_extendedprice")).as("sum_base_price"),
+          dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (dsumMoney(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+
+    "q_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+          && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+
+    "q_join_revenue" -> ((s, dir) => {
+      // Pre-aggregate revenue to order grain BEFORE the join: the partial
+      // agg combines map-side, the orderkey shuffle doubles as the join
+      // shuffle, and n_orders becomes a plain count (the countDistinct
+      // expand over the raw join was the honest-measurement hotspot).
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val revPerOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cents"))
+      revPerOrder.join(o, revPerOrder("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+
+    "q_top_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+
+
+    // JSON property extraction from the props column (exact integer sums)
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("n_with_k"))
+        .orderBy("event_type")
+    }),
+
+
+    // ---- 2.5 window functions ----------------------------------------------
+    "q_lag_diff" -> ((s, dir) => {
+      // event_id tie-break: sf1-style replicated timestamps otherwise
+      // make lag() order- and engine-dependent
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("diff", col("value") - lag(col("value"), 1).over(w))
+        .select("event_id", "user_id", "diff")
+        .orderBy("event_id")
+    }),
+
+
+    "q_rolling_sum" -> ((s, dir) => {
+      // Long-cents frame sum (the r3 q1_agg lesson, applied after the r6
+      // bench flagged this gate at 3.08 s): value is cents-valued, so
+      // round(value*100) is an exact long and every frame slide is a long
+      // add instead of a BigDecimal add; /100.0 at the end is the same
+      // double in both engines. A/B at sf0.1: decimal 2.9 s -> long 1.0 s.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+      Tables.events(s, dir)
+        .withColumn("rsum",
+          sum(round(col("value") * 100).cast("long")).over(w)
+            .cast("double") / 100.0)
+        .select("event_id", "rsum")
+        .orderBy("event_id")
+    }),
+
+
+    // per-type winsorized stats over integer-scaled values (cents are
+    // exact in any accumulation order; quartile bounds interpolate on
+    // dyadic fractions -> bit-identical clamps in both engines)
+    "q_winsorized" -> ((s, dir) => {
+      val cents = Tables.events(s, dir)
+        .withColumn("v", floor(col("value") * 100 + lit(0.5)))
+      Timeseries.winsorizedStats(cents, "event_type", "v",
+          pLow = 0.25, pHigh = 0.75)
+        .orderBy("event_type")
+    }),
+
+
+    "q_global_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          davg(col("value")).as("value_avg"),
+          round(stddev_samp(col("value")), 6).as("value_std"),
+          round(percentile(col("value"), lit(0.5)), 6).as("value_med"),
+          min(col("value")).as("value_min"),
+          max(col("value")).as("value_max"))
+        .orderBy("event_type")
+    }),
+
+
+    // deterministic weighted reservoir (Efraimidis-Spirakis, md5 uniforms):
+    // 5 rows per language, inclusion odds ~ token count
+    "q_weighted_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedTopKPerStratum(docs, "lang", "doc_id", "w", k = 5)
+        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("stratum", "rnk")
+    }),
+
+
+    // salted equi-join: hot source keys spread over 8 salts; output equals
+    // the plain join, which IS the oracle
+    "q_salted_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dim = docs.groupBy("source")
+        .agg(avg(col("n_chars")).as("src_avg_chars"))
+      Skew.saltedEquiJoin(docs, dim, Seq("source"), saltBy = "doc_id",
+          saltFactor = 8, joinType = "left")
+        .select(col("doc_id"), col("source"),
+          round(col("src_avg_chars"), 6).as("src_avg_chars"))
+        .orderBy("doc_id")
+    }),
+
+
+    // key-skew heavy-hitter report: the pre-salting diagnostic
+    "q_key_skew" -> ((s, dir) => {
+      Diagnostics.keySkew(Tables.documents(s, dir), Seq("source", "lang"), topN = 10)
+        .select(col("source"), col("lang"), col("n_rows"),
+          col("frac_of_total"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
+
+    // Corpus report over CUBE(lang, source): the grouping-sets/Expand
+    // operator family — doc counts and char volume at every roll-up level.
+    "q_cube" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n"), col("chars"))
+        .orderBy("lang", "source")
+    }),
+
+  )
+}

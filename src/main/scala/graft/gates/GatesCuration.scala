@@ -1,0 +1,623 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — cleansing, PII, pipelines, chunking/packing, conversations.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesCuration.
+  */
+private[graft] object GatesCuration {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus-frequency boilerplate removal: pages synthesized with a
+    // universal cookie line, a doc_id%3 nav line, a doc_id%100 footer
+    // (exactly minDocs docs at sf0.01), and one unique body line — only
+    // the body line survives.
+    "q_boilerplate" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        lit("Accept all cookies to continue"),
+        when(col("doc_id") % 3 === 0, lit("Home | About | Contact"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 100 === 0, lit("Powered by ExampleCMS"))
+          .otherwise(lit("")),
+        concat(lit("body "), col("doc_id").cast("string"), lit(" "),
+          substring(md5(col("text")), 1, 8)))
+      Cleanse.dropBoilerplateLines(
+          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
+          "doc_id", "page", minDocs = 5L)
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy("doc_id")
+    }),
+
+
+    // fixed-window chunking with overlap (pre-tokenization splitting)
+    "q_chunk" -> ((s, dir) => {
+      Chunking.chunkRows(Tables.documents(s, dir), "text", "doc_id",
+          size = 200, overlap = 50)
+        .select(col("id").as("doc_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"), col("chunk"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
+
+    // PII redaction + per-category counts. The synthetic corpus carries no
+    // PII, so deterministic PII-shaped strings are stitched in from doc_id
+    // (identically in the oracle); the operator under test is the
+    // RE2-compatible redact/count expression chain.
+    "q_pii_redact" -> ((s, dir) => {
+      val t = concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 or 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" "), substring(col("text"), 1, 40))
+      val c = Cleanse.piiCounts(col("__t"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("__t"))
+        .select(col("doc_id"), Cleanse.redactPii(col("__t")).as("redacted"),
+          c.getField("n_email").cast("long").as("n_email"),
+          c.getField("n_ssn").cast("long").as("n_ssn"),
+          c.getField("n_ip").cast("long").as("n_ip"),
+          c.getField("n_phone").cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
+
+    // URL normalization -> registered domain + blocklist anti-join, grouped
+    // domain histogram. URLs are synthesized deterministically from
+    // doc_id/source (twin construction in the oracle).
+    "q_url_domain" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("cdn"), (col("doc_id") % 7).cast("string"), lit("."),
+        col("source"), lit(".org/path/"), col("doc_id").cast("string"))
+      val urls = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      Cleanse.filterByDomainBlocklist(urls, "url", Seq("src0.org", "src1.org"))
+        .groupBy(Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("domain")
+    }),
+
+
+    // URL canonicalization over deterministically tracking-decorated URLs
+    "q_url_canon" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        col("source"), lit(".org"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&id="), (col("doc_id") % 11).cast("string"),
+        lit("&fbclid=xyz"),
+        when(col("doc_id") % 4 === 0, "#frag").otherwise(""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Cleanse.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Concat-and-chunk sequence packing (seqLen=512, n_chars as the token
+    // count): every (doc, training-sequence) assignment with token spans.
+    "q_pack" -> ((s, dir) => {
+      Packing.packSequences(Tables.documents(s, dir), "doc_id", "n_chars", seqLen = 512)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
+
+    // Token-count chunking (40-token windows, 8-token overlap)
+    "q_chunk_tokens" -> ((s, dir) => {
+      Chunking.chunkRowsByTokens(Tables.documents(s, dir), "text", "doc_id",
+          size = 40, overlap = 8)
+        .select(col("id").as("doc_id"), col("tok_start").cast("long").as("tok_start"),
+          col("chunk"), col("n_toks").cast("long").as("n_toks"))
+        .orderBy("doc_id", "tok_start")
+    }),
+
+
+    // deflate compression-ratio quality signal — rows-only (no SQL codec)
+    // Compression-ratio claims (r7, formerly rows-only): deflate isn't
+    // SQL, but its contract is — the ratio is positive, and a 5x
+    // self-repetition (inside deflate's 32KB window) MUST compress
+    // strictly better than the original for non-trivial docs.
+    "q_compress_ratio" -> ((s, dir) => {
+      val r1 = TextAnalysis.compressionRatio(col("text"))
+      val r5 = TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text"), col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (r1 > 0).as("ratio_pos"),
+          when(col("n_chars") >= 50, r5 < r1).otherwise(lit(true))
+            .as("repeat_compresses"))
+        .orderBy("doc_id")
+    }),
+
+
+    // HTML -> text extraction + control-char cleanup over deterministic
+    // synthesized markup (script/style blocks, tags, entities, a BEL byte).
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>x{color:red}</style></head><body><h1>"),
+        substring(col("text"), 1, 30),
+        lit("</h1><p class=\"a\">"), substring(col("text"), 31, 60),
+        lit(" &amp; more</p><script>var x=1;</script>\u0007</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("__h"))
+        .select(col("doc_id"),
+          Cleanse.stripHtml(Cleanse.stripControlChars(col("__h"))).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Secret/credential scrub (r7): plant an AWS-style key, an assign-style
+    // token, and a 32-hex blob into every doc_id % 7 == 0 document
+    // (md5-derived, so both engines synthesize identical bytes), then
+    // count per-category patterns and measure the redacted length. All
+    // patterns are RE2-safe — the same regexes run verbatim in DuckDB.
+    "q_secret_scan" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" AKIA"),
+            upper(substring(md5(idStr), 1, 16)),
+            lit(" token="), substring(md5(concat(lit("s:"), idStr)), 1, 12),
+            lit(" "), md5(idStr)))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          Cleanse.secretCounts(col("text2")).as("sc"),
+          length(Cleanse.redactSecrets(col("text2"))).cast("long")
+            .as("redacted_len"))
+        .select(col("doc_id"), col("sc.n_awskey").cast("long").as("n_awskey"),
+          col("sc.n_pem").cast("long").as("n_pem"),
+          col("sc.n_hex32").cast("long").as("n_hex32"),
+          col("sc.n_b64tok").cast("long").as("n_b64tok"),
+          col("sc.n_assign").cast("long").as("n_assign"),
+          col("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Empirical-Bayes shrunk per-source quality prior (score = n_chars,
+    // k = 20 pseudo-observations). Integer sums -> identical doubles in
+    // any engine; quotients ppm-quantized.
+    "q_domain_prior" -> ((s, dir) => {
+      TextAnalysis.shrunkGroupMeans(Tables.documents(s, dir), "source",
+          "n_chars", k = 20.0)
+        .select(col("group").as("source"), col("n"),
+          floor(col("mean_raw") * 1e6 + 0.5).as("mean_raw_ppm"),
+          floor(col("mean_shrunk") * 1e6 + 0.5).as("mean_shrunk_ppm"))
+        .orderBy("source")
+    }),
+
+
+    // Anchor-link extraction from synthesized per-doc HTML (href + anchor
+    // text + registered domain) — the crawl step feeding the link graph.
+    "q_link_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org/page?id="),
+        col("doc_id").cast("string"),
+        lit("&utm_source=feed\">read <b>more</b> now</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a class=\"x\" href=\"https://hub.org/\">Hub</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      Cleanse.linkTable(d.withColumn("html", html), "doc_id", "html")
+        .select(col("id").as("doc_id"), col("link_pos"), col("url"),
+          col("anchor"),
+          Cleanse.registeredDomain(Cleanse.urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+
+    // Declarative curation pipeline from a JSON config: fold spoofed
+    // copies (ids +10000) back onto their originals, length-filter,
+    // exact-dedup — the oracle replays the same stage order in SQL.
+    "q_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
+      graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
+        """[{"op": "fold_homoglyphs"},
+          |{"op": "min_chars", "n": "50"},
+          |{"op": "dedup_exact"}]""".stripMargin)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+
+    // END-TO-END curation capstone (r7, VERDICT ask #8b): the Dolma-style
+    // chain a corpus team actually runs, composed from individually-gated
+    // stages into ONE oracle-checked dataflow — homoglyph-spoofed raw docs
+    // -> CurationPipeline [fold_homoglyphs, min_chars, dedup_exact] (the
+    // config-as-data front door) -> sentence-aligned chunking (25-token
+    // budget) -> fixed-length sequence packing (64). The oracle replays
+    // every stage in SQL (the q_pipeline + q_sentence_chunks + q_pack
+    // CTEs composed), so content AND offsets hash-match end to end.
+    "q_e2e_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " (table|key|value) ", ". ").as("text"))
+      val spoofed = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("​"), translate(col("text"), "aeo", "аео")).as("text"))
+      val curated = graft.pipeline.CurationPipeline.runJson(d.union(spoofed),
+        """[{"op": "fold_homoglyphs"},
+          |{"op": "min_chars", "n": "50"},
+          |{"op": "dedup_exact"}]""".stripMargin)
+      val chunks = Chunking.chunkRowsBySentences(curated, "text", "doc_id",
+          budgetTokens = 25)
+        .filter(col("n_tokens") > 0)
+        .select((col("id") * 1000 + col("chunk_id")).as("pack_key"),
+          col("n_tokens"))
+      Packing.packSequences(chunks, "pack_key", "n_tokens", seqLen = 64)
+        .select((col("id") / 1000).cast("long").as("doc_id"),
+          pmod(col("id"), lit(1000)).cast("long").as("chunk_id"),
+          col("seq_id"), col("doc_tok_start"), col("doc_tok_end"),
+          col("seq_tok_start"))
+        .orderBy("doc_id", "chunk_id", "seq_id")
+    }),
+
+
+    // Chat-template flattening + loss-mask offsets over synthesized
+    // message JSON (doc tokens segmented into turns; every 3rd doc ends
+    // on an assistant turn). Parse goes through from_json in Spark and
+    // DuckDB's JSON functions in the oracle — structure, counts, and
+    // span offsets are all exact.
+    "q_chat_flatten" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      def seg(a: Int) = array_join(slice(toks, a, 6), " ")
+      val msgs = concat(
+        lit("[{\"role\":\"user\",\"content\":\""), seg(1),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(7),
+        lit("\"},{\"role\":\"user\",\"content\":\""), seg(13),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\"},{\"role\":\"assistant\",\"content\":\""), seg(19)))
+          .otherwise(lit("")),
+        lit("\"}]"))
+      Conversations.chatFlatten(
+          Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+        .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_turns"), col("n_user"), col("n_assistant"),
+          col("response_start").cast("long").as("response_start"),
+          col("response_chars").cast("long").as("response_chars"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Markdown stripping over deterministically synthesized markdown
+    // wrapping; same RE2 chain in the oracle.
+    "q_markdown" -> ((s, dir) => {
+      val md = concat(
+        lit("# Title\n\n**bold** and *emph* text\n\n```\ncode block\n```\n" +
+          "- item one\n- item two\n\n[link text](http://x.org) " +
+          "![alt](img.png)\n\n> quote line\n\n| a | b |\n\n"),
+        col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(TextAnalysis.stripMarkdown(md)).as("clean_md5"),
+          length(TextAnalysis.stripMarkdown(md)).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Content-defined chunking: md5-boundary tokens close chunks (16
+    // tokens expected), chunk fingerprints exact in both engines.
+    "q_cdc_chunks" -> ((s, dir) => {
+      Chunking.cdcChunks(Tables.documents(s, dir), "text", "doc_id",
+          boundaryNibbles = 1)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          md5(col("chunk")).as("chunk_md5"), col("n_toks"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+
+    // robots.txt crawl permissions: literal bodies parse through
+    // robotsRules, synthesized URLs check through robotsAllowed; the
+    // oracle applies the same precedence to the known parsed rule table
+    // (parse correctness is part of the hash — a wrong parse changes
+    // every verdict).
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("site0.org", "User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/ok\n\nUser-agent: gptbot\nDisallow: /"),
+        ("site1.org", "User-agent: ccbot\nDisallow: /data/\n" +
+          "Allow: /data/public/")
+      ).toDF("host", "robots")
+      val rules = Cleanse.robotsRules(robots, "host", "robots")
+      val urls = Tables.documents(s, dir).select(
+        concat(lit("https://site"), (col("doc_id") % 3).cast("string"),
+          lit(".org"),
+          element_at(array(lit("/private/x"), lit("/private/ok/page"),
+            lit("/data/x"), lit("/data/public/y"), lit("/open/z")),
+            (col("doc_id") % 5 + 1).cast("int")),
+          lit("?id="), col("doc_id").cast("string")).as("url"))
+      Cleanse.robotsAllowed(urls, "url", rules, "ccbot")
+        .orderBy("url")
+    }),
+
+
+    // Sentence-aligned budget chunking (sentence boundaries synthesized —
+    // the corpus text has no punctuation): cumulative-token assignment,
+    // chunks rebuilt ". "-joined, all counts exact ints.
+    "q_sentence_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2",
+          regexp_replace(col("text"), " (table|key|value) ", ". "))
+      Chunking.chunkRowsBySentences(d, "t2", "doc_id", budgetTokens = 25)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
+          col("n_sentences"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+
+    // Conversation-grain dedup: odd docs carry the SAME logical dialogue
+    // as their even buddy, uppercased with doubled spaces — the
+    // normalized fingerprint folds both to one md5; unparseable JSON
+    // (doc_id % 97) gets a null fingerprint and never dedups. The oracle
+    // formulates the fingerprint independently from the construction.
+    "q_conv_dedup" -> ((s, dir) => {
+      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val cu = concat(lit("question number "), base)
+      val ca = concat(lit("answer text "), pmod(base * 7, lit(1000)))
+      def spoof(c: Column) =
+        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
+          .otherwise(c)
+      val msgs = when(col("doc_id") % 97 === 0, lit("not json")).otherwise(
+        concat(lit("[{\"role\":\"user\",\"content\":\""), spoof(cu),
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(ca),
+          lit("\"}]")))
+      val fp = Conversations.withConversationFingerprint(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "msgs")
+      val firsts = fp.filter(col("conv_fp").isNotNull)
+        .groupBy("conv_fp").agg(min(col("doc_id")).as("__first"))
+      fp.join(firsts, Seq("conv_fp"), "left")
+        .select(col("doc_id"), col("conv_fp"),
+          coalesce(col("doc_id") =!= col("__first"), lit(false))
+            .as("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
+
+    // SFT packing with loss-mask spans: chatFlatten -> whitespace token
+    // counts -> packSequences -> response-span intersection, all through
+    // the real text pipeline. The synthesis (a user words, b assistant
+    // words) makes the oracle's token counts CLOSED-FORM (n_tok = a+b+2,
+    // response tokens [a+2, a+b+2)) — the oracle never tokenizes, so it
+    // independently checks the whole char->token->sequence chain.
+    "q_sft_pack" -> ((s, dir) => {
+      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
+      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), words(b),
+        lit("\"}]"))
+      val flat = Conversations.chatFlatten(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+      Conversations.lossMaskedPack(flat, seqLen = 32)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
+          col("resp_tok_start"), col("resp_tok_end"),
+          col("mask_start"), col("mask_end"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
+
+    // Refusal-pattern scan over the trainable span: every 3rd doc's
+    // assistant responds with a canned refusal, every 10th doc has no
+    // assistant turn at all (null flag). The oracle knows the answer in
+    // closed form; the engine extracts the real substring and matches
+    // the real pattern list.
+    "q_refusal_scan" -> ((s, dir) => {
+      val a = (lit(3) + pmod(col("doc_id"), lit(7))).cast("int")
+      val b = (lit(2) + pmod(col("doc_id"), lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val asst = when(col("doc_id") % 3 === 0,
+        lit("I CANNOT help with that request"))
+        .otherwise(concat(lit("sure here is "), words(b)))
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""), words(a),
+        when(col("doc_id") % 10 === 0, lit(""))
+          .otherwise(concat(lit("\"},{\"role\":\"assistant\",\"content\":\""),
+            asst)),
+        lit("\"}]"))
+      val flat = Conversations.chatFlatten(
+        Tables.documents(s, dir).withColumn("msgs", msgs), "doc_id", "msgs")
+      Conversations.withRefusalFlag(flat,
+          Seq("i cannot", "i'm sorry", "as an AI"))
+        .select(col("id").as("doc_id"), col("is_refusal"),
+          col("response_words"))
+        .orderBy("doc_id")
+    }),
+
+
+    // DPO preference-pair audit: every 7th pair is chosen==rejected
+    // after normalization (planted degenerate pairs), word counts give
+    // the length-bias rate in closed form.
+    "q_dpo_audit" -> ((s, dir) => {
+      def words(t: String, n: Column) =
+        array_join(array_repeat(lit(t), n.cast("int")), " ")
+      val cw = lit(3) + pmod(col("doc_id"), lit(5))
+      val rw = lit(2) + pmod(col("doc_id"), lit(9))
+      // distinct word tokens per side: only the PLANTED pairs may
+      // normalize equal (a same-count "w w w" pair would too)
+      val pairs = Tables.documents(s, dir).select(col("doc_id"),
+        words("w", cw).as("chosen"),
+        when(col("doc_id") % 7 === 0,
+          upper(regexp_replace(words("w", cw), " ", "  ")))
+          .otherwise(words("v", rw)).as("rejected"))
+      Preference.pairAudit(Preference.pairFlags(pairs, "chosen", "rejected"))
+    }),
+
+    // SFT-corpus capstone: conversation JSON through the DECLARATIVE
+    // pipeline (conversation dedup folds each odd spoofed twin into its
+    // even buddy; refusal filter drops every base%3==0 dialogue), then
+    // chatFlatten -> loss-masked packing. The oracle knows the surviving
+    // set and every token count in closed form — it independently checks
+    // the composed dedup -> filter -> flatten -> pack chain end to end.
+    "q_sft_pipeline" -> ((s, dir) => {
+      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val a = (lit(3) + pmod(base, lit(7))).cast("int")
+      val b = (lit(2) + pmod(base, lit(11))).cast("int")
+      def words(n: Column) = array_join(array_repeat(lit("w"), n), " ")
+      val asst = when(base % 3 === 0, lit("I cannot help with that"))
+        .otherwise(concat(lit("sure here is "), words(b)))
+      def spoof(c: Column) =
+        when(col("doc_id") % 2 === 1, upper(regexp_replace(c, " ", "  ")))
+          .otherwise(c)
+      // "q<base>" makes every base's dialogue unique: without it, bases
+      // 154 apart share (a, b) and the conversation dedup CORRECTLY
+      // collapses them cross-base (first oracle draft missed that)
+      val msgs = concat(lit("[{\"role\":\"user\",\"content\":\""),
+        spoof(concat(lit("q"), base, lit(" "), words(a))),
+        lit("\"},{\"role\":\"assistant\",\"content\":\""), spoof(asst),
+        lit("\"}]"))
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"), msgs.as("text"))
+      val curated = graft.pipeline.CurationPipeline.runJson(corpus,
+        """[{"op": "dedup_conversations"},
+          |{"op": "drop_refusals", "patterns": "i cannot,i'm sorry"}]"""
+          .stripMargin)
+      val flat = Conversations.chatFlatten(curated, "doc_id", "text")
+      Conversations.lossMaskedPack(flat, seqLen = 32)
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("doc_tok_end"), col("seq_tok_start"), col("n_tok"),
+          col("mask_start"), col("mask_end"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
+
+    // jusText-lite content extraction (Cleanse.contentExtract):
+    // paragraph-grain link/stopword/length densities over synthesized
+    // page structure (nav + body + optional related-links + footer).
+    // Densities are single IEEE divisions — engine-exact without any
+    // rounding rule.
+    "q_content_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = concat_ws("\n\n",
+        lit("<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a>"),
+        concat(lit("<p>"), substring(col("text"), 1, 400), lit("</p>")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("see also <a href=\"/d/"),
+            (col("doc_id") % 97).cast("string"),
+            lit("\">related topic link text here</a>")))
+          .otherwise(lit("short note")),
+        lit("<a href=\"/terms\">terms of service</a>"))
+      Cleanse.contentExtract(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html",
+          stopwords = Seq("the", "a", "data", "value", "query", "table",
+            "join", "scan", "order", "key"))
+        .orderBy("id", "para_idx")
+    }),
+
+
+    // Blocked span corruption (Chunking.spanCorrupt): the T5 denoising
+    // pair generator with md5-PRF span placement — deterministic,
+    // shuffle-free, engine-exact (the oracle replays the same block
+    // arithmetic in DuckDB list comprehensions).
+    "q_span_corrupt" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Chunking.spanCorrupt(d, "doc_id", "text", blockSize = 20, seed = 7L)
+        .orderBy("id")
+    }),
+
+
+    // Skip-gram training pairs (Packing.skipGramPairs) over the replayed
+    // walk corpus: every (center, context) pair at step distance 1..2,
+    // both directions, signed offset. The oracle self-joins its replayed
+    // walks (fine at gate scale); the OPERATOR is the scale path — one
+    // sequence-grain groupBy + row-local nested transforms, no self-join.
+    "q_skipgram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val walks = graft.operators.LinkGraph
+        .randomWalks(communityEdges(ev), "src", "dst",
+          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
+      graft.operators.Packing
+        .skipGramPairs(walks, Seq("origin", "walk"), "step", "node",
+          window = 2)
+        .orderBy("origin", "walk", "center", "context", "offset")
+    }),
+
+
+    // Isotonic (PAV) calibration over a planted miscalibrated scorer:
+    // score = md5 bucket / 10^4, label drawn by a second PRF with
+    // P = floor(s_int^2/10^4)/10^4 (all integer compares — the label set
+    // is engine-reproducible). Claims gate (the PAV merge sequence is
+    // not SQL-replayable): probs monotone, positive mass preserved
+    // exactly, calibrated MSE <= raw MSE.
+    // Luhn-validated card scan (Cleanse.cardCandidates): candidate
+    // digit runs synthesized from doc_id squares; the oracle replays the
+    // extraction regex AND the mod-10 checksum as a list comprehension —
+    // pure integer arithmetic, full verdict parity.
+    "q_card_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val txt = concat(lit("pay "),
+        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
+          .cast("string"), 16, "0"), lit(" ok"))
+      graft.operators.Cleanse
+        .cardCandidates(d.select(col("doc_id"), txt.as("t")), "doc_id", "t")
+        .orderBy("id", "raw")
+    }),
+
+
+    // PII-scrub pipeline composition: redact_pii -> redact_cards (the
+    // Luhn-gated stage) -> min_chars as ONE declarative JSON config; the
+    // oracle chains the same regex replacements, replays the Luhn
+    // verdicts, folds the valid-span replacements with list_reduce, and
+    // applies the same length filter.
+    "q_pii_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val txt = concat(lit("contact user"), col("doc_id"),
+        lit("@mail.example.org pay "),
+        lpad(((col("doc_id") * col("doc_id")) % 10000000000000000L)
+          .cast("string"), 16, "0"),
+        lit(" ref "), col("doc_id"), lit(" "),
+        expr("repeat('x', CAST(doc_id % 40 AS INT))"))
+      graft.pipeline.CurationPipeline.runJson(
+        d.select(col("doc_id"), txt.as("text")),
+        """[{"op": "redact_pii"},
+          |{"op": "redact_cards"},
+          |{"op": "min_chars", "n": "60"}]""".stripMargin)
+        .orderBy("doc_id")
+    }),
+
+
+    // ABA routing-number checksum (Cleanse.abaRoutingValid): 3-7-1
+    // weighted mod-10 + Federal-Reserve prefix ranges over synthesized
+    // 9-digit runs — plain integer arithmetic on both sides, full
+    // verdict parity.
+    "q_aba_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aba = lpad(((col("doc_id") * 1009L) % 1000000000L)
+        .cast("string"), 9, "0")
+      d.select(col("doc_id").as("id"), aba.as("aba"))
+        .withColumn("valid",
+          graft.operators.Cleanse.abaRoutingValid(col("aba")))
+        .orderBy("id")
+    }),
+
+
+    // IBAN mod-97 validation (Cleanse.ibanValid) over synthesized
+    // account strings (1-in-97 planted pass rate): shape regex + the
+    // incremental-mod fold, replayed in the oracle with list_reduce —
+    // full verdict parity, pure integer arithmetic.
+    "q_iban_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val iban = concat(lit("DE"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("BANK"),
+        lpad(((col("doc_id") * 7919L) % 10000000000L).cast("string"),
+          10, "0"))
+      d.select(col("doc_id").as("id"), iban.as("iban"))
+        .withColumn("valid", graft.operators.Cleanse.ibanValid(col("iban")))
+        .orderBy("id")
+    }),
+
+  )
+}

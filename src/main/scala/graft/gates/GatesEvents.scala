@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — event analytics: sessions, funnels, temporal/spatial joins.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesEvents.
+  */
+private[graft] object GatesEvents {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 2.4 resampling (aep.py:450 etc.) ----------------------------------
+    // bucketized interval join: events inside daily 02:00-06:00 windows —
+    // an EQUI join on hour buckets + containment filter, never a
+    // BroadcastNestedLoop (PlanAuditSpec pins it)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ranges = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select(col("day"),
+          (col("day") + expr("INTERVAL 2 HOURS")).as("win_start"),
+          (col("day") + expr("INTERVAL 6 HOURS")).as("win_end"))
+      Timeseries.intervalJoin(ev, "ts", ranges, "win_start", "win_end",
+          bucketSeconds = 3600L)
+        .groupBy(unix_timestamp(col("day")).as("day_epoch"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day_epoch")
+    }),
+
+
+    // sequenced conversion funnel (view -> click -> purchase, first-touch)
+    "q_funnel" -> ((s, dir) => {
+      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
+
+    // day-cohort retention matrix
+    "q_cohort" -> ((s, dir) => {
+      EventAnalytics.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+          bucket = "day")
+        .select(unix_timestamp(col("cohort")).as("cohort_epoch"),
+          col("offset"), col("n_active"))
+        .orderBy("cohort_epoch", "offset")
+    }),
+
+
+    // first-order Markov transition matrix over per-user event sequences
+    "q_transitions" -> ((s, dir) => {
+      EventAnalytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+          "event_type", tieCols = Seq("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
+
+    // ---- event-stream operators --------------------------------------------
+    "q_sessionize" -> ((s, dir) => {
+      val sess = Sessionize.withSessionId(Tables.events(s, dir),
+        Seq("user_id"), "ts", gapSeconds = 1800,
+        tieBreakCols = Seq("event_id"))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("value_sum"),
+          (epochS(max(col("ts"))) - epochS(min(col("ts")))).as("span_seconds"))
+        .orderBy("user_id", "session_id")
+    }),
+
+
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+          payloadCols = Seq("value"), prefix = "prior_click_")
+        .select(col("event_id"), col("user_id"), col("prior_click_value"))
+        .orderBy("event_id")
+    }),
+
+
+    // Grid-cell radius self-join (Spatial.radiusJoinPlanar): points
+    // hash-derived from events onto a 1e6 x 1e6 integer plane, r=1500.
+    // The pair generator is a banded equi-join on (cx, cy) with a 9-way
+    // explode probe side — never a cross join — and the distance math is
+    // exact long arithmetic end to end, so the gate is engine-portable
+    // with no rounding rule at all.
+    "q_radius_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id").as("pid"),
+        pmod(col("event_id") * 2654435761L, lit(1000000L)).as("x"),
+        pmod(col("event_id") * 1779033703L + col("user_id") * 2246822519L,
+          lit(1000000L)).as("y"))
+      Spatial.radiusJoinPlanar(pts, "pid", "x", "y", radius = 1500L)
+        .orderBy("id_a", "id_b")
+    }),
+
+  )
+}

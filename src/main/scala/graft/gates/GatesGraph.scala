@@ -1,0 +1,334 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — link graphs, communities, walks, linkage/entity resolution.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesGraph.
+  */
+private[graft] object GatesGraph {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // host-graph PageRank over deterministically synthesized link edges
+    // (source sites -> their cdn hosts -> a shared hub). Oracle-gated via
+    // per-node BOOLEAN CLAIMS (r7, formerly rows-only): rounded rank
+    // values are shuffle-order-ulp unstable, but (a) every rank >= the
+    // teleport floor (1-d)/N by the update rule, (b) hub.org is the argmax
+    // (margin 0.41 vs #2 = 0.004, measured sf0.01/0.1), (c) mass sums to 1
+    // within 1e-9. DuckDB reproduces the node list + expected booleans
+    // from the same edge construction; LinkGraphSpec still pins exact
+    // small-graph values and driver==distributed parity.
+    "q_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      val ranks = LinkGraph.pageRank(edges, "src", "dst", iters = 10)
+      val tot = ranks.agg(count(lit(1)).cast("double").as("__n"),
+        max(col("rank")).as("__max"), sum(col("rank")).as("__sum"))
+      ranks.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("rank") >= lit(0.15) / col("__n") * 0.999999).as("above_floor"),
+          (col("rank") === col("__max")).as("is_top"),
+          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
+        .orderBy("node")
+    }),
+
+
+    // seeded (TrustRank-style) PageRank over the same host graph: teleport
+    // mass returns to two trusted source hosts. Claims gate (r7): a node
+    // UNREACHABLE from the seeds has rank EXACTLY 0.0 (teleport share 0,
+    // in-mass 0 — every term is a 0.0 product), a reachable one has rank
+    // >= 0.027 (measured min, sf0.01/0.1) — threshold 1e-9 splits them
+    // with 7 orders of margin; DuckDB computes reachability from the same
+    // edge rule (seeds -> their cdns -> hub).
+    "q_trustrank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      val ranks = LinkGraph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("src0.org", "src1.org"), iters = 10)
+      val tot = ranks.agg(sum(col("rank")).as("__sum"))
+      ranks.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("rank") > 1e-9).as("trust_pos"),
+          (abs(col("__sum") - 1.0) < 1e-9).as("sum_ok"))
+        .orderBy("node")
+    }),
+
+
+    // Entity co-occurrence edges over the same planted spans as
+    // q_entities — the input LinkGraph centrality runs on.
+    "q_entity_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
+        lit("San Francisco Bay"), lit("Acme Corp"))
+      val t2 = concat(col("text"), lit(" "),
+        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" visited "),
+        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
+        lit(" yesterday."))
+      TextAnalysis.entityPairs(d.withColumn("t2", t2), "doc_id", "t2",
+          minPairDocs = 2L)
+        .orderBy("entity_a", "entity_b")
+    }),
+
+
+    // HITS hubs & authorities on the synthetic host graph — rows-only
+    // (L1-normalized float iterations, like q_pagerank); LinkGraphSpec
+    // pins star-graph closed forms + driver==distributed parity.
+    "q_hits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcHost = concat(col("source"), lit(".org"))
+      val cdnHost = concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".org"))
+      val edges = d.select(srcHost.as("src"), cdnHost.as("dst"))
+        .union(d.filter(col("doc_id") % 3 === 0)
+          .select(cdnHost.as("src"), lit("hub.org").as("dst")))
+      // Claims gate (r7, formerly rows-only): with all-positive init,
+      // authority > 0 IFF the node has an in-edge and hub > 0 IFF it has
+      // an out-edge (positivity propagates through every iteration; the
+      // scores of edge-less roles are exact 0.0 sums). Min positive score
+      // measured 1.1e-6 (sf0.01/0.1) vs exact zero -> 1e-9 threshold.
+      // DuckDB derives has_in/has_out per node from the edge rule.
+      LinkGraph.hits(edges, "src", "dst", iters = 10)
+        .select(col("node"), (col("authority") > 1e-9).as("auth_pos"),
+          (col("hub") > 1e-9).as("hub_pos"))
+        .orderBy("node")
+    }),
+
+
+    // Proto-entity extraction over deterministically synthesized
+    // capitalized spans (corpus text is lowercase, so only the planted
+    // entities match): per-entity document counts.
+    "q_entities" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val names = array(lit("John Smith"), lit("New York"), lit("Mary Jones"),
+        lit("San Francisco Bay"), lit("Acme Corp"))
+      val t2 = concat(col("text"), lit(" "),
+        element_at(names, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" visited "),
+        element_at(names, (col("doc_id") % 3 + 1).cast("int")),
+        lit(" yesterday."))
+      TextAnalysis.entityTable(d.withColumn("t2", t2), "doc_id", "t2")
+        .groupBy("entity").agg(count(lit(1)).as("n_docs"))
+        .orderBy("entity")
+    }),
+
+
+    // Per-node triangles in the same synthetic candidate graph q_cc_dedup
+    // clusters — cliques (safe to collapse) vs chains (hub accidents).
+    "q_triangles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.as("a")
+        .join(docs.as("b"),
+          col("a.source") === col("b.source") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.triangleCounts(pairs)
+        .select(col("id").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Fellegi–Sunter record linkage over nation-blocked customer pairs:
+    // the weight is a fixed-association sum of driver-planted literal
+    // log2 ratios (the oracle embeds the SAME literals via
+    // Linkage.sqlLiteral), so weights and decisions are bit-exact.
+    "q_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
+        col("c_nationkey").as(s"${p}_nat"),
+        col("c_mktsegment").as(s"${p}_seg"),
+        col("c_acctbal").as(s"${p}_bal"),
+        substring(col("c_name"), -1, 1).as(s"${p}_d"))
+      val pairs = side("a").join(side("b"),
+          col("a_nat") === col("b_nat") &&
+            col("b_key") > col("a_key") &&
+            col("b_key") <= col("a_key") + 20)
+        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
+          (col("a_seg") === col("b_seg")).as("seg_agree"),
+          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
+          (col("a_d") === col("b_d")).as("name_agree"))
+      Linkage.fellegiSunterScore(pairs, Seq(
+          Linkage.LinkField("seg_agree", 0.9, 0.25),
+          Linkage.LinkField("bal_agree", 0.85, 0.05),
+          Linkage.LinkField("name_agree", 0.95, 0.1)),
+          upper = 4.0, lower = -2.0)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // Entity resolution end-to-end: the q_linkage scored pairs above the
+    // 'match' threshold, connected, every customer labeled with its
+    // entity id (min reachable id; unmatched customers resolve to
+    // themselves). The oracle recomputes the same weights from identical
+    // literals and takes the transitive closure with a recursive CTE.
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def side(p: String) = c.select(col("c_custkey").as(s"${p}_key"),
+        col("c_nationkey").as(s"${p}_nat"),
+        col("c_mktsegment").as(s"${p}_seg"),
+        col("c_acctbal").as(s"${p}_bal"),
+        substring(col("c_name"), -1, 1).as(s"${p}_d"))
+      val pairs = side("a").join(side("b"),
+          col("a_nat") === col("b_nat") &&
+            col("b_key") > col("a_key") &&
+            col("b_key") <= col("a_key") + 20)
+        .select(col("a_key").as("id_a"), col("b_key").as("id_b"),
+          (col("a_seg") === col("b_seg")).as("seg_agree"),
+          (abs(col("a_bal") - col("b_bal")) < 500.0).as("bal_agree"),
+          (col("a_d") === col("b_d")).as("name_agree"))
+      val scored = Linkage.fellegiSunterScore(pairs, Seq(
+        Linkage.LinkField("seg_agree", 0.9, 0.25),
+        Linkage.LinkField("bal_agree", 0.85, 0.05),
+        Linkage.LinkField("name_agree", 0.95, 0.1)),
+        upper = 4.0, lower = -2.0)
+      Linkage.resolveEntities(c.select(col("c_custkey")), "c_custkey",
+          scored, threshold = 4.0)
+        .select(col("c_custkey"), col("entity_id").cast("long").as("entity_id"))
+        .orderBy("c_custkey")
+    }),
+
+
+    // k-core of a bipartite-ish interaction graph derived from events
+    // (LinkGraph.kCore): synchronous peeling to the unique fixpoint; the
+    // oracle replays the same rounds as 30 chained CTEs in DuckDB. Pure
+    // integer/string arithmetic — no rounding rule needed.
+    "q_kcore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = ev.select(
+        pmod(col("user_id") * 13L, lit(500L)).as("src"),
+        (lit(1000L) + pmod(col("event_id") * 2654435761L, lit(500L))).as("dst"))
+      LinkGraph.kCore(edges, "src", "dst", k = 19)
+        .orderBy("node")
+    }),
+
+
+    // Label propagation communities (LinkGraph.labelPropagation) over a
+    // planted clique graph with data-derived noise edges: 100 cliques of
+    // 6 (nodes 0..599, intra edges from each event row) + md5-free
+    // arithmetic noise edges on every 97th event. The synchronous
+    // closed-neighborhood max-frequency/max-label update is a pure
+    // function of the previous round, so the DuckDB oracle replays the
+    // SAME 8 rounds as MATERIALIZED CTEs (the q_kcore pattern) — full
+    // label parity, not claims.
+    "q_communities" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      graft.operators.LinkGraph
+        .labelPropagation(edges, "src", "dst", maxIters = 8)
+        .orderBy("node")
+    }),
+
+
+    // Newman modularity decomposition of the q_communities partition
+    // (LinkGraph.modularity): per-community size / intra-edge / degree
+    // longs plus the exact integer numerator q_scaled_term = 4*m*e_c -
+    // d_c^2 (Q = sum/4m^2) — all-long arithmetic, engine-exact in any
+    // accumulation order (a double Q would be the lesson-5 parallel-sum
+    // trap).
+    "q_modularity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      val labels = graft.operators.LinkGraph
+        .labelPropagation(edges, "src", "dst", maxIters = 8)
+      graft.operators.LinkGraph
+        .modularity(edges, "src", "dst", labels)
+        .orderBy("community")
+    }),
+
+
+    // DeepWalk-style random-walk corpus (LinkGraph.randomWalks) over the
+    // same planted community graph: every step is an md5 PRF of (origin,
+    // walk, step, seed) indexing the node's sorted, degree-capped
+    // neighbor list, so the DuckDB oracle replays the walks bit-exactly
+    // as fixed-round CTEs.
+    "q_random_walks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .randomWalks(communityEdges(ev), "src", "dst",
+          walkLen = 6, walksPerNode = 2, maxDegree = 8, seed = 7L)
+        .orderBy("origin", "walk", "step")
+    }),
+
+
+    // Min hop distance from a trusted seed set (LinkGraph.seedDistance)
+    // over the planted community graph: fixed maxHops rounds of
+    // synchronous min-relaxation, replayed round for round by the oracle;
+    // nodes unreached within the cap report null.
+    "q_seed_distance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .seedDistance(communityEdges(ev), "src", "dst",
+          seeds = Seq(0L, 301L), maxHops = 4)
+        .orderBy("node")
+    }),
+
+
+    // Common-neighbor link prediction (LinkGraph.commonNeighborScores):
+    // shared-neighbor counts + the exact-integer Resource Allocation
+    // index (ra_scaled = sum of 2^24 div deg over common neighbors — no
+    // libm in the gate; the AA double stays an operator-only column) and
+    // the is_edge flag separating re-scored links from predictions.
+    "q_link_predict" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.LinkGraph
+        .commonNeighborScores(communityEdges(ev), "src", "dst",
+          maxDegree = 16)
+        .select("a", "b", "common_neighbors", "ra_scaled", "is_edge")
+        .orderBy("a", "b")
+    }),
+
+
+    // Graph-feature capstone: the host quality-feature table a crawl
+    // pipeline joins onto documents — degree, LPA community, hop
+    // distance from trusted seeds, k-core membership — all four signals
+    // over ONE shared graph, composed from individually-gated operators.
+    // The oracle replays every stage (LPA rounds + BFS rounds + peeling
+    // rounds + degree) and joins them, so the gate also verifies the
+    // operators agree on the node universe.
+    "q_graph_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = communityEdges(ev)
+      val lg = graft.operators.LinkGraph
+      val sym = {
+        val d = edges.select(col("src").as("s"), col("dst").as("d"))
+          .filter(col("s").isNotNull && col("d").isNotNull &&
+            col("s") =!= col("d"))
+        d.union(d.select(col("d").as("s"), col("s").as("d"))).distinct()
+      }
+      val deg = sym.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val comm = lg.labelPropagation(edges, "src", "dst", maxIters = 8)
+      val dist = lg.seedDistance(edges, "src", "dst",
+        seeds = Seq(0L, 301L), maxHops = 4)
+      val core = lg.kCore(edges, "src", "dst", k = 5)
+        .select(col("node").cast("long").as("node"),
+          col("degree").as("core_degree"))
+      deg.join(comm, Seq("node"))
+        .join(dist, Seq("node"))
+        .join(core, Seq("node"), "left")
+        .select(col("node"), col("degree"), col("community"),
+          col("distance"), col("core_degree").isNotNull.as("in_core"),
+          col("core_degree"))
+        .orderBy("node")
+    }),
+
+  )
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — sampling, splits, mixtures, resampling, backtests.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesSampling.
+  */
+private[graft] object GatesSampling {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // deterministic per-stratum sampling (training-mix rebalance):
+    // md5-bucket survival, row-local, portable across engines
+    "q_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+
+    // token-proportional weighted sampling: keep probability ~ token
+    // count, expected total calibrated to 30% — integer weights so the
+    // calibration sum is engine-exact
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(docs, "doc_id", "w", targetFrac = 0.3)
+        .select(col("doc_id"), col("w"))
+        .orderBy("doc_id")
+    }),
+
+
+    // exactly-k-per-stratum deterministic sample: bounded top-k-by-md5
+    // aggregate (no per-stratum window sort)
+    "q_topk_stratum" -> ((s, dir) => {
+      Sampling.topKPerStratum(Tables.documents(s, dir), "lang", "doc_id", k = 7)
+        .select(col("stratum"), col("id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("stratum", "rnk")
+    }),
+
+
+    // deterministic negative sampling (contrastive-training pairs): md5
+    // uniforms over the dense id domain, collision dedup, anti-join
+    // positives, bounded k-by-slot selection — fully hash-gated
+    "q_negative_sample" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id")
+      val cs = e.count()
+      val pos = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), ((col("vec_id") * 7 + 1) % cs).as("pos"))
+      Sampling.negativeSample(pos, "vec_id", "pos", cs, k = 5, oversample = 3)
+        .select(col("vec_id"), col("neg_id"),
+          col("slot_rank").cast("long").as("slot_rank"))
+        .orderBy("vec_id", "slot_rank")
+    }),
+
+
+    // Data-mixture resampling to a 50/30/20 en/fr/de target (limiting
+    // stratum keeps 100%; others downsample via the deterministic md5
+    // bucket — rate math mirrored in the oracle).
+    "q_mixture" -> ((s, dir) => {
+      Sampling.mixtureToTarget(Tables.documents(s, dir), "lang", "doc_id",
+          targets = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+
+    // temperature-flattened language mixture (alpha = 0.5 -> sqrt, exact
+    // in both engines): low-resource langs upsample with copy indices
+    "q_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id",
+          alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+
+    // Token-budget mixture: srcs 0/1 sampled down to token budgets, src2's
+    // budget exceeds its mass (keeps all), unbudgeted sources keep all
+    "q_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.tokenBudgetMixture(docs, "source", "doc_id", "w",
+          budgets = Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 1000000L))
+        .select(col("id").as("doc_id"), col("domain").as("source"),
+          col("weight").as("w"), col("thr"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Deterministic 80/10/10 train/val/test split: pure function of the id
+    // (md5 bucket), stable under corpus growth and repartitioning.
+    "q_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Group-aware (leakage-safe) split (r7): every document of a source
+    // lands in ONE split — the md5 bucket of the GROUP key, not the row id
+    // — so near-identical pages of a site can never straddle train/test.
+    // One row per (source, split) makes the property visible; the oracle
+    // reproduces the bucket arithmetic.
+    "q_group_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.groupSplitAssign(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    }),
+
+
+    // Deterministic per-epoch shuffle (r7): md5(epoch:seed:id) gives a
+    // different order every epoch, the same order every rerun — the first
+    // 20 keys of epochs 0 and 1. The 100-TB path shards by hashBucket(key)
+    // and sorts within partitions; the gate's TakeOrdered is the bounded
+    // per-epoch head of that total order.
+    "q_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Seq(0, 1).map { ep =>
+        docs.select(lit(ep).as("epoch"), col("doc_id"),
+            Sampling.epochShuffleKey(col("doc_id"), ep, seed = 7L).as("k"))
+          .orderBy("k").limit(20)
+      }.reduce(_ unionByName _).orderBy("epoch", "k")
+    }),
+
+
+    // Equal-population length bucketing (4 buckets over n_chars) for
+    // curriculum/batch assembly: exact percentile thresholds, row-local
+    // assignment.
+    "q_length_buckets" -> ((s, dir) => {
+      Packing.lengthBuckets(Tables.documents(s, dir), "n_chars", nBuckets = 4)
+        .select(col("doc_id"), col("n_chars"),
+          col("bucket").cast("int").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Mix-recipe solver: target proportions + token budget -> per-source
+    // rates and feasibility; integer sums, ppm-quantized ratios.
+    "q_mixture_rates" -> ((s, dir) => {
+      Sampling.mixtureRateReport(Tables.documents(s, dir), "source",
+          "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          totalBudget = 50000L)
+        .select(col("group"), col("available"),
+          floor(col("rate") * 1e6 + 0.5).as("rate_ppm"),
+          col("expected_tokens").cast("long").as("expected_tokens"),
+          floor(col("realized_share") * 1e6 + 0.5).as("realized_ppm"))
+        .orderBy("group")
+    }),
+
+
+    // Rolling-origin backtest with a 12 h embargo: pure int64-microsecond
+    // window arithmetic over events — every (row, window, role)
+    // membership is closed-form, so the oracle is an independent
+    // restatement of the same ranges.
+    "q_backtest" -> ((s, dir) => {
+      val day = 86400000000L
+      Sampling.rollingBacktestAssign(Tables.events(s, dir), "ts", "event_id",
+          "2024-01-01 00:00:00", trainLenUs = 7 * day, testLenUs = 2 * day,
+          stepUs = 3 * day, nWindows = 8, embargoUs = day / 2)
+        .orderBy("event_id", "window_id", "role")
+    }),
+
+
+    // Systematic resampling: exactly 2000 draws proportional to n_chars —
+    // the count formulas are pure int64 arithmetic on an id-ordered
+    // cumulative weight line, so the oracle restates them with one
+    // ORDER-BY-id window (partitioning cancels out of the result).
+    "q_systematic_resample" -> ((s, dir) => {
+      Sampling.systematicResample(Tables.documents(s, dir), "doc_id",
+          "n_chars", nSamples = 2000L, offsetNum = 777L)
+        .orderBy("id")
+    }),
+
+  )
+}

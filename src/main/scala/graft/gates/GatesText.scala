@@ -1,0 +1,638 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Met
+import graft.operators._
+import graft.GateHelpers._
+
+/** Gate queries — language/quality routing, tokenizers, retrieval, corpus stats.
+  * Split from SparkEntry (r8); every entry follows the
+  * determinism rules in SparkEntry's scaladoc and has a
+  * DuckDB oracle twin in OraclesText.
+  */
+private[graft] object GatesText {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis -----------------------------------------------------
+    "q_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+
+    // CCNet-style multilingual dedup-hash normalization (Wenzek et al.
+    // 2020): the corpus is ASCII, so accents/digits/punct are PLANTED
+    // deterministically (translate to á/é on every 3rd doc + a suffix with
+    // an accent, digits, and punctuation) and must fold back out — the
+    // oracle mirrors via strip_accents. Output is md5 + length, not the
+    // full normalized text, to keep the compare payload bounded.
+    "q_ccnet_norm" -> ((s, dir) => {
+      val decorated = concat(
+        when(col("doc_id") % 3 === 0,
+          translate(col("text"), "ae", "áé")).otherwise(col("text")),
+        lit(" Café #"), (col("doc_id") % 97).cast("string"), lit("! 42;"))
+      val norm = TextAnalysis.ccnetNormalize(decorated)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+
+    // PMI word-pair collocations by document co-occurrence. The synthetic
+    // vocabulary is 30 near-ubiquitous tokens (df ~ 0.8N), so the gate
+    // opens maxDocFrac to 1.0 to exercise the pair path; the operator's
+    // 0.5 default is the real-corpus guard.
+    "q_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+          minPairDocs = 50L, maxDocFrac = 1.0)
+        .select(col("token_a"), col("token_b"), col("n_ab"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("token_a", "token_b")
+    }),
+
+
+    // Naive Bayes quality classifier: train on the doc_id % 5 == 0 slice
+    // (label: lang == 'en'), score the rest by per-token log-odds
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("__lab", col("lang") === "en")
+      TextAnalysis.naiveBayesScore(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "__lab")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          round(col("log_odds"), 6).as("log_odds"), col("predicted"))
+        .orderBy("doc_id")
+    }),
+
+
+    // CCNet head/middle/tail perplexity buckets: unigram LM trained on the
+    // doc_id % 5 == 0 slice, per-language tercile split by score
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.perplexityBuckets(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("n_toks"),
+          col("mean_lp"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Corpus snapshot diff: old = ids 0-399, new = ids 100-499 with every
+    // 7th doc edited -> added/removed/changed/unchanged per id
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") < 400)
+      val newSnap = docs.filter(col("doc_id") >= 100)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"),
+          col("fp_old"), col("fp_new"))
+        .orderBy("doc_id")
+    }),
+
+
+    // DSIR importance weights: hashed-bigram distribution match of each
+    // document against the lang == 'en' target slice
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.importanceWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feats"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Jensen-Shannon divergence between the even/odd doc_id corpus halves
+    "q_js_div" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.jsDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .select(col("n_tokens_a"), col("n_tokens_b"),
+          col("n_vocab_a"), col("n_vocab_b"),
+          round(col("kl_pm"), 6).as("kl_pm"),
+          round(col("kl_qm"), 6).as("kl_qm"),
+          round(col("jsd"), 6).as("jsd"))
+    }),
+
+
+    "q_lang_scores" -> ((s, dir) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      def score(markers: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(markers))).cast("double") /
+          greatest(size(toks), lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          score(TextAnalysis.LanguageMarkers("en")).as("en_score"),
+          score(TextAnalysis.LanguageMarkers("fr")).as("fr_score"),
+          score(TextAnalysis.LanguageMarkers("de")).as("de_score"),
+          score(TextAnalysis.LanguageMarkers("es")).as("es_score"))
+        .orderBy("doc_id")
+    }),
+
+
+    "q_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+
+    // language-conditioned quality: stopword ratio and quality score judged
+    // against each row's own language's marker list
+    "q_lang_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.stopwordRatioFor(col("text"), col("lang")), 6)
+            .as("stop_ratio"),
+          round(TextAnalysis.qualityScoreFor(col("text"), col("lang")), 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Positional inverted index, flattened for the gate (postings exploded,
+    // positions stringified). The df cap is SCALE-PROPORTIONAL (78% of the
+    // corpus) so the same gate exercises both kept and capped-out tokens at
+    // every sf.
+    "q_inverted_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxDf = math.floor(0.78 * docs.count()).toLong
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", maxDf = maxDf)
+        .select(col("token"), col("df"),
+          posexplode(col("postings")).as(Seq("k", "p")))
+        .select(col("token"), col("df"), col("p.id").as("doc_id"),
+          concat_ws(",", transform(col("p.positions"), x => x.cast("string")))
+            .as("positions"))
+        .orderBy("token", "doc_id")
+    }),
+
+
+    // Okapi BM25 bulk scoring against one query
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Score(Tables.documents(s, dir), "doc_id", "text",
+          query = "spark merge batch")
+        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
+
+    // exact-phrase search from the positional index (capless for the gate
+    // so the high-df phrase terms stay indexed)
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", "table hash",
+          maxDf = docs.count())
+        .select(col("id").as("doc_id"), col("n_matches"),
+          col("first_pos").cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    }),
+
+
+    // per-source lexical diversity (corpus-card row per slice)
+    "q_diversity" -> ((s, dir) => {
+      TextAnalysis.diversityByGroup(Tables.documents(s, dir), "source", "text")
+        .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
+          col("n_vocab"), round(col("entropy"), 6).as("entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy"),
+          round(col("simpson"), 6).as("simpson"))
+        .orderBy("source")
+    }),
+
+
+    // Zipf head fit over the 25 most frequent tokens (bounded top-k
+    // selection — no vocabulary rank window)
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "doc_id", "text",
+          topR = 25)
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n_top"))
+    }),
+
+
+    // Corpus vocabulary with term/document frequencies
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("token")
+    }),
+
+
+    // Per-document top-3 terms by tf-idf, deterministic tie-break
+    "q_tfidf_topk" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("token"), col("tf"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+
+    // Gopher-style repetition/quality signals: distinct-token ratio, top
+    // 2-gram coverage, duplicate-line fraction (lines synthesized by
+    // breaking before each "customer" token — the corpus is single-line).
+    "q_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.distinctTokenRatio(col("text")), 6).as("distinct_tok_ratio"),
+        round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top2gram_frac"),
+        round(TextAnalysis.dupLineFraction(
+          regexp_replace(col("text"), " customer", "\ncustomer")), 6).as("dup_line_frac"))
+        .orderBy("doc_id")
+    }),
+
+
+    // per-language document-length outliers: the reference's std_range_flag
+    // pattern (filters.py:112-154) grouped by stratum, with the 2-sigma
+    // boundary test in EXACT integer/decimal arithmetic — (x*n - sx)^2 *
+    // (n-1) >= 4 * n * (n*sxx - sx^2) — so the flag cannot flip on
+    // engine-specific stddev accumulation order
+    "q_doclen_outlier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val D = DecimalType(38, 0)
+      // sxx accumulates in DECIMAL — a long sum of x^2 (~1e12/row) wraps
+      // silently past ~1e7 rows per stratum, exactly the overflow the
+      // oracle's HUGEINT guards against
+      val stats = docs.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("sx"),
+        sum((col("n_chars").cast("long") * col("n_chars").cast("long")).cast(D))
+          .as("sxx"))
+      val dev = (col("n_chars").cast("long") * col("n") - col("sx")).cast(D)
+      val lhs = dev * dev * (col("n") - 1).cast(D)
+      val rhs = lit(4).cast(D) * col("n").cast(D) *
+        (col("n").cast(D) * col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D))
+      docs.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n") > 1 && lhs >= rhs).as("len_outlier"))
+        .orderBy("doc_id")
+    }),
+
+
+    // encoding-damage score over deterministically damaged text (a BEL and
+    // a replacement char spliced in), plus the clean-text score (0.0)
+    "q_mojibake" -> ((s, dir) => {
+      val damaged = concat(substring(col("text"), 1, 40), lit("\u0007"),
+        substring(col("text"), 41, 40), lit("\uFFFD"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.mojibakeScore(damaged), 6).as("damaged_score"),
+          round(TextAnalysis.mojibakeScore(col("text")), 6).as("clean_score"))
+        .orderBy("doc_id")
+    }),
+
+
+    // BPE tokenizer: merges learned from the even-doc_id slice (distributed
+    // word-freq aggregate + driver merge loop), applied to every document —
+    // rows-only (iterative merge learning isn't SQL); BpeSpec pins the
+    // algorithm against hand-computed merges. Scalar columns only: the
+    // harness's pandas comparator cannot sort/hash array cells, so the
+    // leading subwords are serialized with concat_ws.
+    // tokenizer fertility per language: BPE subwords per whitespace word —
+    // the "is this tokenizer fair to language X" diagnostic (fertility >> 1
+    // means X pays more sequence length per word). rows-only (BPE merges
+    // not SQL); word counts exact
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 40 merges: the synthetic wordlist is small enough that 200 merges
+      // reassemble every word (fertility would be a flat 1.0); an under-
+      // trained vocab keeps longer words split, which is what the
+      // diagnostic is FOR
+      val model = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 40)
+      // r7 oracle conversion: n_words is SQL-replicable (normalized word
+      // count), fertility itself is a >= 1 claim (every word costs at
+      // least one subword with an undertrained vocab).
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
+      graft.functions.Bpe.encode(docs, "text", model)
+        .withColumn("n_words",
+          when(length(norm) === 0, 0L)
+            .otherwise(size(split(norm, " ")).cast("long")))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          (sum(col("n_subwords")) >= sum(col("n_words"))).as("fertility_ge1"))
+        .orderBy("lang")
+    }),
+
+
+    // BPE roundtrip claims (r7, formerly rows-only): merges aren't SQL,
+    // but the segmentation contract is — subwords concatenated with </w>
+    // restored to spaces MUST rebuild the normalized text exactly
+    // (lossless segmentation), and the token count sits between the word
+    // count and the non-space char count (>=1 and <=len tokens per word).
+    "q_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
+      val words = when(length(norm) === 0, 0)
+        .otherwise(size(split(norm, " ")))
+      graft.functions.Bpe.encode(docs, "text", model)
+        .select(col("doc_id"),
+          (trim(regexp_replace(concat_ws("", col("subwords")), "</w>", " "))
+            === norm).as("roundtrip_ok"),
+          (col("n_subwords") >= words &&
+            col("n_subwords") <= length(regexp_replace(norm, " ", "")))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Unigram-LM (SentencePiece-style) roundtrip claims (r7, formerly
+    // rows-only): Viterbi pieces concatenate back to the normalized text
+    // without its spaces (lossless), count-bounded like q_bpe;
+    // UnigramTokenizerSpec still pins vocab bound, likelihood, determinism.
+    "q_unigram_tok" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.functions.UnigramTokenizer.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", vocabSize = 300)
+      val norm = TextAnalysis.normalize(coalesce(col("text"), lit("")))
+      val words = when(length(norm) === 0, 0)
+        .otherwise(size(split(norm, " ")))
+      graft.functions.UnigramTokenizer.encode(docs, "text", model)
+        .select(col("doc_id"),
+          (concat_ws("", col("pieces"))
+            === regexp_replace(norm, " ", "")).as("roundtrip_ok"),
+          (col("n_pieces") >= words &&
+            col("n_pieces") <= length(regexp_replace(norm, " ", "")))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
+
+    // C4 cleaning rules (Raffel et al.): line-keep (terminal punct, >= 5
+    // words, no javascript) + page-level keep (>= 3 sentences, no lorem
+    // ipsum, no brace). The corpus text is punctuation-free word soup, so
+    // the gate synthesizes line structure deterministically (same regex in
+    // the oracle) and plants the page-level violations by doc_id.
+    "q_c4_filter" -> ((s, dir) => {
+      val base = regexp_replace(col("text"), " (a|the) ", ".\n")
+      val withJs = when(col("doc_id") % 7 === 0,
+        concat(base, lit("\nplease enable javascript to continue here."))).otherwise(base)
+      val withLorem = when(col("doc_id") % 11 === 0,
+        concat(withJs, lit("\nfiller lorem ipsum dolor sit amet text."))).otherwise(withJs)
+      val synth = when(col("doc_id") % 13 === 0,
+        concat(withLorem, lit("\nvar x = function() { return 1; }."))).otherwise(withLorem)
+      Cleanse.c4Filter(
+          Tables.documents(s, dir).withColumn("text_s", synth), "text_s")
+        .select(col("doc_id"), col("text_c4"), col("n_lines_kept"),
+          col("n_lines_total"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Bigram LM with stupid backoff, trained on the even-doc_id half and
+    // scoring every document — the CCNet-style fluency filter.
+    "q_bigram_lp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("mean_lp"), 6).as("mean_lp"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Mean unigram log-probability under the corpus's own smoothed unigram
+    // model — the KenLM-style fluency signal.
+    "q_unigram_lp" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          round(col("mean_lp"), 6).as("mean_lp"))
+        .orderBy("doc_id")
+    }),
+
+
+    // 3-gram novelty of the corpus (doc_id % 10 != 0) against a reference
+    // slice (% 10 == 0): counts are exact longs; the fraction is emitted
+    // ppm-quantized — floor(x*1e6+0.5) of identical doubles is the same
+    // integer in both engines (no round-at-6 straddle class).
+    "q_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.ngramNovelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          floor(col("novelty") * 1e6 + 0.5).as("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Unicode-script composition + dominant script. Documents are ASCII,
+    // so multi-script content is synthesized deterministically per doc_id
+    // (repeat counts of Cyrillic/CJK/Arabic code points; every 7th doc is
+    // script-pure so dominance actually varies). Integer counts only.
+    "q_script_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("mixed",
+          when(col("doc_id") % 7 === 0,
+            concat(expr("repeat('д', CAST(doc_id % 11 + 5 AS INT))"),
+              expr("repeat('中', CAST(doc_id % 4 AS INT))")))
+          .otherwise(concat(col("text"),
+            expr("repeat('д', CAST(doc_id % 5 AS INT))"),
+            expr("repeat('中', CAST(doc_id % 3 AS INT))"),
+            expr("repeat('ا', CAST(doc_id % 2 AS INT))"))))
+      val sc = TextAnalysis.scriptCounts(col("mixed"))
+      d.select(col("doc_id"), sc.as("s"))
+        .select(col("doc_id"),
+          col("s.latin").cast("long").as("latin"),
+          col("s.cyrillic").cast("long").as("cyrillic"),
+          col("s.cjk").cast("long").as("cjk"),
+          col("s.arabic").cast("long").as("arabic"),
+          col("s.digit").cast("long").as("digit"),
+          TextAnalysis.dominantScript(col("s")).as("script"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Code-likeness signals; every 3rd doc gets a deterministic code-ish
+    // suffix so the signals separate. Fractions ppm-quantized, counts
+    // exact; regexes restricted to classes both engines share.
+    "q_code_detect" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(OracleHelpers.codeSuffix))).otherwise(col("text")))
+      val cs = TextAnalysis.codeSignals(col("t2"))
+      d.select(col("doc_id"), cs.as("c"))
+        .select(col("doc_id"),
+          floor(col("c.symbol_ratio") * 1e6 + 0.5).as("symbol_ppm"),
+          floor(col("c.indent_fraction") * 1e6 + 0.5).as("indent_ppm"),
+          floor(col("c.ident_fraction") * 1e6 + 0.5).as("ident_ppm"),
+          col("c.n_lines").cast("long").as("n_lines"),
+          col("c.is_code").as("is_code"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Phrase-blocklist scan (r7): multi-phrase Aho-Corasick matching in
+    // ONE pass per document — the content-safety primitive whose value is
+    // the 10k-phrase list a regex union cannot compile. The oracle replays
+    // the phrases as independent lowercase regexp counts (phrases chosen
+    // without self-overlap, so every-occurrence AC counts equal regex
+    // non-overlapping counts).
+    "q_phrase_blocklist" -> ((s, dir) => {
+      TextAnalysis.phraseBlocklistStats(Tables.documents(s, dir), "doc_id",
+          "text", Seq("table scan", "hash join", "sort merge"))
+        .select(col("id").as("doc_id"), col("n_matches"),
+          col("n_phrases_hit"), col("flagged"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Per-sentence language-ID + code-switch statistics over planted
+    // French/German sentences; all counts exact, tie order fixed.
+    "q_code_switch" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t2 = concat(lit("the cat is in the house. "),
+        when(col("doc_id") % 4 === 0,
+          lit("le chat est dans la maison. ")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("der hund ist mit von zu. ")).otherwise(lit("")),
+        regexp_replace(col("text"), " (table|key) ", ". "))
+      val cs = TextAnalysis.codeSwitchSignals(t2)
+      d.select(col("doc_id"), cs.as("c"))
+        .select(col("doc_id"), col("c.n_sentences"), col("c.n_tagged"),
+          col("c.n_switches"), col("c.langs"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Good-Turing unseen mass + Chao1 richness over the corpus vocabulary
+    // — exact integer counts, ppm-quantized estimates.
+    "q_unseen_mass" -> ((s, dir) => {
+      TextAnalysis.unseenMassEstimate(Tables.documents(s, dir), "text")
+        .select(col("n_tokens"), col("n_vocab"), col("n_hapax"), col("n_dis"),
+          floor(col("p_unseen") * 1e6 + 0.5).as("p_unseen_ppm"),
+          floor(col("chao1_vocab") * 1e6 + 0.5).as("chao1_ppm"))
+    }),
+
+
+    // Homoglyph folding: spoofed docs (Cyrillic lookalikes + zero-width
+    // salt planted on doc_id % 4 == 0) fold back to their original
+    // fingerprint — dedup_match is true everywhere iff the fold works.
+    "q_homoglyph" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val spoofed = when(col("doc_id") % 4 === 0,
+        concat(lit("​"), translate(col("text"), "aeo", "аео"),
+          lit("‍")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+          md5(TextAnalysis.foldHomoglyphs(spoofed)).as("folded_md5"),
+          (md5(TextAnalysis.foldHomoglyphs(spoofed)) === md5(col("text")))
+            .as("dedup_match"))
+        .orderBy("doc_id")
+    }),
+
+
+    // TextTiling valley boundaries over synthesized sentence breaks:
+    // integer overlaps, strict-valley booleans — all exact.
+    "q_topic_boundaries" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", regexp_replace(col("text"),
+          " (table|key|value|row|scan) ", ". "))
+      TextAnalysis.topicBoundaries(d, "doc_id", "t2")
+        .select(col("id").as("doc_id"), col("gap_idx"),
+          col("overlap").cast("long").as("overlap"), col("is_boundary"))
+        .orderBy("doc_id", "gap_idx")
+    }),
+
+
+    // Flesch readability signals; sentence punctuation synthesized (the
+    // corpus text has none). Counts exact; score ppm-quantized.
+    "q_readability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2", concat(col("text"),
+          expr("repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT))")))
+      val r = TextAnalysis.readabilitySignals(col("t2"))
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_sentences").cast("long").as("n_sentences"),
+          col("r.n_words").cast("long").as("n_words"),
+          col("r.n_syllables").cast("long").as("n_syllables"),
+          floor(col("r.flesch") * 1e6 + 0.5).as("flesch_ppm"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Distributed IRLS logistic quality classifier — rows-only (iterative
+    // transcendental float sums aren't oracle-reproducible); LogisticSpec
+    // pins the math (loss descent, stationarity, closed-form cases).
+    // Claims gate (r7, formerly rows-only): weights are FP-iteration
+    // internals, but the planted truth is checkable — the label
+    // (n_chars > 250) is perfectly separable on feature 1 (n_chars/100),
+    // so the IRLS fit must classify nearly everything right. Gated on
+    // accuracy vs the planted labels plus confusion-count consistency
+    // (tp+fp+fn+tn == n — the r7 ADVICE null-handling contract).
+    "q_logreg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val feats = d.select(col("doc_id"),
+        array(col("n_chars").cast("double") / 100.0,
+          TextAnalysis.tokenCount(col("text")).cast("double") / 10.0,
+          TextAnalysis.punctRatio(col("text"))).as("x"),
+        (col("n_chars") > 250).as("y"))
+      val m = graft.fitting.Logistic.fit(feats, "x", "y", dims = 3,
+        iters = 8, lambda = 0.1)
+      val scored = graft.fitting.Logistic.score(feats, "doc_id", "x", m)
+        .join(feats.select("doc_id", "y"), "doc_id")
+      Metrics.binaryClassifierEval(scored, "y", "predicted")
+        .select(col("n"),
+          (col("tp") + col("fp") + col("fn") + col("tn") === col("n"))
+            .as("counts_ok"),
+          (col("accuracy") >= 0.95).as("accuracy_ok"))
+    }),
+
+
+    // Hybrid retrieval: RRF fusion of a BM25 lexical ranking (round-6
+    // scores — the q_bm25 cross-engine contract — tie-broken by id) and
+    // an exact dense cosine ranking. Contributions are the quantized
+    // longs floor(1e9/(60+rank)), so the fused order is engine-exact.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sparse = Similarity.topKRanking(
+        TextAnalysis.bm25Score(docs, "doc_id", "text", "spark merge batch")
+          .select(lit(0L).as("q"), col("id"),
+            round(col("bm25"), 6).as("s"))
+          .filter(col("s") > 0), "q", "id", "s", k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val dense = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 7), "vec_id", "v", k = 20)
+        .select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(Seq(sparse, dense), "query_id", "neighbor_id",
+          "rank", kConst = 60, topK = 15)
+        .select(col("neighbor_id").as("id"), col("n_lists"),
+          col("rrf_micro"), col("rrf"), col("rank"))
+        .orderBy("rank")
+    }),
+
+
+    // Min-k% probability memorization screen: bottom-20% token logprobs
+    // under the even-docs bigram model, micro-quantized so the sort and
+    // bottom-k sum are exact int64 (the q_bigram_lp model, Shi et al.
+    // min-k% selection).
+    "q_min_k_prob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.minKProbScore(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", kDenom = 5)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("k_count"),
+          col("mink_sum_micro"), col("mink_mean_lp"))
+        .orderBy("doc_id")
+    }),
+
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+/** Shared oracle-SQL fragments (split from Oracles in r8):
+  * normalization/stoplist literals and the LPA CTE chains
+  * referenced by more than one oracle family.
+  */
+private[graft] object OracleHelpers {
+
+  private[graft] val normText =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Deterministic code-ish suffix shared by the q_code_detect gate and its
+    * oracle (no single quotes: it is embedded in a SQL literal verbatim). */
+  val codeSuffix: String = "\n    def quick_sort(arr):\n        " +
+    "return sorted(arr);\n    total_n = {key: [1], innerVal: (2 < 3)}"
+
+  private[graft] val stopList =
+    "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
+
+
+  private[graft] val LpaRounds = 8
+
+  /** Shared CTE chain for q_communities / q_modularity: the edge
+    * construction + LpaRounds synchronous update rounds. MATERIALIZED is
+    * load-bearing (the q_kcore lesson): plain CTEs inline, and each round
+    * references the previous twice -> exponential plan expansion.
+    */
+  /** The q_communities/q_modularity/q_random_walks edge construction +
+    * symmetrized simple graph, mirroring SparkEntry.communityEdges.
+    */
+  private[graft] def communityGraphCtes: String =
+    s"""e AS (SELECT event_id % 600 AS s,
+       |    ((event_id % 600) // 6) * 6 + ((event_id // 600) % 6) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_id % 600, (event_id * 31) % 600 FROM events
+       |  WHERE event_id % 97 = 0),
+       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM e WHERE s <> d
+       |   UNION ALL SELECT d, s FROM e WHERE s <> d))""".stripMargin
+
+  private[graft] def lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT x.node, x.community, count(*) AS cnt
+         |  FROM (SELECT sym.d AS node, p.community
+         |          FROM sym JOIN l${i - 1} p ON sym.s = p.node
+         |        UNION ALL SELECT node, community FROM l${i - 1}) x
+         |  GROUP BY 1, 2),
+         |mx$i AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM v$i
+         |  GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT v.node, max(v.community) AS community
+         |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.cnt = m.mc
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$communityGraphCtes,
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community
+       |  FROM sym),
+       |$rounds""".stripMargin
+  }
+}

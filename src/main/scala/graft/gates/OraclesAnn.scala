@@ -1,0 +1,280 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — embedding similarity: ANN indexes, PCA, centroids, mining.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesAnn expression-by-expression.
+  */
+private[graft] object OraclesAnn {
+  val sql: Map[String, String] = Map(
+
+    "q_semdedup" ->
+      """SELECT vec_id, true AS found FROM embeddings ORDER BY vec_id""",
+
+
+    // ANN claims gates: every query covered, dense monotone ranks, mean
+    // recall@5 at least 10x the k/corpus chance level.
+    "q_lsh_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    "q_ivf_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    "q_pq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    "q_opq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    "q_ivfpq_topk" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    // Method-sweep claims: one row per ANN family, each claiming coverage,
+    // rerank monotonicity, and 10x-chance reranked recall.
+    "q_ann_sweep" ->
+      """SELECT method,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
+        |    AS n_queries,
+        |  true AS covered_ok, true AS rerank_ge_raw, true AS recall_ok
+        |FROM (VALUES ('ivf'),('ivfpq'),('lsh'),('opq'),('pq')) t(method)
+        |ORDER BY method""".stripMargin,
+
+
+    "q_pca_project" ->
+      """SELECT count(*) AS n, true AS ortho_ok, true AS var_ok,
+        |       true AS mean_ok
+        |FROM embeddings""".stripMargin,
+
+
+    "q_vector_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])), 6) AS nrm
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+
+    "q_random_project" ->
+      """WITH m AS (SELECT k,
+        |    [CASE WHEN ('0x' || substr(md5(k || '-' || j || '-42'), 1, 2))::INTEGER % 2 = 1
+        |       THEN -1 / sqrt(8) ELSE 1 / sqrt(8) END FOR j IN range(0, 64)] AS row
+        |  FROM range(0, 8) t(k)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |    list_sum([v[j + 1] * row[j + 1] FOR j IN range(0, 64)]) AS x
+        |  FROM e, m)
+        |SELECT vec_id, k, round(x, 6) AS x FROM p
+        |ORDER BY vec_id, k""".stripMargin,
+
+
+    "q_embed_cov_by_group" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
+        |     FOR i IN range(0, 64)] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 4)),
+        |prods AS (SELECT q.label, a.i AS i, b.i AS j,
+        |    SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
+        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2, 3),
+        |sums AS (SELECT q.label, a.i AS i, CAST(-1 AS BIGINT) AS j,
+        |    SUM(q.v[a.i + 1]) AS sxy
+        |  FROM q, idx a GROUP BY 1, 2, 3),
+        |cnt AS (SELECT label, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q GROUP BY 1)
+        |SELECT label, i, j, sxy FROM prods
+        |UNION ALL SELECT label, i, j, sxy FROM sums
+        |UNION ALL SELECT label, i, j, sxy FROM cnt
+        |ORDER BY label, i, j""".stripMargin,
+
+
+    "q_embed_cov" ->
+      """WITH q AS (SELECT
+        |    [floor(CAST(embedding[i + 1] AS DOUBLE) * 256 + 0.5) / 256
+        |     FOR i IN range(0, 64)] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 8)),
+        |prods AS (SELECT a.i AS i, b.i AS j, SUM(q.v[a.i + 1] * q.v[b.i + 1]) AS sxy
+        |  FROM q, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
+        |sums AS (SELECT a.i AS i, CAST(-1 AS BIGINT) AS j, SUM(q.v[a.i + 1]) AS sxy
+        |  FROM q, idx a GROUP BY 1, 2),
+        |cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(COUNT(*) AS DOUBLE) AS sxy FROM q)
+        |SELECT i, j, sxy FROM prods
+        |UNION ALL SELECT i, j, sxy FROM sums
+        |UNION ALL SELECT i, j, sxy FROM cnt
+        |ORDER BY i, j""".stripMargin,
+
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, round(cos, 5) AS cosine, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) /
+        |      (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
+        |       * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)]))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT CAST(block AS BIGINT) AS block, id_a, id_b, round(cos, 5) AS cosine
+        |FROM p WHERE cos >= 0.25 ORDER BY block, id_a, id_b""".stripMargin,
+
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+        |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.vec_id <> q.vec_id + 1),
+        |r AS (SELECT query_id, neg_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rnk FROM p)
+        |SELECT query_id, neg_id, round(cos, 5) AS cosine, rnk AS hard_rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+
+    "q_topk_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+        |pt AS (SELECT a.vec_id AS query, b.vec_id AS item,
+        |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) AS cos
+        |  FROM n a, n b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |rt AS (SELECT query, item,
+        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pt),
+        |truth AS (SELECT query, item FROM rt WHERE rnk <= 5),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |qv AS (SELECT vec_id,
+        |    [CASE WHEN maxabs = 0 THEN 0.0
+        |          ELSE CAST(CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) AS DOUBLE) END
+        |     FOR i IN range(1, len(v) + 1)] AS q
+        |  FROM m),
+        |nq AS (SELECT vec_id, q,
+        |    sqrt(list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)])) AS nrm FROM qv),
+        |pp AS (SELECT a.vec_id AS query, b.vec_id AS item,
+        |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |         ELSE list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) / (a.nrm * b.nrm)
+        |    END AS cos
+        |  FROM nq a, nq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |rp AS (SELECT query, item,
+        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, item) AS rnk FROM pp),
+        |pred AS (SELECT query, item FROM rp WHERE rnk <= 5),
+        |np AS (SELECT query, count(*) AS n_pred FROM pred GROUP BY 1),
+        |nt AS (SELECT query, count(*) AS n_truth FROM truth GROUP BY 1),
+        |h AS (SELECT p.query, count(*) AS n_hit FROM pred p
+        |  JOIN truth t ON p.query = t.query AND p.item = t.item GROUP BY 1)
+        |SELECT nt.query AS query_id, coalesce(np.n_pred, 0) AS n_pred,
+        |  nt.n_truth AS n_truth, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / np.n_pred AS precision
+        |FROM nt LEFT JOIN np ON nt.query = np.query
+        |LEFT JOIN h ON nt.query = h.query
+        |ORDER BY query_id""".stripMargin,
+
+
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
+        |    [CASE WHEN maxabs = 0 THEN 0
+        |          ELSE CAST(round(v[i] * 127.0 / maxabs) AS BIGINT) END
+        |     FOR i IN range(1, len(v) + 1)] AS q
+        |  FROM m),
+        |s AS (SELECT vec_id, scale, list_sum(q) AS q_sum,
+        |    list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]) AS svv,
+        |    list_sum([v[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS svq,
+        |    list_sum([q[i] * q[i] FOR i IN range(1, len(v) + 1)]) AS sqq,
+        |    len(v) AS d
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
+        |  round(sqrt(greatest(svv - 2 * scale * svq + scale * scale * sqq, 0) / d), 6) AS err
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+
+    "q_centroid_score" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |idx AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |cent AS (SELECT label, i, avg(v[i]) AS c FROM idx GROUP BY 1, 2),
+        |cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+        |s AS (SELECT vec_id, e.label,
+        |    list_sum([v[i] * cv[i] FOR i IN range(1, len(v) + 1)]) AS d,
+        |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)]))
+        |      * sqrt(list_sum([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)])) AS nn
+        |  FROM e JOIN cv ON e.label = cv.label)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) AS cos_centroid
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+
+    // Claims oracle (r8, lesson 12): the row-level oracle was an O(n^2)
+    // DuckDB list-comprehension capping sf1 verification; these claims
+    // are closed-form — n from a count, invariants asserted true.
+    "q_hubness" ->
+      """SELECT c.claim, t.n, true AS ok
+        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |  (VALUES ('bounds_0_to_n_minus_1'),
+        |    ('coverage_one_row_per_vector'), ('mass_sums_to_k_times_n'),
+        |    ('no_self_retrieval')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
+
+
+    // Claims oracle (r8): n_unique is the count of vector VALUES that
+    // appear exactly once — a linear GROUP BY on the raw float arrays,
+    // cross-checking the engine's grouping bit-for-bit; claims true.
+    "q_bitext_mine" ->
+      """SELECT c.claim, t.n, u.n_unique, true AS ok
+        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |  (SELECT count(*) AS n_unique FROM (
+        |     SELECT embedding FROM embeddings
+        |     GROUP BY embedding HAVING count(*) = 1)) u,
+        |  (VALUES ('matches_cosine_one'), ('mutual_one_to_one'),
+        |    ('planted_unique_all_recovered'),
+        |    ('unique_margin_above_one')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
+
+
+    "q_centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 16 AS bucket,
+        |    [floor(x * 256 + 0.5) / 256 FOR x IN CAST(embedding AS DOUBLE[])] AS v
+        |  FROM embeddings),
+        |idx AS (SELECT bucket, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |d AS (SELECT bucket, i, sum(v[i]) AS s, count(*) AS n
+        |  FROM idx GROUP BY 1, 2),
+        |cents AS (SELECT bucket, max(n) AS n, list(s / n ORDER BY i) AS cv
+        |  FROM d GROUP BY 1)
+        |SELECT c.bucket, CAST(c.n AS BIGINT) AS n,
+        |  CASE WHEN p.cv IS NULL THEN NULL ELSE round(
+        |    list_sum([c.cv[i] * p.cv[i] FOR i IN range(1, len(c.cv) + 1)])
+        |    / (sqrt(list_sum([c.cv[i] * c.cv[i] FOR i IN range(1, len(c.cv) + 1)]))
+        |       * sqrt(list_sum([p.cv[i] * p.cv[i] FOR i IN range(1, len(p.cv) + 1)])))
+        |    , 6) END AS cos_prev
+        |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
+        |ORDER BY c.bucket""".stripMargin,
+
+  )
+}

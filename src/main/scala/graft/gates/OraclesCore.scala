@@ -1,0 +1,128 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — TPC-H-style scans/aggregations/joins + generic windows/skew.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesCore expression-by-expression.
+  */
+private[graft] object OraclesCore {
+  val sql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_lag_diff" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_rolling_sum" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_winsorized" ->
+      """WITH v AS (SELECT event_type, floor(value * 100 + 0.5) AS v FROM events),
+        |b AS (SELECT event_type, quantile_cont(v, 0.25) AS lo,
+        |    quantile_cont(v, 0.75) AS hi FROM v GROUP BY 1)
+        |SELECT v.event_type, count(*) AS n, any_value(b.lo) AS lo,
+        |  any_value(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  avg(least(greatest(v.v, b.lo), b.hi)) AS wmean
+        |FROM v JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_global_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  round(stddev_samp(value), 6) AS value_std,
+        |  round(quantile_cont(value, 0.5), 6) AS value_med,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // salting is pure physical re-sharding: the oracle is the unsalted join
+    "q_salted_join" ->
+      """WITH dim AS (SELECT source, avg(n_chars) AS src_avg_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, round(dim.src_avg_chars, 6) AS src_avg_chars
+        |FROM documents d LEFT JOIN dim USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n_rows FROM documents GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS tot FROM documents),
+        |top AS (SELECT source, lang, n_rows,
+        |  row_number() OVER (ORDER BY n_rows DESC, source, lang) AS rank FROM c)
+        |SELECT source, lang, n_rows, round(n_rows::DOUBLE / tot, 6) AS frac_of_total, rank
+        |FROM top, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+
+    "q_cube" ->
+      """SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""".stripMargin,
+
+
+    "q_weighted_topk" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |    printf('%020.10f',
+        |      -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100000000) + 0.5)
+        |        / 100000000.0) / w)
+        |      || '|' || lpad(CAST(doc_id AS VARCHAR), 18, '0') AS keystr
+        |  FROM d WHERE w > 0),
+        |r AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY keystr) AS BIGINT) AS rnk
+        |  FROM k)
+        |SELECT stratum, id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY stratum, rnk""".stripMargin,
+
+  )
+}

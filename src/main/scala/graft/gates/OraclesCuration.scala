@@ -1,0 +1,770 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — cleansing, PII, pipelines, chunking/packing, conversations.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesCuration expression-by-expression.
+  */
+private[graft] object OraclesCuration {
+  val sql: Map[String, String] = Map(
+
+    "q_compress_ratio" ->
+      """SELECT doc_id, true AS ratio_pos, true AS repeat_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_chunk" ->
+      """SELECT doc_id, u.s AS chunk_start, length(u.c) AS chunk_len, u.c AS chunk
+        |FROM (SELECT doc_id,
+        |    unnest([{'s': s, 'c': substring(text, s, 200)}
+        |            FOR s IN range(1, greatest(length(text), 1) + 1, 150)]) AS u
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
+
+
+    // Empirical-Bayes shrinkage toward the global mean, k = 20; identical
+    // double arithmetic (integer sums, same association), ppm quantized.
+    "q_domain_prior" ->
+      """WITH g AS (SELECT source, count(n_chars) AS n,
+        |    sum(CAST(n_chars AS DOUBLE)) AS s FROM documents GROUP BY 1),
+        |t AS (SELECT sum(CAST(n_chars AS DOUBLE)) / count(n_chars) AS m FROM documents)
+        |SELECT source, n,
+        |  CAST(floor(s / n * 1e6 + 0.5) AS BIGINT) AS mean_raw_ppm,
+        |  CAST(floor((s + 20.0 * m) / (n + 20.0) * 1e6 + 0.5) AS BIGINT) AS mean_shrunk_ppm
+        |FROM g, t ORDER BY source""".stripMargin,
+
+
+    // Pipeline replay in stage order: fold (invisible strip + confusable
+    // translate), min_chars on the folded text, first-id dedup on the
+    // normalized fingerprint.
+    // End-to-end curation capstone: the q_pipeline fold/filter/dedup CTEs
+    // composed with the q_sentence_chunks chunker CTEs and the q_pack
+    // running-sum packer CTEs — one SQL replay of the whole dataflow.
+    "q_e2e_curation" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    chr(8203) || translate(
+         |      regexp_replace(text, ' (table|key|value) ', '. ', 'g'),
+         |      'aeo', 'аео')
+         |  FROM documents),
+         |folded AS (SELECT doc_id,
+         |    translate(regexp_replace(text,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
+         |  FROM all_docs),
+         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
+         |fp AS (SELECT doc_id, t,
+         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fp
+         |  FROM f2),
+         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1),
+         |kept AS (SELECT doc_id, t FROM fp JOIN keep USING (fp)
+         |  WHERE doc_id = first_id),
+         |se AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(t, '[.!?]+\\s+|[.!?]+$$'),
+         |    x -> len(trim(x)) > 0) AS sents FROM kept),
+         |c AS (SELECT doc_id, sents,
+         |    [len(list_filter(regexp_split_to_array(sents[i], '\\s+'), w -> len(w) > 0))
+         |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM se),
+         |st AS (SELECT doc_id, cnts,
+         |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
+         |  FROM c),
+         |a AS (SELECT doc_id,
+         |    unnest([{'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
+         |             't': cnts[i]}
+         |            FOR i IN range(1, len(cnts) + 1)]) AS u FROM st),
+         |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+         |    CAST(sum(u.t) AS BIGINT) AS n_tokens
+         |  FROM a GROUP BY 1, 2),
+         |ch AS (SELECT doc_id * 1000 + chunk_id AS key, n_tokens
+         |  FROM g WHERE n_tokens > 0),
+         |cum AS (SELECT key, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+         |  FROM ch),
+         |sp AS (SELECT key, cend - n_tokens AS cstart, cend,
+         |    unnest(range(CAST(floor((cend - n_tokens) / 64) AS BIGINT),
+         |                 CAST(floor((cend - 1) / 64) AS BIGINT) + 1)) AS seq_id
+         |  FROM cum)
+         |SELECT CAST(floor(key / 1000) AS BIGINT) AS doc_id,
+         |  key % 1000 AS chunk_id, seq_id,
+         |  greatest(seq_id * 64, cstart) - cstart AS doc_tok_start,
+         |  least((seq_id + 1) * 64, cend) - cstart AS doc_tok_end,
+         |  greatest(seq_id * 64, cstart) - seq_id * 64 AS seq_tok_start
+         |FROM sp ORDER BY doc_id, chunk_id, seq_id""".stripMargin,
+
+
+    "q_pipeline" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, chr(8203) || translate(text, 'aeo', 'аео')
+         |  FROM documents),
+         |folded AS (SELECT doc_id,
+         |    translate(regexp_replace(text,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS t
+         |  FROM all_docs),
+         |f2 AS (SELECT doc_id, t FROM folded WHERE length(t) >= 50),
+         |fp AS (SELECT doc_id, t,
+         |    md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fp
+         |  FROM f2),
+         |keep AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1)
+         |SELECT doc_id, md5(t) AS text_md5
+         |FROM fp JOIN keep USING (fp)
+         |WHERE doc_id = first_id ORDER BY doc_id""".stripMargin,
+
+
+    // Chat flattening through DuckDB's JSON functions: same blocks,
+    // prefix-sum offsets, last-assistant span.
+    "q_chat_flatten" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+        |  FROM documents),
+        |j AS (SELECT doc_id,
+        |    '[{"role":"user","content":"' || coalesce(array_to_string(t[1:6], ' '), '') ||
+        |    '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[7:12], ' '), '') ||
+        |    '"},{"role":"user","content":"' || coalesce(array_to_string(t[13:18], ' '), '') ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '"},{"role":"assistant","content":"' || coalesce(array_to_string(t[19:24], ' '), '')
+        |      ELSE '' END || '"}]' AS msgs
+        |  FROM toks),
+        |p AS (SELECT doc_id, msgs, CAST(json_array_length(msgs::JSON) AS INT) AS n FROM j),
+        |e AS (SELECT doc_id, n,
+        |    [{'r': json_extract_string(msgs, '$[' || (i - 1) || '].role'),
+        |      'c': json_extract_string(msgs, '$[' || (i - 1) || '].content')}
+        |     FOR i IN range(1, n + 1)] AS m FROM p),
+        |b AS (SELECT doc_id, n, m,
+        |    [x.r || ': ' || x.c || chr(10) FOR x IN m] AS blocks FROM e),
+        |st AS (SELECT doc_id, n, m, blocks,
+        |    [coalesce(list_sum([len(blocks[k]) FOR k IN range(1, i)]), 0)
+        |     FOR i IN range(1, len(blocks) + 1)] AS starts FROM b),
+        |la AS (SELECT doc_id, n, m, blocks, starts,
+        |    list_max([CASE WHEN m[i].r = 'assistant' THEN i ELSE 0 END
+        |              FOR i IN range(1, len(m) + 1)]) AS lastA FROM st)
+        |SELECT doc_id, md5(array_to_string(blocks, '')) AS text_md5,
+        |  n AS n_turns,
+        |  CAST(len(list_filter(m, x -> x.r = 'user')) AS INT) AS n_user,
+        |  CAST(len(list_filter(m, x -> x.r = 'assistant')) AS INT) AS n_assistant,
+        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
+        |    ELSE CAST(starts[lastA] + len(m[lastA].r) + 2 AS BIGINT) END AS response_start,
+        |  CASE WHEN lastA IS NULL OR lastA = 0 THEN NULL
+        |    ELSE CAST(len(m[lastA].c) AS BIGINT) END AS response_chars
+        |FROM la ORDER BY doc_id""".stripMargin,
+
+
+    // Markdown strip: identical RE2 chain, \1 backrefs, md5 + length.
+    "q_markdown" ->
+      """WITH m AS (SELECT doc_id,
+        |    '# Title' || chr(10) || chr(10) || '**bold** and *emph* text' ||
+        |    chr(10) || chr(10) || '```' || chr(10) || 'code block' || chr(10) ||
+        |    '```' || chr(10) || '- item one' || chr(10) || '- item two' ||
+        |    chr(10) || chr(10) || '[link text](http://x.org) ![alt](img.png)' ||
+        |    chr(10) || chr(10) || '> quote line' || chr(10) || chr(10) ||
+        |    '| a | b |' || chr(10) || chr(10) || text AS md
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(md, '(?s)```.*?```|~~~.*?~~~', ' ', 'g') AS t FROM m),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '`[^`\n]*`', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*(#{1,6}\s+|>\s?|[-*+]\s+|\d+\.\s+)', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*([-=*_]\s*){3,}$|\|', ' ', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[*_]{1,3}([^*_]+)[*_]{1,3}', '\1', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s7)
+        |SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS clean_len
+        |FROM s8 ORDER BY doc_id""".stripMargin,
+
+
+    // CDC: boundary flags, prefix-sum chunk ids, order-preserving
+    // string_agg rebuild, md5 fingerprints.
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks,
+        |    [CASE WHEN substr(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END
+        |     FOR i IN range(1, len(toks) + 1)] AS flags FROM t),
+        |st AS (SELECT doc_id, toks,
+        |    [coalesce(list_sum(flags[1:i-1]), 0) FOR i IN range(1, len(flags) + 1)] AS starts
+        |  FROM f),
+        |a AS (SELECT doc_id,
+        |    unnest([{'i': i, 'c': starts[i], 't': toks[i]}
+        |            FOR i IN range(1, len(toks) + 1)]) AS u
+        |  FROM st WHERE len(toks) > 0),
+        |g AS (SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+        |    md5(string_agg(u.t, ' ' ORDER BY u.i)) AS chunk_md5,
+        |    CAST(count(*) AS INT) AS n_toks
+        |  FROM a GROUP BY 1, 2)
+        |SELECT * FROM g
+        |UNION ALL SELECT doc_id, 0, md5(''), 0 FROM t WHERE len(toks) = 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    // REP precedence over the rule table the literal bodies parse to:
+    // own agent beats '*', longest prefix, allow beats disallow on ties,
+    // no match = allowed.
+    "q_robots" ->
+      """WITH rules(host, agent, allow, path_prefix) AS (VALUES
+        |  ('site0.org', '*', false, '/private/'),
+        |  ('site0.org', '*', true, '/private/ok'),
+        |  ('site0.org', 'gptbot', false, '/'),
+        |  ('site1.org', 'ccbot', false, '/data/'),
+        |  ('site1.org', 'ccbot', true, '/data/public/')),
+        |u AS (SELECT 'https://site' || (doc_id % 3) || '.org' ||
+        |    (['/private/x','/private/ok/page','/data/x','/data/public/y','/open/z'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    '?id=' || doc_id AS url FROM documents),
+        |uu AS (SELECT url,
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host,
+        |    coalesce(nullif(regexp_extract(url, 'https?://[^/\s?#]+(/[^\s#]*)', 1), ''), '/') AS path
+        |  FROM u),
+        |m AS (SELECT uu.url, r.allow, len(r.path_prefix) AS l,
+        |    CASE WHEN r.agent = 'ccbot' THEN 1 ELSE 0 END AS pri
+        |  FROM uu JOIN rules r ON uu.host = r.host
+        |    AND (r.agent = 'ccbot' OR r.agent = '*')
+        |  WHERE starts_with(uu.path, r.path_prefix)),
+        |w AS (SELECT url, allow,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY pri DESC, l DESC, allow DESC) AS rn FROM m)
+        |SELECT u.url, coalesce(w.allow, true) AS allowed
+        |FROM u LEFT JOIN w ON u.url = w.url AND w.rn = 1
+        |ORDER BY u.url""".stripMargin,
+
+
+    // Sentence-budget chunking: prefix sums via sliced list_sum, the
+    // struct-comprehension unnest, order-preserving string_agg rebuild.
+    "q_sentence_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|key|value) ', '. ', 'g') AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |    x -> len(trim(x)) > 0) AS sents FROM t),
+        |c AS (SELECT doc_id, sents,
+        |    [len(list_filter(regexp_split_to_array(sents[i], '\s+'), w -> len(w) > 0))
+        |     FOR i IN range(1, len(sents) + 1)] AS cnts FROM s),
+        |st AS (SELECT doc_id, sents, cnts,
+        |    [coalesce(list_sum(cnts[1:i-1]), 0) FOR i IN range(1, len(cnts) + 1)] AS starts
+        |  FROM c),
+        |a AS (SELECT doc_id,
+        |    unnest([{'i': i,
+        |             'cid': CAST(floor(CAST(starts[i] AS DOUBLE) / 25) AS INT),
+        |             's': sents[i], 't': cnts[i]}
+        |            FOR i IN range(1, len(sents) + 1)]) AS u FROM st),
+        |g AS (SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+        |    string_agg(u.s, '. ' ORDER BY u.i) AS chunk,
+        |    CAST(count(*) AS INT) AS n_sentences,
+        |    CAST(sum(u.t) AS INT) AS n_tokens
+        |  FROM a GROUP BY 1, 2)
+        |SELECT * FROM g
+        |UNION ALL SELECT doc_id, 0, '', 0, 0 FROM s WHERE len(sents) = 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    // Anchor extraction: same RE2 patterns as linkTable; positions via
+    // the struct-comprehension unnest (0-based like posexplode).
+    "q_link_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body><p>' || text || '</p>' ||
+        |    '<a href="http://cdn' || (doc_id % 7) || '.' || source ||
+        |    '.org/page?id=' || doc_id || '&utm_source=feed">read <b>more</b> now</a>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<a class="x" href="https://hub.org/">Hub</a>'
+        |         ELSE '' END ||
+        |    '</body></html>' AS html FROM documents),
+        |lst AS (SELECT doc_id,
+        |    regexp_extract_all(html, '(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>') AS arr
+        |  FROM h),
+        |e AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'v': arr[i]} FOR i IN range(1, len(arr) + 1)]) AS u
+        |  FROM lst),
+        |f AS (SELECT doc_id, CAST(u.p AS BIGINT) AS link_pos,
+        |    regexp_extract(u.v, '(?is)href="([^"]*)"', 1) AS url,
+        |    trim(regexp_replace(regexp_replace(u.v,
+        |      '(?is)^<a[^>]*>|</a>$|<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+        |  FROM e)
+        |SELECT doc_id, link_pos, url, anchor,
+        |  regexp_extract(regexp_replace(
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
+        |    '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM f ORDER BY doc_id, link_pos""".stripMargin,
+
+
+    "q_pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.org or 10.' || (doc_id % 256)
+        |      || '.0.1 or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ' || substring(text, 1, 40) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+
+    "q_url_domain" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |      || 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+        |      || '.org/path/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    regexp_extract(regexp_replace(
+        |      lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
+        |      '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u)
+        |SELECT domain, count(*) AS n FROM d
+        |WHERE domain NOT IN ('src0.org', 'src1.org')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_pack" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, cend - n_chars AS cstart, cend,
+        |    unnest(range(CAST(floor((cend - n_chars) / 512) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 512) AS BIGINT) + 1)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |  greatest(seq_id * 512, cstart) - cstart AS doc_tok_start,
+        |  least((seq_id + 1) * 512, cend) - cstart AS doc_tok_end,
+        |  greatest(seq_id * 512, cstart) - seq_id * 512 AS seq_tok_start
+        |FROM s ORDER BY doc_id, seq_id""".stripMargin,
+
+
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, CAST(tok_start AS BIGINT) AS tok_start,
+        |  array_to_string(toks[tok_start : tok_start + 39], ' ') AS chunk,
+        |  greatest(least(len(toks) - tok_start + 1, 40), 0) AS n_toks
+        |FROM s ORDER BY doc_id, tok_start""".stripMargin,
+
+
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        |  || source || '.org' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |  || '/Path/' || CAST(doc_id AS VARCHAR)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |  || '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+        |  || '&fbclid=xyz'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)),
+        |    '^(http://[^/]*):80$', '\1'), '^(https://[^/]*):443$', '\1')
+        |  || substring(url, length(regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)) + 1) AS url
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(url,
+        |  '([?&])(?i:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '\1', 'g') AS url FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '\?&+', '?', 'g'),
+        |  '&{2,}', '&', 'g') AS url FROM s3)
+        |SELECT doc_id, regexp_replace(url, '[?&/]+$', '') AS canon_url
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>x{color:red}</style></head><body><h1>' || substring(text, 1, 30)
+        |    || '</h1><p class="a">' || substring(text, 31, 60)
+        |    || ' &amp; more</p><script>var x=1;</script>' || chr(7) || '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F�]', '', 'g'),
+        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t, '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g') AS t FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+
+    "q_secret_scan" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        |        || ' token=' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |        || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b')) AS n_awskey,
+        |  len(regexp_extract_all(t, '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----')) AS n_pem,
+        |  len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS n_hex32,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9+/]{40,}={0,2}')) AS n_b64tok,
+        |  len(regexp_extract_all(t, '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}')) AS n_assign,
+        |  length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t,
+        |      '\bAKIA[0-9A-Z]{16}\b', '<AWSKEY>', 'g'),
+        |      '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----', '<PEM>', 'g'),
+        |      '\b[0-9a-f]{32,}\b', '<HEX32>', 'g'),
+        |      '[A-Za-z0-9+/]{40,}={0,2}', '<B64TOK>', 'g'),
+        |      '(?i)\b(api_key|apikey|secret|passwd|password|token)\b\s*[:=]\s*["'']?[A-Za-z0-9+/_-]{8,}', '<ASSIGN>', 'g'))
+        |    AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+
+    // Closed-form expected output of the synthesized boilerplate pages:
+    // the universal/nav/footer lines cross the minDocs=5 document
+    // threshold (the footer at exactly 5 docs), the per-doc body line
+    // never does.
+    "q_boilerplate" ->
+      """SELECT doc_id,
+        |  'body ' || doc_id || ' ' || substr(md5(text), 1, 8) AS text_clean,
+        |  1 AS n_lines_kept,
+        |  1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS n_lines_dropped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // Independent formulation: the fingerprint is derived from the
+    // CONSTRUCTION (both the clean and the uppercased/double-spaced
+    // variant normalize to the same role||content stream), not by
+    // replaying the engine's normalization.
+    "q_conv_dedup" ->
+      """WITH c AS (SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+        |    ELSE md5('user' || chr(1) || 'question number ' || base || chr(2) ||
+        |             'assistant' || chr(1) || 'answer text ' || (base * 7) % 1000) END
+        |    AS conv_fp
+        |  FROM c),
+        |m AS (SELECT conv_fp, min(doc_id) AS first FROM f
+        |  WHERE conv_fp IS NOT NULL GROUP BY 1)
+        |SELECT f.doc_id, f.conv_fp,
+        |  coalesce(f.doc_id <> m.first, false) AS is_duplicate
+        |FROM f LEFT JOIN m USING (conv_fp) ORDER BY f.doc_id""".stripMargin,
+
+
+    // Closed-form token counts from the synthesis (n_tok = a+b+2,
+    // response tokens [a+2, a+b+2)) — the oracle checks the engine's
+    // whole char->token->sequence chain without tokenizing anything.
+    "q_sft_pack" ->
+      """WITH c AS (SELECT doc_id, 3 + doc_id % 7 AS a, 2 + doc_id % 11 AS b
+        |  FROM documents),
+        |t AS (SELECT doc_id, a + b + 2 AS n_tok, a + 2 AS resp_s,
+        |    a + b + 2 AS resp_e FROM c),
+        |cum AS (SELECT doc_id, n_tok, resp_s, resp_e,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cend FROM t),
+        |s AS (SELECT *, cend - n_tok AS cstart,
+        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
+        |  FROM cum),
+        |x AS (SELECT doc_id, seq_id,
+        |    greatest(seq_id * 32, cstart) - cstart AS dts,
+        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
+        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
+        |    n_tok, resp_s, resp_e FROM s),
+        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
+        |  FROM x)
+        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
+        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(resp_s AS BIGINT) AS resp_tok_start,
+        |  CAST(resp_e AS BIGINT) AS resp_tok_end,
+        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
+        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
+        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
+
+
+    // Closed-form truth: response exists iff doc_id % 10 <> 0, refusal
+    // iff doc_id % 3 = 0; the engine extracts the real substring and
+    // matches the real lowered pattern list.
+    "q_refusal_scan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE doc_id % 3 = 0 END AS is_refusal,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(6 AS BIGINT)
+        |       ELSE CAST(3 + (2 + doc_id % 11) AS BIGINT) END
+        |    AS response_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_dpo_audit" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS cw,
+        |    CASE WHEN doc_id % 7 = 0 THEN 3 + doc_id % 5
+        |         ELSE 2 + doc_id % 9 END AS rw,
+        |    doc_id % 7 = 0 AS ident
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(sum(CASE WHEN ident THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_identical,
+        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_chosen_longer,
+        |  CAST(coalesce(sum(cw), 0) AS BIGINT) AS chosen_words_total,
+        |  CAST(coalesce(sum(rw), 0) AS BIGINT) AS rejected_words_total,
+        |  CAST(coalesce(sum(CASE WHEN cw > rw THEN 1 ELSE 0 END), 0)
+        |    AS DOUBLE) / count(*) AS chosen_longer_rate
+        |FROM p""".stripMargin,
+
+
+    // Closed-form pipeline outcome: survivors are the even non-%3 docs
+    // (odd twins dedup onto their even buddy; base%3==0 dialogues are
+    // refusals), n_tok = a+b+5, response tokens [a+2, n_tok).
+    "q_sft_pipeline" ->
+      """WITH c AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
+        |t AS (SELECT doc_id,
+        |    (3 + doc_id % 7) + (2 + doc_id % 11) + 6 AS n_tok,
+        |    (3 + doc_id % 7) + 3 AS resp_s FROM c),
+        |cum AS (SELECT doc_id, n_tok, resp_s, n_tok AS resp_e,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cend FROM t),
+        |s AS (SELECT *, cend - n_tok AS cstart,
+        |    unnest(range(CAST(floor((cend - n_tok) / 32) AS BIGINT),
+        |                 CAST(floor((cend - 1) / 32) AS BIGINT) + 1)) AS seq_id
+        |  FROM cum),
+        |x AS (SELECT doc_id, seq_id,
+        |    greatest(seq_id * 32, cstart) - cstart AS dts,
+        |    least((seq_id + 1) * 32, cend) - cstart AS dte,
+        |    greatest(seq_id * 32, cstart) - seq_id * 32 AS sts,
+        |    n_tok, resp_s, resp_e FROM s),
+        |y AS (SELECT *, greatest(resp_s, dts) AS ms, least(resp_e, dte) AS me
+        |  FROM x)
+        |SELECT doc_id, seq_id, dts AS doc_tok_start, dte AS doc_tok_end,
+        |  sts AS seq_tok_start, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CASE WHEN ms < me THEN CAST(sts + ms - dts AS BIGINT) END AS mask_start,
+        |  CASE WHEN ms < me THEN CAST(sts + me - dts AS BIGINT) END AS mask_end
+        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
+
+
+    // Mirrors Cleanse.contentExtract paragraph-by-paragraph: same page
+    // synthesis, same tag->space strip, same density divisions.
+    "q_content_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a>'
+        |    || chr(10) || chr(10) || '<p>' || substr(text, 1, 400) || '</p>'
+        |    || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'see also <a href="/d/' || CAST(doc_id % 97 AS VARCHAR)
+        |           || '">related topic link text here</a>'
+        |      ELSE 'short note' END
+        |    || chr(10) || chr(10) || '<a href="/terms">terms of service</a>'
+        |    AS html FROM documents),
+        |p0 AS (SELECT doc_id, string_split_regex(html, '\n{2,}') AS parts
+        |  FROM h),
+        |p1 AS (SELECT doc_id, parts,
+        |    unnest(range(1, len(parts) + 1)) AS j FROM p0),
+        |p AS (SELECT doc_id AS id, CAST(j - 1 AS INT) AS para_idx,
+        |    parts[CAST(j AS INT)] AS para FROM p1),
+        |m AS (SELECT id, para_idx,
+        |    trim(regexp_replace(regexp_replace(para, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS plain,
+        |    coalesce(list_sum([len(x) FOR x IN
+        |      regexp_extract_all(para, '(?s)<a[^>]*>(.*?)</a>', 1)]), 0)
+        |      AS lc FROM p),
+        |t AS (SELECT id, para_idx, plain, lc,
+        |    list_filter(string_split(plain, ' '), w -> len(w) > 0) AS toks
+        |  FROM m),
+        |f AS (SELECT id, para_idx,
+        |    CAST(len(plain) AS INT) AS n_chars,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CAST(lc AS DOUBLE) / greatest(len(plain), 1) AS link_density,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |        ['the', 'a', 'data', 'value', 'query', 'table', 'join',
+        |         'scan', 'order', 'key'], lower(w)))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stopword_density
+        |  FROM t)
+        |SELECT id, para_idx, n_chars, n_words, link_density,
+        |  stopword_density,
+        |  (n_chars >= 80 AND link_density <= 0.2
+        |    AND stopword_density >= 0.15) AS is_content
+        |FROM f ORDER BY id, para_idx""".stripMargin,
+
+
+    // Same blocked span-corruption arithmetic as Chunking.spanCorrupt:
+    // per full 20-token block, span length 2 + h1%3 and offset
+    // h2 % (20 - len + 1) from the two md5 halves of (id, b, seed).
+    "q_span_corrupt" -> {
+      val l = "(2 + ('0x' || substr(md5(id || '_' || b || '_7'), 1, 8))" +
+        "::BIGINT % 3)"
+      val o = "(('0x' || substr(md5(id || '_' || b || '_7'), 9, 8))" +
+        s"::BIGINT % (20 - $l + 1))"
+      s"""WITH t AS (SELECT doc_id AS id,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |n AS (SELECT id, toks, CAST(len(toks) // 20 AS INT) AS nfull
+         |  FROM t),
+         |r AS (SELECT id, toks, nfull,
+         |    flatten([toks[b*20+1 : b*20+$o]
+         |        || ['<extra_id_' || b || '>']
+         |        || toks[b*20+$o+$l+1 : b*20+20]
+         |      FOR b IN range(0, nfull)])
+         |      || toks[nfull*20+1 : len(toks)] AS input_arr,
+         |    ['<extra_id_' || b || '> ' ||
+         |        array_to_string(toks[b*20+$o+1 : b*20+$o+$l], ' ')
+         |      FOR b IN range(0, nfull)]
+         |      || ['<extra_id_' || nfull || '>'] AS target_arr
+         |  FROM n)
+         |SELECT id, CAST(len(toks) AS INT) AS n_tokens,
+         |  nfull AS n_spans,
+         |  array_to_string(input_arr, ' ') AS input_text,
+         |  array_to_string(target_arr, ' ') AS target_text
+         |FROM r ORDER BY id""".stripMargin
+    },
+
+
+    // Skip-gram pairs from the replayed walks: a step-distance self-join
+    // (the oracle spelling; the operator emits pairs row-locally from the
+    // collected sequence instead).
+    "q_skipgram" -> {
+      val L = 6
+      val steps = (1 to L).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
+           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
+           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
+           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
+           |    AS cur
+           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
+      }.mkString(",\n")
+      val emit = (0 to L).map(i =>
+        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $communityGraphCtes,
+         |adj AS MATERIALIZED (SELECT s AS node,
+         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
+         |  FROM sym GROUP BY 1),
+         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
+         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
+         |$steps,
+         |walks AS MATERIALIZED ($emit)
+         |SELECT c.origin, c.walk, c.node AS center, x.node AS context,
+         |       CAST(x.step - c.step AS INT) AS "offset"
+         |FROM walks c JOIN walks x
+         |  ON c.origin = x.origin AND c.walk = x.walk
+         |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
+         |ORDER BY c.origin, c.walk, center, context, "offset"""".stripMargin
+    },
+
+
+    // Stage-order replay of the PII pipeline: the four PII regex
+    // replacements, then Luhn-verdict filtering of card candidates (the
+    // planted cards carry no separators, so the raw span IS the digit
+    // string) folded back as literal replacements, then the length gate.
+    "q_pii_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.org pay '
+        |      || lpad(CAST((doc_id * doc_id) % 10000000000000000
+        |           AS VARCHAR), 16, '0')
+        |      || ' ref ' || doc_id || ' '
+        |      || repeat('x', CAST(doc_id % 40 AS INT)) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t1
+        |  FROM w),
+        |c AS (SELECT doc_id, t1,
+        |    regexp_split_to_array(t1, '\b\d(?:[ -]?\d){12,18}\b') AS segs,
+        |    regexp_extract_all(t1, '\b\d(?:[ -]?\d){12,18}\b') AS raws,
+        |    list_transform(regexp_extract_all(t1,
+        |        '\b\d(?:[ -]?\d){12,18}\b'),
+        |      m -> regexp_replace(m, '[ -]', '', 'g')) AS digs
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    segs[1] || coalesce(list_aggregate(
+        |      [CASE WHEN length(digs[i]) BETWEEN 13 AND 19
+        |          AND list_sum([CASE WHEN (length(digs[i]) - j + 1) % 2 = 0
+        |            THEN CASE WHEN 2 * CAST(digs[i][j] AS INT) > 9
+        |              THEN 2 * CAST(digs[i][j] AS INT) - 9
+        |              ELSE 2 * CAST(digs[i][j] AS INT) END
+        |            ELSE CAST(digs[i][j] AS INT) END
+        |            FOR j IN range(1, length(digs[i]) + 1)]) % 10 = 0
+        |        THEN '<CARD>' ELSE raws[i] END || segs[i + 1]
+        |        FOR i IN range(1, len(raws) + 1)],
+        |      'string_agg', ''), '') AS text
+        |  FROM c)
+        |SELECT doc_id, text FROM r WHERE length(text) >= 60
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // 3-7-1 weighted digit sum + prefix ranges, restated positionally.
+    "q_aba_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    lpad(CAST((doc_id * 1009) % 1000000000 AS VARCHAR), 9, '0')
+        |      AS aba
+        |  FROM documents),
+        |d AS (SELECT id, aba,
+        |    CAST(aba[1] AS INT) AS d1, CAST(aba[2] AS INT) AS d2,
+        |    CAST(aba[3] AS INT) AS d3, CAST(aba[4] AS INT) AS d4,
+        |    CAST(aba[5] AS INT) AS d5, CAST(aba[6] AS INT) AS d6,
+        |    CAST(aba[7] AS INT) AS d7, CAST(aba[8] AS INT) AS d8,
+        |    CAST(aba[9] AS INT) AS d9
+        |  FROM t)
+        |SELECT id, aba,
+        |  ((3 * (d1 + d4 + d7) + 7 * (d2 + d5 + d8)
+        |      + (d3 + d6 + d9)) % 10 = 0
+        |   AND ((d1 * 10 + d2 BETWEEN 0 AND 12)
+        |     OR (d1 * 10 + d2 BETWEEN 21 AND 32)
+        |     OR (d1 * 10 + d2 BETWEEN 61 AND 72)
+        |     OR d1 * 10 + d2 = 80)) AS valid
+        |FROM d ORDER BY id""".stripMargin,
+
+
+    // The same shape regex + incremental mod-97 fold via list_reduce —
+    // integer arithmetic only (verified against the ISO examples).
+    "q_iban_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK'
+        |      || lpad(CAST((doc_id * 7919) % 10000000000 AS VARCHAR),
+        |        10, '0') AS iban
+        |  FROM documents),
+        |r AS (SELECT id, iban, substr(iban, 5) || substr(iban, 1, 4)
+        |    AS re FROM t)
+        |SELECT id, iban,
+        |  (regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
+        |   AND list_reduce(list_prepend(0,
+        |       [ascii(re[i]) FOR i IN range(1, length(re) + 1)]),
+        |     (a, c) -> CASE WHEN c BETWEEN 48 AND 57
+        |       THEN (a * 10 + (c - 48)) % 97
+        |       ELSE (a * 100 + (c - 55)) % 97 END) = 1) AS valid
+        |FROM r ORDER BY id""".stripMargin,
+
+
+    // The same candidate regex + the Luhn mod-10 checksum as a list
+    // comprehension over the digit string — integer arithmetic only.
+    "q_card_scan" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    'pay ' || lpad(CAST((doc_id * doc_id) % 10000000000000000
+        |      AS VARCHAR), 16, '0') || ' ok' AS txt
+        |  FROM documents),
+        |c AS (SELECT id, unnest(regexp_extract_all(txt,
+        |    '\b\d(?:[ -]?\d){12,18}\b')) AS raw FROM t),
+        |d AS (SELECT id, raw, regexp_replace(raw, '[ -]', '', 'g')
+        |    AS digits FROM c)
+        |SELECT id, raw, digits,
+        |  (length(digits) BETWEEN 13 AND 19
+        |   AND list_sum([CASE WHEN (length(digits) - i + 1) % 2 = 0
+        |     THEN CASE WHEN 2 * CAST(digits[i] AS INT) > 9
+        |       THEN 2 * CAST(digits[i] AS INT) - 9
+        |       ELSE 2 * CAST(digits[i] AS INT) END
+        |     ELSE CAST(digits[i] AS INT) END
+        |     FOR i IN range(1, length(digits) + 1)]) % 10 = 0) AS valid
+        |FROM d ORDER BY id, raw""".stripMargin,
+
+  )
+}

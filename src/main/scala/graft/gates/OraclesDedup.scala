@@ -1,0 +1,501 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — exact + near-duplicate detection and clustering.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesDedup expression-by-expression.
+  */
+private[graft] object OraclesDedup {
+  val sql: Map[String, String] = Map(
+
+    // Planted-recall / roundtrip claims oracles (r7 rows-only conversions)
+    "q_minhash_pairs" ->
+      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
+
+
+    "q_simhash" ->
+      """SELECT doc_id, true AS sig_match, true AS perturb_local
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_simhash_neardup" ->
+      """SELECT doc_id, true AS found FROM documents ORDER BY doc_id""",
+
+
+    "q_fuzzy_decontam" ->
+      """SELECT doc_id + 10000000 AS doc_id, true AS contaminated
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+
+    "q_fingerprint_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normText) AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+
+    "q_canonical" ->
+      s"""WITH fp AS (SELECT doc_id, md5($normText) AS f,
+         |              CAST(length(text) AS DOUBLE) AS score FROM documents),
+         |comp AS (SELECT f, min(doc_id) AS component FROM fp GROUP BY f),
+         |j AS (SELECT fp.doc_id, fp.score, c.component
+         |      FROM fp JOIN comp c USING (f)),
+         |canon AS (SELECT component, doc_id AS canonical_id FROM (
+         |  SELECT component, doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.component, canon.canonical_id,
+         |       j.doc_id <> canon.canonical_id AS is_duplicate
+         |FROM j JOIN canon USING (component)
+         |ORDER BY j.doc_id""".stripMargin,
+
+
+    "q_ngram_jaccard" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT block, id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) AS jaccard
+         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05
+         |ORDER BY block, id_a, id_b""".stripMargin,
+
+
+    "q_ngram_containment" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT block, id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / sa.sh_size, 6) AS containment_a,
+         |  round(CAST(inter AS DOUBLE) / sb.sh_size, 6) AS containment_b
+         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / sa.sh_size >= 0.3
+         |   OR CAST(inter AS DOUBLE) / sb.sh_size >= 0.3
+         |ORDER BY block, id_a, id_b""".stripMargin,
+
+
+    // Shared-shingle audit for the jaccard pairs: counts + the sorted
+    // first-3 sample, ' | '-joined.
+    "q_pair_evidence" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p2 AS (SELECT id_a, id_b FROM pr
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
+         |ev AS (SELECT p2.id_a, p2.id_b, count(*) AS n_shared,
+         |    array_to_string(list_sort(list(a.shingle))[1:3], ' | ') AS shared_sample
+         |  FROM p2 JOIN sh a ON a.doc_id = p2.id_a
+         |  JOIN sh b ON b.doc_id = p2.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p2.id_a, p2.id_b,
+         |  coalesce(ev.n_shared, 0) AS n_shared,
+         |  coalesce(ev.shared_sample, '') AS shared_sample
+         |FROM p2 LEFT JOIN ev USING (id_a, id_b)
+         |ORDER BY 1, 2""".stripMargin,
+
+
+    // Degree of each document in the 3-gram Jaccard candidate graph
+    // (same pair construction as q_ngram_jaccard), 0 when untouched.
+    "q_neardup_degree" ->
+      s"""WITH norm AS (SELECT doc_id, source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    unnest(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM norm),
+         |sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p2 AS (SELECT id_a, id_b FROM pairs
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sh_size + sb.sh_size - inter) >= 0.05),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT id_a AS id FROM p2 UNION ALL SELECT id_b FROM p2)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+         |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    // Rand/ARI from exact integer pair counts; same double association
+    // for the two ratios, ppm floors.
+    "q_cluster_agreement" ->
+      """WITH k AS (SELECT source AS a, floor(n_chars / 100) AS b FROM documents),
+        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
+        |cs AS (SELECT CAST(sum(n_ab * (n_ab - 1) // 2) AS BIGINT) AS sum_cells,
+        |              CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+        |rs AS (SELECT CAST(sum(n_a * (n_a - 1) // 2) AS BIGINT) AS sum_rows
+        |       FROM (SELECT sum(n_ab) AS n_a FROM cells GROUP BY a)),
+        |cls AS (SELECT CAST(sum(n_b * (n_b - 1) // 2) AS BIGINT) AS sum_cols
+        |        FROM (SELECT sum(n_ab) AS n_b FROM cells GROUP BY b)),
+        |j AS (SELECT n, n * (n - 1) // 2 AS n_pairs, sum_cells, sum_rows, sum_cols
+        |      FROM cs, rs, cls),
+        |x AS (SELECT *,
+        |    CAST(sum_rows AS DOUBLE) * sum_cols / n_pairs AS expected,
+        |    CAST(sum_rows + sum_cols AS DOUBLE) / 2.0 AS max_idx
+        |  FROM j)
+        |SELECT n, n_pairs, sum_cells, sum_rows, sum_cols,
+        |  CAST(floor(CAST(n_pairs + 2 * sum_cells - sum_rows - sum_cols AS DOUBLE)
+        |    / n_pairs * 1e6 + 0.5) AS BIGINT) AS rand_ppm,
+        |  CAST(floor(CASE WHEN max_idx = expected THEN 1.0
+        |    ELSE (sum_cells - expected) / (max_idx - expected) END * 1e6 + 0.5)
+        |    AS BIGINT) AS ari_ppm
+        |FROM x""".stripMargin,
+
+
+    // Directed source-overlap matrix on distinct 3-grams.
+    "q_source_overlap" ->
+      s"""WITH norm AS (SELECT source, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
+         |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+         |p AS (SELECT a.source AS slice_a, b.source AS slice_b, count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT slice_a, slice_b, n_shared,
+         |  CAST(floor(CAST(n_shared AS DOUBLE) / sz.n_grams * 1e6 + 0.5) AS BIGINT) AS containment_ppm
+         |FROM p JOIN sz ON p.slice_a = sz.source
+         |ORDER BY 1, 2""".stripMargin,
+
+
+    // Claims oracle (r8): the suffix-rank construction is iterative
+    // sort/join rounds, not oracle-replayable; the planted-pair geometry
+    // is closed-form. n_pairs = complete doc-id pairs under the gate's
+    // % 10 in {0, 1} construction.
+    "q_suffix_spans" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents),
+        |p AS (SELECT count(*) AS n_pairs FROM (
+        |  SELECT doc_id // 10 AS pk FROM documents WHERE doc_id % 10 < 2
+        |  GROUP BY 1 HAVING count(*) = 2))
+        |SELECT c.claim, t.n, p.n_pairs, true AS ok
+        |FROM t, p, (VALUES ('all_spans_on_cut_side'),
+        |  ('one_span_per_pair'), ('span_geometry_exact')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
+
+    // Zone blocklist: membership of any host dot-suffix == equality OR
+    // dotted-suffix LIKE per entry.
+    "q_suffix_block" ->
+      """WITH u AS (SELECT doc_id, 'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'ads.tracker' || (doc_id % 3) || '.net'
+        |         ELSE source || '.org' END || '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS host FROM u)
+        |SELECT doc_id, url FROM h
+        |WHERE NOT (host = 'tracker0.net' OR host LIKE '%.tracker0.net'
+        |  OR host = 'tracker1.net' OR host LIKE '%.tracker1.net'
+        |  OR host = 'src0.org' OR host LIKE '%.src0.org'
+        |  OR host = 'src1.org' OR host LIKE '%.src1.org')
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // Connected components via recursive-CTE reachability: in an undirected
+    // graph the reachable set IS the component, so min(reachable ∪ self)
+    // is the component's minimum id. Terminates because UNION dedups.
+    "q_cc_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
+        |    AND a.doc_id <> b.doc_id),
+        |r(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src)
+        |SELECT id AS doc_id, min(comp) AS component,
+        |  (min(comp) <> id) AS is_duplicate
+        |FROM r GROUP BY id ORDER BY 1""".stripMargin,
+
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 13
+         |    THEN [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+         |hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams,
+         |    count(DISTINCT b.doc_id) AS n_bench_docs
+         |  FROM grams c JOIN grams b ON c.g = b.g AND b.doc_id % 20 = 0
+         |  WHERE c.doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+         |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_para_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split_regex(text, ' customer ') AS ps FROM documents),
+        |p1 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
+        |  FROM p0),
+        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM p1 WHERE len(trim(u.para)) > 0),
+        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
+        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
+        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
+        |r AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+        |    count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n, 0) AS n_paras_kept
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_sentence_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS ps FROM documents),
+        |p1 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ps) + 1), i -> {'idx': i - 1, 'para': ps[i]})) AS u
+        |  FROM p0),
+        |p2 AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    md5(trim(regexp_replace(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM p1 WHERE len(trim(u.para)) > 0),
+        |f AS (SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first FROM p2 GROUP BY h),
+        |k AS (SELECT p2.* FROM p2 JOIN f USING (h)
+        |  WHERE p2.doc_id = f.first.doc_id AND p2.idx = f.first.idx),
+        |r AS (SELECT doc_id, string_agg(para, '. ' ORDER BY idx) AS text_dedup,
+        |    count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n, 0) AS n_sents_kept
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_incr_dedup" ->
+      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 1),
+         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 1),
+         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
+         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
+         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
+         |ORDER BY n.doc_id""".stripMargin,
+
+
+    // first-occurrence key packs (doc_id, pos) into one BIGINT — valid while
+    // positions stay below 10^6 tokens/doc, far above the gate data
+    "q_substr_dedup" -> {
+      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
+      """WITH t AS (SELECT doc_id, TOKS AS toks FROM documents),
+        |w0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        |    THEN [{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')} FOR i IN range(1, len(toks) - 6)]
+        |    ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS u FROM t),
+        |w AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM w0),
+        |firsts AS (SELECT g, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY 1),
+        |dupw AS (SELECT doc_id, pos FROM w JOIN firsts USING (g)
+        |  WHERE doc_id * 1000000 + pos <> fk),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM
+        |  (SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM dupw)),
+        |tok0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 1
+        |    THEN [{'idx': i, 'tok': toks[i]} FOR i IN range(1, len(toks) + 1)]
+        |    ELSE CAST([] AS STRUCT(idx BIGINT, tok VARCHAR)[]) END) AS u FROM t),
+        |tokens AS (SELECT doc_id, u.idx AS idx, u.tok AS tok FROM tok0),
+        |kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tokens tk
+        |  LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.idx = c.idx
+        |  WHERE c.idx IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
+        |  count(*) AS n_tokens_kept FROM kept GROUP BY 1),
+        |ndrop AS (SELECT doc_id, count(*) AS n_tokens_dropped FROM cov GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+        |  coalesce(n.n_tokens_dropped, 0) AS n_tokens_dropped
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN ndrop n USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin.replace("TOKS", toks)
+    },
+
+
+    // bloom prefilter is an optimization, not a semantic change: the oracle
+    // is the plain incremental-dedup SQL on the complementary split
+    "q_bloom_incr" ->
+      s"""WITH cfp AS (SELECT DISTINCT md5($normText) AS fp FROM documents WHERE doc_id % 3 <> 2),
+         |nfp AS (SELECT doc_id, md5($normText) AS fp FROM documents WHERE doc_id % 3 = 2),
+         |firsts AS (SELECT fp, min(doc_id) AS fid FROM nfp GROUP BY 1)
+         |SELECT n.doc_id, (c.fp IS NOT NULL OR n.doc_id <> f.fid) AS is_duplicate
+         |FROM nfp n JOIN firsts f USING (fp) LEFT JOIN cfp c USING (fp)
+         |ORDER BY n.doc_id""".stripMargin,
+
+
+    "q_dedup_audit" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 10 < 3
+         |      THEN 'duplicate boilerplate page ' || CAST(doc_id % 25 AS VARCHAR)
+         |      ELSE text END AS text FROM documents),
+         |c AS (SELECT $normText AS norm, count(*) AS cluster_size,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars,
+         |    CAST(min(n_chars) AS BIGINT) AS chars_kept
+         |  FROM d GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(chars - chars_kept) AS BIGINT) AS chars_removed
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_scd2" ->
+      s"""WITH s1 AS (SELECT doc_id AS id, md5($normText) AS fp FROM documents),
+         |nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 100),
+         |s2 AS (SELECT doc_id AS id, md5($normText) AS fp FROM nw),
+         |j AS (SELECT s1.id AS id, s1.fp AS fp1, s2.fp AS fp2
+         |  FROM s1 LEFT JOIN s2 ON s1.id = s2.id)
+         |SELECT id AS doc_id, fp1 AS fp, CAST(1000 AS BIGINT) AS valid_from,
+         |  CAST(NULL AS BIGINT) AS valid_to FROM j WHERE fp2 = fp1
+         |UNION ALL
+         |SELECT id, fp1, 1000, 2000 FROM j WHERE fp2 IS NULL OR fp2 <> fp1
+         |UNION ALL
+         |SELECT id, fp2, 2000, NULL FROM j WHERE fp2 IS NOT NULL AND fp2 <> fp1
+         |ORDER BY doc_id, valid_from""".stripMargin,
+
+
+    "q_editdist" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, title FROM t0
+         |  UNION ALL SELECT doc_id + 10000000, source,
+         |    substr(title, 1, length(title) - 1) FROM t0),
+         |b AS (SELECT doc_id AS id, source AS block,
+         |    trim(regexp_replace(regexp_replace(lower(title), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS s
+         |  FROM t),
+         |b2 AS (SELECT id, block, s, length(s) AS len,
+         |    CAST(floor(length(s) / 3) AS BIGINT) AS band, substr(s, 1, 1) AS pfx
+         |  FROM b WHERE length(s) > 0),
+         |hot AS (SELECT block, pfx, band FROM b2 GROUP BY 1, 2, 3 HAVING count(*) > 5000),
+         |c AS (SELECT b2.* FROM b2 LEFT JOIN hot
+         |  ON b2.block = hot.block AND b2.pfx = hot.pfx AND b2.band = hot.band
+         |  WHERE hot.block IS NULL),
+         |r AS (SELECT id AS id_b, block, pfx, s AS s_b, len AS len_b,
+         |    unnest([band - 1, band, band + 1]) AS band FROM c),
+         |p AS (SELECT l.block, l.id AS id_a, r.id_b,
+         |    levenshtein(l.s, r.s_b) AS dist
+         |  FROM c l JOIN r ON l.block = r.block AND l.pfx = r.pfx AND l.band = r.band
+         |  WHERE l.id < r.id_b AND abs(l.len - r.len_b) <= 2)
+         |SELECT block, id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
+         |WHERE dist <= 2 ORDER BY block, id_a, id_b""".stripMargin,
+
+
+    "q_repeated_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t
+        |  FROM documents),
+        |ts AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
+        |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM ts),
+        |gm AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |    i -> {'idx': i - 1, 'g': array_to_string(list_slice(toks, i, i + 4), chr(1))})) AS v
+        |  FROM ts WHERE len(toks) >= 5),
+        |fi AS (SELECT doc_id, v.g AS g, min(v.idx) AS first_idx FROM gm GROUP BY 1, 2),
+        |dp AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT gm.doc_id AS doc_id, unnest(range(v.idx, v.idx + 5)) AS pos
+        |  FROM gm JOIN fi ON gm.doc_id = fi.doc_id AND v.g = fi.g
+        |  WHERE v.idx > fi.first_idx)),
+        |kp AS (SELECT tk.doc_id, u.pos AS pos, u.tok AS tok FROM tk
+        |  LEFT JOIN dp ON tk.doc_id = dp.doc_id AND u.pos = dp.pos
+        |  WHERE dp.doc_id IS NULL),
+        |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept FROM kp GROUP BY doc_id),
+        |n0 AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n0 FROM d)
+        |SELECT n0.doc_id AS doc_id, coalesce(rb.text_dedup, '') AS text_dedup,
+        |  coalesce(rb.n_tokens_kept, 0) AS n_tokens_kept,
+        |  n0.n0 - coalesce(rb.n_tokens_kept, 0) AS n_tokens_dropped
+        |FROM n0 LEFT JOIN rb ON n0.doc_id = rb.doc_id
+        |ORDER BY n0.doc_id""".stripMargin,
+
+
+    "q_dedup_sweep" ->
+      """SELECT claim, CASE WHEN claim = 'minhash_simhash_rand_ge_090'
+        |    THEN 2 * (SELECT count(*) FROM documents)
+        |    ELSE (SELECT count(*) FROM documents) END AS n,
+        |  true AS ok
+        |FROM (VALUES ('minhash_covered'), ('minhash_simhash_rand_ge_090'),
+        |  ('ngram_covered_95'), ('simhash_covered')) t(claim)
+        |ORDER BY claim""".stripMargin,
+
+
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN [array_to_string(toks[i:i+4], ' ')
+        |            FOR i IN range(1, len(toks) - 3)]
+        |      ELSE [] END AS grams FROM t),
+        |h AS (SELECT doc_id,
+        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |  FROM h WHERE len(hs) >= 4),
+        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
+        |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM m),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM fps GROUP BY 1),
+        |cold AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE a.fp IN (SELECT fp FROM cold)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.id_a, pr.id_b, pr.n_shared,
+        |  na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+        |  CAST(pr.n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp) AS coverage
+        |FROM pr JOIN nf na ON pr.id_a = na.doc_id
+        |  JOIN nf nb ON pr.id_b = nb.doc_id
+        |ORDER BY pr.id_a, pr.id_b""".stripMargin,
+
+
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN [array_to_string(toks[i:i+4], ' ')
+        |            FOR i IN range(1, len(toks) - 3)]
+        |      ELSE [] END AS grams FROM t),
+        |h AS (SELECT doc_id,
+        |    [('0x' || substr(md5(g), 1, 8))::BIGINT FOR g IN grams] AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |  FROM h WHERE len(hs) >= 4),
+        |m AS (SELECT doc_id, hs, j, list_min(hs[j:j+3]) AS mh FROM w),
+        |p AS (SELECT doc_id,
+        |    CAST(j + list_max([CASE WHEN hs[j + o] = mh THEN o ELSE -1 END
+        |      FOR o IN range(0, 4)]) AS BIGINT) AS pos,
+        |    mh AS fp FROM m)
+        |SELECT DISTINCT doc_id, pos, fp FROM p
+        |ORDER BY doc_id, pos""".stripMargin,
+
+  )
+}

@@ -1,0 +1,607 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — sketches/diagnostics, privacy, eval metrics, multimodal, WARC.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesDiag expression-by-expression.
+  */
+private[graft] object OraclesDiag {
+  val sql: Map[String, String] = Map(
+
+    // Recomputes the WET pipeline's expected output straight from
+    // `documents` — page construction (64 words, 8-word sentences, planted
+    // violations), the C4 line/page rules (same formulation as
+    // q_c4_filter), the x/m uri mirroring, and exact-dedup's
+    // min-uri-per-normalized-fingerprint rule. The Spark side must arrive
+    // at the same rows THROUGH the WET files it wrote and re-read.
+    // Hamming-0 perceptual pairs are by construction exactly the
+    // same-group pairs of the synthesized fixtures (dHash cancels the
+    // per-doc luminance shift; the envelope hash cancels the per-doc
+    // gain) — so the oracle is a plain self-join on the group key.
+    "q_image_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 120 AND b.doc_id < 120
+        |ORDER BY 1, 2""".stripMargin,
+
+
+    "q_audio_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 96 AND b.doc_id < 96
+        |ORDER BY 1, 2""".stripMargin,
+
+
+    // DSv2 crawl read: per-record uri, payload byte length (ASCII page
+    // text -> strlen), payload md5 — two uris per fixture doc.
+    "q_warc_dsv2" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
+        |built AS (SELECT doc_id,
+        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
+        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
+        |  FROM w),
+        |page AS (SELECT doc_id,
+        |    array_to_string(list_concat(body, CASE WHEN doc_id % 7 = 0
+        |      THEN ['enable javascript now please friend.', 'too short.',
+        |            'lorem ipsum dolor sit amet today.']
+        |      ELSE ['enable javascript now please friend.', 'too short.']
+        |      END), chr(10)) AS raw
+        |  FROM built),
+        |u AS (SELECT 'http://m.example/' || format('{:05d}', doc_id) AS target_uri,
+        |    raw FROM page
+        |  UNION ALL
+        |  SELECT 'http://x.example/' || format('{:05d}', doc_id), raw FROM page)
+        |SELECT target_uri, CAST(strlen(raw) AS BIGINT) AS content_length,
+        |  md5(raw) AS text_md5
+        |FROM u ORDER BY target_uri""".stripMargin,
+
+
+    "q_wet_pipeline" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, string_split(text, ' ')[1:64] AS ws FROM d),
+        |built AS (SELECT doc_id,
+        |    [array_to_string(ws[i*8+1:i*8+8], ' ') || '.'
+        |     FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS body
+        |  FROM w),
+        |page AS (SELECT doc_id,
+        |    list_concat(body, CASE WHEN doc_id % 7 = 0
+        |      THEN ['enable javascript now please friend.', 'too short.',
+        |            'lorem ipsum dolor sit amet today.']
+        |      ELSE ['enable javascript now please friend.', 'too short.']
+        |      END) AS lines0
+        |  FROM built),
+        |l AS (SELECT doc_id,
+        |    array_to_string(lines0, chr(10)) AS raw,
+        |    list_filter([trim(x) FOR x IN lines0], x -> length(x) > 0) AS lines
+        |  FROM page),
+        |k AS (SELECT doc_id, raw,
+        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l),
+        |c AS (SELECT doc_id,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+        |    CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |  FROM k
+        |  WHERE len(regexp_extract_all(
+        |          coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+        |    AND NOT contains(lower(raw), 'lorem ipsum')
+        |    AND NOT contains(raw, '{')),
+        |u AS (SELECT printf('http://%s.example/%05d', m.p, doc_id) AS target_uri,
+        |             n_lines_kept, text_c4,
+        |             md5(trim(regexp_replace(regexp_replace(lower(text_c4),
+        |               '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |      FROM c CROSS JOIN (VALUES ('m'), ('x')) AS m(p))
+        |SELECT target_uri, n_lines_kept, md5(text_c4) AS c4_md5,
+        |       target_uri <> min(target_uri) OVER (PARTITION BY fp) AS is_duplicate
+        |FROM u ORDER BY target_uri""".stripMargin,
+
+
+    // Per-source distinct bucket counts (theta exact mode).
+    "q_theta_profile" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // Join-size prediction: per-key count histograms, sum/max of products.
+    "q_join_size" ->
+      """WITH ka AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1),
+        |kb AS (SELECT l_orderkey % 1000 AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+        |j AS (SELECT na * nb AS rows_k FROM ka JOIN kb USING (k))
+        |SELECT CAST(coalesce(sum(rows_k), 0) AS BIGINT) AS est_rows,
+        |  CAST(coalesce(max(rows_k), 0) AS BIGINT) AS max_key_rows,
+        |  count(*) AS n_join_keys
+        |FROM j""".stripMargin,
+
+
+    // Exact set arithmetic over the same bounded md5-bucket keys the
+    // theta sketches see (sketches are in exact mode below 4096 keys).
+    "q_theta_overlap" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000 AS key
+        |  FROM documents),
+        |a AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT key FROM k WHERE doc_id % 3 = 0),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM a JOIN b USING (key)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT key FROM a UNION SELECT key FROM b)) AS n_union,
+        |  (SELECT count(*) FROM a WHERE key NOT IN (SELECT key FROM b)) AS n_a_not_b,
+        |  (SELECT count(*) FROM b WHERE key NOT IN (SELECT key FROM a)) AS n_b_not_a)
+        |SELECT n_a, n_b, n_intersect, n_union, n_a_not_b, n_b_not_a,
+        |  CAST(floor(CAST(n_intersect AS DOUBLE) / n_union * 1e6 + 0.5) AS BIGINT) AS jaccard_ppm
+        |FROM m""".stripMargin,
+
+
+    // nDCG: DCG folds as list_reduce with a 0.0 seed over rank-sorted
+    // terms (same association as Spark's aggregate() fold; 0.0 + x is
+    // bit-exact); log2 spelled ln(x)/ln(2.0) — Spark's log(2, x) formula.
+    "q_ndcg" ->
+      """WITH p AS (SELECT doc_id % 20 AS query, doc_id AS item,
+        |    doc_id // 20 + 1 AS rnk FROM documents),
+        |t AS (SELECT doc_id % 20 AS query, doc_id AS item,
+        |    CAST(doc_id % 7 AS DOUBLE) AS rel FROM documents WHERE doc_id % 3 = 0),
+        |j AS (SELECT p.query, p.rnk, coalesce(t.rel, 0.0) AS rel
+        |  FROM p LEFT JOIN t ON p.query = t.query AND p.item = t.item),
+        |d AS (SELECT query, count(*) AS k,
+        |    list_reduce([0.0] ||
+        |      [x.rel / (ln(x.rnk + 1) / ln(2.0))
+        |       FOR x IN list_sort(list({'rnk': rnk, 'rel': rel}))],
+        |      (a, b) -> a + b) AS dcg
+        |  FROM j GROUP BY query),
+        |i AS (SELECT query, list_sort(list(rel), 'DESC') AS rels
+        |  FROM t GROUP BY query),
+        |f AS (SELECT d.query, d.k, d.dcg,
+        |    CASE WHEN i.rels IS NULL OR least(len(i.rels), d.k) <= 0 THEN 0.0
+        |    ELSE list_reduce([0.0] ||
+        |      [i.rels[n] / (ln(n + 1) / ln(2.0))
+        |       FOR n IN range(1, CAST(least(len(i.rels), d.k) AS INT) + 1)],
+        |      (a, b) -> a + b) END AS idcg
+        |  FROM d LEFT JOIN i ON d.query = i.query)
+        |SELECT query, k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  CASE WHEN idcg = 0.0 THEN NULL ELSE round(dcg / idcg, 6) END AS ndcg
+        |FROM f ORDER BY query""".stripMargin,
+
+
+    // Confusion counts for the code rule vs its planted truth; the
+    // is_code computation is the q_code_detect oracle's.
+    "q_classifier_eval" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2,
+         |  (doc_id % 3 = 0) AS label FROM documents),
+         |m AS (SELECT doc_id, label,
+         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
+         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
+         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
+         |  FROM t),
+         |sig AS (SELECT doc_id, label,
+         |  (CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END > 0.12
+         |   OR (
+         |    (CASE WHEN len(lines) <= 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END) > 0.3
+         |    AND
+         |    (CASE WHEN len(words) <= 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(words, w ->
+         |        regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
+         |        OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
+         |        OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END) > 0.05
+         |   )) AS pred
+         |  FROM m),
+         |c AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sig),
+         |r AS (SELECT *,
+         |    CAST(tp + tn AS DOUBLE) / n AS accuracy,
+         |    CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |    CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+         |  FROM c)
+         |SELECT n, tp, fp, fn, tn,
+         |  CAST(floor(accuracy * 1e6 + 0.5) AS BIGINT) AS accuracy_ppm,
+         |  CAST(floor(prec * 1e6 + 0.5) AS BIGINT) AS precision_ppm,
+         |  CAST(floor(rec * 1e6 + 0.5) AS BIGINT) AS recall_ppm,
+         |  CAST(floor(CASE WHEN prec IS NULL OR rec IS NULL OR prec + rec = 0.0
+         |    THEN NULL ELSE 2.0 * prec * rec / (prec + rec) END * 1e6 + 0.5)
+         |    AS BIGINT) AS f1_ppm
+         |FROM r""".stripMargin,
+
+
+    // lang cardinality per shard is far below the HLL sparse-mode bound, so
+    // the sketch estimate is exactly the distinct count; the doc_id estimate
+    // is pinned to a 5%-of-exact contract rather than a value
+    "q_cumulative_uniques" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch, n_events, true AS cum_ok
+        |FROM d ORDER BY 1""".stripMargin,
+
+
+    "q_score_calibration" ->
+      """SELECT doc_id, lang, true AS cal_ok FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_shard_profile" ->
+      """SELECT source AS shard, count(*) AS n_rows,
+        |  count(DISTINCT lang) AS lang_distinct, true AS docs_est_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_dataset_card" ->
+      s"""WITH b AS (SELECT
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        x -> len(x) > 0)) AS t,
+         |    CAST(length(text) AS BIGINT) AS c,
+         |    md5($normText) AS fp
+         |  FROM documents)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM b
+         |  UNION ALL SELECT 'n_distinct_docs', CAST(count(DISTINCT fp) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'total_tokens', CAST(sum(t) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'total_chars', CAST(sum(c) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'max_doc_tokens', CAST(max(t) AS DOUBLE) FROM b
+         |  UNION ALL SELECT 'median_doc_tokens', quantile_cont(t, 0.5) FROM b)
+         |ORDER BY metric""".stripMargin,
+
+
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT token FROM tok WHERE len(token) > 0),
+         |n AS (SELECT count(*) AS N FROM t2),
+         |c AS (SELECT token AS item, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM t2 GROUP BY 1)
+         |SELECT item, n_rows, CAST(N AS BIGINT) AS n_total FROM c, n
+         |WHERE n_rows * 1000000 >= N * 5000 ORDER BY item""".stripMargin,
+
+
+    "q_filter_funnel" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    AND contains(text, '.') THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN length(text) > 0 AND length(text) >= 200
+        |    AND contains(text, '.')
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        |  FROM documents)
+        |SELECT 0 AS stage, 'nonempty' AS name, n AS n_in, s0 AS n_kept, n - s0 AS n_dropped FROM a
+        |UNION ALL SELECT 1, 'min_len', s0, s1, s0 - s1 FROM a
+        |UNION ALL SELECT 2, 'has_sentence', s1, s2, s1 - s2 FROM a
+        |UNION ALL SELECT 3, 'token_floor', s2, s3, s2 - s3 FROM a
+        |ORDER BY 1""".stripMargin,
+
+
+    "q_psi" ->
+      """WITH rs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents WHERE doc_id % 2 = 0),
+        |cs AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
+        |  WHERE doc_id % 2 = 1 AND source <> 'src0'),
+        |b AS (SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+        |    quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+        |    quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+        |    quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+        |    quantile_cont(score, 0.9)] AS bs FROM rs),
+        |rc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_ref FROM rs, b GROUP BY 1),
+        |cc AS (SELECT CAST(len(list_filter(b.bs, x -> score > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_cur FROM cs, b GROUP BY 1),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+        |j AS (SELECT bins.bin, coalesce(rc.n_ref, 0) AS n_ref, coalesce(cc.n_cur, 0) AS n_cur
+        |  FROM bins LEFT JOIN rc ON bins.bin = rc.bin LEFT JOIN cc ON bins.bin = cc.bin),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |    (n_ref + 0.5) / (tr + 5.0) AS p_ref, (n_cur + 0.5) / (tc + 5.0) AS p_cur
+        |  FROM j, tot)
+        |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
+        |FROM p ORDER BY bin""".stripMargin,
+
+
+    "q_cohen_kappa" ->
+      """WITH ann AS (SELECT doc_id, n_chars % 3 AS a,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3
+        |         ELSE n_chars % 3 END AS b
+        |  FROM documents),
+        |k AS (SELECT a, b FROM ann WHERE a IS NOT NULL AND b IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS n_ab FROM k GROUP BY 1, 2),
+        |agree AS (SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN n_ab ELSE 0 END), 0) AS BIGINT) AS n_agree
+        |  FROM cells),
+        |ma AS (SELECT a AS l, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |mb AS (SELECT b AS l, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |sj AS (SELECT CAST(coalesce(sum(n_a * n_b), 0) AS BIGINT) AS s
+        |  FROM ma JOIN mb USING (l)),
+        |nn AS (SELECT CAST(count(*) FILTER (a IS NULL OR b IS NULL) AS BIGINT) AS n_null
+        |  FROM ann)
+        |SELECT n, n_null, n_agree, s AS pe_num,
+        |  CASE WHEN n = 0 THEN NULL ELSE CAST(n_agree AS DOUBLE) / n END AS po,
+        |  CASE WHEN n = 0 THEN NULL ELSE CAST(s AS DOUBLE) / (n * n) END AS pe,
+        |  CASE WHEN n * n = s THEN NULL
+        |       ELSE CAST(n * n_agree - s AS DOUBLE) / (n * n - s) END AS kappa
+        |FROM agree, sj, nn""".stripMargin,
+
+
+    "q_calibration" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN user_id % 97 = 0 THEN NULL
+        |         ELSE (event_id % 256) / 256.0 END AS p,
+        |    ((event_id * 7) % 256) < (event_id % 256) AS y
+        |  FROM events),
+        |k AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |  FROM e WHERE p IS NOT NULL AND y IS NOT NULL AND p >= 0 AND p <= 1)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(yy) AS BIGINT) AS n_pos,
+        |  sum(p) AS sum_prob,
+        |  sum(p) / count(*) AS mean_prob,
+        |  CAST(sum(yy) AS DOUBLE) / count(*) AS frac_pos,
+        |  CAST(sum(yy) AS DOUBLE) / count(*) - sum(p) / count(*) AS gap,
+        |  sum((p - yy) * (p - yy)) AS sum_sq_err
+        |FROM k GROUP BY bin ORDER BY bin""".stripMargin,
+
+
+    "q_k_anon" ->
+      """WITH e AS (SELECT event_id, event_type, user_id % 50 AS ub FROM events),
+        |g AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_id, e.event_type, e.ub, group_n
+        |FROM e JOIN g ON e.event_type = g.event_type AND e.ub = g.ub
+        |WHERE group_n >= 25 ORDER BY event_id""".stripMargin,
+
+
+    "q_k_anon_report" ->
+      """WITH g AS (SELECT event_type, user_id % 50 AS ub, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT)
+        |    AS n_rows_suppressed,
+        |  CAST(coalesce(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_groups_suppressed,
+        |  CAST(min(n) AS BIGINT) AS min_group_n,
+        |  CAST(max(n) AS BIGINT) AS max_group_n
+        |FROM g""".stripMargin,
+
+
+    "q_l_diversity" ->
+      """WITH e AS (SELECT event_type, user_id % 200 AS ub,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 7 END AS sv
+        |  FROM events),
+        |sizes AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT event_type, ub, sv FROM e WHERE sv IS NOT NULL),
+        |ns AS (SELECT event_type, ub, CAST(count(*) AS BIGINT) AS n_sensitive
+        |  FROM d GROUP BY 1, 2)
+        |SELECT s.event_type, s.ub, s.group_n,
+        |  coalesce(ns.n_sensitive, 0) AS n_sensitive,
+        |  coalesce(ns.n_sensitive, 0) >= 5 AS diverse
+        |FROM sizes s LEFT JOIN ns ON s.event_type = ns.event_type AND s.ub = ns.ub
+        |ORDER BY s.event_type, s.ub""".stripMargin,
+
+
+    // Nearest-aspect bucket in exact integer arithmetic: score_i =
+    // |w*bh_i - bw_i*h| * (L / bh_i) with L = lcm of the bucket heights
+    // (79672320) — the same ordering as the engine's pairwise
+    // cross-multiplied comparator, ties to the lower bucket index.
+    "q_aspect_buckets" ->
+      """WITH imgs AS (SELECT event_id, 256 + event_id % 1800 AS w,
+        |    256 + (event_id * 7) % 1350 AS h FROM events),
+        |b(i, bw, bh) AS (VALUES (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+        |    (3, 1216, 832), (4, 832, 1216), (5, 1344, 768), (6, 768, 1344),
+        |    (7, 1536, 640), (8, 640, 1536)),
+        |scored AS (SELECT imgs.*, b.i, b.bw, b.bh,
+        |    abs(w * bh - bw * h) * (79672320 // bh) AS score
+        |  FROM imgs CROSS JOIN b),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY score, i) AS rn FROM scored),
+        |r AS (SELECT *, CASE WHEN w * bh >= bw * h THEN (w * bh) // h ELSE bw END AS rw,
+        |    CASE WHEN w * bh >= bw * h THEN bh ELSE (h * bw) // w END AS rh
+        |  FROM best WHERE rn = 1)
+        |SELECT event_id, w, h, CAST(i AS BIGINT) AS bucket_id,
+        |  CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+        |  CAST(rw AS BIGINT) AS resize_w, CAST(rh AS BIGINT) AS resize_h,
+        |  CAST((rw - bw) // 2 AS BIGINT) AS crop_x,
+        |  CAST((rh - bh) // 2 AS BIGINT) AS crop_y
+        |FROM r ORDER BY event_id""".stripMargin,
+
+
+    "q_frame_schedule" ->
+      """WITH v AS (SELECT event_id, event_id % 500 AS nf,
+        |    CASE event_id % 3 WHEN 0 THEN 23976 WHEN 1 THEN 25000
+        |         ELSE 29970 END AS fm
+        |  FROM events WHERE event_id % 4 = 0 AND event_id % 500 > 0),
+        |s AS (SELECT event_id, nf, fm, least(16, nf) AS nt FROM v),
+        |x AS (SELECT event_id, nf, fm, nt, unnest(range(0, nt)) AS k FROM s)
+        |SELECT event_id, k AS sample_k, (k * nf) // nt AS frame_idx,
+        |  ((k * nf) // nt) * 1000000 // fm AS t_ms
+        |FROM x ORDER BY event_id, sample_k""".stripMargin,
+
+
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0,
+        |      CASE WHEN doc_id % 29 = 0 THEN 4 ELSE 3 END)) AS rater
+        |  FROM documents),
+        |ratings AS (SELECT doc_id, (n_chars + rater * doc_id) % 3 AS label
+        |  FROM r),
+        |cells AS (SELECT doc_id, label, count(*) AS n_ik
+        |  FROM ratings GROUP BY 1, 2),
+        |items AS (SELECT doc_id, sum(n_ik) AS n_i FROM cells GROUP BY 1),
+        |kept AS (SELECT c.* FROM cells c JOIN items i USING (doc_id)
+        |  WHERE i.n_i = 3),
+        |counts AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN n_i = 3 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN n_i <> 3 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_items_dropped
+        |  FROM items),
+        |base AS (SELECT CAST(coalesce(sum(n_ik * n_ik), 0) AS BIGINT)
+        |    AS sum_sq FROM kept),
+        |marg AS (SELECT label, sum(n_ik) AS m_k FROM kept GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(m_k * m_k), 0) AS BIGINT) AS pe_num
+        |  FROM marg)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_items_dropped,
+        |  sum_sq, pe_num,
+        |  CASE WHEN n_items = 0 THEN NULL
+        |    ELSE CAST(sum_sq - n_items * 3 AS DOUBLE)
+        |      / (n_items * 3 * 2) END AS p_bar,
+        |  CASE WHEN n_items = 0 THEN NULL
+        |    ELSE CAST(pe_num AS DOUBLE)
+        |      / (n_items * 3 * (n_items * 3)) END AS p_e,
+        |  CASE WHEN n_items = 0 OR CAST(pe_num AS DOUBLE)
+        |      / (n_items * 3 * (n_items * 3)) = 1.0 THEN NULL
+        |    ELSE (CAST(sum_sq - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
+        |        - CAST(pe_num AS DOUBLE) / (n_items * 3 * (n_items * 3)))
+        |      / (1.0 - CAST(pe_num AS DOUBLE)
+        |        / (n_items * 3 * (n_items * 3))) END AS kappa
+        |FROM counts, base, pe""".stripMargin,
+
+
+    "q_mrr" ->
+      """WITH pred AS (SELECT DISTINCT user_id % 50 AS q,
+        |    event_id % 10 + 1 AS rank FROM events),
+        |p2 AS (SELECT q, rank, (q * 7 + rank * 3) % 100 AS item FROM pred),
+        |truth AS (SELECT q, CASE WHEN q % 4 = 0 THEN (q * 7 + 50) % 100
+        |    ELSE (q * 7 + 9) % 100 END AS item
+        |  FROM (SELECT DISTINCT q FROM pred)),
+        |firsts AS (SELECT p2.q, CAST(min(p2.rank) AS BIGINT)
+        |    AS first_hit_rank
+        |  FROM p2 JOIN truth ON p2.q = truth.q AND p2.item = truth.item
+        |  GROUP BY 1),
+        |np AS (SELECT q, CAST(count(*) AS BIGINT) AS n_pred
+        |  FROM p2 GROUP BY 1)
+        |SELECT np.q AS query, n_pred, first_hit_rank,
+        |  CASE WHEN first_hit_rank IS NOT NULL
+        |    THEN 1.0 / first_hit_rank END AS rr
+        |FROM np LEFT JOIN firsts ON np.q = firsts.q
+        |ORDER BY query""".stripMargin,
+
+
+    // The identical quantized-Laplace table (driver-precomputed in
+    // graft.operators.Privacy.dpNoiseTable) embedded as a list literal:
+    // noise lookup = md5 PRF bucket, all integer arithmetic at runtime.
+    "q_dp_counts" -> {
+      val table = graft.operators.Privacy
+        .dpNoiseTable(epsilon = 0.5, sensitivity = 1.0)
+        .mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT lang, source, count(*) AS n FROM documents
+         |  GROUP BY 1, 2),
+         |z AS (SELECT lang, source, n,
+         |    ($table)[CAST(('0x' || substr(md5(
+         |      (CASE WHEN lang IS NULL THEN chr(3)
+         |            ELSE chr(2) || lang END)
+         |      || chr(1) ||
+         |      (CASE WHEN source IS NULL THEN chr(3)
+         |            ELSE chr(2) || source END)
+         |      || chr(1) || '42'),
+         |      1, 8))::BIGINT % 1024 AS INT) + 1] AS noise
+         |  FROM g)
+         |SELECT lang, source, greatest(n + noise, 0) AS noisy_n
+         |FROM z ORDER BY lang, source""".stripMargin
+    },
+
+
+    // Same per-column exact profile + drift arithmetic as
+    // Diagnostics.profileDrift over the same planted mutations.
+    "q_profile_drift" -> {
+      def prof(src: String) = Seq("lang", "source", "text").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM $src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT
+         |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang,
+         |    source || '_' || CAST(doc_id % 50 AS VARCHAR) AS source,
+         |    text
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |pa AS (${prof("documents")}),
+         |pb AS (${prof("b")}),
+         |j AS (SELECT pa."column" AS "column",
+         |    pa.n AS n_a, pb.n AS n_b,
+         |    CAST(pa.n_null AS DOUBLE) / greatest(pa.n, 1) AS null_rate_a,
+         |    CAST(pb.n_null AS DOUBLE) / greatest(pb.n, 1) AS null_rate_b,
+         |    pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+         |    CASE WHEN pa.n_distinct > 0
+         |      THEN CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct END
+         |      AS distinct_ratio
+         |  FROM pa JOIN pb USING ("column"))
+         |SELECT "column", n_a, n_b, null_rate_a, null_rate_b,
+         |  null_rate_b - null_rate_a AS null_rate_delta,
+         |  n_distinct_a, n_distinct_b, distinct_ratio,
+         |  (abs(null_rate_b - null_rate_a) > 0.05
+         |    OR coalesce(distinct_ratio > 2.0
+         |      OR distinct_ratio < 0.5, n_distinct_b > 0)) AS drifted
+         |FROM j ORDER BY "column"""".stripMargin
+    },
+
+
+    // Claims oracle (float MM iterations aren't oracle-replayable):
+    // restates the planted-tournament claims; n = the distinct item
+    // count the same construction yields.
+    "q_bradley_terry" ->
+      """WITH items AS (SELECT count(DISTINCT event_id % 50) AS n
+        |  FROM events)
+        |SELECT c.claim, items.n, true AS ok
+        |FROM items, (VALUES ('strength_monotone_in_skill'),
+        |  ('strengths_normalized'), ('top_has_top_skill')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
+
+
+    // The identical PRF membership (md5 bucket of id_replicate_seed) and
+    // exact integer length sums; the cross join is the oracle's spelling —
+    // the operator evaluates all replicates in ONE scan.
+    "q_subsample_ci" ->
+      """WITH b AS (SELECT CAST(range AS INT) AS replicate FROM range(16)),
+        |m AS (SELECT b.replicate, length(d.text) AS len
+        |      FROM documents d CROSS JOIN b
+        |      WHERE ('0x' || substr(md5(concat_ws('_',
+        |          CAST(d.doc_id AS VARCHAR),
+        |          CAST(b.replicate AS VARCHAR), '3')), 1, 8))::BIGINT
+        |        % 10000 < 5000)
+        |SELECT replicate, count(*) AS n,
+        |       CAST(sum(len) AS DOUBLE) AS sum,
+        |       CAST(sum(len) AS DOUBLE) / count(*) AS mean
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Full replay of the median-of-means: same PRF buckets, exact integer
+    // sums (sum/count, never avg — DuckDB's avg accumulates in doubles,
+    // order-nondeterministic), ranked-middle pick at (c // 2) + 1.
+    "q_median_of_means" ->
+      """WITH kept AS (SELECT doc_id, length(text) AS len FROM documents),
+        |per AS (SELECT ('0x' || substr(md5(concat_ws('_',
+        |      CAST(doc_id AS VARCHAR), 'mom', '2')), 1, 8))::BIGINT % 15
+        |    AS bk, count(*) AS n, sum(len) AS s
+        |  FROM kept GROUP BY 1),
+        |means AS (SELECT CAST(s AS DOUBLE) / n AS m FROM per WHERE n > 0),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS r,
+        |    count(*) OVER () AS c FROM means),
+        |f AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*)
+        |    AS mean FROM kept)
+        |SELECT f.n, f.mean, ranked.m AS median_of_means,
+        |  CAST(ranked.c AS INT) AS buckets_used
+        |FROM f, ranked WHERE ranked.r = ranked.c // 2 + 1""".stripMargin,
+
+
+    // Claims oracle (the PAV merge sequence is sequential — not
+    // SQL-replayable); n = the document count the same construction sees.
+    "q_isotonic" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents)
+        |SELECT c.claim, t.n, true AS ok
+        |FROM t, (VALUES ('calibrated_mse_not_worse'),
+        |  ('positive_mass_preserved'), ('probs_monotone')) c(claim)
+        |ORDER BY c.claim""".stripMargin,
+
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — event analytics: sessions, funnels, temporal/spatial joins.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesEvents expression-by-expression.
+  */
+private[graft] object OraclesEvents {
+  val sql: Map[String, String] = Map(
+
+    "q_interval_join" ->
+      """WITH r AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |w AS (SELECT day, day + INTERVAL 2 HOUR AS ws, day + INTERVAL 6 HOUR AS we FROM r),
+        |j AS (SELECT w.day AS day, e.user_id FROM events e
+        |  JOIN w ON e.ts >= w.ws AND e.ts <= w.we)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM o WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT CAST(0 AS INTEGER) AS step, 'view' AS name,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY step""".stripMargin,
+
+
+    "q_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS p FROM events),
+        |c AS (SELECT u, min(p) AS c FROM a GROUP BY 1)
+        |SELECT epoch_us(c.c) // 1000000 AS cohort_epoch,
+        |  date_diff('day', c.c, a.p) AS "offset",
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.u = c.u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR (epoch_us(ts) // 1000000)
+        |        - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM events),
+        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+        |  (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS span_seconds
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.value AS prior_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+
+    // Same grid-cell blocking as the operator: any pair within r=1500
+    // lies within one cell (side = r) of Chebyshev distance 1, so the
+    // 3x3 neighbor equi-join is exhaustive; exact long arithmetic.
+    "q_radius_join" ->
+      """WITH p AS (SELECT event_id AS pid,
+        |    (event_id * 2654435761) % 1000000 AS x,
+        |    (event_id * 1779033703 + user_id * 2246822519) % 1000000 AS y
+        |  FROM events),
+        |c AS (SELECT pid, x, y,
+        |    CAST(floor(x / 1500.0) AS BIGINT) AS cx,
+        |    CAST(floor(y / 1500.0) AS BIGINT) AS cy FROM p),
+        |o AS (SELECT a.ox, b.oy
+        |  FROM (VALUES (-1), (0), (1)) a(ox), (VALUES (-1), (0), (1)) b(oy)),
+        |n AS (SELECT pid, x, y, cx + ox AS cx, cy + oy AS cy FROM c, o),
+        |j AS (SELECT a.pid AS id_a, b.pid AS id_b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM c a JOIN n b ON a.cx = b.cx AND a.cy = b.cy
+        |    AND a.pid < b.pid)
+        |SELECT id_a, id_b, dist2 FROM j WHERE dist2 <= 2250000
+        |ORDER BY 1, 2""".stripMargin,
+
+  )
+}

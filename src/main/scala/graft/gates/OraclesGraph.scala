@@ -1,0 +1,354 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — link graphs, communities, walks, linkage/entity resolution.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesGraph expression-by-expression.
+  */
+private[graft] object OraclesGraph {
+  val sql: Map[String, String] = Map(
+
+    // Triangle participation per node over the q_cc_dedup edge set:
+    // two-join enumeration on canonical a<b edges, explode corners.
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
+        |    AND a.doc_id < b.doc_id),
+        |tri AS (SELECT w.ea AS x, w.eb AS y, e2.eb AS z
+        |  FROM e w JOIN e e2 ON w.eb = e2.ea
+        |  JOIN e e3 ON e3.ea = w.ea AND e3.eb = e2.eb),
+        |corner AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM corner GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT ea AS id FROM e UNION ALL SELECT eb FROM e))
+        |SELECT n.id AS doc_id, coalesce(c.triangles, 0) AS triangles
+        |FROM nodes n LEFT JOIN cnt c ON n.id = c.id
+        |ORDER BY n.id""".stripMargin,
+
+
+    // Entity pair co-occurrence counts (distinct per doc, a < b).
+    "q_entity_pairs" ->
+      """WITH t AS (SELECT doc_id, text || ' ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    ' visited ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
+        |    ' yesterday.' AS t2 FROM documents),
+        |e AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
+        |  FROM t)
+        |SELECT a.entity AS entity_a, b.entity AS entity_b, count(*) AS n_docs
+        |FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+
+    // Planted capitalized spans over lowercase corpus text; RE2 \b word
+    // boundaries, leftmost-greedy — identical matches in both engines.
+    "q_entities" ->
+      """WITH t AS (SELECT doc_id, text || ' ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 5 + 1 AS INT)] ||
+        |    ' visited ' ||
+        |    (['John Smith','New York','Mary Jones','San Francisco Bay','Acme Corp'])[CAST(doc_id % 3 + 1 AS INT)] ||
+        |    ' yesterday.' AS t2 FROM documents),
+        |e AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(t2, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS entity
+        |  FROM t)
+        |SELECT entity, count(*) AS n_docs FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Claims oracles for the link-analysis gates: node lists + expected
+    // booleans derived from the same deterministic edge construction
+    // (src host -> its cdn hosts; cdn -> hub for doc_id%3 docs).
+    "q_pagerank" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source || '.org' AS node FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0))
+        |SELECT node, true AS above_floor, (node = 'hub.org') AS is_top,
+        |       true AS sum_ok
+        |FROM hosts ORDER BY node""".stripMargin,
+
+
+    "q_trustrank" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source || '.org' AS node FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org' FROM documents
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
+        |  UNION SELECT 'src0.org' UNION SELECT 'src1.org'),
+        |reach AS (
+        |  SELECT 'src0.org' AS node UNION SELECT 'src1.org'
+        |  UNION
+        |  SELECT DISTINCT 'cdn' || (doc_id % 7) || '.' || source || '.org'
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  UNION
+        |  SELECT 'hub.org' WHERE EXISTS (SELECT 1 FROM documents
+        |    WHERE source IN ('src0', 'src1') AND doc_id % 3 = 0))
+        |SELECT h.node, (h.node IN (SELECT node FROM reach)) AS trust_pos,
+        |       true AS sum_ok
+        |FROM hosts h ORDER BY h.node""".stripMargin,
+
+
+    "q_hits" ->
+      """WITH cdn AS (
+        |  SELECT 'cdn' || (doc_id % 7) || '.' || source || '.org' AS node,
+        |         bool_or(doc_id % 3 = 0) AS has_out
+        |  FROM documents GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source || '.org' AS node FROM documents)
+        |SELECT node, true AS auth_pos, has_out AS hub_pos FROM cdn
+        |UNION ALL SELECT node, false, true FROM srcs
+        |UNION ALL SELECT 'hub.org', true, false
+        |  WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY node""".stripMargin,
+
+
+    "q_entity_resolution" -> {
+      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
+      def w(m: Double, u: Double, agree: String) =
+        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
+          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
+      s"""WITH RECURSIVE c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
+         |  FROM customer),
+         |p AS (SELECT a.k AS id_a, b.k AS id_b,
+         |    a.seg = b.seg AS seg_agree,
+         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
+         |    a.d = b.d AS name_agree
+         |  FROM c a JOIN c b ON a.nat = b.nat
+         |    AND b.k > a.k AND b.k <= a.k + 20),
+         |m AS (SELECT id_a, id_b FROM (SELECT *,
+         |    ${w(0.9, 0.25, "seg_agree")}
+         |      + ${w(0.85, 0.05, "bal_agree")}
+         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
+         |  WHERE weight >= 4.0),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM m
+         |  UNION ALL SELECT id_b, id_a FROM m),
+         |reach(id, r) AS (
+         |  SELECT k, k FROM c
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src)
+         |SELECT id AS c_custkey, CAST(min(r) AS BIGINT) AS entity_id
+         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin
+    },
+
+
+    "q_linkage" -> {
+      import graft.operators.Linkage.{agreeWeight, disagreeWeight, sqlLiteral}
+      def w(m: Double, u: Double, agree: String) =
+        s"CASE WHEN $agree THEN ${sqlLiteral(agreeWeight(m, u))} " +
+          s"ELSE ${sqlLiteral(disagreeWeight(m, u))} END"
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |    c_mktsegment AS seg, c_acctbal AS bal, right(c_name, 1) AS d
+         |  FROM customer),
+         |p AS (SELECT a.k AS id_a, b.k AS id_b,
+         |    a.seg = b.seg AS seg_agree,
+         |    abs(a.bal - b.bal) < 500.0 AS bal_agree,
+         |    a.d = b.d AS name_agree
+         |  FROM c a JOIN c b ON a.nat = b.nat
+         |    AND b.k > a.k AND b.k <= a.k + 20),
+         |s AS (SELECT *,
+         |    ${w(0.9, 0.25, "seg_agree")}
+         |      + ${w(0.85, 0.05, "bal_agree")}
+         |      + ${w(0.95, 0.1, "name_agree")} AS weight FROM p)
+         |SELECT id_a, id_b, seg_agree, bal_agree, name_agree, weight,
+         |  CASE WHEN weight >= 4.0 THEN 'match'
+         |       WHEN weight >= -2.0 THEN 'possible'
+         |       ELSE 'non_match' END AS decision
+         |FROM s ORDER BY id_a, id_b""".stripMargin
+    },
+
+
+    // Synchronous k-core peeling replayed as fixed chained CTE rounds
+    // (the k-core fixpoint is unique, so any round count >= convergence
+    // depth reproduces the operator exactly; 30 rounds is generous —
+    // the gate graph converges in < 10).
+    "q_kcore" -> {
+      val k = 19
+      val rounds = 30
+      // MATERIALIZED is load-bearing: plain CTEs inline, and each round
+      // references the previous twice -> 2^rounds plan expansion (first
+      // symptom: "too many open files" from re-opened parquet scans).
+      val iters = (1 to rounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT a, b FROM und
+           |  WHERE a IN (SELECT node FROM s${i - 1})
+           |    AND b IN (SELECT node FROM s${i - 1})),
+           |d$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
+           |    (SELECT a AS node FROM k$i UNION ALL SELECT b FROM k$i)
+           |  GROUP BY node),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT
+         |    CAST((user_id * 13) % 500 AS VARCHAR) AS s,
+         |    CAST(1000 + (event_id * 2654435761) % 500 AS VARCHAR) AS d
+         |  FROM events),
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |  FROM e WHERE s <> d),
+         |s0 AS MATERIALIZED (SELECT a AS node FROM und UNION SELECT b FROM und),
+         |$iters
+         |SELECT node, degree FROM d$rounds WHERE degree >= $k
+         |ORDER BY node""".stripMargin
+    },
+
+
+    // Full round replay of the synchronous label-propagation update
+    // (closed-neighborhood max-frequency, tie -> max label) — the q_kcore
+    // MATERIALIZED-CTE pattern. The edge construction mirrors
+    // SparkEntry.communityEdges verbatim.
+    "q_communities" ->
+      s"""WITH $lpaCtes
+         |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin,
+
+
+    // Modularity decomposition of the replayed LPA partition: all-long
+    // arithmetic (q_scaled_term = 4*m*e_c - d_c^2), per community.
+    "q_modularity" ->
+      s"""WITH $lpaCtes,
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+         |    greatest(s, d) AS b FROM sym),
+         |lab AS MATERIALIZED (SELECT node, community FROM l$LpaRounds),
+         |bo AS MATERIALIZED (SELECT la.community AS ca, lb.community AS cb
+         |  FROM und JOIN lab la ON und.a = la.node
+         |           JOIN lab lb ON und.b = lb.node),
+         |m AS (SELECT count(*) AS m_edges FROM bo),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |  FROM bo WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT community, count(*) AS degree_sum FROM
+         |    (SELECT ca AS community FROM bo
+         |     UNION ALL SELECT cb FROM bo) GROUP BY 1),
+         |sz AS (SELECT community, count(*) AS size FROM lab GROUP BY 1)
+         |SELECT sz.community, sz.size,
+         |  coalesce(intra.intra_edges, 0) AS intra_edges,
+         |  coalesce(deg.degree_sum, 0) AS degree_sum,
+         |  4 * m.m_edges * coalesce(intra.intra_edges, 0)
+         |    - coalesce(deg.degree_sum, 0) * coalesce(deg.degree_sum, 0)
+         |    AS q_scaled_term,
+         |  m.m_edges
+         |FROM sz LEFT JOIN deg ON sz.community = deg.community
+         |        LEFT JOIN intra ON sz.community = intra.community
+         |        CROSS JOIN m
+         |ORDER BY sz.community""".stripMargin,
+
+
+    // Bit-exact replay of the PRF random walks: the same sorted capped
+    // adjacency and the same md5-bucket step index, one MATERIALIZED CTE
+    // per step (the q_kcore round-replay pattern).
+    "q_random_walks" -> {
+      val L = 6
+      val steps = (1 to L).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT f.origin, f.walk,
+           |  adj.nbrs[CAST(('0x' || substr(md5(concat_ws('_',
+           |      CAST(f.origin AS VARCHAR), CAST(f.walk AS VARCHAR),
+           |      '$i', '7')), 1, 8))::BIGINT % len(adj.nbrs) + 1 AS INT)]
+           |    AS cur
+           |  FROM f${i - 1} f JOIN adj ON f.cur = adj.node)""".stripMargin
+      }.mkString(",\n")
+      val emit = (0 to L).map(i =>
+        s"SELECT origin, walk, $i AS step, cur AS node FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $communityGraphCtes,
+         |adj AS MATERIALIZED (SELECT s AS node,
+         |    list_sort(list(DISTINCT d))[1:8] AS nbrs
+         |  FROM sym GROUP BY 1),
+         |f0 AS MATERIALIZED (SELECT node AS origin, w.walk, node AS cur
+         |  FROM adj CROSS JOIN (VALUES (0), (1)) w(walk)),
+         |$steps
+         |$emit
+         |ORDER BY origin, walk, step""".stripMargin
+    },
+
+
+    // Fixed-round replay of the seed-distance min-relaxation over the
+    // shared community graph; unreached nodes surface as null via the
+    // final left join.
+    "q_seed_distance" -> {
+      val hops = 4
+      val rounds = (1 to hops).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
+           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
+           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
+           |        UNION ALL SELECT node, distance FROM d${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $communityGraphCtes,
+         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
+         |  FROM nodes WHERE node IN (0, 301)),
+         |$rounds
+         |SELECT n.node, d.distance
+         |FROM nodes n LEFT JOIN d$hops d ON n.node = d.node
+         |ORDER BY n.node""".stripMargin
+    },
+
+
+    // Wedge self-join restatement of the common-neighbor scores (the
+    // operator emits pairs row-locally from bounded adjacency arrays;
+    // the oracle's join is fine at gate scale). 16777216 = 2^24.
+    "q_link_predict" ->
+      s"""WITH $communityGraphCtes,
+         |deg AS MATERIALIZED (SELECT s AS z, count(*) AS deg
+         |  FROM sym GROUP BY 1),
+         |w AS MATERIALIZED (SELECT sym.s AS z, sym.d AS n, deg.deg
+         |  FROM sym JOIN deg ON sym.s = deg.z
+         |  WHERE deg.deg BETWEEN 2 AND 16),
+         |scored AS (SELECT w1.n AS a, w2.n AS b,
+         |    count(*) AS common_neighbors,
+         |    CAST(sum(16777216 // w1.deg) AS BIGINT) AS ra_scaled
+         |  FROM w w1 JOIN w w2 ON w1.z = w2.z AND w1.n < w2.n
+         |  GROUP BY 1, 2),
+         |und AS (SELECT s AS a, d AS b FROM sym WHERE s < d)
+         |SELECT s.a, s.b, s.common_neighbors, s.ra_scaled,
+         |  (u.a IS NOT NULL) AS is_edge
+         |FROM scored s LEFT JOIN und u ON s.a = u.a AND s.b = u.b
+         |ORDER BY s.a, s.b""".stripMargin,
+
+
+    // Capstone replay: LPA rounds + BFS rounds + k-core peeling + degree
+    // over the SAME community graph, joined — verifies the operators
+    // agree on the node universe, not just their own outputs.
+    "q_graph_features" -> {
+      val bfs = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(distance) AS distance
+           |  FROM (SELECT sym.d AS node, p.distance + 1 AS distance
+           |          FROM sym JOIN d${i - 1} p ON sym.s = p.node
+           |        UNION ALL SELECT node, distance FROM d${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val peel = (1 to 20).map { i =>
+        s"""ke$i AS MATERIALIZED (SELECT a, b FROM und
+           |  WHERE a IN (SELECT node FROM ks${i - 1})
+           |    AND b IN (SELECT node FROM ks${i - 1})),
+           |kd$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM
+           |    (SELECT a AS node FROM ke$i UNION ALL SELECT b FROM ke$i)
+           |  GROUP BY node),
+           |ks$i AS MATERIALIZED (SELECT node FROM kd$i WHERE degree >= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lpaCtes,
+         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+         |deg AS MATERIALIZED (SELECT s AS node, count(*) AS degree
+         |  FROM sym GROUP BY 1),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS distance
+         |  FROM nodes WHERE node IN (0, 301)),
+         |$bfs,
+         |und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+         |    greatest(s, d) AS b FROM sym),
+         |ks0 AS MATERIALIZED (SELECT node FROM nodes),
+         |$peel
+         |SELECT deg.node, deg.degree, l8.community, d4.distance,
+         |  (kd.node IS NOT NULL) AS in_core, kd.degree AS core_degree
+         |FROM deg
+         |JOIN l8 ON deg.node = l8.node
+         |LEFT JOIN d4 ON deg.node = d4.node
+         |LEFT JOIN (SELECT kd20.node, kd20.degree FROM kd20
+         |           WHERE kd20.degree >= 5) kd ON deg.node = kd.node
+         |ORDER BY deg.node""".stripMargin
+    },
+
+  )
+}

@@ -1,0 +1,585 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — OpenOA reference surface: met/QA/flags/timeseries/analyses.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesPlant expression-by-expression.
+  */
+private[graft] object OraclesPlant {
+  val sql: Map[String, String] = Map(
+
+    "q_cross_pairs" ->
+      """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+        |  a.n_name AS name_a, b.n_name AS name_b,
+        |  abs(a.n_regionkey - b.n_regionkey) AS region_dist
+        |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+        |ORDER BY 1, 2""".stripMargin,
+
+
+    "q_resample_day_sum" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_resample_hour_mean" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_calendar_profile" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS value_avg,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_percent_flagged" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  CAST(sum(CAST(CASE WHEN value > 15.0 THEN 1.0 ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS flagged_frac
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_num_hours" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+        |  count(DISTINCT date_trunc('hour', ts)) AS num_hours
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // reference num_days/num_hours SPAN semantics (timeseries.py:245-275:
+    // resample().asfreq().index.size == calendar buckets first..last inclusive)
+    "q_num_days_span" ->
+      """SELECT
+        |  date_diff('day', date_trunc('day', min(ts)), date_trunc('day', max(ts))) + 1 AS num_days,
+        |  date_diff('hour', date_trunc('hour', min(ts)), date_trunc('hour', max(ts))) + 1 AS num_hours
+        |FROM events""".stripMargin,
+
+
+    "q_gap_detect" ->
+      """WITH m AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute FROM events),
+        |span AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+        |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM span),
+        |obs AS (SELECT DISTINCT minute FROM m)
+        |SELECT epoch_us(g.minute) // 1000000 AS minute_epoch
+        |FROM grid g ANTI JOIN obs o USING (minute) ORDER BY 1""".stripMargin,
+
+
+    "q_dup_keys" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+
+    "q_freq_infer" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 1000000)
+        |    - lag(epoch_us(ts) // 1000000) OVER (ORDER BY ts) AS diff FROM events)
+        |SELECT diff AS freq_seconds, count(*) AS n FROM d WHERE diff IS NOT NULL
+        |GROUP BY diff ORDER BY n DESC, diff ASC LIMIT 1""".stripMargin,
+
+
+    // Planted-truth oracle: the flag must equal the planting rule (outliers
+    // at +80 x-offset, ~9 sigma even with outlier-inflated variance).
+    "q_mahalanobis" ->
+      """SELECT event_id, (event_id % 101 = 0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_unresponsive" ->
+      """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value, 0) AS BIGINT) AS vi FROM events),
+        |c AS (SELECT *, CASE WHEN lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR lag(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> vi THEN 1 ELSE 0 END AS chg FROM v),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
+        |SELECT event_id, count(*) OVER (PARTITION BY user_id, run) >= 3 AS flag
+        |FROM r ORDER BY event_id""".stripMargin,
+
+
+    "q_ffill" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_range_flag" ->
+      """SELECT event_id, NOT (value BETWEEN 2.0 AND 18.0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_window_range_flag" ->
+      """SELECT event_id,
+        |  (CAST(hour(ts) AS DOUBLE) BETWEEN 8.0 AND 17.0)
+        |    AND NOT (value BETWEEN 0.5 AND 18.0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_std_range_flag" ->
+      """SELECT event_id, value <= m - 2.0 * s OR value >= m + 2.0 * s AS flag
+        |FROM events, (SELECT avg(value) AS m, stddev_samp(value) AS s FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+
+    "q_bin_filter" ->
+      """WITH bounds AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),
+        |b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CASE WHEN l_quantity > lo AND l_quantity <= hi
+        |         THEN ceiling((l_quantity - lo) / 5.0) END AS bin
+        |  FROM lineitem, bounds),
+        |st AS (SELECT bin, avg(l_extendedprice) AS c, stddev_samp(l_extendedprice) AS sd
+        |    FROM b WHERE bin IS NOT NULL GROUP BY bin)
+        |SELECT l_orderkey, l_linenumber,
+        |  coalesce((l_extendedprice - c) > 2.0 * sd, false) AS flag
+        |FROM b LEFT JOIN st USING (bin) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+
+    "q_met_columns" ->
+      """WITH u AS (SELECT event_id, value - 10.0 AS u,
+        |    CAST(user_id % 7 AS DOUBLE) - 3.0 AS v, value FROM events)
+        |SELECT event_id,
+        |  round(sqrt(u * u + v * v), 6) AS ws,
+        |  round(fmod(fmod(180.0 + degrees(atan2(u, v)), 360.0) + 360.0, 360.0), 6) AS wd,
+        |  round(fmod(fmod(value * 37.0, 360.0) + 540.0, 360.0) - 180.0, 6) AS wrapped
+        |FROM u ORDER BY event_id""".stripMargin,
+
+
+    "q_air_density" ->
+      """SELECT event_id,
+        |  round(((101325.0 - user_id * 10.0) / 287.058
+        |    - 0.5 * (0.0000205 * exp(0.0631846 * (288.15 + value / 10.0)))
+        |      * (1.0/287.058 - 1.0/461.5)) / (288.15 + value / 10.0), 6) AS rho
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q_gross_energy" ->
+      """WITH b AS (SELECT event_id, value,
+        |    CAST(user_id % 10 AS DOUBLE) / 100.0 AS a, 0.02 AS c FROM events)
+        |SELECT event_id,
+        |  round(value / (1.0 - a - c), 6) AS gross_ff,
+        |  round(value / (1.0 - c) + a, 6) AS gross_ef,
+        |  round(value / (1.0 - a) + c, 6) AS gross_fe,
+        |  round(value + a + c, 6) AS gross_ee,
+        |  round(value * (600 / 3600.0), 6) AS energy_kwh
+        |FROM b ORDER BY event_id""".stripMargin,
+
+
+    "q_aep_monthly" ->
+      """WITH ev AS (
+        |  SELECT ts + to_months(CAST(user_id % 12 AS INT)) AS t,
+        |         value, user_id, event_id
+        |  FROM events WHERE date_part('day', ts) <= 28),
+        |meter AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         sum(round(value * 1000)) / 1e6 AS energy_gwh,
+        |         count(DISTINCT date_trunc('day', t)) AS days_actual
+        |  FROM ev GROUP BY 1),
+        |curt AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         sum(round(value * 50)) / 1e6 AS avail_gwh,
+        |         sum(round(value * 20)) / 1e6 AS curt_gwh
+        |  FROM ev GROUP BY 1),
+        |rea AS (
+        |  SELECT t, 4.0 + CAST(event_id % 100 AS DOUBLE) / 10.0 AS ws,
+        |         1.15 + CAST(user_id % 20 AS DOUBLE) / 200.0 AS rho
+        |  FROM ev),
+        |reag AS (
+        |  SELECT date_trunc('month', t) AS period,
+        |         avg(ws * pow(rho / (SELECT avg(rho) FROM rea), 1.0 / 3.0)) AS ws_era5
+        |  FROM rea GROUP BY 1),
+        |j AS (
+        |  SELECT m.period, m.energy_gwh, c.avail_gwh, c.curt_gwh,
+        |         m.energy_gwh + c.avail_gwh + c.curt_gwh AS gross_gwh,
+        |         r.ws_era5, m.days_actual,
+        |         CAST(date_part('day', last_day(m.period)) AS DOUBLE) AS num_days
+        |  FROM meter m
+        |  LEFT JOIN curt c ON m.period = c.period
+        |  LEFT JOIN reag r ON m.period = r.period),
+        |o AS (SELECT *, row_number() OVER (ORDER BY period) AS rn,
+        |             count(*) OVER () AS n FROM j)
+        |SELECT epoch_us(period) // 1000000 AS period_epoch,
+        |       round(energy_gwh, 6) AS energy_gwh,
+        |       round(avail_gwh, 6) AS avail_gwh,
+        |       round(curt_gwh, 6) AS curt_gwh,
+        |       round(gross_gwh, 6) AS gross_gwh,
+        |       round(avail_gwh / gross_gwh, 6) AS avail_pct,
+        |       round(curt_gwh / gross_gwh, 6) AS curt_pct,
+        |       num_days, round(ws_era5, 6) AS ws_era5, FALSE AS nan_flag
+        |FROM o
+        |WHERE NOT ((rn = 1 OR rn = n) AND days_actual <> num_days)
+        |ORDER BY period_epoch""".stripMargin,
+
+
+    "q_elec_daily" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS t, user_id % 2 AS turb,
+        |                  sum(round(value * 100)) AS wh
+        |           FROM events GROUP BY 1, 2),
+        |sper AS (SELECT t, sum(wh) AS wh, count(*) AS cnt FROM s GROUP BY 1),
+        |sday AS (SELECT date_trunc('day', t) AS day, sum(wh) AS turbine_wh,
+        |                sum(cnt) AS scada_count
+        |         FROM sper GROUP BY 1),
+        |m AS (SELECT date_trunc('hour', ts) AS t, sum(round(value * 95)) AS mwh
+        |      FROM events GROUP BY 1),
+        |mday AS (SELECT date_trunc('day', t) AS day, sum(mwh) AS meter_wh,
+        |                count(*) AS mcnt
+        |         FROM m GROUP BY 1)
+        |SELECT epoch_us(day) // 1000000 AS day_epoch,
+        |       round(turbine_wh, 2) AS turbine_wh,
+        |       CAST(scada_count AS BIGINT) AS scada_count,
+        |       round(turbine_wh * 48.0 / scada_count, 2) AS corrected_wh,
+        |       round(scada_count / 48.0, 6) AS scada_pct,
+        |       round(meter_wh, 2) AS meter_wh
+        |FROM sday JOIN mday USING (day)
+        |WHERE mcnt = 24
+        |ORDER BY day_epoch""".stripMargin,
+
+
+    // Freestream membership is closed-form for the 2-turbine equator E-W
+    // layout: T0 (west) is waked when the upwind bearing 90 is within 45
+    // deg of the bin center 5b+2.5 => b in [9,26]; T1 (bearing 270) => b
+    // in [45,62]. wd_bin == hour%71 because wd = (hour%71)*5 + 2.5.
+    "q_wake_por" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
+        |                  sum(round(value * 100)) AS w
+        |           FROM events GROUP BY 1, 2),
+        |h AS (SELECT time, a, w, epoch_us(time) // 3600000000 AS hh FROM s),
+        |e AS (SELECT time, a, w, hh % 71 AS wd_bin,
+        |             ((hh + a) % 100) / 4.0 AS ws,
+        |             CASE WHEN a = 0 THEN NOT ((hh % 71) BETWEEN 9 AND 26)
+        |                  ELSE NOT ((hh % 71) BETWEEN 45 AND 62) END AS free
+        |      FROM h),
+        |t AS (SELECT time, min(wd_bin) AS wd_bin, sum(w) AS plant_w,
+        |             avg(CASE WHEN free THEN w END) AS fs_w,
+        |             avg(CASE WHEN free THEN ws END) AS fs_ws
+        |      FROM e GROUP BY time HAVING count(*) = 2)
+        |SELECT CAST(wd_bin AS INTEGER) AS wd_bin, count(*) AS n_times,
+        |       round(sum(plant_w), 2) AS actual_w,
+        |       round(sum(fs_w * 2), 2) AS potential_w,
+        |       round(1.0 - sum(plant_w) / sum(fs_w * 2), 6) AS por_loss,
+        |       round(avg(fs_ws), 6) AS fs_ws
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_wake_freq" ->
+      """WITH r AS (SELECT
+        |    CAST(FLOOR(((event_id % 288) * 10) / 8.0 / 5.0) AS INTEGER) AS wd_bin,
+        |    CAST(FLOOR((event_id % 200) / 8.0 / 1.0) AS INTEGER) AS ws_bin
+        |  FROM events)
+        |SELECT wd_bin, ws_bin, count(*) AS freq,
+        |       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM r), 9) AS freq_frac
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_tie_daily" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS time, user_id % 2 AS a,
+        |                  sum(round(value * 100)) AS wh
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT time, a, wh, epoch_us(time) // 3600000000 AS hh FROM s),
+        |v AS (SELECT 'T' || a AS asset_id, date_trunc('day', time) AS day,
+        |             sum(wh) AS energy, count(*) AS n
+        |      FROM f WHERE (hh + a) % 17 <> 0
+        |      GROUP BY 1, 2 HAVING count(*) >= 24 * 0.9),
+        |r0 AS (SELECT DISTINCT date_trunc('hour', ts) AS time FROM events),
+        |r1 AS (SELECT time, epoch_us(time) // 3600000000 AS he FROM r0),
+        |r2 AS (SELECT date_trunc('day', time) AS day,
+        |              avg((he % 160) / 8.0) AS ws,
+        |              avg(((he % 64) - 32) / 4.0) AS u,
+        |              avg((((he * 7 + 11) % 64) - 32) / 4.0) AS v,
+        |              avg(1.0 + (he % 64) / 256.0) AS rho,
+        |              count(*) AS n_rea
+        |       FROM r1 GROUP BY 1)
+        |SELECT asset_id, epoch_us(v.day) // 1000000 AS day_epoch,
+        |       round(energy, 2) AS energy_wh, n,
+        |       round(energy * 24.0 / n, 4) AS energy_corrected,
+        |       round(ws, 6) AS ws,
+        |       round(fmod(fmod(180.0 + degrees(atan2(u, r2.v)), 360.0) + 360.0, 360.0), 4) AS wd,
+        |       round(rho, 6) AS rho, n_rea
+        |FROM v JOIN r2 ON v.day = r2.day
+        |ORDER BY asset_id, day_epoch""".stripMargin,
+
+
+    "q_yaw_vane_bins" ->
+      """WITH s AS (SELECT 'T' || (user_id % 2) AS asset_id,
+        |                  round(fmod(value * 193, 1900)) + 30 AS w,
+        |                  4.0 + (event_id % 44) / 8.0 AS ws,
+        |                  ((event_id % 240) - 120) / 8.0 AS vane,
+        |                  (event_id % 5) * 0.25 AS pitch
+        |           FROM events),
+        |p AS (SELECT *, CASE WHEN w / 2048.0 > 0.01 AND w / 2048.0 <= 0.95
+        |                THEN ceil((w / 2048.0 - 0.01) / ((0.95 - 0.01) / 25)) END AS pbin
+        |      FROM s WHERE pitch <= 0.5),
+        |med AS (SELECT asset_id, pbin, quantile_cont(ws, 0.5) AS med
+        |        FROM p WHERE pbin IS NOT NULL GROUP BY 1, 2),
+        |mad AS (SELECT p.asset_id, p.pbin, min(m.med) AS med,
+        |               quantile_cont(abs(p.ws - m.med), 0.5) AS mad
+        |        FROM p JOIN med m ON p.asset_id = m.asset_id AND p.pbin = m.pbin
+        |        GROUP BY 1, 2),
+        |k AS (SELECT p.asset_id, p.w, p.ws, p.vane
+        |      FROM p LEFT JOIN mad ON p.asset_id = mad.asset_id AND p.pbin = mad.pbin
+        |      WHERE mad.mad IS NULL OR abs(p.ws - mad.med) <= 7.0 * mad.mad),
+        |z AS (SELECT asset_id, w, vane, round(ws) AS wsb, round(vane) AS vb
+        |      FROM k WHERE round(ws) IN (5.0, 6.0, 7.0, 8.0))
+        |SELECT asset_id, CAST(wsb AS BIGINT) AS ws_bin_center,
+        |       CAST(vb AS BIGINT) AS vane_bin,
+        |       CAST(sum(w) AS BIGINT) AS perf_sum, count(*) AS n,
+        |       CAST(round(sum(vane) * 8) AS BIGINT) AS vane_sum_8
+        |FROM z GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+
+    // Mirrors EYAGapAnalysis.compile()'s left-associated arithmetic exactly
+    // (same operand order => identical doubles, round(6) on both sides).
+    "q_eya_waterfall" ->
+      """WITH agg AS (SELECT sum(round(value * 100)) AS s1,
+        |                    sum(round(value * 37)) AS s2,
+        |                    CAST(sum(user_id % 97) AS DOUBLE) AS s3,
+        |                    CAST(count(*) AS DOUBLE) AS n
+        |             FROM events),
+        |p AS (SELECT s1 / 1e7 AS eya_aep,
+        |             s1 / 1e7 * 1.3 * (1 - 0.037) * (1 - (s3 / n) / 1000.0) * (1 - 0.011) AS eya_tie,
+        |             s2 / 1e7 * 2.5 AS oa_aep, s2 / 1e7 * 3.0 AS oa_tie,
+        |             (s3 / n) / 400.0 AS e_av, (s3 / n) / 500.0 AS o_av,
+        |             (s3 / n) / 800.0 AS e_el, (s3 / n) / 900.0 AS o_el
+        |      FROM agg),
+        |t AS (SELECT eya_aep, oa_tie - eya_tie AS tg,
+        |             (e_av - o_av) * eya_tie AS av,
+        |             (e_el - o_el) * eya_tie AS el, oa_aep
+        |      FROM p)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS idx, 'eya_aep' AS term,
+        |         round(eya_aep, 6) AS value FROM t
+        |  UNION ALL SELECT 1, 'turb_gross_diff', round(tg, 6) FROM t
+        |  UNION ALL SELECT 2, 'avail_diff', round(av, 6) FROM t
+        |  UNION ALL SELECT 3, 'elec_diff', round(el, 6) FROM t
+        |  UNION ALL SELECT 4, 'unexplained',
+        |         round(oa_aep - (eya_aep + tg + av + el), 6) FROM t
+        |) ORDER BY idx""".stripMargin,
+
+
+    "q_circular_mean" ->
+      """SELECT event_type,
+        |  round(fmod(fmod(degrees(atan2(
+        |    avg(sin(radians(fmod(value * 36.0, 360.0)))),
+        |    avg(cos(radians(fmod(value * 36.0, 360.0)))))), 360.0) + 360.0, 360.0), 6) AS circ_mean,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_shear_alpha" -> {
+      val lz1 = math.log(10.0); val lz2 = math.log(50.0); val lz3 = math.log(80.0)
+      s"""WITH s AS (SELECT l_orderkey, l_linenumber,
+         |    ln(l_quantity + 1.0) AS lw1, ln(l_quantity * 1.1 + 2.0) AS lw2,
+         |    ln(l_quantity * 1.2 + 3.0) AS lw3 FROM lineitem),
+         |c AS (SELECT *, (($lz1 + $lz2) + $lz3) / 3.0 AS mlz,
+         |    ((lw1 + lw2) + lw3) / 3.0 AS mlw FROM s)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(((($lz1 - mlz) * (lw1 - mlw) + ($lz2 - mlz) * (lw2 - mlw)) + ($lz3 - mlz) * (lw3 - mlw))
+         |    / ((($lz1 - mlz) * ($lz1 - mlz) + ($lz2 - mlz) * ($lz2 - mlz)) + ($lz3 - mlz) * ($lz3 - mlz)), 6) AS alpha
+         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+
+    "q_linreg" ->
+      """SELECT
+        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+
+    "q_group_linreg" ->
+      """SELECT l_returnflag,
+        |  round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+        |  round(avg(l_extendedprice) - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)) * avg(l_quantity), 6) AS intercept,
+        |  round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS r2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT round(corr(click, view), 6) AS corr_click_view,
+        |  round(corr(click, purchase), 6) AS corr_click_purchase,
+        |  round(corr(view, purchase), 6) AS corr_view_purchase
+        |FROM m""".stripMargin,
+
+
+    "q_impute" ->
+      """WITH mins AS (SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events),
+        |tv AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS target_val
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |rv AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS ref_val
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |t AS (SELECT m.minute, tv.target_val FROM mins m LEFT JOIN tv USING (minute)),
+        |j AS (SELECT t.minute, t.target_val, rv.ref_val FROM t LEFT JOIN rv USING (minute)),
+        |fit AS (SELECT covar_samp(ref_val, target_val) / var_samp(ref_val) AS b,
+        |    avg(target_val) AS my, avg(ref_val) AS mx
+        |  FROM j WHERE target_val IS NOT NULL AND ref_val IS NOT NULL),
+        |f2 AS (SELECT b, my - b * mx AS a FROM fit)
+        |SELECT epoch_us(j.minute) // 1000000 AS minute_epoch,
+        |  round(coalesce(j.target_val, a + b * j.ref_val), 6) AS imputed
+        |FROM j, f2 ORDER BY 1""".stripMargin,
+
+
+    "q_tz_convert" ->
+      """WITH b AS (SELECT event_id,
+        |    (CASE WHEN event_id % 2 = 0 THEN TIMESTAMP '2024-03-10 00:00:00'
+        |          ELSE TIMESTAMP '2024-11-03 00:00:00' END
+        |     + to_seconds(CAST(event_id % 14400 AS INT))) AS tloc
+        |  FROM events)
+        |SELECT event_id,
+        |  epoch_us(timezone('America/New_York', tloc)) // 1000000 AS utc_epoch
+        |FROM b
+        |WHERE NOT (event_id % 2 = 1 AND event_id % 14400 BETWEEN 3600 AND 7199)
+        |ORDER BY event_id""".stripMargin,
+
+
+    "q_impute_corr" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)) AS base FROM events GROUP BY 1),
+        |series AS (SELECT h, 'A' || CAST(k AS VARCHAR) AS asset,
+        |    CASE WHEN (epoch_us(h) // 3600000000 + k) % 19 = 0 THEN NULL
+        |         ELSE base * (1.0 + k / 10.0) + k * 1000 END AS v,
+        |    base * (1.0 + k / 10.0) + k * 1000 AS vt
+        |  FROM hourly, range(5) t(k))
+        |SELECT epoch_us(h) // 1000000 AS h_epoch, asset,
+        |       round(coalesce(v, vt), 2) AS v_imputed
+        |FROM series ORDER BY h_epoch, asset""".stripMargin,
+
+
+    "q_offset_dst" ->
+      """WITH b AS (SELECT event_id,
+        |    ts + to_months(CAST(event_id % 12 AS INT)) AS utc
+        |  FROM events WHERE date_part('day', ts) <= 28)
+        |SELECT event_id,
+        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |     - epoch_us(utc)) / 3600000000.0 AS utc_offset_hours,
+        |  (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |     - epoch_us(utc)) / 1000000 <> -18000 AS is_dst
+        |FROM b ORDER BY event_id""".stripMargin,
+
+
+    "q_qa_describe" ->
+      """WITH e AS (SELECT value, value * 3.0 - user_id AS mix,
+        |                  CAST(user_id AS DOUBLE) AS uid FROM events),
+        |s AS (
+        |  SELECT 'value' AS "column", count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value) AS mean,
+        |    stddev_samp(value) AS std, min(value) AS min,
+        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+        |    quantile_cont(value, 0.75) AS p75, max(value) AS max FROM e
+        |  UNION ALL
+        |  SELECT 'mix', count(mix),
+        |    CAST(sum(CAST(mix AS DECIMAL(38,10))) AS DOUBLE) / count(mix),
+        |    stddev_samp(mix), min(mix), quantile_cont(mix, 0.25),
+        |    quantile_cont(mix, 0.5), quantile_cont(mix, 0.75), max(mix) FROM e
+        |  UNION ALL
+        |  SELECT 'uid', count(uid),
+        |    CAST(sum(CAST(uid AS DECIMAL(38,10))) AS DOUBLE) / count(uid),
+        |    stddev_samp(uid), min(uid), quantile_cont(uid, 0.25),
+        |    quantile_cont(uid, 0.5), quantile_cont(uid, 0.75), max(uid) FROM e)
+        |SELECT "column", n, round(mean, 6) AS mean, round(std, 6) AS std,
+        |       round(min, 6) AS min, round(p25, 6) AS p25, round(p50, 6) AS p50,
+        |       round(p75, 6) AS p75, round(max, 6) AS max
+        |FROM s ORDER BY "column"""".stripMargin,
+
+
+    "q_dst_windows" ->
+      """WITH h0 AS (SELECT DISTINCT
+        |    date_trunc('hour', ts + to_months(CAST(event_id % 12 AS INT))) AS utc
+        |  FROM events WHERE date_part('day', ts) <= 28),
+        |h1 AS (SELECT utc FROM h0
+        |       UNION ALL SELECT utc FROM h0 WHERE date_part('hour', utc) = 6),
+        |b AS (SELECT utc,
+        |    CAST(date_part('hour', utc) * 100 + date_part('day', utc) AS BIGINT) AS power,
+        |    timezone('America/New_York', utc AT TIME ZONE 'UTC') AS loc,
+        |    (epoch_us(timezone('America/New_York', utc AT TIME ZONE 'UTC'))
+        |       - epoch_us(utc)) / 1000000 AS off
+        |  FROM h1),
+        |c AS (SELECT *, CAST(date_part('year', loc) AS INT) AS yr,
+        |             off <> -18000 AS dst FROM b),
+        |a AS (SELECT yr, min(CASE WHEN dst THEN utc END) AS spring,
+        |             max(CASE WHEN dst THEN utc END) AS last_dst
+        |      FROM c GROUP BY yr),
+        |f AS (SELECT c.yr, min(c.utc) AS fall
+        |      FROM c JOIN a ON c.yr = a.yr AND c.utc > a.last_dst
+        |      GROUP BY c.yr),
+        |lab AS (SELECT c.*, count(*) OVER (PARTITION BY c.utc) AS n_dups,
+        |          CASE WHEN abs(epoch_us(c.utc) - epoch_us(a.spring)) <= 3 * 3600000000
+        |               THEN 'spring'
+        |               WHEN abs(epoch_us(c.utc) - epoch_us(f.fall)) <= 3 * 3600000000
+        |               THEN 'fall' END AS season
+        |        FROM c JOIN a ON c.yr = a.yr LEFT JOIN f ON c.yr = f.yr
+        |        WHERE a.spring IS NOT NULL)
+        |SELECT yr AS year, season, epoch_us(utc) // 1000000 AS utc_epoch,
+        |       epoch_us(loc) // 1000000 AS local_epoch, power,
+        |       dst AS is_dst, off / 3600.0 AS utc_offset_hours, n_dups
+        |FROM lab WHERE season IS NOT NULL
+        |ORDER BY utc_epoch, year""".stripMargin,
+
+
+    "q_interp_linear" ->
+      """WITH b AS (SELECT event_id, ts, event_type,
+        |             CAST(epoch_us(ts) AS DOUBLE) AS x,
+        |             CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+        |           FROM events),
+        |f AS (SELECT event_id, v, x,
+        |        last_value(v IGNORE NULLS) OVER w AS yp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w AS xp,
+        |        first_value(v IGNORE NULLS) OVER w2 AS yn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w2 AS xn
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN yp IS NULL THEN yn WHEN yn IS NULL THEN yp
+        |    WHEN xn = xp THEN yp
+        |    ELSE yp + (yn - yp) * (x - xp) / (xn - xp) END, 4) AS v
+        |FROM f ORDER BY event_id""".stripMargin,
+
+
+    "q_iec_curve" ->
+      """WITH d AS (SELECT least(CAST(floor((value / 20.0) / 0.5) AS INT), 60) AS bin,
+        |                  round(value * 3.0) AS power
+        |           FROM events WHERE value / 20.0 >= 0
+        |             AND value IS NOT NULL),
+        |st AS (SELECT bin, avg(power) AS p FROM d GROUP BY bin),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 61)),
+        |j AS (SELECT g.bin, st.p FROM grid g LEFT JOIN st ON g.bin = st.bin),
+        |f AS (SELECT bin, p,
+        |        last_value(p IGNORE NULLS) OVER w AS pv,
+        |        last_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w AS bv,
+        |        first_value(p IGNORE NULLS) OVER w2 AS pn,
+        |        first_value(CASE WHEN p IS NOT NULL THEN bin END IGNORE NULLS) OVER w2 AS bn
+        |      FROM j
+        |      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT bin, round(CASE WHEN p IS NOT NULL THEN p
+        |    WHEN pv IS NULL THEN pn WHEN pn IS NULL THEN pv
+        |    ELSE pv + (pn - pv) * (bin - bv) / CAST(bn - bv AS DOUBLE) END, 6) AS p
+        |FROM f ORDER BY bin""".stripMargin,
+
+
+    "q_status_filter" ->
+      """WITH f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |s AS (SELECT user_id, ts, event_type AS status_code FROM events
+        |  WHERE event_type IN ('signup', 'error'))
+        |SELECT f.event_id, f.user_id, f.value
+        |FROM f ASOF LEFT JOIN s ON f.user_id = s.user_id AND f.ts >= s.ts
+        |WHERE s.status_code IS NULL OR s.status_code <> 'error'
+        |ORDER BY f.event_id""".stripMargin,
+
+  )
+}

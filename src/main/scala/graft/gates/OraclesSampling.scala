@@ -1,0 +1,199 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — sampling, splits, mixtures, resampling, backtests.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesSampling expression-by-expression.
+  */
+private[graft] object OraclesSampling {
+  val sql: Map[String, String] = Map(
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      END AS w
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS n
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, w FROM d, t
+        |WHERE w > 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < round(0.3 * n * w / sw * 10000)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // Mix-recipe rates: min(1, B*share/avail), floor(+0.5) expected,
+    // realized share of the expected total.
+    "q_mixture_rates" ->
+      """WITH avail AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS a
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+        |t(grp, ts) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |j AS (SELECT t.grp, t.ts, coalesce(avail.a, 0) AS a
+        |  FROM t LEFT JOIN avail ON t.grp = avail.grp),
+        |r AS (SELECT grp, ts, a,
+        |    CASE WHEN a = 0 THEN 0.0
+        |         ELSE least(1.0, CAST(50000 AS DOUBLE) * ts / a) END AS rate
+        |  FROM j),
+        |e AS (SELECT grp, ts, a, rate, floor(rate * a + 0.5) AS expected FROM r),
+        |tot AS (SELECT sum(expected) AS te FROM e)
+        |SELECT grp AS "group", a AS available,
+        |  CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS rate_ppm,
+        |  CAST(expected AS BIGINT) AS expected_tokens,
+        |  CAST(floor(CASE WHEN te = 0 THEN NULL ELSE expected / te END * 1e6 + 0.5) AS BIGINT) AS realized_ppm
+        |FROM e, tot ORDER BY grp""".stripMargin,
+
+
+    "q_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |    sum(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)) AS ss FROM cnt),
+        |r AS (SELECT lang, CAST(least(
+        |    floor((SELECT nn FROM tot) * floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5)
+        |      / (SELECT ss FROM tot) / n * 10000 + 0.5), 100000.0) AS BIGINT) AS thr
+        |  FROM cnt),
+        |b AS (SELECT d.doc_id, d.lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bkt,
+        |    r.thr FROM documents d JOIN r ON d.lang = r.lang),
+        |c AS (SELECT doc_id, lang,
+        |    (thr // 10000) + CASE WHEN bkt < thr % 10000 THEN 1 ELSE 0 END AS copies
+        |  FROM b)
+        |SELECT doc_id, lang, CAST(unnest([i FOR i IN range(0, copies)]) AS BIGINT) AS copy
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
+
+
+    "q_mixture" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t(lang, tgt) AS (VALUES ('en', 0.5), ('fr', 0.3), ('de', 0.2)),
+        |j AS (SELECT c.lang, c.n, t.tgt FROM cnt c JOIN t ON c.lang = t.lang),
+        |r AS (SELECT lang,
+        |    CAST(round(least(1.0, (SELECT min(n / tgt) FROM j) * tgt / n) * 10000) AS BIGINT) AS thr
+        |  FROM j)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_topk_stratum" ->
+      """SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS id, rnk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 7 ORDER BY stratum, rnk""".stripMargin,
+
+
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_group_split" ->
+      """SELECT source,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM (SELECT source,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q_epoch_shuffle" ->
+      """SELECT * FROM (
+        |  (SELECT 0 AS epoch, doc_id,
+        |     md5('0:7:' || CAST(doc_id AS VARCHAR)) AS k
+        |   FROM documents ORDER BY k LIMIT 20)
+        |  UNION ALL
+        |  (SELECT 1 AS epoch, doc_id,
+        |     md5('1:7:' || CAST(doc_id AS VARCHAR)) AS k
+        |   FROM documents ORDER BY k LIMIT 20))
+        |ORDER BY epoch, k""".stripMargin,
+
+
+    "q_length_buckets" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST((n_chars > q[1]) AS INT) + CAST((n_chars > q[2]) AS INT)
+        |    + CAST((n_chars > q[3]) AS INT) AS bucket
+        |FROM documents, t ORDER BY doc_id""".stripMargin,
+
+
+    "q_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS cs FROM embeddings),
+        |q AS (SELECT vec_id AS query, (vec_id * 7 + 1) % (SELECT cs FROM n) AS pos
+        |  FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT t.query, s.slot,
+        |    ('0x' || substr(md5(CAST(t.query AS VARCHAR) || '|' || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT
+        |      % (SELECT cs FROM n) AS cand
+        |  FROM (SELECT DISTINCT query FROM q) t,
+        |       (SELECT unnest(range(0, 15)) AS slot) s),
+        |dd AS (SELECT query, cand, min(slot) AS slot FROM d
+        |  WHERE cand <> query GROUP BY 1, 2),
+        |neg AS (SELECT dd.* FROM dd LEFT JOIN q
+        |  ON dd.query = q.query AND dd.cand = q.pos WHERE q.query IS NULL),
+        |r AS (SELECT query, cand, slot,
+        |    row_number() OVER (PARTITION BY query ORDER BY slot, cand) AS rnk FROM neg)
+        |SELECT query AS vec_id, cand AS neg_id, rnk AS slot_rank
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin,
+
+
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS w
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 2000), ('src1', 5000), ('src2', 1000000)),
+        |tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS sw FROM d WHERE w > 0 GROUP BY 1),
+        |thr AS (SELECT t.source,
+        |    CASE WHEN b.budget IS NULL THEN CAST(10000 AS BIGINT)
+        |      ELSE CAST(round(least(1.0, b.budget::DOUBLE / sw) * 10000) AS BIGINT) END AS thr
+        |  FROM tot t LEFT JOIN b ON t.source = b.source)
+        |SELECT d.doc_id, d.source, d.w AS w, thr.thr
+        |FROM d JOIN thr ON d.source = thr.source
+        |WHERE d.w > 0 AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < thr.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_systematic_resample" ->
+      """WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (SELECT id, weight, sum(weight) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+        |t AS (SELECT sum(weight) AS tw FROM w),
+        |x AS (SELECT id, weight,
+        |    ((cum * 2000 - 777 + 2 * t.tw - 1) // t.tw)
+        |      - (((cum - weight) * 2000 - 777 + 2 * t.tw - 1) // t.tw)
+        |      AS n_copies
+        |  FROM c, t)
+        |SELECT id, weight, CAST(n_copies AS BIGINT) AS n_copies FROM x
+        |WHERE n_copies > 0 ORDER BY id""".stripMargin,
+
+
+    "q_backtest" ->
+      """WITH e AS (SELECT event_id,
+        |    epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS t
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT unnest(range(0, 8)) AS w),
+        |tr AS (SELECT event_id, w.w AS window_id, 'train' AS role FROM e, w
+        |  WHERE t >= w.w * 259200000000 AND t < w.w * 259200000000 + 604800000000),
+        |te AS (SELECT event_id, w.w AS window_id, 'test' AS role FROM e, w
+        |  WHERE t >= w.w * 259200000000 + 648000000000
+        |    AND t < w.w * 259200000000 + 648000000000 + 172800000000)
+        |SELECT event_id, CAST(window_id AS BIGINT) AS window_id, role
+        |FROM (SELECT * FROM tr UNION ALL SELECT * FROM te)
+        |WHERE event_id IN (SELECT event_id FROM e WHERE t >= 0)
+        |ORDER BY event_id, window_id, role""".stripMargin,
+
+  )
+}

@@ -1,0 +1,767 @@
+package graft
+
+import graft.OracleHelpers._
+
+/** DuckDB oracle SQL — language/quality routing, tokenizers, retrieval, corpus stats.
+  * Split from Oracles (r8): each statement mirrors its
+  * Spark twin in GatesText expression-by-expression.
+  */
+private[graft] object OraclesText {
+  val sql: Map[String, String] = Map(
+
+    "q_bpe" ->
+      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_unigram_tok" ->
+      """SELECT doc_id, true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_bpe_fertility" ->
+      s"""WITH n AS (SELECT lang, $normText AS nt FROM documents)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN length(nt) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(nt, ' ')) END) AS BIGINT) AS n_words,
+         |  true AS fertility_ge1
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+    "q_logreg" ->
+      """SELECT count(*) AS n, true AS counts_ok, true AS accuracy_ok
+        |FROM documents""".stripMargin,
+
+
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |         / (CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END AS mean_word_len,
+         |  CASE WHEN len(regexp_split_to_array($normText, ' ')) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(regexp_split_to_array($normText, ' '),
+         |           x -> x IN $stopList)) AS DOUBLE)
+         |         / len(regexp_split_to_array($normText, ' ')) END AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // strip_accents == NFD + combining-mark strip for the planted Latin
+    // accents; \p classes are RE2 here and java.util.regex in Spark, which
+    // agree on the corpus's ASCII + planted chars (P/S/C/Nd)
+    "q_ccnet_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    strip_accents(lower(
+        |      (CASE WHEN doc_id % 3 = 0 THEN translate(text, 'ae', 'áé')
+        |            ELSE text END) || ' Café #'
+        |        || CAST(doc_id % 97 AS VARCHAR) || '! 42;')),
+        |    '\p{Nd}', '0', 'g'),
+        |    '[\p{P}\p{S}\p{C}]+', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+
+    "q_c4_filter" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    regexp_replace(text, ' (a|the) ', '.' || chr(10), 'g') AS t FROM documents),
+        |s1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN t || chr(10) || 'please enable javascript to continue here.'
+        |    ELSE t END AS t FROM s0),
+        |s2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t || chr(10) || 'filler lorem ipsum dolor sit amet text.'
+        |    ELSE t END AS t FROM s1),
+        |s3 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t || chr(10) || 'var x = function() { return 1; }.'
+        |    ELSE t END AS t FROM s2),
+        |l AS (SELECT doc_id, t,
+        |    list_filter(list_transform(regexp_split_to_array(t, '\n'), x -> trim(x)),
+        |                x -> length(x) > 0) AS lines FROM s3),
+        |k AS (SELECT doc_id, t, lines,
+        |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(regexp_split_to_array(x, '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) AS BIGINT) AS n_lines_total,
+        |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+        |       '[.!?]')) >= 3
+        |    AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+
+    "q_lang_scores" -> {
+      def score(markers: Seq[String]) = {
+        val list = markers.map(m => s"'$m'").mkString("(", ",", ")")
+        s"""CAST(len(list_filter(regexp_split_to_array($normText, ' '), x -> x IN $list)) AS DOUBLE)
+           | / greatest(len(regexp_split_to_array($normText, ' ')), 1)""".stripMargin.replace("\n", "")
+      }
+      import graft.operators.TextAnalysis.LanguageMarkers
+      s"""SELECT doc_id,
+         |  ${score(LanguageMarkers("en"))} AS en_score,
+         |  ${score(LanguageMarkers("fr"))} AS fr_score,
+         |  ${score(LanguageMarkers("de"))} AS de_score,
+         |  ${score(LanguageMarkers("es"))} AS es_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+
+    "q_quality" -> {
+      val toks = s"regexp_split_to_array($normText, ' ')"
+      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
+      val stop = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, x -> x IN $stopList)) AS DOUBLE) / len($toks) END"
+      s"""SELECT doc_id,
+         |  (((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + (1.0 - least(($punct) * 5.0, 1.0)))
+         |   + least(($stop) * 4.0, 1.0))
+         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+
+    "q_lang_quality" -> {
+      val toks = s"list_filter(string_split_regex($normText, ' '), x -> len(x) > 0)"
+      val sl = """CASE lang
+        | WHEN 'fr' THEN ['le','la','les','de','et','un','une','est','que','pour']
+        | WHEN 'de' THEN ['der','die','das','und','ist','ein','eine','mit','von','zu']
+        | WHEN 'es' THEN ['el','la','los','de','y','un','una','es','que','por']
+        | WHEN 'en' THEN ['the','and','of','to','is','in','that','it','for','with']
+        | ELSE ['the','and','of','to','is','in','that','it','for','with'] END""".stripMargin
+      val nTokens = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      val mwl = s"CASE WHEN ($nTokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / ($nTokens) END"
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
+      val stop = s"CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(sl, x))) AS DOUBLE) / len(t) END"
+      s"""WITH base AS (SELECT doc_id, lang, text, $toks AS t, $sl AS sl FROM documents)
+         |SELECT doc_id, lang, round($stop, 6) AS stop_ratio,
+         |  round((((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + (1.0 - least(($punct) * 5.0, 1.0)))
+         |   + least(($stop) * 4.0, 1.0))
+         |   + (CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+
+    // Distinct-3-gram novelty vs the % 10 == 0 reference slice; ppm
+    // quantization (floor(x*1e6+0.5)) of identical doubles, never round().
+    "q_novelty" ->
+      s"""WITH norm AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM norm),
+         |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         |tgt AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+         |agg AS (SELECT t.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM tgt t LEFT JOIN ref r ON t.gram = r.gram GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_novel, 0) AS n_novel,
+         |  CAST(floor(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 1.0
+         |    ELSE CAST(a.n_novel AS DOUBLE) / a.n_grams END * 1e6 + 0.5) AS BIGINT) AS novelty_ppm
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+
+    // Unicode-script counts by explicit BMP ranges (RE2 \x{...} spelling of
+    // the same ranges the Spark side writes as \uXXXX); dominant script =
+    // first field in fixed order attaining the max.
+    "q_script_mix" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN repeat('д', CAST(doc_id % 11 + 5 AS INT)) || repeat('中', CAST(doc_id % 4 AS INT))
+        |    ELSE text || repeat('д', CAST(doc_id % 5 AS INT)) || repeat('中', CAST(doc_id % 3 AS INT)) || repeat('ا', CAST(doc_id % 2 AS INT))
+        |  END AS mixed FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(regexp_replace(mixed, '[^a-zA-Z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
+        |  length(regexp_replace(mixed, '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+        |  length(regexp_replace(mixed, '[^\x{0370}-\x{03FF}]', '', 'g')) AS greek,
+        |  length(regexp_replace(mixed, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |  length(regexp_replace(mixed, '[^\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
+        |  length(regexp_replace(mixed, '[^\x{0590}-\x{05FF}]', '', 'g')) AS hebrew,
+        |  length(regexp_replace(mixed, '[^0-9]', '', 'g')) AS digit
+        |FROM m),
+        |x AS (SELECT *, greatest(latin, cyrillic, greek, cjk, arabic, hebrew) AS mx FROM c)
+        |SELECT doc_id, latin, cyrillic, cjk, arabic, digit,
+        |  CASE WHEN mx <= 0 THEN 'none'
+        |       WHEN latin = mx THEN 'latin'
+        |       WHEN cyrillic = mx THEN 'cyrillic'
+        |       WHEN greek = mx THEN 'greek'
+        |       WHEN cjk = mx THEN 'cjk'
+        |       WHEN arabic = mx THEN 'arabic'
+        |       ELSE 'hebrew' END AS script
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+
+    // Code-likeness signals over raw text + the shared deterministic
+    // suffix; same character classes, ppm-quantized quotients.
+    "q_code_detect" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || '$codeSuffix' ELSE text END AS t2
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  length(regexp_replace(t2, '\\s+', '', 'g')) AS nonspace,
+         |  length(regexp_replace(t2, '[^{}\\[\\]()<>;=+*/&|#$$`]', '', 'g')) AS symbols,
+         |  list_filter(string_split(t2, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  list_filter(regexp_split_to_array(t2, '\\s+'), w -> len(w) > 0) AS words
+         |  FROM t),
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN nonspace = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / nonspace END AS symbol_ratio,
+         |  len(lines) AS n_lines,
+         |  CASE WHEN len(lines) <= 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE) / len(lines) END AS indent_fraction,
+         |  CASE WHEN len(words) <= 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(words, w ->
+         |      regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9]*_[a-zA-Z0-9_]*$$')
+         |      OR regexp_matches(w, '^[a-z]+[A-Z][a-zA-Z0-9]*$$')
+         |      OR regexp_matches(w, '^[a-zA-Z_][a-zA-Z0-9_]*\\.[a-zA-Z_][a-zA-Z0-9_.]*$$'))) AS DOUBLE) / len(words) END AS ident_fraction
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(floor(symbol_ratio * 1e6 + 0.5) AS BIGINT) AS symbol_ppm,
+         |  CAST(floor(indent_fraction * 1e6 + 0.5) AS BIGINT) AS indent_ppm,
+         |  CAST(floor(ident_fraction * 1e6 + 0.5) AS BIGINT) AS ident_ppm,
+         |  CAST(n_lines AS BIGINT) AS n_lines,
+         |  (symbol_ratio > 0.12 OR (indent_fraction > 0.3 AND ident_fraction > 0.05)) AS is_code
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+
+    // Per-sentence language labels via the marker lists (first lang in
+    // fixed order attaining the max count; 'und' when no list hits),
+    // adjacent-pair switch count, sorted distinct tags.
+    "q_code_switch" -> {
+      import graft.operators.TextAnalysis.LanguageMarkers
+      def toks(s: String) =
+        "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(" +
+          s"lower($s), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), " +
+          "t -> len(t) > 0)"
+      def cnt(s: String, lang: String) = {
+        val list = LanguageMarkers(lang).map(m => s"'$m'").mkString("(", ",", ")")
+        s"len(list_filter(${toks(s)}, x -> x IN $list))"
+      }
+      def label(s: String) = {
+        val (en, fr, de, es) = (cnt(s, "en"), cnt(s, "fr"), cnt(s, "de"), cnt(s, "es"))
+        val mx = s"greatest($en, $fr, $de, $es)"
+        s"CASE WHEN $mx <= 0 THEN 'und' WHEN $en = $mx THEN 'en' " +
+          s"WHEN $fr = $mx THEN 'fr' WHEN $de = $mx THEN 'de' ELSE 'es' END"
+      }
+      s"""WITH t AS (SELECT doc_id, 'the cat is in the house. ' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN 'le chat est dans la maison. ' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN 'der hund ist mit von zu. ' ELSE '' END ||
+         |    regexp_replace(text, ' (table|key) ', '. ', 'g') AS t2 FROM documents),
+         |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\\s+|[.!?]+$$'),
+         |    x -> len(trim(x)) > 0) AS sents FROM t),
+         |l AS (SELECT doc_id, [${label("sents[i]")}
+         |    FOR i IN range(1, len(sents) + 1)] AS labels FROM s),
+         |g AS (SELECT doc_id, labels,
+         |    list_filter(labels, x -> x <> 'und') AS tagged FROM l)
+         |SELECT doc_id, CAST(len(labels) AS INT) AS n_sentences,
+         |  CAST(len(tagged) AS INT) AS n_tagged,
+         |  CAST(coalesce(list_sum([CASE WHEN labels[i] <> 'und'
+         |      AND labels[i+1] <> 'und' AND labels[i] <> labels[i+1]
+         |      THEN 1 ELSE 0 END FOR i IN range(1, len(labels))]), 0) AS INT) AS n_switches,
+         |  array_to_string(list_sort(list_distinct(tagged)), ',') AS langs
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+
+    // Good-Turing n1/N + Chao1 V + n1^2/(2 n2).
+    "q_unseen_mass" ->
+      s"""WITH v AS (SELECT t.token, count(*) AS c FROM
+         |    (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |     FROM documents) t
+         |  WHERE len(t.token) > 0 GROUP BY 1),
+         |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+         |  FROM v)
+         |SELECT n_tokens, n_vocab, n_hapax, n_dis,
+         |  CAST(floor(CASE WHEN n_tokens = 0 THEN NULL
+         |    ELSE CAST(n_hapax AS DOUBLE) / n_tokens END * 1e6 + 0.5) AS BIGINT) AS p_unseen_ppm,
+         |  CAST(floor(CASE WHEN n_dis = 0 THEN CAST(n_vocab AS DOUBLE)
+         |    ELSE n_vocab + CAST(n_hapax AS DOUBLE) * n_hapax / (2.0 * n_dis) END
+         |    * 1e6 + 0.5) AS BIGINT) AS chao1_ppm
+         |FROM a""".stripMargin,
+
+
+    // Homoglyph fold: same confusable translate table + invisible strip
+    // (RE2 \x{...} ranges), md5 equality with the unspoofed original.
+    "q_homoglyph" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN chr(8203) || translate(text, 'aeo', 'аео') || chr(8205)
+         |         ELSE text END AS sp
+         |  FROM documents),
+         |f AS (SELECT doc_id, text,
+         |    translate(regexp_replace(sp,
+         |      '[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}]', '', 'g'),
+         |      '${graft.operators.TextAnalysis.ConfusableFrom}',
+         |      '${graft.operators.TextAnalysis.ConfusableTo}') AS folded
+         |  FROM s)
+         |SELECT doc_id, md5(folded) AS folded_md5,
+         |  (md5(folded) = md5(text)) AS dedup_match
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+
+    // TextTiling valleys: adjacent distinct-token intersections, strict
+    // valley with infinite edges; struct-comprehension unnest.
+    "q_topic_boundaries" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|key|value|row|scan) ', '. ', 'g') AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |    x -> len(trim(x)) > 0) AS sents FROM t),
+        |ss AS (SELECT doc_id,
+        |    [list_distinct(list_filter(regexp_split_to_array(lower(sents[i]), '\s+'),
+        |       w -> len(w) > 0)) FOR i IN range(1, len(sents) + 1)] AS sets
+        |  FROM s),
+        |g AS (SELECT doc_id,
+        |    [len(list_intersect(sets[i], sets[i+1])) FOR i IN range(1, len(sets))] AS gaps
+        |  FROM ss WHERE len(sets) >= 2),
+        |e AS (SELECT doc_id, unnest([{'i': i, 'g': gaps[i],
+        |      'l': CASE WHEN i = 1 THEN 2147483647 ELSE gaps[i-1] END,
+        |      'r': CASE WHEN i = len(gaps) THEN 2147483647 ELSE gaps[i+1] END}
+        |      FOR i IN range(1, len(gaps) + 1)]) AS u FROM g)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS gap_idx,
+        |  CAST(u.g AS BIGINT) AS overlap,
+        |  (u.g < u.l AND u.g < u.r) AS is_boundary
+        |FROM e ORDER BY doc_id, gap_idx""".stripMargin,
+
+
+    // Flesch signals: shared regex classes, greatest(_,1) guards, same
+    // left-associated score arithmetic, ppm floor.
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || repeat('. More text here! Right? Ok.', CAST(doc_id % 3 + 1 AS INT)) AS t2
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(t2, '[.!?]+\s+|[.!?]+$'),
+        |      s -> len(trim(s)) > 0)) AS n_sentences,
+        |    len(list_filter(regexp_split_to_array(t2, '\s+'),
+        |      w -> len(w) > 0)) AS n_words,
+        |    len(regexp_extract_all(lower(t2), '[aeiouy]+')) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(floor((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)))
+        |    * 1e6 + 0.5) AS BIGINT) AS flesch_ppm
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents)
+         |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+         |FROM tok WHERE len(token) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |idf AS (SELECT token, ln((SELECT count(*) FROM documents) / count(DISTINCT doc_id)) AS idf
+         |  FROM tok2 GROUP BY 1),
+         |r AS (SELECT doc_id, token, tf, tf * idf AS score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf DESC, token) AS rnk
+         |  FROM tf JOIN idf USING (token))
+         |SELECT doc_id, token, tf, round(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+
+    "q_repetition" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), t -> len(t) > 0) AS toks,
+         |    list_filter(list_transform(
+         |      string_split(regexp_replace(text, ' customer', chr(10) || 'customer', 'g'), chr(10)),
+         |      s -> trim(s)), s -> len(s) > 0) AS lines
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks, lines,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |         ELSE [] END AS grams
+         |  FROM base)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(toks) = 0 THEN 1.0
+         |    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_tok_ratio,
+         |  round(CASE WHEN len(toks) < 2 THEN 0.0
+         |    ELSE CAST(list_max(list_transform(list_distinct(grams),
+         |      x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) * 2 / len(toks) END, 6) AS top2gram_frac,
+         |  round(CASE WHEN len(lines) <= 1 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+
+    // HUGEINT keeps the boundary test exact (BIGINT would overflow at
+    // dev^2 * (n-1) ~ 1e22)
+    "q_doclen_outlier" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |    sum(n_chars::HUGEINT * n_chars) AS sxx FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  (n > 1 AND
+        |   (d.n_chars::HUGEINT * n - sx) * (d.n_chars::HUGEINT * n - sx) * (n - 1)
+        |     >= 4::HUGEINT * n * (n::HUGEINT * sxx - sx::HUGEINT * sx)) AS len_outlier
+        |FROM documents d JOIN st USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_mojibake" -> {
+      val cls = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]"
+      s"""WITH d AS (SELECT doc_id,
+         |    substring(text, 1, 40) || chr(7) || substring(text, 41, 40) || chr(65533) AS dmg,
+         |    text FROM documents)
+         |SELECT doc_id,
+         |  round((length(dmg) - length(regexp_replace(dmg, '$cls', '', 'g')))::DOUBLE
+         |    / length(dmg), 6) AS damaged_score,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE round((length(text) - length(regexp_replace(text, '$cls', '', 'g')))::DOUBLE
+         |      / length(text), 6) END AS clean_score
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+
+    "q_bigram_lp" -> {
+      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |trtok AS (SELECT unnest($toks) AS token FROM tr),
+         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
+         |trbi0 AS (SELECT $toks AS toks FROM tr),
+         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
+         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
+         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(coalesce(lp2, ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V)))), 6) AS mean_lp
+         |FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+
+    "q_unigram_lp" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
+         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot)
+         |SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS mean_lp
+         |FROM tok2 JOIN model USING (token) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_phrase_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), 'table scan')) AS c1,
+        |    len(regexp_extract_all(lower(text), 'hash join')) AS c2,
+        |    len(regexp_extract_all(lower(text), 'sort merge')) AS c3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_matches,
+        |  CAST((c1 > 0)::INT + (c2 > 0)::INT + (c3 > 0)::INT AS BIGINT)
+        |    AS n_phrases_hit,
+        |  (c1 + c2 + c3) > 0 AS flagged
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+
+    "q_pmi" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+         |    (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |     FROM documents) WHERE len(token) > 0),
+         |n AS (SELECT count(*) AS N FROM documents),
+         |f AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+         |kept AS (SELECT token, df FROM f, n WHERE df >= 50 AND df <= N * 1.0),
+         |kt AS (SELECT t.doc_id, t.token, k.df FROM tok t JOIN kept k USING (token)
+         |  QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY k.df, t.token) <= 1000),
+         |p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab,
+         |    any_value(a.df) AS df_a, any_value(b.df) AS df_b
+         |  FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2 HAVING count(*) >= 50)
+         |SELECT token_a, token_b, n_ab,
+         |  round(ln(CAST(n_ab AS DOUBLE) * N / (df_a * df_b)), 6) AS pmi
+         |FROM p, n ORDER BY 1, 2""".stripMargin,
+
+
+    "q_ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |vocab AS (SELECT token, count(*) AS tf FROM tok2 WHERE doc_id % 5 = 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS N, count(*) AS V FROM vocab),
+         |model AS (SELECT token, ln((tf + 1)::DOUBLE / (N + V)) AS lp FROM vocab, tot),
+         |agg AS (SELECT doc_id, any_value(lang) AS lang, token, count(*) AS cnt
+         |  FROM tok2 WHERE doc_id % 5 <> 0 GROUP BY doc_id, token),
+         |sc AS (SELECT a.doc_id, any_value(a.lang) AS lang,
+         |    CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |    round(sum(cnt * coalesce(m.lp, ln(1.0 / (tot.N + tot.V)))) / sum(cnt), 6) AS mean_lp
+         |  FROM agg a LEFT JOIN model m USING (token), tot GROUP BY a.doc_id),
+         |b AS (SELECT lang, quantile_cont(mean_lp, 2.0/3) AS bh,
+         |    quantile_cont(mean_lp, 1.0/3) AS bm FROM sc GROUP BY 1)
+         |SELECT doc_id, sc.lang, n_toks, mean_lp,
+         |  CASE WHEN mean_lp > bh THEN 'head' WHEN mean_lp > bm THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM sc JOIN b ON sc.lang = b.lang
+         |ORDER BY doc_id""".stripMargin,
+
+
+    "q_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5($normText) AS fp_old
+         |  FROM documents WHERE doc_id < 400),
+         |nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 100),
+         |n2 AS (SELECT doc_id, md5($normText) AS fp_new FROM nw)
+         |SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n2.doc_id IS NULL THEN 'removed'
+         |       WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status,
+         |  fp_old, fp_new
+         |FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+
+    "q_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
+         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
+         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
+         |pd AS (SELECT token, doc_id,
+         |    array_to_string(list_sort(list(pos)), ',') AS positions
+         |  FROM t2 GROUP BY 1, 2),
+         |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY 1),
+         |cap AS (SELECT CAST(floor(0.78 * count(*)) AS BIGINT) AS maxdf FROM documents)
+         |SELECT pd.token, dfs.df, pd.doc_id, pd.positions
+         |FROM pd JOIN dfs ON pd.token = dfs.token, cap
+         |WHERE dfs.df <= cap.maxdf
+         |ORDER BY pd.token, pd.doc_id""".stripMargin,
+
+
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+         |m AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |sc AS (SELECT qt.doc_id,
+         |    sum(ln(1.0 + (st.N - m.df + 0.5) / (m.df + 0.5)) * (qt.tf * 2.2)
+         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+         |  FROM qt JOIN m ON qt.token = m.token JOIN dl ON qt.doc_id = dl.doc_id, st
+         |  GROUP BY qt.doc_id)
+         |SELECT d.doc_id, round(coalesce(sc.bm25, 0.0), 6) AS bm25
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    "q_phrase_search" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'pos': i - 1, 'token': ts[i]})) AS u
+         |  FROM (SELECT doc_id, regexp_split_to_array($normText, ' ') AS ts FROM documents)),
+         |t2 AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok WHERE len(u.token) > 0),
+         |p0 AS (SELECT doc_id, pos FROM t2 WHERE token = 'table'),
+         |p1 AS (SELECT doc_id, pos - 1 AS pos FROM t2 WHERE token = 'hash'),
+         |m AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN p1 USING (doc_id, pos))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_diversity" ->
+      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  WHERE len(token) > 0 GROUP BY 1, 2),
+         |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_vocab,
+         |    sum(c * ln(c)) AS clnc, CAST(sum(c * c) AS BIGINT) AS c2
+         |  FROM c GROUP BY 1),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         |SELECT m.source, d.n_docs, m.n_tokens, m.n_vocab,
+         |  round(ln(m.n_tokens) - clnc / m.n_tokens, 6) AS entropy,
+         |  round(CASE WHEN m.n_vocab > 1
+         |    THEN (ln(m.n_tokens) - clnc / m.n_tokens) / ln(m.n_vocab)
+         |    ELSE 0.0 END, 6) AS norm_entropy,
+         |  round(c2::DOUBLE / (m.n_tokens::DOUBLE * m.n_tokens), 6) AS simpson
+         |FROM m JOIN d ON m.source = d.source
+         |ORDER BY m.source""".stripMargin,
+
+
+    "q_zipf" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE len(token) > 0 GROUP BY 1),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS DOUBLE) AS rnk,
+         |    CAST(tf AS DOUBLE) AS tf FROM v
+         |  ORDER BY tf DESC, token LIMIT 25)
+         |SELECT
+         |  round(covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk)), 6) AS slope,
+         |  round(avg(ln(tf)) - (covar_samp(ln(rnk), ln(tf)) / var_samp(ln(rnk))) * avg(ln(rnk)), 6) AS intercept,
+         |  round(pow(corr(ln(rnk), ln(tf)), 2), 6) AS r2,
+         |  count(*) AS n_top
+         |FROM r""".stripMargin,
+
+
+    "q_nb_quality" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |tr AS (SELECT *, (lang = 'en') AS pos FROM tok2 WHERE doc_id % 5 = 0),
+         |counts AS (SELECT token,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |  FROM tr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS Np,
+         |    CAST(sum(c_neg) AS BIGINT) AS Nn, count(*) AS V FROM counts),
+         |prior AS (SELECT
+         |    ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS lp_prior,
+         |    ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS ln_prior
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |model AS (SELECT token, ln((c_pos + 1)::DOUBLE / (Np + V)) AS lp_pos,
+         |    ln((c_neg + 1)::DOUBLE / (Nn + V)) AS lp_neg FROM counts, tot),
+         |agg AS (SELECT doc_id, token, count(*) AS cnt FROM tok2
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |sc AS (SELECT t.doc_id, t.cnt,
+         |    coalesce(m.lp_pos, ln(1.0 / (tot.Np + tot.V))) AS lp_pos,
+         |    coalesce(m.lp_neg, ln(1.0 / (tot.Nn + tot.V))) AS lp_neg
+         |  FROM agg t LEFT JOIN model m USING (token), tot)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |  round(sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior), 6) AS log_odds,
+         |  (sum(cnt * (lp_pos - lp_neg)) + any_value(lp_prior) - any_value(ln_prior)) > 0 AS predicted
+         |FROM sc, prior GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    "q_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t FROM documents),
+         |grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 AND len(t[1]) > 0
+         |    THEN [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+         |feats AS (SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS feat FROM grams),
+         |pr AS (SELECT feat, count(*) AS c_r FROM feats GROUP BY 1),
+         |pt AS (SELECT feat, count(*) AS c_t FROM feats JOIN documents USING (doc_id)
+         |  WHERE lang = 'en' GROUP BY 1),
+         |model AS (SELECT pr.feat, coalesce(c_t, 0) AS c_t, c_r
+         |  FROM pr LEFT JOIN pt ON pr.feat = pt.feat),
+         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS Nt, CAST(sum(c_r) AS BIGINT) AS Nr
+         |  FROM model),
+         |sc AS (SELECT feat, ln((c_t + 1)::DOUBLE / (Nt + 1024))
+         |    - ln((c_r + 1)::DOUBLE / (Nr + 1024)) AS llr FROM model, tot)
+         |SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) AS weight
+         |FROM feats JOIN sc USING (feat) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q_js_div" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |ua AS (SELECT token, count(*) AS c_a FROM tok2 WHERE doc_id % 2 = 0 GROUP BY 1),
+         |ub AS (SELECT token, count(*) AS c_b FROM tok2 WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |  FROM ua FULL OUTER JOIN ub ON ua.token = ub.token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS Na, CAST(sum(c_b) AS BIGINT) AS Nb,
+         |    CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Va,
+         |    CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS Vb FROM j),
+         |terms AS (SELECT Na, Nb, Va, Vb,
+         |    c_a::DOUBLE / Na AS p, c_b::DOUBLE / Nb AS q,
+         |    (c_a::DOUBLE / Na + c_b::DOUBLE / Nb) / 2 AS m FROM j, tot),
+         |kl AS (SELECT Na, Nb, Va, Vb,
+         |    sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END) AS kl_pm,
+         |    sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END) AS kl_qm
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT Na AS n_tokens_a, Nb AS n_tokens_b, Va AS n_vocab_a, Vb AS n_vocab_b,
+         |  round(kl_pm, 6) AS kl_pm, round(kl_qm, 6) AS kl_qm,
+         |  round((kl_pm + kl_qm) / 2, 6) AS jsd
+         |FROM kl""".stripMargin,
+
+
+    "q_min_k_prob" -> {
+      val toks = "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)"
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |trtok AS (SELECT unnest($toks) AS token FROM tr),
+         |tuni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM tuni),
+         |trbi0 AS (SELECT $toks AS toks FROM tr),
+         |trbi AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM trbi0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM trbi GROUP BY 1, 2),
+         |model AS (SELECT w1, w2, ln(c2::DOUBLE / c1) AS lp2 FROM cb JOIN tuni ON cb.w1 = tuni.token),
+         |sb0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM sb0,
+         |  unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS t(u)),
+         |uni2 AS (SELECT token AS w2, c1 AS c1w2 FROM tuni),
+         |tl AS (SELECT doc_id, CAST(floor(coalesce(lp2,
+         |    ln(0.4 * (coalesce(c1w2, 0) + 1) / (N + V))) * 1000000) AS BIGINT) AS micro
+         |  FROM sb LEFT JOIN model USING (w1, w2) LEFT JOIN uni2 USING (w2), tot),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    list(micro ORDER BY micro) AS arr FROM tl GROUP BY 1),
+         |k AS (SELECT doc_id, n_bigrams,
+         |    CAST((n_bigrams + 4) // 5 AS BIGINT) AS k_count, arr FROM ag)
+         |SELECT doc_id, n_bigrams, k_count,
+         |  CAST(list_sum(arr[1:k_count]) AS BIGINT) AS mink_sum_micro,
+         |  CAST(list_sum(arr[1:k_count]) AS DOUBLE) / (k_count * 1000000)
+         |    AS mink_mean_lp
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
+
+
+    "q_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array($normText, ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT * FROM tok WHERE len(token) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+         |  WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+         |mo AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |sc AS (SELECT qt.doc_id,
+         |    round(sum(ln(1.0 + (st.N - mo.df + 0.5) / (mo.df + 0.5)) * (qt.tf * 2.2)
+         |      / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS s
+         |  FROM qt JOIN mo ON qt.token = mo.token JOIN dl ON qt.doc_id = dl.doc_id, st
+         |  GROUP BY qt.doc_id),
+         |sp AS (SELECT doc_id AS nid,
+         |    row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+         |  FROM sc WHERE s > 0 QUALIFY rnk <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM e),
+         |q AS (SELECT * FROM n WHERE vec_id = 7),
+         |dp AS (SELECT c.vec_id AS nid,
+         |    list_sum([q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)])
+         |      / (q.nrm * c.nrm) AS cos
+         |  FROM n c, q WHERE c.vec_id <> 7),
+         |dn AS (SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS rnk
+         |  FROM dp QUALIFY rnk <= 20),
+         |u AS (SELECT nid, rnk FROM sp UNION ALL SELECT nid, rnk FROM dn),
+         |f AS (SELECT nid,
+         |    CAST(sum(CAST(floor(1000000000.0 / (60 + rnk)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY 1),
+         |r AS (SELECT nid, n_lists, rrf_micro,
+         |    row_number() OVER (ORDER BY rrf_micro DESC, nid) AS rnk
+         |  FROM f QUALIFY rnk <= 15)
+         |SELECT nid AS id, n_lists, rrf_micro,
+         |  CAST(rrf_micro AS DOUBLE) / 1000000000 AS rrf,
+         |  CAST(rnk AS BIGINT) AS rank
+         |FROM r ORDER BY rank""".stripMargin,
+
+  )
+}

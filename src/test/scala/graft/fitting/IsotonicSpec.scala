@@ -63,6 +63,12 @@ class IsotonicSpec extends SparkSpec {
       "score", model, nBins = 10)
       .select("tag", "calibrated").as[(String, Double)].collect().toMap
     assert(applied("lo") == 0.0 && applied("hi") == 1.0)
+    // out-of-range NEW data clamps to the edge blocks, never nulls
+    val oob = Isotonic.calibrate(
+      Seq((-0.3, "neg"), (1.7, "big")).toDF("score", "tag"),
+      "score", model, nBins = 10)
+      .select("tag", "calibrated").as[(String, Double)].collect().toMap
+    assert(oob("neg") == 0.0 && oob("big") == 1.0)
   }
 
   test("calibrate covers INTERIOR gap bins: nearest block by midpoint") {

@@ -1,0 +1,308 @@
+#!/usr/bin/env python3
+"""One-shot r8 refactor: split the two 4k-line gate/oracle harness files
+(SparkEntry.scala, Oracles.scala) into per-family files with shared
+helpers. Mechanical — every map entry is moved verbatim; SparkEntry.queries
+and Oracles.sql become concatenations of the family maps. Kept in tools/
+as the audit trail for how the split was produced.
+"""
+import re
+import sys
+
+FAMILIES = {
+    "core": """q1_agg q_filter_project q_join_revenue q_top_orders
+        q_global_stats q_lag_diff q_rolling_sum q_salted_join q_key_skew
+        q_cube q_winsorized q_json_extract q_weighted_topk""",
+    "plant": """q_met_columns q_air_density q_range_flag q_window_range_flag
+        q_std_range_flag q_unresponsive q_bin_filter q_mahalanobis
+        q_cross_pairs q_resample_day_sum q_resample_hour_mean
+        q_percent_flagged q_num_days_span q_num_hours q_calendar_profile
+        q_corr_matrix q_circular_mean q_dup_keys q_ffill q_interp_linear
+        q_gap_detect q_impute q_impute_corr q_freq_infer q_tz_convert
+        q_offset_dst q_qa_describe q_dst_windows q_shear_alpha
+        q_gross_energy q_iec_curve q_linreg q_group_linreg q_aep_monthly
+        q_elec_daily q_tie_daily q_wake_por q_wake_freq q_yaw_vane_bins
+        q_eya_waterfall q_status_filter""",
+    "dedup": """q_fingerprint_dedup q_para_dedup q_sentence_dedup
+        q_substr_dedup q_repeated_spans q_minhash_pairs q_incr_dedup
+        q_bloom_incr q_simhash q_simhash_neardup q_neardup_degree
+        q_ngram_jaccard q_ngram_containment q_editdist q_winnow
+        q_winnow_pairs q_cc_dedup q_canonical q_dedup_audit q_dedup_sweep
+        q_pair_evidence q_suffix_block q_scd2 q_source_overlap
+        q_decontaminate q_fuzzy_decontam q_cluster_agreement""",
+    "ann": """q_cosine_topk q_lsh_topk q_ivf_topk q_pq_topk q_opq_topk
+        q_ivfpq_topk q_ann_sweep q_topk_recall q_semdedup q_embed_cov
+        q_embed_cov_by_group q_pca_project q_random_project q_quantize
+        q_centroid_score q_centroid_drift q_hubness q_bitext_mine
+        q_hard_negatives q_embed_neardup q_vector_norm""",
+    "text": """q_lang_scores q_lang_quality q_quality q_c4_filter
+        q_repetition q_ccnet_buckets q_ccnet_norm q_nb_quality q_logreg
+        q_dsir q_readability q_script_mix q_code_detect q_code_switch
+        q_topic_boundaries q_homoglyph q_unseen_mass q_mojibake
+        q_token_stats q_vocab q_zipf q_pmi q_js_div q_unigram_lp
+        q_bigram_lp q_bpe q_bpe_fertility q_unigram_tok q_min_k_prob
+        q_bm25 q_inverted_index q_phrase_search q_phrase_blocklist
+        q_tfidf_topk q_rrf_fusion q_novelty q_diversity q_corpus_diff
+        q_doclen_outlier""",
+    "curation": """q_html_strip q_markdown q_url_canon q_url_domain
+        q_link_extract q_robots q_boilerplate q_content_extract
+        q_pii_redact q_card_scan q_iban_scan q_aba_scan q_secret_scan
+        q_pii_pipeline q_pipeline q_sft_pipeline q_e2e_curation
+        q_refusal_scan q_dpo_audit q_chat_flatten q_conv_dedup q_sft_pack
+        q_chunk q_chunk_tokens q_sentence_chunks q_cdc_chunks
+        q_span_corrupt q_pack q_skipgram q_compress_ratio q_domain_prior""",
+    "sampling": """q_stratified_sample q_split q_group_split
+        q_epoch_shuffle q_topk_stratum q_weighted_sample q_negative_sample
+        q_token_budget q_temperature_mix q_mixture q_mixture_rates
+        q_systematic_resample q_backtest q_length_buckets""",
+    "graph": """q_pagerank q_trustrank q_hits q_kcore q_triangles
+        q_communities q_modularity q_random_walks q_seed_distance
+        q_link_predict q_graph_features q_linkage q_entity_resolution
+        q_entities q_entity_pairs""",
+    "events": """q_sessionize q_funnel q_cohort q_transitions q_asof_join
+        q_interval_join q_radius_join""",
+    "diag": """q_heavy_hitters q_psi q_filter_funnel q_join_size
+        q_shard_profile q_theta_overlap q_theta_profile
+        q_cumulative_uniques q_dataset_card q_profile_drift q_subsample_ci
+        q_median_of_means q_k_anon q_k_anon_report q_l_diversity
+        q_dp_counts q_cohen_kappa q_fleiss_kappa q_calibration q_isotonic
+        q_bradley_terry q_score_calibration q_classifier_eval q_mrr q_ndcg
+        q_image_dedup q_audio_dedup q_aspect_buckets q_frame_schedule
+        q_wet_pipeline q_warc_dsv2""",
+}
+FAM_ORDER = ["core", "plant", "dedup", "ann", "text", "curation",
+             "sampling", "graph", "events", "diag"]
+FAM_DESC = {
+    "core": "TPC-H-style scans/aggregations/joins + generic windows/skew",
+    "plant": "OpenOA reference surface: met/QA/flags/timeseries/analyses",
+    "dedup": "exact + near-duplicate detection and clustering",
+    "ann": "embedding similarity: ANN indexes, PCA, centroids, mining",
+    "text": "language/quality routing, tokenizers, retrieval, corpus stats",
+    "curation": "cleansing, PII, pipelines, chunking/packing, conversations",
+    "sampling": "sampling, splits, mixtures, resampling, backtests",
+    "graph": "link graphs, communities, walks, linkage/entity resolution",
+    "events": "event analytics: sessions, funnels, temporal/spatial joins",
+    "diag": "sketches/diagnostics, privacy, eval metrics, multimodal, WARC",
+}
+ASSIGN = {}
+for fam, names in FAMILIES.items():
+    for n in names.split():
+        assert n not in ASSIGN, f"dup {n}"
+        ASSIGN[n] = fam
+
+ENTRY_RE = re.compile(r'^    "(q[a-z0-9_]*)" ->')
+
+
+def split_map(lines, start, end):
+    """Return (name, [lines]) per entry between start..end (exclusive),
+    attaching each entry's preceding comment/blank lines."""
+    starts = [i for i in range(start, end) if ENTRY_RE.match(lines[i])]
+    blocks = []
+    for idx, st in enumerate(starts):
+        name = ENTRY_RE.match(lines[st]).group(1)
+        # attach preceding // comments and blanks
+        b = st
+        while b - 1 >= start and (
+                lines[b - 1].strip() == "" or
+                lines[b - 1].lstrip().startswith("//")):
+            b -= 1
+        e = starts[idx + 1] if idx + 1 < len(starts) else end
+        # the next entry's comment block belongs to IT, so trim our tail
+        if idx + 1 < len(starts):
+            t = e
+            while t - 1 > st and (
+                    lines[t - 1].strip() == "" or
+                    lines[t - 1].lstrip().startswith("//")):
+                t -= 1
+            e = t
+        blocks.append((name, lines[b:e]))
+    return blocks
+
+
+def strip_trailing_blank(block):
+    while block and block[-1].strip() == "":
+        block = block[:-1]
+    return block
+
+
+def ensure_comma(block):
+    """Every entry must end with ',' so concatenated maps stay valid."""
+    block = strip_trailing_blank(block)
+    last = block[-1].rstrip()
+    if not last.endswith(","):
+        block[-1] = last + ","
+    return block
+
+
+def main():
+    # ---------------- SparkEntry.scala ----------------
+    se = open("src/main/scala/graft/SparkEntry.scala").read().splitlines()
+
+    def find(pred, frm=0):
+        for i in range(frm, len(se)):
+            if pred(se[i]):
+                return i
+        raise SystemExit("anchor not found")
+
+    helpers_start = find(lambda l: l.startswith("  // ---- determinism helpers"))
+    entry_doc = find(lambda l: l.startswith("  /** Flagship query"))
+    map_open = find(lambda l: l.startswith("  def queries: Map[String,"))
+    map_close = find(lambda l: l == "  )", map_open)
+    shared_edge = find(lambda l: l.startswith("  /** Shared edge construction"))
+    oracle_doc = find(lambda l: l.startswith("  /** DuckDB oracles."))
+    fitting2 = find(lambda l: l.startswith("/** Aggregate-expression forms"))
+
+    header = se[:helpers_start]
+    helpers = se[helpers_start:entry_doc]
+    entry_block = se[entry_doc:map_open]
+    entries = split_map(se, map_open + 1, map_close)
+    tail_helpers = se[shared_edge:oracle_doc]
+    oracle_def = se[oracle_doc:]
+    oracle_def = oracle_def[:find.__self__ if False else None]
+    # oracle_def runs to end of file; cut Fitting2 out of it
+    oracle_def = se[oracle_doc:fitting2 - 1]
+    fitting2_block = se[fitting2 - 1:]
+
+    names = {n for n, _ in entries}
+    assert names == set(ASSIGN), (
+        f"gate mismatch: extra={names - set(ASSIGN)} "
+        f"missing={set(ASSIGN) - names}")
+
+    def privatize(block):
+        return [re.sub(r"^  private (val|def) ", r"  private[graft] \1 ", l)
+                for l in block]
+
+    gh = ["package graft", ""]
+    gh += ["import org.apache.spark.sql.{Column, DataFrame, SparkSession}",
+           "import org.apache.spark.sql.functions._",
+           "import org.apache.spark.sql.types.DecimalType", "",
+           "/** Shared gate-harness helpers: determinism combinators, the",
+           "  * ANN claims row, media/WET fixture synthesis, and shared",
+           "  * constructions referenced by more than one gate family.",
+           "  * Split from SparkEntry (r8) — see its scaladoc for the",
+           "  * determinism rules every gate follows.",
+           "  */",
+           "private[graft] object GateHelpers {"]
+    gh += privatize(helpers) + [""] + privatize(tail_helpers) + ["}", ""]
+    open("src/main/scala/graft/gates/GateHelpers.scala", "w").write(
+        "\n".join(gh))
+
+    fam_entries = {f: [] for f in FAM_ORDER}
+    for n, block in entries:
+        # the shared code-ish suffix literal moves to OracleHelpers
+        block = [l.replace("Oracles.codeSuffix", "OracleHelpers.codeSuffix")
+                 for l in block]
+        fam_entries[ASSIGN[n]].append(ensure_comma(block))
+
+    for fam in FAM_ORDER:
+        body = []
+        for b in fam_entries[fam]:
+            body += b + [""]
+        obj = "Gates" + fam.capitalize()
+        text = "\n".join(
+            ["package graft", "",
+             "import org.apache.spark.sql.{DataFrame, SparkSession}",
+             "import org.apache.spark.sql.expressions.Window",
+             "import org.apache.spark.sql.functions._", "",
+             "import graft.functions.Met",
+             "import graft.operators._",
+             "import graft.GateHelpers._", "",
+             f"/** Gate queries — {FAM_DESC[fam]}.",
+             "  * Split from SparkEntry (r8); every entry follows the",
+             "  * determinism rules in SparkEntry's scaladoc and has a",
+             "  * DuckDB oracle twin in Oracles" + fam.capitalize() + ".",
+             "  */",
+             f"private[graft] object {obj} {{",
+             "  val queries: Map[String, (SparkSession, String) => DataFrame] = Map("]
+            + body + ["  )", "}", ""])
+        open(f"src/main/scala/graft/gates/{obj}.scala", "w").write(text)
+
+    concat_q = " ++\n    ".join(
+        f"Gates{f.capitalize()}.queries" for f in FAM_ORDER)
+    new_se = "\n".join(
+        header
+        + ["  // Shared helpers live in graft.GateHelpers; the per-family",
+           "  // gate maps live in src/main/scala/graft/gates/ (r8 split).",
+           ""]
+        + entry_block
+        + ["  /** One entry per implemented operator, assembled from the",
+           "    * per-family gate files. */",
+           "  def queries: Map[String, (SparkSession, String) => DataFrame] =",
+           f"    {concat_q}", ""]
+        + oracle_def + [""] + fitting2_block + [""])
+    open("src/main/scala/graft/SparkEntry.scala", "w").write(new_se)
+
+    # ---------------- Oracles.scala ----------------
+    oc = open("src/main/scala/graft/Oracles.scala").read().splitlines()
+
+    def ofind(pred, frm=0):
+        for i in range(frm, len(oc)):
+            if pred(oc[i]):
+                return i
+        raise SystemExit("oracle anchor not found")
+
+    o_obj = ofind(lambda l: l.startswith("object Oracles {"))
+    o_map = ofind(lambda l: l.startswith("  def sql: Map[String, String] = Map("))
+    o_close = ofind(lambda l: l == "  )", o_map)
+    o_tail_start = ofind(lambda l: l.startswith("  private val LpaRounds"))
+
+    o_header = oc[:o_obj]
+    o_helpers = oc[o_obj + 1:o_map]
+    o_entries = split_map(oc, o_map + 1, o_close)
+    o_tail = oc[o_tail_start:]
+    assert o_tail[-1] == "}"
+    o_tail = o_tail[:-1]
+
+    o_names = {n for n, _ in o_entries}
+    assert o_names == names, (
+        f"oracle/gate key mismatch: {o_names ^ names}")
+
+    oh = ["package graft", "",
+          "/** Shared oracle-SQL fragments (split from Oracles in r8):",
+          "  * normalization/stoplist literals and the LPA CTE chains",
+          "  * referenced by more than one oracle family.",
+          "  */",
+          "private[graft] object OracleHelpers {"]
+    oh += privatize(o_helpers) + [""] + privatize(o_tail) + ["}", ""]
+    open("src/main/scala/graft/gates/OracleHelpers.scala", "w").write(
+        "\n".join(oh))
+
+    o_fam = {f: [] for f in FAM_ORDER}
+    for n, block in o_entries:
+        o_fam[ASSIGN[n]].append(ensure_comma(block))
+    for fam in FAM_ORDER:
+        body = []
+        for b in o_fam[fam]:
+            body += b + [""]
+        obj = "Oracles" + fam.capitalize()
+        text = "\n".join(
+            ["package graft", "",
+             "import graft.OracleHelpers._", "",
+             f"/** DuckDB oracle SQL — {FAM_DESC[fam]}.",
+             "  * Split from Oracles (r8): each statement mirrors its",
+             "  * Spark twin in Gates" + fam.capitalize() +
+             " expression-by-expression.",
+             "  */",
+             f"private[graft] object {obj} {{",
+             "  val sql: Map[String, String] = Map("]
+            + body + ["  )", "}", ""])
+        open(f"src/main/scala/graft/gates/{obj}.scala", "w").write(text)
+
+    concat_o = " ++\n    ".join(
+        f"Oracles{f.capitalize()}.sql" for f in FAM_ORDER)
+    new_oc = "\n".join(
+        o_header
+        + ["object Oracles {",
+           "  // Shared SQL fragments live in graft.OracleHelpers; the",
+           "  // per-family oracle maps live alongside their gate files in",
+           "  // src/main/scala/graft/gates/ (r8 split).",
+           "  def sql: Map[String, String] =",
+           f"    {concat_o}",
+           "}", ""])
+    open("src/main/scala/graft/Oracles.scala", "w").write(new_oc)
+    print(f"split ok: {len(entries)} gates, {len(o_entries)} oracles")
+    for fam in FAM_ORDER:
+        print(f"  {fam}: {len(fam_entries[fam])} gates")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
