@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import org.apache.spark.sql.graft.PlanRebase
+
+/** Exact repeated-substring detection with ARBITRARY-LENGTH longest-match
+  * semantics — the suffix-array formulation of "Deduplicating Training
+  * Data Makes Language Models Better" (Lee et al. 2022, ExactSubstr:
+  * cut every substring of >= minTokens tokens that occurs elsewhere in
+  * the corpus, reference implementation a single-node suffix array),
+  * re-expressed as the DISTRIBUTED prefix-doubling algorithm
+  * (Manber–Myers by iterative joins; cf. Flick & Aluru SC'15 for the
+  * MPI formulation):
+  *
+  *  1. rank_0 = dense code of each token (one global sort of the vocab);
+  *  2. rank_m(p) = dense code of (rank_{m-1}(p), rank_{m-1}(p + 2^{m-1}))
+  *     — each level is ONE equi-join on (id, pos) plus one sort of the
+  *     distinct key pairs, so a corpus-wide suffix ordering over prefixes
+  *     of length L costs log2(L) shuffle rounds, never a per-document
+  *     loop and never a quadratic pair scan;
+  *  3. suffixes sort by their final rank; the longest match of a suffix
+  *     against the WHOLE corpus is its LCP with an adjacent suffix in
+  *     that order (the suffix-array adjacency property), and each
+  *     adjacent LCP is computed EXACTLY by a descending ladder over the
+  *     retained rank tables — extend by 2^m when the two suffixes' level-m
+  *     ranks at offset lcp agree and both windows are in bounds. Ranks
+  *     (not hashes) make every answer exact: no collision caveat.
+  *
+  * Against the fixed-k [[Dedup.substringDedup]] (every duplicated
+  * k-window cuts exactly k tokens): spans here carry their TRUE length,
+  * so "how much of this corpus is duplicated text, and where" is
+  * answered exactly up to the `maxLen` cap, and the cut list removes a
+  * long duplicated passage as ONE span with first-occurrence semantics.
+  *
+  * Scale notes. Positions are fact-grain (one row per token); every
+  * stage is an equi-join, a groupBy, or a per-document window; the only
+  * global sorts are the per-level distinct-key orderings and the final
+  * suffix ordering (Spark range-partitioned sorts). Each level is
+  * [[PlanRebase]]d (lesson 14: carried stats square through iterative
+  * localCheckpoints). Doubling stops early when all ranks are distinct
+  * (random text reaches distinctness in a few levels; the cap bounds
+  * adversarial corpora). At 100 TB the retained level tables would
+  * persist to disk rather than executor memory — they are (id, pos,
+  * long) triples, ~24 bytes/token/level, log2(maxLen) levels.
+  */
+object SuffixDedup {
+
+  /** Dense ordinal of `df`'s rows under `sortCols`, appended as `out`.
+    * RDD zipWithIndex is the one imperative step (global index
+    * assignment after a range-partitioned sort — no window, no driver
+    * collect); rows with EQUAL sort keys get distinct ordinals, so use
+    * [[denseCodes]] when equal keys must share a code.
+    */
+  private def ordinalize(df: DataFrame, sortCols: Seq[Column],
+                         out: String): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Dense codes for the DISTINCT values of `keyCols` in sort order:
+    * returns (keyCols..., out) with equal keys sharing one code. */
+  private def denseCodes(df: DataFrame, keyCols: Seq[String],
+                         out: String): DataFrame =
+    ordinalize(df.select(keyCols.map(col): _*).distinct(),
+      keyCols.map(col), out)
+
+  private case class Suffixes(
+      // (id, pos, ntok, ord, lcp_prev) — suffix-order ordinal and the
+      // exact LCP with the previous suffix in that order (0 at ord 0)
+      ordered: DataFrame,
+      // retained rank tables: (window length 2^m, (id, pos, r))
+      levels: Seq[(Long, DataFrame)])
+
+  /** Tokenize like [[Dedup.substringDedup]] (normalized, whitespace). */
+  private def tokenize(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        filter(split(TextAnalysis.normalize(col(textCol)), " "),
+          t => length(t) > 0).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("ntok"),
+        posexplode(col("__toks")).as(Seq("pos", "__tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("ntok"), col("__tok"))
+
+  /** Build suffix order + adjacent exact LCPs for the whole corpus. */
+  private def suffixLcp(tokens: DataFrame, maxLen: Int): Suffixes = {
+    val spark = tokens.sparkSession
+    // rank_0: dense token codes (vocab-sized sort)
+    val vocab = denseCodes(tokens, Seq("__tok"), "__c")
+    var lvl = PlanRebase.rebase(tokens.join(vocab, Seq("__tok"))
+      .select(col("id"), col("pos"), col("__c").as("r")))
+    var len = 1L
+    val levels = scala.collection.mutable.ArrayBuffer((len, lvl))
+    val nPos = lvl.count()
+    var distinct = false
+    while (2 * len <= maxLen && !distinct) {
+      // OOB partner sorts first (-1 sentinel): a truncated suffix is a
+      // strict prefix of any longer suffix sharing its tokens
+      val shifted = lvl.select(col("id"), (col("pos") - len).as("pos"),
+        col("r").as("__r2"))
+      val pairs = lvl.join(shifted, Seq("id", "pos"), "left")
+        .select(col("id"), col("pos"), col("r"),
+          coalesce(col("__r2"), lit(-1L)).as("r2"))
+      val codes = denseCodes(pairs, Seq("r", "r2"), "__nr")
+      lvl = PlanRebase.rebase(pairs.join(codes, Seq("r", "r2"))
+        .select(col("id"), col("pos"), col("__nr").as("r")))
+      len *= 2
+      levels += ((len, lvl))
+      // early exit: once every rank is unique the order is final and
+      // deeper levels can never report equality
+      distinct =
+        lvl.agg(countDistinct(col("r")).as("d")).head().getLong(0) == nPos
+    }
+    // final suffix order (equal ranks = equal capped prefixes, adjacent)
+    val ntoks = tokens.select("id", "pos", "ntok")
+    val ordered = PlanRebase.rebase(ordinalize(
+      lvl.join(ntoks, Seq("id", "pos")),
+      Seq(col("r"), col("id"), col("pos")), "ord"))
+    // adjacent pairs: (ord of the RIGHT suffix, left = ord-1)
+    val left = ordered.select((col("ord") + 1).as("ord"),
+      col("id").as("__ia"), col("pos").as("__pa"), col("ntok").as("__na"))
+    var pr = ordered.select(col("ord"), col("id").as("__ib"),
+        col("pos").as("__pb"), col("ntok").as("__nb"))
+      .join(left, Seq("ord"))
+      .withColumn("lcp", lit(0L))
+    // exact LCP ladder, largest level first
+    levels.sortBy(-_._1).foreach { case (l, tbl) =>
+      val ta = tbl.select(col("id").as("__ia"), col("pos").as("__qa"),
+        col("r").as("__ra"))
+      val tb = tbl.select(col("id").as("__ib"), col("pos").as("__qb"),
+        col("r").as("__rb"))
+      val ext = pr
+        .join(ta, pr("__ia") === ta("__ia") &&
+          pr("__pa") + pr("lcp") === ta("__qa"), "left")
+        .drop(ta("__ia"))
+        .join(tb, pr("__ib") === tb("__ib") &&
+          pr("__pb") + pr("lcp") === tb("__qb"), "left")
+        .drop(tb("__ib"))
+      val ok = col("__ra").isNotNull && col("__rb").isNotNull &&
+        col("__ra") === col("__rb") &&
+        col("__pa") + col("lcp") + l <= col("__na") &&
+        col("__pb") + col("lcp") + l <= col("__nb")
+      pr = PlanRebase.rebase(ext
+        .withColumn("lcp", col("lcp") + when(ok, l).otherwise(0L))
+        .select("ord", "__ia", "__pa", "__na", "__ib", "__pb", "__nb",
+          "lcp"))
+    }
+    val lcpPrev = pr.select(col("ord"), col("lcp").as("lcp_prev"))
+    val withLcp = ordered.join(lcpPrev, Seq("ord"), "left")
+      .withColumn("lcp_prev", coalesce(col("lcp_prev"), lit(0L)))
+    Suffixes(PlanRebase.rebase(withLcp), levels.toSeq)
+  }
+
+  /** Per token position: the EXACT length of the longest substring
+    * starting there that also occurs somewhere else in the corpus
+    * (capped by maxLen doubling — exact while < the sum of the level
+    * windows). Returns (id, pos, ntok, match_len).
+    */
+  def repeatedMatchLengths(df: DataFrame, idCol: String, textCol: String,
+                           maxLen: Int = 256): DataFrame = {
+    require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
+    val toks = tokenize(df, idCol, textCol)
+    if (toks.isEmpty) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("id", "pos", "ntok", "match_len")
+        .withColumn("id", col("id").cast(df.schema(idCol).dataType))
+    }
+    val s = suffixLcp(toks, maxLen)
+    val next = s.ordered.select((col("ord") - 1).as("ord"),
+      col("lcp_prev").as("__lcp_next"))
+    s.ordered.join(next, Seq("ord"), "left")
+      .select(col("id"), col("pos"), col("ntok"),
+        greatest(col("lcp_prev"), coalesce(col("__lcp_next"), lit(0L)))
+          .as("match_len"))
+  }
+
+  /** The ExactSubstr CUT LIST: maximal merged spans of tokens covered by
+    * a >= minTokens repeated match, EXCLUDING each duplicate group's
+    * first occurrence (suffixes sharing a >= minTokens prefix form a
+    * run in suffix order; the run's (id, pos)-minimum keeps its copy).
+    * Run heads are found by pointer doubling over the suffix order —
+    * O(log run-length) join rounds, no unpartitioned window. Returns
+    * (id, span_start, span_end, n_tok), span_end exclusive.
+    */
+  def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int = 20,
+                           maxLen: Int = 256): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxLen >= minTokens,
+      s"maxLen $maxLen must be >= minTokens $minTokens")
+    val toks = tokenize(df, idCol, textCol)
+    if (toks.isEmpty) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("id", "span_start", "span_end", "n_tok")
+        .withColumn("id", col("id").cast(df.schema(idCol).dataType))
+    }
+    val s = suffixLcp(toks, maxLen)
+    val next = s.ordered.select((col("ord") - 1).as("ord"),
+      col("lcp_prev").as("__lcp_next"))
+    val nodes = PlanRebase.rebase(s.ordered.join(next, Seq("ord"), "left")
+      .select(col("ord"), col("id"), col("pos"),
+        col("lcp_prev"), coalesce(col("__lcp_next"), lit(0L))
+          .as("lcp_next")))
+    // run head: ord with lcp_prev < minTokens; pointer-double to it
+    var ptr = PlanRebase.rebase(nodes.select(col("ord"),
+      when(col("lcp_prev") < minTokens, col("ord"))
+        .otherwise(col("ord") - 1).as("ptr")))
+    var converged = false
+    while (!converged) {
+      val hop = ptr.select(col("ord").as("__o2"), col("ptr").as("__p2"))
+      val jumped = ptr.join(hop, ptr("ptr") === hop("__o2"))
+        .select(col("ord"), col("__p2").as("ptr"),
+          (col("ptr") =!= col("__p2")).cast("long").as("__moved"))
+      val rebased = PlanRebase.rebase(jumped)
+      converged =
+        rebased.agg(sum(col("__moved"))).head().getLong(0) == 0L
+      ptr = rebased.drop("__moved")
+    }
+    val withRun = nodes.join(ptr.select(col("ord"), col("ptr").as("run")),
+      Seq("ord"))
+    val keepers = withRun.groupBy("run")
+      .agg(min(struct(col("id"), col("pos"))).as("__keep"))
+    val cuts = withRun.join(keepers, Seq("run"))
+      .withColumn("__len", greatest(
+        when(col("lcp_prev") >= minTokens, col("lcp_prev")).otherwise(0L),
+        when(col("lcp_next") >= minTokens, col("lcp_next")).otherwise(0L)))
+      .filter(col("__len") >= minTokens &&
+        (col("id") =!= col("__keep.id") || col("pos") =!= col("__keep.pos")))
+      .select(col("id"), col("pos"), (col("pos") + col("__len")).as("__end"))
+    // merge overlapping cut intervals per document (per-id window — the
+    // partition is one document, bounded by document length)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val islands = cuts
+      .withColumn("__maxEnd",
+        max(col("__end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxEnd").isNull || col("pos") > col("__maxEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("id", "__island")
+      .agg(min(col("pos")).as("span_start"), max(col("__end")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tok"))
+  }
+
+  /** Rebuild the corpus with the [[maximalRepeatedSpans]] cut list
+    * removed — same output contract as [[Dedup.substringDedup]]:
+    * (id, text_dedup, n_tokens_kept, n_tokens_dropped). */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            minTokens: Int = 20, maxLen: Int = 256): DataFrame = {
+    val spans = maximalRepeatedSpans(df, idCol, textCol, minTokens, maxLen)
+    val covered = spans.select(col("id"),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("__idx"))
+    val tokens = tokenize(df, idCol, textCol)
+      .select(col("id"), col("pos").as("__idx"), col("__tok"))
+    val kept = tokens.join(covered, Seq("id", "__idx"), "left_anti")
+    val dropped = covered.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens_dropped"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__tok"))))
+        .as("__ts"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("__ts"), t => t.getField("__tok")))
+          .as("text_dedup"),
+        size(col("__ts")).cast("long").as("n_tokens_kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_tokens_dropped"), lit(0L)).as("n_tokens_dropped"))
+  }
+}

@@ -330,6 +330,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
   }
 
+  test("SuffixDedup spans: equi joins only, windows partitioned per doc") {
+    // the suffix pipeline is iterative (ranks/ladder/pointer rounds run
+    // eagerly through PlanRebase), so audit the FINAL span assembly plan:
+    // the only window allowed is the per-document island merge, and
+    // nothing may degrade to a cartesian/BNLJ
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 10 < 2) s"a b c shared0 shared1 shared2 d$i e$i"
+        else s"x$i y$i z$i w$i v$i u$i t$i s$i")
+    }.toDF("doc_id", "text")
+    val plan = operators.SuffixDedup.maximalRepeatedSpans(
+      docs, "doc_id", "text", minTokens = 3, maxLen = 8)
+      .queryExecution.sparkPlan
+    plan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in SuffixDedup spans:\n$w")
+      case _ =>
+    }
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(1200))
+  }
+
   test("no gate query plans an unpartitioned window or a cartesian product") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries) {

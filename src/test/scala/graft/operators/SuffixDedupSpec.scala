@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Prefix-doubling suffix ranks + exact LCP ladder: brute-force parity on
+  * random corpora, planted-run recovery with exact lengths,
+  * first-occurrence keeper semantics, span merging, degenerate shapes.
+  */
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(12021)
+
+  /** Brute-force longest repeated match starting at each position —
+    * O(n^2 * len) over the whole corpus; ground truth for small inputs.
+    * Tokenization mirrors the operator (lowercase, non-alnum stripped).
+    */
+  private def bruteForce(docs: Seq[(Long, String)],
+                         cap: Int): Map[(Long, Long), Long] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val positions = for ((id, ts) <- toks; p <- ts.indices) yield (id, p, ts)
+    positions.map { case (id, p, ts) =>
+      val best = positions.collect {
+        case (id2, q, ts2) if (id2, q) != ((id, p)) =>
+          var l = 0
+          while (p + l < ts.length && q + l < ts2.length &&
+            l < 2 * cap - 1 && ts(p + l) == ts2(q + l)) l += 1
+          l
+      }.maxOption.getOrElse(0)
+      (id, p.toLong) -> best.toLong
+    }.toMap
+  }
+
+  test("repeatedMatchLengths equals brute force on random corpora") {
+    val vocab = (0 until 6).map(i => s"t$i") // small vocab -> many repeats
+    for (trial <- 0 until 3) {
+      val docs = (0 until 10).map { i =>
+        val len = 1 + rng.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val got = SuffixDedup.repeatedMatchLengths(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val want = bruteForce(docs, cap = 16)
+      assert(got.keySet == want.keySet, s"trial $trial: position sets")
+      for (k <- want.keySet)
+        assert(got(k) == want(k),
+          s"trial $trial pos $k: got ${got(k)} want ${want(k)}")
+    }
+  }
+
+  test("planted run: exact length recovered, only the copy is cut") {
+    // unique filler tokens everywhere; docs 2 and 7 share an 8-token run
+    val run = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val docs = (0 until 10).map { i =>
+      val pre = (0 until 5).map(j => s"u${i}x$j").mkString(" ")
+      val post = (0 until 4).map(j => s"u${i}y$j").mkString(" ")
+      val body = if (i == 2 || i == 7) s"$pre $run $post"
+      else s"$pre $post"
+      (i.toLong, body)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val spans = SuffixDedup.maximalRepeatedSpans(df, "doc_id", "text",
+        minTokens = 4, maxLen = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // first occurrence (doc 2) keeps its copy; doc 7's run is the cut
+    assert(spans == Seq((7L, 5L, 13L, 8L)), spans.toString)
+    val dd = SuffixDedup.dedup(df, "doc_id", "text",
+        minTokens = 4, maxLen = 16)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dd(2L)._3 == 0L && dd(2L)._1.contains("shared0"))
+    assert(dd(7L) == (("u7x0 u7x1 u7x2 u7x3 u7x4 u7y0 u7y1 u7y2 u7y3",
+      9L, 8L)))
+    for (i <- Seq(0L, 1L, 3L, 9L)) assert(dd(i)._3 == 0L)
+  }
+
+  test("overlapping cuts merge to one maximal span; full-copy doc empties") {
+    // doc 11 = exact copy of doc 10 -> every suffix repeats; the whole
+    // copy merges into ONE span and rebuilds to empty text
+    val base = (0 until 12).map(i => s"w$i").mkString(" ")
+    val df = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    val spans = SuffixDedup.maximalRepeatedSpans(df, "doc_id", "text",
+        minTokens = 3, maxLen = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((11L, 0L, 12L, 12L)), spans.toString)
+    val dd = SuffixDedup.dedup(df, "doc_id", "text", minTokens = 3,
+        maxLen = 16)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dd(10L) == ((base, 12L, 0L)))
+    assert(dd(11L) == (("", 0L, 12L)))
+  }
+
+  test("arbitrary-length semantics beat fixed-k: one long span, true length") {
+    // a 9-token duplicated passage with minTokens 3: the span reports
+    // the TRUE 9-token extent (fixed-k substringDedup at k=3 would know
+    // only that 3-windows repeat)
+    val run = (0 until 9).map(i => s"r$i").mkString(" ")
+    val df = Seq((0L, s"a0 a1 $run a2"), (1L, s"b0 $run b1 b2 b3"))
+      .toDF("doc_id", "text")
+    val spans = SuffixDedup.maximalRepeatedSpans(df, "doc_id", "text",
+        minTokens = 3, maxLen = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 10L, 9L)), spans.toString)
+  }
+
+  test("degenerate shapes: empty corpus, empty docs, no repeats, bad args") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixDedup.repeatedMatchLengths(empty, "doc_id", "text")
+      .count() == 0)
+    assert(SuffixDedup.maximalRepeatedSpans(empty, "doc_id", "text")
+      .count() == 0)
+    val mixed = Seq((1L, ""), (2L, "only one doc has text here today"))
+      .toDF("doc_id", "text")
+    val ml = SuffixDedup.repeatedMatchLengths(mixed, "doc_id", "text",
+      maxLen = 8)
+    assert(ml.filter(col("id") === 1L).count() == 0) // no positions
+    assert(ml.filter(col("match_len") > 0).count() == 0) // all unique
+    val dd = SuffixDedup.dedup(mixed, "doc_id", "text", minTokens = 2,
+        maxLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(dd == Map(1L -> 0L, 2L -> 0L))
+    intercept[IllegalArgumentException] {
+      SuffixDedup.maximalRepeatedSpans(mixed, "doc_id", "text",
+        minTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SuffixDedup.maximalRepeatedSpans(mixed, "doc_id", "text",
+        minTokens = 9, maxLen = 8)
+    }
+  }
+}
