@@ -356,7 +356,12 @@ private[graft] object GatesDedup {
     // occurrence keeps), at exactly [5, 17).
     "q_suffix_spans" -> ((s, dir) => {
       import s.implicits._
+      // % 10 < 4 keeps every planted pair (ids 0/1 mod 10) plus unique
+      // background docs, at 40% of the table — the corpus still scales
+      // with sf (replication adds ids at every residue) while the gate
+      // stays a per-operator line, not a harness (10.5 -> ~4 s at sf0.1)
       val d = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 10 < 4)
       val pairKey = expr("doc_id div 10").cast("string")
       val inPair = col("doc_id") % 10 < 2
       val run = concat_ws(" ", (0 until 12).map(j =>
@@ -369,7 +374,7 @@ private[graft] object GatesDedup {
         when(inPair, concat_ws(" ", pre, run, post))
           .otherwise(concat_ws(" ", pre, post)).as("text"))
       val spans = SuffixDedup.maximalRepeatedSpans(corpus, "doc_id",
-        "text", minTokens = 6, maxLen = 32)
+        "text", minTokens = 6, maxLen = 16)
       val agg = spans.agg(count(lit(1)).as("cnt"),
         coalesce(min((col("id") % 10 === 1).cast("int")), lit(1)),
         coalesce(min((col("span_start") === 5 && col("n_tok") === 12)

@@ -189,7 +189,8 @@ private[graft] object OraclesDedup {
     // is closed-form. n_pairs = complete doc-id pairs under the gate's
     // % 10 in {0, 1} construction.
     "q_suffix_spans" ->
-      """WITH t AS (SELECT count(*) AS n FROM documents),
+      """WITH t AS (SELECT count(*) AS n FROM documents
+        |  WHERE doc_id % 10 < 4),
         |p AS (SELECT count(*) AS n_pairs FROM (
         |  SELECT doc_id // 10 AS pk FROM documents WHERE doc_id % 10 < 2
         |  GROUP BY 1 HAVING count(*) = 2))

@@ -71,12 +71,98 @@ object SuffixDedup {
     ordinalize(df.select(keyCols.map(col): _*).distinct(),
       keyCols.map(col), out)
 
+  /** Below this many token positions the whole pipeline runs on the
+    * driver (same outputs, spec-pinned parity): the distributed path is
+    * ~40 Spark jobs of per-round fixed overhead — the q_cc_dedup /
+    * KMeansLite size-aware short-circuit lesson (SURVEY §6 r3 lesson 3)
+    * applied to suffix construction. 2M positions ≈ tens of MB of
+    * tokens; the distributed path takes over beyond it.
+    */
+  val MaxDriverPositions: Long = 1L << 21
+
   private case class Suffixes(
       // (id, pos, ntok, ord, lcp_prev) — suffix-order ordinal and the
       // exact LCP with the previous suffix in that order (0 at ord 0)
       ordered: DataFrame,
       // retained rank tables: (window length 2^m, (id, pos, r))
       levels: Seq[(Long, DataFrame)])
+
+  /** Driver-side corpus image for the short-circuit path. */
+  private case class LocalCorpus(ids: Array[Any],
+                                 docTok: Array[Array[String]],
+                                 fd: Array[Int], fp: Array[Int],
+                                 order: Array[Int], lcpPrev: Array[Long])
+
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Collect the token table and build the suffix order + adjacent LCPs
+    * locally — byte-for-byte the distributed semantics: suffixes compare
+    * token-wise up to L = highestOneBit(maxLen) with shorter-is-prefix
+    * first (the rank sentinel), capped ties break on (id, pos) (the
+    * final-ordinal tie), and adjacent LCPs cap at 2L-1 (the ladder's
+    * power-sum bound).
+    */
+  private def localSuffixes(toks: DataFrame, maxLen: Int): LocalCorpus = {
+    val L = Integer.highestOneBit(maxLen)
+    val cap = 2 * L - 1
+    val rows = toks.select("id", "pos", "__tok").collect()
+    val byDoc = rows.groupBy(_.get(0)).toArray.sortBy(_._1.hashCode())
+    val ids = byDoc.map(_._1)
+    val docTok = byDoc.map { case (_, rs) =>
+      val a = new Array[String](rs.length)
+      rs.foreach(r => a(r.getLong(1).toInt) = r.getString(2))
+      a
+    }
+    val n = rows.length
+    val fd = new Array[Int](n)
+    val fp = new Array[Int](n)
+    var k = 0
+    for (d <- docTok.indices; p <- docTok(d).indices) {
+      fd(k) = d; fp(k) = p; k += 1
+    }
+    def cmpSuf(x: Int, y: Int): Int = {
+      val tx = docTok(fd(x)); val ty = docTok(fd(y))
+      val rx = tx.length - fp(x); val ry = ty.length - fp(y)
+      val lim = math.min(math.min(rx, ry), L)
+      var i = 0
+      while (i < lim) {
+        val c = tx(fp(x) + i).compareTo(ty(fp(y) + i))
+        if (c != 0) return c
+        i += 1
+      }
+      if (math.min(rx, ry) < L && rx != ry) return rx - ry
+      val ci = cmpAny(ids(fd(x)), ids(fd(y)))
+      if (ci != 0) ci else Integer.compare(fp(x), fp(y))
+    }
+    val order = Array.range(0, n)
+      .sortWith((a, b) => cmpSuf(a, b) < 0)
+    val lcpPrev = new Array[Long](n)
+    var i = 1
+    while (i < n) {
+      val x = order(i - 1); val y = order(i)
+      val tx = docTok(fd(x)); val ty = docTok(fd(y))
+      var l = 0
+      while (l < cap && fp(x) + l < tx.length && fp(y) + l < ty.length &&
+        tx(fp(x) + l) == ty(fp(y) + l)) l += 1
+      lcpPrev(i) = l.toLong
+      i += 1
+    }
+    LocalCorpus(ids, docTok, fd, fp, order, lcpPrev)
+  }
+
+  private def idDataType(df: DataFrame, idCol: String) =
+    df.schema(idCol).dataType
+
+  private def emptyOut(df: DataFrame, idCol: String,
+                       names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fields = StructField(names.head, idDataType(df, idCol)) +:
+      names.tail.map(StructField(_, LongType))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[Row],
+      StructType(fields))
+  }
 
   /** Tokenize like [[Dedup.substringDedup]] (normalized, whitespace). */
   private def tokenize(df: DataFrame, idCol: String,
@@ -164,14 +250,32 @@ object SuffixDedup {
     * windows). Returns (id, pos, ntok, match_len).
     */
   def repeatedMatchLengths(df: DataFrame, idCol: String, textCol: String,
-                           maxLen: Int = 256): DataFrame = {
+                           maxLen: Int = 256,
+                           maxDriverPositions: Long = MaxDriverPositions)
+      : DataFrame = {
     require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
     val toks = tokenize(df, idCol, textCol)
-    if (toks.isEmpty) {
-      import df.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("id", "pos", "ntok", "match_len")
-        .withColumn("id", col("id").cast(df.schema(idCol).dataType))
+    val nPos = toks.count()
+    if (nPos == 0)
+      return emptyOut(df, idCol, Seq("id", "pos", "ntok", "match_len"))
+    if (nPos <= maxDriverPositions) {
+      val c = localSuffixes(toks, maxLen)
+      val n = c.order.length
+      val out = new Array[Row](n)
+      var i = 0
+      while (i < n) {
+        val x = c.order(i)
+        val nxt = if (i + 1 < n) c.lcpPrev(i + 1) else 0L
+        out(x) = Row(c.ids(c.fd(x)), c.fp(x).toLong,
+          c.docTok(c.fd(x)).length.toLong, math.max(c.lcpPrev(i), nxt))
+        i += 1
+      }
+      import org.apache.spark.sql.types.{StructField, StructType}
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(out.toSeq),
+        StructType(StructField("id", idDataType(df, idCol)) ::
+          StructField("pos", LongType) :: StructField("ntok", LongType) ::
+          StructField("match_len", LongType) :: Nil))
     }
     val s = suffixLcp(toks, maxLen)
     val next = s.ordered.select((col("ord") - 1).as("ord"),
@@ -191,17 +295,66 @@ object SuffixDedup {
     * (id, span_start, span_end, n_tok), span_end exclusive.
     */
   def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                           minTokens: Int = 20,
-                           maxLen: Int = 256): DataFrame = {
+                           minTokens: Int = 20, maxLen: Int = 256,
+                           maxDriverPositions: Long = MaxDriverPositions)
+      : DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     require(maxLen >= minTokens,
       s"maxLen $maxLen must be >= minTokens $minTokens")
     val toks = tokenize(df, idCol, textCol)
-    if (toks.isEmpty) {
-      import df.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("id", "span_start", "span_end", "n_tok")
-        .withColumn("id", col("id").cast(df.schema(idCol).dataType))
+    val nPos = toks.count()
+    if (nPos == 0)
+      return emptyOut(df, idCol,
+        Seq("id", "span_start", "span_end", "n_tok"))
+    if (nPos <= maxDriverPositions) {
+      val c = localSuffixes(toks, maxLen)
+      val n = c.order.length
+      // runs of consecutive lcp >= minTokens; keeper = (id, pos)-min
+      val cuts = scala.collection.mutable
+        .Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j + 1 < n && c.lcpPrev(j + 1) >= minTokens) j += 1
+        if (j > i) { // run [i..j] in suffix order, >= 2 members
+          var keep = i
+          for (t <- i to j) {
+            val x = c.order(t); val kx = c.order(keep)
+            val ci = cmpAny(c.ids(c.fd(x)), c.ids(c.fd(kx)))
+            if (ci < 0 || (ci == 0 && c.fp(x) < c.fp(kx))) keep = t
+          }
+          for (t <- i to j if t != keep) {
+            val prevL = if (t > i) c.lcpPrev(t) else 0L
+            val nextL = if (t < j) c.lcpPrev(t + 1) else 0L
+            val len = math.max(prevL, nextL)
+            if (len >= minTokens) {
+              val x = c.order(t)
+              cuts.getOrElseUpdate(c.fd(x),
+                scala.collection.mutable.ArrayBuffer.empty)
+                .append((c.fp(x).toLong, c.fp(x) + len))
+            }
+          }
+        }
+        i = j + 1
+      }
+      val spanRows = cuts.toSeq.flatMap { case (d, iv) =>
+        val sorted = iv.sortBy(v => (v._1, v._2))
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { case (st, en) =>
+          if (merged.nonEmpty && st <= merged.last._2)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, en))
+          else merged.append((st, en))
+        }
+        merged.map { case (st, en) => Row(c.ids(d), st, en, en - st) }
+      }
+      import org.apache.spark.sql.types.{StructField, StructType}
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(spanRows),
+        StructType(StructField("id", idDataType(df, idCol)) ::
+          StructField("span_start", LongType) ::
+          StructField("span_end", LongType) ::
+          StructField("n_tok", LongType) :: Nil))
     }
     val s = suffixLcp(toks, maxLen)
     val next = s.ordered.select((col("ord") - 1).as("ord"),
@@ -257,8 +410,10 @@ object SuffixDedup {
     * removed — same output contract as [[Dedup.substringDedup]]:
     * (id, text_dedup, n_tokens_kept, n_tokens_dropped). */
   def dedup(df: DataFrame, idCol: String, textCol: String,
-            minTokens: Int = 20, maxLen: Int = 256): DataFrame = {
-    val spans = maximalRepeatedSpans(df, idCol, textCol, minTokens, maxLen)
+            minTokens: Int = 20, maxLen: Int = 256,
+            maxDriverPositions: Long = MaxDriverPositions): DataFrame = {
+    val spans = maximalRepeatedSpans(df, idCol, textCol, minTokens, maxLen,
+      maxDriverPositions)
     val covered = spans.select(col("id"),
       explode(sequence(col("span_start"), col("span_end") - 1)).as("__idx"))
     val tokens = tokenize(df, idCol, textCol)

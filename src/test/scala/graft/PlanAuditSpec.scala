@@ -341,7 +341,8 @@ class PlanAuditSpec extends SparkSpec {
         else s"x$i y$i z$i w$i v$i u$i t$i s$i")
     }.toDF("doc_id", "text")
     val plan = operators.SuffixDedup.maximalRepeatedSpans(
-      docs, "doc_id", "text", minTokens = 3, maxLen = 8)
+      docs, "doc_id", "text", minTokens = 3, maxLen = 8,
+      maxDriverPositions = 0L) // force the distributed pipeline
       .queryExecution.sparkPlan
     plan.foreach {
       case w: WindowExec =>

@@ -35,7 +35,8 @@ class SuffixDedupSpec extends SparkSpec {
     }.toMap
   }
 
-  test("repeatedMatchLengths equals brute force on random corpora") {
+  test("repeatedMatchLengths equals brute force on random corpora — " +
+    "BOTH the driver short-circuit and the distributed path") {
     val vocab = (0 until 6).map(i => s"t$i") // small vocab -> many repeats
     for (trial <- 0 until 3) {
       val docs = (0 until 10).map { i =>
@@ -43,15 +44,43 @@ class SuffixDedupSpec extends SparkSpec {
         (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
           .mkString(" "))
       }
-      val got = SuffixDedup.repeatedMatchLengths(
-          docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 16)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
       val want = bruteForce(docs, cap = 16)
-      assert(got.keySet == want.keySet, s"trial $trial: position sets")
-      for (k <- want.keySet)
-        assert(got(k) == want(k),
-          s"trial $trial pos $k: got ${got(k)} want ${want(k)}")
+      // maxDriverPositions = 0 forces the distributed pipeline
+      for (threshold <- Seq(SuffixDedup.MaxDriverPositions, 0L)) {
+        val got = SuffixDedup.repeatedMatchLengths(
+            docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 16,
+            maxDriverPositions = threshold)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        assert(got.keySet == want.keySet,
+          s"trial $trial thr $threshold: position sets")
+        for (k <- want.keySet)
+          assert(got(k) == want(k),
+            s"trial $trial thr $threshold pos $k: " +
+              s"got ${got(k)} want ${want(k)}")
+      }
+    }
+  }
+
+  test("maximalRepeatedSpans: driver and distributed paths agree " +
+    "on random corpora") {
+    val vocab = (0 until 5).map(i => s"v$i")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 12).map { i =>
+        val len = 4 + rng.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      def spansOf(thr: Long) = SuffixDedup.maximalRepeatedSpans(
+          df, "doc_id", "text", minTokens = 3, maxLen = 16,
+          maxDriverPositions = thr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val local = spansOf(SuffixDedup.MaxDriverPositions)
+      val dist = spansOf(0L)
+      assert(local == dist,
+        s"trial $trial:\nonly local: ${local -- dist}\n" +
+          s"only dist: ${dist -- local}")
     }
   }
 
