@@ -164,10 +164,14 @@ object SuffixDedup {
       StructType(fields))
   }
 
-  /** Tokenize like [[Dedup.substringDedup]] (normalized, whitespace). */
+  /** Tokenize like [[Dedup.substringDedup]] (normalized, whitespace).
+    * Null ids drop — a null identity has no stable first-occurrence
+    * semantics (the subsampleReplicates rationale), and the driver
+    * path's id ordering would NPE on one. */
   private def tokenize(df: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
         filter(split(TextAnalysis.normalize(col(textCol)), " "),
           t => length(t) > 0).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("ntok"),

@@ -157,6 +157,15 @@ class SuffixDedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> r._4).toMap
     assert(dd == Map(1L -> 0L, 2L -> 0L))
+    // null ids drop entirely (no stable first-occurrence identity, and
+    // they must not act as phantom duplicate partners)
+    val withNull = Seq((java.lang.Long.valueOf(5L), "a b c"),
+      (null.asInstanceOf[java.lang.Long], "a b c")).toDF("doc_id", "text")
+    val mlN = SuffixDedup.repeatedMatchLengths(withNull, "doc_id", "text",
+      maxLen = 8)
+    assert(mlN.filter(col("id").isNull).count() == 0)
+    assert(mlN.filter(col("match_len") > 0).count() == 0,
+      "null-id doc acted as a duplicate partner")
     intercept[IllegalArgumentException] {
       SuffixDedup.maximalRepeatedSpans(mixed, "doc_id", "text",
         minTokens = 0)
