@@ -720,6 +720,18 @@ object Dedup {
       .distinct()
     val tokens = toks
       .select(col("id"), posexplode(col("__toks")).as(Seq("__idx", "__tok")))
+    rebuildAfterCuts(df.select(col(idCol).as("id")), tokens, covered)
+  }
+
+  /** Shared corpus-rebuild tail for span-cut dedup operators
+    * ([[substringDedup]], [[SuffixDedup.dedup]]): anti-join the covered
+    * token positions (already distinct), rebuild texts via the
+    * array_sort-struct groupBy (no window), account kept/dropped.
+    * `base` fixes the output id universe — one row per id it contains;
+    * callers decide the null-id policy there.
+    */
+  private[operators] def rebuildAfterCuts(base: DataFrame, tokens: DataFrame,
+                                          covered: DataFrame): DataFrame = {
     val kept = tokens.join(covered, Seq("id", "__idx"), "left_anti")
     val dropped = covered.groupBy("id").agg(count(lit(1)).as("n_tokens_dropped"))
     val rebuilt = kept.groupBy("id")
@@ -727,7 +739,7 @@ object Dedup {
       .select(col("id"),
         concat_ws(" ", transform(col("__ts"), t => t.getField("__tok"))).as("text_dedup"),
         size(col("__ts")).cast("long").as("n_tokens_kept"))
-    df.select(col(idCol).as("id"))
+    base
       .join(rebuilt, Seq("id"), "left")
       .join(dropped, Seq("id"), "left")
       .select(col("id"),

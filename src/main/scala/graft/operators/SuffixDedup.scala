@@ -36,6 +36,21 @@ import org.apache.spark.sql.graft.PlanRebase
   * answered exactly up to the `maxLen` cap, and the cut list removes a
   * long duplicated passage as ONE span with first-occurrence semantics.
   *
+  * Cut-rule contract (PRESERVATION): each non-keeper member of a
+  * duplicate run is cut by its LCP WITH THE KEEPER (the (id,
+  * pos)-earliest member), and each run's keeper PREFIX (up to the run's
+  * longest cut) is protected from every other run's cuts. Together
+  * these guarantee that every >= minTokens token sequence occurring
+  * more than once in the corpus still occurs at least once after
+  * dedup (spec-pinned as a property test). Naive greedy span-cutting —
+  * including cutting each member's own longest match — destroys text
+  * shared only among non-keepers, and overlapping runs can shred a
+  * keeper's copy (a known hazard of suffix-array span dedup). The cut
+  * is therefore CONSERVATIVE: duplicated extensions the keeper lacks,
+  * and protected keeper prefixes, survive in multiple copies — iterate
+  * the operator to fixpoint when residual duplication matters (content
+  * is never lost at any iteration).
+  *
   * Scale notes. Positions are fact-grain (one row per token); every
   * stage is an equi-join, a groupBy, or a per-document window; the only
   * global sorts are the per-level distinct-key orderings and the final
@@ -76,16 +91,13 @@ object SuffixDedup {
     * ~40 Spark jobs of per-round fixed overhead — the q_cc_dedup /
     * KMeansLite size-aware short-circuit lesson (SURVEY §6 r3 lesson 3)
     * applied to suffix construction. 2M positions ≈ tens of MB of
-    * tokens; the distributed path takes over beyond it.
+    * tokens; the distributed path takes over beyond it. The threshold
+    * is SIZE-only: a pathologically repetitive corpus near the bound
+    * (thousands of full copies of one long document) degrades the local
+    * comparison sort to O(n log n * maxLen) token compares — pass
+    * maxDriverPositions = 0 to force the distributed path there.
     */
   val MaxDriverPositions: Long = 1L << 21
-
-  private case class Suffixes(
-      // (id, pos, ntok, ord, lcp_prev) — suffix-order ordinal and the
-      // exact LCP with the previous suffix in that order (0 at ord 0)
-      ordered: DataFrame,
-      // retained rank tables: (window length 2^m, (id, pos, r))
-      levels: Seq[(Long, DataFrame)])
 
   /** Driver-side corpus image for the short-circuit path. */
   private case class LocalCorpus(ids: Array[Any],
@@ -93,15 +105,53 @@ object SuffixDedup {
                                  fd: Array[Int], fp: Array[Int],
                                  order: Array[Int], lcpPrev: Array[Long])
 
-  private def cmpAny(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  /** Code-POINT string order — Spark's UTF8String binary order. Plain
+    * String.compareTo is UTF-16 code-UNIT order, which diverges above
+    * U+FFFF and would flip keeper selection against the distributed
+    * min(struct(id, pos)). */
+  private def cmpCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => cmpCodePoints(x, y)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** The driver path needs ids with JVM value equality and an ordering
+    * that matches Spark's (integral types; strings compare by code
+    * point). Binary/struct/decimal ids take the distributed path at any
+    * size — a collected byte-array id has REFERENCE equality, which
+    * would fragment documents. */
+  private def driverIdSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
 
   /** Collect the token table and build the suffix order + adjacent LCPs
-    * locally — byte-for-byte the distributed semantics: suffixes compare
-    * token-wise up to L = highestOneBit(maxLen) with shorter-is-prefix
-    * first (the rank sentinel), capped ties break on (id, pos) (the
-    * final-ordinal tie), and adjacent LCPs cap at 2L-1 (the ladder's
-    * power-sum bound).
+    * locally — output-equivalent to the distributed path: suffixes
+    * compare token-wise up to L = highestOneBit(maxLen) with
+    * shorter-is-prefix first (the rank sentinel), capped ties break on
+    * (id, pos) (the final-ordinal tie), and adjacent LCPs cap at 2L-1
+    * (the ladder's power-sum bound). Token ORDER need not match the
+    * distributed rank order bit-for-bit: the outputs (max-adjacent LCP,
+    * run membership, pairwise LCP via path mins) are invariant to the
+    * choice of token total order — only the keeper's ID comparison must
+    * match Spark's, hence [[cmpCodePoints]] for strings.
     */
   private def localSuffixes(toks: DataFrame, maxLen: Int): LocalCorpus = {
     val L = Integer.highestOneBit(maxLen)
@@ -179,8 +229,34 @@ object SuffixDedup {
       .select(col("id"), col("pos").cast("long").as("pos"),
         col("ntok"), col("__tok"))
 
-  /** Build suffix order + adjacent exact LCPs for the whole corpus. */
-  private def suffixLcp(tokens: DataFrame, maxLen: Int): Suffixes = {
+  /** Pointer doubling with a CARRIED MIN — the distributed prefix-min
+    * along the pointer path: state (ord, ptr, v) where anchors are
+    * ptr == ord (v ignored, Long.MaxValue) and every other row starts at
+    * its neighbor with v = that hop's edge value. Each round composes
+    * (ptr, v) <- (ptr(ptr), min(v, v(ptr))); at the fixpoint v is the
+    * min of the edge values along the open path (anchor, ord]. O(log
+    * path length) join rounds, PlanRebase'd per round (lesson 14).
+    */
+  private def doubleToAnchor(init: DataFrame): DataFrame = {
+    var st = PlanRebase.rebase(init)
+    var converged = false
+    while (!converged) {
+      val hop = st.select(col("ord").as("__o2"), col("ptr").as("__p2"),
+        col("v").as("__v2"))
+      val j = st.join(hop, st("ptr") === hop("__o2"))
+        .select(col("ord"), col("__p2").as("ptr"),
+          least(col("v"), col("__v2")).as("v"),
+          (col("ptr") =!= col("__p2")).cast("long").as("__moved"))
+      val rb = PlanRebase.rebase(j)
+      converged = rb.agg(sum(col("__moved"))).head().getLong(0) == 0L
+      st = rb.drop("__moved")
+    }
+    st
+  }
+
+  /** Build suffix order + adjacent exact LCPs for the whole corpus:
+    * returns (id, pos, ntok, ord, lcp_prev). */
+  private def suffixLcp(tokens: DataFrame, maxLen: Int): DataFrame = {
     val spark = tokens.sparkSession
     // rank_0: dense token codes (vocab-sized sort)
     val vocab = denseCodes(tokens, Seq("__tok"), "__c")
@@ -245,7 +321,7 @@ object SuffixDedup {
     val lcpPrev = pr.select(col("ord"), col("lcp").as("lcp_prev"))
     val withLcp = ordered.join(lcpPrev, Seq("ord"), "left")
       .withColumn("lcp_prev", coalesce(col("lcp_prev"), lit(0L)))
-    Suffixes(PlanRebase.rebase(withLcp), levels.toSeq)
+    PlanRebase.rebase(withLcp)
   }
 
   /** Per token position: the EXACT length of the longest substring
@@ -262,7 +338,8 @@ object SuffixDedup {
     val nPos = toks.count()
     if (nPos == 0)
       return emptyOut(df, idCol, Seq("id", "pos", "ntok", "match_len"))
-    if (nPos <= maxDriverPositions) {
+    if (nPos <= maxDriverPositions &&
+        driverIdSupported(idDataType(df, idCol))) {
       val c = localSuffixes(toks, maxLen)
       val n = c.order.length
       val out = new Array[Row](n)
@@ -282,9 +359,9 @@ object SuffixDedup {
           StructField("match_len", LongType) :: Nil))
     }
     val s = suffixLcp(toks, maxLen)
-    val next = s.ordered.select((col("ord") - 1).as("ord"),
+    val next = s.select((col("ord") - 1).as("ord"),
       col("lcp_prev").as("__lcp_next"))
-    s.ordered.join(next, Seq("ord"), "left")
+    s.join(next, Seq("ord"), "left")
       .select(col("id"), col("pos"), col("ntok"),
         greatest(col("lcp_prev"), coalesce(col("__lcp_next"), lit(0L)))
           .as("match_len"))
@@ -313,8 +390,16 @@ object SuffixDedup {
     if (nPos <= maxDriverPositions) {
       val c = localSuffixes(toks, maxLen)
       val n = c.order.length
-      // runs of consecutive lcp >= minTokens; keeper = (id, pos)-min
+      // runs of consecutive lcp >= minTokens; keeper = (id, pos)-min.
+      // Cut length = LCP(member, KEEPER) (running min of adjacent lcps
+      // outward from the keeper); the keeper PREFIX covering the run's
+      // longest cut is PROTECTED from every other run's cuts — without
+      // the protection, overlapping runs can cut a keeper's copy and
+      // destroy a duplicated gram corpus-wide (see the operator
+      // scaladoc's preservation contract).
       val cuts = scala.collection.mutable
+        .Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      val prot = scala.collection.mutable
         .Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
       var i = 0
       while (i < n) {
@@ -327,28 +412,51 @@ object SuffixDedup {
             val ci = cmpAny(c.ids(c.fd(x)), c.ids(c.fd(kx)))
             if (ci < 0 || (ci == 0 && c.fp(x) < c.fp(kx))) keep = t
           }
-          for (t <- i to j if t != keep) {
-            val prevL = if (t > i) c.lcpPrev(t) else 0L
-            val nextL = if (t < j) c.lcpPrev(t + 1) else 0L
-            val len = math.max(prevL, nextL)
+          var maxCut = 0L
+          def cut(t: Int, len: Long): Unit =
             if (len >= minTokens) {
+              maxCut = math.max(maxCut, len)
               val x = c.order(t)
               cuts.getOrElseUpdate(c.fd(x),
                 scala.collection.mutable.ArrayBuffer.empty)
                 .append((c.fp(x).toLong, c.fp(x) + len))
             }
+          var m = Long.MaxValue
+          for (t <- keep + 1 to j) {
+            m = math.min(m, c.lcpPrev(t)); cut(t, m)
+          }
+          m = Long.MaxValue
+          for (t <- keep - 1 to i by -1) {
+            m = math.min(m, c.lcpPrev(t + 1)); cut(t, m)
+          }
+          if (maxCut > 0L) {
+            val kx = c.order(keep)
+            prot.getOrElseUpdate(c.fd(kx),
+              scala.collection.mutable.ArrayBuffer.empty)
+              .append((c.fp(kx).toLong, c.fp(kx) + maxCut))
           }
         }
         i = j + 1
       }
       val spanRows = cuts.toSeq.flatMap { case (d, iv) =>
-        val sorted = iv.sortBy(v => (v._1, v._2))
+        val removed = new Array[Boolean](c.docTok(d).length)
+        iv.foreach { case (st, en) =>
+          var u = st.toInt
+          while (u < en) { removed(u) = true; u += 1 }
+        }
+        prot.getOrElse(d, Nil).foreach { case (st, en) =>
+          var u = st.toInt
+          while (u < en && u < removed.length) { removed(u) = false; u += 1 }
+        }
         val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        sorted.foreach { case (st, en) =>
-          if (merged.nonEmpty && st <= merged.last._2)
-            merged(merged.length - 1) =
-              (merged.last._1, math.max(merged.last._2, en))
-          else merged.append((st, en))
+        var u = 0
+        while (u < removed.length) {
+          if (removed(u)) {
+            var e = u
+            while (e < removed.length && removed(e)) e += 1
+            merged.append((u.toLong, e.toLong))
+            u = e
+          } else u += 1
         }
         merged.map { case (st, en) => Row(c.ids(d), st, en, en - st) }
       }
@@ -360,59 +468,100 @@ object SuffixDedup {
           StructField("span_end", LongType) ::
           StructField("n_tok", LongType) :: Nil))
     }
-    val s = suffixLcp(toks, maxLen)
-    val next = s.ordered.select((col("ord") - 1).as("ord"),
+    val sfx = suffixLcp(toks, maxLen)
+    val next = sfx.select((col("ord") - 1).as("ord"),
       col("lcp_prev").as("__lcp_next"))
-    val nodes = PlanRebase.rebase(s.ordered.join(next, Seq("ord"), "left")
+    val nodes = PlanRebase.rebase(sfx.join(next, Seq("ord"), "left")
       .select(col("ord"), col("id"), col("pos"),
         col("lcp_prev"), coalesce(col("__lcp_next"), lit(0L))
           .as("lcp_next")))
     // run head: ord with lcp_prev < minTokens; pointer-double to it
-    var ptr = PlanRebase.rebase(nodes.select(col("ord"),
+    // (doubleToAnchor with an unused carried value)
+    val headPtr = doubleToAnchor(nodes.select(col("ord"),
       when(col("lcp_prev") < minTokens, col("ord"))
-        .otherwise(col("ord") - 1).as("ptr")))
-    var converged = false
-    while (!converged) {
-      val hop = ptr.select(col("ord").as("__o2"), col("ptr").as("__p2"))
-      val jumped = ptr.join(hop, ptr("ptr") === hop("__o2"))
-        .select(col("ord"), col("__p2").as("ptr"),
-          (col("ptr") =!= col("__p2")).cast("long").as("__moved"))
-      val rebased = PlanRebase.rebase(jumped)
-      converged =
-        rebased.agg(sum(col("__moved"))).head().getLong(0) == 0L
-      ptr = rebased.drop("__moved")
-    }
-    val withRun = nodes.join(ptr.select(col("ord"), col("ptr").as("run")),
-      Seq("ord"))
+        .otherwise(col("ord") - 1).as("ptr"),
+      lit(Long.MaxValue).as("v")))
+    val withRun = nodes.join(
+      headPtr.select(col("ord"), col("ptr").as("run")), Seq("ord"))
     val keepers = withRun.groupBy("run")
       .agg(min(struct(col("id"), col("pos"))).as("__keep"))
-    val cuts = withRun.join(keepers, Seq("run"))
-      .withColumn("__len", greatest(
-        when(col("lcp_prev") >= minTokens, col("lcp_prev")).otherwise(0L),
-        when(col("lcp_next") >= minTokens, col("lcp_next")).otherwise(0L)))
-      .filter(col("__len") >= minTokens &&
-        (col("id") =!= col("__keep.id") || col("pos") =!= col("__keep.pos")))
-      .select(col("id"), col("pos"), (col("pos") + col("__len")).as("__end"))
-    // merge overlapping cut intervals per document (per-id window — the
-    // partition is one document, bounded by document length)
-    val w = Window.partitionBy("id").orderBy("pos")
-    val islands = cuts
-      .withColumn("__maxEnd",
-        max(col("__end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val kOrd = withRun.join(keepers, Seq("run"))
+      .filter(col("id") === col("__keep.id") &&
+        col("pos") === col("__keep.pos"))
+      .select(col("run"), col("ord").as("kord"))
+    val members = PlanRebase.rebase(
+      withRun.join(kOrd, Seq("run")))
+    // cut length = LCP(member, KEEPER): the min of adjacent lcps
+    // strictly between them (the suffix-array LCP lemma). Cutting each
+    // member's own max adjacent LCP instead would remove text shared
+    // only among NON-keepers from every copy — content destroyed
+    // corpus-wide; anchoring on the keeper guarantees every cut span
+    // survives verbatim at the keeper's copy. Two carried-min pointer
+    // doublings (rightward-of-keeper members pull mins leftward to the
+    // keeper anchor; leftward members symmetrically); run boundaries
+    // are also anchors so propagation never crosses runs.
+    val minR = doubleToAnchor(members.select(col("ord"),
+      when(col("lcp_prev") < minTokens || col("ord") === col("kord"),
+        col("ord")).otherwise(col("ord") - 1).as("ptr"),
+      when(col("lcp_prev") < minTokens || col("ord") === col("kord"),
+        lit(Long.MaxValue)).otherwise(col("lcp_prev")).as("v")))
+      .select(col("ord"), col("v").as("__vr"))
+    val minL = doubleToAnchor(members.select(col("ord"),
+      when(col("lcp_next") < minTokens || col("ord") === col("kord"),
+        col("ord")).otherwise(col("ord") + 1).as("ptr"),
+      when(col("lcp_next") < minTokens || col("ord") === col("kord"),
+        lit(Long.MaxValue)).otherwise(col("lcp_next")).as("v")))
+      .select(col("ord"), col("v").as("__vl"))
+    val cutsRaw = PlanRebase.rebase(
+      members.join(minR, Seq("ord")).join(minL, Seq("ord"))
+        .withColumn("__len",
+          when(col("ord") > col("kord"), col("__vr"))
+            .when(col("ord") < col("kord"), col("__vl"))
+            .otherwise(lit(0L)))
+        .filter(col("__len") >= minTokens &&
+          col("__len") < lit(Long.MaxValue))
+        .select(col("run"), col("id"), col("pos"), col("__len")))
+    // keeper-prefix protection (see scaladoc): each run that cut
+    // anything protects its keeper's first max-cut-length tokens from
+    // EVERY run's cuts, so a duplicated >= minTokens gram always
+    // survives at its run's keeper
+    val protections = keepers
+      .join(cutsRaw.groupBy("run").agg(max(col("__len")).as("__plen")),
+        Seq("run"))
+      .select(col("__keep.id").as("id"),
+        explode(sequence(col("__keep.pos"),
+          col("__keep.pos") + col("__plen") - 1)).as("__idx"))
+    val covered = cutsRaw
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + col("__len") - 1))
+          .as("__idx"))
+      .distinct()
+      .join(protections, Seq("id", "__idx"), "left_anti")
+    // merge removed positions into maximal spans per document (per-id
+    // window — the partition is one document, bounded by its length)
+    val w = Window.partitionBy("id").orderBy("__idx")
+    val islands = covered
+      .withColumn("__prev", lag(col("__idx"), 1).over(w))
       .withColumn("__new",
-        when(col("__maxEnd").isNull || col("pos") > col("__maxEnd"), 1L)
+        when(col("__prev").isNull || col("__idx") > col("__prev") + 1, 1L)
           .otherwise(0L))
       .withColumn("__island", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
     islands.groupBy("id", "__island")
-      .agg(min(col("pos")).as("span_start"), max(col("__end")).as("span_end"))
+      .agg(min(col("__idx")).as("span_start"),
+        (max(col("__idx")) + 1).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tok"))
   }
 
   /** Rebuild the corpus with the [[maximalRepeatedSpans]] cut list
     * removed — same output contract as [[Dedup.substringDedup]]:
-    * (id, text_dedup, n_tokens_kept, n_tokens_dropped). */
+    * (id, text_dedup, n_tokens_kept, n_tokens_dropped), via the shared
+    * [[Dedup.rebuildAfterCuts]] tail. Null-id rows are EXCLUDED from the
+    * output (they are excluded from the pipeline at tokenization, and
+    * emitting them as ("", 0, 0) would report text vanishing with zero
+    * tokens dropped — silent, unaccountable data loss).
+    */
   def dedup(df: DataFrame, idCol: String, textCol: String,
             minTokens: Int = 20, maxLen: Int = 256,
             maxDriverPositions: Long = MaxDriverPositions): DataFrame = {
@@ -422,22 +571,8 @@ object SuffixDedup {
       explode(sequence(col("span_start"), col("span_end") - 1)).as("__idx"))
     val tokens = tokenize(df, idCol, textCol)
       .select(col("id"), col("pos").as("__idx"), col("__tok"))
-    val kept = tokens.join(covered, Seq("id", "__idx"), "left_anti")
-    val dropped = covered.groupBy("id")
-      .agg(count(lit(1)).as("n_tokens_dropped"))
-    val rebuilt = kept.groupBy("id")
-      .agg(array_sort(collect_list(struct(col("__idx"), col("__tok"))))
-        .as("__ts"))
-      .select(col("id"),
-        concat_ws(" ", transform(col("__ts"), t => t.getField("__tok")))
-          .as("text_dedup"),
-        size(col("__ts")).cast("long").as("n_tokens_kept"))
-    df.select(col(idCol).as("id"))
-      .join(rebuilt, Seq("id"), "left")
-      .join(dropped, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        coalesce(col("n_tokens_dropped"), lit(0L)).as("n_tokens_dropped"))
+    Dedup.rebuildAfterCuts(
+      df.filter(col(idCol).isNotNull).select(col(idCol).as("id")),
+      tokens, covered)
   }
 }

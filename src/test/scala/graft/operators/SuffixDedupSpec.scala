@@ -140,6 +140,63 @@ class SuffixDedupSpec extends SparkSpec {
     assert(spans == Seq((1L, 1L, 10L, 9L)), spans.toString)
   }
 
+  test("content preservation: text shared only among NON-keepers is " +
+    "never destroyed corpus-wide") {
+    // doc5 and doc7 share 'x y z k m' (5 tokens); the keeper doc0 shares
+    // only 'x y z' (3). Cutting each member's own max adjacent LCP would
+    // remove 'k m' from BOTH copies. With LCP-to-keeper cuts plus
+    // keeper-prefix protection: doc7 loses its whole repeated region
+    // [2,7) (every piece survives at a keeper), while doc5 — keeper of
+    // the 'y z k m' and 'z k m' runs — keeps [2,6) protected and loses
+    // only the 'x' at position 1 (preserved at doc0).
+    val docs = Seq(
+      (0L, "a0 a1 x y z c0 d0"),
+      (5L, "p5 x y z k m q5"),
+      (7L, "s7 t7 x y z k m u7")).toDF("doc_id", "text")
+    for (thr <- Seq(SuffixDedup.MaxDriverPositions, 0L)) {
+      val spans = SuffixDedup.maximalRepeatedSpans(docs, "doc_id", "text",
+          minTokens = 3, maxLen = 16, maxDriverPositions = thr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(spans == Set((5L, 1L, 2L, 1L), (7L, 2L, 7L, 5L)),
+        s"thr $thr: $spans")
+      val dd = SuffixDedup.dedup(docs, "doc_id", "text", minTokens = 3,
+          maxLen = 16, maxDriverPositions = thr)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(dd(0L) == "a0 a1 x y z c0 d0", dd(0L)) // keeper intact
+      assert(dd(5L) == "p5 y z k m q5" && dd(7L) == "s7 t7 u7", dd)
+      // every duplicated 3-gram still occurs somewhere
+      for (g <- Seq("x y z", "y z k", "z k m"))
+        assert(dd.values.exists(_.contains(g)), s"3-gram '$g' destroyed")
+    }
+  }
+
+  test("property: every >= minTokens gram occurring twice in the " +
+    "original corpus survives dedup (random corpora, both paths)") {
+    val vocab = (0 until 5).map(i => s"c$i")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 12).map { i =>
+        val len = 4 + rng.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val grams = docs.flatMap(_._2.split(" ").toSeq.sliding(2))
+        .groupBy(identity).collect { case (g, o) if o.size >= 2 => g }
+      for (thr <- Seq(SuffixDedup.MaxDriverPositions, 0L)) {
+        val deduped = SuffixDedup.dedup(df, "doc_id", "text",
+            minTokens = 2, maxLen = 16, maxDriverPositions = thr)
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => r._2.split(" ").filter(_.nonEmpty).toSeq)
+        grams.foreach { g =>
+          assert(deduped.exists(_.containsSlice(g)),
+            s"trial $trial thr $thr: duplicated gram " +
+              s"'${g.mkString(" ")}' destroyed corpus-wide")
+        }
+      }
+    }
+  }
+
   test("degenerate shapes: empty corpus, empty docs, no repeats, bad args") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixDedup.repeatedMatchLengths(empty, "doc_id", "text")
@@ -166,6 +223,12 @@ class SuffixDedupSpec extends SparkSpec {
     assert(mlN.filter(col("id").isNull).count() == 0)
     assert(mlN.filter(col("match_len") > 0).count() == 0,
       "null-id doc acted as a duplicate partner")
+    // dedup excludes the null-id row outright — emitting ("", 0, 0)
+    // for it would report silent unaccounted text loss
+    val ddN = SuffixDedup.dedup(withNull, "doc_id", "text",
+      minTokens = 2, maxLen = 8)
+    assert(ddN.filter(col("id").isNull).count() == 0)
+    assert(ddN.count() == 1)
     intercept[IllegalArgumentException] {
       SuffixDedup.maximalRepeatedSpans(mixed, "doc_id", "text",
         minTokens = 0)
