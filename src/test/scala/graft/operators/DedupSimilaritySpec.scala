@@ -598,6 +598,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
   }
 
+  test("kOccurrence over an ANN top-k table — the 10^9-row scale path") {
+    // production hubness feeds kOccurrence from an ANN index instead of
+    // the exact all-pairs table (the q_hubness gate's brute-force truth
+    // is the gate's own baseline, not the scale path); the operator is
+    // agnostic to where the (query_id, neighbor_id) rows came from
+    import spark.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8.0 + d)))
+    }.toDF("vec_id", "v")
+    val ann = graft.operators.Similarity.lshTopK(e, e, "vec_id", "v",
+      k = 5, bits = 4, tables = 2, dims = 8)
+    val occ = graft.operators.Similarity.kOccurrence(
+      ann.select("query_id", "neighbor_id"), e, "vec_id")
+    val rows = occ.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 60) // one row per corpus vector, anti-hubs 0
+    assert(rows.map(_._2).sum == ann.count()) // mass conservation
+  }
+
   test("winnowing: the k+w-1 shared-run guarantee and shift robustness") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
