@@ -373,8 +373,13 @@ private[graft] object GatesDedup {
       val corpus = d.select(col("doc_id"),
         when(inPair, concat_ws(" ", pre, run, post))
           .otherwise(concat_ws(" ", pre, post)).as("text"))
+      // threshold 100k (not the 2M default) so the sf1 sweep's 420k
+      // positions exercise the DISTRIBUTED pipeline under the oracle
+      // every round (~8 s at that size); sf0.01/sf0.1 stay on the
+      // driver path, covering both with no manual sf10 run needed
       val spans = SuffixDedup.maximalRepeatedSpans(corpus, "doc_id",
-        "text", minTokens = 6, maxLen = 16)
+        "text", minTokens = 6, maxLen = 16,
+        maxDriverPositions = 100000L)
       val agg = spans.agg(count(lit(1)).as("cnt"),
         coalesce(min((col("id") % 10 === 1).cast("int")), lit(1)),
         coalesce(min((col("span_start") === 5 && col("n_tok") === 12)
