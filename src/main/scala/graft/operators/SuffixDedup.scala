@@ -575,4 +575,44 @@ object SuffixDedup {
       df.filter(col(idCol).isNotNull).select(col(idCol).as("id")),
       tokens, covered)
   }
+
+  /** Iterate [[dedup]] to a fixpoint. The preservation-correct cut is
+    * deliberately conservative — protected keeper prefixes and
+    * extensions shared only among non-keepers survive in multiple
+    * copies — so one pass can leave residual duplication. Re-running on
+    * the rebuilt corpus removes it one keeper generation at a time,
+    * and the preservation contract holds at EVERY pass, so content is
+    * never lost on the way to the fixpoint. Stops when a pass drops
+    * nothing or after `maxIters` passes (fixpoint is typically 2-3
+    * passes; the count is data-dependent, not scale-dependent — each
+    * pass is one full pipeline run). Returns the [[dedup]] contract
+    * with n_tokens_dropped summed across passes.
+    */
+  def dedupToFixpoint(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 20, maxLen: Int = 256,
+                      maxIters: Int = 5,
+                      maxDriverPositions: Long = MaxDriverPositions)
+      : DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var cur = dedup(df, idCol, textCol, minTokens, maxLen,
+      maxDriverPositions).localCheckpoint(true)
+    var iters = 1
+    var lastDropped =
+      cur.agg(sum(col("n_tokens_dropped"))).head().getLong(0)
+    while (lastDropped > 0L && iters < maxIters) {
+      val step = dedup(cur, "id", "text_dedup", minTokens, maxLen,
+        maxDriverPositions).localCheckpoint(true)
+      lastDropped =
+        step.agg(sum(col("n_tokens_dropped"))).head().getLong(0)
+      // carry the cumulative drop count through the pass
+      cur = step.withColumnRenamed("n_tokens_dropped", "__d")
+        .join(cur.select(col("id"), col("n_tokens_dropped").as("__prev")),
+          Seq("id"))
+        .withColumn("n_tokens_dropped", col("__d") + col("__prev"))
+        .select("id", "text_dedup", "n_tokens_kept", "n_tokens_dropped")
+        .localCheckpoint(true)
+      iters += 1
+    }
+    cur
+  }
 }

@@ -197,6 +197,37 @@ class SuffixDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupToFixpoint removes PROTECTED residual duplication in later " +
+    "passes, never losing content") {
+    // pass 1: P2/Q2 are full copies (cut; P and Q become protected
+    // keepers of their copy-runs, so Q's 'x y z k' — duplicated with P —
+    // SURVIVES pass 1 under Q's protection); pass 2: with the copies
+    // gone, Q's residual 'x y z k' is cut against keeper P; pass 3
+    // drops nothing.
+    val docs = Seq(
+      (1L, "w1 x y z k w2"), (3L, "w1 x y z k w2"),
+      (2L, "v1 x y z k v2"), (4L, "v1 x y z k v2")).toDF("doc_id", "text")
+    val one = SuffixDedup.dedup(docs, "doc_id", "text", minTokens = 3,
+        maxLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(one(2L) == "v1 x y z k v2", one) // residual after one pass
+    val fix = SuffixDedup.dedupToFixpoint(docs, "doc_id", "text",
+        minTokens = 3, maxLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fix(1L) == (("w1 x y z k w2", 6L, 0L)), fix)
+    assert(fix(3L) == (("", 0L, 6L)))
+    assert(fix(2L) == (("v1 v2", 2L, 4L)), fix) // residual removed
+    assert(fix(4L) == (("", 0L, 6L)))
+    // content preserved at the fixpoint: the duplicated 3-grams survive
+    for (g <- Seq("x y z", "y z k"))
+      assert(fix.values.exists(_._1.contains(g)), s"'$g' destroyed")
+    intercept[IllegalArgumentException] {
+      SuffixDedup.dedupToFixpoint(docs, "doc_id", "text", maxIters = 0)
+    }
+  }
+
   test("degenerate shapes: empty corpus, empty docs, no repeats, bad args") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixDedup.repeatedMatchLengths(empty, "doc_id", "text")
