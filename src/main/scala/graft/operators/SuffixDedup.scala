@@ -324,10 +324,16 @@ object SuffixDedup {
     PlanRebase.rebase(withLcp)
   }
 
-  /** Per token position: the EXACT length of the longest substring
-    * starting there that also occurs somewhere else in the corpus
-    * (capped by maxLen doubling — exact while < the sum of the level
-    * windows). Returns (id, pos, ntok, match_len).
+  /** Per token position: the length of the longest substring starting
+    * there that also occurs somewhere else in the corpus. EXACT for
+    * match lengths <= L = highestOneBit(maxLen): suffixes sharing an
+    * L-token prefix form an equal-rank class ordered by (id, pos) — not
+    * by lexicographic continuation — so a suffix's true longest partner
+    * beyond L can be non-adjacent in that class, and any value above L
+    * is a FLOOR (at least L, at most the 2L-1 ladder bound when the
+    * adjacent neighbor happens to extend). Conservative for dedup:
+    * every >= minTokens <= L duplicate is found exactly. Returns
+    * (id, pos, ntok, match_len).
     */
   def repeatedMatchLengths(df: DataFrame, idCol: String, textCol: String,
                            maxLen: Int = 256,
@@ -387,7 +393,8 @@ object SuffixDedup {
     if (nPos == 0)
       return emptyOut(df, idCol,
         Seq("id", "span_start", "span_end", "n_tok"))
-    if (nPos <= maxDriverPositions) {
+    if (nPos <= maxDriverPositions &&
+        driverIdSupported(idDataType(df, idCol))) {
       val c = localSuffixes(toks, maxLen)
       val n = c.order.length
       // runs of consecutive lcp >= minTokens; keeper = (id, pos)-min.

@@ -228,6 +228,36 @@ class SuffixDedupSpec extends SparkSpec {
     }
   }
 
+  test("binary / struct id columns route to the distributed path at any " +
+    "size (driver groupBy on Array[Byte] keys has reference equality " +
+    "and would fragment documents) — parity with the string-id run") {
+    val run = (0 until 5).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      ("a", s"u0 u1 $run u2"),
+      ("b", s"w0 $run w1 w2"),
+      ("c", "x0 x1 x2 x3 x4 x5"))
+    val strDf = docs.toDF("doc_id", "text")
+    // UTF-8 byte order over "a"/"b"/"c" == string order, so keeper
+    // selection — and therefore the whole output — must match exactly.
+    val binDf = strDf.withColumn("doc_id", encode(col("doc_id"), "UTF-8"))
+    val structDf = strDf.withColumn("doc_id", struct(col("doc_id").as("k")))
+    def spans(df: org.apache.spark.sql.DataFrame, idToStr: String) =
+      SuffixDedup.maximalRepeatedSpans(df, "doc_id", "text",
+          minTokens = 3, maxLen = 16)
+        .selectExpr(s"$idToStr as id", "span_start", "span_end", "n_tok")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val want = spans(strDf, "id")
+    assert(want.nonEmpty && want.forall(_._1 == "b"),
+      s"string-id baseline unexpected: $want")
+    assert(spans(binDf, "cast(id as string)") == want)
+    assert(spans(structDf, "id.k") == want)
+    // repeatedMatchLengths has the same guard — exercise the binary leg
+    val mlBin = SuffixDedup.repeatedMatchLengths(binDf, "doc_id", "text",
+      maxLen = 16)
+    assert(mlBin.filter(col("match_len") === 5).count() == 2,
+      "the two run-START positions must report the exact 5-token match")
+  }
+
   test("degenerate shapes: empty corpus, empty docs, no repeats, bad args") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixDedup.repeatedMatchLengths(empty, "doc_id", "text")
