@@ -45,6 +45,18 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Per-gate hygiene (r9, the q_logreg/q_nb_quality in-suite wobble):
+      // gates localCheckpoint(true) intermediates, which PERSIST in the
+      // BlockManager and are never unpersisted — 240 gates of leftovers
+      // mean later gates run under storage-memory pressure and GC churn
+      // that isolated A/Bs don't see (measured ±3x on single gates).
+      // Dropping persisted RDDs + cached plans between gates makes each
+      // in-suite number reproduce its isolated run; timing excludes it.
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+      } catch { case _: Throwable => () }
       name -> times.min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0

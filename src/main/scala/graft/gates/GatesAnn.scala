@@ -97,17 +97,19 @@ private[graft] object GatesAnn {
 
 
     // LSH-bucketed ANN — rows-only (approximate by construction)
-    // Claims gate (r7, formerly rows-only). Also retuned: bits=10 gave
-    // ~1024 buckets for a 500-5000 vector corpus — near-empty candidates,
-    // recall at CHANCE level (0.01-0.03 measured). bits=6 + 1-bit
-    // multi-probe is the right operating point for this corpus: recall
-    // 0.67/0.69 at sf0.01/0.1 vs the 0.1/0.01 claim thresholds.
+    // Claims gate (r7, formerly rows-only). r7 retune found bits=10 gave
+    // near-empty buckets at 5k vectors (chance-level recall) and pinned
+    // bits=6; r9 replaces the pin with the adaptive default
+    // (adaptiveLshBits: bits = ceil(log2(n/128))), which REPRODUCES 6 at
+    // sf0.01's ~5k corpus and scales the operating point with n — the
+    // fixed 6 gave 64 buckets at sf10's 5M vectors, candidates growing
+    // with per-bucket density squared (42.6 s, 6.8x for 10x data).
     "q_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.lshTopK(e, q, "vec_id", "v", k = 5, bits = 6,
+      val ann = Similarity.lshTopK(e, q, "vec_id", "v", k = 5,
         tables = 4, dims = 64, probeHamming = 1)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
       annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
@@ -326,7 +328,7 @@ private[graft] object GatesAnn {
           nprobe = 3),
         "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
           nlist = 8, nprobe = 3, m = 8, ksub = 16),
-        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc, bits = 6,
+        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc,
           tables = 4, dims = 64, probeHamming = 1),
         "opq" -> Similarity.opqTopK(e, q, "vec_id", "v", opqModel, k = kc),
         "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
@@ -359,9 +361,16 @@ private[graft] object GatesAnn {
     // conservation (k-occurrence sums to exactly k*n — every query emits
     // exactly k slots), bounds (0 <= occ <= n-1), and the self-exclusion
     // contract (no query retrieves itself).
+    // r9: the gate's own truth is the exact top-10 graph — O(n^2) BY
+    // DESIGN (it is the baseline, not the operator). A fixed 50k-vector
+    // slice (vec_id < 50000 = the whole corpus at sf0.01/sf0.1, the
+    // replica-0 slice under make_sf replication) keeps the claims
+    // meaningful while bounding truth cost at EVERY scale — the sf10
+    // sweep runs the identical gate, no sf-capping.
     "q_hubness" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50000)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       // the all-pairs scan is the whole cost and feeds two claim
@@ -392,9 +401,14 @@ private[graft] object GatesAnn {
     // for non-unique ids) the planted twin id_a+10000 must be recovered
     // with margin > 1. n_unique cross-checks the two engines' grouping
     // of raw float vectors.
+    // r9: same fixed 50k-vector slice as q_hubness — the two-direction
+    // brute-force truth is quadratic by design; the slice bounds it at
+    // every scale (no-op below 50k vectors) and uniqueness/claims are
+    // computed over the SAME slice on both engine and oracle sides.
     "q_bitext_mine" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50000)
         .withColumn("v", col("embedding").cast("array<double>"))
       val a = e.select(col("vec_id").as("id"), col("v"))
       val b = e.select((col("vec_id") + 10000).as("id"), col("v"))

@@ -236,7 +236,8 @@ private[graft] object OraclesAnn {
     // are closed-form — n from a count, invariants asserted true.
     "q_hubness" ->
       """SELECT c.claim, t.n, true AS ok
-        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id < 50000) t,
         |  (VALUES ('bounds_0_to_n_minus_1'),
         |    ('coverage_one_row_per_vector'), ('mass_sums_to_k_times_n'),
         |    ('no_self_retrieval')) c(claim)
@@ -248,9 +249,10 @@ private[graft] object OraclesAnn {
     // cross-checking the engine's grouping bit-for-bit; claims true.
     "q_bitext_mine" ->
       """SELECT c.claim, t.n, u.n_unique, true AS ok
-        |FROM (SELECT count(*) AS n FROM embeddings) t,
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id < 50000) t,
         |  (SELECT count(*) AS n_unique FROM (
-        |     SELECT embedding FROM embeddings
+        |     SELECT embedding FROM embeddings WHERE vec_id < 50000
         |     GROUP BY embedding HAVING count(*) = 1)) u,
         |  (VALUES ('matches_cosine_one'), ('mutual_one_to_one'),
         |    ('planted_unique_all_recovered'),

@@ -197,6 +197,28 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** The LSH operating point as a FUNCTION OF CORPUS SIZE — hash bits for
+    * a target expected bucket occupancy. Sizing rule: sign-LSH buckets
+    * partition the corpus ~uniformly for whitened embeddings, so
+    * E[bucket] = n / 2^bits and per-query candidate work per table grows
+    * LINEARLY with E[bucket]; fixing bits while n grows makes candidate
+    * cost (and with multi-probe, runtime) grow linearly-to-quadratically
+    * — the band-saturation failure class (SimHash 8-bit bands at r7,
+    * q_lsh_topk bits=6 growing 6.8x for 10x data at sf10). Hence
+    * bits = ceil(log2(n / targetBucket)), clamped to [4, 24]:
+    * 5k vectors -> 6 bits, 50k -> 9, 500k -> 12, 5M -> 16. targetBucket
+    * trades recall for cost: with `tables` independent tables and 1-bit
+    * multi-probe, ~128 keeps measured recall@5 well above 10x chance at
+    * every tested scale while bounding candidates per query per table.
+    */
+  def adaptiveLshBits(corpusCount: Long, targetBucket: Long = 128): Int = {
+    require(targetBucket >= 1, s"bad targetBucket $targetBucket")
+    val n = math.max(1L, corpusCount)
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to rows sharing the
     * query's bucket in any of `tables` INDEPENDENT hash tables (distinct
     * hyperplane seeds per table — reusing one set of hyperplanes and
@@ -208,18 +230,26 @@ object Similarity {
     * joined once on neighbor_id), so a hot bucket explodes id pairs, not
     * vector payloads. Pass `dims` explicitly (it's the embedding pipeline's
     * own constant) — the default 0 falls back to a one-row probe job.
+    *
+    * `bits` defaults to 0 = ADAPTIVE: derived from corpus.count() via
+    * [[adaptiveLshBits]] (one count job — at any scale it is dwarfed by
+    * the bucketing scan it sizes). Pass an explicit positive value only
+    * with a corpus-size rationale; a fixed value is a latent
+    * band-saturation bug at 10-100x growth (see the sizing-rule scaladoc).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              vecCol: String, k: Int, bits: Int = 0, tables: Int = 4,
               dims: Int = 0, probeHamming: Int = 0): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming supports 0 (exact bucket) or 1 (all single-bit flips), got $probeHamming")
+    require(bits >= 0 && bits <= 62, s"bad bits $bits")
+    val useBits = if (bits > 0) bits else adaptiveLshBits(corpus.count())
     val d = if (dims > 0) dims
       else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
     def bucketed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"),
           array((0 until tables).map(t =>
-            hyperplaneBucket(col(vecCol), d, bits, seed = 42 + 7919 * t)): _*).as("__buckets"))
+            hyperplaneBucket(col(vecCol), d, useBits, seed = 42 + 7919 * t)): _*).as("__buckets"))
         .select(col(s"${side}_id"), posexplode(col("__buckets")).as(Seq("table", "bucket")))
     // multi-probe (QUERY side only — the small side): also probe every
     // bucket one sign-flip away, recovering neighbors that straddle a
@@ -231,7 +261,7 @@ object Similarity {
       if (probeHamming == 0) b
       else b.select(col("query_id"), col("table"),
         explode(array((col("bucket") +:
-          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
+          (0 until useBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
           .as("bucket"))
     }
     val candIds = bucketed(FanOut(corpus), "neighbor")

@@ -130,6 +130,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 6, s"LSH top-1 recall too low: $hits/10")
   }
 
+  test("adaptiveLshBits: sizing rule tracks corpus count, clamped [4,24]; " +
+    "lshTopK default (bits=0) takes the adaptive point") {
+    // bits = ceil(log2(n / 128)): the operating points the gate history
+    // pinned by hand — 5k -> 6 (the r7 retune), 50k -> 9, 500k -> 12,
+    // 5M (sf10) -> 16
+    assert(Similarity.adaptiveLshBits(5000) == 6)
+    assert(Similarity.adaptiveLshBits(50000) == 9)
+    assert(Similarity.adaptiveLshBits(500000) == 12)
+    assert(Similarity.adaptiveLshBits(5000000) == 16)
+    assert(Similarity.adaptiveLshBits(0) == 4) // clamp floor, empty-safe
+    assert(Similarity.adaptiveLshBits(Long.MaxValue) == 24) // clamp ceil
+    assert(Similarity.adaptiveLshBits(128) == 4)
+    val rng = new scala.util.Random(7)
+    val df = (0L until 100L).map(i => (i, Array.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "v")
+    val q = df.filter($"vec_id" < 5)
+    // default bits=0: derived 4 bits at n=100 — small-corpus recall must
+    // not collapse the way a large fixed default (12) measurably did
+    val ann = Similarity.lshTopK(df, q, "vec_id", "v", k = 3, tables = 8)
+    assert(ann.select(countDistinct($"query_id")).as[Long].head() == 5,
+      "adaptive operating point left a query with zero candidates")
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(df, q, "vec_id", "v", k = 3, bits = 63)
+    }
+  }
+
   test("exactAgainst flags corpus hits and batch-internal dups only") {
     val corpus = Seq((1L, "existing document one"), (2L, "existing document two"))
       .toDF("doc_id", "text")
