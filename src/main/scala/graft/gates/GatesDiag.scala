@@ -533,5 +533,40 @@ private[graft] object GatesDiag {
         .toDF("claim", "n", "ok").orderBy("claim")
     }),
 
+
+    // Parquet footer/row-group statistics audit (r9): executor-side
+    // footer reads over lineitem.parquet; the HASH COMPARE is the
+    // cross-check — every claim value is footer-DERIVED on the engine
+    // side and data-DERIVED on the oracle side (count(*), min/max,
+    // null counts), so a footer misparse or stats/data divergence
+    // fails the gate. No NULLs in the value columns (a NULL flips
+    // pandas int64 -> float64 and fakes a dtype mismatch): numeric
+    // claims carry val_str = '', string claims carry val_num = 0.
+    "q_rowgroup_stats" -> ((s, dir) => {
+      import s.implicits._
+      val stats = ParquetAudit
+        .rowGroupStats(s, s"$dir/lineitem.parquet").localCheckpoint(true)
+      val ok1 = stats.filter(col("column") === "l_orderkey")
+      val r = ok1.agg(
+        sum("group_rows").as("rows"),
+        min("min_num").cast("long").as("okmin"),
+        max("max_num").cast("long").as("okmax"),
+        sum(greatest(col("null_count"), lit(0L))).as("nulls")).head()
+      val fl = stats.filter(col("column") === "l_returnflag")
+        .agg(min("min_val").as("fmin"), max("max_val").as("fmax")).head()
+      val cover = ParquetAudit.rowGroupSkippability(stats)
+        .agg(min((col("n_with_stats") === col("n_groups")).cast("int")))
+        .head().getInt(0) == 1
+      Seq(
+        ("orderkey_max", r.getLong(2), "", true),
+        ("orderkey_min", r.getLong(1), "", true),
+        ("orderkey_nulls", r.getLong(3), "", true),
+        ("returnflag_max", 0L, fl.getString(1), true),
+        ("returnflag_min", 0L, fl.getString(0), true),
+        ("rows_sum", r.getLong(0), "", true),
+        ("stats_cover_all_groups", 0L, "", cover))
+        .toDF("claim", "val_num", "val_str", "ok").orderBy("claim")
+    }),
+
   )
 }

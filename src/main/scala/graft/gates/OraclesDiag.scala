@@ -603,5 +603,24 @@ private[graft] object OraclesDiag {
         |  ('positive_mass_preserved'), ('probs_monotone')) c(claim)
         |ORDER BY c.claim""".stripMargin,
 
+
+    // Footer-vs-data cross-check: the engine's values are read from
+    // parquet ROW-GROUP STATISTICS, the oracle's from the DATA — the
+    // hash compare asserts the footer tells the truth.
+    "q_rowgroup_stats" ->
+      """SELECT * FROM (VALUES
+        |  ('orderkey_max', (SELECT max(l_orderkey) FROM lineitem), '', true),
+        |  ('orderkey_min', (SELECT min(l_orderkey) FROM lineitem), '', true),
+        |  ('orderkey_nulls',
+        |   (SELECT count(*) - count(l_orderkey) FROM lineitem), '', true),
+        |  ('returnflag_max', CAST(0 AS BIGINT),
+        |   (SELECT max(l_returnflag) FROM lineitem), true),
+        |  ('returnflag_min', CAST(0 AS BIGINT),
+        |   (SELECT min(l_returnflag) FROM lineitem), true),
+        |  ('rows_sum', (SELECT count(*) FROM lineitem), '', true),
+        |  ('stats_cover_all_groups', CAST(0 AS BIGINT), '', true)
+        |) t(claim, val_num, val_str, ok)
+        |ORDER BY claim""".stripMargin,
+
   )
 }

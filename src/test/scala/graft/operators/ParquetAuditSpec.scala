@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Footer/row-group statistics audit: multi-row-group files, stats
+  * correctness vs the data, skippability of sorted vs shuffled layouts,
+  * null accounting, degenerate shapes.
+  */
+class ParquetAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"pqaudit_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** 40k rows, forced into multiple row groups via a small block size:
+    * `id` sorted (clustered), `shuf` a multiplicative-hash shuffle of id
+    * (every group spans the full range), `maybe_null` null on id%5==0.
+    */
+  private lazy val multiGroupPath: String = {
+    val p = tmpDir("multi")
+    (0L until 40000L).map { i =>
+      (i, i * 2654435761L % 40000L,
+        if (i % 5 == 0) None else Some(i.toDouble),
+        s"s${i % 7}")
+    }.toDF("id", "shuf", "maybe_null", "tag")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(p)
+    p
+  }
+
+  test("rowGroupStats: multiple groups, rows sum, footer min/max and " +
+    "null counts equal the data") {
+    val st = ParquetAudit.rowGroupStats(spark, multiGroupPath)
+      .localCheckpoint(true)
+    val groups = st.filter($"column" === "id")
+    val nGroups = groups.count()
+    assert(nGroups >= 3, s"expected multiple row groups, got $nGroups")
+    assert(groups.agg(sum("group_rows")).as[Long].head() == 40000L)
+    val r = groups.agg(min("min_num"), max("max_num")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 39999.0)
+    // per-group internal consistency: min <= max, value_count == rows
+    assert(groups.filter($"min_num" > $"max_num").count() == 0)
+    assert(groups.filter($"value_count" =!= $"group_rows").count() == 0)
+    val nulls = st.filter($"column" === "maybe_null")
+      .agg(sum(greatest($"null_count", lit(0L)))).as[Long].head()
+    assert(nulls == 8000L, s"null accounting: $nulls")
+    // string column renders UTF-8 min/max
+    val tags = st.filter($"column" === "tag")
+      .agg(min("min_val"), max("max_val")).head()
+    assert(tags.getString(0) == "s0" && tags.getString(1) == "s6")
+  }
+
+  test("rowGroupSkippability: sorted column fully clustered, shuffled " +
+    "column overlapping, stats coverage reported") {
+    val st = ParquetAudit.rowGroupStats(spark, multiGroupPath)
+      .localCheckpoint(true)
+    val sk = ParquetAudit.rowGroupSkippability(st)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val idRow = sk("id")
+    assert(idRow.getDouble(6) == 1.0, s"sorted id clustered_frac: $idRow")
+    val shufRow = sk("shuf")
+    assert(shufRow.getDouble(6) < 0.5,
+      s"shuffled column should overlap: $shufRow")
+    assert(sk.values.forall(r => r.getLong(1) == r.getLong(2)),
+      "writer records stats for every group")
+    assert(idRow.getDouble(7) == 0.0 && idRow.getDouble(8) == 39999.0)
+  }
+
+  test("single row group and empty directory degenerate shapes") {
+    val p1 = tmpDir("single")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(p1)
+    val st = ParquetAudit.rowGroupStats(spark, p1)
+    assert(st.filter($"column" === "k").count() == 1)
+    val sk = ParquetAudit.rowGroupSkippability(st)
+      .filter($"column" === "k").head()
+    assert(sk.getDouble(6) == 1.0) // one group is trivially clustered
+    val pEmpty = tmpDir("empty")
+    assert(ParquetAudit.rowGroupStats(spark, pEmpty).count() == 0)
+  }
+}

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Sharded driver for tools/check.py over a full verify output directory:
+splits the query list round-robin by POSITION AFTER SORTING BY OUTPUT
+SIZE DESCENDING (so the N biggest outputs land on N different shards,
+not one unlucky one), runs N check.py subprocesses, and prints a
+per-query ledger + totals. Usage:
+
+    python3 tools/sweep_check.py <sfDir> <verifyOutDir> [nShards]
+"""
+import os
+import re
+import subprocess
+import sys
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    qs = sorted(
+        (d for d in os.listdir(out_dir)
+         if os.path.isdir(os.path.join(out_dir, d))),
+        key=lambda d: -sum(
+            f.stat().st_size for f in os.scandir(os.path.join(out_dir, d))),
+    )
+    shards = [qs[i::n] for i in range(n)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "check.py"), sf_dir, out_dir] + s,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for s in shards if s
+    ]
+    ok, failed, lines = 0, 0, []
+    for p in procs:
+        out, _ = p.communicate()
+        for ln in out.splitlines():
+            if ln.startswith(("✓", "✗", "FAIL", "ERROR")) or \
+                    " failed" in ln and " ok, " in ln:
+                lines.append(ln)
+        m = re.search(r"(\d+) ok, (\d+) failed", out)
+        if m:
+            ok += int(m.group(1))
+            failed += int(m.group(2))
+    for ln in sorted(lines):
+        if not re.search(r"\d+ ok, \d+ failed", ln):
+            print(ln)
+    print(f"TOTAL: {ok} ok, {failed} failed over {len(qs)} queries")
+
+
+if __name__ == "__main__":
+    main()
