@@ -717,6 +717,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tie.toSeq == Seq((1L, 3L), (2L, 5L)))
   }
 
+  test("mutualTopMatches / kOccurrence degenerate args: k > n, duplicate " +
+    "vectors, empty sides, foreign neighbor ids") {
+    import spark.implicits._
+    val a = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("id", "v")
+    val b = Seq((10L, Array(1.0, 0.0)), (11L, Array(0.0, 1.0))).toDF("id", "v")
+    // k far above |corpus|: averages run over the available neighbors
+    val big = graft.operators.Similarity.mutualTopMatches(a, b, "id", "v",
+      k = 10).collect()
+    assert(big.map(r => r.getLong(0) -> r.getLong(1)).toSet ==
+      Set(0L -> 10L, 1L -> 11L))
+    assert(big.forall(r => !r.getAs[Double]("margin").isNaN))
+    // duplicate vectors in B: twin choice must be DETERMINISTIC (rank
+    // ties break on id) and stay mutual 1:1
+    val bDup = Seq((10L, Array(1.0, 0.0)), (12L, Array(1.0, 0.0)),
+      (11L, Array(0.0, 1.0))).toDF("id", "v")
+    val dup = graft.operators.Similarity.mutualTopMatches(a, bDup, "id", "v",
+      k = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup(0L) == 10L, s"tie must break to the smaller id: $dup")
+    assert(dup.values.toSeq.distinct.size == dup.size)
+    // empty B side -> empty output, no crash
+    val emptyB = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    assert(graft.operators.Similarity.mutualTopMatches(a, emptyB, "id", "v",
+      k = 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mutualTopMatches(a, b, "id", "v", k = 0)
+    }
+    // kOccurrence: empty topk -> all-zero coverage; neighbor ids outside
+    // the corpus (an ANN table built elsewhere) are dropped, not phantom
+    val corpus = Seq(1L, 2L, 3L).toDF("vec_id")
+    val emptyTopk = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    val z = graft.operators.Similarity.kOccurrence(emptyTopk, corpus, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val foreign = Seq((1L, 2L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val f = graft.operators.Similarity.kOccurrence(foreign, corpus, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(f == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("mutualTopMatches recovers planted twins with margin > 1") {
     import spark.implicits._
     // A: three well-separated directions; B: identical copies under

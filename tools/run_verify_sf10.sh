@@ -1,0 +1,21 @@
+#!/bin/bash
+# Detached sf10 sweep runner: plain-java Verify over a CLASS SNAPSHOT so
+# sbt stays free for concurrent compiles (swapping class files under a
+# lazily-loading forked JVM mid-sweep would mix code versions).
+set -u
+SNAP=${1:-/tmp/graft_cls_r9}
+SF=${2:-/root/repo/target/sf10}
+OUT=${3:-/root/repo/target/verify_sf10}
+LOG=${4:-/tmp/verify_sf10.log}
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+cd /root/repo
+SPARK_GRAFT_CPUS=32 nohup java $OPENS -Xmx48g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$SNAP:/opt/spark/jars/*" graft.Verify "$SF" "$OUT" \
+  > "$LOG" 2>&1 &
+echo "pid $!"
