@@ -2,10 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-// temporary profiling harness — not part of the library surface
+// temporary profiling harness — not part of the library surface.
+// r9 targets: (1) SuffixDedup distributed path at real-text sf10 scale
+// (~27.6M token positions — VERDICT r8 ask #4), with the sf1 run
+// (~2.76M) as the 10x denominator; (2) dedupToFixpoint passes-to-
+// fixpoint + per-pass cost on the realistic duplication profile
+// (VERDICT ask #5: make_sf replicas are near-full-copy duplicates).
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mode = if (args.nonEmpty) args(0) else "suffix"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val spark = Sessions.tuned(s"local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
@@ -14,77 +20,41 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
-      (1 to 3).foreach(i => time(s"$label #$i")(df.queryExecution.toRdd.count()))
-
-    // warmup
-    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
-
-    // A/B the r3 q_bin_filter regression (1.07 -> 1.65s r2->r3):
-    // (a) current digitize-over-edges semantics (bounds = data min/max, one
-    //     extra 1-column aggregate pass)
-    run("bin_filter digitize (current)")(
-      SparkEntry.queries("q_bin_filter")(spark, sfDir))
-    // (b) same semantics with explicit bounds — the production call shape
-    //     (physical quantities have known ranges); skips the bounds pass
-    run("bin_filter explicit bounds")(
-      operators.Flags.binFilter(Tables.lineitem(spark, sfDir),
-          "l_quantity", "l_extendedprice", binWidth = 5.0, threshold = 2.0,
-          centerType = "mean", deviationType = "std", direction = "above",
-          binMin = Some(1.0), binMax = Some(50.0))
-        .select("l_orderkey", "l_linenumber", "flag")
-        .orderBy("l_orderkey", "l_linenumber"))
-    // (c) the r2 shape: origin-0 floor binning, no bounds pass (NOT
-    //     reference semantics — baseline for attribution only)
-    run("bin_filter r2 floor")(
-      {
-        val df = Tables.lineitem(spark, sfDir)
-        val binned = df.withColumn("__bin", floor(col("l_quantity") / 5.0))
-        val stats = binned.groupBy("__bin")
-          .agg(avg(col("l_extendedprice")).as("__c"),
-            stddev_samp(col("l_extendedprice")).as("__s"))
-        binned.join(broadcast(stats), Seq("__bin"))
-          .withColumn("flag", col("l_extendedprice") > col("__c") + lit(2.0) * col("__s"))
-          .select("l_orderkey", "l_linenumber", "flag")
-          .orderBy("l_orderkey", "l_linenumber")
-      })
-
-    // decompose q_canonical's 6.3s
-    {
-      val docs = Tables.documents(spark, sfDir)
-        .withColumn("score", length(col("text")).cast("double"))
-      val fp = docs.select(col("doc_id"),
-        operators.TextAnalysis.fingerprint(col("text")).as("__f"))
-      val firsts = fp.groupBy("__f").agg(min(col("doc_id")).as("id_a"))
-      def pairs() = fp.join(firsts, Seq("__f"))
-        .filter(col("doc_id") =!= col("id_a"))
-        .select(col("id_a"), col("doc_id").as("id_b"))
-      run("canonical: pairs only")(pairs())
-      val pcp = pairs().localCheckpoint(true)
-      time("canonical: connectedComponents")(
-        operators.Dedup.connectedComponents(pcp, "id_a", "id_b").count())
-      time("canonical: full dedupClustersBy")(
-        operators.Dedup.dedupClustersBy(docs, "doc_id", "score", pcp).count())
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    mode match {
+      case "suffix" =>
+        // forced distributed (maxDriverPositions = 0): spans over the
+        // REAL text corpus, arbitrary-length matches up to 64 tokens
+        val nPos = time("tokenize+count")(
+          docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")))
+            .filter(length(col("col")) > 0).count())
+        println(s"[prof] corpus positions: $nPos")
+        val spans = operators.SuffixDedup.maximalRepeatedSpans(
+          docs, "doc_id", "text", minTokens = 20, maxLen = 64,
+          maxDriverPositions = 0L)
+        val n = time("maximalRepeatedSpans (distributed)")(spans.count())
+        println(s"[prof] spans: $n")
+      case "fixpoint" =>
+        // per-pass instrumentation = the dedupToFixpoint loop unrolled
+        var cur = time("pass 1 (dedup)")(
+          operators.SuffixDedup.dedup(docs, "doc_id", "text",
+            minTokens = 20, maxLen = 64, maxDriverPositions = 0L)
+            .localCheckpoint(true))
+        var pass = 1
+        var dropped = cur.agg(sum("n_tokens_dropped")).head().getLong(0)
+        println(s"[prof] pass $pass dropped: $dropped tokens")
+        while (dropped > 0L && pass < 5) {
+          pass += 1
+          cur = time(s"pass $pass (dedup)")(
+            operators.SuffixDedup.dedup(cur, "id", "text_dedup",
+              minTokens = 20, maxLen = 64, maxDriverPositions = 0L)
+              .localCheckpoint(true))
+          dropped = cur.agg(sum("n_tokens_dropped")).head().getLong(0)
+          println(s"[prof] pass $pass dropped: $dropped tokens")
+        }
+        println(s"[prof] fixpoint after $pass passes")
+      case other => sys.error(s"unknown mode $other")
     }
-
-    // A/B Dedup.exact: recompute-fingerprint (current, 2 normalize+md5
-    // passes) vs a checkpointed narrow (id, fp) table computed once
-    run("dedup.exact recompute (current)")(
-      operators.Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
-        .select("doc_id", "fingerprint", "is_duplicate").orderBy("doc_id"))
-    run("dedup.exact checkpointed fp table")(
-      {
-        val df = Tables.documents(spark, sfDir)
-        val t = df.select(col("doc_id"),
-          operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-          .localCheckpoint(true)
-        val firsts = t.groupBy("fingerprint").agg(min(col("doc_id")).as("__first"))
-          .withColumnRenamed("fingerprint", "__fp")
-        df.join(t, Seq("doc_id"))
-          .join(firsts, col("fingerprint") <=> col("__fp"))
-          .withColumn("is_duplicate", !(col("doc_id") <=> col("__first")))
-          .select("doc_id", "fingerprint", "is_duplicate").orderBy("doc_id")
-      })
     spark.stop()
   }
 }

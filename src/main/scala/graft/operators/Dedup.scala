@@ -303,9 +303,10 @@ object Dedup {
   /** Multi-table banded Hamming candidates — the SCALABLE loose-threshold
     * path the single-table pigeonhole can't offer (Lesson 11: one table at
     * maxHamming=7 needs 8-bit bands, which saturate near ~500k rows).
-    * Each table bands a BIT-ROTATED copy of the signature at the selective
-    * k=3 operating point (16-bit bands); rotation preserves Hamming
-    * distance, so each table guarantees recall for Hamming <= 3 and adds
+    * Each table bands a BIT-ROTATED copy of the signature at a selective
+    * operating point ([[adaptiveBandCount]]: 4x16-bit bands up to ~131M
+    * rows, wider beyond); rotation preserves Hamming distance, so each
+    * table guarantees recall for Hamming < bands and adds
     * an independent chance that a looser pair's differing bits straddle
     * band boundaries. Recall for 3 < d <= maxHamming grows with `tables`
     * (probabilistic, spec-measured >= 90% at d=5 with 4 tables) while
@@ -314,11 +315,37 @@ object Dedup {
     * permutations so each table is one codegen'd shift-or expression, no
     * per-table shuffle of reordered bits.
     */
+  /** Band count for [[hammingCandidatesMulti]] as a FUNCTION OF CORPUS
+    * SIZE (the adaptiveLshBits sizing rule applied to signature bands):
+    * expected bucket occupancy is n / 2^(64/bands), so band WIDTH must
+    * grow with log2(n) once 16-bit bands stop being selective —
+    * n/65536 > targetBucket (~131M rows at the 2000 default) is where
+    * the r7 SimHash lesson recurs one level up. Returns 4 (the proven
+    * 4x16-bit point, behavior-identical) until that threshold, then 3
+    * (21-bit) / 2 (32-bit) as n demands; per-table guaranteed-recall
+    * radius shrinks to d < bands, which extra `tables` buy back
+    * probabilistically (the Manku WWW'07 trade).
+    */
+  def adaptiveBandCount(corpusCount: Long, targetBucket: Long = 2000): Int = {
+    require(targetBucket >= 1, s"bad targetBucket $targetBucket")
+    val n = math.max(1L, corpusCount)
+    val needed = math.ceil(
+      math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt
+    math.max(2, 64 / math.max(16, needed))
+  }
+
   def hammingCandidatesMulti(sigs: DataFrame, maxHamming: Int = 7,
                              tables: Int = 4,
-                             maxBucketSize: Int = 2000): DataFrame = {
+                             maxBucketSize: Int = 2000,
+                             bands: Int = 0): DataFrame = {
     require(tables >= 1 && tables <= 16, s"bad tables $tables")
     require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    require(bands >= 0 && bands <= 64, s"bad bands $bands")
+    // bands = 0 (default) -> adaptive: one count() sizes the operating
+    // point; pass an explicit value only with a corpus-size rationale
+    val useBands =
+      if (bands > 0) bands
+      else adaptiveBandCount(sigs.count(), maxBucketSize)
     // odd rotation stride decorrelates tables' band boundaries; any fixed
     // stride works, 13 spreads 4 tables across 52 of the 64 bit positions
     def rot(c: org.apache.spark.sql.Column, r: Int) =
@@ -329,7 +356,7 @@ object Dedup {
       // rotation preserves Hamming distance, so the emitted distances ARE
       // the original-signature distances — no re-join needed
       hammingCandidates(rotated.localCheckpoint(true), maxHamming,
-        maxBucketSize, bandsOverride = 4)
+        maxBucketSize, bandsOverride = useBands)
     }
     perTable.reduce(_ unionByName _).distinct()
   }

@@ -373,6 +373,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().foreach(r => assert(r.getInt(2) <= 7))
   }
 
+  test("adaptiveBandCount sizing rule: 4x16-bit until ~131M rows, wider " +
+    "bands beyond; explicit override honored") {
+    // E[bucket] = n / 2^(64/bands): 16-bit bands stay selective while
+    // n/65536 <= targetBucket, then width must grow with log2(n)
+    assert(Dedup.adaptiveBandCount(1000) == 4)
+    assert(Dedup.adaptiveBandCount(131_000_000L) == 4)
+    assert(Dedup.adaptiveBandCount(1_000_000_000L) == 3) // 19-bit need -> 21-bit bands
+    assert(Dedup.adaptiveBandCount(200_000_000_000L) == 2) // 27-bit need -> 32-bit
+    assert(Dedup.adaptiveBandCount(0) == 4) // empty-safe
+    // default (bands=0) equals the old pinned 4x16-bit behavior at
+    // sub-threshold corpus sizes
+    val sigs = (0 until 40).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+      .toDF("id", "sig")
+    val a = Dedup.hammingCandidatesMulti(sigs, maxHamming = 7, tables = 2,
+      maxBucketSize = 100000).collect().toSet
+    val b = Dedup.hammingCandidatesMulti(sigs, maxHamming = 7, tables = 2,
+      maxBucketSize = 100000, bands = 4).collect().toSet
+    assert(a == b)
+  }
+
   test("hammingCandidates maxHamming=0 pairs exact signature matches only") {
     // Regression pin for the band-mask wrap: bands=1 -> bandBits=64, where
     // (1L << 64) - 1 wraps to 0 and masked every signature to band 0 — the
