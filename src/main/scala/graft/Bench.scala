@@ -56,6 +56,8 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.sharedState.cacheManager.clearCache()
+        // trigger ContextCleaner shuffle-file reclamation (see Verify)
+        System.gc()
       } catch { case _: Throwable => () }
       name -> times.min
     }.toMap

@@ -34,6 +34,13 @@ object Verify {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.sharedState.cacheManager.clearCache()
+        // ContextCleaner reclaims SHUFFLE FILES only after the driver
+        // GCs the referencing RDDs — under a large heap (sf10 sweeps run
+        // -Xmx48g) GC may not fire for dozens of gates and the leftovers
+        // are tens of GB of disk (observed: a 240-gate sf10 sweep filled
+        // the disk mid-run). Live set between gates is tiny, so this is
+        // milliseconds, and timing excludes it in Bench.
+        System.gc()
       } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

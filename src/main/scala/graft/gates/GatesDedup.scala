@@ -497,8 +497,17 @@ private[graft] object GatesDedup {
       // one giant component (measured: one 804-member component at
       // sf0.01 unfiltered; the q_minhash_pairs gate applies the same
       // post-filter before using candidates as pairs)
+      // bands = 8 (r = 8, s-curve center (1/8)^(1/8) ~ 0.77), NOT 16:
+      // r = 4 centers the curve exactly at j = 0.5, where make_sf's
+      // replica families (pairwise j ~ 0.5 BY CONSTRUCTION, ~100 members
+      // per family at 100x scale) collide at ~50% per pair — ~10^8
+      // candidate rows whose signature re-attachment filled the disk in
+      // the r9 sf10 sweep. At r = 8 those pairs collide at ~3% while
+      // exact twins (j = 1) still collide in EVERY band, so the coverage
+      // claims are untouched and the est_jaccard >= 0.5 filter loses
+      // only a slice of the j-in-[0.5, 0.77) band the claims never used.
       val mh = Dedup.minHashCandidates(union, "text", "doc_id",
-          shingleSize = 5, numHashes = 64, bands = 16)
+          shingleSize = 5, numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
       val sh = Dedup.simHashCandidates(union, "text", "doc_id",
         maxHamming = 3).localCheckpoint(true)
