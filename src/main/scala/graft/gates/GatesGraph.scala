@@ -132,8 +132,15 @@ private[graft] object GatesGraph {
 
     // Per-node triangles in the same synthetic candidate graph q_cc_dedup
     // clusters — cliques (safe to collapse) vs chains (hub accidents).
+    // r9: fixed 50k-doc slice (the q_hubness pattern — a no-op through
+    // sf1). Triangle TRUTH is cubic in per-block density: the scale
+    // generator's replica families become ~200-member near-cliques at
+    // 100x, i.e. ~C(200,3) triangles per family (~10^10 enumerations
+    // corpus-wide, by data construction — the q_radius_join
+    // attribution). The slice holds family size at the sf1 level on
+    // both engine and oracle sides.
     "q_triangles" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 50000)
       val pairs = docs.as("a")
         .join(docs.as("b"),
           col("a.source") === col("b.source") &&

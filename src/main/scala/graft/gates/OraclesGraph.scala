@@ -12,8 +12,9 @@ private[graft] object OraclesGraph {
     // Triangle participation per node over the q_cc_dedup edge set:
     // two-join enumeration on canonical a<b edges, explode corners.
     "q_triangles" ->
-      """WITH e AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
-        |  FROM documents a JOIN documents b
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 50000),
+        |e AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM d a JOIN d b
         |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
         |    AND a.doc_id < b.doc_id),
         |tri AS (SELECT w.ea AS x, w.eb AS y, e2.eb AS z
