@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR: stray WARN chatter on stderr must not drown the JSON line the
@@ -56,7 +57,9 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.sharedState.cacheManager.clearCache()
-        // trigger ContextCleaner shuffle-file reclamation (see Verify)
+        // trigger ContextCleaner shuffle-file reclamation (see Verify;
+        // cluster-mode equivalent: spark.cleaner.periodicGC.interval=5min,
+        // set in Sessions.tuned — explicit gc() is the local[32] defense)
         System.gc()
       } catch { case _: Throwable => () }
       name -> times.min

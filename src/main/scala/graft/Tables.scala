@@ -55,6 +55,14 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle files are reclaimed only after the driver GCs the
+      // referencing RDD objects (ContextCleaner is weak-reference
+      // driven); under a large heap that can be tens of gates / TBs of
+      // leftovers at 100-TB scale (observed locally: a 240-gate sf10
+      // sweep filled the disk mid-run). 5min periodic GC is the
+      // cluster-mode defense — Verify/Bench additionally System.gc()
+      // between gates in local mode, where the 30min default is too slow.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,16 +15,26 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Per-gate wall time (compute + single-file write), recorded so scale
+    // sweeps double as a timing ledger (VERDICT r9 ask #2: the sf10/sf1
+    // ratio evidence lives here, not only in Bench's headline subset).
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt
+        System.err.println(f"[verify] $name ok ${dt}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same per-gate hygiene as Bench (r9): gates localCheckpoint(true)
@@ -39,9 +49,19 @@ object Verify {
         // -Xmx48g) GC may not fire for dozens of gates and the leftovers
         // are tens of GB of disk (observed: a 240-gate sf10 sweep filled
         // the disk mid-run). Live set between gates is tiny, so this is
-        // milliseconds, and timing excludes it in Bench.
+        // milliseconds, and timing excludes it in Bench. This explicit
+        // gc() is the LOCAL-MODE defense; on a real cluster the same
+        // reclamation is configuration (`spark.cleaner.periodicGC
+        // .interval`, set to 5min in Sessions.tuned) — executors clean
+        // shuffle files when the driver's ContextCleaner tells them to,
+        // and that still requires a driver GC to collect the RDD refs.
         System.gc()
       } catch { case _: Throwable => () }
+    }
+    if (times.nonEmpty) {
+      val body = times.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_times.json"), body)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -547,10 +547,13 @@ private[graft] object GatesDiag {
       val stats = ParquetAudit
         .rowGroupStats(s, s"$dir/lineitem.parquet").localCheckpoint(true)
       val ok1 = stats.filter(col("column") === "l_orderkey")
+      // orderkey claims read the EXACT long stats (r10, ADVICE: the
+      // double funnel loses exactness above 2^53 — irrelevant at this
+      // sf, but the gate should exercise the path production ids use)
       val r = ok1.agg(
         sum("group_rows").as("rows"),
-        min("min_num").cast("long").as("okmin"),
-        max("max_num").cast("long").as("okmax"),
+        min("min_long").as("okmin"),
+        max("max_long").as("okmax"),
         sum(greatest(col("null_count"), lit(0L))).as("nulls")).head()
       val fl = stats.filter(col("column") === "l_returnflag")
         .agg(min("min_val").as("fmin"), max("max_val").as("fmax")).head()

@@ -334,28 +334,47 @@ object Dedup {
     math.max(2, 64 / math.max(16, needed))
   }
 
+  /** `corpusCount`: pre-counted signature count for the adaptive sizing
+    * (-1 = count here). The default `bands = 0` path needs n; when
+    * `sigs` is a derived plan (simhash over text, typically), counting
+    * it would recompute that upstream lineage — so the signatures are
+    * localCheckpoint'd ONCE up front and both the count and every
+    * per-table rotation read the materialized copy. Callers that
+    * already know n (a prior `.count()`, a catalog row count) pass it
+    * and skip the count job entirely; spec-pinned equal to the
+    * adaptive path.
+    */
   def hammingCandidatesMulti(sigs: DataFrame, maxHamming: Int = 7,
                              tables: Int = 4,
                              maxBucketSize: Int = 2000,
-                             bands: Int = 0): DataFrame = {
+                             bands: Int = 0,
+                             corpusCount: Long = -1L): DataFrame = {
     require(tables >= 1 && tables <= 16, s"bad tables $tables")
     require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
     require(bands >= 0 && bands <= 64, s"bad bands $bands")
-    // bands = 0 (default) -> adaptive: one count() sizes the operating
-    // point; pass an explicit value only with a corpus-size rationale
+    // Materialize the signature plan once: the adaptive count() and the
+    // `tables` rotated banding passes below would each re-run the
+    // upstream signature computation (often an expensive
+    // simhash-over-text plan) otherwise.
+    val mat = sigs.localCheckpoint(true)
+    // bands = 0 (default) -> adaptive: one count over the MATERIALIZED
+    // signatures sizes the operating point (skipped when the caller
+    // supplies corpusCount); pass explicit bands only with a
+    // corpus-size rationale
     val useBands =
       if (bands > 0) bands
-      else adaptiveBandCount(sigs.count(), maxBucketSize)
+      else adaptiveBandCount(
+        if (corpusCount >= 0) corpusCount else mat.count(), maxBucketSize)
     // odd rotation stride decorrelates tables' band boundaries; any fixed
     // stride works, 13 spreads 4 tables across 52 of the 64 bit positions
     def rot(c: org.apache.spark.sql.Column, r: Int) =
       if (r == 0) c
       else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
     val perTable = (0 until tables).map { t =>
-      val rotated = sigs.select(col("id"), rot(col("sig"), (t * 13) % 64).as("sig"))
+      val rotated = mat.select(col("id"), rot(col("sig"), (t * 13) % 64).as("sig"))
       // rotation preserves Hamming distance, so the emitted distances ARE
       // the original-signature distances — no re-join needed
-      hammingCandidates(rotated.localCheckpoint(true), maxHamming,
+      hammingCandidates(rotated, maxHamming,
         maxBucketSize, bandsOverride = useBands)
     }
     perTable.reduce(_ unionByName _).distinct()

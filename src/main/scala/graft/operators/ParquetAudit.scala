@@ -31,10 +31,22 @@ object ParquetAudit {
     * counts, null counts, and min/max statistics. `min_num`/`max_num`
     * are populated for numeric physical types (int32/int64/float/
     * double/boolean) — the inputs to [[rowGroupSkippability]];
-    * `min_val`/`max_val` carry a string rendering for display (UTF-8
-    * decode for binary columns — lossy for non-text binary, which is
-    * fine for an audit report). `null_count` is -1 when the writer did
-    * not record it (the footer field is optional).
+    * `min_long`/`max_long` additionally carry the EXACT values for
+    * integer-backed physical types (int32/int64/boolean) — a double
+    * loses exactness above 2^53, which silently corrupts int64
+    * surrogate ids and nanosecond timestamps, exactly the 100-TB id
+    * columns this audit exists for. `min_val`/`max_val` carry a string
+    * rendering for display (UTF-8 decode for binary columns — lossy for
+    * non-text binary, which is fine for an audit report). `null_count`
+    * is -1 when the writer did not record it (the footer field is
+    * optional).
+    *
+    * Robustness: only `*.parquet` files are audited (matching the write
+    * path — a stray JSON sidecar or log in the tree must not fail the
+    * job), and a file whose footer cannot be parsed emits one sentinel
+    * row (`row_group = -1`, `column = "<unreadable>"`) instead of
+    * failing the whole executor task — an audit reports broken files,
+    * it doesn't die on them.
     */
   def rowGroupStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -46,7 +58,8 @@ object ParquetAudit {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && f.getLen > 0 && !name.startsWith("_") &&
-        !name.startsWith(".")) paths += f.getPath.toString
+        !name.startsWith(".") && name.endsWith(".parquet"))
+        paths += f.getPath.toString
     }
     // Hadoop Configuration is not serializable: ship the explicitly-set
     // entries and rebuild per executor (local FS and HDFS defaults load
@@ -60,42 +73,57 @@ object ParquetAudit {
         val conf = new org.apache.hadoop.conf.Configuration()
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         files.flatMap { file =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(file), conf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
-              case (block, rg) =>
-                block.getColumns.asScala.toSeq.map { c =>
-                  val st = c.getStatistics
-                  val hasMinMax = st != null && st.hasNonNullValue
-                  val (minN, maxN, minS, maxS) =
-                    if (!hasMinMax) (None, None, None, None)
-                    else numericMinMax(st) match {
-                      case Some((lo, hi)) =>
-                        (Some(lo), Some(hi),
-                          Some(render(st.genericGetMin)),
-                          Some(render(st.genericGetMax)))
-                      case None =>
-                        (None, None, Some(render(st.genericGetMin)),
-                          Some(render(st.genericGetMax)))
-                    }
-                  val nulls =
-                    if (st != null && st.isNumNullsSet) st.getNumNulls
-                    else -1L
-                  (file, rg.toLong, c.getPath.toDotString,
-                    block.getRowCount, c.getTotalSize,
-                    c.getTotalUncompressedSize, c.getValueCount, nulls,
-                    hasMinMax, minS, maxS, minN, maxN)
-                }
-            }.iterator
-          } finally reader.close()
+          val opened = scala.util.Try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+            org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          }
+          opened match {
+            case scala.util.Failure(_) =>
+              Iterator((file, -1L, "<unreadable>", 0L, 0L, 0L, 0L, -1L,
+                false, None: Option[String], None: Option[String],
+                None: Option[Double], None: Option[Double],
+                None: Option[Long], None: Option[Long]))
+            case scala.util.Success(reader) => try {
+              reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+                case (block, rg) =>
+                  block.getColumns.asScala.toSeq.map { c =>
+                    val st = c.getStatistics
+                    val hasMinMax = st != null && st.hasNonNullValue
+                    val (minN, maxN, minS, maxS) =
+                      if (!hasMinMax) (None, None, None, None)
+                      else numericMinMax(st) match {
+                        case Some((lo, hi)) =>
+                          (Some(lo), Some(hi),
+                            Some(render(st.genericGetMin)),
+                            Some(render(st.genericGetMax)))
+                        case None =>
+                          (None, None, Some(render(st.genericGetMin)),
+                            Some(render(st.genericGetMax)))
+                      }
+                    val (minL, maxL) =
+                      if (!hasMinMax) (None, None)
+                      else longMinMax(st) match {
+                        case Some((lo, hi)) => (Some(lo), Some(hi))
+                        case None => (None, None)
+                      }
+                    val nulls =
+                      if (st != null && st.isNumNullsSet) st.getNumNulls
+                      else -1L
+                    (file, rg.toLong, c.getPath.toDotString,
+                      block.getRowCount, c.getTotalSize,
+                      c.getTotalUncompressedSize, c.getValueCount, nulls,
+                      hasMinMax, minS, maxS, minN, maxN, minL, maxL)
+                  }
+              }.iterator
+            } finally reader.close()
+          }
         }
       }
       .toDF("file", "row_group", "column", "group_rows",
         "compressed_bytes", "uncompressed_bytes", "value_count",
         "null_count", "has_min_max", "min_val", "max_val",
-        "min_num", "max_num")
+        "min_num", "max_num", "min_long", "max_long")
   }
 
   private def render(v: Any): String = v match {
@@ -121,6 +149,22 @@ object ParquetAudit {
     case _ => None
   }
 
+  /** Exact (lo, hi) for INTEGER-backed physical types — int64 min/max
+    * funneled through a double loses exactness above 2^53 (snowflake
+    * ids, nanosecond timestamps), so [[rowGroupSkippability]]'s
+    * interval-disjointness test uses these when present. */
+  private def longMinMax(
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[(Long, Long)] = st match {
+    case s: org.apache.parquet.column.statistics.IntStatistics =>
+      Some((s.getMin.toLong, s.getMax.toLong))
+    case s: org.apache.parquet.column.statistics.LongStatistics =>
+      Some((s.getMin, s.getMax))
+    case s: org.apache.parquet.column.statistics.BooleanStatistics =>
+      Some((if (s.getMin) 1L else 0L, if (s.getMax) 1L else 0L))
+    case _ => None
+  }
+
   /** Per-column data-skipping effectiveness from a [[rowGroupStats]]
     * table: how disjoint the row-group [min, max] intervals are.
     * `clustered_frac` = fraction of row groups (beyond the first, in
@@ -138,18 +182,31 @@ object ParquetAudit {
     * window.
     */
   def rowGroupSkippability(stats: DataFrame): DataFrame = {
-    val w = Window.partitionBy("column").orderBy("min_num", "max_num")
+    // Integer-backed columns order and test disjointness on the EXACT
+    // long stats (min_long/max_long); float/double columns on the double
+    // stats. Within one `column` partition the physical type is
+    // homogeneous, so ordering by (min_long, max_long, min_num, max_num)
+    // is the exact order for integer columns and the double order for
+    // the rest (the long keys are all-null there).
+    val w = Window.partitionBy("column")
+      .orderBy("min_long", "max_long", "min_num", "max_num")
       .rowsBetween(Window.unboundedPreceding, -1)
     val numeric = stats.filter(col("min_num").isNotNull)
       .withColumn("__prev_max", max(col("max_num")).over(w))
+      .withColumn("__prev_max_l", max(col("max_long")).over(w))
       .withColumn("__disjoint",
-        (col("__prev_max").isNull ||
-          col("min_num") >= col("__prev_max")).cast("long"))
+        when(col("min_long").isNotNull,
+          col("__prev_max_l").isNull ||
+            col("min_long") >= col("__prev_max_l"))
+          .otherwise(col("__prev_max").isNull ||
+            col("min_num") >= col("__prev_max")).cast("long"))
     val per = numeric.groupBy("column").agg(
       count(lit(1)).as("n_numeric_groups"),
       sum(col("__disjoint")).as("__disj"),
       min("min_num").as("global_min"),
-      max("max_num").as("global_max"))
+      max("max_num").as("global_max"),
+      min("min_long").as("global_min_long"),
+      max("max_long").as("global_max_long"))
     val base = stats.groupBy("column").agg(
       count(lit(1)).as("n_groups"),
       sum(col("has_min_max").cast("long")).as("n_with_stats"),
@@ -163,6 +220,7 @@ object ParquetAudit {
           .when(col("n_numeric_groups") === 1, lit(1.0))
           .otherwise((col("__disj") - 1).cast("double") /
             (col("n_numeric_groups") - 1)).as("clustered_frac"),
-        col("global_min"), col("global_max"))
+        col("global_min"), col("global_max"),
+        col("global_min_long"), col("global_max_long"))
   }
 }

@@ -233,17 +233,26 @@ object Similarity {
     *
     * `bits` defaults to 0 = ADAPTIVE: derived from corpus.count() via
     * [[adaptiveLshBits]] (one count job — at any scale it is dwarfed by
-    * the bucketing scan it sizes). Pass an explicit positive value only
+    * the bucketing scan it sizes; NOTE the count re-runs the corpus
+    * lineage, so if `corpus` is a derived plan either localCheckpoint it
+    * first or pass `corpusCount`). Pass an explicit positive `bits` only
     * with a corpus-size rationale; a fixed value is a latent
     * band-saturation bug at 10-100x growth (see the sizing-rule scaladoc).
+    *
+    * `corpusCount`: pre-counted corpus size for the adaptive sizing
+    * (-1 = count here); callers that already know n skip the extra count
+    * job. Spec-pinned identical to the adaptive path.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 0, tables: Int = 4,
-              dims: Int = 0, probeHamming: Int = 0): DataFrame = {
+              dims: Int = 0, probeHamming: Int = 0,
+              corpusCount: Long = -1L): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming supports 0 (exact bucket) or 1 (all single-bit flips), got $probeHamming")
     require(bits >= 0 && bits <= 62, s"bad bits $bits")
-    val useBits = if (bits > 0) bits else adaptiveLshBits(corpus.count())
+    val useBits = if (bits > 0) bits
+      else adaptiveLshBits(
+        if (corpusCount >= 0) corpusCount else corpus.count())
     val d = if (dims > 0) dims
       else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
     def bucketed(df: DataFrame, side: String) =

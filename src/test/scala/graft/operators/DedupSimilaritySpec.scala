@@ -393,6 +393,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pre-counted corpusCount equals the adaptive count() path " +
+    "(hammingCandidatesMulti and lshTopK)") {
+    // r10 ergonomics: callers that already know n skip the extra count
+    // job (which re-runs derived-plan lineage); results must be identical
+    val sigs = (0 until 40).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+      .toDF("id", "sig")
+    val auto = Dedup.hammingCandidatesMulti(sigs, maxHamming = 7,
+      tables = 2, maxBucketSize = 100000).collect().toSet
+    val pre = Dedup.hammingCandidatesMulti(sigs, maxHamming = 7,
+      tables = 2, maxBucketSize = 100000, corpusCount = 40L)
+      .collect().toSet
+    assert(auto == pre)
+    val rng = new scala.util.Random(7)
+    val df = (0L until 100L).map(i => (i, Array.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "v")
+    val q = df.filter($"vec_id" < 5)
+    val aAnn = Similarity.lshTopK(df, q, "vec_id", "v", k = 3, tables = 8)
+      .collect().map(_.toSeq).toSet
+    val pAnn = Similarity.lshTopK(df, q, "vec_id", "v", k = 3, tables = 8,
+      corpusCount = 100L).collect().map(_.toSeq).toSet
+    assert(aAnn == pAnn)
+  }
+
   test("hammingCandidates maxHamming=0 pairs exact signature matches only") {
     // Regression pin for the band-mask wrap: bands=1 -> bandBits=64, where
     // (1L << 64) - 1 wraps to 0 and masked every signature to band 0 — the

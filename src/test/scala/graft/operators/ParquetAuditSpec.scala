@@ -83,4 +83,91 @@ class ParquetAuditSpec extends SparkSpec {
     val pEmpty = tmpDir("empty")
     assert(ParquetAudit.rowGroupStats(spark, pEmpty).count() == 0)
   }
+
+  test("zero-row-group file (empty write) audits to zero rows") {
+    val p = tmpDir("zerorg")
+    Seq((1L, "a")).toDF("k", "v").filter($"k" < 0)
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    // the footer exists (schema present) but holds no row groups
+    assert(ParquetAudit.rowGroupStats(spark, p).count() == 0)
+    assert(ParquetAudit.rowGroupSkippability(
+      ParquetAudit.rowGroupStats(spark, p)).count() == 0)
+  }
+
+  test("non-parquet sidecars are ignored; a corrupt .parquet emits a " +
+    "sentinel row instead of failing the job") {
+    val p = tmpDir("robust")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "sidecar.json"), """{"not":"parquet"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, "broken.parquet"),
+      "this is not a parquet file at all".getBytes)
+    val st = ParquetAudit.rowGroupStats(spark, p).localCheckpoint(true)
+    assert(st.filter($"file".contains("sidecar")).count() == 0)
+    val bad = st.filter($"file".contains("broken")).collect()
+    assert(bad.length == 1 && bad(0).getString(2) == "<unreadable>" &&
+      bad(0).getLong(1) == -1L)
+    assert(st.filter($"column" === "k").count() == 1) // good file intact
+  }
+
+  test("int64 min/max stay exact above 2^53 via min_long/max_long") {
+    val p = tmpDir("bigids")
+    val base = 1L << 60
+    // 2^60 + 1 is not representable as a double (rounds to 2^60)
+    Seq(base + 1L, base + 2L, base + 3L).toDF("big_id")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val r = ParquetAudit.rowGroupStats(spark, p)
+      .filter($"column" === "big_id")
+      .agg(min("min_long"), max("max_long"), min("min_num")).head()
+    assert(r.getLong(0) == base + 1L && r.getLong(1) == base + 3L)
+    // the double rendering really does lose the low bits — the reason
+    // the exact columns exist
+    assert(r.getDouble(2) == base.toDouble)
+  }
+
+  test("skippability uses exact long intervals: overlap invisible to " +
+    "doubles is detected") {
+    val base = 1L << 60
+    // two row groups of an int64 column: exact intervals OVERLAP
+    // (A=[base, base+2], B=[base+1, base+3]) but every bound rounds to
+    // the same double (base), where the double test would call B
+    // disjoint (min >= running max). Exact longs must say overlapping.
+    val stats = Seq(
+      ("f", 0L, "big", 10L, 1L, 1L, 10L, 0L, true,
+        Some("x"), Some("y"), Some(base.toDouble), Some(base.toDouble),
+        Some(base), Some(base + 2L)),
+      ("f", 1L, "big", 10L, 1L, 1L, 10L, 0L, true,
+        Some("x"), Some("y"), Some(base.toDouble), Some(base.toDouble),
+        Some(base + 1L), Some(base + 3L)))
+      .toDF("file", "row_group", "column", "group_rows",
+        "compressed_bytes", "uncompressed_bytes", "value_count",
+        "null_count", "has_min_max", "min_val", "max_val",
+        "min_num", "max_num", "min_long", "max_long")
+    val sk = ParquetAudit.rowGroupSkippability(stats).head()
+    assert(sk.getDouble(6) == 0.0, s"exact overlap must be seen: $sk")
+    assert(sk.getLong(9) == base && sk.getLong(10) == base + 3L)
+  }
+
+  test("stats-less writer reads as stats_frac 0 with null clustered_frac") {
+    val stats = Seq(
+      ("f", 0L, "c", 10L, 1L, 1L, 10L, -1L, false,
+        None: Option[String], None: Option[String],
+        None: Option[Double], None: Option[Double],
+        None: Option[Long], None: Option[Long]),
+      ("f", 1L, "c", 10L, 1L, 1L, 10L, -1L, false,
+        None: Option[String], None: Option[String],
+        None: Option[Double], None: Option[Double],
+        None: Option[Long], None: Option[Long]))
+      .toDF("file", "row_group", "column", "group_rows",
+        "compressed_bytes", "uncompressed_bytes", "value_count",
+        "null_count", "has_min_max", "min_val", "max_val",
+        "min_num", "max_num", "min_long", "max_long")
+    val sk = ParquetAudit.rowGroupSkippability(stats).head()
+    assert(sk.getLong(1) == 2L && sk.getLong(2) == 0L) // groups, with stats
+    assert(sk.getDouble(3) == 0.0, "stats_frac")
+    assert(sk.getLong(5) == 0L, "n_numeric_groups")
+    assert(sk.isNullAt(6), "clustered_frac null when nothing numeric")
+  }
 }

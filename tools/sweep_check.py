@@ -14,6 +14,9 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     qs = sorted(
@@ -33,10 +36,15 @@ def main() -> None:
     ok, failed, lines = 0, 0, []
     for p in procs:
         out, _ = p.communicate()
+        fail_hdr = None  # carry check.py's indented per-error detail
         for ln in out.splitlines():
-            if ln.startswith(("✓", "✗", "FAIL", "ERROR")) or \
+            if ln.startswith(("✓", "✗", "!", "FAIL", "ERROR")) or \
                     " failed" in ln and " ok, " in ln:
+                fail_hdr = ln if ln.startswith(("✗", "!")) else None
                 lines.append(ln)
+            elif fail_hdr and ln.startswith((" ", "\t")):
+                # detail sorts adjacent to its header: prefix with it
+                lines.append(f"{fail_hdr[:40]} |{ln}")
         m = re.search(r"(\d+) ok, (\d+) failed", out)
         if m:
             ok += int(m.group(1))
