@@ -455,5 +455,39 @@ private[graft] object GatesAnn {
         .orderBy("bucket")
     }),
 
+
+    // Cross-encoder-shape rerank (r10): stage one blocks documents on
+    // their first normalized token (a deterministic stand-in for any
+    // ANN / BM25 candidate stage), stage two scores each (query,
+    // candidate) PAIR with a pluggable scorer — here distinct-token
+    // overlap, the deterministic stand-in for a model call
+    // (integer-valued, so ties break by neighbor_id via the bounded
+    // heap's (key, id) order). Both sides run on a FIXED 50k-doc slice
+    // (the q_hubness pattern): first-token blocks grow linearly with
+    // the corpus, so an unsliced gate would be quadratic-in-sf pair
+    // truth — the production path feeds rerankWith from a
+    // selectivity-adaptive candidate stage instead (lshTopK et al.).
+    "q_rerank_ce" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 50000)
+        .select(col("doc_id"),
+          array_distinct(split(TextAnalysis.normalize(col("text")), " "))
+            .as("toks"),
+          element_at(split(TextAnalysis.normalize(col("text")), " "), 1)
+            .as("blk"))
+        .localCheckpoint(true)
+      val queries = base.filter(col("doc_id") % 97 === 0)
+      val cands = queries.select(col("doc_id").as("query_id"), col("blk"))
+        .join(base.select(col("doc_id").as("neighbor_id"), col("blk")),
+          Seq("blk"))
+        .select("query_id", "neighbor_id")
+      Similarity.rerankWith(cands, base, queries, "doc_id", "toks", k = 3)(
+          (q, n) => size(array_intersect(q, n)))
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").cast("long").as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
   )
 }

@@ -278,5 +278,28 @@ private[graft] object OraclesAnn {
         |FROM cents c LEFT JOIN cents p ON c.bucket = p.bucket + 1
         |ORDER BY c.bucket""".stripMargin,
 
+    // mirrors GatesAnn q_rerank_ce: 50k-doc slice, first-token blocking,
+    // then distinct-token-overlap scoring, top-3 per query by
+    // (score desc, neighbor_id asc) — the bounded heap's tie order
+    "q_rerank_ce" ->
+      s"""WITH norm AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t
+         |  FROM documents WHERE doc_id < 50000),
+         |base AS (SELECT doc_id, list_distinct(t) AS dt, t[1] AS blk FROM norm),
+         |tok AS (SELECT doc_id, unnest(dt) AS tok FROM base),
+         |qs AS (SELECT doc_id AS query_id, blk FROM base WHERE doc_id % 97 = 0),
+         |cand AS (SELECT q.query_id, c.doc_id AS neighbor_id
+         |  FROM qs q JOIN base c ON c.blk = q.blk AND c.doc_id <> q.query_id),
+         |inter AS (SELECT cd.query_id, cd.neighbor_id, count(*) AS score
+         |  FROM cand cd JOIN tok a ON a.doc_id = cd.query_id
+         |               JOIN tok b ON b.doc_id = cd.neighbor_id AND b.tok = a.tok
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM inter)
+         |SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score,
+         |  CAST(rnk AS BIGINT) AS rank
+         |FROM rk WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
   )
 }

@@ -177,6 +177,44 @@ object Similarity {
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Second-stage rerank with a PLUGGABLE pairwise scorer — the
+    * cross-encoder shape of [[rerankExact]]'s documented plug point made
+    * a first-class operator. Stage one proposes (query_id, neighbor_id)
+    * candidate pairs (ANN buckets, lexical blocking, BM25 — anything);
+    * this stage attaches one payload column from each side and scores
+    * each PAIR with `scorer`, keeping the best `k` per query
+    * (score desc, neighbor_id asc) via the bounded heap aggregate — no
+    * per-query sort of the candidate list.
+    *
+    * `scorer(q, n)` is any Column over the two payloads: a lexical
+    * overlap (the gate's deterministic stand-in), a learned bilinear
+    * form over embedding pairs, or — in PySpark — a batched model call
+    * (`mapInPandas` over the joined pair table, emitting the score
+    * column this operator ranks). Real cross-encoder inference is a
+    * model-runtime concern; the Spark-side contract is exactly this
+    * plumbing: queries broadcast, corpus reached through ONE id-keyed
+    * equi join (never re-scanned per query), the scorer evaluated once
+    * per surviving pair, ranking in a k-bounded buffer. Ties on score
+    * break by neighbor_id ascending (TopKPairsAgg orders (key, id)),
+    * so integer-valued scorers stay deterministic under any partitioning.
+    */
+  def rerankWith(candidates: DataFrame, corpus: DataFrame,
+                 queries: DataFrame, idCol: String, payloadCol: String,
+                 k: Int)(scorer: (Column, Column) => Column): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(payloadCol).as("__qp")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(payloadCol).as("__np"))
+    val scored = candidates.select(col("query_id"), col("neighbor_id"))
+      .distinct()
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", scorer(col("__qp"), col("__np")).cast("double"))
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
+      .withColumnRenamed("cosine", "score")
+  }
+
   /** Deterministic +-1 hyperplane weights (bits x dims), derived driver-side
     * from `seed` (java.util.Random's LCG is spec-pinned, so weights are
     * stable across JVMs). Planted as array literals so each projection is

@@ -416,6 +416,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(aAnn == pAnn)
   }
 
+  test("rerankWith: pluggable pair scorer ranks candidates, ties break " +
+    "by neighbor_id, self-pairs and duplicate candidates ignored") {
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "d")),
+      (1L, Seq("a", "b", "c", "x")), // overlap 3 with doc 0
+      (2L, Seq("a", "b", "y", "z")), // overlap 2
+      (3L, Seq("a", "q", "y", "z")), // overlap 1 — tie with doc 4
+      (4L, Seq("a", "r", "s", "t")), // overlap 1 — tie, higher id
+      (5L, Seq("u", "v", "w", "e"))) // overlap 0
+      .toDF("doc_id", "toks")
+    val queries = docs.filter($"doc_id" === 0L)
+    // candidate stage proposes everything incl. self and a duplicate row
+    val cands = docs.select(lit(0L).as("query_id"),
+        $"doc_id".as("neighbor_id"))
+      .union(Seq((0L, 1L)).toDF("query_id", "neighbor_id"))
+    val got = Similarity.rerankWith(cands, docs, queries, "doc_id", "toks",
+        k = 4)((q, n) => size(array_intersect(q, n)))
+      .orderBy("rank")
+      .select("neighbor_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L),
+      s"rank order wrong: $got") // tie at score 1 -> id asc; no self
+    assert(got.map(_._2) == Seq(3.0, 2.0, 1.0, 1.0))
+    // k larger than candidates returns all scored pairs, none invented
+    val all = Similarity.rerankWith(cands, docs, queries, "doc_id", "toks",
+      k = 50)((q, n) => size(array_intersect(q, n)))
+    assert(all.count() == 5) // 5 non-self neighbors
+    // empty candidate list -> empty result
+    val none = Similarity.rerankWith(cands.filter($"query_id" < 0), docs,
+      queries, "doc_id", "toks", k = 3)(
+      (q, n) => size(array_intersect(q, n)))
+    assert(none.count() == 0)
+  }
+
   test("hammingCandidates maxHamming=0 pairs exact signature matches only") {
     // Regression pin for the band-mask wrap: bands=1 -> bandBits=64, where
     // (1L << 64) - 1 wraps to 0 and masked every signature to band 0 — the
