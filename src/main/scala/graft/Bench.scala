@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // see Verify: evictable checkpoint storage + AQE-coalesced
+      // 256-way shuffle planning (scale headroom, same sf0.1 plans)
+      .config("spark.memory.storageFraction", "0.3")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR: stray WARN chatter on stderr must not drown the JSON line the

@@ -53,6 +53,42 @@ object Profile {
           println(s"[prof] pass $pass dropped: $dropped tokens")
         }
         println(s"[prof] fixpoint after $pass passes")
+      case "dsweep" =>
+        // phase-by-phase q_dedup_sweep (the r10 sf10 OOM hunt): which of
+        // the three generators / two CC passes / agreement blows up
+        import operators.{Dedup, Metrics}
+        val OFF = 10000000L
+        val dsrc = Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "source")
+        val union = dsrc.unionByName(dsrc.select(
+          (col("doc_id") + OFF).as("doc_id"), col("text"), col("source")))
+        def planted(pairs: org.apache.spark.sql.DataFrame): Long = pairs
+          .filter(col("id_b") === col("id_a") + OFF && col("id_a") < OFF)
+          .select("id_a").distinct().count()
+        val mh = Dedup.minHashCandidates(union, "text", "doc_id",
+            shingleSize = 5, numHashes = 64, bands = 8)
+          .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
+        println(s"[prof] mh pairs: ${time("minhash")(mh.count())}")
+        println(s"[prof] mh planted: ${time("mh planted")(planted(mh))}")
+        val sh = Dedup.simHashCandidates(union, "text", "doc_id",
+          maxHamming = 3).localCheckpoint(true)
+        println(s"[prof] sh pairs: ${time("simhash")(sh.count())}")
+        val ng = Dedup.ngramJaccardPairs(union, "text", "doc_id", "source",
+          n = 3, minJaccard = 0.5)
+        println(s"[prof] ng planted: ${time("ngram")(planted(ng))}")
+        val ids = union.select("doc_id")
+        val la = Dedup.dedupClusters(ids, "doc_id", mh)
+          .select(col("doc_id"), col("component").as("la"))
+          .localCheckpoint(true)
+        println(s"[prof] cc(mh) labels: ${time("cc mh")(la.count())}")
+        val lb = Dedup.dedupClusters(ids, "doc_id", sh)
+          .select(col("doc_id"), col("component").as("lb"))
+          .localCheckpoint(true)
+        println(s"[prof] cc(sh) labels: ${time("cc sh")(lb.count())}")
+        val rand = time("agreement")(
+          Metrics.clusteringAgreement(la.join(lb, Seq("doc_id")), "la", "lb")
+            .head().getAs[Double]("rand"))
+        println(s"[prof] rand: $rand")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

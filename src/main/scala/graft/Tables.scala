@@ -63,6 +63,15 @@ object Sessions {
       // cluster-mode defense — Verify/Bench additionally System.gc()
       // between gates in local mode, where the 30min default is too slow.
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // Evictable checkpoint storage (0.3 floor, not the 0.5 default):
+      // checkpoint-heavy pipelines otherwise starve hash aggregates at
+      // 100x scale while MEMORY_AND_DISK checkpoint blocks sit
+      // protected in memory; eviction just moves them to disk. And
+      // shuffles PLAN at 256 partitions with AQE coalescing down —
+      // small inputs still run ~cores tasks, big inputs don't
+      // concentrate aggregate state in 32.
+      .config("spark.memory.storageFraction", "0.3")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,21 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // Checkpoint-heavy gates persist multi-GB intermediates; the
+      // default 0.5 storageFraction PROTECTS half the unified pool for
+      // those blocks and a 100x-scale hash aggregate then cannot get its
+      // first page (observed: q_dedup_sweep AGGREGATE_OUT_OF_MEMORY at
+      // sf10 while MemoryStore was full of localCheckpoint blocks).
+      // 0.3 lets execution evict checkpoints to disk — MEMORY_AND_DISK
+      // blocks survive eviction; recompute is impossible for
+      // localCheckpoints, spill-to-disk is exactly what we want.
+      .config("spark.memory.storageFraction", "0.3")
+      // Shuffles are PLANNED at 256 partitions and AQE coalesces down:
+      // at sf0.01 every gate still runs ~32 post-coalesce tasks, at
+      // sf10 a 160M-row distinct no longer concentrates 5M keys of
+      // hash-agg state in each of 32 tasks. The cluster-mode equivalent
+      // of picking shuffle.partitions per job size.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

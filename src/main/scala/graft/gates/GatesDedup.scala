@@ -483,11 +483,31 @@ private[graft] object GatesDedup {
     // disagree on at most the near-dup fringe). Claim table shape: the
     // oracle restates the expected counts and booleans.
     "q_dedup_sweep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // FIXED 50k-doc slice (the q_triangles bounding pattern; no-op at
+      // sf1 and below): the corpus's replica families make the simhash
+      // NEAR-DUP TRUTH quadratic in family size — at 100x bench scale
+      // (500k docs, 100-member families) maxHamming=3 yields 214M
+      // candidate pairs (measured, Profile dsweep r10; minhash at the
+      // r=8 point yields 4.5M) and the sweep's CC-over-near-cliques
+      // exhausted a 48g heap. The engine's banding/skew guards behaved
+      // as designed; it is the GATE's truth shape that must stay
+      // bounded. Generator scale is exercised per-operator by the
+      // q_simhash_neardup / q_minhash_pairs gates.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 50000)
+        .select("doc_id", "text", "source")
       val OFF = 10000000L
+      // NOT checkpointed (r10): each generator re-derives the doubled
+      // corpus from the columnar scan instead. Pinning it looked like
+      // the obvious reuse win ("three generators read it") and was —
+      // until 100x scale, where ~19 GB of DESERIALIZED text blocks
+      // filled the storage pool, starved downstream hash aggregates
+      // (AGGREGATE_OUT_OF_MEMORY), and its eviction-to-disk raced the
+      // candidate join's shuffle for the same disk. A compressed
+      // parquet re-scan with column pruning is strictly cheaper than a
+      // row-format cache once the table outgrows memory — re-read
+      // beats pin for flat scans.
       val union = docs.unionByName(docs.select(
           (col("doc_id") + OFF).as("doc_id"), col("text"), col("source")))
-        .localCheckpoint(true) // three generators + two CC passes read it
       val nDocs = docs.count()
       def planted(pairs: DataFrame): Long = pairs
         .filter(col("id_b") === col("id_a") + OFF && col("id_a") < OFF)
@@ -514,9 +534,14 @@ private[graft] object GatesDedup {
       val ng = Dedup.ngramJaccardPairs(union, "text", "doc_id", "source",
         n = 3, minJaccard = 0.5)
       val (mhFound, shFound, ngFound) = (planted(mh), planted(sh), planted(ng))
-      val labels = Dedup.dedupClusters(union, "doc_id", mh)
+      // ids-only into the CC label joins: carrying `text` through them
+      // adds GBs of join payload at 100x scale for columns the labels
+      // never use (part of the r10 q_dedup_sweep sf10 OOM fix — the
+      // other part is the evictable-storage config in Verify/Sessions)
+      val ids = union.select("doc_id")
+      val labels = Dedup.dedupClusters(ids, "doc_id", mh)
         .select(col("doc_id"), col("component").as("la"))
-        .join(Dedup.dedupClusters(union, "doc_id", sh)
+        .join(Dedup.dedupClusters(ids, "doc_id", sh)
           .select(col("doc_id"), col("component").as("lb")), Seq("doc_id"))
       val rand = Metrics.clusteringAgreement(labels, "la", "lb")
         .head().getAs[Double]("rand")

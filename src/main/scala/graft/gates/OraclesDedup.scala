@@ -432,10 +432,11 @@ private[graft] object OraclesDedup {
         |ORDER BY n0.doc_id""".stripMargin,
 
 
+    // 50k-doc slice mirrors the gate (no-op at sf1 and below)
     "q_dedup_sweep" ->
       """SELECT claim, CASE WHEN claim = 'minhash_simhash_rand_ge_090'
-        |    THEN 2 * (SELECT count(*) FROM documents)
-        |    ELSE (SELECT count(*) FROM documents) END AS n,
+        |    THEN 2 * (SELECT count(*) FROM documents WHERE doc_id < 50000)
+        |    ELSE (SELECT count(*) FROM documents WHERE doc_id < 50000) END AS n,
         |  true AS ok
         |FROM (VALUES ('minhash_covered'), ('minhash_simhash_rand_ge_090'),
         |  ('ngram_covered_95'), ('simhash_covered')) t(claim)

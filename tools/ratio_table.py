@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Emit the SURVEY §6 per-gate scale-ratio table from two Verify timing
+ledgers (verify_times.json written by graft.Verify since r10). Usage:
+
+    python3 tools/ratio_table.py <sf1_times.json> <sf10_times.json> [topN]
+
+Prints gates sorted by sf10 seconds descending with the sf10/sf1 ratio
+(data grows 10x between the two, so ratio ~<= 10 is sublinear-or-linear
+per-gate wall time; the harness notes which gates' OUTPUT grows with
+planted density by construction before alarming on >10x).
+"""
+import json
+import sys
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    rows = sorted(((k, a.get(k), v) for k, v in b.items()),
+                  key=lambda r: -r[2])
+    print("| gate | sf1 s | sf10 s | ratio |")
+    print("|---|---|---|---|")
+    for k, s1, s10 in rows[:top]:
+        r = f"{s10 / s1:.1f}x" if s1 else "—"
+        print(f"| {k} | {s1:.2f} | {s10:.2f} | {r} |"
+              if s1 else f"| {k} | — | {s10:.2f} | — |")
+    both = [(k, s1, s10) for k, s1, s10 in rows if s1]
+    tot1 = sum(r[1] for r in both)
+    tot10 = sum(r[2] for r in both)
+    over = [(k, s10 / s1) for k, s1, s10 in both if s10 / s1 > 10.0]
+    print(f"\nTOTALS: sf1 {tot1:.0f}s, sf10 {tot10:.0f}s, "
+          f"ratio {tot10 / tot1:.2f}x over {len(both)} gates; "
+          f"{len(over)} gates above 10x: "
+          + ", ".join(f"{k} {r:.1f}x" for k, r in
+                      sorted(over, key=lambda x: -x[1])[:10]))
+
+
+if __name__ == "__main__":
+    main()
