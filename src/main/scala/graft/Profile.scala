@@ -53,6 +53,46 @@ object Profile {
           println(s"[prof] pass $pass dropped: $dropped tokens")
         }
         println(s"[prof] fixpoint after $pass passes")
+      case "lsh" =>
+        // q_lsh_topk cost decomposition (r10): one timed pass per phase
+        // of the gate — adaptive count, corpus bucketing, candidate
+        // generation, full ANN, brute-force truth
+        import operators.Similarity
+        val e = Tables.embeddings(spark, sfDir)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val q = e.filter(col("vec_id") < 20)
+        val n = time("corpus count")(e.count())
+        val bits = Similarity.adaptiveLshBits(n)
+        println(s"[prof] n=$n bits=$bits")
+        val seeds = (0 until 4).map(t => 42 + 7919 * t)
+        val bucketCols = seeds.map(s =>
+          Similarity.hyperplaneBucket(col("v"), 64, bits, seed = s))
+        // A/B: composed per-table expressions (CollapseProject inlines the
+        // upstream cast into every dot) vs the fused one-fetch kernel
+        time("corpus bucketing COMPOSED (4 tables)")(
+          e.select(col("vec_id"), posexplode(array(bucketCols: _*))
+            .as(Seq("table", "bucket")))
+            .groupBy("table").agg(countDistinct("bucket"), count(lit(1)))
+            .collect().foreach(r => println(s"[prof] table=${r.get(0)} " +
+              s"distinct_buckets=${r.get(1)} rows=${r.get(2)}")))
+        time("corpus bucketing FUSED (4 tables)")(
+          e.select(col("vec_id"),
+            posexplode(Similarity.hyperplaneBucketsAll(col("v"), 64, bits,
+              seeds)).as(Seq("table", "bucket")))
+            .groupBy("table").agg(count(lit(1))).collect())
+        // bucket skew: top-5 bucket sizes per table
+        val sizes = e.select(posexplode(Similarity.hyperplaneBucketsAll(
+            col("v"), 64, bits, seeds)).as(Seq("table", "bucket")))
+          .groupBy("table", "bucket").agg(count(lit(1)).as("sz"))
+          .orderBy(desc("sz")).limit(5).collect()
+        sizes.foreach(r => println(s"[prof] hot bucket t=${r.get(0)} " +
+          s"b=${r.get(1)} size=${r.get(2)}"))
+        val ann = Similarity.lshTopK(e, q, "vec_id", "v", k = 5,
+          tables = 4, dims = 64, probeHamming = 1, corpusCount = n)
+        println(s"[prof] ann rows: ${time("lshTopK full")(ann.count())}")
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+        println(s"[prof] exact rows: ${time("bruteForce")(exact.count())}")
       case "dsweep" =>
         // phase-by-phase q_dedup_sweep (the r10 sf10 OOM hunt): which of
         // the three generators / two CC passes / agreement blows up

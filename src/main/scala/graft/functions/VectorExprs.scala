@@ -29,6 +29,15 @@ object VectorExprs {
     ColumnBridge.column(HashCombine(
       ColumnBridge.expression(h1), ColumnBridge.expression(h2), seed))
 
+  /** Codegen'd multi-table sign-LSH bucketing: one input fetch, one
+    * (table, bit, dim) loop — see
+    * [[org.apache.spark.sql.graft.HyperplaneBuckets]].
+    */
+  def hyperplaneBuckets(vec: Column, w: Array[Double], tables: Int,
+                        bits: Int, dims: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graft.HyperplaneBuckets(
+      ColumnBridge.expression(vec), w, tables, bits, dims))
+
   /** MinHash signature aggregate over two base-hash columns: ONE aggregate
     * producing the array<long> signature (see
     * [[org.apache.spark.sql.graft.MinHashAgg]]).

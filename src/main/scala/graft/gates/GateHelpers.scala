@@ -45,16 +45,20 @@ private[graft] object GateHelpers {
     * seed-fixed, so the booleans are deterministic; DuckDB reproduces
     * (n_queries, true, true, true).
     */
-  private[graft] def annClaims(ann: DataFrame, exact: DataFrame, corpusCount: Column,
+  private[graft] def annClaims(ann0: DataFrame, exact0: DataFrame, corpusCount: Column,
                         k: Int, scoreCol: String,
                         ascending: Boolean): DataFrame = {
-    // NOTE (r7 A/B): the ann/exact subtrees are referenced by 2-3 claim
-    // branches each and DO re-execute — but at gate scale the duplicate
-    // branches run in PARALLEL across idle cores, while eager
-    // localCheckpoints serialize into barriers (measured: checkpointing
-    // both inputs made q_pq_topk 1.51 -> 1.65 s). Leave the plan lazy; at
-    // 100 TB a caller evaluating claims over an expensive ANN run should
-    // checkpoint its OWN inputs once (as q_ann_sweep does for the truth).
+    // The ann/exact subtrees are referenced by 2-3 claim branches each;
+    // lazy plans re-execute per branch. r7 measured lazy as the win at
+    // gate scale (parallel duplicate branches beat two checkpoint
+    // barriers: q_pq_topk 1.51 -> 1.65 s when checkpointed) — but the
+    // r10 sf10 sweep flipped the sign: re-running a 40 s LSH candidate
+    // plan 3x put q_lsh_topk at 125.7 s, and both claim inputs are
+    // <= |queries| x k rows, so pinning them costs ~0.1 s at any scale.
+    // Checkpoint-once is the scale-correct default; the small-sf tax is
+    // noise next to the 100x saving.
+    val ann = ann0.localCheckpoint(true)
+    val exact = exact0.localCheckpoint(true)
     val perQ = ann.groupBy("query_id").agg(
       count(lit(1)).as("__nq"),
       max(col("rank").cast("long")).as("__maxr"),

@@ -235,6 +235,31 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** All `tables` sign-LSH buckets in ONE expression — array<long>, one
+    * entry per table, bit-identical to
+    * `array(hyperplaneBucket(vec, dims, bits, seeds(0)), ...)`. The
+    * composed form evaluates tables x bits separate dot expressions and
+    * CollapseProject inlines any upstream cast/transform of `vec` into
+    * every one of them (measured: 52 s of the 126 s sf10 q_lsh_topk was
+    * exactly this — 44 re-materializations of cast(embedding) per row);
+    * the fused [[org.apache.spark.sql.graft.HyperplaneBuckets]] kernel
+    * fetches the vector once and loops (table, bit, dim) tightly.
+    */
+  def hyperplaneBucketsAll(vec: Column, dims: Int, bits: Int,
+                           seeds: Seq[Int]): Column = {
+    val w = new Array[Double](seeds.length * bits * dims)
+    seeds.zipWithIndex.foreach { case (seed, t) =>
+      val ws = hyperplaneWeights(dims, bits, seed)
+      var b = 0
+      while (b < bits) {
+        System.arraycopy(ws(b), 0, w, (t * bits + b) * dims, dims)
+        b += 1
+      }
+    }
+    graft.functions.VectorExprs.hyperplaneBuckets(vec, w, seeds.length,
+      bits, dims)
+  }
+
   /** The LSH operating point as a FUNCTION OF CORPUS SIZE — hash bits for
     * a target expected bucket occupancy. Sizing rule: sign-LSH buckets
     * partition the corpus ~uniformly for whitened embeddings, so
@@ -293,10 +318,13 @@ object Similarity {
         if (corpusCount >= 0) corpusCount else corpus.count())
     val d = if (dims > 0) dims
       else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
+    // fused kernel: all tables' buckets from ONE vector fetch (the
+    // composed per-table form re-materialized any upstream cast of the
+    // vec column tables x bits times per row — see hyperplaneBucketsAll)
+    val seeds = (0 until tables).map(t => 42 + 7919 * t)
     def bucketed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"),
-          array((0 until tables).map(t =>
-            hyperplaneBucket(col(vecCol), d, useBits, seed = 42 + 7919 * t)): _*).as("__buckets"))
+          hyperplaneBucketsAll(col(vecCol), d, useBits, seeds).as("__buckets"))
         .select(col(s"${side}_id"), posexplode(col("__buckets")).as(Seq("table", "bucket")))
     // multi-probe (QUERY side only — the small side): also probe every
     // bucket one sign-flip away, recovering neighbors that straddle a

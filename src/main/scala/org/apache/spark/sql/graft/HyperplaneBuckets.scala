@@ -1,0 +1,80 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd sign-LSH bucketing for ALL hash tables at once:
+  * out[t] = OR over b of (dot(v, w[t,b,:]) > 0 ? 1L << b : 0).
+  *
+  * The composed form — array(hyperplaneBucket(v, t0), ..., t3) — expands
+  * to tables x bits separate ArrayDot calls, and CollapseProject inlines
+  * the upstream `cast(embedding as array<double>)` into EVERY one of
+  * them: at 4 tables x 11 bits that is 44 array materializations per row,
+  * measured as 52 s of the 126 s q_lsh_topk sf10 gate (200k rows — the
+  * cast, not the FLOPs, dominated). Same story and same fix as
+  * [[ArrayMatVec]] / PqEncodeExpr: one expression holds the weight matrix
+  * as a reference object, fetches the input array once, and runs a
+  * single tight (table, bit, dim) loop.
+  */
+case class HyperplaneBuckets(child: Expression, w: Array[Double],
+                             tables: Int, bits: Int, dims: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(w.length == tables * bits * dims,
+    s"w ${w.length} != $tables x $bits x $dims")
+  require(bits >= 1 && bits <= 62, s"bad bits $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        val base = (t * bits + b) * dims
+        var c = 0
+        while (c < dims) { s += v.getDouble(c) * w(base + c); c += 1 }
+        if (s > 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val wRef = ctx.addReferenceObj("hpW", w, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val base = ctx.freshName("base"); val bk = ctx.freshName("bk")
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bk = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $s = 0.0;
+         |    int $base = ($t * $bits + $b) * $dims;
+         |    for (int $c = 0; $c < $dims; $c++) {
+         |      $s += $v.getDouble($c) * $wRef[$base + $c];
+         |    }
+         |    if ($s > 0) $bk |= 1L << $b;
+         |  }
+         |  $out[$t] = $bk;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -166,4 +166,33 @@ class ExtensionsSpec extends SparkSpec {
       .head().getString(0).toLong
     assert(gotEmptyTok == Seq(hASpace), gotEmptyTok.toString)
   }
+
+  test("fused hyperplaneBucketsAll is bit-identical to the composed " +
+    "per-table hyperplaneBucket array") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(11)
+    val dims = 17 // deliberately not a power of two
+    val df = (0L until 200L).map(i =>
+        (i, Array.fill(dims)(rng.nextGaussian())))
+      .toDF("id", "v")
+      // float input exercises the implicit cast the fused kernel must
+      // evaluate ONCE (the composed form's 52 s sf10 pathology)
+      .withColumn("v", col("v").cast("array<float>").cast("array<double>"))
+    for (bits <- Seq(1, 7, 13)) {
+      val seeds = (0 until 3).map(t => 42 + 7919 * t)
+      val composed = df.select(col("id"), array(seeds.map(s =>
+        Similarity.hyperplaneBucket(col("v"), dims, bits, s)): _*).as("b"))
+      val fused = df.select(col("id"),
+        Similarity.hyperplaneBucketsAll(col("v"), dims, bits, seeds).as("b"))
+      val c = composed.orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+      val f = fused.orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(c == f, s"bits=$bits mismatch")
+    }
+    // null vector -> null buckets (UnaryExpression null propagation)
+    val nullRow = Seq((1L, None: Option[Seq[Double]])).toDF("id", "v")
+      .select(Similarity.hyperplaneBucketsAll(col("v"), dims, 4,
+        Seq(42)).as("b"))
+    assert(nullRow.head().isNullAt(0))
+  }
 }
