@@ -129,6 +129,33 @@ object Profile {
           Metrics.clusteringAgreement(la.join(lb, Seq("doc_id")), "la", "lb")
             .head().getAs[Double]("rand"))
         println(s"[prof] rand: $rand")
+      case "cc" =>
+        // q_cc_dedup phase decomposition (r10: 69.9s at r8 -> 704s/OOM):
+        // banded pair generation vs edge materialization vs the label-
+        // propagation loop, with pair/edge counts to catch output growth
+        import operators.Dedup
+        val d = Tables.documents(spark, sfDir)
+        val probe = d.select(col("doc_id"), col("source"), col("n_chars"),
+          explode(sequence(expr("n_chars div 3") - 1,
+            expr("n_chars div 3") + 1)).as("__b"))
+        val build = d.select(col("doc_id").as("__id_b"),
+          col("source"), col("n_chars").as("__nc_b"),
+          expr("n_chars div 3").as("__b"))
+        val pairs = probe.join(build, Seq("source", "__b"))
+          .filter(abs(col("n_chars") - col("__nc_b")) <= 2 &&
+            col("doc_id") < col("__id_b"))
+          .select(col("doc_id").as("id_a"), col("__id_b").as("id_b"))
+          .localCheckpoint(true)
+        println(s"[prof] pairs: ${time("pair generation")(pairs.count())}")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .distinct().localCheckpoint(true)
+        println(s"[prof] edges: ${time("edge symmetrize+distinct")(edges.count())}")
+        val labels = time("dedupClusters total")(
+          Dedup.dedupClusters(d.select("doc_id"), "doc_id", pairs)
+            .localCheckpoint(true))
+        println(s"[prof] labeled: ${labels.count()}; " +
+          s"components: ${labels.select("component").distinct().count()}")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -24,13 +24,15 @@ object Verify {
       // 0.3 lets execution evict checkpoints to disk — MEMORY_AND_DISK
       // blocks survive eviction; recompute is impossible for
       // localCheckpoints, spill-to-disk is exactly what we want.
-      .config("spark.memory.storageFraction", "0.3")
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.3"))
       // Shuffles are PLANNED at 256 partitions and AQE coalesces down:
       // at sf0.01 every gate still runs ~32 post-coalesce tasks, at
       // sf10 a 160M-row distinct no longer concentrates 5M keys of
       // hash-agg state in each of 32 tasks. The cluster-mode equivalent
       // of picking shuffle.partitions per job size.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,9 +76,18 @@ object Verify {
       } catch { case _: Throwable => () }
     }
     if (times.nonEmpty) {
-      val body = times.map { case (k, v) => f""""$k":$v%.3f""" }
+      // Filtered re-runs (local iteration on one gate) MERGE into an
+      // existing ledger instead of clobbering the full sweep's record.
+      val ledger = Paths.get(s"$outDir/verify_times.json")
+      val prior: Seq[(String, Double)] =
+        if (only.nonEmpty && Files.exists(ledger))
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(Files.readString(ledger))
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        else Seq.empty
+      val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ times
+      val body = merged.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/verify_times.json"), body)
+      Files.writeString(ledger, body)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

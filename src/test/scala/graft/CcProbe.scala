@@ -1,19 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: round count + per-round wall for connectedComponents on
-  * the q_cc_dedup candidate graph. Not part of the suite.
+/** Scratch probe: per-round edge-set shrink + wall for the min-contraction
+  * connectedComponents on the q_cc_dedup candidate graph. Not part of the
+  * suite.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.tuned("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.graft.PlanRebase
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docs = Tables.documents(spark, dir)
     val pairs = docs.as("a")
@@ -23,7 +20,7 @@ object CcProbe {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
 
-    // replicate connectedComponents with timing per round
+    // replicate connectedComponents' contraction loop with per-round counts
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
@@ -31,30 +28,41 @@ object CcProbe {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     println(s"nodes=${labels.count()}")
-    def labelSum(df: org.apache.spark.sql.DataFrame) =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prev = labelSum(labels)
+    var cur = edges
     var iter = 0
-    var converged = false
-    while (!converged && iter < 30) {
+    var live = true
+    while (live && iter < 30) {
       val t0 = System.nanoTime()
-      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp").as("comp"))
-      val relaxed = labels.select(col("id").as("id"), col("comp").as("comp"))
-        .union(msgs).groupBy("id").agg(min("comp").as("comp"))
-      val next = relaxed.as("a")
-        .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
-          col("a.comp") === col("cid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prev) == 0
-      prev = s
-      labels = next
+      val m1 = cur.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("rep"))
+      def jump(m: org.apache.spark.sql.DataFrame) = m.as("a")
+        .join(m.select(col("node").as("n2"), col("rep").as("r2")).as("b"),
+          col("a.rep") === col("n2"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("r2"), col("a.rep")).as("rep"))
+      val mapping = PlanRebase.rebase(jump(jump(m1)))
+      val contracted = cur
+        .join(mapping.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("rep").as("src"), col("dst"))
+        .join(mapping.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          "dst")
+        .select(col("src"), col("rep").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val next = PlanRebase.rebase(
+        contracted.union(contracted.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct())
+      labels = PlanRebase.rebase(labels.as("l")
+        .join(mapping.as("m"), col("l.comp") === col("m.node"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("m.rep"), col("l.comp")).as("comp")))
+      cur = next
+      val n = cur.count()
+      live = n > 0L
       iter += 1
-      println(f"round $iter%2d  ${(System.nanoTime() - t0) / 1e9}%.2f s  sum=$s")
+      println(f"round $iter%2d  ${(System.nanoTime() - t0) / 1e9}%.2f s  edges=$n")
     }
+    println(s"components=${labels.select("comp").distinct().count()}")
     spark.stop()
   }
 }
