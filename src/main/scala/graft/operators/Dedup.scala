@@ -387,21 +387,39 @@ object Dedup {
     * `component` is the minimum node id in the component; nodes not present
     * in any edge are absent (callers left-join and coalesce to own id).
     *
-    * Algorithm: iterated min-label propagation with per-round path
-    * compression. Each round every node adopts the minimum label over its
-    * closed neighborhood (one shuffle on node id), then labels take one hop
-    * through the label table itself (comp := comp(comp), a second id-keyed
-    * join), which compresses chains geometrically — rounds ~ O(log diameter)
-    * instead of O(diameter). Dedup graphs are unions of near-cliques
-    * (diameter 2-3), so 3-5 rounds is typical even at corpus scale.
+    * Algorithm: iterated min-CONTRACTION (the Kiveris et al. MapReduce-CC
+    * family, specialized to min-preserving quotients). Each round: (1)
+    * every node computes the minimum of its closed neighborhood (one
+    * partial-aggregated shuffle over the CURRENT edge set), (2) that
+    * node→min mapping is pointer-jumped twice on itself (node-table-sized
+    * self-joins — collapses chains, where a single hop shrinks a sorted
+    * path by only one node per round), (3) the edge set is CONTRACTED
+    * through the jumped mapping (endpoints rewritten to representatives,
+    * self-loops dropped, distinct). The quotient preserves connectivity
+    * and the component minimum, so composing the per-round mappings when
+    * the edge set reaches empty yields component = min node id.
     *
-    * Scale (100 TB): everything that shuffles is (long, long) rows keyed by
-    * node id — no text, no signatures. The edge list is materialized once
-    * (symmetrized) and each round's label table is localCheckpoint'd, so
-    * lineage stays O(1) per round rather than stacking the full join tree
-    * (iterative plans otherwise re-derive every prior round at each action).
-    * Convergence is checked with a `limit(1)` existence probe, not a full
-    * count.
+    * Why contraction, not label propagation: a relax-labels loop
+    * re-shuffles the FULL edge set every round — rounds x |E| work even
+    * when round 1 already collapsed most structure (measured r10,
+    * q_cc_dedup sf10, 174M symmetrized edges in n_chars-band chain
+    * components: 14 rounds x ~20 s = ~340 s in the loop, 510-535 s for
+    * the gate, OOM-flaky under 48g at 256 initial partitions).
+    * Contraction does its |E|-sized work once: near-cliques (the dedup
+    * shape) become single supernodes in round 1 and every later round
+    * runs on a geometrically smaller residue — same corpus, measured:
+    * 174.16M -> 780 -> 50 -> 2 -> 0 edges in 4 rounds, ~28 s in the
+    * loop, 118 s for the gate (identical 1,478 components).
+    *
+    * Scale (100 TB): everything that shuffles is (long, long) rows — no
+    * text, no signatures. The mapping tables are node-sized and shrink
+    * with the contraction; the contract joins broadcast the mapping when
+    * it fits (AQE runtime-converts) and degrade to shuffle joins keyed on
+    * the endpoint otherwise. Each round's edge set and mapping are
+    * [[org.apache.spark.sql.graft.PlanRebase]]d (lesson 14: carried stats
+    * square through iterative checkpoints). Map-side partial aggregation
+    * collapses the contracted duplicates before the distinct's shuffle —
+    * a clique's C(k,2) edges leave the mapper as ONE row per partition.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 30,
@@ -461,54 +479,59 @@ object Dedup {
       return rows.toDF("id", "comp")
         .select(col("id").cast(idType), col("comp").cast(idType))
     }
-    var labels = edges.select(col("src").as("id")).distinct()
+    import org.apache.spark.sql.graft.PlanRebase
+    // Final labels for every node of the ORIGINAL graph, folded through
+    // the per-round contraction mappings at the end.
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    var cur = edges // symmetrized; both directions present
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // min over the closed neighborhood: own label unioned with every
-      // neighbor's label, one partial-aggregated shuffle on id. Aliases on
-      // BOTH union branches mint fresh attribute ids — the join output
-      // shares `comp`'s id with the left branch, which trips Catalyst's
-      // Union constraint rewrite otherwise.
-      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp").as("comp"))
-      // NOT checkpointed: both sides of the compression self-join read this,
-      // but AQE stage reuse already shares the relax shuffle-aggregate —
-      // an eager materialization here measured 12s SLOWER per q_cc_dedup
-      // run than letting the two consumers share the exchange.
-      val relaxed = labels.select(col("id").as("id"), col("comp").as("comp"))
-        .union(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // path compression: comp := min(comp, comp(comp)). Labels are always
-      // node ids, so the hop is a self-join of the label table. ONE hop per
-      // round is the measured optimum here: a second hop (pointer doubling
-      // twice) halves the rounds but quadruples the un-reused relax
-      // subplan copies per round — 49s vs 26s wall for q_cc_dedup at
-      // sf0.1; an eager checkpoint of `relaxed` also loses (38s).
-      // PlanRebase, not bare localCheckpoint: `relaxed` (itself holding the
-      // previous labels twice) appears on BOTH sides of the compression
-      // self-join, so a carried-stats checkpoint compounds the Catalyst
-      // size estimate ~4x per round — harmless at 5 rounds, BigInt
-      // planning blowup past ~20 (see PlanRebase's scaladoc).
-      val next = org.apache.spark.sql.graft.PlanRebase.rebase(relaxed.as("a")
-        .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
-          col("a.comp") === col("cid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp")))
-      // Convergence via the label-sum invariant: min-label propagation only
-      // ever LOWERS labels, so sum(comp) strictly decreases until the fixed
-      // point — one narrow aggregate over the cached table per round,
-      // instead of a shuffle join against the previous labels. DECIMAL(38)
-      // so 10^9 nodes x 10^18-magnitude ids cannot overflow the check.
-      val sumNow = labelSum(next)
-      converged = sumNow.compareTo(prevSum) == 0
-      prevSum = sumNow
-      labels = next
+    var live = true
+    while (live && iter < maxIter) {
+      // (1) min of the closed neighborhood — partial-aggregated shuffle
+      // over the current (shrinking) edge set; output is node-sized.
+      val m1 = cur.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("rep"))
+      // (2) two pointer jumps on the node-sized mapping: rep := rep(rep).
+      // One jump contracts stars/cliques; the second halves chains (a
+      // sorted path shrinks by only one node per round under a single
+      // hop). Jump joins are mapping x mapping — never edge-sized.
+      def jump(m: DataFrame): DataFrame = m.as("a")
+        .join(m.select(col("node").as("n2"), col("rep").as("r2")).as("b"),
+          col("a.rep") === col("n2"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("r2"), col("a.rep")).as("rep"))
+      val mapping = PlanRebase.rebase(jump(jump(m1)))
+      // (3) contract: rewrite both endpoints through the mapping, drop
+      // self-loops. Map-side partial agg collapses a clique's C(k,2)
+      // rewritten duplicates before the distinct's shuffle.
+      // shuffle_hash on the node-sized mapping: SMJ would SORT the
+      // edge set twice per round (measured r10: sys-time-dominated disk
+      // spill at 174M edges); hash-building the small side streams the
+      // edges unsorted, and AQE still upgrades to broadcast when the
+      // mapping fits.
+      val contracted = cur
+        .join(mapping.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("rep").as("src"), col("dst"))
+        .join(mapping.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          "dst")
+        .select(col("src"), col("rep").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val next = PlanRebase.rebase(
+        contracted.union(contracted.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct())
+      // Fold this round's mapping into the accumulated labels (labels
+      // stay original-node-sized; the mapping shrinks every round).
+      labels = PlanRebase.rebase(labels.as("l")
+        .join(mapping.as("m"), col("l.comp") === col("m.node"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("m.rep"), col("l.comp")).as("comp")))
+      cur = next
+      live = cur.limit(1).count() > 0L
       iter += 1
     }
     labels
