@@ -29,10 +29,14 @@ object Profile {
           docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")))
             .filter(length(col("col")) > 0).count())
         println(s"[prof] corpus positions: $nPos")
-        val spans = operators.SuffixDedup.maximalRepeatedSpans(
-          docs, "doc_id", "text", minTokens = 20, maxLen = 64,
-          maxDriverPositions = 0L)
-        val n = time("maximalRepeatedSpans (distributed)")(spans.count())
+        // time the CALL: the distributed pipeline localCheckpoints each
+        // doubling level eagerly, so the work happens at construction,
+        // not at the count (r10: the first run timed only the count)
+        val spans = time("maximalRepeatedSpans (distributed)")(
+          operators.SuffixDedup.maximalRepeatedSpans(
+            docs, "doc_id", "text", minTokens = 20, maxLen = 64,
+            maxDriverPositions = 0L))
+        val n = time("spans count")(spans.count())
         println(s"[prof] spans: $n")
       case "fixpoint" =>
         // per-pass instrumentation = the dedupToFixpoint loop unrolled

@@ -81,7 +81,8 @@ object Verify {
       val ledger = Paths.get(s"$outDir/verify_times.json")
       val prior: Seq[(String, Double)] =
         if (only.nonEmpty && Files.exists(ledger))
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(Files.readString(ledger))
+          "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findAllMatchIn(Files.readString(ledger))
             .map(m => m.group(1) -> m.group(2).toDouble).toSeq
         else Seq.empty
       val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ times

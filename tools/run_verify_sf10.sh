@@ -7,6 +7,10 @@ SNAP=${1:-/tmp/graft_cls_r9}
 SF=${2:-/root/repo/target/sf10}
 OUT=${3:-/root/repo/target/verify_sf10}
 LOG=${4:-/tmp/verify_sf10.log}
+# bare `sbt compile` does not copy resources: the DataSourceV2 registration
+# (META-INF/services) must ride along or q_warc_dsv2 fails on
+# DATA_SOURCE_NOT_FOUND (r10)
+cp -r /root/repo/src/main/resources/META-INF "$SNAP/" 2>/dev/null
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
