@@ -139,17 +139,12 @@ object Profile {
         // propagation loop, with pair/edge counts to catch output growth
         import operators.Dedup
         val d = Tables.documents(spark, sfDir)
-        val probe = d.select(col("doc_id"), col("source"), col("n_chars"),
-          explode(sequence(expr("n_chars div 3") - 1,
-            expr("n_chars div 3") + 1)).as("__b"))
-        val build = d.select(col("doc_id").as("__id_b"),
-          col("source"), col("n_chars").as("__nc_b"),
-          expr("n_chars div 3").as("__b"))
-        val pairs = probe.join(build, Seq("source", "__b"))
-          .filter(abs(col("n_chars") - col("__nc_b")) <= 2 &&
-            col("doc_id") < col("__id_b"))
-          .select(col("doc_id").as("id_a"), col("__id_b").as("id_b"))
-          .localCheckpoint(true)
+        // shared with the gate (GatesDedup.bandedCharPairs) so the probe
+        // can never profile a different graph than q_cc_dedup clusters.
+        // NOTE: unsliced here on purpose — the probe measures the full
+        // corpus graph; the gate slices doc_id < 100k to bound its
+        // recursive-CTE oracle twin.
+        val pairs = GatesDedup.bandedCharPairs(d).localCheckpoint(true)
         println(s"[prof] pairs: ${time("pair generation")(pairs.count())}")
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

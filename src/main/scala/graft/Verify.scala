@@ -46,8 +46,18 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // Default: one comparable file per gate (coalesce(1)) — what the
+        // driver's sf0.01 checker has always consumed. Sweep mode
+        // (SPARK_GRAFT_SHARDED_WRITE=1) skips the coalesce: at sf10 the
+        // single-file write serializes 10M-60M-row outputs on one core
+        // (~210 s across q_interp_linear/q_shear_alpha/q_bin_filter,
+        // r10 sweep) while check.py/DuckDB read multi-file parquet
+        // natively and canon-sort checker-side anyway.
+        val result = fn(spark, sfDir)
+        val writer =
+          if (sys.env.get("SPARK_GRAFT_SHARDED_WRITE").contains("1")) result
+          else result.coalesce(1)
+        writer.write.mode("overwrite").parquet(s"$outDir/$name")
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = dt
         System.err.println(f"[verify] $name ok ${dt}%.2f s")
@@ -79,12 +89,20 @@ object Verify {
       // Filtered re-runs (local iteration on one gate) MERGE into an
       // existing ledger instead of clobbering the full sweep's record.
       val ledger = Paths.get(s"$outDir/verify_times.json")
+      // Regex parse is pinned to the format THIS file writes two lines
+      // below (flat {"name":sec,...}); a hand-edited ledger is out of
+      // contract. Keys in `only` are dropped from the prior ledger first:
+      // a gate that FAILED in this filtered re-run must not silently keep
+      // its stale green timing (r10 ADVICE).
       val prior: Seq[(String, Double)] =
         if (only.nonEmpty && Files.exists(ledger))
           "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
             .findAllMatchIn(Files.readString(ledger))
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (k, _) => only(k) }.toSeq
         else Seq.empty
+      only.diff(times.keySet).foreach(k =>
+        System.err.println(s"[verify] $k produced no timing (failed?) — no ledger entry"))
       val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ times
       val body = merged.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString("{", ",", "}")

@@ -70,12 +70,67 @@ object KMeansLite {
     s
   }
 
+  /** k-means++ (D²) seeding: each next centroid is drawn with probability
+    * proportional to its squared distance from the nearest already-chosen
+    * one (Arthur & Vassilvitskii 2007; sklearn's default init). The r10
+    * sf10 sweep caught why this matters: uniform random-point init on
+    * 4 well-separated blobs + a 1% outlier blob collapsed two clusters and
+    * parked a centroid ON the outlier blob in all 5 restarts at one sample
+    * draw (q_mahalanobis missed exactly 1/4 of planted outliers at sf10,
+    * green at sf1) — D² seeding separates the blobs near-deterministically.
+    * O(n·k·dim) with an incrementally-maintained min-distance array, same
+    * order as one Lloyd pass.
+    */
+  private def ppInit(sample: Array[Array[Double]], k: Int,
+                     rng: scala.util.Random): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample(0).length
+    val cents = new Array[Array[Double]](math.min(k, n))
+    cents(0) = sample(rng.nextInt(n)).clone()
+    val minD = new Array[Double](n)
+    java.util.Arrays.fill(minD, Double.MaxValue)
+    var c = 0
+    while (c < cents.length - 1) {
+      // fold the newest centroid into the running min-distance array
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        var d = 0.0
+        var j = 0
+        val p = sample(i)
+        val ct = cents(c)
+        while (j < dim) { val t = p(j) - ct(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      if (total <= 0.0) {
+        // all remaining points coincide with chosen centroids: duplicate
+        cents(c + 1) = sample(rng.nextInt(n)).clone()
+      } else {
+        var r = rng.nextDouble() * total
+        var pick = n - 1
+        i = 0
+        var acc = 0.0
+        while (i < n && pick == n - 1) {
+          acc += minD(i)
+          if (acc >= r) pick = i
+          i += 1
+        }
+        cents(c + 1) = sample(pick).clone()
+      }
+      c += 1
+    }
+    if (cents.length < k) cents ++ Array.fill(k - cents.length)(cents(0).clone())
+    else cents
+  }
+
   /** One seeded Lloyd run. Empty clusters keep their previous centroid. */
   private def lloydOnce(sample: Array[Array[Double]], k: Int, maxIter: Int,
                         seed: Long, tol: Double): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans: no input points")
     val rng = new scala.util.Random(seed)
-    var cents = rng.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    var cents = ppInit(sample, k, rng)
     val dim = sample(0).length
     var iter = 0
     var moved = true

@@ -20,8 +20,11 @@ private[graft] object GatesAnn {
     // label-group centroid
     "q_centroid_score" -> ((s, dir) => {
       Similarity.centroidScore(Tables.embeddings(s, dir), "embedding", "label")
+        // + 0.0 canonicalizes IEEE signed zero: at sf10 a handful of
+        // orthogonal-to-centroid rows round to -0.0 here but +0.0 in the
+        // DuckDB twin (bit-strict compare) — both sides canonicalize
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          round(col("cos_centroid"), 5).as("cos_centroid"))
+          (round(col("cos_centroid"), 5) + lit(0.0)).as("cos_centroid"))
         .orderBy("vec_id")
     }),
 
@@ -117,9 +120,19 @@ private[graft] object GatesAnn {
     }),
 
 
-    // embedding-cosine near-dup pairs, blocked by label
+    // embedding-cosine near-dup pairs, blocked by label.
+    // r11: fixed 25k-vector slice (the q_hubness pattern — whole corpus at
+    // sf <= 1 where max vec_id is 19999, bounded above; 25k not 50k because
+    // the DuckDB twin redoes the label-blocked quadratic itself, twice —
+    // measured 567 s per run at a 50k slice). The gate's pair OUTPUT is
+    // quadratic in
+    // replica-family size by data construction: 59.7M rows at sf10, which
+    // the engine wrote in 177 s but the checker's bit-strict canon chewed
+    // ~4 CPU-h on. Bounding the GATE keeps adjudication O(minutes) at
+    // every scale; the operator itself is unchanged and ANN-fed in prod.
     "q_embed_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 25000)
         .withColumn("v", col("embedding").cast("array<double>"))
       Similarity.cosineNearDupPairs(e, "vec_id", "v", "label", threshold = 0.25)
         .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"),

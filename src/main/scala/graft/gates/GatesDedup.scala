@@ -14,6 +14,29 @@ import graft.GateHelpers._
   * DuckDB oracle twin in OraclesDedup.
   */
 private[graft] object GatesDedup {
+
+  /** q_cc_dedup's banded candidate-pair rule (same source, n_chars within
+    * +/-2), shared with Profile's `cc` decomposition mode so the probe can
+    * never silently diverge from the gate it profiles (r10 ADVICE). The
+    * +/-2 tolerance is banded INTO the join key (width-3 buckets; side a
+    * probes its own bucket and both neighbors, so |delta| <= 2 never
+    * crosses more than one boundary): joining on source alone and
+    * post-filtering streams the full per-source cross product — quadratic
+    * in per-source density (r8 sf10: 12B intermediate rows for 87M pairs).
+    */
+  private[graft] def bandedCharPairs(docs: DataFrame): DataFrame = {
+    val probe = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      explode(sequence(expr("n_chars div 3") - 1,
+        expr("n_chars div 3") + 1)).as("__b"))
+    val build = docs.select(col("doc_id").as("__id_b"),
+      col("source"), col("n_chars").as("__nc_b"),
+      expr("n_chars div 3").as("__b"))
+    probe.join(build, Seq("source", "__b"))
+      .filter(abs(col("n_chars") - col("__nc_b")) <= 2 &&
+        col("doc_id") < col("__id_b"))
+      .select(col("doc_id").as("id_a"), col("__id_b").as("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Quality-aware canonical selection: duplicate clusters from exact-dup
@@ -225,26 +248,16 @@ private[graft] object GatesDedup {
     // n_chars within 2) is oracle-expressible SQL standing in for LSH
     // pairs, whose hash internals aren't; the operator under test is the
     // distributed clustering (DuckDB twin: recursive CTE reachability).
+    // r11: fixed 100k-doc slice (q_hubness pattern — whole corpus at
+    // sf <= 1, bounded above): the DuckDB twin's recursive-CTE closure is
+    // O(nodes x component-size) and the full sf10 graph's 340-node-mean
+    // near-cliques made adjudication a CPU-marathon. The CC OPERATOR still
+    // runs unsliced in q_dedup_sweep/q_minhash_pairs consumers and was
+    // sweep-measured at 174M edges (SURVEY §6); only this oracle-twinned
+    // gate is bounded.
     "q_cc_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // The +/-2 n_chars tolerance is banded INTO the join key (width-3
-      // buckets; side a probes its own bucket and both neighbors, so
-      // |delta| <= 2 never crosses more than one boundary): joining on
-      // source alone and post-filtering the band streams the full
-      // per-source cross product through the filter — quadratic in
-      // per-source density, which the r8 sf10 sweep measured at 132 s
-      // (12B intermediate rows for 87M kept pairs). Same pair set,
-      // same oracle; only the execution shape changes.
-      val probe = docs.select(col("doc_id"), col("source"), col("n_chars"),
-        explode(sequence(expr("n_chars div 3") - 1,
-          expr("n_chars div 3") + 1)).as("__b"))
-      val build = docs.select(col("doc_id").as("__id_b"),
-        col("source"), col("n_chars").as("__nc_b"),
-        expr("n_chars div 3").as("__b"))
-      val pairs = probe.join(build, Seq("source", "__b"))
-        .filter(abs(col("n_chars") - col("__nc_b")) <= 2 &&
-          col("doc_id") < col("__id_b"))
-        .select(col("doc_id").as("id_a"), col("__id_b").as("id_b"))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100000)
+      val pairs = bandedCharPairs(docs)
       Dedup.dedupClusters(docs, "doc_id", pairs)
         .select("doc_id", "component", "is_duplicate")
         .orderBy("doc_id")

@@ -111,8 +111,10 @@ private[graft] object GatesText {
       val docs = Tables.documents(s, dir)
       TextAnalysis.importanceWeights(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 1024)
+        // + 0.0: signed-zero canon (sf10 found 18 rows rounding to -0.0
+        // engine-side vs +0.0 oracle-side under the bit-strict compare)
         .select(col("id").as("doc_id"), col("n_feats"),
-          round(col("weight"), 6).as("weight"))
+          (round(col("weight"), 6) + lit(0.0)).as("weight"))
         .orderBy("doc_id")
     }),
 

@@ -134,7 +134,8 @@ private[graft] object OraclesAnn {
 
 
     "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 25000),
         |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) /
         |      (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
@@ -227,7 +228,7 @@ private[graft] object OraclesAnn {
         |      * sqrt(list_sum([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)])) AS nn
         |  FROM e JOIN cv ON e.label = cv.label)
         |SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) AS cos_centroid
+        |  round(CASE WHEN nn = 0 THEN 0 ELSE d / nn END, 5) + 0.0 AS cos_centroid
         |FROM s ORDER BY vec_id""".stripMargin,
 
 

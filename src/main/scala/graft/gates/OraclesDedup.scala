@@ -220,13 +220,15 @@ private[graft] object OraclesDedup {
     // graph the reachable set IS the component, so min(reachable ∪ self)
     // is the component's minimum id. Terminates because UNION dedups.
     "q_cc_dedup" ->
-      """WITH RECURSIVE e AS (
+      """WITH RECURSIVE d AS (
+        |  SELECT * FROM documents WHERE doc_id < 100000),
+        |e AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM documents a JOIN documents b
+        |  FROM d a JOIN d b
         |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2
         |    AND a.doc_id <> b.doc_id),
         |r(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
+        |  SELECT doc_id, doc_id FROM d
         |  UNION
         |  SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src)
         |SELECT id AS doc_id, min(comp) AS component,

@@ -664,7 +664,7 @@ private[graft] object OraclesText {
          |  FROM model),
          |sc AS (SELECT feat, ln((c_t + 1)::DOUBLE / (Nt + 1024))
          |    - ln((c_r + 1)::DOUBLE / (Nr + 1024)) AS llr FROM model, tot)
-         |SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) AS weight
+         |SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) + 0.0 AS weight
          |FROM feats JOIN sc USING (feat) GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

@@ -7,6 +7,7 @@ compare (rows, schema-ish, values). Usage:
 """
 import json
 import math
+import os
 import struct
 import sys
 
@@ -97,13 +98,20 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bound the oracle, not the machine: DuckDB's default limit is ~80% of
+    # RAM *per instance*; 8 concurrent sweep shards at sf10 each believed
+    # they owned the box and the canon sorts OOM'd each other (r10 sweep:
+    # 7 'Out of Memory Error' gate failures that were checker-resource, not
+    # engine). A per-instance cap + disk spill makes shards well-behaved.
+    mem = os.environ.get("CHECK_MEM_LIMIT", "12GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     import glob
     have = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
-    import os
     for name in sorted(have):
         if only and name not in only:
             continue

@@ -10,7 +10,9 @@ LOG=${4:-/tmp/verify_sf10.log}
 # bare `sbt compile` does not copy resources: the DataSourceV2 registration
 # (META-INF/services) must ride along or q_warc_dsv2 fails on
 # DATA_SOURCE_NOT_FOUND (r10)
-cp -r /root/repo/src/main/resources/META-INF "$SNAP/" 2>/dev/null
+cp -r /root/repo/src/main/resources/META-INF "$SNAP/"
+[ -d "$SNAP/META-INF/services" ] || \
+  echo "warning: DSv2 registration missing — q_warc_dsv2 will fail" >&2
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \

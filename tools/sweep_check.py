@@ -2,15 +2,25 @@
 """Sharded driver for tools/check.py over a full verify output directory:
 splits the query list round-robin by POSITION AFTER SORTING BY OUTPUT
 SIZE DESCENDING (so the N biggest outputs land on N different shards,
-not one unlucky one), runs N check.py subprocesses, and prints a
-per-query ledger + totals. Usage:
+not one unlucky one), runs N check.py subprocesses, and STREAMS each
+shard's ledger to its own file the moment lines arrive (r10 lesson: the
+buffered-until-all-drain design hid 7 CPU-hours of completed verdicts
+behind two marathon shards; a wall-clock cut would have lost them all).
 
-    python3 tools/sweep_check.py <sfDir> <verifyOutDir> [nShards]
+Per-shard ledgers land at <outDir>/.sweep_shard<i>.log as they run; the
+combined sorted ledger + TOTAL prints at the end AND totals are updated
+incrementally in <outDir>/.sweep_totals as shards finish. Usage:
+
+    python3 tools/sweep_check.py <sfDir> <verifyOutDir> [nShards] [onlyFile]
+
+`onlyFile` (one query name per line) restricts the sweep to those gates —
+the resumption path after a cut sweep: feed it the not-yet-adjudicated list.
 """
 import os
 import re
 import subprocess
 import sys
+import threading
 
 
 def main() -> None:
@@ -19,40 +29,67 @@ def main() -> None:
         sys.exit(2)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    only = None
+    if len(sys.argv) > 4:
+        only = {ln.strip() for ln in open(sys.argv[4]) if ln.strip()}
     qs = sorted(
         (d for d in os.listdir(out_dir)
-         if os.path.isdir(os.path.join(out_dir, d))),
+         if os.path.isdir(os.path.join(out_dir, d))
+         and (only is None or d in only)),
         key=lambda d: -sum(
             f.stat().st_size for f in os.scandir(os.path.join(out_dir, d))),
     )
-    shards = [qs[i::n] for i in range(n)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(os.path.dirname(__file__),
-                                          "check.py"), sf_dir, out_dir] + s,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for s in shards if s
-    ]
-    ok, failed, lines = 0, 0, []
-    for p in procs:
-        out, _ = p.communicate()
-        fail_hdr = None  # carry check.py's indented per-error detail
-        for ln in out.splitlines():
-            if ln.startswith(("✓", "✗", "!", "FAIL", "ERROR")) or \
-                    " failed" in ln and " ok, " in ln:
-                fail_hdr = ln if ln.startswith(("✗", "!")) else None
-                lines.append(ln)
-            elif fail_hdr and ln.startswith((" ", "\t")):
-                # detail sorts adjacent to its header: prefix with it
-                lines.append(f"{fail_hdr[:40]} |{ln}")
-        m = re.search(r"(\d+) ok, (\d+) failed", out)
-        if m:
-            ok += int(m.group(1))
-            failed += int(m.group(2))
-    for ln in sorted(lines):
+    shards = [s for s in (qs[i::n] for i in range(n)) if s]
+    lock = threading.Lock()
+    totals = {"ok": 0, "failed": 0, "done_shards": 0}
+    all_lines: list[str] = []
+
+    def run_shard(i: int, queries: list[str]) -> None:
+        log_path = os.path.join(out_dir, f".sweep_shard{i}.log")
+        # line-buffered file sink: every check.py line is on disk the
+        # moment the shard emits it — nothing rides on process lifetime
+        with open(log_path, "w", buffering=1) as sink:
+            p = subprocess.Popen(
+                [sys.executable, "-u",
+                 os.path.join(os.path.dirname(__file__), "check.py"),
+                 sf_dir, out_dir] + queries,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            fail_hdr = None
+            for ln in p.stdout:
+                ln = ln.rstrip("\n")
+                sink.write(ln + "\n")
+                if ln.startswith(("✓", "✗", "!", "FAIL", "ERROR")):
+                    fail_hdr = ln if ln.startswith(("✗", "!")) else None
+                    with lock:
+                        all_lines.append(ln)
+                elif fail_hdr and ln.startswith((" ", "\t")):
+                    with lock:
+                        all_lines.append(f"{fail_hdr[:40]} |{ln}")
+                m = re.search(r"(\d+) ok, (\d+) failed", ln)
+                if m:
+                    with lock:
+                        totals["ok"] += int(m.group(1))
+                        totals["failed"] += int(m.group(2))
+            p.wait()
+        with lock:
+            totals["done_shards"] += 1
+            with open(os.path.join(out_dir, ".sweep_totals"), "w") as f:
+                f.write(f"{totals['done_shards']}/{len(shards)} shards: "
+                        f"{totals['ok']} ok, {totals['failed']} failed\n")
+            print(f"[shard {i} done: {len(queries)} queries -> {log_path}]",
+                  flush=True)
+
+    threads = [threading.Thread(target=run_shard, args=(i, s), daemon=True)
+               for i, s in enumerate(shards)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for ln in sorted(all_lines):
         if not re.search(r"\d+ ok, \d+ failed", ln):
             print(ln)
-    print(f"TOTAL: {ok} ok, {failed} failed over {len(qs)} queries")
+    print(f"TOTAL: {totals['ok']} ok, {totals['failed']} failed "
+          f"over {len(qs)} queries")
 
 
 if __name__ == "__main__":
