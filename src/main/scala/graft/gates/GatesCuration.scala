@@ -234,6 +234,21 @@ private[graft] object GatesCuration {
     }),
 
 
+    // Seed-anchored retrieval selection through the pipeline front door
+    // (r11, VERDICT r10 ask #7b): rerank_seed_topk keeps 3 seeds plus each
+    // seed's top-5 token-overlap neighbors (first-token blocking, the
+    // q_rerank_ce machinery reached from config-as-data). 50k-doc slice =
+    // whole corpus at sf <= 1, bounds the oracle's overlap join above.
+    "q_rerank_stage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 50000)
+        .select("doc_id", "text")
+      graft.pipeline.CurationPipeline.runJson(d,
+        """[{"op": "rerank_seed_topk", "seed_ids": "0,100,200", "k": "5"}]""")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+
     // END-TO-END curation capstone (r7, VERDICT ask #8b): the Dolma-style
     // chain a corpus team actually runs, composed from individually-gated
     // stages into ONE oracle-checked dataflow — homoglyph-spoofed raw docs

@@ -81,12 +81,18 @@ private[graft] object GatesDedup {
 
     // Within-doc repeated-span removal: pages synthesized with a guaranteed
     // repeat (the doc's first 40 tokens re-appended), 5-gram rule — the
-    // appended copy is detected and dropped, the original kept
+    // appended copy is detected and dropped, the original kept.
+    // r11: fixed 100k-doc slice (no-op at sf <= 1): the oracle twin
+    // explodes every token AND every 5-gram of every doc into rows plus an
+    // ordered string_agg rebuild — >45 GB of DuckDB state at sf10's 500k
+    // docs. The operator is row-local (per-doc), so a doc slice loses no
+    // semantics coverage; the engine path stays full-corpus in Bench.
     "q_repeated_spans" -> ((s, dir) => {
       val page = concat_ws(" ", col("text"),
         array_join(slice(split(col("text"), " "), 1, 40), " "))
       Cleanse.removeRepeatedNgrams(
-          Tables.documents(s, dir).select(col("doc_id"), page.as("page")),
+          Tables.documents(s, dir).filter(col("doc_id") < 100000)
+            .select(col("doc_id"), page.as("page")),
           "doc_id", "page", n = 5)
         .select(col("id").as("doc_id"), col("text_dedup"),
           col("n_tokens_kept").cast("long").as("n_tokens_kept"),

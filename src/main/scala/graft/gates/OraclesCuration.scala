@@ -99,6 +99,32 @@ private[graft] object OraclesCuration {
          |FROM sp ORDER BY doc_id, chunk_id, seq_id""".stripMargin,
 
 
+    // mirrors GatesCuration q_rerank_stage: 50k slice, first-token
+    // blocking, distinct-token-overlap top-5 per seed (score desc,
+    // neighbor asc), kept = seeds UNION top-5 neighbors
+    "q_rerank_stage" ->
+      s"""WITH norm AS (SELECT doc_id, regexp_split_to_array($normText, ' ') AS t
+         |  FROM documents WHERE doc_id < 50000),
+         |base AS (SELECT doc_id, list_distinct(t) AS dt, t[1] AS blk FROM norm),
+         |tok AS (SELECT doc_id, unnest(dt) AS tok FROM base),
+         |qs AS (SELECT doc_id AS query_id, blk FROM base
+         |  WHERE doc_id IN (0, 100, 200)),
+         |cand AS (SELECT q.query_id, c.doc_id AS neighbor_id
+         |  FROM qs q JOIN base c ON c.blk = q.blk AND c.doc_id <> q.query_id),
+         |inter AS (SELECT cd.query_id, cd.neighbor_id, count(*) AS score
+         |  FROM cand cd JOIN tok a ON a.doc_id = cd.query_id
+         |               JOIN tok b ON b.doc_id = cd.neighbor_id AND b.tok = a.tok
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rnk FROM inter),
+         |kept AS (SELECT DISTINCT neighbor_id AS doc_id FROM rk WHERE rnk <= 5
+         |  UNION SELECT query_id FROM qs)
+         |SELECT d.doc_id, md5(d.text) AS text_md5
+         |FROM documents d JOIN kept USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+
     "q_pipeline" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

@@ -409,7 +409,7 @@ private[graft] object OraclesDedup {
     "q_repeated_spans" ->
       """WITH d AS (SELECT doc_id,
         |    text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 100000),
         |ts AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
         |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
         |    i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM ts),

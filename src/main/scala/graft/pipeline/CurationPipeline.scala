@@ -39,6 +39,7 @@ object CurationPipeline {
     "c4_filter", "min_chars",
     "dedup_exact", "dedup_winnow", "sentence_dedup", "split_keep",
     "dedup_conversations", "drop_refusals",
+    "rerank_seed_topk",
     "chunk_sentences", "chunk_cdc")
 
   /** Parse a JSON stage array (jackson, on Spark's classpath). */
@@ -151,6 +152,40 @@ object CurationPipeline {
           // unparseable JSON is not a refusal)
           cur.filter(!coalesce(graft.operators.Conversations
             .lastAssistantRefusal(col(textCol), pats), lit(false)))
+        // seed-anchored retrieval selection (r11, VERDICT r10 ask #7b):
+        // keep the seeds plus each seed's top-k rerank-scored neighbors —
+        // the "grow a corpus from exemplar documents" primitive, wired
+        // through Similarity.rerankWith so the cross-encoder-shape rerank
+        // is reachable from config-as-data like its peers. Candidates
+        // block on the first normalized token (deterministic, linear in
+        // |seed blocks|); the built-in scorer is distinct-token overlap —
+        // integer-valued, so top-k ties break by neighbor id and the
+        // stage is reproducible under any partitioning. A model-scored
+        // variant is the same plumbing with `scorer` swapped (see
+        // rerankWith's scaladoc).
+        case "rerank_seed_topk" =>
+          val seeds = p("seed_ids").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(seeds.nonEmpty, "rerank_seed_topk needs seed_ids")
+          val k = st.params.getOrElse("k", "10").toInt
+          val norm = TextAnalysis.normalize(col(textCol))
+          val base = cur.select(col(idCol),
+            array_distinct(split(norm, " ")).as("__toks"),
+            element_at(split(norm, " "), 1).as("__blk"))
+          val queries = base
+            .filter(col(idCol).cast("string").isInCollection(seeds))
+          val cands = queries.select(col(idCol).as("query_id"), col("__blk"))
+            .join(base.select(col(idCol).as("neighbor_id"), col("__blk")),
+              Seq("__blk"))
+            .select("query_id", "neighbor_id")
+          val kept = graft.operators.Similarity
+            .rerankWith(cands, base, queries, idCol, "__toks", k)(
+              (q, n) => size(array_intersect(q, n)))
+            .select(col("neighbor_id").as(idCol))
+            .union(queries.select(col(idCol)))
+            .distinct()
+          // seeds x k ids: broadcast the semi join, never shuffle the corpus
+          cur.join(broadcast(kept), Seq(idCol), "left_semi")
         case "sentence_dedup" =>
           Dedup.sentenceDedup(cur, idCol, textCol)
             .withColumnRenamed("id", idCol)

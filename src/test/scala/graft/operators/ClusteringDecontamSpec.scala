@@ -44,6 +44,56 @@ class ClusteringDecontamSpec extends SparkSpec {
     assert(viaDriver == viaCluster)
   }
 
+  test("connectedComponents adversarial shapes, distributed path (r10 CC rewrite guard)") {
+    // forced through the contraction loop (threshold 0) — the min-
+    // contraction rewrite is r10's biggest semantic change; these shapes
+    // are the ones that distinguish it from relax-labels:
+    // star (1 round), bridged cliques (contract then merge), and a chain
+    // (logarithmic doubling, the slowest-converging shape)
+    val star = (1L to 50L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val starGot = Dedup.connectedComponents(star, driverEdgeThreshold = 0L)
+    assert(starGot.count() == 51L &&
+      starGot.select(countDistinct("comp")).head().getLong(0) == 1L &&
+      starGot.agg(max("comp")).head().getLong(0) == 0L)
+
+    // two 6-cliques {0..5} and {100..105} bridged by a single edge 5-100
+    val cliq = (for {
+      base <- Seq(0L, 100L); a <- 0 to 5; b <- (a + 1) to 5
+    } yield (base + a, base + b)) :+ (5L, 100L)
+    val cliqGot = Dedup.connectedComponents(cliq.toDF("id_a", "id_b"),
+      driverEdgeThreshold = 0L)
+    assert(cliqGot.select(countDistinct("comp")).head().getLong(0) == 1L &&
+      cliqGot.agg(max("comp")).head().getLong(0) == 0L &&
+      cliqGot.count() == 12L)
+
+    // ids at the extreme of the Long domain: least()/min() and the
+    // union-find's id ordering must agree out there too
+    val big = Seq((Long.MaxValue, Long.MaxValue - 1),
+      (Long.MaxValue - 1, Long.MaxValue - 2),
+      (5L, 6L)).toDF("id_a", "id_b")
+    for (thresh <- Seq(0L, 1000L)) {
+      val got = Dedup.connectedComponents(big, driverEdgeThreshold = thresh)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == Seq(5L -> 5L, 6L -> 5L,
+        (Long.MaxValue - 2) -> (Long.MaxValue - 2),
+        (Long.MaxValue - 1) -> (Long.MaxValue - 2),
+        Long.MaxValue -> (Long.MaxValue - 2)), s"thresh=$thresh")
+    }
+  }
+
+  test("connectedComponents at exactly the driver-edge-threshold boundary") {
+    // chain of 10 edges symmetrizes to 20 directed edges: threshold == 20
+    // takes the driver short-circuit, 19 forces the distributed loop —
+    // labels must be identical on both sides of the boundary
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val atThresh = Dedup.connectedComponents(chain, driverEdgeThreshold = 20L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val justUnder = Dedup.connectedComponents(chain, driverEdgeThreshold = 19L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(atThresh == (0L to 10L).map(_ -> 0L))
+    assert(justUnder == atThresh)
+  }
+
   test("dedupClustersBy keeps the highest-score member, ties to min id") {
     val docs = Seq(
       (1L, 0.2), (2L, 0.9), (3L, 0.9),   // cluster {1,2,3}: 2 wins (tie 2<3)

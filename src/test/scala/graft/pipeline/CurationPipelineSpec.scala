@@ -155,4 +155,48 @@ class CurationPipelineSpec extends SparkSpec {
         CurationPipeline.parse("""[{"op": "dedup_winnow"}]"""))
     }
   }
+
+  test("rerank_seed_topk keeps seeds plus their top-k overlap neighbors") {
+    // block = first token; doc 1 (seed) shares 'alpha' block with 2,3,4;
+    // overlap ranks 2 (3 shared) > 3 (2 shared) > 4 (1 shared);
+    // doc 10 is in another block entirely and must drop
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zz"),
+      (3L, "alpha beta yy zz"),
+      (4L, "alpha xx yy zz"),
+      (10L, "omega psi chi phi")).toDF("doc_id", "text")
+    val kept = CurationPipeline.runJson(docs,
+      """[{"op": "rerank_seed_topk", "seed_ids": "1", "k": "2"}]""")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L), kept.toString)
+  }
+
+  test("rerank_seed_topk degenerates: k > candidates, absent seed, ties") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta"),     // tie partner of 3 (same overlap with seed)
+      (3L, "alpha beta"),
+      (10L, "omega psi")).toDF("doc_id", "text")
+    // k far beyond the block: keeps the whole block, never errors
+    val all = CurationPipeline.runJson(docs,
+      """[{"op": "rerank_seed_topk", "seed_ids": "1", "k": "99"}]""")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L))
+    // integer scorer ties break by neighbor id ascending: k=1 keeps doc 2
+    val tied = CurationPipeline.runJson(docs,
+      """[{"op": "rerank_seed_topk", "seed_ids": "1", "k": "1"}]""")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tied == Seq(1L, 2L))
+    // a seed id absent from the corpus selects nothing for that seed;
+    // empty seed list is a config error
+    val none = CurationPipeline.runJson(docs,
+      """[{"op": "rerank_seed_topk", "seed_ids": "777", "k": "3"}]""")
+      .count()
+    assert(none == 0L)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.runJson(docs,
+        """[{"op": "rerank_seed_topk", "seed_ids": "", "k": "3"}]""")
+    }
+  }
 }

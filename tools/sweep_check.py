@@ -45,7 +45,9 @@ def main() -> None:
     all_lines: list[str] = []
 
     def run_shard(i: int, queries: list[str]) -> None:
-        log_path = os.path.join(out_dir, f".sweep_shard{i}.log")
+        # pid-suffixed so a resumption sweep never clobbers the previous
+        # run's on-disk ledgers
+        log_path = os.path.join(out_dir, f".sweep_{os.getpid()}_shard{i}.log")
         # line-buffered file sink: every check.py line is on disk the
         # moment the shard emits it — nothing rides on process lifetime
         with open(log_path, "w", buffering=1) as sink:
