@@ -324,9 +324,14 @@ private[graft] object GatesCuration {
 
     // Content-defined chunking: md5-boundary tokens close chunks (16
     // tokens expected), chunk fingerprints exact in both engines.
+    // r11: 100k-doc slice (no-op at sf <= 1) — the DuckDB twin holds
+    // per-doc token lists + per-token md5 flag lists + a rebuilt chunk
+    // string_agg all at once and exceeds 20 GB at sf10's 500k docs; the
+    // operator is row-local, so a doc slice loses no semantics coverage.
     "q_cdc_chunks" -> ((s, dir) => {
-      Chunking.cdcChunks(Tables.documents(s, dir), "text", "doc_id",
-          boundaryNibbles = 1)
+      Chunking.cdcChunks(
+          Tables.documents(s, dir).filter(col("doc_id") < 100000),
+          "text", "doc_id", boundaryNibbles = 1)
         .select(col("id").as("doc_id"), col("chunk_id"),
           md5(col("chunk")).as("chunk_md5"), col("n_toks"))
         .orderBy("doc_id", "chunk_id")

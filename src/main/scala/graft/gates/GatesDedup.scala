@@ -229,22 +229,38 @@ private[graft] object GatesDedup {
 
 
     // SimHash banded near-dup claims (r7): every planted exact copy is at
-    // Hamming 0 and MUST surface through the banded candidate join.
-    // maxHamming=3 (16-bit bands) is the SCALABLE operating point: band
-    // selectivity is 64/(k+1) bits, so k=7 leaves 8-bit bands whose 256
-    // buckets saturate the hot-bucket cap near ~500k docs (found=false for
-    // 13% of planted copies at sf1, caught by this gate's r7 sf1 sweep);
-    // k=3 keeps expected bucket size n/65536 — selective past 10^8 docs.
+    // Hamming 0 and MUST be cluster-recoverable through the banded
+    // candidate join. maxHamming=3 (16-bit bands) is the SCALABLE
+    // operating point: band selectivity is 64/(k+1) bits, so k=7 leaves
+    // 8-bit bands whose 256 buckets saturate the hot-bucket cap near
+    // ~500k docs (found=false for 13% of planted copies at sf1, caught by
+    // this gate's r7 sf1 sweep); k=3 keeps expected bucket size n/65536 —
+    // selective past 10^8 docs.
+    // r11: the claim is PARTICIPATION in a Hamming-0 pair for both the
+    // doc and its planted copy (identical sig => same component via the
+    // pair graph), not the literal (i, i+10M) edge: hot buckets degrade
+    // to per-signature STAR pairs (see hammingCandidates), which preserve
+    // exactly this cluster-recoverability — the sf10 adjudication caught
+    // the old whole-bucket drop losing 32% of planted copies at 1M rows,
+    // and this claim still fails on any such recall loss.
     "q_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val union = docs.unionByName(docs.select(
         (col("doc_id") + 10000000L).as("doc_id"), col("text")))
       val pairs = Dedup.simHashCandidates(union, "text", "doc_id",
           maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 10000000L)
-        .select(col("id_a").as("doc_id"), lit(true).as("__hit"))
-      docs.select("doc_id").join(pairs, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("found"))
+        .filter(col("hamming") === 0)
+      val participants = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("pid"))
+        .distinct()
+      docs.select("doc_id")
+        .join(participants.select(col("pid").as("doc_id"),
+          lit(true).as("__self")), Seq("doc_id"), "left")
+        .join(participants.select((col("pid") - 10000000L).as("doc_id"),
+          lit(true).as("__copy")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("__self"), lit(false)) &&
+            coalesce(col("__copy"), lit(false))).as("found"))
         .orderBy("doc_id")
     }),
 

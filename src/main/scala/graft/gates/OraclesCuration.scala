@@ -213,7 +213,7 @@ private[graft] object OraclesCuration {
     "q_cdc_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 100000),
         |f AS (SELECT doc_id, toks,
         |    [CASE WHEN substr(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END
         |     FOR i IN range(1, len(toks) + 1)] AS flags FROM t),

@@ -279,12 +279,29 @@ object Dedup {
           .bitwiseAND(lit(bandMask))
       }: _*)).as(Seq("band", "band_val")))
     // Same skew guard as minHashCandidates: cap per-(band, value) bucket
-    // size so one degenerate band value can't go quadratic.
-    val banded = {
-      val hot = banded0.groupBy("band", "band_val").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize).select("band", "band_val")
-      banded0.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
-    }
+    // size so one degenerate band value can't go quadratic — but DEGRADE,
+    // don't drop. r11 (found by the sf10 oracle adjudication): dropping
+    // hot buckets outright lost 32% of planted EXACT copies at 1M rows —
+    // replicated corpora concentrate identical signatures until whole
+    // band buckets cross the cap, and an identical pair dropped from one
+    // band is identical (hence hot, hence dropped) in EVERY band, so no
+    // other band rescues it. Hot buckets now emit per-identical-signature
+    // STAR pairs (group min -> member): linear in bucket size, and
+    // exactly the edges clustering needs — CC reconnects the full
+    // identical group through the star, so Hamming-0 recall is preserved
+    // at ANY scale. Only cross-signature pairs inside hot buckets stay
+    // capped (the genuinely quadratic part; other bands still find them
+    // probabilistically).
+    val hot = banded0.groupBy("band", "band_val").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize).select("band", "band_val")
+    val banded = banded0.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
+    val hotRows = banded0.join(broadcast(hot), Seq("band", "band_val"))
+    val hotStars = hotRows
+      .groupBy("band", "band_val", "sig").agg(min("id").as("__min"))
+      .join(hotRows, Seq("band", "band_val", "sig"))
+      .filter(col("id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("id").as("id_b"),
+        hammingDistance(col("sig"), col("sig")).as("hamming"))
     val a = banded.select(col("band"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_val"),
@@ -297,6 +314,7 @@ object Dedup {
       // deterministic, so the result is identical but the dedup shuffle
       // only carries the (rare) qualifying pairs, not every banded collision
       .filter(col("hamming") <= maxHamming)
+      .union(hotStars)
       .distinct()
   }
 

@@ -341,6 +341,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingCandidates hot buckets degrade to identical-sig stars, not drops") {
+    // r11 (sf10 adjudication find): replicated corpora concentrate
+    // identical signatures past the bucket cap in EVERY band at once, so
+    // whole-bucket dropping silently lost Hamming-0 recall (32% of
+    // planted copies at 1M rows). Hot buckets must keep every identical
+    // group cluster-recoverable via star pairs.
+    // 50 identical sigs (cap 10 => hot in all bands) + 1 cold identical
+    // pair that must keep flowing through the normal all-pairs path.
+    val bigGroup = (0L until 50L).map(i => (i, 0x1234567812345678L))
+    val cold = Seq((100L, -1L), (101L, -1L))
+    val sigs = (bigGroup ++ cold).toDF("id", "sig")
+    val got = Dedup.hammingCandidates(sigs, maxHamming = 3, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every member of the hot identical group participates at hamming 0
+    val star = got.filter(t => t._3 == 0 && t._1 == 0L).map(_._2).toSet
+    assert(star == (1L until 50L).toSet, s"star incomplete: $star")
+    // stars are linear: exactly group-size-1 hot pairs, no quadratic blowup
+    assert(got.count(_._3 == 0) == 49 + 1) // big group star + cold pair
+    // the cold identical pair still surfaces through the normal path
+    assert(got.exists(t => t._1 == 100L && t._2 == 101L && t._3 == 0))
+  }
+
   test("hammingCandidatesMulti: k<=3 guaranteed; d=5 recall grows with tables") {
     // Lesson 11's scalable loose-threshold path: each table bands a
     // bit-rotated signature at the selective 4x16-bit point. Table 0 alone
