@@ -174,17 +174,39 @@ object Dedup {
       .select("bandkey", "id")
     // Skew guard: a band bucket of b docs emits b^2/2 pair rows; buckets
     // beyond maxBucketSize are near-identical cliques (or degenerate hash
-    // collisions) whose pairs add quadratic cost without new information —
-    // drop them via a tiny aggregate + broadcast anti-join.
-    val keyed = {
-      val hot = keyed0.groupBy("bandkey").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize).select("bandkey")
-      keyed0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+    // collisions) whose pairs add quadratic cost without new information.
+    // r11 (the q_simhash_neardup sf10 lesson, applied to its sibling
+    // BEFORE it bites): dropping hot buckets outright loses recall for
+    // IDENTICAL documents — an identical pair shares every band key, so
+    // its bucket is hot in all 32 bands at once and no band rescues it.
+    // Hot buckets degrade to per-identical-signature STAR pairs (group
+    // min -> member, linear): CC reconnects the full identical group and
+    // est_jaccard comes out 1.0 through the normal re-attachment below.
+    // Only cross-signature pairs inside hot buckets stay capped. The sig
+    // grouping key is xxhash64(sig) — a collision merely adds a spurious
+    // candidate whose true est_jaccard is computed (and thresholded)
+    // downstream from the REAL signatures.
+    // hot is bounded tiny (buckets past the cap only); materialized once
+    // so the common no-hot case pays one agg pass and skips the star
+    // subtree entirely
+    val hot = keyed0.groupBy("bandkey").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize).select("bandkey")
+      .localCheckpoint(true)
+    val keyed = keyed0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+    val hotStars = if (hot.isEmpty) None else Some {
+      val hotIds = keyed0.join(broadcast(hot), Seq("bandkey"))
+        .select("id").distinct()
+      val hotSigs = sigs.join(hotIds, Seq("id"))
+        .withColumn("__sigkey", xxhash64(col("sig")))
+      hotSigs.groupBy("__sigkey").agg(min("id").as("__min"))
+        .join(hotSigs, Seq("__sigkey"))
+        .filter(col("id") =!= col("__min"))
+        .select(col("__min").as("id_a"), col("id").as("id_b"))
     }
-    val candPairs = keyed.join(keyed.withColumnRenamed("id", "id_b"), Seq("bandkey"))
+    val coldPairs = keyed.join(keyed.withColumnRenamed("id", "id_b"), Seq("bandkey"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
+    val candPairs = hotStars.fold(coldPairs)(coldPairs.union).distinct()
     candPairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -292,21 +314,27 @@ object Dedup {
     // at ANY scale. Only cross-signature pairs inside hot buckets stay
     // capped (the genuinely quadratic part; other bands still find them
     // probabilistically).
+    // hot is bounded tiny (buckets past the cap only); materialized once
+    // so the common no-hot case pays one agg pass and skips the star
+    // subtree entirely
     val hot = banded0.groupBy("band", "band_val").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize).select("band", "band_val")
+      .localCheckpoint(true)
     val banded = banded0.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
-    val hotRows = banded0.join(broadcast(hot), Seq("band", "band_val"))
-    val hotStars = hotRows
-      .groupBy("band", "band_val", "sig").agg(min("id").as("__min"))
-      .join(hotRows, Seq("band", "band_val", "sig"))
-      .filter(col("id") =!= col("__min"))
-      .select(col("__min").as("id_a"), col("id").as("id_b"),
-        hammingDistance(col("sig"), col("sig")).as("hamming"))
+    val hotStars = if (hot.isEmpty) None else Some {
+      val hotRows = banded0.join(broadcast(hot), Seq("band", "band_val"))
+      hotRows
+        .groupBy("band", "band_val", "sig").agg(min("id").as("__min"))
+        .join(hotRows, Seq("band", "band_val", "sig"))
+        .filter(col("id") =!= col("__min"))
+        .select(col("__min").as("id_a"), col("id").as("id_b"),
+          hammingDistance(col("sig"), col("sig")).as("hamming"))
+    }
     val a = banded.select(col("band"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_val"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_val"))
+    val coldPairs = a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
@@ -314,8 +342,7 @@ object Dedup {
       // deterministic, so the result is identical but the dedup shuffle
       // only carries the (rare) qualifying pairs, not every banded collision
       .filter(col("hamming") <= maxHamming)
-      .union(hotStars)
-      .distinct()
+    hotStars.fold(coldPairs)(coldPairs.union).distinct()
   }
 
   /** Multi-table banded Hamming candidates — the SCALABLE loose-threshold
@@ -670,13 +697,46 @@ object Dedup {
       .select(col("block"), col("id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
       .localCheckpoint(true)
-    val filtered =
-      if (maxShingleFreq >= Int.MaxValue / 2) sh
+    val (filtered, hotStars) =
+      if (maxShingleFreq >= Int.MaxValue / 2) (sh, None)
       else {
+        // hot is BOUNDED tiny by construction (only buckets past the cap);
+        // materialize it once so the no-hot common case costs one agg pass
+        // and skips the star subtree entirely (the sf1 A/B measured the
+        // unconditional star plan at +1-3 s per gate on corpora with zero
+        // hot shingles — two extra distinct passes over the shingle table)
         val hot = sh.groupBy("block", "shingle").agg(count(lit(1)).as("__freq"))
           .filter(col("__freq") > maxShingleFreq)
           .select("block", "shingle")
-        sh.join(broadcast(hot), Seq("block", "shingle"), "left_anti")
+          .localCheckpoint(true)
+        val kept = sh.join(broadcast(hot), Seq("block", "shingle"), "left_anti")
+        // r11 (the hot-bucket star lesson, third sibling): a doc family
+        // duplicated past maxShingleFreq has EVERY shingle hot, so the
+        // whole family vanishes from the join and the most-duplicated
+        // content — exactly what dedup must catch — produces zero pairs.
+        // Docs with no surviving shingle degrade to per-identical-
+        // shingle-SET star pairs (jaccard/containment exactly 1.0 for
+        // identical sets, so inter = size_a = size_b = raw set size);
+        // hot-shingle docs that still have cold shingles keep flowing
+        // through the normal path (their capped-set jaccard is 1.0 for
+        // identical docs already).
+        val stars = if (hot.isEmpty) None else {
+          val lostDocs = sh.select("block", "id").distinct()
+            .join(kept.select("block", "id").distinct(),
+              Seq("block", "id"), "left_anti")
+          val lostSets = sh.join(lostDocs, Seq("block", "id"))
+            .groupBy("block", "id")
+            .agg(xxhash64(sort_array(collect_list(col("shingle"))))
+              .as("__setkey"), count(lit(1)).as("__sz"))
+          Some(lostSets.groupBy("block", "__setkey")
+            .agg(min("id").as("__min"))
+            .join(lostSets, Seq("block", "__setkey"))
+            .filter(col("id") =!= col("__min"))
+            .select(col("block"), col("__min").as("id_a"), col("id").as("id_b"),
+              col("__sz").as("inter"), col("__sz").as("size_a"),
+              col("__sz").as("size_b")))
+        }
+        (kept, stars)
       }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sh_size"))
     val a = filtered.select(col("block"), col("shingle"), col("id").as("id_a"))
@@ -685,9 +745,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("block", "id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val joined = pairs
       .join(sizes.select(col("id").as("id_a"), col("sh_size").as("size_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sh_size").as("size_b")), Seq("id_b"))
+      .select("block", "id_a", "id_b", "inter", "size_a", "size_b")
+    hotStars.fold(joined)(s => joined.union(s))
   }
 
   /** Cross-corpus MinHash candidates: near-dup pairs between a NEW batch's
@@ -709,11 +771,25 @@ object Dedup {
     val nb = banded(newSigs, "new_id")
     val cb0 = banded(corpusSigs, "corpus_id")
     // skew cap on the CORPUS side (boilerplate buckets): same aggregate +
-    // broadcast anti-join shape as the self-join variant
+    // broadcast anti-join shape as the self-join variant.
+    // r11: hot corpus buckets keep ONE representative per identical
+    // corpus signature (min corpus_id) instead of vanishing — an incoming
+    // doc identical to a 10^5-member boilerplate family must still match
+    // SOMETHING to be flagged; the match lands on the family
+    // representative at est_jaccard 1.0. Linear in hot-bucket size.
     val cb = {
       val hot = cb0.groupBy("bandkey").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBucketSize).select("bandkey")
-      cb0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+        .localCheckpoint(true)
+      val cold = cb0.join(broadcast(hot), Seq("bandkey"), "left_anti")
+      if (hot.isEmpty) cold else {
+        val hotReps = cb0.join(broadcast(hot), Seq("bandkey"))
+          .join(corpusSigs.select(col("id").as("corpus_id"),
+            xxhash64(col("sig")).as("__sigkey")), Seq("corpus_id"))
+          .groupBy("bandkey", "__sigkey").agg(min("corpus_id").as("corpus_id"))
+          .select("corpus_id", "bandkey")
+        cold.unionByName(hotReps)
+      }
     }
     val pairs = nb.join(cb, Seq("bandkey"))
       .select("new_id", "corpus_id").distinct()

@@ -102,6 +102,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped == 60L * 59 / 2)
   }
 
+  test("minHashCandidates hot buckets degrade to identical-sig stars") {
+    // 30 identical docs: every band bucket is hot at cap 10 in ALL bands
+    // at once (identical signatures), so the old whole-bucket drop lost
+    // the entire family. The star path must keep every member reachable
+    // from the group min at est_jaccard 1.0.
+    val fam = (1 to 30).map(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    val lone = Seq((100L, "completely different text about parquet row groups and codegen"))
+    val df = (fam ++ lone).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidates(df, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, maxBucketSize = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val star = pairs.keys.filter(_._1 == 1L).map(_._2).toSet
+    assert(star == (2L to 30L).toSet, s"star incomplete: $star")
+    star.foreach(b => assert(pairs((1L, b)) == 1.0))
+    // linear, not quadratic: no intra-family pair beyond the star
+    assert(pairs.keys.forall { case (a, b) => a == 1L || a == b })
+  }
+
+  test("ngramJaccardPairs fully-hot families degrade to identical-set stars") {
+    // 30 identical docs: EVERY shingle has freq 30 > cap 10, so the whole
+    // family used to vanish from the join — the most-duplicated content
+    // produced zero pairs. The identical-shingle-set star keeps it
+    // recoverable at jaccard exactly 1.0.
+    val fam = (1 to 30).map(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta", "s"))
+    val other = Seq((100L, "unrelated tail content about window functions", "s"))
+    val df = (fam ++ other).toDF("doc_id", "text", "source")
+    val rows = Dedup.ngramJaccardPairs(df, "text", "doc_id", "source",
+        n = 3, minJaccard = 0.5, maxShingleFreq = 10)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keys.map(_._2).toSet == (2L to 30L).toSet)
+    assert(rows.keys.forall(_._1 == 1L))
+    assert(rows.values.forall(_ == 1.0))
+  }
+
+  test("minHashCandidatesAgainst hot corpus buckets keep a family representative") {
+    // corpus: 30-member identical boilerplate family (hot at cap 10) —
+    // an incoming identical doc must still match SOMETHING (the family
+    // min) instead of sailing through unflagged.
+    val fam = (1 to 30).map(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    val corpus = fam.toDF("doc_id", "text")
+    val batch = Seq((500L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val cs = Dedup.minHashSignatures(corpus, "text", "doc_id", shingleSize = 3)
+    val ns = Dedup.minHashSignatures(batch, "text", "doc_id", shingleSize = 3)
+    val got = Dedup.minHashCandidatesAgainst(ns, cs, maxBucketSize = 10)
+      .filter($"est_jaccard" > 0.9)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((500L, 1L)), got.toString)
+  }
+
   test("bruteForceTopK returns the construction-nearest neighbor first") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),
