@@ -315,6 +315,46 @@ private[graft] object GatesAnn {
     }),
 
 
+    // NN-Descent k-NN graph (r11): the graph-based ANN family — the
+    // iterative neighbor-of-neighbor refinement builds the whole
+    // corpus's k-NN graph (a reusable index asset), not just one query
+    // set's answers. Claims gate on the 20-query slice of the graph vs
+    // exact brute force (recall measured 1.0 at sf0.01 vs the
+    // 10x-chance threshold; the graph itself is n x k edges).
+    "q_knn_graph" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 5, iterations = 3)
+      val ann = g.filter(col("id") < 20)
+        .select(col("id").as("query_id"), col("neighbor_id"),
+          col("cosine"), col("rank"))
+      val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
+        ascending = false)
+    }),
+
+
+    // Graph-routed beam search over the NN-Descent graph (r11): the
+    // HNSW/DiskANN serving shape — entry points + expand/score/prune
+    // hops; per-query work is entries + hops*beam*k, independent of
+    // corpus size. Claims gate vs exact brute force.
+    "q_graph_search" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") < 20)
+      val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 8, iterations = 3)
+        .localCheckpoint(true)
+      val ann = KnnGraph.searchGraph(g, e, q, "vec_id", "v", k = 5,
+        beam = 8, hops = 4, entries = 4)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      annClaims(ann, exact, lit(e.count().toDouble), k = 5, "cosine",
+        ascending = false)
+    }),
+
+
     // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): all
     // five approximate methods over ONE query set, each proposing 20
     // candidates, each reranked by the exact cosine down to 5 — one metric

@@ -21,6 +21,18 @@ private[graft] object OraclesAnn {
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
 
+    "q_knn_graph" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
+    "q_graph_search" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
     "q_ivf_topk" ->
       """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
         |       true AS recall_ok

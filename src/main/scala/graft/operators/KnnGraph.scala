@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbors: distributed NN-Descent
+  * k-NN-graph construction and graph-routed beam search over the built
+  * graph.
+  *
+  * This is the one ANN family the bucketing paths (LSH/IVF/PQ, see
+  * [[Similarity]]) don't cover: instead of hashing vectors into
+  * coarse cells, NN-Descent (Dong, Moses & Li, "Efficient k-nearest
+  * neighbor graph construction for generic similarity measures",
+  * WWW 2011) iteratively refines a k-NN graph using the observation
+  * that a neighbor of a neighbor is likely a neighbor. The resulting
+  * graph is a reusable corpus asset: it serves query-time search
+  * (the HNSW/DiskANN serving shape, [[searchGraph]]), feeds
+  * near-duplicate clustering, and is itself the standard input to
+  * graph-partitioned ANN indexes.
+  *
+  * Spark-first design — every step is an equi-join or a bounded
+  * aggregate; nothing is ever collected to the driver:
+  *
+  *  - '''Init''' = `initRounds` rounds of seeded random bucketing
+  *    (`xxhash64(id, seed, round) % nBuckets`, expected bucket size
+  *    2(k+1)) with intra-bucket scoring — O(n·k) pairs per round,
+  *    fully parallel, no global ordering anywhere.
+  *  - '''One NN-Descent round''' = symmetrize the current graph
+  *    (forward edges ∪ reverse edges, reverse degree CAPPED at
+  *    `maxReverse` per node — a hub otherwise inflates the candidate
+  *    set quadratically, the ANN analog of a skewed join key), then a
+  *    self-equi-join on the common node yields neighbor-of-neighbor
+  *    candidate pairs: ≤ C(k+maxReverse, 2) per node, so per-round
+  *    candidate volume is ≤ n·(k+maxReverse)²/2 REGARDLESS of data
+  *    skew. Each hood row carries its neighbor's pre-normalized
+  *    vector, so pairs are scored INLINE by the codegen'd dot kernel
+  *    as the self-join streams (norms computed once, not per pair;
+  *    no vector ever crosses an exchange at candidate grain — the
+  *    per-round vector shuffle is node-grain, n·(k+maxReverse) rows),
+  *    then merged into the graph with the bounded
+  *    [[Similarity.rankTopK]] top-k aggregate (map-side k-entry
+  *    buffer — no per-node sort of the merged edge list).
+  *  - '''Convergence''' is monotone by construction (a node's k-list
+  *    only changes when a strictly better candidate arrives), so
+  *    recall@k vs the exact graph is non-decreasing per round; with
+  *    `earlyStop` the loop ends when a round adopts no new edge
+  *    (one `isEmpty` action on an anti-join — limit-1, cheap).
+  *  - '''Lineage''': the graph is localCheckpoint'd per round (the
+  *    iterated plan otherwise grows by two joins + one agg per
+  *    round, the same trap the connected-components loop hit at
+  *    sf10 — see [[Dedup.dedupClusters]]).
+  *
+  * Determinism: bucketing and reverse-cap ordering are xxhash64 of
+  * (id, seed, round); top-k ties break by (score desc, id asc) inside
+  * `TopKPairsAgg`; duplicate (id, nbr) edges carry bit-identical
+  * cosines (same kernel over the same normalized arrays) and are
+  * dropped by `distinct()` before ranking. Two runs on the same input
+  * produce the same graph, bit for bit.
+  *
+  * 100 TB: the corpus shuffles only on its id (joins to fetch the two
+  * endpoint vectors of each candidate); the iteration state is the
+  * n·k edge list. Tuning knobs at scale are `maxReverse` (candidate
+  * throttle) and `iterations` (2-4 suffice in practice — each round
+  * roughly squares the neighborhood radius).
+  */
+object KnnGraph {
+
+  /** id + pre-normalized vector (zero vectors stay zero, so their dot
+    * with anything is 0.0 — same convention as bruteForceTopK's
+    * zero-norm guard, without a per-pair branch).
+    */
+  private def normalized(corpus: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val n = Similarity.norm(col(vecCol))
+    corpus.select(col(idCol).as("id"),
+      when(n === 0, col(vecCol).cast("array<double>"))
+        .otherwise(transform(col(vecCol).cast("array<double>"), x => x / n))
+        .as("__nv"))
+  }
+
+  /** (id, nbr, cosine) directed edges -> per-id top-k with dense ranks. */
+  private def topkOf(directed: DataFrame, k: Int,
+                     idType: org.apache.spark.sql.types.DataType): DataFrame =
+    Similarity.rankTopK(
+        directed.select(col("id").as("query_id"),
+          col("nbr").as("neighbor_id"), col("cosine")), k, idType)
+      .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
+        col("cosine"), col("rank"))
+
+  /** Build an approximate k-NN graph (cosine) over `corpus` by
+    * NN-Descent. Returns one row per directed edge:
+    * (id, neighbor_id, cosine, rank) with rank dense 1..deg(id),
+    * deg(id) <= k, no self edges, ordered by cosine desc then
+    * neighbor id asc. Nodes isolated by the init (singleton buckets)
+    * acquire neighbors through later rounds' reverse edges.
+    *
+    * @param corpusCount pre-counted |corpus| if the caller already
+    *   knows it (skips one count() job — same ergonomics as
+    *   [[Similarity.lshTopK]]'s corpusCount).
+    * @param maxReverse per-node reverse-degree cap; 0 = k.
+    */
+  def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, iterations: Int = 3, initRounds: Int = 2,
+                maxReverse: Int = 0, earlyStop: Boolean = true,
+                seed: Int = 42, corpusCount: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = corpus.schema(idCol).dataType
+    val maxRev = if (maxReverse > 0) maxReverse else k
+    val vecs = normalized(corpus, idCol, vecCol).localCheckpoint(true)
+    val n = if (corpusCount >= 0) corpusCount else vecs.count()
+    val nBuckets = math.max(1L, n / math.max(2L, 2L * (k + 1L)))
+
+    def symmetrize(scored: DataFrame): DataFrame =
+      scored.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine"))
+        .unionByName(scored.select(col("id_b").as("id"),
+          col("id_a").as("nbr"), col("cosine")))
+
+    // Init: intra-bucket pairs, scored during the bucket self-join (the
+    // vectors are already on both sides — no second fetch).
+    val initScored = (0 until math.max(1, initRounds)).map { r =>
+      val b = vecs.withColumn("__b",
+        pmod(xxhash64(col("id"), lit(seed), lit(r)), lit(nBuckets)))
+      b.as("l").join(b.as("r"),
+          col("l.__b") === col("r.__b") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          Similarity.dot(col("l.__nv"), col("r.__nv")).as("cosine"))
+    }.reduce(_ unionByName _).distinct()
+
+    var graph = topkOf(symmetrize(initScored), k, idType).localCheckpoint(true)
+
+    var iter = 0
+    var live = true
+    while (iter < iterations && live) {
+      val fwd = graph.select(col("id"), col("nbr"))
+      // Reverse-degree cap: hash-ordered row_number inside each node's
+      // reverse list — a PARTITIONED window (never a global sort).
+      val revW = Window.partitionBy("id")
+        .orderBy(xxhash64(col("nbr"), lit(seed), lit(1000 + iter)), col("nbr"))
+      val rev = graph.select(col("nbr").as("id"), col("id").as("nbr"))
+        .withColumn("__rn", row_number().over(revW))
+        .filter(col("__rn") <= maxRev).drop("__rn")
+      // The neighbor's VECTOR rides on the hood row, so the pair is
+      // scored inline during the self-join on the common node — the
+      // candidate-grain volume (n·(k+maxRev)²/2 rows) never carries a
+      // vector through an exchange. The alternative (fetch both
+      // endpoint vectors per candidate via two id-keyed joins) shuffles
+      // dims·8 bytes per CANDIDATE instead of per hood row: at 5M
+      // vectors / k=maxRev=5 / dims=64 that is ~120 GB/round vs the
+      // hood's ~26 GB — the difference between a gate and a blowout.
+      val hood = fwd.unionByName(rev).distinct()
+        .join(vecs.select(col("id").as("nbr"), col("__nv")), Seq("nbr"))
+      val scored = hood.as("x").join(hood.as("y"),
+          col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("id_a"), col("y.nbr").as("id_b"),
+          Similarity.dot(col("x.__nv"), col("y.__nv")).as("cosine"))
+      // one distinct at the directed grain dedups both multi-witness
+      // candidates (same pair via several common nodes) and re-found
+      // existing edges (bit-identical cosine: same kernel, same inputs)
+      val merged = symmetrize(scored)
+        .unionByName(graph.select(col("id"), col("nbr"), col("cosine")))
+        .distinct()
+      val next = topkOf(merged, k, idType).localCheckpoint(true)
+      if (earlyStop)
+        live = !next.select("id", "nbr")
+          .join(graph.select(col("id"), col("nbr")), Seq("id", "nbr"),
+            "left_anti")
+          .isEmpty
+      graph = next
+      iter += 1
+    }
+    graph.select(col("id"), col("nbr").as("neighbor_id"),
+      col("cosine"), col("rank"))
+  }
+
+  /** Query-time ANN over a prebuilt k-NN graph (the HNSW/DiskANN
+    * serving shape, flattened to joins): start every query at
+    * `entries` seeded entry points, then `hops` rounds of
+    * expand-score-prune — frontier joins the graph's adjacency, newly
+    * reached nodes are scored against the query (anti-join keeps each
+    * (query, node) scored exactly once), and the best `beam` new
+    * nodes per query become the next frontier. Returns exact-shape
+    * (query_id, neighbor_id, cosine, rank) top-k over everything
+    * visited, self-matches excluded (same contract as
+    * [[Similarity.bruteForceTopK]], so the two are directly
+    * comparable).
+    *
+    * Queries broadcast (same bounded-query-set assumption as every
+    * topK path here); the graph and corpus shuffle only on node id.
+    * Per-hop frontier volume is |queries| × beam × k — independent of
+    * corpus size, which is what makes graph serving the right shape
+    * at 10^9+ rows: total scored pairs per query ≈ entries +
+    * hops·beam·k versus n for brute force.
+    *
+    * Entry points are the `entries` globally smallest xxhash64(id) —
+    * a top-n over a hash (orderBy + limit of a tiny prefix), NOT a
+    * data-dependent sort of the corpus.
+    *
+    * '''Connectivity''': a pure k-NN graph over well-separated
+    * clusters is DISCONNECTED (every neighbor is in-cluster), so a
+    * walk can never leave the entry points' clusters — recall drops
+    * to zero for any query whose cluster drew no entry point. HNSW
+    * solves this with hierarchy layers and Vamana with α-pruned
+    * long-range edges; the Spark-shaped equivalent here is
+    * `bridgeRounds` rounds of deterministic small-world bridges
+    * (Watts–Strogatz-style long links): each round hashes nodes into
+    * expected-size-2 buckets and stars members to the bucket min —
+    * a random near-matching, ~n edges/round, whose union over 3
+    * rounds is connected with high probability. Bridges live only in
+    * the SEARCH adjacency (the built graph's "k nearest" contract
+    * stays clean) and bridge targets score low, but the beam always
+    * advances through the best `beam` fresh nodes, so the walk
+    * crosses a bridge whenever nothing better is left to expand.
+    */
+  def searchGraph(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, beam: Int = 8,
+                  hops: Int = 3, entries: Int = 4, bridgeRounds: Int = 3,
+                  seed: Int = 42, corpusCount: Long = -1L): DataFrame = {
+    require(k >= 1 && beam >= 1 && entries >= 1,
+      s"k/beam/entries must be >= 1, got $k/$beam/$entries")
+    val idType = corpus.schema(idCol).dataType
+    val vecs = normalized(corpus, idCol, vecCol).localCheckpoint(true)
+    val knn = graph.select(col("id"), col("neighbor_id").as("nbr"))
+    val adj = if (bridgeRounds <= 0) knn else {
+      val n = if (corpusCount >= 0) corpusCount else vecs.count()
+      val nB = math.max(1L, n / 2)
+      val bridges = (0 until bridgeRounds).map { j =>
+        val b = vecs.select(col("id"),
+          pmod(xxhash64(col("id"), lit(seed), lit(7000 + j)), lit(nB))
+            .as("__b"))
+        b.join(b.groupBy("__b").agg(min(col("id")).as("hub")), Seq("__b"))
+          .filter(col("id") =!= col("hub"))
+          .select(col("id"), col("hub").as("nbr"))
+      }.reduce(_ unionByName _)
+      knn.unionByName(bridges)
+        .unionByName(bridges.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct()
+    }
+    val qv = broadcast(normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("__nv").as("__qv")))
+
+    val entryPts = vecs.select(col("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(entries)
+
+    def scoreNodes(qnode: DataFrame): DataFrame = qnode
+      .join(vecs.select(col("id").as("node"), col("__nv")), Seq("node"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("node"),
+        Similarity.dot(col("__qv"), col("__nv")).as("cosine"))
+
+    var visited = scoreNodes(
+        qv.select(col("query_id")).crossJoin(entryPts.select(col("id").as("node"))))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("query_id"), col("node"))
+
+    var hop = 0
+    var live = true
+    while (hop < hops && live) {
+      val reached = frontier.join(adj, frontier("node") === adj("id"))
+        .select(col("query_id"), col("nbr").as("node")).distinct()
+      val fresh = reached.join(visited.select(col("query_id"), col("node")),
+        Seq("query_id", "node"), "left_anti")
+      val scored = scoreNodes(fresh).localCheckpoint(true)
+      live = !scored.isEmpty
+      if (live) {
+        visited = visited.unionByName(scored).localCheckpoint(true)
+        val beamW = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("node"))
+        frontier = scored.withColumn("__rn", row_number().over(beamW))
+          .filter(col("__rn") <= beam).select(col("query_id"), col("node"))
+      }
+      hop += 1
+    }
+    Similarity.rankTopK(
+      visited.filter(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"), col("cosine")),
+      k, idType)
+  }
+}

@@ -47,7 +47,7 @@ object Similarity {
     * id (every graft table id is int64); `idType` restores the original
     * column type. Same pattern as [[Sampling.topKPerStratum]].
     */
-  private def rankTopK(scored: DataFrame, k: Int,
+  private[operators] def rankTopK(scored: DataFrame, k: Int,
                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
     def topk(key: Column, id: Column): Column = ColumnBridge.column(

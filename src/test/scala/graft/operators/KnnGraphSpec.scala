@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** NN-Descent k-NN graph + graph-routed beam search ([[KnnGraph]]):
+  * recall vs the exact brute-force graph on planted clusters, the
+  * by-construction invariants (degree cap, dense ranks, no self
+  * edges, determinism), per-iteration monotonicity, and the
+  * adversarial shapes (hub node, n <= k, zero vectors, singleton
+  * init buckets).
+  */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** `nClusters` tight clusters of `perCluster` unit-ish vectors in
+    * `dims` dims: member j of cluster c = basis(c) + small seeded
+    * jitter, so in-cluster cosine >> cross-cluster cosine.
+    */
+  private def clustered(nClusters: Int, perCluster: Int,
+                        dims: Int): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- 0 until nClusters; j <- 0 until perCluster) yield {
+      val v = Array.tabulate(dims) { d =>
+        (if (d == c) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()
+      }
+      (c.toLong * perCluster + j, v)
+    }
+    rows.toDF("vec_id", "v")
+  }
+
+  private def recallVsExact(ann: DataFrame, exact: DataFrame): Double = {
+    val hits = ann.select(col("id").as("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / exact.count()
+  }
+
+  test("nnDescent recovers the exact graph on planted clusters") {
+    val df = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 5, iterations = 3)
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "v", k = 5)
+    assert(recallVsExact(g, exact) >= 0.95)
+  }
+
+  test("recall is non-decreasing per NN-Descent iteration") {
+    val df = clustered(nClusters = 8, perCluster = 12, dims = 10)
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "v", k = 5)
+    val recalls = (0 to 2).map { it =>
+      recallVsExact(
+        KnnGraph.nnDescent(df, "vec_id", "v", k = 5, iterations = it,
+          earlyStop = false), exact)
+    }
+    assert(recalls(0) <= recalls(1) + 1e-12 && recalls(1) <= recalls(2) + 1e-12,
+      recalls.toString)
+    assert(recalls(2) > recalls(0), recalls.toString)
+  }
+
+  test("graph invariants: degree <= k, dense ranks, no self edges, no dup neighbors") {
+    val df = clustered(nClusters = 5, perCluster = 9, dims = 6)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 4, iterations = 2)
+      .cache()
+    assert(g.filter(col("id") === col("neighbor_id")).isEmpty)
+    val perNode = g.groupBy("id").agg(
+      count(lit(1)).as("deg"),
+      countDistinct("neighbor_id").as("ndn"),
+      max("rank").as("maxr"),
+      countDistinct("rank").as("ndr"))
+    assert(perNode.filter(col("deg") > 4).isEmpty)
+    assert(perNode.filter(col("ndn") =!= col("deg")).isEmpty)
+    assert(perNode.filter(col("maxr") =!= col("deg") ||
+      col("ndr") =!= col("deg")).isEmpty)
+    // every node has an entry (init singletons get filled by reverse edges)
+    assert(perNode.count() === df.count())
+    g.unpersist()
+  }
+
+  test("deterministic: two runs produce the identical edge set") {
+    val df = clustered(nClusters = 4, perCluster = 8, dims = 6)
+    def run() = KnnGraph.nnDescent(df, "vec_id", "v", k = 3, iterations = 2)
+      .select("id", "neighbor_id", "rank")
+    assert(run().exceptAll(run()).isEmpty)
+    assert(run().count() > 0)
+  }
+
+  test("n <= k+1: every node links to all others") {
+    val df = clustered(nClusters = 1, perCluster = 3, dims = 4)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 5, iterations = 2)
+    assert(g.count() === 3L * 2) // complete digraph on 3 nodes
+  }
+
+  test("zero vectors don't crash and score 0 against everything") {
+    val df = Seq(
+      (0L, Array(0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0))).toDF("vec_id", "v")
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 2, iterations = 2)
+    val zeroEdges = g.filter(col("id") === 0L).collect()
+    assert(zeroEdges.forall(_.getAs[Double]("cosine") == 0.0))
+  }
+
+  test("hub node: maxReverse caps candidate growth but hub stays reachable") {
+    // one vector near-identical to everything (a hub) + 3 clusters
+    val base = clustered(nClusters = 3, perCluster = 8, dims = 4)
+    val hub = Seq((999L, Array(0.5, 0.5, 0.5, 0.5))).toDF("vec_id", "v")
+    val df = base.unionByName(hub)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 3, iterations = 3,
+      maxReverse = 2)
+    assert(g.filter(col("id") === 999L).count() === 3)
+  }
+
+  test("searchGraph matches brute force on planted clusters") {
+    // the adversarial shape for graph serving: tight well-separated
+    // clusters make the k-NN graph DISCONNECTED, so this passes only
+    // because the small-world bridges connect it (see the bridge test)
+    val df = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 6, iterations = 3)
+    val q = df.filter(col("vec_id") < 6)
+    val found = KnnGraph.searchGraph(g, df, q, "vec_id", "v", k = 3,
+      beam = 6, hops = 5, entries = 3)
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 3)
+    val hits = found.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    assert(hits.toDouble / exact.count() >= 0.8)
+    // shape: dense ranks, no self matches
+    assert(found.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    val shape = found.groupBy("query_id").agg(max("rank").as("m"),
+      count(lit(1)).as("c"))
+    assert(shape.filter(col("m") =!= col("c") || col("c") > 3).isEmpty)
+  }
+
+  test("bridges are what connect a clustered k-NN graph (flaw pinned)") {
+    // without bridges, a beam walk cannot leave the entry points'
+    // clusters: recall collapses for queries in unreached clusters.
+    // This pins WHY bridgeRounds exists — if a future change makes the
+    // no-bridge run pass, the planted shape stopped being adversarial
+    // and the bridge layer needs a new justification.
+    val df = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 6, iterations = 3)
+    val q = df.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "v", k = 3)
+    def recall(bridgeRounds: Int): Double = {
+      val found = KnnGraph.searchGraph(g, df, q, "vec_id", "v", k = 3,
+        beam = 6, hops = 5, entries = 3, bridgeRounds = bridgeRounds)
+      found.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / exact.count()
+    }
+    assert(recall(0) < recall(3), s"${recall(0)} vs ${recall(3)}")
+  }
+
+  test("searchGraph determinism and k > visited degeneracy") {
+    val df = clustered(nClusters = 2, perCluster = 4, dims = 4)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 2, iterations = 2)
+    val q = df.filter(col("vec_id") === 0L)
+    def run() = KnnGraph.searchGraph(g, df, q, "vec_id", "v", k = 50,
+      beam = 2, hops = 2, entries = 2)
+    val a = run().collect()
+    val b = run().collect()
+    assert(a.toSeq === b.toSeq)
+    // k=50 asks for more than exist: returns at most n-1 rows, all distinct
+    assert(a.length <= 7 && a.map(_.getAs[Long]("neighbor_id")).distinct.length === a.length)
+  }
+}
