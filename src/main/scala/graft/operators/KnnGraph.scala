@@ -79,12 +79,18 @@ object KnnGraph {
         .as("__nv"))
   }
 
-  /** (id, nbr, cosine) directed edges -> per-id top-k with dense ranks. */
+  /** (id, nbr, cosine) directed edges -> per-id top-k with dense ranks.
+    * `dedup = true` ranks DISTINCT pairs, so duplicate-bearing unions
+    * flow straight into the map-side k-buffer — no candidate-grain
+    * distinct shuffle (the merged edge stream stays at n·k state per
+    * task regardless of how many duplicates the round generated).
+    */
   private def topkOf(directed: DataFrame, k: Int,
-                     idType: org.apache.spark.sql.types.DataType): DataFrame =
+                     idType: org.apache.spark.sql.types.DataType,
+                     dedup: Boolean = false): DataFrame =
     Similarity.rankTopK(
         directed.select(col("id").as("query_id"),
-          col("nbr").as("neighbor_id"), col("cosine")), k, idType)
+          col("nbr").as("neighbor_id"), col("cosine")), k, idType, dedup)
       .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
         col("cosine"), col("rank"))
 
@@ -102,14 +108,17 @@ object KnnGraph {
     */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int = 10, iterations: Int = 3, initRounds: Int = 2,
-                maxReverse: Int = 0, earlyStop: Boolean = true,
+                maxReverse: Int = 0, sampleRate: Double = 1.0,
+                earlyStop: Boolean = true,
                 seed: Int = 42, corpusCount: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
     val idType = corpus.schema(idCol).dataType
     val maxRev = if (maxReverse > 0) maxReverse else k
     val vecs = normalized(corpus, idCol, vecCol).localCheckpoint(true)
     val n = if (corpusCount >= 0) corpusCount else vecs.count()
-    val nBuckets = math.max(1L, n / math.max(2L, 2L * (k + 1L)))
+    val nBuckets = math.max(1L, n / math.max(2L, k + 1L))
 
     def symmetrize(scored: DataFrame): DataFrame =
       scored.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine"))
@@ -117,29 +126,55 @@ object KnnGraph {
           col("id_a").as("nbr"), col("cosine")))
 
     // Init: intra-bucket pairs, scored during the bucket self-join (the
-    // vectors are already on both sides — no second fetch).
-    val initScored = (0 until math.max(1, initRounds)).map { r =>
-      val b = vecs.withColumn("__b",
-        pmod(xxhash64(col("id"), lit(seed), lit(r)), lit(nBuckets)))
+    // vectors are already on both sides — no second fetch). All rounds
+    // ride ONE self-join: each node explodes into its per-round bucket
+    // keys (round in the key), so initRounds costs one exchange, not
+    // one per round; expected bucket size k+1 gives each node ~k scored
+    // candidates per round — enough to seed every slot without paying
+    // the 4x-overkill 2(k+1)² of a doubled bucket. Cross-round
+    // duplicate pairs are dropped by the dedup top-k aggregate.
+    val initScored = {
+      val b = vecs.select(col("id"), col("__nv"), explode(array(
+          (0 until math.max(1, initRounds)).map(r =>
+            concat_ws(":", lit(r),
+              pmod(xxhash64(col("id"), lit(seed), lit(r)), lit(nBuckets))))
+            : _*)).as("__b"))
       b.as("l").join(b.as("r"),
           col("l.__b") === col("r.__b") && col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
           Similarity.dot(col("l.__nv"), col("r.__nv")).as("cosine"))
-    }.reduce(_ unionByName _).distinct()
+    }
 
-    var graph = topkOf(symmetrize(initScored), k, idType).localCheckpoint(true)
+    // __new marks edges adopted in the latest round (all of init's are):
+    // only candidate pairs touching >= 1 new edge get scored (the
+    // paper's incremental-join trick — converged neighborhoods stop
+    // contributing work, which is most of them after round 2).
+    var graph = topkOf(symmetrize(initScored), k, idType, dedup = true)
+      .withColumn("__new", lit(true)).localCheckpoint(true)
 
     var iter = 0
     var live = true
     while (iter < iterations && live) {
-      val fwd = graph.select(col("id"), col("nbr"))
+      val fwd = graph.select(col("id"), col("nbr"), col("__new"))
       // Reverse-degree cap: hash-ordered row_number inside each node's
       // reverse list — a PARTITIONED window (never a global sort).
       val revW = Window.partitionBy("id")
         .orderBy(xxhash64(col("nbr"), lit(seed), lit(1000 + iter)), col("nbr"))
-      val rev = graph.select(col("nbr").as("id"), col("id").as("nbr"))
+      val rev = graph.select(col("nbr").as("id"), col("id").as("nbr"),
+          col("__new"))
         .withColumn("__rn", row_number().over(revW))
         .filter(col("__rn") <= maxRev).drop("__rn")
+      // mutual edges appear in both directions: collapse to one hood row
+      // (new if either witness is new) before attaching vectors
+      val hoodIds = fwd.unionByName(rev)
+        .groupBy("id", "nbr").agg(max(col("__new")).as("__new"))
+      // candidate sampling (the paper's ρ): thins each neighborhood by a
+      // seeded hash BEFORE pair generation — quadratic work scales by ρ²
+      val sampled =
+        if (sampleRate >= 1.0) hoodIds
+        else hoodIds.filter(
+          pmod(xxhash64(col("id"), col("nbr"), lit(seed), lit(iter)),
+            lit(1000000L)) < lit((sampleRate * 1000000L).toLong))
       // The neighbor's VECTOR rides on the hood row, so the pair is
       // scored inline during the self-join on the common node — the
       // candidate-grain volume (n·(k+maxRev)²/2 rows) never carries a
@@ -148,24 +183,28 @@ object KnnGraph {
       // dims·8 bytes per CANDIDATE instead of per hood row: at 5M
       // vectors / k=maxRev=5 / dims=64 that is ~120 GB/round vs the
       // hood's ~26 GB — the difference between a gate and a blowout.
-      val hood = fwd.unionByName(rev).distinct()
+      val hood = sampled
         .join(vecs.select(col("id").as("nbr"), col("__nv")), Seq("nbr"))
       val scored = hood.as("x").join(hood.as("y"),
-          col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr"))
+          col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr") &&
+            (col("x.__new") || col("y.__new")))
         .select(col("x.nbr").as("id_a"), col("y.nbr").as("id_b"),
           Similarity.dot(col("x.__nv"), col("y.__nv")).as("cosine"))
-      // one distinct at the directed grain dedups both multi-witness
-      // candidates (same pair via several common nodes) and re-found
-      // existing edges (bit-identical cosine: same kernel, same inputs)
+      // merge WITHOUT a distinct: the dedup top-k aggregate drops both
+      // multi-witness duplicates (same pair via several common nodes —
+      // bit-identical cosine: same kernel, same inputs) and re-found
+      // existing edges inside its map-side k-buffer, so the only
+      // exchange at this grain carries n·k aggregate states
       val merged = symmetrize(scored)
         .unionByName(graph.select(col("id"), col("nbr"), col("cosine")))
-        .distinct()
-      val next = topkOf(merged, k, idType).localCheckpoint(true)
-      if (earlyStop)
-        live = !next.select("id", "nbr")
-          .join(graph.select(col("id"), col("nbr")), Seq("id", "nbr"),
-            "left_anti")
-          .isEmpty
+      val next = topkOf(merged, k, idType, dedup = true)
+        .join(graph.select(col("id"), col("nbr"))
+          .withColumn("__old", lit(true)), Seq("id", "nbr"), "left")
+        .select(col("id"), col("nbr"), col("cosine"), col("rank"),
+          coalesce(col("__old"), lit(false)).unary_!.as("__new"))
+        .localCheckpoint(true)
+      // one limit-1 probe on the already-materialized frame
+      if (earlyStop) live = !next.filter(col("__new")).isEmpty
       graph = next
       iter += 1
     }
@@ -221,28 +260,36 @@ object KnnGraph {
     val idType = corpus.schema(idCol).dataType
     val vecs = normalized(corpus, idCol, vecCol).localCheckpoint(true)
     val knn = graph.select(col("id"), col("neighbor_id").as("nbr"))
-    val adj = if (bridgeRounds <= 0) knn else {
+    val adj = (if (bridgeRounds <= 0) knn else {
       val n = if (corpusCount >= 0) corpusCount else vecs.count()
       val nB = math.max(1L, n / 2)
-      val bridges = (0 until bridgeRounds).map { j =>
-        val b = vecs.select(col("id"),
-          pmod(xxhash64(col("id"), lit(seed), lit(7000 + j)), lit(nB))
-            .as("__b"))
-        b.join(b.groupBy("__b").agg(min(col("id")).as("hub")), Seq("__b"))
-          .filter(col("id") =!= col("hub"))
-          .select(col("id"), col("hub").as("nbr"))
-      }.reduce(_ unionByName _)
+      // all rounds in ONE pass: explode each node into its per-round
+      // buckets, one groupBy for every round's hub at once (round rides
+      // in the key) — 1 shuffle instead of 2 per round
+      val b = vecs.select(col("id"), explode(array(
+          (0 until bridgeRounds).map(j =>
+            concat_ws(":", lit(j),
+              pmod(xxhash64(col("id"), lit(seed), lit(7000 + j)), lit(nB))))
+            : _*)).as("__b"))
+      val bridges = b
+        .join(b.groupBy("__b").agg(min(col("id")).as("hub")), Seq("__b"))
+        .filter(col("id") =!= col("hub"))
+        .select(col("id"), col("hub").as("nbr"))
+      // no distinct: duplicate adjacency rows only duplicate `reached`
+      // candidates, which dedup per hop anyway
       knn.unionByName(bridges)
         .unionByName(bridges.select(col("nbr").as("id"), col("id").as("nbr")))
-        .distinct()
-    }
+    }).localCheckpoint(true)
     val qv = broadcast(normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("__nv").as("__qv")))
 
     val entryPts = vecs.select(col("id"))
       .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(entries)
 
-    def scoreNodes(qnode: DataFrame): DataFrame = qnode
+    // the (query, node) work set is <= |queries| x beam x k rows at any
+    // corpus size — ALWAYS the broadcast side; the corpus/adjacency
+    // tables stream without a per-hop shuffle
+    def scoreNodes(qnode: DataFrame): DataFrame = broadcast(qnode)
       .join(vecs.select(col("id").as("node"), col("__nv")), Seq("node"))
       .join(qv, Seq("query_id"))
       .select(col("query_id"), col("node"),
@@ -256,14 +303,17 @@ object KnnGraph {
     var hop = 0
     var live = true
     while (hop < hops && live) {
-      val reached = frontier.join(adj, frontier("node") === adj("id"))
+      val reached = broadcast(frontier).join(adj, frontier("node") === adj("id"))
         .select(col("query_id"), col("nbr").as("node")).distinct()
-      val fresh = reached.join(visited.select(col("query_id"), col("node")),
-        Seq("query_id", "node"), "left_anti")
+      val fresh = reached
+        .join(broadcast(visited.select(col("query_id"), col("node"))),
+          Seq("query_id", "node"), "left_anti")
       val scored = scoreNodes(fresh).localCheckpoint(true)
       live = !scored.isEmpty
       if (live) {
-        visited = visited.unionByName(scored).localCheckpoint(true)
+        // lazy union of per-hop CHECKPOINTED frames: lineage stays one
+        // union node per hop — no re-materialization of the whole set
+        visited = visited.unionByName(scored)
         val beamW = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("node"))
         frontier = scored.withColumn("__rn", row_number().over(beamW))

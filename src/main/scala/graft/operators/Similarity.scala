@@ -48,10 +48,12 @@ object Similarity {
     * column type. Same pattern as [[Sampling.topKPerStratum]].
     */
   private[operators] def rankTopK(scored: DataFrame, k: Int,
-                       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+                       idType: org.apache.spark.sql.types.DataType,
+                       dedup: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, TopKPairsAgg}
     def topk(key: Column, id: Column): Column = ColumnBridge.column(
-      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k)
+      TopKPairsAgg(ColumnBridge.expression(key), ColumnBridge.expression(id), k,
+          dedup)
         .toAggregateExpression())
     scored
       .select(col("query_id"), (-col("cosine")).as("__negcos"),

@@ -39,6 +39,27 @@ private[graft] final class TopKPairsBuf(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
+  /** Insert unless the exact (key, id) pair is already buffered — the
+    * top-k-of-DISTINCT-pairs semantics (order-independent: a duplicate of
+    * an EVICTED pair is rejected by the same root comparison that evicted
+    * it). O(size) membership scan; k is small, the scan runs only for
+    * pairs that beat the root. This is what lets a caller feed a
+    * duplicate-bearing union straight into the aggregate instead of
+    * paying a full-shuffle distinct at candidate grain first
+    * (KnnGraph.nnDescent's merge step).
+    */
+  def insertDistinct(key: Double, id: Long): Unit = {
+    if (size == k && !less(key, id, keys(0), ids(0))) return
+    var i = 0
+    while (i < size) {
+      // Double.compare, not ==: keeps dedup equality consistent with the
+      // heap's ordering (distinguishes -0.0 from 0.0, equates NaNs)
+      if (ids(i) == id && java.lang.Double.compare(keys(i), key) == 0) return
+      i += 1
+    }
+    insert(key, id)
+  }
+
   def insert(key: Double, id: Long): Unit = {
     if (size < k) {
       keys(size) = key; ids(size) = id; size += 1
@@ -86,9 +107,14 @@ private[graft] final class TopKPairsBuf(val k: Int) {
 /** Exact top-k of (key double, id long) pairs by ascending (key, id):
   * emits array<struct<_1: double, _2: long>> sorted ascending — the same
   * shape the previous Seq[(Double, Long)] Aggregator produced.
+  *
+  * `dedup = true` switches to top-k of DISTINCT pairs (see
+  * [[TopKPairsBuf.insertDistinct]]) so duplicate-bearing inputs need no
+  * upstream distinct; default false keeps the zero-overhead multiset
+  * path for the (duplicate-free) ranking callers.
   */
 case class TopKPairsAgg(
-    key: Expression, id: Expression, k: Int,
+    key: Expression, id: Expression, k: Int, dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairsBuf] {
 
@@ -104,14 +130,19 @@ case class TopKPairsAgg(
   override def update(buf: TopKPairsBuf, input: InternalRow): TopKPairsBuf = {
     val kv = key.eval(input)
     val iv = id.eval(input)
-    if (kv != null && iv != null)
-      buf.insert(kv.asInstanceOf[Double], iv.asInstanceOf[Long])
+    if (kv != null && iv != null) {
+      if (dedup) buf.insertDistinct(kv.asInstanceOf[Double], iv.asInstanceOf[Long])
+      else buf.insert(kv.asInstanceOf[Double], iv.asInstanceOf[Long])
+    }
     buf
   }
 
   override def merge(buf: TopKPairsBuf, other: TopKPairsBuf): TopKPairsBuf = {
     var i = 0
-    while (i < other.size) { buf.insert(other.keys(i), other.ids(i)); i += 1 }
+    if (dedup)
+      while (i < other.size) { buf.insertDistinct(other.keys(i), other.ids(i)); i += 1 }
+    else
+      while (i < other.size) { buf.insert(other.keys(i), other.ids(i)); i += 1 }
     buf
   }
 
