@@ -155,6 +155,29 @@ object Profile {
             .localCheckpoint(true))
         println(s"[prof] labeled: ${labels.count()}; " +
           s"components: ${labels.select("component").distinct().count()}")
+      case "knn" =>
+        // q_knn_graph decomposition: init vs per-iteration cost of the
+        // NN-Descent build at bench shape (r11)
+        import operators.KnnGraph
+        val e = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 50000)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val n = e.count()
+        println(s"[prof] corpus vectors: $n")
+        // warm one tiny end-to-end first so codegen is out of the numbers
+        KnnGraph.nnDescent(e.limit(200), "vec_id", "v", k = 3,
+          iterations = 1, earlyStop = false).count()
+        var prev = 0.0
+        for (it <- Seq(0, 1, 2, 3)) {
+          val t0 = System.nanoTime()
+          val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 20,
+            iterations = it, earlyStop = false, corpusCount = n)
+          val edges = g.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] it=$it total ${secs}%.2f s (delta ${secs - prev}%.2f s), edges $edges")
+          prev = secs
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class ScratchRecallSpec extends SparkSpec {
+  test("nnDescent sf1 phase profile") {
+    val dir = "/root/repo/target/sf1"
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SPLIT $name ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v").localCheckpoint(true)
+    val n = e.count()
+    println(s"n=$n")
+    for (thr <- Seq("128", "2000000")) {
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thr)
+      t(s"thr=$thr it0") {
+        KnnGraph.nnDescent(e, "vec_id", "v", k = 20, iterations = 0,
+          earlyStop = false, corpusCount = n).count()
+      }
+      t(s"thr=$thr it1") {
+        KnnGraph.nnDescent(e, "vec_id", "v", k = 20, iterations = 1,
+          earlyStop = false, corpusCount = n).count()
+      }
+      t(s"thr=$thr it3") {
+        KnnGraph.nnDescent(e, "vec_id", "v", k = 20, iterations = 3,
+          earlyStop = false, corpusCount = n).count()
+      }
+    }
+  }
+}
