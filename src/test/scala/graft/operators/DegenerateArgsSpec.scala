@@ -499,6 +499,33 @@ class DegenerateArgsSpec extends SparkSpec {
     assert(!p.isNaN && fs.forall(f => !f.m.isNaN && !f.u.isNaN))
   }
 
+  // ---- KnnGraph ----------------------------------------------------------
+  test("KnnGraph: empty corpus, single row, boundary params") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")
+    assert(KnnGraph.nnDescent(empty, "vec_id", "v", k = 3, iterations = 1)
+      .count() == 0)
+    // a single row has no possible neighbor: empty graph, no throw
+    val one = Seq((7L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    val g1 = KnnGraph.nnDescent(one, "vec_id", "v", k = 3, iterations = 2)
+    assert(g1.count() == 0)
+    // searching an empty graph still answers from the entry points
+    val two = Seq((7L, Array(1.0, 0.0)), (8L, Array(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val q = two.filter(col("vec_id") === 7L)
+    val found = KnnGraph.searchGraph(g1.limit(0), two, q, "vec_id", "v",
+      k = 2, beam = 2, hops = 2, entries = 2)
+    assert(found.count() == 1 && found.head().getAs[Long]("neighbor_id") == 8L)
+    intercept[IllegalArgumentException] {
+      KnnGraph.nnDescent(two, "vec_id", "v", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      KnnGraph.nnDescent(two, "vec_id", "v", k = 3, sampleRate = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      KnnGraph.searchGraph(g1, two, q, "vec_id", "v", k = 2, beam = 0)
+    }
+  }
+
   // ---- AsOfJoin ----------------------------------------------------------
   test("AsOfJoin: empty right side yields null payloads") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
