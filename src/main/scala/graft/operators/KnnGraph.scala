@@ -326,4 +326,47 @@ object KnnGraph {
         .select(col("query_id"), col("node").as("neighbor_id"), col("cosine")),
       k, idType)
   }
+
+  /** Incremental insert — the HNSW/DiskANN "add a batch without
+    * rebuilding" primitive, which is what makes a k-NN graph a viable
+    * index for a corpus that grows daily: each new vector finds its
+    * neighborhood by [[searchGraph]] (graph-routed, per-query work
+    * independent of corpus size), new-vs-new links come from one
+    * brute-force pass over the bounded batch, and the union of
+    * (new→found, found→new, new→new, existing) edges re-ranks through
+    * the dedup top-k aggregate — affected old nodes' k-lists admit the
+    * new arrivals, untouched nodes re-emit their lists unchanged.
+    * Returns the full updated graph (same shape as [[nnDescent]]).
+    *
+    * The batch rides the same bounded-query-set assumption as every
+    * search path here (broadcast); the corpus-side cost is one scan +
+    * the node-grain re-rank. Batch ids must be disjoint from corpus
+    * ids. An empty batch returns the input graph's edges unchanged.
+    */
+  def insertIncremental(graph: DataFrame, corpus: DataFrame,
+                        batch: DataFrame, idCol: String, vecCol: String,
+                        k: Int, beam: Int = 8, hops: Int = 3,
+                        entries: Int = 4, bridgeRounds: Int = 3,
+                        seed: Int = 42, corpusCount: Long = -1L): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    // new -> existing neighborhoods via the serving path (k candidates
+    // each; searchGraph already excludes self-matches)
+    val found = searchGraph(graph, corpus, batch, idCol, vecCol, k = k,
+      beam = beam, hops = hops, entries = entries,
+      bridgeRounds = bridgeRounds, seed = seed, corpusCount = corpusCount)
+    // new -> new links: exact over the bounded batch
+    val intra = Similarity.bruteForceTopK(batch, batch, idCol, vecCol, k = k)
+    val newDirected = found.unionByName(intra)
+      .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
+        col("cosine"))
+    val merged = newDirected
+      // reverse edges let affected OLD nodes admit the new arrivals
+      .unionByName(newDirected.select(col("nbr").as("id"),
+        col("id").as("nbr"), col("cosine")))
+      .unionByName(graph.select(col("id"),
+        col("neighbor_id").as("nbr"), col("cosine")))
+    topkOf(merged, k, idType, dedup = true)
+      .select(col("id"), col("nbr").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
 }
