@@ -39,25 +39,51 @@ private[graft] final class TopKPairsBuf(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
-  /** Insert unless the exact (key, id) pair is already buffered — the
-    * top-k-of-DISTINCT-pairs semantics (order-independent: a duplicate of
-    * an EVICTED pair is rejected by the same root comparison that evicted
-    * it). O(size) membership scan; k is small, the scan runs only for
-    * pairs that beat the root. This is what lets a caller feed a
-    * duplicate-bearing union straight into the aggregate instead of
-    * paying a full-shuffle distinct at candidate grain first
-    * (KnnGraph.nnDescent's merge step).
+  /** Insert with per-ID dedup (keep-best): top-k of DISTINCT IDS. A
+    * repeated id keeps its smallest key, making the result the top-k
+    * over per-id best values — independent of arrival order (a
+    * duplicate of an EVICTED id is rejected by the same root comparison
+    * that evicted it). O(size) membership scan; k is small and the scan
+    * runs only when the buffer might admit the key. This is what lets a
+    * caller feed a duplicate-bearing union straight into the aggregate
+    * instead of paying a full-shuffle distinct at candidate grain first
+    * (KnnGraph.nnDescent's merge step) — and per-ID, not per-(key, id),
+    * because the same logical pair can arrive with FP-divergent scores
+    * from different formulations (raw dot/(na*nb) vs dot of
+    * pre-normalized vectors): pair-grain dedup kept both and emitted a
+    * duplicate neighbor (caught by an impossible recall > 1 in the
+    * insertIncremental measurement).
     */
   def insertDistinct(key: Double, id: Long): Unit = {
-    if (size == k && !less(key, id, keys(0), ids(0))) return
     var i = 0
     while (i < size) {
-      // Double.compare, not ==: keeps dedup equality consistent with the
-      // heap's ordering (distinguishes -0.0 from 0.0, equates NaNs)
-      if (ids(i) == id && java.lang.Double.compare(keys(i), key) == 0) return
+      if (ids(i) == id) {
+        if (java.lang.Double.compare(key, keys(i)) < 0) {
+          // better key for a buffered id: shrink in place, then restore
+          // the max-heap by sifting the smaller entry toward the leaves
+          keys(i) = key
+          siftDown(i)
+        }
+        return
+      }
       i += 1
     }
+    if (size == k && !less(key, id, keys(0), ids(0))) return
     insert(key, id)
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var pos = start
+    var done = false
+    while (!done) {
+      val l = 2 * pos + 1
+      val r = l + 1
+      var m = pos
+      if (l < size && less(keys(m), ids(m), keys(l), ids(l))) m = l
+      if (r < size && less(keys(m), ids(m), keys(r), ids(r))) m = r
+      if (m == pos) done = true
+      else { swap(m, pos); pos = m }
+    }
   }
 
   def insert(key: Double, id: Long): Unit = {

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Buffer-level pins for the dedup (per-ID keep-best) top-k mode —
+  * the property the operator layer relies on: feeding a
+  * duplicate-bearing stream (including the SAME logical pair with
+  * FP-divergent scores) yields the top-k over per-id best values,
+  * independent of arrival order.
+  */
+class TopKAggSpec extends AnyFunSuite {
+
+  private def drain(b: TopKPairsBuf): Seq[(Double, Long)] =
+    b.sortedIdx.toSeq.map(i => (b.keys(i), b.ids(i)))
+
+  test("duplicate id keeps the better (smaller) key") {
+    val b = new TopKPairsBuf(3)
+    b.insertDistinct(-0.8, 1L)
+    b.insertDistinct(-0.9, 1L) // better score, same id: replaces
+    b.insertDistinct(-0.7, 1L) // worse score, same id: ignored
+    assert(drain(b) === Seq((-0.9, 1L)))
+  }
+
+  test("per-id dedup result is arrival-order independent") {
+    val entries = Seq(
+      (-0.9, 1L), (-0.89999999999, 1L), // FP-divergent same pair
+      (-0.5, 2L), (-0.7, 3L), (-0.6, 4L), (-0.8, 5L), (-0.4, 2L))
+    val expected = Seq((-0.9, 1L), (-0.8, 5L), (-0.7, 3L))
+    for (perm <- entries.permutations.take(120)) {
+      val b = new TopKPairsBuf(3)
+      perm.foreach { case (k, i) => b.insertDistinct(k, i) }
+      assert(drain(b) === expected, perm.toString)
+    }
+  }
+
+  test("a duplicate of an evicted id stays evicted; distinct ids <= k") {
+    val b = new TopKPairsBuf(2)
+    for (i <- 1L to 5L) b.insertDistinct(-i.toDouble, i)
+    // top-2 = ids 5, 4; re-offering worse-scored evicted ids changes nothing
+    b.insertDistinct(-1.0, 1L)
+    b.insertDistinct(-2.0, 2L)
+    assert(drain(b) === Seq((-5.0, 5L), (-4.0, 4L)))
+    // an evicted id can re-enter with a genuinely better key
+    b.insertDistinct(-6.0, 1L)
+    assert(drain(b) === Seq((-6.0, 1L), (-5.0, 5L)))
+  }
+
+  test("merge of partial buffers dedups across buffers") {
+    val agg = TopKPairsAgg(null, null, 3, dedup = true)
+    val a = new TopKPairsBuf(3)
+    val b = new TopKPairsBuf(3)
+    a.insertDistinct(-0.9, 1L); a.insertDistinct(-0.5, 2L)
+    b.insertDistinct(-0.8999999, 1L); b.insertDistinct(-0.7, 3L)
+    val m = agg.merge(a, b)
+    assert(drain(m) === Seq((-0.9, 1L), (-0.7, 3L), (-0.5, 2L)))
+  }
+
+  test("non-dedup mode is untouched: duplicates occupy slots") {
+    val b = new TopKPairsBuf(3)
+    b.insert(-0.9, 1L); b.insert(-0.9, 1L); b.insert(-0.5, 2L)
+    assert(drain(b) === Seq((-0.9, 1L), (-0.9, 1L), (-0.5, 2L)))
+  }
+}
