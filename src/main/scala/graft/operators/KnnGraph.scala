@@ -80,7 +80,7 @@ object KnnGraph {
   }
 
   /** (id, nbr, cosine) directed edges -> per-id top-k with dense ranks.
-    * `dedup = true` ranks DISTINCT pairs, so duplicate-bearing unions
+    * `dedup = true` ranks DISTINCT ids (per-id keep-best), so duplicate-bearing unions
     * flow straight into the map-side k-buffer — no candidate-grain
     * distinct shuffle (the merged edge stream stays at n·k state per
     * task regardless of how many duplicates the round generated).
