@@ -221,6 +221,115 @@ class KnnGraphSpec extends SparkSpec {
     assert(g3.count() === g.count())
   }
 
+  test("init coverage is deterministic: singleton-bucket nodes still get edges") {
+    // k=1 + one init round puts nodes into expected-size-2 buckets:
+    // ~e^-2 of them land ALONE (deterministic for fixed ids/seed — the
+    // precondition below asserts the fixture really is adversarial).
+    // Before r12's rescue star such nodes entered the descent with zero
+    // edges and stayed invisible forever (r11 ADVICE, medium): reverse
+    // edges require someone already pointing at the node.
+    val df = clustered(nClusters = 10, perCluster = 10, dims = 6)
+    val nBuckets = 100L / 2L // the operator's formula: n / max(2, k+1)
+    val buckets = df.select(col("vec_id"),
+      pmod(xxhash64(col("vec_id"), lit(42), lit(0)), lit(nBuckets)).as("b"))
+    val singles = buckets.groupBy("b").count().filter(col("count") === 1)
+    val nIso = buckets.join(singles, Seq("b"), "left_semi").count()
+    assert(nIso > 0, "fixture no longer adversarial: no singleton init bucket")
+    // iterations = 0 isolates the init stage: coverage must already hold
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 1, iterations = 0,
+      initRounds = 1)
+    assert(g.select("id").distinct().count() === 100)
+  }
+
+  test("non-integral id columns fail loudly in every entry point") {
+    val sdf = Seq(("a", Array(1.0, 0.0)), ("b", Array(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val ldf = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val g = KnnGraph.nnDescent(ldf, "vec_id", "v", k = 1, iterations = 1)
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(KnnGraph.nnDescent(sdf, "vec_id", "v", k = 1))
+      .contains("integral"))
+    assert(msg(KnnGraph.searchGraph(g, sdf, sdf, "vec_id", "v", k = 1))
+      .contains("integral"))
+    assert(msg(KnnGraph.graphIndex(g, sdf, "vec_id", "v"))
+      .contains("integral"))
+    assert(msg(KnnGraph.insertIncremental(g, ldf, sdf, "vec_id", "v", k = 1))
+      .contains("integral"))
+    val idx = KnnGraph.graphIndex(g, ldf, "vec_id", "v")
+    assert(msg(KnnGraph.searchGraphIndexed(idx, sdf, "vec_id", "v", k = 1))
+      .contains("integral"))
+  }
+
+  test("insertIncremental rejects overlapping batch ids") {
+    val df = clustered(nClusters = 3, perCluster = 8, dims = 6)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 3, iterations = 1)
+    val ex = intercept[IllegalArgumentException] {
+      KnnGraph.insertIncremental(g, df, df.limit(2), "vec_id", "v", k = 3)
+    }
+    assert(ex.getMessage.contains("overlap"))
+    // validateIds = false skips the probe (caller-guaranteed disjointness)
+    val batch = df.limit(2).select((col("vec_id") + 5000L).as("vec_id"), col("v"))
+    assert(KnnGraph.insertIncremental(g, df, batch, "vec_id", "v", k = 3,
+      validateIds = false).count() > 0)
+  }
+
+  test("graphIndex round trip: indexed search is bit-identical to one-shot") {
+    val df = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 6, iterations = 2)
+    val q = df.filter(col("vec_id") < 6)
+    val oneShot = KnnGraph.searchGraph(g, df, q, "vec_id", "v", k = 3,
+      beam = 6, hops = 4, entries = 3)
+    val idx = KnnGraph.graphIndex(g, df, "vec_id", "v", entries = 3)
+    // index shape: one row per corpus vector, sorted distinct adjacency
+    assert(idx.count() === df.count())
+    assert(idx.filter(col("is_entry")).count() === 3)
+    val dir = java.nio.file.Files.createTempDirectory("gidx").toFile
+    try {
+      idx.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val loaded = spark.read.parquet(dir.getAbsolutePath)
+      val viaIndex = KnnGraph.searchGraphIndexed(loaded, q, "vec_id", "v",
+        k = 3, beam = 6, hops = 4)
+      // bit-identical both directions, cosine included (exceptAll is
+      // exact-equality set difference)
+      assert(viaIndex.count() > 0)
+      assert(viaIndex.exceptAll(oneShot).isEmpty)
+      assert(oneShot.exceptAll(viaIndex).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("insert refinement: refined recall >= beam-placement recall") {
+    // the r11 rebuild-parity measurement promoted to a pinned claim:
+    // refine rounds can only improve the inserted nodes' k-lists
+    // (monotone top-k merges), so recall vs exact must not drop.
+    val all = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val corpus = all.filter(col("vec_id") < 50)
+    val batch = all.filter(col("vec_id") >= 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 6, iterations = 3)
+    val full = corpus.unionByName(batch)
+    val exact = Similarity.bruteForceTopK(full, batch, "vec_id", "v", k = 5)
+      .cache()
+    def recallOf(refine: Int): Double = {
+      val g2 = KnnGraph.insertIncremental(g, corpus, batch, "vec_id", "v",
+        k = 6, refineRounds = refine)
+      g2.filter(col("id") >= 10000L && col("rank") <= 5)
+        .select(col("id").as("query_id"), col("neighbor_id"))
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / exact.count()
+    }
+    val beamOnly = recallOf(0)
+    val refined = recallOf(3)
+    assert(refined >= beamOnly - 1e-12, s"$refined vs $beamOnly")
+    exact.unpersist()
+  }
+
   test("searchGraph determinism and k > visited degeneracy") {
     val df = clustered(nClusters = 2, perCluster = 4, dims = 4)
     val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 2, iterations = 2)
