@@ -178,6 +178,57 @@ object Profile {
           println(f"[prof] it=$it total ${secs}%.2f s (delta ${secs - prev}%.2f s), edges $edges")
           prev = secs
         }
+      case "graphrecall" =>
+        // r12 gate-bar calibration: measured recall@5 of the three graph
+        // gates' exact configurations at this sfDir, so the raised bars
+        // (VERDICT r11 ask 5: ~half of measured) are set from data
+        import operators.{KnnGraph, Similarity}
+        val e = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 50000)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val n = e.count()
+        println(s"[prof] corpus vectors: $n")
+        def recall(ann: org.apache.spark.sql.DataFrame,
+                   exact: org.apache.spark.sql.DataFrame): Double = {
+          val ex = exact.localCheckpoint(true)
+          ann.select("query_id", "neighbor_id").distinct()
+            .join(ex.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id")).count().toDouble / ex.count()
+        }
+        val q = e.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+          .localCheckpoint(true)
+        // q_knn_graph config
+        val g20 = time("build k=20 it=3")(KnnGraph.nnDescent(e, "vec_id", "v",
+          k = 20, iterations = 3, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true))
+        val annB = g20.filter(col("id") < 20 && col("rank") <= 5)
+          .select(col("id").as("query_id"), col("neighbor_id"))
+        println(f"[prof] build recall@5: ${recall(annB, exact)}%.3f")
+        // q_graph_search config
+        val g16 = time("build k=16 it=2")(KnnGraph.nnDescent(e, "vec_id", "v",
+          k = 16, iterations = 2, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true))
+        val annS = KnnGraph.searchGraph(g16, e, q, "vec_id", "v", k = 5,
+          beam = 8, hops = 3, entries = 4, corpusCount = n)
+        println(f"[prof] search recall@5: ${recall(annS, exact)}%.3f")
+        // q_graph_insert config: hold out batch = vec_id < 25, build on the
+        // rest, insert, read the batch's rank<=5 prefix off the merged graph
+        val batch = e.filter(col("vec_id") < 25)
+        val corpus = e.filter(col("vec_id") >= 25)
+        val gI = time("build-minus-batch k=16 it=2")(KnnGraph.nnDescent(
+          corpus, "vec_id", "v", k = 16, iterations = 2, earlyStop = false,
+          corpusCount = n - 25).localCheckpoint(true))
+        for (refine <- Seq(0, 1, 2, 3)) {
+          val g2 = time(s"insert refine=$refine")(KnnGraph.insertIncremental(
+            gI, corpus, batch, "vec_id", "v", k = 16, refineRounds = refine,
+            corpusCount = n - 25, validateIds = false))
+          val annI = g2.filter(col("id") < 25 && col("rank") <= 5)
+            .select(col("id").as("query_id"), col("neighbor_id"))
+          val exI = Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
+          println(f"[prof] insert refine=$refine recall@5: ${recall(annI, exI)}%.3f")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -44,10 +44,17 @@ private[graft] object GateHelpers {
     * 10x" — measured margins 2.3x-67x across sf0.01/0.1). All inputs are
     * seed-fixed, so the booleans are deterministic; DuckDB reproduces
     * (n_queries, true, true, true).
+    *
+    * `minRecall` raises the recall bar to an ABSOLUTE floor on top of
+    * the chance-relative one (r11 VERDICT ask 5): the chance bar alone
+    * (10k/n) goes to ~0 as n grows, so a regression to a known bad
+    * operating point (e.g. the K=5 NN-Descent plateau at 0.29) could
+    * still pass. Gates with measured operating points pass ~half the
+    * measured recall at their scale; 0.0 keeps the old behavior.
     */
   private[graft] def annClaims(ann0: DataFrame, exact0: DataFrame, corpusCount: Column,
                         k: Int, scoreCol: String,
-                        ascending: Boolean): DataFrame = {
+                        ascending: Boolean, minRecall: Double = 0.0): DataFrame = {
     // The ann/exact subtrees are referenced by 2-3 claim branches each;
     // lazy plans re-execute per branch. r7 measured lazy as the win at
     // gate scale (parallel duplicate branches beat two checkpoint
@@ -89,7 +96,8 @@ private[graft] object GateHelpers {
         (col("__covered") === col("n_queries")).as("covered_ok"),
         (col("__shape_min") === 1).as("shape_ok"),
         (col("__hits").cast("double") / (col("n_queries") * k) >=
-          lit(10.0) * k / corpusCount).as("recall_ok"))
+          greatest(lit(10.0) * k / corpusCount, lit(minRecall)))
+          .as("recall_ok"))
   }
 
   // ---- media fixture synthesis (q_image_dedup / q_audio_dedup) ------------

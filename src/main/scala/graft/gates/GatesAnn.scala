@@ -323,9 +323,14 @@ private[graft] object GatesAnn {
     // rounds: on the 64-dim weakly-clustered driver embeddings,
     // NN-Descent's neighbor-of-neighbor signal needs breadth — K=5
     // converges to only 0.29 recall@5 even at 8 rounds, while K=20
-    // reaches 0.98/0.88 at sf0.01/sf0.1 in 3 (vs 10x-chance bars
-    // 0.1/0.01). Fixed 50k-vector slice: whole corpus at sf <= 1,
-    // bounded above so the O(n·K²) build can't dominate a sweep.
+    // reaches 0.98/0.88 at sf0.01/sf0.1 in 3. Fixed 50k-vector slice:
+    // whole corpus at sf <= 1, bounded above so the O(n·K²) build
+    // can't dominate a sweep.
+    // r12 (VERDICT ask 5): the 10x-chance bar is replaced by an
+    // absolute floor at ~half the measured operating point per scale —
+    // recall@5 measured 0.98 / 0.88 / 0.83 / 0.48 at n = 500 / 2k /
+    // 20k / 50k (Profile graphrecall, this round) — so the known-bad
+    // K=5 plateau (0.29) can no longer pass at gate scales.
     "q_knn_graph" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 50000)
@@ -339,18 +344,28 @@ private[graft] object GatesAnn {
           col("cosine"), col("rank"))
       val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
         "vec_id", "v", k = 5)
+      val bar = if (n <= 10000) 0.45 else if (n <= 30000) 0.40 else 0.20
       annClaims(ann, exact, lit(n.toDouble), k = 5, "cosine",
-        ascending = false)
+        ascending = false, minRecall = bar)
     }),
 
 
     // Graph-routed beam search over the NN-Descent graph (r11): the
     // HNSW/DiskANN serving shape — entry points + expand/score/prune
     // hops; per-query work is entries + hops*beam*k, independent of
-    // corpus size. Claims gate vs exact brute force: recall 0.94/0.59
-    // at sf0.01/sf0.1 on the cheaper k=16/2-round graph (bars
-    // 0.1/0.01) — search re-scores everything visited exactly, so it
-    // outperforms the graph's own top-5. Same 50k slice bound.
+    // corpus size. Claims gate vs exact brute force on the cheaper
+    // k=16/2-round graph — search re-scores everything visited
+    // exactly, so it outperforms the graph's own top-5. Same 50k slice
+    // bound. r12 serving-path upgrade: the gate routes through
+    // graphIndex + searchGraphIndexed (bit-identical to one-shot
+    // searchGraph, spec-pinned), exercising the persistable-index path
+    // the deployment shape actually uses.
+    // r12 bars (VERDICT ask 5): absolute floors at ~half the measured
+    // recall@5 = 0.94 / 0.59 / 0.40 / 0.17 at n = 500 / 2k / 20k / 50k
+    // (Profile graphrecall) — fixed per-query work against a growing
+    // corpus decays recall by design; brute-force is the right tool
+    // below ~10k vectors, the graph path wins past 10^7 where brute
+    // force is off the table.
     "q_graph_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 50000)
@@ -361,11 +376,52 @@ private[graft] object GatesAnn {
       val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 16, iterations = 2,
         earlyStop = false, corpusCount = n)
         .localCheckpoint(true)
-      val ann = KnnGraph.searchGraph(g, e, q, "vec_id", "v", k = 5,
-        beam = 8, hops = 3, entries = 4, corpusCount = n)
+      val index = KnnGraph.graphIndex(g, e, "vec_id", "v", entries = 4,
+        corpusCount = n).localCheckpoint(true)
+      val ann = KnnGraph.searchGraphIndexed(index, q, "vec_id", "v", k = 5,
+        beam = 8, hops = 3)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+      val bar = if (n <= 1000) 0.45
+                else if (n <= 10000) 0.25
+                else if (n <= 30000) 0.20 else 0.08
       annClaims(ann, exact, lit(n.toDouble), k = 5, "cosine",
-        ascending = false)
+        ascending = false, minRecall = bar)
+    }),
+
+
+    // Incremental graph insert (r12, VERDICT ask 1): the r11 headline
+    // primitive gets its own claims gate — build the k-NN graph on
+    // corpus-minus-batch, insert the held-out batch (disjoint ids by
+    // construction: the batch IS vec_id < 25, removed from the build),
+    // then gate the batch rows' rank<=5 prefix of the MERGED graph vs
+    // exact brute force over the full corpus. refineRounds=3 is the
+    // measured parity operating point (matches/beats a full rebuild);
+    // recall@5 measured 0.90 / 0.74 / 0.99 / 0.96 at n = 500 / 2k /
+    // 20k / 50k (Profile graphrecall) — bars at ~half. This also
+    // permanently pins the class of the r11 FP-divergent
+    // duplicate-neighbor bug, which was caught only by an ad-hoc
+    // rebuild-parity measurement.
+    "q_graph_insert" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50000)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val batch = e.filter(col("vec_id") < 25)
+      val corpus = e.filter(col("vec_id") >= 25)
+      val n = e.count()
+      val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 16,
+        iterations = 2, earlyStop = false, corpusCount = n - 25)
+        .localCheckpoint(true)
+      val merged = KnnGraph.insertIncremental(g, corpus, batch, "vec_id",
+        "v", k = 16, refineRounds = 3, corpusCount = n - 25,
+        validateIds = false) // disjoint by construction (partition of e)
+      val ann = merged.filter(col("id") < 25 && col("rank") <= 5)
+        .select(col("id").as("query_id"), col("neighbor_id"),
+          col("cosine"), col("rank"))
+      val exact = Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
+      val bar = if (n <= 1000) 0.45 else 0.35
+      annClaims(ann, exact, lit(n.toDouble), k = 5, "cosine",
+        ascending = false, minRecall = bar)
     }),
 
 

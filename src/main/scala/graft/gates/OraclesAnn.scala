@@ -33,6 +33,14 @@ private[graft] object OraclesAnn {
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
 
+    // insert gate: queries = the held-out batch (vec_id < 25), bounded
+    // to the gate's 50k-vector slice like the engine side
+    "q_graph_insert" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 25""".stripMargin,
+
+
     "q_ivf_topk" ->
       """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
         |       true AS recall_ok

@@ -367,7 +367,15 @@ class PlanAuditSpec extends SparkSpec {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag",
         "l_extendedprice")
+    // scanOf matches the V1 FileSourceScanExec only — pin both formats to
+    // the V1 read path for this test so a session/default flip to DSv2
+    // (BatchScanExec) fails loudly here, not spuriously (r11 ADVICE); and
+    // clean the temp dirs up in finally (they used to leak per run).
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevV1 = spark.conf.getOption(v1Key)
+    spark.conf.set(v1Key, "parquet,orc")
     val base = java.nio.file.Files.createTempDirectory("orcparity").toString
+    try {
     li.write.mode("overwrite").parquet(s"$base/pq")
     graft.sources.Sinks.writeOrc(li, s"$base/orc")
     // read the scan node's full metadata — the plan STRING truncates the
@@ -405,6 +413,16 @@ class PlanAuditSpec extends SparkSpec {
           _.name == "l_returnflag")),
         s"$fmt partitioned scan lost partition pruning: " +
           s"partitionFilters=${s.partitionFilters}")
+    }
+    } finally {
+      prevV1 match {
+        case Some(v) => spark.conf.set(v1Key, v)
+        case None => spark.conf.unset(v1Key)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
     }
   }
 
