@@ -32,12 +32,20 @@ object Bench {
     // optional subset filter for local scale probes (absent → all queries)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // fixed run order (queries is an unordered HashMap) + two runs per
+    // fixed run order (queries is an unordered HashMap) + three runs per
     // query keeping the MINIMUM: the first run pays any residual cold cost
     // (shuffle-file creation, codegen of this query's plan), and min — not
     // "the second" — also survives a one-off GC/compilation spike landing
-    // on the repeat (observed: 8.95s for a 0.65s query, once, mid-sweep)
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2)
+    // on a repeat (observed: 8.95s for a 0.65s query, once, mid-sweep).
+    // r12 (VERDICT ask 4): default raised 2 -> 3 and the protocol is
+    // recorded IN the emitted JSON — r11's committed headline was a
+    // post-reboot high-variance sample (identical code measured 212.8 vs
+    // 253.9 s twenty minutes apart at repeats=2), which had degraded the
+    // bench's resolution as a regression detector; min-of-3 keeps one
+    // more chance to shed ambient wobble per gate and the protocol field
+    // makes runs comparable across rounds.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
+    val protocol = s"min-of-$repeats"
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -86,7 +94,7 @@ object Bench {
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_full_last.json"),
-        s"""{"total_s":$total,"operators_s":$operators,"harness_s":$harness,"n":${sorted.size},"sf":"$sfDir","queries":$full}""")
+        s"""{"total_s":$total,"operators_s":$operators,"harness_s":$harness,"n":${sorted.size},"protocol":"$protocol","sf":"$sfDir","queries":$full}""")
     catch { case _: Throwable => () } // the stdout line must still go out
     def fmt(v: Double): String =
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
@@ -104,7 +112,7 @@ object Bench {
     val omitted =
       if (omittedN == 0) ""
       else s""","omitted":{"n":$omittedN,"total_s":${fmt(omittedS)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sorted.size},"operators_s":${fmt(operators)},"harness_s":${fmt(harness)},"queries":{$sb}$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sorted.size},"protocol":"$protocol","operators_s":${fmt(operators)},"harness_s":${fmt(harness)},"queries":{$sb}$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

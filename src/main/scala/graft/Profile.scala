@@ -20,7 +20,8 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // lazy: embedding-only probe dirs (tools/make_emb.py) have no documents
+    lazy val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     mode match {
       case "suffix" =>
         // forced distributed (maxDriverPositions = 0): spans over the
@@ -157,21 +158,29 @@ object Profile {
           s"components: ${labels.select("component").distinct().count()}")
       case "knn" =>
         // q_knn_graph decomposition: init vs per-iteration cost of the
-        // NN-Descent build at bench shape (r11)
+        // NN-Descent build at bench shape (r11). r12: parameterized for
+        // build-scale evidence past the 50k gate slice —
+        //   Profile knn [slice] [k] [itersCsv]
+        // slice = 0 runs the sfDir's embeddings UNSLICED (point
+        // SPARK_GRAFT_SF_DIR at a tools/make_emb.py output for >=1M).
         import operators.KnnGraph
-        val e = Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") < 50000)
+        val slice = if (args.length > 1) args(1).toLong else 50000L
+        val k = if (args.length > 2) args(2).toInt else 20
+        val iters = if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSeq
+                    else Seq(0, 1, 2, 3)
+        val e0 = Tables.embeddings(spark, sfDir)
+        val e = (if (slice > 0) e0.filter(col("vec_id") < slice) else e0)
           .withColumn("v", col("embedding").cast("array<double>"))
           .select("vec_id", "v")
         val n = e.count()
-        println(s"[prof] corpus vectors: $n")
+        println(s"[prof] corpus vectors: $n (slice=$slice, k=$k)")
         // warm one tiny end-to-end first so codegen is out of the numbers
         KnnGraph.nnDescent(e.limit(200), "vec_id", "v", k = 3,
           iterations = 1, earlyStop = false).count()
         var prev = 0.0
-        for (it <- Seq(0, 1, 2, 3)) {
+        for (it <- iters) {
           val t0 = System.nanoTime()
-          val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 20,
+          val g = KnnGraph.nnDescent(e, "vec_id", "v", k = k,
             iterations = it, earlyStop = false, corpusCount = n)
           val edges = g.count()
           val secs = (System.nanoTime() - t0) / 1e9

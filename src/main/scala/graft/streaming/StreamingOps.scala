@@ -540,4 +540,68 @@ object StreamingOps {
         idCol, messagesCol, carryCols = Seq("conv_fp")),
       refusalPatterns)
   }
+
+  /** Streaming incremental-insert twin of
+    * [[graft.operators.KnnGraph.insertIncremental]]: keep a k-NN graph
+    * index continuously refreshed as micro-batches of new vectors
+    * arrive — the serving half of a corpus that grows daily (new
+    * documents embed upstream; the graph admits them without a
+    * rebuild). A whole-graph update is not a row-local map, so the
+    * streaming integration is the foreachBatch pattern (the standard
+    * Structured Streaming shape for maintaining an external index):
+    * each micro-batch routes through insertIncremental verbatim, which
+    * is what makes batch==stream parity STRUCTURAL — the stream of
+    * batches b1..bn lands on exactly the graph that n sequential batch
+    * inserts produce (spec-pinned).
+    *
+    * State lives as two localCheckpoint'd frames (graph n·k edges,
+    * corpus vectors) swapped atomically per batch; at deployment scale
+    * the same holder writes them through to parquet/Delta instead (the
+    * [[graft.operators.KnnGraph.graphIndex]] asset) — the update logic
+    * is identical, so the in-memory holder is the testable core.
+    * Batch ids must be disjoint from everything already inserted —
+    * insertIncremental's semi-join probe enforces it loudly per batch
+    * (`validateIds = false` to skip when the producer guarantees it).
+    */
+  final class GraphInsertState(initialGraph: DataFrame,
+                               initialCorpus: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               beam: Int = 8, hops: Int = 3,
+                               entries: Int = 4, bridgeRounds: Int = 3,
+                               refineRounds: Int = 1, maxReverse: Int = 0,
+                               seed: Int = 42,
+                               validateIds: Boolean = true) {
+    import graft.operators.KnnGraph
+    @volatile private var curGraph =
+      initialGraph.localCheckpoint(true)
+    @volatile private var curCorpus =
+      initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    /** Current graph — (id, neighbor_id, cosine, rank), nnDescent shape. */
+    def graph: DataFrame = curGraph
+    /** Current corpus — (idCol, vecCol), every vector inserted so far. */
+    def corpus: DataFrame = curCorpus
+    /** Insert one micro-batch; empty batches are the identity. */
+    def addBatch(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(true)
+      if (!b.isEmpty) {
+        curGraph = KnnGraph.insertIncremental(curGraph, curCorpus, b,
+          idCol, vecCol, k = k, beam = beam, hops = hops,
+          entries = entries, bridgeRounds = bridgeRounds,
+          refineRounds = refineRounds, maxReverse = maxReverse,
+          seed = seed, validateIds = validateIds).localCheckpoint(true)
+        curCorpus = curCorpus.unionByName(b).localCheckpoint(true)
+      }
+    }
+  }
+
+  /** Wire a vector stream into a [[GraphInsertState]]: one
+    * insertIncremental per micro-batch via foreachBatch. Returns the
+    * started query; read `state.graph` between/after batches for the
+    * live index.
+    */
+  def graphInsertStream(stream: DataFrame,
+                        state: GraphInsertState): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => state.addBatch(batch))
+      .start()
 }

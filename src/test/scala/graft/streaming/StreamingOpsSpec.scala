@@ -464,6 +464,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  test("graphInsertStream: streamed micro-batches land on the sequential-insert graph") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KnnGraph
+    // 3 planted clusters as the standing corpus; two later clusters
+    // arrive as micro-batches (disjoint ids)
+    val rnd = new scala.util.Random(7)
+    def cluster(c: Int, idBase: Long, n: Int) = (0 until n).map { j =>
+      (idBase + j, Seq.tabulate(6)(d =>
+        (if (d == c) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()))
+    }
+    val corpus = (0 until 3).flatMap(c => cluster(c, c * 10L, 10))
+      .toDF("vec_id", "v")
+    val b1 = cluster(3, 1000L, 8)
+    val b2 = cluster(4, 2000L, 8)
+    val g0 = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 4, iterations = 2)
+      .localCheckpoint(true)
+    // batch path: two sequential inserts
+    val g1 = KnnGraph.insertIncremental(g0, corpus, b1.toDF("vec_id", "v"),
+      "vec_id", "v", k = 4).localCheckpoint(true)
+    val g2 = KnnGraph.insertIncremental(g1,
+      corpus.unionByName(b1.toDF("vec_id", "v")), b2.toDF("vec_id", "v"),
+      "vec_id", "v", k = 4).localCheckpoint(true)
+    // stream path: same batches as two micro-batches through foreachBatch
+    val state = new StreamingOps.GraphInsertState(g0, corpus, "vec_id", "v",
+      k = 4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.graphInsertStream(input.toDF().toDF("vec_id", "v"),
+      state)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // bit-identical parity, both directions (cosine included)
+    assert(state.graph.exceptAll(g2).isEmpty)
+    assert(g2.exceptAll(state.graph).isEmpty)
+    // corpus state tracked too; every node has a k-list in the live graph
+    assert(state.corpus.count() === 46)
+    assert(state.graph.select("id").distinct().count() === 46)
+  }
+
   test("uniquesPerWindow sketches merge into the batch cumulative curve") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp

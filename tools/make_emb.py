@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Embeddings-only scale-up for ANN build-scale probes (r12): replicates
+ONLY embeddings.parquet with make_sf.py's exact perturbation rule, so a
+>=1M-vector NN-Descent build can be measured without paying for a full
+sf100 dataset (lineitem alone would be 600M rows). Usage:
+
+    python3 tools/make_emb.py <srcDir> <outDir> <factor>
+
+Same rule as make_sf.py: vec_id += k*stride; replicas 0..9 are exact
+copies, replicas >= 10 get a deterministic additive shift on one
+coordinate (cosine neighbors stay plentiful but not duplicated
+corpus-wide).
+"""
+import os
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    vec_stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT vec_id + r.range * {vec_stride} AS vec_id,
+                    CASE WHEN r.range < 10 THEN embedding
+                         ELSE list_transform(embedding, (x, i) ->
+                           CASE WHEN i = 1 + r.range % len(embedding)
+                                THEN CAST(x + 0.01 * r.range AS FLOAT)
+                                ELSE x END)
+                    END AS embedding,
+                    label
+             FROM '{src}/embeddings.parquet', range({factor}) r)
+           TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    n = con.execute(
+        f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    print(f"  embeddings: x{factor} -> {n} vectors")
+
+
+if __name__ == "__main__":
+    main()
