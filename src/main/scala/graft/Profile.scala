@@ -238,6 +238,63 @@ object Profile {
           val exI = Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
           println(f"[prof] insert refine=$refine recall@5: ${recall(annI, exI)}%.3f")
         }
+      case "graphsearch" =>
+        // r12 serving-budget sweep: recall@5 of graph-routed search vs
+        // brute force under different (beam, hops, entries) budgets on
+        // the gate's k=16/2-round graph. Per-query serving cost ~
+        // entries + hops*beam*k scored pairs — trivial at any corpus
+        // size — so the question is which budget recall actually needs
+        // as n grows (the HNSW analog: hop count grows with log n).
+        import operators.{KnnGraph, Similarity}
+        val e = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 50000)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val n = e.count()
+        println(s"[prof] corpus vectors: $n")
+        val q = e.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+          .localCheckpoint(true)
+        val g = time("build k=16 it=2")(KnnGraph.nnDescent(e, "vec_id", "v",
+          k = 16, iterations = 2, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true))
+        val budget = KnnGraph.servingBudget(n)
+        for ((beam, hops, entries) <- Seq((8, 3, 4), (8, 6, 4), (16, 6, 8),
+            (16, 9, 16), (32, 9, 16), budget).distinct) {
+          val index = KnnGraph.graphIndex(g, e, "vec_id", "v",
+            entries = entries, corpusCount = n).localCheckpoint(true)
+          val ann = KnnGraph.searchGraphIndexed(index, q, "vec_id", "v",
+            k = 5, beam = beam, hops = hops)
+          val t0 = System.nanoTime()
+          val hits = ann.select("query_id", "neighbor_id")
+            .join(exact.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id")).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val tag = if ((beam, hops, entries) == budget) " <- servingBudget" else ""
+          println(f"[prof] beam=$beam hops=$hops entries=$entries " +
+            f"recall@5 ${hits.toDouble / (20 * 5)}%.3f (${secs}%.2f s)$tag")
+        }
+        // insert under the scaled budget (the q_graph_insert shape)
+        val batch = e.filter(col("vec_id") < 25)
+        val corpus = e.filter(col("vec_id") >= 25)
+        val gI = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 16,
+          iterations = 2, earlyStop = false, corpusCount = n - 25)
+          .localCheckpoint(true)
+        val (bb, bh, be) = budget
+        for (refine <- Seq(1, 3)) {
+          val g2 = KnnGraph.insertIncremental(gI, corpus, batch, "vec_id",
+            "v", k = 16, beam = bb, hops = bh, entries = be,
+            refineRounds = refine, corpusCount = n - 25,
+            validateIds = false)
+          val annI = g2.filter(col("id") < 25 && col("rank") <= 5)
+            .select(col("id").as("query_id"), col("neighbor_id"))
+          val exI = Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
+            .localCheckpoint(true)
+          val hits = annI.join(exI.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id")).count()
+          println(f"[prof] insert budgeted refine=$refine recall@5 " +
+            f"${hits.toDouble / exI.count()}%.3f")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -430,6 +430,24 @@ object KnnGraph {
     searchCore(adj, vecs, entryPts, qv, k, beam, hops, idType)
   }
 
+  /** Serving budget that scales with corpus size — the HNSW analog:
+    * in a small-world graph the walk length to any target grows with
+    * log(n) (HNSW encodes this as its layer count), so a FIXED hop
+    * budget starves as the corpus grows: measured recall@5 with the
+    * default (beam=8, hops=3, entries=4) decays 0.94 → 0.59 → 0.40 →
+    * 0.17 at n = 500 / 2k / 20k / 50k, while hops alone at 6 lifts the
+    * 50k point to 0.67 and (beam=16, hops=9, entries=16) to 0.93 — at
+    * ~entries + hops·beam·k scored pairs per query, still trivial at
+    * any corpus size. Returns (beam, hops, entries) with every knob
+    * growing ~log2(n/50): (8,4,4) at n=500, (12,6,6) at 2k, (18,9,9)
+    * at 20k, (20,10,10) at 50k.
+    */
+  def servingBudget(n: Long): (Int, Int, Int) = {
+    val lg = math.max(3, math.ceil(
+      math.log(math.max(2.0, n / 50.0)) / math.log(2.0)).toInt)
+    (math.max(8, 2 * lg), lg, math.max(4, lg))
+  }
+
   /** Build the persistable graph-serving index — ONE node-grain table
     * (id, nv, nbrs, is_entry):
     *

@@ -330,6 +330,18 @@ class KnnGraphSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("servingBudget grows monotonically with corpus size, floors intact") {
+    val pts = Seq(1L, 100L, 500L, 2000L, 20000L, 50000L, 1000000L)
+      .map(KnnGraph.servingBudget)
+    for (Seq((b1, h1, e1), (b2, h2, e2)) <- pts.sliding(2)) {
+      assert(b1 <= b2 && h1 <= h2 && e1 <= e2, s"$pts not monotone")
+    }
+    for ((b, h, e) <- pts) assert(b >= 8 && h >= 3 && e >= 4)
+    // the calibrated operating points (doc examples stay honest)
+    assert(KnnGraph.servingBudget(500) === ((8, 4, 4)))
+    assert(KnnGraph.servingBudget(50000) === ((20, 10, 10)))
+  }
+
   test("searchGraph determinism and k > visited degeneracy") {
     val df = clustered(nClusters = 2, perCluster = 4, dims = 4)
     val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 2, iterations = 2)
