@@ -105,7 +105,16 @@ def main():
     # engine). A per-instance cap + disk spill makes shards well-behaved.
     mem = os.environ.get("CHECK_MEM_LIMIT", "12GB")
     con.execute(f"SET memory_limit='{mem}'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Per-PROCESS spill dir: concurrent checkers sharing one spill dir
+    # clobber each other's temp files (r12 sf10 sweep: a spurious
+    # 'Could not read enough bytes from duckdb_temp_storage' IO error on
+    # a gate that is green when checked alone). Best-effort cleanup at
+    # exit keeps /tmp bounded.
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    con.execute(f"SET temp_directory='{spill}'")
+    import atexit
+    import shutil
+    atexit.register(lambda: shutil.rmtree(spill, ignore_errors=True))
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -43,6 +43,7 @@ def main() -> None:
     lock = threading.Lock()
     totals = {"ok": 0, "failed": 0, "done_shards": 0}
     all_lines: list[str] = []
+    adjudicated: set[str] = set()
 
     def run_shard(i: int, queries: list[str]) -> None:
         # pid-suffixed so a resumption sweep never clobbers the previous
@@ -64,6 +65,8 @@ def main() -> None:
                     fail_hdr = ln if ln.startswith(("✗", "!")) else None
                     with lock:
                         all_lines.append(ln)
+                        if ln.startswith(("✓", "✗")) and len(ln.split()) > 1:
+                            adjudicated.add(ln.split()[1].rstrip(":"))
                 elif fail_hdr and ln.startswith((" ", "\t")):
                     with lock:
                         all_lines.append(f"{fail_hdr[:40]} |{ln}")
@@ -72,7 +75,13 @@ def main() -> None:
                     with lock:
                         totals["ok"] += int(m.group(1))
                         totals["failed"] += int(m.group(2))
-            p.wait()
+            rc = p.wait()
+            if rc != 0:
+                # a dying shard (OOM-kill, crash) used to be SILENT: its
+                # remaining queries just never got verdicts while the
+                # driver still printed a clean total (r12 sf10 sweep).
+                print(f"[shard {i} EXITED rc={rc} — its unadjudicated "
+                      "queries will be listed below]", flush=True)
         with lock:
             totals["done_shards"] += 1
             with open(os.path.join(out_dir, ".sweep_totals"), "w") as f:
@@ -90,8 +99,17 @@ def main() -> None:
     for ln in sorted(all_lines):
         if not re.search(r"\d+ ok, \d+ failed", ln):
             print(ln)
+    missing = sorted(set(qs) - adjudicated)
     print(f"TOTAL: {totals['ok']} ok, {totals['failed']} failed "
           f"over {len(qs)} queries")
+    if missing:
+        # fail LOUDLY: a clean-looking total with silently-dropped queries
+        # is how a dead shard passes for a green sweep. The printed list is
+        # ready to paste into an onlyFile resumption run.
+        print(f"UNADJUDICATED ({len(missing)} — rerun via onlyFile):")
+        for q in missing:
+            print(f"  {q}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
