@@ -190,7 +190,12 @@ object Profile {
       case "graphrecall" =>
         // r12 gate-bar calibration: measured recall@5 of the three graph
         // gates' exact configurations at this sfDir, so the raised bars
-        // (VERDICT r11 ask 5: ~half of measured) are set from data
+        // (VERDICT r11 ask 5: ~half of measured) are set from data.
+        // NOTE: search/insert here use the FIXED legacy budget — this
+        // mode is the record of the first-pass calibration that exposed
+        // the starved-budget decay; the `graphsearch` mode below sweeps
+        // budgets and measures the servingBudget(n) operating points the
+        // gates now run at.
         import operators.{KnnGraph, Similarity}
         val e = Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") < 50000)
