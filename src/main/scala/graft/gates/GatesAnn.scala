@@ -344,7 +344,9 @@ private[graft] object GatesAnn {
           col("cosine"), col("rank"))
       val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
         "vec_id", "v", k = 5)
-      val bar = if (n <= 10000) 0.45 else if (n <= 30000) 0.40 else 0.20
+      // r13: 50k floor 0.20 -> 0.24, honoring the ~half-of-measured
+      // convention (measured 0.48 at the 50k slice) at every scale
+      val bar = if (n <= 10000) 0.45 else if (n <= 30000) 0.40 else 0.24
       annClaims(ann, exact, lit(n.toDouble), k = 5, "cosine",
         ascending = false, minRecall = bar)
     }),

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType,
+  DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Graph-based approximate nearest neighbors: distributed NN-Descent
   * k-NN-graph construction, graph-routed beam search over the built
@@ -287,21 +288,30 @@ object KnnGraph {
       .localCheckpoint(true)
   }
 
+  /** Per-node small-world bucket keys: round j's key is
+    * `j:xxhash64(id, seed, 7000+j) % mod` — the SAME formula at build
+    * and at incremental insert/delete time, which is why the modulus
+    * persists in the index (`bridge_mod`): bucket membership is
+    * recomputable from ids alone, no membership table to maintain.
+    */
+  private def bridgeKeys(id: Column, rounds: Int, seed: Int,
+                         mod: Long): Column =
+    array((0 until rounds).map(j =>
+      concat_ws(":", lit(j),
+        pmod(xxhash64(id, lit(seed), lit(7000 + j)), lit(mod)))): _*)
+
   /** Small-world bridge adjacency (Watts–Strogatz-style long links):
     * `bridgeRounds` rounds of hashing nodes into expected-size-2
-    * buckets, each bucket starred to its min-id member, both
-    * directions — a random near-matching whose union over 3 rounds is
-    * connected with high probability. All rounds ride ONE
-    * explode + groupBy (round in the key): 1 shuffle, not 2 per round.
+    * buckets (modulus `nB`, normally n/2), each bucket starred to its
+    * min-id member, both directions — a random near-matching whose
+    * union over 3 rounds is connected with high probability. All
+    * rounds ride ONE explode + groupBy (round in the key): 1 shuffle,
+    * not 2 per round.
     */
   private def bridgeAdj(ids: DataFrame, bridgeRounds: Int, seed: Int,
-                        n: Long): DataFrame = {
-    val nB = math.max(1L, n / 2)
-    val b = ids.select(col("id"), explode(array(
-        (0 until bridgeRounds).map(j =>
-          concat_ws(":", lit(j),
-            pmod(xxhash64(col("id"), lit(seed), lit(7000 + j)), lit(nB))))
-          : _*)).as("__b"))
+                        nB: Long): DataFrame = {
+    val b = ids.select(col("id"),
+      explode(bridgeKeys(col("id"), bridgeRounds, seed, nB)).as("__b"))
     val bridges = b
       .join(b.groupBy("__b").agg(min(col("id")).as("hub")), Seq("__b"))
       .filter(col("id") =!= col("hub"))
@@ -421,7 +431,8 @@ object KnnGraph {
       val n = if (corpusCount >= 0) corpusCount else vecs.count()
       // no distinct: duplicate adjacency rows only duplicate `reached`
       // candidates, which dedup per hop anyway
-      knn.unionByName(bridgeAdj(vecs.select(col("id")), bridgeRounds, seed, n))
+      knn.unionByName(bridgeAdj(vecs.select(col("id")), bridgeRounds, seed,
+        math.max(1L, n / 2)))
     }).localCheckpoint(true)
     val qv = broadcast(normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("__nv").as("__qv")))
@@ -448,17 +459,82 @@ object KnnGraph {
     (math.max(8, 2 * lg), lg, math.max(4, lg))
   }
 
-  /** Build the persistable graph-serving index — ONE node-grain table
-    * (id, nv, nbrs, is_entry):
+  /** Collapse edge rows (id, nbr, cosine, rank) into per-id rank-ordered
+    * `knn` arrays of struct(nbr, cos) — the node-grain index
+    * representation. Rank recovers as array position + 1
+    * ([[indexGraph]] inverts bit-identically).
+    */
+  private def knnArrays(edges: DataFrame): DataFrame =
+    edges.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("rank").cast("int").as("r"),
+        col("nbr").as("nbr"), col("cosine").as("cos")))).as("__a"))
+      .select(col("id"), transform(col("__a"),
+        e => struct(e.getField("nbr").as("nbr"),
+          e.getField("cos").as("cos"))).as("knn"))
+
+  private def emptyKnn(idType: DataType): Column =
+    array().cast(ArrayType(StructType(Seq(
+      StructField("nbr", idType), StructField("cos", DoubleType)))))
+
+  /** Loud schema validation for a (possibly foreign/hand-built)
+    * [[graphIndex]] table: integral ids in `id`, `knn.nbr` AND
+    * `bridges` (a string id would null-cast inside the int64 top-k
+    * buffer and vanish silently — the same failure mode
+    * [[requireIntegralId]] guards on query frames, r12 ADVICE), plus
+    * the full column contract every consumer relies on.
+    */
+  private def validateIndex(index: DataFrame, where: String): Unit = {
+    requireIntegralId(index, "id", where)
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$where: not a graphIndex table — $what; expected schema " +
+        "(id integral, nv array<double>, knn array<struct<nbr integral, " +
+        "cos double>>, bridges array<integral>, is_entry boolean, " +
+        "bridge_mod long, bridge_rounds int, bridge_seed int)")
+    val fields = index.schema.fieldNames.toSet
+    for (c <- Seq("nv", "knn", "bridges", "is_entry", "bridge_mod",
+        "bridge_rounds", "bridge_seed"))
+      if (!fields.contains(c)) fail(s"missing column '$c'")
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    index.schema("knn").dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 &&
+        fs(0).name == "nbr" && integral.contains(fs(0).dataType) &&
+        fs(1).name == "cos" && fs(1).dataType == DoubleType => ()
+      case other => fail(s"knn has type $other (nbr must be integral)")
+    }
+    index.schema("bridges").dataType match {
+      case ArrayType(et, _) if integral.contains(et) => ()
+      case other => fail(s"bridges has type $other (elements must be integral)")
+    }
+    if (index.schema("is_entry").dataType != BooleanType)
+      fail(s"is_entry has type ${index.schema("is_entry").dataType}")
+    if (index.schema("bridge_mod").dataType != LongType)
+      fail(s"bridge_mod has type ${index.schema("bridge_mod").dataType}")
+  }
+
+  /** Build the persistable graph-serving index — ONE node-grain table,
+    * one row per corpus vector:
     *
-    *  - `nv`     — the pre-normalized vector (normalize once at build,
-    *               not per query batch),
-    *  - `nbrs`   — sorted distinct serving adjacency = the k-NN
-    *               graph's out-edges ∪ small-world bridges (both
-    *               directions), so the per-call bridge rebuild and its
-    *               corpus-wide count()/groupBy leave the serving path,
+    *  - `nv`      — the pre-normalized vector (normalize once at
+    *                build, not per query batch),
+    *  - `knn`     — the k-NN graph's out-edges in rank order, WITH
+    *                their cosines: the graph itself is bit-recoverable
+    *                from the asset ([[indexGraph]]), which is what
+    *                lets [[insertIncrementalIndexed]] and
+    *                [[removeIds]] read AND write the index with no
+    *                side-channel edge list (r12: the index was
+    *                adjacency-only, so every insert forced a whole
+    *                rebuild of the asset),
+    *  - `bridges` — this node's small-world bridge adjacency (both
+    *                directions), kept SEPARATE from `knn` so the "k
+    *                nearest" contract stays clean under updates,
     *  - `is_entry` — the `entries` globally smallest xxhash64(id)
-    *               seed nodes, baked in like HNSW's entry point.
+    *                seed nodes, baked in like HNSW's entry point,
+    *  - `bridge_mod`/`bridge_rounds`/`bridge_seed` — the bucket
+    *                parameters, persisted IN the table (constant
+    *                columns, RLE'd to nothing in parquet) so
+    *                incremental maintenance can recompute any id's
+    *                bucket keys with the build's exact hash — the
+    *                asset is self-describing, no metadata sidecar.
     *
     * Write it to parquet once, read it per query batch:
     * [[searchGraphIndexed]] over the loaded table returns
@@ -474,25 +550,46 @@ object KnnGraph {
                  seed: Int = 42, corpusCount: Long = -1L): DataFrame = {
     require(entries >= 1, s"entries must be >= 1, got $entries")
     requireIntegralId(corpus, idCol, "graphIndex")
+    val idType = corpus.schema(idCol).dataType
     val vecs = normalized(corpus, idCol, vecCol).localCheckpoint(true)
     val n = if (corpusCount >= 0) corpusCount else vecs.count()
-    val knn = graph.select(col("id"), col("neighbor_id").as("nbr"))
-    val adj =
-      if (bridgeRounds <= 0) knn
-      else knn.unionByName(
-        bridgeAdj(vecs.select(col("id")), bridgeRounds, seed, n))
-    val nbrs = adj.groupBy("id")
-      .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
+    val nB = math.max(1L, n / 2)
+    val knn = knnArrays(graph.select(col("id"),
+      col("neighbor_id").as("nbr"), col("cosine"), col("rank")))
+    val bridges =
+      if (bridgeRounds <= 0) null
+      else bridgeAdj(vecs.select(col("id")), bridgeRounds, seed, nB)
+        .groupBy("id").agg(array_sort(collect_set(col("nbr"))).as("bridges"))
     val entryPts = vecs.select(col("id"))
       .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(entries)
       .withColumn("__entry", lit(true))
-    vecs.join(nbrs, Seq("id"), "left")
+    val withBridges =
+      if (bridges == null) vecs.withColumn("bridges",
+        array().cast(ArrayType(idType)))
+      else vecs.join(bridges, Seq("id"), "left")
+    withBridges.join(knn, Seq("id"), "left")
       .join(entryPts, Seq("id"), "left")
       .select(col("id"), col("__nv").as("nv"),
-        coalesce(col("nbrs"),
-          array().cast(org.apache.spark.sql.types.ArrayType(
-            corpus.schema(idCol).dataType))).as("nbrs"),
-        coalesce(col("__entry"), lit(false)).as("is_entry"))
+        coalesce(col("knn"), emptyKnn(idType)).as("knn"),
+        coalesce(col("bridges"), array().cast(ArrayType(idType)))
+          .as("bridges"),
+        coalesce(col("__entry"), lit(false)).as("is_entry"),
+        lit(nB).as("bridge_mod"),
+        lit(bridgeRounds).as("bridge_rounds"),
+        lit(seed).as("bridge_seed"))
+  }
+
+  /** Recover the k-NN edge list (id, neighbor_id, cosine, rank) from a
+    * [[graphIndex]] table — bit-identical to the graph the index was
+    * built from (ranks are array positions; cosines are stored). The
+    * inverse of the index build's edge collapse; bridges are NOT
+    * included (they are serving aids, not nearest neighbors).
+    */
+  def indexGraph(index: DataFrame): DataFrame = {
+    validateIndex(index, "indexGraph")
+    index.select(col("id"), posexplode(col("knn")).as(Seq("__p", "__e")))
+      .select(col("id"), col("__e.nbr").as("neighbor_id"),
+        col("__e.cos").as("cosine"), (col("__p") + 1).as("rank"))
   }
 
   /** Graph-routed beam search against a prebuilt [[graphIndex]] table
@@ -507,9 +604,14 @@ object KnnGraph {
                          beam: Int = 8, hops: Int = 3): DataFrame = {
     require(k >= 1 && beam >= 1, s"k/beam must be >= 1, got $k/$beam")
     requireIntegralId(queries, idCol, "searchGraphIndexed")
+    validateIndex(index, "searchGraphIndexed")
     val idType = index.schema("id").dataType
     val vecs = index.select(col("id"), col("nv").as("__nv"))
-    val adj = index.select(col("id"), explode(col("nbrs")).as("nbr"))
+    // serving adjacency = knn out-edges ∪ bridges; duplicates are fine
+    // (reached candidates dedup per hop in searchCore)
+    val adj = index.select(col("id"),
+      explode(concat(transform(col("knn"), e => e.getField("nbr")),
+        col("bridges"))).as("nbr"))
     val entryPts = index.filter(col("is_entry")).select(col("id"))
     val qv = broadcast(normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("__nv").as("__qv")))
@@ -601,5 +703,432 @@ object KnnGraph {
     }
     placed.select(col("id"), col("nbr").as("neighbor_id"),
       col("cosine"), col("rank"))
+  }
+
+  /** One NN-Descent round computed as a DELTA against a base edge set:
+    * bit-identical to [[descentRound]] over (base for non-delta nodes
+    * ∪ delta), but every shuffle/materialization is bounded by the
+    * perturbation front, not the corpus —
+    *
+    *  - pivots = endpoints of flagged-new edges (exactly the nodes the
+    *    full round's `x.__new || y.__new` pair filter lets generate
+    *    work; extra pivots would produce zero pairs),
+    *  - their capped reverse lists are per-node identical to the full
+    *    computation (the row_number window sees the same per-pivot
+    *    rows), fetched by two broadcast joins that SCAN the base but
+    *    shuffle only matches,
+    *  - only candidate-target nodes re-rank; every other delta node
+    *    passes through with its `__new` cleared (the full round would
+    *    recompute it as false — an edge present in the previous graph
+    *    is old by definition), which keeps the next round's pivot set
+    *    honest.
+    *
+    * `delta` must hold COMPLETE (id, nbr, cosine, rank, __new) lists
+    * for its node set; `baseKnn` holds (id, nbr, cosine) for everyone
+    * else (rows for delta ids are ignored); `vecs` is (id, __nv) for
+    * all nodes. Returns the next delta (its node set grows by the
+    * round's candidate targets), localCheckpoint'd.
+    */
+  private def descentRoundDelta(delta: DataFrame, baseKnn: DataFrame,
+                                vecs: DataFrame, k: Int, maxRev: Int,
+                                seed: Int, iter: Int,
+                                idType: DataType): DataFrame = {
+    val deltaIds = delta.select("id").distinct()
+    val cur = delta.select(col("id"), col("nbr"), col("cosine"), col("__new"))
+      .unionByName(baseKnn
+        .join(broadcast(deltaIds), Seq("id"), "left_anti")
+        .select(col("id"), col("nbr"), col("cosine"))
+        .withColumn("__new", lit(false)))
+    val newE = delta.filter(col("__new")).select(col("id"), col("nbr"))
+    val pivots = newE.select(col("id"))
+      .unionByName(newE.select(col("nbr").as("id"))).distinct()
+      .localCheckpoint(true)
+    val fwdP = cur.join(broadcast(pivots), Seq("id"))
+    val revW = Window.partitionBy("id")
+      .orderBy(xxhash64(col("nbr"), lit(seed), lit(1000 + iter)), col("nbr"))
+    val revP = cur
+      .join(broadcast(pivots.withColumnRenamed("id", "nbr")), Seq("nbr"))
+      .select(col("nbr").as("id"), col("id").as("nbr"), col("__new"))
+      .withColumn("__rn", row_number().over(revW))
+      .filter(col("__rn") <= maxRev).drop("__rn")
+    val hood = fwdP.select(col("id"), col("nbr"), col("__new"))
+      .unionByName(revP)
+      .groupBy("id", "nbr").agg(max(col("__new")).as("__new"))
+      .join(vecs.select(col("id").as("nbr"), col("__nv")), Seq("nbr"))
+    val scored = hood.as("x").join(hood.as("y"),
+        col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr") &&
+          (col("x.__new") || col("y.__new")))
+      .select(col("x.nbr").as("id_a"), col("y.nbr").as("id_b"),
+        Similarity.dot(col("x.__nv"), col("y.__nv")).as("cosine"))
+    val sym = symmetrize(scored)
+    val targets = sym.select("id").distinct().localCheckpoint(true)
+    val curT = cur.join(broadcast(targets), Seq("id"))
+    val nextT = topkOf(sym.unionByName(
+        curT.select(col("id"), col("nbr"), col("cosine"))),
+        k, idType, dedup = true)
+      .join(curT.select(col("id"), col("nbr")).withColumn("__old", lit(true)),
+        Seq("id", "nbr"), "left")
+      .select(col("id"), col("nbr"), col("cosine"), col("rank"),
+        coalesce(col("__old"), lit(false)).unary_!.as("__new"))
+    delta.join(broadcast(targets), Seq("id"), "left_anti")
+      .select(col("id"), col("nbr"), col("cosine"), col("rank"))
+      .withColumn("__new", lit(false))
+      .unionByName(nextT)
+      .localCheckpoint(true)
+  }
+
+  private def emptyAdds(ids: DataFrame, idType: DataType): DataFrame =
+    ids.select(col("id"), array().cast(ArrayType(idType)).as("__adds"))
+      .limit(0)
+
+  /** Index-native incremental insert — the insert path reads AND
+    * writes the [[graphIndex]] asset (r12's headline gap: the index
+    * was read-only for serving; after every [[insertIncremental]] it
+    * had to be rebuilt whole). Returns the UPDATED index:
+    *
+    *  - placement rides [[searchGraphIndexed]] — no corpus
+    *    renormalize, no bridge rebuild, no count() (the per-batch
+    *    corpus-wide taxes of the one-shot path),
+    *  - the re-rank and every `refineRounds` repair round are DELTA
+    *    computations ([[descentRoundDelta]]): shuffles are bounded by
+    *    the batch-touched front, untouched rows pass through the
+    *    one-pass composition unshuffled,
+    *  - new nodes get small-world bridges under the index's persisted
+    *    bucket parameters: each attaches to its buckets' EXISTING
+    *    hub (append-only — old members are not re-pointed; a fresh
+    *    rebuild would re-elect hubs, which is [[compactIndex]]-class
+    *    work, not insert-class), falling back to the min-id batch
+    *    member for buckets no old node occupies.
+    *
+    * The k-NN edge set of the result is BIT-IDENTICAL to
+    * [[insertIncremental]] on (graph, corpus) = ([[indexGraph]],
+    * index vectors) with the same (k, beam, hops, refineRounds,
+    * maxReverse, seed) and an index built with matching
+    * entries/bridge parameters — spec-pinned; the delta formulation
+    * changes cost, never results. `k` must equal the index's build
+    * k (a larger k cannot conjure edges the stored k-lists dropped).
+    */
+  def insertIncrementalIndexed(index: DataFrame, batch: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               beam: Int = 8, hops: Int = 3,
+                               refineRounds: Int = 1, maxReverse: Int = 0,
+                               seed: Int = 42,
+                               validateIds: Boolean = true): DataFrame =
+    insertIndexedDelta(index, batch, idCol, vecCol, k, beam, hops,
+      refineRounds, maxReverse, seed, validateIds)._1
+
+  /** [[insertIncrementalIndexed]] plus the CHANGED ROWS (index-schema
+    * rows for every id whose row differs from the input index —
+    * re-ranked nodes, bridge-amended hubs, and the new batch nodes):
+    * the overlay a streaming state appends per micro-batch so it never
+    * re-materializes the whole index ([[graft.streaming.StreamingOps
+    * .GraphInsertState]]).
+    */
+  private[graft] def insertIndexedDelta(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int, hops: Int,
+      refineRounds: Int, maxReverse: Int, seed: Int,
+      validateIds: Boolean): (DataFrame, DataFrame) = {
+    validateIndex(index, "insertIncrementalIndexed")
+    requireIntegralId(batch, idCol, "insertIncrementalIndexed")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = index.schema("id").dataType
+    val bv = normalized(batch, idCol, vecCol).localCheckpoint(true)
+    if (bv.isEmpty) return (index, index.limit(0))
+    if (validateIds) {
+      val overlap = index.select(col("id"))
+        .join(broadcast(bv.select(col("id"))), Seq("id"), "left_semi")
+      require(overlap.isEmpty,
+        "insertIncrementalIndexed: batch ids overlap index ids (e.g. " +
+          overlap.limit(3).collect().map(_.get(0)).mkString(", ") +
+          ") — batch ids must be disjoint from the index")
+    }
+    val params = index.select("bridge_mod", "bridge_rounds", "bridge_seed")
+      .head
+    val bMod = params.getLong(0)
+    val bRounds = params.getInt(1)
+    val bSeed = params.getInt(2)
+    val maxRev = if (maxReverse > 0) maxReverse else k
+    // placement: graph-routed search over the asset + exact new-vs-new
+    val found = searchGraphIndexed(index, batch, idCol, vecCol, k = k,
+      beam = beam, hops = hops)
+    val intra = Similarity.bruteForceTopK(batch, batch, idCol, vecCol, k = k)
+    val newDirected = found.unionByName(intra)
+      .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
+        col("cosine"))
+    val inc = newDirected.unionByName(newDirected
+      .select(col("nbr").as("id"), col("id").as("nbr"), col("cosine")))
+    val baseKnn = index
+      .select(col("id"), explode(col("knn")).as("__e"))
+      .select(col("id"), col("__e.nbr").as("nbr"), col("__e.cos").as("cosine"))
+    val t0 = inc.select("id").distinct().localCheckpoint(true)
+    val curT0 = baseKnn.join(broadcast(t0), Seq("id"))
+    var delta = topkOf(inc.unionByName(curT0), k, idType, dedup = true)
+      .join(curT0.select(col("id"), col("nbr")).withColumn("__old", lit(true)),
+        Seq("id", "nbr"), "left")
+      .select(col("id"), col("nbr"), col("cosine"), col("rank"),
+        coalesce(col("__old"), lit(false)).unary_!.as("__new"))
+      .localCheckpoint(true)
+    if (refineRounds > 0) {
+      val vecsAll = index.select(col("id"), col("nv").as("__nv"))
+        .unionByName(bv.select(col("id"), col("__nv")))
+      for (r <- 0 until refineRounds)
+        delta = descentRoundDelta(delta, baseKnn, vecsAll, k, maxRev, seed,
+          5000 + r, idType)
+    }
+    // compose the updated index: one broadcast-joined pass over the old
+    // rows (scan, no shuffle of untouched rows) + the new node rows
+    val deltaIds = delta.select("id").distinct().localCheckpoint(true)
+    val knnNew = knnArrays(delta).localCheckpoint(true)
+    val bridgeAdds = (if (bRounds <= 0) emptyAdds(bv.select(col("id")), idType)
+      else {
+        val batchKeys = bv.select(col("id"),
+          explode(bridgeKeys(col("id"), bRounds, bSeed, bMod)).as("__b"))
+          .localCheckpoint(true)
+        val oldHub = index
+          .select(col("id"),
+            explode(bridgeKeys(col("id"), bRounds, bSeed, bMod)).as("__b"))
+          .join(broadcast(batchKeys.select("__b").distinct()), Seq("__b"))
+          .groupBy("__b").agg(min(col("id")).as("hub"))
+        val hubOf = batchKeys.groupBy("__b").agg(min(col("id")).as("nhub"))
+          .join(oldHub, Seq("__b"), "left")
+          .select(col("__b"), coalesce(col("hub"), col("nhub")).as("hub"))
+        val e1 = batchKeys.join(broadcast(hubOf), Seq("__b"))
+          .filter(col("id") =!= col("hub"))
+          .select(col("id"), col("hub").as("nbr"))
+        e1.unionByName(e1.select(col("nbr").as("id"), col("id").as("nbr")))
+          .groupBy("id")
+          .agg(array_sort(collect_set(col("nbr"))).as("__adds"))
+      }).localCheckpoint(true)
+    // the same row-local transform serves both the full composition and
+    // the changed-rows overlay (applying it to a restricted input IS the
+    // restriction of applying it to the full input — the joins are
+    // id-keyed left joins against the same bounded frames)
+    def composeOld(rows: DataFrame): DataFrame = rows
+      .join(broadcast(knnNew.withColumnRenamed("knn", "__knn2")),
+        Seq("id"), "left")
+      .join(broadcast(bridgeAdds), Seq("id"), "left")
+      .select(col("id"), col("nv"),
+        coalesce(col("__knn2"), col("knn")).as("knn"),
+        when(col("__adds").isNotNull,
+          array_sort(array_union(col("bridges"), col("__adds"))))
+          .otherwise(col("bridges")).as("bridges"),
+        col("is_entry"), col("bridge_mod"), col("bridge_rounds"),
+        col("bridge_seed"))
+    val newRows = bv.select(col("id"), col("__nv").as("nv"))
+      .join(knnNew, Seq("id"), "left")
+      .join(bridgeAdds, Seq("id"), "left")
+      .select(col("id"), col("nv"),
+        coalesce(col("knn"), emptyKnn(idType)).as("knn"),
+        coalesce(col("__adds"), array().cast(ArrayType(idType)))
+          .as("bridges"),
+        lit(false).as("is_entry"),
+        lit(bMod).as("bridge_mod"),
+        lit(bRounds).as("bridge_rounds"),
+        lit(bSeed).as("bridge_seed"))
+    val updated = composeOld(index).unionByName(newRows)
+    // changed OLD rows = the transform over the touched subset of the
+    // index (batch ids in the touched sets semi-join away naturally);
+    // new rows are changed by definition
+    val changedOldIds = deltaIds.unionByName(bridgeAdds.select("id"))
+      .distinct()
+    val changed = composeOld(
+        index.join(broadcast(changedOldIds), Seq("id"), "left_semi"))
+      .unionByName(newRows)
+    (updated, changed)
+  }
+
+  /** Re-bake a [[graphIndex]]'s serving scaffolding after incremental
+    * drift — the compaction half of the insert/delete lifecycle:
+    * repeated [[insertIncrementalIndexed]] calls attach new nodes to
+    * EXISTING bucket hubs under the build-time modulus (bucket sizes
+    * creep up as n outgrows it) and never re-elect entry points, and
+    * [[removeIds]] can leave entry/hub duty concentrated on old ids.
+    * Compaction recomputes bridges with a fresh modulus (n/2 of the
+    * CURRENT corpus) and replays the entry-selection rule — exactly
+    * what a fresh [[graphIndex]] build would produce for the current
+    * node set — while keeping `nv` and `knn` untouched (re-normalizing
+    * an already-normalized vector is not an FP no-op, so rewriting
+    * `nv` would silently desync the stored cosines; the k-NN edges
+    * are the expensive part and compaction never degrades them).
+    * Cheap: two hash-bucket aggregates + a top-`entries` scan — run it
+    * every O(corpus-doubling) inserts, like an LSM minor compaction.
+    */
+  def compactIndex(index: DataFrame): DataFrame = {
+    validateIndex(index, "compactIndex")
+    val idType = index.schema("id").dataType
+    val params = index.select("bridge_mod", "bridge_rounds", "bridge_seed")
+      .head
+    val bRounds = params.getInt(1)
+    val bSeed = params.getInt(2)
+    val n = index.count()
+    val e0 = index.filter(col("is_entry")).count().toInt
+    val nB = math.max(1L, n / 2)
+    val bridges =
+      if (bRounds <= 0) null
+      else bridgeAdj(index.select(col("id")), bRounds, bSeed, nB)
+        .groupBy("id").agg(array_sort(collect_set(col("nbr"))).as("__br2"))
+    val entryPts = index.select(col("id"))
+      .orderBy(xxhash64(col("id"), lit(bSeed)), col("id"))
+      .limit(math.max(1, e0))
+      .withColumn("__entry2", lit(true)).localCheckpoint(true)
+    val withB =
+      if (bridges == null)
+        index.withColumn("__br2", array().cast(ArrayType(idType)))
+      else index.join(bridges, Seq("id"), "left")
+    withB.join(broadcast(entryPts), Seq("id"), "left")
+      .select(col("id"), col("nv"), col("knn"),
+        coalesce(col("__br2"), array().cast(ArrayType(idType)))
+          .as("bridges"),
+        coalesce(col("__entry2"), lit(false)).as("is_entry"),
+        lit(nB).as("bridge_mod"),
+        lit(bRounds).as("bridge_rounds"),
+        lit(bSeed).as("bridge_seed"))
+  }
+
+  /** Deletion — the one thing a graph index otherwise can't do
+    * without a rebuild ([[graft.operators.Dedup.corpusDiff]] and SCD2
+    * treat removals as first-class; r12 verdict: "the one asset that
+    * can't forget"). The DiskANN in-place delete shape, flattened to
+    * joins:
+    *
+    *  1. tombstone — drop the removed rows and filter every
+    *     survivor's `knn`/`bridges` array (pure expressions over an
+    *     inlined id array: scan, no join, no shuffle),
+    *  2. heal — each amputated survivor re-ranks over its surviving
+    *     edges ∪ the DELETED nodes' former neighbor lists (the
+    *     detour-through-the-hole candidates), scored by the stored
+    *     normalized vectors, then `healRounds` delta refine rounds
+    *     seeded at the healed front repair second-order damage,
+    *  3. re-hub — any bridge bucket whose min-id hub was deleted
+    *     re-elects the surviving min and re-links its members
+    *     (bucket membership recomputes from ids + the persisted
+    *     bucket parameters),
+    *  4. re-elect entries — if a deleted node was an entry point, the
+    *     build's selection rule replays over survivors (hash order is
+    *     stable, so undeleted entries keep their seat and the next
+    *     ids in hash order fill vacancies).
+    *
+    * Removed ids may include ids not present (idempotent, like a
+    * tombstone replay). Bounded-removal contract: the ids inline into
+    * the array filters, so one call takes at most ~10k ids — the same
+    * bounded-side assumption every batch path here makes; mass
+    * deletion is a rebuild, as in DiskANN's consolidate.
+    */
+  def removeIds(index: DataFrame, removals: DataFrame, idCol: String,
+                k: Int, healRounds: Int = 1, maxReverse: Int = 0,
+                seed: Int = 42): DataFrame = {
+    validateIndex(index, "removeIds")
+    requireIntegralId(removals, idCol, "removeIds")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = index.schema("id").dataType
+    val delIds: Array[Long] = removals.select(col(idCol).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    if (delIds.isEmpty) return index
+    require(delIds.length <= 10000,
+      s"removeIds: ${delIds.length} ids in one call — the bounded-removal " +
+        "contract is ~10k per call (ids inline into array filters); " +
+        "batch larger deletions or rebuild the index")
+    val delArr = lit(delIds)
+    def isDel(c: Column): Column = array_contains(delArr, c.cast("long"))
+    val survivors = index.filter(!isDel(col("id")))
+    val deleted = index.filter(isDel(col("id"))).localCheckpoint(true)
+    val params = index.select("bridge_mod", "bridge_rounds", "bridge_seed")
+      .head
+    val bMod = params.getLong(0)
+    val bRounds = params.getInt(1)
+    val bSeed = params.getInt(2)
+    // post-amputation survivor edge view (never carries a deleted target)
+    val survKnn = survivors
+      .select(col("id"), explode(col("knn")).as("__e"))
+      .select(col("id"), col("__e.nbr").as("nbr"), col("__e.cos").as("cosine"))
+      .filter(!isDel(col("nbr")))
+    val amput = survivors
+      .select(col("id"),
+        explode(transform(col("knn"), e => e.getField("nbr"))).as("nbr"))
+      .filter(isDel(col("nbr")))
+      .select(col("id").as("s"), col("nbr").as("d"))
+      .localCheckpoint(true)
+    val delNbrs = deleted
+      .select(col("id").as("d"),
+        explode(transform(col("knn"), e => e.getField("nbr"))).as("c"))
+      .filter(!isDel(col("c")))
+    val cand = amput.join(broadcast(delNbrs), Seq("d"))
+      .filter(col("s") =!= col("c"))
+      .select(col("s").as("id"), col("c").as("nbr")).distinct()
+      .localCheckpoint(true)
+    val vecsSurv = survivors.select(col("id"), col("nv").as("__nv"))
+    val scoredCand = broadcast(cand)
+      .join(vecsSurv.select(col("id"), col("__nv").as("__nva")), Seq("id"))
+      .join(vecsSurv.select(col("id").as("nbr"), col("__nv").as("__nvb")),
+        Seq("nbr"))
+      .select(col("id"), col("nbr"),
+        Similarity.dot(col("__nva"), col("__nvb")).as("cosine"))
+    val touched = amput.select(col("s").as("id")).distinct()
+      .localCheckpoint(true)
+    val curT = survKnn.join(broadcast(touched), Seq("id"))
+    var delta = topkOf(scoredCand.unionByName(curT), k, idType, dedup = true)
+      .join(curT.select(col("id"), col("nbr")).withColumn("__old", lit(true)),
+        Seq("id", "nbr"), "left")
+      .select(col("id"), col("nbr"), col("cosine"), col("rank"),
+        coalesce(col("__old"), lit(false)).unary_!.as("__new"))
+      .localCheckpoint(true)
+    if (healRounds > 0) {
+      val maxRev = if (maxReverse > 0) maxReverse else k
+      for (r <- 0 until healRounds)
+        delta = descentRoundDelta(delta, survKnn, vecsSurv, k, maxRev, seed,
+          8000 + r, idType)
+    }
+    val knnNew = knnArrays(delta).localCheckpoint(true)
+    val bridgeAdds = (if (bRounds <= 0)
+        emptyAdds(deleted.select("id"), idType)
+      else {
+        val affKeys = deleted.select(col("id"),
+            explode(bridgeKeys(col("id"), bRounds, bSeed, bMod)).as("__b"))
+          .select("__b").distinct()
+        val members = index
+          .select(col("id"),
+            explode(bridgeKeys(col("id"), bRounds, bSeed, bMod)).as("__b"))
+          .join(broadcast(affKeys), Seq("__b"))
+          .localCheckpoint(true)
+        val rehub = members.groupBy("__b").agg(min(col("id")).as("h0"))
+          .filter(isDel(col("h0"))).select("__b")
+        val survMembers = members.filter(!isDel(col("id")))
+          .join(broadcast(rehub), Seq("__b"))
+        val e1 = survMembers
+          .join(broadcast(survMembers.groupBy("__b")
+            .agg(min(col("id")).as("h1"))), Seq("__b"))
+          .filter(col("id") =!= col("h1"))
+          .select(col("id"), col("h1").as("nbr"))
+        e1.unionByName(e1.select(col("nbr").as("id"), col("id").as("nbr")))
+          .groupBy("id")
+          .agg(array_sort(collect_set(col("nbr"))).as("__adds"))
+      }).localCheckpoint(true)
+    val entryFix: Option[DataFrame] =
+      if (deleted.filter(col("is_entry")).isEmpty) None
+      else {
+        val e0 = index.filter(col("is_entry")).count()
+        Some(survivors.select(col("id"))
+          .orderBy(xxhash64(col("id"), lit(bSeed)), col("id"))
+          .limit(e0.toInt)
+          .withColumn("__entry2", lit(true)).localCheckpoint(true))
+      }
+    val joined = survivors
+      .join(broadcast(knnNew.withColumnRenamed("knn", "__knn2")),
+        Seq("id"), "left")
+      .join(broadcast(bridgeAdds), Seq("id"), "left")
+    val entried = entryFix match {
+      case Some(ef) => joined.join(broadcast(ef), Seq("id"), "left")
+        .withColumn("__ise", coalesce(col("__entry2"), lit(false)))
+      case None => joined.withColumn("__ise", col("is_entry"))
+    }
+    entried.select(col("id"), col("nv"),
+      coalesce(col("__knn2"),
+        filter(col("knn"), e => !isDel(e.getField("nbr")))).as("knn"),
+      array_sort(array_union(
+        filter(col("bridges"), x => !isDel(x)),
+        coalesce(col("__adds"), array().cast(ArrayType(idType)))))
+        .as("bridges"),
+      col("__ise").as("is_entry"),
+      col("bridge_mod"), col("bridge_rounds"), col("bridge_seed"))
   }
 }

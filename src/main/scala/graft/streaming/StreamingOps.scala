@@ -542,54 +542,93 @@ object StreamingOps {
   }
 
   /** Streaming incremental-insert twin of
-    * [[graft.operators.KnnGraph.insertIncremental]]: keep a k-NN graph
-    * index continuously refreshed as micro-batches of new vectors
-    * arrive — the serving half of a corpus that grows daily (new
-    * documents embed upstream; the graph admits them without a
-    * rebuild). A whole-graph update is not a row-local map, so the
-    * streaming integration is the foreachBatch pattern (the standard
-    * Structured Streaming shape for maintaining an external index):
-    * each micro-batch routes through insertIncremental verbatim, which
-    * is what makes batch==stream parity STRUCTURAL — the stream of
-    * batches b1..bn lands on exactly the graph that n sequential batch
-    * inserts produce (spec-pinned).
+    * [[graft.operators.KnnGraph.insertIncrementalIndexed]]: keep the
+    * [[graft.operators.KnnGraph.graphIndex]] asset continuously
+    * refreshed as micro-batches of new vectors arrive — the serving
+    * half of a corpus that grows daily (new documents embed upstream;
+    * the index admits them without a rebuild). A whole-index update is
+    * not a row-local map, so the streaming integration is the
+    * foreachBatch pattern (the standard Structured Streaming shape for
+    * maintaining an external index): each micro-batch routes through
+    * the index-native insert verbatim, which is what makes
+    * batch==stream parity STRUCTURAL — the stream of batches b1..bn
+    * lands on exactly the index that n sequential
+    * insertIncrementalIndexed calls produce (spec-pinned).
     *
-    * State lives as two localCheckpoint'd frames (graph n·k edges,
-    * corpus vectors) swapped atomically per batch; at deployment scale
-    * the same holder writes them through to parquet/Delta instead (the
-    * [[graft.operators.KnnGraph.graphIndex]] asset) — the update logic
-    * is identical, so the in-memory holder is the testable core.
+    * State is ONE immutable snapshot — a checkpointed base index plus
+    * a checkpointed overlay holding every row changed since the base
+    * was materialized (r12: the (graph, corpus) pair state re-
+    * materialized the WHOLE corpus per micro-batch, O(n·B) cumulative,
+    * and its two volatile writes could be read torn). Per-batch
+    * materialization cost is the overlay — bounded by the cumulative
+    * touched front, not the corpus — and every `compactEvery` batches
+    * the view compacts into a fresh base, keeping the read path's
+    * lineage depth constant. The same shape writes through to
+    * parquet/Delta in deployment: base file + merged delta, compaction
+    * on the same cadence.
+    *
     * Batch ids must be disjoint from everything already inserted —
-    * insertIncremental's semi-join probe enforces it loudly per batch
-    * (`validateIds = false` to skip when the producer guarantees it).
+    * the insert's semi-join probe enforces it loudly per batch, and
+    * because the probe scans only the index's id column (not the
+    * vectors), its steady-state cost is one column scan
+    * (`validateIds = false` to skip even that when the producer
+    * guarantees disjointness, r12 ADVICE).
     */
-  final class GraphInsertState(initialGraph: DataFrame,
-                               initialCorpus: DataFrame,
+  final class GraphInsertState(initialIndex: DataFrame,
                                idCol: String, vecCol: String, k: Int,
                                beam: Int = 8, hops: Int = 3,
-                               entries: Int = 4, bridgeRounds: Int = 3,
                                refineRounds: Int = 1, maxReverse: Int = 0,
                                seed: Int = 42,
-                               validateIds: Boolean = true) {
+                               validateIds: Boolean = true,
+                               compactEvery: Int = 8) {
     import graft.operators.KnnGraph
-    @volatile private var curGraph =
-      initialGraph.localCheckpoint(true)
-    @volatile private var curCorpus =
-      initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(true)
-    /** Current graph — (id, neighbor_id, cosine, rank), nnDescent shape. */
-    def graph: DataFrame = curGraph
-    /** Current corpus — (idCol, vecCol), every vector inserted so far. */
-    def corpus: DataFrame = curCorpus
-    /** Insert one micro-batch; empty batches are the identity. */
+    private final class Snap(val base: DataFrame,
+                             val overlay: Option[DataFrame],
+                             val batchesSinceCompact: Int)
+    @volatile private var snap =
+      new Snap(initialIndex.localCheckpoint(true), None, 0)
+    private def compose(s: Snap): DataFrame = s.overlay match {
+      case None => s.base
+      case Some(ov) =>
+        s.base.join(ov.select("id"), Seq("id"), "left_anti").unionByName(ov)
+    }
+    /** The live graphIndex asset (base ∪ changed-rows overlay). */
+    def index: DataFrame = compose(snap)
+    /** The live k-NN graph — (id, neighbor_id, cosine, rank). */
+    def graph: DataFrame = KnnGraph.indexGraph(index)
+    /** Insert one micro-batch; empty batches are the identity. The new
+      * snapshot is assigned in a single volatile write AFTER its
+      * checkpoint succeeded — a failing batch leaves the previous
+      * snapshot fully intact, never torn.
+      */
     def addBatch(batch: DataFrame): Unit = synchronized {
+      val s = snap
       val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(true)
       if (!b.isEmpty) {
-        curGraph = KnnGraph.insertIncremental(curGraph, curCorpus, b,
+        val (_, changed) = KnnGraph.insertIndexedDelta(compose(s), b,
           idCol, vecCol, k = k, beam = beam, hops = hops,
-          entries = entries, bridgeRounds = bridgeRounds,
           refineRounds = refineRounds, maxReverse = maxReverse,
-          seed = seed, validateIds = validateIds).localCheckpoint(true)
-        curCorpus = curCorpus.unionByName(b).localCheckpoint(true)
+          seed = seed, validateIds = validateIds)
+        // checkpoint the changed rows BEFORE composing them into the
+        // overlay: a LAZY frame on both sides of the anti-join ∪ union
+        // below (self-reference) trips Catalyst's union constraint
+        // rewrite (NoSuchElementException in UnionBase
+        // .rewriteConstraints); a materialized LogicalRDD on both sides
+        // is fine — and the rows land in the overlay anyway, so this is
+        // the batch's one bounded write, not an extra one
+        val changedC = changed.localCheckpoint(true)
+        val ovNew = s.overlay match {
+          case None => changedC
+          case Some(ov) =>
+            ov.join(changedC.select("id"), Seq("id"), "left_anti")
+              .unionByName(changedC).localCheckpoint(true)
+        }
+        val nb = s.batchesSinceCompact + 1
+        snap =
+          if (compactEvery > 0 && nb >= compactEvery)
+            new Snap(compose(new Snap(s.base, Some(ovNew), nb))
+              .localCheckpoint(true), None, 0)
+          else new Snap(s.base, Some(ovNew), nb)
       }
     }
   }

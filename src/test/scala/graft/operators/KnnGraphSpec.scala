@@ -282,9 +282,13 @@ class KnnGraphSpec extends SparkSpec {
     val oneShot = KnnGraph.searchGraph(g, df, q, "vec_id", "v", k = 3,
       beam = 6, hops = 4, entries = 3)
     val idx = KnnGraph.graphIndex(g, df, "vec_id", "v", entries = 3)
-    // index shape: one row per corpus vector, sorted distinct adjacency
+    // index shape: one row per corpus vector; self-describing bridge
+    // params ride in-table (r13: the asset carries its own bucket rule)
     assert(idx.count() === df.count())
     assert(idx.filter(col("is_entry")).count() === 3)
+    assert(idx.columns.toSet === Set("id", "nv", "knn", "bridges",
+      "is_entry", "bridge_mod", "bridge_rounds", "bridge_seed"))
+    assert(idx.select("bridge_mod").head.getLong(0) === df.count() / 2)
     val dir = java.nio.file.Files.createTempDirectory("gidx").toFile
     try {
       idx.write.mode("overwrite").parquet(dir.getAbsolutePath)
@@ -340,6 +344,239 @@ class KnnGraphSpec extends SparkSpec {
     // the calibrated operating points (doc examples stay honest)
     assert(KnnGraph.servingBudget(500) === ((8, 4, 4)))
     assert(KnnGraph.servingBudget(50000) === ((20, 10, 10)))
+  }
+
+  test("indexGraph recovers the built graph bit-identically from the index") {
+    val df = clustered(nClusters = 5, perCluster = 8, dims = 6)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 4, iterations = 2)
+    val idx = KnnGraph.graphIndex(g, df, "vec_id", "v")
+    val back = KnnGraph.indexGraph(idx)
+    assert(back.exceptAll(g).isEmpty && g.exceptAll(back).isEmpty)
+    assert(back.count() > 0)
+  }
+
+  test("insertIncrementalIndexed ≡ insertIncremental bit-identically on the merged graph") {
+    // the r13 headline pin: the index-native insert is a COST
+    // reformulation (delta re-rank, delta refine, no corpus
+    // renormalize/bridge rebuild), never a semantic one — its merged
+    // graph must match the one-shot path edge for edge, cosine for
+    // cosine, at every refine depth
+    val all = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val corpus = all.filter(col("vec_id") < 50)
+    val batch = all.filter(col("vec_id") >= 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val n = corpus.count()
+    val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 6, iterations = 2)
+      .localCheckpoint(true)
+    val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v", corpusCount = n)
+      .localCheckpoint(true)
+    for (refine <- Seq(0, 2)) {
+      val direct = KnnGraph.insertIncremental(g, corpus, batch, "vec_id",
+        "v", k = 6, refineRounds = refine, corpusCount = n)
+      val viaIdx = KnnGraph.indexGraph(KnnGraph.insertIncrementalIndexed(
+        idx, batch, "vec_id", "v", k = 6, refineRounds = refine))
+      assert(viaIdx.exceptAll(direct).isEmpty &&
+        direct.exceptAll(viaIdx).isEmpty, s"refine=$refine diverged")
+    }
+    // empty batch is the identity on the asset
+    val same = KnnGraph.insertIncrementalIndexed(idx, batch.limit(0),
+      "vec_id", "v", k = 6)
+    assert(same.exceptAll(idx).isEmpty && idx.exceptAll(same).isEmpty)
+    // overlapping ids fail loudly (same contract as the one-shot path)
+    val ex = intercept[IllegalArgumentException] {
+      KnnGraph.insertIncrementalIndexed(idx, corpus.limit(2), "vec_id",
+        "v", k = 6)
+    }
+    assert(ex.getMessage.contains("overlap"))
+  }
+
+  test("insertIncrementalIndexed: new nodes get bridges and become searchable") {
+    // a whole NEW well-separated cluster arrives: without bridge
+    // maintenance the inserted cluster is reachable only through
+    // admitted reverse edges, which the planted geometry suppresses —
+    // bucket-hub attachment is what lets a walk from old entries in
+    val all = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val corpus = all.filter(col("vec_id") < 50)
+    val batch = all.filter(col("vec_id") >= 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 6, iterations = 3)
+    val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v", entries = 3)
+    val idx2 = KnnGraph.insertIncrementalIndexed(idx, batch, "vec_id", "v",
+      k = 6, refineRounds = 2).localCheckpoint(true)
+    assert(idx2.count() === 60)
+    // every new node carries at least one bridge (60 nodes hash into
+    // ~25 occupied buckets over 3 rounds; an all-singleton draw would
+    // break determinism assumptions elsewhere first)
+    val newRows = idx2.filter(col("id") >= 10000L)
+    assert(newRows.filter(size(col("bridges")) > 0).count() > 0)
+    // batch params persisted unchanged
+    assert(idx2.select("bridge_mod").distinct().count() === 1)
+    // queries FROM the new cluster resolve to their own cluster mates
+    val q = batch.filter(col("vec_id") < 10053L)
+    val full = corpus.unionByName(batch)
+    val exact = Similarity.bruteForceTopK(full, q, "vec_id", "v", k = 3)
+    val found = KnnGraph.searchGraphIndexed(idx2, q, "vec_id", "v", k = 3,
+      beam = 6, hops = 5)
+    val hits = found.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    assert(hits.toDouble / exact.count() >= 0.7, s"$hits/${exact.count()}")
+  }
+
+  test("insertIndexedDelta changed rows are exactly the rows that differ") {
+    // the overlay contract GraphInsertState builds on: changed ⊆
+    // updated; updated minus changed-ids is bit-identical to the input
+    // index (untouched rows pass through); base∖changed ∪ changed ≡
+    // updated
+    val all = clustered(nClusters = 5, perCluster = 8, dims = 6)
+    val corpus = all.filter(col("vec_id") < 32)
+    val batch = all.filter(col("vec_id") >= 32)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 4, iterations = 2)
+    val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v")
+      .localCheckpoint(true)
+    val (updated0, changed0) = KnnGraph.insertIndexedDelta(idx, batch,
+      "vec_id", "v", k = 4, beam = 8, hops = 3, refineRounds = 1,
+      maxReverse = 0, seed = 42, validateIds = true)
+    val updated = updated0.localCheckpoint(true)
+    val changed = changed0.localCheckpoint(true)
+    assert(changed.exceptAll(updated).isEmpty) // changed ⊆ updated
+    val changedIds = changed.select("id").distinct()
+    val untouched = updated.join(changedIds, Seq("id"), "left_anti")
+    val untouchedInput = idx.join(changedIds, Seq("id"), "left_anti")
+    assert(untouched.exceptAll(untouchedInput).isEmpty &&
+      untouchedInput.exceptAll(untouched).isEmpty)
+    val composed = idx.join(changedIds, Seq("id"), "left_anti")
+      .unionByName(changed)
+    assert(composed.exceptAll(updated).isEmpty &&
+      updated.exceptAll(composed).isEmpty)
+  }
+
+  test("removeIds: deleted ids vanish everywhere; survivors heal and stay searchable") {
+    val df = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 6, iterations = 3)
+    val idx = KnnGraph.graphIndex(g, df, "vec_id", "v", entries = 3)
+      .localCheckpoint(true)
+    // delete one whole cluster (50..59) + one scattered member (7)
+    val delSet = 7L +: (50L to 59L)
+    val after = KnnGraph.removeIds(idx, delSet.toDF("vec_id"), "vec_id",
+      k = 6).localCheckpoint(true)
+    assert(after.count() === 49)
+    assert(after.filter(col("id").isin(delSet: _*)).isEmpty)
+    assert(after.select(explode(col("knn")).as("e"))
+      .filter(col("e.nbr").isin(delSet: _*)).isEmpty)
+    assert(after.select(explode(col("bridges")).as("b"))
+      .filter(col("b").isin(delSet: _*)).isEmpty)
+    // amputated survivors healed: everyone keeps a k-list (the scattered
+    // deletion cut edges into many nodes; heal candidates re-fill)
+    assert(after.filter(size(col("knn")) === 0).isEmpty)
+    // survivor search ~ fresh-rebuild quality on the planted shape, and
+    // deleted ids never surface
+    val survivors = df.filter(!col("vec_id").isin(delSet: _*))
+    val q = survivors.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(survivors, q, "vec_id", "v", k = 3)
+      .localCheckpoint(true)
+    def recallOf(index: org.apache.spark.sql.DataFrame): Double = {
+      val found = KnnGraph.searchGraphIndexed(index, q, "vec_id", "v",
+        k = 3, beam = 6, hops = 5)
+      assert(found.filter(col("neighbor_id").isin(delSet: _*)).isEmpty)
+      found.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / exact.count()
+    }
+    val healed = recallOf(after)
+    val fresh = recallOf(KnnGraph.graphIndex(
+      KnnGraph.nnDescent(survivors, "vec_id", "v", k = 6, iterations = 3),
+      survivors, "vec_id", "v", entries = 3))
+    assert(healed >= fresh - 0.1, s"healed $healed vs fresh $fresh")
+    // delete + re-insert round trip: the removed vectors come back
+    val back = KnnGraph.insertIncrementalIndexed(after,
+      df.filter(col("vec_id").isin(delSet: _*)), "vec_id", "v", k = 6,
+      refineRounds = 2)
+    assert(back.count() === 60)
+    assert(KnnGraph.indexGraph(back).select("id").distinct().count() === 60)
+    // absent ids are idempotent tombstone replays
+    val again = KnnGraph.removeIds(after, Seq(777777L).toDF("vec_id"),
+      "vec_id", k = 6)
+    assert(again.exceptAll(after).isEmpty && after.exceptAll(again).isEmpty)
+  }
+
+  test("removeIds re-elects entry points by replaying the build rule over survivors") {
+    val df = clustered(nClusters = 4, perCluster = 10, dims = 6)
+    val g = KnnGraph.nnDescent(df, "vec_id", "v", k = 4, iterations = 2)
+    val idx = KnnGraph.graphIndex(g, df, "vec_id", "v", entries = 3)
+      .localCheckpoint(true)
+    val anEntry = idx.filter(col("is_entry")).select("id").head.getLong(0)
+    val after = KnnGraph.removeIds(idx, Seq(anEntry).toDF("vec_id"),
+      "vec_id", k = 4).localCheckpoint(true)
+    assert(after.filter(col("is_entry")).count() === 3)
+    // the surviving entry set IS the build rule replayed over survivors
+    val expected = df.filter(col("vec_id") =!= anEntry).select(
+        col("vec_id").as("id"))
+      .orderBy(xxhash64(col("id"), lit(42)), col("id")).limit(3)
+      .collect().map(_.getLong(0)).toSet
+    assert(after.filter(col("is_entry")).select("id")
+      .collect().map(_.getLong(0)).toSet === expected)
+    // deleting a non-entry leaves the entry set untouched
+    val nonEntry = idx.filter(!col("is_entry")).select("id").head.getLong(0)
+    val after2 = KnnGraph.removeIds(idx, Seq(nonEntry).toDF("vec_id"),
+      "vec_id", k = 4)
+    assert(after2.filter(col("is_entry")).select("id").collect()
+      .map(_.getLong(0)).toSet ===
+      idx.filter(col("is_entry")).select("id").collect()
+        .map(_.getLong(0)).toSet)
+  }
+
+  test("compactIndex re-bakes scaffolding, preserves nv/knn bit-identically") {
+    val all = clustered(nClusters = 6, perCluster = 10, dims = 8)
+    val corpus = all.filter(col("vec_id") < 40)
+    val batch = all.filter(col("vec_id") >= 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 5, iterations = 2)
+    val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v", entries = 3)
+    val grown = KnnGraph.insertIncrementalIndexed(idx, batch, "vec_id",
+      "v", k = 5, refineRounds = 1).localCheckpoint(true)
+    val compact = KnnGraph.compactIndex(grown).localCheckpoint(true)
+    assert(compact.count() === grown.count())
+    // the expensive parts never move: vectors and k-NN edges bit-equal
+    val a = grown.select("id", "nv", "knn")
+    val b = compact.select("id", "nv", "knn")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the scaffolding re-bakes: modulus reflects the CURRENT n, entry
+    // count is preserved, and search over the compacted asset works
+    assert(compact.select("bridge_mod").head.getLong(0) === 60L / 2)
+    assert(compact.filter(col("is_entry")).count() === 3)
+    val q = all.filter(col("vec_id") < 3)
+    val found = KnnGraph.searchGraphIndexed(compact, q, "vec_id", "v",
+      k = 3, beam = 6, hops = 5)
+    assert(found.select("query_id").distinct().count() === 3)
+  }
+
+  test("foreign index tables fail loudly on schema drift") {
+    // a hand-built index with string ids (the silent null-cast vanish
+    // class, r12 ADVICE): every index consumer must reject it
+    val bad = Seq(("a", Array(1.0), Array(("b", 0.5)), Array("b"), true,
+        1L, 3, 42))
+      .toDF("id", "nv", "knn", "bridges", "is_entry", "bridge_mod",
+        "bridge_rounds", "bridge_seed")
+    val ldf = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(KnnGraph.searchGraphIndexed(bad, ldf, "vec_id", "v", k = 1))
+      .contains("integral"))
+    assert(msg(KnnGraph.insertIncrementalIndexed(bad, ldf, "vec_id", "v",
+      k = 1)).contains("integral"))
+    assert(msg(KnnGraph.removeIds(bad, ldf, "vec_id", k = 1))
+      .contains("integral"))
+    assert(msg(KnnGraph.indexGraph(bad)).contains("integral"))
+    assert(msg(KnnGraph.compactIndex(bad)).contains("integral"))
+    // a long-id table missing the bridge params is just as foreign
+    val g = KnnGraph.nnDescent(ldf, "vec_id", "v", k = 1, iterations = 1)
+    val noParams = KnnGraph.graphIndex(g, ldf, "vec_id", "v")
+      .drop("bridge_mod")
+    assert(msg(KnnGraph.searchGraphIndexed(noParams, ldf, "vec_id", "v",
+      k = 1)).contains("bridge_mod"))
   }
 
   test("searchGraph determinism and k > visited degeneracy") {

@@ -480,14 +480,17 @@ class StreamingOpsSpec extends SparkSpec {
     val b2 = cluster(4, 2000L, 8)
     val g0 = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 4, iterations = 2)
       .localCheckpoint(true)
-    // batch path: two sequential inserts
-    val g1 = KnnGraph.insertIncremental(g0, corpus, b1.toDF("vec_id", "v"),
+    // the state holds the graphIndex ASSET (r13: index-native insert —
+    // no per-batch corpus re-materialization); batch path = two
+    // sequential index-native inserts
+    val idx0 = KnnGraph.graphIndex(g0, corpus, "vec_id", "v")
+      .localCheckpoint(true)
+    val i1 = KnnGraph.insertIncrementalIndexed(idx0, b1.toDF("vec_id", "v"),
       "vec_id", "v", k = 4).localCheckpoint(true)
-    val g2 = KnnGraph.insertIncremental(g1,
-      corpus.unionByName(b1.toDF("vec_id", "v")), b2.toDF("vec_id", "v"),
+    val i2 = KnnGraph.insertIncrementalIndexed(i1, b2.toDF("vec_id", "v"),
       "vec_id", "v", k = 4).localCheckpoint(true)
     // stream path: same batches as two micro-batches through foreachBatch
-    val state = new StreamingOps.GraphInsertState(g0, corpus, "vec_id", "v",
+    val state = new StreamingOps.GraphInsertState(idx0, "vec_id", "v",
       k = 4)
     val input = MemoryStream[(Long, Seq[Double])]
     val q = StreamingOps.graphInsertStream(input.toDF().toDF("vec_id", "v"),
@@ -497,12 +500,22 @@ class StreamingOpsSpec extends SparkSpec {
     input.addData(b2: _*)
     q.processAllAvailable()
     q.stop()
-    // bit-identical parity, both directions (cosine included)
-    assert(state.graph.exceptAll(g2).isEmpty)
-    assert(g2.exceptAll(state.graph).isEmpty)
-    // corpus state tracked too; every node has a k-list in the live graph
-    assert(state.corpus.count() === 46)
+    // bit-identical parity with the sequential inserts, both directions
+    // (cosine included), on the full index rows — vectors, k-lists,
+    // bridges, entries
+    assert(state.index.exceptAll(i2).isEmpty)
+    assert(i2.exceptAll(state.index).isEmpty)
+    assert(state.index.count() === 46)
     assert(state.graph.select("id").distinct().count() === 46)
+    // compaction cadence is pure lineage hygiene — a compact-every-batch
+    // state lands on the bit-identical asset (compaction materializes
+    // the base∪overlay view; it never rewrites rows)
+    val s2 = new StreamingOps.GraphInsertState(idx0, "vec_id", "v", k = 4,
+      compactEvery = 1)
+    s2.addBatch(b1.toDF("vec_id", "v"))
+    s2.addBatch(b2.toDF("vec_id", "v"))
+    assert(s2.index.exceptAll(state.index).isEmpty &&
+      state.index.exceptAll(s2.index).isEmpty)
   }
 
   test("uniquesPerWindow sketches merge into the batch cumulative curve") {

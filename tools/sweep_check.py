@@ -67,6 +67,17 @@ def main() -> None:
                         all_lines.append(ln)
                         if ln.startswith(("✓", "✗")) and len(ln.split()) > 1:
                             adjudicated.add(ln.split()[1].rstrip(":"))
+                elif ln.strip().startswith("[rows-only]"):
+                    # check.py prints '  [rows-only] <name>' (no ✓/✗) for an
+                    # output dir with no oracle_sql entry — still a verdict,
+                    # so it must count as adjudicated or the UNADJUDICATED
+                    # guard below would spuriously fail the sweep (r12
+                    # ADVICE; latent while gate and oracle counts match).
+                    parts = ln.split()
+                    if len(parts) > 1:
+                        with lock:
+                            all_lines.append(ln.strip())
+                            adjudicated.add(parts[1].rstrip(":"))
                 elif fail_hdr and ln.startswith((" ", "\t")):
                     with lock:
                         all_lines.append(f"{fail_hdr[:40]} |{ln}")
