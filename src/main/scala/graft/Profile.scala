@@ -300,6 +300,42 @@ object Profile {
           println(f"[prof] insert budgeted refine=$refine recall@5 " +
             f"${hits.toDouble / exI.count()}%.3f")
         }
+      case "insertab" =>
+        // r13: one-shot insertIncremental vs index-native
+        // insertIncrementalIndexed at the q_graph_insert gate shape —
+        // where does the indexed path's time go?
+        import operators.{KnnGraph, Similarity}
+        val e = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 50000)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val batch = e.filter(col("vec_id") < 25).localCheckpoint(true)
+        val corpus = e.filter(col("vec_id") >= 25)
+        val n = e.count()
+        val (beam, hops, entries) = KnnGraph.servingBudget(n)
+        println(s"[prof] n=$n budget=($beam,$hops,$entries)")
+        val g = time("build k=16 it=2")(KnnGraph.nnDescent(corpus,
+          "vec_id", "v", k = 16, iterations = 2, earlyStop = false,
+          corpusCount = n - 25).localCheckpoint(true))
+        for (r <- Seq(0, 3)) {
+          time(s"one-shot insertIncremental refine=$r")(
+            KnnGraph.insertIncremental(g, corpus, batch, "vec_id", "v",
+              k = 16, beam = beam, hops = hops, entries = entries,
+              refineRounds = r, corpusCount = n - 25,
+              validateIds = false).count())
+        }
+        val idx = time("graphIndex build")(KnnGraph.graphIndex(g, corpus,
+          "vec_id", "v", entries = entries, corpusCount = n - 25)
+          .localCheckpoint(true))
+        time("searchGraphIndexed placement only")(
+          KnnGraph.searchGraphIndexed(idx, batch, "vec_id", "v", k = 16,
+            beam = beam, hops = hops).count())
+        for (r <- Seq(0, 1, 3)) {
+          time(s"indexed insert refine=$r")(
+            KnnGraph.insertIncrementalIndexed(idx, batch, "vec_id", "v",
+              k = 16, beam = beam, hops = hops, refineRounds = r,
+              validateIds = false).count())
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -405,6 +405,12 @@ private[graft] object GatesAnn {
     // at ~half (0.45). This also permanently pins the class of the r11
     // FP-divergent duplicate-neighbor bug, which was caught only by an
     // ad-hoc rebuild-parity measurement.
+    // r13 (VERDICT ask 1): routed through the INDEX-NATIVE path — the
+    // gate now builds the graphIndex asset and inserts with
+    // insertIncrementalIndexed (delta re-rank, no corpus renormalize /
+    // bridge rebuild), reading the merged graph back off the updated
+    // index. Bit-identical to the one-shot path by the KnnGraphSpec
+    // parity pin, so the oracle and bars carry over unchanged.
     "q_graph_insert" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 50000)
@@ -417,10 +423,12 @@ private[graft] object GatesAnn {
       val g = KnnGraph.nnDescent(corpus, "vec_id", "v", k = 16,
         iterations = 2, earlyStop = false, corpusCount = n - 25)
         .localCheckpoint(true)
-      val merged = KnnGraph.insertIncremental(g, corpus, batch, "vec_id",
-        "v", k = 16, beam = beam, hops = hops, entries = entries,
-        refineRounds = 3, corpusCount = n - 25,
-        validateIds = false) // disjoint by construction (partition of e)
+      val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v",
+        entries = entries, corpusCount = n - 25).localCheckpoint(true)
+      val merged = KnnGraph.indexGraph(KnnGraph.insertIncrementalIndexed(
+        idx, batch, "vec_id", "v", k = 16, beam = beam, hops = hops,
+        refineRounds = 3,
+        validateIds = false)) // disjoint by construction (partition of e)
       val ann = merged.filter(col("id") < 25 && col("rank") <= 5)
         .select(col("id").as("query_id"), col("neighbor_id"),
           col("cosine"), col("rank"))
@@ -430,14 +438,67 @@ private[graft] object GatesAnn {
     }),
 
 
-    // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): all
-    // five approximate methods over ONE query set, each proposing 20
+    // Graph-index deletion (r13, VERDICT ask 2): the lifecycle's other
+    // half — tombstone a planted id range out of the serving index
+    // (removeIds: amputate + heal + re-hub + entry re-election), then
+    // claim (a) the deleted ids appear NOWHERE (rows, knn arrays,
+    // bridge arrays, search results) and (b) survivor serving recall
+    // still clears the search gate's absolute floor against exact
+    // brute force over the survivors. The deleted range [100, 150)
+    // is disjoint from the query slice, so n_queries stays 20 and the
+    // oracle twin is closed-form at every scale.
+    "q_graph_delete" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50000)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      val n = e.count()
+      val (beam, hops, entries) = KnnGraph.servingBudget(n)
+      val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 16, iterations = 2,
+        earlyStop = false, corpusCount = n).localCheckpoint(true)
+      val idx = KnnGraph.graphIndex(g, e, "vec_id", "v",
+        entries = entries, corpusCount = n).localCheckpoint(true)
+      val isDel = col("vec_id") >= 100 && col("vec_id") < 150
+      val after = KnnGraph.removeIds(idx,
+        e.filter(isDel).select("vec_id"), "vec_id", k = 16,
+        healRounds = 1).localCheckpoint(true)
+      val q = e.filter(col("vec_id") < 20)
+      val ann = KnnGraph.searchGraphIndexed(after, q, "vec_id", "v",
+        k = 5, beam = beam, hops = hops).localCheckpoint(true)
+      val survivors = e.filter(!isDel)
+      val exact = Similarity.bruteForceTopK(survivors, q, "vec_id", "v",
+        k = 5)
+      def delRange(c: org.apache.spark.sql.Column) = c >= 100 && c < 150
+      val noDeleted =
+        after.filter(delRange(col("id"))).isEmpty &&
+        after.select(explode(col("knn")).as("e"))
+          .filter(delRange(col("e.nbr"))).isEmpty &&
+        after.select(explode(col("bridges")).as("b"))
+          .filter(delRange(col("b"))).isEmpty &&
+        ann.filter(delRange(col("neighbor_id"))).isEmpty
+      annClaims(ann, exact, lit((n - 50).toDouble), k = 5, "cosine",
+        ascending = false, minRecall = 0.45)
+        .withColumn("no_deleted_ok", lit(noDeleted))
+    }),
+
+
+    // ANN method sweep + exact-rerank harness (r7, VERDICT ask 8a): ALL
+    // SIX approximate families over ONE query set, each proposing 20
     // candidates, each reranked by the exact cosine down to 5 — one metric
     // row per method. Claims: every query covered, reranked hits >= the
     // method's own raw top-5 hits (the rerankExact monotonicity
     // guarantee), reranked mean recall@5 at least 10x chance.
+    // r13 (VERDICT ask 4): the graph family joins as the sixth channel
+    // (nnDescent k=16/2-round build -> graphIndex -> budgeted indexed
+    // search), and the sweep adopts the fixed 50k-vector slice the other
+    // graph gates use (q_hubness pattern; no-op at sf <= 1): a graph
+    // BUILD over the full 5M-vector sf10 corpus belongs in a build gate,
+    // not inside the one-table-per-family metric harness, and the slice
+    // keeps all six families' truth and claims on the same bounded
+    // corpus at every scale.
     "q_ann_sweep" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50000)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
       val q = e.filter(col("vec_id") < 20)
@@ -451,7 +512,19 @@ private[graft] object GatesAnn {
       val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
       val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
       val kc = 20
+      val n = e.count()
+      val graphCand = {
+        val (beam, hops, entries) = KnnGraph.servingBudget(n)
+        val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 16,
+          iterations = 2, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true)
+        val idx = KnnGraph.graphIndex(g, e, "vec_id", "v",
+          entries = entries, corpusCount = n).localCheckpoint(true)
+        KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = kc,
+          beam = beam, hops = hops)
+      }
       val cands: Seq[(String, DataFrame)] = Seq(
+        "graph" -> graphCand,
         "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc, nlist = 8,
           nprobe = 3),
         "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
@@ -462,7 +535,7 @@ private[graft] object GatesAnn {
         "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
       val truthPairs = exact.select("query_id", "neighbor_id")
       val nQ = q.count()
-      val chance = lit(10.0 * 5 / e.count().toDouble)
+      val chance = lit(10.0 * 5 / n.toDouble)
       cands.map { case (name, cand0) =>
         val cand = cand0.localCheckpoint(true)
         val raw5 = cand.filter(col("rank") <= 5)

@@ -41,6 +41,16 @@ private[graft] object OraclesAnn {
         |FROM embeddings WHERE vec_id < 25""".stripMargin,
 
 
+    // delete gate (r13): search claims over the post-delete index plus
+    // the no-deleted-anywhere claim; the deleted range [100, 150) is
+    // disjoint from the query slice so n_queries stays the vec_id < 20
+    // count at every scale
+    "q_graph_delete" ->
+      """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
+        |       true AS recall_ok, true AS no_deleted_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+
     "q_ivf_topk" ->
       """SELECT count(*) AS n_queries, true AS covered_ok, true AS shape_ok,
         |       true AS recall_ok
@@ -72,7 +82,8 @@ private[graft] object OraclesAnn {
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
         |    AS n_queries,
         |  true AS covered_ok, true AS rerank_ge_raw, true AS recall_ok
-        |FROM (VALUES ('ivf'),('ivfpq'),('lsh'),('opq'),('pq')) t(method)
+        |FROM (VALUES ('graph'),('ivf'),('ivfpq'),('lsh'),('opq'),('pq'))
+        |  t(method)
         |ORDER BY method""".stripMargin,
 
 

@@ -781,6 +781,48 @@ object KnnGraph {
     ids.select(col("id"), array().cast(ArrayType(idType)).as("__adds"))
       .limit(0)
 
+  /** Run `rounds` refine rounds over a delta against a base edge set,
+    * picking per round between [[descentRoundDelta]] and the plain
+    * [[descentRound]] over the composed graph — bit-identical results
+    * either way (spec-pinned at both forced extremes); the choice is
+    * pure cost. The delta formulation wins when the perturbation front
+    * is a small fraction of the corpus (its shuffles are front-bounded)
+    * but pays reconstruction overhead per consumption of the composed
+    * view; once the front saturates (measured: a 25-vector batch's
+    * round-1 targets cover ~40% of a 2k-vector corpus, and pure-delta
+    * rounds 2-3 cost 17 s where full rounds cost 0.7 s), the full
+    * round is strictly cheaper. `switchFraction` is the |delta|/n
+    * crossover; after one full round the delta IS the full graph, so
+    * subsequent rounds stay full.
+    */
+  private def refineDeltaRounds(delta0: DataFrame, baseKnn: DataFrame,
+                                vecs: DataFrame, nTotal: Long, k: Int,
+                                maxRev: Int, seed: Int, iterBase: Int,
+                                rounds: Int, switchFraction: Double,
+                                idType: DataType): DataFrame = {
+    var delta = delta0
+    for (r <- 0 until rounds) {
+      val deltaN = delta.select("id").distinct().count()
+      delta =
+        if (nTotal > 0 && deltaN.toDouble / nTotal <= switchFraction)
+          descentRoundDelta(delta, baseKnn, vecs, k, maxRev, seed,
+            iterBase + r, idType)
+        else {
+          val dIds = delta.select("id").distinct()
+          val curAll = delta
+            .select(col("id"), col("nbr"), col("cosine"), col("__new"))
+            .unionByName(baseKnn
+              .join(broadcast(dIds), Seq("id"), "left_anti")
+              .select(col("id"), col("nbr"), col("cosine"))
+              .withColumn("__new", lit(false)))
+            .localCheckpoint(true)
+          descentRound(curAll, vecs, k, maxRev, sampleRate = 1.0, seed,
+            iterBase + r, idType)
+        }
+    }
+    delta
+  }
+
   /** Index-native incremental insert — the insert path reads AND
     * writes the [[graphIndex]] asset (r12's headline gap: the index
     * was read-only for serving; after every [[insertIncremental]] it
@@ -813,9 +855,12 @@ object KnnGraph {
                                beam: Int = 8, hops: Int = 3,
                                refineRounds: Int = 1, maxReverse: Int = 0,
                                seed: Int = 42,
-                               validateIds: Boolean = true): DataFrame =
+                               validateIds: Boolean = true,
+                               corpusCount: Long = -1L,
+                               deltaRefineFraction: Double = 0.25): DataFrame =
     insertIndexedDelta(index, batch, idCol, vecCol, k, beam, hops,
-      refineRounds, maxReverse, seed, validateIds)._1
+      refineRounds, maxReverse, seed, validateIds, corpusCount,
+      deltaRefineFraction)._1
 
   /** [[insertIncrementalIndexed]] plus the CHANGED ROWS (index-schema
     * rows for every id whose row differs from the input index —
@@ -827,7 +872,8 @@ object KnnGraph {
   private[graft] def insertIndexedDelta(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, k: Int, beam: Int, hops: Int,
       refineRounds: Int, maxReverse: Int, seed: Int,
-      validateIds: Boolean): (DataFrame, DataFrame) = {
+      validateIds: Boolean, corpusCount: Long = -1L,
+      deltaRefineFraction: Double = 0.25): (DataFrame, DataFrame) = {
     validateIndex(index, "insertIncrementalIndexed")
     requireIntegralId(batch, idCol, "insertIncrementalIndexed")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -871,9 +917,10 @@ object KnnGraph {
     if (refineRounds > 0) {
       val vecsAll = index.select(col("id"), col("nv").as("__nv"))
         .unionByName(bv.select(col("id"), col("__nv")))
-      for (r <- 0 until refineRounds)
-        delta = descentRoundDelta(delta, baseKnn, vecsAll, k, maxRev, seed,
-          5000 + r, idType)
+      val nTotal = (if (corpusCount >= 0) corpusCount else index.count()) +
+        bv.count()
+      delta = refineDeltaRounds(delta, baseKnn, vecsAll, nTotal, k, maxRev,
+        seed, 5000, refineRounds, deltaRefineFraction, idType)
     }
     // compose the updated index: one broadcast-joined pass over the old
     // rows (scan, no shuffle of untouched rows) + the new node rows
@@ -1016,7 +1063,8 @@ object KnnGraph {
     */
   def removeIds(index: DataFrame, removals: DataFrame, idCol: String,
                 k: Int, healRounds: Int = 1, maxReverse: Int = 0,
-                seed: Int = 42): DataFrame = {
+                seed: Int = 42, corpusCount: Long = -1L,
+                deltaRefineFraction: Double = 0.25): DataFrame = {
     validateIndex(index, "removeIds")
     requireIntegralId(removals, idCol, "removeIds")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1074,9 +1122,10 @@ object KnnGraph {
       .localCheckpoint(true)
     if (healRounds > 0) {
       val maxRev = if (maxReverse > 0) maxReverse else k
-      for (r <- 0 until healRounds)
-        delta = descentRoundDelta(delta, survKnn, vecsSurv, k, maxRev, seed,
-          8000 + r, idType)
+      val nSurv = (if (corpusCount >= 0) corpusCount else index.count()) -
+        delIds.length
+      delta = refineDeltaRounds(delta, survKnn, vecsSurv, nSurv, k, maxRev,
+        seed, 8000, healRounds, deltaRefineFraction, idType)
     }
     val knnNew = knnArrays(delta).localCheckpoint(true)
     val bridgeAdds = (if (bRounds <= 0)

@@ -587,6 +587,9 @@ object StreamingOps {
                              val batchesSinceCompact: Int)
     @volatile private var snap =
       new Snap(initialIndex.localCheckpoint(true), None, 0)
+    // running row count so each insert's refine-path crossover check
+    // (delta vs full round) needs no per-batch index count job
+    private var nRows: Long = snap.base.count()
     private def compose(s: Snap): DataFrame = s.overlay match {
       case None => s.base
       case Some(ov) =>
@@ -608,7 +611,7 @@ object StreamingOps {
         val (_, changed) = KnnGraph.insertIndexedDelta(compose(s), b,
           idCol, vecCol, k = k, beam = beam, hops = hops,
           refineRounds = refineRounds, maxReverse = maxReverse,
-          seed = seed, validateIds = validateIds)
+          seed = seed, validateIds = validateIds, corpusCount = nRows)
         // checkpoint the changed rows BEFORE composing them into the
         // overlay: a LAZY frame on both sides of the anti-join ∪ union
         // below (self-reference) trips Catalyst's union constraint
@@ -623,6 +626,7 @@ object StreamingOps {
             ov.join(changedC.select("id"), Seq("id"), "left_anti")
               .unionByName(changedC).localCheckpoint(true)
         }
+        nRows += b.count()
         val nb = s.batchesSinceCompact + 1
         snap =
           if (compactEvery > 0 && nb >= compactEvery)

@@ -370,13 +370,18 @@ class KnnGraphSpec extends SparkSpec {
       .localCheckpoint(true)
     val idx = KnnGraph.graphIndex(g, corpus, "vec_id", "v", corpusCount = n)
       .localCheckpoint(true)
-    for (refine <- Seq(0, 2)) {
+    // deltaRefineFraction forced to both extremes: 1.0 = every refine
+    // round takes the front-bounded DELTA path, 0.0 = every round takes
+    // the full descentRound over the composed graph — the crossover is
+    // a pure cost choice, so BOTH must match the one-shot bit-for-bit
+    for (refine <- Seq(0, 2); frac <- Seq(0.0, 1.0)) {
       val direct = KnnGraph.insertIncremental(g, corpus, batch, "vec_id",
         "v", k = 6, refineRounds = refine, corpusCount = n)
       val viaIdx = KnnGraph.indexGraph(KnnGraph.insertIncrementalIndexed(
-        idx, batch, "vec_id", "v", k = 6, refineRounds = refine))
+        idx, batch, "vec_id", "v", k = 6, refineRounds = refine,
+        deltaRefineFraction = frac))
       assert(viaIdx.exceptAll(direct).isEmpty &&
-        direct.exceptAll(viaIdx).isEmpty, s"refine=$refine diverged")
+        direct.exceptAll(viaIdx).isEmpty, s"refine=$refine frac=$frac diverged")
     }
     // empty batch is the identity on the asset
     val same = KnnGraph.insertIncrementalIndexed(idx, batch.limit(0),
