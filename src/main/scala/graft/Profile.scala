@@ -300,6 +300,133 @@ object Profile {
           println(f"[prof] insert budgeted refine=$refine recall@5 " +
             f"${hits.toDouble / exI.count()}%.3f")
         }
+      case "graph1m" =>
+        // r13 (VERDICT ask 6): serving/insert/delete evidence at 1M
+        // vectors — point SPARK_GRAFT_SF_DIR at target/emb1m
+        // (tools/make_emb.py) and run with SPARK_DRIVER_MEM=48g.
+        // Measures: full build + index bake walls, budgeted indexed
+        // search recall@5 + per-20-query-batch wall, index-native
+        // insert wall + inserted-batch recall@5, removeIds wall +
+        // deleted-absent + survivor recall spot check.
+        import operators.{KnnGraph, Similarity}
+        val e = Tables.embeddings(spark, sfDir)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v").localCheckpoint(true)
+        val n = e.count()
+        val budget @ (beam, hops, entries) = KnnGraph.servingBudget(n)
+        println(s"[prof] corpus vectors: $n budget=$budget")
+        val q = e.filter(col("vec_id") < 20)
+        val exact = time("brute-force truth (20 queries)")(
+          Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+            .localCheckpoint(true))
+        def recall(ann: org.apache.spark.sql.DataFrame,
+                   ex: org.apache.spark.sql.DataFrame): Double =
+          ann.select("query_id", "neighbor_id").distinct()
+            .join(ex.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id")).count().toDouble / ex.count()
+        val g = time("nnDescent k=16 it=2 FULL")(
+          KnnGraph.nnDescent(e, "vec_id", "v", k = 16, iterations = 2,
+            earlyStop = false, corpusCount = n).localCheckpoint(true))
+        val idx = time("graphIndex bake")(
+          KnnGraph.graphIndex(g, e, "vec_id", "v", entries = entries,
+            corpusCount = n).localCheckpoint(true))
+        val ann = time("searchGraphIndexed 20-query batch")(
+          KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = 5,
+            beam = beam, hops = hops).localCheckpoint(true))
+        println(f"[prof] search recall@5: ${recall(ann, exact)}%.3f")
+        // insert: hold out vec_id < 25, build minus-batch, insert back
+        val batch = e.filter(col("vec_id") < 25).localCheckpoint(true)
+        val corpus = e.filter(col("vec_id") >= 25)
+        val gI = time("nnDescent minus-batch")(
+          KnnGraph.nnDescent(corpus, "vec_id", "v", k = 16,
+            iterations = 2, earlyStop = false, corpusCount = n - 25)
+            .localCheckpoint(true))
+        val idxI = time("graphIndex minus-batch")(
+          KnnGraph.graphIndex(gI, corpus, "vec_id", "v",
+            entries = entries, corpusCount = n - 25).localCheckpoint(true))
+        val idx2 = time("insertIncrementalIndexed refine=3")(
+          KnnGraph.insertIncrementalIndexed(idxI, batch, "vec_id", "v",
+            k = 16, beam = beam, hops = hops, refineRounds = 3,
+            validateIds = false, corpusCount = n - 25)
+            .localCheckpoint(true))
+        val exB = Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
+          .localCheckpoint(true)
+        val annI = KnnGraph.indexGraph(idx2)
+          .filter(col("id") < 25 && col("rank") <= 5)
+          .select(col("id").as("query_id"), col("neighbor_id"))
+        println(f"[prof] insert recall@5: ${recall(annI, exB)}%.3f")
+        // delete: drop a 50-id range out of the FULL index, time + check
+        val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+          .select("vec_id")
+        val after = time("removeIds 50 ids, heal=1")(
+          KnnGraph.removeIds(idx, delIds, "vec_id", k = 16,
+            healRounds = 1, corpusCount = n).localCheckpoint(true))
+        val gone = after.filter(col("id") >= 100 && col("id") < 150).isEmpty &&
+          after.select(explode(col("knn")).as("x"))
+            .filter(col("x.nbr") >= 100 && col("x.nbr") < 150).isEmpty
+        val annD = KnnGraph.searchGraphIndexed(after, q, "vec_id", "v",
+          k = 5, beam = beam, hops = hops)
+        val exS = Similarity.bruteForceTopK(
+          e.filter(!(col("vec_id") >= 100 && col("vec_id") < 150)), q,
+          "vec_id", "v", k = 5).localCheckpoint(true)
+        println(s"[prof] deleted absent: $gone")
+        println(f"[prof] post-delete search recall@5: ${recall(annD, exS)}%.3f")
+      case "graph1mx" =>
+        // r13 follow-up: the 1M search recall read 0.430 under
+        // servingBudget(1M)=(30,15,15) — is the BUDGET or the GRAPH
+        // (k=16 it=2) the binding factor? And where do the insert's
+        // 214 s go (placement vs refine vs composition)?
+        import operators.{KnnGraph, Similarity}
+        val e = Tables.embeddings(spark, sfDir)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v").localCheckpoint(true)
+        val n = e.count()
+        val (beam, hops, entries) = KnnGraph.servingBudget(n)
+        val q = e.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+          .localCheckpoint(true)
+        def recall(ann: org.apache.spark.sql.DataFrame): Double =
+          ann.select("query_id", "neighbor_id").distinct()
+            .join(exact.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id")).count().toDouble / exact.count()
+        val g16 = time("build k=16 it=2")(KnnGraph.nnDescent(e, "vec_id",
+          "v", k = 16, iterations = 2, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true))
+        val idx16 = KnnGraph.graphIndex(g16, e, "vec_id", "v",
+          entries = entries, corpusCount = n).localCheckpoint(true)
+        for ((b2, h2, e2) <- Seq((beam, hops, entries),
+            (2 * beam, hops + 5, 2 * entries))) {
+          val idxE =
+            if (e2 == entries) idx16
+            else KnnGraph.graphIndex(g16, e, "vec_id", "v", entries = e2,
+              corpusCount = n).localCheckpoint(true)
+          val ann = time(s"search k16 graph budget=($b2,$h2,$e2)")(
+            KnnGraph.searchGraphIndexed(idxE, q, "vec_id", "v", k = 5,
+              beam = b2, hops = h2).localCheckpoint(true))
+          println(f"[prof] k16 budget=($b2,$h2,$e2) recall@5: ${recall(ann)}%.3f")
+        }
+        val g20 = time("build k=20 it=3")(KnnGraph.nnDescent(e, "vec_id",
+          "v", k = 20, iterations = 3, earlyStop = false, corpusCount = n)
+          .localCheckpoint(true))
+        val idx20 = KnnGraph.graphIndex(g20, e, "vec_id", "v",
+          entries = entries, corpusCount = n).localCheckpoint(true)
+        val ann20 = time("search k20/3r graph, servingBudget")(
+          KnnGraph.searchGraphIndexed(idx20, q, "vec_id", "v", k = 5,
+            beam = beam, hops = hops).localCheckpoint(true))
+        println(f"[prof] k20/3r budget recall@5: ${recall(ann20)}%.3f")
+        // insert decomposition on the k16 index (batch = 25 fresh ids)
+        val batch = e.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 5000000L).as("vec_id"), col("v"))
+          .localCheckpoint(true)
+        time("placement only (searchGraphIndexed k=16)")(
+          KnnGraph.searchGraphIndexed(idx16, batch, "vec_id", "v", k = 16,
+            beam = beam, hops = hops).count())
+        for (r <- Seq(0, 1, 3)) {
+          time(s"indexed insert refine=$r")(
+            KnnGraph.insertIncrementalIndexed(idx16, batch, "vec_id", "v",
+              k = 16, beam = beam, hops = hops, refineRounds = r,
+              validateIds = false, corpusCount = n).localCheckpoint(true))
+        }
       case "insertab" =>
         // r13: one-shot insertIncremental vs index-native
         // insertIncrementalIndexed at the q_graph_insert gate shape —

@@ -451,7 +451,16 @@ object KnnGraph {
     * ~entries + hops·beam·k scored pairs per query, still trivial at
     * any corpus size. Returns (beam, hops, entries) with every knob
     * growing ~log2(n/50): (8,4,4) at n=500, (12,6,6) at 2k, (18,9,9)
-    * at 20k, (20,10,10) at 50k.
+    * at 20k, (20,10,10) at 50k, (30,15,15) at 1M.
+    *
+    * The budget assumes a CONVERGED build. Measured at 1M vectors
+    * (r13): on a k=20/3-round graph (NN-Descent's incremental join
+    * empties by round 3 at this scale) the budget reads recall@5
+    * 0.98; on a cheap k=16/2-round graph the same budget reads 0.43
+    * and even doubling every knob only reaches 0.72 — past ~10^5
+    * vectors the GRAPH, not the walk length, binds. Serve large
+    * corpora from a converged k>=20 build (use `earlyStop`); the
+    * cheap build is a gate/iteration shape, not a serving shape.
     */
   def servingBudget(n: Long): (Int, Int, Int) = {
     val lg = math.max(3, math.ceil(

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Uncontended per-gate timing ledger (r13, VERDICT r12 ask 3).
+
+The regression-tracked sf1 number used to be the FULL single-shot sweep
+total, where per-gate times wobble +/-30% on shared warm state (r12: a
++16% move with only ~24 s attributable). This tool produces the tracked
+number instead: each gate runs ISOLATED — a fresh plain-java JVM per
+run, sequential (nothing else on the box), fixed heap — twice, and the
+ledger records both runs plus the min. The full sweep remains the
+bit-correctness adjudicator; THIS file is the performance record.
+
+Usage:
+    python3 tools/ledger.py <classSnapDir> <sfDir> <outJson> \
+        [--xmx 24g] [--cpus 32] [--repeats 2] \
+        (--top N <verify_times.json> | gate [gate ...])
+
+The class snapshot dir is a copy of target/scala-2.13/classes (plus
+src/main/resources/META-INF, see run_verify_sf10.sh) so sbt stays free.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+OPENS_PKGS = [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar",
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if len(args) < 4:
+        print(__doc__)
+        sys.exit(2)
+    snap, sf_dir, out_json = args[0], args[1], args[2]
+    rest = args[3:]
+    xmx, cpus, repeats = "24g", "32", 2
+    gates: list[str] = []
+    i = 0
+    while i < len(rest):
+        if rest[i] == "--xmx":
+            xmx = rest[i + 1]; i += 2
+        elif rest[i] == "--cpus":
+            cpus = rest[i + 1]; i += 2
+        elif rest[i] == "--repeats":
+            repeats = int(rest[i + 1]); i += 2
+        elif rest[i] == "--top":
+            n = int(rest[i + 1])
+            times = json.load(open(rest[i + 2]))
+            gates += [k for k, _ in sorted(times.items(),
+                                           key=lambda kv: -kv[1])[:n]]
+            i += 3
+        else:
+            gates.append(rest[i]); i += 1
+    if not gates:
+        print("no gates selected"); sys.exit(2)
+
+    opens = []
+    for p in OPENS_PKGS:
+        opens += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=cpus,
+               SPARK_GRAFT_SHARDED_WRITE="1")
+    runs: dict[str, list[float]] = {g: [] for g in gates}
+    pat = re.compile(r"\[verify\] (\S+) ok ([0-9.]+) s")
+    for rep in range(repeats):
+        for g in gates:
+            with tempfile.TemporaryDirectory(prefix="ledger_") as tmp:
+                cmd = (["java"] + opens +
+                       [f"-Xmx{xmx}", "-Dspark.ui.enabled=false",
+                        "-Dspark.sql.session.timeZone=UTC",
+                        "-cp", f"{snap}:/opt/spark/jars/*",
+                        "graft.Verify", sf_dir, tmp, g])
+                p = subprocess.run(cmd, env=env, capture_output=True,
+                                   text=True)
+                m = pat.search(p.stderr)
+                if m and m.group(1) == g:
+                    t = float(m.group(2))
+                    runs[g].append(t)
+                    print(f"[ledger] rep{rep} {g}: {t:.2f} s", flush=True)
+                else:
+                    print(f"[ledger] rep{rep} {g}: FAILED (rc={p.returncode})",
+                          flush=True)
+                    print(p.stderr[-2000:], flush=True)
+    mins = {g: min(ts) for g, ts in runs.items() if ts}
+    failed = [g for g, ts in runs.items() if not ts]
+    out = {
+        "sf": sf_dir,
+        "protocol": (f"isolated min-of-{repeats}: fresh JVM per run, "
+                     "sequential, no concurrent load"),
+        "conditions": {"xmx": xmx, "cpus": int(cpus),
+                       "sharded_write": True},
+        "runs": runs,
+        "gates_min": mins,
+        "tracked_total": round(sum(mins.values()), 2),
+        "failed": failed,
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"[ledger] tracked_total={out['tracked_total']} s over "
+          f"{len(mins)} gates -> {out_json}", flush=True)
+    if failed:
+        print(f"[ledger] FAILED gates: {failed}", flush=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
