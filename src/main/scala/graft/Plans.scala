@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-capture tool (r13 optimization round): dumps
+  * `.explain("formatted")` for named declared queries to files, so plan
+  * claims in OPTIMIZATION_r13.md are checkable without running Spark.
+  *
+  * Usage: runMain graft.Plans <sfDir> <outDir> <suffix> [qname ...]
+  * Writes <outDir>/<qname>_<suffix>.txt per query. Plan construction
+  * only — nothing is executed (actions a gate runs at build time, e.g.
+  * count()/localCheckpoint(), do run; the final frame is not).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "256")
+      .config("spark.memory.storageFraction", "0.3")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    val qs = SparkEntry.queries
+    names.foreach { name =>
+      qs.get(name) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+            System.err.println(s"[plans] $name -> ${name}_$suffix.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[plans] $name failed: ${e.getMessage}")
+          }
+        case None => System.err.println(s"[plans] unknown query: $name")
+      }
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      } catch { case _: Throwable => () }
+    }
+    spark.stop()
+  }
+}

@@ -463,6 +463,79 @@ object Profile {
               k = 16, beam = beam, hops = hops, refineRounds = r,
               validateIds = false).count())
         }
+      case "gates13" =>
+        // r13 optimization round: phase decomposition of the five
+        // heaviest gates at the bench's sfDir shape — where inside each
+        // gate does the wall time go? Every phase is forced with the
+        // noop sink (guide §1.4) or the gate's own checkpoint, matching
+        // what the gate itself materializes.
+        import operators.{KnnGraph, Similarity}
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val e = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 50000)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select("vec_id", "v")
+        val q = e.filter(col("vec_id") < 20)
+        // warm codegen/page cache out of the numbers
+        KnnGraph.nnDescent(e.limit(200), "vec_id", "v", k = 3,
+          iterations = 1, earlyStop = false).count()
+        val n = time("e.count()")(e.count())
+        println(s"[prof] n=$n budget=${KnnGraph.servingBudget(n)}")
+        val (beam, hops, entries) = KnnGraph.servingBudget(n)
+        // --- q_graph_search phases
+        val g16 = time("nnDescent k=16 it=2 (+cp)")(
+          KnnGraph.nnDescent(e, "vec_id", "v", k = 16, iterations = 2,
+            earlyStop = false, corpusCount = n).localCheckpoint(true))
+        val idx = time("graphIndex (+cp)")(
+          KnnGraph.graphIndex(g16, e, "vec_id", "v",
+            entries = entries, corpusCount = n).localCheckpoint(true))
+        time("searchGraphIndexed (noop)")(noop(
+          KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = 5,
+            beam = beam, hops = hops)))
+        val exact = time("bruteForceTopK truth (+cp)")(
+          Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
+            .localCheckpoint(true))
+        // --- q_knn_graph phases
+        val g20 = time("nnDescent k=20 it=3 (+cp)")(
+          KnnGraph.nnDescent(e, "vec_id", "v", k = 20, iterations = 3,
+            earlyStop = false, corpusCount = n).localCheckpoint(true))
+        // --- q_graph_insert extra phases (build/index on corpus-minus)
+        val batch = e.filter(col("vec_id") < 25)
+        val corpus = e.filter(col("vec_id") >= 25)
+        val gI = time("insert: nnDescent minus-batch (+cp)")(
+          KnnGraph.nnDescent(corpus, "vec_id", "v", k = 16, iterations = 2,
+            earlyStop = false, corpusCount = n - 25).localCheckpoint(true))
+        val idxI = time("insert: graphIndex (+cp)")(
+          KnnGraph.graphIndex(gI, corpus, "vec_id", "v", entries = entries,
+            corpusCount = n - 25).localCheckpoint(true))
+        time("insert: insertIncrementalIndexed refine=3 (noop via indexGraph)")(
+          noop(KnnGraph.indexGraph(KnnGraph.insertIncrementalIndexed(
+            idxI, batch, "vec_id", "v", k = 16, beam = beam, hops = hops,
+            refineRounds = 3, validateIds = false))
+            .filter(col("id") < 25 && col("rank") <= 5)))
+        // --- q_graph_delete extra phases
+        val isDel = col("vec_id") >= 100 && col("vec_id") < 150
+        val after = time("delete: removeIds (+cp)")(
+          KnnGraph.removeIds(idx, e.filter(isDel).select("vec_id"),
+            "vec_id", k = 16, healRounds = 1).localCheckpoint(true))
+        time("delete: searchGraphIndexed post-delete (+cp)")(
+          KnnGraph.searchGraphIndexed(after, q, "vec_id", "v", k = 5,
+            beam = beam, hops = hops).localCheckpoint(true))
+        time("delete: noDeleted isEmpty x4")({
+          def delRange(c: org.apache.spark.sql.Column) = c >= 100 && c < 150
+          after.filter(delRange(col("id"))).isEmpty &&
+            after.select(explode(col("knn")).as("en"))
+              .filter(delRange(col("en.nbr"))).isEmpty &&
+            after.select(explode(col("bridges")).as("b"))
+              .filter(delRange(col("b"))).isEmpty
+        })
+        // --- claims overhead on a representative pair
+        val annS = KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = 5,
+          beam = beam, hops = hops)
+        time("annClaims assembly (noop)")(noop(
+          GateHelpers.annClaims(annS, exact, lit(n.toDouble), k = 5,
+            "cosine", ascending = false, minRecall = 0.45)))
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
