@@ -26,5 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r13: default heap 8g -> 24g, COMMITTED UP FRONT. A 247-gate
+  // bench/verify run in one JVM churns localCheckpoint blocks + shuffle
+  // state through the unified pool; under 8g on this 128 GiB box the
+  // LATE gates run inside GC pressure the EARLY gates never see
+  // (measured: q_graph_search 22.0 s at position ~190 of the full
+  // min-of-3 suite vs 9.2-11.2 s isolated or early). A bare -Xmx24g
+  // made things WORSE mid-run (same build phase 5.4 s -> 16.5-18.8 s):
+  // the lazily-committed heap page-faults against the hypervisor as G1
+  // expands DURING measured work. -Xms + AlwaysPreTouch moves that
+  // one-time commit to JVM startup, outside every timed region
+  // (re-measured: 5.3 s, at either heap size). Env-overridable for
+  // constrained boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

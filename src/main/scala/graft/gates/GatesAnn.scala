@@ -539,7 +539,12 @@ private[graft] object GatesAnn {
       cands.map { case (name, cand0) =>
         val cand = cand0.localCheckpoint(true)
         val raw5 = cand.filter(col("rank") <= 5)
+        // r13 opt: pin the tiny (<= 20x5 row) rerank result — it feeds
+        // BOTH the hits join and the coverage aggregate, and each lazy
+        // consumer otherwise re-runs the corpus-scan rerank join
+        // (2 extra corpus scans per family; rows unchanged)
         val rer = Similarity.rerankExact(cand, e, q, "vec_id", "v", k = 5)
+          .localCheckpoint(true)
         def hits(df: DataFrame, as: String) =
           df.select("query_id", "neighbor_id").distinct()
             .join(truthPairs, Seq("query_id", "neighbor_id"))

@@ -222,10 +222,22 @@ object KnnGraph {
       col("cosine"), col("rank"))
   }
 
+  /** Emit both directions of each scored pair. r13 opt: one explode,
+    * not a self-union — a union's branches duplicate the physical
+    * subtree, so the candidate-scoring self-join (the dominant compute
+    * of a descent round) executed TWICE per round; the explode emits
+    * (a→b, b→a) from one pass with nothing materialized. Same multiset
+    * of rows feeding an order-insensitive bounded top-k aggregate —
+    * results bit-identical (spec-pinned by the build/insert parity
+    * suites).
+    */
   private def symmetrize(scored: DataFrame): DataFrame =
-    scored.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine"))
-      .unionByName(scored.select(col("id_b").as("id"),
-        col("id_a").as("nbr"), col("cosine")))
+    scored.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr"), col("cosine"))))
+        .as("__e"))
+      .select(col("__e.id").as("id"), col("__e.nbr").as("nbr"),
+        col("__e.cosine").as("cosine"))
 
   /** One NN-Descent round over a flagged graph (id, nbr, cosine, rank,
     * __new): neighbor-of-neighbor candidates from pairs touching >= 1
@@ -316,9 +328,20 @@ object KnnGraph {
       .join(b.groupBy("__b").agg(min(col("id")).as("hub")), Seq("__b"))
       .filter(col("id") =!= col("hub"))
       .select(col("id"), col("hub").as("nbr"))
-    bridges.unionByName(
-      bridges.select(col("nbr").as("id"), col("id").as("nbr")))
+    bothDirections(bridges)
   }
+
+  /** (id, nbr) -> both directions via one explode. r13 opt: the
+    * previous self-union re-executed the producing join once per
+    * branch; the explode emits (id→nbr, nbr→id) in a single pass.
+    * Same multiset of rows — every consumer is an order-insensitive
+    * aggregate or a per-hop dedup.
+    */
+  private def bothDirections(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("id"), col("nbr")),
+        struct(col("nbr").as("id"), col("id").as("nbr")))).as("__d"))
+      .select(col("__d.id").as("id"), col("__d.nbr").as("nbr"))
 
   /** Shared serving loop: entry points -> `hops` rounds of
     * expand-score-prune over a prebuilt adjacency. `vecs` must be
@@ -686,9 +709,13 @@ object KnnGraph {
       bridgeRounds = bridgeRounds, seed = seed, corpusCount = corpusCount)
     // new -> new links: exact over the bounded batch
     val intra = Similarity.bruteForceTopK(batch, batch, idCol, vecCol, k = k)
+    // r13 opt: pin the bounded placement edges once — both union
+    // directions below otherwise re-execute the search top-k and the
+    // new-vs-new brute pass inside the merge job (bit-identical rows)
     val newDirected = found.unionByName(intra)
       .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
         col("cosine"))
+      .localCheckpoint(true)
     val merged = newDirected
       // reverse edges let affected OLD nodes admit the new arrivals
       .unionByName(newDirected.select(col("nbr").as("id"),
@@ -741,8 +768,12 @@ object KnnGraph {
   private def descentRoundDelta(delta: DataFrame, baseKnn: DataFrame,
                                 vecs: DataFrame, k: Int, maxRev: Int,
                                 seed: Int, iter: Int,
-                                idType: DataType): DataFrame = {
-    val deltaIds = delta.select("id").distinct()
+                                idType: DataType,
+                                deltaIds0: DataFrame = null): DataFrame = {
+    // r13 opt: the caller usually just materialized this distinct for
+    // its crossover check — reuse it instead of re-shuffling (guide §2.4)
+    val deltaIds =
+      if (deltaIds0 != null) deltaIds0 else delta.select("id").distinct()
     val cur = delta.select(col("id"), col("nbr"), col("cosine"), col("__new"))
       .unionByName(baseKnn
         .join(broadcast(deltaIds), Seq("id"), "left_anti")
@@ -810,23 +841,40 @@ object KnnGraph {
                                 rounds: Int, switchFraction: Double,
                                 idType: DataType): DataFrame = {
     var delta = delta0
+    // r13 opt (bit-identical, cost only): (a) the per-round crossover
+    // check's distinct id set is checkpointed ONCE and reused by both
+    // the count and whichever branch runs (each previously re-shuffled
+    // its own distinct — guide §2.4, shared exchange); (b) after the
+    // first full round the delta IS the whole graph (descentRound
+    // re-emits every node), so later rounds skip the count job, the
+    // anti-join (provably empty: the full round's output covers every
+    // base id) and the compose checkpoint outright — the scaladoc
+    // already stated "subsequent rounds stay full"; now they also stop
+    // paying the per-round probe.
+    var full = false
     for (r <- 0 until rounds) {
-      val deltaN = delta.select("id").distinct().count()
       delta =
-        if (nTotal > 0 && deltaN.toDouble / nTotal <= switchFraction)
-          descentRoundDelta(delta, baseKnn, vecs, k, maxRev, seed,
+        if (full)
+          descentRound(delta, vecs, k, maxRev, sampleRate = 1.0, seed,
             iterBase + r, idType)
         else {
-          val dIds = delta.select("id").distinct()
-          val curAll = delta
-            .select(col("id"), col("nbr"), col("cosine"), col("__new"))
-            .unionByName(baseKnn
-              .join(broadcast(dIds), Seq("id"), "left_anti")
-              .select(col("id"), col("nbr"), col("cosine"))
-              .withColumn("__new", lit(false)))
-            .localCheckpoint(true)
-          descentRound(curAll, vecs, k, maxRev, sampleRate = 1.0, seed,
-            iterBase + r, idType)
+          val dIds = delta.select("id").distinct().localCheckpoint(true)
+          val deltaN = dIds.count()
+          if (nTotal > 0 && deltaN.toDouble / nTotal <= switchFraction)
+            descentRoundDelta(delta, baseKnn, vecs, k, maxRev, seed,
+              iterBase + r, idType, deltaIds0 = dIds)
+          else {
+            full = true
+            val curAll = delta
+              .select(col("id"), col("nbr"), col("cosine"), col("__new"))
+              .unionByName(baseKnn
+                .join(broadcast(dIds), Seq("id"), "left_anti")
+                .select(col("id"), col("nbr"), col("cosine"))
+                .withColumn("__new", lit(false)))
+              .localCheckpoint(true)
+            descentRound(curAll, vecs, k, maxRev, sampleRate = 1.0, seed,
+              iterBase + r, idType)
+          }
         }
     }
     delta
@@ -907,9 +955,15 @@ object KnnGraph {
     val found = searchGraphIndexed(index, batch, idCol, vecCol, k = k,
       beam = beam, hops = hops)
     val intra = Similarity.bruteForceTopK(batch, batch, idCol, vecCol, k = k)
+    // r13 opt: checkpoint the bounded (<= 2·k·|batch| rows) placement
+    // edges once — `inc` feeds BOTH the touched-id distinct and the
+    // re-rank union, and without the pin the placement search's final
+    // top-k and the new-vs-new brute pass re-execute per consumer
+    // (guide §1/§2: don't compute things twice); bit-identical rows.
     val newDirected = found.unionByName(intra)
       .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
         col("cosine"))
+      .localCheckpoint(true)
     val inc = newDirected.unionByName(newDirected
       .select(col("nbr").as("id"), col("id").as("nbr"), col("cosine")))
     val baseKnn = index
@@ -951,7 +1005,7 @@ object KnnGraph {
         val e1 = batchKeys.join(broadcast(hubOf), Seq("__b"))
           .filter(col("id") =!= col("hub"))
           .select(col("id"), col("hub").as("nbr"))
-        e1.unionByName(e1.select(col("nbr").as("id"), col("id").as("nbr")))
+        bothDirections(e1) // r13 opt: explode, not self-union (see def)
           .groupBy("id")
           .agg(array_sort(collect_set(col("nbr"))).as("__adds"))
       }).localCheckpoint(true)
@@ -1157,7 +1211,7 @@ object KnnGraph {
             .agg(min(col("id")).as("h1"))), Seq("__b"))
           .filter(col("id") =!= col("h1"))
           .select(col("id"), col("h1").as("nbr"))
-        e1.unionByName(e1.select(col("nbr").as("id"), col("id").as("nbr")))
+        bothDirections(e1) // r13 opt: explode, not self-union (see def)
           .groupBy("id")
           .agg(array_sort(collect_set(col("nbr"))).as("__adds"))
       }).localCheckpoint(true)
