@@ -238,6 +238,27 @@ private[graft] object GateHelpers {
     intra.unionByName(noise)
   }
 
+  /** Run independent gate sub-pipelines concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — a small pool lets the next chain's tasks back-fill
+    * executors idled by the current chain's stragglers/tail). Results
+    * return in INPUT order, so downstream union order — and therefore
+    * every gate output — is unchanged; each thunk's own computation is
+    * seed-fixed and independent, so concurrency cannot change values.
+    * Pool is bounded (default 3 in flight) per the guide's guidance:
+    * enough to fill the tail, not enough to fight for executors.
+    */
+  private[graft] def inParallel[T](thunks: Seq[() => T],
+                                   slots: Int = 3): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(slots, thunks.size)))
+    try {
+      val futs = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = t() }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the
     * standard 1024^2-area ladder in 64-px steps (public SDXL recipe).
     */

@@ -507,37 +507,51 @@ private[graft] object GatesAnn {
       // without it the brute-force truth subtree re-executes in all ~10
       // branches of the final union (measured 9.98 s -> the sum of the
       // individual method costs)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-        .localCheckpoint(true)
-      val pqModel = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val opqModel = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
-      val kc = 20
       val n = e.count()
-      val graphCand = {
-        val (beam, hops, entries) = KnnGraph.servingBudget(n)
-        val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 16,
-          iterations = 2, earlyStop = false, corpusCount = n)
-          .localCheckpoint(true)
-        val idx = KnnGraph.graphIndex(g, e, "vec_id", "v",
-          entries = entries, corpusCount = n).localCheckpoint(true)
-        KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = kc,
-          beam = beam, hops = hops)
-      }
-      val cands: Seq[(String, DataFrame)] = Seq(
-        "graph" -> graphCand,
-        "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc, nlist = 8,
-          nprobe = 3),
-        "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
-          nlist = 8, nprobe = 3, m = 8, ksub = 16),
-        "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc,
-          tables = 4, dims = 64, probeHamming = 1),
-        "opq" -> Similarity.opqTopK(e, q, "vec_id", "v", opqModel, k = kc),
-        "pq" -> Similarity.pqTopK(e, q, "vec_id", "v", pqModel, k = kc))
+      val kc = 20
+      // r13 opt (guide §2.6): the six family chains and the exact truth
+      // are mutually independent and each ends in a bounded checkpoint —
+      // build them through a small pool so one chain's job tail
+      // back-fills cores idled by another's (they ran strictly
+      // sequentially before). Every chain is seed-fixed; pooling changes
+      // scheduling, never values, and the Seq order (hence union order
+      // and output) is preserved.
+      val built = inParallel(Seq[() => (String, DataFrame)](
+        () => "exact" -> Similarity.bruteForceTopK(e, q, "vec_id", "v",
+          k = 5).localCheckpoint(true),
+        () => "graph" -> {
+          val (beam, hops, entries) = KnnGraph.servingBudget(n)
+          val g = KnnGraph.nnDescent(e, "vec_id", "v", k = 16,
+            iterations = 2, earlyStop = false, corpusCount = n)
+            .localCheckpoint(true)
+          val idx = KnnGraph.graphIndex(g, e, "vec_id", "v",
+            entries = entries, corpusCount = n).localCheckpoint(true)
+          KnnGraph.searchGraphIndexed(idx, q, "vec_id", "v", k = kc,
+            beam = beam, hops = hops).localCheckpoint(true)
+        },
+        () => "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "v", k = kc,
+          nlist = 8, nprobe = 3).localCheckpoint(true),
+        () => "ivfpq" -> Similarity.ivfPqTopK(e, q, "vec_id", "v", k = kc,
+          nlist = 8, nprobe = 3, m = 8, ksub = 16).localCheckpoint(true),
+        () => "lsh" -> Similarity.lshTopK(e, q, "vec_id", "v", k = kc,
+          tables = 4, dims = 64, probeHamming = 1, corpusCount = n)
+          .localCheckpoint(true),
+        () => "opq" -> {
+          val m = Similarity.opqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+          Similarity.opqTopK(e, q, "vec_id", "v", m, k = kc)
+            .localCheckpoint(true)
+        },
+        () => "pq" -> {
+          val m = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
+          Similarity.pqTopK(e, q, "vec_id", "v", m, k = kc)
+            .localCheckpoint(true)
+        }))
+      val exact = built.head._2
+      val cands = built.tail
       val truthPairs = exact.select("query_id", "neighbor_id")
       val nQ = q.count()
       val chance = lit(10.0 * 5 / n.toDouble)
-      cands.map { case (name, cand0) =>
-        val cand = cand0.localCheckpoint(true)
+      inParallel(cands.map { case (name, cand) => () =>
         val raw5 = cand.filter(col("rank") <= 5)
         // r13 opt: pin the tiny (<= 20x5 row) rerank result — it feeds
         // BOTH the hits join and the coverage aggregate, and each lazy
@@ -556,7 +570,7 @@ private[graft] object GatesAnn {
             (col("__rer") >= col("__raw")).as("rerank_ge_raw"),
             (col("__rer").cast("double") / (nQ * 5.0) >= chance)
               .as("recall_ok"))
-      }.reduce(_ unionByName _).orderBy("method")
+      }).reduce(_ unionByName _).orderBy("method")
     }),
 
     // Hubness diagnostic over the exact top-10 graph — claims gate (r8):

@@ -561,23 +561,40 @@ private[graft] object GatesDedup {
       // exact twins (j = 1) still collide in EVERY band, so the coverage
       // claims are untouched and the est_jaccard >= 0.5 filter loses
       // only a slice of the j-in-[0.5, 0.77) band the claims never used.
-      val mh = Dedup.minHashCandidates(union, "text", "doc_id",
-          shingleSize = 5, numHashes = 64, bands = 8)
-        .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
-      val sh = Dedup.simHashCandidates(union, "text", "doc_id",
-        maxHamming = 3).localCheckpoint(true)
-      val ng = Dedup.ngramJaccardPairs(union, "text", "doc_id", "source",
-        n = 3, minJaccard = 0.5)
-      val (mhFound, shFound, ngFound) = (planted(mh), planted(sh), planted(ng))
+      // r13 opt (guide §2.6): the three candidate generators are
+      // independent seed-fixed chains ending in bounded checkpoints /
+      // counts — build them through a small pool so one chain's job
+      // tail back-fills cores the others idle (strictly sequential
+      // before). Values unchanged; only scheduling overlaps.
+      val stage1 = inParallel(Seq[() => Any](
+        () => Dedup.minHashCandidates(union, "text", "doc_id",
+            shingleSize = 5, numHashes = 64, bands = 8)
+          .filter(col("est_jaccard") >= 0.5).localCheckpoint(true),
+        () => Dedup.simHashCandidates(union, "text", "doc_id",
+          maxHamming = 3).localCheckpoint(true),
+        () => planted(Dedup.ngramJaccardPairs(union, "text", "doc_id",
+          "source", n = 3, minJaccard = 0.5))))
+      val mh = stage1(0).asInstanceOf[DataFrame]
+      val sh = stage1(1).asInstanceOf[DataFrame]
+      val ngFound = stage1(2).asInstanceOf[Long]
       // ids-only into the CC label joins: carrying `text` through them
       // adds GBs of join payload at 100x scale for columns the labels
       // never use (part of the r10 q_dedup_sweep sf10 OOM fix — the
       // other part is the evictable-storage config in Verify/Sessions)
       val ids = union.select("doc_id")
-      val labels = Dedup.dedupClusters(ids, "doc_id", mh)
-        .select(col("doc_id"), col("component").as("la"))
-        .join(Dedup.dedupClusters(ids, "doc_id", sh)
-          .select(col("doc_id"), col("component").as("lb")), Seq("doc_id"))
+      // second pooled stage: the two planted-recall counts and the two
+      // CC label fixpoints all read only the checkpointed mh/sh
+      val stage2 = inParallel(Seq[() => Any](
+        () => planted(mh),
+        () => planted(sh),
+        () => Dedup.dedupClusters(ids, "doc_id", mh)
+          .select(col("doc_id"), col("component").as("la")),
+        () => Dedup.dedupClusters(ids, "doc_id", sh)
+          .select(col("doc_id"), col("component").as("lb"))))
+      val (mhFound, shFound) = (stage2(0).asInstanceOf[Long],
+        stage2(1).asInstanceOf[Long])
+      val labels = stage2(2).asInstanceOf[DataFrame]
+        .join(stage2(3).asInstanceOf[DataFrame], Seq("doc_id"))
       val rand = Metrics.clusteringAgreement(labels, "la", "lb")
         .head().getAs[Double]("rand")
       import s.implicits._

@@ -839,7 +839,8 @@ object KnnGraph {
                                 vecs: DataFrame, nTotal: Long, k: Int,
                                 maxRev: Int, seed: Int, iterBase: Int,
                                 rounds: Int, switchFraction: Double,
-                                idType: DataType): DataFrame = {
+                                idType: DataType,
+                                firstIds: DataFrame = null): DataFrame = {
     var delta = delta0
     // r13 opt (bit-identical, cost only): (a) the per-round crossover
     // check's distinct id set is checkpointed ONCE and reused by both
@@ -858,7 +859,12 @@ object KnnGraph {
           descentRound(delta, vecs, k, maxRev, sampleRate = 1.0, seed,
             iterBase + r, idType)
         else {
-          val dIds = delta.select("id").distinct().localCheckpoint(true)
+          // r13 opt: round 0's id set is usually known to the caller
+          // (the checkpointed touched-id frame whose distinct this
+          // would recompute) — reuse it; later rounds re-derive
+          val dIds =
+            if (r == 0 && firstIds != null) firstIds
+            else delta.select("id").distinct().localCheckpoint(true)
           val deltaN = dIds.count()
           if (nTotal > 0 && deltaN.toDouble / nTotal <= switchFraction)
             descentRoundDelta(delta, baseKnn, vecs, k, maxRev, seed,
@@ -982,8 +988,11 @@ object KnnGraph {
         .unionByName(bv.select(col("id"), col("__nv")))
       val nTotal = (if (corpusCount >= 0) corpusCount else index.count()) +
         bv.count()
+      // firstIds = t0: the re-rank emits exactly one group per touched
+      // id (inc covers every t0 id), so round 0's distinct is t0 itself
       delta = refineDeltaRounds(delta, baseKnn, vecsAll, nTotal, k, maxRev,
-        seed, 5000, refineRounds, deltaRefineFraction, idType)
+        seed, 5000, refineRounds, deltaRefineFraction, idType,
+        firstIds = t0)
     }
     // compose the updated index: one broadcast-joined pass over the old
     // rows (scan, no shuffle of untouched rows) + the new node rows

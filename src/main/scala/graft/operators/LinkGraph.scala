@@ -652,8 +652,11 @@ object LinkGraph {
     val intra = both.filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))
       .agg(count(lit(1)).as("intra_edges"))
-    val deg = both.select(col("__ca").as("community"))
-      .unionByName(both.select(col("__cb").as("community")))
+    // r13 opt: one explode, not a self-union — the union's two branches
+    // each re-executed the edge-labels double join feeding `both`;
+    // same multiset into the count aggregate
+    val deg = both.select(explode(array(col("__ca"), col("__cb")))
+        .as("community"))
       .groupBy("community").agg(count(lit(1)).as("degree_sum"))
     val size = lab.groupBy(col("__c").as("community"))
       .agg(count(lit(1)).as("size"))
