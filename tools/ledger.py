@@ -72,7 +72,11 @@ def main() -> None:
         for g in gates:
             with tempfile.TemporaryDirectory(prefix="ledger_") as tmp:
                 cmd = (["java"] + opens +
-                       [f"-Xmx{xmx}", "-Dspark.ui.enabled=false",
+                       # Xms + pretouch: a lazily-committed heap
+                       # page-faults against the hypervisor DURING the
+                       # measured gate (r13: same phase 5.4 s vs 16.5 s)
+                       [f"-Xmx{xmx}", f"-Xms{xmx}", "-XX:+AlwaysPreTouch",
+                        "-Dspark.ui.enabled=false",
                         "-Dspark.sql.session.timeZone=UTC",
                         "-cp", f"{snap}:/opt/spark/jars/*",
                         "graft.Verify", sf_dir, tmp, g])
