@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r14 (VERDICT item 1): the bench's one-line JSON never reached the
+// driver's parser in 13 rounds — sbt's default LoggedOutput strategy
+// decorates forked stdout as "[info] {...}", which is not a parseable
+// JSON line, and the driver keeps only the last ~2000 bytes of output.
+// StdoutOutput passes the forked JVM's stdout/stderr through RAW, so
+// the line lands exactly as graft.Bench prints it. Set unscoped (the
+// config-level forkOptions reads the unscoped key) and for run/Test
+// explicitly.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -38,7 +49,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // one-time commit to JVM startup, outside every timed region
   // (re-measured: 5.3 s, at either heap size). Env-overridable for
   // constrained boxes.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r14 (ADVICE): the flat 24g default failed to start on any host with
+  // < 24 GiB free (and AlwaysPreTouch would thrash swap near the line).
+  // The default now derives from the host: 24g only when MemAvailable
+  // comfortably covers the pre-touched heap, else the old portable 8g.
+  // SPARK_DRIVER_MEM still overrides both ways.
+  s"-Xmx${BuildHeap.driverMem}",
+  s"-Xms${BuildHeap.driverMem}",
   "-XX:+AlwaysPreTouch",
 )
+
+lazy val BuildHeap = new {
+  val driverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val availKb: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong
+        }.getOrElse(0L)
+        finally src.close()
+      } catch { case _: Throwable => 0L }
+    // 32 GiB available -> the 24g pre-touched heap fits with slack;
+    // otherwise fall back to the run-anywhere 8g default.
+    if (availKb >= 32L * 1024 * 1024) "24g" else "8g"
+  })
+}

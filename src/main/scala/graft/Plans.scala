@@ -31,6 +31,10 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     val qs = SparkEntry.queries
+    // r14 (ADVICE): a typo'd name or a failing plan used to leave a
+    // stale/missing file while the run exited 0 — plan-diff evidence
+    // could silently go stale. Track failures and exit non-zero.
+    var failed = List.empty[String]
     names.foreach { name =>
       qs.get(name) match {
         case Some(fn) =>
@@ -41,9 +45,12 @@ object Plans {
             Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
             System.err.println(s"[plans] $name -> ${name}_$suffix.txt")
           } catch { case e: Throwable =>
+            failed ::= name
             System.err.println(s"[plans] $name failed: ${e.getMessage}")
           }
-        case None => System.err.println(s"[plans] unknown query: $name")
+        case None =>
+          failed ::= name
+          System.err.println(s"[plans] unknown query: $name")
       }
       try {
         spark.sparkContext.getPersistentRDDs.values
@@ -53,5 +60,9 @@ object Plans {
       } catch { case _: Throwable => () }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plans] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

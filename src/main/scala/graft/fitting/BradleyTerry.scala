@@ -44,8 +44,15 @@ object BradleyTerry {
         col(winsACol).cast("long").as("w"))
       .filter(col("i").isNotNull && col("j").isNotNull &&
         col("i") =!= col("j") && col("n") > 0)
-    val sym = base.unionByName(base.select(col("j").as("i"),
-        col("i").as("j"), col("n"), (col("n") - col("w")).as("w")))
+    // r14 (VERDICT ask 5): both orientations via ONE explode pass — the
+    // self-union scanned/filtered the caller's pair table once per
+    // branch. Same row multiset into the (i,j) long-sum aggregate.
+    val sym = base.select(explode(array(
+        struct(col("i"), col("j"), col("n"), col("w")),
+        struct(col("j").as("i"), col("i").as("j"), col("n"),
+          (col("n") - col("w")).as("w")))).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"),
+        col("__e.n").as("n"), col("__e.w").as("w"))
       .groupBy("i", "j").agg(sum(col("n")).as("n"), sum(col("w")).as("w"))
     val nPairRows = sym.count()
     if (nPairRows <= driverCap) {

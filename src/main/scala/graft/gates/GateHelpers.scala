@@ -249,14 +249,29 @@ private[graft] object GateHelpers {
     * enough to fill the tail, not enough to fight for executors.
     */
   private[graft] def inParallel[T](thunks: Seq[() => T],
-                                   slots: Int = 3): Seq[T] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(slots, thunks.size)))
-    try {
-      val futs = thunks.map(t => pool.submit(
-        new java.util.concurrent.Callable[T] { def call(): T = t() }))
-      futs.map(_.get())
-    } finally pool.shutdown()
+                                   slots: Int = 3,
+                                   label: String = "inParallel"): Seq[T] =
+    // r14: canonical implementation moved to [[graft.Par]] (operators
+    // pool independent chains too) with the ADVICE fixes — per-thunk
+    // job descriptions, ExecutionException unwrapping, cancel-on-fail
+    graft.Par.inParallel(thunks, slots, label)
+
+  /** Corpus + an id-shifted EXACT copy in one scan (r14, VERDICT ask 5):
+    * the `docs.unionByName(docs.select(id + off, ...))` twin fixture
+    * scanned the base table once per union branch — 2x the parquet read
+    * inside every consumer of the fixture (and the planted-recall gates
+    * consume it several times). One explode emits both rows per input
+    * row; same multiset, and every consumer is a hash/shingle/pair
+    * aggregate, so gate outputs are unchanged.
+    */
+  private[graft] def withTwin(df: DataFrame, idCol: String,
+                              off: Long): DataFrame = {
+    val cols = df.columns
+    df.select(explode(array(
+        struct(cols.map(col): _*),
+        struct(cols.map(c =>
+          if (c == idCol) (col(c) + off).as(c) else col(c)): _*))).as("__t"))
+      .select(cols.map(c => col(s"__t.$c").as(c)): _*)
   }
 
   /** The SDXL-resolution aspect buckets used by q_aspect_buckets — the

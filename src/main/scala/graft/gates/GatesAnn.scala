@@ -168,8 +168,8 @@ private[graft] object GatesAnn {
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select("vec_id", "v")
-      val union = e.unionByName(e.select(
-        (col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      // r14 (VERDICT ask 5): twin fixture in one scan, not a self-union
+      val union = withTwin(e, "vec_id", 1000000L)
       val pairs = Similarity.semDedupPairs(union, "vec_id", "v",
           threshold = 0.25, k = 8)
         .filter(col("id_b") === col("id_a") + 1000000L)
@@ -346,7 +346,8 @@ private[graft] object GatesAnn {
         () => KnnGraph.nnDescent(e, "vec_id", "v", k = 20, iterations = 3,
           earlyStop = false, corpusCount = n),
         () => Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "v", k = 5).localCheckpoint(true)))
+          "vec_id", "v", k = 5).localCheckpoint(true)),
+        label = "q_knn_graph")
       val ann = pooled(0).filter(col("id") < 20 && col("rank") <= 5)
         .select(col("id").as("query_id"), col("neighbor_id"),
           col("cosine"), col("rank"))
@@ -399,7 +400,8 @@ private[graft] object GatesAnn {
             beam = beam, hops = hops)
         },
         () => Similarity.bruteForceTopK(e, q, "vec_id", "v", k = 5)
-          .localCheckpoint(true)))
+          .localCheckpoint(true)),
+        label = "q_graph_search")
       val ann = pooled(0)
       val exact = pooled(1)
       annClaims(ann, exact, lit(n.toDouble), k = 5, "cosine",
@@ -450,7 +452,8 @@ private[graft] object GatesAnn {
             validateIds = false)) // disjoint by construction (partition of e)
         },
         () => Similarity.bruteForceTopK(e, batch, "vec_id", "v", k = 5)
-          .localCheckpoint(true)))
+          .localCheckpoint(true)),
+        label = "q_graph_insert")
       val ann = pooled(0).filter(col("id") < 25 && col("rank") <= 5)
         .select(col("id").as("query_id"), col("neighbor_id"),
           col("cosine"), col("rank"))
@@ -496,7 +499,8 @@ private[graft] object GatesAnn {
             k = 5, beam = beam, hops = hops).localCheckpoint(true))
         },
         () => (null, Similarity.bruteForceTopK(survivors, q, "vec_id",
-          "v", k = 5).localCheckpoint(true))))
+          "v", k = 5).localCheckpoint(true))),
+        label = "q_graph_delete")
       val after = pooled(0)._1
       val ann = pooled(0)._2
       val exact = pooled(1)._2
@@ -577,7 +581,7 @@ private[graft] object GatesAnn {
           val m = Similarity.pqTrain(e, "v", dims = 64, m = 8, ksub = 16)
           Similarity.pqTopK(e, q, "vec_id", "v", m, k = kc)
             .localCheckpoint(true)
-        }))
+        }), label = "q_ann_sweep:build")
       val exact = built.head._2
       val cands = built.tail
       val truthPairs = exact.select("query_id", "neighbor_id")
@@ -602,7 +606,8 @@ private[graft] object GatesAnn {
             (col("__rer") >= col("__raw")).as("rerank_ge_raw"),
             (col("__rer").cast("double") / (nQ * 5.0) >= chance)
               .as("recall_ok"))
-      }).reduce(_ unionByName _).orderBy("method")
+      }, label = "q_ann_sweep:rerank").reduce(_ unionByName _)
+        .orderBy("method")
     }),
 
     // Hubness diagnostic over the exact top-10 graph — claims gate (r8):

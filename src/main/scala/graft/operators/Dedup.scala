@@ -469,8 +469,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 30,
                           driverEdgeThreshold: Long = 4L * 1000 * 1000): DataFrame = {
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // r14 (VERDICT ask 5): both directions via ONE explode pass — the
+    // self-union executed the candidate-pair subtree once per branch
+    // (2x the generator's work when the caller passes it lazy). Same
+    // multiset into the distinct.
+    val edges = pairs.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     // Size-aware short-circuit (the KMeansLite altitude rule): candidate-
@@ -566,9 +572,15 @@ object Dedup {
           "dst")
         .select(col("src"), col("rep").as("dst"))
         .filter(col("src") =!= col("dst"))
+      // r14 (VERDICT ask 5): the self-union re-executed BOTH contraction
+      // joins once per branch every round; one explode pass emits both
+      // directions (same multiset into the distinct)
       val next = PlanRebase.rebase(
-        contracted.union(contracted.select(col("dst").as("src"),
-          col("src").as("dst"))).distinct())
+        contracted.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+          .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+          .distinct())
       // Fold this round's mapping into the accumulated labels (labels
       // stay original-node-sized; the mapping shrinks every round).
       labels = PlanRebase.rebase(labels.as("l")
@@ -1191,8 +1203,9 @@ object Dedup {
     * — pair-table-bounded, no window, no collect.
     */
   def pairDegrees(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+    // r14 (VERDICT ask 5): one explode pass over the pair table, not a
+    // self-union scanning it (and any lazy generator behind it) twice
+    val deg = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
     df.select(col(idCol).as("id"))
       .join(deg, Seq("id"), "left")
@@ -1227,7 +1240,9 @@ object Dedup {
     val nodeTris = tris
       .select(explode(array(col("w_a"), col("w_b"), col("w_c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+    // r14 (VERDICT ask 5): one explode pass, not a self-union that
+    // re-executes the canonicalized-edge distinct once per branch
+    val nodes = e.select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
     nodes.join(nodeTris, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))

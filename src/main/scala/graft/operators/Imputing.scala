@@ -36,8 +36,18 @@ object Imputing {
     * argsort; reference: imputing.py:179-180).
     */
   def neighborRanks(corrDf: DataFrame): DataFrame = {
-    val sym = corrDf.select(col("asset_a").as("target"), col("asset_b").as("neighbor"), col("corr"))
-      .unionByName(corrDf.select(col("asset_b").as("target"), col("asset_a").as("neighbor"), col("corr")))
+    // r14 (VERDICT ask 5): both directions via ONE explode pass — the
+    // self-union executed the correlation aggregate (a full join +
+    // groupBy corr over the series table) once per branch. Same row
+    // multiset; the window's (corr desc, neighbor asc) order is a total
+    // order per target, so ranks are unchanged.
+    val sym = corrDf.select(explode(array(
+        struct(col("asset_a").as("target"), col("asset_b").as("neighbor"),
+          col("corr")),
+        struct(col("asset_b").as("target"), col("asset_a").as("neighbor"),
+          col("corr")))).as("__e"))
+      .select(col("__e.target").as("target"),
+        col("__e.neighbor").as("neighbor"), col("__e.corr").as("corr"))
     sym.withColumn("rank",
       row_number().over(Window.partitionBy("target").orderBy(desc("corr"), asc("neighbor"))))
   }
